@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator catalog (one entry per SURVEY.md §2
+  * operator / capability); `oracleSql` holds the DuckDB-equivalent ANSI
+  * SQL with identical column names and total ORDER BY for hash-stable
+  * comparison. Queries without an oracle entry (hash-family LSH ops,
+  * approx aggregates, stubbed media decode) are validated by ScalaTest
+  * specs instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference pipeline's transform chain (parse -> flatten ->
+    * derive -> filter -> dedup) over the events table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_flatten_project")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ReferenceQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++ EventQueries.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    ReferenceQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++ EventQueries.oracles
+
+  /** Representative heavy queries timed by Bench (one per plan family:
+    * scan+agg, shuffle join, semi join, window, set-op chain, range join,
+    * dedup hash + LSH, vector search, text pass, sessionize, stream-window).
+    */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q_star_join", "q_semi_join", "q_window_rank",
+    "q_union_distinct_limit", "q_range_join", "q_dedup_exact",
+    "q_dedup_minhash", "q_embed_cosine_topk", "q_text_stats",
+    "q_sessionize", "q_tumbling_window")
 }

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector similarity over embedding columns (`array<float>`).
+  *
+  * Scalar math is pure higher-order-function column expressions
+  * (`zip_with` + `aggregate`) — codegen-friendly, no UDF, no serialization
+  * cliff. The sequential left fold in [[dot]] also makes the double
+  * summation order deterministic, which the DuckDB oracle reproduces.
+  *
+  * Search operators come in two tiers:
+  *  - [[bruteForceTopK]]: exact, broadcast the (small) query set against
+  *    the corpus — the right plan whenever |queries| is broadcastable,
+  *    at any corpus size (narrow scan, no shuffle on the corpus side).
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus is bucketed by sign
+  *    signature, candidates only join within a bucket. This is the
+  *    100 TB path: the corpus-side shuffle keys on the bucket id, and
+  *    per-bucket fan-in is tunable via `bits`.
+  */
+object VectorOps {
+
+  def toDoubleVec(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Sequential-fold dot product — deterministic summation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * Plan: broadcast nested-loop join (query side must be small — it is
+    * hint-broadcast), cosine scored in codegen, then per-query top-k via
+    * `row_number` over (score desc, id) — ties broken deterministically.
+    * The corpus is scanned once with only (id, vec) columns read.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), toDoubleVec(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic random hyperplanes (seeded) as literal arrays: plane
+    * p, dim d coefficient ~ U(-1, 1). Constant-folded by Catalyst.
+    */
+  private def planes(bits: Int, dim: Int, seed: Long): Seq[Column] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(array((0 until dim).map(_ => lit(rnd.nextDouble() * 2 - 1)): _*))
+  }
+
+  /** Sign-bit signature of `vec` against `bits` hyperplanes, packed into
+    * one long — the LSH bucket id.
+    */
+  def hyperplaneSignature(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
+    planes(bits, dim, seed).zipWithIndex.map { case (p, i) =>
+      when(dot(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * (single-probe). Recall is tested against [[bruteForceTopK]]; raise
+    * `bits` for smaller buckets / lower recall, lower it for the reverse.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, bits: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), toDoubleVec(col(vecCol)).as("q_vec"))
+      .withColumn("bucket", hyperplaneSignature(col("q_vec"), bits, dim, seed))
+    val c = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
+      .withColumn("bucket", hyperplaneSignature(col("n_vec"), bits, dim, seed))
+    val scored = c.join(broadcast(q), Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

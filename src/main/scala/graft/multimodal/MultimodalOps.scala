@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media (image/audio/video) travels as an
+  * opaque `binary` column plus typed metadata, and decode/feature steps
+  * run batched per partition.
+  *
+  * The Spark-side shape here is real and tested — schema, partitioning,
+  * batch iteration via `mapPartitions` over a typed Dataset (the Scala
+  * analog of `mapInPandas`: one iterator in, one iterator out, arbitrary
+  * per-batch native work inside). The pixel/sample decode itself is
+  * STUBBED with a deterministic fake (media codecs are not shipped in
+  * this container); swapping `FakeCodec` for a real JNI/javacv decoder
+  * changes no plan shape.
+  */
+object MultimodalOps {
+
+  /** One media row as carried through the pipeline. */
+  case class MediaRow(media_id: Long, kind: String, blob: Array[Byte])
+
+  /** Decoded (fake) media features — what a real decoder would emit. */
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, mean_intensity: Double)
+
+  /** Deterministic fake decoder: "decodes" dimensions/intensity from the
+    * blob's bytes. Replace with a real codec at deployment; signature and
+    * batch shape stay identical.
+    */
+  object FakeCodec {
+    def decode(row: MediaRow): MediaFeatures = {
+      val n = row.blob.length.toLong
+      // cheap deterministic byte statistics standing in for pixel decode
+      var sum = 0L
+      var i = 0
+      while (i < row.blob.length) { sum += (row.blob(i) & 0xff); i += 1 }
+      val h = java.util.Arrays.hashCode(row.blob) & 0x7fffffff
+      MediaFeatures(
+        row.media_id, row.kind, n,
+        width = 16 + h % 640, height = 16 + (h / 640) % 480,
+        n_frames = if (row.kind == "video") 1 + h % 300 else 1,
+        mean_intensity = if (n == 0) 0.0 else sum.toDouble / n)
+    }
+  }
+
+  /** Attach a binary payload column derived from a string column —
+    * the testdata has no real media, so documents.text doubles as the
+    * blob source (utf-8 bytes). At deployment the blob column comes
+    * straight from parquet/Delta `binary`.
+    */
+  def withBlob(df: DataFrame, srcCol: String, blobCol: String = "blob"): DataFrame =
+    df.withColumn(blobCol, encode(col(srcCol), "UTF-8"))
+
+  /** Batched decode: iterate each partition once, decode row-by-row
+    * inside the JVM task (no driver involvement, no collect) — the
+    * `mapInPandas` analog. Partition count = decode parallelism.
+    */
+  def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(rows => rows.map(FakeCodec.decode))
+  }
+
+  /** Pure-SQL metadata over a blob column (byte length + digest) — the
+    * part of media handling that needs no codec and stays oracle-checkable.
+    */
+  def blobMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(blobCol)).cast(LongType).as("n_bytes"),
+      md5(col(blobCol)).as("digest"))
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core dataflow operators generalizing the reference pipeline's
+  * per-document transforms (reference: zwilson999/lol_data_pipeline,
+  * `src/api/utils/utils.py`) to declarative Spark column expressions.
+  *
+  * Everything here stays inside Catalyst/Tungsten codegen — no UDFs, no
+  * driver-side loops — so plans scale with partition count, not row count.
+  */
+object CoreOps {
+
+  /** Struct flatten (reference `utils/utils.py:25-43` `flatten_nested_json`).
+    *
+    * Schema-driven compile-time `select` generator: walks the DataFrame
+    * schema and emits one aliased column per struct leaf, joining path
+    * segments with `sep`. This is the *intended* semantics of the
+    * reference's recursive dict flatten (exact for nested dicts). The
+    * reference's list handling is lossy (prefix reset + last-element-wins,
+    * `utils/utils.py:37-41`); we keep arrays intact as columns — callers
+    * explode (`explodeArrays`) or index (`element_at`) explicitly.
+    *
+    * Because the flatten is resolved at plan time, Catalyst still prunes
+    * unused leaves down to the parquet scan — a full-schema flatten of a
+    * wide document costs only the columns actually consumed downstream.
+    */
+  def flattenStruct(df: DataFrame, sep: String = "_"): DataFrame = {
+    def walk(schema: StructType, path: Seq[String]): Seq[Column] =
+      schema.fields.toSeq.flatMap { f =>
+        val p = path :+ f.name
+        f.dataType match {
+          case s: StructType => walk(s, p)
+          case _ =>
+            Seq(col(p.map(seg => s"`$seg`").mkString(".")).alias(p.mkString(sep)))
+        }
+      }
+    df.select(walk(df.schema, Nil): _*)
+  }
+
+  /** Reference bug-compat flatten of one array-of-struct column: the
+    * reference drops the path prefix and keeps the LAST element's keys
+    * (`utils/utils.py:37-41`). Equivalent declarative form:
+    * `element_at(arr, -1)` then struct-flatten. Kept for bug-compat tests
+    * only — production queries use explode/index semantics.
+    */
+  def lastElementFlatten(df: DataFrame, arrayCol: String, sep: String = "_"): DataFrame =
+    flattenStruct(df.withColumn(arrayCol, element_at(col(arrayCol), -1)), sep)
+
+  /** Unix-milliseconds epoch to `yyyy-MM-dd` string (reference
+    * `utils/utils.py:84-91` `_unix_timestamp_to_date`). The reference uses
+    * the process-local timezone; the engine pins UTC
+    * (`spark.sql.session.timeZone=UTC`) for oracle parity — documented
+    * divergence (SURVEY.md §7.4).
+    */
+  def msToDate(c: Column): Column = date_format(timestamp_millis(c), "yyyy-MM-dd")
+
+  /** Small static lookup (reference `utils/utils.py:63-76` `get_queue_id`):
+    * a `when`/`otherwise` chain, constant-folded by Catalyst — never a
+    * shuffle, never a UDF. Unknown keys yield `default` (the reference
+    * raised KeyError; we prefer typed nulls, SURVEY.md §2.8 F3).
+    */
+  def lookupMap[K, V](c: Column, m: Seq[(K, V)], default: Column = lit(null)): Column =
+    m.foldLeft(None: Option[Column]) { case (acc, (k, v)) =>
+      Some(acc.fold(when(c === lit(k), lit(v)))(_.when(c === lit(k), lit(v))))
+    }.fold(default)(_.otherwise(default))
+
+  /** Keep-successful filter (reference `pipeline.py:45-46`). */
+  def statusFilter(df: DataFrame, statusCol: String = "status", ok: Int = 200): DataFrame =
+    df.filter(col(statusCol) === ok)
+
+  /** Dedup with the reference's *intended* semantics (`matches.py:46-53`
+    * computes a set but returns the pre-dedup list — we apply it).
+    * Spark plans this as a hash aggregate on the key columns: map-side
+    * partial dedup, then one shuffle on the keys — the scalable form.
+    */
+  def dedup(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols)
+
+  /** Truncate-and-reload sink (reference `db.py:23-38`: `delete_many({})`
+    * then `insert_many`). `SaveMode.Overwrite` on a path/table has the
+    * identical observable semantics, atomically per partition.
+    */
+  def truncateLoad(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Exact decimal sum of a double column, returned as double.
+    *
+    * Why: double summation is order-dependent; Spark's shuffle order and
+    * DuckDB's aggregation order differ run to run, so `sum(double)` is not
+    * oracle-stable (nor reproducible cluster-run to cluster-run). Casting
+    * to decimal(18,4) first (exact for the 2-decimal synthetic money
+    * columns) makes the sum exact and order-free in both engines; the
+    * final cast back to double is IEEE round-to-nearest in both.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** Order-free average built on [[dsum]]: identical doubles in both
+    * engines (same exact decimal sum -> same double -> same division).
+    */
+  def davg(c: Column): Column = dsum(c) / count(c)
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.CoreOps.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream queries (SURVEY.md §2.10): batch equivalents of the
+  * Structured Streaming surface, oracle-checked — the streaming variants
+  * run the same aggregations through `readStream` in StreamingSpec
+  * (identical semantics by construction, same window functions).
+  */
+object EventQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling window aggregation — batch twin of StreamingOps.tumblingAgg.
+    "q_tumbling_window" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Sliding window (1h window, 30m slide): each event lands in 2 windows.
+    "q_sliding_window" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n"))
+        .orderBy("window_start")
+    },
+
+    // Sessionization: gap > 30 min starts a new session; classic
+    // lag + cumulative-flag-sum, one shuffle on user_id.
+    "q_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy("user_id", "session_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_tumbling_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_sliding_window" ->
+      """WITH shifted AS (
+           SELECT time_bucket(INTERVAL '30 minutes', ts) AS half, ts FROM events),
+         expanded AS (
+           SELECT half AS window_start FROM shifted
+           UNION ALL
+           SELECT half - INTERVAL '30 minutes' AS window_start FROM shifted)
+         SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+         FROM expanded GROUP BY 1 ORDER BY window_start""",
+    "q_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id, event_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""")
+}

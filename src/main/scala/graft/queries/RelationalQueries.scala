@@ -1,0 +1,415 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.CoreOps.{davg, dsum}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The relational surface the reference lacks but the north star requires
+  * (SURVEY.md §2.3-2.8 ABSENT rows): the join family, aggregation family
+  * (incl. rollup/cube/grouping sets), window functions, sorts/top-k, set
+  * operations, and scalar function coverage — all Spark built-ins, plans
+  * shaped for scale (broadcast dims, single-shuffle aggs, pushed filters).
+  */
+object RelationalQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: the canonical partial+final hash aggregate. Sums
+    // go through decimal (order-free, oracle-exact); filter pushed to scan.
+    "q1_pricing_summary" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4)))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q5 shape: the star join. Dims broadcast (no shuffle on the
+    // fact side for them); lineitem-orders is the one real shuffle join.
+    "q_star_join" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4)))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Left-semi join (EXISTS): orders having any high-quantity line.
+    "q_semi_join" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Left-anti join (NOT EXISTS): customers with no 'P'-status order.
+    "q_anti_join" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // Range (non-equi) join via band-bucketing (operators.RangeJoin):
+    // the range predicate becomes an equi-join on a bucket id — a real
+    // hash join instead of broadcast-nested-loop, the big-big scale path.
+    "q_range_join" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      graft.operators.RangeJoin
+        .bandJoin(li, p, col("l_extendedprice"), col("p_retailprice"), 10.0)
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_matches"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_partkey")
+    },
+
+    // As-of join: each purchase event picks up the user's most recent
+    // click at-or-before it (union + ordered window — one shuffle).
+    "q_asof_join" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts", Seq("click_id"))
+        .select(col("user_id"), col("event_id"), col("value"), col("asof_click_id"))
+        .orderBy("event_id")
+    },
+
+    // ROLLUP over the region/nation hierarchy (null keys -> 'ALL').
+    "q_rollup" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_customers"), col("sum_acctbal"))
+        .orderBy("region", "nation")
+    },
+
+    // CUBE over two independent dims.
+    "q_cube" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // Explicit GROUPING SETS (SQL form).
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                  coalesce(o_orderpriority, 'ALL') AS priority,
+                  count(*) AS n,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           FROM orders_gs
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           ORDER BY status, priority""")
+    },
+
+    // Distinct aggregate + plain counts in one pass.
+    "q_count_distinct" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Approximate distinct (HLL++) — no exact oracle by construction;
+    // registered rows-only. The ScalaTest spec bounds its error vs exact.
+    "q_approx_distinct" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag")
+    },
+
+    // Ranking window: top-3 orders per customer by price.
+    "q_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    },
+
+    // Running-total window (rows frame), decimal-exact sums.
+    "q_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast(DoubleType).as("running_value"),
+        count(lit(1)).over(w).as("running_n"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // lag/lead analytics.
+    "q_window_lag" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Global top-k -> TakeOrderedAndProject (no full sort at scale).
+    "q_topk" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // INTERSECT (set semantics).
+    "q_intersect" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // EXCEPT (set semantics): customers ordering in 1995 but never 2001.
+    "q_except" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .except(o.filter(year(col("o_orderdate")) === 2001).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // Multi-column sort with explicit null/direction semantics.
+    "q_sort_multi" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority").asc, col("order_date").desc, col("o_orderkey").asc)
+        .limit(200)
+    },
+
+    // Scalar string functions (F4 generalization).
+    "q_scalar_string" -> { (s, dir) =>
+      Tables(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        length(col("c_name")).cast(LongType).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        replace(col("c_name"), lit("Customer"), lit("Cust")).as("name_short"))
+        .orderBy("c_custkey")
+    },
+
+    // Scalar date functions (F1 generalization).
+    "q_scalar_date" -> { (s, dir) =>
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        date_format(date_add(col("o_orderdate").cast(DateType), 30), "yyyy-MM-dd").as("due_date"),
+        datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType)).as("age_days"))
+        .orderBy("o_orderkey")
+    },
+
+    // Scalar math functions; transcendentals rounded to dodge last-ulp
+    // libm differences between engines.
+    "q_scalar_math" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_extendedprice") / 1000).as("price_k"),
+        abs(col("l_quantity") - 25).as("qty_dev"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+
+  private val discountedDec =
+    """CAST(l_extendedprice AS DECIMAL(18,4)) *
+       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"""
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+          CAST(sum($discountedDec) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+          CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+          count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_star_join" ->
+      s"""SELECT r_name, n_name,
+          CAST(sum($discountedDec) AS DOUBLE) AS revenue, count(*) AS n_lines
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                        JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+         ORDER BY o_orderkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "q_range_join" ->
+      """SELECT p_partkey, count(*) AS n_matches,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN part
+           ON l_extendedprice >= p_retailprice - 10 AND l_extendedprice <= p_retailprice + 10
+         GROUP BY p_partkey ORDER BY p_partkey""",
+    "q_asof_join" ->
+      """SELECT user_id, event_id, value, asof_click_id FROM (
+           SELECT user_id, event_id, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+           FROM events WHERE event_type IN ('click', 'purchase'))
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+         count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""",
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, priority""",
+    "q_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders)
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+         CAST(sum(CAST(value AS DECIMAL(18,4)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+         FROM events ORDER BY user_id, event_id""",
+    "q_window_lag" ->
+      """SELECT user_id, event_id, value,
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         FROM events ORDER BY user_id, event_id""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+         ORDER BY o_custkey""",
+    "q_sort_multi" ->
+      """SELECT o_orderpriority, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+         FROM orders
+         ORDER BY o_orderpriority ASC, order_date DESC, o_orderkey ASC LIMIT 200""",
+    "q_scalar_string" ->
+      """SELECT c_custkey, upper(c_mktsegment) AS seg_upper,
+         CAST(length(c_name) AS BIGINT) AS name_len,
+         substring(c_name, 1, 8) AS name_prefix,
+         c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS seg_key,
+         coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+         replace(c_name, 'Customer', 'Cust') AS name_short
+         FROM customer ORDER BY c_custkey""",
+    "q_scalar_date" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(day(o_orderdate) AS INT) AS dom,
+         CAST(isodow(o_orderdate) AS INT) AS isodow,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
+         FROM orders ORDER BY o_orderkey""",
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(sqrt(l_extendedprice), 6) AS sqrt_price,
+         round(ln(l_extendedprice), 6) AS ln_price,
+         round(pow(l_discount, 2), 6) AS disc_sq,
+         CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+         CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+         abs(l_quantity - 25) AS qty_dev
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+}

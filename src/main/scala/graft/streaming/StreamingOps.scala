@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (SURVEY.md §2.10): watermarked tumbling/sliding/session windows,
+  * within-watermark dedup, and an idempotent overwrite sink via
+  * `foreachBatch` (the S4 truncate-and-load analog).
+  *
+  * Each builder takes an already-constructed streaming DataFrame so the
+  * same transforms are unit-testable against `readStream` file sources;
+  * the batch-equivalent aggregations are registered as oracle-checked
+  * queries in SparkEntry (window semantics identical by construction).
+  */
+object StreamingOps {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Tumbling-window counts/sums with late-data drop via watermark. */
+  def tumblingAgg(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding-window variant. */
+  def slidingAgg(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows: gap-based sessions per user. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming analog of the reference's match-ID dedup (SURVEY §2.4 A1):
+    * state is bounded by the watermark instead of growing forever.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Truncate-and-load sink semantics (reference db.py:23-38) for a
+    * streaming query: each micro-batch overwrites the target path —
+    * idempotent under replays because the write is a full snapshot.
+    */
+  def truncateLoadEachBatch(df: DataFrame, path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode("complete").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(path)
+    }
+}
