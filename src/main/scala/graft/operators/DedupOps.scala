@@ -46,14 +46,38 @@ object DedupOps {
     * h = xxhash64(shingle) mod p. Reducing h below 2^31 first keeps the
     * product under 2^62 — no long overflow under ANSI mode.
     * Empty shingle sets (docs shorter than n words) get null.
+    *
+    * Perf shape: higher-order functions are CodegenFallback (interpreted),
+    * so naive "k independent array_min(transform(...))" re-evaluates the
+    * shingle+hash subtree k times per row. Instead each shingle is hashed
+    * ONCE and all k permutation minima fold in a single `aggregate` pass:
+    * acc[i] = min(acc[i], (a_i*h + b_i) mod p), k struct-literal params
+    * zipped against the accumulator. Cost: one string-hash + k multiplies
+    * per shingle — ~16x fewer hashes than the naive form.
     */
-  def minHashSignature(textCol: Column, k: Int = 16, n: Int = 3, seed: Long = 42L): Column = {
-    val sh = TextOps.shingles(textCol, n)
-    val mins = hashParams(k, seed).map { case (a, b) =>
-      array_min(transform(sh, s => pmod(pmod(xxhash64(s), lit(LargePrime)) * a + b, lit(LargePrime))))
-    }
-    when(size(sh) > 0, array(mins: _*)).otherwise(lit(null).cast(ArrayType(LongType)))
+  def minHashSignature(textCol: Column, k: Int = 16, n: Int = 3, seed: Long = 42L): Column =
+    sentinelToNull(minHashFolded(textCol, k, n, seed))
+
+  /** Raw folded signature: untouched LargePrime sentinel ⇔ empty shingles
+    * (pmod(_, p) < p always). Kept separate so the DataFrame path can
+    * materialize it once before the sentinel→null rewrite (which reads
+    * the array twice).
+    */
+  private def minHashFolded(textCol: Column, k: Int, n: Int, seed: Long): Column = {
+    val params = array(hashParams(k, seed).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    val hs = transform(TextOps.shingles(textCol, n), s => pmod(xxhash64(s), lit(LargePrime)))
+    aggregate(
+      hs,
+      array_repeat(lit(LargePrime), k),
+      (acc, h) => zip_with(acc, params, (m, ab) =>
+        least(m, pmod(h * ab.getField("a") + ab.getField("b"), lit(LargePrime)))))
   }
+
+  private def sentinelToNull(folded: Column): Column =
+    when(element_at(folded, 1) < LargePrime, folded)
+      .otherwise(lit(null).cast(ArrayType(LongType)))
 
   /** Adds `minhash_sig` plus `bands` band-hash columns (`band_0`..).
     * Two docs collide on a band iff that band's signature rows all match —
@@ -64,7 +88,14 @@ object DedupOps {
       k: Int = 16, bands: Int = 4, n: Int = 3, seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val withSig = df.withColumn("minhash_sig", minHashSignature(col(textCol), k, n, seed))
+    // Two projection steps: the expensive fold lands in its own Project
+    // (CollapseProject keeps non-cheap multi-referenced aliases apart),
+    // so the sentinel check and the band slices all read a computed
+    // column instead of re-running the fold.
+    val withSig = df
+      .withColumn("__mh_raw", minHashFolded(col(textCol), k, n, seed))
+      .withColumn("minhash_sig", sentinelToNull(col("__mh_raw")))
+      .drop("__mh_raw")
     (0 until bands).foldLeft(withSig) { (d, bIdx) =>
       d.withColumn(s"band_$bIdx",
         xxhash64(concat_ws(",", slice(col("minhash_sig"), bIdx * r + 1, r).cast(ArrayType(StringType)))))
@@ -78,8 +109,17 @@ object DedupOps {
     */
   def minHashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, n: Int = 3, seed: Long = 42L): DataFrame = {
-    val banded = withMinHashBands(df, textCol, k, bands, n, seed)
+      k: Int = 16, bands: Int = 4, n: Int = 3, seed: Long = 42L): DataFrame =
+    minHashCandidatePairsFromBanded(
+      withMinHashBands(df, textCol, k, bands, n, seed), idCol, bands)
+
+  /** Candidate pairs from an already-banded frame (signatures are the
+    * expensive half — callers that also keep the bands should compute
+    * them once via [[withMinHashBands]] and pass the result here).
+    */
+  def minHashCandidatePairsFromBanded(
+      bandedDf: DataFrame, idCol: String, bands: Int = 4): DataFrame = {
+    val banded = bandedDf
       .filter(col("minhash_sig").isNotNull)
       .select(col(idCol), posexplode(array((0 until bands).map(i => col(s"band_$i")): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
@@ -107,31 +147,47 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over word tokens, returned as 4 packed 16-bit band
-    * values (`Array[Long]`): per bit, sum +/-1 per token (the token's
-    * bit comes from an independent seeded hash `xxhash64(token, bit)`),
-    * take the sign. Banded representation serves Hamming LSH directly
-    * (two docs within Hamming distance 3 of each other on 64 bits must
-    * share at least one of 4 bands exactly).
+  /** Per-bit SimHash vote counters over word tokens: for each of 64 bits,
+    * sum +/-1 across tokens according to that bit of the token's single
+    * xxhash64 (one string-hash per token; bits extracted with `getbit` —
+    * not one seeded hash per (token, bit), which costs 64x the hashing).
     */
-  def simHashBands(textCol: Column, bandsN: Int = 4): Column = {
-    val t = TextOps.tokens(textCol)
-    val bitsPerBand = 64 / bandsN
-    val counters = aggregate(
-      t,
+  def simHashCounters(textCol: Column): Column = {
+    val bitIdx = array((0 until 64).map(i => lit(i)): _*)
+    val hs = transform(TextOps.tokens(textCol), tok => xxhash64(tok))
+    aggregate(
+      hs,
       array_repeat(lit(0L), 64),
-      (acc, tok) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(pmod(xxhash64(tok, i), lit(2)) === 1, lit(1L)).otherwise(lit(-1L))),
-        (a, b) => a + b))
+      (acc, h) => zip_with(acc, bitIdx, (a, i) =>
+        a + when(getbit(h, i) === 1, lit(1L)).otherwise(lit(-1L))))
+  }
+
+  /** Packs sign(counter) bits into `bandsN` band values (16 bits each at
+    * bandsN=4) for Hamming LSH: docs within Hamming distance bandsN-1 of
+    * each other on 64 bits must share at least one band exactly.
+    * `countersCol` must be a materialized column (each element_at here
+    * re-evaluates its child — fine on a bound attribute, catastrophic on
+    * the full aggregate expression).
+    */
+  def simHashBandsFromCounters(countersCol: Column, bandsN: Int = 4): Column = {
+    val bitsPerBand = 64 / bandsN
     transform(sequence(lit(0), lit(bandsN - 1)), b =>
       aggregate(sequence(lit(0), lit(bitsPerBand - 1)), lit(0L),
-        (acc, i) => acc * 2 + when(element_at(counters, b * bitsPerBand + i + 1) > 0, 1L).otherwise(0L)))
+        (acc, i) => acc * 2 + when(element_at(countersCol, b * bitsPerBand + i + 1) > 0, 1L).otherwise(0L)))
   }
+
+  /** Adds a `simhash_bands` array column (two projection steps so the
+    * counter aggregate is computed exactly once per row).
+    */
+  def withSimHashBands(df: DataFrame, textCol: String, bandsN: Int = 4): DataFrame =
+    df.withColumn("__sh_cnt", simHashCounters(col(textCol)))
+      .withColumn("simhash_bands", simHashBandsFromCounters(col("__sh_cnt"), bandsN))
+      .drop("__sh_cnt")
 
   /** SimHash near-dup candidate pairs via band collision (Hamming LSH). */
   def simHashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = df.select(col(idCol), posexplode(simHashBands(col(textCol))))
+    val sig = withSimHashBands(df, textCol)
+      .select(col(idCol), posexplode(col("simhash_bands")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
     val a = sig.select(col("band"), col("band_val"), col(idCol).as("id_a"))
     val b = sig.select(col("band"), col("band_val"), col(idCol).as("id_b"))

@@ -34,9 +34,14 @@ object TextQueries {
     // pair semantics proven in DedupSpec with planted near-dups.
     "q_dedup_minhash" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
-      val banded = DedupOps.withMinHashBands(d, "text", k = 16, bands = 4)
-        .select(col("doc_id"), col("band_0"), col("band_1"), col("band_2"), col("band_3"))
-      val cands = DedupOps.minHashCandidatePairs(d, "doc_id", "text", k = 16, bands = 4)
+      // Narrow (5 longs + 16-long sig per doc) and consumed by two plan
+      // branches — cache so signatures are computed exactly once.
+      val bandedFull = DedupOps.withMinHashBands(d, "text", k = 16, bands = 4)
+        .select(col("doc_id"), col("minhash_sig"),
+          col("band_0"), col("band_1"), col("band_2"), col("band_3"))
+        .cache()
+      val banded = bandedFull.drop("minhash_sig")
+      val cands = DedupOps.minHashCandidatePairsFromBanded(bandedFull, "doc_id", bands = 4)
       val candCounts = cands.select(col("id_a").as("doc_id"))
         .unionAll(cands.select(col("id_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
@@ -47,8 +52,8 @@ object TextQueries {
 
     // SimHash: 64-bit signature as 4 Hamming-LSH bands per doc.
     "q_dedup_simhash" -> { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), DedupOps.simHashBands(col("text")).as("bands"))
+      DedupOps.withSimHashBands(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("simhash_bands").as("bands"))
         .select(
           col("doc_id"),
           element_at(col("bands"), 1).as("band_0"),
