@@ -67,19 +67,33 @@ object VectorOps {
       when(dot(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket
-    * (single-probe). Recall is tested against [[bruteForceTopK]]; raise
-    * `bits` for smaller buckets / lower recall, lower it for the reverse.
+  /** Approximate top-k via multi-table hyperplane LSH: `tables`
+    * independent signatures per vector; a corpus vector is a candidate
+    * for a query iff they collide in at least one table. Recall rises
+    * with `tables` (candidate-set cost rises linearly); `bits` trades
+    * bucket size against per-table recall.
+    *
+    * Plan shape at scale: the query side is broadcast, so the corpus is
+    * scanned once, computes `tables` signatures in the scan projection,
+    * explodes to (table, sig) and hash-joins against the broadcast — NO
+    * corpus shuffle. Only surviving candidates (deduped across tables)
+    * reach the top-k window shuffle, which is keyed on q_id.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, bits: Int, dim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), toDoubleVec(col(vecCol)).as("q_vec"))
-      .withColumn("bucket", hyperplaneSignature(col("q_vec"), bits, dim, seed))
-    val c = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
-      .withColumn("bucket", hyperplaneSignature(col("n_vec"), bits, dim, seed))
+      idCol: String = "vec_id", vecCol: String = "embedding", seed: Long = 42L,
+      tables: Int = 8): DataFrame = {
+    require(bits < 56, "table id is packed above the sig bits in one long")
+    def withBuckets(df: DataFrame, id: String, vecOut: String) =
+      df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(vecOut))
+        .withColumn("bucket", explode(array((0 until tables).map { t =>
+          lit(t.toLong << bits) + hyperplaneSignature(col(vecOut), bits, dim, seed + t)
+        }: _*)))
+    val q = withBuckets(queries, "q_id", "q_vec")
+    val c = withBuckets(corpus, "n_id", "n_vec")
     val scored = c.join(broadcast(q), Seq("bucket")).filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
+      .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.CoreOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core operator semantics vs the reference pipeline's transforms
+  * (zwilson999/lol_data_pipeline `src/api/utils/utils.py`).
+  */
+class CoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nestedSchema = StructType(Seq(
+    StructField("metadata", StructType(Seq(
+      StructField("matchId", StringType),
+      StructField("participants", ArrayType(StringType))))),
+    StructField("info", StructType(Seq(
+      StructField("gameId", LongType),
+      StructField("mode", StructType(Seq(
+        StructField("name", StringType)))))))))
+
+  private def nestedDf = spark.createDataFrame(
+    java.util.List.of(
+      Row(Row("NA1_1", Seq("p1", "p2")), Row(7L, Row("ARAM")))),
+    nestedSchema)
+
+  test("flattenStruct flattens nested structs to sep-joined leaves, keeps arrays") {
+    val flat = CoreOps.flattenStruct(nestedDf)
+    assert(flat.columns.toSeq ==
+      Seq("metadata_matchId", "metadata_participants", "info_gameId", "info_mode_name"))
+    val r = flat.head()
+    assert(r.getString(0) == "NA1_1")
+    assert(r.getSeq[String](1) == Seq("p1", "p2"))
+    assert(r.getLong(2) == 7L)
+    assert(r.getString(3) == "ARAM")
+  }
+
+  test("lastElementFlatten reproduces the reference's last-element-wins list quirk") {
+    // reference utils/utils.py:37-41: {'a':[{'x':1},{'x':2}]} flattens to {'x':2}
+    val df = Seq((1L, Seq((1, "a"), (2, "b")))).toDF("id", "arr")
+      .withColumn("arr", col("arr").cast("array<struct<x:int,y:string>>"))
+    val flat = CoreOps.lastElementFlatten(df, "arr")
+    assert(flat.columns.toSeq == Seq("id", "arr_x", "arr_y"))
+    assert(flat.head() == Row(1L, 2, "b"))
+  }
+
+  test("msToDate converts unix millis to UTC yyyy-MM-dd incl. epoch/day boundaries") {
+    val df = Seq(0L, 86399999L, 86400000L, 1633478400123L).toDF("ms")
+      .select(CoreOps.msToDate(col("ms")).as("d"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("1970-01-01", "1970-01-01", "1970-01-02", "2021-10-06"))
+  }
+
+  test("lookupMap maps known keys, defaults unknown (reference get_queue_id)") {
+    val queueMap = Seq("draft" -> 400, "blind" -> 430, "aram" -> 450)
+    val df = Seq("draft", "aram", "unknown").toDF("q")
+      .select(CoreOps.lookupMap(col("q"), queueMap).as("id"))
+    assert(df.collect().toSeq == Seq(Row(400), Row(450), Row(null)))
+  }
+
+  test("dedup applies the reference's intended distinct semantics") {
+    val df = Seq("a", "b", "a", "c", "b").toDF("match_id")
+    assert(CoreOps.dedup(df).count() == 3)
+    assert(CoreOps.dedup(df, Seq("match_id")).count() == 3)
+  }
+
+  test("statusFilter keeps only ok rows (reference pipeline.py:45)") {
+    val df = Seq((1, 200), (2, 404), (3, 200), (4, 429)).toDF("id", "status")
+    assert(CoreOps.statusFilter(df).select("id").as[Int].collect().toSeq == Seq(1, 3))
+  }
+
+  test("truncateLoad overwrites fully (reference db.py truncate-and-load)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tl").toString + "/t"
+    CoreOps.truncateLoad(Seq(1, 2, 3).toDF("v"), dir)
+    CoreOps.truncateLoad(Seq(9).toDF("v"), dir)
+    assert(spark.read.parquet(dir).as[Int].collect().toSeq == Seq(9))
+  }
+
+  test("dsum is exact (order-free) for 2-decimal money values") {
+    val vals = Seq.tabulate(1000)(i => i + 0.01 * (i % 100))
+    val got = vals.toDF("v").repartition(7)
+      .agg(CoreOps.dsum(col("v")).as("s")).head().getDouble(0)
+    val exact = vals.map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(got == exact.toDouble)
+  }
+}

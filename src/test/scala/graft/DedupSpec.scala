@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Hash-family dedup semantics on planted duplicates — the properties the
+  * DuckDB oracle can't check (xxhash64 has no DuckDB twin).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm mat near the old wooden door of the quiet house"
+  private val nearDup = base.replace("quiet house", "silent home") // ~2-shingle edit
+  private val distinct1 =
+    "completely different content about spark catalyst optimizer rules " +
+      "and tungsten codegen stages for large scale data processing jobs"
+  private val distinct2 =
+    "yet another unrelated document mentioning minhash lsh banding and " +
+      "jaccard similarity estimation over shingled token streams today"
+
+  private def docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, distinct1), (4L, distinct2)
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups groups identical texts, keeps min id") {
+    val g = DedupOps.exactDupGroups(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    val dupGroup = g.filter(col("n_copies") === 2).collect()
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("exactDedup drops all-but-first per duplicate group") {
+    val d = DedupOps.exactDedup(docs, "doc_id", "text")
+    assert(d.select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("identical docs get identical MinHash signatures and bands") {
+    val banded = DedupOps.withMinHashBands(docs, "text")
+    val rows = banded.filter(col("doc_id") <= 1)
+      .select("minhash_sig", "band_0", "band_1", "band_2", "band_3").collect()
+    assert(rows(0) == rows(1))
+  }
+
+  test("short doc (< n tokens) gets null signature") {
+    val d = Seq((0L, "too short")).toDF("doc_id", "text")
+    val sig = DedupOps.withMinHashBands(d, "text").select("minhash_sig").head()
+    assert(sig.isNullAt(0))
+  }
+
+  test("MinHash LSH finds exact+near dup pairs, not unrelated ones") {
+    val pairs = DedupOps.minHashDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair must survive")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near dup must survive")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      "unrelated docs must not pair at threshold 0.5")
+  }
+
+  test("minHashSignature column API matches the DataFrame path") {
+    val viaCol = docs.select(DedupOps.minHashSignature(col("text")).as("s"))
+      .collect().map(_.get(0))
+    val viaDf = DedupOps.withMinHashBands(docs, "text")
+      .select(col("minhash_sig").as("s")).collect().map(_.get(0))
+    assert(viaCol.toSeq == viaDf.toSeq)
+  }
+
+  test("identical docs share all SimHash bands; near-dups share at least one") {
+    val banded = DedupOps.withSimHashBands(docs, "text")
+      .select(col("doc_id"), col("simhash_bands")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(banded(0L) == banded(1L))
+    assert(banded(0L).intersect(banded(2L)).nonEmpty)
+  }
+
+  test("SimHash candidate pairs include planted dups") {
+    val pairs = DedupOps.simHashCandidatePairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on a hand-checked case") {
+    // A: tokens a b c d -> shingles {a b c, b c d}; B: a b c e -> {a b c, b c e}
+    // shared=1, union=3 -> jaccard = 1/3
+    val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val rows = DedupOps.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.0)
+      .collect()
+    assert(rows.length == 1)
+    assert(math.abs(rows.head.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("embeddingNearDupPairs finds planted identical vectors via LSH buckets") {
+    val v1 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.clone()
+    val v3 = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val d = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = DedupOps.embeddingNearDupPairs(d, "vec_id", "embedding",
+      threshold = 0.95, bits = 4, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming semantics (SURVEY.md §2.10) driven through
+  * MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(min * 60000L)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  test("tumblingAgg aggregates per window and drops data later than watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.tumblingAgg(mem.toDF(), "10 minutes", "10 minutes")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName("tumbling").outputMode("update").start()
+    try {
+      mem.addData(
+        Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(5), 1, "click", 2.0),
+        Ev(3, ts(12), 2, "view", 5.0))
+      q.processAllAvailable()
+      // watermark now 12-10=2min; this event (t=1) is older -> dropped
+      mem.addData(Ev(4, ts(55), 1, "click", 100.0)) // advance watermark far
+      q.processAllAvailable()
+      mem.addData(Ev(5, ts(1), 1, "click", 7.0)) // late beyond watermark
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .groupBy("ws", "event_type").agg(max("n").as("n"), max("sum_value").as("s"))
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        (0L, "click", 2L, 3.0),   // events 1,2; late event 5 never lands
+        (10L, "view", 1L, 5.0),
+        (50L, "click", 1L, 100.0)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops duplicate event_ids inside the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.dedupWithinWatermark(mem.toDF(), "1 hour")
+      .select("event_id").writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(1), 1, "a", 1.0), Ev(1, ts(2), 1, "a", 1.0),
+        Ev(2, ts(3), 1, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts(4), 1, "a", 1.0), Ev(3, ts(5), 1, "a", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("truncateLoadEachBatch leaves exactly the final snapshot on disk") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF().groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = StreamingOps.truncateLoadEachBatch(agg, s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData(Ev(1, ts(1), 1, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts(2), 1, "a", 1.0), Ev(3, ts(3), 1, "b", 1.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .as[(String, Long)].collect().toMap
+      assert(out == Map("a" -> 2L, "b" -> 1L))
+    } finally q.stop()
+  }
+}
