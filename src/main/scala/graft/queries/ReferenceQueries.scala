@@ -107,6 +107,20 @@ object ReferenceQueries {
         .orderBy("event_id")
     },
 
+    // S2: the reference's paginated pushdown-capable match-ID listing as
+    // a real DataSourceV2 connector (graft.sources.MatchIdsSource) —
+    // queue predicate + limit reach the source (spec-verified fetch
+    // counts; no DuckDB twin exists, so rows-only here).
+    "q_rest_scan" -> { (s, _) =>
+      s.read.format("graft.sources.MatchIdsSource")
+        .option("queues", "400,430,450").option("idsPerQueue", 500)
+        .load()
+        .filter(col("queue").isin(400, 450))
+        .groupBy(col("queue"))
+        .agg(count(lit(1)).as("n_ids"), min(col("match_id")).as("first_id"))
+        .orderBy("queue")
+    },
+
     // F1: unix-ms epoch -> date string (reference utils/utils.py:84-91),
     // ms epochs derived from the events timestamps.
     "q_ms_to_date" -> { (s, dir) =>

@@ -270,6 +270,21 @@ object RelationalQueries {
         floor(col("l_extendedprice") / 1000).as("price_k"),
         abs(col("l_quantity") - 25).as("qty_dev"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Salted shuffle join (operators.SkewOps): hot-key mitigation when
+    // AQE's skew split can't apply. Semantics-preserving, so the oracle
+    // is the plain join — the salt must not change a single row.
+    "q_skew_salted_join" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      graft.operators.SkewOps
+        .saltedJoin(
+          li.withColumnRenamed("l_orderkey", "o_orderkey"), o,
+          Seq("o_orderkey"), buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
     })
 
   private val discountedDec =
@@ -277,6 +292,11 @@ object RelationalQueries {
        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"""
 
   val oracles: Map[String, String] = Map(
+    "q_skew_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
