@@ -23,6 +23,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // idempotent
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -25,13 +25,23 @@ object VectorOps {
 
   def toDoubleVec(c: Column): Column = c.cast(ArrayType(DoubleType))
 
-  /** Sequential-fold dot product — deterministic summation order. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the native codegen'd expression (graft_dot,
+    * [[DotProduct]]); requires `GraftFunctions.register(spark)` — done
+    * by Tables, the engine mains, and SparkSpec. Sequential left-fold
+    * summation order, bit-identical to [[dotHof]].
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Higher-order-function fallback (no registration needed) — same
+    * result, interpreted per row; kept for parity testing.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Fused single-pass cosine ([[CosineSimilarity]], codegen'd). */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     *

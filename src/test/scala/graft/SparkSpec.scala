@@ -13,6 +13,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+    // the deployment registration path for graft_dot/graft_cosine —
+    // exercised by every suite (VectorExpressionsSpec asserts it).
+    // NOTE: read from the SparkContext conf at first-session build, so it
+    // must be on the builder that creates the shared context.
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
