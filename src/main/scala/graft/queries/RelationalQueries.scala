@@ -272,6 +272,31 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Exact percentiles (median / p90) per group. Spark `percentile` and
+    // DuckDB `quantile_cont` both interpolate linearly; rounded to dodge
+    // last-ulp libm differences.
+    "q_percentile" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Generator / UDTF surface (F2's explode semantics): explode document
+    // tokens, aggregate frequencies, keep tokens seen in >= 100 docs.
+    "q_explode_tokens" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 100)
+        .orderBy("token")
+    },
+
     // Salted shuffle join (operators.SkewOps): hot-key mitigation when
     // AQE's skew split can't apply. Semantics-preserving, so the oracle
     // is the plain join — the salt must not change a single row.
@@ -292,6 +317,17 @@ object RelationalQueries {
        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"""
 
   val oracles: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_explode_tokens" ->
+      """SELECT token, count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token HAVING count(DISTINCT doc_id) >= 100 ORDER BY token""",
     "q_skew_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
