@@ -37,7 +37,8 @@ object SparkEntry {
     */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q_star_join", "q_semi_join", "q_window_rank",
-    "q_union_distinct_limit", "q_range_join", "q_dedup_exact",
-    "q_dedup_minhash", "q_embed_cosine_topk", "q_text_stats",
-    "q_sessionize", "q_tumbling_window")
+    "q_union_distinct_limit", "q_range_join", "q_asof_join",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_ngram_jaccard", "q_embed_cosine_topk", "q_embed_ann_lsh",
+    "q_text_stats", "q_sessionize", "q_tumbling_window")
 }

@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -113,6 +113,71 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash over an array of string tokens, as one codegen'd pass.
+  *
+  * Semantics: per token, one xxhash64; per bit b (0..63), a +/-1 vote from
+  * that hash bit; output packs vote signs MSB-first (bit index 0 → MSB).
+  * Null tokens are skipped; a null array yields null.
+  *
+  * Why native: the HOF formulation needs 64 interpreted lambda
+  * evaluations per token (aggregate × zip_with) — 153 s for 50k docs at
+  * sf0.1. This loop is ~2 machine ops per (token, bit).
+  */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val counters = new Array[Long](64)
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) {
+        val s = a.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        var b = 0
+        while (b < 64) { counters(b) += ((h >>> b) & 1L) * 2 - 1; b += 1 }
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) { r = (r << 1) | (if (counters(b) > 0) 1L else 0L); b += 1 }
+    r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val c = ctx.freshName("counters")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val r = ctx.freshName("r")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |long[] $c = new long[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    UTF8String $s = $a.getUTF8String($i);
+         |    long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
+         |    for (int $b = 0; $b < 64; $b++) { $c[$b] += (($h >>> $b) & 1L) * 2 - 1; }
+         |  }
+         |}
+         |long $r = 0L;
+         |for (int $b = 0; $b < 64; $b++) { $r = ($r << 1) | ($c[$b] > 0 ? 1L : 0L); }
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: either `GraftFunctions.register(spark)` imperatively, or
   * `spark.sql.extensions=graft.functions.GraftExtensions` at session
   * build (the standard extension-jar deployment path).
@@ -124,7 +189,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("graft_simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0), 42L)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -147,42 +147,33 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Per-bit SimHash vote counters over word tokens: for each of 64 bits,
-    * sum +/-1 across tokens according to that bit of the token's single
-    * xxhash64 (one string-hash per token; bits extracted with `getbit` —
-    * not one seeded hash per (token, bit), which costs 64x the hashing).
+  /** Full 64-bit SimHash of the word tokens as one long — the native
+    * codegen'd [[graft.functions.SimHash64]] expression (one xxhash64 per
+    * token, tight bit loop; the HOF formulation costs 64 interpreted
+    * lambda evals per token and took 153 s at sf0.1).
     */
-  def simHashCounters(textCol: Column): Column = {
-    val bitIdx = array((0 until 64).map(i => lit(i)): _*)
-    val hs = transform(TextOps.tokens(textCol), tok => xxhash64(tok))
-    aggregate(
-      hs,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, bitIdx, (a, i) =>
-        a + when(getbit(h, i) === 1, lit(1L)).otherwise(lit(-1L))))
-  }
+  def simHash64(textCol: Column): Column =
+    call_function("graft_simhash64", TextOps.tokens(textCol))
 
-  /** Packs sign(counter) bits into `bandsN` band values (16 bits each at
-    * bandsN=4) for Hamming LSH: docs within Hamming distance bandsN-1 of
-    * each other on 64 bits must share at least one band exactly.
-    * `countersCol` must be a materialized column (each element_at here
-    * re-evaluates its child — fine on a bound attribute, catastrophic on
-    * the full aggregate expression).
+  /** Splits a 64-bit SimHash into `bandsN` band values (16-bit chunks at
+    * bandsN=4, MSB-first) for Hamming LSH: docs within Hamming distance
+    * bandsN-1 of each other must share at least one band exactly.
     */
-  def simHashBandsFromCounters(countersCol: Column, bandsN: Int = 4): Column = {
+  def simHashBandsFromHash(simCol: Column, bandsN: Int = 4): Column = {
     val bitsPerBand = 64 / bandsN
-    transform(sequence(lit(0), lit(bandsN - 1)), b =>
-      aggregate(sequence(lit(0), lit(bitsPerBand - 1)), lit(0L),
-        (acc, i) => acc * 2 + when(element_at(countersCol, b * bitsPerBand + i + 1) > 0, 1L).otherwise(0L)))
+    val mask = (1L << bitsPerBand) - 1
+    array((0 until bandsN).map { b =>
+      shiftrightunsigned(simCol, (bandsN - 1 - b) * bitsPerBand) bitwiseAND mask
+    }: _*)
   }
 
   /** Adds a `simhash_bands` array column (two projection steps so the
-    * counter aggregate is computed exactly once per row).
+    * hash is computed exactly once per row).
     */
   def withSimHashBands(df: DataFrame, textCol: String, bandsN: Int = 4): DataFrame =
-    df.withColumn("__sh_cnt", simHashCounters(col(textCol)))
-      .withColumn("simhash_bands", simHashBandsFromCounters(col("__sh_cnt"), bandsN))
-      .drop("__sh_cnt")
+    df.withColumn("__sh64", simHash64(col(textCol)))
+      .withColumn("simhash_bands", simHashBandsFromHash(col("__sh64"), bandsN))
+      .drop("__sh64")
 
   /** SimHash near-dup candidate pairs via band collision (Hamming LSH). */
   def simHashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -204,8 +195,16 @@ object DedupOps {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
+    // Join key is xxhash64(shingle), not the shingle text: the self-join
+    // shuffle then moves 16-byte rows instead of full n-grams. (A 64-bit
+    // collision would merge two shingles — odds ~ |shingles|^2 / 2^64,
+    // immaterial even at 100 TB corpus scale.) Cached because both the
+    // per-doc sizes and the pair counts consume it.
     val sh = df
-      .select(col(idCol).as("id"), explode(array_distinct(TextOps.shingles(col(textCol), n))).as("sh"))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextOps.shingles(col(textCol), n))).as("sh_str"))
+      .select(col("id"), xxhash64(col("sh_str")).as("sh"))
+      .cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val shared = sh.withColumnsRenamed(Map("id" -> "id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b")), "sh")

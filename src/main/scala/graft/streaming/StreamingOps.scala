@@ -24,10 +24,27 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema)
+  /** On-disk schema: the driver testdata stores ts as parquet
+    * TIMESTAMP(NANOS), which Spark reads as long under
+    * `spark.sql.legacy.parquet.nanosAsLong` (see graft.Tables).
+    */
+  private val rawFileSchema: StructType = StructType(
+    eventsSchema.fields.map {
+      case f if f.name == "ts" => StructField("ts", LongType)
+      case f => f
+    })
+
+  /** Streaming scan of an events parquet DIRECTORY (file streams track
+    * directories); same nanos→micros normalization as the batch reader,
+    * so downstream transforms are identical in both modes.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawFileSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Tumbling-window counts/sums with late-data drop via watermark. */
   def tumblingAgg(events: DataFrame, window_ : String = "1 hour",
