@@ -178,6 +178,106 @@ case class SimHash64(child: Expression, seed: Long)
     copy(child = newChild)
 }
 
+/** k-permutation MinHash over word n-gram shingles, one codegen'd pass.
+  *
+  * Input: the token array. Each token is xxhash64'd once; a shingle's
+  * hash chains its n token hashes through XXH64.hashLong; permutation p
+  * maps h → (a_p·(h mod P) + b_p) mod P with P = 2³¹−1 and seeded
+  * (a, b) — the same universal-hash family as the column-expression
+  * form, but without materializing n-gram strings (the concat_ws +
+  * transform pipeline is interpreted AND allocates every shingle).
+  * Fewer than n tokens ⇒ null signature.
+  */
+case class MinHashSignature(child: Expression, k: Int, n: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  private val P = 2147483647L
+  private val (aArr, bArr) = {
+    val rnd = new scala.util.Random(seed)
+    val ab = Array.fill(k)((math.abs(rnd.nextLong()) % P + 1, math.abs(rnd.nextLong()) % P))
+    (ab.map(_._1), ab.map(_._2))
+  }
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    if (len < n) return null
+    val toks = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      val s = a.getUTF8String(i)
+      toks(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+      i += 1
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    i = 0
+    while (i <= len - n) {
+      var h = seed
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(toks(i + j), h); j += 1 }
+      val hm = ((h % P) + P) % P
+      var p = 0
+      while (p < k) {
+        val v = (hm * aArr(p) % P + bArr(p)) % P
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    val xxh = classOf[XXH64].getName
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, arr => {
+      val len = ctx.freshName("len")
+      val toks = ctx.freshName("toks")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val hm = ctx.freshName("hm")
+      val v = ctx.freshName("v")
+      val s = ctx.freshName("s")
+      s"""
+         |int $len = $arr.numElements();
+         |if ($len < $n) { ${ev.isNull} = true; } else {
+         |  long[] $toks = new long[$len];
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    UTF8String $s = $arr.getUTF8String($i);
+         |    $toks[$i] = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
+         |  }
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i <= $len - $n; $i++) {
+         |    long $h = ${seed}L;
+         |    for (int $j = 0; $j < $n; $j++) { $h = $xxh.hashLong($toks[$i + $j], $h); }
+         |    long $hm = (($h % ${P}L) + ${P}L) % ${P}L;
+         |    for (int $p = 0; $p < $k; $p++) {
+         |      long $v = ($hm * $aRef[$p] % ${P}L + $bRef[$p]) % ${P}L;
+         |      if ($v < $mins[$p]) $mins[$p] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new $gad($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: either `GraftFunctions.register(spark)` imperatively, or
   * `spark.sql.extensions=graft.functions.GraftExtensions` at session
   * build (the standard extension-jar deployment path).
@@ -192,7 +292,18 @@ object GraftFunctions {
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (es: Seq[Expression]) => SimHash64(es(0), 42L)))
+      (es: Seq[Expression]) => SimHash64(es(0), 42L)),
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (es: Seq[Expression]) => es match {
+        case Seq(arr) => MinHashSignature(arr, 16, 3, 42L)
+        case Seq(arr, k, n, s) => MinHashSignature(arr,
+          k.eval().asInstanceOf[Number].intValue(),
+          n.eval().asInstanceOf[Number].intValue(),
+          s.eval().asInstanceOf[Number].longValue())
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash(tokens[, k, n, seed])")
+      }))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
