@@ -71,4 +71,50 @@ object MultimodalOps {
       col(idCol),
       length(col(blobCol)).cast(LongType).as("n_bytes"),
       md5(col(blobCol)).as("digest"))
+
+  /** A resized image: same id, target dims, new (fake) payload. */
+  case class ResizedImage(
+      media_id: Long, width: Int, height: Int, blob: Array[Byte])
+
+  /** Batched resize through the same mapPartitions plumbing as decode.
+    * The pixel resample is stubbed (deterministic byte subsample standing
+    * in for bilinear scaling); schema, batching and partition behavior
+    * are the deployment shape.
+    */
+  def resizeImages(
+      spark: SparkSession, media: Dataset[MediaRow],
+      targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { row =>
+      val n = math.max(1, math.min(row.blob.length, targetW * targetH / 64))
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) { out(i) = row.blob(i * row.blob.length / n); i += 1 }
+      ResizedImage(row.media_id, targetW, targetH, out)
+    })
+  }
+
+  /** One sampled frame: parent id, frame index, frame payload. */
+  case class SampledFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: one input video row → `everyNth`-strided frames
+    * (iterator flatMap inside the partition — the UDTF/`mapInPandas`
+    * one-to-many shape; output cardinality is data-dependent and never
+    * driver-side).
+    */
+  def sampleFrames(
+      spark: SparkSession, media: Dataset[MediaRow],
+      everyNth: Int): Dataset[SampledFrame] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { row =>
+      val f = FakeCodec.decode(row)
+      (0 until f.n_frames by everyNth).iterator.map { idx =>
+        // fake per-frame payload: slice of the blob keyed by frame index
+        val start = if (row.blob.length == 0) 0 else idx % row.blob.length
+        SampledFrame(row.media_id, idx,
+          java.util.Arrays.copyOfRange(row.blob, start,
+            math.min(row.blob.length, start + 16)))
+      }
+    })
+  }
 }

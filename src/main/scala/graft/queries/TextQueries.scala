@@ -133,6 +133,19 @@ object TextQueries {
       MultimodalOps.blobMeta(d, "doc_id", "blob").orderBy("doc_id")
     },
 
+    // Multimodal: one-to-many frame sampling through the batched
+    // plumbing (rows-only; stride/shape proven in MultimodalSpec).
+    "q_media_frames" -> { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      val d = MultimodalOps.withBlob(Tables(s, dir, "documents"), "text")
+        .filter(col("doc_id") % 3 === 2) // the "video" subset
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"), col("blob"))
+        .as(Encoders.product[MultimodalOps.MediaRow])
+      MultimodalOps.sampleFrames(s, d, everyNth = 50).toDF()
+        .select(col("media_id"), col("frame_idx"), length(col("frame")).as("n_frame_bytes"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // Multimodal: batched fake-decode through the mapPartitions plumbing
     // (no oracle — codec is stubbed; schema/batch shape tested in spec).
     "q_media_decode" -> { (s, dir) =>

@@ -38,6 +38,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.media_id).toSet == (0L until 100L).toSet)
   }
 
+  test("resizeImages emits target dims with bounded payload, distributed") {
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, "image", Array.tabulate[Byte](4096)(_.toByte)),
+      MediaRow(2L, "image", Array.tabulate[Byte](100)(_.toByte))))(Encoders.product[MediaRow])
+      .repartition(2)
+    val out = MultimodalOps.resizeImages(spark, ds, 64, 64)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(out.forall(r => r.width == 64 && r.height == 64))
+    assert(out.forall(_.blob.length <= 64 * 64 / 64))
+    // deterministic
+    val again = MultimodalOps.resizeImages(spark, ds, 64, 64)
+      .collect().sortBy(_.media_id)
+    assert(out.zip(again).forall { case (a, b) => a.blob.sameElements(b.blob) })
+  }
+
+  test("sampleFrames is one-to-many with stride, only for decoded frame count") {
+    val video = MediaRow(7L, "video", "some video payload bytes".getBytes("UTF-8"))
+    val nFrames = MultimodalOps.FakeCodec.decode(video).n_frames
+    val ds = spark.createDataset(Seq(video))(Encoders.product[MediaRow])
+    val frames = MultimodalOps.sampleFrames(spark, ds, everyNth = 10).collect()
+    assert(frames.length == (nFrames + 9) / 10)
+    assert(frames.map(_.frame_idx).toSeq == (0 until nFrames by 10).toSeq)
+    assert(frames.forall(_.media_id == 7L))
+  }
+
   test("blobMeta byte length counts bytes, not chars (utf-8)") {
     val df = Seq((1L, "héllo")).toDF("id", "t")
     val meta = MultimodalOps.blobMeta(

@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.CoreOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks promised by SURVEY.md §5.3: flatten totality and
+  * collision-freedom on struct-only schemas, dedup idempotence,
+  * union→distinct ≡ set union, ms→date roundtrip.
+  * (Raw ScalaCheck generators; the scalatest bridge artifact is not in
+  * the offline cache, so sampling is driven by a deterministic helper.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic n-sample driver over a generator. */
+  private def forSamples[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    var misses = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed) match {
+        case Some(a) => f(a); i += 1
+        case None =>
+          misses += 1
+          assert(misses < 1000, "generator kept failing")
+      }
+      seed = seed.next
+    }
+  }
+
+  private val fieldName: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+
+  private def genSchema(depth: Int): Gen[StructType] =
+    Gen.choose(1, 3).flatMap { nFields =>
+      Gen.listOfN(nFields, fieldName).flatMap { rawNames =>
+        val names = rawNames.distinct
+        Gen.sequence[Seq[StructField], StructField](names.map { nm =>
+          if (depth > 0)
+            Gen.oneOf(
+              Gen.const(StructField(nm, LongType)),
+              genSchema(depth - 1).map(s => StructField(nm, s)))
+          else Gen.const(StructField(nm, LongType))
+        }).map(fs => StructType(fs))
+      }
+    }
+
+  test("flattenStruct is total and collision-free for random struct schemas") {
+    forSamples(genSchema(3), 25) { schema =>
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      val flat = CoreOps.flattenStruct(df)
+      val leaves = {
+        def count(s: StructType): Int = s.fields.map {
+          case StructField(_, t: StructType, _, _) => count(t)
+          case _ => 1
+        }.sum
+        count(schema)
+      }
+      assert(flat.columns.length == leaves)
+      // collision-free: every flattened name unique (distinct field names
+      // per level guarantee unique paths; "_" joins could collide only if
+      // a field name itself embeds a parent path, which genSchema avoids)
+      assert(flat.columns.distinct.length == flat.columns.length)
+      assert(flat.schema.fields.forall(_.dataType == LongType))
+    }
+  }
+
+  test("dedup is idempotent and equals set-distinct") {
+    forSamples(Gen.listOf(Gen.choose(0, 20)), 10) { xs =>
+      val df = xs.toDF("v")
+      val once = CoreOps.dedup(df)
+      assert(once.count() == xs.toSet.size)
+      assert(CoreOps.dedup(once).count() == xs.toSet.size)
+    }
+  }
+
+  test("unionAll then distinct equals set union") {
+    forSamples(Gen.zip(Gen.listOf(Gen.choose(0, 50)), Gen.listOf(Gen.choose(0, 50))), 10) { case (a, b) =>
+      val got = a.toDF("v").unionAll(b.toDF("v")).distinct()
+        .as[Int].collect().toSet
+      assert(got == (a.toSet union b.toSet))
+    }
+  }
+
+  test("msToDate agrees with java.time UTC for arbitrary epochs") {
+    forSamples(Gen.choose(0L, 4102444800000L), 20) { ms =>
+      val got = Seq(ms).toDF("ms").select(CoreOps.msToDate(col("ms"))).as[String].head()
+      val expected = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      assert(got == expected)
+    }
+  }
+}
