@@ -77,6 +77,53 @@ object VectorOps {
       when(dot(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-flat ANN: the corpus is partitioned into `nlist` cells by
+    * nearest centroid; each query probes its `nprobe` closest cells.
+    *
+    * Centroids are a deterministic hash-ordered sample of the corpus
+    * (k-means init without Lloyd iterations; at scale you would run a few
+    * broadcast-assign-reaverage rounds the same way — plan shape
+    * unchanged). They are collected to the driver — nlist vectors, a few
+    * KB — and folded into the plan as literal arrays, so cell assignment
+    * is `nlist` codegen'd cosines per row with NO join: the corpus is
+    * scanned once, shuffles only on the final per-query top-k.
+    *
+    * Cell choice per row uses `array_max` over (sim, cell) structs —
+    * lexicographic struct ordering gives argmax without re-evaluating
+    * any cosine (a when-chain would duplicate subtrees exponentially).
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids: Array[Seq[Double]] = corpus
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
+      .orderBy(xxhash64(col("id")))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Double](1))
+
+    def cellSims(vec: Column): Column = array(centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct(
+          cosine(vec, array(c.map(lit): _*)).as("sim"),
+          lit(i).as("cell"))
+    }: _*)
+
+    val c = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
+      .withColumn("cell", array_max(cellSims(col("n_vec"))).getField("cell"))
+    val q = queries.select(col(idCol).as("q_id"), toDoubleVec(col(vecCol)).as("q_vec"))
+      .withColumn("cell",
+        explode(slice(reverse(array_sort(cellSims(col("q_vec")))), 1, nprobe)
+          .getField("cell")))
+
+    val scored = c.join(broadcast(q), Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH: `tables`
     * independent signatures per vector; a corpus vector is a candidate
     * for a query iff they collide in at least one table. Recall rises

@@ -88,6 +88,15 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // IVF-flat ANN (centroid cells, nprobe=4 of nlist=16) — the second
+    // scale path; recall vs brute force asserted in VectorSpec.
+    "q_embed_ann_ivf" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      VectorOps.ivfTopK(e.filter(col("vec_id") < 50), e, k = 5)
+        .select(col("q_id"), col("rk"), col("n_id"), col("cos_sim"))
+        .orderBy("q_id", "rk")
+    },
+
     // Embedding near-dup pairs above a cosine threshold, LSH-bucketed.
     // Self-match excluded; synthetic corpus has no near-dups (planted
     // ones covered in DedupSpec), so threshold is low to keep rows.

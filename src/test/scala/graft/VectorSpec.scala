@@ -41,6 +41,17 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("ivfTopK achieves >=60% recall@5 vs brute force on real embeddings") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = VectorOps.bruteForceTopK(q, e, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = VectorOps.ivfTopK(q, e, k = 5, nlist = 16, nprobe = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
   test("hyperplaneSignature is deterministic and within [0, 2^bits)") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
     val sigs = e.select(
