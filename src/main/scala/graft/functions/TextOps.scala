@@ -37,6 +37,14 @@ object TextOps {
     */
   def fingerprint(c: Column): Column = substring(md5(normText(c)), 1, 16)
 
+  /** Winnowing fingerprint set (rolling-hash k-grams, min per w-window) —
+    * the near-copy-detection fingerprint; native codegen'd
+    * [[graft.functions.WinnowFingerprints]]. Any shared substring of
+    * >= w+k-1 chars guarantees a shared fingerprint.
+    */
+  def winnowFingerprints(c: Column, k: Int = 5, w: Int = 8): Column =
+    call_function("graft_winnow", normText(c), lit(k), lit(w))
+
   /** Word n-gram shingles: `["a","b","c","d"]`, n=3 ->
     * `["a b c","b c d"]`; shorter docs yield an empty array.
     */

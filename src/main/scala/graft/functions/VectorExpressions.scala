@@ -278,6 +278,80 @@ case class MinHashSignature(child: Expression, k: Int, n: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003):
+  * Rabin-Karp rolling hash over character k-grams, then the minimum hash
+  * of every w-gram window, deduplicated in document order — the standard
+  * rolling-hash fingerprint set for near-copy detection, guaranteed to
+  * share fingerprints with any copy of >= w+k-1 contiguous characters.
+  *
+  * One codegen'd pass: O(len) rolling updates (multiply/add/subtract per
+  * character) + an O(len·w) window min (w is small, 4-16). Returns
+  * array<long>; shorter-than-k docs yield an empty array.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      WinnowFingerprints.winnow(bytes, k, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = WinnowFingerprints.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = new $gad($helper.winnow($s.getBytes(), $k, $w));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  private final val B = 257L // rolling base
+
+  /** Shared by interpreted eval and codegen (called from generated code). */
+  def winnow(bytes: Array[Byte], k: Int, w: Int): Array[Long] = {
+    val n = bytes.length - k + 1 // number of k-grams
+    if (n <= 0) return Array.emptyLongArray
+    // rolling k-gram hashes
+    val hs = new Array[Long](n)
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - (bytes(i - 1) & 0xff) * pow) * B + (bytes(i + k - 1) & 0xff)
+      hs(i) = h
+      i += 1
+    }
+    // winnow: min of each w-window of k-gram hashes, rightmost-min rule,
+    // record each selected position once
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var lastPos = -1
+    var start = 0
+    val windows = math.max(1, n - w + 1)
+    while (start < windows) {
+      val end = math.min(start + w, n)
+      var minPos = start
+      var j = start + 1
+      while (j < end) { if (hs(j) <= hs(minPos)) minPos = j; j += 1 }
+      if (minPos != lastPos) { out += hs(minPos); lastPos = minPos }
+      start += 1
+    }
+    out.toArray
+  }
+}
+
 /** Registration: either `GraftFunctions.register(spark)` imperatively, or
   * `spark.sql.extensions=graft.functions.GraftExtensions` at session
   * build (the standard extension-jar deployment path).
@@ -303,6 +377,15 @@ object GraftFunctions {
           s.eval().asInstanceOf[Number].longValue())
         case _ => throw new IllegalArgumentException(
           "graft_minhash(tokens[, k, n, seed])")
+      }),
+    ("graft_winnow",
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (es: Seq[Expression]) => es match {
+        case Seq(str) => WinnowFingerprints(str, 5, 8)
+        case Seq(str, k, w) => WinnowFingerprints(str,
+          k.eval().asInstanceOf[Number].intValue(),
+          w.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException("graft_winnow(text[, k, w])")
       }))
 
   /** Idempotent per-session registration. */

@@ -128,6 +128,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Winnowing fingerprint sets (rolling-hash; no DuckDB twin → rows
+    // only; copy-detection property proven in TextOpsSpec).
+    "q_winnow" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextOps.winnowFingerprints(col("text"))).cast(LongType).as("n_fps"),
+        element_at(TextOps.winnowFingerprints(col("text")), 1).as("first_fp"))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprint over normalized text.
     "q_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents").select(

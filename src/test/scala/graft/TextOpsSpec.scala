@@ -27,6 +27,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0).length == 16)
   }
 
+  test("winnowing: copies share fingerprints, short/distinct docs behave") {
+    val original = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val copier = "unrelated prefix text " + original.substring(10, 50) + " unrelated suffix"
+    // no 5-char run in common with `original` (shared english fragments
+    // like " over" would legitimately collide — that's the operator
+    // working; e.g. "jumps over" vs "no overlapping" share " over")
+    val unrelated = "qwjkz xvbnm plkgh gfdsa zxcvb mnbqw ertyu poiuy qazws edcrf"
+    val df = Seq((1L, original), (2L, original), (3L, copier), (4L, unrelated), (5L, "tiny"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.winnowFingerprints(col("text")).as("fps"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+
+    assert(fps(1L) == fps(2L))                      // identical docs, identical sets
+    assert((fps(1L) intersect fps(3L)).nonEmpty)    // 40-char shared run >= w+k-1=12
+    assert((fps(1L) intersect fps(4L)).isEmpty)     // no shared runs
+    assert(fps(5L).isEmpty)                         // shorter than k
+    assert(fps(1L).nonEmpty && fps(1L).size < original.length) // compressed sketch
+  }
+
   test("langId picks marker-majority language, 'und' when no markers") {
     val df = Seq(
       "the cat is on the mat and the dog was here",
