@@ -40,5 +40,6 @@ object SparkEntry {
     "q_union_distinct_limit", "q_range_join", "q_asof_join",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_ngram_jaccard", "q_embed_cosine_topk", "q_embed_ann_lsh",
-    "q_text_stats", "q_sessionize", "q_tumbling_window")
+    "q_embed_ann_ivf", "q_winnow", "q_text_stats", "q_sessionize",
+    "q_tumbling_window")
 }

@@ -74,6 +74,37 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-user running aggregate via arbitrary stateful processing
+    * (`flatMapGroupsWithState`) — the custom-state escape hatch for
+    * semantics windows can't express (here: emit a row per event with the
+    * user's lifetime event count and value sum; state lives per key on
+    * the shuffle partition that owns it, checkpointed with the query).
+    */
+  case class UserState(n: Long, sum: Double)
+  case class UserRunning(user_id: Long, event_id: Long, run_n: Long, run_sum: Double)
+
+  def runningPerUser(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): org.apache.spark.sql.Dataset[UserRunning] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val stateEnc = Encoders.product[UserState]
+    implicit val outEnc = Encoders.product[UserRunning]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey((r: Row) => r.getAs[Long]("user_id"))(longEnc)
+      .flatMapGroupsWithState[UserState, UserRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[UserState]) =>
+          var s = state.getOption.getOrElse(UserState(0L, 0.0))
+          val out = rows.toSeq.sortBy(r => r.getAs[Long]("event_id")).map { r =>
+            s = UserState(s.n + 1, s.sum + r.getAs[Double]("value"))
+            UserRunning(user, r.getAs[Long]("event_id"), s.n, s.sum)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Truncate-and-load sink semantics (reference db.py:23-38) for a
     * streaming query: each micro-batch overwrites the target path —
     * idempotent under replays because the write is a full snapshot.

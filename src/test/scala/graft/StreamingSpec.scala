@@ -60,6 +60,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState carries per-user running state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.runningPerUser(mem.toDF())
+      .writeStream.format("memory").queryName("running").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(1), 7, "a", 10.0), Ev(2, ts(2), 7, "a", 5.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(3), 7, "a", 2.5), Ev(4, ts(4), 8, "a", 1.0))
+      q.processAllAvailable() // state for user 7 must survive batch 1 -> 2
+      val rows = spark.table("running")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        (7L, 1L, 1L, 10.0), (7L, 2L, 2L, 15.0),
+        (7L, 3L, 3L, 17.5),            // continues from batch-1 state
+        (8L, 4L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("truncateLoadEachBatch leaves exactly the final snapshot on disk") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
