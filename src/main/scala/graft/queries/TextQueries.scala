@@ -42,8 +42,10 @@ object TextQueries {
         .cache()
       val banded = bandedFull.drop("minhash_sig")
       val cands = DedupOps.minHashCandidatePairsFromBanded(bandedFull, "doc_id", bands = 4)
-      val candCounts = cands.select(col("id_a").as("doc_id"))
-        .unionAll(cands.select(col("id_b").as("doc_id")))
+      // one explode, not unionAll of two projections — a Union would plan
+      // the candidate join subtree twice
+      val candCounts = cands
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
       banded.join(candCounts, Seq("doc_id"), "left")
         .na.fill(0, Seq("n_candidates"))
