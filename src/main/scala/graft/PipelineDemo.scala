@@ -10,10 +10,7 @@ object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_demo").toString + "/matches")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = GraftSession.builder("local[8]", 8)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

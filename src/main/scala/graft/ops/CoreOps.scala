@@ -97,6 +97,15 @@ object CoreOps {
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
+  /** Exact sum of an ALREADY-decimal expression at its natural scale.
+    * Do not route decimal products through [[dsum]] — its (18,4) recast
+    * rounds each product to 4 decimals, while SQL engines sum the
+    * product at full derived scale (e.g. (18,4)x(18,4) -> scale 8);
+    * the two totals then round to different doubles (bit-visible at
+    * sf0.1 on q1's sum_disc_price).
+    */
+  def dsumExact(c: Column): Column = sum(c).cast(DoubleType)
+
   /** Order-free average built on [[dsum]]: identical doubles in both
     * engines (same exact decimal sum -> same double -> same division).
     */

@@ -27,7 +27,7 @@ object RelationalQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+          graft.ops.CoreOps.dsumExact(col("l_extendedprice").cast(DecimalType(18, 4)) *
             (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4)))).as("sum_disc_price"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
@@ -50,7 +50,7 @@ object RelationalQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          dsum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+          graft.ops.CoreOps.dsumExact(col("l_extendedprice").cast(DecimalType(18, 4)) *
             (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4)))).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("r_name", "n_name")
@@ -316,6 +316,14 @@ object RelationalQueries {
     """CAST(l_extendedprice AS DECIMAL(18,4)) *
        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"""
 
+  /** DuckDB's direct DECIMAL(38,8)→DOUBLE cast divides after an int128→
+    * double conversion and can land one ulp off the correctly-rounded
+    * value (observed at sf0.1 on q1.sum_disc_price); via VARCHAR it
+    * strtod-rounds correctly and matches Spark's BigDecimal.doubleValue.
+    */
+  private def decToDouble(sumExpr: String): String =
+    s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
+
   val oracles: Map[String, String] = Map(
     "q_percentile" ->
       """SELECT l_returnflag,
@@ -337,7 +345,7 @@ object RelationalQueries {
       s"""SELECT l_returnflag, l_linestatus,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-          CAST(sum($discountedDec) AS DOUBLE) AS sum_disc_price,
+          ${decToDouble(s"sum($discountedDec)")} AS sum_disc_price,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
@@ -346,7 +354,7 @@ object RelationalQueries {
           GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q_star_join" ->
       s"""SELECT r_name, n_name,
-          CAST(sum($discountedDec) AS DOUBLE) AS revenue, count(*) AS n_lines
+          ${decToDouble(s"sum($discountedDec)")} AS revenue, count(*) AS n_lines
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                         JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
