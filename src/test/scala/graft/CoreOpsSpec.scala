@@ -77,6 +77,22 @@ class CoreOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Int].collect().toSeq == Seq(9))
   }
 
+  test("approx_count_distinct (HLL++) stays within 10% of exact counts") {
+    // the error bound promised by q_approx_distinct's rows-only entry
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+        s"flag=${r.getString(0)} approx=$approx exact=$exact")
+    }
+  }
+
   test("dsum is exact (order-free) for 2-decimal money values") {
     val vals = Seq.tabulate(1000)(i => i + 0.01 * (i % 100))
     val got = vals.toDF("v").repartition(7)
