@@ -272,6 +272,31 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Correlated scalar subquery: orders above their customer's average.
+    // Catalyst decorrelates (RewriteCorrelatedScalarSubquery) into an
+    // aggregate + join — no per-row subquery execution (SURVEY §4).
+    "q_corr_subquery" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_cs")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders_cs o
+           WHERE o_totalprice > 1.5 * (
+             SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                    / count(*) FROM orders_cs i
+             WHERE i.o_custkey = o.o_custkey)
+           ORDER BY o_orderkey""")
+    },
+
+    // PIVOT: per-user event-type counts as columns (wide aggregation).
+    "q_pivot" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
     // Exact percentiles (median / p90) per group. Spark `percentile` and
     // DuckDB `quantile_cont` both interpolate linearly; rounded to dodge
     // last-ulp libm differences.
@@ -325,6 +350,22 @@ object RelationalQueries {
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(*) FROM orders i
+           WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "q_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'view') AS view,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q_percentile" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
