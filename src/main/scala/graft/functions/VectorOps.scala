@@ -61,6 +61,27 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** bruteForceTopK with the reduction done by [[TopKAggregator]] instead
+    * of a window: partial aggregation caps each map task's contribution
+    * at k rows per query, so the shuffle carries O(k · partitions ·
+    * |queries|) rows instead of |corpus| · |queries| — the form to use
+    * when the scored candidate set is huge. Results identical to
+    * [[bruteForceTopK]] (same tie-break).
+    */
+  def bruteForceTopKAgg(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), toDoubleVec(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
+      .groupBy(col("q_id"))
+      .agg(TopKAggregator.topK(k, col("cos_sim"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rk"),
+        col("col.id").as("n_id"), col("col.score").as("cos_sim"))
+  }
+
   /** Deterministic random hyperplanes (seeded) as literal arrays: plane
     * p, dim d coefficient ~ U(-1, 1). Constant-folded by Catalyst.
     */

@@ -81,6 +81,16 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Same top-k via the typed TopKAggregator (partial-agg reduction:
+    // <= k rows per map task reach the shuffle) — must hash-match the
+    // window form's oracle exactly.
+    "q_embed_topk_agg" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      VectorOps.bruteForceTopKAgg(e.filter(col("vec_id") < 5), e, k = 5)
+        .select(col("q_id"), col("rk").cast(LongType).as("rk"), col("n_id"), col("cos_sim"))
+        .orderBy("q_id", "rk")
+    },
+
     // LSH-bucketed ANN (single-probe) — the 100 TB path; recall vs the
     // brute-force baseline is asserted in VectorSpec.
     "q_embed_ann_lsh" -> { (s, dir) =>
@@ -206,6 +216,20 @@ object TextQueries {
            JOIN sizes sb ON sb.id = id_b
          WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05
          ORDER BY id_a, id_b""",
+    "q_embed_topk_agg" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * c.vec[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i])))
+                * sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) AS cos_sim
+           FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT q_id, n_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
+           FROM scored)
+         SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos_sim FROM ranked
+         WHERE rk <= 5 ORDER BY q_id, rk""",
     "q_embed_cosine_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          scored AS (

@@ -41,6 +41,18 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("aggregator top-k (partial-agg reduction) equals the window form exactly") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val win = VectorOps.bruteForceTopK(q, e, k = 5)
+      .select("q_id", "rk", "n_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val agg = VectorOps.bruteForceTopKAgg(q, e, k = 5)
+      .select("q_id", "rk", "n_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(agg == win)
+  }
+
   test("ivfTopK achieves >=60% recall@5 vs brute force on real embeddings") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 20)
