@@ -322,6 +322,35 @@ object RelationalQueries {
         .orderBy("token")
     },
 
+    // Map functions (§2.8 ABSENT row): construct, extract, keys, size.
+    // The oracle computes the same OUTPUT scalars directly — the map ops
+    // are the Spark surface under test, not the comparison vehicle.
+    "q_scalar_map" -> { (s, dir) =>
+      val m = map(
+        lit("et"), col("event_type"),
+        lit("uid"), col("user_id").cast(StringType))
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        element_at(m, "et").as("et_val"),
+        size(m).cast(LongType).as("n_entries"),
+        array_join(map_keys(m), ",").as("keys"),
+        map_contains_key(m, "uid").as("has_uid"))
+        .orderBy("event_id")
+    },
+
+    // Array functions (§2.8 ABSENT row): build, sort, slice, contains,
+    // join, distinct — DuckDB list functions as the oracle.
+    "q_scalar_array" -> { (s, dir) =>
+      val words = split(col("text"), " ")
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(slice(sort_array(array_distinct(words)), 1, 3), " ").as("first3_sorted"),
+        array_contains(words, "data").as("has_data"),
+        size(array_distinct(words)).cast(LongType).as("n_distinct"),
+        element_at(sort_array(words, asc = false), 1).as("max_word"))
+        .orderBy("doc_id")
+    },
+
     // Salted shuffle join (operators.SkewOps): hot-key mitigation when
     // AQE's skew split can't apply. Semantics-preserving, so the oracle
     // is the plain join — the salt must not change a single row.
@@ -350,6 +379,18 @@ object RelationalQueries {
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_scalar_map" ->
+      """SELECT event_id, event_type AS et_val,
+         CAST(2 AS BIGINT) AS n_entries, 'et,uid' AS keys, true AS has_uid
+         FROM events ORDER BY event_id""",
+    "q_scalar_array" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+         SELECT doc_id,
+           array_to_string(list_sort(list_distinct(words))[1:3], ' ') AS first3_sorted,
+           list_contains(words, 'data') AS has_data,
+           CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+           list_sort(words, 'DESC')[1] AS max_word
+         FROM w ORDER BY doc_id""",
     "q_corr_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders o
