@@ -126,6 +126,7 @@ object TextQueries {
         col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.tokenCountBpeIsh(col("text")).as("n_tokens_bpeish"),
         size(array_distinct(TextOps.tokens(col("text")))).cast(LongType).as("n_distinct_tokens"),
         TextOps.stopwordCount(col("text")).as("n_stopwords"))
         .orderBy("doc_id")
@@ -247,6 +248,8 @@ object TextQueries {
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_split_to_array(text, '[\s]+'))
+            + len(regexp_split_to_array(text, '[^\pL\pN\s]')) - 1 AS BIGINT) AS n_tokens_bpeish,
          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
          CAST(len(list_filter(string_split(text, ' '),
            t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT) AS n_stopwords
