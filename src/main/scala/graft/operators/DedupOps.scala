@@ -166,6 +166,10 @@ object DedupOps {
       .select(col("id"), xxhash64(col("sh_str")).as("sh"))
       .cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // (A singleton-shingle df-prune before the self-join was measured
+    // and NOT kept: it helps only when most shingles are unique; on
+    // corpora with repeating vocabulary the extra aggregate+join costs
+    // more than it saves.)
     val shared = sh.withColumnsRenamed(Map("id" -> "id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b")), "sh")
       .filter(col("id_a") < col("id_b"))
