@@ -28,7 +28,11 @@ object Bench {
     Tables.names.foreach(t => Tables(spark, sfDir, t).schema)
     Tables(spark, sfDir, "region").write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.headline.map { name =>
+    // Optional subset for focused local iteration (driver leaves it unset).
+    val selected = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(SparkEntry.headline)
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

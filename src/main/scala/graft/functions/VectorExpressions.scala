@@ -278,6 +278,75 @@ case class MinHashSignature(child: Expression, k: Int, n: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingle hashes, one codegen'd pass.
+  *
+  * Input: the token array. Each token is xxhash64'd once; a shingle's
+  * 64-bit hash chains its n token hashes through XXH64.hashLong (same
+  * chaining as [[MinHashSignature]]); the result is sorted + deduplicated.
+  * This replaces `array_distinct(shingles(text)) → xxhash64(str)` in the
+  * n-gram Jaccard inverted index: equality classes are identical (modulo
+  * ~2^-64 collisions) but no n-gram string is ever materialized — the
+  * concat_ws/transform HOF pipeline was ~6 s of the sf0.1 bench, this is
+  * one tight loop. Fewer than n tokens ⇒ empty array.
+  */
+case class ShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(arr: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleHashes.compute(arr.asInstanceOf[ArrayData], n, seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ShingleHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = new $gad($helper.compute($arr, $n, ${seed}L));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Shared by interpreted eval and codegen (called from generated code). */
+  def compute(arr: ArrayData, n: Int, seed: Long): Array[Long] = {
+    val len = arr.numElements()
+    if (len < n) return Array.emptyLongArray
+    val toks = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      val s = arr.getUTF8String(i)
+      toks(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+      i += 1
+    }
+    val m = len - n + 1
+    val hs = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = seed
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(toks(i + j), h); j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted hashes
+    var w = 0
+    i = 1
+    while (i < m) {
+      if (hs(i) != hs(w)) { w += 1; hs(w) = hs(i) }
+      i += 1
+    }
+    if (w + 1 == m) hs else java.util.Arrays.copyOf(hs, w + 1)
+  }
+}
+
 /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003):
   * Rabin-Karp rolling hash over character k-grams, then the minimum hash
   * of every w-gram window, deduplicated in document order — the standard
@@ -377,6 +446,16 @@ object GraftFunctions {
           s.eval().asInstanceOf[Number].longValue())
         case _ => throw new IllegalArgumentException(
           "graft_minhash(tokens[, k, n, seed])")
+      }),
+    ("graft_shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (es: Seq[Expression]) => es match {
+        case Seq(arr) => ShingleHashes(arr, 3, 42L)
+        case Seq(arr, n, s) => ShingleHashes(arr,
+          n.eval().asInstanceOf[Number].intValue(),
+          s.eval().asInstanceOf[Number].longValue())
+        case _ => throw new IllegalArgumentException(
+          "graft_shingle_hashes(tokens[, n, seed])")
       }),
     ("graft_winnow",
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),

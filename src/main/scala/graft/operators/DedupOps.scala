@@ -155,21 +155,30 @@ object DedupOps {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
-    // Join key is xxhash64(shingle), not the shingle text: the self-join
-    // shuffle then moves 16-byte rows instead of full n-grams. (A 64-bit
+    // Join key is a 64-bit shingle hash, not the shingle text: the
+    // self-join shuffle then moves 16-byte rows instead of full n-grams,
+    // and the native ShingleHashes expression never materializes an
+    // n-gram string at all (the concat_ws/transform HOF + xxhash64(str)
+    // formulation cost ~6 s of the sf0.1 bench on its own). A 64-bit
     // collision would merge two shingles — odds ~ |shingles|^2 / 2^64,
-    // immaterial even at 100 TB corpus scale.) Cached because both the
-    // per-doc sizes and the pair counts consume it.
-    val sh = df
-      .select(col(idCol).as("id"),
-        explode(array_distinct(TextOps.shingles(col(textCol), n))).as("sh_str"))
-      .select(col("id"), xxhash64(col("sh_str")).as("sh"))
-      .cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // immaterial even at 100 TB corpus scale.
+    val hashed = df.select(col(idCol).as("id"),
+      call_function("graft_shingle_hashes",
+        TextOps.tokens(col(textCol)), lit(n), lit(42L)).as("shs"))
+    // Per-doc distinct-shingle counts read the array length directly —
+    // no explode, no shuffle-side count, no cache.
+    val sizes = hashed.select(col("id"), size(col("shs")).cast(LongType).as("n_sh"))
+      .filter(col("n_sh") > 0)
+    val sh = hashed.select(col("id"), explode(col("shs")).as("sh"))
     // (A singleton-shingle df-prune before the self-join was measured
     // and NOT kept: it helps only when most shingles are unique; on
     // corpora with repeating vocabulary the extra aggregate+join costs
     // more than it saves.)
+    // (A groupBy(sh).collect_list + in-row pair-explode variant was
+    // measured at 4.4 s cold vs 4.0 s for this self-join at sf0.1 — the
+    // identical a/b subtrees share one exchange via ReuseExchange, and
+    // the sort-merge join stays inside whole-stage codegen while
+    // collect_list forces ObjectHashAggregate.)
     val shared = sh.withColumnsRenamed(Map("id" -> "id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b")), "sh")
       .filter(col("id_a") < col("id_b"))

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives needed by training-data pipelines —
+  * chiefly connected components, which turns near-duplicate PAIRS (from
+  * MinHash/SimHash/n-gram Jaccard candidate generation, DedupOps) into
+  * duplicate CLUSTERS so "keep one document per cluster" is well-defined
+  * even when duplicates chain (a~b, b~c but not a~c).
+  *
+  * Scale design: the iterative driver loop runs a fixed small number of
+  * rounds; every round is two narrow shuffles (join on dst, agg on id)
+  * over (long, long) rows — no adjacency materialization beyond the edge
+  * list, no driver-side graph. Pointer jumping (comp := comp(comp)) makes
+  * label convergence logarithmic in component diameter, so even
+  * pathological chain-shaped duplicate clusters converge in ~log2(n)
+  * rounds, the same bound as the large-star/small-star MapReduce
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond"). `localCheckpoint` after each round truncates lineage —
+  * without it the plan doubles per iteration and Catalyst re-optimizes
+  * an exponentially growing tree.
+  */
+object GraphOps {
+
+  /** Connected components of an undirected graph given as an edge list.
+    *
+    * @param edges any DataFrame whose FIRST TWO columns are the edge
+    *              endpoints (any orderable, nullable-free type; ids of
+    *              one component must be mutually comparable).
+    * @return (id, comp) — every vertex mapped to the minimum vertex id
+    *         of its component (a canonical, deterministic cluster key).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val u = edges.columns(0)
+    val v = edges.columns(1)
+    val e = edges.select(col(u).as("u"), col(v).as("v")).filter(col("u") =!= col("v"))
+    // symmetrize once; narrow rows, computed a bounded number of times
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // each vertex takes the min label over itself and its neighbors
+      val viaNbr = sym
+        .join(labels.select(col("id").as("v"), col("comp")), "v")
+        .select(col("u").as("id"), col("comp"))
+      val minned = labels.union(viaNbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jumping: comp := comp(comp) — labels propagate through
+      // labels, halving remaining path length every round
+      val jumped = minned
+        .join(minned.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+      val next = jumped.localCheckpoint()
+      done = next
+        .join(labels.withColumnRenamed("comp", "comp_old"), "id")
+        .filter(col("comp") =!= col("comp_old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Duplicate-cluster assignment: near-dup pairs → (id, cluster_id)
+    * where cluster_id is the minimum doc id of the connected component.
+    * Only documents that appear in at least one pair are returned —
+    * singletons are trivially their own cluster and joining them in
+    * would shuffle the whole corpus for no information.
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    connectedComponents(pairs.select(idA, idB))
+      .select(col("id"), col("comp").as("cluster_id"))
+}
