@@ -34,8 +34,12 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val u = edges.columns(0)
     val v = edges.columns(1)
-    val e = edges.select(col(u).as("u"), col(v).as("v")).filter(col("u") =!= col("v"))
-    // symmetrize once; narrow rows, computed a bounded number of times
+    // Checkpoint the raw edge list BEFORE symmetrizing: the input is
+    // typically an expensive subtree (an LSH/Jaccard pair pipeline), and
+    // union(e, e.swap) would otherwise embed that subtree twice in the
+    // plan. After the checkpoint, the union reads materialized rows.
+    val e = edges.select(col(u).as("u"), col(v).as("v"))
+      .filter(col("u") =!= col("v")).localCheckpoint()
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
     var labels = sym.select(col("u").as("id")).distinct()

@@ -110,4 +110,18 @@ object CoreOps {
     * engines (same exact decimal sum -> same double -> same division).
     */
   def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Deterministic hash-sampling predicate: keep a row iff the first hex
+    * digit of md5(key) is <= `hexCutoff` ('0'..'f'), i.e. a (cutoff+1)/16
+    * sampling rate. Unlike `df.sample`, this is (a) reproducible across
+    * runs, engines, and cluster layouts — the same rows survive on a
+    * laptop and a 1000-executor cluster, which is what makes held-out /
+    * train splits of a 100 TB corpus auditable — and (b) stratifiable by
+    * passing a per-row cutoff expression (e.g. a higher cutoff for
+    * under-represented languages). md5 over xxhash64 because every SQL
+    * engine computes the identical digest, so splits survive engine
+    * migrations too.
+    */
+  def hashSample(keyCol: Column, hexCutoff: Column): Column =
+    substring(md5(keyCol.cast(StringType)), 1, 1) <= hexCutoff
 }

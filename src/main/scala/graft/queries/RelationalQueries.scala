@@ -100,6 +100,61 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // Interval-overlap join: per-customer order pairs whose service
+    // windows [orderdate, orderdate + orderkey%30 days] overlap. The
+    // equi key (custkey) bounds the fan-out — the overlap predicate only
+    // filters within a customer's partition, so the plan is a plain
+    // shuffle hash join, never a nested-loop cross product.
+    "q_interval_join" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), to_date(lit("1990-01-01"))).cast(LongType).as("sd"))
+        .withColumn("ed", col("sd") + col("o_orderkey") % 30)
+      val a = o.select(col("o_custkey"), col("o_orderkey").as("k_a"),
+        col("sd").as("s_a"), col("ed").as("e_a"))
+      val b = o.select(col("o_custkey"), col("o_orderkey").as("k_b"),
+        col("sd").as("s_b"), col("ed").as("e_b"))
+      a.join(b, Seq("o_custkey"))
+        .filter(col("k_a") < col("k_b") &&
+          col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")) + 1)
+            .as("total_overlap_days"))
+        .orderBy("o_custkey")
+    },
+
+    // Distribution window functions: ntile / percent_rank / cume_dist
+    // per order priority (one shuffle on the partition key).
+    "q_window_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast(LongType).as("tile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
+    // Argmin/argmax aggregates: cheapest/richest supplier per nation in
+    // ONE pass (min_by/max_by) — no self-join back onto the extremes.
+    "q_minmax_by" -> { (s, dir) =>
+      val sup = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          min_by(col("s_name"), col("s_acctbal")).as("poorest"),
+          max_by(col("s_name"), col("s_acctbal")).as("richest"),
+          min(col("s_acctbal")).as("min_bal"),
+          max(col("s_acctbal")).as("max_bal"),
+          count(lit(1)).as("n_suppliers"))
+        .orderBy("n_name")
+    },
+
     // ROLLUP over the region/nation hierarchy (null keys -> 'ALL').
     "q_rollup" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -379,6 +434,38 @@ object RelationalQueries {
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_interval_join" ->
+      """WITH i AS (
+           SELECT o_custkey, o_orderkey,
+             CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS sd,
+             CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+               + o_orderkey % 30 AS ed
+           FROM orders),
+         p AS (
+           SELECT a.o_custkey,
+             least(a.ed, b.ed) - greatest(a.sd, b.sd) + 1 AS ov
+           FROM i a JOIN i b ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey
+             AND a.sd <= b.ed AND b.sd <= a.ed)
+         SELECT o_custkey, count(*) AS n_pairs, sum(ov) AS total_overlap_days
+         FROM p GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS tile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+    "q_minmax_by" ->
+      """SELECT n_name,
+           min_by(s_name, s_acctbal) AS poorest,
+           max_by(s_name, s_acctbal) AS richest,
+           min(s_acctbal) AS min_bal,
+           max(s_acctbal) AS max_bal,
+           count(*) AS n_suppliers
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "q_scalar_map" ->
       """SELECT event_id, event_type AS et_val,
          CAST(2 AS BIGINT) AS n_entries, 'et,uid' AS keys, true AS has_uid

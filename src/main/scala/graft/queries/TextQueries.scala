@@ -178,6 +178,65 @@ object TextQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Near-dup PAIRS -> duplicate CLUSTERS: connected components over the
+    // exact n-gram Jaccard edge list (distributed min-label propagation
+    // with pointer jumping, GraphOps). cluster_id = min doc_id of the
+    // component — the canonical "keep one per cluster" key.
+    "q_dup_clusters" -> { (s, dir) =>
+      val pairs = DedupOps.ngramJaccardPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.05, n = 3)
+      graft.operators.GraphOps.dupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified hash sampling: ~50% of English docs, ~25%
+    // of the rest, reproducible across engines and cluster layouts
+    // (CoreOps.hashSample) — the auditable train/held-out split primitive.
+    "q_sample_stratified" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(graft.ops.CoreOps.hashSample(col("doc_id"),
+          when(col("lang") === "en", lit("7")).otherwise(lit("3"))))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Fixed-width sequence packing: split each document into 256-char
+    // chunks (generator fan-out, no shuffle — the pre-tokenization
+    // chunking pass of a training-data pipeline).
+    "q_pack_chunks" -> { (s, dir) =>
+      val w = 256
+      Tables(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((length(col("text")) - 1) / lit(w)).cast(IntegerType)),
+            i => col("text").substr(i * w + 1, lit(w)))))
+        .select(
+          col("doc_id"),
+          col("pos").cast(LongType).as("chunk_idx"),
+          length(col("col")).cast(LongType).as("n_chunk_chars"),
+          md5(col("col")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // The composed training-data admission filter: exact-dedup survivors
+    // that are predicted English, high-quality, and length-bounded —
+    // every stage a pushable column predicate over one scan plus the
+    // narrow dedup semi-join.
+    "q_quality_filter" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val keep = DedupOps.exactDupGroups(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      d.join(keep, Seq("doc_id"), "left_semi")
+        .filter(TextOps.langId(col("text")) === "en")
+        .withColumn("quality", round(TextOps.qualityScore(col("text")), 6))
+        .filter(col("quality") >= 0.5 &&
+          TextOps.tokenCount(col("text")).between(10, 2000))
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal: batched fake-decode through the mapPartitions plumbing
     // (no oracle — codec is stubbed; schema/batch shape tested in spec).
     "q_media_decode" -> { (s, dir) =>
@@ -279,6 +338,80 @@ object TextQueries {
              + least(stop_ratio * 5.0, 1.0) * 0.2
              + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1, 6) AS quality
          FROM scores ORDER BY doc_id""",
+    "q_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+           )) AS sh
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         shared AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+         pairs AS (
+           SELECT id_a, id_b FROM shared
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+         SELECT id AS doc_id, min(r) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           <= (CASE WHEN lang = 'en' THEN '7' ELSE '3' END)
+         ORDER BY doc_id""",
+    "q_pack_chunks" ->
+      """WITH c AS (
+           SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS chunk_idx
+           FROM documents WHERE length(text) > 0)
+         SELECT doc_id, chunk_idx,
+           CAST(length(substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256)) AS BIGINT) AS n_chunk_chars,
+           md5(substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256)) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "q_quality_filter" ->
+      """WITH scores AS (
+           SELECT doc_id, lang, text,
+             len(list_filter(string_split(text,' '), t -> t IN ('the','and','is','of','was','are'))) AS s_en,
+             len(list_filter(string_split(text,' '), t -> t IN ('der','und','das','ein','ist','nicht'))) AS s_de,
+             len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','une','est','pas'))) AS s_fr,
+             len(list_filter(string_split(text,' '), t -> t IN ('el','los','las','una','es','como'))) AS s_es,
+             CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS diversity,
+             CAST(len(list_filter(string_split(text,' '),
+               t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+               / len(string_split(text,' ')) AS stop_ratio,
+             CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+             len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+         q AS (
+           SELECT doc_id, lang, n_tok,
+             CASE
+               WHEN s_en >= greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+               WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+               WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+               WHEN s_es >= greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+               ELSE 'und' END AS pred_lang,
+             round(least(length(text) / 500.0, 1.0) * 0.3
+               + diversity * 0.4
+               + least(stop_ratio * 5.0, 1.0) * 0.2
+               + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1, 6) AS quality
+           FROM scores),
+         keep AS (
+           SELECT min(doc_id) AS doc_id FROM documents
+           GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+         SELECT q.doc_id, lang, quality
+         FROM q JOIN keep USING (doc_id)
+         WHERE pred_lang = 'en' AND quality >= 0.5 AND n_tok BETWEEN 10 AND 2000
+         ORDER BY doc_id""",
     "q_fingerprint" ->
       """SELECT doc_id,
          substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fp

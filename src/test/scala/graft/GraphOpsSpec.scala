@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chain, triangle, isolated pair -> min-id labels") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain
+      (10L, 11L), (10L, 12L), (11L, 12L), // triangle
+      (20L, 21L)) // isolated pair
+      .toDF("src", "dst")
+    val cc = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("pointer jumping: a 64-node path converges in far fewer rounds than its diameter") {
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    // plain min-label propagation would need ~63 rounds; with comp :=
+    // comp(comp) each round the reach doubles — 12 rounds is ample
+    val cc = GraphOps.connectedComponents(edges, maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 64)
+    assert(cc.forall(_._2 == 0L))
+  }
+
+  test("edge direction and duplicate edges don't matter") {
+    val edges = Seq((5L, 3L), (3L, 5L), (9L, 3L), (9L, 3L)).toDF("a", "b")
+    val cc = GraphOps.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+  }
+
+  test("dupClusters keys clusters by min doc id, extra pair columns ignored") {
+    val pairs = Seq((5L, 3L, 0.9), (3L, 9L, 0.8), (100L, 101L, 0.7))
+      .toDF("id_a", "id_b", "jaccard")
+    val m = GraphOps.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(m == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 100L -> 100L, 101L -> 100L))
+  }
+}

@@ -45,6 +45,27 @@ class VectorExpressionsSpec extends SparkSpec {
     assert("\\*\\(\\d+\\) Project \\[graft_cosine".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("graft_shingle_hashes: same distinct count and equality classes as string shingles") {
+    import graft.functions.TextOps
+    val df = Seq(
+      (1L, "a b c d a b c"), // repeated shingles -> dedup
+      (2L, "x y"), // shorter than n -> empty
+      (3L, "a b c"), // shares "a b c" with doc 1
+      (4L, "c b a")) // same tokens, different order -> no share
+      .toDF("id", "text")
+    val got = df.select(
+      col("id"),
+      call_function("graft_shingle_hashes", split(col("text"), " "), lit(3), lit(42L)).as("h"),
+      array_distinct(TextOps.shingles(col("text"), 3)).as("s"))
+      .select(col("id"), col("h"), size(col("h")).as("nh"), size(col("s")).as("ns"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1).toSet, r.getInt(2), r.getInt(3))).toMap
+    // per-doc distinct counts match the string-shingle formulation
+    got.foreach { case (id, (_, nh, ns)) => assert(nh == ns, s"doc $id: $nh != $ns") }
+    // docs 1 and 3 share exactly one shingle ("a b c"); 4 shares none
+    assert((got(1L)._1 intersect got(3L)._1).size == 1)
+    assert((got(1L)._1 intersect got(4L)._1).isEmpty)
+  }
+
   test("GraftExtensions registered the functions at session build (SQL name resolution)") {
     // the shared session is built with
     // spark.sql.extensions=graft.functions.GraftExtensions and never
