@@ -155,6 +155,21 @@ object RelationalQueries {
         .orderBy("n_name")
     },
 
+    // Forward as-of with tolerance: each purchase picks up the user's
+    // NEXT click within one hour (same union+window shape as backward;
+    // tie-broken on click_id so repeated timestamps stay deterministic).
+    "q_asof_tolerance" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOfJoin.asOfForward(purchases, clicks, "user_id", "ts", Seq("click_id"),
+        toleranceMs = Some(3600L * 1000), tieBreak = Some("click_id"))
+        .select(col("user_id"), col("event_id"), col("asof_click_id"))
+        .orderBy("event_id")
+    },
+
     // ROLLUP over the region/nation hierarchy (null keys -> 'ALL').
     "q_rollup" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -434,6 +449,16 @@ object RelationalQueries {
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id, p.user_id, c.click_id,
+             row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts, c.click_id) AS rk
+           FROM p LEFT JOIN c ON p.user_id = c.user_id
+             AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)
+         SELECT user_id, event_id, click_id AS asof_click_id
+         FROM j WHERE rk = 1 ORDER BY event_id""",
     "q_interval_join" ->
       """WITH i AS (
            SELECT o_custkey, o_orderkey,

@@ -25,6 +25,30 @@ class JoinOpsSpec extends SparkSpec {
       ("B", 5L, 3, null)))  // no quote at-or-before
   }
 
+  test("asOfForward attaches earliest right at-or-after; tolerance nulls far matches; ties break on min") {
+    val trades = Seq(
+      ("A", ms(10), 1), ("A", ms(25), 2), ("B", ms(5), 3), ("A", ms(200), 4)
+    ).toDF("sym", "ts", "trade_id").withColumn("ts", timestamp_millis(col("ts")))
+    val quotes = Seq(
+      ("A", ms(8), 7L), ("A", ms(25), 5L), ("A", ms(25), 6L), ("A", ms(30), 8L),
+      ("A", ms(300), 10L), ("B", ms(4), 9L)
+    ).toDF("sym", "ts", "qid").withColumn("ts", timestamp_millis(col("ts")))
+
+    val j = AsOfJoin.asOfForward(trades, quotes, "sym", "ts", Seq("qid"),
+      toleranceMs = Some(20L * 60 * 1000), tieBreak = Some("qid"))
+      .select("sym", "trade_id", "asof_qid").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+
+    assert(j == Set(
+      ("A", 1, 5L),   // next at-or-after min 10 is the min-25 pair; min qid wins the tie
+      ("A", 2, 5L),   // equal ts counts as "after"
+      ("B", 3, null), // only earlier quotes exist
+      ("A", 4, null)))// nearest later quote (min 300) is 100 min away > 20 min tolerance
+  }
+
+  private def ms(m: Long): Long = m * 60L * 1000L
+
   test("bandJoin equals the naive range-predicate join") {
     val l = Seq.tabulate(200)(i => (i.toLong, i * 0.37)).toDF("lid", "lv")
     val r = Seq.tabulate(150)(i => (i.toLong, i * 0.53)).toDF("rid", "rv")
