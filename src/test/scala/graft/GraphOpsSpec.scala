@@ -35,6 +35,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
 
+  test("random graphs match a driver-side union-find oracle") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nNodes = 40 + trial * 20
+      val edges = Seq.fill(nNodes / 2)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find oracle
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val expected = touched.map(id => id -> {
+        // min id of the component = fully-compressed root (parents always
+        // point to smaller ids, so the root IS the minimum)
+        find(id.toInt).toLong
+      }).toMap
+      val got = GraphOps.connectedComponents(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("dupClusters keys clusters by min doc id, extra pair columns ignored") {
     val pairs = Seq((5L, 3L, 0.9), (3L, 9L, 0.8), (100L, 101L, 0.7))
       .toDF("id_a", "id_b", "jaccard")
