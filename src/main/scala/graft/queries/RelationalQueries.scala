@@ -170,6 +170,65 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // Full outer join: BUILDING-segment customers x per-customer order
+    // rollup — unmatched rows survive on BOTH sides (customers with no
+    // orders keep null counts; orders of other segments keep null names).
+    "q_full_outer" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"))
+        .orderBy("custkey")
+    },
+
+    // RANGE window frame: trailing-7-day order count and revenue per
+    // priority — a value-based frame (rangeBetween), not a row count.
+    "q_window_range" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        datediff(col("o_orderdate"), to_date(lit("1990-01-01"))).cast(LongType).as("d"),
+        col("o_totalprice"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("d"))
+        .rangeBetween(-7, Window.currentRow)
+      o.select(
+        col("o_orderkey"), col("o_orderpriority"), col("d"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType).as("rev_7d"))
+        .orderBy("o_orderkey")
+    },
+
+    // Bag (multiset) set operations: EXCEPT ALL / INTERSECT ALL keep
+    // duplicate cardinalities, unlike the set-semantics q_except/
+    // q_intersect; output is the per-status multiset size of each result.
+    "q_bag_setops" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") < 150000).select("o_orderstatus")
+      val b = o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderstatus")
+      val ex = a.exceptAll(b).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val in = a.intersectAll(b).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(in).select("op", "o_orderstatus", "n")
+        .orderBy("op", "o_orderstatus")
+    },
+
+    // Array aggregation: per-customer sorted order-key list (deterministic
+    // via sort_array) + distinct status count — collect_list/collect_set.
+    "q_array_agg" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          sort_array(collect_list(col("o_orderkey"))).as("okeys"),
+          size(collect_set(col("o_orderstatus"))).cast(LongType).as("n_statuses"))
+        .orderBy("o_custkey")
+    },
+
     // ROLLUP over the region/nation hierarchy (null keys -> 'ALL').
     "q_rollup" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -449,6 +508,39 @@ object RelationalQueries {
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'),
+         o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+         SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders
+         FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+         ORDER BY custkey""",
+    "q_window_range" ->
+      """SELECT o_orderkey, o_orderpriority, d,
+           count(*) OVER w AS n_7d,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS rev_7d
+         FROM (
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+           FROM orders)
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d
+           RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+    "q_bag_setops" ->
+      """WITH a AS (SELECT o_orderstatus FROM orders WHERE o_totalprice < 150000),
+         b AS (SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'),
+         ex AS (SELECT o_orderstatus, count(*) AS n
+                FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1),
+         ins AS (SELECT o_orderstatus, count(*) AS n
+                 FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1)
+         SELECT 'except_all' AS op, o_orderstatus, n FROM ex
+         UNION ALL
+         SELECT 'intersect_all' AS op, o_orderstatus, n FROM ins
+         ORDER BY op, o_orderstatus""",
+    "q_array_agg" ->
+      """SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS okeys,
+           CAST(len(list_distinct(list(o_orderstatus))) AS BIGINT) AS n_statuses
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q_asof_tolerance" ->
       """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
          c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
