@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed graph primitives needed by training-data pipelines —
   * chiefly connected components, which turns near-duplicate PAIRS (from
@@ -44,6 +45,15 @@ object GraphOps {
       .distinct().localCheckpoint()
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    // Convergence detection: per-vertex labels are monotonically
+    // non-increasing (min over self+neighbors, then a jump to an equal or
+    // smaller label), so the label total strictly decreases until the
+    // fixpoint — comparing one exact scalar per round replaces a
+    // join-and-diff of old vs new labels (one fewer shuffle per round).
+    // Decimal sum: exact and overflow-free for any id magnitude.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0))
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -60,10 +70,9 @@ object GraphOps {
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
       val next = jumped.localCheckpoint()
-      done = next
-        .join(labels.withColumnRenamed("comp", "comp_old"), "id")
-        .filter(col("comp") =!= col("comp_old"))
-        .isEmpty
+      val s = labelSum(next)
+      done = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }

@@ -60,6 +60,13 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("empty and self-loop-only edge lists yield an empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.connectedComponents(empty).isEmpty)
+    val loops = Seq((4L, 4L), (9L, 9L)).toDF("src", "dst")
+    assert(GraphOps.connectedComponents(loops).isEmpty)
+  }
+
   test("dupClusters keys clusters by min doc id, extra pair columns ignored") {
     val pairs = Seq((5L, 3L, 0.9), (3L, 9L, 0.8), (100L, 101L, 0.7))
       .toDF("id_a", "id_b", "jaccard")
