@@ -159,6 +159,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Global vocabulary top-k — the tokenizer-building histogram. The
+    // canonical skewed aggregation at corpus scale: map-side partial
+    // counts absorb the head tokens before the one shuffle, and the
+    // top-k is TakeOrderedAndProject (no global sort materialized).
+    "q_vocab_topk" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token")).limit(100)
+    },
+
+    // TF-IDF top term per document. idf kept rational (n_docs/df, no
+    // log) so both engines compute bit-identical doubles; the corpus
+    // size joins in as a broadcast scalar, never a driver-side collect.
+    "q_tfidf_top" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(total))
+        .withColumn("tfidf", col("tf") * (col("n_docs").cast(DoubleType) / col("df")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+        .orderBy("doc_id")
+    },
+
+    // PII-style scrubbing: mask digit runs, count the redactions —
+    // one codegen'd pass, the fingerprint proves byte-identical output.
+    "q_pii_redact" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[0-9]+")).cast(LongType).as("n_redacted"),
+        md5(regexp_replace(col("text"), "[0-9]+", "#")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal: blob metadata (oracle-checkable half of media handling).
     "q_blob_meta" -> { (s, dir) =>
       val d = MultimodalOps.withBlob(Tables(s, dir, "documents"), "text")
@@ -338,6 +379,29 @@ object TextQueries {
              + least(stop_ratio * 5.0, 1.0) * 0.2
              + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1, 6) AS quality
          FROM scores ORDER BY doc_id""",
+    "q_vocab_topk" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+    "q_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         total AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf * (CAST(n_docs AS DOUBLE) / df) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN total),
+         ranked AS (
+           SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+           FROM scored)
+         SELECT doc_id, term AS top_term, tfidf FROM ranked
+         WHERE rk = 1 ORDER BY doc_id""",
+    "q_pii_redact" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redacted,
+           md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5
+         FROM documents ORDER BY doc_id""",
     "q_dup_clusters" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id AS id, unnest(list_distinct(
