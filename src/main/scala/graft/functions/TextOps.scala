@@ -59,8 +59,15 @@ object TextOps {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** Count of tokens in a fixed word set — the native codegen'd
+    * [[graft.functions.CountInSet]]; the `size(filter(...isin...))` HOF
+    * form is CodegenFallback and interprets a lambda per token.
+    */
+  def countInSet(tokensCol: Column, words: Seq[String]): Column =
+    call_function("graft_count_in", tokensCol, lit(words.mkString(",")))
+
   def stopwordCount(c: Column, stopwords: Seq[String] = defaultStopwords): Column =
-    size(filter(tokens(c), t => t.isin(stopwords: _*))).cast(LongType)
+    countInSet(tokens(c), stopwords)
 
   def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column =
     stopwordCount(c, stopwords) / tokenCount(c)
@@ -87,7 +94,7 @@ object TextOps {
   def langScores(c: Column): Seq[(String, Column)] = {
     val t = tokens(c)
     langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(t, w => w.isin(markers: _*))).cast(LongType)
+      lang -> countInSet(t, markers)
     }
   }
 

@@ -278,6 +278,59 @@ case class MinHashSignature(child: Expression, k: Int, n: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Count of array elements contained in a fixed word set, codegen'd.
+  *
+  * Replaces `size(filter(tokens, t => t.isin(words)))` in the language-ID
+  * and stopword scorers: the HOF form is CodegenFallback and interprets a
+  * lambda per token per call — five such passes per row in the quality
+  * pipeline. Here the set membership is one HashSet probe per token
+  * inside WholeStageCodegen. Null elements don't match; a null array
+  * yields null.
+  */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_count_in"
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    var n = 0L
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i) && set.contains(a.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("countInSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |long $n = 0L;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) $n++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word n-gram shingle hashes, one codegen'd pass.
   *
   * Input: the token array. Each token is xxhash64'd once; a shingle's
@@ -446,6 +499,14 @@ object GraftFunctions {
           s.eval().asInstanceOf[Number].longValue())
         case _ => throw new IllegalArgumentException(
           "graft_minhash(tokens[, k, n, seed])")
+      }),
+    ("graft_count_in",
+      new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
+      (es: Seq[Expression]) => es match {
+        case Seq(arr, words) => CountInSet(arr,
+          words.eval().toString.split(',').toSeq)
+        case _ => throw new IllegalArgumentException(
+          "graft_count_in(tokens, 'w1,w2,...')")
       }),
     ("graft_shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
