@@ -72,9 +72,12 @@ object TextOps {
   def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column =
     stopwordCount(c, stopwords) / tokenCount(c)
 
-  /** Ratio of non-alphanumeric, non-space characters. */
+  /** Ratio of non-alphanumeric, non-space characters — native codegen'd
+    * [[graft.functions.PunctCount]] (the regexp_replace formulation
+    * compiles a regex and builds the stripped string per row).
+    */
   def punctRatio(c: Column): Column =
-    length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", "")).cast(DoubleType) / length(c)
+    call_function("graft_punct_count", c).cast(DoubleType) / length(c)
 
   /** Distinct-token / token ratio — low values flag boilerplate/spam. */
   def tokenDiversity(c: Column): Column =

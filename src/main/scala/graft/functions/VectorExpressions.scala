@@ -331,6 +331,53 @@ case class CountInSet(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Count of codepoints NOT matched by the Java-regex class
+  * `[\p{L}\p{N}\s]` — i.e. `length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", ""))`
+  * without compiling a regex or materializing the stripped string per
+  * row. Class semantics replicate java.util.regex exactly (what Spark's
+  * regexp_replace uses): \p{L} = Character.isLetter categories, \p{N} =
+  * Nd/Nl/No, \s = ASCII [ \t\n\x0B\f\r].
+  */
+case class PunctCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_punct_count"
+
+  override def nullSafeEval(input: Any): Any =
+    PunctCount.count(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = PunctCount.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $helper.count($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PunctCount {
+  /** Shared by interpreted eval and codegen (called from generated code). */
+  def count(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val t = Character.getType(cp)
+      val isLetter = Character.isLetter(cp)
+      val isNumber = t == Character.DECIMAL_DIGIT_NUMBER ||
+        t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+      val isJavaRegexSpace = cp == ' ' || cp == '\t' || cp == '\n' ||
+        cp == 0x0B || cp == '\f' || cp == '\r'
+      if (!isLetter && !isNumber && !isJavaRegexSpace) n += 1
+      i += Character.charCount(cp)
+    }
+    n
+  }
+}
+
 /** Distinct word n-gram shingle hashes, one codegen'd pass.
   *
   * Input: the token array. Each token is xxhash64'd once; a shingle's
@@ -500,6 +547,9 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "graft_minhash(tokens[, k, n, seed])")
       }),
+    ("graft_punct_count",
+      new ExpressionInfo(classOf[PunctCount].getName, "graft_punct_count"),
+      (es: Seq[Expression]) => PunctCount(es(0))),
     ("graft_count_in",
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
       (es: Seq[Expression]) => es match {

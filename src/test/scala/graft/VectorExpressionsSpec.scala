@@ -66,6 +66,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert((got(1L)._1 intersect got(4L)._1).isEmpty)
   }
 
+  test("graft_punct_count matches the regexp_replace formulation exactly") {
+    val df = Seq(
+      "hello, world! 42",
+      "éàü Ⅻ ² punct: ;—…",     // unicode letters, letter-number, other-number, dashes
+      "tabs\tnewlines\nvtff\fcr\r",
+      "", "no punct here 123")
+      .toDF("s")
+    val rows = df.select(
+      call_function("graft_punct_count", col("s")).as("native"),
+      length(regexp_replace(col("s"), "[\\p{L}\\p{N}\\s]", "")).cast("long").as("regex"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("GraftExtensions registered the functions at session build (SQL name resolution)") {
     // the shared session is built with
     // spark.sql.extensions=graft.functions.GraftExtensions and never
