@@ -231,6 +231,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The complete near-dedup pass: pairs -> clusters -> corpus minus
+    // every non-canonical cluster member (keep the min doc_id). The
+    // loser set is tiny relative to the corpus, so the final step is a
+    // cheap left-anti join against a narrow id list.
+    "q_dedup_full" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.05, n = 3)
+      val losers = graft.operators.GraphOps.dupClusters(pairs)
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified hash sampling: ~50% of English docs, ~25%
     // of the rest, reproducible across engines and cluster layouts
     // (CoreOps.hashSample) — the auditable train/held-out split primitive.
@@ -428,6 +444,34 @@ object TextQueries {
            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
          SELECT id AS doc_id, min(r) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_dedup_full" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+           )) AS sh
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         shared AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+         pairs AS (
+           SELECT id_a, id_b FROM shared
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
+         ORDER BY doc_id""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)

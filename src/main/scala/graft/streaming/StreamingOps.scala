@@ -105,6 +105,30 @@ object StreamingOps {
       }
   }
 
+  /** Watermarked stream-stream inner join: each purchase picks up the
+    * same user's clicks from the preceding `lookback` interval. Both
+    * sides carry watermarks and the join condition bounds the time gap,
+    * so Spark can expire buffered state on both sides — without the
+    * interval bound, stream-stream join state grows forever.
+    */
+  def clickPurchaseJoin(
+      purchases: DataFrame, clicks: DataFrame,
+      lookback: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val p = purchases
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    p.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+        col("click_ts") <= col("ts"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Truncate-and-load sink semantics (reference db.py:23-38) for a
     * streaming query: each micro-batch overwrites the target path —
     * idempotent under replays because the write is a full snapshot.

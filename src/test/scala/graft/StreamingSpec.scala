@@ -79,6 +79,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs purchases with in-window clicks across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[Ev]
+    val cm = MemoryStream[Ev]
+    val q = StreamingOps.clickPurchaseJoin(pm.toDF(), cm.toDF(), lookback = "30 minutes")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      // click arrives in an EARLIER batch than the purchase it matches —
+      // the join buffers it in state until the purchase shows up
+      cm.addData(Ev(10, ts(5), 1, "click", 0.0), Ev(11, ts(50), 2, "click", 0.0))
+      q.processAllAvailable()
+      pm.addData(Ev(1, ts(20), 1, "purchase", 9.5), // matches click 10 (15 min back)
+        Ev(2, ts(45), 1, "purchase", 3.0))          // click 10 is 40 min back -> outside window
+      q.processAllAvailable()
+      cm.addData(Ev(12, ts(44), 1, "click", 0.0))   // late-batch click inside purchase 2's window
+      pm.addData(Ev(3, ts(55), 2, "purchase", 1.0)) // matches click 11 (5 min back)
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("event_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 10L), (2L, 12L), (3L, 11L)))
+    } finally q.stop()
+  }
+
   test("truncateLoadEachBatch leaves exactly the final snapshot on disk") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
