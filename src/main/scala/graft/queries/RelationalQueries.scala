@@ -229,6 +229,30 @@ object RelationalQueries {
         .orderBy("o_custkey")
     },
 
+    // Equi-width histogram: one hash aggregate on the computed bucket —
+    // the profiling pass that sizes partitions/salts before a big run.
+    "q_histogram" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.CoreOps.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket")
+    },
+
+    // Single-pass table profile: per-column null/distinct/extreme stats
+    // in ONE aggregate (no per-column scans — the shape that matters when
+    // the table is 100 TB).
+    "q_profile" -> { (s, dir) =>
+      Tables(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("o_custkey")).as("n_customers"),
+        count_distinct(col("o_orderstatus")).as("n_statuses"),
+        sum(when(col("o_orderpriority").isNull, 1).otherwise(0)).as("n_null_priority"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"),
+        graft.ops.CoreOps.davg(col("o_totalprice")).as("avg_price"))
+    },
+
     // ROLLUP over the region/nation hierarchy (null keys -> 'ALL').
     "q_rollup" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -508,6 +532,20 @@ object RelationalQueries {
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+         count(*) AS n,
+         ${decToDouble("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS sum_price
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "q_profile" ->
+      s"""SELECT count(*) AS n_rows,
+         count(DISTINCT o_custkey) AS n_customers,
+         count(DISTINCT o_orderstatus) AS n_statuses,
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_null_priority,
+         min(o_orderdate) AS min_date,
+         max(o_orderdate) AS max_date,
+         ${decToDouble("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} / count(o_totalprice) AS avg_price
+         FROM orders""",
     "q_full_outer" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'),
          o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
