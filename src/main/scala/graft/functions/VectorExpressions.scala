@@ -331,6 +331,62 @@ case class CountInSet(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Whitespace-run collapse: every run of Java-regex `\s` characters
+  * ([ \t\n\x0B\f\r] — ASCII only) becomes a single space, i.e.
+  * `regexp_replace(c, "\\s+", " ")` without the regex engine. Because the
+  * class is pure ASCII and UTF-8 continuation/lead bytes are >= 0x80, the
+  * scan works on raw UTF-8 bytes — no decoding, one output buffer.
+  */
+case class WsCollapse(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_ws_collapse"
+
+  override def nullSafeEval(input: Any): Any =
+    WsCollapse.collapse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = WsCollapse.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $helper.collapse($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WsCollapse {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Shared by interpreted eval and codegen (called from generated code). */
+  def collapse(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val out = new Array[Byte](in.length)
+    var w = 0
+    var i = 0
+    var inRun = false
+    var changed = false
+    while (i < in.length) {
+      val b = in(i)
+      if (isWs(b)) {
+        if (!inRun) { out(w) = ' '; w += 1; inRun = true }
+        else changed = true // run collapsed
+        if (b != ' ') changed = true // non-space ws normalized
+      } else {
+        out(w) = b; w += 1; inRun = false
+      }
+      i += 1
+    }
+    if (!changed) s // byte-identical; keep the original buffer
+    else UTF8String.fromBytes(java.util.Arrays.copyOf(out, w))
+  }
+}
+
 /** Count of codepoints NOT matched by the Java-regex class
   * `[\p{L}\p{N}\s]` — i.e. `length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", ""))`
   * without compiling a regex or materializing the stripped string per
@@ -547,6 +603,9 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "graft_minhash(tokens[, k, n, seed])")
       }),
+    ("graft_ws_collapse",
+      new ExpressionInfo(classOf[WsCollapse].getName, "graft_ws_collapse"),
+      (es: Seq[Expression]) => WsCollapse(es(0))),
     ("graft_punct_count",
       new ExpressionInfo(classOf[PunctCount].getName, "graft_punct_count"),
       (es: Seq[Expression]) => PunctCount(es(0))),

@@ -80,6 +80,18 @@ class VectorExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("graft_ws_collapse matches regexp_replace(\\s+ -> space) exactly") {
+    val df = Seq(
+      "a  b\t\tc", "  lead and trail  ", "\t", "one space only",
+      "mixed \t\n\f\r runs", "", "héllo nbsp stays") // NBSP is not Java \s
+      .toDF("s")
+    val rows = df.select(
+      call_function("graft_ws_collapse", col("s")).as("native"),
+      regexp_replace(col("s"), "\\s+", " ").as("regex"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("GraftExtensions registered the functions at session build (SQL name resolution)") {
     // the shared session is built with
     // spark.sql.extensions=graft.functions.GraftExtensions and never
