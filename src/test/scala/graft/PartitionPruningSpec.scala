@@ -33,6 +33,20 @@ class PartitionPruningSpec extends SparkSpec {
     assert(filtered.count() == 25)
   }
 
+  test("rank-filter top-k per group plans a WindowGroupLimit (partial per-partition pruning)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq.tabulate(100)(i => (i % 5, i, i * 1.1)).toDF("g", "id", "v")
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val topk = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+    // Spark's InferWindowGroupLimit rewrites rank-predicate windows so
+    // each task keeps only k rows per group BEFORE the window shuffle's
+    // sort — the built-in answer to top-k-per-key at scale (and why
+    // q_window_rank needs no custom operator).
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(topk.count() == 15)
+  }
+
   test("data predicate reaches the parquet reader as a pushed filter; projection prunes columns") {
     val q = spark.read.parquet(dir).filter(col("v") > 60.0).select("id")
     val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
