@@ -22,18 +22,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Untimed warmup: touch every table's footer/schema and run one cheap
-    // count per table so JIT, codegen caches, the file index, and the
-    // first-reader page-cache penalty don't get billed to whichever query
-    // happens to run first — per-query numbers then reflect steady-state
-    // compute, the regime a long-running cluster job actually operates in.
-    Tables.names.foreach(t => Tables(spark, sfDir, t).count())
+    // Untimed warmup: noop-write every table so JIT, codegen caches, the
+    // file index, and the first-reader page-cache penalty don't get
+    // billed to whichever query happens to run first — per-query numbers
+    // then reflect steady-state compute, the regime a long-running
+    // cluster job actually operates in. (noop, not count(): count prunes
+    // to an empty schema and never touches the column data pages.)
+    Tables.names.foreach(t =>
+      Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save())
 
     // Optional subset for focused local iteration (driver leaves it unset).
     val selected = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(SparkEntry.headline)
-    val results = selected.map { name =>
+    selected.filterNot(SparkEntry.queries.contains).foreach(n =>
+      System.err.println(s"[bench] unknown query '$n' skipped"))
+    val results = selected.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -65,9 +65,15 @@ object TextOps {
   /** Count of tokens in a fixed word set — the native codegen'd
     * [[graft.functions.CountInSet]]; the `size(filter(...isin...))` HOF
     * form is CodegenFallback and interprets a lambda per token.
+    * The set rides in a comma-joined literal, so words must be non-empty
+    * and comma-free (true of every marker/stopword list here).
     */
-  def countInSet(tokensCol: Column, words: Seq[String]): Column =
+  def countInSet(tokensCol: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "countInSet needs at least one word")
+    require(words.forall(w => w.nonEmpty && !w.contains(",")),
+      s"countInSet words must be non-empty and comma-free: $words")
     call_function("graft_count_in", tokensCol, lit(words.mkString(",")))
+  }
 
   def stopwordCount(c: Column, stopwords: Seq[String] = defaultStopwords): Column =
     countInSet(tokens(c), stopwords)

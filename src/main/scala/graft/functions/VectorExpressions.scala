@@ -477,7 +477,9 @@ object ShingleHashes {
     val toks = new Array[Long](len)
     var i = 0
     while (i < len) {
-      val s = arr.getUTF8String(i)
+      // null tokens hash like empty strings — no NPE from SQL callers
+      val s = if (arr.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+              else arr.getUTF8String(i)
       toks(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
       i += 1
     }

@@ -47,13 +47,20 @@ object GraphOps {
       .withColumn("comp", col("id")).localCheckpoint()
     // Convergence detection: per-vertex labels are monotonically
     // non-increasing (min over self+neighbors, then a jump to an equal or
-    // smaller label), so the label total strictly decreases until the
-    // fixpoint — comparing one exact scalar per round replaces a
-    // join-and-diff of old vs new labels (one fewer shuffle per round).
-    // Decimal sum: exact and overflow-free for any id magnitude.
+    // smaller label), so for NUMERIC ids the exact decimal label total
+    // strictly decreases until the fixpoint — comparing one scalar per
+    // round replaces a join-and-diff of old vs new labels (one fewer
+    // shuffle per round). Non-numeric ids (string fingerprints etc.)
+    // would cast to null and fake instant convergence, so they take the
+    // exact join-and-diff path instead.
+    val numericIds = labels.schema("comp").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0))
-    var prevSum = labelSum(labels)
+    def unchanged(next: DataFrame, prev: DataFrame): Boolean =
+      next.join(prev.withColumnRenamed("comp", "comp_old"), "id")
+        .filter(col("comp") =!= col("comp_old")).isEmpty
+    var prevSum = if (numericIds) labelSum(labels) else None
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -70,9 +77,13 @@ object GraphOps {
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
       val next = jumped.localCheckpoint()
-      val s = labelSum(next)
-      done = s == prevSum
-      prevSum = s
+      if (numericIds) {
+        val s = labelSum(next)
+        done = s == prevSum
+        prevSum = s
+      } else {
+        done = unchanged(next, labels)
+      }
       labels = next
       iter += 1
     }

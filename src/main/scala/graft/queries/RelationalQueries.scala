@@ -147,8 +147,11 @@ object RelationalQueries {
       sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          min_by(col("s_name"), col("s_acctbal")).as("poorest"),
-          max_by(col("s_name"), col("s_acctbal")).as("richest"),
+          // struct ordering key = (acctbal, name): equal balances break
+          // ties on the name, keeping the argmin/argmax deterministic
+          // (and oracle-stable) at any scale factor
+          min_by(col("s_name"), struct(col("s_acctbal"), col("s_name"))).as("poorest"),
+          max_by(col("s_name"), struct(col("s_acctbal"), col("s_name"))).as("richest"),
           min(col("s_acctbal")).as("min_bal"),
           max(col("s_acctbal")).as("max_bal"),
           count(lit(1)).as("n_suppliers"))
@@ -614,8 +617,8 @@ object RelationalQueries {
          ORDER BY o_orderkey""",
     "q_minmax_by" ->
       """SELECT n_name,
-           min_by(s_name, s_acctbal) AS poorest,
-           max_by(s_name, s_acctbal) AS richest,
+           (array_agg(s_name ORDER BY s_acctbal, s_name))[1] AS poorest,
+           (array_agg(s_name ORDER BY s_acctbal DESC, s_name DESC))[1] AS richest,
            min(s_acctbal) AS min_bal,
            max(s_acctbal) AS max_bal,
            count(*) AS n_suppliers

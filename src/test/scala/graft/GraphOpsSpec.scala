@@ -60,6 +60,16 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("string ids (fingerprint keys) take the join-diff convergence path and still converge") {
+    // a 6-node path of string ids — forces multiple rounds; the decimal
+    // label-sum shortcut would see null sums and stop after round 1
+    val ids = "abcdef".map(c => s"fp_$c")
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("src", "dst")
+    val cc = GraphOps.connectedComponents(edges).as[(String, String)].collect()
+    assert(cc.length == 6)
+    assert(cc.forall(_._2 == "fp_a"))
+  }
+
   test("empty and self-loop-only edge lists yield an empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(GraphOps.connectedComponents(empty).isEmpty)
