@@ -49,6 +49,28 @@ class JoinOpsSpec extends SparkSpec {
 
   private def ms(m: Long): Long = m * 60L * 1000L
 
+  test("asOfForward equals a naive per-row scan on random data (incl. repeated timestamps)") {
+    val rnd = new scala.util.Random(13)
+    // small ts domain forces same-key ts collisions -> exercises tieBreak
+    val left = Seq.tabulate(120)(i =>
+      (rnd.nextInt(6).toLong, ms(rnd.nextInt(40)), i.toLong))
+    val right = Seq.tabulate(150)(i =>
+      (rnd.nextInt(6).toLong, ms(rnd.nextInt(40)), 1000L + i))
+    val tolMs = ms(10)
+    val naive: Map[Long, Option[Long]] = left.map { case (k, t, id) =>
+      id -> right.filter { case (rk, rt, _) => rk == k && rt >= t && rt - t <= tolMs }
+        .sortBy { case (_, rt, rid) => (rt, rid) }.headOption.map(_._3)
+    }.toMap
+    val l = left.toDF("k", "tsm", "lid").withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val r = right.toDF("k", "tsm", "rid").withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val got = AsOfJoin.asOfForward(l, r, "k", "ts", Seq("rid"),
+      toleranceMs = Some(tolMs), tieBreak = Some("rid"))
+      .select("lid", "asof_rid").collect()
+      .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1))))
+      .toMap
+    assert(got == naive)
+  }
+
   test("bandJoin equals the naive range-predicate join") {
     val l = Seq.tabulate(200)(i => (i.toLong, i * 0.37)).toDF("lid", "lv")
     val r = Seq.tabulate(150)(i => (i.toLong, i * 0.53)).toDF("rid", "rv")
