@@ -278,14 +278,12 @@ object TextQueries {
     },
 
     // The composed training-data admission filter: exact-dedup survivors
-    // that are predicted English, high-quality, and length-bounded —
-    // every stage a pushable column predicate over one scan plus the
-    // narrow dedup semi-join.
+    // that are predicted English, high-quality, and length-bounded.
+    // Dedup via the windowed exactDedup (ONE shuffle on the content
+    // hash) rather than dup-groups + semi-join (two shuffles); language
+    // and quality predicates run on survivors only.
     "q_quality_filter" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-      val keep = DedupOps.exactDupGroups(d, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      d.join(keep, Seq("doc_id"), "left_semi")
+      DedupOps.exactDedup(Tables(s, dir, "documents"), "doc_id", "text")
         .filter(TextOps.langId(col("text")) === "en")
         .withColumn("quality", round(TextOps.qualityScore(col("text")), 6))
         .filter(col("quality") >= 0.5 &&
