@@ -43,8 +43,14 @@ object GraphOps {
       .filter(col("u") =!= col("v")).localCheckpoint()
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // Initialization IS the first propagation round: min over self and
+    // all neighbors comes straight off the symmetrized edge list in one
+    // aggregate — for clique-shaped duplicate clusters (the common case)
+    // labels are already final and the loop exits after one
+    // no-change round.
+    var labels = sym.groupBy(col("u"))
+      .agg(min(least(col("u"), col("v"))).as("comp"))
+      .withColumnRenamed("u", "id").localCheckpoint()
     // Convergence detection: per-vertex labels are monotonically
     // non-increasing (min over self+neighbors, then a jump to an equal or
     // smaller label), so for NUMERIC ids the exact decimal label total
