@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Nx scale-up smoke: materializes a documents table Nx the given SF
+  * (shifted-id copies), then times the linear per-document operators on
+  * it. Prints one JSON line {query: seconds} plus the x-factor vs the
+  * same queries at 1x, so scaling behavior is measured, not assumed.
+  *
+  * Only the per-doc (embarrassingly parallel / single-shuffle) operators
+  * run here: all-pairs similarity ops on a 90%-clone corpus would
+  * legitimately quadratic-blow-up on the clone groups — the documented
+  * pipeline order for such corpora is exact-dedup FIRST (q_dedup_exact /
+  * q_quality_filter), THEN pairwise similarity on survivors.
+  *
+  * Usage: runMain graft.ScaleSmoke [srcSfDir] [workDir]
+  */
+object ScaleSmoke {
+  private val queries = Seq(
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_text_stats",
+    "q_lang_quality", "q_quality_filter", "q_fingerprint", "q_vocab_topk",
+    "q_tfidf_top", "q_pack_chunks", "q_sample_stratified", "q_pii_redact")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scale_nx"
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "100").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // raw-copy every table file (no Spark rewrite: events must stay
+    // TIMESTAMP(NANOS) so Tables' normalization applies identically),
+    // then overwrite documents with 10 shifted-id copies.
+    val dst = java.nio.file.Paths.get(work)
+    java.nio.file.Files.createDirectories(dst)
+    Tables.names.filter(_ != "documents").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"), dst.resolve(s"$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val docs = Tables(spark, src, "documents")
+    val step = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until copies).map(k => docs.withColumn("doc_id", col("doc_id") + lit(k * step)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+
+    def timeAll(dir: String): Map[String, Double] = {
+      Tables(spark, dir, "documents").write.format("noop").mode("overwrite").save()
+      queries.map { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val at1x = timeAll(src)
+    val atNx = timeAll(work)
+    val lines = queries.map { q =>
+      f""""$q":{"x1":${at1x(q)}%.3f,"xN":${atNx(q)}%.3f,"factor":${atNx(q) / at1x(q)}%.2f}"""
+    }
+    println(s"""{"metric":"scale_nx","n":$copies,"docs":${step * copies},${lines.mkString(",")}}""")
+    spark.stop()
+  }
+}
