@@ -77,14 +77,33 @@ object DedupOps {
     * expensive half — callers that also keep the bands should compute
     * them once via [[withMinHashBands]] and pass the result here).
     */
+  /** @param maxBucket junk-bucket cutoff: band buckets holding more than
+    *                   this many docs are skipped entirely. A bucket of m
+    *                   docs emits m^2/2 candidates, so one degenerate
+    *                   bucket (boilerplate, clone floods — ScaleSmoke
+    *                   measured 13x on a clone-saturated corpus) can
+    *                   dominate the whole job; production LSH dedup always
+    *                   caps it. None = exact behavior (every candidate).
+    */
   def minHashCandidatePairsFromBanded(
-      bandedDf: DataFrame, idCol: String, bands: Int = 4): DataFrame = {
+      bandedDf: DataFrame, idCol: String, bands: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
     val banded = bandedDf
       .filter(col("minhash_sig").isNotNull)
       .select(col(idCol), posexplode(array((0 until bands).map(i => col(s"band_$i")): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val a = banded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    val kept = maxBucket match {
+      case None => banded
+      case Some(cap) =>
+        // one extra narrow agg on the same key the join shuffles on —
+        // the bucket sizes reuse the exchange, so the cap is ~free
+        val sizes = banded.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__bucket_n"))
+          .filter(col("__bucket_n") <= cap)
+        banded.join(sizes, Seq("band", "band_hash")).drop("__bucket_n")
+    }
+    val a = kept.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val b = kept.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -152,9 +171,19 @@ object DedupOps {
     * Unlike MinHash this is exact, at the cost of candidate fan-out on
     * common shingles — pair it with a stopword-shingle filter at scale.
     */
+  /** @param maxDocFreq stop-shingle cutoff: shingles occurring in more
+    *                    than this many docs are dropped from the index
+    *                    (their pair fan-out is quadratic and they carry
+    *                    almost no Jaccard signal — the textual analog of
+    *                    a stopword). NOTE: pairs whose overlap was only
+    *                    stop-shingles are missed and surviving pair
+    *                    Jaccards are computed over the pruned shingle
+    *                    sets, so this trades exactness for scale;
+    *                    None = exact (the oracle-checked configuration).
+    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
+      threshold: Double, n: Int = 3, maxDocFreq: Option[Int] = None): DataFrame = {
     // Join key is a 64-bit shingle hash, not the shingle text: the
     // self-join shuffle then moves 16-byte rows instead of full n-grams,
     // and the native ShingleHashes expression never materializes an
@@ -165,11 +194,25 @@ object DedupOps {
     val hashed = df.select(col(idCol).as("id"),
       call_function("graft_shingle_hashes",
         TextOps.tokens(col(textCol)), lit(n), lit(42L)).as("shs"))
-    // Per-doc distinct-shingle counts read the array length directly —
-    // no explode, no shuffle-side count, no cache.
-    val sizes = hashed.select(col("id"), size(col("shs")).cast(LongType).as("n_sh"))
-      .filter(col("n_sh") > 0)
-    val sh = hashed.select(col("id"), explode(col("shs")).as("sh"))
+    val shAll = hashed.select(col("id"), explode(col("shs")).as("sh"))
+    val sh = maxDocFreq match {
+      case None => shAll
+      case Some(cap) =>
+        val dfreq = shAll.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+        shAll.join(dfreq, Seq("sh")).drop("__df")
+    }
+    // Per-doc distinct-shingle counts: straight off the array length when
+    // exact (no explode, no shuffle-side count); over the pruned index
+    // when stop-shingles are dropped, so pair Jaccards stay internally
+    // consistent with the pruned sets.
+    val sizes = maxDocFreq match {
+      case None =>
+        hashed.select(col("id"), size(col("shs")).cast(LongType).as("n_sh"))
+          .filter(col("n_sh") > 0)
+      case Some(_) =>
+        sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    }
     // (A singleton-shingle df-prune before the self-join was measured
     // and NOT kept: it helps only when most shingles are unique; on
     // corpora with repeating vocabulary the extra aggregate+join costs

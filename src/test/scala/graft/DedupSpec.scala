@@ -92,6 +92,45 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("junk-bucket cap drops flooded LSH buckets, keeps small ones") {
+    // 12 clones of base share every band -> four buckets of size 12;
+    // the two distinct docs land in singleton buckets. cap=5 skips the
+    // flooded buckets entirely and invents nothing else.
+    val flood = (0L until 12L).map(i => (i, base)) ++
+      Seq((20L, distinct1), (21L, distinct2))
+    val df = flood.toDF("doc_id", "text")
+    val banded = DedupOps.withMinHashBands(df, "text")
+    val exact = DedupOps.minHashCandidatePairsFromBanded(banded, "doc_id")
+    val capped = DedupOps.minHashCandidatePairsFromBanded(banded, "doc_id",
+      maxBucket = Some(5))
+    assert(exact.count() == 12L * 11 / 2) // all clone pairs
+    assert(capped.count() == 0) // flooded buckets skipped entirely
+  }
+
+  test("stop-shingle cap prunes high-doc-freq shingles but keeps rare-overlap pairs") {
+    // doc pair (0,1) overlaps ONLY on a ubiquitous shingle (in every
+    // doc); pair (2,3) overlaps on a rare one. cap=3 of 6 docs kills the
+    // ubiquitous-only pair, keeps the rare pair.
+    val common = "alpha beta gamma" // shingle present in all 6 docs
+    val docs6 = Seq(
+      (0L, s"$common one two three four"),
+      (1L, s"$common five six seven eight"),
+      (2L, s"$common rare pair shingle nine"),
+      (3L, s"$common rare pair shingle ten"),
+      (4L, s"$common eleven twelve thirteen fourteen"),
+      (5L, s"$common fifteen sixteen seventeen eighteen")
+    ).toDF("doc_id", "text")
+    val exact = DedupOps.ngramJaccardPairs(docs6, "doc_id", "text",
+      threshold = 0.01, n = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pruned = DedupOps.ngramJaccardPairs(docs6, "doc_id", "text",
+      threshold = 0.01, n = 3, maxDocFreq = Some(3))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((0L, 1L)) && exact.contains((2L, 3L)))
+    assert(!pruned.contains((0L, 1L))) // overlap was stop-shingles only
+    assert(pruned.contains((2L, 3L))) // rare overlap survives
+  }
+
   test("embeddingNearDupPairs finds planted identical vectors via LSH buckets") {
     val v1 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val v2 = v1.clone()
