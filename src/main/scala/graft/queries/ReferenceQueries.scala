@@ -132,6 +132,14 @@ object ReferenceQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // The DSv2 source is synthetic-deterministic (NA1_<queue>_<seq> ids),
+    // so its aggregate has a golden result: the oracle pins that filter
+    // pushdown + limit produce exactly the right rows end to end.
+    "q_rest_scan" ->
+      """SELECT queue, n_ids, first_id FROM (VALUES
+           (400, CAST(500 AS BIGINT), 'NA1_400_0000000'),
+           (450, CAST(500 AS BIGINT), 'NA1_450_0000000'))
+         t(queue, n_ids, first_id) ORDER BY queue""",
     "q_flatten_project" ->
       """SELECT event_id, user_id, event_type,
          strftime(ts, '%Y-%m-%d') AS day,
