@@ -256,6 +256,39 @@ object RelationalQueries {
         graft.ops.CoreOps.davg(col("o_totalprice")).as("avg_price"))
     },
 
+    // UNPIVOT (melt): wide per-line measures -> long (metric, value)
+    // rows — the inverse of q_pivot, a generator-like projection with no
+    // shuffle until the final presentation sort.
+    "q_unpivot" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "metric", valueColumnName = "value")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // value joins the sort key to keep the order total
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+    },
+
+    // Fuzzy string matching: pairwise Levenshtein over a bounded sample
+    // (the verify step of fuzzy entity resolution; the scale path bounds
+    // candidates first — LSH/blocking — exactly like the dedup family).
+    "q_fuzzy_match" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("prefix"))
+      val a = d.select(col("doc_id").as("id_a"), col("prefix").as("p_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("prefix").as("p_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("p_a"), col("p_b")))
+        .filter(col("dist") <= 12)
+        .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ROLLUP over the region/nation hierarchy (null keys -> 'ALL').
     "q_rollup" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -535,6 +568,21 @@ object RelationalQueries {
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                      l_discount, l_tax
+               FROM lineitem WHERE l_orderkey <= 100)
+         UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+         ORDER BY l_orderkey, l_linenumber, metric, value""",
+    "q_fuzzy_match" ->
+      """WITH d AS (SELECT doc_id, substring(text, 1, 20) AS prefix
+                    FROM documents WHERE doc_id < 50)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.prefix, b.prefix) <= 12
+         ORDER BY id_a, id_b""",
     "q_histogram" ->
       s"""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
          count(*) AS n,
