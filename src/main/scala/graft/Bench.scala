@@ -35,9 +35,9 @@ object Bench {
     val selected = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(SparkEntry.headline)
-    selected.filterNot(SparkEntry.queries.contains).foreach(n =>
-      System.err.println(s"[bench] unknown query '$n' skipped"))
-    val results = selected.filter(SparkEntry.queries.contains).map { name =>
+    val (known, unknown) = selected.partition(SparkEntry.queries.contains)
+    unknown.foreach(n => System.err.println(s"[bench] unknown query '$n' skipped"))
+    val results = known.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

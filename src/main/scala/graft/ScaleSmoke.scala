@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.functions._
 
 /** Nx scale-up smoke: materializes a documents table Nx the given SF
@@ -26,19 +26,14 @@ object ScaleSmoke {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scale_nx"
     val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "100").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // raw-copy every table file (no Spark rewrite: events must stay
     // TIMESTAMP(NANOS) so Tables' normalization applies identically),
-    // then overwrite documents with 10 shifted-id copies.
+    // then overwrite documents with the shifted-id copies.
     val dst = java.nio.file.Paths.get(work)
     java.nio.file.Files.createDirectories(dst)
     Tables.names.filter(_ != "documents").foreach { t =>

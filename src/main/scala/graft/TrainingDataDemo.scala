@@ -30,12 +30,9 @@ object TrainingDataDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_training_demo"
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stats = run(spark, sfDir, outDir)
     println(stats.map { case (k, v) => s"$k=$v" }.mkString("[demo] ", " ", ""))
@@ -52,8 +49,10 @@ object TrainingDataDemo {
       .filter(TextOps.qualityScore(col("text")) >= 0.4)
       .filter(TextOps.tokenCount(col("text")).between(10, 5000))
 
-    // 2. exact dedup — one shuffle on the content hash
-    val exactDeduped = DedupOps.exactDedup(admitted, "doc_id", "text")
+    // 2. exact dedup — one shuffle on the content hash. Materialized
+    // once: three consumers (pair generation, the anti-join, and the
+    // attrition count) would otherwise each re-run the scan+window.
+    val exactDeduped = DedupOps.exactDedup(admitted, "doc_id", "text").localCheckpoint()
 
     // 3. near-dedup — pairs on survivors only, clusters, drop losers
     val pairs = DedupOps.ngramJaccardPairs(
@@ -74,9 +73,7 @@ object TrainingDataDemo {
     val w = 512
     val chunks = split
       .select(col("doc_id"), col("split"),
-        posexplode(transform(
-          sequence(lit(0), floor((length(col("text")) - 1) / lit(w)).cast("int")),
-          i => col("text").substr(i * w + 1, lit(w)))))
+        posexplode(TextOps.chunks(col("text"), w)))
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
       .observe(obs,
         count(lit(1)).as("n_chunks"),

@@ -59,6 +59,15 @@ object TextOps {
     ).otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Fixed-width character chunks of `c` (sequence-packing unit): one
+    * array element per `w`-char window, last one possibly shorter.
+    * Callers must pre-filter empty strings (no chunks to emit).
+    */
+  def chunks(c: Column, w: Int): Column =
+    transform(
+      sequence(lit(0), floor((length(c) - 1) / lit(w)).cast(IntegerType)),
+      i => c.substr(i * w + 1, lit(w)))
+
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 

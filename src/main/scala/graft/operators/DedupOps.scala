@@ -76,8 +76,8 @@ object DedupOps {
   /** Candidate pairs from an already-banded frame (signatures are the
     * expensive half — callers that also keep the bands should compute
     * them once via [[withMinHashBands]] and pass the result here).
-    */
-  /** @param maxBucket junk-bucket cutoff: band buckets holding more than
+    *
+    * @param maxBucket junk-bucket cutoff: band buckets holding more than
     *                   this many docs are skipped entirely. A bucket of m
     *                   docs emits m^2/2 candidates, so one degenerate
     *                   bucket (boilerplate, clone floods — ScaleSmoke
@@ -168,10 +168,11 @@ object DedupOps {
   /** Exact n-gram Jaccard pairs via an inverted shingle index: explode
     * distinct shingles, self-join on the shingle (the shuffle key),
     * count shared shingles per pair, Jaccard from |A|+|B|-|shared|.
-    * Unlike MinHash this is exact, at the cost of candidate fan-out on
-    * common shingles — pair it with a stopword-shingle filter at scale.
-    */
-  /** @param maxDocFreq stop-shingle cutoff: shingles occurring in more
+    * Unlike MinHash this is exact (at the default settings), at the cost
+    * of candidate fan-out on common shingles — `maxDocFreq` is the scale
+    * valve for that.
+    *
+    * @param maxDocFreq stop-shingle cutoff: shingles occurring in more
     *                    than this many docs are dropped from the index
     *                    (their pair fan-out is quadratic and they carry
     *                    almost no Jaccard signal — the textual analog of

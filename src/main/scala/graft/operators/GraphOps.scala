@@ -11,9 +11,9 @@ import org.apache.spark.sql.types.DecimalType
   * even when duplicates chain (a~b, b~c but not a~c).
   *
   * Scale design: the iterative driver loop runs a fixed small number of
-  * rounds; every round is two narrow shuffles (join on dst, agg on id)
-  * over (long, long) rows — no adjacency materialization beyond the edge
-  * list, no driver-side graph. Pointer jumping (comp := comp(comp)) makes
+  * rounds; every round is three narrow shuffles (neighbor join, min agg,
+  * pointer-jump join) over (id, label) rows — no adjacency
+  * materialization beyond the edge list, no driver-side graph. Pointer jumping (comp := comp(comp)) makes
   * label convergence logarithmic in component diameter, so even
   * pathological chain-shaped duplicate clusters converge in ~log2(n)
   * rounds, the same bound as the large-star/small-star MapReduce

@@ -265,10 +265,7 @@ object TextQueries {
       val w = 256
       Tables(s, dir, "documents")
         .filter(length(col("text")) > 0)
-        .select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), floor((length(col("text")) - 1) / lit(w)).cast(IntegerType)),
-            i => col("text").substr(i * w + 1, lit(w)))))
+        .select(col("doc_id"), posexplode(TextOps.chunks(col("text"), w)))
         .select(
           col("doc_id"),
           col("pos").cast(LongType).as("chunk_idx"),
