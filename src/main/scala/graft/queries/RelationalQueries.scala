@@ -289,6 +289,21 @@ object RelationalQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Bitwise aggregates (exact, order-free) + deterministic string
+    // aggregation (sorted distinct join — Spark's listagg/string_agg has
+    // no WITHIN GROUP ordering, so the portable-deterministic form is
+    // sort-then-join).
+    "q_bit_string_agg" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          bit_and(col("o_orderkey")).as("key_and"),
+          bit_or(col("o_orderkey")).as("key_or"),
+          bit_xor(col("o_orderkey")).as("key_xor"),
+          array_join(array_sort(collect_set(col("o_orderpriority"))), "|").as("priorities"))
+        .orderBy("o_orderstatus")
+    },
+
     // ROLLUP over the region/nation hierarchy (null keys -> 'ALL').
     "q_rollup" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -568,6 +583,13 @@ object RelationalQueries {
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_bit_string_agg" ->
+      """SELECT o_orderstatus,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value
          FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
