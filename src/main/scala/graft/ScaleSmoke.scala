@@ -20,7 +20,10 @@ object ScaleSmoke {
   private val queries = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_text_stats",
     "q_lang_quality", "q_quality_filter", "q_fingerprint", "q_vocab_topk",
-    "q_tfidf_top", "q_pack_chunks", "q_sample_stratified", "q_pii_redact")
+    "q_tfidf_top", "q_pack_chunks", "q_sample_stratified", "q_pii_redact",
+    // ANN at Nx corpus: the fixed query set scans an Nx candidate pool —
+    // brute force is the linear baseline, LSH/IVF the sublinear paths
+    "q_embed_cosine_topk", "q_embed_ann_lsh", "q_embed_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -36,16 +39,22 @@ object ScaleSmoke {
     // then overwrite documents with the shifted-id copies.
     val dst = java.nio.file.Paths.get(work)
     java.nio.file.Files.createDirectories(dst)
-    Tables.names.filter(_ != "documents").foreach { t =>
+    val scaled = Set("documents", "embeddings")
+    Tables.names.filterNot(scaled).foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"), dst.resolve(s"$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val docs = Tables(spark, src, "documents")
-    val step = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-    (0 until copies).map(k => docs.withColumn("doc_id", col("doc_id") + lit(k * step)))
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    def buildNx(table: String, idCol: String): Long = {
+      val df = Tables(spark, src, table)
+      val step = df.agg(max(col(idCol))).head.getLong(0) + 1
+      (0 until copies).map(k => df.withColumn(idCol, col(idCol) + lit(k * step)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$work/$table.parquet")
+      step * copies
+    }
+    val nDocs = buildNx("documents", "doc_id")
+    buildNx("embeddings", "vec_id")
 
     def timeAll(dir: String): Map[String, Double] = {
       Tables(spark, dir, "documents").write.format("noop").mode("overwrite").save()
@@ -60,7 +69,7 @@ object ScaleSmoke {
     val lines = queries.map { q =>
       f""""$q":{"x1":${at1x(q)}%.3f,"xN":${atNx(q)}%.3f,"factor":${atNx(q) / at1x(q)}%.2f}"""
     }
-    println(s"""{"metric":"scale_nx","n":$copies,"docs":${step * copies},${lines.mkString(",")}}""")
+    println(s"""{"metric":"scale_nx","n":$copies,"docs":$nDocs,${lines.mkString(",")}}""")
     spark.stop()
   }
 }
