@@ -131,6 +131,42 @@ object TextOps {
     }.get.otherwise(lit("und"))
   }
 
+  /** Character n-grams of `c` (overlapping, step 1); shorter strings
+    * yield an empty array.
+    */
+  def charNgrams(c: Column, n: Int = 3): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(0), length(c) - n), i => c.substr(i + 1, lit(n))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Per-language character-trigram profiles, derived deterministically
+    * from the marker words with space padding (so word boundaries match
+    * inside running text).
+    */
+  def langTrigramProfiles(n: Int = 3): Seq[(String, Seq[String])] =
+    langMarkers.map { case (lang, words) =>
+      lang -> words.flatMap(w => s" $w ".sliding(n).toSeq).distinct
+    }
+
+  /** Character-n-gram language ID: score = number of the text's trigrams
+    * found in each language's profile, argmax wins (first listed on
+    * ties), "und" when nothing matches. Same plan shape as [[langId]] —
+    * one pass, one codegen'd CountInSet per language — but keyed on
+    * char n-grams, the classifier family that generalizes past an exact
+    * marker-word list.
+    */
+  def langIdNgram(c: Column): Column = {
+    val grams = charNgrams(lower(c))
+    val scores = langTrigramProfiles().map { case (lang, profile) =>
+      lang -> countInSet(grams, profile)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(None: Option[Column]) { case (acc, (lang, s)) =>
+      val cond = (s === best) && (s > 0)
+      Some(acc.fold(when(cond, lit(lang)))(_.when(cond, lit(lang))))
+    }.get.otherwise(lit("und"))
+  }
+
   /** Composite quality score in [0,1]: length saturation, lexical
     * diversity, stopword presence, low punctuation noise. Deterministic
     * arithmetic over per-row stats — identical in any engine.

@@ -141,6 +141,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Character-n-gram language ID — the profile-based classifier family
+    // (vs the marker-word argmax of q_lang_quality); profiles are
+    // deterministic trigram sets, scoring is one codegen'd pass.
+    "q_lang_ngram" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextOps.langIdNgram(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
     // Winnowing fingerprint sets (rolling-hash; no DuckDB twin → rows
     // only; copy-detection property proven in TextOpsSpec).
     "q_winnow" -> { (s, dir) =>
@@ -304,7 +314,37 @@ object TextQueries {
       MultimodalOps.decodeFeatures(s, d).toDF().orderBy("media_id")
     })
 
+  /** DuckDB twin of [[TextOps.langIdNgram]], with the same deterministic
+    * trigram profiles interpolated as literals so both engines score
+    * identical sets.
+    */
+  private def langNgramOracle: String = {
+    val profiles = TextOps.langTrigramProfiles()
+    def inList(p: Seq[String]) = p.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+    val scoreCols = profiles.map { case (lang, p) =>
+      s"len(list_filter(grams, t -> t IN (${inList(p)}))) AS s_$lang"
+    }.mkString(",\n             ")
+    val langs = profiles.map(_._1)
+    val greatestAll = langs.map("s_" + _).mkString("greatest(", ", ", ")")
+    val caseArms = langs.map(l =>
+      s"WHEN s_$l >= $greatestAll AND s_$l > 0 THEN '$l'").mkString("\n               ")
+    s"""WITH g AS (
+          SELECT doc_id, lang,
+            list_transform(range(1, greatest(length(text) - 1, 1)),
+              i -> substring(lower(text), CAST(i AS INT), 3)) AS grams
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang,
+             $scoreCols
+          FROM g)
+        SELECT doc_id, lang,
+          CASE $caseArms
+               ELSE 'und' END AS pred_lang
+        FROM scored ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_lang_ngram" -> langNgramOracle,
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
          count(*) AS n_copies, min(doc_id) AS keep_id

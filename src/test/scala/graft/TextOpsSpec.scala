@@ -57,6 +57,17 @@ class TextOpsSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("langIdNgram classifies via char-trigram profiles, 'und' when nothing matches") {
+    val df = Seq(
+      "the cat is on the mat and the dog was here",
+      "der hund und das kind ist nicht hier",
+      "le chat et les chiens est une famille pas",
+      "xq") // shorter than a trigram -> empty grams -> und
+      .toDF("t")
+      .select(TextOps.langIdNgram(col("t")).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "und"))
+  }
+
   test("quality score stays in [0,1] on real documents") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val mm = d.select(
