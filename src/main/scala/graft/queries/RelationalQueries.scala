@@ -304,6 +304,28 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     },
 
+    // The pure-SQL entry path (TPC-H Q3 shape over temp views): the same
+    // Catalyst plan as the DataFrame API — shared optimizer, shared
+    // physical strategies — exercised through `spark.sql`.
+    "q_sql_shipping_priority" -> { (s, dir) =>
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(
+        """SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+             o_orderdate, o_orderpriority
+           FROM customer
+             JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-06-01'
+             AND l_shipdate > TIMESTAMP '1998-06-01'
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           ORDER BY revenue DESC, o_orderdate, l_orderkey
+           LIMIT 10""")
+    },
+
     // ROLLUP over the region/nation hierarchy (null keys -> 'ALL').
     "q_rollup" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -583,6 +605,20 @@ object RelationalQueries {
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_sql_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         ${decToDouble("""sum(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))""")} AS revenue,
+         o_orderdate, o_orderpriority
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
     "q_bit_string_agg" ->
       """SELECT o_orderstatus,
            bit_and(o_orderkey) AS key_and,
