@@ -105,6 +105,13 @@ object StreamingOps {
       }
   }
 
+  /** Stream-static enrichment join: every micro-batch joins against the
+    * static dimension — no watermark needed (static side never expires),
+    * and a small dim broadcasts so the stream side never shuffles.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Watermarked stream-stream inner join: each purchase picks up the
     * same user's clicks from the preceding `lookback` interval. Both
     * sides carry watermarks and the join condition bounds the time gap,

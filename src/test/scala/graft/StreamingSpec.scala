@@ -103,6 +103,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch against a broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = StreamingOps.enrichWithDim(mem.toDF(), dim, "user_id")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 9, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(3), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+      assert(rows == Set((1L, "gold"), (2L, null), (3L, "silver")))
+    } finally q.stop()
+  }
+
   test("truncateLoadEachBatch leaves exactly the final snapshot on disk") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
