@@ -47,7 +47,7 @@ object ScaleSmoke {
     }
     def buildNx(table: String, idCol: String): Long = {
       val df = Tables(spark, src, table)
-      val step = df.agg(max(col(idCol))).head.getLong(0) + 1
+      val step = df.agg(max(col(idCol))).head().getLong(0) + 1
       (0 until copies).map(k => df.withColumn(idCol, col(idCol) + lit(k * step)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$work/$table.parquet")

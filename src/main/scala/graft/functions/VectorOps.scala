@@ -136,7 +136,7 @@ object VectorOps {
       .collect()
       .map(_.getSeq[Double](1))
 
-    def cellSims(vec: Column): Column = array(centroids.zipWithIndex.map {
+    def cellSims(vec: Column): Column = array(centroids.zipWithIndex.toIndexedSeq.map {
       case (c, i) =>
         struct(
           cosine(vec, array(c.map(lit): _*)).as("sim"),

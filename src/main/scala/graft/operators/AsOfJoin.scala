@@ -68,7 +68,7 @@ object AsOfJoin {
     val lCols = left.columns
     val rAligned = lCols.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
-    }.select((lCols.map(col) :+ col("__side") :+ col("__payload") :+
+    }.select((lCols.toIndexedSeq.map(col) :+ col("__side") :+ col("__payload") :+
       (if (tieBreak.isDefined) col(tbCol) else lit(null).as(tbCol))): _*)
 
     // scan order: nearest-qualifying right row is the last one seen

@@ -62,7 +62,7 @@ object GraphOps {
     val numericIds = labels.schema("comp").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0))
+      Option(df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0))
     def unchanged(next: DataFrame, prev: DataFrame): Boolean =
       next.join(prev.withColumnRenamed("comp", "comp_old"), "id")
         .filter(col("comp") =!= col("comp_old")).isEmpty
