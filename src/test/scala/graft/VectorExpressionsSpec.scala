@@ -92,6 +92,20 @@ class VectorExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("new native expressions are null-safe from SQL") {
+    // null array element hashes like an empty string instead of NPEing
+    val h = spark.sql(
+      "SELECT graft_shingle_hashes(array('a', CAST(NULL AS STRING), 'b', 'c'), 3, 42) AS h")
+      .head().getSeq[Long](0)
+    assert(h.nonEmpty)
+    // null inputs yield null, not crashes
+    val r = spark.sql(
+      """SELECT graft_count_in(CAST(NULL AS ARRAY<STRING>), 'a,b') AS a,
+                graft_punct_count(CAST(NULL AS STRING)) AS b,
+                graft_ws_collapse(CAST(NULL AS STRING)) AS c""").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("GraftExtensions registered the functions at session build (SQL name resolution)") {
     // the shared session is built with
     // spark.sql.extensions=graft.functions.GraftExtensions and never
