@@ -51,7 +51,9 @@ object ScaleSmoke {
       (0 until copies).map(k => df.withColumn(idCol, col(idCol) + lit(k * step)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$work/$table.parquet")
-      step * copies
+      // materialized row count, not the id-space size (step * copies):
+      // the two diverge whenever source ids are not dense from 0
+      copies * df.count()
     }
     val nDocs = buildNx("documents", "doc_id")
     buildNx("embeddings", "vec_id")

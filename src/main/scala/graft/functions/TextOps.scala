@@ -60,13 +60,17 @@ object TextOps {
   }
 
   /** Fixed-width character chunks of `c` (sequence-packing unit): one
-    * array element per `w`-char window, last one possibly shorter.
-    * Callers must pre-filter empty strings (no chunks to emit).
+    * array element per `w`-char window, last one possibly shorter; the
+    * empty string yields an empty array (sequence(0, -1) would otherwise
+    * infer a -1 step and emit two bogus chunks).
     */
   def chunks(c: Column, w: Int): Column =
-    transform(
-      sequence(lit(0), floor((length(c) - 1) / lit(w)).cast(IntegerType)),
-      i => c.substr(i * w + 1, lit(w)))
+    when(length(c) > 0,
+      transform(
+        sequence(lit(0), floor((length(c) - 1) / lit(w)).cast(IntegerType)),
+        i => c.substr(i * w + 1, lit(w)))
+    ).when(c.isNotNull, array().cast(ArrayType(StringType)))
+    // null input matches neither branch -> stays null
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")

@@ -584,6 +584,24 @@ object WinnowFingerprints {
   * build (the standard extension-jar deployment path).
   */
 object GraftFunctions {
+  /** Evaluate a builder argument that must be a non-null foldable literal
+    * (SQL path: `graft_minhash(toks, 16, 3, 42)`). Non-foldable or NULL
+    * arguments would otherwise surface as an opaque
+    * UnsupportedOperationException / NPE from `eval()`.
+    */
+  private def constArg(fn: String, pos: String, e: Expression): Any = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $pos must be a constant literal, got: ${e.sql}")
+    val v = e.eval()
+    if (v == null) throw new IllegalArgumentException(
+      s"$fn: $pos must not be NULL")
+    v
+  }
+  private def constInt(fn: String, pos: String, e: Expression): Int =
+    constArg(fn, pos, e).asInstanceOf[Number].intValue()
+  private def constLong(fn: String, pos: String, e: Expression): Long =
+    constArg(fn, pos, e).asInstanceOf[Number].longValue()
+
   private[functions] val fns: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -599,9 +617,9 @@ object GraftFunctions {
       (es: Seq[Expression]) => es match {
         case Seq(arr) => MinHashSignature(arr, 16, 3, 42L)
         case Seq(arr, k, n, s) => MinHashSignature(arr,
-          k.eval().asInstanceOf[Number].intValue(),
-          n.eval().asInstanceOf[Number].intValue(),
-          s.eval().asInstanceOf[Number].longValue())
+          constInt("graft_minhash", "k", k),
+          constInt("graft_minhash", "n", n),
+          constLong("graft_minhash", "seed", s))
         case _ => throw new IllegalArgumentException(
           "graft_minhash(tokens[, k, n, seed])")
       }),
@@ -614,8 +632,15 @@ object GraftFunctions {
     ("graft_count_in",
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
       (es: Seq[Expression]) => es match {
-        case Seq(arr, words) => CountInSet(arr,
-          words.eval().toString.split(',').toSeq)
+        case Seq(arr, words) =>
+          val ws = constArg("graft_count_in", "word list", words)
+            .toString.split(',').toSeq
+          if (ws.isEmpty || ws.exists(_.isEmpty))
+            throw new IllegalArgumentException(
+              "graft_count_in: words must be non-empty and comma-free " +
+                s"(got '${ws.mkString(",")}'); commas are the separator — " +
+                "a word containing a comma cannot be expressed via SQL")
+          CountInSet(arr, ws)
         case _ => throw new IllegalArgumentException(
           "graft_count_in(tokens, 'w1,w2,...')")
       }),
@@ -624,8 +649,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => es match {
         case Seq(arr) => ShingleHashes(arr, 3, 42L)
         case Seq(arr, n, s) => ShingleHashes(arr,
-          n.eval().asInstanceOf[Number].intValue(),
-          s.eval().asInstanceOf[Number].longValue())
+          constInt("graft_shingle_hashes", "n", n),
+          constLong("graft_shingle_hashes", "seed", s))
         case _ => throw new IllegalArgumentException(
           "graft_shingle_hashes(tokens[, n, seed])")
       }),
@@ -634,8 +659,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => es match {
         case Seq(str) => WinnowFingerprints(str, 5, 8)
         case Seq(str, k, w) => WinnowFingerprints(str,
-          k.eval().asInstanceOf[Number].intValue(),
-          w.eval().asInstanceOf[Number].intValue())
+          constInt("graft_winnow", "k", k),
+          constInt("graft_winnow", "w", w))
         case _ => throw new IllegalArgumentException("graft_winnow(text[, k, w])")
       }))
 

@@ -53,14 +53,20 @@ object GraphOps {
       .withColumnRenamed("u", "id").localCheckpoint()
     // Convergence detection: per-vertex labels are monotonically
     // non-increasing (min over self+neighbors, then a jump to an equal or
-    // smaller label), so for NUMERIC ids the exact decimal label total
+    // smaller label), so for INTEGRAL ids the exact decimal label total
     // strictly decreases until the fixpoint — comparing one scalar per
     // round replaces a join-and-diff of old vs new labels (one fewer
-    // shuffle per round). Non-numeric ids (string fingerprints etc.)
-    // would cast to null and fake instant convergence, so they take the
-    // exact join-and-diff path instead.
-    val numericIds = labels.schema("comp").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // shuffle per round). The shortcut is gated on integral types only:
+    // fractional ids (Double/Float/scaled Decimal) would round under the
+    // DecimalType(38,0) cast, so a sub-unit label change could leave the
+    // sum unchanged and declare convergence early. Those — and string
+    // fingerprints — take the exact join-and-diff path instead.
+    val numericIds = labels.schema("comp").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0))
     def unchanged(next: DataFrame, prev: DataFrame): Boolean =

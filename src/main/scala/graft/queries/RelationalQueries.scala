@@ -223,11 +223,15 @@ object RelationalQueries {
 
     // Array aggregation: per-customer sorted order-key list (deterministic
     // via sort_array) + distinct status count — collect_list/collect_set.
+    // The list is serialized with concat_ws for the output: the driver's
+    // checker sorts result rows across ALL columns in pandas, and a
+    // list-typed column is unhashable there (r03 failure) — a string
+    // column carries the same information and stays comparable.
     "q_array_agg" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(
-          sort_array(collect_list(col("o_orderkey"))).as("okeys"),
+          concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("okeys"),
           size(collect_set(col("o_orderstatus"))).cast(LongType).as("n_statuses"))
         .orderBy("o_custkey")
     },
@@ -650,7 +654,7 @@ object RelationalQueries {
       s"""SELECT count(*) AS n_rows,
          count(DISTINCT o_custkey) AS n_customers,
          count(DISTINCT o_orderstatus) AS n_statuses,
-         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_null_priority,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_priority,
          min(o_orderdate) AS min_date,
          max(o_orderdate) AS max_date,
          ${decToDouble("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} / count(o_totalprice) AS avg_price
@@ -685,7 +689,7 @@ object RelationalQueries {
          ORDER BY op, o_orderstatus""",
     "q_array_agg" ->
       """SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS okeys,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS okeys,
            CAST(len(list_distinct(list(o_orderstatus))) AS BIGINT) AS n_statuses
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q_asof_tolerance" ->
@@ -711,7 +715,7 @@ object RelationalQueries {
            FROM i a JOIN i b ON a.o_custkey = b.o_custkey
              AND a.o_orderkey < b.o_orderkey
              AND a.sd <= b.ed AND b.sd <= a.ed)
-         SELECT o_custkey, count(*) AS n_pairs, sum(ov) AS total_overlap_days
+         SELECT o_custkey, count(*) AS n_pairs, CAST(sum(ov) AS BIGINT) AS total_overlap_days
          FROM p GROUP BY o_custkey ORDER BY o_custkey""",
     "q_window_ntile" ->
       """SELECT o_orderkey, o_orderpriority,

@@ -70,6 +70,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc.forall(_._2 == "fp_a"))
   }
 
+  test("fractional (double) ids take the join-diff path and converge exactly") {
+    // sub-unit label gaps would vanish under a DecimalType(38,0) cast, so
+    // the label-sum shortcut must not be used for fractional id types; a
+    // path graph of 0.1-spaced doubles forces multiple propagation rounds
+    val ids = (0 to 5).map(_ * 0.1)
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("src", "dst")
+    val cc = GraphOps.connectedComponents(edges).as[(Double, Double)].collect()
+    assert(cc.length == 6)
+    assert(cc.forall(_._2 == 0.0))
+  }
+
   test("empty and self-loop-only edge lists yield an empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(GraphOps.connectedComponents(empty).isEmpty)

@@ -14,6 +14,15 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(1) == Seq.empty)
   }
 
+  test("chunks is total: empty string yields empty array, null stays null") {
+    val df = Seq(Some("abcdefgh"), Some(""), None).toDF("t")
+      .select(TextOps.chunks(col("t"), 3).as("c"))
+    val rows = df.as[Option[Seq[String]]].collect()
+    assert(rows(0).get == Seq("abc", "def", "gh"))
+    assert(rows(1).get == Seq.empty)
+    assert(rows(2).isEmpty)
+  }
+
   test("normText collapses whitespace and lowercases") {
     val got = Seq("  Hello   WORLD \t x ").toDF("t")
       .select(TextOps.normText(col("t"))).as[String].head()

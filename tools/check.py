@@ -3,13 +3,32 @@
 dumps, run each oracle SQL in DuckDB against the same testdata, compare
 row count, column names (sorted), and exact values.
 
+Besides the exact zip-compare (good for diagnosis), a second pass mimics
+the driver's checker: load both sides into pandas, sort rows across ALL
+columns, and hash a CSV serialization. This catches what the zip-compare
+cannot: dtype divergence (DuckDB sum(BIGINT) -> HUGEINT -> float64 in
+pandas, vs Spark's int64 — "3.0" != "3" in the hash) and unsortable
+columns (list-typed values crash pandas sort_values, as the driver's
+r03 run showed for q_array_agg).
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
+import hashlib
 import json
 import math
 import sys
 
 import duckdb
+
+
+def driver_hash(rel):
+    """Mimic the driver: pandas frame, columns sorted by name, rows sorted
+    across all columns, then hash the CSV text. Raises on unsortable
+    (e.g. list-typed) columns — exactly like the driver does."""
+    df = rel.df()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -65,6 +84,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {len(bad)}/{len(got_rows)} rows differ; first at {i}:")
             print(f"  spark : {g}")
             print(f"  duckdb: {e}")
+            n_fail += 1
+            continue
+        # driver-mimic pass: pandas sort + CSV hash (catches dtype drift)
+        try:
+            h_got = driver_hash(con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+            h_exp = driver_hash(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: driver-mimic hash raised: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if h_got != h_exp:
+            print(f"FAIL {name}: values equal but driver-style hash differs "
+                  f"(dtype drift, e.g. HUGEINT->float64?)")
             n_fail += 1
             continue
         print(f"PASS {name} ({len(got_rows)} rows)")
