@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter pre-filtered semi join.
+  *
+  * The scale problem: a semi join of a 100 TB fact table against a
+  * filtered dimension shuffles the ENTIRE fact side on the join key
+  * before any row is dropped (broadcast-semi avoids the shuffle but
+  * still evaluates the hash probe after a full scan materializes every
+  * row into the exchange-input projection). A Bloom filter built from
+  * the small side and pushed into a `filter` BEFORE the join drops the
+  * vast majority of non-matching fact rows at the scan — only the
+  * survivors (matches + `fpp` false positives) reach the join. This is
+  * exactly what Spark's own runtime row-group/semi-join filtering
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects for
+  * qualifying plans; this operator makes the technique explicit and
+  * composable for plans the optimizer rule does not cover (e.g. a
+  * pre-aggregated or multi-step small side).
+  *
+  * Exactness: the trailing left-semi join removes the Bloom false
+  * positives, so the result EXACTLY equals `big SEMI JOIN small` — the
+  * Bloom pass only prunes work, never changes semantics. That is why
+  * `q_bloom_semi_join`'s DuckDB oracle is a plain `IN` subquery.
+  *
+  * Keys must be integral (long-compatible); the sketch probe is
+  * `mightContainLong`. The filter is a Scala UDF (not codegen'd) — at
+  * scan time that costs one virtual call per row against a broadcast
+  * bitset, far cheaper than shuffling the pruned rows would be.
+  */
+object BloomJoin {
+
+  /** `big` rows whose `bigKey` appears in `small.smallKey` — exact semi
+    * join semantics, Bloom-pruned before the shuffle.
+    *
+    * @param expectedItems sizing for the sketch (number of distinct small
+    *                      side keys; over-sizing only costs bits)
+    * @param fpp           target false-positive rate of the PRE-filter
+    */
+  def bloomSemiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    val pruned = big.filter(mightContain(col(bigKey)))
+    pruned.join(
+      small.select(col(smallKey).as(bigKey)),
+      Seq(bigKey), "left_semi")
+  }
+
+  /** The Bloom pre-filter alone (no trailing join) — for callers that
+    * tolerate `fpp` false positives in exchange for zero join cost, e.g.
+    * candidate pruning feeding an exact verifier downstream.
+    */
+  def bloomPrefilter(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    big.filter(mightContain(col(bigKey)))
+  }
+}

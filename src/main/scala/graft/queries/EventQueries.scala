@@ -56,6 +56,44 @@ object EventQueries {
           dsum(col("value")).as("sum_value"),
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
         .orderBy("user_id", "session_id")
+    },
+
+    // Latest record per key — CDC/changelog compaction: one window
+    // shuffle on the key, row_number desc = 1. At scale this is the
+    // standard upsert-table read path (Delta/Hudi snapshot semantics).
+    "q_latest_per_key" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, dir, "events")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("event_type"), col("value"))
+        .orderBy("user_id")
+    },
+
+    // Time-series gap fill: per-user hourly spine (sequence + explode —
+    // a generator, no shuffle) left-joined to hourly sums, missing hours
+    // forward-filled with the last observed value (running `last`
+    // ignoreNulls frame). The resample-and-ffill primitive.
+    "q_gap_fill" -> { (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(dsum(col("value")).as("v"))
+      val spine = hourly.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          last(col("v"), ignoreNulls = true).over(w).as("value_filled"),
+          col("v").isNull.as("is_gap"))
+        .orderBy("user_id", "hour")
     })
 
   val oracles: Map[String, String] = Map(
@@ -91,5 +129,34 @@ object EventQueries {
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
          FROM sessions GROUP BY user_id, session_id
-         ORDER BY user_id, session_id""")
+         ORDER BY user_id, session_id""",
+    // ordering by epoch_us matches Spark's micros view of the nanos
+    // timestamps (Tables truncates TIMESTAMP(NANOS) to micros)
+    "q_latest_per_key" ->
+      """WITH ranked AS (
+           SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+           FROM events)
+         SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type, value
+         FROM ranked WHERE rk = 1 ORDER BY user_id""",
+    "q_gap_fill" ->
+      """WITH h AS (
+           SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+         sp AS (
+           SELECT user_id,
+             unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+           FROM h GROUP BY user_id)
+         SELECT sp.user_id,
+           strftime(sp.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           last_value(h.v IGNORE NULLS) OVER (PARTITION BY sp.user_id
+             ORDER BY sp.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           h.v IS NULL AS is_gap
+         FROM sp LEFT JOIN h ON sp.user_id = h.user_id AND sp.hr = h.hr
+         ORDER BY sp.user_id, hour""")
 }

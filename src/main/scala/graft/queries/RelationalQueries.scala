@@ -65,6 +65,38 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Bloom-filter pre-filtered semi join (operators.BloomJoin): the
+    // sketch built from the filtered dimension prunes fact rows BEFORE
+    // the join shuffle; the trailing exact semi join removes false
+    // positives, so the result equals a plain semi join (the oracle).
+    "q_bloom_semi_join" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      graft.operators.BloomJoin
+        .bloomSemiJoin(o, c, "o_custkey", "c_custkey", expectedItems = 100000L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+
+    // Dimension-coverage matrix: cross join of the two small distinct
+    // dimension domains (BroadcastNestedLoopJoin — tiny x tiny, the one
+    // legitimate cross-join shape) left-joined to actual counts;
+    // zero-filled combos surface holes in the data.
+    "q_dim_coverage" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val st = o.select(col("o_orderstatus")).distinct()
+      val pr = o.select(col("o_orderpriority")).distinct()
+      val actual = o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      st.crossJoin(pr)
+        .join(actual, Seq("o_orderstatus", "o_orderpriority"), "left")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("n").isNotNull.as("present"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
     // Left-anti join (NOT EXISTS): customers with no 'P'-status order.
     "q_anti_join" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -807,6 +839,22 @@ object RelationalQueries {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
          ORDER BY c_custkey""",
+    "q_bloom_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
+    "q_dim_coverage" ->
+      """WITH st AS (SELECT DISTINCT o_orderstatus FROM orders),
+         pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+         a AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+               FROM orders GROUP BY 1, 2)
+         SELECT st.o_orderstatus, pr.o_orderpriority,
+           coalesce(a.n, 0) AS n, a.n IS NOT NULL AS present
+         FROM st CROSS JOIN pr
+         LEFT JOIN a ON a.o_orderstatus = st.o_orderstatus
+                    AND a.o_orderpriority = pr.o_orderpriority
+         ORDER BY st.o_orderstatus, pr.o_orderpriority""",
     "q_range_join" ->
       """SELECT p_partkey, count(*) AS n_matches,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

@@ -5,6 +5,7 @@ import graft.functions.{TextOps, VectorOps}
 import graft.multimodal.MultimodalOps
 import graft.operators.DedupOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -129,6 +130,66 @@ object TextQueries {
         TextOps.tokenCountBpeIsh(col("text")).as("n_tokens_bpeish"),
         size(array_distinct(TextOps.tokens(col("text")))).cast(LongType).as("n_distinct_tokens"),
         TextOps.stopwordCount(col("text")).as("n_stopwords"))
+        .orderBy("doc_id")
+    },
+
+    // Exact-substring dedup signal (RefinedWeb/MassiveText-style) at
+    // token-window granularity: every 8-token span is counted corpus-wide
+    // (shuffle key = xxhash64 of the span, NOT the span string — at
+    // 100 TB the hash is 8 bytes where the span is ~50), and each doc
+    // reports what fraction of its spans occur more than once globally.
+    // Window-count over the hash instead of groupBy+self-join: one
+    // shuffle total.
+    "q_span_dedup" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      val spans = d.select(col("doc_id"),
+        when(size(toks) >= 8,
+          transform(sequence(lit(1), size(toks) - 7), i =>
+            concat_ws(" ", slice(toks, i, lit(8)))))
+          .otherwise(array().cast(ArrayType(StringType))).as("spans"))
+      val byHash = Window.partitionBy(col("h"))
+      val per = spans
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .select(col("doc_id"), xxhash64(col("span")).as("h"))
+        .withColumn("n", count(lit(1)).over(byHash))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("n_dup_spans") / col("n_spans")).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style repetition signals: top-unigram mass fraction
+    // (explode + two-level agg — partial aggregation absorbs the token
+    // skew) and duplicate-bigram fraction (in-row over the token array,
+    // zero shuffle).
+    "q_repetition" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      val uni = d.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").as("top_c"), sum("c").as("n_tokens"))
+      val bi = d.select(col("doc_id"),
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast(ArrayType(StringType))).as("bg"))
+        .select(col("doc_id"),
+          size(col("bg")).cast(LongType).as("n_bigrams"),
+          size(array_distinct(col("bg"))).cast(LongType).as("n_dist"))
+      uni.join(bi, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("top_c") / col("n_tokens")).as("top_tok_frac"),
+          when(col("n_bigrams") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("n_dist") / col("n_bigrams"))
+            .as("dup_bigram_frac"))
         .orderBy("doc_id")
     },
 
@@ -405,6 +466,40 @@ object TextQueries {
          CAST(len(list_filter(string_split(text, ' '),
            t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT) AS n_stopwords
          FROM documents ORDER BY doc_id""",
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         sp AS (SELECT doc_id, array_to_string(l[i:i+7], ' ') AS span
+                FROM t, unnest(range(1, len(l) - 6)) AS u(i)),
+         c AS (SELECT doc_id, count(*) OVER (PARTITION BY span) AS n FROM sp),
+         per AS (SELECT doc_id, count(*) AS n_spans,
+                        sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup
+                 FROM c GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
+                ELSE per.n_dup / per.n_spans END AS dup_frac
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         u AS (SELECT doc_id, tok, count(*) AS c
+               FROM t, unnest(l) AS z(tok) GROUP BY doc_id, tok),
+         uni AS (SELECT doc_id, max(c) AS top_c,
+                        CAST(sum(c) AS BIGINT) AS n_tokens
+                 FROM u GROUP BY doc_id),
+         bi AS (SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+                       CAST(len(list_distinct(bg)) AS BIGINT) AS n_dist
+                FROM (SELECT doc_id,
+                        list_transform(range(1, len(l)),
+                          i -> l[i] || ' ' || l[i + 1]) AS bg
+                      FROM t))
+         SELECT uni.doc_id, uni.n_tokens,
+           uni.top_c / uni.n_tokens AS top_tok_frac,
+           CASE WHEN bi.n_bigrams = 0 THEN 0.0
+                ELSE 1.0 - bi.n_dist / bi.n_bigrams END AS dup_bigram_frac
+         FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+         ORDER BY uni.doc_id""",
     "q_lang_quality" ->
       """WITH scores AS (
            SELECT doc_id, lang, text,
