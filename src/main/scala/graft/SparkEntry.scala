@@ -42,5 +42,6 @@ object SparkEntry {
     "q_ngram_jaccard", "q_dup_clusters", "q_quality_filter",
     "q_embed_cosine_topk", "q_embed_ann_lsh",
     "q_embed_ann_ivf", "q_winnow", "q_text_stats", "q_vocab_topk",
-    "q_tfidf_top", "q_sessionize", "q_tumbling_window")
+    "q_tfidf_top", "q_sessionize", "q_tumbling_window",
+    "q_span_dedup", "q_gap_fill", "q_bloom_semi_join")
 }

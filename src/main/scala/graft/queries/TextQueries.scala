@@ -135,23 +135,21 @@ object TextQueries {
 
     // Exact-substring dedup signal (RefinedWeb/MassiveText-style) at
     // token-window granularity: every 8-token span is counted corpus-wide
-    // (shuffle key = xxhash64 of the span, NOT the span string — at
-    // 100 TB the hash is 8 bytes where the span is ~50), and each doc
-    // reports what fraction of its spans occur more than once globally.
-    // Window-count over the hash instead of groupBy+self-join: one
-    // shuffle total.
+    // and each doc reports what fraction of its spans occur more than
+    // once globally. The span key is the native graft_shingle_hashes
+    // 64-bit chained token hash — no span STRING is ever materialized
+    // (the concat_ws/transform + xxhash64(str) formulation costs ~2 s
+    // more at sf0.1, and at 100 TB the shuffle rows are 16 bytes instead
+    // of ~50). Window-count over the hash instead of groupBy + self-join:
+    // one shuffle total. A 64-bit collision would conflate two spans —
+    // odds ~ |spans|^2/2^64, immaterial.
     "q_span_dedup" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
-      val toks = TextOps.tokens(col("text"))
-      val spans = d.select(col("doc_id"),
-        when(size(toks) >= 8,
-          transform(sequence(lit(1), size(toks) - 7), i =>
-            concat_ws(" ", slice(toks, i, lit(8)))))
-          .otherwise(array().cast(ArrayType(StringType))).as("spans"))
       val byHash = Window.partitionBy(col("h"))
-      val per = spans
-        .select(col("doc_id"), explode(col("spans")).as("span"))
-        .select(col("doc_id"), xxhash64(col("span")).as("h"))
+      val per = d
+        .select(col("doc_id"),
+          explode(call_function("graft_shingle_hashes",
+            TextOps.tokens(col("text")), lit(8), lit(42L))).as("h"))
         .withColumn("n", count(lit(1)).over(byHash))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
