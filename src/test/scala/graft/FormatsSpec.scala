@@ -1,54 +1,73 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Source/sink format coverage beyond parquet: CSV, JSON (lines), ORC
-  * round-trips preserve values bit-for-bit on the events subset.
+/** Source/sink format coverage beyond parquet: the same rows must
+  * round-trip losslessly through ORC (columnar twin), JSON lines and CSV
+  * (the interchange formats a 100 TB ingest actually sees). Text formats
+  * get an explicit read schema — schema-on-read inference is fine for
+  * exploration but nondeterministic typing has no place in a pipeline.
   */
 class FormatsSpec extends SparkSpec {
+  import spark.implicits._
 
-  private def events = Tables(spark, "/root/testdata/sf0.001", "events")
-    .select("event_id", "user_id", "event_type", "value", "props")
+  private lazy val base = Tables(spark, "/root/testdata/sf0.001", "events")
+    .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+      // serialize ts up front: micros-precision string is format-neutral
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
 
-  private def canon(df: org.apache.spark.sql.DataFrame) =
-    df.orderBy("event_id").collect().map(_.toSeq).toSeq
+  private lazy val want: Set[(Long, Long, String, Double, String)] =
+    base.as[(Long, Long, String, Double, String)].collect().toSet
 
-  test("csv round-trip (header + quoted JSON column)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/ev"
-    events.write.option("header", "true").mode("overwrite").csv(dir)
-    val back = spark.read.option("header", "true")
-      .schema(events.schema) // explicit schema: csv is untyped
-      .csv(dir)
-    assert(canon(back) == canon(events))
+  private val readSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("ts_str", StringType)))
+
+  private def roundTrip(fmt: String, options: Map[String, String] = Map.empty): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toString
+    base.write.mode("overwrite").options(options).format(fmt).save(dir)
+    val back = spark.read.schema(readSchema).options(options).format(fmt).load(dir)
+      .as[(Long, Long, String, Double, String)].collect().toSet
+    assert(back == want, s"$fmt round-trip diverged")
   }
 
-  test("json-lines round-trip") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString + "/ev"
-    events.write.mode("overwrite").json(dir)
-    val back = spark.read.schema(events.schema).json(dir)
-    assert(canon(back) == canon(events))
+  test("orc round-trips losslessly")  { roundTrip("orc") }
+  test("json round-trips losslessly") { roundTrip("json") }
+  test("csv round-trips losslessly")  { roundTrip("csv", Map("header" -> "true")) }
+
+  test("schema evolution: mergeSchema widens old partitions with nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    // day-1 write has no `quality` column; day-2 adds it
+    base.select(col("event_id"), col("event_type"))
+      .write.parquet(s"$dir/day=1")
+    base.select(col("event_id"), col("event_type"),
+        (col("value") * 2).as("quality"))
+      .write.parquet(s"$dir/day=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("event_id", "event_type", "quality", "day"))
+    val rows = merged.groupBy(col("day"))
+      .agg(sum(col("quality").isNull.cast("long")).as("n_null"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    val m = rows.map { case (d, nNull, n) => d -> (nNull, n) }.toMap
+    assert(m(1)._1 == m(1)._2, "all day-1 rows must have null quality")
+    assert(m(2)._1 == 0L, "no day-2 row may have null quality")
   }
 
-  test("orc round-trip") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/ev"
-    events.write.mode("overwrite").orc(dir)
-    val back = spark.read.orc(dir)
-    assert(canon(back) == canon(events))
-    // typed columnar format: schema survives without redeclaration
-    assert(back.schema == events.schema)
-  }
-
-  test("partitioned parquet write prunes partitions on read") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/ev"
-    Tables(spark, "/root/testdata/sf0.001", "events")
-      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
-    val one = spark.read.parquet(dir).filter(col("event_type") === "click")
-    val plan = one.queryExecution.executedPlan.toString
-    // partition pruning shows in the scan's partition filters, and the
-    // data files for other event types are never listed for read
-    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
-    assert(one.count() ==
-      Tables(spark, "/root/testdata/sf0.001", "events")
-        .filter(col("event_type") === "click").count())
+  test("a format mix reads back into one union") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft_mix_p").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_mix_j").toString
+    val (half1, half2) =
+      (base.filter(col("event_id") % 2 === 0), base.filter(col("event_id") % 2 === 1))
+    half1.write.mode("overwrite").parquet(d1)
+    half2.write.mode("overwrite").json(d2)
+    val merged = spark.read.parquet(d1)
+      .unionByName(spark.read.schema(readSchema).json(d2))
+      .as[(Long, Long, String, Double, String)].collect().toSet
+    assert(merged == want)
   }
 }
