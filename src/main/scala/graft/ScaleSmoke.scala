@@ -21,6 +21,9 @@ object ScaleSmoke {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_text_stats",
     "q_lang_quality", "q_quality_filter", "q_fingerprint", "q_vocab_topk",
     "q_tfidf_top", "q_pack_chunks", "q_sample_stratified", "q_pii_redact",
+    // span-count + repetition: one corpus-wide shuffle keyed on span
+    // hash / (doc, token) — the exact-substring-dedup signal at Nx
+    "q_span_dedup", "q_repetition",
     // ANN at Nx corpus: the fixed query set scans an Nx candidate pool —
     // brute force is the linear baseline, LSH/IVF the sublinear paths
     "q_embed_cosine_topk", "q_embed_ann_lsh", "q_embed_ann_ivf")
