@@ -572,6 +572,20 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // Approximate percentiles (Greenwald-Khanna sketch) — the sketch
+    // family's quantile member beside HLL (q_approx_distinct). Mergeable
+    // partial sketches, so one narrow shuffle at any scale. No DuckDB
+    // twin (engine-specific sketch) -> rows-only; the rank-error bound
+    // vs exact `percentile` is asserted in SketchSpec.
+    "q_approx_quantile" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
+        .orderBy("l_returnflag")
+    },
+
     // Generator / UDTF surface (F2's explode semantics): explode document
     // tokens, aggregate frequencies, keep tokens seen in >= 100 docs.
     "q_explode_tokens" -> { (s, dir) =>

@@ -92,6 +92,42 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Per-label element-wise centroid — the k-means/IVF training step:
+    // posexplode to (label, pos, x), one partial-agged shuffle. Element
+    // sums are accumulated as floor(x * 2^20) integers: the float→double
+    // cast and the power-of-two scale are both EXACT, so the sum is
+    // order-independent and byte-identical in any engine — no decimal
+    // rounding-mode coupling (the usual double-agg oracle hazard).
+    "q_embed_centroid" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos").cast(LongType).as("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast(DoubleType) * (1L << 20)).cast(LongType))
+            .as("sum_scaled"))
+        .orderBy("label", "pos")
+    },
+
+    // Inverted-index build: token -> document frequency, postings count,
+    // and the first 5 postings (zero-padded "doc:pos" so lexicographic
+    // sort = numeric order). The explode + groupBy(token) shuffle IS the
+    // index build; at 100 TB the same plan writes the postings table
+    // partitioned by token hash.
+    "q_inverted_index" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        .groupBy(col("tok"))
+        .agg(
+          count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_postings"),
+          concat_ws(",", slice(sort_array(collect_list(
+            format_string("%06d:%04d", col("doc_id"), col("pos")))), 1, 5))
+            .as("postings_head"))
+        .orderBy("tok")
+    },
+
     // LSH-bucketed ANN (single-probe) — the 100 TB path; recall vs the
     // brute-force baseline is asserted in VectorSpec.
     "q_embed_ann_lsh" -> { (s, dir) =>
@@ -427,6 +463,25 @@ object TextQueries {
            JOIN sizes sb ON sb.id = id_b
          WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05
          ORDER BY id_a, id_b""",
+    "q_embed_centroid" ->
+      """WITH e AS (
+           SELECT label, i - 1 AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
+         SELECT label, CAST(pos AS BIGINT) AS pos,
+           count(*) AS n,
+           CAST(sum(CAST(floor(x * 1048576) AS BIGINT)) AS BIGINT) AS sum_scaled
+         FROM e GROUP BY label, pos ORDER BY label, pos""",
+    "q_inverted_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         p AS (SELECT doc_id, l[i] AS tok, i - 1 AS pos
+               FROM t, unnest(range(1, len(l) + 1)) AS u(i))
+         SELECT tok,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_postings,
+           array_to_string(list_sort(list(printf('%06d:%04d', doc_id, pos)))[1:5], ',')
+             AS postings_head
+         FROM p GROUP BY tok ORDER BY tok""",
     "q_embed_topk_agg" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          scored AS (
