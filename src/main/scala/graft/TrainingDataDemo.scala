@@ -43,11 +43,14 @@ object TrainingDataDemo {
   def run(spark: SparkSession, sfDir: String, outDir: String): Seq[(String, Long)] = {
     val docs = Tables(spark, sfDir, "documents")
 
-    // 1. quality admission — pure column predicates, one scan
+    // 1. quality admission — pure column predicates, one scan; the
+    // repetition gate (Gopher-style dup-bigram fraction) drops
+    // boilerplate/looping docs before any dedup work is spent on them
     val admitted = docs
       .filter(TextOps.langId(col("text")) === "en")
       .filter(TextOps.qualityScore(col("text")) >= 0.4)
       .filter(TextOps.tokenCount(col("text")).between(10, 5000))
+      .filter(TextOps.dupBigramFrac(col("text")) <= 0.6)
 
     // 2. exact dedup — one shuffle on the content hash. Materialized
     // once: three consumers (pair generation, the anti-join, and the

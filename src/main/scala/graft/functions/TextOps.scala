@@ -72,6 +72,23 @@ object TextOps {
     ).when(c.isNotNull, array().cast(ArrayType(StringType)))
     // null input matches neither branch -> stays null
 
+  /** Duplicate-bigram fraction (Gopher repetition signal): 1 -
+    * distinct/total over the in-row bigram array; 0.0 for docs with
+    * fewer than two tokens. Zero shuffle. NOTE: references the bigram
+    * HOF three times — on a hot path, materialize the bigram array once
+    * (as `queries.TextQueries.q_repetition` does) instead of calling
+    * this per row on very long documents.
+    */
+  def dupBigramFrac(c: Column): Column = {
+    val t = tokens(c)
+    val bg = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    when(size(bg) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(bg)) / size(bg))
+  }
+
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 

@@ -572,6 +572,35 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // Referential-integrity audit — the pre-flight every ingest runs:
+    // orphan FKs via left-anti joins, null keys, duplicate PKs. Four
+    // independent scans that AQE runs as separate tiny stages; at 100 TB
+    // each check is one shuffle (or none for the null scan).
+    "q_integrity_check" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val li = Tables(s, dir, "lineitem")
+      val orphanOrders = o
+        .join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("orders_without_customer").as("chk"), col("n"))
+      val orphanLines = li
+        .join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("lineitems_without_order").as("chk"), col("n"))
+      val nullKeys = o.filter(col("o_custkey").isNull)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("orders_null_custkey").as("chk"), col("n"))
+      val dupPks = o.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("orders_duplicate_pk").as("chk"), col("n"))
+      orphanOrders.unionByName(orphanLines)
+        .unionByName(nullKeys).unionByName(dupPks)
+        .orderBy("chk")
+    },
+
     // Approximate percentiles (Greenwald-Khanna sketch) — the sketch
     // family's quantile member beside HLL (q_approx_distinct). Mergeable
     // partial sketches, so one narrow shuffle at any scale. No DuckDB
@@ -853,6 +882,19 @@ object RelationalQueries {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
          ORDER BY c_custkey""",
+    "q_integrity_check" ->
+      """SELECT 'orders_without_customer' AS chk, count(*) AS n FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+         UNION ALL
+         SELECT 'lineitems_without_order' AS chk, count(*) AS n FROM lineitem
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+         UNION ALL
+         SELECT 'orders_null_custkey' AS chk, count(*) AS n FROM orders
+         WHERE o_custkey IS NULL
+         UNION ALL
+         SELECT 'orders_duplicate_pk' AS chk, count(*) AS n FROM (
+           SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+         ORDER BY chk""",
     "q_bloom_semi_join" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
          WHERE o_custkey IN (SELECT c_custkey FROM customer
