@@ -89,11 +89,15 @@ object EventQueries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(hourly, Seq("user_id", "hr"), "left")
-        .select(col("user_id"),
+        .select(col("user_id"), col("hr"),
           date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           last(col("v"), ignoreNulls = true).over(w).as("value_filled"),
           col("v").isNull.as("is_gap"))
-        .orderBy("user_id", "hour")
+        // sort on the 8-byte timestamp, not the 19-char string — same
+        // total order (the format is monotonic in hr), cheaper compares
+        // and range-sampler keys
+        .orderBy("user_id", "hr")
+        .select("user_id", "hour", "value_filled", "is_gap")
     })
 
   val oracles: Map[String, String] = Map(
