@@ -86,6 +86,29 @@ object CoreOps {
   def truncateLoad(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Size-aware compacting write: repartition so output files land near
+    * `targetBytes` each, instead of inheriting the upstream partitioning
+    * (the small-files problem — a 1000-executor job that ends on a
+    * 32k-partition shuffle writes 32k tiny files, and every later scan
+    * pays per-file open/footer cost; conversely one giant file serializes
+    * downstream parallelism).
+    *
+    * Sizing comes from Catalyst's logical-plan statistics
+    * (`sizeInBytes`: file-scan stats propagated through operators), so no
+    * extra pass over the data. The estimate is in-memory-ish bytes —
+    * parquet encoding compresses further — so `targetBytes` should be
+    * ~3-4x the desired on-disk file size. Returns the partition count
+    * used.
+    */
+  def compactWrite(df: DataFrame, path: String,
+      targetBytes: Long = 512L << 20): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1,
+      (est / math.max(1L, targetBytes)).min(1 << 20).toInt)
+    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(path)
+    parts
+  }
+
   /** Exact decimal sum of a double column, returned as double.
     *
     * Why: double summation is order-dependent; Spark's shuffle order and

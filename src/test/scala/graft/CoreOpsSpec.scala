@@ -77,6 +77,24 @@ class CoreOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Int].collect().toSeq == Seq(9))
   }
 
+  test("compactWrite sizes file count to the byte target, not upstream partitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cw").toString
+    // 200 input partitions of a small table would naively write 200 files
+    val df = spark.range(20000).repartition(200)
+      .select(col("id"), concat_ws("-", lit("pad"), col("id")).as("s"))
+    def files(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    // huge target -> one file regardless of the 200 upstream partitions
+    val p1 = CoreOps.compactWrite(df, s"$dir/one", targetBytes = 1L << 40)
+    assert(p1 == 1 && files(s"$dir/one") == 1)
+    // small target -> several files, far fewer than 200
+    val pN = CoreOps.compactWrite(df, s"$dir/some", targetBytes = 64 << 10)
+    assert(pN > 1 && pN < 200)
+    assert(files(s"$dir/some") == pN)
+    // contents survive the reshuffle
+    assert(spark.read.parquet(s"$dir/some").count() == 20000)
+  }
+
   test("approx_count_distinct (HLL++) stays within 10% of exact counts") {
     // the error bound promised by q_approx_distinct's rows-only entry
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
