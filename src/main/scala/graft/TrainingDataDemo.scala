@@ -45,7 +45,11 @@ object TrainingDataDemo {
 
     // 1. quality admission — pure column predicates, one scan; the
     // repetition gate (Gopher-style dup-bigram fraction) drops
-    // boilerplate/looping docs before any dedup work is spent on them
+    // boilerplate/looping docs before any dedup work is spent on them.
+    // (In a FILTER the optimizer alias-substitutes any pre-computed
+    // bigram column back into the predicate, so there is no
+    // materialize-once form for predicates — acceptable here because
+    // admission runs before packing, on length-bounded raw docs.)
     val admitted = docs
       .filter(TextOps.langId(col("text")) === "en")
       .filter(TextOps.qualityScore(col("text")) >= 0.4)

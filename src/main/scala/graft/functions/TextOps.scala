@@ -72,22 +72,36 @@ object TextOps {
     ).when(c.isNotNull, array().cast(ArrayType(StringType)))
     // null input matches neither branch -> stays null
 
-  /** Duplicate-bigram fraction (Gopher repetition signal): 1 -
-    * distinct/total over the in-row bigram array; 0.0 for docs with
-    * fewer than two tokens. Zero shuffle. NOTE: references the bigram
-    * HOF three times — on a hot path, materialize the bigram array once
-    * (as `queries.TextQueries.q_repetition` does) instead of calling
-    * this per row on very long documents.
+  /** Word bigram array: empty for docs with fewer than two tokens, null
+    * stays null.
     */
-  def dupBigramFrac(c: Column): Column = {
+  def bigrams(c: Column): Column = {
     val t = tokens(c)
-    val bg = when(size(t) >= 2,
+    when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1), i =>
         concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast(ArrayType(StringType)))
-    when(size(bg) === 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(bg)) / size(bg))
+      .when(c.isNotNull, array().cast(ArrayType(StringType)))
+    // null input matches neither branch -> stays null
   }
+
+  /** Duplicate fraction 1 - distinct/total of an array column; 0.0 for
+    * the empty array, null stays null. The argument is referenced three
+    * times: in PROJECTIONS, alias the array in a prior select
+    * (CollapseProject keeps multi-referenced non-cheap aliases
+    * un-inlined, as `q_repetition` relies on); in FILTER predicates the
+    * optimizer alias-substitutes regardless, so budget for re-evaluation
+    * there (bounded-length inputs only).
+    */
+  def dupFrac(arr: Column): Column =
+    when(size(arr) === 0, lit(0.0))
+      .when(arr.isNotNull, lit(1.0) - size(array_distinct(arr)) / size(arr))
+
+  /** Duplicate-bigram fraction (Gopher repetition signal), zero shuffle.
+    * Convenience composition — see [[dupFrac]] for the re-evaluation
+    * caveat. Null text -> null (so a `<= threshold` admission gate
+    * drops it).
+    */
+  def dupBigramFrac(c: Column): Column = dupFrac(bigrams(c))
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")

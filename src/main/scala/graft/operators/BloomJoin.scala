@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Bloom-filter pre-filtered semi join.
   *
@@ -24,15 +25,30 @@ import org.apache.spark.sql.functions._
   * Bloom pass only prunes work, never changes semantics. That is why
   * `q_bloom_semi_join`'s DuckDB oracle is a plain `IN` subquery.
   *
-  * Keys must be integral (long-compatible); the sketch probe is
-  * `mightContainLong`. The filter is a Scala UDF (not codegen'd) — at
-  * scan time that costs one virtual call per row against a broadcast
-  * bitset, far cheaper than shuffling the pruned rows would be.
+  * Keys must be integral: the sketch probe is `mightContainLong`, and a
+  * string key would be inserted as UTF8 bytes but probed after an
+  * implicit cast — silently dropping true matches. Both entry points
+  * `require` an integral key type instead.
+  *
+  * The filter is a Scala UDF (not codegen'd) — at scan time that costs
+  * one virtual call per row against a broadcast bitset, far cheaper
+  * than shuffling the pruned rows would be.
   */
 object BloomJoin {
 
+  private def requireIntegralKey(df: DataFrame, key: String, side: String): Unit = {
+    val dt = df.schema(key).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"BloomJoin $side key '$key' must be integral (probe is " +
+        s"mightContainLong); got $dt — hash non-integral keys to a long " +
+        "(e.g. xxhash64) first")
+  }
+
   /** `big` rows whose `bigKey` appears in `small.smallKey` — exact semi
-    * join semantics, Bloom-pruned before the shuffle.
+    * join semantics, Bloom-pruned before the shuffle. The small side's
+    * key projection is localCheckpointed: building the sketch is an
+    * eager action, and without materialization the trailing semi join
+    * would re-execute the whole small-side plan a second time.
     *
     * @param expectedItems sizing for the sketch (number of distinct small
     *                      side keys; over-sizing only costs bits)
@@ -45,14 +61,10 @@ object BloomJoin {
       smallKey: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
-    val pruned = big.filter(mightContain(col(bigKey)))
-    pruned.join(
-      small.select(col(smallKey).as(bigKey)),
-      Seq(bigKey), "left_semi")
+    requireIntegralKey(small, smallKey, "small")
+    val smallKeys = small.select(col(smallKey).as(bigKey)).localCheckpoint()
+    bloomPrefilter(big, smallKeys, bigKey, bigKey, expectedItems, fpp)
+      .join(smallKeys, Seq(bigKey), "left_semi")
   }
 
   /** The Bloom pre-filter alone (no trailing join) — for callers that
@@ -66,6 +78,8 @@ object BloomJoin {
       smallKey: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    requireIntegralKey(big, bigKey, "big")
+    requireIntegralKey(small, smallKey, "small")
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>

@@ -91,7 +91,13 @@ object GraphOps {
       val next = jumped.localCheckpoint()
       if (numericIds) {
         val s = labelSum(next)
-        done = s == prevSum
+        // a null sum (decimal overflow near the 38-digit cap) carries no
+        // information — None == None must NOT read as converged; fall
+        // back to the exact join-and-diff for such rounds
+        done = (s, prevSum) match {
+          case (Some(a), Some(b)) => a == b
+          case _ => unchanged(next, labels)
+        }
         prevSum = s
       } else {
         done = unchanged(next, labels)

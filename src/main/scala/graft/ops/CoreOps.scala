@@ -103,10 +103,22 @@ object CoreOps {
   def compactWrite(df: DataFrame, path: String,
       targetBytes: Long = 512L << 20): Int = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = math.max(1,
-      (est / math.max(1L, targetBytes)).min(1 << 20).toInt)
-    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(path)
-    parts
+    val target = BigInt(math.max(1L, targetBytes))
+    // Plans with unestimable leaves (LogicalRDD, statless DSv2) report
+    // the defaultSizeInBytes sentinel (Long.MaxValue by default) — honor
+    // it as "unknown" and keep the upstream partitioning rather than
+    // exploding to the 2^20 cap and writing a million empty files.
+    val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (est >= sentinel) {
+      val parts = df.rdd.getNumPartitions
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      parts
+    } else {
+      // ceiling division: files stay AT OR UNDER the target, as promised
+      val parts = math.max(1, ((est + target - 1) / target).min(1 << 20).toInt)
+      df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(path)
+      parts
+    }
   }
 
   /** Exact decimal sum of a double column, returned as double.

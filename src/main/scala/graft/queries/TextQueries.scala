@@ -210,11 +210,7 @@ object TextQueries {
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(max("c").as("top_c"), sum("c").as("n_tokens"))
-      val bi = d.select(col("doc_id"),
-        when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1), i =>
-            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-          .otherwise(array().cast(ArrayType(StringType))).as("bg"))
+      val bi = d.select(col("doc_id"), TextOps.bigrams(col("text")).as("bg"))
         .select(col("doc_id"),
           size(col("bg")).cast(LongType).as("n_bigrams"),
           size(array_distinct(col("bg"))).cast(LongType).as("n_dist"))

@@ -33,6 +33,15 @@ class BloomJoinSpec extends SparkSpec {
     assert(keys.size < 5000, s"bloom pruned too little: ${keys.size}")
   }
 
+  test("non-integral keys are rejected, not silently mismatched") {
+    val big = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val small = Seq("a").toDF("sk")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.bloomSemiJoin(big, small, "k", "sk")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("null keys never pass the bloom pre-filter") {
     val big = Seq(Some(1L), None, Some(3L)).toDF("k")
     val small = Seq(1L, 3L).toDF("sk")

@@ -95,6 +95,17 @@ class CoreOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/some").count() == 20000)
   }
 
+  test("compactWrite keeps upstream partitioning when plan stats are the unknown sentinel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cw_rdd").toString
+    // LogicalRDD leaves report defaultSizeInBytes (unknown) — must NOT
+    // explode to the 2^20 partition cap
+    val rdd = spark.sparkContext.parallelize(1 to 10, 3).map(Row(_))
+    val df = spark.createDataFrame(rdd, StructType(Seq(StructField("v", IntegerType))))
+    val parts = CoreOps.compactWrite(df, s"$dir/t", targetBytes = 64)
+    assert(parts == 3)
+    assert(spark.read.parquet(s"$dir/t").count() == 10)
+  }
+
   test("approx_count_distinct (HLL++) stays within 10% of exact counts") {
     // the error bound promised by q_approx_distinct's rows-only entry
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")

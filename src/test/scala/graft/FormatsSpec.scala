@@ -12,26 +12,30 @@ import org.apache.spark.sql.types._
 class FormatsSpec extends SparkSpec {
   import spark.implicits._
 
+  // props carries raw JSON (commas, quotes, braces) — the column that
+  // actually exercises CSV quoting/escaping and JSON string nesting
   private lazy val base = Tables(spark, "/root/testdata/sf0.001", "events")
     .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("props"),
       // serialize ts up front: micros-precision string is format-neutral
       date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
 
-  private lazy val want: Set[(Long, Long, String, Double, String)] =
-    base.as[(Long, Long, String, Double, String)].collect().toSet
+  private lazy val want: Set[(Long, Long, String, Double, String, String)] =
+    base.as[(Long, Long, String, Double, String, String)].collect().toSet
 
   private val readSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
+    StructField("props", StringType),
     StructField("ts_str", StringType)))
 
   private def roundTrip(fmt: String, options: Map[String, String] = Map.empty): Unit = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toString
     base.write.mode("overwrite").options(options).format(fmt).save(dir)
     val back = spark.read.schema(readSchema).options(options).format(fmt).load(dir)
-      .as[(Long, Long, String, Double, String)].collect().toSet
+      .as[(Long, Long, String, Double, String, String)].collect().toSet
     assert(back == want, s"$fmt round-trip diverged")
   }
 
@@ -67,7 +71,7 @@ class FormatsSpec extends SparkSpec {
     half2.write.mode("overwrite").json(d2)
     val merged = spark.read.parquet(d1)
       .unionByName(spark.read.schema(readSchema).json(d2))
-      .as[(Long, Long, String, Double, String)].collect().toSet
+      .as[(Long, Long, String, Double, String, String)].collect().toSet
     assert(merged == want)
   }
 }

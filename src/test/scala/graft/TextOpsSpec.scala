@@ -23,6 +23,18 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2).isEmpty)
   }
 
+  test("bigrams/dupBigramFrac: empty->0.0, repeats counted, null stays null") {
+    val df = Seq(Some("a b a b a"), Some("x"), None).toDF("t")
+      .select(TextOps.bigrams(col("t")).as("bg"),
+        TextOps.dupBigramFrac(col("t")).as("f"))
+    val rows = df.collect()
+    // "a b","b a","a b","b a" -> 4 bigrams, 2 distinct -> 0.5
+    assert(rows(0).getSeq[String](0) == Seq("a b", "b a", "a b", "b a"))
+    assert(rows(0).getDouble(1) == 0.5)
+    assert(rows(1).getSeq[String](0).isEmpty && rows(1).getDouble(1) == 0.0)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+  }
+
   test("normText collapses whitespace and lowercases") {
     val got = Seq("  Hello   WORLD \t x ").toDF("t")
       .select(TextOps.normText(col("t"))).as[String].head()

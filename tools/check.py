@@ -86,11 +86,11 @@ def main(sf_dir, out_dir):
             print(f"  duckdb: {e}")
             n_fail += 1
             continue
-        # driver-mimic pass: pandas sort + CSV hash (catches dtype drift)
+        # driver-mimic pass: pandas sort + CSV hash (catches dtype drift);
+        # reuses the relations built above
         try:
-            h_got = driver_hash(con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
-            h_exp = driver_hash(con.sql(sql))
+            h_got = driver_hash(got)
+            h_exp = driver_hash(exp)
         except Exception as e:
             print(f"FAIL {name}: driver-mimic hash raised: {type(e).__name__}: {e}")
             n_fail += 1
