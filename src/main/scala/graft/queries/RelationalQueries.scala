@@ -572,6 +572,32 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // Schema-drift union: a day-2 source dropped a column; unionByName
+    // with allowMissingColumns null-fills instead of failing — drift
+    // becomes nullability (the engine's schema-drift stance, SURVEY §1.3).
+    "q_union_drift" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val full = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val drifted = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      full.unionByName(drifted, allowMissingColumns = true)
+        .orderBy("o_orderkey")
+    },
+
+    // Regex extraction family: first match, all matches (serialized),
+    // and match count — one codegen'd pass, no UDF.
+    "q_regex_extract" -> { (s, dir) =>
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        regexp_extract(col("props"), "\\d+", 0).as("first_num"),
+        concat_ws(",", regexp_extract_all(col("props"), lit("\\d"), lit(0)))
+          .as("digits"),
+        size(regexp_extract_all(col("props"), lit("\\d"), lit(0)))
+          .cast(LongType).as("n_digits"))
+        .orderBy("event_id")
+    },
+
     // Referential-integrity audit — the pre-flight every ingest runs:
     // orphan FKs via left-anti joins, null keys, duplicate PKs. Four
     // independent scans that AQE runs as separate tiny stages; at 100 TB
@@ -882,6 +908,19 @@ object RelationalQueries {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
          ORDER BY c_custkey""",
+    "q_union_drift" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, NULL AS o_totalprice FROM orders
+         WHERE o_orderkey % 2 = 1
+         ORDER BY o_orderkey""",
+    "q_regex_extract" ->
+      """SELECT event_id,
+           regexp_extract(props, '\d+') AS first_num,
+           array_to_string(regexp_extract_all(props, '\d'), ',') AS digits,
+           CAST(len(regexp_extract_all(props, '\d')) AS BIGINT) AS n_digits
+         FROM events ORDER BY event_id""",
     "q_integrity_check" ->
       """SELECT 'orders_without_customer' AS chk, count(*) AS n FROM orders
          WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
