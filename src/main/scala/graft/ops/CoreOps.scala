@@ -86,6 +86,42 @@ object CoreOps {
   def truncateLoad(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Keyed upsert (the MERGE dataflow) into a parquet path: union the
+    * current table with the updates, keep the highest-`version` row per
+    * `key` (updates win version ties), rewrite. This is the logical plan
+    * every lakehouse MERGE executes; a transactional table format
+    * (Delta/Iceberg/Hudi) adds file-level pruning + atomic commit on
+    * top, the dataflow is identical. The merged frame is
+    * localCheckpointed before the overwrite — the plan reads the same
+    * path it is about to replace.
+    *
+    * One shuffle on `key` (the window); at 100 TB the win over
+    * truncate-reload-everything is that `updates` is the small side and
+    * only key-matching state changes — with a partitioned layout, pair
+    * this with partition pruning on the updates' partition values.
+    */
+  def upsert(updates: DataFrame, path: String,
+      key: String, version: String): Unit = {
+    val spark = updates.sparkSession
+    val exists = try { spark.read.parquet(path); true }
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+    val merged =
+      if (!exists) updates
+      else {
+        val cur = spark.read.parquet(path).withColumn("__src", lit(0))
+        val up = updates.withColumn("__src", lit(1))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key))
+          .orderBy(col(version).desc, col("__src").desc)
+        cur.unionByName(up)
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .drop("__rk", "__src")
+          .localCheckpoint()
+      }
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Size-aware compacting write: repartition so output files land near
     * `targetBytes` each, instead of inheriting the upstream partitioning
     * (the small-files problem — a 1000-executor job that ends on a

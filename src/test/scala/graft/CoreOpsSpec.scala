@@ -77,6 +77,24 @@ class CoreOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Int].collect().toSeq == Seq(9))
   }
 
+  test("upsert keeps latest version per key; updates win version ties") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_up").toString + "/t"
+    // initial load
+    CoreOps.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "v"),
+      dir, "k", "ver")
+    // update k=1 (higher version), tie on k=2 (update must win), insert k=3
+    CoreOps.upsert(Seq((1L, 2L, "a2"), (2L, 1L, "b2"), (3L, 1L, "c")).toDF("k", "ver", "v"),
+      dir, "k", "ver")
+    val got = spark.read.parquet(dir).as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, "a2"), (2L, 1L, "b2"), (3L, 1L, "c")))
+    // stale update (lower version) must NOT clobber
+    CoreOps.upsert(Seq((1L, 1L, "old")).toDF("k", "ver", "v"), dir, "k", "ver")
+    val after = spark.read.parquet(dir).as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(after.head == ((1L, 2L, "a2")))
+  }
+
   test("compactWrite sizes file count to the byte target, not upstream partitioning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cw").toString
     // 200 input partitions of a small table would naively write 200 files
