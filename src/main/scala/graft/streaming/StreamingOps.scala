@@ -136,6 +136,37 @@ object StreamingOps {
         col("click_id"), col("click_ts"))
   }
 
+  /** Streaming document-ingest admission: the batch TrainingDataDemo
+    * stage-1 gates (language, quality, length, repetition) applied to a
+    * stream, then exact dedup on the content fingerprint within the
+    * watermark — the continuous-ingest front door of the training-data
+    * pipeline. Expects a `documents`-shaped stream with an event-time
+    * column `ingest_ts`.
+    */
+  def admitDocuments(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.TextOps
+    docs
+      .filter(TextOps.langId(col("text")) === "en")
+      .filter(TextOps.qualityScore(col("text")) >= 0.4)
+      .filter(TextOps.tokenCount(col("text")).between(10, 5000))
+      .filter(TextOps.dupBigramFrac(col("text")) <= 0.6)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
+  /** Upsert sink: each micro-batch merges into the keyed parquet table
+    * via [[graft.ops.CoreOps.upsert]] — replayed/late batches cannot
+    * clobber newer state (version wins), making the sink effectively
+    * idempotent under at-least-once delivery.
+    */
+  def upsertEachBatch(df: DataFrame, path: String, key: String,
+      version: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.CoreOps.upsert(batch, path, key, version)
+    }
+
   /** Truncate-and-load sink semantics (reference db.py:23-38) for a
     * streaming query: each micro-batch overwrites the target path —
     * idempotent under replays because the write is a full snapshot.

@@ -121,6 +121,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Doc(doc_id: Long, ingest_ts: Timestamp, text: String, ver: Long)
+
+  test("admitDocuments + upsertEachBatch: streaming ingest front door") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val mem = MemoryStream[Doc]
+    val good = "the quick brown fox jumps over the lazy dog and runs on for a while longer"
+    val q = StreamingOps.upsertEachBatch(
+      StreamingOps.admitDocuments(mem.toDF()), s"$dir/t", "doc_id", "ver")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData(
+        Doc(1, ts(1), good, 1L),
+        Doc(2, ts(2), good + " again", 1L),
+        Doc(3, ts(3), "short", 1L),                       // fails length gate
+        Doc(4, ts(4), good, 1L))                          // dup fingerprint of 1
+      q.processAllAvailable()
+      // later batch: higher-version rewrite of doc 2 (distinct text)
+      mem.addData(Doc(2, ts(10), good + " rewritten today", 2L))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/t")
+        .select("doc_id", "ver").as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 1L, 2L -> 2L))
+    } finally q.stop()
+  }
+
   test("truncateLoadEachBatch leaves exactly the final snapshot on disk") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
