@@ -94,4 +94,34 @@ class PropertySpec extends SparkSpec {
       assert(got == expected)
     }
   }
+
+  test("chunks reassemble to the original string for any width (lossless packing)") {
+    val gen = for {
+      s <- Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+      w <- Gen.choose(1, 16)
+    } yield (s, w)
+    forSamples(gen, 30) { case (s, w) =>
+      val back = Seq(s).toDF("t")
+        .select(concat_ws("", graft.functions.TextOps.chunks(col("t"), w)).as("r"))
+        .as[String].head()
+      assert(back == s, s"w=$w len=${s.length}")
+      // every chunk except the last is exactly w wide
+      val cs = Seq(s).toDF("t")
+        .select(graft.functions.TextOps.chunks(col("t"), w)).as[Seq[String]].head()
+      assert(cs.dropRight(1).forall(_.length == w))
+      assert(cs.forall(_.nonEmpty))
+    }
+  }
+
+  test("hashSample selection is deterministic and partitioning-invariant") {
+    forSamples(Gen.choose(1, 9999), 5) { salt =>
+      val base = spark.range(2000).toDF("id")
+      def picked(parts: Int): Seq[Long] = base.repartition(parts)
+        .filter(CoreOps.hashSample(col("id"), lit(salt.toString)))
+        .as[Long].collect().sorted.toSeq
+      val p1 = picked(1)
+      assert(p1 == picked(7) && p1 == picked(32))
+      assert(p1.nonEmpty && p1.size < 2000)
+    }
+  }
 }
