@@ -111,19 +111,29 @@ object TextQueries {
 
     // Inverted-index build: token -> document frequency, postings count,
     // and the first 5 postings (zero-padded "doc:pos" so lexicographic
-    // sort = numeric order). The explode + groupBy(token) shuffle IS the
-    // index build; at 100 TB the same plan writes the postings table
-    // partitioned by token hash.
+    // sort = numeric order). Two-level aggregate: the (tok, doc) level
+    // compacts first — a flat groupBy(tok) with collect_list would ship
+    // EVERY posting of a hot token ("the" ~ a constant fraction of a
+    // 100 TB corpus) to one reducer, and count_distinct would add an
+    // expand + extra shuffle. Here each (tok, doc) contributes a count
+    // and at most 5 head postings to the token level, so the hot-key
+    // payload is bounded by document frequency, not posting count; the
+    // global head-5 equals the merged per-doc head-5s because the sort
+    // key is (doc, pos) and each doc keeps its pos-smallest entries.
     "q_inverted_index" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("c"),
+          slice(sort_array(collect_list(
+            format_string("%06d:%04d", col("doc_id"), col("pos")))), 1, 5)
+            .as("head5"))
         .groupBy(col("tok"))
         .agg(
-          count_distinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_postings"),
-          concat_ws(",", slice(sort_array(collect_list(
-            format_string("%06d:%04d", col("doc_id"), col("pos")))), 1, 5))
+          count(lit(1)).as("n_docs"),
+          sum(col("c")).as("n_postings"),
+          concat_ws(",", slice(sort_array(flatten(collect_list(col("head5")))), 1, 5))
             .as("postings_head"))
         .orderBy("tok")
     },
