@@ -209,6 +209,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Sequence packing: greedy assignment of documents to fixed
+    // token-budget training bins via a running token sum, SHARD-LOCAL
+    // (partitioned by source) — a global cumulative sum would serialize
+    // the corpus through one partition; per-shard packing is how a
+    // 100 TB corpus actually assembles sequences (each shard packs
+    // independently, bin ids are (shard, local_bin)).
+    "q_seq_pack" -> { (s, dir) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        // bin by tokens BEFORE this doc: a doc straddling the boundary
+        // goes to the bin it started in
+        .withColumn("bin", floor((col("cum") - col("n_tok")) / 2048).cast(LongType))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
+    },
+
     // Gopher-style repetition signals: top-unigram mass fraction
     // (explode + two-level agg — partial aggregation absorbs the token
     // skew) and duplicate-bigram fraction (in-row over the token array,
@@ -540,6 +564,20 @@ object TextQueries {
                 ELSE per.n_dup / per.n_spans END AS dup_frac
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          ORDER BY d.doc_id""",
+    "q_seq_pack" ->
+      """WITH d AS (
+           SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT source, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2 ORDER BY source, bin""",
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          u AS (SELECT doc_id, tok, count(*) AS c
