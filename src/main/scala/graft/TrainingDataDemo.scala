@@ -43,18 +43,10 @@ object TrainingDataDemo {
   def run(spark: SparkSession, sfDir: String, outDir: String): Seq[(String, Long)] = {
     val docs = Tables(spark, sfDir, "documents")
 
-    // 1. quality admission — pure column predicates, one scan; the
-    // repetition gate (Gopher-style dup-bigram fraction) drops
-    // boilerplate/looping docs before any dedup work is spent on them.
-    // (In a FILTER the optimizer alias-substitutes any pre-computed
-    // bigram column back into the predicate, so there is no
-    // materialize-once form for predicates — acceptable here because
-    // admission runs before packing, on length-bounded raw docs.)
-    val admitted = docs
-      .filter(TextOps.langId(col("text")) === "en")
-      .filter(TextOps.qualityScore(col("text")) >= 0.4)
-      .filter(TextOps.tokenCount(col("text")).between(10, 5000))
-      .filter(TextOps.dupBigramFrac(col("text")) <= 0.6)
+    // 1. quality admission — the shared stage-1 gates (one definition
+    // for batch and streaming, TextOps.admissionGates): language,
+    // quality, length, repetition. Pure column predicates, one scan.
+    val admitted = TextOps.admissionGates(docs)
 
     // 2. exact dedup — one shuffle on the content hash. Materialized
     // once: three consumers (pair generation, the anti-join, and the

@@ -103,6 +103,20 @@ object TextOps {
     */
   def dupBigramFrac(c: Column): Column = dupFrac(bigrams(c))
 
+  /** The stage-1 admission gates shared by the batch pipeline
+    * (`TrainingDataDemo`) and the streaming front door
+    * (`StreamingOps.admitDocuments`): language, quality, length,
+    * repetition. ONE definition so batch and streaming admission cannot
+    * silently diverge when thresholds are tuned. Expects a `text`
+    * column; pure per-row predicates, no shuffle.
+    */
+  def admissionGates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .filter(langId(col("text")) === "en")
+      .filter(qualityScore(col("text")) >= 0.4)
+      .filter(tokenCount(col("text")).between(10, 5000))
+      .filter(dupBigramFrac(col("text")) <= 0.6)
+
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 

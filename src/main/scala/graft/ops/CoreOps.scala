@@ -88,12 +88,14 @@ object CoreOps {
 
   /** Keyed upsert (the MERGE dataflow) into a parquet path: union the
     * current table with the updates, keep the highest-`version` row per
-    * `key` (updates win version ties), rewrite. This is the logical plan
-    * every lakehouse MERGE executes; a transactional table format
-    * (Delta/Iceberg/Hudi) adds file-level pruning + atomic commit on
-    * top, the dataflow is identical. The merged frame is
-    * localCheckpointed before the overwrite — the plan reads the same
-    * path it is about to replace.
+    * `key` (updates win version ties; exact duplicates tie-break on a
+    * whole-row hash so the winner is partitioning-independent), write to
+    * a staging directory, then swap. This is the logical plan every
+    * lakehouse MERGE executes; a transactional table format
+    * (Delta/Iceberg/Hudi) replaces the swap with an atomic metadata
+    * commit — the remaining non-atomic window here is the delete+rename
+    * pair (a crash before the delete leaves the old table intact plus a
+    * recoverable staging dir that the next call overwrites).
     *
     * One shuffle on `key` (the window); at 100 TB the win over
     * truncate-reload-everything is that `updates` is the small side and
@@ -103,23 +105,33 @@ object CoreOps {
   def upsert(updates: DataFrame, path: String,
       key: String, version: String): Unit = {
     val spark = updates.sparkSession
-    val exists = try { spark.read.parquet(path); true }
-    catch { case _: org.apache.spark.sql.AnalysisException => false }
-    val merged =
-      if (!exists) updates
-      else {
-        val cur = spark.read.parquet(path).withColumn("__src", lit(0))
+    val cur =
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    cur match {
+      case None =>
+        updates.write.mode(SaveMode.Overwrite).parquet(path)
+      case Some(current) =>
         val up = updates.withColumn("__src", lit(1))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(key))
-          .orderBy(col(version).desc, col("__src").desc)
-        cur.unionByName(up)
+          .orderBy(col(version).desc, col("__src").desc,
+            xxhash64(struct(updates.columns.map(col): _*)))
+        val merged = current.withColumn("__src", lit(0))
+          .unionByName(up)
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") === 1)
           .drop("__rk", "__src")
-          .localCheckpoint()
-      }
-    merged.write.mode(SaveMode.Overwrite).parquet(path)
+        // stage-then-swap: the merged plan still READS `path`, so it must
+        // be fully written elsewhere before the target is touched
+        val staging = path + ".staging"
+        merged.write.mode(SaveMode.Overwrite).parquet(staging)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        fs.rename(new org.apache.hadoop.fs.Path(staging),
+          new org.apache.hadoop.fs.Path(path))
+    }
   }
 
   /** Size-aware compacting write: repartition so output files land near

@@ -586,15 +586,20 @@ object RelationalQueries {
     },
 
     // Regex extraction family: first match, all matches (serialized),
-    // and match count — one codegen'd pass, no UDF.
+    // and match count — one codegen'd pass, no UDF. Null props stays
+    // null in every output (concat_ws would yield "" and size -1 on a
+    // null array, diverging from the oracle's NULL semantics).
     "q_regex_extract" -> { (s, dir) =>
+      val notNull = col("props").isNotNull
       Tables(s, dir, "events").select(
         col("event_id"),
         regexp_extract(col("props"), "\\d+", 0).as("first_num"),
-        concat_ws(",", regexp_extract_all(col("props"), lit("\\d"), lit(0)))
+        when(notNull,
+          concat_ws(",", regexp_extract_all(col("props"), lit("\\d"), lit(0))))
           .as("digits"),
-        size(regexp_extract_all(col("props"), lit("\\d"), lit(0)))
-          .cast(LongType).as("n_digits"))
+        when(notNull,
+          size(regexp_extract_all(col("props"), lit("\\d"), lit(0)))
+            .cast(LongType)).as("n_digits"))
         .orderBy("event_id")
     },
 

@@ -145,11 +145,7 @@ object StreamingOps {
     */
   def admitDocuments(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
     import graft.functions.TextOps
-    docs
-      .filter(TextOps.langId(col("text")) === "en")
-      .filter(TextOps.qualityScore(col("text")) >= 0.4)
-      .filter(TextOps.tokenCount(col("text")).between(10, 5000))
-      .filter(TextOps.dupBigramFrac(col("text")) <= 0.6)
+    TextOps.admissionGates(docs)
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
@@ -164,7 +160,8 @@ object StreamingOps {
       version: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.outputMode("append").foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.ops.CoreOps.upsert(batch, path, key, version)
+        // watermark-advance batches are empty — skip the table rewrite
+        if (!batch.isEmpty) graft.ops.CoreOps.upsert(batch, path, key, version)
     }
 
   /** Truncate-and-load sink semantics (reference db.py:23-38) for a

@@ -95,6 +95,20 @@ class CoreOpsSpec extends SparkSpec {
     assert(after.head == ((1L, 2L, "a2")))
   }
 
+  test("upsert winner is partitioning-independent for exact version ties") {
+    val base = java.nio.file.Files.createTempDirectory("graft_up_tie").toString
+    def winner(parts: Int): String = {
+      val dir = s"$base/t$parts"
+      CoreOps.upsert(Seq((1L, 0L, "seed")).toDF("k", "ver", "v"), dir, "k", "ver")
+      // two rows, same key, same version: the row-hash tie-break must pick
+      // the same one regardless of how the updates frame is partitioned
+      CoreOps.upsert(Seq((1L, 1L, "x"), (1L, 1L, "y")).toDF("k", "ver", "v")
+        .repartition(parts), dir, "k", "ver")
+      spark.read.parquet(dir).select("v").as[String].head()
+    }
+    assert(winner(1) == winner(7))
+  }
+
   test("compactWrite sizes file count to the byte target, not upstream partitioning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cw").toString
     // 200 input partitions of a small table would naively write 200 files
