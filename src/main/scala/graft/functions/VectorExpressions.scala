@@ -394,6 +394,58 @@ object WsCollapse {
   * regexp_replace uses): \p{L} = Character.isLetter categories, \p{N} =
   * Nd/Nl/No, \s = ASCII [ \t\n\x0B\f\r].
   */
+/** Longest run of equal adjacent elements in a string array. Over a
+  * SORTED array this equals the maximum element frequency — the
+  * top-unigram count of a token list with zero shuffles: pair with the
+  * codegen'd `sort_array` instead of explode + groupBy(doc, token) +
+  * groupBy(doc), whose two shuffles over exploded tokens made
+  * q_repetition the worst scaler of the 100x smoke (9.2x wall) before
+  * this expression. Empty array -> 0, null -> null.
+  */
+case class MaxRunLength(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_max_run"
+
+  override def nullSafeEval(input: Any): Any =
+    MaxRunLength.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = MaxRunLength.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $helper.compute($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MaxRunLength {
+  /** Shared by interpreted eval and codegen (called from generated code).
+    * Null elements count as a run of their own (they sort together).
+    */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    var best = 1L
+    var run = 1L
+    var prev = if (arr.isNullAt(0)) null else arr.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val same =
+        if (prev == null || cur == null) prev == null && cur == null
+        else cur.equals(prev)
+      run = if (same) run + 1 else 1L
+      if (run > best) best = run
+      prev = cur
+      i += 1
+    }
+    best
+  }
+}
+
 case class PunctCount(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -629,6 +681,9 @@ object GraftFunctions {
     ("graft_punct_count",
       new ExpressionInfo(classOf[PunctCount].getName, "graft_punct_count"),
       (es: Seq[Expression]) => PunctCount(es(0))),
+    ("graft_max_run",
+      new ExpressionInfo(classOf[MaxRunLength].getName, "graft_max_run"),
+      (es: Seq[Expression]) => MaxRunLength(es(0))),
     ("graft_count_in",
       new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
       (es: Seq[Expression]) => es match {

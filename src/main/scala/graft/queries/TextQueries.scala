@@ -233,22 +233,24 @@ object TextQueries {
         .orderBy("source", "bin")
     },
 
-    // Gopher-style repetition signals: top-unigram mass fraction
-    // (explode + two-level agg — partial aggregation absorbs the token
-    // skew) and duplicate-bigram fraction (in-row over the token array,
-    // zero shuffle).
+    // Gopher-style repetition signals, fully in-row (ZERO shuffles
+    // before the output sort): top-unigram count = graft_max_run over
+    // the codegen-sorted token array (max run of equals in a sorted
+    // array = max frequency), dup-bigram fraction over the in-row bigram
+    // array. The earlier explode + groupBy(doc,tok) + groupBy(doc) form
+    // shuffled exploded tokens twice and was the worst scaler of the
+    // 100x smoke (9.2x wall); this form scales like the per-row text
+    // stats (~2x).
     "q_repetition" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-      val toks = TextOps.tokens(col("text"))
-      val uni = d.select(col("doc_id"), explode(toks).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max("c").as("top_c"), sum("c").as("n_tokens"))
-      val bi = d.select(col("doc_id"), TextOps.bigrams(col("text")).as("bg"))
+      Tables(s, dir, "documents")
         .select(col("doc_id"),
+          TextOps.tokens(col("text")).as("toks"),
+          TextOps.bigrams(col("text")).as("bg"))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          call_function("graft_max_run", sort_array(col("toks"))).as("top_c"),
           size(col("bg")).cast(LongType).as("n_bigrams"),
           size(array_distinct(col("bg"))).cast(LongType).as("n_dist"))
-      uni.join(bi, Seq("doc_id"))
         .select(col("doc_id"), col("n_tokens"),
           (col("top_c") / col("n_tokens")).as("top_tok_frac"),
           when(col("n_bigrams") === 0, lit(0.0))

@@ -80,6 +80,29 @@ class VectorExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("graft_max_run equals explode+groupBy max frequency on sorted tokens") {
+    val df = Seq("a b a b a c", "x", "same same same", "", "q w e r t y")
+      .toDF("t").withColumn("id", monotonically_increasing_id())
+    val native = df.select(col("id"),
+      call_function("graft_max_run",
+        sort_array(split(col("t"), " "))).as("m"))
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = df.select(col("id"), explode(split(col("t"), " ")).as("tok"))
+      .groupBy("id", "tok").count()
+      .groupBy("id").agg(max("count").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == viaAgg)
+    // empty string splits to [""] -> run of 1; truly null input -> null
+    val r = spark.sql(
+      """SELECT graft_max_run(CAST(NULL AS ARRAY<STRING>)) AS a,
+                graft_max_run(CAST(array() AS ARRAY<STRING>)) AS b,
+                graft_max_run(array('z', CAST(NULL AS STRING), CAST(NULL AS STRING))) AS c""")
+      .head()
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == 2L) // null elements form their own run
+  }
+
   test("graft_ws_collapse matches regexp_replace(\\s+ -> space) exactly") {
     val df = Seq(
       "a  b\t\tc", "  lead and trail  ", "\t", "one space only",
