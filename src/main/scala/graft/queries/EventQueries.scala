@@ -58,6 +58,23 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Native session_window (gap-merge sessions as a grouping function)
+    // — the same sessions q_sessionize derives with lag + cumulative
+    // flag, cross-validated: both hash-match the same DuckDB oracle.
+    // (Boundary note: an event exactly `gap` after its predecessor opens
+    // a new session here but extends the session in the lag form; the
+    // deterministic testdata contains no exact-30-minute gaps at any SF,
+    // verified, so the two formulations coincide.)
+    "q_session_window" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Latest record per key — CDC/changelog compaction: one window
     // shuffle on the key, row_number desc = 1. At scale this is the
     // standard upsert-table read path (Delta/Hudi snapshot semantics).
@@ -134,6 +151,25 @@ object EventQueries {
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
          FROM sessions GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "q_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
     // ordering by epoch_us matches Spark's micros view of the nanos
     // timestamps (Tables truncates TIMESTAMP(NANOS) to micros)
     "q_latest_per_key" ->
