@@ -403,6 +403,17 @@ object RelationalQueries {
            ORDER BY status, priority""")
     },
 
+    // grouping_id disambiguates which grouping-set a row came from —
+    // the bitmask form downstream consumers key on (coalesce-to-'ALL'
+    // breaks when a real value equals the sentinel).
+    "q_grouping_id" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"), col("n"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    },
+
     // Distinct aggregate + plain counts in one pass.
     "q_count_distinct" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -926,6 +937,11 @@ object RelationalQueries {
            array_to_string(regexp_extract_all(props, '\d'), ',') AS digits,
            CAST(len(regexp_extract_all(props, '\d')) AS BIGINT) AS n_digits
          FROM events ORDER BY event_id""",
+    "q_grouping_id" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
     "q_integrity_check" ->
       """SELECT 'orders_without_customer' AS chk, count(*) AS n FROM orders
          WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
