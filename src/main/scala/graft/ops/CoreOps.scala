@@ -101,36 +101,73 @@ object CoreOps {
     * truncate-reload-everything is that `updates` is the small side and
     * only key-matching state changes — with a partitioned layout, pair
     * this with partition pruning on the updates' partition values.
+    *
+    * SINGLE WRITER REQUIRED: the fixed `.staging` sibling and the
+    * delete+rename swap mean two concurrent upserts to the same path
+    * (e.g. a streaming `upsertEachBatch` query plus an ad-hoc backfill)
+    * can interleave into a lost table. A fixed staging name is chosen
+    * deliberately — it makes crash recovery deterministic (there is
+    * exactly one place a completed-but-unswapped merge can live),
+    * whereas unique suffixes would leave unidentifiable garbage. Serialize
+    * writers externally; a transactional table format is the real answer
+    * for multi-writer.
+    *
+    * Crash windows, all recovered or surfaced loudly on the NEXT call:
+    *  - during staging write → target intact, staging partial (no
+    *    `_SUCCESS`): stale staging is overwritten by the next merge.
+    *  - after staging write, before delete → both exist: same as above
+    *    (the next merge re-derives staging from the intact target).
+    *  - between delete and rename → target missing, staging complete
+    *    (`_SUCCESS` present): recovered here by finishing the rename.
     */
   def upsert(updates: DataFrame, path: String,
       key: String, version: String): Unit = {
     val spark = updates.sparkSession
-    val cur =
-      try Some(spark.read.parquet(path))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    cur match {
-      case None =>
-        updates.write.mode(SaveMode.Overwrite).parquet(path)
-      case Some(current) =>
-        val up = updates.withColumn("__src", lit(1))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(key))
-          .orderBy(col(version).desc, col("__src").desc,
-            xxhash64(struct(updates.columns.map(col): _*)))
-        val merged = current.withColumn("__src", lit(0))
-          .unionByName(up)
-          .withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") === 1)
-          .drop("__rk", "__src")
-        // stage-then-swap: the merged plan still READS `path`, so it must
-        // be fully written elsewhere before the target is touched
-        val staging = path + ".staging"
-        merged.write.mode(SaveMode.Overwrite).parquet(staging)
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        fs.rename(new org.apache.hadoop.fs.Path(staging),
-          new org.apache.hadoop.fs.Path(path))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+
+    // Crash recovery: a missing target with a COMPLETE staging dir is the
+    // delete-then-crash window — the merged table is sitting in staging,
+    // so finish the interrupted swap instead of treating the table as
+    // fresh (which would drop all prior history). An INCOMPLETE staging
+    // (no _SUCCESS) alongside a missing target is unrecoverable state:
+    // fail loudly rather than silently overwrite.
+    if (!fs.exists(target) && fs.exists(staging)) {
+      val complete = fs.exists(
+        new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+      require(complete, s"upsert($path): target missing and staging " +
+        s"$staging is incomplete (no _SUCCESS) — manual inspection required")
+      require(fs.rename(staging, target),
+        s"upsert($path): recovery rename $staging -> $target failed")
+    }
+
+    // Existence is checked via the filesystem, not by catching
+    // AnalysisException from the read: a blanket catch would also swallow
+    // unrelated failures (empty or corrupt dir, permission errors) and
+    // silently take the fresh-table branch, overwriting history.
+    if (!fs.exists(target)) {
+      updates.write.mode(SaveMode.Overwrite).parquet(path)
+    } else {
+      val current = spark.read.parquet(path)
+      val up = updates.withColumn("__src", lit(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(key))
+        .orderBy(col(version).desc, col("__src").desc,
+          xxhash64(struct(updates.columns.map(col): _*)))
+      val merged = current.withColumn("__src", lit(0))
+        .unionByName(up)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .drop("__rk", "__src")
+      // stage-then-swap: the merged plan still READS `path`, so it must
+      // be fully written elsewhere before the target is touched
+      merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      require(fs.delete(target, true),
+        s"upsert($path): delete of $target failed")
+      require(fs.rename(staging, target),
+        s"upsert($path): rename $staging -> $target failed")
     }
   }
 

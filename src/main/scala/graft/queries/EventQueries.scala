@@ -60,11 +60,13 @@ object EventQueries {
 
     // Native session_window (gap-merge sessions as a grouping function)
     // — the same sessions q_sessionize derives with lag + cumulative
-    // flag, cross-validated: both hash-match the same DuckDB oracle.
-    // (Boundary note: an event exactly `gap` after its predecessor opens
-    // a new session here but extends the session in the lag form; the
-    // deterministic testdata contains no exact-30-minute gaps at any SF,
-    // verified, so the two formulations coincide.)
+    // flag, cross-validated against a boundary-exact oracle.
+    // (Boundary note: session_window's window is [start, start+gap), so
+    // an event exactly `gap` after its predecessor opens a NEW session —
+    // its oracle therefore flags `>= gap`, unlike q_sessionize's `> gap`
+    // lag form. The two queries only coincide on data without exact-gap
+    // deltas, but each oracle now encodes its own boundary, so a future
+    // generator change cannot silently diverge.)
     "q_session_window" -> { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -156,7 +158,7 @@ object EventQueries {
            SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                       > 30 * 60 * 1000000
+                       >= 30 * 60 * 1000000
                   THEN 1 ELSE 0 END AS new_session
            FROM events),
          sessions AS (

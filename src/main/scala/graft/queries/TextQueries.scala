@@ -111,7 +111,10 @@ object TextQueries {
 
     // Inverted-index build: token -> document frequency, postings count,
     // and the first 5 postings (zero-padded "doc:pos" so lexicographic
-    // sort = numeric order). Two-level aggregate: the (tok, doc) level
+    // sort = numeric order — %012d:%08d keeps that invariant to 1e12
+    // docs x 1e8 positions; format_string WIDENS past the pad width, so
+    // a narrow pad would silently mis-sort exactly at the scale this
+    // query targets). Two-level aggregate: the (tok, doc) level
     // compacts first — a flat groupBy(tok) with collect_list would ship
     // EVERY posting of a hot token ("the" ~ a constant fraction of a
     // 100 TB corpus) to one reducer, and count_distinct would add an
@@ -127,7 +130,7 @@ object TextQueries {
         .groupBy(col("tok"), col("doc_id"))
         .agg(count(lit(1)).as("c"),
           slice(sort_array(collect_list(
-            format_string("%06d:%04d", col("doc_id"), col("pos")))), 1, 5)
+            format_string("%012d:%08d", col("doc_id"), col("pos")))), 1, 5)
             .as("head5"))
         .groupBy(col("tok"))
         .agg(
@@ -511,7 +514,7 @@ object TextQueries {
          SELECT tok,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            count(*) AS n_postings,
-           array_to_string(list_sort(list(printf('%06d:%04d', doc_id, pos)))[1:5], ',')
+           array_to_string(list_sort(list(printf('%012d:%08d', doc_id, pos)))[1:5], ',')
              AS postings_head
          FROM p GROUP BY tok ORDER BY tok""",
     "q_embed_topk_agg" ->

@@ -155,6 +155,11 @@ object StreamingOps {
     * via [[graft.ops.CoreOps.upsert]] — replayed/late batches cannot
     * clobber newer state (version wins), making the sink effectively
     * idempotent under at-least-once delivery.
+    *
+    * SINGLE WRITER REQUIRED (inherited from `CoreOps.upsert`'s
+    * stage-then-swap): while this query runs, nothing else — no second
+    * streaming query, no ad-hoc batch backfill — may upsert the same
+    * path. foreachBatch serializes batches within THIS query only.
     */
   def upsertEachBatch(df: DataFrame, path: String, key: String,
       version: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

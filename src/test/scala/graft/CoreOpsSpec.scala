@@ -95,6 +95,44 @@ class CoreOpsSpec extends SparkSpec {
     assert(after.head == ((1L, 2L, "a2")))
   }
 
+  test("upsert recovers a completed-but-unswapped staging after a delete-crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_up_rec").toString + "/t"
+    CoreOps.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "v"),
+      dir, "k", "ver")
+    // Simulate the crash window between fs.delete(target) and fs.rename:
+    // the merged table sits complete (with _SUCCESS) in .staging while
+    // the target path is gone.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val staging = new org.apache.hadoop.fs.Path(dir + ".staging")
+    Seq((1L, 2L, "merged"), (2L, 1L, "b")).toDF("k", "ver", "v")
+      .write.parquet(staging.toString)
+    assert(fs.delete(target, true))
+    // Next upsert must first finish the interrupted swap (recovering the
+    // merged state), then apply its own batch on top — NOT treat the
+    // table as fresh and drop history.
+    CoreOps.upsert(Seq((3L, 1L, "c")).toDF("k", "ver", "v"), dir, "k", "ver")
+    val got = spark.read.parquet(dir).as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, "merged"), (2L, 1L, "b"), (3L, 1L, "c")))
+  }
+
+  test("upsert fails loudly on missing target with incomplete staging") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_up_bad").toString + "/t"
+    // An incomplete staging dir (no _SUCCESS) with no target is
+    // unrecoverable — upsert must refuse, not silently start fresh.
+    val f = new java.io.File(dir + ".staging")
+    assert(f.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(f.toString, "part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    val err = intercept[IllegalArgumentException] {
+      CoreOps.upsert(Seq((1L, 1L, "a")).toDF("k", "ver", "v"), dir, "k", "ver")
+    }
+    assert(err.getMessage.contains("incomplete"))
+  }
+
   test("upsert winner is partitioning-independent for exact version ties") {
     val base = java.nio.file.Files.createTempDirectory("graft_up_tie").toString
     def winner(parts: Int): String = {
