@@ -24,6 +24,12 @@ object ScaleSmoke {
     // span-count + repetition: one corpus-wide shuffle keyed on span
     // hash / (doc, token) — the exact-substring-dedup signal at Nx
     "q_span_dedup", "q_repetition",
+    // decontamination: corpus spans probe a broadcast of benchmark span
+    // hashes map-side (in production the benchmark is FIXED size; in
+    // this smoke the %50 benchmark grows with the corpus, stressing the
+    // broadcast harder than reality). domain cap: rank window whose
+    // cost tracks per-source counts. Both should scale ~linearly.
+    "q_decontaminate", "q_domain_cap",
     // ANN at Nx corpus: the fixed query set scans an Nx candidate pool —
     // brute force is the linear baseline, LSH/IVF the sublinear paths
     "q_embed_cosine_topk", "q_embed_ann_lsh", "q_embed_ann_ivf")

@@ -92,6 +92,24 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // Mergeable-sketch rollup — THE incremental pattern at 100 TB: each
+    // day (standing in for a bronze-table partition) builds a tiny HLL
+    // sketch of its users ONCE; later rollups union the SKETCHES
+    // (register-wise max — lossless, associative, commutative) instead
+    // of rescanning raw events. Union-of-daily == direct-over-all
+    // exactly at equal lgK (asserted in SketchSpec); the estimate is
+    // approximate against true counts, so rows-only at the oracle.
+    "q_sketch_merge" -> { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("est_users"))
+        .orderBy("event_type")
+    },
+
     // Time-series gap fill: per-user hourly spine (sequence + explode —
     // a generator, no shuffle) left-joined to hourly sums, missing hours
     // forward-filled with the last observed value (running `last`

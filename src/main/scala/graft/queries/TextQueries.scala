@@ -212,6 +212,51 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Benchmark decontamination (the GPT-3/PaLM eval-overlap pass): flag
+    // every training document sharing an exact 8-token span with the
+    // held-out benchmark set (doc_id % 50 == 0 stands in for the eval
+    // suite). The benchmark side is TINY relative to the corpus (eval
+    // suites are MBs against 100 TB), so its distinct span hashes
+    // BROADCAST: corpus spans are probed map-side and never shuffle
+    // (contrast q_span_dedup, whose corpus-wide window must). Span key =
+    // native graft_shingle_hashes 64-bit chained token hash — no span
+    // string materialized; the oracle joins span STRINGS, identical
+    // result bar ~|spans|^2/2^64 collision odds.
+    "q_decontaminate" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      def spans(df: DataFrame) = df.select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes",
+          TextOps.tokens(col("text")), lit(8), lit(42L))).as("h"))
+      val bench = spans(d.filter(col("doc_id") % 50 === 0)).select("h").distinct()
+      val hits = spans(d.filter(col("doc_id") % 50 =!= 0))
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_spans"))
+      d.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_contaminated_spans"), lit(0L)).as("n_contaminated_spans"),
+          (coalesce(col("n_contaminated_spans"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // C4-style per-domain cap: keep at most 15 documents per source,
+    // chosen by a deterministic md5 shuffle (engine-portable "random"
+    // subset — same winners under any partitioning or engine). One rank
+    // window keyed on source; the heavy-tail domain that motivates the
+    // cap is also the window's skew key, but the cost is bounded by the
+    // PRE-cap per-domain count and the rank never materializes more
+    // than the partition — WindowGroupLimit pushes the rk<=15 filter
+    // into the sort at the executor.
+    "q_domain_cap" -> { (s, dir) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 15)
+        .select(col("source"), col("rk").cast(LongType).as("rk"), col("doc_id"))
+        .orderBy("source", "rk")
+    },
+
     // Sequence packing: greedy assignment of documents to fixed
     // token-budget training bins via a running token sum, SHARD-LOCAL
     // (partitioned by source) — a global cumulative sum would serialize
@@ -554,6 +599,28 @@ object TextQueries {
          CAST(len(list_filter(string_split(text, ' '),
            t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT) AS n_stopwords
          FROM documents ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         sp AS (SELECT doc_id, array_to_string(l[i:i+7], ' ') AS span
+                FROM t, unnest(range(1, len(l) - 6)) AS u(i)),
+         bench AS (SELECT DISTINCT span FROM sp WHERE doc_id % 50 = 0),
+         hits AS (SELECT doc_id, count(*) AS n_hits
+                  FROM sp JOIN bench USING (span)
+                  WHERE doc_id % 50 != 0 GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_contaminated_spans,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         WHERE d.doc_id % 50 != 0
+         ORDER BY d.doc_id""",
+    "q_domain_cap" ->
+      """WITH ranked AS (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+         FROM ranked WHERE rk <= 15 ORDER BY source, rk""",
     "q_span_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          sp AS (SELECT doc_id, array_to_string(l[i:i+7], ' ') AS span

@@ -40,4 +40,28 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("HLL sketch union of daily partials equals the direct sketch exactly") {
+    // The q_sketch_merge contract: register-wise max-merge of per-day
+    // sketches is LOSSLESS at equal lgK, so the two-level rollup must
+    // produce the identical estimate to sketching all raw events at
+    // once — not merely a close one. This is what makes per-partition
+    // sketch columns safe to persist and re-aggregate incrementally.
+    val ev = Tables(spark, "/root/testdata/sf0.01", "events")
+    val daily = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == d, s"merged=$m direct=$d")
+    // and the estimate itself is within HLL error of the exact count
+    val exact = ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(m(k) - n).toDouble / n < 0.05, s"$k: est=${m(k)} exact=$n")
+    }
+  }
 }
