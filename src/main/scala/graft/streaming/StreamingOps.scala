@@ -105,6 +105,48 @@ object StreamingOps {
       }
   }
 
+  /** The same running per-user totals through `transformWithState` —
+    * Spark 4's arbitrary-state API (SPARK-46815): typed state handles
+    * (`ValueState` here; list/map state and per-key timers also exist)
+    * obtained from a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * instead of a single `GroupState` value, with state-schema evolution
+    * and TTL built in. Requires the RocksDB state store provider.
+    * Semantically identical to [[runningPerUser]] — the spec asserts the
+    * two produce the same rows.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, org.apache.spark.sql.Row, UserRunning] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("totals",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[org.apache.spark.sql.Row],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      var s = if (state.exists()) state.get() else UserState(0L, 0.0)
+      val out = rows.toSeq.sortBy(_.getAs[Long]("event_id")).map { r =>
+        s = UserState(s.n + 1, s.sum + r.getAs[Double]("value"))
+        UserRunning(user, r.getAs[Long]("event_id"), s.n, s.sum)
+      }
+      state.update(s)
+      out.iterator
+    }
+  }
+
+  def runningPerUserTws(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): org.apache.spark.sql.Dataset[UserRunning] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val outEnc = Encoders.product[UserRunning]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey((r: Row) => r.getAs[Long]("user_id"))(longEnc)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * static dimension — no watermark needed (static side never expires),
     * and a small dim broadcasts so the stream side never shuffles.

@@ -79,6 +79,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (RocksDB) matches flatMapGroupsWithState running totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.runningPerUserTws(mem.toDF())
+      .writeStream.format("memory").queryName("running_tws").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(1), 7, "a", 10.0), Ev(2, ts(2), 7, "a", 5.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(3), 7, "a", 2.5), Ev(4, ts(4), 8, "a", 1.0))
+      q.processAllAvailable() // ValueState for user 7 must survive batch 1 -> 2
+      val rows = spark.table("running_tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      // identical to the flatMapGroupsWithState expectation above
+      assert(rows == Set(
+        (7L, 1L, 1L, 10.0), (7L, 2L, 2L, 15.0),
+        (7L, 3L, 3L, 17.5),
+        (8L, 4L, 1L, 1.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream join pairs purchases with in-window clicks across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val pm = MemoryStream[Ev]
