@@ -26,13 +26,16 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
 
-  /** Whitespace-normalized lowercase text — the canonical form hashed by
-    * [[fingerprint]] and used for exact dedup. Run-collapse is the native
-    * byte-loop [[graft.functions.WsCollapse]] (regexp_replace-equivalent,
-    * no regex engine); lower/trim stay built-in so Unicode case mapping
+  /** Canonical text form hashed by [[fingerprint]] and used for exact
+    * dedup: Unicode NFC (composed-vs-decomposed encodings of the same
+    * glyphs must hash identically — native [[graft.functions.NfcNormalize]],
+    * DuckDB twin `nfc_normalize`), then whitespace run-collapse (native
+    * byte-loop [[graft.functions.WsCollapse]], regexp_replace-equivalent,
+    * no regex engine), then built-in lower/trim so Unicode case mapping
     * is untouched.
     */
-  def normText(c: Column): Column = lower(trim(call_function("graft_ws_collapse", c)))
+  def normText(c: Column): Column =
+    lower(trim(call_function("graft_ws_collapse", call_function("graft_nfc", c))))
 
   /** 128-bit -> 64-bit hex document fingerprint over normalized text.
     * md5 is chosen over xxhash64 because every SQL engine (and the DuckDB

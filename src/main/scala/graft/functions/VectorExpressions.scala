@@ -387,6 +387,48 @@ object WsCollapse {
   }
 }
 
+/** Unicode NFC normalization (java.text.Normalizer), codegen'd. Makes
+  * the canonical text form — and so exact dedup, fingerprints, and
+  * shingle keys — insensitive to composed-vs-decomposed encodings of
+  * the same glyphs ("café" arrives both as U+00E9 and as e+U+0301 in
+  * real web corpora; they must hash identically). The DuckDB oracle
+  * twin is `nfc_normalize` — both implement Unicode canonical
+  * composition, so digests agree. Fast path: `Normalizer.isNormalized`
+  * is a cheap scan (quick-check property) and web text is overwhelmingly
+  * already NFC — the common row costs one scan, no allocation.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = NfcNormalize.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $helper.nfc($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  import java.text.Normalizer
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Shared by interpreted eval and codegen (called from generated code). */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
 /** Count of codepoints NOT matched by the Java-regex class
   * `[\p{L}\p{N}\s]` — i.e. `length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", ""))`
   * without compiling a regex or materializing the stripped string per
@@ -678,6 +720,9 @@ object GraftFunctions {
     ("graft_ws_collapse",
       new ExpressionInfo(classOf[WsCollapse].getName, "graft_ws_collapse"),
       (es: Seq[Expression]) => WsCollapse(es(0))),
+    ("graft_nfc",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => NfcNormalize(es(0))),
     ("graft_punct_count",
       new ExpressionInfo(classOf[PunctCount].getName, "graft_punct_count"),
       (es: Seq[Expression]) => PunctCount(es(0))),

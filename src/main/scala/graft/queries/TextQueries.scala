@@ -521,7 +521,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q_lang_ngram" -> langNgramOracle,
     "q_dedup_exact" ->
-      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+      """SELECT md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))) AS text_hash,
          count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1 ORDER BY text_hash""",
     "q_ngram_jaccard" ->
@@ -814,14 +814,14 @@ object TextQueries {
            FROM scores),
          keep AS (
            SELECT min(doc_id) AS doc_id FROM documents
-           GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+           GROUP BY md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))))
          SELECT q.doc_id, lang, quality
          FROM q JOIN keep USING (doc_id)
          WHERE pred_lang = 'en' AND quality >= 0.5 AND n_tok BETWEEN 10 AND 2000
          ORDER BY doc_id""",
     "q_fingerprint" ->
       """SELECT doc_id,
-         substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fp
+         substring(md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))), 1, 16) AS fp
          FROM documents ORDER BY doc_id""",
     "q_blob_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS digest

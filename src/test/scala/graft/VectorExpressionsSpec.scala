@@ -115,6 +115,25 @@ class VectorExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("graft_nfc composes decomposed Unicode; identity (same buffer) on NFC text") {
+    val composed = "caf\u00e9"    // e-acute as one codepoint
+    val decomposed = "cafe\u0301" // e + combining acute
+    val rows = Seq((composed, decomposed)).toDF("c", "d")
+      .select(
+        call_function("graft_nfc", col("c")).as("nc"),
+        call_function("graft_nfc", col("d")).as("nd"))
+      .head()
+    assert(rows.getString(0) == composed)
+    assert(rows.getString(1) == composed) // decomposed -> composed
+    // the full canonical pipeline: both forms share one fingerprint
+    val fps = Seq(composed, decomposed).toDF("text")
+      .select(graft.functions.TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size == 1)
+    // null-safe from SQL
+    assert(spark.sql("SELECT graft_nfc(CAST(NULL AS STRING)) AS n").head().isNullAt(0))
+  }
+
   test("new native expressions are null-safe from SQL") {
     // null array element hashes like an empty string instead of NPEing
     val h = spark.sql(
