@@ -171,6 +171,27 @@ object CoreOps {
     }
   }
 
+  /** Dynamic-partition overwrite: replace ONLY the partitions present
+    * in `df`, leaving every other partition of the table untouched —
+    * the incremental reload pattern (a late-arriving day re-lands that
+    * day's partition; the other 36,499 partitions of a 100 TB table are
+    * not rewritten, not even read). The default STATIC overwrite mode
+    * would truncate the whole table first; the mode is set per-call and
+    * restored so callers' sessions keep their configured semantics.
+    */
+  def refreshPartitions(df: DataFrame, path: String, partCols: String*): Unit = {
+    require(partCols.nonEmpty, "refreshPartitions needs partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Size-aware compacting write: repartition so output files land near
     * `targetBytes` each, instead of inheriting the upstream partitioning
     * (the small-files problem — a 1000-executor job that ends on a

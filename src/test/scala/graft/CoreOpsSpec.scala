@@ -147,6 +147,23 @@ class CoreOpsSpec extends SparkSpec {
     assert(winner(1) == winner(7))
   }
 
+  test("refreshPartitions overwrites only the partitions present in the batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString + "/t"
+    CoreOps.refreshPartitions(
+      Seq(("2026-01-01", 1L, "a"), ("2026-01-02", 2L, "b")).toDF("day", "id", "v"),
+      dir, "day")
+    // re-land ONLY day 2; day 1 must survive untouched
+    CoreOps.refreshPartitions(
+      Seq(("2026-01-02", 9L, "b2")).toDF("day", "id", "v"), dir, "day")
+    val got = spark.read.parquet(dir)
+      .select("day", "id", "v").as[(String, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(("2026-01-01", 1L, "a"), ("2026-01-02", 9L, "b2")))
+    // the session's overwrite mode was restored (default = unset/static)
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .contains("dynamic"))
+  }
+
   test("compactWrite sizes file count to the byte target, not upstream partitioning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cw").toString
     // 200 input partitions of a small table would naively write 200 files

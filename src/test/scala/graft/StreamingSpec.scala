@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionAgg merges gap-bounded sessions; append emits them once finalized") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // session windows only support APPEND output (sessions MERGE as
+    // events arrive — an already-emitted row could grow, so rows are
+    // emitted only once the watermark passes the session end)
+    val q = StreamingOps.sessionAgg(mem.toDF(), gap = "30 minutes", watermark = "10 minutes")
+      .select(col("session_window.start").as("ws"), col("user_id"),
+        col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(20), 1, "a", 2.0))
+      q.processAllAvailable()
+      // 25 min after event 2: extends the SAME session (gap not exceeded)
+      mem.addData(Ev(3, ts(45), 1, "a", 4.0))
+      q.processAllAvailable()
+      // 40 min later: gap exceeded -> a new session opens
+      mem.addData(Ev(4, ts(85), 1, "a", 8.0))
+      q.processAllAvailable()
+      // advance the watermark far; both earlier sessions finalize, the
+      // flush event's own session stays pending
+      mem.addData(Ev(5, ts(300), 2, "a", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000,
+          r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        (0L, 1L, 3L, 7.0),   // events 1-3 merged into one session [0, 75)
+        (85L, 1L, 1L, 8.0))) // event 4 opened a fresh session [85, 115)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries per-user running state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
