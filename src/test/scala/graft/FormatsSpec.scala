@@ -62,6 +62,34 @@ class FormatsSpec extends SparkSpec {
     assert(m(2)._1 == 0L, "no day-2 row may have null quality")
   }
 
+  test("malformed records: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST throws") {
+    // The ingest reality at 100 TB: some fraction of source records are
+    // garbage, and the mode decides whether a job quarantines, skips, or
+    // aborts. PERMISSIVE (default) must capture the raw line in the
+    // _corrupt_record column so bad rows are auditable, not silently null.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "v": "ok"}""",
+        """{"id": oops not json""",
+        """{"id": 3, "v": "fine"}"""))
+    val schema = "id LONG, v STRING, _corrupt_record STRING"
+    val perm = spark.read.schema(schema).json(dir)
+      .select("id", "v", "_corrupt_record").collect()
+    assert(perm.length == 3)
+    val bad = perm.filter(!_.isNullAt(2))
+    assert(bad.length == 1 && bad.head.getString(2).contains("oops"))
+    val dropped = spark.read.schema("id LONG, v STRING")
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() == 2)
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("id LONG, v STRING")
+        .option("mode", "FAILFAST").json(dir).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("malformed") ||
+      Option(err.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+
   test("a format mix reads back into one union") {
     val d1 = java.nio.file.Files.createTempDirectory("graft_mix_p").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft_mix_j").toString
