@@ -50,6 +50,56 @@ object AsOfJoin {
       toleranceMs: Option[Long] = None, tieBreak: Option[String] = None): DataFrame =
     asOfImpl(left, right, key, ts, rightCols, forward = true, toleranceMs, tieBreak)
 
+  /** Nearest as-of (pandas merge_asof direction='nearest'): the right
+    * row with the minimum absolute time gap, backward winning exact
+    * ties. One shuffle on the key, TWO sorts: the backward and forward
+    * scans are windows over the same partitioning, so Catalyst plans a
+    * single Exchange with two Sort+Window passes — not two shuffles.
+    * Requires a timestamp `ts` column (the gap must be computable).
+    */
+  def asOfNearest(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, rightCols: Seq[String],
+      toleranceMs: Option[Long] = None, tieBreak: Option[String] = None): DataFrame = {
+    require(left.schema(ts).dataType == TimestampType,
+      "asOfNearest requires a timestamp ts column")
+    val payload = struct((col(ts).as("__rts") +: rightCols.map(col)): _*)
+    val payloadType = right.select(payload.as("__payload")).schema("__payload").dataType
+    val tbCol = "__tb"
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
+      .withColumn(tbCol, lit(null))
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("__side"), payload.as("__payload")) ++
+        tieBreak.map(c => col(c).as(tbCol)): _*)
+    val lCols = left.columns
+    val rAligned = lCols.foldLeft(r) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+    }.select((lCols.toIndexedSeq.map(col) :+ col("__side") :+ col("__payload") :+
+      (if (tieBreak.isDefined) col(tbCol) else lit(null).as(tbCol))): _*)
+
+    def w(forward: Boolean) = Window.partitionBy(col(key))
+      .orderBy(((if (forward) col(ts).desc else col(ts).asc) +: col("__side") +:
+        tieBreak.map(_ => col(tbCol).desc).toSeq): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(rAligned)
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(w(forward = false)))
+      .withColumn("__f", last(col("__payload"), ignoreNulls = true).over(w(forward = true)))
+      .filter(col("__side") === 1)
+
+    val gapB = unix_millis(col(ts)) - unix_millis(col("__b.__rts"))
+    val gapF = unix_millis(col("__f.__rts")) - unix_millis(col(ts))
+    def tol(gap: org.apache.spark.sql.Column) =
+      toleranceMs.map(t => gap <= t).getOrElse(lit(true))
+    val bOk = col("__b").isNotNull && tol(gapB)
+    val fOk = col("__f").isNotNull && tol(gapF)
+    val useB = bOk && (!fOk || gapB <= gapF) // exact tie -> backward
+    val chosen = when(useB, col("__b")).when(fOk, col("__f"))
+    rightCols.foldLeft(joined.withColumn("__asof", chosen)) { (d, c) =>
+      d.withColumn(s"asof_$c", col(s"__asof.$c"))
+    }.drop("__side", "__payload", "__b", "__f", "__asof", tbCol)
+  }
+
   private def asOfImpl(
       left: DataFrame, right: DataFrame,
       key: String, ts: String, rightCols: Seq[String],

@@ -205,6 +205,21 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // Nearest-direction as-of (pandas merge_asof direction='nearest'):
+    // min |gap| per purchase, backward wins exact ties. One shuffle,
+    // two ordered window scans over the same exchange.
+    "q_asof_nearest" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOfJoin.asOfNearest(purchases, clicks, "user_id", "ts", Seq("click_id"),
+        tieBreak = Some("click_id"))
+        .select(col("user_id"), col("event_id"), col("asof_click_id"))
+        .orderBy("event_id")
+    },
+
     // Full outer join: BUILDING-segment customers x per-customer order
     // rollup — unmatched rows survive on BOTH sides (customers with no
     // orders keep null counts; orders of other segments keep null names).
@@ -817,6 +832,18 @@ object RelationalQueries {
              row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts, c.click_id) AS rk
            FROM p LEFT JOIN c ON p.user_id = c.user_id
              AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)
+         SELECT user_id, event_id, click_id AS asof_click_id
+         FROM j WHERE rk = 1 ORDER BY event_id""",
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id, p.user_id, c.click_id,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                        c.click_id) AS rk
+           FROM p LEFT JOIN c ON p.user_id = c.user_id)
          SELECT user_id, event_id, click_id AS asof_click_id
          FROM j WHERE rk = 1 ORDER BY event_id""",
     "q_interval_join" ->

@@ -71,6 +71,40 @@ class JoinOpsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("asOfNearest equals a naive min-|gap| scan (backward wins ties) on random data") {
+    val rnd = new scala.util.Random(29)
+    val left = Seq.tabulate(120)(i =>
+      (rnd.nextInt(6).toLong, ms(rnd.nextInt(40)), i.toLong))
+    val right = Seq.tabulate(150)(i =>
+      (rnd.nextInt(6).toLong, ms(rnd.nextInt(40)), 1000L + i))
+    val tolMs = ms(7)
+    val naive: Map[Long, Option[Long]] = left.map { case (k, t, id) =>
+      id -> right.filter { case (rk, rt, _) => rk == k && math.abs(rt - t) <= tolMs }
+        // min gap, then backward-before-forward, then min rid
+        .sortBy { case (_, rt, rid) => (math.abs(rt - t), if (rt <= t) 0 else 1, rid) }
+        .headOption.map(_._3)
+    }.toMap
+    val l = left.toDF("k", "tsm", "lid").withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val r = right.toDF("k", "tsm", "rid").withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val got = AsOfJoin.asOfNearest(l, r, "k", "ts", Seq("rid"),
+      toleranceMs = Some(tolMs), tieBreak = Some("rid"))
+      .select("lid", "asof_rid").collect()
+      .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1))))
+      .toMap
+    assert(got == naive)
+  }
+
+  test("asOfNearest plans ONE exchange for the two directional window scans") {
+    val l = Seq((1L, ms(1), 1L)).toDF("k", "tsm", "lid")
+      .withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val r = Seq((1L, ms(2), 9L)).toDF("k", "tsm", "rid")
+      .withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val plan = AsOfJoin.asOfNearest(l, r, "k", "ts", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one shuffle, got $exchanges:\n$plan")
+  }
+
   test("bandJoin equals the naive range-predicate join") {
     val l = Seq.tabulate(200)(i => (i.toLong, i * 0.37)).toDF("lid", "lv")
     val r = Seq.tabulate(150)(i => (i.toLong, i * 0.53)).toDF("rid", "rv")
