@@ -157,6 +157,42 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** One Lloyd (k-means) iteration, the IVF/clustering training step, in
+    * the 100 TB shape: the k centroids are tiny, so they are
+    * DRIVER-FOLDED into the plan as codegen literals (the ivfTopK
+    * pattern) — assignment is k codegen'd cosines inside the scan
+    * projection and the corpus NEVER shuffles for it; the only shuffle
+    * is the partial-agged (cell, pos) centroid update, bounded by
+    * k x dim regardless of corpus size. Returns (cell, pos, n,
+    * sum_scaled): element sums as floor(x * 2^20) integers — exact,
+    * order-free, engine-portable (the q_embed_centroid trick); the new
+    * centroid is sum_scaled / n / 2^20, one exact division at the edge.
+    *
+    * Init is a deterministic md5-ordered corpus sample — engine-portable
+    * (unlike xxhash64), so a SQL oracle reproduces the same centroids,
+    * assignments, and sums bit-for-bit. Argmin is `array_min` over
+    * (-sim, cell) structs: lexicographic struct ordering gives "highest
+    * similarity, lowest cell on ties" without re-evaluating any cosine.
+    */
+  def kMeansIteration(
+      corpus: DataFrame, kCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents: Array[Seq[Double]] = corpus
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
+      .orderBy(md5(col("id").cast(StringType)), col("id"))
+      .limit(kCells).collect().map(_.getSeq[Double](1))
+    def negSims(vec: Column): Column =
+      array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        struct((-cosine(vec, array(c.map(lit): _*))).as("nsim"), lit(i).as("cell"))
+      }: _*)
+    corpus.select(toDoubleVec(col(vecCol)).as("vec"))
+      .withColumn("cell", array_min(negSims(col("vec"))).getField("cell"))
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("cell").cast(LongType).as("cell"), col("pos").cast(LongType).as("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * (1L << 20)).cast(LongType)).as("sum_scaled"))
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH: `tables`
     * independent signatures per vector; a corpus vector is a candidate
     * for a query iff they collide in at least one table. Recall rises

@@ -109,6 +109,17 @@ object TextQueries {
         .orderBy("label", "pos")
     },
 
+    // One full Lloyd iteration (assign + update) over the embeddings:
+    // centroids driver-folded as literals, corpus never shuffles for
+    // assignment; see VectorOps.kMeansIteration. md5-ordered init +
+    // integer-scaled sums keep every step engine-portable, so the
+    // WHOLE iteration is oracle-checked, not just the update half
+    // (q_embed_centroid).
+    "q_kmeans_iter" -> { (s, dir) =>
+      VectorOps.kMeansIteration(Tables(s, dir, "embeddings"), kCells = 8)
+        .orderBy("cell", "pos")
+    },
+
     // Inverted-index build: token -> document frequency, postings count,
     // and the first 5 postings (zero-padded "doc:pos" so lexicographic
     // sort = numeric order — %012d:%08d keeps that invariant to 1e12
@@ -552,6 +563,30 @@ object TextQueries {
            count(*) AS n,
            CAST(sum(CAST(floor(x * 1048576) AS BIGINT)) AS BIGINT) AS sum_scaled
          FROM e GROUP BY label, pos ORDER BY label, pos""",
+    "q_kmeans_iter" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                  vec
+           FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         sims AS (
+           SELECT v.vec_id, cent.cell,
+             list_sum(list_transform(range(1, len(v.vec) + 1), i -> v.vec[i] * cent.vec[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(v.vec) + 1), i -> v.vec[i] * v.vec[i])))
+                * sqrt(list_sum(list_transform(range(1, len(cent.vec) + 1), i -> cent.vec[i] * cent.vec[i])))) AS sim
+           FROM v CROSS JOIN cent),
+         assigned AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+             FROM sims) WHERE rk = 1),
+         e AS (
+           SELECT a.cell, i - 1 AS pos, v.vec[i] AS x
+           FROM assigned a JOIN v USING (vec_id), unnest(range(1, len(v.vec) + 1)) AS u(i))
+         SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
+           count(*) AS n,
+           CAST(sum(CAST(floor(x * 1048576) AS BIGINT)) AS BIGINT) AS sum_scaled
+         FROM e GROUP BY cell, pos ORDER BY cell, pos""",
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          p AS (SELECT doc_id, l[i] AS tok, i - 1 AS pos

@@ -77,4 +77,31 @@ class VectorSpec extends SparkSpec {
       .as[Long].collect()
     assert(sigs.toSeq == sigs2.toSeq)
   }
+
+  test("kMeansIteration: one Lloyd round recovers planted cluster means") {
+    // two tight clusters around (10,0) and (0,10); whatever the two
+    // md5-sampled seeds are, cosine assignment separates the clusters
+    // (cosine is scale-free: every A-point is ~(1,0)-ish, every B-point
+    // ~(0,1)-ish), so per-cell means must equal the per-cluster means
+    val pts = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, Seq(10.0 + (i % 5) * 0.01, 0.1))
+      else (i.toLong, Seq(0.1, 10.0 + (i % 5) * 0.01))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val out = VectorOps.kMeansIteration(df, kCells = 2, vecCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // both cells used, all vectors accounted for at every position
+    assert(out.keys.map(_._1).toSet.size == 2)
+    assert(out.filter(_._1._2 == 0L).values.map(_._1).sum == 20L)
+    // per-cell mean at pos 0: one cell ~10, the other ~0.1 (and mirrored
+    // at pos 1) — i.e. the planted cluster means, regardless of which
+    // seed landed in which cell
+    def mean(cell: Long, pos: Long): Double = {
+      val (n, ss) = out((cell, pos)); ss.toDouble / n / (1L << 20)
+    }
+    val p0 = Set(mean(0, 0), mean(1, 0)).toSeq.sorted
+    assert(math.abs(p0.head - 0.1) < 0.01 && math.abs(p0.last - 10.02) < 0.05, p0.toString)
+    val p1 = Set(mean(0, 1), mean(1, 1)).toSeq.sorted
+    assert(math.abs(p1.head - 0.1) < 0.01 && math.abs(p1.last - 10.02) < 0.05, p1.toString)
+  }
 }
