@@ -116,7 +116,8 @@ object VectorOps {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 0, nprobe: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainRounds: Int = 0): DataFrame = {
     // nlist <= 0 = auto: target a roughly constant cell SIZE (~256
     // vectors), so the probed fraction of the corpus shrinks as the
     // corpus grows instead of staying at nprobe/nlist of everything —
@@ -129,12 +130,17 @@ object VectorOps {
       if (nlist > 0) nlist
       else math.min(128, math.max(16, math.ceil(corpus.count() / 256.0).toInt))
     val effNprobe = if (nprobe > 0) nprobe else math.max(4, effNlist / 8)
-    val centroids: Array[Seq[Double]] = corpus
-      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
-      .orderBy(xxhash64(col("id")))
-      .limit(effNlist)
-      .collect()
-      .map(_.getSeq[Double](1))
+    // trainRounds > 0 swaps the raw sample for Lloyd-trained centroids
+    // (kMeansCentroids) — tighter cells, better recall per probe; the
+    // plan below is untouched either way.
+    val centroids: Array[Seq[Double]] =
+      if (trainRounds > 0) kMeansCentroids(corpus, effNlist, trainRounds, idCol, vecCol)
+      else corpus
+        .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
+        .orderBy(xxhash64(col("id")))
+        .limit(effNlist)
+        .collect()
+        .map(_.getSeq[Double](1))
 
     def cellSims(vec: Column): Column = array(centroids.zipWithIndex.toIndexedSeq.map {
       case (c, i) =>
@@ -176,11 +182,25 @@ object VectorOps {
     */
   def kMeansIteration(
       corpus: DataFrame, kCells: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents: Array[Seq[Double]] = corpus
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    kMeansIterationFrom(corpus,
+      kMeansInit(corpus, kCells, idCol, vecCol), vecCol)
+
+  /** Deterministic md5-ordered sample init (engine-portable; see
+    * [[kMeansIteration]]).
+    */
+  def kMeansInit(
+      corpus: DataFrame, kCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Seq[Double]] =
+    corpus
       .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
       .orderBy(md5(col("id").cast(StringType)), col("id"))
       .limit(kCells).collect().map(_.getSeq[Double](1))
+
+  /** One assign+update round against the GIVEN centroids. */
+  def kMeansIterationFrom(
+      corpus: DataFrame, cents: Array[Seq[Double]],
+      vecCol: String = "embedding"): DataFrame = {
     def negSims(vec: Column): Column =
       array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         struct((-cosine(vec, array(c.map(lit): _*))).as("nsim"), lit(i).as("cell"))
@@ -191,6 +211,33 @@ object VectorOps {
       .groupBy(col("cell").cast(LongType).as("cell"), col("pos").cast(LongType).as("pos"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("x") * (1L << 20)).cast(LongType)).as("sum_scaled"))
+  }
+
+  /** Multi-round Lloyd training: `rounds` x [[kMeansIterationFrom]], new
+    * centroids rebuilt driver-side between rounds from the (cell, pos)
+    * sums — k x dim doubles per round cross the driver, NEVER the
+    * corpus. A cell that captured no vectors keeps its previous centroid
+    * (the standard empty-cluster fallback). This is the "few
+    * broadcast-assign-reaverage rounds" the IVF docs reference — each
+    * round is one corpus scan plus a k x dim aggregate, so training cost
+    * is rounds x one-pass regardless of cluster count.
+    */
+  def kMeansCentroids(
+      corpus: DataFrame, kCells: Int, rounds: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Seq[Double]] = {
+    var cents = kMeansInit(corpus, kCells, idCol, vecCol)
+    for (_ <- 0 until rounds) {
+      val byCell = kMeansIterationFrom(corpus, cents, vecCol)
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCell.get(i.toLong).map { rows =>
+          rows.sortBy(_.getLong(1))
+            .map(r => r.getLong(3).toDouble / r.getLong(2) / (1L << 20)).toSeq
+        }.getOrElse(old)
+      }
+    }
+    cents
   }
 
   /** Approximate top-k via multi-table hyperplane LSH: `tables`

@@ -104,4 +104,30 @@ class VectorSpec extends SparkSpec {
     val p1 = Set(mean(0, 1), mean(1, 1)).toSeq.sorted
     assert(math.abs(p1.head - 0.1) < 0.01 && math.abs(p1.last - 10.02) < 0.05, p1.toString)
   }
+
+  test("kMeansCentroids converges to planted cluster means; trained IVF keeps recall") {
+    val pts = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, Seq(10.0 + (i % 7) * 0.01, 0.1))
+      else (i.toLong, Seq(0.1, 10.0 + (i % 7) * 0.01))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = VectorOps.kMeansCentroids(df, kCells = 2, rounds = 3)
+    // after Lloyd rounds the two centroids sit at the two cluster means
+    // (order unknown): one ~(10.03, 0.1), the other ~(0.1, 10.03)
+    val sortedByX = cents.sortBy(_.head)
+    assert(math.abs(sortedByX(0)(0) - 0.1) < 0.02 &&
+      math.abs(sortedByX(0)(1) - 10.03) < 0.05, cents.map(_.mkString(",")).mkString(" | "))
+    assert(math.abs(sortedByX(1)(0) - 10.03) < 0.05 &&
+      math.abs(sortedByX(1)(1) - 0.1) < 0.02, cents.map(_.mkString(",")).mkString(" | "))
+
+    // trained centroids drop into ivfTopK unchanged-plan; recall holds
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = VectorOps.bruteForceTopK(q, e, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = VectorOps.ivfTopK(q, e, k = 5, nlist = 16, nprobe = 8, trainRounds = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
 }
