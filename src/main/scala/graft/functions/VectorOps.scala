@@ -142,19 +142,28 @@ object VectorOps {
         .collect()
         .map(_.getSeq[Double](1))
 
-    def cellSims(vec: Column): Column = array(centroids.zipWithIndex.toIndexedSeq.map {
-      case (c, i) =>
+    // row self-norm hoisted to one alias + centroid norms as literals
+    // (same arithmetic order as graft_cosine — bit-identical sims,
+    // ~1/3 less assignment work; see kMeansIterationFrom)
+    val centNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    def cellSims(vec: Column, vnorm: Column): Column =
+      array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         struct(
-          cosine(vec, array(c.map(lit): _*)).as("sim"),
+          (dot(vec, array(c.map(lit): _*)) / (vnorm * lit(centNorms(i)))).as("sim"),
           lit(i).as("cell"))
-    }: _*)
+      }: _*)
 
     val c = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
-      .withColumn("cell", array_max(cellSims(col("n_vec"))).getField("cell"))
-    val q = queries.select(col(idCol).as("q_id"), toDoubleVec(col(vecCol)).as("q_vec"))
+      .withColumn("__vnorm", sqrt(dot(col("n_vec"), col("n_vec"))))
       .withColumn("cell",
-        explode(slice(reverse(array_sort(cellSims(col("q_vec")))), 1, effNprobe)
+        array_max(cellSims(col("n_vec"), col("__vnorm"))).getField("cell"))
+      .drop("__vnorm")
+    val q = queries.select(col(idCol).as("q_id"), toDoubleVec(col(vecCol)).as("q_vec"))
+      .withColumn("__vnorm", sqrt(dot(col("q_vec"), col("q_vec"))))
+      .withColumn("cell",
+        explode(slice(reverse(array_sort(cellSims(col("q_vec"), col("__vnorm")))), 1, effNprobe)
           .getField("cell")))
+      .drop("__vnorm")
 
     val scored = c.join(broadcast(q), Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
@@ -197,16 +206,30 @@ object VectorOps {
       .orderBy(md5(col("id").cast(StringType)), col("id"))
       .limit(kCells).collect().map(_.getSeq[Double](1))
 
-  /** One assign+update round against the GIVEN centroids. */
+  /** One assign+update round against the GIVEN centroids.
+    *
+    * The row's self-norm is hoisted into one `__vnorm` alias instead of
+    * letting each of the k cosines recompute it (CollapseProject keeps
+    * a multi-referenced non-cheap alias in project-project chains), and
+    * centroid norms are driver-precomputed literals — cutting ~1/3 of
+    * the assignment arithmetic at k cells per row. The arithmetic
+    * (ascending-index folds, sqrt x sqrt then divide) is ordered exactly
+    * as `graft_cosine`, so results stay bit-identical to the fused form
+    * and to the SQL oracle.
+    */
   def kMeansIterationFrom(
       corpus: DataFrame, cents: Array[Seq[Double]],
       vecCol: String = "embedding"): DataFrame = {
-    def negSims(vec: Column): Column =
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def negSims(vec: Column, vnorm: Column): Column =
       array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        struct((-cosine(vec, array(c.map(lit): _*))).as("nsim"), lit(i).as("cell"))
+        struct((-(dot(vec, array(c.map(lit): _*)) / (vnorm * lit(cnorms(i)))))
+          .as("nsim"), lit(i).as("cell"))
       }: _*)
     corpus.select(toDoubleVec(col(vecCol)).as("vec"))
-      .withColumn("cell", array_min(negSims(col("vec"))).getField("cell"))
+      .withColumn("__vnorm", sqrt(dot(col("vec"), col("vec"))))
+      .withColumn("cell",
+        array_min(negSims(col("vec"), col("__vnorm"))).getField("cell"))
       .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
       .groupBy(col("cell").cast(LongType).as("cell"), col("pos").cast(LongType).as("pos"))
       .agg(count(lit(1)).as("n"),

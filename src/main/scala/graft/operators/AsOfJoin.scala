@@ -63,34 +63,21 @@ object AsOfJoin {
       toleranceMs: Option[Long] = None, tieBreak: Option[String] = None): DataFrame = {
     require(left.schema(ts).dataType == TimestampType,
       "asOfNearest requires a timestamp ts column")
-    val payload = struct((col(ts).as("__rts") +: rightCols.map(col)): _*)
-    val payloadType = right.select(payload.as("__payload")).schema("__payload").dataType
-    val tbCol = "__tb"
-    val l = left.withColumn("__side", lit(1))
-      .withColumn("__payload", lit(null).cast(payloadType))
-      .withColumn(tbCol, lit(null))
-    val r = right.select(
-      Seq(col(key), col(ts), lit(0).as("__side"), payload.as("__payload")) ++
-        tieBreak.map(c => col(c).as(tbCol)): _*)
-    val lCols = left.columns
-    val rAligned = lCols.foldLeft(r) { (d, c) =>
-      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
-    }.select((lCols.toIndexedSeq.map(col) :+ col("__side") :+ col("__payload") :+
-      (if (tieBreak.isDefined) col(tbCol) else lit(null).as(tbCol))): _*)
-
-    def w(forward: Boolean) = Window.partitionBy(col(key))
-      .orderBy(((if (forward) col(ts).desc else col(ts).asc) +: col("__side") +:
-        tieBreak.map(_ => col(tbCol).desc).toSeq): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = l.unionByName(rAligned)
+    val (tagged, tbCol) = taggedUnion(left, right, key, ts, rightCols, tieBreak)
+    def w(forward: Boolean) =
+      scanWindow(key, ts, tbCol, forward = forward, tieBreak.isDefined)
+    val joined = tagged
       .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(w(forward = false)))
       .withColumn("__f", last(col("__payload"), ignoreNulls = true).over(w(forward = true)))
       .filter(col("__side") === 1)
 
-    val gapB = unix_millis(col(ts)) - unix_millis(col("__b.__rts"))
-    val gapF = unix_millis(col("__f.__rts")) - unix_millis(col(ts))
+    // gaps at MICROsecond precision — Spark timestamps (and the SQL
+    // oracle's epoch_us) carry micros; a millis comparison would
+    // truncate sub-ms differences and could pick the farther side
+    val gapB = unix_micros(col(ts)) - unix_micros(col("__b.__rts"))
+    val gapF = unix_micros(col("__f.__rts")) - unix_micros(col(ts))
     def tol(gap: org.apache.spark.sql.Column) =
-      toleranceMs.map(t => gap <= t).getOrElse(lit(true))
+      toleranceMs.map(t => gap <= t * 1000L).getOrElse(lit(true))
     val bOk = col("__b").isNotNull && tol(gapB)
     val fOk = col("__f").isNotNull && tol(gapF)
     val useB = bOk && (!fOk || gapB <= gapF) // exact tie -> backward
@@ -100,12 +87,15 @@ object AsOfJoin {
     }.drop("__side", "__payload", "__b", "__f", "__asof", tbCol)
   }
 
-  private def asOfImpl(
+  /** Shared tagged-union prep for every as-of direction: left rows get
+    * `__side=1` and a null payload; right rows collapse to (key, ts,
+    * `__side=0`, payload struct carrying `__rts` + the carried columns,
+    * optional tie-break), aligned to the left schema with nulls.
+    */
+  private def taggedUnion(
       left: DataFrame, right: DataFrame,
       key: String, ts: String, rightCols: Seq[String],
-      forward: Boolean, toleranceMs: Option[Long], tieBreak: Option[String]): DataFrame = {
-    // carry the right timestamp inside the payload so tolerance can be
-    // evaluated after the window pass
+      tieBreak: Option[String]): (DataFrame, String) = {
     val payload = struct((col(ts).as("__rts") +: rightCols.map(col)): _*)
     val payloadType = right.select(payload.as("__payload")).schema("__payload").dataType
     val tbCol = "__tb"
@@ -120,17 +110,30 @@ object AsOfJoin {
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }.select((lCols.toIndexedSeq.map(col) :+ col("__side") :+ col("__payload") :+
       (if (tieBreak.isDefined) col(tbCol) else lit(null).as(tbCol))): _*)
+    (l.unionByName(rAligned), tbCol)
+  }
 
-    // scan order: nearest-qualifying right row is the last one seen
-    // before each left row. Ties at equal ts resolve to the MINIMUM
-    // tieBreak (scanned descending, so the min is scanned last).
-    val ord =
-      (if (forward) col(ts).desc else col(ts).asc) +: col("__side") +:
-        tieBreak.map(_ => col(tbCol).desc).toSeq
-    val w = Window.partitionBy(col(key))
-      .orderBy(ord: _*)
+  /** Directional scan order: nearest-qualifying right row is the last
+    * one seen before each left row; ties at equal ts resolve to the
+    * MINIMUM tie-break (scanned descending, so the min is scanned last).
+    */
+  private def scanWindow(
+      key: String, ts: String, tbCol: String,
+      forward: Boolean, hasTieBreak: Boolean) =
+    Window.partitionBy(col(key))
+      .orderBy(((if (forward) col(ts).desc else col(ts).asc) +: col("__side") +:
+        (if (hasTieBreak) Seq(col(tbCol).desc) else Nil)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = l.unionByName(rAligned)
+
+  private def asOfImpl(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, rightCols: Seq[String],
+      forward: Boolean, toleranceMs: Option[Long], tieBreak: Option[String]): DataFrame = {
+    // the right timestamp travels inside the payload so tolerance can be
+    // evaluated after the window pass
+    val (tagged, tbCol) = taggedUnion(left, right, key, ts, rightCols, tieBreak)
+    val w = scanWindow(key, ts, tbCol, forward = forward, tieBreak.isDefined)
+    val joined = tagged
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
@@ -139,10 +142,12 @@ object AsOfJoin {
       case Some(tol) =>
         require(left.schema(ts).dataType == TimestampType,
           "toleranceMs requires a timestamp ts column")
+        // micros, not millis: truncation would admit gaps up to 1 ms
+        // past the bound that the SQL oracle (epoch_us) rejects
         val gap =
-          if (forward) unix_millis(col(s"__asof.__rts")) - unix_millis(col(ts))
-          else unix_millis(col(ts)) - unix_millis(col(s"__asof.__rts"))
-        gap <= tol
+          if (forward) unix_micros(col(s"__asof.__rts")) - unix_micros(col(ts))
+          else unix_micros(col(ts)) - unix_micros(col(s"__asof.__rts"))
+        gap <= tol * 1000L
     }
     rightCols.foldLeft(joined) { (d, c) =>
       d.withColumn(s"asof_$c", when(withinTol, col(s"__asof.$c")))

@@ -131,14 +131,19 @@ object CoreOps {
     // Crash recovery: a missing target with a COMPLETE staging dir is the
     // delete-then-crash window — the merged table is sitting in staging,
     // so finish the interrupted swap instead of treating the table as
-    // fresh (which would drop all prior history). An INCOMPLETE staging
-    // (no _SUCCESS) alongside a missing target is unrecoverable state:
-    // fail loudly rather than silently overwrite.
+    // fresh (which would drop all prior history). Completeness is keyed
+    // on our OWN commit marker, written after the staging write returns:
+    // Spark's _SUCCESS marker exists only when
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs is on (off is a
+    // common object-store setting), so relying on it would turn this
+    // self-healing path into a hard failure under that config. An
+    // unmarked staging alongside a missing target is unrecoverable
+    // state: fail loudly rather than silently overwrite.
     if (!fs.exists(target) && fs.exists(staging)) {
       val complete = fs.exists(
-        new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+        new org.apache.hadoop.fs.Path(staging, CommitMarker))
       require(complete, s"upsert($path): target missing and staging " +
-        s"$staging is incomplete (no _SUCCESS) — manual inspection required")
+        s"$staging is incomplete (no $CommitMarker) — manual inspection required")
       require(fs.rename(staging, target),
         s"upsert($path): recovery rename $staging -> $target failed")
     }
@@ -162,14 +167,21 @@ object CoreOps {
         .filter(col("__rk") === 1)
         .drop("__rk", "__src")
       // stage-then-swap: the merged plan still READS `path`, so it must
-      // be fully written elsewhere before the target is touched
+      // be fully written elsewhere before the target is touched. The
+      // commit marker lands strictly AFTER the write returns — a crash
+      // before it leaves staging unmarked (and the target intact), so
+      // the next call rebuilds staging instead of trusting partial data.
       merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      fs.create(new org.apache.hadoop.fs.Path(staging, CommitMarker), true).close()
       require(fs.delete(target, true),
         s"upsert($path): delete of $target failed")
       require(fs.rename(staging, target),
         s"upsert($path): rename $staging -> $target failed")
     }
   }
+
+  /** Marker proving a staging write ran to completion (see [[upsert]]). */
+  private[graft] val CommitMarker = "_GRAFT_COMMIT"
 
   /** Dynamic-partition overwrite: replace ONLY the partitions present
     * in `df`, leaving every other partition of the table untouched —

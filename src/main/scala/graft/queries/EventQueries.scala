@@ -60,13 +60,14 @@ object EventQueries {
 
     // Native session_window (gap-merge sessions as a grouping function)
     // — the same sessions q_sessionize derives with lag + cumulative
-    // flag, cross-validated against a boundary-exact oracle.
-    // (Boundary note: session_window's window is [start, start+gap), so
-    // an event exactly `gap` after its predecessor opens a NEW session —
-    // its oracle therefore flags `>= gap`, unlike q_sessionize's `> gap`
-    // lag form. The two queries only coincide on data without exact-gap
-    // deltas, but each oracle now encodes its own boundary, so a future
-    // generator change cannot silently diverge.)
+    // flag, cross-validated against one boundary-exact oracle.
+    // (Boundary note, VERIFIED empirically on this Spark: an event
+    // arriving exactly `gap` after its predecessor MERGES into the
+    // session — Spark merges when next.start <= prev.end, i.e. the
+    // window-end exclusivity does NOT govern merging; events at 00:00
+    // and 00:30 with a 30-min gap yield ONE session [00:00, 01:00) of
+    // n=2. The lag-form `> gap` new-session predicate is therefore the
+    // exact encoding for both queries at every boundary.)
     "q_session_window" -> { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -173,15 +174,15 @@ object EventQueries {
          ORDER BY user_id, session_id""",
     "q_session_window" ->
       """WITH flagged AS (
-           SELECT user_id, ts, value,
+           SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                       >= 30 * 60 * 1000000
+                       > 30 * 60 * 1000000
                   THEN 1 ELSE 0 END AS new_session
            FROM events),
          sessions AS (
            SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM flagged)
          SELECT user_id,

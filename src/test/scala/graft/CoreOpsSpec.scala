@@ -100,7 +100,7 @@ class CoreOpsSpec extends SparkSpec {
     CoreOps.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "v"),
       dir, "k", "ver")
     // Simulate the crash window between fs.delete(target) and fs.rename:
-    // the merged table sits complete (with _SUCCESS) in .staging while
+    // the merged table sits complete (commit-marked) in .staging while
     // the target path is gone.
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
@@ -108,6 +108,7 @@ class CoreOpsSpec extends SparkSpec {
     val staging = new org.apache.hadoop.fs.Path(dir + ".staging")
     Seq((1L, 2L, "merged"), (2L, 1L, "b")).toDF("k", "ver", "v")
       .write.parquet(staging.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging, CoreOps.CommitMarker), true).close()
     assert(fs.delete(target, true))
     // Next upsert must first finish the interrupted swap (recovering the
     // merged state), then apply its own batch on top — NOT treat the
@@ -120,8 +121,9 @@ class CoreOpsSpec extends SparkSpec {
 
   test("upsert fails loudly on missing target with incomplete staging") {
     val dir = java.nio.file.Files.createTempDirectory("graft_up_bad").toString + "/t"
-    // An incomplete staging dir (no _SUCCESS) with no target is
-    // unrecoverable — upsert must refuse, not silently start fresh.
+    // An unmarked staging dir (no commit marker — e.g. a crash mid-write,
+    // regardless of whether the committer wrote _SUCCESS) with no target
+    // is unrecoverable — upsert must refuse, not silently start fresh.
     val f = new java.io.File(dir + ".staging")
     assert(f.mkdirs())
     java.nio.file.Files.write(
