@@ -111,30 +111,45 @@ object EventQueries {
         .orderBy("event_type")
     },
 
-    // Time-series gap fill: per-user hourly spine (sequence + explode —
-    // a generator, no shuffle) left-joined to hourly sums, missing hours
-    // forward-filled with the last observed value (running `last`
-    // ignoreNulls frame). The resample-and-ffill primitive.
+    // Time-series gap fill + forward fill, SINGLE-SCAN: each observed
+    // hour expands the gap run it terminates (the hours since the
+    // previous observation) via one generator, carrying the running
+    // last non-null sum. Semantically identical to the textbook
+    // spine + left-join + running-last form — but that form's "shared"
+    // hourly subtree is NOT shared after optimization (Catalyst
+    // collapses the spine's min/max aggregate straight onto the raw
+    // scan, so events was scanned and aggregated TWICE, then broadcast-
+    // joined); this shape is one scan, one agg exchange, one window
+    // exchange. At 100 TB the second full pass over the fact table is
+    // the difference that matters.
     "q_gap_fill" -> { (s, dir) =>
       val hourly = Tables(s, dir, "events")
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
         .agg(dsum(col("value")).as("v"))
-      val spine = hourly.groupBy("user_id")
-        .agg(min("hr").as("h0"), max("hr").as("h1"))
-        .select(col("user_id"),
-          explode(sequence(col("h0"), col("h1"),
-            expr("interval 1 hour"))).as("hr"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spine.join(hourly, Seq("user_id", "hr"), "left")
-        .select(col("user_id"), col("hr"),
-          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          last(col("v"), ignoreNulls = true).over(w).as("value_filled"),
-          col("v").isNull.as("is_gap"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly
+        .withColumn("prev_hr", lag(col("hr"), 1).over(w))
+        // running fill INCLUDING the current row (for the observed hour
+        // itself), lagged once for the gap hours before it — null-sum
+        // hours stay gaps and inherit the last non-null fill, exactly
+        // like the running-last-over-spine formulation
+        .withColumn("fill", last(col("v"), ignoreNulls = true).over(wRun))
+        .withColumn("prev_fill", lag(col("fill"), 1).over(w))
+        .select(col("user_id"), col("hr"), col("v"), col("fill"), col("prev_fill"),
+          explode(sequence(
+            coalesce(col("prev_hr") + expr("interval 1 hour"), col("hr")),
+            col("hr"), expr("interval 1 hour"))).as("h"))
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          when(col("h") === col("hr"), col("fill"))
+            .otherwise(col("prev_fill")).as("value_filled"),
+          (col("h") =!= col("hr") || col("v").isNull).as("is_gap"),
+          col("h"))
         // sort on the 8-byte timestamp, not the 19-char string — same
-        // total order (the format is monotonic in hr), cheaper compares
+        // total order (the format is monotonic in h), cheaper compares
         // and range-sampler keys
-        .orderBy("user_id", "hr")
+        .orderBy("user_id", "h")
         .select("user_id", "hour", "value_filled", "is_gap")
     })
 
