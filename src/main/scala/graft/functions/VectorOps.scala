@@ -98,6 +98,26 @@ object VectorOps {
       when(dot(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** (sim, cell) struct array of `vec` against every centroid, with the
+    * row's self-norm hoisted to the caller-supplied `vnorm` alias and
+    * centroid norms driver-precomputed as literals — ~1/3 less work than
+    * k fused cosines per row. INVARIANT (relied on by the q_kmeans_iter
+    * oracle): ascending-index folds and sqrt x sqrt-then-divide operand
+    * order exactly match `graft_cosine`, so sims are bit-identical to
+    * the fused form. `negate` flips the sign (argmin-by-struct-min
+    * callers) without a second copy of this arithmetic.
+    */
+  private def centroidSims(
+      centroids: Array[Seq[Double]], vec: Column, vnorm: Column,
+      negate: Boolean): Column = {
+    val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val sim = dot(vec, array(c.map(lit): _*)) / (vnorm * lit(norms(i)))
+      struct((if (negate) -sim else sim).as(if (negate) "nsim" else "sim"),
+        lit(i).as("cell"))
+    }: _*)
+  }
+
   /** IVF-flat ANN: the corpus is partitioned into `nlist` cells by
     * nearest centroid; each query probes its `nprobe` closest cells.
     *
@@ -142,16 +162,8 @@ object VectorOps {
         .collect()
         .map(_.getSeq[Double](1))
 
-    // row self-norm hoisted to one alias + centroid norms as literals
-    // (same arithmetic order as graft_cosine — bit-identical sims,
-    // ~1/3 less assignment work; see kMeansIterationFrom)
-    val centNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
     def cellSims(vec: Column, vnorm: Column): Column =
-      array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        struct(
-          (dot(vec, array(c.map(lit): _*)) / (vnorm * lit(centNorms(i)))).as("sim"),
-          lit(i).as("cell"))
-      }: _*)
+      centroidSims(centroids, vec, vnorm, negate = false)
 
     val c = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
       .withColumn("__vnorm", sqrt(dot(col("n_vec"), col("n_vec"))))
@@ -220,12 +232,8 @@ object VectorOps {
   def kMeansIterationFrom(
       corpus: DataFrame, cents: Array[Seq[Double]],
       vecCol: String = "embedding"): DataFrame = {
-    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     def negSims(vec: Column, vnorm: Column): Column =
-      array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        struct((-(dot(vec, array(c.map(lit): _*)) / (vnorm * lit(cnorms(i)))))
-          .as("nsim"), lit(i).as("cell"))
-      }: _*)
+      centroidSims(cents, vec, vnorm, negate = true)
     corpus.select(toDoubleVec(col(vecCol)).as("vec"))
       .withColumn("__vnorm", sqrt(dot(col("vec"), col("vec"))))
       .withColumn("cell",

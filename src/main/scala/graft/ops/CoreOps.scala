@@ -112,13 +112,16 @@ object CoreOps {
     * writers externally; a transactional table format is the real answer
     * for multi-writer.
     *
-    * Crash windows, all recovered or surfaced loudly on the NEXT call:
+    * Crash windows, all recovered or surfaced loudly on the NEXT call
+    * (staging completeness = our `_GRAFT_COMMIT` marker, written after
+    * the staging write returns; Spark's `_SUCCESS` is also accepted for
+    * staging dirs a pre-marker version left behind):
     *  - during staging write → target intact, staging partial (no
-    *    `_SUCCESS`): stale staging is overwritten by the next merge.
+    *    marker): stale staging is overwritten by the next merge.
     *  - after staging write, before delete → both exist: same as above
     *    (the next merge re-derives staging from the intact target).
     *  - between delete and rename → target missing, staging complete
-    *    (`_SUCCESS` present): recovered here by finishing the rename.
+    *    (marker present): recovered here by finishing the rename.
     */
   def upsert(updates: DataFrame, path: String,
       key: String, version: String): Unit = {
@@ -136,12 +139,16 @@ object CoreOps {
     // Spark's _SUCCESS marker exists only when
     // mapreduce.fileoutputcommitter.marksuccessfuljobs is on (off is a
     // common object-store setting), so relying on it would turn this
-    // self-healing path into a hard failure under that config. An
+    // self-healing path into a hard failure under that config. A
+    // PRESENT _SUCCESS is still trustworthy evidence (the committer only
+    // writes it on job completion), so it is accepted too — staging dirs
+    // left by a pre-marker version of this code stay recoverable. An
     // unmarked staging alongside a missing target is unrecoverable
     // state: fail loudly rather than silently overwrite.
     if (!fs.exists(target) && fs.exists(staging)) {
-      val complete = fs.exists(
-        new org.apache.hadoop.fs.Path(staging, CommitMarker))
+      val complete =
+        fs.exists(new org.apache.hadoop.fs.Path(staging, CommitMarker)) ||
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
       require(complete, s"upsert($path): target missing and staging " +
         s"$staging is incomplete (no $CommitMarker) — manual inspection required")
       require(fs.rename(staging, target),

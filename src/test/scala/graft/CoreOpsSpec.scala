@@ -119,6 +119,23 @@ class CoreOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, "merged"), (2L, 1L, "b"), (3L, 1L, "c")))
   }
 
+  test("upsert recovery also accepts a legacy _SUCCESS-only staging dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_up_leg").toString + "/t"
+    CoreOps.upsert(Seq((1L, 1L, "a")).toDF("k", "ver", "v"), dir, "k", "ver")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(dir + ".staging")
+    // a pre-marker version's staging: _SUCCESS from the committer, no
+    // _GRAFT_COMMIT — must still recover after the delete-crash window
+    Seq((1L, 2L, "merged")).toDF("k", "ver", "v").write.parquet(staging.toString)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir), true))
+    CoreOps.upsert(Seq((2L, 1L, "b")).toDF("k", "ver", "v"), dir, "k", "ver")
+    val got = spark.read.parquet(dir).as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, "merged"), (2L, 1L, "b")))
+  }
+
   test("upsert fails loudly on missing target with incomplete staging") {
     val dir = java.nio.file.Files.createTempDirectory("graft_up_bad").toString + "/t"
     // An unmarked staging dir (no commit marker — e.g. a crash mid-write,
