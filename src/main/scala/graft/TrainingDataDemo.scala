@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   *     → exact dedup (windowed keep-first on the content hash)
   *     → near-dedup (n-gram Jaccard pairs → connected-component clusters
   *       → drop non-canonical members)
+  *     → benchmark decontamination (exact 8-token-span overlap with the
+  *       eval suite, broadcast-probed — see q_decontaminate)
   *     → deterministic train/heldout split (md5 hash sampling)
   *     → fixed-width chunk packing
   *     → partitioned parquet layout (split column = partition dir, so
@@ -62,8 +64,23 @@ object TrainingDataDemo {
       .select(col("id").as("doc_id"))
     val deduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
 
+    // 3b. benchmark decontamination — drop any surviving doc sharing an
+    // exact 8-token span with the eval suite (stand-in: doc_id % 50 ==
+    // 0, which also removes the eval docs themselves via self-overlap).
+    // The benchmark span hashes broadcast; the corpus side probes
+    // map-side and never shuffles (same shape as q_decontaminate).
+    def spans(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(call_function("graft_shingle_hashes",
+        TextOps.tokens(col("text")), lit(8), lit(42L))).as("h"))
+    val benchSpans = spans(docs.filter(col("doc_id") % 50 === 0))
+      .select("h").distinct()
+    val contaminated = spans(deduped)
+      .join(broadcast(benchSpans), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+
     // 4. deterministic split: ~7/8 train, ~1/8 heldout (md5 prefix)
-    val split = deduped.withColumn("split",
+    val split = clean.withColumn("split",
       when(graft.ops.CoreOps.hashSample(col("doc_id"), lit("d")), "train")
         .otherwise("heldout"))
 
@@ -87,6 +104,7 @@ object TrainingDataDemo {
       "admitted" -> admitted.count(),
       "exact_deduped" -> exactDeduped.count(),
       "near_deduped" -> deduped.count(),
+      "decontaminated" -> clean.count(),
       "docs_out" -> m("n_docs_out").asInstanceOf[Long],
       "chunks" -> m("n_chunks").asInstanceOf[Long],
       "train_chunks" -> m("n_train_chunks").asInstanceOf[Long])

@@ -12,7 +12,8 @@ class TrainingDataDemoSpec extends SparkSpec {
     assert(stats("docs_in") >= stats("admitted"))
     assert(stats("admitted") >= stats("exact_deduped"))
     assert(stats("exact_deduped") >= stats("near_deduped"))
-    assert(stats("near_deduped") == stats("docs_out"))
+    assert(stats("near_deduped") >= stats("decontaminated"))
+    assert(stats("decontaminated") == stats("docs_out"))
     assert(stats("docs_out") > 0 && stats("chunks") >= stats("docs_out"))
     assert(stats("train_chunks") <= stats("chunks"))
 
