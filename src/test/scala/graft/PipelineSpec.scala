@@ -70,4 +70,20 @@ class PipelineSpec extends SparkSpec {
     assert(m2.loaded == 30)
     assert(spark.read.parquet(out).count() == 30)
   }
+
+  test("typed cogroup merges two keyed Datasets per key (clicks vs purchases)") {
+    // the typed-Dataset escape hatch for per-key multi-input merge logic
+    // that joins can't express cleanly (both sides as iterators, one
+    // output shape); each side shuffles once on the key, same as a join
+    val clicks = Seq((1L, "c1"), (1L, "c2"), (2L, "c3")).toDS()
+    val buys = Seq((1L, 9.5), (3L, 5.0)).toDS()
+    val out = clicks.groupByKey(_._1)
+      .cogroup(buys.groupByKey(_._1)) { (user, cs, bs) =>
+        val clicked = cs.size
+        val spent = bs.map(_._2).sum
+        Iterator((user, clicked, spent))
+      }.collect().toSet
+    // users present on either side appear exactly once, absent side empty
+    assert(out == Set((1L, 2, 9.5), (2L, 1, 0.0), (3L, 0, 5.0)))
+  }
 }
