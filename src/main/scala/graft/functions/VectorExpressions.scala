@@ -762,7 +762,16 @@ object GraftFunctions {
           constInt("graft_winnow", "k", k),
           constInt("graft_winnow", "w", w))
         case _ => throw new IllegalArgumentException("graft_winnow(text[, k, w])")
-      }))
+      }),
+    ("graft_nearest_cell",
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_cell"),
+      (es: Seq[Expression]) => NearestCentroid(es(0), es(1), es(2))),
+    ("graft_top_cells",
+      new ExpressionInfo(classOf[TopCentroids].getName, "graft_top_cells"),
+      (es: Seq[Expression]) => TopCentroids(es(0), es(1), es(2), es(3))),
+    ("graft_might_contain",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

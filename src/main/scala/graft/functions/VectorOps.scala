@@ -118,68 +118,82 @@ object VectorOps {
     }: _*)
   }
 
+  /** Auto-sizing cap: centroids travel as ONE flat array literal (a few
+    * MB at worst), but the per-row assignment kernel is O(nlist · dim) —
+    * past a few thousand cells you want a coarse-quantizer tier instead.
+    * Explicit `nlist` is uncapped (the caller knows their corpus).
+    */
+  private val MaxAutoNlist = 4096
+
   /** IVF-flat ANN: the corpus is partitioned into `nlist` cells by
     * nearest centroid; each query probes its `nprobe` closest cells.
     *
     * Centroids are a deterministic hash-ordered sample of the corpus
-    * (k-means init without Lloyd iterations; at scale you would run a few
-    * broadcast-assign-reaverage rounds the same way — plan shape
-    * unchanged). They are collected to the driver — nlist vectors, a few
-    * KB — and folded into the plan as literal arrays, so cell assignment
-    * is `nlist` codegen'd cosines per row with NO join: the corpus is
+    * (k-means init; `trainRounds > 0` swaps in Lloyd-trained centroids
+    * from [[kMeansCentroids]] — tighter cells, same plan shape). They are
+    * collected to the driver — nlist vectors, at most a few MB — and
+    * shipped as ONE flat `array<double>` literal into the native
+    * [[NearestCentroid]]/[[TopCentroids]] kernels, so cell assignment is
+    * a single codegen'd loop per row with NO join and O(1) planning cost
+    * in `nlist` (thousands of cells plan as fast as 16): the corpus is
     * scanned once, shuffles only on the final per-query top-k.
     *
-    * Cell choice per row uses `array_max` over (sim, cell) structs —
-    * lexicographic struct ordering gives argmax without re-evaluating
-    * any cosine (a when-chain would duplicate subtrees exponentially).
+    * `nlist <= 0` = auto: target a roughly constant cell SIZE (~256
+    * vectors), so the probed fraction of the corpus shrinks as the
+    * corpus grows instead of staying at nprobe/nlist of everything —
+    * at 500k vectors, 16 fixed cells with 8 probes meant scanning half
+    * the corpus per query (measured 56 s at 100x; this sizing: ~5 s).
+    * Auto-sizing needs the corpus row count: the centroid-sample job
+    * must scan the corpus anyway (TakeOrdered), so the exact count rides
+    * along as an `Observation` on the SAME job — no separate `count()`
+    * pass (one briefly existed here and cost a full extra corpus scan
+    * per invocation).
+    *
+    * Assignment parity: corpus cells break similarity ties toward the
+    * LOWEST cell, exactly like [[kMeansIterationFrom]]'s `array_min` over
+    * (-sim, cell) — a vector indexes into the same cell it trained in
+    * (the kernels reproduce the literal form's arithmetic bit-for-bit).
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 0, nprobe: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainRounds: Int = 0): DataFrame = {
-    // nlist <= 0 = auto: target a roughly constant cell SIZE (~256
-    // vectors), so the probed fraction of the corpus shrinks as the
-    // corpus grows instead of staying at nprobe/nlist of everything —
-    // at 500k vectors, 16 fixed cells with 8 probes meant scanning half
-    // the corpus per query (measured 56 s at 100x; this sizing: ~5 s).
-    // Capped at 128 cells: centroids are folded in as codegen literal
-    // arrays and Catalyst planning cost grows with the tree, so a larger
-    // nlist belongs to a broadcast-centroid-table/BLAS variant.
-    val effNlist =
-      if (nlist > 0) nlist
-      else math.min(128, math.max(16, math.ceil(corpus.count() / 256.0).toInt))
+    val c0 = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
+    val (effNlist, sample) =
+      if (nlist > 0) {
+        (nlist,
+          c0.orderBy(xxhash64(col("n_id"))).limit(nlist).collect().map(_.getSeq[Double](1)))
+      } else {
+        val obs = new org.apache.spark.sql.Observation
+        val sampled = c0.observe(obs, count(lit(1)).as("n"))
+          .orderBy(xxhash64(col("n_id"))).limit(MaxAutoNlist)
+          .collect().map(_.getSeq[Double](1))
+        val total = obs.get("n").asInstanceOf[Long]
+        (math.min(MaxAutoNlist, math.max(16, math.ceil(total / 256.0).toInt)), sampled)
+      }
+    // A corpus smaller than the cell count gains nothing from cells —
+    // exact scan is both simpler and faster there.
+    if (sample.length < math.min(16, effNlist))
+      return bruteForceTopK(queries, corpus, k, idCol, vecCol)
     val effNprobe = if (nprobe > 0) nprobe else math.max(4, effNlist / 8)
-    // trainRounds > 0 swaps the raw sample for Lloyd-trained centroids
-    // (kMeansCentroids) — tighter cells, better recall per probe; the
-    // plan below is untouched either way.
     val centroids: Array[Seq[Double]] =
       if (trainRounds > 0) kMeansCentroids(corpus, effNlist, trainRounds, idCol, vecCol)
-      else corpus
-        .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
-        .orderBy(xxhash64(col("id")))
-        .limit(effNlist)
-        .collect()
-        .map(_.getSeq[Double](1))
+      else sample.take(effNlist)
+    val dim = centroids.head.size
+    val flat = lit(centroids.flatten.toArray)
 
-    def cellSims(vec: Column, vnorm: Column): Column =
-      centroidSims(centroids, vec, vnorm, negate = false)
-
-    val c = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
-      .withColumn("__vnorm", sqrt(dot(col("n_vec"), col("n_vec"))))
-      .withColumn("cell",
-        array_max(cellSims(col("n_vec"), col("__vnorm"))).getField("cell"))
-      .drop("__vnorm")
+    val c = c0.withColumn("cell",
+      call_function("graft_nearest_cell", col("n_vec"), flat, lit(dim)))
     val q = queries.select(col(idCol).as("q_id"), toDoubleVec(col(vecCol)).as("q_vec"))
-      .withColumn("__vnorm", sqrt(dot(col("q_vec"), col("q_vec"))))
       .withColumn("cell",
-        explode(slice(reverse(array_sort(cellSims(col("q_vec"), col("__vnorm")))), 1, effNprobe)
-          .getField("cell")))
-      .drop("__vnorm")
+        explode(call_function("graft_top_cells", col("q_vec"), flat, lit(dim), lit(effNprobe))))
 
+    // No dedup needed: each corpus row lands in exactly one cell and a
+    // query's probed cells are distinct, so a (q, n) pair joins at most
+    // once — unlike multi-table LSH, where cross-table collisions repeat.
     val scored = c.join(broadcast(q), Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
-      .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }

@@ -30,9 +30,11 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * implicit cast — silently dropping true matches. Both entry points
   * `require` an integral key type instead.
   *
-  * The filter is a Scala UDF (not codegen'd) — at scan time that costs
-  * one virtual call per row against a broadcast bitset, far cheaper
-  * than shuffling the pruned rows would be.
+  * The probe is the native codegen'd `graft_might_contain` expression
+  * ([[graft.functions.BloomMightContain]]): one un-boxed sketch lookup
+  * per row inside WholeStageCodegen. The serialized filter rides in the
+  * plan as a binary literal — deserialized once per task, broadcast once
+  * per stage with the task binary (~1.2 MB at the default sizing).
   */
 object BloomJoin {
 
@@ -81,9 +83,11 @@ object BloomJoin {
     requireIntegralKey(big, bigKey, "big")
     requireIntegralKey(small, smallKey, "small")
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
-    big.filter(mightContain(col(bigKey)))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    // Null keys: the expression yields null, the filter drops the row —
+    // the same outcome a null key has in the exact semi join downstream.
+    big.filter(call_function("graft_might_contain",
+      col(bigKey).cast(LongType), lit(bos.toByteArray)))
   }
 }

@@ -161,8 +161,9 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
-    // IVF-flat ANN (centroid cells, nprobe=4 of nlist=16) — the second
-    // scale path; recall vs brute force asserted in VectorSpec.
+    // IVF-flat ANN (auto-sized centroid cells, native assignment kernel;
+    // sizing count rides the centroid-sample job as an Observation) —
+    // the second scale path; recall vs brute force asserted in VectorSpec.
     "q_embed_ann_ivf" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       VectorOps.ivfTopK(e.filter(col("vec_id") < 50), e, k = 5)

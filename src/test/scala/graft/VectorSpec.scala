@@ -105,6 +105,53 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(p1.head - 0.1) < 0.01 && math.abs(p1.last - 10.02) < 0.05, p1.toString)
   }
 
+  test("native cell assignment is bit-identical to the literal array_min form") {
+    // graft_nearest_cell must reproduce kMeansIterationFrom's assignment
+    // arithmetic AND tie-break (lowest cell wins equal sims) exactly —
+    // this is the train/index parity invariant ivfTopK documents.
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = VectorOps.kMeansInit(e, kCells = 24)
+    val flat = lit(cents.flatten.toArray)
+    val dim = cents.head.size
+    // literal form: array_min over (-sim, cell), as kMeansIterationFrom
+    val vec = VectorOps.toDoubleVec(col("embedding"))
+    val vnorm = sqrt(VectorOps.dot(vec, vec))
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val negSims = array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct((-(VectorOps.dot(vec, array(c.map(lit): _*)) / (vnorm * lit(norms(i))))).as("nsim"),
+        lit(i).as("cell"))
+    }: _*)
+    val both = e.select(
+      call_function("graft_nearest_cell", vec, flat, lit(dim)).as("native"),
+      array_min(negSims).getField("cell").as("literal"))
+    assert(both.filter(col("native") =!= col("literal")).count() == 0)
+
+    // an exact similarity tie (duplicated centroid) keeps the lowest cell
+    val dup = Array(cents.head, cents.head, cents.last)
+    val tied = e.limit(20).select(
+      call_function("graft_nearest_cell", vec, lit(dup.flatten.toArray), lit(dim)).as("c"))
+      .as[Int].collect()
+    assert(!tied.contains(1), "tie must resolve to the lowest duplicate cell")
+  }
+
+  test("ivfTopK plans thousands of cells without literal-tree blowup") {
+    // nlist=1024 as plan literals would be ~65k expression nodes; the
+    // flat-array kernel form must plan in ordinary time and keep recall.
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val t0 = System.nanoTime()
+    val approx = VectorOps.ivfTopK(q, e, k = 5, nlist = 256, nprobe = 64)
+    val planned = approx.queryExecution.executedPlan // force physical planning
+    val planSecs = (System.nanoTime() - t0) / 1e9
+    assert(planSecs < 30, s"planning took $planSecs s")
+    assert(planned != null)
+    val exact = VectorOps.bruteForceTopK(q, e, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val got = approx.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
   test("kMeansCentroids converges to planted cluster means; trained IVF keeps recall") {
     val pts = (0 until 40).map { i =>
       if (i % 2 == 0) (i.toLong, Seq(10.0 + (i % 7) * 0.01, 0.1))
