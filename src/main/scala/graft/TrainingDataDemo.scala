@@ -66,7 +66,9 @@ object TrainingDataDemo {
 
     // 3b. benchmark decontamination — drop any surviving doc sharing an
     // exact 8-token span with the eval suite (stand-in: doc_id % 50 ==
-    // 0, which also removes the eval docs themselves via self-overlap).
+    // 0; eval docs of >= 8 tokens also remove THEMSELVES via
+    // self-overlap — a shorter eval doc produces no span hashes and
+    // must be excluded by an explicit id filter if that matters).
     // The benchmark span hashes broadcast; the corpus side probes
     // map-side and never shuffles (same shape as q_decontaminate).
     def spans(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),

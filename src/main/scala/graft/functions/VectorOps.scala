@@ -82,13 +82,18 @@ object VectorOps {
         col("col.id").as("n_id"), col("col.score").as("cos_sim"))
   }
 
-  /** Deterministic random hyperplanes (seeded) as literal arrays: plane
-    * p, dim d coefficient ~ U(-1, 1). Constant-folded by Catalyst.
+  /** Deterministic random hyperplane coefficients (seeded), plane p dim d
+    * ~ U(-1, 1). Exposed so an external oracle (DuckDB SQL) can embed the
+    * SAME plane literals and reproduce bucket signatures exactly.
     */
-  private def planes(bits: Int, dim: Int, seed: Long): Seq[Column] = {
+  private[graft] def planeCoeffs(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(bits)(array((0 until dim).map(_ => lit(rnd.nextDouble() * 2 - 1)): _*))
+    Seq.fill(bits)((0 until dim).map(_ => rnd.nextDouble() * 2 - 1))
   }
+
+  /** [[planeCoeffs]] as literal array columns, constant-folded by Catalyst. */
+  private def planes(bits: Int, dim: Int, seed: Long): Seq[Column] =
+    planeCoeffs(bits, dim, seed).map(p => array(p.map(lit): _*))
 
   /** Sign-bit signature of `vec` against `bits` hyperplanes, packed into
     * one long — the LSH bucket id.
@@ -160,14 +165,19 @@ object VectorOps {
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainRounds: Int = 0): DataFrame = {
     val c0 = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
+    // md5-ordered sample, NOT xxhash64: same deterministic-arbitrary
+    // quality, but every SQL engine computes the identical digest — the
+    // q_embed_ann_ivf oracle re-derives the same centroids in DuckDB
+    // (kMeansInit made the identical choice for the same reason).
+    val sampleOrder = Seq(md5(col("n_id").cast(StringType)), col("n_id"))
     val (effNlist, sample) =
       if (nlist > 0) {
         (nlist,
-          c0.orderBy(xxhash64(col("n_id"))).limit(nlist).collect().map(_.getSeq[Double](1)))
+          c0.orderBy(sampleOrder: _*).limit(nlist).collect().map(_.getSeq[Double](1)))
       } else {
         val obs = new org.apache.spark.sql.Observation
         val sampled = c0.observe(obs, count(lit(1)).as("n"))
-          .orderBy(xxhash64(col("n_id"))).limit(MaxAutoNlist)
+          .orderBy(sampleOrder: _*).limit(MaxAutoNlist)
           .collect().map(_.getSeq[Double](1))
         val total = obs.get("n").asInstanceOf[Long]
         (math.min(MaxAutoNlist, math.max(16, math.ceil(total / 256.0).toInt)), sampled)

@@ -75,9 +75,17 @@ object CoreOps {
     * computes a set but returns the pre-dedup list — we apply it).
     * Spark plans this as a hash aggregate on the key columns: map-side
     * partial dedup, then one shuffle on the keys — the scalable form.
+    *
+    * `bugCompat = true` reproduces the reference's ACTUAL (buggy)
+    * behavior — the distinct set is discarded and the input passes
+    * through untouched, duplicates and all. Kept for parity testing only
+    * (the A1 twin of `lastElementFlatten` for the F2 quirk, SURVEY §2.4).
     */
-  def dedup(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
-    if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols)
+  def dedup(df: DataFrame, cols: Seq[String] = Nil,
+      bugCompat: Boolean = false): DataFrame =
+    if (bugCompat) df
+    else if (cols.isEmpty) df.distinct()
+    else df.dropDuplicates(cols)
 
   /** Truncate-and-reload sink (reference `db.py:23-38`: `delete_many({})`
     * then `insert_many`). `SaveMode.Overwrite` on a path/table has the
@@ -195,20 +203,16 @@ object CoreOps {
     * the incremental reload pattern (a late-arriving day re-lands that
     * day's partition; the other 36,499 partitions of a 100 TB table are
     * not rewritten, not even read). The default STATIC overwrite mode
-    * would truncate the whole table first; the mode is set per-call and
-    * restored so callers' sessions keep their configured semantics.
+    * would truncate the whole table first; the mode rides on THIS write
+    * as a DataFrameWriter option (it takes precedence over the session
+    * conf) — no session-conf mutation, so a concurrent write in the same
+    * SparkSession can never observe, or clobber, the wrong mode.
     */
   def refreshPartitions(df: DataFrame, path: String, partCols: String*): Unit = {
     require(partCols.nonEmpty, "refreshPartitions needs partition columns")
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(path)
   }
 
   /** Size-aware compacting write: repartition so output files land near

@@ -375,11 +375,18 @@ object TextQueries {
       val tf = docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // Document frequency as a window count over tf: a groupBy+join
+      // formulation BRANCHES the tf subtree, and Catalyst re-plans the
+      // token explode + aggregate under each branch (aggregated subtrees
+      // are not shared after optimization) — tokens were exploded twice
+      // and the plan carried an extra exchange. The window form scans
+      // and explodes once; df values are identical (count of tf rows per
+      // term), so the oracle is unchanged.
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
       val total = docs.agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
-      tf.join(dfreq, "term")
+      tf.withColumn("df", count(lit(1)).over(wTerm))
         .crossJoin(broadcast(total))
         .withColumn("tfidf", col("tf") * (col("n_docs").cast(DoubleType) / col("df")))
         .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
@@ -530,7 +537,151 @@ object TextQueries {
         FROM scored ORDER BY doc_id"""
   }
 
+  /** Sequential-fold dot product of a DuckDB list column against a
+    * literal coefficient array — the `list_sum(list_transform(...))`
+    * form already proven bit-identical to `graft_dot` by the
+    * q_embed_topk_agg / q_kmeans_iter oracles.
+    */
+  private def dotLitSql(vec: String, coeffs: Seq[Double]): String = {
+    val lits = coeffs.map(_.toString).mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, len($vec) + 1), i -> $vec[i] * ($lits)[i]))"
+  }
+
+  /** q_embed_neardup oracle: reproduces the SAME hyperplane LSH buckets
+    * (plane coefficients come from [[VectorOps.planeCoeffs]], the exact
+    * literals the Spark plan folds in) and the same threshold-exact
+    * cosine verify, so the emitted pair set matches bit-for-bit — the
+    * LSH candidate stage is part of the query's semantics, not an
+    * approximation the oracle has to forgive.
+    */
+  private lazy val neardupOracle: String = {
+    val planes = VectorOps.planeCoeffs(bits = 4, dim = 64, seed = 42L)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotLitSql("vec", p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       b AS (SELECT vec_id, vec, $bucket AS bucket FROM v)
+       SELECT a.vec_id AS id_a, c.vec_id AS id_b
+       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       WHERE list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * c.vec[i]))
+         / (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i])))
+          * sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) >= 0.3
+       ORDER BY id_a, id_b"""
+  }
+
+  /** q_winnow oracle: the k=5 rolling Rabin-Karp hash in closed form —
+    * B^4..B^0 coefficients (B=257) against 5 consecutive bytes; max
+    * value ~5.6e12, so BIGINT arithmetic is exact and equals the Scala
+    * rolling form (which also never wraps at k=5). Window selection is
+    * rightmost-argmin per w=8 window; selected positions are monotonic
+    * non-decreasing, so the paper's record-on-change count equals
+    * len(list_distinct(minpos)). Uses ord(char) for byte values — the
+    * synthetic documents are pure ASCII at every SF (verified), where
+    * codepoint == UTF-8 byte.
+    */
+  private val winnowOracle: String =
+    """WITH h AS (
+         SELECT doc_id,
+           list_transform(range(1, greatest(length(text) - 4, 0) + 1), i ->
+             4362470401 * ord(text[i]) + 16974593 * ord(text[i+1]) + 66049 * ord(text[i+2])
+             + 257 * ord(text[i+3]) + ord(text[i+4])) AS hs
+         FROM documents),
+       sel AS (
+         SELECT doc_id, hs,
+           list_transform(range(1, greatest(len(hs) - 8 + 1, CASE WHEN len(hs) > 0 THEN 1 ELSE 0 END) + 1), s ->
+             s + len(hs[s:least(s+7, len(hs))]) - list_position(list_reverse(hs[s:least(s+7, len(hs))]), list_min(hs[s:least(s+7, len(hs))]))
+           ) AS minpos
+         FROM h)
+       SELECT doc_id,
+         CAST(len(list_distinct(minpos)) AS BIGINT) AS n_fps,
+         CASE WHEN len(minpos) = 0 THEN NULL ELSE hs[minpos[1]] END AS first_fp
+       FROM sel ORDER BY doc_id"""
+
+  /** Sequential-fold cosine between two DuckDB list columns — the form
+    * proven bit-identical to `graft_cosine` by the q_embed_topk_agg
+    * oracle (each accumulator's add sequence is ascending-index in both
+    * the fused one-pass kernel and these three separate folds).
+    */
+  private def cosSql(a: String, c: String): String =
+    s"""list_sum(list_transform(range(1, len($a.vec) + 1), i -> $a.vec[i] * $c.vec[i]))
+     / (sqrt(list_sum(list_transform(range(1, len($a.vec) + 1), i -> $a.vec[i] * $a.vec[i])))
+      * sqrt(list_sum(list_transform(range(1, len($c.vec) + 1), i -> $c.vec[i] * $c.vec[i]))))"""
+
+  /** q_embed_ann_lsh oracle: every stage of the approximate pipeline is
+    * deterministic, so the oracle REPRODUCES it instead of forgiving it —
+    * all 8 tables' hyperplane buckets re-derived from the same seeded
+    * coefficients ([[VectorOps.planeCoeffs]], seeds 42+t, the exact
+    * literals the Spark plan folds in), candidates = any-table collision,
+    * then the identical exact top-k with bit-matching cos_sim.
+    */
+  private lazy val annLshOracle: String = {
+    val buckets = (0 until 8).map { t =>
+      val sig = VectorOps.planeCoeffs(bits = 4, dim = 64, seed = 42L + t)
+        .zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN ${dotLitSql("vec", p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      s"($t * 16 + $sig)"
+    }.mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       b AS (SELECT vec_id, vec, unnest($buckets) AS bucket FROM v),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS q_id, c.vec_id AS n_id
+         FROM (SELECT * FROM b WHERE vec_id < 50) a JOIN b c
+           ON a.bucket = c.bucket AND a.vec_id != c.vec_id),
+       scored AS (
+         SELECT q_id, n_id, ${cosSql("av", "cv")} AS cos_sim
+         FROM cand JOIN v av ON av.vec_id = q_id JOIN v cv ON cv.vec_id = n_id),
+       ranked AS (
+         SELECT q_id, n_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
+         FROM scored)
+       SELECT q_id, CAST(rk AS INT) AS rk, n_id, cos_sim FROM ranked WHERE rk <= 5
+       ORDER BY q_id, rk"""
+  }
+
+  /** q_embed_ann_ivf oracle: the auto-sized IVF pipeline end to end —
+    * the md5-ordered centroid sample (engine-portable by construction,
+    * like kMeansInit), nlist/nprobe re-derived from the corpus count by
+    * the same formula, cell assignment with the same arithmetic and
+    * lowest-cell tie-break as the native kernel, probe cells by (sim
+    * desc, cell asc), and the exact top-k over candidates.
+    */
+  private val annIvfOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       nl AS (SELECT LEAST(4096, GREATEST(16, CAST(ceil(count(*) / 256.0) AS BIGINT))) AS nlist FROM v),
+       cent AS (
+         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, vec
+         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT (SELECT nlist FROM nl)),
+       sims AS (
+         SELECT v.vec_id, cent.cell, ${cosSql("v", "cent")} AS sim
+         FROM v CROSS JOIN cent),
+       assign AS (
+         SELECT vec_id AS n_id, cell FROM (
+           SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+           FROM sims) WHERE rk = 1),
+       probes AS (
+         SELECT vec_id AS q_id, cell FROM (
+           SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+           FROM sims WHERE vec_id < 50)
+         WHERE rk <= GREATEST(4, (SELECT nlist FROM nl) // 8)),
+       cand AS (
+         SELECT p.q_id, a.n_id FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id != a.n_id),
+       scored AS (
+         SELECT q_id, n_id, ${cosSql("av", "cv")} AS cos_sim
+         FROM cand JOIN v av ON av.vec_id = q_id JOIN v cv ON cv.vec_id = n_id),
+       ranked AS (
+         SELECT q_id, n_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
+         FROM scored)
+       SELECT q_id, CAST(rk AS INT) AS rk, n_id, cos_sim FROM ranked WHERE rk <= 5
+       ORDER BY q_id, rk"""
+
   val oracles: Map[String, String] = Map(
+    "q_embed_neardup" -> neardupOracle,
+    "q_winnow" -> winnowOracle,
+    "q_embed_ann_lsh" -> annLshOracle,
+    "q_embed_ann_ivf" -> annIvfOracle,
     "q_lang_ngram" -> langNgramOracle,
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))) AS text_hash,

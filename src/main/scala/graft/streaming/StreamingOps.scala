@@ -125,6 +125,12 @@ object StreamingOps {
     override def handleInputRows(user: Long,
         rows: Iterator[org.apache.spark.sql.Row],
         timerValues: TimerValues): Iterator[UserRunning] = {
+      // NOTE: buffers + sorts ONE key's share of ONE micro-batch in
+      // memory to emit in event order — fine for this spec-parity demo
+      // and for keys whose per-batch volume is bounded. A key that can
+      // receive unbounded rows per batch needs incremental emission with
+      // upstream event-time ordering (or a ListState spill) instead;
+      // same caveat applies to the flatMapGroupsWithState twin above.
       var s = if (state.exists()) state.get() else UserState(0L, 0.0)
       val out = rows.toSeq.sortBy(_.getAs[Long]("event_id")).map { r =>
         s = UserState(s.n + 1, s.sum + r.getAs[Double]("value"))

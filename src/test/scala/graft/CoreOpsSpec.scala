@@ -65,6 +65,15 @@ class CoreOpsSpec extends SparkSpec {
     assert(CoreOps.dedup(df, Seq("match_id")).count() == 3)
   }
 
+  test("dedup bug-compat mode reproduces the A1 quirk (pre-dedup list returned)") {
+    // reference matches.py:53: the distinct set is computed then thrown
+    // away — observable behavior is identity, duplicates preserved in
+    // input order
+    val df = Seq("a", "b", "a", "c", "b").toDF("match_id")
+    assert(CoreOps.dedup(df, bugCompat = true).as[String].collect().toSeq ==
+      Seq("a", "b", "a", "c", "b"))
+  }
+
   test("statusFilter keeps only ok rows (reference pipeline.py:45)") {
     val df = Seq((1, 200), (2, 404), (3, 200), (4, 429)).toDF("id", "status")
     assert(CoreOps.statusFilter(df).select("id").as[Int].collect().toSeq == Seq(1, 3))
@@ -134,6 +143,53 @@ class CoreOpsSpec extends SparkSpec {
     val got = spark.read.parquet(dir).as[(Long, Long, String)]
       .collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 2L, "merged"), (2L, 1L, "b")))
+  }
+
+  test("upsert survives a crash between staging write and commit marker") {
+    // Window: merged.write(staging) returned, process died BEFORE
+    // fs.create(CommitMarker). State: target intact, staging complete
+    // but UNMARKED. The abandoned merge must be discarded (it never
+    // committed) and the next upsert must merge from the intact target —
+    // zero loss of committed rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft_up_w1").toString + "/t"
+    CoreOps.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "v"),
+      dir, "k", "ver")
+    // the interrupted second upsert's staging: written by the same
+    // overwrite-parquet path the operator uses, marker never created
+    val staging = dir + ".staging"
+    Seq((1L, 9L, "abandoned"), (2L, 1L, "b")).toDF("k", "ver", "v")
+      .write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging, CoreOps.CommitMarker), false)
+    CoreOps.upsert(Seq((3L, 1L, "c")).toDF("k", "ver", "v"), dir, "k", "ver")
+    val got = spark.read.parquet(dir).as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")),
+      "committed rows must survive; the uncommitted merge must not surface")
+  }
+
+  test("upsert survives a crash between commit marker and target delete") {
+    // Window: marker written, process died BEFORE fs.delete(target).
+    // State: target intact AND a complete, marked staging. The target is
+    // still the source of truth (the swap never started); recovery must
+    // NOT fire — the next upsert merges from the target and overwrites
+    // the abandoned staging.
+    val dir = java.nio.file.Files.createTempDirectory("graft_up_w2").toString + "/t"
+    CoreOps.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "v"),
+      dir, "k", "ver")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(dir + ".staging")
+    Seq((1L, 9L, "abandoned"), (2L, 1L, "b")).toDF("k", "ver", "v")
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging, CoreOps.CommitMarker), true).close()
+    CoreOps.upsert(Seq((3L, 1L, "c")).toDF("k", "ver", "v"), dir, "k", "ver")
+    val got = spark.read.parquet(dir).as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")))
+    // the completed swap consumed staging — no stale dir left behind
+    assert(!fs.exists(staging))
   }
 
   test("upsert fails loudly on missing target with incomplete staging") {
