@@ -80,9 +80,21 @@ object ScaleSmoke {
     }
     val at1x = timeAll(src)
     val atNx = timeAll(work)
+    // IVF far past the old 128-cell literal cap: explicit nlist=1024 on
+    // the Nx corpus (auto-sizing picks ~N/256 cells, which can sit below
+    // 1024 at this SF) — proves thousands of centroid cells plan and run
+    // through the flat-literal kernels at scale.
+    val ivf1024 = {
+      val e = graft.Tables(spark, work, "embeddings")
+      val t0 = System.nanoTime()
+      graft.functions.VectorOps.ivfTopK(
+        e.filter(col("vec_id") < 50), e, k = 5, nlist = 1024, nprobe = 128)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val lines = queries.map { q =>
       f""""$q":{"x1":${at1x(q)}%.3f,"xN":${atNx(q)}%.3f,"factor":${atNx(q) / at1x(q)}%.2f}"""
-    }
+    } :+ f""""ivf_nlist1024_xN":${ivf1024}%.3f"""
     println(s"""{"metric":"scale_nx","n":$copies,"docs":$nDocs,${lines.mkString(",")}}""")
     spark.stop()
   }
