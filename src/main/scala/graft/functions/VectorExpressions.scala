@@ -771,7 +771,16 @@ object GraftFunctions {
       (es: Seq[Expression]) => TopCentroids(es(0), es(1), es(2), es(3))),
     ("graft_might_contain",
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
-      (es: Seq[Expression]) => BloomMightContain(es(0), es(1))))
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1))),
+    ("graft_pq_encode",
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (es: Seq[Expression]) => PqEncode(es(0), es(1), es(2), es(3))),
+    ("graft_pq_table",
+      new ExpressionInfo(classOf[PqTable].getName, "graft_pq_table"),
+      (es: Seq[Expression]) => PqTable(es(0), es(1), es(2), es(3))),
+    ("graft_pq_score",
+      new ExpressionInfo(classOf[PqScore].getName, "graft_pq_score"),
+      (es: Seq[Expression]) => PqScore(es(0), es(1), es(2))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

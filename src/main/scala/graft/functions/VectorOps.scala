@@ -295,6 +295,124 @@ object VectorOps {
     cents
   }
 
+  /** Product-quantization codebook, flat layout `[(m*ksub + j)*dsub + t]`
+    * ([[PqKernel]]). Vectors are unit-normalized before everything (the
+    * ADC dot then approximates cosine).
+    *
+    * `trainRounds = 0`: the codebook is the subvectors of the first
+    * `ksub` md5-ordered corpus vectors — deterministic AND
+    * engine-portable, so the q_embed_pq oracle re-derives it in SQL.
+    * `trainRounds > 0`: per-subspace Lloyd on an md5-ordered sample of
+    * `sampleN` vectors, entirely driver-side (the sample is tiny; the
+    * corpus is never touched during training) — tighter cells, the
+    * production configuration.
+    */
+  def pqCodebook(
+      corpus: DataFrame, dsub: Int, ksub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainRounds: Int = 0, sampleN: Int = 4096): Array[Double] = {
+    val want = if (trainRounds > 0) math.max(sampleN, ksub) else ksub
+    val rows = corpus
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
+      .orderBy(md5(col("id").cast(StringType)), col("id"))
+      .limit(want).collect().map(_.getSeq[Double](1))
+    require(rows.nonEmpty, "pqCodebook: empty corpus")
+    val dim = rows.head.size
+    require(dim % dsub == 0, s"pqCodebook: dim $dim not divisible by dsub $dsub")
+    val m = dim / dsub
+    val normed = rows.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toArray
+    }
+    val effK = math.min(ksub, normed.length)
+    // init: subvectors of the first effK sample vectors
+    val flat = new Array[Double](m * effK * dsub)
+    for (mi <- 0 until m; j <- 0 until effK; t <- 0 until dsub)
+      flat((mi * effK + j) * dsub + t) = normed(j)(mi * dsub + t)
+    // optional per-subspace Lloyd on the (driver-local) sample
+    for (_ <- 0 until trainRounds; mi <- 0 until m) {
+      val sums = Array.fill(effK)(new Array[Double](dsub))
+      val counts = new Array[Int](effK)
+      normed.foreach { v =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < effK) {
+          var d2 = 0.0
+          var t = 0
+          while (t < dsub) {
+            val d = v(mi * dsub + t) - flat((mi * effK + j) * dsub + t)
+            d2 += d * d; t += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var t = 0
+        while (t < dsub) { sums(best)(t) += v(mi * dsub + t); t += 1 }
+      }
+      for (j <- 0 until effK if counts(j) > 0; t <- 0 until dsub)
+        flat((mi * effK + j) * dsub + t) = sums(j)(t) / counts(j)
+    }
+    flat
+  }
+
+  /** PQ-ADC approximate top-k: the corpus is scanned in the COMPRESSED
+    * domain — per row only the `array<int>` codes (M small ints instead
+    * of the d-float vector) meet the broadcast query side, and each
+    * (query, row) score is M table adds ([[PqKernel.score]]). This is
+    * the exhaustive-but-compressed tier: same plan shape as
+    * [[bruteForceTopK]] (broadcast queries, no corpus shuffle), with the
+    * scan bandwidth and per-pair arithmetic both cut ~d/M-fold — pair it
+    * with IVF cells for the sublinear variant, exactly as FAISS composes
+    * IVF+PQ.
+    *
+    * `rerank > 0` re-scores the top `rerank` ADC candidates per query
+    * with EXACT cosine (one semi-join back to the raw vectors — only the
+    * candidate sliver is ever decoded) and emits the exact-scored top-k:
+    * the standard two-stage retrieval that recovers near-exact recall at
+    * compressed-scan cost.
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      dsub: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainRounds: Int = 0, rerank: Int = 0): DataFrame = {
+    val flat = pqCodebook(corpus, dsub, ksub, idCol, vecCol, trainRounds)
+    // effective codebook size from the flat layout (m * kEff * dsub):
+    // pqCodebook shrinks ksub when the sample is smaller
+    val dim = queries.select(toDoubleVec(col(vecCol)).as("v")).limit(1)
+      .collect().headOption.map(_.getSeq[Double](0).size)
+      .getOrElse(dsub) // no queries: any consistent dim yields an empty result
+    val m = math.max(1, dim / dsub)
+    val kEff = flat.length / (m * dsub)
+    val flatLit = lit(flat)
+
+    val enc = corpus.select(col(idCol).as("n_id"),
+      call_function("graft_pq_encode",
+        toDoubleVec(col(vecCol)), flatLit, lit(dsub), lit(kEff)).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"),
+      toDoubleVec(col(vecCol)).as("q_vec"),
+      call_function("graft_pq_table",
+        toDoubleVec(col(vecCol)), flatLit, lit(dsub), lit(kEff)).as("qtab"))
+    val scored = enc.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"),
+        call_function("graft_pq_score", col("codes"), col("qtab"), lit(kEff)).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    if (rerank <= 0)
+      scored.drop("q_vec")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    else {
+      val cands = scored.withColumn("rk0", row_number().over(w))
+        .filter(col("rk0") <= math.max(rerank, k)).drop("rk0", "score")
+      val raw = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
+      val exact = cands.join(raw, Seq("n_id"))
+        .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("score"))
+      val w2 = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      exact.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+    }
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH: `tables`
     * independent signatures per vector; a corpus vector is a candidate
     * for a query iff they collide in at least one table. Recall rises

@@ -325,59 +325,20 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "metric", "value")
     },
 
-    // Fuzzy string matching with LOSSLESS pigeonhole blocking (PassJoin,
-    // Li/Deng/Feng 2011): partition each right-side string into d+1
-    // segments — d edits can touch at most d of them, so any pair within
-    // edit distance d shares at least one segment VERBATIM as a substring
-    // of the left side. Candidates therefore come from an equi-join
-    // (segment text = left substring), never a cartesian product, and the
-    // trailing Levenshtein verify makes the result EXACTLY the all-pairs
-    // answer — same DuckDB oracle as the naive form. Strings shorter than
-    // d+1 can have every segment touched; that provably tiny class (len
-    // <= d) is covered by a broadcast nested-loop branch instead. At this
-    // query's loose threshold (d=12 on 20-char keys) the 1-2 char
-    // segments prune little — production thresholds (d << len) give long
-    // segments and real pruning — but the SHAPE is the one that scales:
-    // shuffle keys are segments, and no plan node is all-pairs.
+    // Fuzzy string matching with LOSSLESS pigeonhole blocking
+    // (operators.FuzzyJoin, PassJoin-style): candidates from a segment
+    // equi-join, never a cartesian product; the Levenshtein verify makes
+    // the result EXACTLY the all-pairs answer — same DuckDB oracle as
+    // the naive form. At this query's loose threshold (d=12 on 20-char
+    // keys) the short segments prune little — production thresholds
+    // (d << len) give long segments and real pruning — but the SHAPE is
+    // the one that scales: shuffle keys are segments, and no plan node
+    // is all-pairs (ExplainSpec gates it; FuzzyJoinSpec property-tests
+    // the naive equivalence).
     "q_fuzzy_match" -> { (s, dir) =>
-      val d = 12 // edit-distance threshold
-      val parts = d + 1
       val docs = Tables(s, dir, "documents").filter(col("doc_id") < 50)
         .select(col("doc_id"), substring(col("text"), 1, 20).as("prefix"))
-      val a = docs.select(col("doc_id").as("id_a"), col("prefix").as("p_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("prefix").as("p_b"))
-      // right side: the d+1 contiguous segments of each string
-      // (segment i spans floor(i*len/parts)+1 .. floor((i+1)*len/parts))
-      val len = length(col("p_b"))
-      val segs = b.filter(len >= parts)
-        .select(col("id_b"), col("p_b"),
-          explode(transform(sequence(lit(0), lit(parts - 1)), i =>
-            col("p_b").substr(
-              floor(i * len / parts).cast(IntegerType) + 1,
-              (floor((i + 1) * len / parts) - floor(i * len / parts)).cast(IntegerType))))
-            .as("seg"))
-      // left side: every substring of the segment lengths (1..ceil(20/parts))
-      val alen = length(col("p_a"))
-      val subs = a.select(col("id_a"), col("p_a"),
-        explode(array_distinct(concat(
-          transform(sequence(lit(1), alen), p => col("p_a").substr(p, lit(1))),
-          filter(
-            transform(sequence(lit(1), greatest(alen - 1, lit(1))),
-              p => col("p_a").substr(p, lit(2))),
-            sub => length(sub) === 2)))).as("sub"))
-      val blocked = subs.join(segs, col("sub") === col("seg"))
-        .select(col("id_a"), col("p_a"), col("id_b"), col("p_b"))
-      // strings of len <= d: pigeonhole gives no guarantee; the class is
-      // bounded (edit distance <= d admits almost anything), broadcast it
-      val shortB = b.filter(len < parts)
-      val shortCand = a.crossJoin(broadcast(shortB))
-        .select(col("id_a"), col("p_a"), col("id_b"), col("p_b"))
-      blocked.union(shortCand)
-        .filter(col("id_a") < col("id_b"))
-        .dropDuplicates("id_a", "id_b")
-        .withColumn("dist", levenshtein(col("p_a"), col("p_b")))
-        .filter(col("dist") <= d)
-        .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))
+      graft.operators.FuzzyJoin.editDistancePairs(docs, "doc_id", "prefix", d = 12)
         .orderBy("id_a", "id_b")
     },
 

@@ -171,6 +171,19 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // PQ-ADC ANN: the corpus is scanned as M=8 sub-codes per row (the
+    // compressed domain — 8 ints instead of 64 floats meet the broadcast
+    // query side), scored by table lookup. trainRounds=0 keeps the
+    // codebook a deterministic md5-ordered sample, so the DuckDB oracle
+    // re-derives the ENTIRE pipeline (codebook, codes, tables, scores)
+    // bit-for-bit; recall/rerank quality is VectorSpec's job.
+    "q_embed_pq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      VectorOps.pqTopK(e.filter(col("vec_id") < 50), e, k = 5, dsub = 8, ksub = 16)
+        .select(col("q_id"), col("rk"), col("n_id"), col("score"))
+        .orderBy("q_id", "rk")
+    },
+
     // Embedding near-dup pairs above a cosine threshold, LSH-bucketed.
     // Self-match excluded; synthetic corpus has no near-dups (planted
     // ones covered in DedupSpec), so threshold is low to keep rows.
@@ -677,11 +690,57 @@ object TextQueries {
        SELECT q_id, CAST(rk AS INT) AS rk, n_id, cos_sim FROM ranked WHERE rk <= 5
        ORDER BY q_id, rk"""
 
+  /** q_embed_pq oracle: the whole PQ pipeline re-derived in SQL — unit
+    * normalization, the md5-ordered 16-vector codebook, per-subspace
+    * L2 code assignment (ties → lowest code), per-query ADC tables, and
+    * the score as an m-ascending ordered list sum (`list(dp ORDER BY m)`,
+    * NOT a bare `sum` — double addition is order-dependent and the
+    * kernel folds subspaces in ascending order). Every fold mirrors
+    * [[graft.functions.PqKernel]]'s operation order, so scores match
+    * bit-for-bit.
+    */
+  private val pqOracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       n AS (SELECT vec_id,
+         list_transform(vec, x -> x / sqrt(list_sum(list_transform(vec, y -> y * y)))) AS vn
+         FROM v),
+       cent AS (
+         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, vn
+         FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       mm AS (SELECT unnest(range(0, 8)) AS m),
+       d AS (
+         SELECT nv.vec_id AS n_id, mm.m, c.j,
+           list_sum(list_transform(range(1, 9), t ->
+             (nv.vn[mm.m * 8 + t] - c.vn[mm.m * 8 + t]) * (nv.vn[mm.m * 8 + t] - c.vn[mm.m * 8 + t]))) AS d2
+         FROM n nv CROSS JOIN mm CROSS JOIN cent c),
+       codes AS (
+         SELECT n_id, m, j AS code FROM (
+           SELECT n_id, m, j, row_number() OVER (PARTITION BY n_id, m ORDER BY d2, j) AS rk FROM d)
+         WHERE rk = 1),
+       qtab AS (
+         SELECT qv.vec_id AS q_id, mm.m, c.j,
+           list_sum(list_transform(range(1, 9), t -> qv.vn[mm.m * 8 + t] * c.vn[mm.m * 8 + t])) AS dp
+         FROM (SELECT * FROM n WHERE vec_id < 50) qv CROSS JOIN mm CROSS JOIN cent c),
+       pairterm AS (
+         SELECT t.q_id, co.n_id, t.m, t.dp
+         FROM qtab t JOIN codes co ON co.m = t.m AND co.code = t.j
+         WHERE t.q_id != co.n_id),
+       scored AS (
+         SELECT q_id, n_id, list_sum(list(dp ORDER BY m)) AS score
+         FROM pairterm GROUP BY q_id, n_id),
+       ranked AS (
+         SELECT q_id, n_id, score,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         FROM scored)
+       SELECT q_id, CAST(rk AS INT) AS rk, n_id, score FROM ranked WHERE rk <= 5
+       ORDER BY q_id, rk"""
+
   val oracles: Map[String, String] = Map(
     "q_embed_neardup" -> neardupOracle,
     "q_winnow" -> winnowOracle,
     "q_embed_ann_lsh" -> annLshOracle,
     "q_embed_ann_ivf" -> annIvfOracle,
+    "q_embed_pq" -> pqOracle,
     "q_lang_ngram" -> langNgramOracle,
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))) AS text_hash,

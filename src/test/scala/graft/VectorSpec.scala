@@ -152,6 +152,34 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("pqTopK: compressed-domain recall; exact rerank recovers brute-force quality") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = VectorOps.bruteForceTopK(q, e, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val adc = recall(VectorOps.pqTopK(q, e, k = 5, dsub = 8, ksub = 64, trainRounds = 3))
+    val reranked = recall(VectorOps.pqTopK(q, e, k = 5, dsub = 8, ksub = 64,
+      trainRounds = 3, rerank = 100))
+    info(f"ADC recall=$adc%.2f reranked=$reranked%.2f")
+    assert(adc >= 0.2, s"raw ADC recall too low: $adc")
+    assert(reranked >= 0.8, s"exact rerank should recover most of top-5: $reranked")
+  }
+
+  test("pq codes compress to M small ints; score is table-lookup-only") {
+    // the memory claim the tier exists for: codes column is M=8 ints per
+    // row (vs 64 doubles), and scoring touches only codes + the table
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val flat = VectorOps.pqCodebook(e, dsub = 8, ksub = 16)
+    val codes = e.select(call_function("graft_pq_encode",
+      VectorOps.toDoubleVec(col("embedding")), lit(flat), lit(8), lit(16)).as("c"))
+    val first = codes.limit(5).as[Seq[Int]].collect()
+    assert(first.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+  }
+
   test("kMeansCentroids converges to planted cluster means; trained IVF keeps recall") {
     val pts = (0 until 40).map { i =>
       if (i % 2 == 0) (i.toLong, Seq(10.0 + (i % 7) * 0.01, 0.1))
