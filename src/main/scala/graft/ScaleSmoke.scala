@@ -33,6 +33,7 @@ object ScaleSmoke {
     // ANN at Nx corpus: the fixed query set scans an Nx candidate pool —
     // brute force is the linear baseline, LSH/IVF the sublinear paths
     "q_embed_cosine_topk", "q_embed_ann_lsh", "q_embed_ann_ivf", "q_embed_pq",
+    "q_embed_ivfpq",
     // one Lloyd round at Nx vectors: linear assignment in the scan,
     // update shuffle stays k x dim regardless of corpus size
     "q_kmeans_iter")

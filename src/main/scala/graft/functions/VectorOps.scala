@@ -130,6 +130,49 @@ object VectorOps {
     */
   private val MaxAutoNlist = 4096
 
+  /** md5-ordered coarse-centroid sample (engine-portable — the oracle
+    * re-derives it in SQL, like kMeansInit) with auto `nlist` sizing:
+    * the sample job must scan the corpus anyway (TakeOrdered), so the
+    * exact row count rides the SAME job as an `Observation` — no
+    * separate count() pass. Expects `c0` with columns (n_id, n_vec).
+    */
+  private def coarseSample(c0: DataFrame, nlist: Int): (Int, Array[Seq[Double]]) = {
+    val sampleOrder = Seq(md5(col("n_id").cast(StringType)), col("n_id"))
+    if (nlist > 0)
+      (nlist, c0.orderBy(sampleOrder: _*).limit(nlist).collect().map(_.getSeq[Double](1)))
+    else {
+      val obs = new org.apache.spark.sql.Observation
+      val sampled = c0.observe(obs, count(lit(1)).as("n"))
+        .orderBy(sampleOrder: _*).limit(MaxAutoNlist)
+        .collect().map(_.getSeq[Double](1))
+      val total = obs.get("n").asInstanceOf[Long]
+      (math.min(MaxAutoNlist, math.max(16, math.ceil(total / 256.0).toInt)), sampled)
+    }
+  }
+
+  /** Per-query top-k over an ADC-`score`d candidate frame (q_id, q_vec,
+    * n_id, score); `rerank > 0` re-scores the top `rerank` candidates
+    * with EXACT cosine against the raw vectors first (only the candidate
+    * sliver is ever decoded) — shared by [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def topKOrRerank(
+      scored: DataFrame, corpus: DataFrame, k: Int, rerank: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    if (rerank <= 0)
+      scored.drop("q_vec")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    else {
+      val cands = scored.withColumn("rk0", row_number().over(w))
+        .filter(col("rk0") <= math.max(rerank, k)).drop("rk0", "score")
+      val raw = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
+      val exact = cands.join(raw, Seq("n_id"))
+        .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("score"))
+      val w2 = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      exact.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+    }
+  }
+
   /** IVF-flat ANN: the corpus is partitioned into `nlist` cells by
     * nearest centroid; each query probes its `nprobe` closest cells.
     *
@@ -165,23 +208,7 @@ object VectorOps {
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainRounds: Int = 0): DataFrame = {
     val c0 = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
-    // md5-ordered sample, NOT xxhash64: same deterministic-arbitrary
-    // quality, but every SQL engine computes the identical digest — the
-    // q_embed_ann_ivf oracle re-derives the same centroids in DuckDB
-    // (kMeansInit made the identical choice for the same reason).
-    val sampleOrder = Seq(md5(col("n_id").cast(StringType)), col("n_id"))
-    val (effNlist, sample) =
-      if (nlist > 0) {
-        (nlist,
-          c0.orderBy(sampleOrder: _*).limit(nlist).collect().map(_.getSeq[Double](1)))
-      } else {
-        val obs = new org.apache.spark.sql.Observation
-        val sampled = c0.observe(obs, count(lit(1)).as("n"))
-          .orderBy(sampleOrder: _*).limit(MaxAutoNlist)
-          .collect().map(_.getSeq[Double](1))
-        val total = obs.get("n").asInstanceOf[Long]
-        (math.min(MaxAutoNlist, math.max(16, math.ceil(total / 256.0).toInt)), sampled)
-      }
+    val (effNlist, sample) = coarseSample(c0, nlist)
     // A corpus smaller than the cell count gains nothing from cells —
     // exact scan is both simpler and faster there.
     if (sample.length < math.min(16, effNlist))
@@ -398,19 +425,54 @@ object VectorOps {
     val scored = enc.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("q_vec"), col("n_id"),
         call_function("graft_pq_score", col("codes"), col("qtab"), lit(kEff)).as("score"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-    if (rerank <= 0)
-      scored.drop("q_vec")
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-    else {
-      val cands = scored.withColumn("rk0", row_number().over(w))
-        .filter(col("rk0") <= math.max(rerank, k)).drop("rk0", "score")
-      val raw = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
-      val exact = cands.join(raw, Seq("n_id"))
-        .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("score"))
-      val w2 = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-      exact.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
-    }
+    topKOrRerank(scored, corpus, k, rerank, idCol, vecCol)
+  }
+
+  /** IVF + PQ composed — the FAISS IVFPQ architecture re-expressed as a
+    * Spark plan: the coarse quantizer prunes WHICH rows are scanned
+    * (each query probes `nprobe` of `nlist` cells — sublinear candidate
+    * count), and PQ compresses WHAT a scanned row costs (M sub-codes +
+    * table adds, no vector arithmetic). The corpus is scanned once,
+    * computing cell + codes in one codegen'd projection; only
+    * (cell, codes) rows meet the broadcast query side, and only the
+    * final per-query top-k shuffles. This variant encodes raw vectors,
+    * not per-cell residuals — residual encoding (classical IVFPQ) would
+    * add a per-cell recenter before [[PqKernel.encode]] for tighter
+    * codes at the same cost; the plan shape is identical.
+    *
+    * Fully deterministic (md5-ordered coarse sample AND codebook), so
+    * q_embed_ivfpq is oracle-checked end to end like the other tiers.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 0, nprobe: Int = 0, dsub: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rerank: Int = 0): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("n_id"), toDoubleVec(col(vecCol)).as("n_vec"))
+    val (effNlist, sample) = coarseSample(c0, nlist)
+    if (sample.length < math.min(16, effNlist))
+      return bruteForceTopK(queries, corpus, k, idCol, vecCol)
+    val effNprobe = if (nprobe > 0) nprobe else math.max(4, effNlist / 8)
+    val cents = sample.take(effNlist)
+    val dim = cents.head.size
+    val coarseFlat = lit(cents.flatten.toArray)
+    val pqFlat0 = pqCodebook(corpus, dsub, ksub, idCol, vecCol)
+    val m = math.max(1, dim / dsub)
+    val kEff = pqFlat0.length / (m * dsub)
+    val pqFlat = lit(pqFlat0)
+
+    val enc = c0.select(col("n_id"),
+      call_function("graft_nearest_cell", col("n_vec"), coarseFlat, lit(dim)).as("cell"),
+      call_function("graft_pq_encode", col("n_vec"), pqFlat, lit(dsub), lit(kEff)).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"), toDoubleVec(col(vecCol)).as("q_vec"))
+      .withColumn("qtab",
+        call_function("graft_pq_table", col("q_vec"), pqFlat, lit(dsub), lit(kEff)))
+      .withColumn("cell",
+        explode(call_function("graft_top_cells", col("q_vec"), coarseFlat, lit(dim), lit(effNprobe))))
+    val scored = enc.join(broadcast(q), Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"),
+        call_function("graft_pq_score", col("codes"), col("qtab"), lit(kEff)).as("score"))
+    topKOrRerank(scored, corpus, k, rerank, idCol, vecCol)
   }
 
   /** Approximate top-k via multi-table hyperplane LSH: `tables`

@@ -184,6 +184,17 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // IVF+PQ composed (the FAISS IVFPQ architecture): coarse cells prune
+    // WHICH rows are scanned, PQ compresses WHAT a scanned row costs.
+    // Deterministic sample codebooks -> the oracle re-derives the whole
+    // two-tier pipeline in SQL.
+    "q_embed_ivfpq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      VectorOps.ivfPqTopK(e.filter(col("vec_id") < 50), e, k = 5, dsub = 8, ksub = 16)
+        .select(col("q_id"), col("rk"), col("n_id"), col("score"))
+        .orderBy("q_id", "rk")
+    },
+
     // Embedding near-dup pairs above a cosine threshold, LSH-bucketed.
     // Self-match excluded; synthetic corpus has no near-dups (planted
     // ones covered in DedupSpec), so threshold is low to keep rows.
@@ -735,7 +746,69 @@ object TextQueries {
        SELECT q_id, CAST(rk AS INT) AS rk, n_id, score FROM ranked WHERE rk <= 5
        ORDER BY q_id, rk"""
 
+  /** q_embed_ivfpq oracle: the two-tier pipeline composed from the IVF
+    * and PQ oracle fragments — coarse assignment/probes on raw vectors
+    * (cosine is scale-free, matching ivfPqTopK), PQ codes/tables on
+    * normalized vectors, ADC scores only over cell-join candidates.
+    */
+  private val ivfPqOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       n AS (SELECT vec_id,
+         list_transform(vec, x -> x / sqrt(list_sum(list_transform(vec, y -> y * y)))) AS vn
+         FROM v),
+       nl AS (SELECT LEAST(4096, GREATEST(16, CAST(ceil(count(*) / 256.0) AS BIGINT))) AS nlist FROM v),
+       coarse AS (
+         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, vec
+         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT (SELECT nlist FROM nl)),
+       csims AS (
+         SELECT v.vec_id, coarse.cell, ${cosSql("v", "coarse")} AS sim
+         FROM v CROSS JOIN coarse),
+       assign AS (
+         SELECT vec_id AS n_id, cell FROM (
+           SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+           FROM csims) WHERE rk = 1),
+       probes AS (
+         SELECT vec_id AS q_id, cell FROM (
+           SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+           FROM csims WHERE vec_id < 50)
+         WHERE rk <= GREATEST(4, (SELECT nlist FROM nl) // 8)),
+       cand AS (
+         SELECT p.q_id, a.n_id FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id != a.n_id),
+       cent AS (
+         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, vn
+         FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       mm AS (SELECT unnest(range(0, 8)) AS m),
+       d AS (
+         SELECT nv.vec_id AS n_id, mm.m, c.j,
+           list_sum(list_transform(range(1, 9), t ->
+             (nv.vn[mm.m * 8 + t] - c.vn[mm.m * 8 + t]) * (nv.vn[mm.m * 8 + t] - c.vn[mm.m * 8 + t]))) AS d2
+         FROM n nv CROSS JOIN mm CROSS JOIN cent c),
+       codes AS (
+         SELECT n_id, m, j AS code FROM (
+           SELECT n_id, m, j, row_number() OVER (PARTITION BY n_id, m ORDER BY d2, j) AS rk FROM d)
+         WHERE rk = 1),
+       qtab AS (
+         SELECT qv.vec_id AS q_id, mm.m, c.j,
+           list_sum(list_transform(range(1, 9), t -> qv.vn[mm.m * 8 + t] * c.vn[mm.m * 8 + t])) AS dp
+         FROM (SELECT * FROM n WHERE vec_id < 50) qv CROSS JOIN mm CROSS JOIN cent c),
+       pairterm AS (
+         SELECT cand.q_id, cand.n_id, t.m, t.dp
+         FROM cand
+           JOIN qtab t ON t.q_id = cand.q_id
+           JOIN codes co ON co.n_id = cand.n_id AND co.m = t.m AND co.code = t.j),
+       scored AS (
+         SELECT q_id, n_id, list_sum(list(dp ORDER BY m)) AS score
+         FROM pairterm GROUP BY q_id, n_id),
+       ranked AS (
+         SELECT q_id, n_id, score,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         FROM scored)
+       SELECT q_id, CAST(rk AS INT) AS rk, n_id, score FROM ranked WHERE rk <= 5
+       ORDER BY q_id, rk"""
+
   val oracles: Map[String, String] = Map(
+    "q_embed_ivfpq" -> ivfPqOracle,
     "q_embed_neardup" -> neardupOracle,
     "q_winnow" -> winnowOracle,
     "q_embed_ann_lsh" -> annLshOracle,

@@ -40,7 +40,8 @@ class ExplainSpec extends SparkSpec {
     "q_dedup_simhash" -> 1, "q_dim_coverage" -> 4, "q_dim_join" -> 2,
     "q_domain_cap" -> 2, "q_dup_clusters" -> 1, "q_embed_ann_ivf" -> 2,
     "q_embed_ann_lsh" -> 3, "q_embed_centroid" -> 2, "q_embed_cosine_topk" -> 2,
-    "q_embed_neardup" -> 2, "q_embed_pq" -> 2, "q_embed_topk_agg" -> 2,
+    "q_embed_neardup" -> 2, "q_embed_pq" -> 2, "q_embed_ivfpq" -> 2,
+    "q_embed_topk_agg" -> 2,
     "q_except" -> 2, "q_explode_tokens" -> 3, "q_fingerprint" -> 1,
     "q_flatten_project" -> 2, "q_full_outer" -> 3, "q_fuzzy_match" -> 2,
     "q_gap_fill" -> 3, "q_grouping_id" -> 2, "q_grouping_sets" -> 2,

@@ -169,6 +169,25 @@ class VectorSpec extends SparkSpec {
     assert(reranked >= 0.8, s"exact rerank should recover most of top-5: $reranked")
   }
 
+  test("ivfPqTopK: two-tier pruned+compressed scan keeps usable recall; rerank recovers") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = VectorOps.bruteForceTopK(q, e, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val two = recall(VectorOps.ivfPqTopK(q, e, k = 5, nlist = 16, nprobe = 8, ksub = 64))
+    val rr = recall(VectorOps.ivfPqTopK(q, e, k = 5, nlist = 16, nprobe = 8, ksub = 64,
+      rerank = 100))
+    info(f"ivfpq recall=$two%.2f reranked=$rr%.2f")
+    // two approximations stack (cell pruning x quantization), so the raw
+    // bound is looser than either tier alone; exact rerank restores most
+    assert(two >= 0.15, s"two-tier recall too low: $two")
+    assert(rr >= 0.5, s"reranked two-tier recall too low: $rr")
+  }
+
   test("pq codes compress to M small ints; score is table-lookup-only") {
     // the memory claim the tier exists for: codes column is M=8 ints per
     // row (vs 64 doubles), and scoring touches only codes + the table
