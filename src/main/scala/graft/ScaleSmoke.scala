@@ -34,6 +34,11 @@ object ScaleSmoke {
     // brute force is the linear baseline, LSH/IVF the sublinear paths
     "q_embed_cosine_topk", "q_embed_ann_lsh", "q_embed_ann_ivf", "q_embed_pq",
     "q_embed_ivfpq",
+    // semantic dedup at Nx: clone groups all land in one cell and lose
+    // to the min id — in-cell pair work is bounded by cell size (~n /
+    // nlist), not corpus size; past MaxAutoNlist-cell corpora pass
+    // explicit nlist ~ n/256 to keep cells constant-size
+    "q_semdedup",
     // one Lloyd round at Nx vectors: linear assignment in the scan,
     // update shuffle stays k x dim regardless of corpus size
     "q_kmeans_iter")

@@ -136,7 +136,7 @@ object VectorOps {
     * exact row count rides the SAME job as an `Observation` — no
     * separate count() pass. Expects `c0` with columns (n_id, n_vec).
     */
-  private def coarseSample(c0: DataFrame, nlist: Int): (Int, Array[Seq[Double]]) = {
+  private[graft] def coarseSample(c0: DataFrame, nlist: Int): (Int, Array[Seq[Double]]) = {
     val sampleOrder = Seq(md5(col("n_id").cast(StringType)), col("n_id"))
     if (nlist > 0)
       (nlist, c0.orderBy(sampleOrder: _*).limit(nlist).collect().map(_.getSeq[Double](1)))

@@ -252,4 +252,50 @@ object DedupOps {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim").distinct()
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus by nearest coarse centroid, then compare vectors
+    * ONLY within a cluster and drop every vector that has a
+    * same-cluster neighbor with cosine >= `threshold` and a smaller id
+    * (min-id representative — the paper keeps the member farthest from
+    * the centroid; min-id is the deterministic, engine-portable variant,
+    * and [[graft.operators.GraphOps.dupClusters]] over the in-cell pair
+    * list gives the transitive-closure grouping when one winner per
+    * connected component is wanted instead of per-pair).
+    *
+    * Returns the survivors as (id, cell).
+    *
+    * Scale shape — the whole point of SemDeDup vs all-pairs near-dup:
+    * centroids are an md5-ordered corpus sample ([[VectorOps.coarseSample]],
+    * the IVF init), shipped as ONE flat array literal into the native
+    * `graft_nearest_cell` kernel — assignment is a codegen'd loop inside
+    * the scan, no join, no corpus shuffle, O(1) planning in `nlist`.
+    * Auto `nlist` targets ~256-vector cells, so in-cell pair work is
+    * ~n·128 cosines — LINEAR in corpus size at fixed cell size — and the
+    * only shuffles are the self-join on `cell` (one exchange, shared by
+    * both sides via ReuseExchange) and the final anti-join on id. Random
+    * high-dim embeddings spread near-uniformly over cells; a pathological
+    * hot cell (mass-duplicated content) is exactly the case where
+    * `trainRounds`-style tighter centroids or a per-cell cap bound the
+    * quadratic term — the junk-bucket-cap pattern from [[minHashLsh]].
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 0): DataFrame = {
+    val c0 = df.select(col(idCol).as("id"), VectorOps.toDoubleVec(col(vecCol)).as("vec"))
+    val (effNlist, sample) =
+      VectorOps.coarseSample(c0.select(col("id").as("n_id"), col("vec").as("n_vec")), nlist)
+    if (sample.isEmpty)
+      return c0.select(col("id"), lit(0).as("cell")).limit(0)
+    val centroids = sample.take(effNlist)
+    val dim = centroids.head.size
+    val flat = lit(centroids.flatten.toArray)
+    val assigned = c0.withColumn("cell",
+      call_function("graft_nearest_cell", col("vec"), flat, lit(dim)))
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val losers = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .filter(VectorOps.cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(losers, Seq("id"), "left_anti").select(col("id"), col("cell"))
+  }
 }

@@ -205,6 +205,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // SemDeDup semantic dedup: cluster by nearest coarse centroid
+    // (md5-sampled, native kernel — auto ~256-vector cells), drop any
+    // vector with a smaller-id same-cell neighbor at cosine >= 0.3.
+    // Synthetic corpus has no true semantic dups, so the threshold is
+    // low to keep the drop path exercised; planted-dup behavior is
+    // covered in DedupSpec.
+    "q_semdedup" -> { (s, dir) =>
+      DedupOps.semDedup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    },
+
     // Text statistics: token counts, length, diversity, punct/stopword
     // ratios — one codegen'd pass, no shuffle.
     "q_text_stats" -> { (s, dir) =>
@@ -807,7 +820,51 @@ object TextQueries {
        SELECT q_id, CAST(rk AS INT) AS rk, n_id, score FROM ranked WHERE rk <= 5
        ORDER BY q_id, rk"""
 
+  /** q_semdedup oracle: the SemDeDup pipeline reproduced end to end —
+    * the md5-ordered centroid sample and auto `nlist` formula (the
+    * annIvf CTEs verbatim), nearest-cell assignment with the native
+    * kernel's arithmetic (`dot / (vnorm * cnorm)`, lowest-cell ties),
+    * in-cell pair cosines, min-id drop rule, anti-join survivors.
+    * Per-vector norms are hoisted into the `v` CTE — bit-identical to
+    * the fused `graft_cosine`/`graft_nearest_cell` forms (same
+    * ascending-index folds, same `sqrt x sqrt`-then-divide operand
+    * order), and ~dim x cheaper for DuckDB than re-folding norms per
+    * pair.
+    */
+  private val semdedupOracle: String =
+    """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       v AS (
+         SELECT vec_id, vec,
+           sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i]))) AS nrm
+         FROM v0),
+       nl AS (SELECT LEAST(4096, GREATEST(16, CAST(ceil(count(*) / 256.0) AS BIGINT))) AS nlist FROM v),
+       cent AS (
+         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, vec, nrm
+         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT (SELECT nlist FROM nl)),
+       sims AS (
+         SELECT v.vec_id, cent.cell,
+           list_sum(list_transform(range(1, len(v.vec) + 1), i -> v.vec[i] * cent.vec[i]))
+             / (v.nrm * cent.nrm) AS sim
+         FROM v CROSS JOIN cent),
+       assign AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+           FROM sims) WHERE rk = 1),
+       losers AS (
+         SELECT DISTINCT b.vec_id AS vec_id
+         FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN v va ON va.vec_id = a.vec_id
+           JOIN v vb ON vb.vec_id = b.vec_id
+         WHERE list_sum(list_transform(range(1, len(va.vec) + 1), i -> va.vec[i] * vb.vec[i]))
+           / (va.nrm * vb.nrm) >= 0.3)
+       SELECT a.vec_id, CAST(a.cell AS INT) AS cell
+       FROM assign a
+       WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
+       ORDER BY vec_id"""
+
   val oracles: Map[String, String] = Map(
+    "q_semdedup" -> semdedupOracle,
     "q_embed_ivfpq" -> ivfPqOracle,
     "q_embed_neardup" -> neardupOracle,
     "q_winnow" -> winnowOracle,

@@ -142,4 +142,39 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("semDedup drops planted semantic dups, keeps min-id representative") {
+    // 40 seeded-Gaussian vectors (pairwise cos ~ N(0, 1/64) — nowhere
+    // near threshold) + two planted near-copies of vector 1 with HIGHER
+    // ids (tiny perturbation -> cosine ~0.9999, same nearest cell).
+    def gauss(seed: Long): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextGaussian())
+    }
+    val corpus = (1L to 40L).map(id => (id, gauss(id)))
+    val copies = Seq(41L, 42L).map { id =>
+      (id, gauss(1L).zipWithIndex.map { case (x, i) => x + 1e-4 * i })
+    }
+    val d = (corpus ++ copies).toDF("vec_id", "embedding")
+
+    val survivors = DedupOps.semDedup(d, "vec_id", "embedding",
+      threshold = 0.99, nlist = 4)
+      .select("id").as[Long].collect().toSet
+
+    // both planted copies lose to id 1; every original is distinct
+    // enough (cos << 0.99) to survive
+    assert(survivors == (1L to 40L).toSet)
+
+    // invariant: no surviving pair in the same cell is above threshold
+    val cells = DedupOps.semDedup(d, "vec_id", "embedding",
+      threshold = 0.99, nlist = 4)
+      .as[(Long, Int)].collect().groupBy(_._2).values
+    val vecs = d.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (cell <- cells; Array((ia, _), (ib, _)) <- cell.combinations(2))
+      assert(cos(vecs(ia), vecs(ib)) < 0.99, s"surviving pair ($ia,$ib) above threshold")
+  }
 }

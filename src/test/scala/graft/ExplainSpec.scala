@@ -55,7 +55,8 @@ class ExplainSpec extends SparkSpec {
     "q_range_join" -> 2, "q_regex_extract" -> 1, "q_repetition" -> 1,
     "q_rest_scan" -> 2, "q_rollup" -> 2, "q_sample_stratified" -> 1,
     "q_scalar_array" -> 1, "q_scalar_date" -> 1, "q_scalar_map" -> 1,
-    "q_scalar_math" -> 1, "q_scalar_string" -> 1, "q_semi_join" -> 1,
+    "q_scalar_math" -> 1, "q_scalar_string" -> 1, "q_semdedup" -> 3,
+    "q_semi_join" -> 1,
     "q_seq_pack" -> 2, "q_session_window" -> 2, "q_sessionize" -> 2,
     "q_sketch_merge" -> 3, "q_skew_salted_join" -> 2, "q_sliding_window" -> 2,
     "q_sort_multi" -> 0, "q_span_dedup" -> 3, "q_sql_shipping_priority" -> 1,
