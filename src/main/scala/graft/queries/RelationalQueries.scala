@@ -577,6 +577,23 @@ object RelationalQueries {
            ORDER BY o_orderkey""")
     },
 
+    // LATERAL correlated subquery with ORDER BY + LIMIT: per-nation
+    // top-3 customers by balance. Declaratively a per-row nested loop;
+    // Catalyst DECORRELATES it into a ranked-window join — one shuffle,
+    // no per-outer-row re-execution, no CartesianProduct (the plan gate
+    // asserts both), so the same query shape runs on a 100 TB outer.
+    "q_lateral_topk" -> { (s, dir) =>
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_lt")
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_lt")
+      s.sql(
+        """SELECT n_name, c_name, c_acctbal
+           FROM nation_lt, LATERAL (
+             SELECT c_name, c_acctbal FROM customer_lt
+             WHERE c_nationkey = n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 3)
+           ORDER BY n_name, c_acctbal DESC, c_name""")
+    },
+
     // PIVOT: per-user event-type counts as columns (wide aggregation).
     "q_pivot" -> { (s, dir) =>
       Tables(s, dir, "events")
@@ -900,6 +917,13 @@ object RelationalQueries {
                   / count(*) FROM orders i
            WHERE i.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
+    "q_lateral_topk" ->
+      """SELECT n_name, c_name, c_acctbal
+         FROM nation, LATERAL (
+           SELECT c_name, c_acctbal FROM customer
+           WHERE c_nationkey = n_nationkey
+           ORDER BY c_acctbal DESC, c_name LIMIT 3)
+         ORDER BY n_name, c_acctbal DESC, c_name""",
     "q_pivot" ->
       """SELECT user_id,
          count(*) FILTER (event_type = 'click') AS click,

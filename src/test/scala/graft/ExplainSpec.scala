@@ -48,6 +48,7 @@ class ExplainSpec extends SparkSpec {
     "q_histogram" -> 2, "q_integrity_check" -> 5, "q_intersect" -> 2,
     "q_interval_join" -> 2, "q_inverted_index" -> 3, "q_json_extract" -> 1,
     "q_kmeans_iter" -> 2, "q_lang_ngram" -> 1, "q_lang_quality" -> 1,
+    "q_lateral_topk" -> 2,
     "q_latest_per_key" -> 2, "q_media_decode" -> 1, "q_media_frames" -> 1,
     "q_minmax_by" -> 2, "q_ms_to_date" -> 1, "q_ngram_jaccard" -> 2,
     "q_pack_chunks" -> 1, "q_percentile" -> 2, "q_pii_redact" -> 1,
