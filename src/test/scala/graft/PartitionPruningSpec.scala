@@ -47,6 +47,36 @@ class PartitionPruningSpec extends SparkSpec {
     assert(topk.count() == 15)
   }
 
+  test("broadcast dim filter dynamically prunes fact partitions at runtime (DPP)") {
+    // the star-schema runtime pruning path: the fact is partitioned on
+    // the join key, the dim filter is only known at run time — DPP
+    // injects the dim's key set as a partition filter on the fact scan,
+    // so a 100 TB fact reads only the partitions the filtered dim can
+    // match (here: one region's 5 of 25 nation partitions).
+    val sf = "/root/testdata/sf0.001"
+    val d = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables(spark, sf, "customer")
+      .write.partitionBy("c_nationkey").mode("overwrite").parquet(d)
+    val fact = spark.read.parquet(d)
+    def dim = Tables(spark, sf, "nation").filter(col("n_regionkey") === 0)
+    val joined = fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+
+    // the join has exchanges, so AQE wraps the plan and the fact scan is
+    // not a collectable leaf — assert on the printed plan, where the
+    // scan's PartitionFilters carry the injected dynamicpruning subquery
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+
+    // and the pruned plan computes exactly the plain join's result
+    val expected = Tables(spark, sf, "customer")
+      .join(dim, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("data predicate reaches the parquet reader as a pushed filter; projection prunes columns") {
     val q = spark.read.parquet(dir).filter(col("v") > 60.0).select("id")
     val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
