@@ -111,6 +111,116 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Ordered-step funnel (view -> click -> purchase): per user the
+    // first click at-or-after the first view, then the first purchase
+    // at-or-after that click, folded in ONE scan — running conditional
+    // minima over a single user-partitioned window. Because events are
+    // time-ordered within the partition, each stage's running min
+    // freezes at the first qualifying event, so stage N's predicate can
+    // reference stage N-1's column directly (Catalyst stacks the three
+    // window projects over one exchange+sort on user_id). The per-user
+    // rollup and the final 3-row unpivot reuse that partitioning — at
+    // 100 TB the whole funnel is one shuffle on user_id plus a tiny
+    // global agg, the shape funnels must have (never a per-stage
+    // self-join, which would rescan the fact table once per step).
+    "q_funnel" -> { (s, dir) =>
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(run))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
+            col("ts"))).over(run))
+        .withColumn("t_buy",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+            col("ts"))).over(run))
+        .groupBy(col("user_id"))
+        .agg(min(col("t_view")).as("t1"), min(col("t_click")).as("t2"),
+          min(col("t_buy")).as("t3"))
+        .agg(count(col("t1")).as("n_view"), count(col("t2")).as("n_click"),
+          count(col("t3")).as("n_buy"))
+        .selectExpr("stack(3, 1L, 'view', n_view, 2L, 'click', n_click, " +
+          "3L, 'purchase', n_buy) AS (step, stage, n_users)")
+        .orderBy("step")
+    },
+
+    // Cohort retention: users grouped by first-active week, activity
+    // counted per (cohort, weeks-since) cell. The (user, week) activity
+    // grid is distinct-ed FIRST (shrinks events to at most
+    // users x weeks rows before anything else touches it); the first-
+    // seen dim derives from that grid and broadcasts back (per-user
+    // one-row dim — if the user dim outgrows the broadcast threshold at
+    // scale, the same plan degrades to a co-partitioned shuffle join on
+    // user_id, still one fact-table scan).
+    "q_cohort_retention" -> { (s, dir) =>
+      val active = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val firstSeen = active.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      active.join(broadcast(firstSeen), Seq("user_id"))
+        .groupBy(col("cohort_wk"),
+          floor(datediff(col("wk"), col("cohort_wk")) / 7).cast(LongType).as("week_no"))
+        // plain count, not count_distinct: the activity grid is already
+        // distinct per (user, wk) and a user has exactly one cohort, so
+        // each (cohort, week_no, user) triple occurs once — same number,
+        // one less shuffle (count_distinct would expand to two).
+        .agg(count(lit(1)).as("n_active"))
+        .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_no"), col("n_active"))
+        .orderBy("cohort_week", "week_no")
+    },
+
+    // SCD type-2 compaction: collapse the event changelog into validity
+    // ranges [valid_from, valid_to) per consecutive run of equal state
+    // (event_type standing in for the tracked attribute). Change-flag
+    // via lag + cumulative sum = run id (the sessionize skeleton), one
+    // row per run, valid_to = next run's valid_from via lead. ONE
+    // shuffle on user_id serves the lag window, the run groupBy, and
+    // the lead window — the standard changelog -> dimension-history
+    // build, and the read-side inverse of q_latest_per_key.
+    "q_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      Tables(s, dir, "events")
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(cum))
+        .groupBy(col("user_id"), col("version"))
+        .agg(min(col("event_type")).as("state"),
+          min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+        .withColumn("vt", lead(col("vf"), 1).over(wv))
+        .select(col("user_id"), col("version"), col("state"),
+          date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("vt").isNull.as("is_current"), col("n_events"))
+        .orderBy("user_id", "version")
+    },
+
+    // Robust per-key anomaly flagging: modified z-score against the
+    // per-user median/MAD (outlier-resistant, unlike mean/stddev which
+    // the outliers themselves drag). Both medians run as window
+    // aggregates over the SAME user_id partitioning — one exchange, one
+    // fact-table scan, no stats-table join-back. Per-key memory is the
+    // percentile buffer (rows per user), the same bound the groupBy
+    // formulation has; keys too hot for that get pre-aggregated
+    // value-histogram medians instead.
+    "q_anomaly_mad" -> { (s, dir) =>
+      val wU = Window.partitionBy(col("user_id"))
+      Tables(s, dir, "events")
+        .withColumn("med", median(col("value")).over(wU))
+        .withColumn("mad", median(abs(col("value") - col("med"))).over(wU))
+        .filter(col("mad") > 0)
+        .withColumn("score",
+          round(abs(col("value") - col("med")) / (lit(1.4826) * col("mad")), 6))
+        .filter(col("score") > 3.0)
+        .select(col("user_id"), col("event_id"), col("value"), col("score"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Time-series gap fill + forward fill, SINGLE-SCAN: each observed
     // hour expands the gap run it terminates (the hours since the
     // previous observation) via one generator, carrying the running
@@ -218,6 +328,79 @@ object EventQueries {
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
            event_type, value
          FROM ranked WHERE rk = 1 ORDER BY user_id""",
+    // All timestamp comparisons below run on epoch_us(ts): DuckDB sees
+    // the parquet nanos, Spark the micros truncation — comparing at
+    // micros on both sides keeps boundary predicates aligned.
+    "q_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS m, event_type FROM events),
+         s1 AS (
+           SELECT *, min(CASE WHEN event_type = 'view' THEN m END)
+             OVER (PARTITION BY user_id ORDER BY m, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_view FROM e),
+         s2 AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND m >= t_view THEN m END)
+             OVER (PARTITION BY user_id ORDER BY m, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_click FROM s1),
+         s3 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND m >= t_click THEN m END)
+             OVER (PARTITION BY user_id ORDER BY m, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_buy FROM s2),
+         per AS (
+           SELECT user_id, min(t_view) AS t1, min(t_click) AS t2, min(t_buy) AS t3
+           FROM s3 GROUP BY user_id)
+         SELECT step, stage, n_users FROM (
+           SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, count(t1) AS n_users FROM per
+           UNION ALL SELECT 2, 'click', count(t2) FROM per
+           UNION ALL SELECT 3, 'purchase', count(t3) FROM per)
+         ORDER BY step""",
+    "q_cohort_retention" ->
+      """WITH active AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events),
+         first_seen AS (
+           SELECT user_id, min(wk) AS cohort_wk FROM active GROUP BY user_id)
+         SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST((wk - cohort_wk) // 7 AS BIGINT) AS week_no,
+           count(*) AS n_active
+         FROM active a JOIN first_seen USING (user_id)
+         GROUP BY cohort_wk, week_no
+         ORDER BY cohort_week, week_no""",
+    "q_scd2" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events),
+         v AS (
+           SELECT *, sum(CASE WHEN prev IS NULL OR prev <> event_type
+               THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+           FROM o),
+         g AS (
+           SELECT user_id, CAST(version AS BIGINT) AS version,
+             min(event_type) AS state, min(ts) AS vf, count(*) AS n_events
+           FROM v GROUP BY user_id, version),
+         f AS (
+           SELECT *, lead(vf) OVER (PARTITION BY user_id ORDER BY version) AS vt
+           FROM g)
+         SELECT user_id, version, state,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           vt IS NULL AS is_current, n_events
+         FROM f ORDER BY user_id, version""",
+    "q_anomaly_mad" ->
+      """WITH m AS (
+           SELECT *, median(value) OVER (PARTITION BY user_id) AS med FROM events),
+         d AS (
+           SELECT *, median(abs(value - med)) OVER (PARTITION BY user_id) AS mad
+           FROM m)
+         SELECT user_id, event_id, value,
+           round(abs(value - med) / (1.4826 * mad), 6) AS score
+         FROM d
+         WHERE mad > 0 AND round(abs(value - med) / (1.4826 * mad), 6) > 3
+         ORDER BY user_id, event_id""",
     "q_gap_fill" ->
       """WITH h AS (
            SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,

@@ -530,6 +530,53 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Mixture sampling to a per-domain token budget — the "data mixing"
+    // step of a training run: each source contributes documents in a
+    // deterministic md5-priority order until its token budget fills
+    // (greedy, strict cum <= budget). One shuffle on source for the
+    // running sum; a domain too hot for one task range-partitions on
+    // (source, pri) instead — the cumsum stays prefix-computable. The
+    // priority hash makes the draw reproducible across engines, cluster
+    // layouts, and reruns — auditable sampling, like hashSample.
+    "q_mix_sample" -> { (s, dir) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tok"),
+          md5(col("doc_id").cast(StringType)).as("pri"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= 600L)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic weighted sampling without replacement (Efraimidis-
+    // Spirakis): key = ln(u) / w with u a uniform derived EXACTLY from
+    // 8 md5 hex digits (sum of hv_i * 16^-i is exact in binary floating
+    // point, so both engines compute the identical u — no RNG, no seed
+    // skew), w = n_chars, top-5 per source by key. Longer documents are
+    // proportionally likelier — importance sampling for data mixing.
+    // Shape: one shuffle on source + WindowGroupLimit pushes the top-k
+    // map-side, exactly like q_domain_cap.
+    "q_weighted_sample" -> { (s, dir) =>
+      val pri = md5(concat(lit("ws:"), col("doc_id").cast(StringType)))
+      val u = (1 to 8).map { i =>
+        val a = ascii(substring(col("pri"), i, 1))
+        (a - when(a >= 97, 87).otherwise(48)).cast(DoubleType) *
+          lit(1.0 / math.pow(16.0, i))
+      }.reduce(_ + _)
+      val w = Window.partitionBy(col("source")).orderBy(col("key").desc, col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), pri.as("pri"))
+        .withColumn("key", log(u) / col("n_chars").cast(DoubleType))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal: batched fake-decode through the mapPartitions plumbing
     // (no oracle — codec is stubbed; schema/batch shape tested in spec).
     "q_media_decode" -> { (s, dir) =>
@@ -1201,5 +1248,47 @@ object TextQueries {
          FROM documents ORDER BY doc_id""",
     "q_blob_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS digest
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q_mix_sample" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+           FROM documents),
+         c AS (
+           SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+           FROM t)
+         SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+         FROM c WHERE cum_tok <= 600 ORDER BY doc_id""",
+    "q_weighted_sample" -> weightedSampleOracle)
+
+  /** DuckDB twin of q_weighted_sample's exact md5-derived uniform: the
+    * same 8 hex-digit expansion sum(hv_i / 16^i) — every term and
+    * partial sum is exact in binary floating point, so both engines
+    * derive bit-identical u (power(16.0, i) is an exact power of two;
+    * hv/2^k division is exact). ln() may differ from the JVM by an ulp
+    * across libms, but u values are 2^-32-grained and well separated, so
+    * the per-source top-5 selection is stable.
+    */
+  private def weightedSampleOracle: String = {
+    val uTerms = (1 to 8).map { i =>
+      s"""(ascii(substring(pri, $i, 1)) -
+          CASE WHEN ascii(substring(pri, $i, 1)) >= 97 THEN 87 ELSE 48 END)
+          / power(16.0, $i)"""
+    }.mkString(" + ")
+    s"""WITH b AS (
+         SELECT doc_id, source, n_chars,
+           md5('ws:' || CAST(doc_id AS VARCHAR)) AS pri
+         FROM documents),
+       k AS (
+         SELECT doc_id, source, n_chars,
+           ln($uTerms) / n_chars AS key
+         FROM b),
+       r AS (
+         SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk
+         FROM k)
+       SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 5 ORDER BY doc_id"""
+  }
 }

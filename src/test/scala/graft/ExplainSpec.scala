@@ -32,7 +32,9 @@ class ExplainSpec extends SparkSpec {
   private val shuffleBudget: Map[String, Int] = Map(
     "q1_pricing_summary" -> 2, "q_anti_join" -> 1, "q_approx_distinct" -> 2,
     "q_approx_quantile" -> 2, "q_array_agg" -> 2, "q_array_lookup" -> 1,
+    "q_anomaly_mad" -> 2,
     "q_asof_join" -> 2, "q_asof_nearest" -> 2, "q_asof_tolerance" -> 2,
+    "q_cohort_retention" -> 4,
     "q_bag_setops" -> 3, "q_bit_string_agg" -> 2, "q_blob_meta" -> 1,
     "q_bloom_semi_join" -> 1, "q_cond_project" -> 1, "q_corr_subquery" -> 2,
     "q_count_distinct" -> 3, "q_cube" -> 2, "q_decontaminate" -> 3,
@@ -43,23 +45,27 @@ class ExplainSpec extends SparkSpec {
     "q_embed_neardup" -> 2, "q_embed_pq" -> 2, "q_embed_ivfpq" -> 2,
     "q_embed_topk_agg" -> 2,
     "q_except" -> 2, "q_explode_tokens" -> 3, "q_fingerprint" -> 1,
-    "q_flatten_project" -> 2, "q_full_outer" -> 3, "q_fuzzy_match" -> 2,
+    "q_flatten_project" -> 2, "q_full_outer" -> 3, "q_funnel" -> 2,
+    "q_fuzzy_match" -> 2,
     "q_gap_fill" -> 3, "q_grouping_id" -> 2, "q_grouping_sets" -> 2,
     "q_histogram" -> 2, "q_integrity_check" -> 5, "q_intersect" -> 2,
     "q_interval_join" -> 2, "q_inverted_index" -> 3, "q_json_extract" -> 1,
     "q_kmeans_iter" -> 2, "q_lang_ngram" -> 1, "q_lang_quality" -> 1,
     "q_lateral_topk" -> 2,
     "q_latest_per_key" -> 2, "q_media_decode" -> 1, "q_media_frames" -> 1,
-    "q_minmax_by" -> 2, "q_ms_to_date" -> 1, "q_ngram_jaccard" -> 2,
+    "q_minmax_by" -> 2, "q_mix_sample" -> 2, "q_ms_to_date" -> 1,
+    "q_ngram_jaccard" -> 2,
     "q_pack_chunks" -> 1, "q_percentile" -> 2, "q_pii_redact" -> 1,
     "q_pivot" -> 3, "q_profile" -> 2, "q_quality_filter" -> 2,
     "q_range_join" -> 2, "q_regex_extract" -> 1, "q_repetition" -> 1,
     "q_rest_scan" -> 2, "q_rollup" -> 2, "q_sample_stratified" -> 1,
+    "q_scd2" -> 2,
     "q_scalar_array" -> 1, "q_scalar_date" -> 1, "q_scalar_map" -> 1,
     "q_scalar_math" -> 1, "q_scalar_string" -> 1, "q_semdedup" -> 3,
     "q_semi_join" -> 1,
     "q_seq_pack" -> 2, "q_session_window" -> 2, "q_sessionize" -> 2,
     "q_sketch_merge" -> 3, "q_skew_salted_join" -> 2, "q_sliding_window" -> 2,
+    "q_weighted_sample" -> 2,
     "q_sort_multi" -> 0, "q_span_dedup" -> 3, "q_sql_shipping_priority" -> 1,
     "q_star_join" -> 2, "q_status_filter" -> 2, "q_text_stats" -> 1,
     "q_tfidf_top" -> 5, "q_topk" -> 0, "q_tumbling_window" -> 2,
