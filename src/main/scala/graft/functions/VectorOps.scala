@@ -343,6 +343,20 @@ object VectorOps {
       .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
       .orderBy(md5(col("id").cast(StringType)), col("id"))
       .limit(want).collect().map(_.getSeq[Double](1))
+    pqCodebookFromRows(rows, dsub, ksub, trainRounds)
+  }
+
+  /** Codebook from ALREADY-COLLECTED sample rows. Bit-identical to
+    * [[pqCodebook]] on the same corpus PROVIDED the rows are an
+    * (md5(id), id)-ordered prefix of length >= ksub (untrained) — the
+    * exact prefix [[coarseSample]] collects, which is how [[ivfPqTopK]]
+    * derives coarse centroids AND codebook from ONE corpus-scan job
+    * instead of two (the second sample job was half the fixed cost the
+    * 100x ScaleSmoke measured on the IVF+PQ tier).
+    */
+  private def pqCodebookFromRows(
+      rows: Array[Seq[Double]], dsub: Int, ksub: Int,
+      trainRounds: Int = 0): Array[Double] = {
     require(rows.nonEmpty, "pqCodebook: empty corpus")
     val dim = rows.head.size
     require(dim % dsub == 0, s"pqCodebook: dim $dim not divisible by dsub $dsub")
@@ -456,7 +470,12 @@ object VectorOps {
     val cents = sample.take(effNlist)
     val dim = cents.head.size
     val coarseFlat = lit(cents.flatten.toArray)
-    val pqFlat0 = pqCodebook(corpus, dsub, ksub, idCol, vecCol)
+    // the coarse sample is the SAME (md5(id), id) prefix pqCodebook would
+    // re-collect — reuse it and skip the second corpus scan (falls back
+    // only when the caller's explicit nlist left fewer rows than ksub)
+    val pqFlat0 =
+      if (sample.length >= ksub) pqCodebookFromRows(sample, dsub, ksub)
+      else pqCodebook(corpus, dsub, ksub, idCol, vecCol)
     val m = math.max(1, dim / dsub)
     val kEff = pqFlat0.length / (m * dsub)
     val pqFlat = lit(pqFlat0)

@@ -530,6 +530,20 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Exact heavy hitters (tokens with count > n/200) via Misra-Gries
+    // candidate pruning: per-partition k-counter sketches bound what
+    // reaches any shuffle to |partitions x k| candidate rows — the
+    // vocabulary-wide groupBy shuffle the naive form pays never happens.
+    // The final counts are EXACT (the sketch only prunes, never
+    // answers), so the oracle is the naive group-count-filter.
+    "q_heavy_hitters" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      graft.operators.HeavyHitters.frequentItems(toks, "token", 200)
+        .select(col("item").as("token"), col("cnt").as("n"))
+        .orderBy("token")
+    },
+
     // Mixture sampling to a per-domain token budget — the "data mixing"
     // step of a training run: each source contributes documents in a
     // deterministic md5-priority order until its token budget fills
@@ -1249,6 +1263,14 @@ object TextQueries {
     "q_blob_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS digest
          FROM documents ORDER BY doc_id""",
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         tot AS (SELECT count(*) AS total FROM toks)
+         SELECT token, count(*) AS n FROM toks, tot
+         GROUP BY token, tot.total
+         HAVING count(*) > tot.total / 200
+         ORDER BY token""",
     "q_mix_sample" ->
       """WITH t AS (
            SELECT doc_id, source,
