@@ -45,5 +45,7 @@ object SparkEntry {
     "q_tfidf_top", "q_sessionize", "q_tumbling_window",
     "q_span_dedup", "q_gap_fill", "q_bloom_semi_join",
     "q_decontaminate", "q_sketch_merge", "q_asof_nearest", "q_domain_cap",
-    "q_kmeans_iter", "q_embed_pq", "q_embed_ivfpq", "q_semdedup")
+    "q_kmeans_iter", "q_embed_pq", "q_embed_ivfpq", "q_semdedup",
+    "q_funnel", "q_scd2", "q_anomaly_mad", "q_heavy_hitters",
+    "q_mix_sample", "q_hard_negatives")
 }

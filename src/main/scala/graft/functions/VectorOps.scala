@@ -82,6 +82,29 @@ object VectorOps {
         col("col.id").as("n_id"), col("col.score").as("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — close in
+    * embedding space but wrong under supervision, the negatives that
+    * actually move a contrastive loss (random negatives are mostly too
+    * easy to inform the gradient). Same plan as [[bruteForceTopK]]:
+    * anchors broadcast, corpus scanned once with no shuffle, only scored
+    * label-mismatch pairs reach the per-anchor top-k window.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      toDoubleVec(col(vecCol)).as("q_vec"), col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("n_id"),
+      toDoubleVec(col(vecCol)).as("n_vec"), col(labelCol).as("n_label"))
+    val scored = c.join(broadcast(q), col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("n_id"), col("n_label"),
+        cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Deterministic random hyperplane coefficients (seeded), plane p dim d
     * ~ U(-1, 1). Exposed so an external oracle (DuckDB SQL) can embed the
     * SAME plane literals and reproduce bucket signatures exactly.

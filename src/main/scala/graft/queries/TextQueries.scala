@@ -82,6 +82,17 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Hard-negative mining: per anchor, the 5 nearest corpus vectors
+    // with a DIFFERENT label (contrastive-training negatives). Same
+    // broadcast-anchor/no-corpus-shuffle plan as q_embed_cosine_topk.
+    "q_hard_negatives" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      VectorOps.hardNegatives(e.filter(col("vec_id") < 5), e, k = 5)
+        .select(col("q_id"), col("rk").cast(LongType).as("rk"),
+          col("n_id"), col("n_label").cast(LongType).as("n_label"), col("cos_sim"))
+        .orderBy("q_id", "rk")
+    },
+
     // Same top-k via the typed TopKAggregator (partial-agg reduction:
     // <= k rows per map task reach the shuffle) — must hash-match the
     // window form's oracle exactly.
@@ -1026,6 +1037,22 @@ object TextQueries {
              row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
            FROM scored)
          SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos_sim FROM ranked
+         WHERE rk <= 5 ORDER BY q_id, rk""",
+    "q_hard_negatives" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             CAST(c.label AS BIGINT) AS n_label,
+             list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * c.vec[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i])))
+                * sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) AS cos_sim
+           FROM v q JOIN v c ON q.vec_id < 5 AND q.label <> c.label),
+         ranked AS (
+           SELECT q_id, n_id, n_label, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
+           FROM scored)
+         SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, n_label, cos_sim FROM ranked
          WHERE rk <= 5 ORDER BY q_id, rk""",
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
