@@ -41,7 +41,13 @@ object ScaleSmoke {
     "q_semdedup",
     // one Lloyd round at Nx vectors: linear assignment in the scan,
     // update shuffle stays k x dim regardless of corpus size
-    "q_kmeans_iter")
+    "q_kmeans_iter",
+    // MG-pruned heavy hitters: the shuffled key domain stays at
+    // |partitions x k| candidates no matter how the vocabulary grows
+    "q_heavy_hitters",
+    // sampling tier at Nx: per-source cumsum / top-k windows whose cost
+    // tracks per-source counts; hard negatives = broadcast-anchor scan
+    "q_mix_sample", "q_weighted_sample", "q_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -541,6 +541,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus-unigram-LM document scoring (the exact-integer cousin of a
+    // CCNet-style perplexity filter): the global unigram counts are the
+    // "language model"; each document scores the mean corpus frequency
+    // of its tokens, so rare-token documents surface as low-scoring
+    // outliers. All accumulation is BIGINT — order-free and exact across
+    // engines — with ONE double division per document at the end (no
+    // cross-partition float-sum nondeterminism, no transcendentals).
+    // The count table joins back broadcast (post-cap vocabularies are
+    // small); a vocabulary too big to broadcast degrades to a shuffle
+    // join on token, the same key the counts were built on.
+    "q_unigram_lm" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val lm = toks.groupBy("token").agg(count(lit(1)).as("tok_n"))
+      toks.join(broadcast(lm), Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("tok_n")).as("lm_sum"))
+        .withColumn("score", round(col("lm_sum") / col("n_tok"), 6))
+        .orderBy("doc_id")
+    },
+
     // Exact heavy hitters (tokens with count > n/200) via Misra-Gries
     // candidate pruning: per-partition k-counter sketches bound what
     // reaches any shuffle to |partitions x k| candidate rows — the
@@ -1290,6 +1311,15 @@ object TextQueries {
     "q_blob_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS digest
          FROM documents ORDER BY doc_id""",
+    "q_unigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         lm AS (SELECT token, count(*) AS tok_n FROM toks GROUP BY token)
+         SELECT t.doc_id, count(*) AS n_tok,
+           CAST(sum(l.tok_n) AS BIGINT) AS lm_sum,
+           round(CAST(sum(l.tok_n) AS DOUBLE) / count(*), 6) AS score
+         FROM toks t JOIN lm l USING (token)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "q_heavy_hitters" ->
       """WITH toks AS (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents),

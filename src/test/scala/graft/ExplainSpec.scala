@@ -70,6 +70,7 @@ class ExplainSpec extends SparkSpec {
     "q_sort_multi" -> 0, "q_span_dedup" -> 3, "q_sql_shipping_priority" -> 1,
     "q_star_join" -> 2, "q_status_filter" -> 2, "q_text_stats" -> 1,
     "q_tfidf_top" -> 5, "q_topk" -> 0, "q_tumbling_window" -> 2,
+    "q_unigram_lm" -> 3,
     "q_union_distinct_limit" -> 1, "q_union_drift" -> 1, "q_unpivot" -> 1,
     "q_vocab_topk" -> 1, "q_window_lag" -> 2, "q_window_ntile" -> 2,
     "q_window_range" -> 2, "q_window_rank" -> 2, "q_window_running" -> 2,
