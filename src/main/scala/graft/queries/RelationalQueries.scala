@@ -617,6 +617,31 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // Second-moment statistical aggregates: correlation, covariance,
+    // variance, skewness/kurtosis, and the bivariate regr_* family — all
+    // merge-able moment sketches (n, Σx, Σy, Σxx, Σyy, Σxy, m3, m4), so
+    // one partial+final shuffle regardless of group size. Rounded to
+    // dodge summation-order ulp drift vs the oracle; moments taken over
+    // small-magnitude columns (quantity, discount) so absolute double
+    // error sits far below the rounding grain.
+    "q_stats_agg" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 8).as("covar_s"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 8).as("covar_p"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_pop(col("l_discount")), 10).as("var_disc"),
+          round(skewness(col("l_quantity")), 6).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt_qty"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+        .orderBy("l_returnflag")
+    },
+
     // Schema-drift union: a day-2 source dropped a column; unionByName
     // with allowMissingColumns null-fills instead of failing — drift
     // becomes nullability (the engine's schema-drift stance, SURVEY §1.3).
@@ -937,6 +962,23 @@ object RelationalQueries {
          round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
          round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
          round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // DuckDB's skewness is the SAMPLE-adjusted G1 and its kurtosis the
+    // sample G2; Spark reports POPULATION g1 / excess g2. Convert G1→g1
+    // by (n-2)/sqrt(n(n-1)); kurtosis_pop is already population excess.
+    "q_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+         round(covar_samp(l_quantity, l_discount), 8) AS covar_s,
+         round(covar_pop(l_quantity, l_discount), 8) AS covar_p,
+         round(stddev_samp(l_quantity), 6) AS sd_qty,
+         round(var_pop(l_discount), 10) AS var_disc,
+         round(skewness(l_quantity)
+               * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_qty,
+         round(kurtosis_pop(l_quantity), 6) AS kurt_qty,
+         round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+         round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+         round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_explode_tokens" ->
       """SELECT token, count(*) AS n_occurrences,

@@ -68,6 +68,7 @@ class ExplainSpec extends SparkSpec {
     "q_sketch_merge" -> 3, "q_skew_salted_join" -> 2, "q_sliding_window" -> 2,
     "q_weighted_sample" -> 2,
     "q_sort_multi" -> 0, "q_span_dedup" -> 3, "q_sql_shipping_priority" -> 1,
+    "q_stats_agg" -> 2,
     "q_star_join" -> 2, "q_status_filter" -> 2, "q_text_stats" -> 1,
     "q_tfidf_top" -> 5, "q_topk" -> 0, "q_tumbling_window" -> 2,
     "q_unigram_lm" -> 3,
