@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE-style subword vocabulary induction (Sennrich et al. 2016) — the
+  * tokenizer-training counterpart of the token-COUNTING estimators in
+  * [[TextOps]].
+  *
+  * Scale shape: the corpus is touched exactly ONCE, by the word-frequency
+  * aggregate (one shuffle); every merge round then runs on the distinct-
+  * word vocabulary — bounded by language, not corpus size — so 100 TB of
+  * text costs the same per round as 100 GB. Per round only the single
+  * chosen pair (a few bytes) crosses the driver, the same literal-folding
+  * discipline as `VectorOps.kMeansIteration`'s k×dim centroids; the
+  * vocabulary itself never collects. `localCheckpoint` bounds lineage per
+  * round (the `GraphOps.dupClusters` iteration pattern).
+  *
+  * Merge semantics: symbol sequences are single-space joined. A merge of
+  * pair (x, y) rewrites on a DOUBLED-separator copy — ` x  y ` occurrences
+  * in ` s1  s2  … ` — so adjacent matches share no characters and plain
+  * leftmost non-overlapping replace IS BPE's greedy left-to-right merge
+  * ("aaa" + merge(a,a) → ["aa","a"], never ["a","aa"]); a single-space
+  * replace would let one space serve two matches and skip every other
+  * merge in a run. Every step (replace / regexp collapse / trim) has
+  * bit-identical semantics in ANSI SQL, so whole multi-round outputs are
+  * oracle-checkable. ASCII-safe; `(.)` char splitting is code-unit-based,
+  * so non-BMP corpora would need a codepoint splitter.
+  */
+object BpeOps {
+
+  /** Weighted adjacent-pair counts over space-joined symbol sequences
+    * (`seq`, `freq`). One hash-aggregate shuffle; pairs explode in place.
+    */
+  def pairCounts(seqs: DataFrame): DataFrame = {
+    val syms = split(col("seq"), " ")
+    seqs
+      .filter(size(syms) >= 2)
+      .select(col("freq"),
+        explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+  }
+
+  /** Apply one merge (the pair's two symbols concatenate into one) to
+    * every sequence. Pure string ops — codegen'd, no UDF.
+    */
+  def applyMerge(seqs: DataFrame, pair: String): DataFrame = {
+    val doubledSeq = concat(lit(" "),
+      replace(col("seq"), lit(" "), lit("  ")), lit(" "))
+    val doubledPair = " " + pair.replace(" ", "  ") + " "
+    val merged = " " + pair.replace(" ", "") + " "
+    seqs.withColumn("seq",
+      trim(regexp_replace(
+        replace(doubledSeq, lit(doubledPair), lit(merged)),
+        " +", " ")))
+  }
+
+  /** Run `merges` BPE rounds over the corpus and return the `topK`
+    * remaining pair counts (count desc, pair asc — the order the NEXT
+    * merges would be chosen in). Ties break to the lexicographically
+    * smallest pair, so the whole run is deterministic and oracle-exact.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String,
+      merges: Int, topK: Int): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var seqs = words
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"),
+        col("freq"))
+      .localCheckpoint()
+    for (_ <- 1 to merges) {
+      val best = pairCounts(seqs)
+        .orderBy(desc("cnt"), asc("pair")).limit(1)
+        .collect()(0).getString(0)
+      seqs = applyMerge(seqs, best).localCheckpoint()
+    }
+    pairCounts(seqs).orderBy(desc("cnt"), asc("pair")).limit(topK)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{TextOps, VectorOps}
+import graft.functions.{BpeOps, TextOps, VectorOps}
 import graft.multimodal.MultimodalOps
 import graft.operators.DedupOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -129,6 +129,17 @@ object TextQueries {
     "q_kmeans_iter" -> { (s, dir) =>
       VectorOps.kMeansIteration(Tables(s, dir, "embeddings"), kCells = 8)
         .orderBy("cell", "pos")
+    },
+
+    // Two rounds of BPE merge induction over the corpus: word-frequency
+    // vocab in ONE corpus shuffle, then pair-count / argmax-merge rounds
+    // on the vocabulary only (bounded by language, not data size); per
+    // round a single chosen pair crosses the driver. The WHOLE two-merge
+    // run is oracle-checked — greedy-left merge semantics reproduce
+    // exactly in ANSI SQL (see BpeOps).
+    "q_bpe_merges" -> { (s, dir) =>
+      BpeOps.bpeMerges(Tables(s, dir, "documents"), "text",
+        merges = 2, topK = 20)
     },
 
     // Inverted-index build: token -> document frequency, postings count,
@@ -997,6 +1008,47 @@ object TextQueries {
            count(*) AS n,
            CAST(sum(CAST(floor(x * 1048576) AS BIGINT)) AS BIGINT) AS sum_scaled
          FROM e GROUP BY label, pos ORDER BY label, pos""",
+    "q_bpe_merges" ->
+      """WITH words AS (
+           SELECT word, count(*) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE length(word) >= 2
+           GROUP BY word),
+         seq0 AS (
+           SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq, freq FROM words),
+         pc0 AS (
+           SELECT a[i] || ' ' || a[i + 1] AS pair, sum(freq) AS cnt
+           FROM (SELECT string_split(seq, ' ') AS a, freq FROM seq0),
+                unnest(range(1, len(a))) AS u(i)
+           GROUP BY pair),
+         b0 AS (SELECT pair FROM pc0 ORDER BY cnt DESC, pair LIMIT 1),
+         seq1 AS (
+           SELECT trim(regexp_replace(
+                    replace(' ' || replace(seq, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' '),
+                    ' +', ' ', 'g')) AS seq, freq
+           FROM seq0, b0 b),
+         pc1 AS (
+           SELECT a[i] || ' ' || a[i + 1] AS pair, sum(freq) AS cnt
+           FROM (SELECT string_split(seq, ' ') AS a, freq FROM seq1),
+                unnest(range(1, len(a))) AS u(i)
+           GROUP BY pair),
+         b1 AS (SELECT pair FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
+         seq2 AS (
+           SELECT trim(regexp_replace(
+                    replace(' ' || replace(seq, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' '),
+                    ' +', ' ', 'g')) AS seq, freq
+           FROM seq1, b1 b),
+         pc2 AS (
+           SELECT a[i] || ' ' || a[i + 1] AS pair, sum(freq) AS cnt
+           FROM (SELECT string_split(seq, ' ') AS a, freq FROM seq2),
+                unnest(range(1, len(a))) AS u(i)
+           GROUP BY pair)
+         SELECT pair, CAST(cnt AS BIGINT) AS cnt
+         FROM pc2 ORDER BY cnt DESC, pair LIMIT 20""",
     "q_kmeans_iter" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          cent AS (

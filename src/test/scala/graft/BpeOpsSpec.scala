@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.BpeOps
+import org.apache.spark.sql.functions._
+
+class BpeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seqsOf(rows: (String, Long)*) =
+    rows.toDF("seq", "freq")
+
+  test("pairCounts weights by frequency and drops single-symbol rows") {
+    val got = BpeOps.pairCounts(seqsOf("a b c" -> 3L, "b c" -> 2L, "x" -> 9L))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a b" -> 3L, "b c" -> 5L))
+  }
+
+  test("applyMerge is greedy left-to-right on overlapping runs") {
+    // BPE on "aaaa" with merge (a,a) pairs leftmost-first: aa aa — a
+    // single-space replace would share the middle separator between
+    // matches and produce aa a a instead.
+    val got = BpeOps.applyMerge(seqsOf("a a a a" -> 1L, "a a a" -> 1L), "a a")
+      .select("seq").as[String].collect().toSeq
+    assert(got == Seq("aa aa", "aa a"))
+  }
+
+  test("applyMerge only matches whole symbols, not substrings of merged ones") {
+    // after 'x e' merged into xe, a later merge (e, l) must not fire
+    // inside "xe l" — 'e' there is the tail of symbol xe.
+    val got = BpeOps.applyMerge(seqsOf("xe l o" -> 1L, "e l o" -> 1L), "e l")
+      .select("seq").as[String].collect().toSeq
+    assert(got == Seq("xe l o", "el o"))
+  }
+
+  test("bpeMerges learns the planted top pair and applies it end-to-end") {
+    // "ab" dominates: 6 occurrences of token "abc" vs 2 of "xyz". After
+    // merge 1 (a b -> ab) the top remaining pair is (ab, c).
+    val docs = Seq("abc abc abc", "abc abc abc", "xyz xyz").toDF("text")
+    val top = BpeOps.bpeMerges(docs, "text", merges = 1, topK = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top.head == ("ab c", 6L))
+  }
+}

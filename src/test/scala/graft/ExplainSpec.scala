@@ -36,7 +36,8 @@ class ExplainSpec extends SparkSpec {
     "q_asof_join" -> 2, "q_asof_nearest" -> 2, "q_asof_tolerance" -> 2,
     "q_cohort_retention" -> 4,
     "q_bag_setops" -> 3, "q_bit_string_agg" -> 2, "q_blob_meta" -> 1,
-    "q_bloom_semi_join" -> 1, "q_cond_project" -> 1, "q_corr_subquery" -> 2,
+    "q_bloom_semi_join" -> 1, "q_bpe_merges" -> 2,
+    "q_cond_project" -> 1, "q_corr_subquery" -> 2,
     "q_count_distinct" -> 3, "q_cube" -> 2, "q_decontaminate" -> 3,
     "q_dedup_exact" -> 2, "q_dedup_full" -> 3, "q_dedup_minhash" -> 4,
     "q_dedup_simhash" -> 1, "q_dim_coverage" -> 4, "q_dim_join" -> 2,
