@@ -47,7 +47,12 @@ object ScaleSmoke {
     "q_heavy_hitters",
     // sampling tier at Nx: per-source cumsum / top-k windows whose cost
     // tracks per-source counts; hard negatives = broadcast-anchor scan
-    "q_mix_sample", "q_weighted_sample", "q_hard_negatives")
+    "q_mix_sample", "q_weighted_sample", "q_hard_negatives",
+    // BPE merge rounds at Nx: the corpus pays one word-frequency shuffle;
+    // the per-round pair counting runs on the distinct-word vocabulary,
+    // which a shifted-id clone corpus does NOT grow — wall should track
+    // the single corpus scan, far below Nx
+    "q_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   * bit-identical semantics in ANSI SQL, so whole multi-round outputs are
   * oracle-checkable. ASCII-safe; `(.)` char splitting is code-unit-based,
   * so non-BMP corpora would need a codepoint splitter.
+  *
+  * Merge-count trade-off: each round is one vocab-scale Spark job, so
+  * this shape suits moderate round counts (the oracle-checked regime).
+  * For production-size merge tables (30k+ rounds) the right split is the
+  * same first half — corpus → word-frequency vocab in one shuffle — then
+  * collect the bounded vocab and run the merge loop in one process; 30k
+  * driver-coordinated jobs would be scheduler-bound, not data-bound.
   */
 object BpeOps {
 

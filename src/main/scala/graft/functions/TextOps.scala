@@ -53,12 +53,21 @@ object TextOps {
 
   /** Word n-gram shingles: `["a","b","c","d"]`, n=3 ->
     * `["a b c","b c d"]`; shorter docs yield an empty array.
+    *
+    * Built by zipping n parallel slices of the token array, so the
+    * `split` evaluates a CONSTANT number of times per row. The obvious
+    * `transform(sequence(...), i => element_at(tokens(c), i + k))` form
+    * re-evaluates the un-materialized split once per ELEMENT inside the
+    * interpreted lambda — O(doc_len^2) per row; the bigram twin of that
+    * shape measured 11x slower over a 100x corpus.
     */
   def shingles(c: Column, n: Int = 3): Column = {
     val t = tokens(c)
+    val win = size(t) - n + 1
+    val zipped = arrays_zip((0 until n).map(k => slice(t, lit(k + 1), win)): _*)
     when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n), i =>
-        concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*))
+      transform(zipped, s =>
+        concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*))
     ).otherwise(array().cast(ArrayType(StringType)))
   }
 
@@ -76,13 +85,14 @@ object TextOps {
     // null input matches neither branch -> stays null
 
   /** Word bigram array: empty for docs with fewer than two tokens, null
-    * stays null.
+    * stays null. `zip_with` over two slices for the same constant-
+    * splits-per-row reason as [[shingles]].
     */
   def bigrams(c: Column): Column = {
     val t = tokens(c)
     when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .when(c.isNotNull, array().cast(ArrayType(StringType)))
     // null input matches neither branch -> stays null
   }
