@@ -634,6 +634,131 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Binary-quantization ANN: 1-bit/dim signatures, Hamming candidate
+    // pass (xor+popcount per pair over a 32x-smaller projection), exact
+    // cosine rerank of the top-50. Fourth ANN tier next to LSH/IVF/PQ;
+    // fully deterministic, oracle-checked end to end.
+    "q_embed_bq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      VectorOps.bqTopK(e.filter(col("vec_id") < 5), e, k = 5, dim = 64, rerank = 50)
+        .select(col("q_id"), col("rk"), col("n_id"), col("cos_sim"))
+        .orderBy("q_id", "rk")
+    },
+
+    // Okapi BM25 retrieval: the first 3 documents as queries, ranked
+    // against the whole corpus. tf/df/dlen all derive from ONE token
+    // explode + (doc, term) aggregate — df and dlen are windows over the
+    // tf frame (vocab-sized data), not second corpus scans; the query
+    // term set and the corpus-level (N, avgdl) constants are broadcast.
+    // Only scored (q_id, doc) rows reach the per-query top-k shuffle.
+    "q_bm25" -> { (s, dir) =>
+      // k1=1.2, b=0.75; constants written as the EXACT literals the
+      // DuckDB oracle parses (2.2, 0.25), not Scala arithmetic on them
+      // (1.2+1.0 is one ulp off the double "2.2" parses to).
+      val docs = Tables(s, dir, "documents")
+      // dlen (= token count) rides the scan projection and the tf
+      // aggregate as max() — NOT a second window over the tf frame,
+      // whose partitionBy(doc_id) would cost one more full shuffle
+      val tf = docs
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dlen"))
+      val tfdf = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("tot_len"))
+      val qterms = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      val scored = tfdf.join(broadcast(qterms), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("contrib",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dlen") / (col("tot_len").cast(DoubleType) / col("n_docs")))))
+        // one exchange serves BOTH the per-(q_id, doc) sum and the
+        // per-q_id top-k window: hashpartitioning(q_id) satisfies the
+        // aggregate's (q_id, doc_id) clustering, so Spark inserts no
+        // second shuffle. Tail-stage parallelism is bounded by |queries|
+        // either way (the window is q_id-partitioned regardless); the
+        // map-side partial sum has already shrunk rows to one per
+        // (q_id, doc, partition) before the exchange.
+        .repartition(col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(round(sum(col("contrib")), 6).as("bm25"))
+      val w = Window.partitionBy("q_id").orderBy(desc("bm25"), asc("doc_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk").cast(LongType).as("rk"),
+          col("doc_id"), col("bm25"))
+        .orderBy("q_id", "rk")
+    },
+
+    // Interpolated bigram language model scored over its own corpus
+    // (KenLM-lite): P(w2|w1) = 0.75·c(w1w2)/c(w1) + 0.25·c(w2)/T, doc
+    // score = mean log-prob over its bigrams. One shuffle each for the
+    // bigram and unigram count tables (both vocab-sized — broadcast to
+    // the corpus-side probe; a web-scale vocab would swap the bigram
+    // join to a shuffle join, same semantics), then a per-doc aggregate.
+    "q_bigram_lm" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      // c12 as a window count over the exploded bigram frame — a
+      // groupBy+self-join would BRANCH the explode subtree and Catalyst
+      // re-plans it per branch (the q_tfidf_top lesson); T comes straight
+      // off a narrow docs scan for the same reason (no branch on uni).
+      val bg = docs.select(col("doc_id"),
+          explode(TextOps.bigrams(col("text"))).as("bg"))
+        .withColumn("c12", count(lit(1)).over(Window.partitionBy("bg")))
+      val uni = docs
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val tot = docs.agg(sum(TextOps.tokenCount(col("text"))).as("t_tok"))
+      bg
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+        .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")), Seq("w1"))
+        .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("logp",
+          log(lit(0.75) * col("c12") / col("c1") +
+            lit(0.25) * col("c2") / col("t_tok").cast(DoubleType)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    },
+
+    // PMI collocation mining: pointwise mutual information over bigram
+    // occurrences, ln(c12·T / (c1·c2)), min support 3, top-20. The
+    // word2vec-statistics pass — one bigram-count shuffle, unigram
+    // counts broadcast to the (tiny) surviving pair set.
+    "q_pmi_top" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val c12 = docs.select(explode(TextOps.bigrams(col("text"))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+      // total bigram count straight off a narrow docs scan (n_tok - 1
+      // per doc with >= 2 tokens) — no branch on the explode subtree
+      val nTok = TextOps.tokenCount(col("text"))
+      val tot = docs.agg(
+        sum(when(nTok >= 2, nTok - 1).otherwise(0L)).as("t_bg"))
+      val uni = docs
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val scored = c12
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+        .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")), Seq("w1"))
+        .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi", round(
+          log(col("n") * col("t_bg").cast(DoubleType) / (col("c1") * col("c2"))), 6))
+      scored.orderBy(desc("pmi"), asc("w1"), asc("w2")).limit(20)
+        .select(col("w1"), col("w2"), col("n"), col("pmi"))
+    },
+
     // Multimodal: batched fake-decode through the mapPartitions plumbing
     // (no oracle — codec is stubbed; schema/batch shape tested in spec).
     "q_media_decode" -> { (s, dir) =>
@@ -747,6 +872,34 @@ object TextQueries {
     s"""list_sum(list_transform(range(1, len($a.vec) + 1), i -> $a.vec[i] * $c.vec[i]))
      / (sqrt(list_sum(list_transform(range(1, len($a.vec) + 1), i -> $a.vec[i] * $a.vec[i])))
       * sqrt(list_sum(list_transform(range(1, len($c.vec) + 1), i -> $c.vec[i] * $c.vec[i]))))"""
+
+  /** q_embed_bq oracle: the binary-quantization pipeline reproduced
+    * stage by stage — sign-bit Hamming distance (expressed positionally,
+    * no bit packing needed: popcount(xor) of the packed words IS the
+    * count of sign-disagreeing dimensions), the (hamming, id) candidate
+    * cut at 50, and the exact cosine rerank.
+    */
+  private val bqOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       q AS (SELECT vec_id AS q_id, vec AS q_vec FROM v WHERE vec_id < 5),
+       ham AS (
+         SELECT q.q_id, v.vec_id AS n_id,
+           len(list_filter(range(1, 65), i -> (q.q_vec[i] > 0) != (v.vec[i] > 0))) AS hd
+         FROM v JOIN q ON v.vec_id <> q.q_id),
+       cand AS (
+         SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY hd, n_id) AS rk0
+         FROM ham),
+       exact AS (
+         SELECT c.q_id, c.n_id, ${cosSql("av", "cv")} AS cos_sim
+         FROM cand c JOIN v av ON av.vec_id = c.q_id JOIN v cv ON cv.vec_id = c.n_id
+         WHERE c.rk0 <= 50),
+       ranked AS (
+         SELECT q_id, n_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
+         FROM exact)
+       SELECT q_id, CAST(rk AS INT) AS rk, n_id, cos_sim
+       FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
 
   /** q_embed_ann_lsh oracle: every stage of the approximate pipeline is
     * deterministic, so the oracle REPRODUCES it instead of forgiving it —
@@ -974,6 +1127,77 @@ object TextQueries {
     "q_winnow" -> winnowOracle,
     "q_embed_ann_lsh" -> annLshOracle,
     "q_embed_ann_ivf" -> annIvfOracle,
+    "q_embed_bq" -> bqOracle,
+    "q_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         tfdf AS (
+           SELECT *, count(*) OVER (PARTITION BY term) AS df,
+             sum(tf) OVER (PARTITION BY doc_id) AS dlen
+           FROM tf),
+         stats AS (
+           SELECT count(*) AS n_docs, sum(len(string_split(text, ' '))) AS tot_len
+           FROM documents),
+         qterms AS (
+           SELECT doc_id AS q_id, unnest(list_distinct(string_split(text, ' '))) AS term
+           FROM documents WHERE doc_id < 3),
+         scored AS (
+           SELECT q.q_id, t.doc_id,
+             round(sum(
+               ln(1.0e0 + (s.n_docs - t.df + 0.5e0) / (t.df + 0.5e0)) *
+               (t.tf * 2.2e0) /
+               (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * t.dlen / (CAST(s.tot_len AS DOUBLE) / s.n_docs)))
+             ), 6) AS bm25
+           FROM tfdf t JOIN qterms q USING (term), stats s
+           GROUP BY q.q_id, t.doc_id),
+         ranked AS (
+           SELECT q_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rk
+           FROM scored)
+         SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, bm25
+         FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    "q_bigram_lm" ->
+      """WITH bgx AS (
+           SELECT doc_id, a[i] || ' ' || a[i + 1] AS bg, a[i] AS w1, a[i + 1] AS w2
+           FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+                unnest(range(1, len(a))) AS u(i)
+           WHERE len(a) >= 2),
+         wc12 AS (SELECT *, count(*) OVER (PARTITION BY bg) AS c12 FROM bgx),
+         uni AS (
+           SELECT w, count(*) AS cw
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         tot AS (SELECT sum(len(string_split(text, ' '))) AS t_tok FROM documents)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(0.75e0 * b.c12 / u1.cw + 0.25e0 * u2.cw / CAST(t.t_tok AS DOUBLE))), 6)
+             AS avg_logp
+         FROM wc12 b
+           JOIN uni u1 ON u1.w = b.w1
+           JOIN uni u2 ON u2.w = b.w2, tot t
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "q_pmi_top" ->
+      """WITH bgx AS (
+           SELECT a[i] AS w1, a[i + 1] AS w2
+           FROM (SELECT string_split(text, ' ') AS a FROM documents),
+                unnest(range(1, len(a))) AS u(i)
+           WHERE len(a) >= 2),
+         c12 AS (
+           SELECT w1, w2, count(*) AS n FROM bgx GROUP BY w1, w2 HAVING count(*) >= 3),
+         tot AS (
+           SELECT sum(CASE WHEN len(string_split(text, ' ')) >= 2
+                           THEN len(string_split(text, ' ')) - 1 ELSE 0 END) AS t_bg
+           FROM documents),
+         uni AS (
+           SELECT w, count(*) AS cw
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         scored AS (
+           SELECT c.w1, c.w2, c.n,
+             round(ln(c.n * CAST(t.t_bg AS DOUBLE) / (u1.cw * u2.cw)), 6) AS pmi
+           FROM c12 c JOIN uni u1 ON u1.w = c.w1 JOIN uni u2 ON u2.w = c.w2, tot t)
+         SELECT w1, w2, n, pmi FROM scored
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
     "q_embed_pq" -> pqOracle,
     "q_lang_ngram" -> langNgramOracle,
     "q_dedup_exact" ->

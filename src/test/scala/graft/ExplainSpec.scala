@@ -36,7 +36,8 @@ class ExplainSpec extends SparkSpec {
     "q_asof_join" -> 2, "q_asof_nearest" -> 2, "q_asof_tolerance" -> 2,
     "q_cohort_retention" -> 4,
     "q_bag_setops" -> 3, "q_bit_string_agg" -> 2, "q_blob_meta" -> 1,
-    "q_bloom_semi_join" -> 1, "q_bpe_merges" -> 2,
+    "q_bigram_lm" -> 5, "q_bloom_semi_join" -> 1, "q_bm25" -> 5,
+    "q_bpe_merges" -> 2,
     "q_cond_project" -> 1, "q_corr_subquery" -> 2,
     "q_count_distinct" -> 3, "q_cube" -> 2, "q_decontaminate" -> 3,
     "q_dedup_exact" -> 2, "q_dedup_full" -> 3, "q_dedup_minhash" -> 4,
@@ -44,6 +45,7 @@ class ExplainSpec extends SparkSpec {
     "q_domain_cap" -> 2, "q_dup_clusters" -> 1, "q_embed_ann_ivf" -> 2,
     "q_embed_ann_lsh" -> 3, "q_embed_centroid" -> 2, "q_embed_cosine_topk" -> 2,
     "q_embed_neardup" -> 2, "q_embed_pq" -> 2, "q_embed_ivfpq" -> 2,
+    "q_embed_bq" -> 2, "q_pmi_top" -> 3,
     "q_embed_topk_agg" -> 2,
     "q_except" -> 2, "q_explode_tokens" -> 3, "q_fingerprint" -> 1,
     "q_flatten_project" -> 2, "q_full_outer" -> 3, "q_funnel" -> 2,

@@ -41,6 +41,26 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("bqTopK: Hamming candidates + exact rerank reach >=60% recall@5; " +
+      "rerank=all equals brute force exactly") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = VectorOps.bruteForceTopK(q, e, k = 5)
+      .select("q_id", "rk", "n_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val bq = VectorOps.bqTopK(q, e, k = 5, dim = 64, rerank = 50)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact.map(t => (t._1, t._3)) intersect bq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+    // with the candidate cut wider than the corpus, the rerank IS brute
+    // force — rank/score parity proves the rerank arithmetic is exact
+    val n = e.count().toInt
+    val full = VectorOps.bqTopK(q, e, k = 5, dim = 64, rerank = n)
+      .select("q_id", "rk", "n_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == exact)
+  }
+
   test("aggregator top-k (partial-agg reduction) equals the window form exactly") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 10)
