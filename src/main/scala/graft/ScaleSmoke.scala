@@ -52,7 +52,11 @@ object ScaleSmoke {
     // the per-round pair counting runs on the distinct-word vocabulary,
     // which a shifted-id clone corpus does NOT grow — wall should track
     // the single corpus scan, far below Nx
-    "q_bpe_merges")
+    "q_bpe_merges",
+    // retrieval tier at Nx: BQ's Hamming pass is a fixed-query scan of
+    // an Nx signature projection (8 B/row); BM25's tf/df frames grow
+    // with corpus x vocab; bigram-LM and RRF compose the same pieces
+    "q_embed_bq", "q_bm25", "q_bigram_lm", "q_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -652,48 +652,36 @@ object TextQueries {
     // term set and the corpus-level (N, avgdl) constants are broadcast.
     // Only scored (q_id, doc) rows reach the per-query top-k shuffle.
     "q_bm25" -> { (s, dir) =>
-      // k1=1.2, b=0.75; constants written as the EXACT literals the
-      // DuckDB oracle parses (2.2, 0.25), not Scala arithmetic on them
-      // (1.2+1.0 is one ulp off the double "2.2" parses to).
-      val docs = Tables(s, dir, "documents")
-      // dlen (= token count) rides the scan projection and the tf
-      // aggregate as max() — NOT a second window over the tf frame,
-      // whose partitionBy(doc_id) would cost one more full shuffle
-      val tf = docs
-        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
-          explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dlen"))
-      val tfdf = tf
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-      val stats = docs.agg(
-        count(lit(1)).as("n_docs"),
-        sum(TextOps.tokenCount(col("text"))).as("tot_len"))
-      val qterms = docs.filter(col("doc_id") < 3)
-        .select(col("doc_id").as("q_id"),
-          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
-      val scored = tfdf.join(broadcast(qterms), Seq("term"))
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-        .withColumn("contrib",
-          col("idf") * (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) +
-              lit(0.75) * col("dlen") / (col("tot_len").cast(DoubleType) / col("n_docs")))))
-        // one exchange serves BOTH the per-(q_id, doc) sum and the
-        // per-q_id top-k window: hashpartitioning(q_id) satisfies the
-        // aggregate's (q_id, doc_id) clustering, so Spark inserts no
-        // second shuffle. Tail-stage parallelism is bounded by |queries|
-        // either way (the window is q_id-partitioned regardless); the
-        // map-side partial sum has already shrunk rows to one per
-        // (q_id, doc, partition) before the exchange.
+      bm25Ranked(s, dir, topN = 10).orderBy("q_id", "rk")
+    },
+
+    // Hybrid retrieval via reciprocal-rank fusion: BM25 top-20 and
+    // exact-cosine top-20 rank lists fused as 1/(60+rank) sums, top-10
+    // per query (documents and their embeddings share ids in the
+    // fixtures, so doc 0..2 are the query set on both sides). The two
+    // retrieval arms run independently; fusion touches only the 2x20
+    // ranked rows per query, joined full-outer so a doc found by one
+    // arm still scores.
+    "q_hybrid_rrf" -> { (s, dir) =>
+      val bm = bm25Ranked(s, dir, topN = 20)
+        .select(col("q_id"), col("doc_id"), col("rk"))
+      val e = Tables(s, dir, "embeddings")
+      val vr = VectorOps.bruteForceTopK(e.filter(col("vec_id") < 3), e, k = 20)
+        .select(col("q_id"), col("n_id").as("doc_id"),
+          col("rk").cast(LongType).as("rk"))
+      // fusion as union + re-aggregate, NOT a full-outer join: each doc
+      // holds at most one rank row per arm, so summing 1/(60+rk) over
+      // the union is exactly the coalesce-sum of a full outer join —
+      // minus the join's two hash exchanges. The repartition(q_id)
+      // again serves both the fuse aggregate and the final top-k window.
+      val fused = bm.unionByName(vr)
         .repartition(col("q_id"))
         .groupBy("q_id", "doc_id")
-        .agg(round(sum(col("contrib")), 6).as("bm25"))
-      val w = Window.partitionBy("q_id").orderBy(desc("bm25"), asc("doc_id"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .agg(round(sum(lit(1.0) / (lit(60) + col("rk"))), 6).as("rrf"))
+      val w = Window.partitionBy("q_id").orderBy(desc("rrf"), asc("doc_id"))
+      fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
         .select(col("q_id"), col("rk").cast(LongType).as("rk"),
-          col("doc_id"), col("bm25"))
+          col("doc_id"), col("rrf"))
         .orderBy("q_id", "rk")
     },
 
@@ -872,6 +860,84 @@ object TextQueries {
     s"""list_sum(list_transform(range(1, len($a.vec) + 1), i -> $a.vec[i] * $c.vec[i]))
      / (sqrt(list_sum(list_transform(range(1, len($a.vec) + 1), i -> $a.vec[i] * $a.vec[i])))
       * sqrt(list_sum(list_transform(range(1, len($c.vec) + 1), i -> $c.vec[i] * $c.vec[i]))))"""
+
+  /** Okapi BM25 (k1=1.2, b=0.75) top-`topN` per query, the first 3
+    * documents acting as queries. Constants are written as the EXACT
+    * literals the DuckDB oracle parses (2.2, 0.25) — not Scala
+    * arithmetic on k1/b (1.2+1.0 is one ulp off the double "2.2"
+    * parses to). dlen (= token count) rides the scan projection and the
+    * tf aggregate as max(), NOT a second window over the tf frame whose
+    * partitionBy(doc_id) would cost one more full shuffle. The final
+    * `repartition(q_id)` makes ONE exchange serve both the per-(q_id,
+    * doc) sum and the per-q_id top-k window: hashpartitioning(q_id)
+    * satisfies the aggregate's (q_id, doc_id) clustering, so Spark
+    * inserts no second shuffle; tail-stage parallelism is bounded by
+    * |queries| either way, and the map-side partial sum has already
+    * shrunk rows to one per (q_id, doc, partition) before the exchange.
+    */
+  private def bm25Ranked(s: SparkSession, dir: String, topN: Int): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dlen"))
+    val tfdf = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.tokenCount(col("text"))).as("tot_len"))
+    val qterms = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+    val scored = tfdf.join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dlen") / (col("tot_len").cast(DoubleType) / col("n_docs")))))
+      .repartition(col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+    val w = Window.partitionBy("q_id").orderBy(desc("bm25"), asc("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topN)
+      .select(col("q_id"), col("rk").cast(LongType).as("rk"),
+        col("doc_id"), col("bm25"))
+  }
+
+  /** CTE body shared by the q_bm25 and q_hybrid_rrf oracles: BM25
+    * scores for every (query, doc) pair, ranked per query — consumers
+    * filter `ranked` to their own top-N.
+    */
+  private val bm25RankedCte: String =
+    """toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       tfdf AS (
+         SELECT *, count(*) OVER (PARTITION BY term) AS df,
+           sum(tf) OVER (PARTITION BY doc_id) AS dlen
+         FROM tf),
+       stats AS (
+         SELECT count(*) AS n_docs, sum(len(string_split(text, ' '))) AS tot_len
+         FROM documents),
+       qterms AS (
+         SELECT doc_id AS q_id, unnest(list_distinct(string_split(text, ' '))) AS term
+         FROM documents WHERE doc_id < 3),
+       scored AS (
+         SELECT q.q_id, t.doc_id,
+           round(sum(
+             ln(1.0e0 + (s.n_docs - t.df + 0.5e0) / (t.df + 0.5e0)) *
+             (t.tf * 2.2e0) /
+             (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * t.dlen / (CAST(s.tot_len AS DOUBLE) / s.n_docs)))
+           ), 6) AS bm25
+         FROM tfdf t JOIN qterms q USING (term), stats s
+         GROUP BY q.q_id, t.doc_id),
+       ranked AS (
+         SELECT q_id, doc_id, bm25,
+           row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rk
+         FROM scored)"""
 
   /** q_embed_bq oracle: the binary-quantization pipeline reproduced
     * stage by stage — sign-bit Hamming distance (expressed positionally,
@@ -1129,34 +1195,37 @@ object TextQueries {
     "q_embed_ann_ivf" -> annIvfOracle,
     "q_embed_bq" -> bqOracle,
     "q_bm25" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-         tfdf AS (
-           SELECT *, count(*) OVER (PARTITION BY term) AS df,
-             sum(tf) OVER (PARTITION BY doc_id) AS dlen
-           FROM tf),
-         stats AS (
-           SELECT count(*) AS n_docs, sum(len(string_split(text, ' '))) AS tot_len
-           FROM documents),
-         qterms AS (
-           SELECT doc_id AS q_id, unnest(list_distinct(string_split(text, ' '))) AS term
-           FROM documents WHERE doc_id < 3),
-         scored AS (
-           SELECT q.q_id, t.doc_id,
-             round(sum(
-               ln(1.0e0 + (s.n_docs - t.df + 0.5e0) / (t.df + 0.5e0)) *
-               (t.tf * 2.2e0) /
-               (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * t.dlen / (CAST(s.tot_len AS DOUBLE) / s.n_docs)))
-             ), 6) AS bm25
-           FROM tfdf t JOIN qterms q USING (term), stats s
-           GROUP BY q.q_id, t.doc_id),
-         ranked AS (
-           SELECT q_id, doc_id, bm25,
-             row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rk
-           FROM scored)
+      s"""WITH $bm25RankedCte
          SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, bm25
          FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25RankedCte,
+         bmr AS (SELECT q_id, doc_id, rk FROM ranked WHERE rk <= 20),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         vscored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * c.vec[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i])))
+                * sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) AS cos_sim
+           FROM v q JOIN v c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+         vranked AS (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
+           FROM vscored),
+         vr AS (SELECT q_id, n_id AS doc_id, rk FROM vranked WHERE rk <= 20),
+         fused AS (
+           SELECT COALESCE(b.q_id, x.q_id) AS q_id,
+             COALESCE(b.doc_id, x.doc_id) AS doc_id,
+             round(COALESCE(1.0e0 / (60 + b.rk), 0.0e0)
+                 + COALESCE(1.0e0 / (60 + x.rk), 0.0e0), 6) AS rrf
+           FROM bmr b FULL OUTER JOIN vr x
+             ON b.q_id = x.q_id AND b.doc_id = x.doc_id),
+         rranked AS (
+           SELECT q_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rk
+           FROM fused)
+         SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf
+         FROM rranked WHERE rk <= 10 ORDER BY q_id, rk""",
     "q_bigram_lm" ->
       """WITH bgx AS (
            SELECT doc_id, a[i] || ' ' || a[i + 1] AS bg, a[i] AS w1, a[i + 1] AS w2

@@ -52,6 +52,10 @@ class ExplainSpec extends SparkSpec {
     "q_fuzzy_match" -> 2,
     "q_gap_fill" -> 3, "q_grouping_id" -> 2, "q_grouping_sets" -> 2,
     "q_hard_negatives" -> 2, "q_heavy_hitters" -> 3,
+    // two-arm composition: the BM25 arm alone is 4 (tf agg, df window,
+    // corpus stats, repartition(q_id)) + union-fuse exchange + ordered
+    // output — the fusion itself adds ONE exchange, not a join's two
+    "q_hybrid_rrf" -> 6,
     "q_histogram" -> 2, "q_integrity_check" -> 5, "q_intersect" -> 2,
     "q_interval_join" -> 2, "q_inverted_index" -> 3, "q_json_extract" -> 1,
     "q_kmeans_iter" -> 2, "q_lang_ngram" -> 1, "q_lang_quality" -> 1,
