@@ -56,12 +56,19 @@ object ScaleSmoke {
     // retrieval tier at Nx: BQ's Hamming pass is a fixed-query scan of
     // an Nx signature projection (8 B/row); BM25's tf/df frames grow
     // with corpus x vocab; bigram-LM and RRF compose the same pieces
-    "q_embed_bq", "q_bm25", "q_bigram_lm", "q_hybrid_rrf")
+    "q_embed_bq", "q_bm25", "q_bigram_lm", "q_hybrid_rrf",
+    // incremental ingestion dedup (hash-only anti join) and int8
+    // quantization (pure per-row fold) — both should track the scan
+    "q_incr_dedup", "q_embed_quant")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scale_nx"
     val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "100").toInt
+    // local-iteration filter, same contract as Verify's SPARK_GRAFT_ONLY
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = ScaleSmoke.queries.filter(q => only.forall(_.contains(q)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()

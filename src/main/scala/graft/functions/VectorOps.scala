@@ -586,22 +586,32 @@ object VectorOps {
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int = 64,
       rerank: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"),
-        toDoubleVec(col(vecCol)).as("q_vec"))
-      .withColumn("q_sig", signBits("q_vec", dim))
+    val qRaw = queries.select(col(idCol).as("q_id"),
+      toDoubleVec(col(vecCol)).as("q_vec"))
+    val qSig = qRaw.select(col("q_id"), signBits("q_vec", dim).as("q_sig"))
     val cSig = corpus.select(col(idCol).as("n_id"),
         toDoubleVec(col(vecCol)).as("n_vec"))
       .select(col("n_id"), signBits("n_vec", dim).as("n_sig"))
-    val hammed = cSig.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_vec"), col("n_id"),
+    val hammed = cSig.join(broadcast(qSig), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
         bit_count(col("q_sig").bitwiseXOR(col("n_sig"))).as("hd"))
-    val wCand = Window.partitionBy(col("q_id"))
-      .orderBy(col("hd").asc, col("n_id").asc)
-    val cands = hammed.withColumn("rk0", row_number().over(wCand))
-      .filter(col("rk0") <= math.max(rerank, k)).drop("rk0", "hd")
+    // candidate cut via [[TopKAggregator]] (score = -hamming), NOT a
+    // window: partial aggregation reduces each map task to ≤rerank rows
+    // per query BEFORE the exchange, so the shuffle carries
+    // O(rerank · partitions · |queries|) rows instead of every scored
+    // pair (a per-query window sort over the full pair set measured
+    // ~2x the whole query's wall at 100x corpus). Tie-break (-hd desc,
+    // id asc) ≡ the window's (hd asc, n_id asc) — same candidate set.
+    val cands = hammed.groupBy(col("q_id"))
+      .agg(TopKAggregator.topK(math.max(rerank, k),
+        -col("hd").cast(DoubleType), col("n_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("n_id"))
     val raw = corpus.select(col(idCol).as("n_id"),
       toDoubleVec(col(vecCol)).as("n_vec"))
-    val exact = cands.join(raw, Seq("n_id"))
+    // rerank: the (tiny) candidate set is broadcast INTO the corpus
+    // scan — the corpus side never shuffles at any stage of this plan
+    val exact = raw.join(broadcast(cands.join(broadcast(qRaw), Seq("q_id"))), Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))

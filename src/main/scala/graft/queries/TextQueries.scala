@@ -747,6 +747,69 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("n"), col("pmi"))
     },
 
+    // Incremental ingestion dedup: the production shape — an incoming
+    // batch (doc_id % 10 == 0 stands in for "today's crawl") is deduped
+    // against the already-indexed corpus AND within itself, without the
+    // corpus text ever being re-read (only its DISTINCT content hashes —
+    // in production a stored fingerprint table). Anti join + in-batch
+    // window both key on text_hash, so the join's exchange is reused by
+    // the window (no second batch-side shuffle). At 100 TB the index
+    // side is the big one: the anti join shuffles 16-byte hashes, never
+    // documents, and a bloom prefilter (operators.BloomJoin) can cut
+    // definitely-new rows map-side before the exchange.
+    "q_incr_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val hashed = docs.select(col("doc_id"),
+        md5(TextOps.normText(col("text"))).as("text_hash"))
+      val batch = hashed.filter(col("doc_id") % 10 === 0)
+      val index = hashed.filter(col("doc_id") % 10 =!= 0)
+        .select("text_hash").distinct()
+      val w = Window.partitionBy("text_hash").orderBy("doc_id")
+      batch.join(index, Seq("text_hash"), "left_anti")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("text_hash"))
+        .orderBy("doc_id")
+    },
+
+    // Int8 symmetric embedding quantization (scale = max|x|/127): the
+    // storage tier below PQ/BQ — 4x smaller vectors with per-vector
+    // reconstruction error reported. Everything is a per-row sequential
+    // fold (no cross-row floats), so the oracle matches bit-for-bit
+    // unrounded. floor(x/scale + 0.5) instead of round(): both engines
+    // floor identically; round() half-away/half-even rules differ.
+    "q_embed_quant" -> { (s, dir) =>
+      val sq = (c: org.apache.spark.sql.Column) => c * c
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("vec"))
+        .select(col("vec_id"), col("vec"),
+          (array_max(transform(col("vec"), x => abs(x))) / lit(127.0)).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          (aggregate(
+            transform(col("vec"), x =>
+              sq(x - floor(x / col("scale") + lit(0.5)) * col("scale"))),
+            lit(0.0), (acc, e) => acc + e) / lit(64.0)).as("mse"))
+        .orderBy("vec_id")
+    },
+
+    // Perplexity-band selection (the CCNet head/middle/tail move): score
+    // every document with the corpus-trained bigram LM, band by FIXED
+    // logprob thresholds (map-side — a global ntile would serialize on
+    // one partition at 100 TB), and keep head fully, middle 1/2, tail
+    // 1/4 via the deterministic md5 hash sample. Composes q_bigram_lm +
+    // CoreOps.hashSample; adds zero shuffles beyond the LM scoring.
+    "q_ppl_strata" -> { (s, dir) =>
+      val scored = TextQueries.defs("q_bigram_lm")(s, dir)
+      val band = when(col("avg_logp") >= lit(-3.39), "head")
+        .when(col("avg_logp") >= lit(-3.41), "middle")
+        .otherwise("tail")
+      scored.withColumn("band", band)
+        .filter(graft.ops.CoreOps.hashSample(col("doc_id"),
+          when(col("band") === "head", lit("f"))
+            .when(col("band") === "middle", lit("7")).otherwise(lit("3"))))
+        .select(col("doc_id"), col("band"), col("avg_logp"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal: batched fake-decode through the mapPartitions plumbing
     // (no oracle — codec is stubbed; schema/batch shape tested in spec).
     "q_media_decode" -> { (s, dir) =>
@@ -938,6 +1001,29 @@ object TextQueries {
          SELECT q_id, doc_id, bm25,
            row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rk
          FROM scored)"""
+
+  /** DuckDB twin of the interpolated bigram LM (q_bigram_lm); also the
+    * scoring CTE inside the q_ppl_strata oracle.
+    */
+  private val bigramLmSql: String =
+    """WITH bgx AS (
+         SELECT doc_id, a[i] || ' ' || a[i + 1] AS bg, a[i] AS w1, a[i + 1] AS w2
+         FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+              unnest(range(1, len(a))) AS u(i)
+         WHERE len(a) >= 2),
+       wc12 AS (SELECT *, count(*) OVER (PARTITION BY bg) AS c12 FROM bgx),
+       uni AS (
+         SELECT w, count(*) AS cw
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY w),
+       tot AS (SELECT sum(len(string_split(text, ' '))) AS t_tok FROM documents)
+       SELECT b.doc_id, count(*) AS n_bigrams,
+         round(avg(ln(0.75e0 * b.c12 / u1.cw + 0.25e0 * u2.cw / CAST(t.t_tok AS DOUBLE))), 6)
+           AS avg_logp
+       FROM wc12 b
+         JOIN uni u1 ON u1.w = b.w1
+         JOIN uni u2 ON u2.w = b.w2, tot t
+       GROUP BY b.doc_id ORDER BY b.doc_id"""
 
   /** q_embed_bq oracle: the binary-quantization pipeline reproduced
     * stage by stage — sign-bit Hamming distance (expressed positionally,
@@ -1226,25 +1312,46 @@ object TextQueries {
            FROM fused)
          SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf
          FROM rranked WHERE rk <= 10 ORDER BY q_id, rk""",
-    "q_bigram_lm" ->
-      """WITH bgx AS (
-           SELECT doc_id, a[i] || ' ' || a[i + 1] AS bg, a[i] AS w1, a[i + 1] AS w2
-           FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-                unnest(range(1, len(a))) AS u(i)
-           WHERE len(a) >= 2),
-         wc12 AS (SELECT *, count(*) OVER (PARTITION BY bg) AS c12 FROM bgx),
-         uni AS (
-           SELECT w, count(*) AS cw
-           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           GROUP BY w),
-         tot AS (SELECT sum(len(string_split(text, ' '))) AS t_tok FROM documents)
-         SELECT b.doc_id, count(*) AS n_bigrams,
-           round(avg(ln(0.75e0 * b.c12 / u1.cw + 0.25e0 * u2.cw / CAST(t.t_tok AS DOUBLE))), 6)
-             AS avg_logp
-         FROM wc12 b
-           JOIN uni u1 ON u1.w = b.w1
-           JOIN uni u2 ON u2.w = b.w2, tot t
-         GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "q_bigram_lm" -> bigramLmSql,
+    "q_ppl_strata" ->
+      s"""WITH lm AS ($bigramLmSql),
+         banded AS (
+           SELECT doc_id, avg_logp,
+             CASE WHEN avg_logp >= -3.39e0 THEN 'head'
+                  WHEN avg_logp >= -3.41e0 THEN 'middle'
+                  ELSE 'tail' END AS band
+           FROM lm)
+         SELECT doc_id, band, avg_logp FROM banded
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           <= (CASE WHEN band = 'head' THEN 'f'
+                    WHEN band = 'middle' THEN '7' ELSE '3' END)
+         ORDER BY doc_id""",
+    "q_incr_dedup" ->
+      """WITH h AS (
+           SELECT doc_id,
+             md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))) AS text_hash
+           FROM documents),
+         idx AS (SELECT DISTINCT text_hash FROM h WHERE doc_id % 10 <> 0),
+         b AS (
+           SELECT doc_id, text_hash FROM h
+           WHERE doc_id % 10 = 0
+             AND text_hash NOT IN (SELECT text_hash FROM idx)),
+         surv AS (
+           SELECT doc_id, text_hash,
+             row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+           FROM b)
+         SELECT doc_id, text_hash FROM surv WHERE rn = 1 ORDER BY doc_id""",
+    "q_embed_quant" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         sc AS (
+           SELECT vec_id, vec,
+             list_max(list_transform(vec, x -> abs(x))) / 127.0e0 AS scale
+           FROM v)
+         SELECT vec_id, scale,
+           list_sum(list_transform(vec, x ->
+             (x - floor(x / scale + 0.5e0) * scale)
+             * (x - floor(x / scale + 0.5e0) * scale))) / 64.0e0 AS mse
+         FROM sc ORDER BY vec_id""",
     "q_pmi_top" ->
       """WITH bgx AS (
            SELECT a[i] AS w1, a[i + 1] AS w2

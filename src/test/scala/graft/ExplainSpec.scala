@@ -45,7 +45,11 @@ class ExplainSpec extends SparkSpec {
     "q_domain_cap" -> 2, "q_dup_clusters" -> 1, "q_embed_ann_ivf" -> 2,
     "q_embed_ann_lsh" -> 3, "q_embed_centroid" -> 2, "q_embed_cosine_topk" -> 2,
     "q_embed_neardup" -> 2, "q_embed_pq" -> 2, "q_embed_ivfpq" -> 2,
-    "q_embed_bq" -> 2, "q_pmi_top" -> 3,
+    // q_embed_bq: 3 exchanges but only the last two touch ≤rerank·|q|
+    // rows — the TopKAggregator candidate cut pays one agg exchange of
+    // map-capped rows instead of a full pair-set window sort
+    "q_embed_bq" -> 3, "q_pmi_top" -> 3, "q_embed_quant" -> 1,
+    "q_incr_dedup" -> 3, "q_ppl_strata" -> 5,
     "q_embed_topk_agg" -> 2,
     "q_except" -> 2, "q_explode_tokens" -> 3, "q_fingerprint" -> 1,
     "q_flatten_project" -> 2, "q_full_outer" -> 3, "q_funnel" -> 2,
