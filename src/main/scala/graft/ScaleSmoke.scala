@@ -59,7 +59,10 @@ object ScaleSmoke {
     "q_embed_bq", "q_bm25", "q_bigram_lm", "q_hybrid_rrf",
     // incremental ingestion dedup (hash-only anti join) and int8
     // quantization (pure per-row fold) — both should track the scan
-    "q_incr_dedup", "q_embed_quant")
+    "q_incr_dedup", "q_embed_quant",
+    // tokenizer apply: training runs on the (clone-invariant) vocab,
+    // encoding is the linear corpus pass — wall should track the scan
+    "q_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

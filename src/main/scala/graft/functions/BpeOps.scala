@@ -65,13 +65,12 @@ object BpeOps {
         " +", " ")))
   }
 
-  /** Run `merges` BPE rounds over the corpus and return the `topK`
-    * remaining pair counts (count desc, pair asc — the order the NEXT
-    * merges would be chosen in). Ties break to the lexicographically
-    * smallest pair, so the whole run is deterministic and oracle-exact.
+  /** The training loop shared by [[bpeMerges]] and [[bpeEncode]]: run
+    * `merges` rounds on the word-frequency vocabulary, returning the
+    * post-merge symbol sequences AND the chosen pairs in merge order.
     */
-  def bpeMerges(docs: DataFrame, textCol: String,
-      merges: Int, topK: Int): DataFrame = {
+  private def trainLoop(docs: DataFrame, textCol: String,
+      merges: Int): (DataFrame, Seq[String]) = {
     val words = docs
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) >= 2)
@@ -80,12 +79,54 @@ object BpeOps {
       .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"),
         col("freq"))
       .localCheckpoint()
+    val chosen = Seq.newBuilder[String]
     for (_ <- 1 to merges) {
       val best = pairCounts(seqs)
         .orderBy(desc("cnt"), asc("pair")).limit(1)
         .collect()(0).getString(0)
+      chosen += best
       seqs = applyMerge(seqs, best).localCheckpoint()
     }
+    (seqs, chosen.result())
+  }
+
+  /** Run `merges` BPE rounds over the corpus and return the `topK`
+    * remaining pair counts (count desc, pair asc — the order the NEXT
+    * merges would be chosen in). Ties break to the lexicographically
+    * smallest pair, so the whole run is deterministic and oracle-exact.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String,
+      merges: Int, topK: Int): DataFrame = {
+    val (seqs, _) = trainLoop(docs, textCol, merges)
     pairCounts(seqs).orderBy(desc("cnt"), asc("pair")).limit(topK)
+  }
+
+  /** Tokenizer APPLY: train `merges` rounds (vocab-scale jobs), then
+    * encode every document with the trained table and return its subword
+    * count — the corpus-scale second half of the tokenizer story.
+    *
+    * Encoding is ONE linear pass: each document becomes a single symbol
+    * sequence (chars, with word gaps as a literal `<w>` boundary symbol
+    * that no trained merge can contain, so doubled-separator replaces
+    * never merge across words — exactly the per-word semantics training
+    * used), the merge table is applied in order as codegen'd string ops
+    * (merge pairs are driver literals, like k-means centroids), and the
+    * subword count is the symbol count minus the word gaps. No shuffle
+    * beyond the ordered output; 100 TB of text encodes in scan time.
+    * Assumes `<` `>` do not appear as corpus symbols (they cannot arise
+    * from the space-tokenized fixtures; a general tokenizer would
+    * escape them).
+    */
+  def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Int): DataFrame = {
+    val (_, pairs) = trainLoop(docs, textCol, merges)
+    val wordsArr = TextOps.tokens(col(textCol))
+    val charSeq = transform(wordsArr, w => trim(regexp_replace(w, "(.)", "$1 ")))
+    var enc = docs.select(col(idCol), size(wordsArr).as("n_words"),
+      array_join(charSeq, " <w> ").as("seq"))
+    for (p <- pairs) enc = applyMerge(enc, p)
+    enc.select(col(idCol), col("n_words").cast("long").as("n_words"),
+      (size(split(col("seq"), " ")) - (col("n_words") - 1))
+        .cast("long").as("n_subwords"))
   }
 }

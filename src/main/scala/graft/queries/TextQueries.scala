@@ -142,6 +142,16 @@ object TextQueries {
         merges = 2, topK = 20)
     },
 
+    // Tokenizer APPLY: encode every document with the 2-round trained
+    // merge table, reporting subword counts — the corpus-scale second
+    // half of the tokenizer story (training touches only the vocab;
+    // encoding is one linear codegen'd string pass, no shuffle).
+    "q_bpe_encode" -> { (s, dir) =>
+      BpeOps.bpeEncode(Tables(s, dir, "documents"), "text", "doc_id",
+        merges = 2)
+        .orderBy("doc_id")
+    },
+
     // Inverted-index build: token -> document frequency, postings count,
     // and the first 5 postings (zero-padded "doc:pos" so lexicographic
     // sort = numeric order — %012d:%08d keeps that invariant to 1e12
@@ -1002,6 +1012,45 @@ object TextQueries {
            row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rk
          FROM scored)"""
 
+  /** CTE body shared by the q_bpe_merges and q_bpe_encode oracles: two
+    * BPE training rounds — word-freq vocab, pair counts, chosen pairs
+    * b0/b1, and the post-merge vocabulary sequences seq2.
+    */
+  private val bpeTrainCte: String =
+    """words AS (
+         SELECT word, count(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE length(word) >= 2
+         GROUP BY word),
+       seq0 AS (
+         SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq, freq FROM words),
+       pc0 AS (
+         SELECT a[i] || ' ' || a[i + 1] AS pair, sum(freq) AS cnt
+         FROM (SELECT string_split(seq, ' ') AS a, freq FROM seq0),
+              unnest(range(1, len(a))) AS u(i)
+         GROUP BY pair),
+       b0 AS (SELECT pair FROM pc0 ORDER BY cnt DESC, pair LIMIT 1),
+       seq1 AS (
+         SELECT trim(regexp_replace(
+                  replace(' ' || replace(seq, ' ', '  ') || ' ',
+                          ' ' || replace(b.pair, ' ', '  ') || ' ',
+                          ' ' || replace(b.pair, ' ', '') || ' '),
+                  ' +', ' ', 'g')) AS seq, freq
+         FROM seq0, b0 b),
+       pc1 AS (
+         SELECT a[i] || ' ' || a[i + 1] AS pair, sum(freq) AS cnt
+         FROM (SELECT string_split(seq, ' ') AS a, freq FROM seq1),
+              unnest(range(1, len(a))) AS u(i)
+         GROUP BY pair),
+       b1 AS (SELECT pair FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
+       seq2 AS (
+         SELECT trim(regexp_replace(
+                  replace(' ' || replace(seq, ' ', '  ') || ' ',
+                          ' ' || replace(b.pair, ' ', '  ') || ' ',
+                          ' ' || replace(b.pair, ' ', '') || ' '),
+                  ' +', ' ', 'g')) AS seq, freq
+         FROM seq1, b1 b)"""
+
   /** DuckDB twin of the interpolated bigram LM (q_bigram_lm); also the
     * scoring CTE inside the q_ppl_strata oracle.
     */
@@ -1409,39 +1458,7 @@ object TextQueries {
            CAST(sum(CAST(floor(x * 1048576) AS BIGINT)) AS BIGINT) AS sum_scaled
          FROM e GROUP BY label, pos ORDER BY label, pos""",
     "q_bpe_merges" ->
-      """WITH words AS (
-           SELECT word, count(*) AS freq
-           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-           WHERE length(word) >= 2
-           GROUP BY word),
-         seq0 AS (
-           SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq, freq FROM words),
-         pc0 AS (
-           SELECT a[i] || ' ' || a[i + 1] AS pair, sum(freq) AS cnt
-           FROM (SELECT string_split(seq, ' ') AS a, freq FROM seq0),
-                unnest(range(1, len(a))) AS u(i)
-           GROUP BY pair),
-         b0 AS (SELECT pair FROM pc0 ORDER BY cnt DESC, pair LIMIT 1),
-         seq1 AS (
-           SELECT trim(regexp_replace(
-                    replace(' ' || replace(seq, ' ', '  ') || ' ',
-                            ' ' || replace(b.pair, ' ', '  ') || ' ',
-                            ' ' || replace(b.pair, ' ', '') || ' '),
-                    ' +', ' ', 'g')) AS seq, freq
-           FROM seq0, b0 b),
-         pc1 AS (
-           SELECT a[i] || ' ' || a[i + 1] AS pair, sum(freq) AS cnt
-           FROM (SELECT string_split(seq, ' ') AS a, freq FROM seq1),
-                unnest(range(1, len(a))) AS u(i)
-           GROUP BY pair),
-         b1 AS (SELECT pair FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
-         seq2 AS (
-           SELECT trim(regexp_replace(
-                    replace(' ' || replace(seq, ' ', '  ') || ' ',
-                            ' ' || replace(b.pair, ' ', '  ') || ' ',
-                            ' ' || replace(b.pair, ' ', '') || ' '),
-                    ' +', ' ', 'g')) AS seq, freq
-           FROM seq1, b1 b),
+      s"""WITH $bpeTrainCte,
          pc2 AS (
            SELECT a[i] || ' ' || a[i + 1] AS pair, sum(freq) AS cnt
            FROM (SELECT string_split(seq, ' ') AS a, freq FROM seq2),
@@ -1449,6 +1466,32 @@ object TextQueries {
            GROUP BY pair)
          SELECT pair, CAST(cnt AS BIGINT) AS cnt
          FROM pc2 ORDER BY cnt DESC, pair LIMIT 20""",
+    "q_bpe_encode" ->
+      raw"""WITH $bpeTrainCte,
+         docseq AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+             array_to_string(list_transform(string_split(text, ' '),
+               w -> trim(regexp_replace(w, '(.)', '\1 ', 'g'))), ' <w> ') AS seq
+           FROM documents),
+         enc1 AS (
+           SELECT doc_id, n_words,
+             trim(regexp_replace(
+               replace(' ' || replace(seq, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' '),
+               ' +', ' ', 'g')) AS seq
+           FROM docseq, b0 b),
+         enc2 AS (
+           SELECT doc_id, n_words,
+             trim(regexp_replace(
+               replace(' ' || replace(seq, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' '),
+               ' +', ' ', 'g')) AS seq
+           FROM enc1, b1 b)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(len(string_split(seq, ' ')) - (n_words - 1) AS BIGINT) AS n_subwords
+         FROM enc2 ORDER BY doc_id""",
     "q_kmeans_iter" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          cent AS (

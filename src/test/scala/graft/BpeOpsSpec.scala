@@ -32,6 +32,17 @@ class BpeOpsSpec extends SparkSpec {
     assert(got == Seq("xe l o", "el o"))
   }
 
+  test("bpeEncode counts subwords with trained merges; no cross-word merges") {
+    // (a,a) dominates -> trained merge 1. doc 0: each "aa" word merges
+    // to ONE symbol (3 words -> 3 subwords). doc 1 "za az": the a|a
+    // adjacency at the word boundary must NOT merge even though (a,a)
+    // is the trained pair -> z,a / a,z stay 4 subwords.
+    val docs = Seq((0L, "aa aa aa"), (1L, "za az")).toDF("doc_id", "text")
+    val rows = BpeOps.bpeEncode(docs, "text", "doc_id", merges = 1)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((0L, 3L, 3L), (1L, 2L, 4L)))
+  }
+
   test("bpeMerges learns the planted top pair and applies it end-to-end") {
     // "ab" dominates: 6 occurrences of token "abc" vs 2 of "xyz". After
     // merge 1 (a b -> ab) the top remaining pair is (ab, c).

@@ -37,7 +37,7 @@ class ExplainSpec extends SparkSpec {
     "q_cohort_retention" -> 4,
     "q_bag_setops" -> 3, "q_bit_string_agg" -> 2, "q_blob_meta" -> 1,
     "q_bigram_lm" -> 5, "q_bloom_semi_join" -> 1, "q_bm25" -> 5,
-    "q_bpe_merges" -> 2,
+    "q_bpe_merges" -> 2, "q_bpe_encode" -> 1,
     "q_cond_project" -> 1, "q_corr_subquery" -> 2,
     "q_count_distinct" -> 3, "q_cube" -> 2, "q_decontaminate" -> 3,
     "q_dedup_exact" -> 2, "q_dedup_full" -> 3, "q_dedup_minhash" -> 4,
