@@ -117,4 +117,51 @@ object GraphOps {
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame =
     connectedComponents(pairs.select(idA, idB))
       .select(col("id"), col("comp").as("cluster_id"))
+
+  /** PageRank by power iteration — document authority over a similarity
+    * (or link) graph, the classic quality prior for corpus curation.
+    *
+    * Same scale discipline as [[connectedComponents]]: a fixed small
+    * number of rounds, each round two narrow shuffles (contribution
+    * join keyed on src, sum keyed on dst) over (id, pr) rows;
+    * `localCheckpoint` per round truncates lineage so round t+1 reads
+    * round t's materialized rows instead of re-optimizing (and
+    * re-executing) an exponentially growing tree. Edge weights (1/deg)
+    * are materialized ONCE up front — the expensive edge-producing
+    * subtree (an LSH/Jaccard pipeline) never re-runs. One scalar
+    * (|V|) crosses the driver.
+    *
+    * Dangling mass: vertices with no out-edges leak their rank (the
+    * standard simplification); ranks still order vertices correctly for
+    * curation use. Deterministic up to double partial-sum order —
+    * consumers round for cross-engine comparison.
+    *
+    * @param vertices one-column frame of vertex ids (isolated vertices
+    *                 keep the teleport rank).
+    * @param edges    directed (src, dst) pairs in the FIRST TWO columns;
+    *                 pass both directions for an undirected graph.
+    */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val idCol = vertices.columns(0)
+    val e = edges.select(col(edges.columns(0)).as("src"),
+      col(edges.columns(1)).as("dst")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).cast(DoubleType).as("deg"))
+    val wEdges = e.join(deg, "src").localCheckpoint()
+    val verts = vertices.select(col(idCol).as("id")).localCheckpoint()
+    val n = verts.count().toDouble
+    var pr = verts.withColumn("pr", lit(1.0) / lit(n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val sums = wEdges.join(pr, wEdges("src") === pr("id"))
+        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      pr = verts.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          ((lit(1.0) - lit(damping)) / lit(n) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
 }

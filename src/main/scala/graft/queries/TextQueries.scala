@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{BpeOps, TextOps, VectorOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.DedupOps
+import graft.operators.{DedupOps, GraphOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -757,6 +757,24 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("n"), col("pmi"))
     },
 
+    // PageRank over the n-gram-Jaccard similarity graph: document
+    // authority as a curation prior. Edge pipeline (the expensive
+    // subtree) is checkpointed ONCE; three power-iteration rounds of
+    // two narrow shuffles each, per-round localCheckpoint (the
+    // dup-clusters iteration discipline). Isolated docs keep the
+    // teleport rank; output rounded for cross-engine double compare.
+    "q_pagerank" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val p = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.05, n = 3)
+        .select("id_a", "id_b").localCheckpoint()
+      val edges = p.unionByName(
+        p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      GraphOps.pageRank(docs.select("doc_id"), edges, iters = 3)
+        .select(col("id").as("doc_id"), round(col("pr"), 9).as("pr"))
+        .orderBy("doc_id")
+    },
+
     // Incremental ingestion dedup: the production shape — an incoming
     // batch (doc_id % 10 == 0 stands in for "today's crawl") is deduped
     // against the already-indexed corpus AND within itself, without the
@@ -1011,6 +1029,23 @@ object TextQueries {
          SELECT q_id, doc_id, bm25,
            row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rk
          FROM scored)"""
+
+  /** CTE body shared by the q_ngram_jaccard and q_pagerank oracles:
+    * distinct word-trigram shingles per doc, per-doc shingle counts, and
+    * shared-shingle counts per candidate pair.
+    */
+  private val ngramSharedCte: String =
+    """sh AS (
+         SELECT doc_id AS id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+         )) AS sh
+         FROM documents WHERE len(string_split(text,' ')) >= 3),
+       sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+       shared AS (
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         GROUP BY a.id, b.id)"""
 
   /** CTE body shared by the q_bpe_merges and q_bpe_encode oracles: two
     * BPE training rounds — word-freq vocab, pair counts, chosen pairs
@@ -1430,17 +1465,7 @@ object TextQueries {
          count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1 ORDER BY text_hash""",
     "q_ngram_jaccard" ->
-      """WITH sh AS (
-           SELECT doc_id AS id, unnest(list_distinct(
-             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
-               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-           )) AS sh
-           FROM documents WHERE len(string_split(text,' ')) >= 3),
-         sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-         shared AS (
-           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-           GROUP BY a.id, b.id)
+      s"""WITH $ngramSharedCte
          SELECT id_a, id_b,
            CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
          FROM shared
@@ -1448,6 +1473,34 @@ object TextQueries {
            JOIN sizes sb ON sb.id = id_b
          WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05
          ORDER BY id_a, id_b""",
+    "q_pagerank" ->
+      s"""WITH $ngramSharedCte,
+         jp AS (
+           SELECT id_a, id_b FROM shared
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                   UNION ALL SELECT id_b, id_a FROM jp),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         pr0 AS (SELECT doc_id AS id, 1.0e0 / nn.n AS pr FROM documents, nn),
+         s1 AS (SELECT e.dst AS id, sum(p.pr / d.deg) AS s FROM edges e
+                JOIN pr0 p ON p.id = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         pr1 AS (SELECT v.doc_id AS id,
+                   (1.0e0 - 0.85e0) / nn.n + 0.85e0 * COALESCE(s1.s, 0.0e0) AS pr
+                 FROM documents v CROSS JOIN nn LEFT JOIN s1 ON s1.id = v.doc_id),
+         s2 AS (SELECT e.dst AS id, sum(p.pr / d.deg) AS s FROM edges e
+                JOIN pr1 p ON p.id = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         pr2 AS (SELECT v.doc_id AS id,
+                   (1.0e0 - 0.85e0) / nn.n + 0.85e0 * COALESCE(s2.s, 0.0e0) AS pr
+                 FROM documents v CROSS JOIN nn LEFT JOIN s2 ON s2.id = v.doc_id),
+         s3 AS (SELECT e.dst AS id, sum(p.pr / d.deg) AS s FROM edges e
+                JOIN pr2 p ON p.id = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         pr3 AS (SELECT v.doc_id AS id,
+                   (1.0e0 - 0.85e0) / nn.n + 0.85e0 * COALESCE(s3.s, 0.0e0) AS pr
+                 FROM documents v CROSS JOIN nn LEFT JOIN s3 ON s3.id = v.doc_id)
+         SELECT id AS doc_id, round(pr, 9) AS pr FROM pr3 ORDER BY doc_id""",
     "q_embed_centroid" ->
       """WITH e AS (
            SELECT label, i - 1 AS pos,

@@ -67,6 +67,9 @@ class ExplainSpec extends SparkSpec {
     "q_latest_per_key" -> 2, "q_media_decode" -> 1, "q_media_frames" -> 1,
     "q_minmax_by" -> 2, "q_mix_sample" -> 2, "q_ms_to_date" -> 1,
     "q_ngram_jaccard" -> 2,
+    // q_pagerank: per-round localCheckpoints truncate the static plan to
+    // the final round's narrow shuffle — iteration cost is per-JOB
+    "q_pagerank" -> 1,
     "q_pack_chunks" -> 1, "q_percentile" -> 2, "q_pii_redact" -> 1,
     "q_pivot" -> 3, "q_profile" -> 2, "q_quality_filter" -> 2,
     "q_range_join" -> 2, "q_regex_extract" -> 1, "q_repetition" -> 1,

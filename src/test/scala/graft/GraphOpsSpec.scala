@@ -88,6 +88,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.connectedComponents(loops).isEmpty)
   }
 
+  test("pageRank: star center outranks leaves; isolated vertex keeps teleport; mass conserved on closed graphs") {
+    // star 1<->{2,3,4} (undirected: both directions), vertex 9 isolated
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val edges = (star ++ star.map(_.swap)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val pr = GraphOps.pageRank(verts, edges, iters = 10)
+      .as[(Long, Double)].collect().toMap
+    val teleport = (1.0 - 0.85) / 5
+    assert(math.abs(pr(9L) - teleport) < 1e-12) // no in-edges: teleport only
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(9L)) // center > leaf > isolated
+    assert(math.abs(pr(2L) - pr(3L)) < 1e-15 && math.abs(pr(3L) - pr(4L)) < 1e-15)
+    // the star subgraph is closed (every vertex has out-edges except 9,
+    // which also has no in-edges) — rank leaks only via 9's dangling
+    // teleport share, so the star's total stays near 4/5 + its share
+    val starMass = pr(1L) + pr(2L) + pr(3L) + pr(4L)
+    assert(starMass > 0.75 && starMass < 1.0)
+  }
+
   test("dupClusters keys clusters by min doc id, extra pair columns ignored") {
     val pairs = Seq((5L, 3L, 0.9), (3L, 9L, 0.8), (100L, 101L, 0.7))
       .toDF("id_a", "id_b", "jaccard")
