@@ -757,6 +757,26 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("n"), col("pmi"))
     },
 
+    // N-gram novelty: per document, the fraction of its DISTINCT word
+    // trigrams that occur nowhere else in the corpus — the memorization
+    // / boilerplate diagnostic run after dedup. One explode of in-row
+    // deduped shingles, one window keyed on the shingle (global counts;
+    // keys grow with the corpus so partitions stay narrow at scale),
+    // one per-doc aggregate. Docs under 3 tokens have no shingles and
+    // drop out, exactly like the Jaccard pipeline.
+    "q_novelty" -> { (s, dir) =>
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+      sh.withColumn("c", count(lit(1)).over(Window.partitionBy("sh")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty", round(
+          col("n_unique").cast(DoubleType) / col("n_shingles"), 6))
+        .orderBy("doc_id")
+    },
+
     // PageRank over the n-gram-Jaccard similarity graph: document
     // authority as a curation prior. Edge pipeline (the expensive
     // subtree) is checkpointed ONCE; three power-iteration rounds of
@@ -1473,6 +1493,14 @@ object TextQueries {
            JOIN sizes sb ON sb.id = id_b
          WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05
          ORDER BY id_a, id_b""",
+    "q_novelty" ->
+      s"""WITH $ngramSharedCte,
+         cnt AS (SELECT id, count(*) OVER (PARTITION BY sh) AS c FROM sh)
+         SELECT id AS doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS novelty
+         FROM cnt GROUP BY id ORDER BY id""",
     "q_pagerank" ->
       s"""WITH $ngramSharedCte,
          jp AS (

@@ -66,7 +66,7 @@ class ExplainSpec extends SparkSpec {
     "q_lateral_topk" -> 2,
     "q_latest_per_key" -> 2, "q_media_decode" -> 1, "q_media_frames" -> 1,
     "q_minmax_by" -> 2, "q_mix_sample" -> 2, "q_ms_to_date" -> 1,
-    "q_ngram_jaccard" -> 2,
+    "q_ngram_jaccard" -> 2, "q_novelty" -> 3,
     // q_pagerank: per-round localCheckpoints truncate the static plan to
     // the final round's narrow shuffle — iteration cost is per-JOB
     "q_pagerank" -> 1,
