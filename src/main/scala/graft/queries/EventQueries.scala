@@ -232,6 +232,24 @@ object EventQueries {
     // joined); this shape is one scan, one agg exchange, one window
     // exchange. At 100 TB the second full pass over the fact table is
     // the difference that matters.
+    // Event-path transition matrix: per-user event sequences (ts,
+    // event_id total order) -> (event_type, next_type) counts and
+    // row-normalized transition probabilities — the Markov path-mining
+    // pass behind "what do users do after X" analytics. One user-keyed
+    // window for lead(), then a pair aggregate; the probability
+    // normalizer is a window over the (tiny) pair matrix, not the data.
+    "q_event_paths" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast(DoubleType) /
+          sum(col("n")).over(Window.partitionBy("event_type")), 6))
+        .orderBy("event_type", "next_type")
+    },
+
     "q_gap_fill" -> { (s, dir) =>
       val hourly = Tables(s, dir, "events")
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
@@ -401,6 +419,18 @@ object EventQueries {
          FROM d
          WHERE mad > 0 AND round(abs(value - med) / (1.4826 * mad), 6) > 3
          ORDER BY user_id, event_id""",
+    "q_event_paths" ->
+      """WITH o AS (
+           SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+           FROM events),
+         c AS (
+           SELECT event_type, next_type, count(*) AS n
+           FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT event_type, next_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS p
+         FROM c ORDER BY event_type, next_type""",
     "q_gap_fill" ->
       """WITH h AS (
            SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
