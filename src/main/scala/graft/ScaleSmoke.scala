@@ -68,9 +68,16 @@ object ScaleSmoke {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scale_nx"
     val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "100").toInt
-    // local-iteration filter, same contract as Verify's SPARK_GRAFT_ONLY
+    // local-iteration filter, same contract as Verify's SPARK_GRAFT_ONLY;
+    // unknown names fail fast (a typo would otherwise silently time an
+    // empty set), and a filtered run also skips the fixed ivf1024 probe
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- ScaleSmoke.queries
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in ScaleSmoke.queries: ${unknown.mkString(",")}")
+    }
     val queries = ScaleSmoke.queries.filter(q => only.forall(_.contains(q)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
@@ -115,7 +122,7 @@ object ScaleSmoke {
     // the Nx corpus (auto-sizing picks ~N/256 cells, which can sit below
     // 1024 at this SF) — proves thousands of centroid cells plan and run
     // through the flat-literal kernels at scale.
-    val ivf1024 = {
+    val ivf1024 = if (only.nonEmpty) None else Some {
       val e = graft.Tables(spark, work, "embeddings")
       val t0 = System.nanoTime()
       graft.functions.VectorOps.ivfTopK(
@@ -125,7 +132,7 @@ object ScaleSmoke {
     }
     val lines = queries.map { q =>
       f""""$q":{"x1":${at1x(q)}%.3f,"xN":${atNx(q)}%.3f,"factor":${atNx(q) / at1x(q)}%.2f}"""
-    } :+ f""""ivf_nlist1024_xN":${ivf1024}%.3f"""
+    } ++ ivf1024.map(v => f""""ivf_nlist1024_xN":${v}%.3f""")
     println(s"""{"metric":"scale_nx","n":$copies,"docs":$nDocs,${lines.mkString(",")}}""")
     spark.stop()
   }

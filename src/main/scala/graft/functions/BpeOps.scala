@@ -66,8 +66,12 @@ object BpeOps {
   }
 
   /** The training loop shared by [[bpeMerges]] and [[bpeEncode]]: run
-    * `merges` rounds on the word-frequency vocabulary, returning the
-    * post-merge symbol sequences AND the chosen pairs in merge order.
+    * up to `merges` rounds on the word-frequency vocabulary, returning
+    * the post-merge symbol sequences AND the chosen pairs in merge
+    * order. Stops early (fewer pairs than requested) when nothing is
+    * left to merge — a degenerate corpus of single-char tokens, or a
+    * merge count that collapses every word to one symbol, must not
+    * crash the round's argmax.
     */
   private def trainLoop(docs: DataFrame, textCol: String,
       merges: Int): (DataFrame, Seq[String]) = {
@@ -80,12 +84,16 @@ object BpeOps {
         col("freq"))
       .localCheckpoint()
     val chosen = Seq.newBuilder[String]
-    for (_ <- 1 to merges) {
-      val best = pairCounts(seqs)
-        .orderBy(desc("cnt"), asc("pair")).limit(1)
-        .collect()(0).getString(0)
-      chosen += best
-      seqs = applyMerge(seqs, best).localCheckpoint()
+    var exhausted = false
+    for (_ <- 1 to merges if !exhausted) {
+      pairCounts(seqs).orderBy(desc("cnt"), asc("pair")).limit(1)
+        .collect().headOption match {
+        case Some(row) =>
+          val best = row.getString(0)
+          chosen += best
+          seqs = applyMerge(seqs, best).localCheckpoint()
+        case None => exhausted = true
+      }
     }
     (seqs, chosen.result())
   }

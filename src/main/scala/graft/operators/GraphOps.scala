@@ -133,8 +133,14 @@ object GraphOps {
     *
     * Dangling mass: vertices with no out-edges leak their rank (the
     * standard simplification); ranks still order vertices correctly for
-    * curation use. Deterministic up to double partial-sum order —
-    * consumers round for cross-engine comparison.
+    * curation use. Fully deterministic: per-edge contributions are
+    * quantized to a 1e-12 grid and summed exactly in BIGINT (per-vertex
+    * sums are bounded by the quantized total mass, 1e12, so no
+    * overflow at any graph size), then one identical double op chain
+    * per vertex per round — bit-identical across runs, partitionings,
+    * and engines (the q_embed_centroid accumulation discipline).
+    * Quantization error is <= 5e-13 per in-edge per round, invisible at
+    * any sane output rounding.
     *
     * @param vertices one-column frame of vertex ids (isolated vertices
     *                 keep the teleport rank).
@@ -154,12 +160,15 @@ object GraphOps {
     var pr = verts.withColumn("pr", lit(1.0) / lit(n)).localCheckpoint()
     for (_ <- 1 to iters) {
       val sums = wEdges.join(pr, wEdges("src") === pr("id"))
-        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
-        .groupBy("id").agg(sum(col("c")).as("s"))
+        .select(col("dst").as("id"),
+          floor(col("pr") / col("deg") * lit(1e12) + lit(0.5))
+            .cast(org.apache.spark.sql.types.LongType).as("ci"))
+        .groupBy("id").agg(sum(col("ci")).as("s"))
       pr = verts.join(sums, Seq("id"), "left")
         .select(col("id"),
           ((lit(1.0) - lit(damping)) / lit(n) +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+            lit(damping) * (coalesce(col("s"), lit(0L)).cast(DoubleType) / lit(1e12)))
+            .as("pr"))
         .localCheckpoint()
     }
     pr

@@ -710,21 +710,23 @@ object TextQueries {
       val bg = docs.select(col("doc_id"),
           explode(TextOps.bigrams(col("text"))).as("bg"))
         .withColumn("c12", count(lit(1)).over(Window.partitionBy("bg")))
-      val uni = docs
-        .select(explode(TextOps.tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cw"))
       val tot = docs.agg(sum(TextOps.tokenCount(col("text"))).as("t_tok"))
-      bg
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-        .withColumn("w2", substring_index(col("bg"), " ", -1))
-        .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")), Seq("w1"))
-        .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")), Seq("w2"))
+      joinBigramEnds(bg, unigramCounts(docs))
         .crossJoin(broadcast(tot))
         .withColumn("logp",
           log(lit(0.75) * col("c12") / col("c1") +
             lit(0.25) * col("c2") / col("t_tok").cast(DoubleType)))
+        // per-bigram log-probs quantized to a 1e-9 grid and summed
+        // exactly in BIGINT: the doc mean is order-free (identical
+        // across partial-agg orders and engines), so the round-6 output
+        // can never sit on a half-ulp boundary between runs — and the
+        // q_ppl_strata bands derived from it can never flip
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("avg_logp"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(floor(col("logp") * lit(1e9) + lit(0.5)).cast(LongType)).as("lsum"))
+        .withColumn("avg_logp",
+          round(col("lsum").cast(DoubleType) / lit(1e9) / col("n_bigrams"), 6))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
         .orderBy("doc_id")
     },
 
@@ -742,14 +744,7 @@ object TextQueries {
       val nTok = TextOps.tokenCount(col("text"))
       val tot = docs.agg(
         sum(when(nTok >= 2, nTok - 1).otherwise(0L)).as("t_bg"))
-      val uni = docs
-        .select(explode(TextOps.tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cw"))
-      val scored = c12
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-        .withColumn("w2", substring_index(col("bg"), " ", -1))
-        .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")), Seq("w1"))
-        .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")), Seq("w2"))
+      val scored = joinBigramEnds(c12, unigramCounts(docs))
         .crossJoin(broadcast(tot))
         .withColumn("pmi", round(
           log(col("n") * col("t_bg").cast(DoubleType) / (col("c1") * col("c2"))), 6))
@@ -824,7 +819,10 @@ object TextQueries {
     // reconstruction error reported. Everything is a per-row sequential
     // fold (no cross-row floats), so the oracle matches bit-for-bit
     // unrounded. floor(x/scale + 0.5) instead of round(): both engines
-    // floor identically; round() half-away/half-even rules differ.
+    // floor identically; round() half-away/half-even rules differ. An
+    // all-zero vector (scale = 0) quantizes losslessly — mse pinned to
+    // 0 rather than evaluating 0/0; divisor is the vector's own length,
+    // not a hard-coded dim.
     "q_embed_quant" -> { (s, dir) =>
       val sq = (c: org.apache.spark.sql.Column) => c * c
       Tables(s, dir, "embeddings")
@@ -832,10 +830,12 @@ object TextQueries {
         .select(col("vec_id"), col("vec"),
           (array_max(transform(col("vec"), x => abs(x))) / lit(127.0)).as("scale"))
         .select(col("vec_id"), col("scale"),
-          (aggregate(
-            transform(col("vec"), x =>
-              sq(x - floor(x / col("scale") + lit(0.5)) * col("scale"))),
-            lit(0.0), (acc, e) => acc + e) / lit(64.0)).as("mse"))
+          when(col("scale") === 0, lit(0.0)).otherwise(
+            aggregate(
+              transform(col("vec"), x =>
+                sq(x - floor(x / col("scale") + lit(0.5)) * col("scale"))),
+              lit(0.0), (acc, e) => acc + e)
+              / size(col("vec")).cast(DoubleType)).as("mse"))
         .orderBy("vec_id")
     },
 
@@ -1009,9 +1009,20 @@ object TextQueries {
         col("idf") * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * (lit(0.25) +
             lit(0.75) * col("dlen") / (col("tot_len").cast(DoubleType) / col("n_docs")))))
-      .repartition(col("q_id"))
+      // groupBy its own exchange, NOT repartition(q_id) + groupBy: Spark
+      // plans partial aggregation BELOW a groupBy's exchange (term-level
+      // rows shrink to one per (q_id, doc, partition) map-side) but
+      // ABOVE an explicit repartition — a repartition(q_id) here would
+      // ship the full term-level scored frame unreduced. The extra
+      // window exchange after the agg carries only (q_id, doc) rows.
+      // Per-term contributions are quantized to a 1e-9 grid and summed
+      // exactly in BIGINT so the doc score is order-free — identical
+      // across partial-agg orders and engines (the q_embed_centroid
+      // discipline); quantization error ≤ 5e-10/term, invisible at the
+      // round-6 output.
       .groupBy("q_id", "doc_id")
-      .agg(round(sum(col("contrib")), 6).as("bm25"))
+      .agg(sum(floor(col("contrib") * lit(1e9) + lit(0.5)).cast(LongType)).as("csum"))
+      .withColumn("bm25", round(col("csum").cast(DoubleType) / lit(1e9), 6))
     val w = Window.partitionBy("q_id").orderBy(desc("bm25"), asc("doc_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topN)
       .select(col("q_id"), col("rk").cast(LongType).as("rk"),
@@ -1038,17 +1049,34 @@ object TextQueries {
          FROM documents WHERE doc_id < 3),
        scored AS (
          SELECT q.q_id, t.doc_id,
-           round(sum(
+           round(CAST(sum(CAST(floor((
              ln(1.0e0 + (s.n_docs - t.df + 0.5e0) / (t.df + 0.5e0)) *
              (t.tf * 2.2e0) /
              (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * t.dlen / (CAST(s.tot_len AS DOUBLE) / s.n_docs)))
-           ), 6) AS bm25
+           ) * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1.0e9, 6) AS bm25
          FROM tfdf t JOIN qterms q USING (term), stats s
          GROUP BY q.q_id, t.doc_id),
        ranked AS (
          SELECT q_id, doc_id, bm25,
            row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rk
          FROM scored)"""
+
+  /** Global unigram counts (w, cw) off one token explode — shared by
+    * the bigram-LM and PMI statistics so tokenization fixes can never
+    * desynchronize them.
+    */
+  private def unigramCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+
+  /** Split "w1 w2" bigram strings into their end words and broadcast-
+    * join both ends' unigram counts as c1/c2 (same sharing rationale).
+    */
+  private def joinBigramEnds(bg: DataFrame, uni: DataFrame): DataFrame =
+    bg.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")), Seq("w2"))
 
   /** CTE body shared by the q_ngram_jaccard and q_pagerank oracles:
     * distinct word-trigram shingles per doc, per-doc shingle counts, and
@@ -1122,7 +1150,9 @@ object TextQueries {
          GROUP BY w),
        tot AS (SELECT sum(len(string_split(text, ' '))) AS t_tok FROM documents)
        SELECT b.doc_id, count(*) AS n_bigrams,
-         round(avg(ln(0.75e0 * b.c12 / u1.cw + 0.25e0 * u2.cw / CAST(t.t_tok AS DOUBLE))), 6)
+         round(CAST(sum(CAST(floor(
+           ln(0.75e0 * b.c12 / u1.cw + 0.25e0 * u2.cw / CAST(t.t_tok AS DOUBLE))
+           * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1.0e9 / count(*), 6)
            AS avg_logp
        FROM wc12 b
          JOIN uni u1 ON u1.w = b.w1
@@ -1452,9 +1482,11 @@ object TextQueries {
              list_max(list_transform(vec, x -> abs(x))) / 127.0e0 AS scale
            FROM v)
          SELECT vec_id, scale,
-           list_sum(list_transform(vec, x ->
-             (x - floor(x / scale + 0.5e0) * scale)
-             * (x - floor(x / scale + 0.5e0) * scale))) / 64.0e0 AS mse
+           CASE WHEN scale = 0 THEN 0.0e0 ELSE
+             list_sum(list_transform(vec, x ->
+               (x - floor(x / scale + 0.5e0) * scale)
+               * (x - floor(x / scale + 0.5e0) * scale))) / CAST(len(vec) AS DOUBLE)
+           END AS mse
          FROM sc ORDER BY vec_id""",
     "q_pmi_top" ->
       """WITH bgx AS (
@@ -1513,20 +1545,26 @@ object TextQueries {
          deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
          pr0 AS (SELECT doc_id AS id, 1.0e0 / nn.n AS pr FROM documents, nn),
-         s1 AS (SELECT e.dst AS id, sum(p.pr / d.deg) AS s FROM edges e
+         s1 AS (SELECT e.dst AS id,
+                sum(CAST(floor(p.pr / d.deg * 1.0e12 + 0.5e0) AS BIGINT)) AS s FROM edges e
                 JOIN pr0 p ON p.id = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
          pr1 AS (SELECT v.doc_id AS id,
-                   (1.0e0 - 0.85e0) / nn.n + 0.85e0 * COALESCE(s1.s, 0.0e0) AS pr
+                   (1.0e0 - 0.85e0) / nn.n
+                     + 0.85e0 * (CAST(COALESCE(s1.s, 0) AS DOUBLE) / 1.0e12) AS pr
                  FROM documents v CROSS JOIN nn LEFT JOIN s1 ON s1.id = v.doc_id),
-         s2 AS (SELECT e.dst AS id, sum(p.pr / d.deg) AS s FROM edges e
+         s2 AS (SELECT e.dst AS id,
+                sum(CAST(floor(p.pr / d.deg * 1.0e12 + 0.5e0) AS BIGINT)) AS s FROM edges e
                 JOIN pr1 p ON p.id = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
          pr2 AS (SELECT v.doc_id AS id,
-                   (1.0e0 - 0.85e0) / nn.n + 0.85e0 * COALESCE(s2.s, 0.0e0) AS pr
+                   (1.0e0 - 0.85e0) / nn.n
+                     + 0.85e0 * (CAST(COALESCE(s2.s, 0) AS DOUBLE) / 1.0e12) AS pr
                  FROM documents v CROSS JOIN nn LEFT JOIN s2 ON s2.id = v.doc_id),
-         s3 AS (SELECT e.dst AS id, sum(p.pr / d.deg) AS s FROM edges e
+         s3 AS (SELECT e.dst AS id,
+                sum(CAST(floor(p.pr / d.deg * 1.0e12 + 0.5e0) AS BIGINT)) AS s FROM edges e
                 JOIN pr2 p ON p.id = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
          pr3 AS (SELECT v.doc_id AS id,
-                   (1.0e0 - 0.85e0) / nn.n + 0.85e0 * COALESCE(s3.s, 0.0e0) AS pr
+                   (1.0e0 - 0.85e0) / nn.n
+                     + 0.85e0 * (CAST(COALESCE(s3.s, 0) AS DOUBLE) / 1.0e12) AS pr
                  FROM documents v CROSS JOIN nn LEFT JOIN s3 ON s3.id = v.doc_id)
          SELECT id AS doc_id, round(pr, 9) AS pr FROM pr3 ORDER BY doc_id""",
     "q_embed_centroid" ->

@@ -43,6 +43,20 @@ class BpeOpsSpec extends SparkSpec {
     assert(rows == Seq((0L, 3L, 3L), (1L, 2L, 4L)))
   }
 
+  test("training stops early when nothing is left to merge (no crash)") {
+    // vocabulary {"ab"}: one merge collapses it to a single symbol, so
+    // round 2 has no pairs; and a single-char-token corpus has an empty
+    // vocabulary from round 1
+    val collapsible = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val rows = BpeOps.bpeEncode(collapsible, "text", "doc_id", merges = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((0L, 2L, 2L))) // each "ab" one symbol after merge 1
+    val degenerate = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val deg = BpeOps.bpeEncode(degenerate, "text", "doc_id", merges = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(deg == Seq((0L, 3L, 3L))) // no merges trainable; chars pass through
+  }
+
   test("bpeMerges learns the planted top pair and applies it end-to-end") {
     // "ab" dominates: 6 occurrences of token "abc" vs 2 of "xyz". After
     // merge 1 (a b -> ab) the top remaining pair is (ab, c).

@@ -36,7 +36,12 @@ class ExplainSpec extends SparkSpec {
     "q_asof_join" -> 2, "q_asof_nearest" -> 2, "q_asof_tolerance" -> 2,
     "q_cohort_retention" -> 4,
     "q_bag_setops" -> 3, "q_bit_string_agg" -> 2, "q_blob_meta" -> 1,
-    "q_bigram_lm" -> 5, "q_bloom_semi_join" -> 1, "q_bm25" -> 5,
+    // q_bm25 at 6: the (q_id, doc_id) aggregate exchange is partial-
+    // agged map-side (term rows shrink before shipping) and the q_id
+    // window exchange carries only (q_id, doc) rows — one MORE static
+    // exchange than a repartition(q_id)-shared plan, but that plan
+    // ships the full term-level frame unreduced; 6 is the cheap shape
+    "q_bigram_lm" -> 5, "q_bloom_semi_join" -> 1, "q_bm25" -> 6,
     "q_bpe_merges" -> 2, "q_bpe_encode" -> 1,
     "q_cond_project" -> 1, "q_corr_subquery" -> 2,
     "q_count_distinct" -> 3, "q_cube" -> 2, "q_decontaminate" -> 3,
@@ -57,10 +62,11 @@ class ExplainSpec extends SparkSpec {
     "q_fuzzy_match" -> 2,
     "q_gap_fill" -> 3, "q_grouping_id" -> 2, "q_grouping_sets" -> 2,
     "q_hard_negatives" -> 2, "q_heavy_hitters" -> 3,
-    // two-arm composition: the BM25 arm alone is 4 (tf agg, df window,
-    // corpus stats, repartition(q_id)) + union-fuse exchange + ordered
-    // output — the fusion itself adds ONE exchange, not a join's two
-    "q_hybrid_rrf" -> 6,
+    // two-arm composition: the BM25 arm alone is 5 (tf agg, df window,
+    // corpus stats, score agg, top-k window) + union-fuse exchange +
+    // ordered output — the fusion itself adds ONE exchange, not a
+    // join's two
+    "q_hybrid_rrf" -> 7,
     "q_histogram" -> 2, "q_integrity_check" -> 5, "q_intersect" -> 2,
     "q_interval_join" -> 2, "q_inverted_index" -> 3, "q_json_extract" -> 1,
     "q_kmeans_iter" -> 2, "q_lang_ngram" -> 1, "q_lang_quality" -> 1,
