@@ -12,14 +12,22 @@ import org.apache.spark.sql.types._
   * cliff. The sequential left fold in [[dot]] also makes the double
   * summation order deterministic, which the DuckDB oracle reproduces.
   *
-  * Search operators come in two tiers:
-  *  - [[bruteForceTopK]]: exact, broadcast the (small) query set against
-  *    the corpus — the right plan whenever |queries| is broadcastable,
-  *    at any corpus size (narrow scan, no shuffle on the corpus side).
-  *  - [[lshTopK]]: random-hyperplane LSH — corpus is bucketed by sign
-  *    signature, candidates only join within a bucket. This is the
-  *    100 TB path: the corpus-side shuffle keys on the bucket id, and
-  *    per-bucket fan-in is tunable via `bits`.
+  * Search operators, cheapest-exact to most-compressed:
+  *  - [[bruteForceTopK]] / [[bruteForceTopKAgg]]: exact, broadcast the
+  *    (small) query set against the corpus — the right plan whenever
+  *    |queries| is broadcastable, at any corpus size (narrow scan, no
+  *    shuffle on the corpus side); the Agg form caps shuffle rows at
+  *    k per (query, partition).
+  *  - [[lshTopK]]: random-hyperplane LSH — candidates only join within
+  *    a sign-signature bucket; per-bucket fan-in tunable via `bits`.
+  *  - [[ivfTopK]]: centroid cells prune WHICH rows are scanned
+  *    (nprobe of nlist).
+  *  - [[bqTopK]]: 1-bit/dim signatures — Hamming candidate pass over an
+  *    8-byte projection, exact rerank.
+  *  - [[pqTopK]] / [[ivfPqTopK]]: product quantization compresses WHAT a
+  *    scanned row costs (table adds, no vector math); IVF+PQ composes
+  *    both prunings, the FAISS architecture as one Spark plan.
+  * All tiers are deterministic end to end and oracle-checked.
   */
 object VectorOps {
 

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** LLM-training-data pipeline queries over `documents` and `embeddings`:
-  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
-  * cosine), similarity search (brute-force + LSH), text analysis
-  * (lang-ID, quality, token counts, fingerprints), multimodal plumbing.
+  * dedup (exact / incremental / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding cosine / SemDeDup), similarity search (brute-force, LSH,
+  * IVF, PQ, IVF+PQ, binary quantization), retrieval (BM25, hybrid RRF),
+  * LM scoring (unigram, interpolated bigram, perplexity bands),
+  * tokenizer train+apply (BPE), graph priors (dup clusters, PageRank),
+  * text analysis (lang-ID, quality, token counts, fingerprints,
+  * novelty), sampling/mixing, multimodal plumbing.
   *
   * Oracle coverage: everything whose semantics ANSI SQL + DuckDB can
   * express bit-identically is oracled (exact dedup, n-gram Jaccard,
