@@ -756,6 +756,39 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("n"), col("pmi"))
     },
 
+    // Dataset-drift monitor (PSI): per-source token-length distribution
+    // vs the reference source src0 over fixed-width n_chars buckets
+    // (map-side banding — no quantile job), PSI = sum (q-p)*ln(q/p)
+    // over buckets observed in BOTH populations (the finite-sample
+    // guard). Per-bucket terms are quantized to a 1e-9 grid and summed
+    // exactly in BIGINT (order-free, engine-identical). Two narrow
+    // 2-column scans; the reference histogram is broadcast; everything
+    // past the (source, bucket) aggregate is bucket-count sized.
+    "q_drift_psi" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val bucket = floor(col("n_chars") / 100).as("bucket")
+      val cur = docs.filter(col("source") =!= "src0")
+        .select(col("source"), bucket)
+        .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy("source")))
+        .withColumn("share", col("n").cast(DoubleType) / col("tot"))
+      val ref = docs.filter(col("source") === "src0")
+        .select(bucket)
+        .groupBy("bucket").agg(count(lit(1)).as("rn"))
+        .withColumn("p", col("rn").cast(DoubleType) /
+          sum(col("rn")).over(Window.partitionBy()))
+        .select(col("bucket"), col("p"))
+      cur.join(broadcast(ref), Seq("bucket"))
+        .withColumn("term",
+          (col("share") - col("p")) * log(col("share") / col("p")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(floor(col("term") * lit(1e9) + lit(0.5)).cast(LongType)).as("tsum"))
+        .withColumn("psi", round(col("tsum").cast(DoubleType) / lit(1e9), 6))
+        .select(col("source"), col("n_buckets"), col("psi"))
+        .orderBy("source")
+    },
+
     // N-gram novelty: per document, the fraction of its DISTINCT word
     // trigrams that occur nowhere else in the corpus — the memorization
     // / boilerplate diagnostic run after dedup. One explode of in-row
@@ -1529,6 +1562,23 @@ object TextQueries {
            JOIN sizes sb ON sb.id = id_b
          WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05
          ORDER BY id_a, id_b""",
+    "q_drift_psi" ->
+      """WITH b AS (
+           SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS bucket, count(*) AS n
+           FROM documents GROUP BY 1, 2),
+         tot AS (SELECT source, sum(n) AS tot FROM b GROUP BY source),
+         sh AS (
+           SELECT b.source, b.bucket, CAST(b.n AS DOUBLE) / t.tot AS share
+           FROM b JOIN tot t ON t.source = b.source),
+         ref AS (SELECT bucket, share AS p FROM sh WHERE source = 'src0'),
+         terms AS (
+           SELECT s.source, (s.share - r.p) * ln(s.share / r.p) AS term
+           FROM sh s JOIN ref r ON r.bucket = s.bucket
+           WHERE s.source <> 'src0')
+         SELECT source, count(*) AS n_buckets,
+           round(CAST(sum(CAST(floor(term * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1.0e9, 6)
+             AS psi
+         FROM terms GROUP BY source ORDER BY source""",
     "q_novelty" ->
       s"""WITH $ngramSharedCte,
          cnt AS (SELECT id, count(*) OVER (PARTITION BY sh) AS c FROM sh)

@@ -47,7 +47,8 @@ class ExplainSpec extends SparkSpec {
     "q_count_distinct" -> 3, "q_cube" -> 2, "q_decontaminate" -> 3,
     "q_dedup_exact" -> 2, "q_dedup_full" -> 3, "q_dedup_minhash" -> 4,
     "q_dedup_simhash" -> 1, "q_dim_coverage" -> 4, "q_dim_join" -> 2,
-    "q_domain_cap" -> 2, "q_dup_clusters" -> 1, "q_embed_ann_ivf" -> 2,
+    "q_domain_cap" -> 2, "q_drift_psi" -> 5,
+    "q_dup_clusters" -> 1, "q_embed_ann_ivf" -> 2,
     "q_embed_ann_lsh" -> 3, "q_embed_centroid" -> 2, "q_embed_cosine_topk" -> 2,
     "q_embed_neardup" -> 2, "q_embed_pq" -> 2, "q_embed_ivfpq" -> 2,
     // q_embed_bq: 3 exchanges but only the last two touch ≤rerank·|q|
