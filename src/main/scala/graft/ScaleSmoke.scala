@@ -73,6 +73,7 @@ object ScaleSmoke {
     // empty set), and a filtered run also skips the fixed ivf1024 probe
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // blank-only value == unset, not "run nothing"
     only.foreach { names =>
       val unknown = names -- ScaleSmoke.queries
       require(unknown.isEmpty,

@@ -221,17 +221,6 @@ object EventQueries {
         .orderBy("user_id", "event_id")
     },
 
-    // Time-series gap fill + forward fill, SINGLE-SCAN: each observed
-    // hour expands the gap run it terminates (the hours since the
-    // previous observation) via one generator, carrying the running
-    // last non-null sum. Semantically identical to the textbook
-    // spine + left-join + running-last form — but that form's "shared"
-    // hourly subtree is NOT shared after optimization (Catalyst
-    // collapses the spine's min/max aggregate straight onto the raw
-    // scan, so events was scanned and aggregated TWICE, then broadcast-
-    // joined); this shape is one scan, one agg exchange, one window
-    // exchange. At 100 TB the second full pass over the fact table is
-    // the difference that matters.
     // Event-path transition matrix: per-user event sequences (ts,
     // event_id total order) -> (event_type, next_type) counts and
     // row-normalized transition probabilities — the Markov path-mining
@@ -250,6 +239,17 @@ object EventQueries {
         .orderBy("event_type", "next_type")
     },
 
+    // Time-series gap fill + forward fill, SINGLE-SCAN: each observed
+    // hour expands the gap run it terminates (the hours since the
+    // previous observation) via one generator, carrying the running
+    // last non-null sum. Semantically identical to the textbook
+    // spine + left-join + running-last form — but that form's "shared"
+    // hourly subtree is NOT shared after optimization (Catalyst
+    // collapses the spine's min/max aggregate straight onto the raw
+    // scan, so events was scanned and aggregated TWICE, then broadcast-
+    // joined); this shape is one scan, one agg exchange, one window
+    // exchange. At 100 TB the second full pass over the fact table is
+    // the difference that matters.
     "q_gap_fill" -> { (s, dir) =>
       val hourly = Tables(s, dir, "events")
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))

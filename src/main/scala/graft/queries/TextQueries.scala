@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.{BpeOps, TextOps, VectorOps}
 import graft.multimodal.MultimodalOps
 import graft.operators.{DedupOps, GraphOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -727,9 +727,9 @@ object TextQueries {
         // q_ppl_strata bands derived from it can never flip
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-          sum(floor(col("logp") * lit(1e9) + lit(0.5)).cast(LongType)).as("lsum"))
+          exactGridSum(col("logp")).as("lsum"))
         .withColumn("avg_logp",
-          round(col("lsum").cast(DoubleType) / lit(1e9) / col("n_bigrams"), 6))
+          round(fromGrid(col("lsum")) / col("n_bigrams"), 6))
         .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
         .orderBy("doc_id")
     },
@@ -783,8 +783,8 @@ object TextQueries {
           (col("share") - col("p")) * log(col("share") / col("p")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_buckets"),
-          sum(floor(col("term") * lit(1e9) + lit(0.5)).cast(LongType)).as("tsum"))
-        .withColumn("psi", round(col("tsum").cast(DoubleType) / lit(1e9), 6))
+          exactGridSum(col("term")).as("tsum"))
+        .withColumn("psi", round(fromGrid(col("tsum")), 6))
         .select(col("source"), col("n_buckets"), col("psi"))
         .orderBy("source")
     },
@@ -861,7 +861,7 @@ object TextQueries {
     // 0 rather than evaluating 0/0; divisor is the vector's own length,
     // not a hard-coded dim.
     "q_embed_quant" -> { (s, dir) =>
-      val sq = (c: org.apache.spark.sql.Column) => c * c
+      val sq = (c: Column) => c * c
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("vec"))
         .select(col("vec_id"), col("vec"),
@@ -1058,8 +1058,8 @@ object TextQueries {
       // discipline); quantization error ≤ 5e-10/term, invisible at the
       // round-6 output.
       .groupBy("q_id", "doc_id")
-      .agg(sum(floor(col("contrib") * lit(1e9) + lit(0.5)).cast(LongType)).as("csum"))
-      .withColumn("bm25", round(col("csum").cast(DoubleType) / lit(1e9), 6))
+      .agg(exactGridSum(col("contrib")).as("csum"))
+      .withColumn("bm25", round(fromGrid(col("csum")), 6))
     val w = Window.partitionBy("q_id").orderBy(desc("bm25"), asc("doc_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topN)
       .select(col("q_id"), col("rk").cast(LongType).as("rk"),
@@ -1070,8 +1070,13 @@ object TextQueries {
     * scores for every (query, doc) pair, ranked per query — consumers
     * filter `ranked` to their own top-N.
     */
+  private val bm25TermSql: String =
+    """ln(1.0e0 + (s.n_docs - t.df + 0.5e0) / (t.df + 0.5e0)) *
+             (t.tf * 2.2e0) /
+             (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * t.dlen / (CAST(s.tot_len AS DOUBLE) / s.n_docs)))"""
+
   private val bm25RankedCte: String =
-    """toks AS (
+    s"""toks AS (
          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
        tfdf AS (
@@ -1086,17 +1091,29 @@ object TextQueries {
          FROM documents WHERE doc_id < 3),
        scored AS (
          SELECT q.q_id, t.doc_id,
-           round(CAST(sum(CAST(floor((
-             ln(1.0e0 + (s.n_docs - t.df + 0.5e0) / (t.df + 0.5e0)) *
-             (t.tf * 2.2e0) /
-             (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * t.dlen / (CAST(s.tot_len AS DOUBLE) / s.n_docs)))
-           ) * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1.0e9, 6) AS bm25
+           round(${gridSumSql(bm25TermSql)}, 6) AS bm25
          FROM tfdf t JOIN qterms q USING (term), stats s
          GROUP BY q.q_id, t.doc_id),
        ranked AS (
          SELECT q_id, doc_id, bm25,
            row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rk
          FROM scored)"""
+
+  /** Exact order-free double accumulation (the q_embed_centroid
+    * discipline): each term is quantized to the 1e-9 grid and summed in
+    * BIGINT, so the total is identical across partial-agg orders and
+    * engines; [[fromGrid]] descales, and [[gridSumSql]] is the DuckDB
+    * twin. The Scala and SQL grid constants live HERE, side by side —
+    * change one, change both (a desynced pair breaks every oracle
+    * bit-match that uses it).
+    */
+  private val Grid = 1e9 // == the 1.0e9 literals in gridSumSql
+  private def exactGridSum(term: Column): Column =
+    sum(floor(term * lit(Grid) + lit(0.5)).cast(LongType))
+  private def fromGrid(gridSum: Column): Column =
+    gridSum.cast(DoubleType) / lit(Grid)
+  private def gridSumSql(termSql: String): String =
+    s"CAST(sum(CAST(floor(($termSql) * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1.0e9"
 
   /** Global unigram counts (w, cw) off one token explode — shared by
     * the bigram-LM and PMI statistics so tokenization fixes can never
@@ -1151,12 +1168,13 @@ object TextQueries {
          GROUP BY pair),
        b0 AS (SELECT pair FROM pc0 ORDER BY cnt DESC, pair LIMIT 1),
        seq1 AS (
-         SELECT trim(regexp_replace(
-                  replace(' ' || replace(seq, ' ', '  ') || ' ',
-                          ' ' || replace(b.pair, ' ', '  ') || ' ',
-                          ' ' || replace(b.pair, ' ', '') || ' '),
-                  ' +', ' ', 'g')) AS seq, freq
-         FROM seq0, b0 b),
+         SELECT CASE WHEN b.pair IS NULL THEN seq ELSE
+                  trim(regexp_replace(
+                    replace(' ' || replace(seq, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' '),
+                    ' +', ' ', 'g')) END AS seq, freq
+         FROM seq0 LEFT JOIN b0 b ON TRUE),
        pc1 AS (
          SELECT a[i] || ' ' || a[i + 1] AS pair, sum(freq) AS cnt
          FROM (SELECT string_split(seq, ' ') AS a, freq FROM seq1),
@@ -1164,18 +1182,19 @@ object TextQueries {
          GROUP BY pair),
        b1 AS (SELECT pair FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
        seq2 AS (
-         SELECT trim(regexp_replace(
-                  replace(' ' || replace(seq, ' ', '  ') || ' ',
-                          ' ' || replace(b.pair, ' ', '  ') || ' ',
-                          ' ' || replace(b.pair, ' ', '') || ' '),
-                  ' +', ' ', 'g')) AS seq, freq
-         FROM seq1, b1 b)"""
+         SELECT CASE WHEN b.pair IS NULL THEN seq ELSE
+                  trim(regexp_replace(
+                    replace(' ' || replace(seq, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' '),
+                    ' +', ' ', 'g')) END AS seq, freq
+         FROM seq1 LEFT JOIN b1 b ON TRUE)"""
 
   /** DuckDB twin of the interpolated bigram LM (q_bigram_lm); also the
     * scoring CTE inside the q_ppl_strata oracle.
     */
   private val bigramLmSql: String =
-    """WITH bgx AS (
+    s"""WITH bgx AS (
          SELECT doc_id, a[i] || ' ' || a[i + 1] AS bg, a[i] AS w1, a[i + 1] AS w2
          FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
               unnest(range(1, len(a))) AS u(i)
@@ -1187,9 +1206,9 @@ object TextQueries {
          GROUP BY w),
        tot AS (SELECT sum(len(string_split(text, ' '))) AS t_tok FROM documents)
        SELECT b.doc_id, count(*) AS n_bigrams,
-         round(CAST(sum(CAST(floor(
-           ln(0.75e0 * b.c12 / u1.cw + 0.25e0 * u2.cw / CAST(t.t_tok AS DOUBLE))
-           * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1.0e9 / count(*), 6)
+         round(${gridSumSql(
+           "ln(0.75e0 * b.c12 / u1.cw + 0.25e0 * u2.cw / CAST(t.t_tok AS DOUBLE))")}
+           / count(*), 6)
            AS avg_logp
        FROM wc12 b
          JOIN uni u1 ON u1.w = b.w1
@@ -1563,7 +1582,7 @@ object TextQueries {
          WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05
          ORDER BY id_a, id_b""",
     "q_drift_psi" ->
-      """WITH b AS (
+      s"""WITH b AS (
            SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS bucket, count(*) AS n
            FROM documents GROUP BY 1, 2),
          tot AS (SELECT source, sum(n) AS tot FROM b GROUP BY source),
@@ -1576,7 +1595,7 @@ object TextQueries {
            FROM sh s JOIN ref r ON r.bucket = s.bucket
            WHERE s.source <> 'src0')
          SELECT source, count(*) AS n_buckets,
-           round(CAST(sum(CAST(floor(term * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1.0e9, 6)
+           round(${gridSumSql("term")}, 6)
              AS psi
          FROM terms GROUP BY source ORDER BY source""",
     "q_novelty" ->
@@ -1648,20 +1667,22 @@ object TextQueries {
            FROM documents),
          enc1 AS (
            SELECT doc_id, n_words,
-             trim(regexp_replace(
-               replace(' ' || replace(seq, ' ', '  ') || ' ',
-                       ' ' || replace(b.pair, ' ', '  ') || ' ',
-                       ' ' || replace(b.pair, ' ', '') || ' '),
-               ' +', ' ', 'g')) AS seq
-           FROM docseq, b0 b),
+             CASE WHEN b.pair IS NULL THEN seq ELSE
+               trim(regexp_replace(
+                 replace(' ' || replace(seq, ' ', '  ') || ' ',
+                         ' ' || replace(b.pair, ' ', '  ') || ' ',
+                         ' ' || replace(b.pair, ' ', '') || ' '),
+                 ' +', ' ', 'g')) END AS seq
+           FROM docseq LEFT JOIN b0 b ON TRUE),
          enc2 AS (
            SELECT doc_id, n_words,
-             trim(regexp_replace(
-               replace(' ' || replace(seq, ' ', '  ') || ' ',
-                       ' ' || replace(b.pair, ' ', '  ') || ' ',
-                       ' ' || replace(b.pair, ' ', '') || ' '),
-               ' +', ' ', 'g')) AS seq
-           FROM enc1, b1 b)
+             CASE WHEN b.pair IS NULL THEN seq ELSE
+               trim(regexp_replace(
+                 replace(' ' || replace(seq, ' ', '  ') || ' ',
+                         ' ' || replace(b.pair, ' ', '  ') || ' ',
+                         ' ' || replace(b.pair, ' ', '') || ' '),
+                 ' +', ' ', 'g')) END AS seq
+           FROM enc1 LEFT JOIN b1 b ON TRUE)
          SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
            CAST(len(string_split(seq, ' ')) - (n_words - 1) AS BIGINT) AS n_subwords
          FROM enc2 ORDER BY doc_id""",
