@@ -221,6 +221,29 @@ object EventQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // Per-user EWMA (alpha = 0.25) over the event-time-ordered value
+    // sequence — per-entity sequential recursion, the smoothing pass a
+    // window function cannot express (each state depends on the
+    // previous OUTPUT, not a frame of inputs). Shape: one shuffle to
+    // collect each user's (bounded) sequence in-row, then a sequential
+    // fold per row — deterministic in both engines (identical IEEE op
+    // order), so the oracle matches unrounded. Per-key memory is
+    // bounded by the user's event count; an unbounded-key stream would
+    // use the incremental closed form instead.
+    "q_ewma" -> { (s, dir) =>
+      val sorted = array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("value"))))
+      val vals = transform(col("evs"), e => e.getField("value"))
+      Tables(s, dir, "events")
+        .groupBy("user_id").agg(sorted.as("evs"))
+        .select(col("user_id"), size(col("evs")).cast("long").as("n_events"),
+          aggregate(
+            slice(vals, lit(2), size(col("evs")) - 1),
+            element_at(vals, 1),
+            (acc, x) => lit(0.75) * acc + lit(0.25) * x).as("ewma"))
+        .orderBy("user_id")
+    },
+
     // Event-path transition matrix: per-user event sequences (ts,
     // event_id total order) -> (event_type, next_type) counts and
     // row-normalized transition probabilities — the Markov path-mining
@@ -419,6 +442,16 @@ object EventQueries {
          FROM d
          WHERE mad > 0 AND round(abs(value - med) / (1.4826 * mad), 6) > 3
          ORDER BY user_id, event_id""",
+    "q_ewma" ->
+      """WITH seq AS (
+           SELECT user_id,
+             list_sort(list(struct_pack(ts := ts, event_id := event_id,
+                                        value := value))) AS evs
+           FROM events GROUP BY user_id)
+         SELECT user_id, len(evs) AS n_events,
+           list_reduce(list_transform(evs, e -> e.value),
+             (acc, x) -> 0.75e0 * acc + 0.25e0 * x) AS ewma
+         FROM seq ORDER BY user_id""",
     "q_event_paths" ->
       """WITH o AS (
            SELECT event_type,

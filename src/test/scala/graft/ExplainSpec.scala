@@ -57,7 +57,7 @@ class ExplainSpec extends SparkSpec {
     "q_embed_bq" -> 3, "q_pmi_top" -> 3, "q_embed_quant" -> 1,
     "q_incr_dedup" -> 3, "q_ppl_strata" -> 5,
     "q_embed_topk_agg" -> 2,
-    "q_event_paths" -> 4,
+    "q_event_paths" -> 4, "q_ewma" -> 2,
     "q_except" -> 2, "q_explode_tokens" -> 3, "q_fingerprint" -> 1,
     "q_flatten_project" -> 2, "q_full_outer" -> 3, "q_funnel" -> 2,
     "q_fuzzy_match" -> 2,
