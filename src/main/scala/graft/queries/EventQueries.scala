@@ -221,6 +221,47 @@ object EventQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // Association rules over daily event baskets (market-basket
+    // support / confidence / lift): basket = distinct (user, day,
+    // type); co-occurrence via a basket-keyed self-join (the baskets
+    // frame is cached — a self-join would otherwise re-plan its
+    // scan+distinct subtree twice); item counts and the basket total
+    // broadcast back onto the (tiny) pair matrix. Every metric is a
+    // per-row ratio of exact counts — deterministic, round(6) only
+    // for display.
+    "q_basket_rules" -> { (s, dir) =>
+      val b = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .distinct().cache()
+      val tot = Tables(s, dir, "events")
+        .agg(count_distinct(col("user_id"), to_date(col("ts"))).as("n_baskets"))
+      val itemN = b.groupBy("event_type").agg(count(lit(1)).as("n_item"))
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.day") === col("y.day") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val rules = pairs
+        .select(col("a").as("ante"), col("b").as("conseq"), col("n_ab"))
+        .unionByName(pairs
+          .select(col("b").as("ante"), col("a").as("conseq"), col("n_ab")))
+      rules
+        .join(broadcast(itemN.withColumnRenamed("event_type", "ante")
+          .withColumnRenamed("n_item", "n_ante")), Seq("ante"))
+        .join(broadcast(itemN.withColumnRenamed("event_type", "conseq")
+          .withColumnRenamed("n_item", "n_conseq")), Seq("conseq"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_ab") >= 5)
+        .select(col("ante"), col("conseq"), col("n_ab"),
+          round(col("n_ab").cast(DoubleType) / col("n_baskets"), 6).as("support"),
+          round(col("n_ab").cast(DoubleType) / col("n_ante"), 6).as("confidence"),
+          round(col("n_ab") * col("n_baskets").cast(DoubleType) /
+            (col("n_ante") * col("n_conseq")), 6).as("lift"))
+        .orderBy(desc("lift"), asc("ante"), asc("conseq"))
+        .limit(20)
+    },
+
     // Per-user EWMA (alpha = 0.25) over the event-time-ordered value
     // sequence — per-entity sequential recursion, the smoothing pass a
     // window function cannot express (each state depends on the
@@ -442,6 +483,34 @@ object EventQueries {
          FROM d
          WHERE mad > 0 AND round(abs(value - med) / (1.4826 * mad), 6) > 3
          ORDER BY user_id, event_id""",
+    "q_basket_rules" ->
+      """WITH b AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+           FROM events),
+         tot AS (
+           SELECT count(DISTINCT (user_id, CAST(ts AS DATE))) AS n_baskets
+           FROM events),
+         itemn AS (SELECT event_type, count(*) AS n_item FROM b GROUP BY event_type),
+         pairs AS (
+           SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_ab
+           FROM b x JOIN b y
+             ON x.user_id = y.user_id AND x.day = y.day
+               AND x.event_type < y.event_type
+           GROUP BY 1, 2),
+         rules AS (
+           SELECT a AS ante, b AS conseq, n_ab FROM pairs
+           UNION ALL
+           SELECT b AS ante, a AS conseq, n_ab FROM pairs)
+         SELECT r.ante, r.conseq, r.n_ab,
+           round(CAST(r.n_ab AS DOUBLE) / t.n_baskets, 6) AS support,
+           round(CAST(r.n_ab AS DOUBLE) / na.n_item, 6) AS confidence,
+           round(r.n_ab * CAST(t.n_baskets AS DOUBLE) / (na.n_item * nc.n_item), 6)
+             AS lift
+         FROM rules r
+           JOIN itemn na ON na.event_type = r.ante
+           JOIN itemn nc ON nc.event_type = r.conseq, tot t
+         WHERE r.n_ab >= 5
+         ORDER BY lift DESC, ante, conseq LIMIT 20""",
     "q_ewma" ->
       """WITH seq AS (
            SELECT user_id,

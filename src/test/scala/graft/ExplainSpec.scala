@@ -35,7 +35,8 @@ class ExplainSpec extends SparkSpec {
     "q_anomaly_mad" -> 2,
     "q_asof_join" -> 2, "q_asof_nearest" -> 2, "q_asof_tolerance" -> 2,
     "q_cohort_retention" -> 4,
-    "q_bag_setops" -> 3, "q_bit_string_agg" -> 2, "q_blob_meta" -> 1,
+    "q_bag_setops" -> 3, "q_basket_rules" -> 4,
+    "q_bit_string_agg" -> 2, "q_blob_meta" -> 1,
     // q_bm25 at 6: the (q_id, doc_id) aggregate exchange is partial-
     // agged map-side (term rows shrink before shipping) and the q_id
     // window exchange carries only (q_id, doc) rows — one MORE static
