@@ -51,5 +51,6 @@ object SparkEntry {
     "q_embed_bq", "q_bm25", "q_bigram_lm", "q_pmi_top", "q_hybrid_rrf",
     "q_incr_dedup", "q_embed_quant", "q_ppl_strata", "q_bpe_encode",
     "q_pagerank", "q_novelty", "q_event_paths", "q_drift_psi", "q_ewma",
-    "q_basket_rules")
+    "q_basket_rules", "q_triangle_count", "q_containment", "q_rfm",
+    "q_streak")
 }

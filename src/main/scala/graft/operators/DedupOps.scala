@@ -236,6 +236,57 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Directed shingle-set CONTAINMENT pairs: |A ∩ B| / |A| >= threshold
+    * for ordered pairs (A, B) — the boilerplate / subset-duplication
+    * detector Jaccard misses: a short doc fully embedded in a much
+    * longer one has tiny Jaccard (union is dominated by B) but
+    * containment 1.0. This is the C = |A∩B|/|A| measure of Broder's
+    * resemblance/containment pair ("On the resemblance and containment
+    * of documents", 1997).
+    *
+    * Same scale shape as [[ngramJaccardPairs]]: native 64-bit shingle
+    * hashes (no n-gram strings materialized), inverted-index self-join
+    * on the hash, optional stop-shingle doc-frequency cap so a
+    * boilerplate shingle shared by millions of docs cannot quadratic-
+    * blow the join. Directed output keeps BOTH (a in b) and (b in a)
+    * rows — asymmetry is the point.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, minShingles: Int = 5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      call_function("graft_shingle_hashes",
+        TextOps.tokens(col(textCol)), lit(n), lit(42L)).as("shs"))
+    val shAll = hashed.select(col("id"), explode(col("shs")).as("sh"))
+    val sh = maxDocFreq match {
+      case None => shAll
+      case Some(cap) =>
+        val dfreq = shAll.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+        shAll.join(dfreq, Seq("sh")).drop("__df")
+    }
+    // Denominator = |A|'s distinct shingles over the SAME (possibly
+    // df-pruned) index the intersection is counted on.
+    val sizes = maxDocFreq match {
+      case None =>
+        hashed.select(col("id"), size(col("shs")).cast(LongType).as("n_sh"))
+          .filter(col("n_sh") >= minShingles)
+      case Some(_) =>
+        sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+          .filter(col("n_sh") >= minShingles)
+    }
+    val shared = sh.withColumnsRenamed(Map("id" -> "id_a"))
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b")), "sh")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n_sh" -> "n_a")), "id_a")
+      .withColumn("containment", col("n_shared").cast(DoubleType) / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"), col("containment"))
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: only vectors sharing
     * a hyperplane-signature bucket are compared (single-probe; near-dups
     * at cos >= ~0.9 collide with high probability at low `bits`).

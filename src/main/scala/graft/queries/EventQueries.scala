@@ -343,6 +343,69 @@ object EventQueries {
         // and range-sampler keys
         .orderBy("user_id", "h")
         .select("user_id", "hour", "value_filled", "is_gap")
+    },
+
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands reduction: distinct active days, then
+    // (day - row_number) is CONSTANT exactly along a run of consecutive
+    // dates, so one groupBy on that anchor measures every streak.
+    // Two narrow shuffles total: the (user, day) distinct and the
+    // per-user window; both island grouping and the final per-user
+    // rollup reuse the user_id hash partitioning (HashPartitioning on a
+    // PREFIX of the grouping keys satisfies the clustered distribution,
+    // so Catalyst plans no third exchange).
+    "q_streak" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .withColumn("anchor", date_sub(col("day"), col("rn")))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy("user_id")
+    },
+
+    // Lag-k autocorrelation (ACF at lags 1..3) of the daily event-count
+    // series per event_type — the seasonality probe behind drift/anomaly
+    // monitors. Determinism design: daily counts are INTEGERS, so all
+    // five co-moments (Σx, Σy, Σxy, Σx², Σy²) are summed exactly as
+    // BIGINTs — order-free under partial aggregation — and Pearson r is
+    // ONE double formula over exact integers, so any engine computes the
+    // identical bits (the usual corr() accumulate-in-doubles hazard
+    // never arises). Lags pair adjacent OBSERVED days (the series here
+    // is gapless; a gapped series would gap-fill first, see q_gap_fill).
+    "q_autocorr" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+      val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+        sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))
+      daily
+        .withColumn("l1", lag(col("c"), 1).over(w))
+        .withColumn("l2", lag(col("c"), 2).over(w))
+        .withColumn("l3", lag(col("c"), 3).over(w))
+        .select(col("event_type"), explode(array(
+          struct(lit(1L).as("lg"), col("c").as("x"), col("l1").as("y")),
+          struct(lit(2L).as("lg"), col("c").as("x"), col("l2").as("y")),
+          struct(lit(3L).as("lg"), col("c").as("x"), col("l3").as("y")))).as("p"))
+        .select(col("event_type"), col("p.lg").as("lag"),
+          col("p.x").as("x"), col("p.y").as("y"))
+        .filter(col("y").isNotNull)
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("lag"), col("n"),
+          when(den === 0.0, lit(null)).otherwise(num / den).as("acf"))
+        .orderBy("event_type", "lag")
     })
 
   val oracles: Map[String, String] = Map(
@@ -549,5 +612,48 @@ object EventQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
            h.v IS NULL AS is_gap
          FROM sp LEFT JOIN h ON sp.user_id = h.user_id AND sp.hr = h.hr
-         ORDER BY sp.user_id, hour""")
+         ORDER BY sp.user_id, hour""",
+    "q_streak" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         numbered AS (
+           SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+           FROM days),
+         runs AS (
+           SELECT user_id, day - CAST(rn AS INTEGER) AS anchor, count(*) AS len
+           FROM numbered GROUP BY user_id, anchor)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+         FROM runs GROUP BY user_id ORDER BY user_id""",
+    "q_autocorr" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, c,
+             lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2,
+             lag(c, 3) OVER w AS l3
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         pairs AS (
+           SELECT event_type, p.lg AS lag, p.x AS x, p.y AS y
+           FROM lagged, LATERAL (VALUES (1, c, l1), (2, c, l2), (3, c, l3))
+             AS p(lg, x, y)
+           WHERE p.y IS NOT NULL),
+         mom AS (
+           SELECT event_type, CAST(lag AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(y*y) AS BIGINT) AS syy
+           FROM pairs GROUP BY 1, 2)
+         SELECT event_type, lag, n,
+           CASE WHEN sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                     sqrt(CAST(n*syy - sy*sy AS DOUBLE)) = 0e0 THEN NULL
+                ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+                  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                   sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           END AS acf
+         FROM mom ORDER BY event_type, lag""")
 }

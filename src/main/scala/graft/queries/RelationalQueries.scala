@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.CoreOps.{davg, dsum}
 import graft.operators.AsOfJoin
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -770,6 +770,86 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderpriority")
+    },
+
+    // RFM customer segmentation (recency / frequency / monetary
+    // quartiles) — the classic behavioral-cohort labeling. Scale shape:
+    // ONE shuffle builds the per-customer profile (map-side partial
+    // agg); quartile CUT POINTS come from a three-value exact-percentile
+    // reduce over the profile — NOT a global ntile window, which would
+    // sort every customer on one partition — and are broadcast back for
+    // a compare-only labeling pass. Determinism: all three metrics are
+    // integers (days, count, cents via exact DECIMAL sum), so the
+    // interpolated quartile cuts are dyadic-exact doubles any engine
+    // reproduces bit-for-bit.
+    "q_rfm" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          (sum(col("o_totalprice").cast(DecimalType(18, 4))) * lit(100))
+            .cast(LongType).as("mon_cents"))
+      val maxDay = o.agg(max(to_date(col("o_orderdate"))).as("corpus_max"))
+      val rfm = per.crossJoin(broadcast(maxDay))
+        .select(col("o_custkey"),
+          datediff(col("corpus_max"), col("last_day")).cast(LongType).as("r_days"),
+          col("freq"), col("mon_cents"))
+      val qs = array(lit(0.25), lit(0.5), lit(0.75))
+      val cuts = rfm.agg(
+        percentile(col("r_days"), qs).as("rc"),
+        percentile(col("freq"), qs).as("fc"),
+        percentile(col("mon_cents"), qs).as("mc"))
+      def quart(v: Column, c: Column): Column =
+        (lit(1) + (v > c.getItem(0)).cast(IntegerType)
+          + (v > c.getItem(1)).cast(IntegerType)
+          + (v > c.getItem(2)).cast(IntegerType)).cast(LongType)
+      rfm.crossJoin(broadcast(cuts))
+        .select(col("o_custkey"), col("r_days"), col("freq"),
+          (col("mon_cents").cast(DoubleType) / lit(1e2)).as("monetary"),
+          quart(col("r_days"), col("rc")).as("rq"),
+          quart(col("freq"), col("fc")).as("fq"),
+          quart(col("mon_cents"), col("mc")).as("mq"),
+          concat(quart(col("r_days"), col("rc")).cast(StringType),
+            quart(col("freq"), col("fc")).cast(StringType),
+            quart(col("mon_cents"), col("mc")).cast(StringType)).as("segment"))
+        .orderBy("o_custkey")
+    },
+
+    // 2-D skyline / Pareto frontier (min price, max size): a part is on
+    // the frontier iff no part is cheaper-or-equal with a larger size
+    // (or equal-price larger). Scale shape: the dominance test needs
+    // only per-PRICE maxima — one map-side-partial aggregate collapses
+    // the corpus to |distinct prices| rows, the strictly-cheaper
+    // running max is a window over that TINY aggregated domain (the
+    // aggregate-then-small-global-window pattern, same as q_rfm's
+    // cuts), and frontier membership is a broadcast join + filter back
+    // on the base table. No all-pairs dominance join anywhere.
+    "q_skyline" -> { (s, dir) =>
+      val p = Tables(s, dir, "part")
+      val perPrice = p.groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("gmax"))
+      val w = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = perPrice.withColumn("mlt", max(col("gmax")).over(w))
+      p.join(broadcast(frontier), col("p_retailprice") === col("price"))
+        .filter(col("p_size") === col("gmax") &&
+          (col("mlt").isNull || col("p_size") > col("mlt")))
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+          col("p_size").cast(LongType).as("p_size"))
+        .orderBy("p_retailprice", "p_partkey")
+    },
+
+    // Exact triangle count over the part co-purchase graph (parts
+    // sharing an order are linked) — GraphOps.triangleCount with the
+    // degree-ordered orientation; see the operator doc for the
+    // O(sqrt(m)) wedge bound that makes it survive power-law hubs.
+    "q_triangle_count" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("u"), col("y.pk").as("v"))
+      graft.operators.GraphOps.triangleCount(pairs)
     })
 
   private val discountedDec =
@@ -1171,5 +1251,74 @@ object RelationalQueries {
          CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
          CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
          abs(l_quantity - 25) AS qty_dev
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_rfm" ->
+      """WITH per AS (
+           SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+             count(*) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS mon_cents
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max FROM orders),
+         rfm AS (
+           SELECT o_custkey,
+             CAST(datediff('day', last_day, corpus_max) AS BIGINT) AS r_days,
+             CAST(freq AS BIGINT) AS freq, mon_cents
+           FROM per, mx),
+         cuts AS (
+           SELECT quantile_cont(r_days, [0.25e0, 0.5e0, 0.75e0]) AS rc,
+             quantile_cont(freq, [0.25e0, 0.5e0, 0.75e0]) AS fc,
+             quantile_cont(mon_cents, [0.25e0, 0.5e0, 0.75e0]) AS mc
+           FROM rfm),
+         lab AS (
+           SELECT o_custkey, r_days, freq, mon_cents,
+             CAST(1 + CAST(r_days > rc[1] AS INT) + CAST(r_days > rc[2] AS INT)
+               + CAST(r_days > rc[3] AS INT) AS BIGINT) AS rq,
+             CAST(1 + CAST(freq > fc[1] AS INT) + CAST(freq > fc[2] AS INT)
+               + CAST(freq > fc[3] AS INT) AS BIGINT) AS fq,
+             CAST(1 + CAST(mon_cents > mc[1] AS INT) + CAST(mon_cents > mc[2] AS INT)
+               + CAST(mon_cents > mc[3] AS INT) AS BIGINT) AS mq
+           FROM rfm, cuts)
+         SELECT o_custkey, r_days, freq,
+           CAST(mon_cents AS DOUBLE) / 1e2 AS monetary, rq, fq, mq,
+           CAST(rq AS VARCHAR) || CAST(fq AS VARCHAR) || CAST(mq AS VARCHAR) AS segment
+         FROM lab ORDER BY o_custkey""",
+    "q_skyline" ->
+      """WITH per AS (
+           SELECT p_retailprice AS price, max(p_size) AS gmax
+           FROM part GROUP BY 1),
+         fr AS (
+           SELECT price, gmax, max(gmax) OVER (ORDER BY price
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt
+           FROM per)
+         SELECT p.p_partkey, p.p_name, p.p_retailprice,
+           CAST(p.p_size AS BIGINT) AS p_size
+         FROM part p JOIN fr ON p.p_retailprice = fr.price
+         WHERE p.p_size = fr.gmax AND (fr.mlt IS NULL OR p.p_size > fr.mlt)
+         ORDER BY p.p_retailprice, p.p_partkey""",
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         deg AS (
+           SELECT n, count(*) AS d
+           FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+           GROUP BY 1),
+         ori AS (
+           SELECT
+             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS dst,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN db.d ELSE da.d END AS ddeg
+           FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n),
+         wed AS (
+           SELECT e1.src AS src, e1.dst AS x, e2.dst AS y
+           FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+           WHERE e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)),
+         tri AS (
+           SELECT count(*) AS n_triangles
+           FROM wed JOIN ori ON wed.x = ori.src AND wed.y = ori.dst)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+         FROM tri""")
 }

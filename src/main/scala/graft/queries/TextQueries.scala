@@ -78,6 +78,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Directed shingle-set containment |A∩B|/|A| >= 0.8 — catches a doc
+    // embedded inside a longer one (boilerplate, quote-inclusion),
+    // which symmetric Jaccard misses. Same inverted-index shape as
+    // q_ngram_jaccard; see DedupOps.containmentPairs.
+    "q_containment" -> { (s, dir) =>
+      DedupOps.containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, n = 3, minShingles = 5)
+        .orderBy("id_a", "id_b")
+    },
+
     // Brute-force cosine top-5 for the first 5 vectors: exact ANN baseline.
     "q_embed_cosine_topk" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
@@ -1149,6 +1159,22 @@ object TextQueries {
          FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
          GROUP BY a.id, b.id)"""
 
+  /** Directed twin of [[ngramSharedCte]] (ordered pairs a <> b) for the
+    * containment oracle.
+    */
+  private val ngramDirectedCte: String =
+    """sh AS (
+         SELECT doc_id AS id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+         )) AS sh
+         FROM documents WHERE len(string_split(text,' ')) >= 3),
+       sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+       shared AS (
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id <> b.id
+         GROUP BY a.id, b.id)"""
+
   /** CTE body shared by the q_bpe_merges and q_bpe_encode oracles: two
     * BPE training rounds — word-freq vocab, pair counts, chosen pairs
     * b0/b1, and the post-merge vocabulary sequences seq2.
@@ -1580,6 +1606,16 @@ object TextQueries {
            JOIN sizes sa ON sa.id = id_a
            JOIN sizes sb ON sb.id = id_b
          WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05
+         ORDER BY id_a, id_b""",
+    // directed variant of the shared-shingle CTE: ordered pairs, A's
+    // distinct-shingle count as the denominator
+    "q_containment" ->
+      s"""WITH $ngramDirectedCte
+         SELECT id_a, id_b, n_shared, sa.n_sh AS n_a,
+           CAST(n_shared AS DOUBLE) / sa.n_sh AS containment
+         FROM shared JOIN sizes sa ON sa.id = id_a
+         WHERE sa.n_sh >= 5
+           AND CAST(n_shared AS DOUBLE) / sa.n_sh >= 0.8e0
          ORDER BY id_a, id_b""",
     "q_drift_psi" ->
       s"""WITH b AS (

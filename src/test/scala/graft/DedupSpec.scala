@@ -92,6 +92,27 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("containmentPairs: embedded doc scores 1.0 toward its container, not vice versa") {
+    // A's shingle set is a strict subset of B's (B = A + suffix):
+    // containment(A in B) = 1.0; containment(B in A) = |A∩B|/|B| < 1.
+    // C shares nothing above threshold.
+    val d = Seq(
+      (1L, "a b c d e f"), // 4 shingles
+      (2L, "a b c d e f g h i j"), // 8 shingles, contains all of A's
+      (3L, "x y z w v u t s r q")).toDF("doc_id", "text")
+    val rows = DedupOps.containmentPairs(d, "doc_id", "text",
+      threshold = 0.9, minShingles = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment"))).toSet
+    assert(rows == Set((1L, 2L, 1.0)))
+    // at a looser threshold the reverse direction appears with 4/8
+    val loose = DedupOps.containmentPairs(d, "doc_id", "text",
+      threshold = 0.5, minShingles = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment"))).toSet
+    assert(loose == Set((1L, 2L, 1.0), (2L, 1L, 0.5)))
+  }
+
   test("junk-bucket cap drops flooded LSH buckets, keeps small ones") {
     // 12 clones of base share every band -> four buckets of size 12;
     // the two distinct docs land in singleton buckets. cap=5 skips the

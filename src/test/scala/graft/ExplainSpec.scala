@@ -31,6 +31,15 @@ class ExplainSpec extends SparkSpec {
   private val defaultMaxShuffles = 5
   private val shuffleBudget: Map[String, Int] = Map(
     "q1_pricing_summary" -> 2, "q_anti_join" -> 1, "q_approx_distinct" -> 2,
+    "q_autocorr" -> 3, "q_containment" -> 2, "q_rfm" -> 4,
+    "q_skyline" -> 3, "q_streak" -> 3,
+    // q_triangle_count: the edge list and oriented-edge frames are
+    // localCheckpointed (each is branched 3-4x downstream), so the 7
+    // static exchanges are the degree agg, the two degree joins, the
+    // wedge self-join pair, the closing-edge join, and the final count
+    // reduces — every one over (id, id)-narrow rows, none over the
+    // raw co-occurrence subtree twice
+    "q_triangle_count" -> 7,
     "q_approx_quantile" -> 2, "q_array_agg" -> 2, "q_array_lookup" -> 1,
     "q_anomaly_mad" -> 2,
     "q_asof_join" -> 2, "q_asof_nearest" -> 2, "q_asof_tolerance" -> 2,

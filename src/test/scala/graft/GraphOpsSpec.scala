@@ -35,6 +35,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
 
+  test("triangle count: K4, path, and dirty input normalize correctly") {
+    // K4 has C(4,3) = 4 triangles; a path has none; duplicate /
+    // reversed edges and self-loops must not change the answer.
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val noisy = (k4 ++ k4.map(_.swap) ++ Seq((0L, 0L), (2L, 2L)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 13L))).toDF("u", "v")
+    val row = GraphOps.triangleCount(noisy).collect().head
+    assert(row.getAs[Long]("n_nodes") == 8)
+    assert(row.getAs[Long]("n_edges") == 6 + 3)
+    assert(row.getAs[Long]("n_triangles") == 4)
+  }
+
+  test("triangle count matches a brute-force oracle on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    val edges = (for {
+      i <- 0 until n; j <- (i + 1) until n
+      if rnd.nextDouble() < 0.15
+    } yield (i.toLong, j.toLong))
+    val adj = edges.toSet
+    def has(a: Long, b: Long) = adj.contains((a min b, a max b))
+    val expected = (for {
+      a <- 0L until n.toLong; b <- (a + 1) until n.toLong; c <- (b + 1) until n.toLong
+      if has(a, b) && has(b, c) && has(a, c)
+    } yield 1).size.toLong
+    val row = GraphOps.triangleCount(edges.toDF("u", "v")).collect().head
+    assert(row.getAs[Long]("n_triangles") == expected)
+    assert(row.getAs[Long]("n_edges") == edges.size.toLong)
+  }
+
   test("random graphs match a driver-side union-find oracle") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
