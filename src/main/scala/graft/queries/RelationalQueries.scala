@@ -784,12 +784,18 @@ object RelationalQueries {
     // reproduces bit-for-bit.
     "q_rfm" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
+      // The profile is branched below (cut-point reduce + labeling
+      // pass), and Catalyst does not share aggregated subtrees —
+      // checkpoint the |customers|-sized frame so orders is scanned
+      // exactly once. The corpus max date then comes off the profile
+      // (max of per-customer maxima), not a second fact-table scan.
       val per = o.groupBy(col("o_custkey"))
         .agg(max(to_date(col("o_orderdate"))).as("last_day"),
           count(lit(1)).as("freq"),
           (sum(col("o_totalprice").cast(DecimalType(18, 4))) * lit(100))
             .cast(LongType).as("mon_cents"))
-      val maxDay = o.agg(max(to_date(col("o_orderdate"))).as("corpus_max"))
+        .localCheckpoint()
+      val maxDay = per.agg(max(col("last_day")).as("corpus_max"))
       val rfm = per.crossJoin(broadcast(maxDay))
         .select(col("o_custkey"),
           datediff(col("corpus_max"), col("last_day")).cast(LongType).as("r_days"),
