@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.CoreOps.dsum
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -406,6 +406,90 @@ object EventQueries {
         .select(col("event_type"), col("lag"), col("n"),
           when(den === 0.0, lit(null)).otherwise(num / den).as("acf"))
         .orderBy("event_type", "lag")
+    },
+
+    // Inter-arrival gap distribution per user (median / IQR / mean of
+    // microsecond gaps) — the burstiness profile behind rate-limit and
+    // engagement models. One user-keyed window for lag, then one
+    // aggregate that REUSES the window's hash partitioning (no second
+    // exchange). Determinism: gaps are integer micros, and the
+    // quantile probes are dyadic (0.25/0.5/0.75), so the interpolated
+    // values are exact doubles in any engine.
+    "q_interarrival" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          percentile(col("gap"), lit(0.5)).as("median_gap_us"),
+          (percentile(col("gap"), lit(0.75)) - percentile(col("gap"), lit(0.25)))
+            .as("iqr_gap_us"),
+          (sum(col("gap")).cast(DoubleType) / count(lit(1))).as("mean_gap_us"))
+        .orderBy("user_id")
+    },
+
+    // Welch's two-sample t-statistic per event_type (variant = user_id
+    // parity — the deterministic stand-in for an assignment column):
+    // the A/B-significance primitive. Scale + determinism design: ONE
+    // conditional-aggregation shuffle (no pivot, no per-variant scan);
+    // values quantized to an exact 1e6 grid so Σx and Σx² are exact
+    // integers (DECIMAL(38) for the squares — they pass 2^63 at fleet
+    // row counts), and the t formula is one identically-shaped double
+    // expression over correctly-rounded casts in both engines.
+    "q_ab_test" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      def f(variant: Int, e: Column) = sum(when(col("variant") === variant, e))
+      def cnt(variant: Int) = count(when(col("variant") === variant, lit(1)))
+      def mean(sx: Column, n: Column) = sx.cast(DoubleType) / (n * lit(1e6))
+      def varTerm(q: Column, sx: Column, n: Column) =
+        (q * n - sx.cast(dec) * sx).cast(DoubleType) /
+          (n.cast(DoubleType) * n * (n - lit(1)) * lit(1e12))
+      Tables(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 2).as("variant"),
+          floor(col("value") * lit(1000000) + lit(0.5)).cast(LongType).as("gv"))
+        .groupBy(col("event_type"))
+        .agg(cnt(0).as("n_a"), cnt(1).as("n_b"),
+          f(0, col("gv")).as("sa"), f(1, col("gv")).as("sb"),
+          f(0, (col("gv") * col("gv")).cast(dec)).as("qa"),
+          f(1, (col("gv") * col("gv")).cast(dec)).as("qb"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          mean(col("sa"), col("n_a")).as("mean_a"),
+          mean(col("sb"), col("n_b")).as("mean_b"),
+          ((mean(col("sa"), col("n_a")) - mean(col("sb"), col("n_b"))) /
+            sqrt(varTerm(col("qa"), col("sa"), col("n_a")) +
+              varTerm(col("qb"), col("sb"), col("n_b")))).as("t_welch"))
+        .orderBy("event_type")
+    },
+
+    // CUSUM change-point probe on the daily count series per
+    // event_type: the k with the largest |Σ_{i<=k}(c_i − mean)| marks
+    // the most likely level shift. Exactness trick: cusum_k scaled by
+    // n is the INTEGER n·prefix_k − k·S, so the argmax ordering (and
+    // the reported peak) involves no accumulated float error at all —
+    // engines agree bit-for-bit. All four windows share one
+    // event_type-hash exchange.
+    "q_cusum" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("prefix",
+          sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("k", row_number().over(w).cast(LongType))
+        .withColumn("s", sum(col("c")).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("scaled", col("n") * col("prefix") - col("k") * col("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(abs(col("scaled")).desc, col("day").asc)))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+          (col("scaled").cast(DoubleType) / col("n")).as("cusum_peak"))
+        .orderBy("event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -655,5 +739,66 @@ object EventQueries {
                   (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
                    sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
            END AS acf
-         FROM mom ORDER BY event_type, lag""")
+         FROM mom ORDER BY event_type, lag""",
+    "q_interarrival" ->
+      """WITH gaps AS (
+           SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+           FROM events),
+         g AS (SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap, 0.5e0) AS median_gap_us,
+           quantile_cont(gap, 0.75e0) - quantile_cont(gap, 0.25e0) AS iqr_gap_us,
+           CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap_us
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    // exact-grid Σx/Σx² (1e6 quantization) -> identical Welch formula;
+    // HUGEINT squares cast to DOUBLE via VARCHAR (strtod correctly
+    // rounds; the direct int128->double cast can be a ulp off)
+    "q_ab_test" ->
+      """WITH g AS (
+           SELECT event_type, user_id % 2 AS variant,
+             CAST(floor(value * 1000000 + 0.5e0) AS BIGINT) AS gv
+           FROM events),
+         agg AS (
+           SELECT event_type,
+             CAST(count(*) FILTER (variant = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n_b,
+             CAST(sum(gv) FILTER (variant = 0) AS BIGINT) AS sa,
+             CAST(sum(gv) FILTER (variant = 1) AS BIGINT) AS sb,
+             sum(CAST(gv AS HUGEINT) * gv) FILTER (variant = 0) AS qa,
+             sum(CAST(gv AS HUGEINT) * gv) FILTER (variant = 1) AS qb
+           FROM g GROUP BY 1)
+         SELECT event_type, n_a, n_b,
+           CAST(sa AS DOUBLE) / (n_a * 1e6) AS mean_a,
+           CAST(sb AS DOUBLE) / (n_b * 1e6) AS mean_b,
+           (CAST(sa AS DOUBLE) / (n_a * 1e6) - CAST(sb AS DOUBLE) / (n_b * 1e6)) /
+           sqrt( CAST(CAST(qa * n_a - CAST(sa AS HUGEINT)*sa AS VARCHAR) AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1) * 1e12)
+               + CAST(CAST(qb * n_b - CAST(sb AS HUGEINT)*sb AS VARCHAR) AS DOUBLE)
+                   / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1) * 1e12)) AS t_welch
+         FROM agg ORDER BY event_type""",
+    "q_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+             sum(c) OVER (PARTITION BY event_type) AS s,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM daily),
+         sc AS (
+           SELECT event_type, day, n,
+             CAST(n AS BIGINT)*prefix - CAST(k AS BIGINT)*s AS scaled,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(CAST(n AS BIGINT)*prefix - CAST(k AS BIGINT)*s) DESC,
+                 day ASC) AS rk
+           FROM w)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           strftime(day, '%Y-%m-%d') AS cp_day,
+           CAST(scaled AS DOUBLE) / n AS cusum_peak
+         FROM sc WHERE rk = 1 ORDER BY event_type""")
 }

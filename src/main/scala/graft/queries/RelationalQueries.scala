@@ -856,6 +856,33 @@ object RelationalQueries {
         .filter(col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("u"), col("y.pk").as("v"))
       graft.operators.GraphOps.triangleCount(pairs)
+    },
+
+    // Gini concentration of order value within each priority segment —
+    // the inequality/concentration statistic (revenue concentration,
+    // data-source dominance). The rank window is PARTITIONED by
+    // segment (no global sort), ranks tie-break on the key so Σi·x_i
+    // is deterministic (equal x make rank order irrelevant to the
+    // sum), and cents-integer arithmetic in DECIMAL(38) keeps Σi·x_i
+    // exact past 2^63 at fleet row counts; the closed form
+    // G = (2Σi·x_i − (n+1)Σx) / (nΣx) needs no pairwise |x_i − x_j|.
+    "q_gini" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy(col("prio")).orderBy(col("x"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          (col("o_totalprice").cast(DecimalType(18, 4)) * lit(100))
+            .cast(LongType).as("x"),
+          col("o_orderkey"))
+        .withColumn("i", row_number().over(w).cast(LongType))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum((col("i") * col("x")).cast(dec)).as("sixi"))
+        .select(col("prio").as("o_orderpriority"), col("n").as("n_orders"),
+          ((col("sixi") * lit(2) - (col("n").cast(dec) + lit(1)) * col("sx"))
+            .cast(DoubleType) /
+            (col("n").cast(dec) * col("sx")).cast(DoubleType)).as("gini"))
+        .orderBy("o_orderpriority")
     })
 
   private val discountedDec =
@@ -1326,5 +1353,27 @@ object RelationalQueries {
          SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
            (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
            CAST(n_triangles AS BIGINT) AS n_triangles
-         FROM tri""")
+         FROM tri""",
+    // HUGEINT Σi·x_i cast to DOUBLE via VARCHAR (correctly-rounded
+    // strtod) to match Spark's BigDecimal.doubleValue — same hazard as
+    // decToDouble above
+    "q_gini" ->
+      """WITH cents AS (
+           SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS x,
+             o_orderkey
+           FROM orders),
+         rk AS (
+           SELECT prio, x,
+             row_number() OVER (PARTITION BY prio ORDER BY x, o_orderkey) AS i
+           FROM cents),
+         agg AS (
+           SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(i AS HUGEINT) * x) AS sixi
+           FROM rk GROUP BY 1)
+         SELECT prio AS o_orderpriority, n AS n_orders,
+           CAST(CAST(sixi * 2 - (CAST(n AS HUGEINT) + 1) * sx AS VARCHAR) AS DOUBLE) /
+           CAST(CAST(CAST(n AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS gini
+         FROM agg ORDER BY o_orderpriority""")
 }

@@ -33,6 +33,7 @@ class ExplainSpec extends SparkSpec {
     "q1_pricing_summary" -> 2, "q_anti_join" -> 1, "q_approx_distinct" -> 2,
     "q_autocorr" -> 3, "q_containment" -> 2, "q_rfm" -> 4,
     "q_skyline" -> 3, "q_streak" -> 3,
+    "q_ab_test" -> 2, "q_cusum" -> 3, "q_gini" -> 2, "q_interarrival" -> 2,
     // q_triangle_count: the edge list and oriented-edge frames are
     // localCheckpointed (each is branched 3-4x downstream), so the 7
     // static exchanges are the degree agg, the two degree joins, the
