@@ -490,6 +490,84 @@ object EventQueries {
           date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
           (col("scaled").cast(DoubleType) / col("n")).as("cusum_peak"))
         .orderBy("event_type")
+    },
+
+    // Day-of-week seasonality profile: per (event_type, weekday) mean
+    // daily count and the seasonal index (weekday mean / overall mean).
+    // Exchange discipline: the per-type totals window runs BEFORE the
+    // (type, dow) regroup, so the final groupBy reuses the window's
+    // type-hash partitioning (prefix-key elision) — three exchanges
+    // total including the output sort. All ratios divide exact integer
+    // sums in the same shape both engines.
+    "q_seasonality" -> { (s, dir) =>
+      val wAll = Window.partitionBy(col("event_type"))
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("s_all", sum(col("c")).over(wAll))
+        .withColumn("n_all", count(lit(1)).over(wAll))
+        .withColumn("dow", weekday(col("day")).cast(LongType))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sum_events"),
+          max(col("s_all")).as("s_all"), max(col("n_all")).as("n_all"))
+        .select(col("event_type"), col("dow"), col("n_days"), col("sum_events"),
+          (col("sum_events").cast(DoubleType) / col("n_days")).as("avg_events"),
+          ((col("sum_events").cast(DoubleType) / col("n_days")) /
+            (col("s_all").cast(DoubleType) / col("n_all"))).as("seasonal_idx"))
+        .orderBy("event_type", "dow")
+    },
+
+    // Per-user Shannon entropy of the event-type mix (+ normalized by
+    // ln k) — the behavioral-diversity signal. The -p·ln p terms are a
+    // cross-row double sum, so they go through the shared exact-grid
+    // idiom (GridSum) and a final round(6) absorbs any residual
+    // last-ulp libm ln() disagreement between engines — the same
+    // discipline as q_drift_psi's (s-p)·ln(s/p) terms.
+    "q_entropy" -> { (s, dir) =>
+      val wUser = Window.partitionBy(col("user_id"))
+      val p = col("c").cast(DoubleType) / col("n")
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(wUser))
+        .withColumn("k", count(lit(1)).over(wUser))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"), max(col("k")).as("n_types"),
+          GridSum.exactGridSum(-p * log(p)).as("hg"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          round(GridSum.fromGrid(col("hg")), 6).as("entropy"),
+          when(col("n_types") === 1, lit(0.0))
+            .otherwise(round(GridSum.fromGrid(col("hg")) /
+              log(col("n_types").cast(DoubleType)), 6)).as("entropy_norm"))
+        .orderBy("user_id")
+    },
+
+    // Seasonal-naive forecast backtest: predict each day's count with
+    // the count 7 days earlier, score MAE against the lag-1 naive
+    // baseline (skill = 1 − mae7/mae1). Errors are INTEGER count
+    // differences, so every aggregate is exact and the skill ratio is
+    // one deterministic double division. The lag window and the final
+    // per-type aggregate share one event_type exchange.
+    "q_forecast_backtest" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("l7", lag(col("c"), 7).over(w))
+        .withColumn("l1", lag(col("c"), 1).over(w))
+        .filter(col("l7").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_evals"),
+          sum(abs(col("c") - col("l7"))).as("ae7"),
+          sum(abs(col("c") - col("l1"))).as("ae1"),
+          sum(col("c") - col("l7")).as("e7"))
+        .select(col("event_type"), col("n_evals"),
+          (col("ae7").cast(DoubleType) / col("n_evals")).as("mae_seasonal"),
+          (col("ae1").cast(DoubleType) / col("n_evals")).as("mae_naive"),
+          (col("e7").cast(DoubleType) / col("n_evals")).as("mean_bias"),
+          when(col("ae1") === 0, lit(null)).otherwise(
+            lit(1.0) - col("ae7").cast(DoubleType) / col("ae1")).as("skill"))
+        .orderBy("event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -800,5 +878,68 @@ object EventQueries {
          SELECT event_type, CAST(n AS BIGINT) AS n_days,
            strftime(day, '%Y-%m-%d') AS cp_day,
            CAST(scaled AS DOUBLE) / n AS cusum_peak
-         FROM sc WHERE rk = 1 ORDER BY event_type""")
+         FROM sc WHERE rk = 1 ORDER BY event_type""",
+    // isodow - 1 == Spark weekday (0 = Monday)
+    "q_seasonality" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, day, c,
+             sum(c) OVER (PARTITION BY event_type) AS s_all,
+             count(*) OVER (PARTITION BY event_type) AS n_all
+           FROM daily),
+         byDow AS (
+           SELECT event_type, CAST(isodow(day) - 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS sum_events,
+             CAST(max(s_all) AS BIGINT) AS s_all,
+             CAST(max(n_all) AS BIGINT) AS n_all
+           FROM tot GROUP BY 1, 2)
+         SELECT event_type, dow, n_days, sum_events,
+           CAST(sum_events AS DOUBLE) / n_days AS avg_events,
+           (CAST(sum_events AS DOUBLE) / n_days) /
+             (CAST(s_all AS DOUBLE) / n_all) AS seasonal_idx
+         FROM byDow ORDER BY event_type, dow""",
+    "q_entropy" ->
+      s"""WITH cnt AS (
+           SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT user_id, c,
+             sum(c) OVER (PARTITION BY user_id) AS n,
+             count(*) OVER (PARTITION BY user_id) AS k
+           FROM cnt)
+         SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(k) AS BIGINT) AS n_types,
+           round(${GridSum.gridSumSql(
+              "- (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)")}, 6)
+             AS entropy,
+           CASE WHEN max(k) = 1 THEN 0e0
+                ELSE round(${GridSum.gridSumSql(
+                  "- (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)")}
+                  / ln(CAST(max(k) AS DOUBLE)), 6)
+           END AS entropy_norm
+         FROM tot GROUP BY user_id ORDER BY user_id""",
+    "q_forecast_backtest" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, c,
+             lag(c, 7) OVER w AS l7, lag(c, 1) OVER w AS l1
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         agg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+             CAST(sum(abs(c - l7)) AS BIGINT) AS ae7,
+             CAST(sum(abs(c - l1)) AS BIGINT) AS ae1,
+             CAST(sum(c - l7) AS BIGINT) AS e7
+           FROM lagged WHERE l7 IS NOT NULL GROUP BY 1)
+         SELECT event_type, n_evals,
+           CAST(ae7 AS DOUBLE) / n_evals AS mae_seasonal,
+           CAST(ae1 AS DOUBLE) / n_evals AS mae_naive,
+           CAST(e7 AS DOUBLE) / n_evals AS mean_bias,
+           CASE WHEN ae1 = 0 THEN NULL
+                ELSE 1e0 - CAST(ae7 AS DOUBLE) / ae1 END AS skill
+         FROM agg ORDER BY event_type""")
 }

@@ -1109,21 +1109,12 @@ object TextQueries {
            row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rk
          FROM scored)"""
 
-  /** Exact order-free double accumulation (the q_embed_centroid
-    * discipline): each term is quantized to the 1e-9 grid and summed in
-    * BIGINT, so the total is identical across partial-agg orders and
-    * engines; [[fromGrid]] descales, and [[gridSumSql]] is the DuckDB
-    * twin. The Scala and SQL grid constants live HERE, side by side —
-    * change one, change both (a desynced pair breaks every oracle
-    * bit-match that uses it).
-    */
-  private val Grid = 1e9 // == the 1.0e9 literals in gridSumSql
-  private def exactGridSum(term: Column): Column =
-    sum(floor(term * lit(Grid) + lit(0.5)).cast(LongType))
-  private def fromGrid(gridSum: Column): Column =
-    gridSum.cast(DoubleType) / lit(Grid)
-  private def gridSumSql(termSql: String): String =
-    s"CAST(sum(CAST(floor(($termSql) * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1.0e9"
+  // Exact order-free double accumulation — see the shared [[GridSum]]
+  // object (promoted there so EventQueries' stats tier can use the same
+  // idiom); local aliases keep the 14 call sites stable.
+  private def exactGridSum(term: Column): Column = GridSum.exactGridSum(term)
+  private def fromGrid(gridSum: Column): Column = GridSum.fromGrid(gridSum)
+  private def gridSumSql(termSql: String): String = GridSum.gridSumSql(termSql)
 
   /** Global unigram counts (w, cw) off one token explode — shared by
     * the bigram-LM and PMI statistics so tokenization fixes can never

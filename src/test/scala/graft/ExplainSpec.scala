@@ -34,6 +34,7 @@ class ExplainSpec extends SparkSpec {
     "q_autocorr" -> 3, "q_containment" -> 2, "q_rfm" -> 4,
     "q_skyline" -> 3, "q_streak" -> 3,
     "q_ab_test" -> 2, "q_cusum" -> 3, "q_gini" -> 2, "q_interarrival" -> 2,
+    "q_seasonality" -> 3, "q_entropy" -> 3, "q_forecast_backtest" -> 3,
     // q_triangle_count: the edge list and oriented-edge frames are
     // localCheckpointed (each is branched 3-4x downstream), so the 7
     // static exchanges are the degree agg, the two degree joins, the
