@@ -139,7 +139,12 @@ object GraphOps {
     *              reversed edges are normalized away).
     * @return one row: (n_nodes, n_edges, n_triangles).
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  /** Shared triangle-enumeration plumbing: canonical undirected edges,
+    * degrees, degree-ordered orientation, and the bloom-pruned triangle
+    * row set (one row per triangle, all three vertices). See
+    * [[triangleCount]] for the orientation/skew rationale.
+    */
+  private def triangleRows(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val u = col(edges.columns(0))
     val v = col(edges.columns(1))
     // Canonical undirected form: (min, max), no self-loops, distinct.
@@ -168,7 +173,22 @@ object GraphOps {
     val e2 = oriented.select(col("src"), col("dst").as("y"), col("ddeg").as("dy"))
     val wedges = e1.join(e2, Seq("src"))
       .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-      .select(col("x"), col("y"))
+      .select(col("src"), col("x"), col("y"))
+    // Bloom-prune non-closing wedges map-side (see triangleCount doc).
+    val nEdgesCnt = und.count() // cheap: und is checkpointed
+    val closing = oriented.select(
+      xxhash64(col("src"), col("dst")).as("ek"), col("src").as("x"), col("dst").as("y"))
+    val prunedWedges = BloomJoin.bloomPrefilter(
+      wedges.withColumn("ek", xxhash64(col("x"), col("y"))),
+      closing, "ek", "ek",
+      expectedItems = math.max(nEdgesCnt, 1000L), fpp = 0.01)
+    val tri = prunedWedges.join(closing.drop("ek"), Seq("x", "y"))
+      .select(col("src"), col("x"), col("y"))
+    (und, deg, tri)
+  }
+
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val (und, deg, triRows) = triangleRows(edges)
     // Wedges outnumber edges ~sqrt(m):1 and only a few percent close
     // into triangles, so the closing equi-join's shuffle of the full
     // wedge set IS the cost of this operator (measured 41M wedges vs
@@ -179,19 +199,32 @@ object GraphOps {
     // key collisions just pass a few extra rows into the exact check).
     // At extreme edge counts the bloom is ~1.2 GB/1e9 edges: still
     // broadcastable where a 30x wedge shuffle is not.
-    val nEdgesCnt = und.count() // cheap: und is checkpointed
-    val closing = oriented.select(
-      xxhash64(col("src"), col("dst")).as("ek"), col("src").as("x"), col("dst").as("y"))
-    val prunedWedges = BloomJoin.bloomPrefilter(
-      wedges.withColumn("ek", xxhash64(col("x"), col("y"))),
-      closing, "ek", "ek",
-      expectedItems = math.max(nEdgesCnt, 1000L), fpp = 0.01)
-    val tri = prunedWedges
-      .join(closing.drop("ek"), Seq("x", "y"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val tri = triRows.agg(count(lit(1)).as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
     nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+  }
+
+  /** Local clustering coefficient per vertex: cc(v) = 2·t(v) / (d(v)·
+    * (d(v)−1)) where t(v) is the number of triangles through v — the
+    * per-node cohesion score (spam rings and boilerplate clusters are
+    * high-cc; bridges are low). Reuses [[triangleRows]]'s oriented,
+    * bloom-pruned enumeration; each triangle is then charged to all
+    * three vertices by one generator + count (no second pair join).
+    *
+    * @return (n, d, t, cc) for every vertex, d ≥ 1; t = 0 and cc = 0
+    *         for vertices on no triangle.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val (_, deg, triRows) = triangleRows(edges)
+    val perNode = triRows
+      .select(explode(array(col("src"), col("x"), col("y"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n"), col("d"), coalesce(col("t"), lit(0L)).as("t"),
+        when(col("d") < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("d") * (col("d") - lit(1)))).as("cc"))
   }
 
   /** PageRank by power iteration — document authority over a similarity

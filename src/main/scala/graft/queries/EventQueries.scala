@@ -568,6 +568,38 @@ object EventQueries {
           when(col("ae1") === 0, lit(null)).otherwise(
             lit(1.0) - col("ae7").cast(DoubleType) / col("ae1")).as("skill"))
         .orderBy("event_type")
+    },
+
+    // Growth accounting: DAU, rolling 7-day WAU, new users, cumulative
+    // users per day. Scale design: ONE distinct over (user, day)
+    // collapses the event stream; everything after runs on that
+    // activity grid. Rolling distinct counts can't be windowed
+    // directly, so each activity row is EXPANDED into the ≤7 report
+    // days it covers and deduped — bounded 7x inflation of the grid,
+    // exact, instead of a per-day distinct rescan. The cumulative sum
+    // is a window over the |days|-sized daily frame (aggregated-domain
+    // pattern). first-seen day doubles as the new-user flag, so no
+    // second pass over raw events anywhere.
+    "q_growth_accounting" -> { (s, dir) =>
+      val acts = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint() // branched 3x (dau, wau expansion, first-seen)
+      val dau = acts.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = acts
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      val newByDay = acts.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(wau, Seq("day")).join(newByDay, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum(col("new_users")).over(wCum))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"), col("new_users"), col("cum_users"))
+        .orderBy("day")
     })
 
   val oracles: Map[String, String] = Map(
@@ -941,5 +973,24 @@ object EventQueries {
            CAST(e7 AS DOUBLE) / n_evals AS mean_bias,
            CASE WHEN ae1 = 0 THEN NULL
                 ELSE 1e0 - CAST(ae7 AS DOUBLE) / ae1 END AS skill
-         FROM agg ORDER BY event_type""")
+         FROM agg ORDER BY event_type""",
+    "q_growth_accounting" ->
+      """WITH acts AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM acts GROUP BY 1),
+         cov AS (
+           SELECT DISTINCT user_id, day + o AS day
+           FROM acts CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS o)),
+         wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY 1),
+         fs AS (SELECT user_id, min(day) AS day FROM acts GROUP BY 1),
+         nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+         SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+         FROM dau d JOIN wau w ON d.day = w.day
+           LEFT JOIN nu n ON d.day = n.day
+         ORDER BY day""")
 }

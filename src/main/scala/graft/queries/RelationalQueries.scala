@@ -858,6 +858,20 @@ object RelationalQueries {
       graft.operators.GraphOps.triangleCount(pairs)
     },
 
+    // Per-node local clustering coefficient over the same co-purchase
+    // graph — GraphOps.clusteringCoefficients (triangle enumeration
+    // charged to all three vertices by a generator, no second pair
+    // join). Top-50 most clustered hubs via TakeOrderedAndProject.
+    "q_clustering_coef" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("u"), col("y.pk").as("v"))
+      graft.operators.GraphOps.clusteringCoefficients(pairs)
+        .orderBy(col("t").desc, col("n").asc).limit(50)
+    },
+
     // Gini concentration of order value within each priority segment —
     // the inequality/concentration statistic (revenue concentration,
     // data-source dominance). The rank window is PARTITIONED by
@@ -1354,6 +1368,39 @@ object RelationalQueries {
            (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
            CAST(n_triangles AS BIGINT) AS n_triangles
          FROM tri""",
+    "q_clustering_coef" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         deg AS (
+           SELECT n, count(*) AS d
+           FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+           GROUP BY 1),
+         ori AS (
+           SELECT
+             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS dst,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN db.d ELSE da.d END AS ddeg
+           FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n),
+         wed AS (
+           SELECT e1.src AS src, e1.dst AS x, e2.dst AS y
+           FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+           WHERE e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)),
+         tri AS (
+           SELECT wed.src AS v1, wed.x AS v2, wed.y AS v3
+           FROM wed JOIN ori ON wed.x = ori.src AND wed.y = ori.dst),
+         tn AS (
+           SELECT n, CAST(count(*) AS BIGINT) AS t
+           FROM (SELECT v1 AS n FROM tri UNION ALL SELECT v2 FROM tri
+                 UNION ALL SELECT v3 FROM tri)
+           GROUP BY 1)
+         SELECT deg.n AS n, CAST(deg.d AS BIGINT) AS d,
+           coalesce(tn.t, 0) AS t,
+           CASE WHEN deg.d < 2 THEN 0e0
+                ELSE 2e0 * coalesce(tn.t, 0) / (deg.d * (deg.d - 1)) END AS cc
+         FROM deg LEFT JOIN tn ON deg.n = tn.n
+         ORDER BY t DESC, deg.n ASC LIMIT 50""",
     // HUGEINT Σi·x_i cast to DOUBLE via VARCHAR (correctly-rounded
     // strtod) to match Spark's BigDecimal.doubleValue — same hazard as
     // decToDouble above

@@ -35,6 +35,11 @@ class ExplainSpec extends SparkSpec {
     "q_skyline" -> 3, "q_streak" -> 3,
     "q_ab_test" -> 2, "q_cusum" -> 3, "q_gini" -> 2, "q_interarrival" -> 2,
     "q_seasonality" -> 3, "q_entropy" -> 3, "q_forecast_backtest" -> 3,
+    "q_clustering_coef" -> 5,
+    // q_growth_accounting: 6 exchanges but only the first (the
+    // (user, day) distinct) touches the raw stream; dau/wau/first-seen
+    // all branch off the checkpointed activity grid
+    "q_growth_accounting" -> 6,
     // q_triangle_count: the edge list and oriented-edge frames are
     // localCheckpointed (each is branched 3-4x downstream), so the 7
     // static exchanges are the degree agg, the two degree joins, the

@@ -65,6 +65,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_edges") == edges.size.toLong)
   }
 
+  test("clustering coefficients match a brute-force oracle on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val n = 30
+    val edges = (for {
+      i <- 0 until n; j <- (i + 1) until n
+      if rnd.nextDouble() < 0.2
+    } yield (i.toLong, j.toLong))
+    val adj = edges.toSet
+    def has(a: Long, b: Long) = adj.contains((a min b, a max b))
+    val nbrs = (0L until n.toLong)
+      .map(v => v -> (0L until n.toLong).filter(u => u != v && has(u, v))).toMap
+    val got = GraphOps.clusteringCoefficients(edges.toDF("u", "v"))
+      .collect().map(r => r.getAs[Long]("n") ->
+        ((r.getAs[Long]("d"), r.getAs[Long]("t"), r.getAs[Double]("cc")))).toMap
+    for ((v, ns) <- nbrs if ns.nonEmpty) {
+      val t = (for (a <- ns; b <- ns if a < b && has(a, b)) yield 1).size.toLong
+      val d = ns.size.toLong
+      val cc = if (d < 2) 0.0 else 2.0 * t / (d * (d - 1))
+      assert(got(v) == ((d, t, cc)), s"vertex $v")
+    }
+  }
+
   test("random graphs match a driver-side union-find oracle") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
