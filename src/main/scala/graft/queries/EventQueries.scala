@@ -600,6 +600,33 @@ object EventQueries {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("dau"), col("wau"), col("new_users"), col("cum_users"))
         .orderBy("day")
+    },
+
+    // Rolling 7-day median of daily counts per event_type — the robust
+    // smoother (median shrugs off the spike that drags a rolling mean).
+    // No engine has a median-over-window, so the trailing 7 values are
+    // collected IN-ROW (bounded: the frame is ≤ 7 elements regardless
+    // of corpus size), sorted, and interpolated with the dyadic
+    // midpoint rule — exact for integer counts in any engine. One
+    // event_type exchange drives both the window and the output sort.
+    "q_rolling_median" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      val sorted = array_sort(collect_list(col("c")).over(w))
+      val m = size(col("win"))
+      val med = when(m % 2 === 1,
+        element_at(col("win"), ((m + 1) / 2).cast(IntegerType)).cast(DoubleType))
+        .otherwise((element_at(col("win"), (m / 2).cast(IntegerType)) +
+          element_at(col("win"), (m / 2 + 1).cast(IntegerType)))
+          .cast(DoubleType) / lit(2.0))
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("win", sorted)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("c"),
+          size(col("win")).cast(LongType).as("n_win"), med.as("med7"))
+        .orderBy("event_type", "day")
     })
 
   val oracles: Map[String, String] = Map(
@@ -992,5 +1019,20 @@ object EventQueries {
              AS cum_users
          FROM dau d JOIN wau w ON d.day = w.day
            LEFT JOIN nu n ON d.day = n.day
-         ORDER BY day""")
+         ORDER BY day""",
+    "q_rolling_median" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, day, c,
+             list_sort(list(c) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS w
+           FROM daily)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c,
+           CAST(len(w) AS BIGINT) AS n_win,
+           CASE WHEN len(w) % 2 = 1 THEN CAST(w[(len(w) + 1) // 2] AS DOUBLE)
+                ELSE CAST(w[len(w) // 2] + w[len(w) // 2 + 1] AS DOUBLE) / 2e0
+           END AS med7
+         FROM win ORDER BY event_type, day""")
 }

@@ -872,6 +872,37 @@ object RelationalQueries {
         .orderBy(col("t").desc, col("n").asc).limit(50)
     },
 
+    // TPC-H Q5 (local supplier volume): the 6-table snowflake join —
+    // lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with
+    // the same-nation constraint — the multi-way join-order stress
+    // test. Plan shape to want: region/nation broadcast (tiny),
+    // customer/supplier broadcast at this SF but shuffle-joinable at
+    // fleet scale (no hint forced — Catalyst picks from stats), the
+    // orders date filter pushed to the scan BEFORE any join, and one
+    // exact-decimal revenue aggregate.
+    "q_tpch_q5" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast(DateType) &&
+          col("o_orderdate") < lit("1996-01-01").cast(DateType))
+      val c = Tables(s, dir, "customer")
+      val su = Tables(s, dir, "supplier")
+      val n = broadcast(Tables(s, dir, "nation"))
+      val r = broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(graft.ops.CoreOps.dsumExact(
+          col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) -
+              col("l_discount").cast(DecimalType(18, 4)))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // Gini concentration of order value within each priority segment —
     // the inequality/concentration statistic (revenue concentration,
     // data-source dominance). The rank window is PARTITIONED by
@@ -1401,6 +1432,18 @@ object RelationalQueries {
                 ELSE 2e0 * coalesce(tn.t, 0) / (deg.d * (deg.d - 1)) END AS cc
          FROM deg LEFT JOIN tn ON deg.n = tn.n
          ORDER BY t DESC, deg.n ASC LIMIT 50""",
+    "q_tpch_q5" ->
+      s"""SELECT n_name, ${decToDouble(s"sum($discountedDec)")} AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= DATE '1995-01-01'
+           AND o_orderdate < DATE '1996-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     // HUGEINT Σi·x_i cast to DOUBLE via VARCHAR (correctly-rounded
     // strtod) to match Spark's BigDecimal.doubleValue — same hazard as
     // decToDouble above
