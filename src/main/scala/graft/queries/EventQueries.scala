@@ -602,6 +602,43 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Chi-square 2x2 conversion test per event_type (categorical twin
+    // of q_ab_test's Welch t): did users of variant A convert (emit the
+    // event type at least once) at a different rate than variant B?
+    // One (user, type) distinct + one conditional aggregate; the
+    // variant population sizes are a 1-row broadcast. The 2x2 closed
+    // form N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is computed in
+    // DECIMAL(38) — (ad−bc)² overflows int64 at fleet scale — and cast
+    // to double once, correctly rounded in both engines.
+    "q_chi2" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val users = Tables(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .agg(count(when(col("user_id") % 2 === 0, lit(1))).as("n_a"),
+          count(when(col("user_id") % 2 === 1, lit(1))).as("n_b"))
+      val conv = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .groupBy(col("event_type"))
+        .agg(count(when(col("user_id") % 2 === 0, lit(1))).as("conv_a"),
+          count(when(col("user_id") % 2 === 1, lit(1))).as("conv_b"))
+      val a = col("conv_a")
+      val b = col("n_a") - col("conv_a")
+      val c = col("conv_b")
+      val d = col("n_b") - col("conv_b")
+      val n = col("n_a") + col("n_b")
+      val det = a.cast(dec) * d - b.cast(dec) * c
+      val denom = (a + b).cast(dec) * (c + d) * (a + c) * (b + d)
+      conv.crossJoin(broadcast(users))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("conv_a"), col("conv_b"),
+          (a.cast(DoubleType) / col("n_a")).as("rate_a"),
+          (c.cast(DoubleType) / col("n_b")).as("rate_b"),
+          when(denom === 0, lit(null)).otherwise(
+            (n.cast(dec) * det * det).cast(DoubleType) /
+              denom.cast(DoubleType)).as("chi2"))
+        .orderBy("event_type")
+    },
+
     // Rolling 7-day median of daily counts per event_type — the robust
     // smoother (median shrugs off the spike that drags a rolling mean).
     // No engine has a median-over-window, so the trailing 7 values are
@@ -1034,5 +1071,32 @@ object EventQueries {
            CASE WHEN len(w) % 2 = 1 THEN CAST(w[(len(w) + 1) // 2] AS DOUBLE)
                 ELSE CAST(w[len(w) // 2] + w[len(w) // 2 + 1] AS DOUBLE) / 2e0
            END AS med7
-         FROM win ORDER BY event_type, day""")
+         FROM win ORDER BY event_type, day""",
+    "q_chi2" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         pop AS (
+           SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+                  CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_b
+           FROM u),
+         ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         conv AS (
+           SELECT event_type,
+             CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS conv_a,
+             CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS conv_b
+           FROM ut GROUP BY 1),
+         cells AS (
+           SELECT event_type, n_a, n_b, conv_a, conv_b,
+             CAST(conv_a AS HUGEINT) * (n_b - conv_b)
+               - CAST(n_a - conv_a AS HUGEINT) * conv_b AS det,
+             CAST(n_a AS HUGEINT) * n_b
+               * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b) AS denom
+           FROM conv, pop)
+         SELECT event_type, n_a, n_b, conv_a, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           CASE WHEN denom = 0 THEN NULL
+                ELSE CAST(CAST((n_a + n_b) * det * det AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(denom AS VARCHAR) AS DOUBLE)
+           END AS chi2
+         FROM cells ORDER BY event_type""")
 }
