@@ -62,7 +62,16 @@ object ScaleSmoke {
     "q_incr_dedup", "q_embed_quant",
     // tokenizer apply: training runs on the (clone-invariant) vocab,
     // encoding is the linear corpus pass — wall should track the scan
-    "q_bpe_encode")
+    "q_bpe_encode",
+    // event-analytics tier at Nx USERS (user ids shifted per copy, so
+    // per-user history stays constant — the fleet regime; timestamps
+    // unchanged, so per-day/type groups get Nx fatter, stressing the
+    // type-keyed aggregates' partial-agg reduction): user-window ops
+    // (streaks, gaps, attribution), the distinct-collapsing growth
+    // grid, and the two inference aggregates — all should track the
+    // scan, none holds per-key state that grows with the corpus
+    "q_streak", "q_interarrival", "q_entropy", "q_growth_accounting",
+    "q_attribution", "q_ab_test", "q_chi2")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -90,7 +99,7 @@ object ScaleSmoke {
     // then overwrite documents with the shifted-id copies.
     val dst = java.nio.file.Paths.get(work)
     java.nio.file.Files.createDirectories(dst)
-    val scaled = Set("documents", "embeddings")
+    val scaled = Set("documents", "embeddings", "events")
     Tables.names.filterNot(scaled).foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"), dst.resolve(s"$t.parquet"),
@@ -108,6 +117,20 @@ object ScaleSmoke {
     }
     val nDocs = buildNx("documents", "doc_id")
     buildNx("embeddings", "vec_id")
+    // events: shift BOTH ids — event_id for uniqueness, user_id so the
+    // population grows Nx with per-user history constant (the realistic
+    // fleet regime for user-keyed windows; Nx-longer single-user
+    // timelines would instead measure per-key window state growth)
+    locally {
+      val df = Tables(spark, src, "events")
+      val eStep = df.agg(max(col("event_id"))).head().getLong(0) + 1
+      val uStep = df.agg(max(col("user_id"))).head().getLong(0) + 1
+      (0 until copies).map(k => df
+        .withColumn("event_id", col("event_id") + lit(k * eStep))
+        .withColumn("user_id", col("user_id") + lit(k * uStep)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$work/events.parquet")
+    }
 
     def timeAll(dir: String): Map[String, Double] = {
       Tables(spark, dir, "documents").write.format("noop").mode("overwrite").save()

@@ -26,7 +26,12 @@ object Tables {
     graft.functions.GraftFunctions.register(spark) // idempotent
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Re-materialized copies (ScaleSmoke's Nx events) already carry a
+    // true TIMESTAMP ts — only the driver's raw TIMESTAMP(NANOS)-as-long
+    // form needs the truncating cast.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }

@@ -602,6 +602,28 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Last-touch conversion attribution: each purchase is credited to
+    // the most recent PRECEDING non-purchase event of the same user —
+    // the marketing-attribution primitive. ONE pass: a running
+    // last(non-purchase, ignoreNulls) over the user timeline carries
+    // the candidate credit to every purchase row (no purchases⋈events
+    // self-join, no per-purchase subquery), then a tiny rollup counts
+    // conversions per attributed type. Purchases with no prior touch
+    // report as 'none' rather than vanishing.
+    "q_attribution" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("last_touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("last_touch"), lit("none")).as("attributed_type"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy("attributed_type")
+    },
+
     // Chi-square 2x2 conversion test per event_type (categorical twin
     // of q_ab_test's Welch t): did users of variant A convert (emit the
     // event type at least once) at a different rate than variant B?
@@ -1098,5 +1120,16 @@ object EventQueries {
                 ELSE CAST(CAST((n_a + n_b) * det * det AS VARCHAR) AS DOUBLE)
                   / CAST(CAST(denom AS VARCHAR) AS DOUBLE)
            END AS chi2
-         FROM cells ORDER BY event_type""")
+         FROM cells ORDER BY event_type""",
+    "q_attribution" ->
+      """WITH touched AS (
+           SELECT event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+           FROM events)
+         SELECT coalesce(last_touch, 'none') AS attributed_type,
+           count(*) AS n_conversions
+         FROM touched WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY attributed_type""")
 }
