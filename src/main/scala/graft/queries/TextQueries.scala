@@ -819,6 +819,39 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Heaps-law vocabulary growth: cumulative distinct trigram count
+    // after each decile of the corpus (doc-id order) — the diversity
+    // diagnostic that says whether new data still adds new content or
+    // the corpus has saturated. Scale design: "distinct seen so far"
+    // is NOT a running set — each shingle is charged to its FIRST
+    // document (one min-aggregate on the shingle key), per-doc
+    // new-shingle counts follow, and the cumulative sum runs over the
+    // |docs|-sized aggregated domain, never the shingle stream.
+    "q_heaps" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes",
+          TextOps.tokens(col("text")), lit(3), lit(42L))).as("sh"))
+      val perDocNew = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("doc_id"))
+      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.select(col("doc_id"))
+        .join(perDocNew, Seq("doc_id"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("r", row_number().over(w).cast(LongType))
+        .withColumn("cum", sum(col("n_new")).over(wCum))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("decile", expr("((r - 1) * 10) div n + 1"))
+        .groupBy(col("decile"))
+        .agg(max(col("r")).as("n_docs_cum"),
+          sum(col("n_new")).as("new_in_decile"),
+          max(col("cum")).as("vocab_cum"))
+        .orderBy("decile")
+    },
+
     // PageRank over the n-gram-Jaccard similarity graph: document
     // authority as a curation prior. Edge pipeline (the expensive
     // subtree) is checkpointed ONCE; three power-iteration rounds of
@@ -1149,6 +1182,18 @@ object TextQueries {
          SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
          FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
          GROUP BY a.id, b.id)"""
+
+  /** Just the per-doc distinct-trigram CTE (the `sh` block of
+    * [[ngramSharedCte]]) for oracles that need the shingle stream
+    * without the pair join.
+    */
+  private val shingleCte: String =
+    """sh AS (
+         SELECT doc_id AS id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+         )) AS sh
+         FROM documents WHERE len(string_split(text,' ')) >= 3)"""
 
   /** Directed twin of [[ngramSharedCte]] (ordered pairs a <> b) for the
     * containment oracle.
@@ -1598,6 +1643,22 @@ object TextQueries {
            JOIN sizes sb ON sb.id = id_b
          WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05
          ORDER BY id_a, id_b""",
+    "q_heaps" ->
+      s"""WITH $shingleCte,
+         firsts AS (SELECT sh, min(id) AS fd FROM sh GROUP BY 1),
+         nnew AS (SELECT fd, count(*) AS nn FROM firsts GROUP BY 1),
+         base AS (
+           SELECT d.doc_id, coalesce(nn, 0) AS nn,
+             row_number() OVER (ORDER BY d.doc_id) AS r,
+             sum(coalesce(nn, 0)) OVER (ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             count(*) OVER () AS n
+           FROM documents d LEFT JOIN nnew ON d.doc_id = nnew.fd)
+         SELECT CAST((r - 1) * 10 // n + 1 AS BIGINT) AS decile,
+           CAST(max(r) AS BIGINT) AS n_docs_cum,
+           CAST(sum(nn) AS BIGINT) AS new_in_decile,
+           CAST(max(cum) AS BIGINT) AS vocab_cum
+         FROM base GROUP BY 1 ORDER BY decile""",
     // directed variant of the shared-shingle CTE: ordered pairs, A's
     // distinct-shingle count as the denominator
     "q_containment" ->
