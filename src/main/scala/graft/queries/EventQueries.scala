@@ -602,6 +602,64 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Maximum drawdown of each user's running value balance — the
+    // risk/quant statistic (largest peak-to-trough decline). The whole
+    // computation stays in DECIMAL(18,4): per-row cast, running sum,
+    // running max, and their difference are all EXACT, so no float
+    // accumulation order can perturb the max; one double cast at the
+    // very end. Single user exchange drives both windows and the
+    // rollup.
+    "q_drawdown" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast(DecimalType(18, 4)).as("v"))
+        .withColumn("bal", sum(col("v")).over(w))
+        .withColumn("peak", max(col("bal")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("bal")).as("peak_dec"),
+          max(col("peak") - col("bal")).as("dd_dec"))
+        .select(col("user_id"), col("n_events"),
+          col("peak_dec").cast(DoubleType).as("peak_balance"),
+          col("dd_dec").cast(DoubleType).as("max_drawdown"))
+        .orderBy("user_id")
+    },
+
+    // Theil–Sen robust trend per event_type: the MEDIAN of all pairwise
+    // slopes of the daily count series — outlier days can't drag it the
+    // way one spike drags OLS. The pair join runs on the AGGREGATED
+    // daily frame (bounded by the time span, not corpus size: ~30 days
+    // → ≤435 pairs per type at any SF). The median is an explicit
+    // sort + row_number + dyadic midpoint — not percentile() — so the
+    // result is deterministic by construction even over arbitrary
+    // double slopes (interpolation formula differences can't appear).
+    "q_theil_sen" -> { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"), unix_date(col("day")).cast(LongType).as("d"),
+          col("c"))
+      val a = daily.withColumnsRenamed(Map("d" -> "da", "c" -> "ca"))
+      val b = daily.withColumnsRenamed(Map("d" -> "db", "c" -> "cb"))
+      val slopes = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+        .select(col("event_type"), col("da"), col("db"),
+          ((col("cb") - col("ca")).cast(DoubleType) / (col("db") - col("da")))
+            .as("slope"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("slope"), col("da"), col("db"))
+      val wAll = Window.partitionBy(col("event_type"))
+      slopes
+        .withColumn("r", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("r") === expr("(n + 1) div 2") ||
+          col("r") === expr("(n + 2) div 2"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_pairs"), avg(col("slope")).as("ts_slope"))
+        .orderBy("event_type")
+    },
+
     // Last-touch conversion attribution: each purchase is credited to
     // the most recent PRECEDING non-purchase event of the same user —
     // the marketing-attribution primitive. ONE pass: a running
@@ -1121,6 +1179,49 @@ object EventQueries {
                   / CAST(CAST(denom AS VARCHAR) AS DOUBLE)
            END AS chi2
          FROM cells ORDER BY event_type""",
+    // decimal running sums/maxes are exact in both engines; the final
+    // decimal->double casts go via VARCHAR (DuckDB's direct cast can be
+    // a ulp off the correctly-rounded value)
+    "q_drawdown" ->
+      """WITH running AS (
+           SELECT user_id, ts, event_id,
+             sum(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+           FROM events),
+         bal AS (
+           SELECT user_id, bal,
+             max(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM running)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(max(bal) AS VARCHAR) AS DOUBLE) AS peak_balance,
+           CAST(CAST(max(peak - bal) AS VARCHAR) AS DOUBLE) AS max_drawdown
+         FROM bal GROUP BY user_id ORDER BY user_id""",
+    "q_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS d, c
+           FROM daily),
+         slopes AS (
+           SELECT a.event_type, a.d AS da, b.d AS db,
+             CAST(b.c - a.c AS DOUBLE) / (b.d - a.d) AS slope
+           FROM idx a JOIN idx b
+             ON a.event_type = b.event_type AND a.d < b.d),
+         ranked AS (
+           SELECT event_type, slope,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY slope, da, db) AS BIGINT) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM slopes)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+           avg(slope) AS ts_slope
+         FROM ranked
+         WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+         GROUP BY event_type ORDER BY event_type""",
     "q_attribution" ->
       """WITH touched AS (
            SELECT event_type,

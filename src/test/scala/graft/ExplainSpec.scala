@@ -38,6 +38,7 @@ class ExplainSpec extends SparkSpec {
     "q_clustering_coef" -> 5,
     "q_tpch_q5" -> 2, "q_rolling_median" -> 3, "q_chi2" -> 5,
     "q_attribution" -> 3, "q_heaps" -> 3,
+    "q_drawdown" -> 2, "q_theil_sen" -> 3,
     // q_growth_accounting: 6 exchanges but only the first (the
     // (user, day) distinct) touches the raw stream; dau/wau/first-seen
     // all branch off the checkpointed activity grid
