@@ -52,5 +52,6 @@ object SparkEntry {
     "q_incr_dedup", "q_embed_quant", "q_ppl_strata", "q_bpe_encode",
     "q_pagerank", "q_novelty", "q_event_paths", "q_drift_psi", "q_ewma",
     "q_basket_rules", "q_triangle_count", "q_containment", "q_rfm",
-    "q_streak", "q_ab_test", "q_gini", "q_tpch_q5")
+    "q_streak", "q_ab_test", "q_gini", "q_tpch_q5", "q_heaps",
+    "q_growth_accounting")
 }
