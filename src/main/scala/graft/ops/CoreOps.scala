@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -213,6 +213,82 @@ object CoreOps {
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*).parquet(path)
+  }
+
+  /** Targeted row deletion (GDPR / right-to-be-forgotten): remove every
+    * row matching `predicate` from the parquet table at `path`, returning
+    * the number of rows deleted.
+    *
+    * Partitioned path (`partCols` non-empty): only the partitions that
+    * CONTAIN matches are read and rewritten — the affected-partition set
+    * comes from one pruned distinct over the matches, the rewrite rides
+    * dynamic partition overwrite (per-write option, no session-conf
+    * mutation), and partitions whose every row matched (dynamic overwrite
+    * would silently leave them — it only replaces partitions PRESENT in
+    * the written frame) are removed explicitly. A 100 TB table with one
+    * affected day rewrites one day. The survivors of affected partitions
+    * are localCheckpointed before the write because Spark refuses a write
+    * whose plan still reads the destination; the materialized size is
+    * bounded by the affected partitions, not the table.
+    *
+    * Unpartitioned path: full stage-then-swap rewrite with the same
+    * `_GRAFT_COMMIT` crash discipline as [[upsert]] (a crash between
+    * target delete and staging rename is recovered on the next call).
+    */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+      partCols: Seq[String] = Nil): Long = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    if (partCols.isEmpty) {
+      val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+      // same delete-then-crash recovery window as upsert
+      if (!fs.exists(target) && fs.exists(staging)) {
+        val complete =
+          fs.exists(new org.apache.hadoop.fs.Path(staging, CommitMarker)) ||
+            fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+        require(complete, s"deleteWhere($path): target missing and staging " +
+          s"$staging is incomplete (no $CommitMarker) — manual inspection required")
+        require(fs.rename(staging, target),
+          s"deleteWhere($path): recovery rename $staging -> $target failed")
+      }
+      val current = spark.read.parquet(path)
+      val deleted = current.filter(predicate).count()
+      if (deleted == 0L) return 0L
+      current.filter(!predicate)
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      fs.create(new org.apache.hadoop.fs.Path(staging, CommitMarker), true).close()
+      require(fs.delete(target, true),
+        s"deleteWhere($path): delete of $target failed")
+      require(fs.rename(staging, target),
+        s"deleteWhere($path): rename $staging -> $target failed")
+      deleted
+    } else {
+      val current = spark.read.parquet(path)
+      val hit = current.filter(predicate)
+        .select(partCols.map(col): _*).distinct().collect()
+      if (hit.isEmpty) return 0L
+      val partPred = hit.map { row =>
+        partCols.indices.map(i => col(partCols(i)) === lit(row.get(i)))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      val affected = current.filter(partPred)
+      val deleted = affected.filter(predicate).count()
+      val kept = affected.filter(!predicate).localCheckpoint()
+      val keptParts = kept.select(partCols.map(col): _*).distinct().collect()
+        .map(r => partCols.indices.map(i => s"${partCols(i)}=${r.get(i)}").mkString("/"))
+        .toSet
+      if (keptParts.nonEmpty)
+        kept.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCols: _*).parquet(path)
+      hit.map(r => partCols.indices.map(i => s"${partCols(i)}=${r.get(i)}").mkString("/"))
+        .filterNot(keptParts)
+        .foreach { rel =>
+          fs.delete(new org.apache.hadoop.fs.Path(target, rel), true)
+        }
+      deleted
+    }
   }
 
   /** Size-aware compacting write: repartition so output files land near

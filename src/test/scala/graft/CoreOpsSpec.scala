@@ -104,6 +104,57 @@ class CoreOpsSpec extends SparkSpec {
     assert(after.head == ((1L, 2L, "a2")))
   }
 
+  test("deleteWhere (unpartitioned): removes matches, keeps the rest, counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")).toDF("id", "tag")
+      .write.parquet(dir)
+    assert(CoreOps.deleteWhere(spark, dir, col("tag") === "a") == 2L)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+      .toSeq == Seq((2L, "b"), (4L, "c")))
+    // no matches: table untouched, zero reported
+    assert(CoreOps.deleteWhere(spark, dir, col("tag") === "zzz") == 0L)
+    assert(spark.read.parquet(dir).count() == 2L)
+  }
+
+  test("deleteWhere recovers the delete-then-crash staging window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_rec").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag").write.parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(dir + ".staging")
+    Seq((2L, "b")).toDF("id", "tag").write.parquet(staging.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging, CoreOps.CommitMarker), true).close()
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir), true))
+    // next call finishes the swap, then applies its own (no-op) delete
+    assert(CoreOps.deleteWhere(spark, dir, col("tag") === "zzz") == 0L)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSeq ==
+      Seq((2L, "b")))
+  }
+
+  test("deleteWhere (partitioned): rewrites only affected partitions, drops emptied ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_p").toString + "/t"
+    Seq((1L, "u1", "d1"), (2L, "u2", "d1"), (3L, "u1", "d2"), (4L, "u1", "d3"))
+      .toDF("id", "user", "day")
+      .write.partitionBy("day").parquet(dir)
+    val d1Files = new java.io.File(s"$dir/day=d1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified))
+    // u1 appears in d1 (with a survivor), d2 (sole row), d3 (sole row);
+    // delete u1 rows only where day != d3 — d3 must stay untouched
+    val n = CoreOps.deleteWhere(spark, dir,
+      col("user") === "u1" && col("day") =!= "d3", partCols = Seq("day"))
+    assert(n == 2L)
+    val left = spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+    assert(left == Seq(2L, 4L))
+    // d2 was fully deleted -> its directory is gone
+    assert(!new java.io.File(s"$dir/day=d2").exists())
+    // d1 was rewritten (it contained a match)
+    val d1After = new java.io.File(s"$dir/day=d1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified))
+    assert(d1After.nonEmpty && d1After.toSet != d1Files.toSet)
+    // d3 files untouched (never read, never rewritten)
+    assert(new java.io.File(s"$dir/day=d3").exists())
+  }
+
   test("upsert recovers a completed-but-unswapped staging after a delete-crash") {
     val dir = java.nio.file.Files.createTempDirectory("graft_up_rec").toString + "/t"
     CoreOps.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "v"),
