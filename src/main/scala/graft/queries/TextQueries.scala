@@ -117,6 +117,37 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Matryoshka / truncated-dimension ablation: recall@5 of cosine
+    // top-k computed on the first 8/16/32 components against the
+    // full-64-dim truth — the "how few dims can retrieval afford"
+    // diagnostic behind embedding-dimension and storage decisions.
+    // The truth set is checkpointed once and semi-joined per variant;
+    // recall compares ID SETS (counts of exact integers), so the only
+    // float parity needed is the cosine ranking itself — already
+    // engine-exact per q_embed_cosine_topk.
+    "q_matryoshka" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      val truth = VectorOps.bruteForceTopK(q, e, k = 5)
+        .select(col("q_id"), col("n_id")).localCheckpoint()
+      val hits = Seq(8, 16, 32).map { d =>
+        val qd = q.withColumn("embedding", slice(col("embedding"), 1, d))
+        val ed = e.withColumn("embedding", slice(col("embedding"), 1, d))
+        VectorOps.bruteForceTopK(qd, ed, k = 5)
+          .select(col("q_id"), col("n_id"))
+          .join(truth, Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(d.toLong).as("dim"), col("n_hits"))
+      }.reduce(_ unionByName _)
+      val nQ = truth.select(col("q_id")).distinct()
+        .agg(count(lit(1)).as("n_queries"))
+      hits.crossJoin(broadcast(nQ))
+        .select(col("dim"), col("n_queries"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) / (col("n_queries") * lit(5)))
+            .as("recall_at5"))
+        .orderBy("dim")
+    },
+
     // Per-label element-wise centroid — the k-means/IVF training step:
     // posexplode to (label, pos, x), one partial-agged shuffle. Element
     // sums are accumulated as floor(x * 2^20) integers: the float→double
@@ -1822,6 +1853,44 @@ object TextQueries {
            FROM scored)
          SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos_sim FROM ranked
          WHERE rk <= 5 ORDER BY q_id, rk""",
+    "q_matryoshka" -> {
+      def cosD(d: String) =
+        s"""list_sum(list_transform(range(1, $d + 1), i -> q.vec[i] * c.vec[i]))
+           / (sqrt(list_sum(list_transform(range(1, $d + 1), i -> q.vec[i] * q.vec[i])))
+            * sqrt(list_sum(list_transform(range(1, $d + 1), i -> c.vec[i] * c.vec[i]))))"""
+      val dims = Seq(8, 16, 32)
+      val blocks = (dims.map { d =>
+        s"""sc$d AS (
+             SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${cosD(d.toString)} AS cs
+             FROM v q JOIN v c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+           rk$d AS (
+             SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rk
+             FROM sc$d),
+           hit$d AS (
+             SELECT CAST(count(*) AS BIGINT) AS n_hits
+             FROM rk$d JOIN truth USING (q_id, n_id) WHERE rk$d.rk <= 5)"""
+      }).mkString(",\n")
+      val rows = dims.map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dim,
+           (SELECT n_queries FROM nq) AS n_queries,
+           (SELECT n_hits FROM hit$d) AS n_hits,
+           CAST((SELECT n_hits FROM hit$d) AS DOUBLE)
+             / ((SELECT n_queries FROM nq) * 5) AS recall_at5"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         scf AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${cosD("len(q.vec)")} AS cs
+           FROM v q JOIN v c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         truth AS (
+           SELECT q_id, n_id FROM (
+             SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rk
+             FROM scf) WHERE rk <= 5),
+         nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM truth),
+         $blocks
+         SELECT * FROM ($rows) ORDER BY dim"""
+    },
     "q_embed_cosine_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          scored AS (

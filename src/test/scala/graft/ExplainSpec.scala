@@ -39,6 +39,11 @@ class ExplainSpec extends SparkSpec {
     "q_tpch_q5" -> 2, "q_rolling_median" -> 3, "q_chi2" -> 5,
     "q_attribution" -> 3, "q_heaps" -> 3,
     "q_drawdown" -> 2, "q_theil_sen" -> 3,
+    // q_matryoshka: 4 independent brute-force top-k pipelines (full
+    // truth + 3 truncated variants) at ~3 exchanges each — every frame
+    // is (|queries| x k)-sized after the aggregator's map-side cap, so
+    // the count is wide but each exchange is tiny
+    "q_matryoshka" -> 13,
     // q_growth_accounting: 6 exchanges but only the first (the
     // (user, day) distinct) touches the raw stream; dau/wau/first-seen
     // all branch off the checkpointed activity grid
