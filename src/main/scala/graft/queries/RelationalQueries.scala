@@ -903,6 +903,30 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // Benford first-digit screen on order values — the classic
+    // fabricated-data / ingestion-bug detector: natural multi-scale
+    // amounts follow P(d) = log10(1 + 1/d); a flat or spiked profile
+    // flags the source. Exactness: the leading digit comes from the
+    // DECIMAL-exact cents value via string head (never float log10 of
+    // the value, whose edge rounding could flip a digit); only the
+    // reference probabilities touch libm, and they are round(6)ed on
+    // both sides.
+    "q_benford" -> { (s, dir) =>
+      val tot = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .select(substring(
+          (col("o_totalprice").cast(DecimalType(18, 4)) * lit(100))
+            .cast(LongType).cast(StringType), 1, 1).cast(LongType).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("share", col("n").cast(DoubleType) / sum(col("n")).over(tot))
+        .select(col("digit"), col("n"), round(col("share"), 6).as("share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_p"),
+          round(col("share") - log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+            .as("excess"))
+        .orderBy("digit")
+    },
+
     // Gini concentration of order value within each priority segment —
     // the inequality/concentration statistic (revenue concentration,
     // data-source dominance). The rank window is PARTITIONED by
@@ -1432,6 +1456,17 @@ object RelationalQueries {
                 ELSE 2e0 * coalesce(tn.t, 0) / (deg.d * (deg.d - 1)) END AS cc
          FROM deg LEFT JOIN tn ON deg.n = tn.n
          ORDER BY t DESC, deg.n ASC LIMIT 50""",
+    "q_benford" ->
+      """WITH d AS (
+           SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+             AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM orders),
+         c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         t AS (SELECT digit, n, CAST(n AS DOUBLE) / sum(n) OVER () AS share FROM c)
+         SELECT digit, n, round(share, 6) AS share,
+           round(log10(1e0 + 1e0 / digit), 6) AS benford_p,
+           round(share - log10(1e0 + 1e0 / digit), 6) AS excess
+         FROM t ORDER BY digit""",
     "q_tpch_q5" ->
       s"""SELECT n_name, ${decToDouble(s"sum($discountedDec)")} AS revenue
          FROM lineitem

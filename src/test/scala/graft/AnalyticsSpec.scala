@@ -102,4 +102,76 @@ class AnalyticsSpec extends SparkSpec {
     val allMean = Tables(spark, sf, "documents").agg(avg("n_chars")).head().getDouble(0)
     assert(selMean > allMean * 0.9, s"sel=$selMean all=$allMean")
   }
+
+  test("stats-tier range invariants: entropy, ACF, Gini, drawdown, recall, chi2") {
+    // entropy in [0, ln k] and normalized form in [0, 1]
+    run("q_entropy").collect().foreach { r =>
+      val k = r.getAs[Long]("n_types")
+      val h = r.getAs[Double]("entropy")
+      val hn = r.getAs[Double]("entropy_norm")
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-6, s"H=$h k=$k")
+      assert(hn >= 0.0 && hn <= 1.0 + 1e-9, s"Hn=$hn")
+    }
+    run("q_autocorr").collect().foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12, s"acf=$a")
+    }
+    run("q_gini").collect().foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini=$g")
+    }
+    run("q_drawdown").collect().foreach { r =>
+      assert(r.getAs[Double]("max_drawdown") >= 0.0)
+    }
+    run("q_matryoshka").collect().foreach { r =>
+      val rec = r.getAs[Double]("recall_at5")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall=$rec")
+    }
+    run("q_chi2").collect().foreach { r =>
+      assert(r.getAs[Double]("chi2") >= 0.0)
+    }
+  }
+
+  test("streaks tile the active days; benford shares sum to 1") {
+    run("q_streak").collect().foreach { r =>
+      val longest = r.getAs[Long]("longest_streak")
+      val active = r.getAs[Long]("n_active_days")
+      val nStreaks = r.getAs[Long]("n_streaks")
+      assert(longest >= 1 && longest <= active)
+      assert(nStreaks >= 1 && nStreaks <= active)
+    }
+    val shares = run("q_benford").collect().map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, shares.sum)
+  }
+
+  test("growth accounting: WAU >= DAU, cumulative users monotone, totals consistent") {
+    val rows = run("q_growth_accounting").collect()
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"))
+    }
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    val totalUsers = Tables(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(cums.last == totalUsers)
+    assert(rows.map(_.getAs[Long]("new_users")).sum == totalUsers)
+  }
+
+  test("theil-sen slope lies within the pairwise slope envelope") {
+    val daily = Tables(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), unix_date(col("day")).cast("long").as("d"), col("c"))
+      .collect().groupBy(_.getString(0))
+    run("q_theil_sen").collect().foreach { r =>
+      val t = r.getString(0)
+      val pts = daily(t).map(x => (x.getAs[Long]("d"), x.getAs[Long]("c"))).sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1)
+      val ts = r.getAs[Double]("ts_slope")
+      assert(ts >= slopes.min - 1e-12 && ts <= slopes.max + 1e-12, s"$t: $ts")
+      assert(r.getAs[Long]("n_pairs") == slopes.length)
+    }
+  }
 }
