@@ -602,6 +602,49 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Kaplan–Meier survival curve over user lifetimes (days between
+    // first and last activity; users still active on the corpus's last
+    // day are right-censored) — the churn-analysis primitive. Scale
+    // design: ONE per-user aggregate collapses the stream; everything
+    // after runs on the |distinct lifetimes| domain (at-risk counts are
+    // a suffix sum, the product Π(1−d/n) a cumulative window). The
+    // product is carried as an exact-grid sum of ln terms (the GridSum
+    // discipline) and exponentiated once, round(6) — so partial-agg
+    // order can't perturb it and engines agree.
+    "q_survival" -> { (s, dir) =>
+      val wDesc = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables(s, dir, "events")
+      val life = e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("fd"), max(to_date(col("ts"))).as("ld"))
+      val mx = e.agg(max(to_date(col("ts"))).as("corpus_max"))
+      val grid = lit(1e9)
+      life.crossJoin(broadcast(mx))
+        .select(datediff(col("ld"), col("fd")).cast(LongType).as("t"),
+          when(col("ld") === col("corpus_max"), 1L).otherwise(0L).as("censored"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_at_t"),
+          sum(when(col("censored") === 0, 1L).otherwise(0L)).as("d"))
+        .withColumn("n_risk", sum(col("n_at_t")).over(wDesc))
+        .withColumn("g",
+          when(col("d") === 0, lit(0L))
+            .when(col("d") === col("n_risk"), lit(null))
+            .otherwise(floor(
+              log(lit(1.0) - col("d").cast(DoubleType) / col("n_risk")) * grid
+                + lit(0.5)).cast(LongType)))
+        .withColumn("dead",
+          when(col("d") === col("n_risk"), 1L).otherwise(0L))
+        .withColumn("gcum", sum(coalesce(col("g"), lit(0L))).over(wAsc))
+        .withColumn("anydead", max(col("dead")).over(wAsc))
+        .select(col("t").as("t_days"), col("n_risk"), col("d"),
+          when(col("anydead") === 1, lit(0.0))
+            .otherwise(round(exp(col("gcum").cast(DoubleType) / grid), 6))
+            .as("s_km"))
+        .orderBy("t_days")
+    },
+
     // Maximum drawdown of each user's running value balance — the
     // risk/quant statistic (largest peak-to-trough decline). The whole
     // computation stays in DECIMAL(18,4): per-row cast, running sum,
@@ -1179,6 +1222,43 @@ object EventQueries {
                   / CAST(CAST(denom AS VARCHAR) AS DOUBLE)
            END AS chi2
          FROM cells ORDER BY event_type""",
+    "q_survival" ->
+      """WITH life AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+           FROM events GROUP BY 1),
+         mx AS (SELECT max(CAST(ts AS DATE)) AS corpus_max FROM events),
+         lives AS (
+           SELECT user_id, datediff('day', fd, ld) AS life,
+             CASE WHEN ld = corpus_max THEN 1 ELSE 0 END AS censored
+           FROM life, mx),
+         tg AS (
+           SELECT life AS t, count(*) AS n_at_t,
+             sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS d
+           FROM lives GROUP BY 1),
+         risk AS (
+           SELECT t, CAST(d AS BIGINT) AS d,
+             CAST(sum(n_at_t) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+           FROM tg),
+         terms AS (
+           SELECT t, d, n_risk,
+             CASE WHEN d = 0 THEN 0
+                  WHEN d = n_risk THEN NULL
+                  ELSE CAST(floor(ln(1e0 - CAST(d AS DOUBLE)/n_risk) * 1.0e9 + 0.5e0)
+                    AS BIGINT) END AS g,
+             CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+           FROM risk),
+         cum AS (
+           SELECT t, d, n_risk,
+             sum(coalesce(g, 0)) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum,
+             max(dead) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anydead
+           FROM terms)
+         SELECT CAST(t AS BIGINT) AS t_days, n_risk, d,
+           CASE WHEN anydead = 1 THEN 0e0
+                ELSE round(exp(CAST(gcum AS DOUBLE) / 1.0e9), 6) END AS s_km
+         FROM cum ORDER BY t_days""",
     // decimal running sums/maxes are exact in both engines; the final
     // decimal->double casts go via VARCHAR (DuckDB's direct cast can be
     // a ulp off the correctly-rounded value)
