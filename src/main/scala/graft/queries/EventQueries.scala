@@ -602,6 +602,65 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Time-to-convert between funnel stages: per user, the delay from
+    // first view to first subsequent click, and from that click to the
+    // first subsequent purchase — then median/p90-free dyadic stats per
+    // stage pair (median + IQR on integer microsecond deltas, exact
+    // like q_interarrival). Same single-window conditional-minima fold
+    // as q_funnel, so the stage times come from ONE pass.
+    "q_funnel_time" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tV = min(when(col("event_type") === "view", col("ts"))).over(w)
+      val base = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t_view", tV)
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("t_view").isNotNull,
+            col("ts"))).over(w))
+        .withColumn("t_buy",
+          min(when(col("event_type") === "purchase" && col("t_click").isNotNull,
+            col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("t_view")).as("v"), max(col("t_click")).as("c"),
+          max(col("t_buy")).as("b"))
+      val stages = base.select(lit("view_to_click").as("stage"),
+        (unix_micros(col("c")) - unix_micros(col("v"))).as("delta"))
+        .filter(col("delta").isNotNull)
+        .unionByName(base.select(lit("click_to_purchase").as("stage"),
+          (unix_micros(col("b")) - unix_micros(col("c"))).as("delta"))
+          .filter(col("delta").isNotNull))
+      stages.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"),
+          percentile(col("delta"), lit(0.5)).as("median_us"),
+          (percentile(col("delta"), lit(0.75)) - percentile(col("delta"), lit(0.25)))
+            .as("iqr_us"))
+        .orderBy("stage")
+    },
+
+    // Audience overlap: Jaccard similarity between the user sets of
+    // every event-type pair — the segmentation/cannibalization view.
+    // One (type, user) distinct, a self-join on user (narrow rows),
+    // and per-type audience sizes broadcast onto the tiny pair matrix.
+    "q_audience_overlap" -> { (s, dir) =>
+      val ut = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct().localCheckpoint()
+      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val shared = ut.withColumnRenamed("event_type", "type_a")
+        .join(ut.withColumnRenamed("event_type", "type_b"), Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(sizes.withColumnsRenamed(
+          Map("event_type" -> "type_a", "n" -> "n_a"))), "type_a")
+        .join(broadcast(sizes.withColumnsRenamed(
+          Map("event_type" -> "type_b", "n" -> "n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_shared"),
+          (col("n_shared").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+
     // Kaplan–Meier survival curve over user lifetimes (days between
     // first and last activity; users still active on the corpus's last
     // day are right-censored) — the churn-analysis primitive. Scale
@@ -1222,6 +1281,56 @@ object EventQueries {
                   / CAST(CAST(denom AS VARCHAR) AS DOUBLE)
            END AS chi2
          FROM cells ORDER BY event_type""",
+    "q_funnel_time" ->
+      """WITH st AS (
+           SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER w AS t_view
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         st2 AS (
+           SELECT user_id, ts, event_id, event_type, t_view,
+             min(CASE WHEN event_type = 'click' AND t_view IS NOT NULL THEN ts END)
+               OVER w AS t_click
+           FROM st
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         st3 AS (
+           SELECT user_id, t_view, t_click,
+             min(CASE WHEN event_type = 'purchase' AND t_click IS NOT NULL THEN ts END)
+               OVER w AS t_buy
+           FROM st2
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         per AS (
+           SELECT user_id, max(t_view) AS v, max(t_click) AS c, max(t_buy) AS b
+           FROM st3 GROUP BY 1),
+         deltas AS (
+           SELECT 'view_to_click' AS stage, epoch_us(c) - epoch_us(v) AS delta
+           FROM per WHERE c IS NOT NULL
+           UNION ALL
+           SELECT 'click_to_purchase' AS stage, epoch_us(b) - epoch_us(c) AS delta
+           FROM per WHERE b IS NOT NULL)
+         SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+           quantile_cont(delta, 0.5e0) AS median_us,
+           quantile_cont(delta, 0.75e0) - quantile_cont(delta, 0.25e0) AS iqr_us
+         FROM deltas GROUP BY stage ORDER BY stage""",
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+         sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+         shared AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM ut a JOIN ut b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+         FROM shared
+           JOIN sizes sa ON sa.event_type = type_a
+           JOIN sizes sb ON sb.event_type = type_b
+         ORDER BY type_a, type_b""",
     "q_survival" ->
       """WITH life AS (
            SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
