@@ -71,7 +71,14 @@ object ScaleSmoke {
     // grid, and the two inference aggregates — all should track the
     // scan, none holds per-key state that grows with the corpus
     "q_streak", "q_interarrival", "q_entropy", "q_growth_accounting",
-    "q_attribution", "q_ab_test", "q_chi2")
+    "q_attribution", "q_ab_test", "q_chi2",
+    // second wave of the tier: user-window state (drawdown, funnel
+    // delays, debounce), the distinct self-join (audience overlap),
+    // lifetimes (survival), and the type-keyed series stats whose
+    // per-(type, day) groups get Nx fatter
+    "q_drawdown", "q_funnel_time", "q_debounce", "q_audience_overlap",
+    "q_survival", "q_cusum", "q_seasonality", "q_forecast_backtest",
+    "q_rolling_median", "q_theil_sen", "q_autocorr")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

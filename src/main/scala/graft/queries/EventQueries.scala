@@ -602,6 +602,24 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Event debounce — stream cleaning: keep only the FIRST event of
+    // each burst (a burst = the same 30-min-gap session q_sessionize
+    // derives), collapsing retry storms and double-clicks before
+    // analytics. One user window; the kept row is the session opener,
+    // so the lag-gap predicate IS the filter (no second pass, and
+    // semantically identical to rank-1-per-session).
+    "q_debounce" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("event_type"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Time-to-convert between funnel stages: per user, the delay from
     // first view to first subsequent click, and from that click to the
     // first subsequent purchase — then median/p90-free dyadic stats per
@@ -1281,6 +1299,17 @@ object EventQueries {
                   / CAST(CAST(denom AS VARCHAR) AS DOUBLE)
            END AS chi2
          FROM cells ORDER BY event_type""",
+    "q_debounce" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events)
+         SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
+         FROM g
+         WHERE prev_ts IS NULL
+           OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+         ORDER BY user_id, event_id""",
     "q_funnel_time" ->
       """WITH st AS (
            SELECT user_id, ts, event_id, event_type,
