@@ -117,6 +117,29 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Embedding-level decontamination: flag training vectors whose max
+    // cosine to ANY eval-set vector crosses the near-dup threshold —
+    // the semantic sibling of q_decontaminate's exact-span probe
+    // (paraphrased eval leakage that span hashes miss). Scale shape:
+    // the (tiny, FIXED-size) eval set rides in one broadcast row as an
+    // array; each corpus vector folds its max similarity IN-ROW — the
+    // corpus never shuffles at all until the output sort.
+    "q_embed_decontam" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val evalSet = e.filter(col("vec_id") % 50 === 0)
+        .agg(collect_list(VectorOps.toDoubleVec(col("embedding"))).as("evals"))
+      e.filter(col("vec_id") % 50 =!= 0)
+        .crossJoin(broadcast(evalSet))
+        .select(col("vec_id"),
+          array_max(transform(col("evals"),
+            v => call_function("graft_cosine",
+              VectorOps.toDoubleVec(col("embedding")), v)))
+            .as("max_eval_sim"))
+        .select(col("vec_id"), col("max_eval_sim"),
+          (col("max_eval_sim") >= 0.95).as("contaminated"))
+        .orderBy("vec_id")
+    },
+
     // Matryoshka / truncated-dimension ablation: recall@5 of cosine
     // top-k computed on the first 8/16/32 components against the
     // full-64-dim truth — the "how few dims can retrieval afford"
@@ -1853,6 +1876,18 @@ object TextQueries {
            FROM scored)
          SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos_sim FROM ranked
          WHERE rk <= 5 ORDER BY q_id, rk""",
+    "q_embed_decontam" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         sims AS (
+           SELECT c.vec_id,
+             max(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * q.vec[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))
+                * sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i])))))
+               AS max_eval_sim
+           FROM v c JOIN v q ON c.vec_id % 50 <> 0 AND q.vec_id % 50 = 0
+           GROUP BY c.vec_id)
+         SELECT vec_id, max_eval_sim, max_eval_sim >= 0.95e0 AS contaminated
+         FROM sims ORDER BY vec_id""",
     "q_matryoshka" -> {
       def cosD(d: String) =
         s"""list_sum(list_transform(range(1, $d + 1), i -> q.vec[i] * c.vec[i]))
