@@ -903,6 +903,48 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // IQR-trimmed mean per segment — the robust location estimate
+    // (outliers beyond the quartiles don't move it). Cuts are exact
+    // percentiles over integer cents at dyadic probes (cross-engine
+    // exact), broadcast back for a compare-only second aggregate; the
+    // trimmed mean itself is an exact integer sum over survivors.
+    "q_trimmed_mean" -> { (s, dir) =>
+      val cents = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          (col("o_totalprice").cast(DecimalType(18, 4)) * lit(100))
+            .cast(LongType).as("x"))
+      val cuts = cents.groupBy(col("prio"))
+        .agg(percentile(col("x"), lit(0.25)).as("lo"),
+          percentile(col("x"), lit(0.75)).as("hi"))
+      cents.join(broadcast(cuts), Seq("prio"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_all"),
+          count(when(col("x") >= col("lo") && col("x") <= col("hi"), lit(1)))
+            .as("n_kept"),
+          sum(when(col("x") >= col("lo") && col("x") <= col("hi"), col("x")))
+            .as("kept_cents"))
+        .select(col("prio").as("o_orderpriority"), col("n_all"), col("n_kept"),
+          (col("kept_cents").cast(DoubleType) / (col("n_kept") * lit(1e2)))
+            .as("trimmed_mean"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Modal value — the one classic SQL aggregate Spark lacks natively:
+    // most frequent ship-hour per priority via count + rank-1 (ties to
+    // the earliest hour, deterministic).
+    "q_mode" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("n").desc, col("hour").asc)
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          hour(col("o_orderdate")).cast(LongType).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_orderpriority"), col("hour").as("modal_hour"), col("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // Benford first-digit screen on order values — the classic
     // fabricated-data / ingestion-bug detector: natural multi-scale
     // amounts follow P(d) = log10(1 + 1/d); a flat or spiked profile
@@ -1456,6 +1498,33 @@ object RelationalQueries {
                 ELSE 2e0 * coalesce(tn.t, 0) / (deg.d * (deg.d - 1)) END AS cc
          FROM deg LEFT JOIN tn ON deg.n = tn.n
          ORDER BY t DESC, deg.n ASC LIMIT 50""",
+    "q_trimmed_mean" ->
+      """WITH cents AS (
+           SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS x
+           FROM orders),
+         cuts AS (
+           SELECT prio, quantile_cont(x, 0.25e0) AS lo, quantile_cont(x, 0.75e0) AS hi
+           FROM cents GROUP BY 1)
+         SELECT c.prio AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (x >= lo AND x <= hi) AS BIGINT) AS n_kept,
+           CAST(sum(x) FILTER (x >= lo AND x <= hi) AS DOUBLE)
+             / (count(*) FILTER (x >= lo AND x <= hi) * 1e2) AS trimmed_mean
+         FROM cents c JOIN cuts ON c.prio = cuts.prio
+         GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_mode" ->
+      """WITH h AS (
+           SELECT o_orderpriority, CAST(hour(o_orderdate) AS BIGINT) AS hour,
+             count(*) AS n
+           FROM orders GROUP BY 1, 2),
+         rk AS (
+           SELECT o_orderpriority, hour, CAST(n AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY n DESC, hour ASC) AS r
+           FROM h)
+         SELECT o_orderpriority, hour AS modal_hour, n
+         FROM rk WHERE r = 1 ORDER BY o_orderpriority""",
     "q_benford" ->
       """WITH d AS (
            SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
