@@ -602,6 +602,51 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // CUPED variance reduction — the industry experimentation
+    // methodology (Deng et al., WSDM'13): regress the experiment
+    // metric on a pre-period covariate (here: first-half event count
+    // vs second-half value sum), subtract θ·(x − x̄), and report
+    // per-variant means/variances of both raw and adjusted metrics.
+    // Determinism: θ comes from exact integer/DECIMAL co-moments (one
+    // tiny reduce, broadcast back); the adjusted-metric aggregates go
+    // through exact-grid sums + round, so no accumulation order leaks.
+    "q_cuped" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val cut = lit("2024-01-16").cast(DateType)
+      val per = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(when(to_date(col("ts")) < cut, lit(1))).as("x"),
+          coalesce(sum(when(to_date(col("ts")) >= cut,
+            floor(col("value") * lit(1000000) + lit(0.5)).cast(LongType))),
+            lit(0L)).as("yg"))
+        .withColumn("variant", col("user_id") % 2)
+        .localCheckpoint() // branched: co-moment reduce + adjusted pass
+      val mom = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("yg")).as("sy"),
+        sum((col("x") * col("yg")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      val theta = mom.select(
+        (col("sx").cast(DoubleType) / col("n")).as("xbar"),
+        ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType)
+          - col("sx").cast(DoubleType) * col("sy")) /
+          (col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sx")) / lit(1e6)).as("th"))
+      val adj = per.crossJoin(broadcast(theta))
+        .select(col("variant"), (col("yg") / lit(1e6)).as("y"),
+          (col("yg") / lit(1e6) - col("th") * (col("x") - col("xbar"))).as("ya"))
+      def gsum(c: Column, g: Double): Column =
+        sum(floor(c * lit(g) + lit(0.5)).cast(LongType)).cast(DoubleType) / lit(g)
+      adj.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          round(gsum(col("y"), 1e9) / count(lit(1)), 6).as("mean_y"),
+          round(gsum(col("ya"), 1e9) / count(lit(1)), 6).as("mean_y_adj"),
+          round(gsum(col("y") * col("y"), 1e3) / count(lit(1))
+            - pow(gsum(col("y"), 1e9) / count(lit(1)), 2), 3).as("var_y"),
+          round(gsum(col("ya") * col("ya"), 1e3) / count(lit(1))
+            - pow(gsum(col("ya"), 1e9) / count(lit(1)), 2), 3).as("var_y_adj"))
+        .orderBy("variant")
+    },
+
     // Event debounce — stream cleaning: keep only the FIRST event of
     // each burst (a burst = the same 30-min-gap session q_sessionize
     // derives), collapsing retry storms and double-clicks before
@@ -1299,6 +1344,44 @@ object EventQueries {
                   / CAST(CAST(denom AS VARCHAR) AS DOUBLE)
            END AS chi2
          FROM cells ORDER BY event_type""",
+    "q_cuped" ->
+      """WITH per AS (
+           SELECT user_id, user_id % 2 AS variant,
+             CAST(count(*) FILTER (CAST(ts AS DATE) < DATE '2024-01-16') AS BIGINT) AS x,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5e0) AS BIGINT))
+               FILTER (CAST(ts AS DATE) >= DATE '2024-01-16') AS BIGINT) AS yg0
+           FROM events GROUP BY 1, 2),
+         pu AS (SELECT user_id, variant, x, coalesce(yg0, 0) AS yg FROM per),
+         mom AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(yg) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * yg) AS VARCHAR) AS sxyv,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS sxxv
+           FROM pu),
+         theta AS (
+           SELECT CAST(sx AS DOUBLE) / n AS xbar,
+             (CAST(n AS DOUBLE) * CAST(sxyv AS DOUBLE)
+               - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * CAST(sxxv AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sx) / 1e6 AS th
+           FROM mom),
+         adj AS (
+           SELECT variant, yg / 1e6 AS y, yg / 1e6 - th * (x - xbar) AS ya
+           FROM pu, theta)
+         SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(floor(y * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE)
+             / 1.0e9 / count(*), 6) AS mean_y,
+           round(CAST(sum(CAST(floor(ya * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE)
+             / 1.0e9 / count(*), 6) AS mean_y_adj,
+           round(CAST(sum(CAST(floor(y * y * 1.0e3 + 0.5e0) AS BIGINT)) AS DOUBLE)
+             / 1.0e3 / count(*)
+             - pow(CAST(sum(CAST(floor(y * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE)
+               / 1.0e9 / count(*), 2), 3) AS var_y,
+           round(CAST(sum(CAST(floor(ya * ya * 1.0e3 + 0.5e0) AS BIGINT)) AS DOUBLE)
+             / 1.0e3 / count(*)
+             - pow(CAST(sum(CAST(floor(ya * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE)
+               / 1.0e9 / count(*), 2), 3) AS var_y_adj
+         FROM adj GROUP BY variant ORDER BY variant""",
     "q_debounce" ->
       """WITH g AS (
            SELECT user_id, event_id, ts, event_type,
