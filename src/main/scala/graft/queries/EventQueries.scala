@@ -602,6 +602,39 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Two-sample Kolmogorov–Smirnov distance per event_type — "did the
+    // treatment change the SHAPE of the value distribution", which
+    // mean-based tests miss. Exactness: both ECDFs live on the shared
+    // integer value grid, and the sup-distance is maximized on the
+    // CROSS-MULTIPLIED integer numerator |Fa·na·nb − Fb·na·nb| =
+    // |ca·nb − cb·na| (DECIMAL — it passes int64 at fleet counts), so
+    // the argmax involves no float at all; ONE division at the end.
+    // The cumsum window and final max share one event_type exchange.
+    "q_ks_test" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("gv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      Tables(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 2).as("variant"),
+          floor(col("value") * lit(1000000) + lit(0.5)).cast(LongType).as("gv"))
+        .groupBy(col("event_type"), col("gv"))
+        .agg(count(when(col("variant") === 0, lit(1))).as("ca"),
+          count(when(col("variant") === 1, lit(1))).as("cb"))
+        .withColumn("cca", sum(col("ca")).over(w))
+        .withColumn("ccb", sum(col("cb")).over(w))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          max(abs(col("cca").cast(dec) * col("nb")
+            - col("ccb").cast(dec) * col("na"))).as("dnum"))
+        .select(col("event_type"), col("n_a").as("na"), col("n_b").as("nb"),
+          (col("dnum").cast(DoubleType) /
+            (col("n_a").cast(DoubleType) * col("n_b"))).as("ks_d"))
+        .orderBy("event_type")
+    },
+
     // CUPED variance reduction — the industry experimentation
     // methodology (Deng et al., WSDM'13): regress the experiment
     // metric on a pre-period covariate (here: first-half event count
@@ -1344,6 +1377,33 @@ object EventQueries {
                   / CAST(CAST(denom AS VARCHAR) AS DOUBLE)
            END AS chi2
          FROM cells ORDER BY event_type""",
+    "q_ks_test" ->
+      """WITH g AS (
+           SELECT event_type, user_id % 2 AS variant,
+             CAST(floor(value * 1000000 + 0.5e0) AS BIGINT) AS gv
+           FROM events),
+         pv AS (
+           SELECT event_type, gv,
+             CAST(count(*) FILTER (variant = 0) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (variant = 1) AS BIGINT) AS cb
+           FROM g GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, gv, ca, cb,
+             sum(ca) OVER w AS cca, sum(cb) OVER w AS ccb,
+             sum(ca) OVER (PARTITION BY event_type) AS na,
+             sum(cb) OVER (PARTITION BY event_type) AS nb
+           FROM pv WINDOW w AS (PARTITION BY event_type ORDER BY gv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         d AS (
+           SELECT event_type, CAST(max(na) AS BIGINT) AS na,
+             CAST(max(nb) AS BIGINT) AS nb,
+             max(abs(CAST(cca AS HUGEINT) * nb - CAST(ccb AS HUGEINT) * na))
+               AS dnum
+           FROM cum GROUP BY 1)
+         SELECT event_type, na, nb,
+           CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+             / (CAST(na AS DOUBLE) * nb) AS ks_d
+         FROM d ORDER BY event_type""",
     "q_cuped" ->
       """WITH per AS (
            SELECT user_id, user_id % 2 AS variant,
