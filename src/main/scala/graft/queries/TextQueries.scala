@@ -117,6 +117,35 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Corpus data card: the one-row summary a dataset release ships —
+    // size, token volume, vocabulary, language/source mix, length
+    // profile. Three scans total (not one per stat): the scalar
+    // aggregates fold into ONE pass, the trigram vocabulary needs its
+    // explode pass, and the modal language its groupBy; the three
+    // 1-row frames broadcast-join for free.
+    "q_data_card" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val scalars = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast(LongType)).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("n_chars_total"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      val vocab = d.select(explode(call_function("graft_shingle_hashes",
+        TextOps.tokens(col("text")), lit(3), lit(42L))).as("sh"))
+        .agg(countDistinct(col("sh")).as("n_distinct_trigrams"))
+      val modal = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lang").asc).limit(1)
+        .select(col("lang").as("modal_lang"), col("n").as("modal_lang_docs"))
+      scalars.crossJoin(broadcast(vocab)).crossJoin(broadcast(modal))
+        .select(col("n_docs"), col("n_tokens"), col("n_distinct_trigrams"),
+          col("n_langs"), col("n_sources"), col("modal_lang"),
+          col("modal_lang_docs"),
+          (col("n_chars_total").cast(DoubleType) / col("n_docs")).as("mean_chars"),
+          col("min_chars"), col("max_chars"))
+    },
+
     // Embedding-level decontamination: flag training vectors whose max
     // cosine to ANY eval-set vector crosses the near-dup threshold —
     // the semantic sibling of q_decontaminate's exact-span probe
@@ -1876,6 +1905,28 @@ object TextQueries {
            FROM scored)
          SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos_sim FROM ranked
          WHERE rk <= 5 ORDER BY q_id, rk""",
+    "q_data_card" ->
+      s"""WITH $shingleCte,
+         scalars AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+             CAST(min(n_chars) AS BIGINT) AS min_chars,
+             CAST(max(n_chars) AS BIGINT) AS max_chars
+           FROM documents),
+         vocab AS (
+           SELECT CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct_trigrams FROM sh),
+         modal AS (
+           SELECT lang AS modal_lang, CAST(count(*) AS BIGINT) AS modal_lang_docs
+           FROM documents GROUP BY lang
+           ORDER BY count(*) DESC, lang ASC LIMIT 1)
+         SELECT n_docs, n_tokens, n_distinct_trigrams, n_langs, n_sources,
+           modal_lang, modal_lang_docs,
+           CAST(n_chars_total AS DOUBLE) / n_docs AS mean_chars,
+           min_chars, max_chars
+         FROM scalars, vocab, modal""",
     "q_embed_decontam" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          sims AS (
