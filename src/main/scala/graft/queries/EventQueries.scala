@@ -408,6 +408,37 @@ object EventQueries {
         .orderBy("event_type", "lag")
     },
 
+    // Cross-correlation (CCF) between the view and purchase daily count
+    // series at lags −3..3 — "does view activity LEAD purchases" (peak
+    // at positive lag = views precede). Same exact-integer co-moment
+    // discipline as q_autocorr: the day join aligns x_t with y_{t+k},
+    // all five sums are exact BIGINTs, Pearson r is one double formula.
+    "q_lag_corr" -> { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val x = daily.filter(col("event_type") === "view")
+        .select(unix_date(col("day")).cast(LongType).as("d"), col("c").as("x"))
+      val y = daily.filter(col("event_type") === "purchase")
+        .select(unix_date(col("day")).cast(LongType).as("dy"), col("c").as("y"))
+      val lags = explode(sequence(lit(-3L), lit(3L))).as("lag")
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+      val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+        sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))
+      x.select(col("d"), col("x"), lags)
+        .join(y, col("dy") === col("d") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n"),
+          when(den === 0.0, lit(null)).otherwise(num / den).as("ccf"))
+        .orderBy("lag")
+    },
+
     // Inter-arrival gap distribution per user (median / IQR / mean of
     // microsecond gaps) — the burstiness profile behind rate-limit and
     // engagement models. One user-keyed window for lag, then one
@@ -1192,6 +1223,37 @@ object EventQueries {
                    sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
            END AS acf
          FROM mom ORDER BY event_type, lag""",
+    "q_lag_corr" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+           FROM events WHERE event_type IN ('view', 'purchase')
+           GROUP BY 1, 2),
+         x AS (
+           SELECT CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS d,
+             c AS x
+           FROM daily WHERE event_type = 'view'),
+         y AS (
+           SELECT CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS dy,
+             c AS y
+           FROM daily WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT l.lag, x.x, y.y
+           FROM x CROSS JOIN (SELECT unnest(range(-3, 4)) AS lag) l
+             JOIN y ON y.dy = x.d + l.lag),
+         mom AS (
+           SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(y*y) AS BIGINT) AS syy
+           FROM pairs GROUP BY 1)
+         SELECT lag, n,
+           CASE WHEN sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                     sqrt(CAST(n*syy - sy*sy AS DOUBLE)) = 0e0 THEN NULL
+                ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+                  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                   sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           END AS ccf
+         FROM mom ORDER BY lag""",
     "q_interarrival" ->
       """WITH gaps AS (
            SELECT user_id,
