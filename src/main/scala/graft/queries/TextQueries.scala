@@ -117,6 +117,46 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Rank-biased overlap (Webber et al. 2010) between two sources'
+    // top-20 token rankings — RANKING drift, which share-based measures
+    // (PSI/KS) can't see: two sources with identical token shares but
+    // reshuffled prominence score rbo < 1. A common token enters the
+    // overlap at depth max(rank_a, rank_b); the truncated RBO sum runs
+    // over 20 depths on the aggregated vocab domain, with the geometric
+    // p^(d−1) terms grid-summed (order-free) and round(6)ed for libm
+    // pow parity.
+    "q_rbo" -> { (s, dir) =>
+      val p = 0.9
+      val k = 20
+      def top(src: String, rk: String) = {
+        val w = Window.orderBy(col("n").desc, col("token").asc)
+        Tables(s, dir, "documents").filter(col("source") === src)
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .withColumn(rk, row_number().over(w).cast(LongType))
+          .filter(col(rk) <= k).select(col("token"), col(rk))
+      }
+      val pairs = top("src0", "ra").join(top("src1", "rb"), Seq("token"))
+        .select(greatest(col("ra"), col("rb")).as("e"))
+      val depths = Tables(s, dir, "documents").sparkSession
+        .range(1, k + 1).toDF("d")
+      val agree = depths.crossJoin(pairs)
+        .filter(col("e") <= col("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("a"))
+      val nCommon = pairs.agg(count(lit(1)).as("n_common"))
+      // (1 − p) as the PARSED literal 0.1, not Scala's 1.0 − 0.9 —
+      // const-folding lands one ulp off the value DuckDB parses
+      val oneMinusP = lit(0.1)
+      depths.join(agree, Seq("d"), "left")
+        .withColumn("a", coalesce(col("a"), lit(0L)))
+        .agg(GridSum.exactGridSum(
+          oneMinusP * pow(lit(p), col("d") - lit(1)) *
+            col("a").cast(DoubleType) / col("d")).as("g"))
+        .crossJoin(broadcast(nCommon))
+        .select(lit(k.toLong).as("k"), col("n_common"),
+          round(GridSum.fromGrid(col("g")), 6).as("rbo_min"))
+    },
+
     // Corpus data card: the one-row summary a dataset release ships —
     // size, token volume, vocabulary, language/source mix, length
     // profile. Three scans total (not one per stat): the scalar
@@ -1905,6 +1945,36 @@ object TextQueries {
            FROM scored)
          SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos_sim FROM ranked
          WHERE rk <= 5 ORDER BY q_id, rk""",
+    "q_rbo" ->
+      """WITH ca AS (
+           SELECT token, count(*) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents WHERE source = 'src0')
+           GROUP BY 1),
+         ta AS (
+           SELECT token,
+             CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS ra
+           FROM ca QUALIFY ra <= 20),
+         cb AS (
+           SELECT token, count(*) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents WHERE source = 'src1')
+           GROUP BY 1),
+         tb AS (
+           SELECT token,
+             CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rb
+           FROM cb QUALIFY rb <= 20),
+         pairs AS (SELECT greatest(ra, rb) AS e FROM ta JOIN tb USING (token)),
+         depths AS (SELECT unnest(range(1, 21)) AS d),
+         agree AS (
+           SELECT d, CAST(count(e) AS BIGINT) AS a
+           FROM depths LEFT JOIN pairs ON e <= d GROUP BY 1),
+         ncom AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM pairs)
+         SELECT CAST(20 AS BIGINT) AS k, n_common,
+           round(CAST(sum(CAST(floor((0.1e0 * pow(0.9e0, d - 1)
+             * CAST(a AS DOUBLE) / d) * 1.0e9 + 0.5e0) AS BIGINT)) AS DOUBLE)
+             / 1.0e9, 6) AS rbo_min
+         FROM agree, ncom GROUP BY n_common""",
     "q_data_card" ->
       s"""WITH $shingleCte,
          scalars AS (
