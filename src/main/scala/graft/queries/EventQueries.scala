@@ -633,6 +633,41 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Mann–Whitney U / AUC per event_type — the nonparametric location
+    // test (and the probability a random A value beats a random B one,
+    // i.e. the ROC-AUC effect size). Determinism: doubled midranks of
+    // tied blocks are INTEGERS on the shared value grid — 2·midrank =
+    // 2·cum − block + 1 — so the rank sum is exact (DECIMAL at fleet
+    // counts) and U/AUC are two final double divisions. Same one
+    // event_type exchange as the KS test.
+    "q_mannwhitney" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("gv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      Tables(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 2).as("variant"),
+          floor(col("value") * lit(1000000) + lit(0.5)).cast(LongType).as("gv"))
+        .groupBy(col("event_type"), col("gv"))
+        .agg(count(when(col("variant") === 0, lit(1))).as("ca"),
+          count(when(col("variant") === 1, lit(1))).as("cb"))
+        .withColumn("cum", sum(col("ca") + col("cb")).over(w))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          sum((col("ca").cast(dec) *
+            (lit(2) * col("cum") - col("ca") - col("cb") + lit(1))).cast(dec))
+            .as("r2a"))
+        .select(col("event_type"), col("na"), col("nb"),
+          ((col("r2a") - col("na").cast(dec) * (col("na") + lit(1)))
+            .cast(DoubleType) / lit(2.0)).as("u_a"),
+          ((col("r2a") - col("na").cast(dec) * (col("na") + lit(1)))
+            .cast(DoubleType) / lit(2.0) /
+            (col("na").cast(DoubleType) * col("nb"))).as("auc"))
+        .orderBy("event_type")
+    },
+
     // Two-sample Kolmogorov–Smirnov distance per event_type — "did the
     // treatment change the SHAPE of the value distribution", which
     // mean-based tests miss. Exactness: both ECDFs live on the shared
@@ -1439,6 +1474,33 @@ object EventQueries {
                   / CAST(CAST(denom AS VARCHAR) AS DOUBLE)
            END AS chi2
          FROM cells ORDER BY event_type""",
+    "q_mannwhitney" ->
+      """WITH g AS (
+           SELECT event_type, user_id % 2 AS variant,
+             CAST(floor(value * 1000000 + 0.5e0) AS BIGINT) AS gv
+           FROM events),
+         pv AS (
+           SELECT event_type, gv,
+             CAST(count(*) FILTER (variant = 0) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (variant = 1) AS BIGINT) AS cb
+           FROM g GROUP BY 1, 2),
+         rk AS (
+           SELECT event_type, gv, ca, cb,
+             sum(ca + cb) OVER (PARTITION BY event_type ORDER BY gv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(ca) OVER (PARTITION BY event_type) AS na,
+             sum(cb) OVER (PARTITION BY event_type) AS nb
+           FROM pv),
+         ranks AS (
+           SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+             sum(CAST(ca AS HUGEINT) * (2*cum - ca - cb + 1)) AS r2a
+           FROM rk GROUP BY 1, 2, 3)
+         SELECT event_type, na, nb,
+           CAST(CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS VARCHAR) AS DOUBLE)
+             / 2e0 AS u_a,
+           CAST(CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS VARCHAR) AS DOUBLE)
+             / 2e0 / (CAST(na AS DOUBLE) * nb) AS auc
+         FROM ranks ORDER BY event_type""",
     "q_ks_test" ->
       """WITH g AS (
            SELECT event_type, user_id % 2 AS variant,

@@ -47,7 +47,7 @@ class ExplainSpec extends SparkSpec {
     "q_funnel_time" -> 3, "q_audience_overlap" -> 4, "q_debounce" -> 2,
     "q_embed_decontam" -> 2, "q_trimmed_mean" -> 3, "q_mode" -> 3,
     "q_cuped" -> 3, "q_ks_test" -> 3, "q_data_card" -> 5, "q_lag_corr" -> 4,
-    "q_rbo" -> 3,
+    "q_rbo" -> 3, "q_mannwhitney" -> 3,
     // q_growth_accounting: 6 exchanges but only the first (the
     // (user, day) distinct) touches the raw stream; dau/wau/first-seen
     // all branch off the checkpointed activity grid
