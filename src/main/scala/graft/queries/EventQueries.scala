@@ -171,6 +171,35 @@ object EventQueries {
         .orderBy("cohort_week", "week_no")
     },
 
+    // Cohort LTV curve — q_cohort_retention's revenue twin: cumulative
+    // value per ORIGINAL cohort member by weeks-since-acquisition (the
+    // "when does a cohort pay back" curve). Weekly value sums are
+    // decimal-exact; the cumulative runs on the tiny cohort × week
+    // domain; the denominator is the WEEK-0 cohort size (not the
+    // still-active count), so the curve reads as LTV per acquired user.
+    "q_cohort_ltv" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"),
+          col("value").cast(DecimalType(18, 4)).as("v"))
+      val firstSeen = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val sized = firstSeen.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val wCum = Window.partitionBy(col("cohort_wk")).orderBy(col("week_no"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.join(broadcast(firstSeen), Seq("user_id"))
+        .groupBy(col("cohort_wk"),
+          floor(datediff(col("wk"), col("cohort_wk")) / 7).cast(LongType).as("week_no"))
+        .agg(sum(col("v")).as("wk_value"))
+        .withColumn("cum_value", sum(col("wk_value")).over(wCum))
+        .join(broadcast(sized), Seq("cohort_wk"))
+        .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_no"), col("cohort_size"),
+          col("wk_value").cast(DoubleType).as("wk_value"),
+          (col("cum_value").cast(DoubleType) / col("cohort_size"))
+            .as("ltv_per_user"))
+        .orderBy("cohort_week", "week_no")
+    },
+
     // SCD type-2 compaction: collapse the event changelog into validity
     // ranges [valid_from, valid_to) per consecutive run of equal state
     // (event_type standing in for the tracked attribute). Change-flag
@@ -1474,6 +1503,31 @@ object EventQueries {
                   / CAST(CAST(denom AS VARCHAR) AS DOUBLE)
            END AS chi2
          FROM cells ORDER BY event_type""",
+    "q_cohort_ltv" ->
+      """WITH e AS (
+           SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(value AS DECIMAL(18,4)) AS v
+           FROM events),
+         fs AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+         sz AS (
+           SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM fs GROUP BY 1),
+         wkv AS (
+           SELECT f.cohort_wk,
+             CAST(floor(datediff('day', f.cohort_wk, e.wk) / 7) AS BIGINT) AS week_no,
+             sum(e.v) AS wk_value
+           FROM e JOIN fs f USING (user_id) GROUP BY 1, 2),
+         cum AS (
+           SELECT cohort_wk, week_no, wk_value,
+             sum(wk_value) OVER (PARTITION BY cohort_wk ORDER BY week_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+           FROM wkv)
+         SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week, week_no,
+           cohort_size,
+           CAST(CAST(wk_value AS VARCHAR) AS DOUBLE) AS wk_value,
+           CAST(CAST(cum_value AS VARCHAR) AS DOUBLE) / cohort_size AS ltv_per_user
+         FROM cum c JOIN sz ON c.cohort_wk = sz.cohort_wk
+         ORDER BY cohort_week, week_no""",
     "q_mannwhitney" ->
       """WITH g AS (
            SELECT event_type, user_id % 2 AS variant,

@@ -48,6 +48,10 @@ class ExplainSpec extends SparkSpec {
     "q_embed_decontam" -> 2, "q_trimmed_mean" -> 3, "q_mode" -> 3,
     "q_cuped" -> 3, "q_ks_test" -> 3, "q_data_card" -> 5, "q_lag_corr" -> 4,
     "q_rbo" -> 3, "q_mannwhitney" -> 3,
+    // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
+    // first-seen) and the weekly value aggregate touch the raw stream;
+    // cumulative + sizing run on the cohort x week domain
+    "q_cohort_ltv" -> 6,
     // q_growth_accounting: 6 exchanges but only the first (the
     // (user, day) distinct) touches the raw stream; dau/wau/first-seen
     // all branch off the checkpointed activity grid
