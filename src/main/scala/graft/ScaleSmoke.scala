@@ -78,7 +78,11 @@ object ScaleSmoke {
     // per-(type, day) groups get Nx fatter
     "q_drawdown", "q_funnel_time", "q_debounce", "q_audience_overlap",
     "q_survival", "q_cusum", "q_seasonality", "q_forecast_backtest",
-    "q_rolling_median", "q_theil_sen", "q_autocorr")
+    "q_rolling_median", "q_theil_sen", "q_autocorr",
+    // inference tier: value-grid aggregates (KS/U on the shared grid
+    // domain, CUPED's per-user frame, weekly LTV) — all partial-agg
+    // bound, none holds per-key state that grows with the corpus
+    "q_ks_test", "q_mannwhitney", "q_cuped", "q_lag_corr", "q_cohort_ltv")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
