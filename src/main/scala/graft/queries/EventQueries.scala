@@ -652,6 +652,8 @@ object EventQueries {
         .groupBy(col("day")).agg(count(lit(1)).as("wau"))
       val newByDay = acts.groupBy(col("user_id")).agg(min(col("day")).as("day"))
         .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      // BOUNDED global window: input is the daily grid, |days| rows
+      // (calendar-bounded, not corpus-bounded) — ExplainSpec allowlist
       val wCum = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       dau.join(wau, Seq("day")).join(newByDay, Seq("day"), "left")
@@ -862,6 +864,8 @@ object EventQueries {
     // discipline) and exponentiated once, round(6) — so partial-agg
     // order can't perturb it and engines agree.
     "q_survival" -> { (s, dir) =>
+      // BOUNDED global windows: input is the |distinct lifetimes| frame,
+      // <= |days| rows (calendar-bounded) — ExplainSpec allowlist
       val wDesc = Window.orderBy(col("t").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAsc = Window.orderBy(col("t"))

@@ -834,6 +834,8 @@ object RelationalQueries {
       val p = Tables(s, dir, "part")
       val perPrice = p.groupBy(col("p_retailprice").as("price"))
         .agg(max(col("p_size")).as("gmax"))
+      // BOUNDED global window: input is the per-price maxima frame,
+      // |distinct prices| rows (generator-bounded) — ExplainSpec allowlist
       val w = Window.orderBy(col("price"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val frontier = perPrice.withColumn("mlt", max(col("gmax")).over(w))
@@ -954,6 +956,8 @@ object RelationalQueries {
     // reference probabilities touch libm, and they are round(6)ed on
     // both sides.
     "q_benford" -> { (s, dir) =>
+      // BOUNDED global window: input is the 9-row first-digit frame —
+      // ExplainSpec allowlist
       val tot = Window.partitionBy()
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables(s, dir, "orders")

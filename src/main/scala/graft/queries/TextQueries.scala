@@ -129,12 +129,24 @@ object TextQueries {
       val p = 0.9
       val k = 20
       def top(src: String, rk: String) = {
-        val w = Window.orderBy(col("n").desc, col("token").asc)
-        Tables(s, dir, "documents").filter(col("source") === src)
+        // top-k via sort+limit -> TakeOrderedAndProject (map-side
+        // partial top-k; <= k rows per task reach the driver), NOT a
+        // vocab-wide row_number window (round 6 shipped the full
+        // vocabulary through one partition here). Ranks on the k-row
+        // checkpointed result come from a triangular broadcast join
+        // (count of rows strictly ordered before), so the plan has no
+        // unpartitioned window at all, bounded or otherwise.
+        val t = Tables(s, dir, "documents").filter(col("source") === src)
           .select(explode(TextOps.tokens(col("text"))).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("n"))
-          .withColumn(rk, row_number().over(w).cast(LongType))
-          .filter(col(rk) <= k).select(col("token"), col(rk))
+          .orderBy(col("n").desc, col("token").asc).limit(k)
+          .localCheckpoint()
+        t.as("a").join(broadcast(t.as("b")),
+            col("b.n") > col("a.n") ||
+              (col("b.n") === col("a.n") && col("b.token") < col("a.token")),
+            "left")
+          .groupBy(col("a.token").as("token"))
+          .agg((count(col("b.token")) + lit(1L)).cast(LongType).as(rk))
       }
       val pairs = top("src0", "ra").join(top("src1", "rb"), Seq("token"))
         .select(greatest(col("ra"), col("rb")).as("e"))
@@ -908,6 +920,8 @@ object TextQueries {
       val ref = docs.filter(col("source") === "src0")
         .select(bucket)
         .groupBy("bucket").agg(count(lit(1)).as("rn"))
+        // BOUNDED global window: input is the |n_chars/100| histogram-
+        // bucket frame (doc-length-bounded) — ExplainSpec allowlist
         .withColumn("p", col("rn").cast(DoubleType) /
           sum(col("rn")).over(Window.partitionBy()))
         .select(col("bucket"), col("p"))
@@ -948,30 +962,51 @@ object TextQueries {
     // the corpus has saturated. Scale design: "distinct seen so far"
     // is NOT a running set — each shingle is charged to its FIRST
     // document (one min-aggregate on the shingle key), per-doc
-    // new-shingle counts follow, and the cumulative sum runs over the
-    // |docs|-sized aggregated domain, never the shingle stream.
+    // new-shingle counts follow. The per-doc rank is DISTRIBUTED: the
+    // doc-id domain is range-bucketed off a 1-row min/max broadcast,
+    // ranks come from a bucket-PARTITIONED window plus per-bucket
+    // offsets computed on the B-row bucket-count frame, and the final
+    // cumulative vocab runs as a triangular self-join over the 10-row
+    // decile frame — no unpartitioned window touches an unbounded
+    // domain anywhere (round 6 shipped a single-partition |docs|-wide
+    // cumsum here; this is the de-serialized shape).
     "q_heaps" -> { (s, dir) =>
+      val nBuckets = 32
       val docs = Tables(s, dir, "documents")
       val sh = docs.select(col("doc_id"),
         explode(call_function("graft_shingle_hashes",
           TextOps.tokens(col("text")), lit(3), lit(42L))).as("sh"))
       val perDocNew = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
-      val w = Window.orderBy(col("doc_id"))
-      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs.select(col("doc_id"))
-        .join(perDocNew, Seq("doc_id"), "left")
+      val bounds = docs.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"), count(lit(1)).as("n"))
+      val ids = docs.select(col("doc_id")).crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          expr(s"CAST((doc_id - lo) * $nBuckets div (hi - lo + 1) AS INT)"))
+      // bucket counts: <= nBuckets rows; checkpointed so the offset
+      // self-join below reads the tiny frame, not the scan twice
+      val bucketCounts = ids.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bn")).localCheckpoint()
+      val offsets = bucketCounts.as("a")
+        .join(broadcast(bucketCounts.as("b")), col("b.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.bn")), lit(0L)).as("off"))
+      val ranked = ids.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("r", (col("off") + row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("doc_id")))).cast(LongType))
+      // decile partials: 10 rows; checkpointed for the triangular join
+      val dec = ranked.join(perDocNew, Seq("doc_id"), "left")
         .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-        .withColumn("r", row_number().over(w).cast(LongType))
-        .withColumn("cum", sum(col("n_new")).over(wCum))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
         .withColumn("decile", expr("((r - 1) * 10) div n + 1"))
         .groupBy(col("decile"))
         .agg(max(col("r")).as("n_docs_cum"),
-          sum(col("n_new")).as("new_in_decile"),
-          max(col("cum")).as("vocab_cum"))
+          sum(col("n_new")).as("new_in_decile"))
+        .localCheckpoint()
+      dec.as("a").join(broadcast(dec.as("b")), col("b.decile") <= col("a.decile"))
+        .groupBy(col("a.decile").as("decile"))
+        .agg(max(col("a.n_docs_cum")).as("n_docs_cum"),
+          max(col("a.new_in_decile")).as("new_in_decile"),
+          sum(col("b.new_in_decile")).as("vocab_cum"))
         .orderBy("decile")
     },
 

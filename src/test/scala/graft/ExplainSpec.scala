@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.catalyst.expressions.ScalaUDF
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{GlobalLimitExec, CollectLimitExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.{WindowExecBase, WindowGroupLimitExec}
 
 /** Plan-regression gate over the ENTIRE query catalog: every registered
   * query's physical plan is audited for the anti-patterns past rounds
@@ -37,7 +38,11 @@ class ExplainSpec extends SparkSpec {
     "q_seasonality" -> 3, "q_entropy" -> 3, "q_forecast_backtest" -> 3,
     "q_clustering_coef" -> 5,
     "q_tpch_q5" -> 2, "q_rolling_median" -> 3, "q_chi2" -> 5,
-    "q_attribution" -> 3, "q_heaps" -> 3,
+    "q_attribution" -> 3,
+    // q_heaps: the static plan is audited post-localCheckpoint (the
+    // bucket-count and decile frames are eagerly materialized), so the
+    // remaining exchange is the final decile aggregate
+    "q_heaps" -> 1,
     "q_drawdown" -> 2, "q_theil_sen" -> 3,
     // q_matryoshka: 4 independent brute-force top-k pipelines (full
     // truth + 3 truncated variants) at ~3 exchanges each — every frame
@@ -132,6 +137,40 @@ class ExplainSpec extends SparkSpec {
     "q_window_range" -> 2, "q_window_rank" -> 2, "q_window_running" -> 2,
     "q_winnow" -> 1)
 
+  /** Unpartitioned-window gate (round-7 addition): an empty-partition-
+    * spec WindowExec serializes its whole input through ONE task — the
+    * exact shape that shipped silently in round 6's q_heaps/q_rbo
+    * (correct at sf0.1, single-task at 100 TB). Any such node now fails
+    * the audit unless (a) its subtree contains a global limit /
+    * TakeOrderedAndProject — the frame is bounded by construction — or
+    * (b) the query is listed here with a one-line justification that
+    * the window's input domain is bounded regardless of corpus size.
+    * Growing this map is a REVIEWED act: a new entry must name the
+    * bound, not just claim one.
+    */
+  private val unpartitionedWindowAllow: Map[String, String] = Map(
+    "q_survival" -> "runs on the |distinct user lifetimes| frame, <= |days| rows (calendar-bounded)",
+    "q_growth_accounting" -> "cumulative users over the |days|-sized daily activity grid (calendar-bounded)",
+    "q_skyline" -> "running max over the |distinct retail prices| frame (generator-bounded price domain)",
+    "q_benford" -> "share-of-total over the 9-row first-digit frame",
+    "q_drift_psi" -> "reference share over the |n_chars/100| histogram-bucket frame (doc-length-bounded)")
+
+  /** A window frame is bounded-by-construction when a global limit sits
+    * below it in the same subtree (TakeOrderedAndProject / GlobalLimit /
+    * CollectLimit cap the row count at a plan-time literal).
+    */
+  private def limitBounded(p: SparkPlan): Boolean =
+    p.exists {
+      case _: GlobalLimitExec | _: CollectLimitExec | _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+
+  /** Queries whose plans contained an unpartitioned, non-limit-bounded
+    * window in the last audit() run — compared against the allowlist so
+    * a stale justification (query fixed, entry left behind) also fails.
+    */
+  private val sawUnpartWindow = scala.collection.mutable.Set.empty[String]
+
   private def audit(): Seq[String] = {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -146,7 +185,16 @@ class ExplainSpec extends SparkSpec {
         }))
         val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
         val budget = shuffleBudget.getOrElse(name, defaultMaxShuffles)
+        val unpartWindows = nodes.collect {
+          case w: WindowExecBase if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
+        }
+        if (unpartWindows.nonEmpty) sawUnpartWindow += name
         Seq(
+          if (unpartWindows.nonEmpty && !unpartitionedWindowAllow.contains(name))
+            Some(s"$name: unpartitioned ${unpartWindows.head.nodeName} over an " +
+              "unbounded frame (single-task at scale; fix the plan or justify in the allowlist)")
+          else None,
           if (cartesian.nonEmpty) Some(s"$name: CartesianProduct in plan") else None,
           if (pythonNodes.nonEmpty)
             Some(s"$name: Python evaluation node ${pythonNodes.head.nodeName}") else None,
@@ -162,5 +210,8 @@ class ExplainSpec extends SparkSpec {
   test("no query plans a CartesianProduct, UDF, Python eval, or over-budget shuffles") {
     val violations = audit()
     assert(violations.isEmpty, violations.mkString("\n  ", "\n  ", ""))
+    val stale = unpartitionedWindowAllow.keySet -- sawUnpartWindow
+    assert(stale.isEmpty,
+      s"stale unpartitioned-window allowlist entries (query no longer plans one): $stale")
   }
 }
