@@ -198,6 +198,14 @@ object CoreOps {
   /** Marker proving a staging write ran to completion (see [[upsert]]). */
   private[graft] val CommitMarker = "_GRAFT_COMMIT"
 
+  /** Pending-delete replay marker for the partitioned [[deleteWhere]]
+    * path: lists partition dirs whose every row matched the predicate,
+    * written before the rewrite so a crash between the dynamic-partition
+    * overwrite and the dir removals is finished by the NEXT call instead
+    * of silently leaving matched rows in place.
+    */
+  private[graft] val PendingDeleteMarker = "_GRAFT_PENDING_DELETE"
+
   /** Dynamic-partition overwrite: replace ONLY the partitions present
     * in `df`, leaving every other partition of the table untouched —
     * the incremental reload pattern (a late-arriving day re-lands that
@@ -217,7 +225,9 @@ object CoreOps {
 
   /** Targeted row deletion (GDPR / right-to-be-forgotten): remove every
     * row matching `predicate` from the parquet table at `path`, returning
-    * the number of rows deleted.
+    * the number of rows deleted. Standard DELETE semantics: rows where
+    * the predicate evaluates to NULL (a nullable column in the match
+    * condition) are retained, not deleted.
     *
     * Partitioned path (`partCols` non-empty): only the partitions that
     * CONTAIN matches are read and rewritten — the affected-partition set
@@ -225,7 +235,11 @@ object CoreOps {
     * dynamic partition overwrite (per-write option, no session-conf
     * mutation), and partitions whose every row matched (dynamic overwrite
     * would silently leave them — it only replaces partitions PRESENT in
-    * the written frame) are removed explicitly. A 100 TB table with one
+    * the written frame) are removed explicitly, with a
+    * [[PendingDeleteMarker]] written first so an interrupted call's
+    * removals are replayed by the next call (a crash before the rewrite
+    * of PARTIALLY-affected partitions still needs a caller re-run). A
+    * 100 TB table with one
     * affected day rewrites one day. The survivors of affected partitions
     * are localCheckpointed before the write because Spark refuses a write
     * whose plan still reads the destination; the materialized size is
@@ -253,9 +267,13 @@ object CoreOps {
           s"deleteWhere($path): recovery rename $staging -> $target failed")
       }
       val current = spark.read.parquet(path)
-      val deleted = current.filter(predicate).count()
+      // standard DELETE semantics: rows where the predicate evaluates
+      // to NULL are RETAINED (only TRUE rows are deleted) — `!predicate`
+      // alone would silently drop NULL rows uncounted
+      val matches = coalesce(predicate, lit(false))
+      val deleted = current.filter(matches).count()
       if (deleted == 0L) return 0L
-      current.filter(!predicate)
+      current.filter(!matches)
         .write.mode(SaveMode.Overwrite).parquet(staging.toString)
       fs.create(new org.apache.hadoop.fs.Path(staging, CommitMarker), true).close()
       require(fs.delete(target, true),
@@ -264,8 +282,26 @@ object CoreOps {
         s"deleteWhere($path): rename $staging -> $target failed")
       deleted
     } else {
+      // replay an interrupted previous call first: the marker lists
+      // partition dirs whose EVERY row matched that call's predicate,
+      // so finishing their removal is safe no matter where the crash
+      // landed (a crash before the rewrite of partially-affected
+      // partitions still needs a caller re-run for those — the marker
+      // closes the silent-leftover window for fully-emptied ones)
+      val marker = new org.apache.hadoop.fs.Path(target, PendingDeleteMarker)
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val rels = scala.io.Source.fromInputStream(in).getLines()
+          .filter(_.nonEmpty).toList
+        in.close()
+        rels.foreach(rel =>
+          fs.delete(new org.apache.hadoop.fs.Path(target, rel), true))
+        fs.delete(marker, false)
+      }
       val current = spark.read.parquet(path)
-      val hit = current.filter(predicate)
+      // NULL-predicate rows are retained and never counted (see above)
+      val matches = coalesce(predicate, lit(false))
+      val hit = current.filter(matches)
         .select(partCols.map(col): _*).distinct().collect()
       if (hit.isEmpty) return 0L
       val partPred = hit.map { row =>
@@ -273,20 +309,30 @@ object CoreOps {
           .reduce(_ && _)
       }.reduce(_ || _)
       val affected = current.filter(partPred)
-      val deleted = affected.filter(predicate).count()
-      val kept = affected.filter(!predicate).localCheckpoint()
+      val deleted = affected.filter(matches).count()
+      val kept = affected.filter(!matches).localCheckpoint()
       val keptParts = kept.select(partCols.map(col): _*).distinct().collect()
         .map(r => partCols.indices.map(i => s"${partCols(i)}=${r.get(i)}").mkString("/"))
         .toSet
+      val emptied = hit
+        .map(r => partCols.indices.map(i => s"${partCols(i)}=${r.get(i)}").mkString("/"))
+        .filterNot(keptParts)
+      // record fully-emptied partitions BEFORE any mutation: a crash
+      // anywhere past this point is replayed by the next call (the `_`
+      // prefix keeps Spark's file index from reading the marker)
+      if (emptied.nonEmpty) {
+        val out = fs.create(marker, true)
+        out.write(emptied.mkString("\n").getBytes("UTF-8"))
+        out.close()
+      }
       if (keptParts.nonEmpty)
         kept.write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy(partCols: _*).parquet(path)
-      hit.map(r => partCols.indices.map(i => s"${partCols(i)}=${r.get(i)}").mkString("/"))
-        .filterNot(keptParts)
-        .foreach { rel =>
-          fs.delete(new org.apache.hadoop.fs.Path(target, rel), true)
-        }
+      emptied.foreach { rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(target, rel), true)
+      }
+      if (emptied.nonEmpty) fs.delete(marker, false)
       deleted
     }
   }

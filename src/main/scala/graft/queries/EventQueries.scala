@@ -186,7 +186,10 @@ object EventQueries {
         .agg(count(lit(1)).as("cohort_size"))
       val wCum = Window.partitionBy(col("cohort_wk")).orderBy(col("week_no"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.join(broadcast(firstSeen), Seq("user_id"))
+      // firstSeen is one row PER USER — at fleet user counts that is
+      // not broadcastable; the shuffle join on user_id is the scale
+      // shape (the weekly aggregate pays a shuffle anyway)
+      e.join(firstSeen, Seq("user_id"))
         .groupBy(col("cohort_wk"),
           floor(datediff(col("wk"), col("cohort_wk")) / 7).cast(LongType).as("week_no"))
         .agg(sum(col("v")).as("wk_value"))
@@ -253,24 +256,29 @@ object EventQueries {
     // Association rules over daily event baskets (market-basket
     // support / confidence / lift): basket = distinct (user, day,
     // type); co-occurrence via a basket-keyed self-join (the baskets
-    // frame is cached — a self-join would otherwise re-plan its
-    // scan+distinct subtree twice); item counts and the basket total
-    // broadcast back onto the (tiny) pair matrix. Every metric is a
-    // per-row ratio of exact counts — deterministic, round(6) only
-    // for display.
+    // frame is localCheckpointed — a self-join would otherwise re-plan
+    // its scan+distinct subtree twice, and unlike .cache() the
+    // checkpoint frees with stage GC instead of pinning executor
+    // memory for the life of a shared catalog-running session); item
+    // counts and the basket total broadcast back onto the (tiny) pair
+    // matrix. Every metric is a per-row ratio of exact counts —
+    // deterministic, round(6) only for display.
     "q_basket_rules" -> { (s, dir) =>
       val b = Tables(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
-        .distinct().cache()
+        .distinct().localCheckpoint()
       val tot = Tables(s, dir, "events")
         .agg(count_distinct(col("user_id"), to_date(col("ts"))).as("n_baskets"))
       val itemN = b.groupBy("event_type").agg(count(lit(1)).as("n_item"))
+      // pairs is branched twice into `rules` below — checkpointing the
+      // |event-types|^2-bounded matrix runs the basket self-join ONCE
       val pairs = b.as("x").join(b.as("y"),
           col("x.user_id") === col("y.user_id") &&
             col("x.day") === col("y.day") &&
             col("x.event_type") < col("y.event_type"))
         .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
         .agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint()
       val rules = pairs
         .select(col("a").as("ante"), col("b").as("conseq"), col("n_ab"))
         .unionByName(pairs

@@ -116,6 +116,47 @@ class CoreOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2L)
   }
 
+  test("deleteWhere retains (and never counts) NULL-predicate rows") {
+    // standard DELETE semantics: a predicate over a nullable column
+    // evaluates to NULL on NULL input — those rows must survive in the
+    // kept set, not vanish uncounted (the `!predicate` trap)
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_null").toString + "/t"
+    Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (4L, None))
+      .toDF("id", "tag").write.parquet(dir)
+    assert(CoreOps.deleteWhere(spark, dir, col("tag") === "a") == 1L)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L, 4L))
+    // partitioned path, same semantics: NULL-user rows in a hit
+    // partition must be rewritten into the survivors
+    val pdir = java.nio.file.Files.createTempDirectory("graft_del_nullp").toString + "/t"
+    Seq((1L, Some("u1"), "d1"), (2L, None, "d1"), (3L, Some("u2"), "d2"))
+      .toDF("id", "user", "day").write.partitionBy("day").parquet(pdir)
+    assert(CoreOps.deleteWhere(spark, pdir, col("user") === "u1",
+      partCols = Seq("day")) == 1L)
+    assert(spark.read.parquet(pdir).select("id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L))
+  }
+
+  test("deleteWhere replays an interrupted partitioned removal from the pending marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_replay").toString + "/t"
+    Seq((1L, "u1", "d1"), (2L, "u2", "d2")).toDF("id", "user", "day")
+      .write.partitionBy("day").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a crash mid-call: d1 was fully matched, the marker was
+    // written, but the process died before fs.delete(day=d1)
+    val marker = new org.apache.hadoop.fs.Path(dir, CoreOps.PendingDeleteMarker)
+    val out = fs.create(marker, true)
+    out.write("day=d1".getBytes("UTF-8")); out.close()
+    // next call (unrelated predicate) finishes the removal first
+    assert(CoreOps.deleteWhere(spark, dir, col("user") === "zzz",
+      partCols = Seq("day")) == 0L)
+    assert(!new java.io.File(s"$dir/day=d1").exists())
+    assert(!fs.exists(marker))
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSeq ==
+      Seq(2L))
+  }
+
   test("deleteWhere recovers the delete-then-crash staging window") {
     val dir = java.nio.file.Files.createTempDirectory("graft_del_rec").toString + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("id", "tag").write.parquet(dir)
