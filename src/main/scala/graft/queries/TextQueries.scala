@@ -629,7 +629,9 @@ object TextQueries {
     },
 
     // Multimodal: one-to-many frame sampling through the batched
-    // plumbing (rows-only; stride/shape proven in MultimodalSpec).
+    // plumbing. Oracle-checked end to end: the stub codec's frame count
+    // and per-frame slice bounds are pure byte math, re-derived in SQL
+    // (fakeCodecCte); stride/shape additionally proven in MultimodalSpec.
     "q_media_frames" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
       val d = MultimodalOps.withBlob(Tables(s, dir, "documents"), "text")
@@ -637,7 +639,8 @@ object TextQueries {
         .select(col("doc_id").as("media_id"), lit("video").as("kind"), col("blob"))
         .as(Encoders.product[MultimodalOps.MediaRow])
       MultimodalOps.sampleFrames(s, d, everyNth = 50).toDF()
-        .select(col("media_id"), col("frame_idx"), length(col("frame")).as("n_frame_bytes"))
+        .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+          length(col("frame")).cast(LongType).as("n_frame_bytes"))
         .orderBy("media_id", "frame_idx")
     },
 
@@ -1096,8 +1099,11 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // Multimodal: batched fake-decode through the mapPartitions plumbing
-    // (no oracle — codec is stubbed; schema/batch shape tested in spec).
+    // Multimodal: batched fake-decode through the mapPartitions plumbing.
+    // The codec is a deterministic stub, so its byte-statistics output IS
+    // SQL-reproducible — the oracle re-derives the Arrays.hashCode fold
+    // and byte sums (fakeCodecCte below), the same R->O conversion
+    // q_embed_pq's codebook got.
     "q_media_decode" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
       val d = MultimodalOps.withBlob(Tables(s, dir, "documents"), "text")
@@ -1108,7 +1114,13 @@ object TextQueries {
             .otherwise("video").as("kind"),
           col("blob"))
         .as(Encoders.product[MultimodalOps.MediaRow])
-      MultimodalOps.decodeFeatures(s, d).toDF().orderBy("media_id")
+      MultimodalOps.decodeFeatures(s, d).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_frames").cast(LongType).as("n_frames"),
+          col("mean_intensity"))
+        .orderBy("media_id")
     })
 
   /** DuckDB twin of [[TextOps.langIdNgram]], with the same deterministic
@@ -1682,7 +1694,57 @@ object TextQueries {
        WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
        ORDER BY vec_id"""
 
+  /** CTE reproducing [[MultimodalOps.FakeCodec]] over documents.text in
+    * pure SQL — possible BECAUSE the codec stub is deterministic byte
+    * math: the unsigned byte list comes from the hex expansion of the
+    * utf-8 blob, `java.util.Arrays.hashCode` is a left fold
+    * r -> 31*r + signed_byte with 32-bit wraparound (list_reduce with
+    * the wrap expressed as shifted mods), and the `& 0x7fffffff`
+    * non-negative clamp is the same bitwise-and on the two's-complement
+    * BIGINT. `hashed` ends with one row per doc: n (byte count), bsum
+    * (unsigned byte sum as DOUBLE), h (the clamped hash).
+    */
+  private val fakeCodecCte: String =
+    """codec AS (
+         SELECT doc_id,
+           octet_length(encode(text)) AS n,
+           list_transform(range(0, octet_length(encode(text))),
+             i -> 16 * (strpos('0123456789ABCDEF', substring(hex(encode(text)), 2*i+1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substring(hex(encode(text)), 2*i+2, 1)) - 1)) AS ub
+         FROM documents),
+       hashed AS (
+         SELECT doc_id, n,
+           CAST(coalesce(CAST(list_sum(ub) AS BIGINT), 0) AS DOUBLE) AS bsum,
+           (list_reduce(
+              list_prepend(CAST(1 AS BIGINT),
+                list_transform(ub, u -> CAST(CASE WHEN u > 127 THEN u - 256 ELSE u END AS BIGINT))),
+              (r, x) -> ((((31*r + x) + 2147483648) % 4294967296 + 4294967296) % 4294967296) - 2147483648)
+            & 2147483647) AS h
+         FROM codec)"""
+
   val oracles: Map[String, String] = Map(
+    "q_media_decode" ->
+      s"""WITH $fakeCodecCte
+         SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(16 + h % 640 AS BIGINT) AS width,
+           CAST(16 + (h // 640) % 480 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + h % 300 ELSE 1 END AS BIGINT) AS n_frames,
+           CASE WHEN n = 0 THEN 0.0e0 ELSE bsum / n END AS mean_intensity
+         FROM hashed ORDER BY media_id""",
+    "q_media_frames" ->
+      s"""WITH $fakeCodecCte,
+         vids AS (
+           SELECT doc_id AS media_id, n, 1 + h % 300 AS n_frames
+           FROM hashed WHERE doc_id % 3 = 2)
+         SELECT media_id, CAST(idx AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE least(16, n - (idx % n)) END AS BIGINT) AS n_frame_bytes
+         FROM vids, unnest(range(0, n_frames, 50)) AS u(idx)
+         ORDER BY media_id, frame_idx""",
     "q_semdedup" -> semdedupOracle,
     "q_embed_ivfpq" -> ivfPqOracle,
     "q_embed_neardup" -> neardupOracle,
