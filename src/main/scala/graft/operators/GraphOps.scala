@@ -139,12 +139,28 @@ object GraphOps {
     *              reversed edges are normalized away).
     * @return one row: (n_nodes, n_edges, n_triangles).
     */
+  /** Serialized size of a bloom filter over `n` items at `fpp`:
+    * m = -n·ln(fpp)/ln(2)² bits (~1.20 bytes/item at fpp 0.01, i.e.
+    * ~1.2 GB per 1e9 edges), plus a small header. Used to decide
+    * whether the wedge prefilter's filter fits the broadcast budget.
+    */
+  private[graft] def bloomBytes(n: Long, fpp: Double): Long =
+    (-n * math.log(fpp) / (math.log(2) * math.log(2)) / 8.0).toLong + 64L
+
   /** Shared triangle-enumeration plumbing: canonical undirected edges,
     * degrees, degree-ordered orientation, and the bloom-pruned triangle
     * row set (one row per triangle, all three vertices). See
     * [[triangleCount]] for the orientation/skew rationale.
+    *
+    * `maxBloomBytes`: the wedge prefilter is an OPTIMIZATION — the
+    * exact closing join is unconditionally correct — so when the edge
+    * count would need a bloom beyond this budget (it must broadcast to
+    * every task), the prefilter is skipped and the full wedge set goes
+    * to the exact join. Correctness parity of the two paths is a spec
+    * invariant (`GraphOpsSpec` forces the fallback with a 0 budget).
     */
-  private def triangleRows(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def triangleRows(edges: DataFrame,
+      maxBloomBytes: Long = 512L << 20): (DataFrame, DataFrame, DataFrame) = {
     val u = col(edges.columns(0))
     val v = col(edges.columns(1))
     // Canonical undirected form: (min, max), no self-loops, distinct.
@@ -174,21 +190,29 @@ object GraphOps {
     val wedges = e1.join(e2, Seq("src"))
       .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
       .select(col("src"), col("x"), col("y"))
-    // Bloom-prune non-closing wedges map-side (see triangleCount doc).
+    // Bloom-prune non-closing wedges map-side (see triangleCount doc),
+    // unless the filter itself would outgrow the broadcast budget — the
+    // exact join below is correct either way, the bloom only cuts the
+    // wedge shuffle.
     val nEdgesCnt = und.count() // cheap: und is checkpointed
     val closing = oriented.select(
       xxhash64(col("src"), col("dst")).as("ek"), col("src").as("x"), col("dst").as("y"))
-    val prunedWedges = BloomJoin.bloomPrefilter(
-      wedges.withColumn("ek", xxhash64(col("x"), col("y"))),
-      closing, "ek", "ek",
-      expectedItems = math.max(nEdgesCnt, 1000L), fpp = 0.01)
+    val expected = math.max(nEdgesCnt, 1000L)
+    val prunedWedges =
+      if (bloomBytes(expected, 0.01) <= maxBloomBytes)
+        BloomJoin.bloomPrefilter(
+          wedges.withColumn("ek", xxhash64(col("x"), col("y"))),
+          closing, "ek", "ek",
+          expectedItems = expected, fpp = 0.01)
+      else wedges
     val tri = prunedWedges.join(closing.drop("ek"), Seq("x", "y"))
       .select(col("src"), col("x"), col("y"))
     (und, deg, tri)
   }
 
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val (und, deg, triRows) = triangleRows(edges)
+  def triangleCount(edges: DataFrame,
+      maxBloomBytes: Long = 512L << 20): DataFrame = {
+    val (und, deg, triRows) = triangleRows(edges, maxBloomBytes)
     // Wedges outnumber edges ~sqrt(m):1 and only a few percent close
     // into triangles, so the closing equi-join's shuffle of the full
     // wedge set IS the cost of this operator (measured 41M wedges vs
@@ -197,8 +221,11 @@ object GraphOps {
     // inside the wedge-join stage, before the exchange — the exact
     // join then verifies survivors (bloom false positives and xxhash64
     // key collisions just pass a few extra rows into the exact check).
-    // At extreme edge counts the bloom is ~1.2 GB/1e9 edges: still
-    // broadcastable where a 30x wedge shuffle is not.
+    // At extreme edge counts the bloom is ~1.2 GB/1e9 edges (the
+    // bloomBytes formula, asserted in GraphOpsSpec): still
+    // broadcastable where a 30x wedge shuffle is not — and past
+    // maxBloomBytes the prefilter drops out entirely, with count
+    // parity proven by the forced-fallback spec case.
     val tri = triRows.agg(count(lit(1)).as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
@@ -215,8 +242,9 @@ object GraphOps {
     * @return (n, d, t, cc) for every vertex, d ≥ 1; t = 0 and cc = 0
     *         for vertices on no triangle.
     */
-  def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val (_, deg, triRows) = triangleRows(edges)
+  def clusteringCoefficients(edges: DataFrame,
+      maxBloomBytes: Long = 512L << 20): DataFrame = {
+    val (_, deg, triRows) = triangleRows(edges, maxBloomBytes)
     val perNode = triRows
       .select(explode(array(col("src"), col("x"), col("y"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("t"))

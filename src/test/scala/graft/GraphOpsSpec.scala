@@ -47,6 +47,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_triangles") == 4)
   }
 
+  test("triangle count is identical with the wedge bloom disabled (size-budget fallback)") {
+    // a 0-byte budget can never fit the filter, so the prefilter is
+    // skipped and the full wedge set reaches the exact closing join —
+    // both paths must agree exactly (the bloom is an optimization, not
+    // a semantics change)
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.tabulate(300)(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("u", "v")
+    val withBloom = GraphOps.triangleCount(edges).collect().head
+    val noBloom = GraphOps.triangleCount(edges, maxBloomBytes = 0L).collect().head
+    assert(withBloom.getAs[Long]("n_triangles") == noBloom.getAs[Long]("n_triangles"))
+    assert(withBloom.getAs[Long]("n_edges") == noBloom.getAs[Long]("n_edges"))
+    assert(noBloom.getAs[Long]("n_triangles") > 0L)
+    // the prose claim "~1.2 GB per 1e9 edges" is the formula, not lore
+    val gb = GraphOps.bloomBytes(1000000000L, 0.01).toDouble / (1L << 30)
+    assert(gb > 1.0 && gb < 1.3, s"bloomBytes(1e9, 0.01) = $gb GiB")
+  }
+
   test("triangle count matches a brute-force oracle on a random graph") {
     val rnd = new scala.util.Random(11)
     val n = 40
