@@ -8,11 +8,28 @@ import org.apache.spark.sql.SparkSession
   * Results are fully materialized through the `noop` sink — `count()`
   * would let Catalyst prune every projection and undercount the real
   * work; noop executes the complete physical plan and discards rows.
+  *
+  * Trustworthiness of the artifact (round-7 additions): this machine's
+  * ambient load swings wall time 30-40%, which has twice produced
+  * phantom regressions in the committed JSON. Two defenses:
+  *   - each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  *     reported per-query number (and the headline total) is the MIN —
+  *     the best observed run is the closest observable to the machine's
+  *     quiet-window cost; {min,max,runs} are all in the JSON so spread
+  *     is visible, and queries whose max/min exceeds 2x are listed in
+  *     "noisy" (unmeasurable this run, NOT regressed);
+  *   - /proc/loadavg is recorded before and after, so the artifact
+  *     self-describes the machine conditions it was captured under.
   */
 object Bench {
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,6 +38,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val loadBefore = loadavg()
 
     // Untimed warmup: noop-write every table so JIT, codegen caches, the
     // file index, and the first-reader page-cache penalty don't get
@@ -39,15 +58,28 @@ object Bench {
     unknown.foreach(n => System.err.println(s"[bench] unknown query '$n' skipped"))
     val results = known.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = (1 to runsPerQuery).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> runs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadAfter = loadavg()
+
+    def fmt(d: Double): String = f"$d%.4f"
+    val qs = results.map { case (k, rs) => "\"" + k + "\":" + fmt(rs.min) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, rs) =>
+      "\"" + k + "\":{\"min\":" + fmt(rs.min) + ",\"max\":" + fmt(rs.max) +
+        ",\"runs\":[" + rs.map(fmt).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    val noisy = results.collect {
+      case (k, rs) if rs.min > 0 && rs.max / rs.min > 2.0 => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val total = results.map(_._2.min).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":$detail,"noisy":$noisy,"runs_per_query":$runsPerQuery,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
     spark.stop()
   }
 }
