@@ -63,6 +63,12 @@ object ScaleSmoke {
     // tokenizer apply: training runs on the (clone-invariant) vocab,
     // encoding is the linear corpus pass — wall should track the scan
     "q_bpe_encode",
+    // r7 additions: DSIR scoring is one token pass + a vocab-keyed
+    // join (vocab clone-invariant, the scoring join grows with the
+    // token stream); distinct-n is one tagged-gram pass; zipf cuts the
+    // vocab with a map-side partial top-k; calibration is a pure
+    // per-row fold into 10 bins
+    "q_dsir", "q_distinct_n", "q_zipf", "q_calibration",
     // event-analytics tier at Nx USERS (user ids shifted per copy, so
     // per-user history stays constant — the fleet regime; timestamps
     // unchanged, so per-day/type groups get Nx fatter, stressing the

@@ -998,6 +998,25 @@ object RelationalQueries {
             .cast(DoubleType) /
             (col("n").cast(dec) * col("sx")).cast(DoubleType)).as("gini"))
         .orderBy("o_orderpriority")
+    },
+
+    // Z-order (Morton) key derivation — the layout primitive behind
+    // LayoutOps.zorderWrite (file-level clustering on TWO dimensions so
+    // min/max footer stats prune scans for predicates on either). The
+    // interleave is 32 codegen'd shift/mask terms; the oracle re-derives
+    // the identical bit math, and the write side's disjoint-file-range
+    // guarantee is proven in LayoutOpsSpec. Exact cents come from the
+    // DECIMAL cast (the q_benford discipline), never float math.
+    "q_zorder" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val cents = (col("o_totalprice").cast(DecimalType(18, 4)) * lit(100))
+        .cast(LongType)
+      o.select(col("o_orderkey"),
+          (col("o_custkey") % 65536).cast(LongType).as("xa"),
+          (cents % 65536).cast(LongType).as("xb"))
+        .select(col("o_orderkey"), col("xa"), col("xb"),
+          graft.ops.LayoutOps.zValue(col("xa"), col("xb")).as("z"))
+        .orderBy("o_orderkey")
     })
 
   private val discountedDec =
@@ -1012,7 +1031,25 @@ object RelationalQueries {
   private def decToDouble(sumExpr: String): String =
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
+  /** DuckDB twin of [[graft.ops.LayoutOps.zValue]]: the same 32
+    * shift/mask terms, OR-folded as a generated SQL expression.
+    */
+  private def zValueSql(a: String, b: String): String =
+    (0 until 16).map { i =>
+      // fully parenthesized: DuckDB gives bitwise operators equal
+      // precedence, so bare `x << i | y << j` would associate wrongly
+      s"(((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" | ")
+
   val oracles: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""WITH base AS (
+           SELECT o_orderkey,
+             CAST(o_custkey % 65536 AS BIGINT) AS xa,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) % 65536 AS xb
+           FROM orders)
+         SELECT o_orderkey, xa, xb, ${zValueSql("xa", "xb")} AS z
+         FROM base ORDER BY o_orderkey""",
     "q_sql_shipping_priority" ->
       s"""SELECT l_orderkey,
          ${decToDouble("""sum(CAST(l_extendedprice AS DECIMAL(18,4))

@@ -1099,6 +1099,151 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score each doc
+    // by the mean log-likelihood ratio of a target unigram LM (src0 —
+    // the high-quality domain) over the general source LM (the rest),
+    // add-1 smoothed on the joint vocabulary; positive = target-like,
+    // `keep` is the selection flag at threshold 0. Scale shape: ONE
+    // token aggregate builds both models in a single pass (conditional
+    // sums), the three scalar normalizers ride a 1-row broadcast, and
+    // scoring is a vocab-keyed shuffle join (the vocabulary is never
+    // broadcast or windowed) + per-doc aggregate; ln terms grid-summed
+    // per the drift_psi libm-parity discipline.
+    "q_dsir" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("source") === "src0").as("is_t"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+      val cnt = toks.groupBy(col("token")).agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("cs"))
+      val scal = cnt.agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"),
+        count(lit(1)).as("v"))
+      val term =
+        log((col("ct") + lit(1L)).cast(DoubleType) /
+          (col("nt") + col("v")).cast(DoubleType)) -
+        log((col("cs") + lit(1L)).cast(DoubleType) /
+          (col("ns") + col("v")).cast(DoubleType))
+      toks.join(cnt, Seq("token"))
+        .crossJoin(broadcast(scal))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), exactGridSum(term).as("g"))
+        .withColumn("score", round(fromGrid(col("g")) / col("n_tok"), 6))
+        .select(col("doc_id"), col("n_tok"), col("score"),
+          (col("score") > lit(0.0)).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Distinct-n lexical diversity per source (distinct n-grams over
+    // total n-grams, n = 1, 2, 3) — the templated-text detector
+    // (boilerplate and generated spam crater distinct-2/3 while
+    // per-doc stats look normal). ONE text scan: the three gram
+    // streams are tagged (n, gram) in-row and exploded together, one
+    // (source, n)-keyed exact count + distinct count, then a pivot-
+    // style regroup on the |sources|x3-bounded frame — no joins.
+    "q_distinct_n" -> { (s, dir) =>
+      def tag(n: Int, c: Column) =
+        transform(c, g => struct(lit(n).as("n"), g.as("g")))
+      val agg = Tables(s, dir, "documents")
+        .select(col("source"), explode(concat(
+          tag(1, TextOps.tokens(col("text"))),
+          tag(2, TextOps.shingles(col("text"), 2)),
+          tag(3, TextOps.shingles(col("text"), 3)))).as("t"))
+        .select(col("source"), col("t.n").as("n"), col("t.g").as("g"))
+        .groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("tot"), countDistinct(col("g")).as("dis"))
+      def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
+      agg.groupBy(col("source"))
+        .agg(pick(1, "tot").as("n1"), pick(1, "dis").as("d1"),
+          pick(2, "tot").as("n2"), pick(2, "dis").as("d2"),
+          pick(3, "tot").as("n3"), pick(3, "dis").as("d3"))
+        .select(col("source"), col("n1"),
+          round(col("d1").cast(DoubleType) / col("n1"), 6).as("distinct_1"),
+          col("n2"),
+          round(col("d2").cast(DoubleType) / col("n2"), 6).as("distinct_2"),
+          col("n3"),
+          round(col("d3").cast(DoubleType) / col("n3"), 6).as("distinct_3"))
+        .orderBy("source")
+    },
+
+    // Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over
+    // the top-100 tokens — the power-law health check (natural corpora
+    // land near -1; templated/synthetic text flattens the head). The
+    // vocabulary is cut by sort+limit (TakeOrderedAndProject map-side
+    // partial top-k, the q_rbo discipline) and ranked by the
+    // triangular broadcast join on the checkpointed 100-row frame — no
+    // global sort or window ever sees the full vocab. Regression sums
+    // are grid-quantized so both engines add identical integers; the
+    // closed-form slope then runs on exact 1e-9-multiples.
+    "q_zipf" -> { (s, dir) =>
+      val k = 100
+      val top = Tables(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(k)
+        .localCheckpoint()
+      val ranked = top.as("a").join(broadcast(top.as("b")),
+          col("b.n") > col("a.n") ||
+            (col("b.n") === col("a.n") && col("b.token") < col("a.token")),
+          "left")
+        .groupBy(col("a.token").as("token"), col("a.n").as("n"))
+        .agg((count(col("b.token")) + lit(1L)).as("rk"))
+      val x = log(col("rk").cast(DoubleType))
+      val y = log(col("n").cast(DoubleType))
+      ranked.agg(count(lit(1)).as("k"),
+          exactGridSum(x).as("sx"), exactGridSum(y).as("sy"),
+          exactGridSum(x * y).as("sxy"), exactGridSum(x * x).as("sxx"))
+        .select(col("k"),
+          round((col("k") * fromGrid(col("sxy")) -
+              fromGrid(col("sx")) * fromGrid(col("sy"))) /
+            (col("k") * fromGrid(col("sxx")) -
+              fromGrid(col("sx")) * fromGrid(col("sx"))), 6).as("zipf_slope"))
+    },
+
+    // Binned calibration + expected calibration error — the eval
+    // primitive for any learned quality/filter score before it gates a
+    // corpus. The "model" here is deterministic so the whole pipeline
+    // is oracle-checkable: p = clamp(n_chars/1000) (pure IEEE rational
+    // arithmetic, NO libm anywhere), the outcome an md5-uniform draw
+    // u < p (u is an exact 16-adic fraction, the q_weighted_sample
+    // construction — both engines derive it bit-identically). 10 fixed
+    // bins; per-bin mean p via grid sums; ece = sum share*|gap| over
+    // the checkpointed 10-row bin frame (branched for the scalar, so
+    // no re-scan).
+    "q_calibration" -> { (s, dir) =>
+      val pri = md5(concat(lit("cal:"), col("doc_id").cast(StringType)))
+      val u = (1 to 8).map { i =>
+        val a = ascii(substring(col("pri"), i, 1))
+        (a - when(a >= 97, 87).otherwise(48)).cast(DoubleType) *
+          lit(1.0 / math.pow(16.0, i))
+      }.reduce(_ + _)
+      val p = least(lit(0.95), greatest(lit(0.05),
+        col("n_chars").cast(DoubleType) / lit(1000.0)))
+      val bins = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), pri.as("pri"))
+        .withColumn("p", p)
+        .withColumn("y", (u < col("p")).cast(LongType))
+        .withColumn("bin", least(lit(9L), floor(col("p") * 10)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), exactGridSum(col("p")).as("gp"),
+          sum(col("y")).as("pos"))
+        .localCheckpoint() // <= 10 rows; branched below for the scalar
+      val ece = bins.agg(exactGridSum(
+          abs(fromGrid(col("gp")) / col("n") -
+            col("pos").cast(DoubleType) / col("n")) *
+          col("n").cast(DoubleType)).as("ge"),
+        sum(col("n")).as("nn"))
+        .select(round(fromGrid(col("ge")) / col("nn"), 6).as("ece"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"),
+          round(fromGrid(col("gp")) / col("n"), 6).as("mean_p"),
+          round(col("pos").cast(DoubleType) / col("n"), 6).as("rate"),
+          round(abs(fromGrid(col("gp")) / col("n") -
+            col("pos").cast(DoubleType) / col("n")), 6).as("gap"),
+          col("ece"))
+        .orderBy("bin")
+    },
+
     // Multimodal: batched fake-decode through the mapPartitions plumbing.
     // The codec is a deterministic stub, so its byte-statistics output IS
     // SQL-reproducible — the oracle re-derives the Arrays.hashCode fold
@@ -1745,6 +1890,74 @@ object TextQueries {
                 ELSE least(16, n - (idx % n)) END AS BIGINT) AS n_frame_bytes
          FROM vids, unnest(range(0, n_frames, 50)) AS u(idx)
          ORDER BY media_id, frame_idx""",
+    "q_dsir" ->
+      s"""WITH toks AS (
+           SELECT doc_id, source = 'src0' AS is_t,
+             unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         cnt AS (
+           SELECT token,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cs
+           FROM toks GROUP BY token),
+         scal AS (
+           SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns,
+             count(*) AS v
+           FROM cnt),
+         scored AS (
+           SELECT t.doc_id, count(*) AS n_tok,
+             round(${gridSumSql(
+               """ln(CAST(c.ct + 1 AS DOUBLE) / (s.nt + s.v))
+                  - ln(CAST(c.cs + 1 AS DOUBLE) / (s.ns + s.v))""")}
+               / count(*), 6) AS score
+           FROM toks t JOIN cnt c USING (token), scal s
+           GROUP BY t.doc_id)
+         SELECT doc_id, n_tok, score, score > 0.0e0 AS keep
+         FROM scored ORDER BY doc_id""",
+    "q_distinct_n" ->
+      """WITH t1 AS (
+           SELECT source, unnest(string_split(text, ' ')) AS g FROM documents),
+         a1 AS (SELECT source, count(*) AS n1, count(DISTINCT g) AS d1
+                FROM t1 GROUP BY source),
+         t2 AS (
+           SELECT source, unnest(list_transform(
+             range(1, greatest(len(string_split(text, ' ')), 1)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         a2 AS (SELECT source, count(*) AS n2, count(DISTINCT g) AS d2
+                FROM t2 GROUP BY source),
+         t3 AS (
+           SELECT source, unnest(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                  || ' ' || string_split(text, ' ')[i+2])) AS g
+           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         a3 AS (SELECT source, count(*) AS n3, count(DISTINCT g) AS d3
+                FROM t3 GROUP BY source)
+         SELECT source, n1, round(CAST(d1 AS DOUBLE) / n1, 6) AS distinct_1,
+           n2, round(CAST(d2 AS DOUBLE) / n2, 6) AS distinct_2,
+           n3, round(CAST(d3 AS DOUBLE) / n3, 6) AS distinct_3
+         FROM a1 JOIN a2 USING (source) JOIN a3 USING (source)
+         ORDER BY source""",
+    "q_zipf" ->
+      s"""WITH vocab AS (
+           SELECT token, count(*) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY token),
+         top AS (
+           SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rk
+           FROM vocab QUALIFY rk <= 100),
+         sums AS (
+           SELECT count(*) AS k,
+             ${gridSumSql("ln(CAST(rk AS DOUBLE))")} AS sx,
+             ${gridSumSql("ln(CAST(n AS DOUBLE))")} AS sy,
+             ${gridSumSql("ln(CAST(rk AS DOUBLE)) * ln(CAST(n AS DOUBLE))")} AS sxy,
+             ${gridSumSql("ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))")} AS sxx
+           FROM top)
+         SELECT k, round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope
+         FROM sums""",
+    "q_calibration" -> calibrationOracle,
     "q_semdedup" -> semdedupOracle,
     "q_embed_ivfpq" -> ivfPqOracle,
     "q_embed_neardup" -> neardupOracle,
@@ -2440,6 +2653,46 @@ object TextQueries {
          SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
          FROM c WHERE cum_tok <= 600 ORDER BY doc_id""",
     "q_weighted_sample" -> weightedSampleOracle)
+
+  /** DuckDB twin of q_calibration: the same md5 16-adic uniform as
+    * q_weighted_sample (exact in both engines), a pure-rational p
+    * (clamp(n_chars/1000) — no libm anywhere in this query, so every
+    * comparison and bin assignment is IEEE-deterministic), and the
+    * grid-sum ECE over the 10-row bin frame.
+    */
+  private def calibrationOracle: String = {
+    val uTerms = (1 to 8).map { i =>
+      s"""(ascii(substring(pri, $i, 1)) -
+          CASE WHEN ascii(substring(pri, $i, 1)) >= 97 THEN 87 ELSE 48 END)
+          / power(16.0, $i)"""
+    }.mkString(" + ")
+    s"""WITH b AS (
+         SELECT doc_id, n_chars,
+           md5('cal:' || CAST(doc_id AS VARCHAR)) AS pri,
+           least(0.95e0, greatest(0.05e0, CAST(n_chars AS DOUBLE) / 1000.0e0)) AS p
+         FROM documents),
+       lab AS (
+         SELECT doc_id, p,
+           CASE WHEN ($uTerms) < p THEN 1 ELSE 0 END AS y,
+           least(9, CAST(floor(p * 10) AS BIGINT)) AS bin
+         FROM b),
+       bins AS (
+         SELECT bin, count(*) AS n,
+           CAST(sum(CAST(floor(p * 1.0e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS gp,
+           CAST(sum(y) AS BIGINT) AS pos
+         FROM lab GROUP BY bin),
+       e AS (
+         SELECT round(${GridSum.gridSumSql(
+          "abs(CAST(gp AS DOUBLE) / 1.0e9 / n - CAST(pos AS DOUBLE) / n) * n")}
+           / sum(n), 6) AS ece
+         FROM bins)
+       SELECT bin, n,
+         round(CAST(gp AS DOUBLE) / 1.0e9 / n, 6) AS mean_p,
+         round(CAST(pos AS DOUBLE) / n, 6) AS rate,
+         round(abs(CAST(gp AS DOUBLE) / 1.0e9 / n - CAST(pos AS DOUBLE) / n), 6) AS gap,
+         ece
+       FROM bins, e ORDER BY bin"""
+  }
 
   /** DuckDB twin of q_weighted_sample's exact md5-derived uniform: the
     * same 8 hex-digit expansion sum(hv_i / 16^i) — every term and

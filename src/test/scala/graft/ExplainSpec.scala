@@ -53,6 +53,13 @@ class ExplainSpec extends SparkSpec {
     "q_embed_decontam" -> 2, "q_trimmed_mean" -> 3, "q_mode" -> 3,
     "q_cuped" -> 3, "q_ks_test" -> 3, "q_data_card" -> 5, "q_lag_corr" -> 4,
     "q_rbo" -> 3, "q_mannwhitney" -> 3,
+    // q_dsir: token agg (both LMs in one pass), vocab-keyed scoring
+    // join, per-doc agg, output sort — all narrow rows
+    "q_dsir" -> 4,
+    // q_distinct_n: one tagged-gram explode -> (source, n) distinct agg
+    // (2-stage), |sources|x3 regroup, output sort
+    "q_distinct_n" -> 4,
+    "q_calibration" -> 2, "q_zipf" -> 0, "q_zorder" -> 1,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
     // cumulative + sizing run on the cohort x week domain

@@ -21,6 +21,43 @@ class LayoutOpsSpec extends SparkSpec {
     assert(corners.getLong(0) == 0L && corners.getLong(1) == 65535L)
   }
 
+  test("zorderWrite clusters files into disjoint Morton-key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(2000)(i =>
+      (i.toLong, rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("id", "xa", "xb")
+    LayoutOps.zorderWrite(df, dir, numFiles = 4, col("xa"), col("xb"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 4)
+    // round-trip completeness
+    assert(spark.read.parquet(dir).count() == 2000L)
+    // each file must hold a z-range disjoint from every other file's —
+    // the repartitionByRange property that makes footer stats prune
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .select(LayoutOps.zValue(col("xa"), col("xb")).as("z"))
+        .agg(min(col("z")), max(col("z"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"overlapping z ranges: $sorted")
+      case _ =>
+    }
+    // the Spark-side z matches an independent reference interleave
+    def zRef(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    val sample = spark.read.parquet(dir).limit(50)
+      .select(col("xa"), col("xb"), LayoutOps.zValue(col("xa"), col("xb")).as("z"))
+      .collect()
+    sample.foreach(r =>
+      assert(r.getLong(2) == zRef(r.getLong(0), r.getLong(1))))
+  }
+
   test("clusterWrite makes the leading key prune files; zorder prunes both dims") {
     val n = 100000
     // two independent uniform keys - the layout, not the data, decides
