@@ -69,6 +69,13 @@ object ScaleSmoke {
     // vocab with a map-side partial top-k; calibration is a pure
     // per-row fold into 10 bins
     "q_dsir", "q_distinct_n", "q_zipf", "q_calibration",
+    // Kneser-Ney: bigram TYPE table is clone-invariant, scoring join
+    // grows with the stream; NDCG evals a fixed-query top-10 — both
+    // should track the scan. (q_media_phash is excluded for the same
+    // reason as the other pairwise ops: a 90%-clone corpus puts every
+    // clone group in one band bucket — dedup-first is the documented
+    // pipeline order.)
+    "q_kneser_ney", "q_ndcg",
     // event-analytics tier at Nx USERS (user ids shifted per copy, so
     // per-user history stays constant — the fleet regime; timestamps
     // unchanged, so per-day/type groups get Nx fatter, stressing the

@@ -46,6 +46,48 @@ object MultimodalOps {
     }
   }
 
+  /** One perceptual hash row: parent id plus the packed 64-bit hash. */
+  case class MediaHash(media_id: Long, phash: Long)
+
+  /** 64-bit average-hash over the blob bytes — the perceptual-dedup
+    * primitive (stand-in for pixel aHash: a real implementation
+    * downsamples to 8x8 luma and thresholds on the mean; this one
+    * splits the byte stream into 64 equal chunks and thresholds each
+    * chunk mean against the global mean). Bit j is set iff
+    * chunkSum_j * n > totalSum * chunkLen_j — an integer-exact mean
+    * comparison, no floats, so the hash is bit-identical in any engine
+    * that can sum bytes. Empty blob hashes to 0.
+    */
+  def pHash64(blob: Array[Byte]): Long = {
+    val n = blob.length
+    if (n == 0) return 0L
+    var tot = 0L
+    var i = 0
+    while (i < n) { tot += (blob(i) & 0xff); i += 1 }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      val lo = j * n / 64
+      val hi = (j + 1) * n / 64
+      var cs = 0L
+      i = lo
+      while (i < hi) { cs += (blob(i) & 0xff); i += 1 }
+      // cs * n <= 255 * n^2 and tot * len <= 255 * n^2 — overflow-safe
+      // for any blob under ~190 MB
+      if (hi > lo && cs * n > tot * (hi - lo)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** Batched perceptual hashing through the same mapPartitions plumbing
+    * as decode — one linear pass per blob, no shuffle, no driver hop.
+    */
+  def perceptualHashes(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(r => MediaHash(r.media_id, pHash64(r.blob))))
+  }
+
   /** Attach a binary payload column derived from a string column —
     * the testdata has no real media, so documents.text doubles as the
     * blob source (utf-8 bytes). At deployment the blob column comes

@@ -1017,6 +1017,46 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("xa"), col("xb"),
           graft.ops.LayoutOps.zValue(col("xa"), col("xb")).as("z"))
         .orderBy("o_orderkey")
+    },
+
+    // Degree assortativity (Newman 2002) over the part co-purchase
+    // graph — does the graph wire hubs-to-hubs (r > 0, social shape) or
+    // hubs-to-leaves (r < 0, web/dependency shape)? The one-number
+    // topology probe that decides whether hub-aware dedup/partitioning
+    // strategies (salting, degree-ordered orientation) will pay off.
+    // Pearson correlation of endpoint degrees over directed stubs; every
+    // accumulator is an exact BIGINT sum (degrees x degrees — no libm,
+    // no float sums anywhere), one double division at the end. The pair
+    // subtree is localCheckpoint'd before branching into degrees vs
+    // endpoints (Catalyst re-plans branched aggregate subtrees — the
+    // GraphOps discipline); the degree table is vocab-sized and joined
+    // by key, never broadcast.
+    "q_assortativity" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("u"), col("y.pk").as("v")).distinct()
+        .localCheckpoint()
+      val deg = pairs.select(col("u").as("n"))
+        .unionAll(pairs.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val ed = pairs
+        .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      val sums = ed.agg(
+        count(lit(1)).as("m"),
+        sum(col("du") * col("dv")).as("sjk"),
+        sum(col("du") + col("dv")).as("sj"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sj2"))
+      val bigM = (lit(2L) * col("m")).cast(DoubleType)
+      val mu = col("sj").cast(DoubleType) / bigM
+      sums.crossJoin(broadcast(
+          deg.agg(count(lit(1)).as("n_nodes"))))
+        .select(col("n_nodes"), col("m").as("n_edges"),
+          round(((lit(2L) * col("sjk")).cast(DoubleType) / bigM - mu * mu) /
+            (col("sj2").cast(DoubleType) / bigM - mu * mu), 6)
+            .as("assortativity"))
     })
 
   private val discountedDec =
@@ -1042,6 +1082,34 @@ object RelationalQueries {
     }.mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    "q_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT DISTINCT x.pk AS u, y.pk AS v
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         deg AS (
+           SELECT n, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+           GROUP BY 1),
+         ed AS (
+           SELECT da.d AS du, db.d AS dv
+           FROM und JOIN deg da ON und.u = da.n JOIN deg db ON und.v = db.n),
+         sums AS (
+           SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(du * dv) AS BIGINT) AS sjk,
+             CAST(sum(du + dv) AS BIGINT) AS sj,
+             CAST(sum(du * du + dv * dv) AS BIGINT) AS sj2
+           FROM ed)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           m AS n_edges,
+           round((CAST(2 * sjk AS DOUBLE) / CAST(2 * m AS DOUBLE)
+                  - (CAST(sj AS DOUBLE) / CAST(2 * m AS DOUBLE))
+                    * (CAST(sj AS DOUBLE) / CAST(2 * m AS DOUBLE)))
+               / (CAST(sj2 AS DOUBLE) / CAST(2 * m AS DOUBLE)
+                  - (CAST(sj AS DOUBLE) / CAST(2 * m AS DOUBLE))
+                    * (CAST(sj AS DOUBLE) / CAST(2 * m AS DOUBLE))), 6)
+             AS assortativity
+         FROM sums""",
     "q_zorder" ->
       s"""WITH base AS (
            SELECT o_orderkey,

@@ -60,6 +60,18 @@ class ExplainSpec extends SparkSpec {
     // (2-stage), |sources|x3 regroup, output sort
     "q_distinct_n" -> 4,
     "q_calibration" -> 2, "q_zipf" -> 0, "q_zorder" -> 1,
+    // q_assortativity: pair build (distinct + self-join + distinct) then
+    // degree/endpoint/scalar aggregates — all exchanges after the
+    // checkpoint carry edge- or degree-table-sized rows, never the scan
+    "q_assortativity" -> 7,
+    // q_kneser_ney: bigram-type groupBy, prefix/suffix aggregates off
+    // the checkpointed LM table, bigram-keyed scoring join, per-doc agg
+    "q_kneser_ney" -> 5,
+    // q_ndcg: the bm25Ranked subplan's exchanges + the 30-row eval agg
+    "q_ndcg" -> 6,
+    // q_media_phash: band self-join + pair distinct + per-media argmin
+    // window, all on the checkpointed hash frame
+    "q_media_phash" -> 3,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
     // cumulative + sizing run on the cohort x week domain
