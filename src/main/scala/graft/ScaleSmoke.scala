@@ -76,6 +76,10 @@ object ScaleSmoke {
     // clone group in one band bucket — dedup-first is the documented
     // pipeline order.)
     "q_kneser_ney", "q_ndcg",
+    // keyness: one token aggregate + vocab-keyed joins + rank-limit
+    // window (map-side partial top-k); kappa is a pure per-row fold;
+    // fertility rides the BPE-encode pass with one extra join/agg
+    "q_keyness", "q_kappa", "q_fertility",
     // event-analytics tier at Nx USERS (user ids shifted per copy, so
     // per-user history stays constant — the fleet regime; timestamps
     // unchanged, so per-day/type groups get Nx fatter, stressing the

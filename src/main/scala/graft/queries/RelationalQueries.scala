@@ -1057,6 +1057,59 @@ object RelationalQueries {
           round(((lit(2L) * col("sjk")).cast(DoubleType) / bigM - mu * mu) /
             (col("sj2").cast(DoubleType) / bigM - mu * mu), 6)
             .as("assortativity"))
+    },
+
+    // Observational causal inference: stratified inverse-propensity
+    // weighting (Horvitz-Thompson/Hájek) vs the naive difference —
+    // the estimator a platform runs when treatment was NOT randomized.
+    // Treatment here is a deterministic md5 draw whose propensity
+    // varies by order-priority stratum (0.3..0.7) with a planted $5k
+    // effect, so the confounded naive diff and the debiased IPW
+    // estimate are both oracle-checkable. Scale shape: ONE pass to the
+    // |strata|-row frame (partial-agg bound), the estimator runs on 5
+    // rows. Per-stratum Hájek terms (syt*ns/nt ~ 1e12) ride a COARSE
+    // 1e3 grid — the usual 1e9 grid would overflow BIGINT at this
+    // magnitude; both engines quantize identically, so cross-engine
+    // exactness is unaffected and the 5e-4/term error vanishes at the
+    // rounded output.
+    "q_ipw" -> { (s, dir) =>
+      val pri = md5(concat(lit("t:"), col("o_orderkey").cast(StringType)))
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderpriority").as("stratum"),
+        substring(col("o_orderpriority"), 1, 1).cast(LongType).as("digit"),
+        (col("o_totalprice").cast(DecimalType(18, 4)) * 100)
+          .cast(LongType).as("cents"),
+        pri.as("pri"))
+      val u = (1 to 8).map { i =>
+        val a = ascii(substring(col("pri"), i, 1))
+        (a - when(a >= 97, 87).otherwise(48)).cast(DoubleType) *
+          lit(1.0 / math.pow(16.0, i))
+      }.reduce(_ + _)
+      val p = col("digit").cast(DoubleType) / lit(10.0) + lit(0.2)
+      val t = base.withColumn("treat", u < p)
+        .withColumn("y", col("cents") + when(col("treat"), 500000L).otherwise(0L))
+      val strata = t.groupBy("stratum").agg(
+        count(lit(1)).as("ns"),
+        sum(when(col("treat"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treat"), col("y")).otherwise(0L)).as("syt"),
+        sum(when(!col("treat"), col("y")).otherwise(0L)).as("syc"))
+      val nc = col("ns") - col("nt")
+      val term1 = when(col("nt") > 0,
+        (col("syt") * col("ns")).cast(DoubleType) / col("nt")).otherwise(lit(0.0))
+      val term0 = when(nc > 0,
+        (col("syc") * col("ns")).cast(DoubleType) / nc).otherwise(lit(0.0))
+      def coarse(c: Column) = sum(floor(c * lit(1000.0) + lit(0.5)).cast(LongType))
+      strata.agg(
+          sum(col("ns")).as("n"), sum(col("nt")).as("n_t"),
+          sum(col("syt")).as("ts"), sum(col("syc")).as("cs"),
+          coarse(term1).as("g1"), coarse(term0).as("g0"))
+        .select(col("n"), col("n_t"),
+          round((col("ts").cast(DoubleType) / col("n_t") -
+            col("cs").cast(DoubleType) / (col("n") - col("n_t"))) / lit(100.0), 6)
+            .as("naive_diff"),
+          round((col("g1").cast(DoubleType) / lit(1000.0) / col("n") -
+            col("g0").cast(DoubleType) / lit(1000.0) / col("n")) / lit(100.0), 6)
+            .as("ate_ipw"))
     })
 
   private val discountedDec =
@@ -1071,6 +1124,55 @@ object RelationalQueries {
   private def decToDouble(sumExpr: String): String =
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
+  /** DuckDB twin of q_ipw: the same md5 16-adic treatment draw,
+    * stratum propensities, planted effect, and coarse-grid Hájek terms
+    * (identical quantization, so the engines agree bit-for-bit).
+    */
+  private def ipwOracle: String = {
+    val uTerms = (1 to 8).map { i =>
+      s"""(ascii(substring(pri, $i, 1)) -
+          CASE WHEN ascii(substring(pri, $i, 1)) >= 97 THEN 87 ELSE 48 END)
+          / power(16.0, $i)"""
+    }.mkString(" + ")
+    s"""WITH base AS (
+         SELECT o_orderpriority AS stratum,
+           CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS digit,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+           md5('t:' || CAST(o_orderkey AS VARCHAR)) AS pri
+         FROM orders),
+       drawn AS (
+         SELECT stratum,
+           ($uTerms) < (CAST(digit AS DOUBLE) / 10.0e0 + 0.2e0) AS treat,
+           cents
+         FROM base),
+       w AS (
+         SELECT stratum, treat,
+           cents + CASE WHEN treat THEN 500000 ELSE 0 END AS y
+         FROM drawn),
+       strata AS (
+         SELECT stratum, CAST(count(*) AS BIGINT) AS ns,
+           CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           CAST(sum(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT) AS syt,
+           CAST(sum(CASE WHEN NOT treat THEN y ELSE 0 END) AS BIGINT) AS syc
+         FROM w GROUP BY stratum),
+       agg AS (
+         SELECT CAST(sum(ns) AS BIGINT) AS n, CAST(sum(nt) AS BIGINT) AS n_t,
+           CAST(sum(syt) AS BIGINT) AS ts, CAST(sum(syc) AS BIGINT) AS cs,
+           CAST(sum(CAST(floor((CASE WHEN nt > 0
+               THEN CAST(syt * ns AS DOUBLE) / nt ELSE 0.0e0 END)
+             * 1000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS g1,
+           CAST(sum(CAST(floor((CASE WHEN ns - nt > 0
+               THEN CAST(syc * ns AS DOUBLE) / (ns - nt) ELSE 0.0e0 END)
+             * 1000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS g0
+         FROM strata)
+       SELECT n, n_t,
+         round((CAST(ts AS DOUBLE) / n_t - CAST(cs AS DOUBLE) / (n - n_t))
+           / 100.0e0, 6) AS naive_diff,
+         round((CAST(g1 AS DOUBLE) / 1000.0e0 / n
+             - CAST(g0 AS DOUBLE) / 1000.0e0 / n) / 100.0e0, 6) AS ate_ipw
+       FROM agg"""
+  }
+
   /** DuckDB twin of [[graft.ops.LayoutOps.zValue]]: the same 32
     * shift/mask terms, OR-folded as a generated SQL expression.
     */
@@ -1082,6 +1184,7 @@ object RelationalQueries {
     }.mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    "q_ipw" -> ipwOracle,
     "q_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          und AS (

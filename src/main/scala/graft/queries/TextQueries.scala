@@ -1364,6 +1364,104 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Dunning log-likelihood keyness (Dunning 1993): G² of each token's
+    // 2x2 contingency (this source vs the rest) — the corpus-linguistics
+    // keyword extractor that surfaces what makes a source's vocabulary
+    // DISTINCTIVE (chi2 without the small-count breakdown). Scale
+    // shape: one token aggregate to the (source, token) frame
+    // (checkpointed — three tiny aggregates branch off it), token-keyed
+    // join for totals, per-source top-20 via a rank-limit window (Spark
+    // plans WindowGroupLimit: map-side partial top-k per partition, so
+    // no source's full vocabulary is ever sorted on one task). G²
+    // terms use integer cross-products inside the ln (exact on both
+    // engines) and rank on the rounded score.
+    "q_keyness" -> { (s, dir) =>
+      val a = Tables(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("a"))
+        .localCheckpoint()
+      val tt = a.groupBy("token").agg(sum(col("a")).as("ab"))
+      val st = a.groupBy("source").agg(sum(col("a")).as("n1"))
+      val nn = a.agg(sum(col("a")).as("nn"))
+      val b = col("ab") - col("a")
+      val n2 = col("nn") - col("n1")
+      val t1 = col("a").cast(DoubleType) *
+        log((col("a") * col("nn")).cast(DoubleType) /
+          (col("n1") * col("ab")).cast(DoubleType))
+      val t2 = when(b > 0, b.cast(DoubleType) *
+        log((b * col("nn")).cast(DoubleType) /
+          (n2 * col("ab")).cast(DoubleType))).otherwise(lit(0.0))
+      val scored = a.join(tt, Seq("token"))
+        .join(broadcast(st), Seq("source"))
+        .crossJoin(broadcast(nn))
+        .select(col("source"), col("token"),
+          round(lit(2.0) * (t1 + t2), 6).as("g2"),
+          (col("a") * col("nn") > col("n1") * col("ab")).as("over_rep"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("g2").desc, col("token").asc)
+      scored.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 20)
+        .select(col("source"), col("rk"), col("token"), col("g2"), col("over_rep"))
+        .orderBy("source", "rk")
+    },
+
+    // Inter-rater agreement (Cohen's kappa) per source — the label-QA
+    // primitive before any annotated set trains a filter: agreement
+    // corrected for chance. Rater 1 is a deterministic length heuristic,
+    // rater 2 a 20%-noise copy flipped on an md5-uniform draw (the
+    // q_weighted_sample 16-adic construction — exact in both engines),
+    // so the whole table is oracle-checkable. Pure counting: one
+    // aggregate per source, kappa from exact integer marginals.
+    "q_kappa" -> { (s, dir) =>
+      val pri = md5(concat(lit("r2:"), col("doc_id").cast(StringType)))
+      val u = (1 to 8).map { i =>
+        val a = ascii(substring(col("pri"), i, 1))
+        (a - when(a >= 97, 87).otherwise(48)).cast(DoubleType) *
+          lit(1.0 / math.pow(16.0, i))
+      }.reduce(_ + _)
+      val lab = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          (col("n_chars") >= 400).as("r1"), pri.as("pri"))
+        .withColumn("r2", (col("r1") =!= (u < lit(0.2))))
+      val agg = lab.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("r1") === col("r2"), 1L).otherwise(0L)).as("agree"),
+        sum(when(col("r1"), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("r2"), 1L).otherwise(0L)).as("b1"))
+      val a0 = col("n") - col("a1")
+      val b0 = col("n") - col("b1")
+      val po = col("agree").cast(DoubleType) / col("n")
+      val pe = (col("a1") * col("b1") + a0 * b0).cast(DoubleType) /
+        (col("n") * col("n")).cast(DoubleType)
+      agg.select(col("source"), col("n"), col("agree"),
+          round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+        .orderBy("source")
+    },
+
+    // Tokenizer fertility by source: subwords per word and bytes per
+    // subword under the trained BPE — the tokenizer-eval metric that
+    // decides whether a vocab serves every source fairly (a domain
+    // with high fertility pays more sequence length per byte of
+    // content). Composes the q_bpe_encode pipeline (vocab-only merge
+    // rounds; encode is the linear pass) with a per-source aggregate —
+    // exact integer sums, two double divisions per source row.
+    "q_fertility" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val enc = BpeOps.bpeEncode(docs, "text", "doc_id", merges = 2)
+      enc.join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum(col("n_words")).as("words"),
+          sum(col("n_subwords")).as("subwords"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("source"), col("words"), col("subwords"), col("chars"),
+          round(col("subwords").cast(DoubleType) / col("words"), 6)
+            .as("fertility"),
+          round(col("chars").cast(DoubleType) / col("subwords"), 6)
+            .as("chars_per_subword"))
+        .orderBy("source")
+    },
+
     // Multimodal: batched fake-decode through the mapPartitions plumbing.
     // The codec is a deterministic stub, so its byte-statistics output IS
     // SQL-reproducible — the oracle re-derives the Arrays.hashCode fold
@@ -1650,6 +1748,35 @@ object TextQueries {
     * BPE training rounds — word-freq vocab, pair counts, chosen pairs
     * b0/b1, and the post-merge vocabulary sequences seq2.
     */
+  /** Shared by the q_bpe_encode and q_fertility oracles: per-doc
+    * char-sequence expansion and the two merge applications (enc2 ends
+    * with (doc_id, n_words, seq)).
+    */
+  private val bpeEncodeCte: String =
+    raw"""docseq AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+             array_to_string(list_transform(string_split(text, ' '),
+               w -> trim(regexp_replace(w, '(.)', '\1 ', 'g'))), ' <w> ') AS seq
+           FROM documents),
+         enc1 AS (
+           SELECT doc_id, n_words,
+             CASE WHEN b.pair IS NULL THEN seq ELSE
+               trim(regexp_replace(
+                 replace(' ' || replace(seq, ' ', '  ') || ' ',
+                         ' ' || replace(b.pair, ' ', '  ') || ' ',
+                         ' ' || replace(b.pair, ' ', '') || ' '),
+                 ' +', ' ', 'g')) END AS seq
+           FROM docseq LEFT JOIN b0 b ON TRUE),
+         enc2 AS (
+           SELECT doc_id, n_words,
+             CASE WHEN b.pair IS NULL THEN seq ELSE
+               trim(regexp_replace(
+                 replace(' ' || replace(seq, ' ', '  ') || ' ',
+                         ' ' || replace(b.pair, ' ', '  ') || ' ',
+                         ' ' || replace(b.pair, ' ', '') || ' '),
+                 ' +', ' ', 'g')) END AS seq
+           FROM enc1 LEFT JOIN b1 b ON TRUE)"""
+
   private val bpeTrainCte: String =
     """words AS (
          SELECT word, count(*) AS freq
@@ -2080,6 +2207,35 @@ object TextQueries {
     "q_calibration" -> calibrationOracle,
     "q_kneser_ney" -> kneserNeyOracle,
     "q_media_phash" -> mediaPhashOracle,
+    "q_keyness" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+         a AS (
+           SELECT source, token, CAST(count(*) AS BIGINT) AS a
+           FROM tok GROUP BY 1, 2),
+         tt AS (SELECT token, CAST(sum(a) AS BIGINT) AS ab FROM a GROUP BY 1),
+         st AS (SELECT source, CAST(sum(a) AS BIGINT) AS n1 FROM a GROUP BY 1),
+         nn AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM a),
+         sc AS (
+           SELECT a.source, a.token,
+             round(2.0e0 * (
+               CAST(a.a AS DOUBLE)
+                 * ln(CAST(a.a * nn.nn AS DOUBLE) / CAST(st.n1 * tt.ab AS DOUBLE))
+               + CASE WHEN tt.ab - a.a > 0 THEN
+                   CAST(tt.ab - a.a AS DOUBLE)
+                     * ln(CAST((tt.ab - a.a) * nn.nn AS DOUBLE)
+                       / CAST((nn.nn - st.n1) * tt.ab AS DOUBLE))
+                 ELSE 0.0e0 END), 6) AS g2,
+             a.a * nn.nn > st.n1 * tt.ab AS over_rep
+           FROM a JOIN tt USING (token) JOIN st USING (source), nn),
+         r AS (
+           SELECT source, token, g2, over_rep,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY g2 DESC, token ASC) AS BIGINT) AS rk
+           FROM sc)
+         SELECT source, rk, token, g2, over_rep
+         FROM r WHERE rk <= 20 ORDER BY source, rk""",
+    "q_kappa" -> kappaOracle,
     "q_semdedup" -> semdedupOracle,
     "q_embed_ivfpq" -> ivfPqOracle,
     "q_embed_neardup" -> neardupOracle,
@@ -2303,33 +2459,26 @@ object TextQueries {
          SELECT pair, CAST(cnt AS BIGINT) AS cnt
          FROM pc2 ORDER BY cnt DESC, pair LIMIT 20""",
     "q_bpe_encode" ->
-      raw"""WITH $bpeTrainCte,
-         docseq AS (
-           SELECT doc_id, len(string_split(text, ' ')) AS n_words,
-             array_to_string(list_transform(string_split(text, ' '),
-               w -> trim(regexp_replace(w, '(.)', '\1 ', 'g'))), ' <w> ') AS seq
-           FROM documents),
-         enc1 AS (
-           SELECT doc_id, n_words,
-             CASE WHEN b.pair IS NULL THEN seq ELSE
-               trim(regexp_replace(
-                 replace(' ' || replace(seq, ' ', '  ') || ' ',
-                         ' ' || replace(b.pair, ' ', '  ') || ' ',
-                         ' ' || replace(b.pair, ' ', '') || ' '),
-                 ' +', ' ', 'g')) END AS seq
-           FROM docseq LEFT JOIN b0 b ON TRUE),
-         enc2 AS (
-           SELECT doc_id, n_words,
-             CASE WHEN b.pair IS NULL THEN seq ELSE
-               trim(regexp_replace(
-                 replace(' ' || replace(seq, ' ', '  ') || ' ',
-                         ' ' || replace(b.pair, ' ', '  ') || ' ',
-                         ' ' || replace(b.pair, ' ', '') || ' '),
-                 ' +', ' ', 'g')) END AS seq
-           FROM enc1 LEFT JOIN b1 b ON TRUE)
+      s"""WITH $bpeTrainCte,
+         $bpeEncodeCte
          SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
            CAST(len(string_split(seq, ' ')) - (n_words - 1) AS BIGINT) AS n_subwords
          FROM enc2 ORDER BY doc_id""",
+    "q_fertility" ->
+      s"""WITH $bpeTrainCte,
+         $bpeEncodeCte,
+         agg AS (
+           SELECT d.source,
+             CAST(sum(e.n_words) AS BIGINT) AS words,
+             CAST(sum(len(string_split(e.seq, ' ')) - (e.n_words - 1)) AS BIGINT)
+               AS subwords,
+             CAST(sum(d.n_chars) AS BIGINT) AS chars
+           FROM enc2 e JOIN documents d USING (doc_id)
+           GROUP BY d.source)
+         SELECT source, words, subwords, chars,
+           round(CAST(subwords AS DOUBLE) / words, 6) AS fertility,
+           round(CAST(chars AS DOUBLE) / subwords, 6) AS chars_per_subword
+         FROM agg ORDER BY source""",
     "q_kmeans_iter" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          cent AS (
@@ -2776,6 +2925,35 @@ object TextQueries {
          SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
          FROM c WHERE cum_tok <= 600 ORDER BY doc_id""",
     "q_weighted_sample" -> weightedSampleOracle)
+
+  /** DuckDB twin of q_kappa: the same md5 16-adic uniform flip draw and
+    * exact integer marginals; kappa's divisions are the only doubles.
+    */
+  private def kappaOracle: String = {
+    val uTerms = (1 to 8).map { i =>
+      s"""(ascii(substring(pri, $i, 1)) -
+          CASE WHEN ascii(substring(pri, $i, 1)) >= 97 THEN 87 ELSE 48 END)
+          / power(16.0, $i)"""
+    }.mkString(" + ")
+    s"""WITH lab AS (
+         SELECT source, doc_id, n_chars >= 400 AS r1,
+           md5('r2:' || CAST(doc_id AS VARCHAR)) AS pri
+         FROM documents),
+       flip AS (
+         SELECT source, r1, r1 != (($uTerms) < 0.2e0) AS r2 FROM lab),
+       agg AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+           CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+           CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS b1
+         FROM flip GROUP BY source)
+       SELECT source, n, agree,
+         round((CAST(agree AS DOUBLE) / n
+             - CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE) / CAST(n * n AS DOUBLE))
+           / (1.0e0 - CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE)
+               / CAST(n * n AS DOUBLE)), 6) AS kappa
+       FROM agg ORDER BY source"""
+  }
 
   /** DuckDB twin of q_media_phash: the 64-chunk average-hash re-derived
     * from the blob's unsigned-byte list (codec CTE), each bit an

@@ -72,6 +72,11 @@ class ExplainSpec extends SparkSpec {
     // q_media_phash: band self-join + pair distinct + per-media argmin
     // window, all on the checkpointed hash frame
     "q_media_phash" -> 3,
+    // q_keyness: (source, token) agg, token-totals agg + keyed join off
+    // the checkpointed frame, and the per-source rank-limit window
+    // (WindowGroupLimit: map-side partial top-20, verified in-plan)
+    "q_keyness" -> 5,
+    "q_kappa" -> 2, "q_fertility" -> 2, "q_ipw" -> 2,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
     // cumulative + sizing run on the cohort x week domain
