@@ -80,6 +80,9 @@ object ScaleSmoke {
     // window (map-side partial top-k); kappa is a pure per-row fold;
     // fertility rides the BPE-encode pass with one extra join/agg
     "q_keyness", "q_kappa", "q_fertility",
+    // mutual-NN at Nx vectors: cell-confined pair scoring (in-cell work
+    // linear at fixed cell size), per-side argmax as aggregates
+    "q_mutual_nn",
     // event-analytics tier at Nx USERS (user ids shifted per copy, so
     // per-user history stays constant — the fleet regime; timestamps
     // unchanged, so per-day/type groups get Nx fatter, stressing the

@@ -108,6 +108,47 @@ object GraphOps {
     labels
   }
 
+  /** k-core subgraph by iterative peeling: repeatedly delete every
+    * vertex with degree < k (and its edges) until no vertex falls below
+    * k — the standard cohesion filter (a 2-core strips trees and
+    * pendant chains; higher k isolates densely-knit groups). Returns
+    * the surviving vertices with their within-core degree.
+    *
+    * Peeling is monotone (degrees only drop as vertices leave), so the
+    * fixpoint is unique and rounds PAST the fixpoint are no-ops — which
+    * is what lets a fixed-unroll oracle reproduce the converged answer.
+    * Convergence is probed with one scalar edge-count per round (the
+    * connectedComponents discipline: a count beats a join-and-diff by a
+    * shuffle), each round's survivor edge list is localCheckpoint'd so
+    * the lineage stays one round deep, and every exchange after the
+    * first carries the (shrinking) edge list, never the source scan.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    val cu = edges.columns(0)
+    val cv = edges.columns(1)
+    var e = edges.select(col(cu).as("u"), col(cv).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var m = e.count()
+    var done = m == 0L
+    var iter = 0
+    while (!done && iter < maxIter) {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+      val e2 = e.join(keep.select(col("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint()
+      val m2 = e2.count()
+      done = m2 == m || m2 == 0L
+      e = e2
+      m = m2
+      iter += 1
+    }
+    e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u").agg(count(lit(1)).as("core_degree"))
+      .select(col("u").as("id"), col("core_degree"))
+  }
+
   /** Duplicate-cluster assignment: near-dup pairs → (id, cluster_id)
     * where cluster_id is the minimum doc id of the connected component.
     * Only documents that appear in at least one pair are returned —

@@ -1059,6 +1059,85 @@ object RelationalQueries {
             .as("assortativity"))
     },
 
+    // 2-core of the REPEAT co-purchase graph (parts sharing >= 2
+    // orders — the single-shared-order graph is too dense to peel):
+    // iterative deletion of degree-<2 vertices strips trees and pendant
+    // chains, leaving the cyclically-connected backbone — the cohesion
+    // filter run before community detection wastes effort on leaves.
+    // GraphOps.kCore peels to the true fixpoint with a scalar probe per
+    // round; the oracle unrolls 12 peel rounds (2x the measured maximum
+    // across SFs — peeling is monotone, so post-fixpoint rounds are
+    // no-ops and over-unrolling cannot change the answer).
+    "q_kcore" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select("u", "v")
+      graft.operators.GraphOps.kCore(pairs, k = 2)
+        .orderBy("id")
+    },
+
+    // Poisson bootstrap CI (the distributed bootstrap: Chamandy et al.,
+    // "Estimating Uncertainty for Massive Data Streams" — per-row
+    // Poisson(1) weights approximate multinomial resampling WITHOUT
+    // moving any data): 40 replicate means of order value per priority,
+    // CI = [2nd, 39th] order statistic of the replicate means. Weights
+    // come from md5-uniform draws against hardcoded Poisson(1) CDF
+    // literals (both engines compare the same doubles), so every
+    // replicate sum is an exact BIGINT — the only floats are the final
+    // mean divisions. Scale shape: the B-fold explode is a generator in
+    // the scan (no join), the replicate aggregate is partial-agg bound
+    // on a |groups x B| domain, and the order-statistic window runs on
+    // the B-row-per-group frame.
+    "q_bootstrap" -> { (s, dir) =>
+      val nB = 40
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderpriority").as("stratum"), col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 4)) * 100)
+          .cast(LongType).as("cents"))
+      val point = base.groupBy("stratum")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      val rep = base.withColumn("b", explode(sequence(lit(1), lit(nB))))
+        .withColumn("pri", md5(concat(lit("bs:"), col("b").cast(StringType),
+          lit(":"), col("o_orderkey").cast(StringType))))
+      val u = (1 to 8).map { i =>
+        val a = ascii(substring(col("pri"), i, 1))
+        (a - when(a >= 97, 87).otherwise(48)).cast(DoubleType) *
+          lit(1.0 / math.pow(16.0, i))
+      }.reduce(_ + _)
+      // Poisson(1) inverse CDF: cumulative literals for w = 0..5
+      val w = when(u < lit(0.36787944117144233), 0L)
+        .when(u < lit(0.7357588823428847), 1L)
+        .when(u < lit(0.9196986029286058), 2L)
+        .when(u < lit(0.9810118431238462), 3L)
+        .when(u < lit(0.996340153172656), 4L)
+        .when(u < lit(0.9994058151824183), 5L)
+        .otherwise(6L)
+      val reps = rep.withColumn("w", w)
+        .groupBy("stratum", "b")
+        .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+        .withColumn("rep_mean",
+          when(col("sw") > 0, col("swc").cast(DoubleType) / col("sw"))
+            .otherwise(lit(0.0)))
+      val rw = Window.partitionBy("stratum")
+        .orderBy(col("rep_mean").asc, col("b").asc)
+      val ci = reps.withColumn("rk", row_number().over(rw))
+        .filter(col("rk") === 2 || col("rk") === nB - 1)
+        .groupBy("stratum")
+        .agg(min(col("rep_mean")).as("lo"), max(col("rep_mean")).as("hi"))
+      point.join(ci, Seq("stratum"))
+        .select(col("stratum"), col("n"),
+          round(col("sc").cast(DoubleType) / col("n") / lit(100.0), 6)
+            .as("mean_price"),
+          round(col("lo") / lit(100.0), 6).as("ci_lo"),
+          round(col("hi") / lit(100.0), 6).as("ci_hi"))
+        .orderBy("stratum")
+    },
+
     // Observational causal inference: stratified inverse-propensity
     // weighting (Horvitz-Thompson/Hájek) vs the naive difference —
     // the estimator a platform runs when treatment was NOT randomized.
@@ -1124,6 +1203,96 @@ object RelationalQueries {
   private def decToDouble(sumExpr: String): String =
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
+  /** DuckDB twin of q_bootstrap: the same md5 16-adic uniforms against
+    * the same Poisson(1) CDF literals, exact BIGINT replicate sums, and
+    * the [2nd, 39th] order statistics of the 40 replicate means.
+    */
+  private def bootstrapOracle: String = {
+    val uTerms = (1 to 8).map { i =>
+      s"""(ascii(substring(pri, $i, 1)) -
+          CASE WHEN ascii(substring(pri, $i, 1)) >= 97 THEN 87 ELSE 48 END)
+          / power(16.0, $i)"""
+    }.mkString(" + ")
+    s"""WITH base AS (
+         SELECT o_orderpriority AS stratum, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+         FROM orders),
+       point AS (
+         SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sc
+         FROM base GROUP BY stratum),
+       drawn AS (
+         SELECT stratum, b, cents,
+           md5('bs:' || CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR))
+             AS pri
+         FROM base, unnest(range(1, 41)) AS r(b)),
+       weighted AS (
+         SELECT stratum, b, cents,
+           CASE WHEN ($uTerms) < 0.36787944117144233e0 THEN 0
+                WHEN ($uTerms) < 0.7357588823428847e0 THEN 1
+                WHEN ($uTerms) < 0.9196986029286058e0 THEN 2
+                WHEN ($uTerms) < 0.9810118431238462e0 THEN 3
+                WHEN ($uTerms) < 0.996340153172656e0 THEN 4
+                WHEN ($uTerms) < 0.9994058151824183e0 THEN 5
+                ELSE 6 END AS w
+         FROM drawn),
+       reps AS (
+         SELECT stratum, b,
+           CAST(sum(w * cents) AS BIGINT) AS swc, CAST(sum(w) AS BIGINT) AS sw
+         FROM weighted GROUP BY stratum, b),
+       rm AS (
+         SELECT stratum, b,
+           CASE WHEN sw > 0 THEN CAST(swc AS DOUBLE) / sw ELSE 0.0e0 END
+             AS rep_mean
+         FROM reps),
+       ranked AS (
+         SELECT stratum, rep_mean,
+           row_number() OVER (
+             PARTITION BY stratum ORDER BY rep_mean ASC, b ASC) AS rk
+         FROM rm),
+       ci AS (
+         SELECT stratum, min(rep_mean) AS lo, max(rep_mean) AS hi
+         FROM ranked WHERE rk = 2 OR rk = 39 GROUP BY stratum)
+       SELECT p.stratum, p.n,
+         round(CAST(p.sc AS DOUBLE) / p.n / 100.0e0, 6) AS mean_price,
+         round(c.lo / 100.0e0, 6) AS ci_lo,
+         round(c.hi / 100.0e0, 6) AS ci_hi
+       FROM point p JOIN ci c ON p.stratum = c.stratum
+       ORDER BY p.stratum"""
+  }
+
+  /** DuckDB twin of q_kcore: 12 unrolled peel rounds over the repeat
+    * co-purchase graph. The Spark side runs to the true fixpoint;
+    * peeling is monotone, so any unroll >= the convergence round count
+    * (measured max 6 across sf0.001/0.01/0.1) yields the identical
+    * core — extra rounds are no-ops.
+    */
+  private def kcoreOracle: String = {
+    // each round's survivor set and degree table are MATERIALIZED —
+    // plain CTEs inline per reference, and four references per round
+    // over 12 rounds would expand the lineitem scan 4^12-fold
+    val rounds = (1 to 12).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (
+           SELECT n, count(*) AS d
+           FROM (SELECT u AS n FROM $prev UNION ALL SELECT v FROM $prev)
+           GROUP BY n),
+         e$i AS MATERIALIZED (
+           SELECT u, v FROM $prev
+           WHERE u IN (SELECT n FROM d$i WHERE d >= 2)
+             AND v IN (SELECT n FROM d$i WHERE d >= 2))"""
+    }.mkString(",\n       ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       e0 AS MATERIALIZED (
+         SELECT x.pk AS u, y.pk AS v
+         FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+         GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+       $rounds
+       SELECT n AS id, CAST(count(*) AS BIGINT) AS core_degree
+       FROM (SELECT u AS n FROM e12 UNION ALL SELECT v FROM e12)
+       GROUP BY n ORDER BY id"""
+  }
+
   /** DuckDB twin of q_ipw: the same md5 16-adic treatment draw,
     * stratum propensities, planted effect, and coarse-grid Hájek terms
     * (identical quantization, so the engines agree bit-for-bit).
@@ -1184,6 +1353,8 @@ object RelationalQueries {
     }.mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    "q_kcore" -> kcoreOracle,
+    "q_bootstrap" -> bootstrapOracle,
     "q_ipw" -> ipwOracle,
     "q_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

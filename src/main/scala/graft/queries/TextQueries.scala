@@ -1364,6 +1364,49 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Mutual nearest neighbors over embeddings — the bitext/pair-mining
+    // primitive (Artetxe & Schwenk 2019 margin mining's exact-NN core):
+    // vectors split into two halves (vec_id parity standing in for the
+    // two languages), and a pair survives only if each side is the
+    // OTHER's top-1 — the reciprocity test that kills hub false
+    // positives. Scale shape: the pairwise scoring is confined to
+    // SemDeDup-style coarse cells (nearest-centroid assignment via the
+    // native flat-literal kernel — no corpus shuffle; in-cell work is
+    // linear at fixed cell size), the per-side argmax is an aggregate
+    // (never a global window), and cross-cell neighbors are forfeited —
+    // the documented IVF-recall tradeoff, same as q_embed_ann_ivf.
+    "q_mutual_nn" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val c0 = e.select(col("vec_id").as("id"),
+        VectorOps.toDoubleVec(col("embedding")).as("vec"))
+      val (nlist, sample) = VectorOps.coarseSample(
+        c0.select(col("id").as("n_id"), col("vec").as("n_vec")), 0)
+      val centroids = sample.take(nlist)
+      val dim = centroids.head.size
+      val flat = lit(centroids.flatten.toArray)
+      val assigned = c0.withColumn("cell",
+          call_function("graft_nearest_cell", col("vec"), flat, lit(dim)))
+        .localCheckpoint()
+      val a = assigned.filter(col("id") % 2 === 0)
+        .select(col("cell"), col("id").as("ia"), col("vec").as("va"))
+      val b = assigned.filter(col("id") % 2 === 1)
+        .select(col("cell"), col("id").as("ib"), col("vec").as("vb"))
+      val scored = a.join(b, Seq("cell"))
+        .withColumn("cs", round(VectorOps.cosine(col("va"), col("vb")), 6))
+        .select("ia", "ib", "cs").localCheckpoint()
+      val bestB = scored.groupBy("ia")
+        .agg(min(struct(negate(col("cs")).as("ns"), col("ib").as("ib"))).as("m"))
+        .select(col("ia"), col("m.ib").as("ib"))
+      val bestA = scored.groupBy("ib")
+        .agg(min(struct(negate(col("cs")).as("ns"), col("ia").as("ia"))).as("m"))
+        .select(col("ib"), col("m.ia").as("ia"))
+      bestB.join(bestA, Seq("ia", "ib"))
+        .join(scored, Seq("ia", "ib"))
+        .select(col("ia").as("id_a"), col("ib").as("id_b"),
+          col("cs").as("cos_sim"))
+        .orderBy("id_a")
+    },
+
     // Dunning log-likelihood keyness (Dunning 1993): G² of each token's
     // 2x2 contingency (this source vs the rest) — the corpus-linguistics
     // keyword extractor that surfaces what makes a source's vocabulary
@@ -2236,6 +2279,7 @@ object TextQueries {
          SELECT source, rk, token, g2, over_rep
          FROM r WHERE rk <= 20 ORDER BY source, rk""",
     "q_kappa" -> kappaOracle,
+    "q_mutual_nn" -> mutualNnOracle,
     "q_semdedup" -> semdedupOracle,
     "q_embed_ivfpq" -> ivfPqOracle,
     "q_embed_neardup" -> neardupOracle,
@@ -2925,6 +2969,52 @@ object TextQueries {
          SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
          FROM c WHERE cum_tok <= 600 ORDER BY doc_id""",
     "q_weighted_sample" -> weightedSampleOracle)
+
+  /** DuckDB twin of q_mutual_nn: the same md5-ordered coarse centroids
+    * and nearest-cell assignment as the semdedup oracle, in-cell
+    * cross-parity cosine scoring (rounded before ranking so ties are
+    * engine-identical), per-side argmax via rank-1 windows, and the
+    * reciprocity join.
+    */
+  private def mutualNnOracle: String =
+    """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       v AS (
+         SELECT vec_id, vec,
+           sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i]))) AS nrm
+         FROM v0),
+       nl AS (SELECT LEAST(4096, GREATEST(16, CAST(ceil(count(*) / 256.0) AS BIGINT))) AS nlist FROM v),
+       cent AS (
+         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, vec, nrm
+         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT (SELECT nlist FROM nl)),
+       sims AS (
+         SELECT v.vec_id, cent.cell,
+           list_sum(list_transform(range(1, len(v.vec) + 1), i -> v.vec[i] * cent.vec[i]))
+             / (v.nrm * cent.nrm) AS sim
+         FROM v CROSS JOIN cent),
+       assign AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+           FROM sims) WHERE rk = 1),
+       sc AS (
+         SELECT x.vec_id AS ia, y.vec_id AS ib,
+           round(list_sum(list_transform(range(1, len(va.vec) + 1), i -> va.vec[i] * vb.vec[i]))
+             / (va.nrm * vb.nrm), 6) AS cs
+         FROM assign x JOIN assign y ON x.cell = y.cell
+           JOIN v va ON va.vec_id = x.vec_id
+           JOIN v vb ON vb.vec_id = y.vec_id
+         WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+       ba AS (
+         SELECT ia, ib FROM (
+           SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY cs DESC, ib ASC) AS rk
+           FROM sc) WHERE rk = 1),
+       bb AS (
+         SELECT ia, ib FROM (
+           SELECT ia, ib, row_number() OVER (PARTITION BY ib ORDER BY cs DESC, ia ASC) AS rk
+           FROM sc) WHERE rk = 1)
+       SELECT sc.ia AS id_a, sc.ib AS id_b, sc.cs AS cos_sim
+       FROM sc JOIN ba USING (ia, ib) JOIN bb USING (ia, ib)
+       ORDER BY id_a"""
 
   /** DuckDB twin of q_kappa: the same md5 16-adic uniform flip draw and
     * exact integer marginals; kappa's divisions are the only doubles.

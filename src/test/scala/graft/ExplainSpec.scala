@@ -77,6 +77,13 @@ class ExplainSpec extends SparkSpec {
     // (WindowGroupLimit: map-side partial top-20, verified in-plan)
     "q_keyness" -> 5,
     "q_kappa" -> 2, "q_fertility" -> 2, "q_ipw" -> 2,
+    // q_kcore: the static plan holds the pair build + first peel; later
+    // rounds run off checkpoints (runtime jobs, not static exchanges)
+    "q_kcore" -> 2, "q_bootstrap" -> 4,
+    // q_mutual_nn: in-cell score join off the checkpointed assignment,
+    // two per-side argmax aggregates, reciprocity joins — all on the
+    // checkpointed scored frame
+    "q_mutual_nn" -> 6,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
     // cumulative + sizing run on the cohort x week domain

@@ -35,6 +35,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
 
+  test("kCore: 2-core strips a pendant chain, keeps the cycle; deep peel cascades") {
+    // triangle with a tail 3-4-5: peeling 5 (deg 1) exposes 4, then 3
+    // stays (in the triangle) — the 2-core is exactly the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val core = GraphOps.kCore(edges, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a pure path has an EMPTY 2-core (every peel round exposes new
+    // leaves — the cascade needs length/2 rounds, exercising the loop)
+    val path = (0L until 10L).map(i => (i, i + 1)).toDF("u", "v")
+    assert(GraphOps.kCore(path, k = 2).isEmpty)
+    // K4 survives k=3 intact with degree 3 everywhere
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("u", "v")
+    val c3 = GraphOps.kCore(k4, k = 3).as[(Long, Long)].collect().toMap
+    assert(c3 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("triangle count: K4, path, and dirty input normalize correctly") {
     // K4 has C(4,3) = 4 triangles; a path has none; duplicate /
     // reversed edges and self-loops must not change the answer.
