@@ -83,6 +83,9 @@ object ScaleSmoke {
     // mutual-NN at Nx vectors: cell-confined pair scoring (in-cell work
     // linear at fixed cell size), per-side argmax as aggregates
     "q_mutual_nn",
+    // burstiness: one (token, doc) aggregate + token-level moments —
+    // the clone corpus multiplies df/tf per token, not the vocab
+    "q_burstiness",
     // event-analytics tier at Nx USERS (user ids shifted per copy, so
     // per-user history stays constant — the fleet regime; timestamps
     // unchanged, so per-day/type groups get Nx fatter, stressing the
@@ -104,6 +107,17 @@ object ScaleSmoke {
     // bound, none holds per-key state that grows with the corpus
     "q_ks_test", "q_mannwhitney", "q_cuped", "q_lag_corr", "q_cohort_ltv")
 
+  /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
+    * l_orderkey and l_partkey shifted, so each copy is an isolated
+    * component): wedge/triangle/peel work scales linearly by
+    * construction — the smoke measures whether the PLANS do too. These
+    * run only when named via SPARK_GRAFT_ONLY (typically with
+    * SPARK_GRAFT_COPIES=10): graph work is linear in copies, so the
+    * default 100x would dominate the whole sweep's wall clock.
+    */
+  private val graphQueries = Seq(
+    "q_triangle_count", "q_clustering_coef", "q_kcore", "q_assortativity")
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scale_nx"
@@ -115,11 +129,17 @@ object ScaleSmoke {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // blank-only value == unset, not "run nothing"
     only.foreach { names =>
-      val unknown = names -- ScaleSmoke.queries
+      val unknown = names -- ScaleSmoke.queries -- ScaleSmoke.graphQueries
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in ScaleSmoke.queries: ${unknown.mkString(",")}")
     }
-    val queries = ScaleSmoke.queries.filter(q => only.forall(_.contains(q)))
+    // graph entries are opt-in (see graphQueries doc): the default sweep
+    // excludes them, an explicit SPARK_GRAFT_ONLY includes them
+    val queries = (ScaleSmoke.queries ++ ScaleSmoke.graphQueries)
+      .filter(q => only match {
+        case Some(names) => names.contains(q)
+        case None => !ScaleSmoke.graphQueries.contains(q)
+      })
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -130,7 +150,7 @@ object ScaleSmoke {
     // then overwrite documents with the shifted-id copies.
     val dst = java.nio.file.Paths.get(work)
     java.nio.file.Files.createDirectories(dst)
-    val scaled = Set("documents", "embeddings", "events")
+    val scaled = Set("documents", "embeddings", "events", "lineitem")
     Tables.names.filterNot(scaled).foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"), dst.resolve(s"$t.parquet"),
@@ -161,6 +181,21 @@ object ScaleSmoke {
         .withColumn("user_id", col("user_id") + lit(k * uStep)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$work/events.parquet")
+    }
+
+    // lineitem: shift BOTH keys so every copy is a disjoint component of
+    // the co-purchase graph — graph work then scales linearly by
+    // construction and the smoke isolates plan overhead (a shared key
+    // space would instead quadratically densify per-part neighborhoods)
+    locally {
+      val df = Tables(spark, src, "lineitem")
+      val okStep = df.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+      val pkStep = df.agg(max(col("l_partkey"))).head().getLong(0) + 1
+      (0 until copies).map(k => df
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * okStep))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * pkStep)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
     }
 
     def timeAll(dir: String): Map[String, Double] = {

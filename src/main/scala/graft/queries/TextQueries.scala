@@ -1448,6 +1448,40 @@ object TextQueries {
         .orderBy("source", "rk")
     },
 
+    // Token burstiness (Church & Gale 1995): variance-to-mean ratio of
+    // per-doc counts — a Poisson word has VMR ~ 1; content words BURST
+    // (all occurrences clumped in few docs), and burst outliers flag
+    // keyword stuffing / boilerplate the per-doc stats miss. Exact
+    // integer moments (sum c, sum c^2 over the (token, doc) frame,
+    // zeros contribute nothing to either), corpus size broadcast from a
+    // narrow scan, min-df 5 cut, top-30 via orderBy+limit
+    // (TakeOrderedAndProject — map-side partial top-k, the q_rbo
+    // discipline) with ranks assigned on the 30-row result.
+    "q_burstiness" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val td = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+      val tok = td.groupBy("token").agg(
+        count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum(col("c") * col("c")).as("sq"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val mu = col("tf").cast(DoubleType) / col("n_docs")
+      val vmr = (col("sq").cast(DoubleType) / col("n_docs") - mu * mu) / mu
+      val top = tok.filter(col("df") >= 5)
+        .crossJoin(broadcast(nd))
+        .select(col("token"), col("df"), col("tf"),
+          round(vmr, 6).as("burstiness"))
+        .orderBy(col("burstiness").desc, col("token").asc).limit(30)
+      // the rank window sits directly above the global limit, so the
+      // ExplainSpec gate sees the 30-row bound in the same subtree
+      top.withColumn("rk", row_number().over(
+          Window.orderBy(col("burstiness").desc, col("token").asc))
+          .cast(LongType))
+        .select(col("rk"), col("token"), col("df"), col("tf"), col("burstiness"))
+        .orderBy("rk")
+    },
+
     // Inter-rater agreement (Cohen's kappa) per source — the label-QA
     // primitive before any annotated set trains a filter: agreement
     // corrected for chance. Rater 1 is a deterministic length heuristic,
@@ -2280,6 +2314,30 @@ object TextQueries {
          FROM r WHERE rk <= 20 ORDER BY source, rk""",
     "q_kappa" -> kappaOracle,
     "q_mutual_nn" -> mutualNnOracle,
+    "q_burstiness" ->
+      """WITH td AS (
+           SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+           GROUP BY token, doc_id),
+         tok AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS tf, CAST(sum(c * c) AS BIGINT) AS sq
+           FROM td GROUP BY token),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         sc AS (
+           SELECT token, df, tf,
+             round((CAST(sq AS DOUBLE) / n_docs
+                 - (CAST(tf AS DOUBLE) / n_docs) * (CAST(tf AS DOUBLE) / n_docs))
+               / (CAST(tf AS DOUBLE) / n_docs), 6) AS burstiness
+           FROM tok, nd WHERE df >= 5),
+         top AS (
+           SELECT token, df, tf, burstiness
+           FROM sc ORDER BY burstiness DESC, token ASC LIMIT 30)
+         SELECT CAST(row_number() OVER (
+             ORDER BY burstiness DESC, token ASC) AS BIGINT) AS rk,
+           token, df, tf, burstiness
+         FROM top ORDER BY rk""",
     "q_semdedup" -> semdedupOracle,
     "q_embed_ivfpq" -> ivfPqOracle,
     "q_embed_neardup" -> neardupOracle,

@@ -84,6 +84,9 @@ class ExplainSpec extends SparkSpec {
     // two per-side argmax aggregates, reciprocity joins — all on the
     // checkpointed scored frame
     "q_mutual_nn" -> 6,
+    // q_burstiness: (token, doc) agg -> token moments -> top-30 cut; the
+    // rank window sits above the global limit (limit-bounded, gate-clean)
+    "q_burstiness" -> 3,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
     // cumulative + sizing run on the cohort x week domain
