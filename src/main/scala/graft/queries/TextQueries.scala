@@ -1448,6 +1448,68 @@ object TextQueries {
         .orderBy("source", "rk")
     },
 
+    // MinHash with engine-portable md5 permutations — the
+    // oracle-CHECKED twin of q_dedup_minhash (whose native XXH64 path
+    // is rows-only by construction): 16 per-shingle md5 hashes, per-doc
+    // min signature, 8x2 banded candidate generation, and the
+    // estimate-vs-exact accuracy report (est = agreeing perms / 16 —
+    // the unbiased Broder estimator — against the exact shingle
+    // Jaccard on the SAME candidate pairs). This is the per-round
+    // calibration check a production LSH pipeline runs on a sample:
+    // the abs_err column IS the measured estimator error. Scale shape:
+    // the shingle explode is the one corpus-sized frame (checkpointed,
+    // reused by signatures and the exact-overlap join), signatures are
+    // |docs|x16, bands are keyed joins — no all-pairs anything.
+    "q_minhash_est" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+        .localCheckpoint()
+      val sig = sh.withColumn("p", explode(sequence(lit(1), lit(16))))
+        .withColumn("h", conv(substring(md5(concat(col("p").cast(StringType),
+          lit(":"), col("sh"))), 1, 8), 16, 10).cast(LongType))
+        .groupBy("doc_id", "p").agg(min(col("h")).as("h"))
+        .localCheckpoint()
+      val bands = sig.withColumn("b", floor((col("p") - 1) / 2))
+        .groupBy("doc_id", "b")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("h")))),
+          x => x.getField("h").cast(StringType)), ",").as("key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+        .localCheckpoint()
+      val est = cand
+        .join(sig.select(col("doc_id").as("id_a"), col("p"), col("h").as("ha")),
+          Seq("id_a"))
+        .join(sig.select(col("doc_id").as("id_b"), col("p"), col("h").as("hb")),
+          Seq("id_b", "p"))
+        .groupBy("id_a", "id_b")
+        .agg((sum(when(col("ha") === col("hb"), 1L).otherwise(0L))
+          .cast(DoubleType) / lit(16.0)).as("est"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val shared = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ns"))
+      val exact = col("ns").cast(DoubleType) /
+        (col("na") + col("nb") - col("ns"))
+      cand.join(est, Seq("id_a", "id_b"))
+        .join(shared, Seq("id_a", "id_b"), "left")
+        .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")),
+          Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")),
+          Seq("id_b"))
+        .withColumn("ns", coalesce(col("ns"), lit(0L)))
+        .select(col("id_a"), col("id_b"),
+          round(col("est"), 6).as("est_jaccard"),
+          round(exact, 6).as("exact_jaccard"),
+          round(abs(col("est") - exact), 6).as("abs_err"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Token burstiness (Church & Gale 1995): variance-to-mean ratio of
     // per-doc counts — a Poisson word has VMR ~ 1; content words BURST
     // (all occurrences clumped in few docs), and burst outliers flag
@@ -2314,6 +2376,7 @@ object TextQueries {
          FROM r WHERE rk <= 20 ORDER BY source, rk""",
     "q_kappa" -> kappaOracle,
     "q_mutual_nn" -> mutualNnOracle,
+    "q_minhash_est" -> minhashEstOracle,
     "q_burstiness" ->
       """WITH td AS (
            SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
@@ -3027,6 +3090,67 @@ object TextQueries {
          SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
          FROM c WHERE cum_tok <= 600 ORDER BY doc_id""",
     "q_weighted_sample" -> weightedSampleOracle)
+
+  /** DuckDB twin of q_minhash_est: the same md5 permutations (first 8
+    * hex digits parsed to a 32-bit value — exact in BIGINT), min
+    * signatures, 8x2 band keys (p-sorted h values joined by comma),
+    * and the estimate-vs-exact report on the identical candidate set.
+    */
+  private def minhashEstOracle: String = {
+    val hexVal = (1 to 8).map { i =>
+      val pow = 1L << (4 * (8 - i)) // 16^(8-i)
+      s"(strpos('0123456789abcdef', substring(m, $i, 1)) - 1) * ${pow}"
+    }.mkString(" + ")
+    s"""WITH sh AS (
+         SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                  || ' ' || string_split(text, ' ')[i+2]))) AS sh
+         FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       hv AS (
+         SELECT doc_id, p, md5(CAST(p AS VARCHAR) || ':' || sh) AS m
+         FROM sh, unnest(range(1, 17)) AS r(p)),
+       sig AS (
+         SELECT doc_id, p, CAST(min($hexVal) AS BIGINT) AS h
+         FROM hv GROUP BY doc_id, p),
+       bands AS (
+         SELECT doc_id, (p - 1) // 2 AS b,
+           array_to_string(list_transform(
+             list_sort(list({'p': p, 'h': h})), x -> CAST(x.h AS VARCHAR)), ',')
+             AS key
+         FROM sig GROUP BY doc_id, (p - 1) // 2),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+       est AS (
+         SELECT c.id_a, c.id_b,
+           CAST(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16.0e0
+             AS est
+         FROM cand c
+           JOIN sig sa ON sa.doc_id = c.id_a
+           JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+         GROUP BY c.id_a, c.id_b),
+       sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+       shared AS (
+         SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS ns
+         FROM cand c
+           JOIN sh a ON a.doc_id = c.id_a
+           JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+         GROUP BY c.id_a, c.id_b)
+       SELECT c.id_a, c.id_b,
+         round(e.est, 6) AS est_jaccard,
+         round(CAST(coalesce(s.ns, 0) AS DOUBLE) / (za.n_sh + zb.n_sh - coalesce(s.ns, 0)), 6)
+           AS exact_jaccard,
+         round(abs(e.est - CAST(coalesce(s.ns, 0) AS DOUBLE)
+           / (za.n_sh + zb.n_sh - coalesce(s.ns, 0))), 6) AS abs_err
+       FROM cand c
+         JOIN est e ON e.id_a = c.id_a AND e.id_b = c.id_b
+         LEFT JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
+         JOIN sizes za ON za.doc_id = c.id_a
+         JOIN sizes zb ON zb.doc_id = c.id_b
+       ORDER BY c.id_a, c.id_b"""
+  }
 
   /** DuckDB twin of q_mutual_nn: the same md5-ordered coarse centroids
     * and nearest-cell assignment as the semdedup oracle, in-cell

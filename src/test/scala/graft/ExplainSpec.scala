@@ -87,6 +87,9 @@ class ExplainSpec extends SparkSpec {
     // q_burstiness: (token, doc) agg -> token moments -> top-30 cut; the
     // rank window sits above the global limit (limit-bounded, gate-clean)
     "q_burstiness" -> 3,
+    // q_minhash_est: static plan holds only the post-checkpoint band
+    // agg + reporting joins; shingle/signature stages are checkpointed
+    "q_minhash_est" -> 2,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
     // cumulative + sizing run on the cohort x week domain
