@@ -86,6 +86,9 @@ object ScaleSmoke {
     // burstiness: one (token, doc) aggregate + token-level moments —
     // the clone corpus multiplies df/tf per token, not the vocab
     "q_burstiness",
+    // JSD matrix: vocab-keyed pair work on the (source, token) frame —
+    // the clone corpus grows counts, not the vocab or the pair grid
+    "q_js_divergence",
     // event-analytics tier at Nx USERS (user ids shifted per copy, so
     // per-user history stays constant — the fleet regime; timestamps
     // unchanged, so per-day/type groups get Nx fatter, stressing the

@@ -1544,6 +1544,58 @@ object TextQueries {
         .orderBy("rk")
     },
 
+    // Jensen-Shannon divergence matrix between source unigram
+    // distributions — the corpus-similarity input to mixture design
+    // (which domains are near-duplicates of each other, which add
+    // coverage; symmetric, bounded by ln 2, defined even where vocabs
+    // don't overlap — the reasons JSD beats raw KL here). Scale shape:
+    // one token aggregate to the checkpointed (source, token) frame,
+    // the |sources|²/2 pair grid broadcast onto it twice, a full-outer
+    // token join per pair (token-keyed shuffle — vocab never broadcast),
+    // ln terms grid-summed per pair. Zero-side terms reduce to
+    // p·ln 2 exactly, handled by identical CASEs in both engines.
+    "q_js_divergence" -> { (s, dir) =>
+      val a = Tables(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val st = a.groupBy("source").agg(sum(col("c")).as("n"))
+      val pairs = st.select(col("source").as("s1"), col("n").as("n1"))
+        .join(st.select(col("source").as("s2"), col("n").as("n2")),
+          col("s1") < col("s2"))
+      val x = a.join(broadcast(pairs), col("source") === col("s1"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          col("token"), col("c").as("ca"))
+      val y = a.join(broadcast(pairs), col("source") === col("s2"))
+        .select(col("s1").as("t1"), col("s2").as("t2"),
+          col("token").as("tok"), col("c").as("cb"))
+      val joined = x.join(y,
+          col("s1") === col("t1") && col("s2") === col("t2") &&
+            col("token") === col("tok"), "full_outer")
+        .select(
+          coalesce(col("s1"), col("t1")).as("s1"),
+          coalesce(col("s2"), col("t2")).as("s2"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      // totals re-attached AFTER the outer join (the y side carries no
+      // n1/n2 for tokens absent from x)
+      val tot = joined
+        .join(broadcast(st.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+        .join(broadcast(st.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+      val p = col("ca").cast(DoubleType) / col("n1")
+      val q = col("cb").cast(DoubleType) / col("n2")
+      val termP = when(col("ca") > 0,
+        p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0))
+      val termQ = when(col("cb") > 0,
+        q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))
+      tot.groupBy("s1", "s2")
+        .agg(exactGridSum(termP).as("gp"), exactGridSum(termQ).as("gq"))
+        .select(col("s1"), col("s2"),
+          round(lit(0.5) * fromGrid(col("gp")) +
+            lit(0.5) * fromGrid(col("gq")), 6).as("jsd"))
+        .orderBy("s1", "s2")
+    },
+
     // Inter-rater agreement (Cohen's kappa) per source — the label-QA
     // primitive before any annotated set trains a filter: agreement
     // corrected for chance. Rater 1 is a deterministic length heuristic,
@@ -2377,6 +2429,7 @@ object TextQueries {
     "q_kappa" -> kappaOracle,
     "q_mutual_nn" -> mutualNnOracle,
     "q_minhash_est" -> minhashEstOracle,
+    "q_js_divergence" -> jsDivergenceOracle,
     "q_burstiness" ->
       """WITH td AS (
            SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
@@ -3090,6 +3143,44 @@ object TextQueries {
          SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
          FROM c WHERE cum_tok <= 600 ORDER BY doc_id""",
     "q_weighted_sample" -> weightedSampleOracle)
+
+  /** DuckDB twin of q_js_divergence: the same (source, token) counts,
+    * pair grid, full-outer token union, and CASE-guarded ln terms with
+    * the identical expression tree, grid-summed per pair.
+    */
+  private def jsDivergenceOracle: String = {
+    val p = "CAST(ca AS DOUBLE) / n1"
+    val q = "CAST(cb AS DOUBLE) / n2"
+    val termP = s"CASE WHEN ca > 0 THEN ($p) * ln(2.0e0 * ($p) / (($p) + ($q))) ELSE 0.0e0 END"
+    val termQ = s"CASE WHEN cb > 0 THEN ($q) * ln(2.0e0 * ($q) / (($p) + ($q))) ELSE 0.0e0 END"
+    s"""WITH a AS (
+         SELECT source, token, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY source, token),
+       st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM a GROUP BY source),
+       pairs AS (
+         SELECT x.source AS s1, y.source AS s2
+         FROM st x JOIN st y ON x.source < y.source),
+       xx AS (
+         SELECT p.s1, p.s2, a.token, a.c AS ca
+         FROM a JOIN pairs p ON a.source = p.s1),
+       yy AS (
+         SELECT p.s1 AS t1, p.s2 AS t2, a.token AS tok, a.c AS cb
+         FROM a JOIN pairs p ON a.source = p.s2),
+       u AS (
+         SELECT coalesce(s1, t1) AS s1, coalesce(s2, t2) AS s2,
+           coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         FROM xx FULL OUTER JOIN yy
+           ON xx.s1 = yy.t1 AND xx.s2 = yy.t2 AND xx.token = yy.tok),
+       t AS (
+         SELECT u.s1, u.s2, u.ca, u.cb, z1.n AS n1, z2.n AS n2
+         FROM u JOIN st z1 ON z1.source = u.s1 JOIN st z2 ON z2.source = u.s2)
+       SELECT s1, s2,
+         round(0.5e0 * (${GridSum.gridSumSql(termP)})
+             + 0.5e0 * (${GridSum.gridSumSql(termQ)}), 6) AS jsd
+       FROM t GROUP BY s1, s2 ORDER BY s1, s2"""
+  }
 
   /** DuckDB twin of q_minhash_est: the same md5 permutations (first 8
     * hex digits parsed to a 32-bit value — exact in BIGINT), min

@@ -90,6 +90,12 @@ class ExplainSpec extends SparkSpec {
     // q_minhash_est: static plan holds only the post-checkpoint band
     // agg + reporting joins; shingle/signature stages are checkpointed
     "q_minhash_est" -> 2,
+    // q_js_divergence: token agg + per-source totals + the pair-grid
+    // expansions and their full-outer token union + per-pair grid sums —
+    // every exchange after the first carries (source, token) count rows
+    // (vocab-sized), never the raw corpus; the pair grid itself is
+    // |sources|² and broadcast
+    "q_js_divergence" -> 10,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
     // cumulative + sizing run on the cohort x week domain

@@ -70,4 +70,39 @@ class MultimodalSpec extends SparkSpec {
       MultimodalOps.withBlob(df, "t"), "id", "blob").head()
     assert(meta.getLong(1) == 6L) // é is 2 bytes
   }
+
+  test("pHash64 matches a naive reference, is edit-stable, and handles edges") {
+    // independent reference: same chunk-mean-vs-global-mean definition,
+    // written the slow obvious way
+    def ref(blob: Array[Byte]): Long = {
+      val n = blob.length
+      if (n == 0) return 0L
+      val tot = blob.map(_ & 0xff).map(_.toLong).sum
+      (0 until 64).foldLeft(0L) { (acc, j) =>
+        val lo = j * n / 64; val hi = (j + 1) * n / 64
+        val cs = (lo until hi).map(i => (blob(i) & 0xff).toLong).sum
+        if (hi > lo && cs * n > tot * (hi - lo)) acc | (1L << j) else acc
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { _ =>
+      val blob = Array.fill(1 + rnd.nextInt(500))(rnd.nextInt(256).toByte)
+      assert(MultimodalOps.pHash64(blob) == ref(blob))
+    }
+    // edge cases: empty -> 0; shorter-than-64 blobs still defined
+    assert(MultimodalOps.pHash64(Array.emptyByteArray) == 0L)
+    val tiny = Array[Byte](1, 2, 3)
+    assert(MultimodalOps.pHash64(tiny) == ref(tiny))
+    // identical content -> identical hash (the dedup invariant)
+    val base = Array.fill(256)(rnd.nextInt(256).toByte)
+    assert(MultimodalOps.pHash64(base.clone()) == MultimodalOps.pHash64(base))
+    // distributed via the batched plumbing matches the local function
+    val rows = Seq(
+      MediaRow(1L, "image", base),
+      MediaRow(2L, "image", tiny))
+    val ds = spark.createDataset(rows)(Encoders.product[MediaRow])
+    val hashes = MultimodalOps.perceptualHashes(spark, ds)
+      .collect().map(h => h.media_id -> h.phash).toMap
+    assert(hashes == Map(1L -> ref(base), 2L -> ref(tiny)))
+  }
 }
