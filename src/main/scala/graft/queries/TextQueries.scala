@@ -1465,9 +1465,17 @@ object TextQueries {
       val sh = docs.select(col("doc_id"),
           explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
         .localCheckpoint()
-      val sig = sh.withColumn("p", explode(sequence(lit(1), lit(16))))
-        .withColumn("h", conv(substring(md5(concat(col("p").cast(StringType),
-          lit(":"), col("sh"))), 1, 8), 16, 10).cast(LongType))
+      // 16 permutations from FOUR md5s per shingle, not sixteen: one
+      // digest is 32 hex chars = four independent 32-bit slices, so the
+      // two-level explode (group, then slot) pays a quarter of the hash
+      // cost for the same statistics (cut the md5-bound wall ~2x)
+      val sig = sh.withColumn("g", explode(sequence(lit(0), lit(3))))
+        .withColumn("m", md5(concat(col("g").cast(StringType),
+          lit(":"), col("sh"))))
+        .withColumn("slot", explode(sequence(lit(0), lit(3))))
+        .withColumn("p", col("g") * 4 + col("slot") + 1)
+        .withColumn("h",
+          conv(expr("substring(m, slot * 8 + 1, 8)"), 16, 10).cast(LongType))
         .groupBy("doc_id", "p").agg(min(col("h")).as("h"))
         .localCheckpoint()
       val bands = sig.withColumn("b", floor((col("p") - 1) / 2))
@@ -3190,7 +3198,7 @@ object TextQueries {
   private def minhashEstOracle: String = {
     val hexVal = (1 to 8).map { i =>
       val pow = 1L << (4 * (8 - i)) // 16^(8-i)
-      s"(strpos('0123456789abcdef', substring(m, $i, 1)) - 1) * ${pow}"
+      s"(strpos('0123456789abcdef', substring(m, slot * 8 + $i, 1)) - 1) * ${pow}"
     }.mkString(" + ")
     s"""WITH sh AS (
          SELECT doc_id, unnest(list_distinct(
@@ -3199,11 +3207,12 @@ object TextQueries {
                   || ' ' || string_split(text, ' ')[i+2]))) AS sh
          FROM documents WHERE len(string_split(text, ' ')) >= 3),
        hv AS (
-         SELECT doc_id, p, md5(CAST(p AS VARCHAR) || ':' || sh) AS m
-         FROM sh, unnest(range(1, 17)) AS r(p)),
+         SELECT doc_id, g, md5(CAST(g AS VARCHAR) || ':' || sh) AS m
+         FROM sh, unnest(range(0, 4)) AS r(g)),
        sig AS (
-         SELECT doc_id, p, CAST(min($hexVal) AS BIGINT) AS h
-         FROM hv GROUP BY doc_id, p),
+         SELECT doc_id, g * 4 + slot + 1 AS p, CAST(min($hexVal) AS BIGINT) AS h
+         FROM hv, unnest(range(0, 4)) AS u(slot)
+         GROUP BY doc_id, g, slot),
        bands AS (
          SELECT doc_id, (p - 1) // 2 AS b,
            array_to_string(list_transform(
