@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.AsOfJoin
 import graft.ops.CoreOps.dsum
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -212,24 +213,36 @@ object EventQueries {
     // the lead window — the standard changelog -> dimension-history
     // build, and the read-side inverse of q_latest_per_key.
     "q_scd2" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
-      Tables(s, dir, "events")
-        .withColumn("chg",
-          when(lag(col("event_type"), 1).over(w).isNull ||
-            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
-            .otherwise(0L))
-        .withColumn("version", sum(col("chg")).over(cum))
-        .groupBy(col("user_id"), col("version"))
-        .agg(min(col("event_type")).as("state"),
-          min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+      scd2Versions(s, dir)
         .withColumn("vt", lead(col("vf"), 1).over(wv))
         .select(col("user_id"), col("version"), col("state"),
           date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
           date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
           col("vt").isNull.as("is_current"), col("n_events"))
         .orderBy("user_id", "version")
+    },
+
+    // Point-in-time enrichment — the READ side of SCD2, and the join
+    // every feature store must get right (training-serving skew is
+    // exactly a PIT-join bug): each purchase picks up the user-state
+    // version in force at its timestamp via the backward as-of
+    // operator, never a future version (no leakage) and never a stale
+    // re-read after compaction. Composes scd2Versions (one user_id
+    // exchange) with AsOfJoin.asOf (one more keyed exchange for the
+    // tagged union) — no interval blow-up, no per-row range scan.
+    "q_pit_enrich" -> { (s, dir) =>
+      val versions = scd2Versions(s, dir)
+        .select(col("user_id"), col("vf").as("ts"),
+          col("version"), col("state"))
+      val purchases = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      AsOfJoin.asOf(purchases, versions, "user_id", "ts",
+          Seq("version", "state"))
+        .select(col("user_id"), col("event_id"),
+          col("asof_version").as("version"), col("asof_state").as("state"))
+        .orderBy("event_id")
     },
 
     // Robust per-key anomaly flagging: modified z-score against the
@@ -1051,6 +1064,26 @@ object EventQueries {
         .orderBy("event_type", "day")
     })
 
+  /** Shared by q_scd2 (the BUILD side) and q_pit_enrich (the READ
+    * side): the event changelog collapsed to one row per consecutive
+    * run of equal state — (user_id, version, state, vf, n_events), vf
+    * the run's first timestamp. One user_id exchange serves the lag
+    * window and the run groupBy.
+    */
+  private def scd2Versions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(cum))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q_tumbling_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1178,6 +1211,32 @@ object EventQueries {
            strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
            vt IS NULL AS is_current, n_events
          FROM f ORDER BY user_id, version""",
+    "q_pit_enrich" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events),
+         v AS (
+           SELECT *, sum(CASE WHEN prev IS NULL OR prev <> event_type
+               THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+           FROM o),
+         g AS (
+           SELECT user_id, CAST(version AS BIGINT) AS version,
+             min(event_type) AS state, min(ts) AS vf
+           FROM v GROUP BY user_id, version),
+         p AS (
+           SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         j AS (
+           SELECT p.user_id, p.event_id, g.version, g.state,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY epoch_us(g.vf) DESC, g.version DESC) AS rk
+           FROM p JOIN g ON g.user_id = p.user_id AND g.vf <= p.ts)
+         SELECT user_id, event_id, version, state
+         FROM j WHERE rk = 1 ORDER BY event_id""",
     "q_anomaly_mad" ->
       """WITH m AS (
            SELECT *, median(value) OVER (PARTITION BY user_id) AS med FROM events),

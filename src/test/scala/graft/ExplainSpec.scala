@@ -96,6 +96,9 @@ class ExplainSpec extends SparkSpec {
     // (vocab-sized), never the raw corpus; the pair grid itself is
     // |sources|² and broadcast
     "q_js_divergence" -> 10,
+    // q_pit_enrich: scd2 version build (one user_id exchange) + the
+    // as-of tagged-union exchange + output sort
+    "q_pit_enrich" -> 3,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
     // cumulative + sizing run on the cohort x week domain
