@@ -89,6 +89,9 @@ object ScaleSmoke {
     // JSD matrix: vocab-keyed pair work on the (source, token) frame —
     // the clone corpus grows counts, not the vocab or the pair grid
     "q_js_divergence",
+    // dup-rate triage: the exact two-level hash aggregate — the clone
+    // corpus is its stress case (every group collapses 100 copies)
+    "q_dup_rate",
     // event-analytics tier at Nx USERS (user ids shifted per copy, so
     // per-user history stays constant — the fleet regime; timestamps
     // unchanged, so per-day/type groups get Nx fatter, stressing the

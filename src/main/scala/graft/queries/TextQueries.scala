@@ -1552,6 +1552,48 @@ object TextQueries {
         .orderBy("rk")
     },
 
+    // Per-source duplication rate — the "which domain is spammiest"
+    // triage that decides WHERE dedup budget goes before any pairwise
+    // pass runs: normalized-content distinct count vs doc count per
+    // source. One exact two-level aggregate (hash keys first, then the
+    // per-source roll-up — no countDistinct Expand), rates as the only
+    // doubles.
+    "q_dup_rate" -> { (s, dir) =>
+      val h = Tables(s, dir, "documents")
+        .select(col("source"), md5(TextOps.normText(col("text"))).as("th"))
+        .groupBy("source", "th").agg(count(lit(1)).as("c"))
+      h.groupBy("source")
+        .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_distinct"),
+          sum(col("c") - 1).as("n_dups"))
+        .select(col("source"), col("n_docs"), col("n_distinct"), col("n_dups"),
+          round(col("n_dups").cast(DoubleType) / col("n_docs"), 6)
+            .as("dup_rate"))
+        .orderBy("source")
+    },
+
+    // LSH design table: the s-curve P(candidate | similarity s) =
+    // 1 - (1 - s^r)^b for every banding scheme this engine deploys —
+    // the chart that justifies each (r, b) choice (where the curve's
+    // threshold sits, how sharp the cutoff is). Pure closed form on a
+    // generated grid (no table scan); powers are exact
+    // multiply-by-squaring chains so both engines build the identical
+    // expression tree.
+    "q_lsh_curve" -> { (s, dir) =>
+      def pow2Chain(x: Column, n: Int): Column =
+        if (n == 1) x else { val h = pow2Chain(x, n / 2); h * h }
+      val grid = s.range(1, 20)
+        .select(col("id"), (col("id").cast(DoubleType) / lit(20.0)).as("s"))
+      val frames = Seq(("media_phash", 16, 4), ("dedup_minhash", 4, 4),
+        ("minhash_est", 2, 8)).map { case (scheme, r, b) =>
+        grid.select(lit(scheme).as("scheme"),
+          lit(r.toLong).as("r"), lit(b.toLong).as("b"),
+          round(col("s"), 6).as("s"),
+          round(lit(1.0) - pow2Chain(lit(1.0) - pow2Chain(col("s"), r), b), 6)
+            .as("p_candidate"))
+      }
+      frames.reduce(_ unionByName _).orderBy("scheme", "s")
+    },
+
     // Jensen-Shannon divergence matrix between source unigram
     // distributions — the corpus-similarity input to mixture design
     // (which domains are near-duplicates of each other, which add
@@ -2438,6 +2480,23 @@ object TextQueries {
     "q_mutual_nn" -> mutualNnOracle,
     "q_minhash_est" -> minhashEstOracle,
     "q_js_divergence" -> jsDivergenceOracle,
+    "q_dup_rate" ->
+      raw"""WITH h AS (
+           SELECT source,
+             md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))))
+               AS th
+           FROM documents),
+         c AS (SELECT source, th, CAST(count(*) AS BIGINT) AS c
+               FROM h GROUP BY source, th),
+         agg AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c - 1) AS BIGINT) AS n_dups
+           FROM c GROUP BY source)
+         SELECT source, n_docs, n_distinct, n_dups,
+           round(CAST(n_dups AS DOUBLE) / n_docs, 6) AS dup_rate
+         FROM agg ORDER BY source""",
+    "q_lsh_curve" -> lshCurveOracle,
     "q_burstiness" ->
       """WITH td AS (
            SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
@@ -3151,6 +3210,27 @@ object TextQueries {
          SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
          FROM c WHERE cum_tok <= 600 ORDER BY doc_id""",
     "q_weighted_sample" -> weightedSampleOracle)
+
+  /** DuckDB twin of q_lsh_curve: the same grid and the same
+    * multiply-by-squaring power chains, so both engines evaluate the
+    * identical floating-point expression tree.
+    */
+  private def lshCurveOracle: String = {
+    def powSql(x: String, n: Int): String =
+      if (n == 1) x else { val h = powSql(x, n / 2); s"($h) * ($h)" }
+    val arms = Seq(("media_phash", 16, 4), ("dedup_minhash", 4, 4),
+      ("minhash_est", 2, 8)).map { case (scheme, r, b) =>
+      val p = s"1.0e0 - ${powSql(s"(1.0e0 - ${powSql("(s)", r)})", b)}"
+      s"""SELECT '$scheme' AS scheme, CAST($r AS BIGINT) AS r,
+           CAST($b AS BIGINT) AS b, round(s, 6) AS s,
+           round($p, 6) AS p_candidate
+         FROM grid"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH grid AS (
+         SELECT CAST(i AS DOUBLE) / 20.0e0 AS s FROM range(1, 20) t(i))
+       $arms
+       ORDER BY scheme, s"""
+  }
 
   /** DuckDB twin of q_js_divergence: the same (source, token) counts,
     * pair grid, full-outer token union, and CASE-guarded ln terms with

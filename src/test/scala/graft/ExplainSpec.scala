@@ -99,6 +99,7 @@ class ExplainSpec extends SparkSpec {
     // q_pit_enrich: scd2 version build (one user_id exchange) + the
     // as-of tagged-union exchange + output sort
     "q_pit_enrich" -> 3,
+    "q_dup_rate" -> 3, "q_lsh_curve" -> 1,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
     // cumulative + sizing run on the cohort x week domain
