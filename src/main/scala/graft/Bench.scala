@@ -68,9 +68,9 @@ object Bench {
     }
     val loadAfter = loadavg()
 
-    def fmt(d: Double): String = f"$d%.4f"
-    val qs = results.map { case (k, rs) => "\"" + k + "\":" + fmt(rs.min) }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal locale would print 1,2345 and corrupt
+    // the JSON artifact.
+    def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val detail = results.map { case (k, rs) =>
       "\"" + k + "\":{\"min\":" + fmt(rs.min) + ",\"max\":" + fmt(rs.max) +
         ",\"runs\":[" + rs.map(fmt).mkString(",") + "]}"
@@ -79,7 +79,25 @@ object Bench {
       case (k, rs) if rs.min > 0 && rs.max / rs.min > 2.0 => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":$detail,"noisy":$noisy,"runs_per_query":$runsPerQuery,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
+
+    // Artifact contract: the driver captures only the LAST ~2000 chars of
+    // stdout, so the FINAL line must be a complete compact JSON object —
+    // rounds 7 and 8 shipped `parsed: null` because one ~12 kB line blew
+    // past the tail. The verbose per-run detail goes on an EARLIER line
+    // (still in the full log for archaeology); the final line carries the
+    // headline total plus as many per-query mins as fit a 1800-char
+    // budget (slowest first — the ones anyone compares across rounds),
+    // with an explicit queries_omitted count when truncated.
+    println(s"""{"metric":"detail","detail":$detail}""")
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runsPerQuery,"noisy":$noisy,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir","queries":{"""
+    val budget = 1800 - prefix.length - 40 // slack for the closing + omitted count
+    val entries = results.sortBy(-_._2.min)
+      .map { case (k, rs) => "\"" + k + "\":" + fmt(rs.min) }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    for (e <- entries if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    val omitted = entries.length - kept.length
+    println(prefix + kept.mkString(",") + s"""},"queries_omitted":$omitted}""")
     spark.stop()
   }
 }

@@ -11,27 +11,42 @@ import org.apache.spark.sql.functions._
   * and filter pushdown for free; at cluster scale the same call works on
   * any hadoop-compatible FS path.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-  * ([PARQUET_TYPE_ILLEGAL]); we read nanos as long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-divide to a
-  * microsecond timestamp — the same truncation DuckDB's `epoch_us` applies,
-  * keeping oracle comparisons aligned.
+  * `events.ts` has shipped in three parquet encodings across generator
+  * versions, all normalized here to a session-zone `TimestampType` so
+  * every downstream operator sees one type:
+  *   - TIMESTAMP(NANOS): Spark's reader rejects it
+  *     ([PARQUET_TYPE_ILLEGAL]); read nanos as long
+  *     (`spark.sql.legacy.parquet.nanosAsLong`), floor-divide to micros —
+  *     the same truncation DuckDB's `epoch_us` applies;
+  *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+  *     `TimestampNTZType`; cast to `TimestampType` — under the pinned UTC
+  *     session zone the instant equals DuckDB's naive-timestamp reading
+  *     bit-for-bit, keeping oracle comparisons aligned;
+  *   - TIMESTAMP(MICROS, UTC-adjusted): already `TimestampType`, pass
+  *     through (ScaleSmoke's re-materialized Nx copies).
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize a `ts` column to `TimestampType` whatever physical form the
+    * parquet writer chose (see object doc). Shared with the streaming
+    * reader so batch and stream transforms stay identical.
+    */
+  def normalizeTs(df: DataFrame, ts: String = "ts"): DataFrame =
+    df.schema(ts).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(ts, timestamp_micros(expr(s"$ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(ts, col(ts).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // idempotent
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Re-materialized copies (ScaleSmoke's Nx events) already carry a
-    // true TIMESTAMP ts — only the driver's raw TIMESTAMP(NANOS)-as-long
-    // form needs the truncating cast.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 }

@@ -19,6 +19,11 @@ object Verify {
     // queries, e.g. SPARK_GRAFT_ONLY=q_funnel,q_scd2
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A query that throws must leave a LOUD record, not silently shrink
+    // the correctness artifact (round 8 lost 7 queries to a swallowed
+    // exception with zero artifact evidence): every failure is collected
+    // and written to outDir/_errors.json after the loop.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +31,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // queries may cache intermediates (minhash bands, shingle index);
       // drop them so 51 sequential queries don't accumulate storage
@@ -46,6 +52,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when clean) so "no _errors.json" is
+    // distinguishable from "Verify crashed before finishing".
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

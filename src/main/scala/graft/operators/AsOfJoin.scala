@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** As-of join (point-in-time lookup): for each left row, attach the
   * nearest right row with the same key — the most recent at-or-before
@@ -28,11 +28,17 @@ object AsOfJoin {
     *
     * @param rightCols right columns carried onto left rows (emitted as
     *                   `asof_<name>`, null when no right row qualifies).
+    * @param tieBreak   right-side column ordering ties at equal `ts`
+    *                   (the minimum wins — negate a numeric column for
+    *                   max-wins) — pass one whenever right timestamps
+    *                   can repeat within a key, else the pick at a tie
+    *                   is partition-order-dependent.
     */
   def asOf(
       left: DataFrame, right: DataFrame,
-      key: String, ts: String, rightCols: Seq[String]): DataFrame =
-    asOfImpl(left, right, key, ts, rightCols, forward = false, None, None)
+      key: String, ts: String, rightCols: Seq[String],
+      tieBreak: Option[String] = None): DataFrame =
+    asOfImpl(left, right, key, ts, rightCols, forward = false, None, tieBreak)
 
   /** Forward as-of (earliest right row at-or-after left.ts).
     *
@@ -61,9 +67,10 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       key: String, ts: String, rightCols: Seq[String],
       toleranceMs: Option[Long] = None, tieBreak: Option[String] = None): DataFrame = {
-    require(left.schema(ts).dataType == TimestampType,
+    val (l, r) = (normTs(left, ts), normTs(right, ts))
+    require(l.schema(ts).dataType == TimestampType,
       "asOfNearest requires a timestamp ts column")
-    val (tagged, tbCol) = taggedUnion(left, right, key, ts, rightCols, tieBreak)
+    val (tagged, tbCol) = taggedUnion(l, r, key, ts, rightCols, tieBreak)
     def w(forward: Boolean) =
       scanWindow(key, ts, tbCol, forward = forward, tieBreak.isDefined)
     val joined = tagged
@@ -86,6 +93,17 @@ object AsOfJoin {
       d.withColumn(s"asof_$c", col(s"__asof.$c"))
     }.drop("__side", "__payload", "__b", "__f", "__asof", tbCol)
   }
+
+  /** NTZ inputs are accepted and normalized to `TimestampType` up front
+    * (session-zone interpretation — exact under a pinned UTC zone), so
+    * user frames read from naive-timestamp parquet work without a
+    * pre-cast; every downstream gap computation then sees one type.
+    */
+  private def normTs(df: DataFrame, ts: String): DataFrame =
+    df.schema(ts).dataType match {
+      case TimestampNTZType => df.withColumn(ts, col(ts).cast(TimestampType))
+      case _ => df
+    }
 
   /** Shared tagged-union prep for every as-of direction: left rows get
     * `__side=1` and a null payload; right rows collapse to (key, ts,
@@ -129,9 +147,10 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       key: String, ts: String, rightCols: Seq[String],
       forward: Boolean, toleranceMs: Option[Long], tieBreak: Option[String]): DataFrame = {
+    val (l, r) = (normTs(left, ts), normTs(right, ts))
     // the right timestamp travels inside the payload so tolerance can be
     // evaluated after the window pass
-    val (tagged, tbCol) = taggedUnion(left, right, key, ts, rightCols, tieBreak)
+    val (tagged, tbCol) = taggedUnion(l, r, key, ts, rightCols, tieBreak)
     val w = scanWindow(key, ts, tbCol, forward = forward, tieBreak.isDefined)
     val joined = tagged
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
@@ -140,7 +159,7 @@ object AsOfJoin {
     val withinTol = toleranceMs match {
       case None => lit(true)
       case Some(tol) =>
-        require(left.schema(ts).dataType == TimestampType,
+        require(l.schema(ts).dataType == TimestampType,
           "toleranceMs requires a timestamp ts column")
         // micros, not millis: truncation would admit gaps up to 1 ms
         // past the bound that the SQL oracle (epoch_us) rejects

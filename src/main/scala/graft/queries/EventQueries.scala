@@ -232,14 +232,19 @@ object EventQueries {
     // exchange) with AsOfJoin.asOf (one more keyed exchange for the
     // tagged union) — no interval blow-up, no per-row range scan.
     "q_pit_enrich" -> { (s, dir) =>
+      // negv: ties at equal vf (two state changes in the same
+      // microsecond) must pick the LATEST version — the oracle's
+      // `ORDER BY vf DESC, version DESC` — and asOf's tie-break is
+      // min-wins, so negate; without it the pick at a tie is
+      // partition-order-nondeterministic.
       val versions = scd2Versions(s, dir)
         .select(col("user_id"), col("vf").as("ts"),
-          col("version"), col("state"))
+          col("version"), col("state"), (-col("version")).as("negv"))
       val purchases = Tables(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .select("user_id", "ts", "event_id")
       AsOfJoin.asOf(purchases, versions, "user_id", "ts",
-          Seq("version", "state"))
+          Seq("version", "state"), tieBreak = Some("negv"))
         .select(col("user_id"), col("event_id"),
           col("asof_version").as("version"), col("asof_state").as("state"))
         .orderBy("event_id")

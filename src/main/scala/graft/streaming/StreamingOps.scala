@@ -24,26 +24,21 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** On-disk schema: the driver testdata stores ts as parquet
-    * TIMESTAMP(NANOS), which Spark reads as long under
-    * `spark.sql.legacy.parquet.nanosAsLong` (see graft.Tables).
-    */
-  private val rawFileSchema: StructType = StructType(
-    eventsSchema.fields.map {
-      case f if f.name == "ts" => StructField("ts", LongType)
-      case f => f
-    })
-
   /** Streaming scan of an events parquet DIRECTORY (file streams track
-    * directories); same nanos→micros normalization as the batch reader,
-    * so downstream transforms are identical in both modes.
+    * directories). `readStream` requires a user-supplied schema, but the
+    * generator's physical `ts` encoding has changed across versions
+    * (NANOS-as-long vs MICROS-NTZ — see graft.Tables), so the on-disk
+    * schema is sniffed with one batch metadata read of the same directory
+    * and the shared `Tables.normalizeTs` brings `ts` to `TimestampType` —
+    * batch and stream transforms stay identical in both modes.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawFileSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk = spark.read.parquet(dir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(onDisk)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir))
   }
 
   /** Tumbling-window counts/sums with late-data drop via watermark. */

@@ -25,6 +25,34 @@ class JoinOpsSpec extends SparkSpec {
       ("B", 5L, 3, null)))  // no quote at-or-before
   }
 
+  test("asOf tieBreak picks deterministically among equal-ts right rows (negate for max-wins)") {
+    // the q_pit_enrich shape: one user with two SCD2 versions sharing a
+    // valid_from timestamp — the enrichment must pick the LATEST version,
+    // not whichever partition happened to scan last
+    val purchases = Seq((7L, 100L, 1)).toDF("user_id", "ts", "event_id")
+    val versions = Seq(
+      (7L, 100L, 1L, "a", -1L), (7L, 100L, 2L, "b", -2L), (7L, 50L, 0L, "z", 0L)
+    ).toDF("user_id", "ts", "version", "state", "negv")
+
+    val j = AsOfJoin.asOf(purchases, versions, "user_id", "ts",
+        Seq("version", "state"), tieBreak = Some("negv"))
+      .select("event_id", "asof_version", "asof_state").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(j == Set((1, 2L, "b"))) // min(negv) = max(version) wins the tie
+
+    // NTZ inputs are normalized internally — same join through
+    // TimestampNTZType ts columns must not throw and must agree
+    val pNtz = purchases.withColumn("ts",
+      timestamp_micros(col("ts") * 1000).cast(org.apache.spark.sql.types.TimestampNTZType))
+    val vNtz = versions.withColumn("ts",
+      timestamp_micros(col("ts") * 1000).cast(org.apache.spark.sql.types.TimestampNTZType))
+    val jNtz = AsOfJoin.asOf(pNtz, vNtz, "user_id", "ts",
+        Seq("version", "state"), tieBreak = Some("negv"))
+      .select("event_id", "asof_version", "asof_state").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(jNtz == Set((1, 2L, "b")))
+  }
+
   test("asOfForward attaches earliest right at-or-after; tolerance nulls far matches; ties break on min") {
     val trades = Seq(
       ("A", ms(10), 1), ("A", ms(25), 2), ("B", ms(5), 3), ("A", ms(200), 4)
