@@ -144,6 +144,13 @@ object GraphOps {
       m = m2
       iter += 1
     }
+    // An unconverged exit would silently return a SUPERSET of the core
+    // (vertices still peelable) — fail loudly instead; extreme peel
+    // depths (a 2k-vertex pendant chain) are a maxIter choice the
+    // caller must make consciously, not a wrong answer.
+    if (!done) throw new IllegalStateException(
+      s"kCore(k=$k) did not converge within $maxIter peel rounds " +
+        s"($m edges still shrinking); raise maxIter")
     e.union(e.select(col("v").as("u"), col("u").as("v")))
       .groupBy("u").agg(count(lit(1)).as("core_degree"))
       .select(col("u").as("id"), col("core_degree"))

@@ -311,12 +311,22 @@ object CoreOps {
       val affected = current.filter(partPred)
       val deleted = affected.filter(matches).count()
       val kept = affected.filter(!matches).localCheckpoint()
+      // relative partition paths must match what Spark's writer puts on
+      // disk: Hive-escaped values (a space becomes %20, a slash %2F) and
+      // __HIVE_DEFAULT_PARTITION__ for null — raw interpolation would
+      // delete the wrong (usually nonexistent) directory for any
+      // partition value containing a special character
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      def partRel(r: org.apache.spark.sql.Row): String =
+        partCols.indices.map { i =>
+          val v = r.get(i)
+          val ev = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(v.toString)
+          s"${ExternalCatalogUtils.escapePathName(partCols(i))}=$ev"
+        }.mkString("/")
       val keptParts = kept.select(partCols.map(col): _*).distinct().collect()
-        .map(r => partCols.indices.map(i => s"${partCols(i)}=${r.get(i)}").mkString("/"))
-        .toSet
-      val emptied = hit
-        .map(r => partCols.indices.map(i => s"${partCols(i)}=${r.get(i)}").mkString("/"))
-        .filterNot(keptParts)
+        .map(partRel).toSet
+      val emptied = hit.map(partRel).filterNot(keptParts)
       // record fully-emptied partitions BEFORE any mutation: a crash
       // anywhere past this point is replayed by the next call (the `_`
       // prefix keeps Spark's file index from reading the marker)

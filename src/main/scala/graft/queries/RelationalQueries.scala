@@ -1065,9 +1065,11 @@ object RelationalQueries {
     // chains, leaving the cyclically-connected backbone — the cohesion
     // filter run before community detection wastes effort on leaves.
     // GraphOps.kCore peels to the true fixpoint with a scalar probe per
-    // round; the oracle unrolls 12 peel rounds (2x the measured maximum
-    // across SFs — peeling is monotone, so post-fixpoint rounds are
-    // no-ops and over-unrolling cannot change the answer).
+    // round (raising if the fixpoint needs more than its maxIter cap);
+    // the oracle unrolls exactly maxIter peel rounds, so both sides
+    // describe the same bounded computation — peeling is monotone, so
+    // post-fixpoint rounds are no-ops and over-unrolling cannot change
+    // the answer (measured convergence: 6 rounds across SFs).
     "q_kcore" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
@@ -1173,10 +1175,13 @@ object RelationalQueries {
         sum(when(col("treat"), col("y")).otherwise(0L)).as("syt"),
         sum(when(!col("treat"), col("y")).otherwise(0L)).as("syc"))
       val nc = col("ns") - col("nt")
+      // cast BEFORE the product: syt*ns is ~1e12 * 1e6 at sf100 — a
+      // BIGINT product would wrap silently; the double product computes
+      // the identical IEEE value in both engines at every SF
       val term1 = when(col("nt") > 0,
-        (col("syt") * col("ns")).cast(DoubleType) / col("nt")).otherwise(lit(0.0))
+        col("syt").cast(DoubleType) * col("ns") / col("nt")).otherwise(lit(0.0))
       val term0 = when(nc > 0,
-        (col("syc") * col("ns")).cast(DoubleType) / nc).otherwise(lit(0.0))
+        col("syc").cast(DoubleType) * col("ns") / nc).otherwise(lit(0.0))
       def coarse(c: Column) = sum(floor(c * lit(1000.0) + lit(0.5)).cast(LongType))
       strata.agg(
           sum(col("ns")).as("n"), sum(col("nt")).as("n_t"),
@@ -1261,17 +1266,18 @@ object RelationalQueries {
        ORDER BY p.stratum"""
   }
 
-  /** DuckDB twin of q_kcore: 12 unrolled peel rounds over the repeat
-    * co-purchase graph. The Spark side runs to the true fixpoint;
-    * peeling is monotone, so any unroll >= the convergence round count
-    * (measured max 6 across sf0.001/0.01/0.1) yields the identical
-    * core — extra rounds are no-ops.
+  /** DuckDB twin of q_kcore: peel rounds unrolled to GraphOps.kCore's
+    * maxIter cap (30), so the oracle covers every depth the operator
+    * can reach before its convergence guard raises. Peeling is
+    * monotone, so any unroll >= the convergence round count (measured
+    * max 6 across sf0.001/0.01/0.1) yields the identical core — extra
+    * rounds are no-ops over an already-fixed survivor set.
     */
   private def kcoreOracle: String = {
     // each round's survivor set and degree table are MATERIALIZED —
     // plain CTEs inline per reference, and four references per round
-    // over 12 rounds would expand the lineitem scan 4^12-fold
-    val rounds = (1 to 12).map { i =>
+    // over 30 rounds would expand the lineitem scan 4^30-fold
+    val rounds = (1 to 30).map { i =>
       val prev = if (i == 1) "e0" else s"e${i - 1}"
       s"""d$i AS MATERIALIZED (
            SELECT n, count(*) AS d
@@ -1289,7 +1295,7 @@ object RelationalQueries {
          GROUP BY x.pk, y.pk HAVING count(*) >= 2),
        $rounds
        SELECT n AS id, CAST(count(*) AS BIGINT) AS core_degree
-       FROM (SELECT u AS n FROM e12 UNION ALL SELECT v FROM e12)
+       FROM (SELECT u AS n FROM e30 UNION ALL SELECT v FROM e30)
        GROUP BY n ORDER BY id"""
   }
 
@@ -1328,10 +1334,10 @@ object RelationalQueries {
          SELECT CAST(sum(ns) AS BIGINT) AS n, CAST(sum(nt) AS BIGINT) AS n_t,
            CAST(sum(syt) AS BIGINT) AS ts, CAST(sum(syc) AS BIGINT) AS cs,
            CAST(sum(CAST(floor((CASE WHEN nt > 0
-               THEN CAST(syt * ns AS DOUBLE) / nt ELSE 0.0e0 END)
+               THEN CAST(syt AS DOUBLE) * ns / nt ELSE 0.0e0 END)
              * 1000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS g1,
            CAST(sum(CAST(floor((CASE WHEN ns - nt > 0
-               THEN CAST(syc * ns AS DOUBLE) / (ns - nt) ELSE 0.0e0 END)
+               THEN CAST(syc AS DOUBLE) * ns / (ns - nt) ELSE 0.0e0 END)
              * 1000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS g0
          FROM strata)
        SELECT n, n_t,

@@ -1219,9 +1219,15 @@ object TextQueries {
     // total n-grams, n = 1, 2, 3) — the templated-text detector
     // (boilerplate and generated spam crater distinct-2/3 while
     // per-doc stats look normal). ONE text scan: the three gram
-    // streams are tagged (n, gram) in-row and exploded together, one
-    // (source, n)-keyed exact count + distinct count, then a pivot-
-    // style regroup on the |sources|x3-bounded frame — no joins.
+    // streams are tagged (n, gram) in-row and exploded together, then
+    // TWO-LEVEL aggregated (per-gram occurrence counts, then per-
+    // (source, n) sum + row count — the q_dup_rate discipline): a
+    // single mixed count/countDistinct aggregate would plan an Expand
+    // that doubles the exploded gram stream before the shuffle, while
+    // the per-gram level combines map-side (hot boilerplate grams
+    // collapse before the exchange) and the second level runs on the
+    // already-distinct frame. Final pivot-style regroup on the
+    // |sources|x3-bounded frame — no joins.
     "q_distinct_n" -> { (s, dir) =>
       def tag(n: Int, c: Column) =
         transform(c, g => struct(lit(n).as("n"), g.as("g")))
@@ -1231,8 +1237,10 @@ object TextQueries {
           tag(2, TextOps.shingles(col("text"), 2)),
           tag(3, TextOps.shingles(col("text"), 3)))).as("t"))
         .select(col("source"), col("t.n").as("n"), col("t.g").as("g"))
+        .groupBy(col("source"), col("n"), col("g"))
+        .agg(count(lit(1)).as("c"))
         .groupBy(col("source"), col("n"))
-        .agg(count(lit(1)).as("tot"), countDistinct(col("g")).as("dis"))
+        .agg(sum(col("c")).as("tot"), count(lit(1)).as("dis"))
       def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
       agg.groupBy(col("source"))
         .agg(pick(1, "tot").as("n1"), pick(1, "dis").as("d1"),
@@ -1428,18 +1436,23 @@ object TextQueries {
       val nn = a.agg(sum(col("a")).as("nn"))
       val b = col("ab") - col("a")
       val n2 = col("nn") - col("n1")
+      // cast each FACTOR before multiplying: cross-products like a*nn
+      // reach ~1e9 * 1e13 at 100 TB corpora — a BIGINT product wraps
+      // silently; double products compute the identical IEEE value in
+      // both engines (same op order both sides)
       val t1 = col("a").cast(DoubleType) *
-        log((col("a") * col("nn")).cast(DoubleType) /
-          (col("n1") * col("ab")).cast(DoubleType))
+        log(col("a").cast(DoubleType) * col("nn") /
+          (col("n1").cast(DoubleType) * col("ab")))
       val t2 = when(b > 0, b.cast(DoubleType) *
-        log((b * col("nn")).cast(DoubleType) /
-          (n2 * col("ab")).cast(DoubleType))).otherwise(lit(0.0))
+        log(b.cast(DoubleType) * col("nn") /
+          (n2.cast(DoubleType) * col("ab")))).otherwise(lit(0.0))
       val scored = a.join(tt, Seq("token"))
         .join(broadcast(st), Seq("source"))
         .crossJoin(broadcast(nn))
         .select(col("source"), col("token"),
           round(lit(2.0) * (t1 + t2), 6).as("g2"),
-          (col("a") * col("nn") > col("n1") * col("ab")).as("over_rep"))
+          (col("a").cast(DoubleType) * col("nn") >
+            col("n1").cast(DoubleType) * col("ab")).as("over_rep"))
       val w = Window.partitionBy("source")
         .orderBy(col("g2").desc, col("token").asc)
       scored.withColumn("rk", row_number().over(w).cast(LongType))
@@ -2461,13 +2474,13 @@ object TextQueries {
            SELECT a.source, a.token,
              round(2.0e0 * (
                CAST(a.a AS DOUBLE)
-                 * ln(CAST(a.a * nn.nn AS DOUBLE) / CAST(st.n1 * tt.ab AS DOUBLE))
+                 * ln(CAST(a.a AS DOUBLE) * nn.nn / (CAST(st.n1 AS DOUBLE) * tt.ab))
                + CASE WHEN tt.ab - a.a > 0 THEN
                    CAST(tt.ab - a.a AS DOUBLE)
-                     * ln(CAST((tt.ab - a.a) * nn.nn AS DOUBLE)
-                       / CAST((nn.nn - st.n1) * tt.ab AS DOUBLE))
+                     * ln(CAST(tt.ab - a.a AS DOUBLE) * nn.nn
+                       / (CAST(nn.nn - st.n1 AS DOUBLE) * tt.ab))
                  ELSE 0.0e0 END), 6) AS g2,
-             a.a * nn.nn > st.n1 * tt.ab AS over_rep
+             CAST(a.a AS DOUBLE) * nn.nn > CAST(st.n1 AS DOUBLE) * tt.ab AS over_rep
            FROM a JOIN tt USING (token) JOIN st USING (source), nn),
          r AS (
            SELECT source, token, g2, over_rep,

@@ -196,6 +196,24 @@ class CoreOpsSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/day=d3").exists())
   }
 
+  test("deleteWhere escapes special characters in partition values (Hive path encoding)") {
+    // a colon (or any of Hive's escaped chars) in a partition VALUE is
+    // written to disk %-encoded; the emptied-partition delete must
+    // target that encoded path, not a raw-interpolated one
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_esc").toString + "/t"
+    Seq((1L, "us:west"), (2L, "emea"), (3L, "us:west"))
+      .toDF("id", "region")
+      .write.partitionBy("region").parquet(dir)
+    val escaped = new java.io.File(s"$dir/region=us%3Awest")
+    assert(escaped.exists()) // precondition: Spark wrote the escaped form
+    val n = CoreOps.deleteWhere(spark, dir,
+      col("region") === "us:west", partCols = Seq("region"))
+    assert(n == 2L)
+    assert(!escaped.exists()) // emptied partition dir actually removed
+    val left = spark.read.parquet(dir).select("id").as[Long].collect().toSeq
+    assert(left == Seq(2L))
+  }
+
   test("upsert recovers a completed-but-unswapped staging after a delete-crash") {
     val dir = java.nio.file.Files.createTempDirectory("graft_up_rec").toString + "/t"
     CoreOps.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "v"),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.expressions.ScalaUDF
-import org.apache.spark.sql.execution.{GlobalLimitExec, CollectLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{CollectLimitExec, ExpandExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.{WindowExecBase, WindowGroupLimitExec}
@@ -202,6 +202,25 @@ class ExplainSpec extends SparkSpec {
     "q_benford" -> "share-of-total over the 9-row first-digit frame",
     "q_drift_psi" -> "reference share over the |n_chars/100| histogram-bucket frame (doc-length-bounded)")
 
+  /** Expand gate (round-9 addition): an ExpandExec multiplies its input
+    * stream BEFORE the shuffle — the multi-distinct rewrite does this to
+    * the raw scan (q_distinct_n once shipped a doubled gram stream this
+    * way; the two-level-aggregate shape computes the same answer without
+    * it). Expand is only legitimate where multiplication IS the
+    * semantics — grouping sets / rollup / cube / unpivot — so any other
+    * query planning one fails the audit unless justified here with the
+    * bound on what gets multiplied.
+    */
+  private val expandAllow: Map[String, String] = Map(
+    "q_cube" -> "cube() — 4 grouping sets over the aggregate, the operator's definition",
+    "q_rollup" -> "rollup() — hierarchy grouping sets, the operator's definition",
+    "q_grouping_sets" -> "explicit GROUPING SETS, the operator's definition",
+    "q_grouping_id" -> "grouping_id() over cube grouping sets, the operator's definition",
+    "q_unpivot" -> "unpivot replicates each row per measure column — the operator's definition",
+    "q_sliding_window" -> "window(ts, 1h, 30m) replicates each event per overlapping window — window/slide = 2 copies, the operator's definition",
+    "q_profile" -> "single-pass multi-column profile: one Expand over the 3-row summary domain",
+    "q_data_card" -> "one-row corpus summary: multi-distinct over per-doc stats")
+
   /** A window frame is bounded-by-construction when a global limit sits
     * below it in the same subtree (TakeOrderedAndProject / GlobalLimit /
     * CollectLimit cap the row count at a plan-time literal).
@@ -217,6 +236,7 @@ class ExplainSpec extends SparkSpec {
     * a stale justification (query fixed, entry left behind) also fails.
     */
   private val sawUnpartWindow = scala.collection.mutable.Set.empty[String]
+  private val sawExpand = scala.collection.mutable.Set.empty[String]
 
   private def audit(): Seq[String] = {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -237,7 +257,13 @@ class ExplainSpec extends SparkSpec {
           case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
         }
         if (unpartWindows.nonEmpty) sawUnpartWindow += name
+        val expands = nodes.collect { case e: ExpandExec => e }
+        if (expands.nonEmpty) sawExpand += name
         Seq(
+          if (expands.nonEmpty && !expandAllow.contains(name))
+            Some(s"$name: ExpandExec multiplies the pre-shuffle stream " +
+              "(use a two-level aggregate, or justify the bound in expandAllow)")
+          else None,
           if (unpartWindows.nonEmpty && !unpartitionedWindowAllow.contains(name))
             Some(s"$name: unpartitioned ${unpartWindows.head.nodeName} over an " +
               "unbounded frame (single-task at scale; fix the plan or justify in the allowlist)")
@@ -260,5 +286,8 @@ class ExplainSpec extends SparkSpec {
     val stale = unpartitionedWindowAllow.keySet -- sawUnpartWindow
     assert(stale.isEmpty,
       s"stale unpartitioned-window allowlist entries (query no longer plans one): $stale")
+    val staleExpand = expandAllow.keySet -- sawExpand
+    assert(staleExpand.isEmpty,
+      s"stale Expand allowlist entries (query no longer plans one): $staleExpand")
   }
 }

@@ -54,6 +54,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(c3 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("kCore: >60-vertex pendant chain converges within the cap; past it the guard raises") {
+    // a 61-vertex path (60 edges) peels 2 edges per round — exactly 30
+    // rounds, the default maxIter: must converge to the empty 2-core,
+    // not silently return leftovers
+    val path60 = (0L until 60L).map(i => (i, i + 1)).toDF("u", "v")
+    assert(GraphOps.kCore(path60, k = 2).isEmpty)
+    // one round short of the needed depth: the unconverged exit must
+    // RAISE (a silent superset is a wrong answer), naming maxIter
+    val ex = intercept[IllegalStateException] {
+      GraphOps.kCore(path60, k = 2, maxIter = 29).count()
+    }
+    assert(ex.getMessage.contains("maxIter"))
+  }
+
   test("triangle count: K4, path, and dirty input normalize correctly") {
     // K4 has C(4,3) = 4 triangles; a path has none; duplicate /
     // reversed edges and self-loops must not change the answer.
