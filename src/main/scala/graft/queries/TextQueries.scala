@@ -469,6 +469,71 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // FUZZY benchmark decontamination — the third leg of the decontam
+    // trio (exact spans: q_decontaminate; embeddings: q_embed_decontam):
+    // an eval document that was paraphrased or truncated into the
+    // training set shares no exact 8-token span, but its MinHash bands
+    // still collide. Same engine-portable md5 signature scheme as
+    // q_minhash_est (16 perms from 4 digests, 8 bands x 2 rows); the
+    // benchmark side is MBs against a 100 TB corpus, so its bands AND
+    // its shingle sets broadcast — train-side signatures are computed in
+    // one shingle scan and probed map-side; only band-collision
+    // CANDIDATES (a vanishing fraction of the corpus) ever reach the
+    // exact-Jaccard verify join. Flag = verified 3-gram Jaccard >= 0.5
+    // against the best-matching benchmark doc (ties: min bench id).
+    "q_fuzzy_decontam" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      def shingles(df: DataFrame) = df.select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+      def sig(shf: DataFrame) = shf
+        .withColumn("g", explode(sequence(lit(0), lit(3))))
+        .withColumn("m", md5(concat(col("g").cast(StringType), lit(":"), col("sh"))))
+        .withColumn("slot", explode(sequence(lit(0), lit(3))))
+        .withColumn("p", col("g") * 4 + col("slot") + 1)
+        .withColumn("h",
+          conv(expr("substring(m, slot * 8 + 1, 8)"), 16, 10).cast(LongType))
+        .groupBy("doc_id", "p").agg(min(col("h")).as("h"))
+      def bands(sigf: DataFrame) = sigf
+        .withColumn("b", floor((col("p") - 1) / 2))
+        .groupBy("doc_id", "b")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("h")))),
+          x => x.getField("h").cast(StringType)), ",").as("key"))
+      val train = d.filter(col("doc_id") % 50 =!= 0)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      val shTrain = shingles(train).localCheckpoint()
+      val shBench = shingles(bench).localCheckpoint() // eval-suite sized
+      val cand = bands(sig(shTrain)).as("t")
+        .join(broadcast(bands(sig(shBench)).as("q")),
+          col("t.b") === col("q.b") && col("t.key") === col("q.key"))
+        .select(col("t.doc_id").as("doc_id"), col("q.doc_id").as("bench_id"))
+        .distinct().localCheckpoint()
+      val shared = shTrain.join(cand, Seq("doc_id"))
+        .join(broadcast(shBench
+          .select(col("doc_id").as("bench_id"), col("sh"))), Seq("bench_id", "sh"))
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("ns"))
+      val sizesT = shTrain.groupBy("doc_id").agg(count(lit(1)).as("na"))
+      val sizesB = shBench.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+        .withColumnRenamed("doc_id", "bench_id")
+      val scored = cand.join(shared, Seq("doc_id", "bench_id"), "left")
+        .join(sizesT, Seq("doc_id"))
+        .join(broadcast(sizesB), Seq("bench_id"))
+        .withColumn("ns", coalesce(col("ns"), lit(0L)))
+        .withColumn("j", round(col("ns").cast(DoubleType) /
+          (col("na") + col("nb") - col("ns")), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("j").desc, col("bench_id").asc)
+      val best = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("bench_id"), col("j"))
+      train.select("doc_id").join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("j"), lit(0.0)) >= 0.5).as("contaminated"),
+          col("bench_id").as("best_bench_id"),
+          coalesce(col("j"), lit(0.0)).as("jaccard"))
+        .orderBy("doc_id")
+    },
+
     // C4-style per-domain cap: keep at most 15 documents per source,
     // chosen by a deterministic md5 shuffle (engine-portable "random"
     // subset — same winners under any partitioning or engine). One rank
@@ -718,6 +783,30 @@ object TextQueries {
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    },
+
+    // Canonical-document selection per duplicate cluster — the policy
+    // step between q_dup_clusters and q_dedup_full: instead of blindly
+    // keeping the min doc_id, keep the LONGEST member (truncated scrapes
+    // and paywall stubs lose to the full article; ties: min doc_id).
+    // One argmax struct-min per cluster — no window, no second pass:
+    // (-n_tokens, doc_id) min is lexicographic argmax-by-length, the
+    // same one-shuffle shape whatever the quality key becomes.
+    "q_cluster_canonical" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.05, n = 3)
+      val clusters = graft.operators.GraphOps.dupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      clusters.join(docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens")),
+          Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(min(struct((-col("n_tokens")).as("neg"), col("doc_id").as("id"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), col("m.id").as("canonical_doc_id"),
+          (-col("m.neg")).as("canonical_tokens"), col("n_members"))
+        .orderBy("cluster_id")
     },
 
     // Deterministic stratified hash sampling: ~50% of English docs, ~25%
@@ -2492,6 +2581,47 @@ object TextQueries {
     "q_kappa" -> kappaOracle,
     "q_mutual_nn" -> mutualNnOracle,
     "q_minhash_est" -> minhashEstOracle,
+    "q_fuzzy_decontam" -> fuzzyDecontamOracle,
+    "q_cluster_canonical" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+           )) AS sh
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         shared AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+         pairs AS (
+           SELECT id_a, id_b FROM shared
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         sized AS (
+           SELECT c.cluster_id, c.id AS doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+           FROM comp c JOIN documents d ON d.doc_id = c.id),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_tokens DESC, doc_id ASC) AS rn
+           FROM sized),
+         agg AS (
+           SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+           FROM sized GROUP BY cluster_id)
+         SELECT r.cluster_id, r.doc_id AS canonical_doc_id,
+           r.n_tokens AS canonical_tokens, a.n_members
+         FROM rk r JOIN agg a USING (cluster_id)
+         WHERE r.rn = 1 ORDER BY r.cluster_id""",
     "q_js_divergence" -> jsDivergenceOracle,
     "q_dup_rate" ->
       raw"""WITH h AS (
@@ -3288,6 +3418,70 @@ object TextQueries {
     * signatures, 8x2 band keys (p-sorted h values joined by comma),
     * and the estimate-vs-exact report on the identical candidate set.
     */
+  /** DuckDB twin of q_fuzzy_decontam: the q_minhash_est signature scheme
+    * (16 perms from 4 md5 digests, 8 bands x 2 rows) split train/bench
+    * at doc_id % 50, band-collision candidates, exact 3-gram Jaccard
+    * verify, best bench match per train doc (j desc, bench_id asc),
+    * contaminated = rounded j >= 0.5.
+    */
+  private def fuzzyDecontamOracle: String = {
+    val hexVal = (1 to 8).map { i =>
+      val pow = 1L << (4 * (8 - i)) // 16^(8-i)
+      s"(strpos('0123456789abcdef', substring(m, slot * 8 + $i, 1)) - 1) * ${pow}"
+    }.mkString(" + ")
+    s"""WITH sh AS (
+         SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                  || ' ' || string_split(text, ' ')[i+2]))) AS sh
+         FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       hv AS (
+         SELECT doc_id, g, md5(CAST(g AS VARCHAR) || ':' || sh) AS m
+         FROM sh, unnest(range(0, 4)) AS r(g)),
+       sig AS (
+         SELECT doc_id, g * 4 + slot + 1 AS p, CAST(min($hexVal) AS BIGINT) AS h
+         FROM hv, unnest(range(0, 4)) AS u(slot)
+         GROUP BY doc_id, g, slot),
+       bands AS (
+         SELECT doc_id, (p - 1) // 2 AS b,
+           array_to_string(list_transform(
+             list_sort(list({'p': p, 'h': h})), x -> CAST(x.h AS VARCHAR)), ',')
+             AS key
+         FROM sig GROUP BY doc_id, (p - 1) // 2),
+       cand AS (
+         SELECT DISTINCT t.doc_id AS doc_id, q.doc_id AS bench_id
+         FROM bands t JOIN bands q ON t.b = q.b AND t.key = q.key
+         WHERE t.doc_id % 50 <> 0 AND q.doc_id % 50 = 0),
+       sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+       shared AS (
+         SELECT c.doc_id, c.bench_id, CAST(count(*) AS BIGINT) AS ns
+         FROM cand c
+           JOIN sh a ON a.doc_id = c.doc_id
+           JOIN sh b ON b.doc_id = c.bench_id AND b.sh = a.sh
+         GROUP BY c.doc_id, c.bench_id),
+       scored AS (
+         SELECT c.doc_id, c.bench_id,
+           round(CAST(coalesce(s.ns, 0) AS DOUBLE)
+             / (za.n_sh + zb.n_sh - coalesce(s.ns, 0)), 6) AS j
+         FROM cand c
+           LEFT JOIN shared s ON s.doc_id = c.doc_id AND s.bench_id = c.bench_id
+           JOIN sizes za ON za.doc_id = c.doc_id
+           JOIN sizes zb ON zb.doc_id = c.bench_id),
+       best AS (
+         SELECT doc_id, bench_id, j,
+           row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, bench_id ASC)
+             AS rk
+         FROM scored)
+       SELECT d.doc_id,
+         coalesce(b.j, 0.0e0) >= 0.5e0 AS contaminated,
+         b.bench_id AS best_bench_id,
+         coalesce(b.j, 0.0e0) AS jaccard
+       FROM documents d
+         LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+       WHERE d.doc_id % 50 <> 0
+       ORDER BY d.doc_id"""
+  }
+
   private def minhashEstOracle: String = {
     val hexVal = (1 to 8).map { i =>
       val pow = 1L << (4 * (8 - i)) // 16^(8-i)

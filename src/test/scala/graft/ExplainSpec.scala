@@ -90,6 +90,15 @@ class ExplainSpec extends SparkSpec {
     // q_minhash_est: static plan holds only the post-checkpoint band
     // agg + reporting joins; shingle/signature stages are checkpointed
     "q_minhash_est" -> 2,
+    // q_fuzzy_decontam: shingle/candidate stages are checkpointed; the
+    // 6 static exchanges are the exact-verify agg, the two size aggs,
+    // the two bench-side signature aggs (inside broadcast subtrees —
+    // eval-suite-sized rows), the best-match window, and output sort;
+    // the corpus-sized frame crosses an exchange exactly once
+    "q_fuzzy_decontam" -> 6,
+    // q_cluster_canonical: pair build runs off ngramJaccardPairs'
+    // checkpoints; cluster join + one argmax groupBy + output sort
+    "q_cluster_canonical" -> 3,
     // q_js_divergence: token agg + per-source totals + the pair-grid
     // expansions and their full-outer token union + per-pair grid sums —
     // every exchange after the first carries (source, token) count rows
