@@ -55,5 +55,6 @@ object SparkEntry {
     "q_streak", "q_ab_test", "q_gini", "q_tpch_q5", "q_heaps",
     "q_growth_accounting", "q_dsir", "q_distinct_n", "q_zipf",
     "q_kneser_ney", "q_media_phash", "q_keyness", "q_mutual_nn",
-    "q_kcore", "q_minhash_est", "q_fuzzy_decontam", "q_cluster_canonical")
+    "q_kcore", "q_minhash_est", "q_fuzzy_decontam", "q_cluster_canonical",
+    "q_knn_label_acc")
 }

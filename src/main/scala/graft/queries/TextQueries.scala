@@ -107,6 +107,40 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // kNN label-consistency probe — the standard embedding-quality eval
+    // (a good encoder's neighbors share its label): for each vector of a
+    // FIXED eval sample (vec_id % 100, the bounded stand-in for a held-
+    // out probe set — at 100 TB the sample stays broadcastable because
+    // it's capped, not a corpus fraction), take the 10 nearest corpus
+    // vectors via the TopKAggregator form (map tasks emit <= k rows per
+    // query, so the shuffle never carries the scored corpus), majority-
+    // vote their labels (ties: min label), and report per-label
+    // accuracy. Labels rejoin AFTER the top-k cut — the broadcast probe
+    // of a |queries|x10 id list against the corpus, never a second scan
+    // of scored pairs.
+    "q_knn_label_acc" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      val corpus = e.filter(col("vec_id") % 100 =!= 0)
+      val top = VectorOps.bruteForceTopKAgg(queries, corpus, k = 10)
+      val labeled = corpus.select(col("vec_id").as("n_id"),
+          col("label").cast(LongType).as("n_label"))
+        .join(broadcast(top.select("q_id", "n_id")), Seq("n_id"))
+      val votes = labeled.groupBy("q_id", "n_label").agg(count(lit(1)).as("v"))
+      val maj = votes.groupBy("q_id")
+        .agg(min(struct((-col("v")).as("nv"), col("n_label").as("l"))).as("m"))
+        .select(col("q_id"), col("m.l").as("pred"))
+      maj.join(broadcast(queries.select(col("vec_id").as("q_id"),
+          col("label").cast(LongType).as("q_label"))), Seq("q_id"))
+        .groupBy(col("q_label").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("pred") === col("q_label"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("label"), col("n_queries"), col("n_correct"),
+          round(col("n_correct").cast(DoubleType) / col("n_queries"), 6)
+            .as("acc_at10"))
+        .orderBy("label")
+    },
+
     // Same top-k via the typed TopKAggregator (partial-agg reduction:
     // <= k rows per map task reach the shuffle) — must hash-match the
     // window form's oracle exactly.
@@ -3087,6 +3121,34 @@ object TextQueries {
            FROM scored)
          SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, n_label, cos_sim FROM ranked
          WHERE rk <= 5 ORDER BY q_id, rk""",
+    "q_knn_label_acc" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+             CAST(label AS BIGINT) AS label
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, q.label AS q_label,
+             c.vec_id AS n_id, c.label AS n_label,
+             list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * c.vec[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i])))
+                * sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) AS cs
+           FROM v q JOIN v c
+             ON q.vec_id % 100 = 0 AND c.vec_id % 100 <> 0 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rk
+           FROM scored),
+         votes AS (
+           SELECT q_id, q_label, n_label, count(*) AS v
+           FROM ranked WHERE rk <= 10 GROUP BY q_id, q_label, n_label),
+         maj AS (
+           SELECT q_id, q_label, n_label AS pred,
+             row_number() OVER (PARTITION BY q_id ORDER BY v DESC, n_label ASC) AS mr
+           FROM votes)
+         SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS acc_at10
+         FROM maj WHERE mr = 1 GROUP BY q_label ORDER BY label""",
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
