@@ -358,6 +358,26 @@ object EventQueries {
         .orderBy("event_type", "next_type")
     },
 
+    // k-anonymity audit over quasi-identifiers — the privacy QA a
+    // training set runs before release (Sweeney 2002): a (event_type,
+    // day, value-decile) combination shared by fewer than k=5 distinct
+    // users is a re-identification handle. TWO-LEVEL aggregate (the
+    // q_dup_rate discipline — per-user rows first, then the combo
+    // rollup), so the distinct-user count needs no Expand and the first
+    // exchange combines map-side on the (combo, user) grain.
+    "q_k_anonymity" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          floor(col("value") / 10).cast(LongType).as("vbucket"), col("user_id"))
+        .groupBy("event_type", "day", "vbucket", "user_id")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type", "day", "vbucket")
+        .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_rows"))
+        .withColumn("risky", col("n_users") < 5)
+        .orderBy("event_type", "day", "vbucket")
+    },
+
     // Time-series gap fill + forward fill, SINGLE-SCAN: each observed
     // hour expands the gap run it terminates (the hours since the
     // previous observation) via one generator, carrying the running
@@ -1303,6 +1323,18 @@ object EventQueries {
          SELECT event_type, next_type, n,
            round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS p
          FROM c ORDER BY event_type, next_type""",
+    "q_k_anonymity" ->
+      """WITH pu AS (
+           SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(floor(value / 10) AS BIGINT) AS vbucket, user_id,
+             count(*) AS c
+           FROM events GROUP BY 1, 2, 3, 4)
+         SELECT event_type, day, vbucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           count(*) < 5 AS risky
+         FROM pu GROUP BY event_type, day, vbucket
+         ORDER BY event_type, day, vbucket""",
     "q_gap_fill" ->
       """WITH h AS (
            SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,

@@ -684,6 +684,49 @@ object TextQueries {
         .orderBy(desc("n"), asc("token")).limit(100)
     },
 
+    // Out-of-vocabulary rate per source against a top-1000 learned
+    // vocabulary — the tokenizer-fit check (a source whose OOV rate
+    // spikes will fragment into byte-fallback tokens and train poorly).
+    // The vocab is a deterministic top-k cut (freq desc, token asc —
+    // TakeOrderedAndProject, map-side partial) and BROADCASTS: the
+    // corpus token stream is probed map-side with a left join and never
+    // shuffles on token; one (source)-keyed aggregate ends the plan.
+    "q_oov_rate" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token")).limit(1000)
+        .select(col("token"), lit(1L).as("iv"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast(DoubleType) / col("n_tokens"), 6)
+            .as("oov_rate"))
+        .orderBy("source")
+    },
+
+    // Truncation-loss accounting at a 256-token context: tokens lost and
+    // documents clipped per source if the corpus were packed at that
+    // length — the budgeting number behind every max_seq_len choice.
+    // Pure per-row arithmetic folded into one source-keyed aggregate.
+    "q_trunc_loss" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          sum(greatest(col("nt") - 256L, lit(0L))).as("truncated_tokens"),
+          sum(when(col("nt") > 256, 1L).otherwise(0L)).as("n_truncated_docs"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("truncated_tokens"), col("n_truncated_docs"),
+          round(col("truncated_tokens").cast(DoubleType) / col("total_tokens"), 6)
+            .as("trunc_frac"))
+        .orderBy("source")
+    },
+
     // TF-IDF top term per document. idf kept rational (n_docs/df, no
     // log) so both engines compute bit-identical doubles; the corpus
     // size joins in as a broadcast scalar, never a driver-side collect.
@@ -3257,6 +3300,33 @@ object TextQueries {
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+    "q_oov_rate" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+         vocab AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS n FROM toks GROUP BY token
+             ORDER BY n DESC, token LIMIT 1000)),
+         j AS (
+           SELECT t.source, v.token AS iv
+           FROM toks t LEFT JOIN vocab v ON v.token = t.token)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+         FROM j GROUP BY source ORDER BY source""",
+    "q_trunc_loss" ->
+      """WITH d AS (
+           SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(sum(greatest(nt - 256, 0)) AS BIGINT) AS truncated_tokens,
+           CAST(sum(CASE WHEN nt > 256 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated_docs,
+           round(CAST(sum(greatest(nt - 256, 0)) AS DOUBLE) / sum(nt), 6)
+             AS trunc_frac
+         FROM d GROUP BY source ORDER BY source""",
     "q_tfidf_top" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
