@@ -905,6 +905,33 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q10 (returned-item reporting), adapted to the generator's
+    // customer columns: revenue lost to returns per customer over one
+    // quarter, top 20. The canonical 3-table fact join + broadcast dim:
+    // the returnflag and date filters reach both parquet scans
+    // (PushedFilters), nation broadcasts, and the top-20 runs as
+    // TakeOrderedAndProject (map-side partial top-k) — revenue through
+    // the decimal-exact dsumExact so both engines agg identical values.
+    "q_tpch_q10" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-10-01").cast(DateType) &&
+          col("o_orderdate") < lit("1996-01-01").cast(DateType))
+      val c = Tables(s, dir, "customer")
+      val n = broadcast(Tables(s, dir, "nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(graft.ops.CoreOps.dsumExact(
+          col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) -
+              col("l_discount").cast(DecimalType(18, 4)))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+    },
+
     // IQR-trimmed mean per segment — the robust location estimate
     // (outliers beyond the quartiles don't move it). Cuts are exact
     // percentiles over integer cents at dyadic probes (cross-engine
@@ -1937,6 +1964,18 @@ object RelationalQueries {
            AND o_orderdate >= DATE '1995-01-01'
            AND o_orderdate < DATE '1996-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, ${decToDouble(s"sum($discountedDec)")} AS revenue,
+           c_acctbal, n_name
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= DATE '1995-10-01'
+           AND o_orderdate < DATE '1996-01-01'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     // HUGEINT Σi·x_i cast to DOUBLE via VARCHAR (correctly-rounded
     // strtod) to match Spark's BigDecimal.doubleValue — same hazard as
     // decToDouble above
