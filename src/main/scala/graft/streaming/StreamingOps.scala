@@ -148,6 +148,58 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming LSH near-dup candidate generation — cross-batch fuzzy
+    * dedup for a document INGEST stream: band hashes come from the SAME
+    * native MinHash banding as the batch path
+    * ([[graft.operators.DedupOps.withMinHashBands]], computed in-row, no
+    * shuffle), the stream is keyed by (band, bucket), and per-bucket
+    * state remembers the FIRST document to claim the bucket. Every later
+    * claimant emits a (doc_id, first_doc_id, band) candidate pair —
+    * the streaming analog of the batch banded self-join, with O(1)
+    * state (one long) per bucket and output tracking colliding docs,
+    * never |corpus|². Verification (exact Jaccard) and the drop/keep
+    * policy compose downstream exactly as in the batch pipeline.
+    *
+    * Within a micro-batch the bucket's rows are processed in doc_id
+    * order, so first-claimant is deterministic under replay.
+    */
+  case class BandClaim(band: Int, bucket: Long, doc_id: Long)
+  case class BandHit(doc_id: Long, first_doc_id: Long, band: Int)
+
+  def lshCandidatesStream(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 16, bands: Int = 4, n: Int = 3, seed: Long = 42L):
+      org.apache.spark.sql.Dataset[BandHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val banded = graft.operators.DedupOps.withMinHashBands(
+      docs, textCol, k, bands, n, seed)
+    implicit val claimEnc = Encoders.product[BandClaim]
+    implicit val keyEnc = Encoders.product[(Int, Long)]
+    implicit val stateEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[BandHit]
+    banded.select(
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"band_$b").as("bucket"),
+            col(idCol).as("doc_id"))): _*)).as("c"))
+      .select("c.band", "c.bucket", "c.doc_id")
+      .as[BandClaim]
+      .groupByKey(c => (c.band, c.bucket))
+      .flatMapGroupsWithState[Long, BandHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), rows: Iterator[BandClaim], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var first = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[BandHit]
+          sorted.foreach { c =>
+            if (first == Long.MinValue) first = c.doc_id
+            else if (c.doc_id != first) out += BandHit(c.doc_id, first, key._1)
+          }
+          state.update(first)
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * static dimension — no watermark needed (static side never expires),
     * and a small dim broadcasts so the stream side never shuffles.

@@ -209,6 +209,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshCandidatesStream flags cross-batch near-dups, ignores distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val a = "the quick brown fox jumps over the lazy dog and keeps going for a while"
+    val b = "completely different content about distributed query engines and shuffles here"
+    val q = StreamingOps.lshCandidatesStream(mem.toDF())
+      .writeStream.format("memory").queryName("lsh_cand")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(1, ts(1), a, 1L), Doc(2, ts(2), b, 1L))
+      q.processAllAvailable()
+      // later batch: doc 3 is a verbatim re-ingest of doc 1 — every band
+      // collides with the bucket doc 1 claimed in the EARLIER batch
+      mem.addData(Doc(3, ts(10), a, 1L))
+      q.processAllAvailable()
+      val hits = spark.table("lsh_cand")
+        .select("doc_id", "first_doc_id").as[(Long, Long)].collect().toSeq
+      assert(hits.nonEmpty && hits.toSet == Set((3L, 1L))) // no doc-2 pair
+      assert(hits.size == 4) // all 4 bands of the identical text collide
+    } finally q.stop()
+  }
+
   test("truncateLoadEachBatch leaves exactly the final snapshot on disk") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
