@@ -69,6 +69,14 @@ object ScaleSmoke {
     // vocab with a map-side partial top-k; calibration is a pure
     // per-row fold into 10 bins
     "q_dsir", "q_distinct_n", "q_zipf", "q_calibration",
+    // r9 additions: fuzzy decontam signatures are one corpus shingle
+    // pass with broadcast bench bands (the %50 bench grows with the
+    // smoke corpus, stressing the broadcast beyond reality, like
+    // q_decontaminate); OOV is a broadcast-vocab probe of the token
+    // stream; trunc-loss and the kNN probe are scan-shaped (the probe's
+    // %100 query set also grows with the smoke corpus — production caps
+    // it)
+    "q_fuzzy_decontam", "q_oov_rate", "q_trunc_loss", "q_knn_label_acc",
     // Kneser-Ney: bigram TYPE table is clone-invariant, scoring join
     // grows with the stream; NDCG evals a fixed-query top-10 — both
     // should track the scan. (q_media_phash is excluded for the same
