@@ -655,6 +655,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Labeler-drift audit: confusion matrix of the shipped `lang` label
+    // against the trigram-profile prediction, with per-label row shares
+    // — the dataset-card number behind "N% of docs tagged en look like
+    // de". In-row prediction, one (lang, pred)-keyed aggregate, share
+    // window over the |langs|²-bounded matrix.
+    "q_lang_confusion" -> { (s, dir) =>
+      val m = Tables(s, dir, "documents")
+        .select(col("lang"), TextOps.langIdNgram(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang")
+      m.withColumn("frac",
+          round(col("n").cast(DoubleType) / sum(col("n")).over(w), 6))
+        .orderBy("lang", "pred_lang")
+    },
+
     // Winnowing fingerprint sets (rolling-hash; no DuckDB twin → rows
     // only; copy-detection property proven in TextOpsSpec).
     "q_winnow" -> { (s, dir) =>
@@ -1910,7 +1925,11 @@ object TextQueries {
     * trigram profiles interpolated as literals so both engines score
     * identical sets.
     */
-  private def langNgramOracle: String = {
+  /** Per-document (doc_id, lang, pred_lang) via the same trigram-profile
+    * vote as `TextOps.langIdNgram` — the shared core of the q_lang_ngram
+    * oracle and the q_lang_confusion rollup.
+    */
+  private def langPredSql: String = {
     val profiles = TextOps.langTrigramProfiles()
     def inList(p: Seq[String]) = p.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
     val scoreCols = profiles.map { case (lang, p) =>
@@ -1932,8 +1951,20 @@ object TextQueries {
         SELECT doc_id, lang,
           CASE $caseArms
                ELSE 'und' END AS pred_lang
-        FROM scored ORDER BY doc_id"""
+        FROM scored"""
   }
+
+  private def langNgramOracle: String =
+    s"""SELECT doc_id, lang, pred_lang FROM ($langPredSql) ORDER BY doc_id"""
+
+  private def langConfusionOracle: String =
+    s"""WITH p AS ($langPredSql),
+        m AS (
+          SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY lang, pred_lang)
+        SELECT lang, pred_lang, n,
+          round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) AS frac
+        FROM m ORDER BY lang, pred_lang"""
 
   /** Sequential-fold dot product of a DuckDB list column against a
     * literal coefficient array — the `list_sum(list_transform(...))`
@@ -2847,6 +2878,7 @@ object TextQueries {
          ORDER BY pmi DESC, w1, w2 LIMIT 20""",
     "q_embed_pq" -> pqOracle,
     "q_lang_ngram" -> langNgramOracle,
+    "q_lang_confusion" -> langConfusionOracle,
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))) AS text_hash,
          count(*) AS n_copies, min(doc_id) AS keep_id
