@@ -905,6 +905,43 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // Spearman rank correlation (price vs order recency per priority) —
+    // the monotone-association check Pearson misses (and q_theil_sen's
+    // slope doesn't quantify). Ranks are total-ordered (ties broken by
+    // order key, so rho is exactly reproducible rather than average-rank
+    // approximated); BOTH rank windows share one priority exchange (two
+    // sorts, one shuffle — the asOfNearest discipline). Rank sums are
+    // exact decimal (order-free; products go through DECIMAL(38,0), not
+    // BIGINT — rank² at a 3e10-row group would wrap int64), cast to
+    // double once, and the closed-form rho runs on those exact values.
+    "q_spearman" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderpriority").as("prio"), col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(DecimalType(18, 4)) * 100)
+          .cast(LongType).as("pc"),
+        col("o_orderdate").as("d"))
+      val wP = Window.partitionBy("prio").orderBy(col("pc"), col("k"))
+      val wD = Window.partitionBy("prio").orderBy(col("d"), col("k"))
+      val dec = DecimalType(38, 0)
+      val ranked = o
+        .withColumn("rx", row_number().over(wP).cast(dec))
+        .withColumn("ry", row_number().over(wD).cast(dec))
+      def dsum(c: Column) = sum(c).cast(DoubleType)
+      val aggd = ranked.groupBy("prio").agg(
+        count(lit(1)).as("n"),
+        dsum(col("rx")).as("sx"), dsum(col("ry")).as("sy"),
+        dsum(col("rx") * col("ry")).as("sxy"),
+        dsum(col("rx") * col("rx")).as("sxx"),
+        dsum(col("ry") * col("ry")).as("syy"))
+      val nd = col("n").cast(DoubleType)
+      val num = nd * col("sxy") - col("sx") * col("sy")
+      val den = sqrt((nd * col("sxx") - col("sx") * col("sx")) *
+        (nd * col("syy") - col("sy") * col("sy")))
+      aggd.select(col("prio"), col("n"),
+          round(num / den, 6).as("spearman_rho"))
+        .orderBy("prio")
+    },
+
     // TPC-H Q10 (returned-item reporting), adapted to the generator's
     // customer columns: revenue lost to returns per customer over one
     // quarter, top 20. The canonical 3-table fact join + broadcast dim:
@@ -1964,6 +2001,29 @@ object RelationalQueries {
            AND o_orderdate >= DATE '1995-01-01'
            AND o_orderdate < DATE '1996-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_spearman" ->
+      s"""WITH o AS (
+           SELECT o_orderpriority AS prio, o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS pc,
+             o_orderdate AS d
+           FROM orders),
+         r AS (
+           SELECT prio,
+             CAST(row_number() OVER (PARTITION BY prio ORDER BY pc, k) AS BIGINT) AS rx,
+             CAST(row_number() OVER (PARTITION BY prio ORDER BY d, k) AS BIGINT) AS ry
+           FROM o),
+         a AS (
+           SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             ${decToDouble("sum(rx)")} AS sx, ${decToDouble("sum(ry)")} AS sy,
+             ${decToDouble("sum(rx * ry)")} AS sxy,
+             ${decToDouble("sum(rx * rx)")} AS sxx,
+             ${decToDouble("sum(ry * ry)")} AS syy
+           FROM r GROUP BY prio)
+         SELECT prio, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS spearman_rho
+         FROM a ORDER BY prio""",
     "q_tpch_q10" ->
       s"""SELECT c_custkey, c_name, ${decToDouble(s"sum($discountedDec)")} AS revenue,
            c_acctbal, n_name
