@@ -107,6 +107,32 @@ object ReferenceQueries {
         .orderBy("event_id")
     },
 
+    // F5 extension — Spark 4 VARIANT: the open-schema path for payloads
+    // whose shape drifts (the reference's raw API JSON is exactly this).
+    // A nested document is built in-row, parsed to the binary variant
+    // encoding once, then typed `variant_get` paths drive a filter and
+    // an aggregate — no schema declared anywhere, fields stay lazily
+    // typed. The oracle recomputes from the flat columns, so the check
+    // proves the variant encode → path-extract round trip is lossless
+    // (sums ride the DECIMAL(18,4) exact-grid like every value agg).
+    "q_variant_extract" -> { (s, dir) =>
+      val doc = to_json(struct(
+        col("event_type").as("t"), col("value").as("v"),
+        struct(col("user_id").as("u"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k")).as("meta")))
+      Tables(s, dir, "events")
+        .withColumn("var", parse_json(doc))
+        .select(
+          variant_get(col("var"), "$.t", "string").as("t"),
+          variant_get(col("var"), "$.meta.k", "bigint").as("k"),
+          variant_get(col("var"), "$.v", "double").as("v"))
+        .filter(col("k") > 50)
+        .groupBy("t")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          graft.ops.CoreOps.dsum(col("v")).as("sum_value"))
+        .orderBy("t")
+    },
+
     // S2: the reference's paginated pushdown-capable match-ID listing as
     // a real DataSourceV2 connector (graft.sources.MatchIdsSource) —
     // queue predicate + limit reach the source (spec-verified fetch
@@ -185,5 +211,12 @@ object ReferenceQueries {
     "q_ms_to_date" ->
       """SELECT event_id, epoch_ms(ts) AS epoch_ms,
          strftime(ts, '%Y-%m-%d') AS event_date
-         FROM events ORDER BY event_id""")
+         FROM events ORDER BY event_id""",
+    "q_variant_extract" ->
+      """SELECT event_type AS t, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+         GROUP BY event_type ORDER BY t""")
 }
