@@ -133,6 +133,29 @@ object ReferenceQueries {
         .orderBy("t")
     },
 
+    // J2 extension — Spark 4 collations: the dirty-data dim join where
+    // reference codes arrive in inconsistent case (every real lookup
+    // table eventually does). UTF8_LCASE collation makes the EQUALITY
+    // case-insensitive inside the join operator itself — hash/broadcast
+    // join machinery still applies (collation-aware hashing), where a
+    // lower()-wrapped key would block any future dictionary/stats reuse
+    // on the column. Oracle lowers both sides — semantics identical.
+    "q_collated_join" -> { (s, dir) =>
+      import s.implicits._
+      val dim = Seq(
+        ("CLICK", "engagement"), ("View", "engagement"),
+        ("Purchase", "conversion"), ("ERROR", "ops"), ("signup", "growth"))
+        .toDF("code", "category")
+      Tables(s, dir, "events")
+        .join(broadcast(dim),
+          collate(col("event_type"), "UTF8_LCASE") ===
+            collate(col("code"), "UTF8_LCASE"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"),
+          graft.ops.CoreOps.dsum(col("value")).as("sum_value"))
+        .orderBy("category")
+    },
+
     // S2: the reference's paginated pushdown-capable match-ID listing as
     // a real DataSourceV2 connector (graft.sources.MatchIdsSource) —
     // queue predicate + limit reach the source (spec-verified fetch
@@ -212,6 +235,14 @@ object ReferenceQueries {
       """SELECT event_id, epoch_ms(ts) AS epoch_ms,
          strftime(ts, '%Y-%m-%d') AS event_date
          FROM events ORDER BY event_id""",
+    "q_collated_join" ->
+      """WITH dim(code, category) AS (VALUES
+           ('CLICK', 'engagement'), ('View', 'engagement'),
+           ('Purchase', 'conversion'), ('ERROR', 'ops'), ('signup', 'growth'))
+         SELECT category, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events e JOIN dim d ON lower(e.event_type) = lower(d.code)
+         GROUP BY category ORDER BY category""",
     "q_variant_extract" ->
       """SELECT event_type AS t, count(*) AS n,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
