@@ -148,6 +148,67 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Idle-session finalizer via EVENT-TIME TIMERS (`transformWithState`
+    * + `TimeMode.EventTime`) — the timer surface `session_window` hides:
+    * each user's open session accumulates in a ValueState, and a single
+    * per-key timer (re-armed on every arrival to last-event + gap) fires
+    * when the WATERMARK passes the idle deadline, emitting the closed
+    * session and clearing state. This is the general template for
+    * "emit when a key goes quiet" semantics — abandoned-cart alerts,
+    * connection teardown, end-of-burst compaction — where the built-in
+    * session window can only aggregate, not run arbitrary finalization.
+    * State per key: one (n, sum, last_ts) record + one timer.
+    */
+  case class OpenSession(n: Long, sum: Double, lastTs: Long)
+  case class ClosedSession(user_id: Long, n_events: Long, sum_value: Double)
+
+  class IdleSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, org.apache.spark.sql.Row, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[OpenSession]("open_session",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[org.apache.spark.sql.Row],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      var s = if (st.exists()) st.get() else OpenSession(0L, 0.0, Long.MinValue)
+      rows.foreach { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts").getTime
+        s = OpenSession(s.n + 1, s.sum + r.getAs[Double]("value"), math.max(s.lastTs, t))
+      }
+      st.update(s)
+      // exactly one armed timer per key: re-arm at the new idle deadline
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(s.lastTs + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val s = st.get()
+      st.clear()
+      Iterator.single(ClosedSession(user, s.n, s.sum))
+    }
+  }
+
+  /** [[IdleSessionProcessor]] wired over a watermarked event stream. */
+  def idleSessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val longEnc = Encoders.scalaLong
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val ms = org.apache.spark.sql.catalyst.util.IntervalUtils.getDuration(
+      gapMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    events.withWatermark("ts", watermark)
+      .groupByKey((r: Row) => r.getAs[Long]("user_id"))(longEnc)
+      .transformWithState(new IdleSessionProcessor(ms),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming LSH near-dup candidate generation — cross-batch fuzzy
     * dedup for a document INGEST stream: band hashes come from the SAME
     * native MinHash banding as the batch path

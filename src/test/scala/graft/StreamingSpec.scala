@@ -141,6 +141,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("idleSessions fires the event-time timer when the watermark passes the idle gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.idleSessions(mem.toDF(), gap = "10 minutes",
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("idle_sessions")
+      .outputMode("append").start()
+    try {
+      // user 7: two events in one session; user 8: one event
+      mem.addData(Ev(1, ts(1), 7, "a", 10.0), Ev(2, ts(3), 7, "a", 5.0),
+        Ev(3, ts(4), 8, "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("idle_sessions").isEmpty) // nothing idle yet
+      // advance the watermark past both idle deadlines (3+10, 4+10 min)
+      mem.addData(Ev(4, ts(40), 9, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(5, ts(41), 9, "a", 1.0)) // one more batch so timers run
+      q.processAllAvailable()
+      val rows = spark.table("idle_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((7L, 2L, 15.0), (8L, 1L, 2.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream join pairs purchases with in-window clicks across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val pm = MemoryStream[Ev]
