@@ -175,7 +175,7 @@ object CoreOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(key))
         .orderBy(col(version).desc, col("__src").desc,
-          xxhash64(struct(updates.columns.map(col): _*)))
+          xxhash64(struct(updates.columns.toIndexedSeq.map(col): _*)))
       val merged = current.withColumn("__src", lit(0))
         .unionByName(up)
         .withColumn("__rk", row_number().over(w))

@@ -16,6 +16,11 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** The normalized events shape every transform below consumes (what
+    * [[readEventsStream]] yields after `Tables.normalizeTs`) — the
+    * schema to use when wiring these ops to a non-parquet source
+    * (Kafka JSON, a socket feed) that needs an explicit schema.
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
