@@ -901,6 +901,30 @@ object TextQueries {
         .orderBy("cluster_id")
     },
 
+    // LEAKAGE-SAFE train/valid split: the split key is the duplicate
+    // CLUSTER, not the document — a doc_id-keyed split puts near-copies
+    // of one article on both sides and the validation loss silently
+    // measures memorization (the classic contaminated-split bug).
+    // Cluster assignment reuses the Jaccard pair build; singletons fall
+    // back to their own id (coalesce). Same md5 hash-split primitive as
+    // q_sample_stratified, so the split stays auditable and
+    // engine/layout-independent; every member of a cluster lands on the
+    // SAME side by construction.
+    "q_leakage_safe_split" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.05, n = 3)
+      val clusters = GraphOps.dupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      docs.select("doc_id").join(clusters, Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split",
+          when(graft.ops.CoreOps.hashSample(col("split_key"), lit("1")),
+            "valid").otherwise("train"))
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified hash sampling: ~50% of English docs, ~25%
     // of the rest, reproducible across engines and cluster layouts
     // (CoreOps.hashSample) — the auditable train/held-out split primitive.
@@ -2690,6 +2714,37 @@ object TextQueries {
     "q_mutual_nn" -> mutualNnOracle,
     "q_minhash_est" -> minhashEstOracle,
     "q_fuzzy_decontam" -> fuzzyDecontamOracle,
+    "q_leakage_safe_split" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+           )) AS sh
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         shared AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+         pairs AS (
+           SELECT id_a, id_b FROM shared
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS split_key,
+           CASE WHEN substring(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 1) <= '1'
+                THEN 'valid' ELSE 'train' END AS split
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         ORDER BY d.doc_id""",
     "q_cluster_canonical" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id AS id, unnest(list_distinct(
