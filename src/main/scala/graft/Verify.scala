@@ -34,7 +34,7 @@ object Verify {
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // queries may cache intermediates (minhash bands, shingle index);
-      // drop them so 201 sequential queries don't accumulate storage
+      // drop them so a couple hundred sequential queries do not accumulate storage
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -905,6 +905,44 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q8 (national market share), adapted to the generator's
+    // domains: NATION_3's share of ECONOMY-part revenue sold to
+    // AMERICA-region customers, per order year. The 8-table shape with
+    // nation joined TWICE under different roles (customer-region
+    // filter vs supplier attribution) — both broadcast; the share is a
+    // conditional-over-total ratio of decimal-exact revenue sums, cast
+    // to double only for the final division.
+    "q_tpch_q8" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val su = Tables(s, dir, "supplier")
+      val p = Tables(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      val n1 = broadcast(Tables(s, dir, "nation"))
+      val r = broadcast(Tables(s, dir, "region")
+        .filter(col("r_name") === "AMERICA"))
+      val n2 = broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val rev = col("l_extendedprice").cast(DecimalType(18, 4)) *
+        (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4)))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n1, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(n2, col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).as("nat_rev"),
+          sum(rev).as("tot_rev"))
+        .select(col("o_year"),
+          round(col("nat_rev").cast(DoubleType) / col("tot_rev").cast(DoubleType), 6)
+            .as("mkt_share"))
+        .orderBy("o_year")
+    },
+
     // Spearman rank correlation (price vs order recency per priority) —
     // the monotone-association check Pearson misses (and q_theil_sen's
     // slope doesn't quantify). Ranks are total-ordered (ties broken by
@@ -2001,6 +2039,19 @@ object RelationalQueries {
            AND o_orderdate >= DATE '1995-01-01'
            AND o_orderdate < DATE '1996-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_tpch_q8" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(${decToDouble(s"sum(CASE WHEN n2.n_name = 'NATION_3' THEN $discountedDec ELSE CAST(0 AS DECIMAL(18,4)) END)")}
+             / ${decToDouble(s"sum($discountedDec)")}, 6) AS mkt_share
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         GROUP BY 1 ORDER BY o_year""",
     "q_spearman" ->
       s"""WITH o AS (
            SELECT o_orderpriority AS prio, o_orderkey AS k,
