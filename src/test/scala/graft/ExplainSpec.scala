@@ -99,6 +99,13 @@ class ExplainSpec extends SparkSpec {
     // q_cluster_canonical: pair build runs off ngramJaccardPairs'
     // checkpoints; cluster join + one argmax groupBy + output sort
     "q_cluster_canonical" -> 3,
+    // r9 snapshot: Q10's filters + broadcast dims leave ONE fact
+    // exchange; spearman's two rank windows share one prio exchange;
+    // Q8's eight tables reduce to the li⋈o⋈c chain (dims broadcast)
+    "q_collated_join" -> 4, "q_k_anonymity" -> 3, "q_knn_label_acc" -> 5,
+    "q_lang_confusion" -> 3, "q_leakage_safe_split" -> 3, "q_oov_rate" -> 3,
+    "q_spearman" -> 2, "q_tpch_q10" -> 1, "q_tpch_q8" -> 2,
+    "q_trunc_loss" -> 2, "q_variant_extract" -> 2,
     // q_js_divergence: token agg + per-source totals + the pair-grid
     // expansions and their full-outer token union + per-pair grid sums —
     // every exchange after the first carries (source, token) count rows
