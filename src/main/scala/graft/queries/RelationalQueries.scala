@@ -905,6 +905,38 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // Recursive CTE (Spark 4, SPARK-24497) — iteration in PURE SQL,
+    // no driver-side loop: the canonical calendar-ladder recursion
+    // (Spark supports UNION ALL recursion; each month row begets
+    // exactly one successor, so the working set is linear in the span
+    // — the shape that is SAFE under UNION ALL semantics, unlike
+    // cyclic-graph walks, which stay with GraphOps' checkpointed
+    // iterative joins). The generated month spine then left-joins the
+    // monthly revenue rollup, so a month with zero orders still
+    // surfaces — the continuity property a GROUP BY alone can't give.
+    "q_recursive_cal" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .agg(trunc(min(col("o_orderdate")), "MM").as("start_month"),
+          trunc(max(col("o_orderdate")), "MM").as("end_month"))
+        .createOrReplaceTempView("graft_cal_bounds")
+      Tables(s, dir, "orders")
+        .groupBy(trunc(col("o_orderdate"), "MM").as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev_d"))
+        .createOrReplaceTempView("graft_cal_monthly")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT start_month FROM graft_cal_bounds
+          UNION ALL
+          SELECT add_months(months.m, 1)
+          FROM months JOIN graft_cal_bounds b ON months.m < b.end_month)
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+          coalesce(g.n_orders, 0L) AS n_orders,
+          round(coalesce(CAST(g.rev_d AS DOUBLE), 0.0D), 2) AS revenue
+        FROM months LEFT JOIN graft_cal_monthly g ON g.m = months.m
+        ORDER BY month""")
+    },
+
     // TPC-H Q8 (national market share), adapted to the generator's
     // domains: NATION_3's share of ECONOMY-part revenue sold to
     // AMERICA-region customers, per order year. The 8-table shape with
@@ -2039,6 +2071,27 @@ object RelationalQueries {
            AND o_orderdate >= DATE '1995-01-01'
            AND o_orderdate < DATE '1996-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_recursive_cal" ->
+      """WITH RECURSIVE b AS (
+           SELECT date_trunc('month', min(o_orderdate)) AS start_month,
+             date_trunc('month', max(o_orderdate)) AS end_month
+           FROM orders),
+         monthly AS (
+           SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_d
+           FROM orders GROUP BY 1),
+         months(m) AS (
+           SELECT start_month FROM b
+           UNION ALL
+           SELECT months.m + INTERVAL 1 MONTH
+           FROM months JOIN b ON months.m < b.end_month)
+         SELECT strftime(months.m, '%Y-%m') AS month,
+           coalesce(g.n_orders, 0) AS n_orders,
+           round(coalesce(CAST(CAST(g.rev_d AS VARCHAR) AS DOUBLE), 0.0e0), 2)
+             AS revenue
+         FROM months LEFT JOIN monthly g ON g.m = months.m
+         ORDER BY month""",
     "q_tpch_q8" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
            round(${decToDouble(s"sum(CASE WHEN n2.n_name = 'NATION_3' THEN $discountedDec ELSE CAST(0 AS DECIMAL(18,4)) END)")}
