@@ -379,6 +379,25 @@ object RelationalQueries {
            LIMIT 10""")
     },
 
+    // Parameterized SQL (Spark 4 named parameters): constants bound at
+    // the API instead of spliced into the string — the injection-safe
+    // templated-query surface every reporting layer needs. Parameter
+    // markers resolve in Catalyst before optimization, so the plan is
+    // identical to the literal form (pushdown included); the oracle
+    // inlines the same constants.
+    "q_param_sql" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           FROM orders
+           WHERE o_totalprice >= :min_price AND o_orderdate >= :since
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority""",
+        Map("min_price" -> 50000.0, "since" -> "1998-01-01"))
+    },
+
     // ROLLUP over the region/nation hierarchy (null keys -> 'ALL').
     "q_rollup" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -2071,6 +2090,12 @@ object RelationalQueries {
            AND o_orderdate >= DATE '1995-01-01'
            AND o_orderdate < DATE '1996-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_param_sql" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
+         FROM orders
+         WHERE o_totalprice >= 50000.0 AND o_orderdate >= TIMESTAMP '1998-01-01'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_recursive_cal" ->
       """WITH RECURSIVE b AS (
            SELECT date_trunc('month', min(o_orderdate)) AS start_month,
