@@ -99,6 +99,27 @@ class JoinOpsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("backward asOf with tieBreak equals a naive scan on random data (repeated timestamps)") {
+    val rnd = new scala.util.Random(47)
+    // small ts domain forces same-key ts collisions -> the tieBreak path
+    val left = Seq.tabulate(120)(i =>
+      (rnd.nextInt(6).toLong, ms(rnd.nextInt(40)), i.toLong))
+    val right = Seq.tabulate(150)(i =>
+      (rnd.nextInt(6).toLong, ms(rnd.nextInt(40)), 1000L + i))
+    // naive backward: latest rt <= t; ties at equal rt -> MIN rid
+    val naive: Map[Long, Option[Long]] = left.map { case (k, t, id) =>
+      id -> right.filter { case (rk, rt, _) => rk == k && rt <= t }
+        .sortBy { case (_, rt, rid) => (-rt, rid) }.headOption.map(_._3)
+    }.toMap
+    val l = left.toDF("k", "tsm", "lid").withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val r = right.toDF("k", "tsm", "rid").withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val got = AsOfJoin.asOf(l, r, "k", "ts", Seq("rid"), tieBreak = Some("rid"))
+      .select("lid", "asof_rid").collect()
+      .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1))))
+      .toMap
+    assert(got == naive)
+  }
+
   test("asOfNearest equals a naive min-|gap| scan (backward wins ties) on random data") {
     val rnd = new scala.util.Random(29)
     val left = Seq.tabulate(120)(i =>
