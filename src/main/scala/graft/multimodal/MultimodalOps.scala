@@ -91,10 +91,29 @@ object MultimodalOps {
   /** Attach a binary payload column derived from a string column —
     * the testdata has no real media, so documents.text doubles as the
     * blob source (utf-8 bytes). At deployment the blob column comes
-    * straight from parquet/Delta `binary`.
+    * straight from parquet/Delta `binary`, or from [[readMediaDir]].
     */
   def withBlob(df: DataFrame, srcCol: String, blobCol: String = "blob"): DataFrame =
     df.withColumn(blobCol, encode(col(srcCol), "UTF-8"))
+
+  /** Disk ingestion of raw media files via Spark's `binaryFile` source —
+    * the production entry point for an image/audio/video directory tree:
+    * each file becomes one row (path, length, content), `pathGlobFilter`
+    * narrows by extension WITHOUT reading rejected files, and the
+    * resulting `blob` column is exactly what every operator downstream
+    * ([[blobMeta]], [[perceptualHashes]], the decode plumbing) consumes.
+    * media_id = xxhash64(path): stable under re-listing, no collect.
+    */
+  def readMediaDir(spark: SparkSession, dir: String,
+      glob: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    glob.fold(reader)(g => reader.option("pathGlobFilter", g)).load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("path"),
+        col("length").cast(LongType).as("n_bytes"),
+        col("content").as("blob"))
+  }
 
   /** Batched decode: iterate each partition once, decode row-by-row
     * inside the JVM task (no driver involvement, no collect) — the

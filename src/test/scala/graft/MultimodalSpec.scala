@@ -8,6 +8,31 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("readMediaDir ingests raw files via binaryFile; glob prunes; blobs feed blobMeta") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_dir")
+    val img = Array[Byte](-1, -40, -1, -32, 1, 2, 3) // jpeg-ish magic + payload
+    val wav = "RIFFxxxxWAVE".getBytes("UTF-8")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), img)
+    java.nio.file.Files.write(dir.resolve("b.wav"), wav)
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "skip me".getBytes("UTF-8"))
+
+    val all = MultimodalOps.readMediaDir(spark, dir.toString)
+    assert(all.count() == 3)
+    // glob narrows to images without reading the rest
+    val jpgs = MultimodalOps.readMediaDir(spark, dir.toString, Some("*.jpg"))
+    val row = jpgs.select("path", "n_bytes", "blob").collect()
+    assert(row.length == 1 && row(0).getString(0).endsWith("a.jpg"))
+    assert(row(0).getLong(1) == img.length)
+    assert(row(0).getAs[Array[Byte]](2).toSeq == img.toSeq)
+    // the ingested blob column drives the standard metadata pass
+    val meta = MultimodalOps.blobMeta(jpgs, "media_id", "blob")
+      .select("n_bytes", "digest").collect()
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(img).map("%02x".format(_)).mkString
+    assert(meta.length == 1 && meta(0).getLong(0) == img.length &&
+      meta(0).getString(1) == expectedMd5)
+  }
+
   test("decodeFeatures preserves ids/kinds, computes deterministic features") {
     val rows = Seq(
       MediaRow(1L, "image", "hello pixels".getBytes("UTF-8")),
