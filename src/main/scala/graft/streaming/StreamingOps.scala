@@ -39,7 +39,16 @@ object StreamingOps {
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(dir).schema
+    // The sniff assumes a HOMOGENEOUS directory: the encoding of the
+    // first files seen is frozen for the query's lifetime, so a
+    // mid-stream encoding change in the same directory would misread
+    // later files (re-ingest to a fresh directory instead). A directory
+    // that is empty at startup — a normal ingest condition — can't be
+    // sniffed; fall back to the canonical eventsSchema and let the
+    // stream wait for files rather than failing 'unable to infer schema'.
+    val onDisk =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsSchema }
     graft.Tables.normalizeTs(
       spark.readStream.schema(onDisk)
         .option("maxFilesPerTrigger", 1)
@@ -191,6 +200,9 @@ object StreamingOps {
     }
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      // a registered timer normally coexists with state, but a replayed
+      // stale timer (or future TTL use) must not NPE / emit a null row
+      if (!st.exists()) return Iterator.empty
       val s = st.get()
       st.clear()
       Iterator.single(ClosedSession(user, s.n, s.sum))
@@ -231,10 +243,21 @@ object StreamingOps {
     */
   case class BandClaim(band: Int, bucket: Long, doc_id: Long)
   case class BandHit(doc_id: Long, first_doc_id: Long, band: Int)
+  case class BucketState(first: Long, claims: Long)
 
+  /** @param maxBucket streaming analog of the batch junk-bucket cap
+    *   ([[graft.operators.DedupOps.minHashCandidatePairsFromBanded]]):
+    *   once a bucket has seen this many claimants, later claimants stop
+    *   emitting pairs (the bucket is boilerplate/clone junk, and an
+    *   uncapped hot bucket would emit one pair per arrival forever).
+    *   Unlike batch — which sees the whole corpus and can skip the
+    *   bucket entirely — a stream can't retract already-emitted pairs,
+    *   so the cap truncates rather than removes. None = every candidate.
+    */
   def lshCandidatesStream(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id",
-      k: Int = 16, bands: Int = 4, n: Int = 3, seed: Long = 42L):
+      k: Int = 16, bands: Int = 4, n: Int = 3, seed: Long = 42L,
+      maxBucket: Option[Int] = None):
       org.apache.spark.sql.Dataset[BandHit] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.Encoders
@@ -242,26 +265,35 @@ object StreamingOps {
       docs, textCol, k, bands, n, seed)
     implicit val claimEnc = Encoders.product[BandClaim]
     implicit val keyEnc = Encoders.product[(Int, Long)]
-    implicit val stateEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[BucketState]
     implicit val outEnc = Encoders.product[BandHit]
-    banded.select(
+    banded
+      // docs shorter than n tokens have a null signature; without this
+      // filter their band slices hash to xxhash64("") and every short
+      // doc would collide in one bucket in all bands, flooding pairs
+      .filter(col("minhash_sig").isNotNull)
+      .select(
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), col(s"band_$b").as("bucket"),
             col(idCol).as("doc_id"))): _*)).as("c"))
       .select("c.band", "c.bucket", "c.doc_id")
       .as[BandClaim]
       .groupByKey(c => (c.band, c.bucket))
-      .flatMapGroupsWithState[Long, BandHit](
+      .flatMapGroupsWithState[BucketState, BandHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: (Int, Long), rows: Iterator[BandClaim], state: GroupState[Long]) =>
+        (key: (Int, Long), rows: Iterator[BandClaim], state: GroupState[BucketState]) =>
           val sorted = rows.toSeq.sortBy(_.doc_id)
-          var first = state.getOption.getOrElse(Long.MinValue)
+          var s = state.getOption.getOrElse(BucketState(Long.MinValue, 0L))
+          val cap = maxBucket.map(_.toLong).getOrElse(Long.MaxValue)
           val out = scala.collection.mutable.ArrayBuffer.empty[BandHit]
           sorted.foreach { c =>
-            if (first == Long.MinValue) first = c.doc_id
-            else if (c.doc_id != first) out += BandHit(c.doc_id, first, key._1)
+            if (s.first == Long.MinValue) s = BucketState(c.doc_id, 1L)
+            else if (c.doc_id != s.first) {
+              if (s.claims < cap) out += BandHit(c.doc_id, s.first, key._1)
+              s = s.copy(claims = s.claims + 1)
+            }
           }
-          state.update(first)
+          state.update(s)
           out.iterator
       }
   }

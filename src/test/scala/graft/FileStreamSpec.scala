@@ -34,4 +34,27 @@ class FileStreamSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("readEventsStream on an empty-at-start directory waits for files instead of failing") {
+    // a normal ingest condition: the watched directory exists but holds
+    // no files yet — the schema sniff can't run, so the canonical
+    // eventsSchema fallback must keep the stream constructible
+    val staged = java.nio.file.Files.createTempDirectory("graft_evstream_empty")
+    val stream = StreamingOps.readEventsStream(spark, staged.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val q = stream.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("empty_dir_events")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable() // zero batches, zero rows — and zero throws
+      assert(spark.table("empty_dir_events").isEmpty)
+      // a file landing AFTER start is picked up with the fallback schema
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        staged.resolve("events.parquet"))
+      q.processAllAvailable()
+      assert(spark.table("empty_dir_events").count() > 0)
+    } finally q.stop()
+  }
 }

@@ -265,6 +265,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshCandidatesStream ≡ batch LSH: same edges star-wise, same dup clusters") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus with two near-dup groups (one of size 3, so the batch
+    // clique vs streaming star difference is real) plus distinct docs
+    val base = "the quick brown fox jumps over the lazy dog and keeps going for a while"
+    val alt = "distributed query engines shuffle partitioned data across many executor nodes"
+    val corpus = Seq(
+      (1L, base), (2L, base + " longer"), (3L, base),
+      (4L, alt), (5L, alt + " nightly"),
+      (6L, "entirely unrelated text about cooking pasta with garlic and fresh tomatoes"),
+      (7L, "yet another singleton document mentioning graph algorithms and triangle counts"))
+    val mem = MemoryStream[Doc]
+    val q = StreamingOps.lshCandidatesStream(mem.toDF())
+      .writeStream.format("memory").queryName("lsh_equiv")
+      .outputMode("append").start()
+    try {
+      // replay in doc_id order across three micro-batches (the ingest
+      // regime: earlier docs claim buckets first)
+      corpus.grouped(3).zipWithIndex.foreach { case (batch, i) =>
+        mem.addData(batch.map { case (id, t) => Doc(id, ts(i), t, 1L) })
+        q.processAllAvailable()
+      }
+      val streamEdges = spark.table("lsh_equiv")
+        .select("doc_id", "first_doc_id").as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val batchEdges = graft.operators.DedupOps.minHashCandidatePairs(
+          corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      // the stream's star edges are a subset of the batch clique edges…
+      assert(streamEdges.nonEmpty && streamEdges.subsetOf(batchEdges))
+      // …and induce exactly the same duplicate clusters (union-find)
+      def components(edges: Set[(Long, Long)]): Set[Set[Long]] = {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        parent.keys.groupBy(find).values.map(_.toSet).toSet
+      }
+      assert(components(streamEdges) == components(batchEdges))
+      assert(components(streamEdges) == Set(Set(1L, 2L, 3L), Set(4L, 5L)))
+    } finally q.stop()
+  }
+
+  test("lshCandidatesStream drops null-signature docs and caps hot buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val clone = "boilerplate footer text repeated verbatim across every single page here"
+    val q = StreamingOps.lshCandidatesStream(mem.toDF(), maxBucket = Some(3))
+      .writeStream.format("memory").queryName("lsh_capped")
+      .outputMode("append").start()
+    try {
+      // docs 1-2: shorter than the shingle width n=3 → null signature;
+      // without the filter they'd collide in the xxhash64("") bucket
+      mem.addData(Doc(1, ts(1), "hi", 1L), Doc(2, ts(2), "yo", 1L))
+      q.processAllAvailable()
+      // docs 10-15: a clone flood into one bucket; cap=3 claimants means
+      // only docs 11 and 12 emit against first-claimant 10
+      mem.addData((10L to 15L).map(i => Doc(i, ts(i.toInt), clone, 1L)): _*)
+      q.processAllAvailable()
+      val hits = spark.table("lsh_capped")
+        .select("doc_id", "first_doc_id").as[(Long, Long)].collect().toSet
+      assert(hits == Set((11L, 10L), (12L, 10L))) // no short-doc pairs, flood truncated
+    } finally q.stop()
+  }
+
   test("truncateLoadEachBatch leaves exactly the final snapshot on disk") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
