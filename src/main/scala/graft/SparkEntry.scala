@@ -56,5 +56,6 @@ object SparkEntry {
     "q_growth_accounting", "q_dsir", "q_distinct_n", "q_zipf",
     "q_kneser_ney", "q_media_phash", "q_keyness", "q_mutual_nn",
     "q_kcore", "q_minhash_est", "q_fuzzy_decontam", "q_cluster_canonical",
-    "q_knn_label_acc", "q_k_anonymity", "q_oov_rate", "q_tpch_q10")
+    "q_knn_label_acc", "q_k_anonymity", "q_oov_rate", "q_tpch_q10",
+    "q_tpch_q21")
 }

@@ -1058,6 +1058,50 @@ object RelationalQueries {
           col("c_acctbal"), col("n_name"))
     },
 
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    // generator's columns: no receipt/commit dates, so "late" means
+    // l_shipdate ran more than 60 days past o_orderdate; no nation
+    // filter (the generator's per-nation supplier counts go empty at
+    // sf0.001) — nation instead joins through to the output key. The
+    // one classic decorrelation shape the catalog lacked: EXISTS +
+    // NOT EXISTS against the SAME fact under different alias
+    // conditions ("another supplier on this order exists; no OTHER
+    // supplier was late"), planned as a left-semi ⋈ left-anti
+    // composition on l_orderkey — the key the late-flag derivation
+    // already shuffles on, so the three joins share one exchange
+    // layout, and the l1/l3 late-side subplan is byte-identical
+    // (ReuseExchange dedupes it). supplier/nation broadcast. (A
+    // window formulation — distinct-supplier counts per order — needs
+    // one shuffle fewer, but the POINT of this entry is the
+    // decorrelated semi⋈anti plan the SQL EXISTS pair lowers to.)
+    "q_tpch_q21" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lf = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > date_add(col("o_orderdate"), 60)).as("late"))
+      val l2 = lf.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = lf.filter(col("late"))
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      lf.filter(col("late"))
+        .join(l2,
+          col("k2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l3,
+          col("k3") === col("l_orderkey") && col("s3") =!= col("l_suppkey"),
+          "left_anti")
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"), col("n_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
     // IQR-trimmed mean per segment — the robust location estimate
     // (outliers beyond the quartiles don't move it). Cuts are exact
     // percentiles over integer cents at dyadic probes (cross-engine
@@ -2165,6 +2209,24 @@ object RelationalQueries {
            AND o_orderdate < DATE '1996-01-01'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_tpch_q21" ->
+      """WITH lf AS (
+           SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderstatus = 'F')
+         SELECT s.s_name, n.n_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM lf l1
+           JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE l1.late
+           AND EXISTS (SELECT 1 FROM lf l2
+             WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lf l3
+             WHERE l3.late AND l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey)
+         GROUP BY s.s_name, n.n_name
+         ORDER BY numwait DESC, s_name""",
     // HUGEINT Σi·x_i cast to DOUBLE via VARCHAR (correctly-rounded
     // strtod) to match Spark's BigDecimal.doubleValue — same hazard as
     // decToDouble above

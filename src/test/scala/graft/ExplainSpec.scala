@@ -106,6 +106,10 @@ class ExplainSpec extends SparkSpec {
     "q_lang_confusion" -> 3, "q_leakage_safe_split" -> 3, "q_oov_rate" -> 3,
     "q_spearman" -> 2, "q_tpch_q10" -> 1, "q_tpch_q8" -> 2,
     "q_trunc_loss" -> 2, "q_variant_extract" -> 2,
+    // r10 snapshot: Q21's semi+anti both sort-merge on l_orderkey (one
+    // fact exchange each + the l1 side's), dims broadcast, plus the
+    // final agg + sort exchanges
+    "q_tpch_q21" -> 5,
     // q_js_divergence: token agg + per-source totals + the pair-grid
     // expansions and their full-outer token union + per-pair grid sums —
     // every exchange after the first carries (source, token) count rows
