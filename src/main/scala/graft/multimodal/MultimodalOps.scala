@@ -11,10 +11,11 @@ import org.apache.spark.sql.types._
   * The Spark-side shape here is real and tested — schema, partitioning,
   * batch iteration via `mapPartitions` over a typed Dataset (the Scala
   * analog of `mapInPandas`: one iterator in, one iterator out, arbitrary
-  * per-batch native work inside). The pixel/sample decode itself is
-  * STUBBED with a deterministic fake (media codecs are not shipped in
-  * this container); swapping `FakeCodec` for a real JNI/javacv decoder
-  * changes no plan shape.
+  * per-batch native work inside). IMAGE decode is real ([[ImageIoCodec]]
+  * over the in-JDK `javax.imageio`); audio/video decode stays STUBBED
+  * with a deterministic fake ([[FakeCodec]] — those codecs are not
+  * shipped in this container), and swapping it for a real JNI/javacv
+  * decoder changes no plan shape.
   */
 object MultimodalOps {
 
@@ -26,11 +27,22 @@ object MultimodalOps {
       media_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int, mean_intensity: Double)
 
+  /** The codec seam: one blob in, one feature row out, called batched
+    * inside `mapPartitions` tasks — implementations must be serializable
+    * (they ship in the task closure). [[FakeCodec]] keeps the byte-math
+    * oracle queries deterministic; [[ImageIoCodec]] decodes real
+    * PNG/JPEG/BMP/GIF bytes with the in-JDK `javax.imageio` (no new
+    * dependency). Audio/video codecs stay deployment-provided.
+    */
+  trait MediaCodec extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
   /** Deterministic fake decoder: "decodes" dimensions/intensity from the
     * blob's bytes. Replace with a real codec at deployment; signature and
     * batch shape stay identical.
     */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
     def decode(row: MediaRow): MediaFeatures = {
       val n = row.blob.length.toLong
       // cheap deterministic byte statistics standing in for pixel decode
@@ -44,6 +56,69 @@ object MultimodalOps {
         n_frames = if (row.kind == "video") 1 + h % 300 else 1,
         mean_intensity = if (n == 0) 0.0 else sum.toDouble / n)
     }
+  }
+
+  /** REAL image decoding through the JDK's `javax.imageio` — the image
+    * half of the codec seam with zero added dependencies: PNG, JPEG,
+    * BMP, GIF and WBMP decode to actual pixels. width/height are the
+    * decoded raster's; mean_intensity is the mean 8-bit luma
+    * (ITU-R BT.601 integer weights) over every pixel — a full decode,
+    * so cost is O(pixels) per row; use [[imageMeta]] when only
+    * header-level dimensions/format are needed. Undecodable bytes
+    * throw with the media_id (a production pipeline wraps this in the
+    * typed-error-row pattern of Pipeline.fetchDetails rather than
+    * letting one corrupt file kill the task).
+    */
+  object ImageIoCodec extends MediaCodec {
+    def decode(row: MediaRow): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.blob))
+      require(img != null, s"undecodable image bytes for media_id=${row.media_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var lumaSum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // BT.601 luma in integer arithmetic: (77R + 150G + 29B) >> 8
+          lumaSum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+            29 * (rgb & 0xff)) >> 8
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(row.media_id, row.kind, row.blob.length.toLong,
+        width = w, height = h, n_frames = 1,
+        mean_intensity = if (w * h == 0) 0.0 else lumaSum.toDouble / (w.toLong * h))
+    }
+  }
+
+  /** Header-level image metadata: format + dimensions. */
+  case class ImageMeta(media_id: Long, format: String, width: Int, height: Int)
+
+  /** Format/width/height WITHOUT a pixel decode: `ImageIO`'s reader
+    * discovery sniffs the container from the leading bytes and
+    * `getWidth(0)`/`getHeight(0)` read only the header — the right cost
+    * shape for a 100 TB catalog pass where full decode is reserved for
+    * the rows that survive metadata filters. Same mapPartitions
+    * plumbing as decode: batched, no shuffle, no driver hop.
+    */
+  def imageMeta(spark: SparkSession, media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { row =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(row.blob))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no image reader for media_id=${row.media_id}")
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          ImageMeta(row.media_id, r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            r.getWidth(0), r.getHeight(0))
+        } finally r.dispose()
+      } finally iis.close()
+    })
   }
 
   /** One perceptual hash row: parent id plus the packed 64-bit hash. */
@@ -118,10 +193,13 @@ object MultimodalOps {
   /** Batched decode: iterate each partition once, decode row-by-row
     * inside the JVM task (no driver involvement, no collect) — the
     * `mapInPandas` analog. Partition count = decode parallelism.
+    * Codec defaults to [[FakeCodec]] (the oracle-checked byte math);
+    * pass [[ImageIoCodec]] for real image bytes.
     */
-  def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow],
+      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.mapPartitions(rows => rows.map(FakeCodec.decode))
+    media.mapPartitions(rows => rows.map(codec.decode))
   }
 
   /** Pure-SQL metadata over a blob column (byte length + digest) — the

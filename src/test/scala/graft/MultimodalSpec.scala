@@ -33,6 +33,51 @@ class MultimodalSpec extends SparkSpec {
       meta(0).getString(1) == expectedMd5)
   }
 
+  test("ImageIoCodec decodes real PNG/JPEG bytes off the binaryFile ingestion path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_real_images")
+    def imageBytes(w: Int, h: Int, rgb: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    // REAL image files, written by the JDK's own encoders
+    java.nio.file.Files.write(dir.resolve("red.png"),
+      imageBytes(20, 10, 0xff0000, "png"))
+    java.nio.file.Files.write(dir.resolve("green.jpg"),
+      imageBytes(8, 12, 0x00ff00, "jpg"))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "skip".getBytes("UTF-8"))
+
+    val media = MultimodalOps.readMediaDir(spark, dir.toString, Some("*.{png,jpg}"))
+      .select(col("media_id"), lit("image").as("kind"), col("blob"))
+      .as(Encoders.product[MediaRow])
+    val feats = MultimodalOps.decodeFeatures(spark, media, MultimodalOps.ImageIoCodec)
+      .collect()
+    assert(feats.map(f => (f.width, f.height)).toSet == Set((20, 10), (8, 12)))
+    // solid red decodes to integer BT.601 luma (77*255)>>8 = 76 exactly;
+    // the lossy JPEG's solid green comes back within codec tolerance of
+    // (150*255)>>8 = 149
+    val byDims = feats.map(f => (f.width, f.height) -> f.mean_intensity).toMap
+    assert(byDims((20, 10)) == 76.0)
+    assert(math.abs(byDims((8, 12)) - 149.0) <= 2.0)
+
+    // header-only metadata: correct format + dims without a pixel decode
+    val meta = MultimodalOps.imageMeta(spark, media).collect()
+    assert(meta.map(m => (m.format, m.width, m.height)).toSet ==
+      Set(("png", 20, 10), ("jpeg", 8, 12)))
+
+    // corrupt bytes surface the failing media_id instead of a bare NPE
+    val bad = spark.createDataset(Seq(
+      MediaRow(99L, "image", "not an image".getBytes("UTF-8"))))(Encoders.product[MediaRow])
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeFeatures(spark, bad, MultimodalOps.ImageIoCodec).collect()
+    }
+    assert(e.getMessage.contains("99") ||
+      Option(e.getCause).exists(_.getMessage.contains("99")))
+  }
+
   test("decodeFeatures preserves ids/kinds, computes deterministic features") {
     val rows = Seq(
       MediaRow(1L, "image", "hello pixels".getBytes("UTF-8")),
