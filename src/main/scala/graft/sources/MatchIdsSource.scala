@@ -71,13 +71,22 @@ object MatchIdsSource {
     StructField("queue", IntegerType, nullable = false),
     StructField("match_id", StringType, nullable = false)))
 
-  private[sources] case class ClientConf(queues: Seq[Int], idsPerQueue: Int) {
-    def make(): MatchIdClient = new FakeMatchIdClient(queues, idsPerQueue)
+  private[sources] case class ClientConf(
+      queues: Seq[Int], idsPerQueue: Int, baseUrl: Option[String] = None) {
+    /** Runs executor-side per partition — a `baseUrl` option routes the
+      * scan through [[HttpMatchIdClient]] (real sockets, pushdown params
+      * in the query string); unset keeps the deterministic fake.
+      */
+    def make(): MatchIdClient = baseUrl match {
+      case Some(u) => new HttpMatchIdClient(queues, u)
+      case None => new FakeMatchIdClient(queues, idsPerQueue)
+    }
   }
 
   private[sources] def conf(options: CaseInsensitiveStringMap): ClientConf = ClientConf(
     options.getOrDefault("queues", "400,430,450").split(",").map(_.trim.toInt).toSeq,
-    options.getInt("idsPerQueue", 1000))
+    options.getInt("idsPerQueue", 1000),
+    Option(options.get("baseUrl")))
 }
 
 class MatchIdsTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
