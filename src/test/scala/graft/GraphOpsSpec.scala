@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.GraphOps
+import org.apache.spark.sql.functions.{col, count, lit}
 
 class GraphOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -66,6 +67,30 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.kCore(path60, k = 2, maxIter = 29).count()
     }
     assert(ex.getMessage.contains("maxIter"))
+  }
+
+  test("q_kcore's driver graph converges well inside the oracle's 30-round unroll") {
+    // The registered q_kcore's DuckDB oracle unrolls EXACTLY 30 peel
+    // rounds (kcoreOracle), matching the operator's default maxIter —
+    // the operator raises past 30, so a deeper-than-30 graph can't
+    // silently diverge. What COULD slip through a testdata regen is a
+    // graph needing (12, 30] rounds with a later oracle edit that
+    // shortens the unroll. Guard: the exact pairs frame the registered
+    // query builds must converge within 12 rounds (measured 6 across
+    // SFs), keeping a wide margin to the unroll depth. kCore with
+    // maxIter=12 RAISES if convergence needs more — a regen that
+    // deepens peeling fails here before it can reach the oracle.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select("u", "v")
+      assert(GraphOps.kCore(pairs, k = 2, maxIter = 12).count() > 0, dir)
+    }
   }
 
   test("triangle count: K4, path, and dirty input normalize correctly") {
