@@ -132,6 +132,20 @@ object ScaleSmoke {
   private val graphQueries = Seq(
     "q_triangle_count", "q_clustering_coef", "q_kcore", "q_assortativity")
 
+  /** FIXED-PROBE regime — the production claim the broadcast-probe ops
+    * are designed around: the probe / benchmark / vocab side stays at
+    * BASE-corpus size while the corpus grows Nx. The registered queries
+    * derive both sides from one table by id modulus, so the default
+    * sweep's Nx run grows the probe Nx too and measures Nx² pair work
+    * production never does (r9 readings: 57x/9.9x/7.7x). These entries
+    * reuse the same query bodies with the probe pinned to the base id
+    * range (copy-0 ids are < step); at 1x the pin is a no-op, so the
+    * factor isolates corpus growth alone. Design prediction: ~1-3x.
+    */
+  private val fixedProbeNames = Seq(
+    "q_knn_label_acc_fixedprobe", "q_fuzzy_decontam_fixedbench",
+    "q_oov_rate_fixedvocab")
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scale_nx"
@@ -143,7 +157,8 @@ object ScaleSmoke {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // blank-only value == unset, not "run nothing"
     only.foreach { names =>
-      val unknown = names -- ScaleSmoke.queries -- ScaleSmoke.graphQueries
+      val unknown = names -- ScaleSmoke.queries -- ScaleSmoke.graphQueries --
+        ScaleSmoke.fixedProbeNames
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in ScaleSmoke.queries: ${unknown.mkString(",")}")
     }
@@ -170,7 +185,7 @@ object ScaleSmoke {
         java.nio.file.Paths.get(s"$src/$t.parquet"), dst.resolve(s"$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    def buildNx(table: String, idCol: String): Long = {
+    def buildNx(table: String, idCol: String): (Long, Long) = {
       val df = Tables(spark, src, table)
       val step = df.agg(max(col(idCol))).head().getLong(0) + 1
       (0 until copies).map(k => df.withColumn(idCol, col(idCol) + lit(k * step)))
@@ -178,10 +193,10 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$work/$table.parquet")
       // materialized row count, not the id-space size (step * copies):
       // the two diverge whenever source ids are not dense from 0
-      copies * df.count()
+      (copies * df.count(), step)
     }
-    val nDocs = buildNx("documents", "doc_id")
-    buildNx("embeddings", "vec_id")
+    val (nDocs, docStep) = buildNx("documents", "doc_id")
+    val (_, vecStep) = buildNx("embeddings", "vec_id")
     // events: shift BOTH ids — event_id for uniqueness, user_id so the
     // population grows Nx with per-user history constant (the realistic
     // fleet regime for user-keyed windows; Nx-longer single-user
@@ -234,8 +249,38 @@ object ScaleSmoke {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // fixed-probe entries (see fixedProbeNames doc): probe pinned to the
+    // base id range, corpus grows — at 1x the pin selects exactly the
+    // registered query's probe, so x1 matches the modulus form above
+    val fixedProbeDefs: Map[String, String => org.apache.spark.sql.DataFrame] = Map(
+      "q_knn_label_acc_fixedprobe" -> { dir =>
+        val e = Tables(spark, dir, "embeddings")
+        val probe = col("vec_id") < vecStep && col("vec_id") % 100 === 0
+        graft.queries.TextQueries.knnLabelAccuracy(e.filter(probe), e.filter(!probe))
+      },
+      "q_fuzzy_decontam_fixedbench" -> { dir =>
+        val d = Tables(spark, dir, "documents")
+        val bench = col("doc_id") < docStep && col("doc_id") % 50 === 0
+        graft.queries.TextQueries.fuzzyDecontam(d.filter(!bench), d.filter(bench))
+      },
+      "q_oov_rate_fixedvocab" -> { dir =>
+        val d = Tables(spark, dir, "documents")
+        graft.queries.TextQueries.oovRate(d, d.filter(col("doc_id") < docStep))
+      })
+    val fixedSelected = ScaleSmoke.fixedProbeNames
+      .filter(n => only.forall(_.contains(n)))
+    def timeFixed(dir: String): Map[String, Double] = fixedSelected.map { name =>
+      val t0 = System.nanoTime()
+      fixedProbeDefs(name)(dir).write.format("noop").mode("overwrite").save()
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val fixed1x = timeFixed(src)
+    val fixedNx = timeFixed(work)
+
     val lines = queries.map { q =>
       f""""$q":{"x1":${at1x(q)}%.3f,"xN":${atNx(q)}%.3f,"factor":${atNx(q) / at1x(q)}%.2f}"""
+    } ++ fixedSelected.map { q =>
+      f""""$q":{"x1":${fixed1x(q)}%.3f,"xN":${fixedNx(q)}%.3f,"factor":${fixedNx(q) / fixed1x(q)}%.2f}"""
     } ++ ivf1024.map(v => f""""ivf_nlist1024_xN":${v}%.3f""")
     println(s"""{"metric":"scale_nx","n":$copies,"docs":$nDocs,${lines.mkString(",")}}""")
     spark.stop()

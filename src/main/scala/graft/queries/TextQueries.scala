@@ -26,6 +26,113 @@ import org.apache.spark.sql.types._
   */
 object TextQueries {
 
+  /** q_knn_label_acc's body with the probe/corpus split INJECTED — the
+    * registered query derives both from one table (vec_id % 100); the
+    * production regime this plan is designed for has a FIXED held-out
+    * probe against a growing corpus, and ScaleSmoke's fixed-probe
+    * entries reuse this method with a base-range probe to measure
+    * exactly that. Plan shape (TopKAggregator map-side top-k, broadcast
+    * probe, corpus never shuffles) is identical either way.
+    */
+  def knnLabelAccuracy(queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val top = VectorOps.bruteForceTopKAgg(queries, corpus, k = 10)
+    val labeled = corpus.select(col("vec_id").as("n_id"),
+        col("label").cast(LongType).as("n_label"))
+      .join(broadcast(top.select("q_id", "n_id")), Seq("n_id"))
+    val votes = labeled.groupBy("q_id", "n_label").agg(count(lit(1)).as("v"))
+    val maj = votes.groupBy("q_id")
+      .agg(min(struct((-col("v")).as("nv"), col("n_label").as("l"))).as("m"))
+      .select(col("q_id"), col("m.l").as("pred"))
+    maj.join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("label").cast(LongType).as("q_label"))), Seq("q_id"))
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("q_label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_queries"), col("n_correct"),
+        round(col("n_correct").cast(DoubleType) / col("n_queries"), 6)
+          .as("acc_at10"))
+      .orderBy("label")
+  }
+
+  /** q_fuzzy_decontam's body with the train/benchmark split INJECTED
+    * (same rationale as [[knnLabelAccuracy]]: the production benchmark
+    * is FIXED eval-suite MBs; only the train corpus grows). Signature
+    * scheme, broadcast discipline and verify-on-candidates-only shape
+    * are identical to the registered query.
+    */
+  def fuzzyDecontam(train: DataFrame, bench: DataFrame): DataFrame = {
+    def shingles(df: DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+    def sig(shf: DataFrame) = shf
+      .withColumn("g", explode(sequence(lit(0), lit(3))))
+      .withColumn("m", md5(concat(col("g").cast(StringType), lit(":"), col("sh"))))
+      .withColumn("slot", explode(sequence(lit(0), lit(3))))
+      .withColumn("p", col("g") * 4 + col("slot") + 1)
+      .withColumn("h",
+        conv(expr("substring(m, slot * 8 + 1, 8)"), 16, 10).cast(LongType))
+      .groupBy("doc_id", "p").agg(min(col("h")).as("h"))
+    def bands(sigf: DataFrame) = sigf
+      .withColumn("b", floor((col("p") - 1) / 2))
+      .groupBy("doc_id", "b")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("h")))),
+        x => x.getField("h").cast(StringType)), ",").as("key"))
+    val shTrain = shingles(train).localCheckpoint()
+    val shBench = shingles(bench).localCheckpoint() // eval-suite sized
+    val cand = bands(sig(shTrain)).as("t")
+      .join(broadcast(bands(sig(shBench)).as("q")),
+        col("t.b") === col("q.b") && col("t.key") === col("q.key"))
+      .select(col("t.doc_id").as("doc_id"), col("q.doc_id").as("bench_id"))
+      .distinct().localCheckpoint()
+    val shared = shTrain.join(cand, Seq("doc_id"))
+      .join(broadcast(shBench
+        .select(col("doc_id").as("bench_id"), col("sh"))), Seq("bench_id", "sh"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("ns"))
+    val sizesT = shTrain.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val sizesB = shBench.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      .withColumnRenamed("doc_id", "bench_id")
+    val scored = cand.join(shared, Seq("doc_id", "bench_id"), "left")
+      .join(sizesT, Seq("doc_id"))
+      .join(broadcast(sizesB), Seq("bench_id"))
+      .withColumn("ns", coalesce(col("ns"), lit(0L)))
+      .withColumn("j", round(col("ns").cast(DoubleType) /
+        (col("na") + col("nb") - col("ns")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("j").desc, col("bench_id").asc)
+    val best = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("bench_id"), col("j"))
+    train.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("j"), lit(0.0)) >= 0.5).as("contaminated"),
+        col("bench_id").as("best_bench_id"),
+        coalesce(col("j"), lit(0.0)).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** q_oov_rate's body with the vocab-learning corpus INJECTED (the
+    * registered query learns the top-1000 vocab from the same documents
+    * it scores; the production tokenizer vocab is FIXED once learned,
+    * so ScaleSmoke's fixed-vocab entry learns from the base corpus and
+    * probes the grown stream). The vocab broadcast and the single
+    * source-keyed aggregate are identical either way.
+    */
+  def oovRate(docs: DataFrame, vocabDocs: DataFrame): DataFrame = {
+    def toks(df: DataFrame) = df.select(
+      col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+    val vocab = toks(vocabDocs).groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(1000)
+      .select(col("token"), lit(1L).as("iv"))
+    toks(docs).join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast(DoubleType) / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup groups: one narrow hash aggregate over md5(norm text).
@@ -120,25 +227,8 @@ object TextQueries {
     // of scored pairs.
     "q_knn_label_acc" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val queries = e.filter(col("vec_id") % 100 === 0)
-      val corpus = e.filter(col("vec_id") % 100 =!= 0)
-      val top = VectorOps.bruteForceTopKAgg(queries, corpus, k = 10)
-      val labeled = corpus.select(col("vec_id").as("n_id"),
-          col("label").cast(LongType).as("n_label"))
-        .join(broadcast(top.select("q_id", "n_id")), Seq("n_id"))
-      val votes = labeled.groupBy("q_id", "n_label").agg(count(lit(1)).as("v"))
-      val maj = votes.groupBy("q_id")
-        .agg(min(struct((-col("v")).as("nv"), col("n_label").as("l"))).as("m"))
-        .select(col("q_id"), col("m.l").as("pred"))
-      maj.join(broadcast(queries.select(col("vec_id").as("q_id"),
-          col("label").cast(LongType).as("q_label"))), Seq("q_id"))
-        .groupBy(col("q_label").as("label"))
-        .agg(count(lit(1)).as("n_queries"),
-          sum(when(col("pred") === col("q_label"), 1L).otherwise(0L)).as("n_correct"))
-        .select(col("label"), col("n_queries"), col("n_correct"),
-          round(col("n_correct").cast(DoubleType) / col("n_queries"), 6)
-            .as("acc_at10"))
-        .orderBy("label")
+      knnLabelAccuracy(
+        e.filter(col("vec_id") % 100 === 0), e.filter(col("vec_id") % 100 =!= 0))
     },
 
     // Same top-k via the typed TopKAggregator (partial-agg reduction:
@@ -517,55 +607,8 @@ object TextQueries {
     // against the best-matching benchmark doc (ties: min bench id).
     "q_fuzzy_decontam" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
-      def shingles(df: DataFrame) = df.select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
-      def sig(shf: DataFrame) = shf
-        .withColumn("g", explode(sequence(lit(0), lit(3))))
-        .withColumn("m", md5(concat(col("g").cast(StringType), lit(":"), col("sh"))))
-        .withColumn("slot", explode(sequence(lit(0), lit(3))))
-        .withColumn("p", col("g") * 4 + col("slot") + 1)
-        .withColumn("h",
-          conv(expr("substring(m, slot * 8 + 1, 8)"), 16, 10).cast(LongType))
-        .groupBy("doc_id", "p").agg(min(col("h")).as("h"))
-      def bands(sigf: DataFrame) = sigf
-        .withColumn("b", floor((col("p") - 1) / 2))
-        .groupBy("doc_id", "b")
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("p"), col("h")))),
-          x => x.getField("h").cast(StringType)), ",").as("key"))
-      val train = d.filter(col("doc_id") % 50 =!= 0)
-      val bench = d.filter(col("doc_id") % 50 === 0)
-      val shTrain = shingles(train).localCheckpoint()
-      val shBench = shingles(bench).localCheckpoint() // eval-suite sized
-      val cand = bands(sig(shTrain)).as("t")
-        .join(broadcast(bands(sig(shBench)).as("q")),
-          col("t.b") === col("q.b") && col("t.key") === col("q.key"))
-        .select(col("t.doc_id").as("doc_id"), col("q.doc_id").as("bench_id"))
-        .distinct().localCheckpoint()
-      val shared = shTrain.join(cand, Seq("doc_id"))
-        .join(broadcast(shBench
-          .select(col("doc_id").as("bench_id"), col("sh"))), Seq("bench_id", "sh"))
-        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("ns"))
-      val sizesT = shTrain.groupBy("doc_id").agg(count(lit(1)).as("na"))
-      val sizesB = shBench.groupBy("doc_id").agg(count(lit(1)).as("nb"))
-        .withColumnRenamed("doc_id", "bench_id")
-      val scored = cand.join(shared, Seq("doc_id", "bench_id"), "left")
-        .join(sizesT, Seq("doc_id"))
-        .join(broadcast(sizesB), Seq("bench_id"))
-        .withColumn("ns", coalesce(col("ns"), lit(0L)))
-        .withColumn("j", round(col("ns").cast(DoubleType) /
-          (col("na") + col("nb") - col("ns")), 6))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("j").desc, col("bench_id").asc)
-      val best = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("bench_id"), col("j"))
-      train.select("doc_id").join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (coalesce(col("j"), lit(0.0)) >= 0.5).as("contaminated"),
-          col("bench_id").as("best_bench_id"),
-          coalesce(col("j"), lit(0.0)).as("jaccard"))
-        .orderBy("doc_id")
+      fuzzyDecontam(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))
     },
 
     // C4-style per-domain cap: keep at most 15 documents per source,
@@ -707,19 +750,8 @@ object TextQueries {
     // corpus token stream is probed map-side with a left join and never
     // shuffles on token; one (source)-keyed aggregate ends the plan.
     "q_oov_rate" -> { (s, dir) =>
-      val toks = Tables(s, dir, "documents")
-        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
-      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), asc("token")).limit(1000)
-        .select(col("token"), lit(1L).as("iv"))
-      toks.join(broadcast(vocab), Seq("token"), "left")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
-        .select(col("source"), col("n_tokens"), col("n_oov"),
-          round(col("n_oov").cast(DoubleType) / col("n_tokens"), 6)
-            .as("oov_rate"))
-        .orderBy("source")
+      val d = Tables(s, dir, "documents")
+      oovRate(d, d)
     },
 
     // Truncation-loss accounting at a 256-token context: tokens lost and
