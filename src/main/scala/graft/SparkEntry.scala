@@ -57,5 +57,6 @@ object SparkEntry {
     "q_kneser_ney", "q_media_phash", "q_keyness", "q_mutual_nn",
     "q_kcore", "q_minhash_est", "q_fuzzy_decontam", "q_cluster_canonical",
     "q_knn_label_acc", "q_k_anonymity", "q_oov_rate", "q_tpch_q10",
-    "q_tpch_q21")
+    "q_tpch_q21", "q_tpch_q2", "q_tpch_q13", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q22", "q_linear_quality", "q_token_entropy")
 }

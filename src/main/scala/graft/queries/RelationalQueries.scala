@@ -1102,6 +1102,145 @@ object RelationalQueries {
         .orderBy(col("numwait").desc, col("s_name"))
     },
 
+    // TPC-H Q2 (min-cost supplier), adapted to the generator's schema:
+    // no partsupp table, so the part-supplier "supply cost" relation is
+    // DERIVED from lineitem — min unit price (extendedprice/quantity)
+    // each supplier ever charged for each part. The Q2 shape is the
+    // correlated scalar-min subquery ("the supplier whose cost equals
+    // the regional minimum for this part"), decorrelated as an
+    // aggregate-then-rejoin. Plan discipline: the selective part filter
+    // (STANDARD, size<=5) lands BEFORE the min-cost aggregate, so the
+    // argmin runs over 25 parts' rows, not 3k parts'; region-filtered
+    // suppliers and the per-part minima are both broadcast-tiny; the
+    // one real shuffle is the (part, supplier) aggregate off the scan.
+    // The cost equality join is double-exact: both sides are the min of
+    // the IDENTICAL per-row divisions, so the bits match.
+    "q_tpch_q2" -> { (s, dir) =>
+      val eu = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val pf = Tables(s, dir, "part")
+        .filter(col("p_type") === "STANDARD" && col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_name"))
+      val ps = Tables(s, dir, "lineitem")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      val minCost = ps.groupBy(col("p_partkey").as("mpk"))
+        .agg(min(col("cost")).as("min_cost"))
+      ps.join(broadcast(minCost),
+          col("p_partkey") === col("mpk") && col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), round(col("cost"), 6).as("cost"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+    },
+
+    // TPC-H Q13 (customer order-count distribution): the left-outer
+    // join with the filter in the JOIN CONDITION (not WHERE — a WHERE
+    // would drop order-less customers and break the histogram's zero
+    // bucket), then the double aggregate: per-customer count, then the
+    // count-of-counts histogram. The first groupBy reuses the join's
+    // c_custkey hash partitioning (no extra exchange); the histogram
+    // regroup runs on the |customers|-row frame, and its output is
+    // ~20 rows. Generator adaptation: the TPC-H comment NOT LIKE
+    // filter becomes an order-priority exclusion.
+    "q_tpch_q13" -> { (s, dir) =>
+      Tables(s, dir, "customer").select(col("c_custkey"))
+        .join(Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q17 (small-quantity-order revenue): the canonical
+    // correlated-AVG subquery ("lines whose quantity is under 20% of
+    // this part's average"), decorrelated as a per-part aggregate
+    // rejoined to the fact. Both passes run over the brand-pruned
+    // lineitem (a broadcast part-filter join — the pushdown that keeps
+    // the double scan affordable; at fleet scale the decorrelated
+    // aggregate IS the textbook plan, the row-at-a-time subquery is
+    // not runnable at all). The per-part averages are |brand parts|
+    // rows — broadcast back. avg is written sum/count over integral
+    // quantities, exact in double in both engines; revenue goes
+    // through the decimal-exact sum.
+    "q_tpch_q17" -> { (s, dir) =>
+      val pf = Tables(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      val avgQ = li.groupBy(col("p_partkey").as("pk"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      li.join(broadcast(avgQ), col("p_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(graft.ops.CoreOps.dsumExact(
+            col("l_extendedprice").cast(DecimalType(18, 4)))
+            .cast(DoubleType) / lit(7.0), 2).as("avg_yearly"))
+    },
+
+    // TPC-H Q18 (large-volume customers): the IN-subquery-with-HAVING
+    // shape — orders whose total line quantity clears a threshold —
+    // planned as the aggregate-then-join decorrelation (the per-order
+    // quantity aggregate is computed ONCE and reused as both the
+    // membership filter and the output column, where the SQL form's
+    // regroup would aggregate twice). One fact shuffle for the order
+    // aggregate; the filtered survivors (~46 orders at sf0.01) join
+    // orders on the SAME key, customer broadcasts, and the top-100
+    // runs as TakeOrderedAndProject. Quantity sums are integral
+    // doubles — exact in both engines.
+    "q_tpch_q18" -> { (s, dir) =>
+      val big = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    },
+
+    // TPC-H Q22 (global sales opportunity): the ungrouped-scalar
+    // subquery + NOT EXISTS composition — customers above the
+    // positive-balance average who never placed an urgent order
+    // (generator adaptation: every customer has orders, so the anti
+    // set is "no 1-URGENT order"; the phone-prefix grouping becomes
+    // the market segment). The scalar average is a one-row broadcast
+    // cross join (decimal-exact sum, so the threshold double is
+    // bit-identical cross-engine); the NOT EXISTS is a left-anti join
+    // against the priority-pruned orders projection — the filter
+    // reaches the orders scan, so the anti side ships only urgent
+    // custkeys. Output balances go through the decimal-exact sum.
+    "q_tpch_q22" -> { (s, dir) =>
+      val avgBal = Tables(s, dir, "customer")
+        .filter(col("c_acctbal") > 0.0)
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+      Tables(s, dir, "customer")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    },
+
     // IQR-trimmed mean per segment — the robust location estimate
     // (outliers beyond the quartiles don't move it). Cuts are exact
     // percentiles over integer cents at dyadic probes (cross-engine
@@ -2227,6 +2366,71 @@ object RelationalQueries {
                AND l3.l_suppkey <> l1.l_suppkey)
          GROUP BY s.s_name, n.n_name
          ORDER BY numwait DESC, s_name""",
+    "q_tpch_q2" ->
+      """WITH pf AS (
+           SELECT p_partkey, p_name FROM part
+           WHERE p_type = 'STANDARD' AND p_size <= 5),
+         eu AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         ps AS (
+           SELECT p_partkey, p_name, l_suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+           FROM lineitem JOIN pf ON l_partkey = p_partkey
+           GROUP BY 1, 2, 3),
+         pse AS (
+           SELECT p_partkey, p_name, cost, s_name, s_acctbal, n_name
+           FROM ps JOIN eu ON l_suppkey = s_suppkey),
+         mc AS (SELECT p_partkey AS mpk, min(cost) AS min_cost
+                FROM pse GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(cost, 6) AS cost
+         FROM pse JOIN mc ON p_partkey = mpk AND cost = min_cost
+         ORDER BY s_acctbal DESC, s_name, p_partkey""",
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+           SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q17" ->
+      """WITH pf AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+         li AS (
+           SELECT p_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN pf ON l_partkey = p_partkey),
+         av AS (
+           SELECT p_partkey AS pk, sum(l_quantity) / count(*) AS avg_qty
+           FROM li GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / 7.0e0, 2) AS avg_yearly
+         FROM li JOIN av ON p_partkey = pk
+         WHERE l_quantity < 0.2e0 * avg_qty""",
+    "q_tpch_q18" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(l_quantity) AS sum_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300.0e0)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_tpch_q22" ->
+      """WITH ab AS (
+           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             / count(c_acctbal) AS avg_bal
+           FROM customer WHERE c_acctbal > 0.0e0),
+         urg AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT')
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+         FROM customer, ab
+         WHERE c_acctbal > avg_bal
+           AND c_custkey NOT IN (SELECT o_custkey FROM urg)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // HUGEINT Σi·x_i cast to DOUBLE via VARCHAR (correctly-rounded
     // strtod) to match Spark's BigDecimal.doubleValue — same hazard as
     // decToDouble above

@@ -1953,6 +1953,69 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Learned-filter application (fastText-style linear inference): the
+    // quality-classifier shape production pipelines run corpus-wide —
+    // hashed bag-of-words features x a weight vector, one score per
+    // doc, keep = sign. Weights are a deterministic hash-derived stand-
+    // in (md5 8-hex prefix -> [-1000, 1000]) so the WHOLE inference is
+    // oracle-checkable; swapping real trained weights in changes the
+    // literals, not the plan. Scale shape: entirely IN-ROW — split +
+    // transform/aggregate higher-order functions (native expressions,
+    // no UDF), zero shuffles, zero explode; the weight sum is an exact
+    // integer fold, one double division per doc at the end.
+    "q_linear_quality" -> { (s, dir) =>
+      def weight(t: Column): Column = {
+        val h = md5(concat(lit("w:"), t))
+        val v = (1 to 8).map { i =>
+          val a = ascii(substring(h, i, 1))
+          (a - when(a >= 97, 87).otherwise(48)).cast(LongType) *
+            lit(1L << (4 * (8 - i)))
+        }.reduce(_ + _)
+        v % lit(2001L) - lit(1000L)
+      }
+      val toks = split(col("text"), " ")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(toks).cast(LongType).as("n_tok"),
+          aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("wsum"))
+        // NOT rounded: the score is one IEEE division of two exact
+        // integers — bit-identical cross-engine as is, while round(…, 6)
+        // hits half-way ties (wsum/(1000·n) lands exactly on …5 when n
+        // is a power of two) that the engines break differently
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          (col("wsum").cast(DoubleType) /
+            (col("n_tok") * lit(1000L)).cast(DoubleType)).as("score"),
+          (col("wsum") > 0L).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Per-source token Shannon entropy — the within-source diversity
+    // probe (q_js_divergence measures BETWEEN-source divergence; this
+    // measures how peaked each source's own distribution is — near-zero
+    // entropy flags templated/boilerplate sources before they skew a
+    // mixture). One (source, token) aggregate off the scan
+    // (checkpointed — branched into totals and the term sum), totals
+    // broadcast back, -p·ln(p) terms grid-summed exactly; normalized
+    // entropy divides by ln(vocab) for a size-free [0, 1] health score.
+    "q_token_entropy" -> { (s, dir) =>
+      val counts = Tables(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val st = counts.groupBy("source")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"))
+      val p = col("c").cast(DoubleType) / col("n").cast(DoubleType)
+      counts.join(broadcast(st), Seq("source"))
+        .groupBy(col("source"), col("n"), col("vocab"))
+        .agg(exactGridSum(-p * log(p)).as("g"))
+        .select(col("source"), col("n").as("n_tok"), col("vocab"),
+          round(fromGrid(col("g")), 6).as("entropy"),
+          when(col("vocab") > 1L,
+            round(fromGrid(col("g")) / log(col("vocab").cast(DoubleType)), 6))
+            .otherwise(lit(0.0)).as("entropy_norm"))
+        .orderBy("source")
+    },
+
     // Multimodal: batched fake-decode through the mapPartitions plumbing.
     // The codec is a deterministic stub, so its byte-statistics output IS
     // SQL-reproducible — the oracle re-derives the Arrays.hashCode fold
@@ -2621,7 +2684,64 @@ object TextQueries {
             & 2147483647) AS h
          FROM codec)"""
 
+  /** DuckDB twin of q_linear_quality: the same md5 8-hex-digit base-16
+    * decode (generated positional multipliers — exact BIGINT), modulo
+    * weight map, and exact integer fold; the score division is the only
+    * double op. The fold runs as unnest + GROUP BY rather than Spark's
+    * in-row list aggregate — same exact integer sum either way.
+    */
+  private def linearQualityOracle: String = {
+    val digits = (1 to 8).map { i =>
+      s"""(ascii(substring(h, $i, 1)) -
+          CASE WHEN ascii(substring(h, $i, 1)) >= 97 THEN 87 ELSE 48 END)
+          * CAST(${1L << (4 * (8 - i))} AS BIGINT)"""
+    }.mkString(" + ")
+    s"""WITH toks AS (
+         SELECT doc_id, source, md5('w:' || t) AS h
+         FROM (SELECT doc_id, source,
+                 unnest(string_split(text, ' ')) AS t
+               FROM documents)),
+       d AS (
+         SELECT doc_id, source,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum((($digits) % 2001) - 1000) AS BIGINT) AS wsum
+         FROM toks GROUP BY 1, 2)
+       SELECT doc_id, source, n_tok,
+         CAST(wsum AS DOUBLE) / CAST(n_tok * 1000 AS DOUBLE) AS score,
+         wsum > 0 AS keep
+       FROM d ORDER BY doc_id"""
+  }
+
+  /** DuckDB twin of q_token_entropy: same (source, token) counts, same
+    * -p·ln(p) terms grid-summed, same ln(vocab) normalization guard.
+    */
+  private def tokenEntropyOracle: String = {
+    val p = "CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"
+    s"""WITH counts AS (
+         SELECT source, token, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY 1, 2),
+       st AS (
+         SELECT source, CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS vocab
+         FROM counts GROUP BY 1),
+       g AS (
+         SELECT source, n, vocab,
+           ${gridSumSql(s"-($p) * ln($p)")} AS gs
+         FROM counts JOIN st USING (source)
+         GROUP BY source, n, vocab)
+       SELECT source, n AS n_tok, vocab,
+         round(gs, 6) AS entropy,
+         CASE WHEN vocab > 1
+           THEN round(gs / ln(CAST(vocab AS DOUBLE)), 6)
+           ELSE 0.0e0 END AS entropy_norm
+       FROM g ORDER BY source"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_linear_quality" -> linearQualityOracle,
+    "q_token_entropy" -> tokenEntropyOracle,
     "q_media_decode" ->
       s"""WITH $fakeCodecCte
          SELECT doc_id AS media_id,

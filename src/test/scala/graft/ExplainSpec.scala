@@ -110,6 +110,19 @@ class ExplainSpec extends SparkSpec {
     // fact exchange each + the l1 side's), dims broadcast, plus the
     // final agg + sort exchanges
     "q_tpch_q21" -> 5,
+    // r10 snapshot, second batch: Q2's part-supplier aggregate (part
+    // filter broadcast-pruned BEFORE it) + tiny regroup + output sort;
+    // Q13's left join shares its c_custkey exchange with the first
+    // aggregate, histogram regroup + sort on top; Q17's per-part avg
+    // is the one fact exchange (rejoin broadcast) + the global agg's
+    // single-partition exchange; Q18's order-quantity aggregate is the
+    // only fact exchange (survivor join reuses its key, top-100 is
+    // TakeOrderedAndProject); Q22: scalar-avg single-partition
+    // exchange + the anti join pair; linear-quality is IN-ROW (sort
+    // exchange only); token-entropy aggregates off its checkpoint
+    "q_tpch_q2" -> 3, "q_tpch_q13" -> 3, "q_tpch_q17" -> 2,
+    "q_tpch_q18" -> 1, "q_tpch_q22" -> 3,
+    "q_linear_quality" -> 1, "q_token_entropy" -> 3,
     // q_js_divergence: token agg + per-source totals + the pair-grid
     // expansions and their full-outer token union + per-pair grid sums —
     // every exchange after the first carries (source, token) count rows
