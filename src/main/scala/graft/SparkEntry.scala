@@ -58,5 +58,8 @@ object SparkEntry {
     "q_kcore", "q_minhash_est", "q_fuzzy_decontam", "q_cluster_canonical",
     "q_knn_label_acc", "q_k_anonymity", "q_oov_rate", "q_tpch_q10",
     "q_tpch_q21", "q_tpch_q2", "q_tpch_q13", "q_tpch_q17", "q_tpch_q18",
-    "q_tpch_q22", "q_linear_quality", "q_token_entropy")
+    "q_tpch_q22", "q_linear_quality", "q_token_entropy",
+    "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q9", "q_tpch_q11",
+    "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q19",
+    "q_tpch_q20")
 }

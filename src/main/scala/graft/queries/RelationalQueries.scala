@@ -1241,6 +1241,299 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // TPC-H Q4 (order priority checking): EXISTS with a CROSS-SIDE
+    // date predicate — the semi join's condition reads both the outer
+    // row (o_orderdate) and the inner (l_shipdate), so it can't be
+    // pushed as a plain filter; it rides the join. Quarter filter
+    // pushed to the orders scan; generator adaptation: "late" =
+    // shipped >45 days after order date (no commit/receipt dates).
+    "q_tpch_q4" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(DateType) &&
+          col("o_orderdate") < lit("1996-04-01").cast(DateType))
+        .join(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > date_add(col("o_orderdate"), 45),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q6 (forecasting revenue change): the pure scan-aggregate —
+    // every predicate (date year, discount band, quantity cap) reaches
+    // the parquet scan as PushedFilters, no join, no groupBy; ONE
+    // single-partition exchange for the global sum. The query that
+    // measures nothing but scan + filter + partial-agg throughput.
+    "q_tpch_q6" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(DateType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(DateType) &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24.0)
+        .agg(count(lit(1)).as("n_lines"),
+          graft.ops.CoreOps.dsumExact(
+            col("l_extendedprice").cast(DecimalType(18, 4)) *
+              col("l_discount").cast(DecimalType(18, 4))).as("revenue"))
+    },
+
+    // TPC-H Q7 (volume shipping), region-adapted (nation-pair volumes
+    // go empty at sf0.001): bidirectional trade between ASIA suppliers
+    // and AMERICA customers by ship year. Each side is pre-pruned to
+    // the two regions BEFORE touching the fact (broadcast nation ⋈
+    // region dims), so the selective filter cuts the join inputs, and
+    // the or-of-pairs predicate runs on the already-narrowed rows.
+    "q_tpch_q7" -> { (s, dir) =>
+      val regions = Seq("ASIA", "AMERICA")
+      val nr = Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")
+          .filter(col("r_name").isin(regions: _*))),
+          col("n_regionkey") === col("r_regionkey"))
+      val su = Tables(s, dir, "supplier")
+        .join(broadcast(nr.select(col("n_nationkey").as("snk"),
+          col("r_name").as("supp_region"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_region"))
+      val cu = Tables(s, dir, "customer")
+        .join(broadcast(nr.select(col("n_nationkey").as("cnk"),
+          col("r_name").as("cust_region"))),
+          col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("cust_region"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_region") === "ASIA" && col("cust_region") === "AMERICA") ||
+          (col("supp_region") === "AMERICA" && col("cust_region") === "ASIA"))
+        .groupBy(col("supp_region"), col("cust_region"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(graft.ops.CoreOps.dsumExact(
+          col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) -
+              col("l_discount").cast(DecimalType(18, 4)))).as("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    },
+
+    // TPC-H Q9 (product type profit), adapted: no partsupp, so supply
+    // cost is the synthetic 0.6·p_retailprice per unit — carried as
+    // EXACT integer milli-dollars (retail cents x 6 x integral qty),
+    // summed as BIGINT, so profit = decimal-exact revenue minus one
+    // exact division; no float accumulates anywhere. Name-substring
+    // part filter broadcast-pruned into the fact scan.
+    "q_tpch_q9" -> { (s, dir) =>
+      val pf = Tables(s, dir, "part")
+        .filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"),
+          ((col("p_retailprice").cast(DecimalType(18, 4)) * 100)
+            .cast(LongType) * 6).as("cost_millis_unit"))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(
+          graft.ops.CoreOps.dsumExact(
+            col("l_extendedprice").cast(DecimalType(18, 4)) *
+              (lit(1).cast(DecimalType(18, 4)) -
+                col("l_discount").cast(DecimalType(18, 4)))).as("rev_d"),
+          sum(col("cost_millis_unit") * col("l_quantity").cast(LongType))
+            .as("cost_millis"))
+        .select(col("n_name").as("nation"), col("o_year"),
+          (col("rev_d") - col("cost_millis").cast(DoubleType) / lit(1000.0))
+            .as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11 (important stock), adapted: "inventory value" per part
+    // held by NATION_7 suppliers, kept when it clears 1.5x the fair
+    // (mean) share — the grouped-aggregate-vs-ungrouped-scalar HAVING
+    // shape, made scale-free (TPC-H's fixed fraction empties as part
+    // count grows). Value terms are exact decimal products; the
+    // threshold scalar is a one-row broadcast; the val/total doubles
+    // convert from the SAME decimal sums on both engines.
+    "q_tpch_q11" -> { (s, dir) =>
+      val v = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "supplier")
+          .join(broadcast(Tables(s, dir, "nation")
+            .filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4)) *
+          col("l_extendedprice").cast(DecimalType(18, 4))).as("val_dec"))
+        .localCheckpoint()
+      val tot = v.agg(sum(col("val_dec")).cast(DoubleType).as("total"),
+        count(lit(1)).as("n_parts"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("val_dec").cast(DoubleType) >
+          lit(1.5) * col("total") / col("n_parts").cast(DoubleType))
+        .select(col("l_partkey"),
+          col("val_dec").cast(DoubleType).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
+    // TPC-H Q12 (shipping modes and priority), adapted: no shipmode
+    // column, so the mode becomes a DERIVED delay band (FAST = within
+    // 30 days of order). The shape is the conditional-count aggregate:
+    // urgent vs non-urgent order counts per band, one join + one
+    // 2-row group.
+    "q_tpch_q12" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(DateType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(DateType))
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(col("l_shipdate") <= date_add(col("o_orderdate"), 30), "FAST")
+            .otherwise("SLOW").as("ship_band"),
+          col("o_orderpriority"))
+        .groupBy(col("ship_band"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("ship_band")
+    },
+
+    // TPC-H Q14 (promotion effect): conditional-over-total revenue
+    // ratio for one ship month — part type broadcast-joined into the
+    // month-pruned fact, both decimal-exact sums in ONE aggregate,
+    // the percentage one double expression (unrounded: identical
+    // inputs + identical op tree = identical bits cross-engine).
+    "q_tpch_q14" -> { (s, dir) =>
+      val rev = col("l_extendedprice").cast(DecimalType(18, 4)) *
+        (lit(1).cast(DecimalType(18, 4)) -
+          col("l_discount").cast(DecimalType(18, 4)))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast(DateType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(DateType))
+        .join(broadcast(Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          graft.ops.CoreOps.dsumExact(
+            when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast(DecimalType(18, 4)))).as("promo_d"),
+          graft.ops.CoreOps.dsumExact(rev).as("total_d"))
+        .select((lit(100.0) * col("promo_d") / col("total_d"))
+          .as("promo_revenue_pct"))
+    },
+
+    // TPC-H Q15 (top supplier): aggregate -> global-max scalar ->
+    // equality join back, ties included by construction (the MAX is
+    // computed FROM the same aggregate, so the double equality is
+    // exact). One fact exchange for the per-supplier aggregate
+    // (checkpointed — branched into the max probe and the winner
+    // filter), supplier dim broadcast-joined to the survivors.
+    "q_tpch_q15" -> { (s, dir) =>
+      val r = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(DateType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(DateType))
+        .groupBy(col("l_suppkey"))
+        .agg(graft.ops.CoreOps.dsumExact(
+          col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) -
+              col("l_discount").cast(DecimalType(18, 4))))
+          .as("total_revenue"))
+        .localCheckpoint()
+      r.crossJoin(broadcast(r.agg(max(col("total_revenue")).as("max_rev"))))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q16 (part/supplier relationship): distinct-supplier counts
+    // per (brand, type, size) with a NOT-IN supplier exclusion —
+    // planned as a broadcast left-anti join (the exclusion list is the
+    // scan-filtered supplier projection) + a single-distinct two-level
+    // aggregate (no Expand). The (part, supp) grain comes straight
+    // from lineitem (no partsupp in the generator).
+    "q_tpch_q16" -> { (s, dir) =>
+      val sizes = Seq(1, 5, 9, 14, 23, 36, 45, 49)
+      Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(Tables(s, dir, "part")
+          .filter(col("p_type") =!= "PROMO" && col("p_size").isin(sizes: _*))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // TPC-H Q19 (discounted revenue): the disjunctive OR-of-ANDs
+    // predicate — three (brand, size-band, quantity-band) arms that
+    // CANNOT collapse to one conjunctive pushdown. The join key and
+    // the quantity arms still prune: partkey equi-join stays a hash
+    // join (the OR is a post-join filter on broadcast-part columns),
+    // and the common `l_quantity <= 35` envelope is pushed to the
+    // fact scan while the per-arm bands run post-join.
+    "q_tpch_q19" -> { (s, dir) =>
+      val arm = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo.toDouble, qHi.toDouble)
+      Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 1.0 && col("l_quantity") <= 35.0)
+        .join(broadcast(Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(arm("Brand#12", 15, 1, 15) || arm("Brand#23", 20, 10, 25) ||
+          arm("Brand#34", 25, 20, 35))
+        .agg(count(lit(1)).as("n_lines"),
+          graft.ops.CoreOps.dsumExact(
+            col("l_extendedprice").cast(DecimalType(18, 4)) *
+              (lit(1).cast(DecimalType(18, 4)) -
+                col("l_discount").cast(DecimalType(18, 4)))).as("revenue"))
+    },
+
+    // TPC-H Q20 (potential part promotion), adapted: suppliers whose
+    // shipped share of some 'red' part exceeds 2x the fair (mean)
+    // share — the nested correlated-aggregate shape (per-pair quantity
+    // vs a per-part total at a DIFFERENT grain), decorrelated as two
+    // aggregates off one (part, supplier) frame (the totals regroup
+    // the pair frame — no second fact scan), joined back on the part
+    // key. Share comparison is exact: integral-quantity sums in
+    // doubles, integer multiply beats division. Supplier/nation dims
+    // broadcast into the survivor set.
+    "q_tpch_q20" -> { (s, dir) =>
+      val pairs = Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")
+          .filter(col("p_name").startsWith("red"))
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("pq"))
+        .localCheckpoint()
+      val tot = pairs.groupBy(col("p_partkey").as("tpk"))
+        .agg(sum(col("pq")).as("tq"), count(lit(1)).as("ns"))
+      pairs.join(tot, col("p_partkey") === col("tpk"))
+        .filter(col("pq") * col("ns").cast(DoubleType) > lit(2.0) * col("tq"))
+        .select(col("l_suppkey")).distinct()
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey")
+    },
+
     // IQR-trimmed mean per segment — the robust location estimate
     // (outliers beyond the quartiles don't move it). Cuts are exact
     // percentiles over integer cents at dyadic probes (cross-engine
@@ -2366,6 +2659,151 @@ object RelationalQueries {
                AND l3.l_suppkey <> l1.l_suppkey)
          GROUP BY s.s_name, n.n_name
          ORDER BY numwait DESC, s_name""",
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch_q6" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           ${decToDouble("""sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_discount AS DECIMAL(18,4)))""")} AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1997-01-01'
+           AND l_discount >= 0.02e0 AND l_discount <= 0.04e0
+           AND l_quantity < 24.0e0""",
+    "q_tpch_q7" ->
+      s"""SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           ${decToDouble(s"sum($discountedDec)")} AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+         WHERE (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA')
+            OR (r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA')
+         GROUP BY 1, 2, 3 ORDER BY supp_region, cust_region, l_year""",
+    "q_tpch_q9" ->
+      s"""WITH pf AS (
+           SELECT p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 100 AS BIGINT) * 6
+               AS cost_millis_unit
+           FROM part WHERE p_name LIKE '%gear%'),
+         g AS (
+           SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             ${decToDouble(s"sum($discountedDec)")} AS rev_d,
+             CAST(sum(cost_millis_unit * CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS cost_millis
+           FROM lineitem
+             JOIN pf ON l_partkey = p_partkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2)
+         SELECT nation, o_year,
+           rev_d - CAST(cost_millis AS DOUBLE) / 1000.0e0 AS profit
+         FROM g ORDER BY nation, o_year DESC""",
+    "q_tpch_q11" ->
+      s"""WITH v AS (
+           SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,4))
+               * CAST(l_extendedprice AS DECIMAL(18,4))) AS val_dec
+           FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_7'
+           GROUP BY 1),
+         tot AS (
+           SELECT ${decToDouble("sum(val_dec)")} AS total,
+             CAST(count(*) AS BIGINT) AS n_parts
+           FROM v)
+         SELECT l_partkey, ${decToDouble("val_dec")} AS value
+         FROM v, tot
+         WHERE ${decToDouble("val_dec")} > 1.5e0 * total / CAST(n_parts AS DOUBLE)
+         ORDER BY value DESC, l_partkey""",
+    "q_tpch_q12" ->
+      """SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+             THEN 'FAST' ELSE 'SLOW' END AS ship_band,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1997-01-01'
+         GROUP BY 1 ORDER BY ship_band""",
+    "q_tpch_q14" ->
+      s"""WITH a AS (
+           SELECT
+             ${decToDouble(s"""sum(CASE WHEN p_type = 'PROMO' THEN $discountedDec
+               ELSE CAST(0 AS DECIMAL(18,4)) END)""")} AS promo_d,
+             ${decToDouble(s"sum($discountedDec)")} AS total_d
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= DATE '1996-03-01'
+             AND l_shipdate < DATE '1996-04-01')
+         SELECT (100.0e0 * promo_d) / total_d AS promo_revenue_pct FROM a""",
+    "q_tpch_q15" ->
+      s"""WITH r AS (
+           SELECT l_suppkey, ${decToDouble(s"sum($discountedDec)")}
+             AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= DATE '1996-01-01'
+             AND l_shipdate < DATE '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM r JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+         ORDER BY s_suppkey""",
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type <> 'PROMO'
+           AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0e0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_tpch_q19" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           ${decToDouble(s"sum($discountedDec)")} AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE l_quantity >= 1.0e0 AND l_quantity <= 35.0e0
+           AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 1.0e0 AND 15.0e0)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+                 AND l_quantity BETWEEN 10.0e0 AND 25.0e0)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+                 AND l_quantity BETWEEN 20.0e0 AND 35.0e0))""",
+    "q_tpch_q20" ->
+      """WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+         pairs AS (
+           SELECT p_partkey, l_suppkey, sum(l_quantity) AS pq
+           FROM lineitem JOIN red ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         tot AS (
+           SELECT p_partkey AS tpk, sum(pq) AS tq,
+             CAST(count(*) AS BIGINT) AS ns
+           FROM pairs GROUP BY 1),
+         keep AS (
+           SELECT DISTINCT l_suppkey
+           FROM pairs JOIN tot ON p_partkey = tpk
+           WHERE pq * CAST(ns AS DOUBLE) > 2.0e0 * tq)
+         SELECT s_suppkey, s_name, n_name
+         FROM keep
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY s_suppkey""",
     "q_tpch_q2" ->
       """WITH pf AS (
            SELECT p_partkey, p_name FROM part

@@ -123,6 +123,18 @@ class ExplainSpec extends SparkSpec {
     "q_tpch_q2" -> 3, "q_tpch_q13" -> 3, "q_tpch_q17" -> 2,
     "q_tpch_q18" -> 1, "q_tpch_q22" -> 3,
     "q_linear_quality" -> 1, "q_token_entropy" -> 3,
+    // r10 snapshot, TPC-H completion batch: Q7's 6 are the three
+    // keyed fact-join exchange pairs (li⋈orders, ⋈supplier-region,
+    // ⋈customer-region — the canonical no-stats shape; AQE broadcasts
+    // the dims at runtime); Q20's 4 are the pair aggregate + the
+    // totals regroup + survivor-distinct + nothing over the raw scan
+    // twice (pair frame checkpointed); Q16: anti is broadcast, so the
+    // distinct two-level aggregate + sort; the single-exchange rows
+    // are pure scan-aggregates (Q6/Q14/Q19)
+    "q_tpch_q4" -> 2, "q_tpch_q6" -> 1, "q_tpch_q7" -> 6,
+    "q_tpch_q9" -> 2, "q_tpch_q11" -> 2, "q_tpch_q12" -> 2,
+    "q_tpch_q14" -> 1, "q_tpch_q15" -> 2, "q_tpch_q16" -> 3,
+    "q_tpch_q19" -> 1, "q_tpch_q20" -> 4,
     // q_js_divergence: token agg + per-source totals + the pair-grid
     // expansions and their full-outer token union + per-pair grid sums —
     // every exchange after the first carries (source, token) count rows
