@@ -2016,6 +2016,85 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Learned-filter TRAINING step (the counterpart to
+    // q_linear_quality's inference): one full-batch logistic-regression
+    // gradient step over hashed binary bag-of-words features — the
+    // compute shape of fitting a quality classifier corpus-wide. Every
+    // float hazard is closed: the margin is an exact integer milli-sum
+    // of the (deterministic) weight literals over the doc's active
+    // buckets divided ONCE; the sigmoid is the rational surrogate
+    // 0.5·(1 + m/(1+|m|)) (no libm exp, bit-identical cross-engine);
+    // the per-bucket gradient Σ(σ−y) is grid-summed. Plan: one token
+    // explode → distinct (doc, bucket) → per-doc margin aggregate →
+    // rejoin on doc_id (same key, shared exchange layout) → 32-row
+    // bucket aggregate. At 100 TB: everything is token- or doc-keyed;
+    // only |buckets| rows reach the final group.
+    "q_logreg_step" -> { (s, dir) =>
+      val nBuckets = 32
+      def hexVal(h: Column, i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        (a - when(a >= 97, 87).otherwise(48)).cast(LongType)
+      }
+      // deterministic "current" weights, in exact milli-units
+      def wMilli(b: Column): Column = (b * lit(2654435761L)) % 2001L - 1000L
+      val db = Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("n_chars") >= 400L).as("y"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .select(col("doc_id"), col("y"),
+          ((1 to 8).map { i =>
+            hexVal(md5(concat(lit("b:"), col("token"))), i) *
+              lit(1L << (4 * (8 - i)))
+          }.reduce(_ + _) % nBuckets).as("bucket"))
+        .distinct()
+        .localCheckpoint()
+      val margins = db.groupBy(col("doc_id"), col("y"))
+        .agg(sum(wMilli(col("bucket"))).as("m_milli"))
+      val m = col("m_milli").cast(DoubleType) / lit(1000.0)
+      val sigma = lit(0.5) * (lit(1.0) + m / (lit(1.0) + abs(m)))
+      val scored = margins.select(col("doc_id").as("sd"),
+        (sigma - when(col("y"), 1.0).otherwise(0.0)).as("err"))
+      db.join(scored, col("doc_id") === col("sd"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), exactGridSum(col("err")).as("g"))
+        .select(col("bucket"), col("n_docs"),
+          (wMilli(col("bucket")).cast(DoubleType) / lit(1000.0)).as("w_old"),
+          fromGrid(col("g")).as("grad"),
+          (wMilli(col("bucket")).cast(DoubleType) / lit(1000.0) -
+            lit(0.1) * fromGrid(col("g"))).as("w_new"))
+        .orderBy("bucket")
+    },
+
+    // Differentially-private count release (Laplace mechanism) — the
+    // privacy tier's RELEASE side (q_k_anonymity is the audit side):
+    // per-(source, lang) doc counts plus Laplace(1/ε) noise, ε = 1,
+    // sensitivity 1. The noise draw is a deterministic md5-uniform of
+    // the GROUP KEY (so the whole release is oracle-checkable — a
+    // production run swaps in a real RNG, plan unchanged), inverted
+    // through the standard -sign·ln(1−2|u−½|) transform; the noise is
+    // quantized to 1e-6 via an exact floor (identical bits in, floor
+    // out — no round() ties), so noisy = n + k/1e6 exactly. One
+    // aggregate, |sources|x|langs| rows, noise math on the tiny frame.
+    "q_dp_noise" -> { (s, dir) =>
+      def hexVal(h: Column, i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        (a - when(a >= 97, 87).otherwise(48)).cast(DoubleType)
+      }
+      val counts = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val h = md5(concat(lit("dp:"), col("source"), lit(":"), col("lang")))
+      val u = (1 to 8).map(i =>
+        hexVal(h, i) * lit(1.0 / math.pow(16.0, i))).reduce(_ + _)
+      val t = abs(u - lit(0.5))
+      val lap = -signum(u - lit(0.5)) *
+        log(greatest(lit(1.0) - lit(2.0) * t, lit(1e-12)))
+      counts
+        .select(col("source"), col("lang"), col("n"),
+          (col("n").cast(DoubleType) +
+            floor(lap * lit(1e6) + lit(0.5)) / lit(1e6)).as("noisy_n"))
+        .orderBy("source", "lang")
+    },
+
     // Multimodal: batched fake-decode through the mapPartitions plumbing.
     // The codec is a deterministic stub, so its byte-statistics output IS
     // SQL-reproducible — the oracle re-derives the Arrays.hashCode fold
@@ -2739,9 +2818,77 @@ object TextQueries {
        FROM g ORDER BY source"""
   }
 
+  /** DuckDB twin of q_logreg_step: same md5 bucket fold, same integer
+    * milli-weight literals, same rational-sigmoid expression tree, same
+    * grid-summed gradient.
+    */
+  private def logregStepOracle: String = {
+    val digits = (1 to 8).map { i =>
+      s"""(ascii(substring(md5('b:' || t), $i, 1)) -
+          CASE WHEN ascii(substring(md5('b:' || t), $i, 1)) >= 97
+            THEN 87 ELSE 48 END)
+          * CAST(${1L << (4 * (8 - i))} AS BIGINT)"""
+    }.mkString(" + ")
+    val w = "CAST(((bucket * 2654435761) % 2001) - 1000 AS BIGINT)"
+    s"""WITH db AS (
+         SELECT DISTINCT doc_id, y, (($digits) % 32) AS bucket
+         FROM (SELECT doc_id, n_chars >= 400 AS y,
+                 unnest(string_split(text, ' ')) AS t
+               FROM documents)),
+       m AS (
+         SELECT doc_id, y, CAST(sum($w) AS BIGINT) AS m_milli
+         FROM db GROUP BY 1, 2),
+       sc AS (
+         SELECT doc_id,
+           CAST(m_milli AS DOUBLE) / 1000.0e0 AS md, y
+         FROM m),
+       er AS (
+         SELECT doc_id,
+           0.5e0 * (1.0e0 + md / (1.0e0 + abs(md)))
+             - CASE WHEN y THEN 1.0e0 ELSE 0.0e0 END AS err
+         FROM sc),
+       g AS (
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           ${gridSumSql("err")} AS gs
+         FROM db JOIN er USING (doc_id) GROUP BY 1)
+       SELECT bucket, n_docs,
+         CAST($w AS DOUBLE) / 1000.0e0 AS w_old,
+         gs AS grad,
+         CAST($w AS DOUBLE) / 1000.0e0 - 0.1e0 * gs AS w_new
+       FROM g ORDER BY bucket"""
+  }
+
+  /** DuckDB twin of q_dp_noise: same group-key md5 uniform, the same
+    * Laplace inverse-CDF expression tree, the same exact 1e-6 floor
+    * quantization.
+    */
+  private def dpNoiseOracle: String = {
+    val uTerms = (1 to 8).map { i =>
+      s"""(ascii(substring(hh, $i, 1)) -
+          CASE WHEN ascii(substring(hh, $i, 1)) >= 97 THEN 87 ELSE 48 END)
+          * ${1.0 / math.pow(16.0, i)}"""
+    }.mkString(" + ")
+    s"""WITH c AS (
+         SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2),
+       h AS (
+         SELECT source, lang, n,
+           md5('dp:' || source || ':' || lang) AS hh
+         FROM c),
+       u AS (SELECT source, lang, n, ($uTerms) AS u FROM h)
+       SELECT source, lang, n,
+         CAST(n AS DOUBLE) + floor(
+           (-sign(u - 0.5e0) *
+             ln(greatest(1.0e0 - 2.0e0 * abs(u - 0.5e0), 1e-12)))
+           * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS noisy_n
+       FROM u ORDER BY source, lang"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_linear_quality" -> linearQualityOracle,
     "q_token_entropy" -> tokenEntropyOracle,
+    "q_logreg_step" -> logregStepOracle,
+    "q_dp_noise" -> dpNoiseOracle,
     "q_media_decode" ->
       s"""WITH $fakeCodecCte
          SELECT doc_id AS media_id,

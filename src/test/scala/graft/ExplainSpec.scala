@@ -135,6 +135,9 @@ class ExplainSpec extends SparkSpec {
     "q_tpch_q9" -> 2, "q_tpch_q11" -> 2, "q_tpch_q12" -> 2,
     "q_tpch_q14" -> 1, "q_tpch_q15" -> 2, "q_tpch_q16" -> 3,
     "q_tpch_q19" -> 1, "q_tpch_q20" -> 4,
+    // q_logreg_step: margin aggregate + doc-keyed rejoin off the
+    // checkpointed (doc, bucket) frame + the 32-row bucket aggregate
+    "q_logreg_step" -> 3, "q_dp_noise" -> 2,
     // q_js_divergence: token agg + per-source totals + the pair-grid
     // expansions and their full-outer token union + per-pair grid sums —
     // every exchange after the first carries (source, token) count rows
