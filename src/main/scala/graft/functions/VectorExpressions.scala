@@ -780,7 +780,20 @@ object GraftFunctions {
       (es: Seq[Expression]) => PqTable(es(0), es(1), es(2), es(3))),
     ("graft_pq_score",
       new ExpressionInfo(classOf[PqScore].getName, "graft_pq_score"),
-      (es: Seq[Expression]) => PqScore(es(0), es(1), es(2))))
+      (es: Seq[Expression]) => PqScore(es(0), es(1), es(2))),
+    ("graft_md5_top32",
+      new ExpressionInfo(classOf[Md5Top32].getName, "graft_md5_top32"),
+      (es: Seq[Expression]) => Md5Top32(es(0))),
+    ("graft_weight_sum",
+      new ExpressionInfo(classOf[HashWeightSum].getName, "graft_weight_sum"),
+      (es: Seq[Expression]) => es match {
+        case Seq(arr) => HashWeightSum(arr, "w:", 2001L)
+        case Seq(arr, p, m) => HashWeightSum(arr,
+          constArg("graft_weight_sum", "prefix", p).toString,
+          constLong("graft_weight_sum", "mod", m))
+        case _ => throw new IllegalArgumentException(
+          "graft_weight_sum(tokens[, prefix, mod])")
+      }))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

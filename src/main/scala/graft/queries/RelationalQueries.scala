@@ -1318,10 +1318,16 @@ object RelationalQueries {
 
     // TPC-H Q9 (product type profit), adapted: no partsupp, so supply
     // cost is the synthetic 0.6·p_retailprice per unit — carried as
-    // EXACT integer milli-dollars (retail cents x 6 x integral qty),
-    // summed as BIGINT, so profit = decimal-exact revenue minus one
-    // exact division; no float accumulates anywhere. Name-substring
-    // part filter broadcast-pruned into the fact scan.
+    // EXACT integer milli-dollars (retail cents x 6 x integral qty).
+    // Generator contract (load-bearing for cross-engine exactness): the
+    // cents cast below requires 2-decimal prices — a sub-cent price
+    // would TRUNCATE here but ROUND in DuckDB's BIGINT cast. The cost
+    // accumulates as DecimalType, not BIGINT: Spark's sum(LongType)
+    // wraps silently at 2^63 while DuckDB promotes to HUGEINT, so the
+    // decimal sum (raises on overflow, never wraps) keeps the "exact
+    // integer" invariant data-independent; profit = decimal-exact
+    // revenue minus one exact division, no float accumulates anywhere.
+    // Name-substring part filter broadcast-pruned into the fact scan.
     "q_tpch_q9" -> { (s, dir) =>
       val pf = Tables(s, dir, "part")
         .filter(col("p_name").contains("gear"))
@@ -1343,9 +1349,12 @@ object RelationalQueries {
             col("l_extendedprice").cast(DecimalType(18, 4)) *
               (lit(1).cast(DecimalType(18, 4)) -
                 col("l_discount").cast(DecimalType(18, 4)))).as("rev_d"),
-          sum(col("cost_millis_unit") * col("l_quantity").cast(LongType))
-            .as("cost_millis"))
+          sum((col("cost_millis_unit") * col("l_quantity").cast(LongType))
+            .cast(DecimalType(38, 0))).as("cost_millis"))
         .select(col("n_name").as("nation"), col("o_year"),
+          // Decimal->double is BigDecimal.doubleValue (correctly
+          // rounded), identical to the oracle's BIGINT->DOUBLE for any
+          // in-range sum
           (col("rev_d") - col("cost_millis").cast(DoubleType) / lit(1000.0))
             .as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
@@ -1732,14 +1741,15 @@ object RelationalQueries {
           .cast(LongType).as("cents"))
       val point = base.groupBy("stratum")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      // u via the native graft_md5_top32 kernel: cast(V)/2^32 is the
+      // exact same double as the oracle's 16-adic digit sum (both are
+      // V·2⁻³² with every step exact — HashExpressionsSpec pins it),
+      // at one digest and zero hex-string work per (row, replicate)
       val rep = base.withColumn("b", explode(sequence(lit(1), lit(nB))))
-        .withColumn("pri", md5(concat(lit("bs:"), col("b").cast(StringType),
-          lit(":"), col("o_orderkey").cast(StringType))))
-      val u = (1 to 8).map { i =>
-        val a = ascii(substring(col("pri"), i, 1))
-        (a - when(a >= 97, 87).otherwise(48)).cast(DoubleType) *
-          lit(1.0 / math.pow(16.0, i))
-      }.reduce(_ + _)
+      val u = call_function("graft_md5_top32",
+          concat(lit("bs:"), col("b").cast(StringType),
+            lit(":"), col("o_orderkey").cast(StringType)))
+        .cast(DoubleType) / lit(4294967296.0)
       // Poisson(1) inverse CDF: cumulative literals for w = 0..5
       val w = when(u < lit(0.36787944117144233), 0L)
         .when(u < lit(0.7357588823428847), 1L)
@@ -2834,8 +2844,13 @@ object RelationalQueries {
              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
            GROUP BY c_custkey)
          GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    // decimal sums go to DOUBLE via decToDouble (VARCHAR strtod), not a
+    // direct cast: DuckDB's int128->double path can be 1 ulp off the
+    // correctly-rounded value once the unscaled sum exceeds 2^53 —
+    // harmless on avg_yearly's rounded output but load-bearing for
+    // Q22's avg_bal threshold below, so both use the safe spelling
     "q_tpch_q17" ->
-      """WITH pf AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+      s"""WITH pf AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
          li AS (
            SELECT p_partkey, l_quantity, l_extendedprice
            FROM lineitem JOIN pf ON l_partkey = p_partkey),
@@ -2843,7 +2858,7 @@ object RelationalQueries {
            SELECT p_partkey AS pk, sum(l_quantity) / count(*) AS avg_qty
            FROM li GROUP BY 1)
          SELECT CAST(count(*) AS BIGINT) AS n_lines,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           round(${decToDouble("sum(CAST(l_extendedprice AS DECIMAL(18,4)))")}
              / 7.0e0, 2) AS avg_yearly
          FROM li JOIN av ON p_partkey = pk
          WHERE l_quantity < 0.2e0 * avg_qty""",
@@ -2857,14 +2872,14 @@ object RelationalQueries {
            JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q_tpch_q22" ->
-      """WITH ab AS (
-           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      s"""WITH ab AS (
+           SELECT ${decToDouble("sum(CAST(c_acctbal AS DECIMAL(18,4)))")}
              / count(c_acctbal) AS avg_bal
            FROM customer WHERE c_acctbal > 0.0e0),
          urg AS (SELECT DISTINCT o_custkey FROM orders
                  WHERE o_orderpriority = '1-URGENT')
          SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+           ${decToDouble("sum(CAST(c_acctbal AS DECIMAL(18,4)))")} AS totacctbal
          FROM customer, ab
          WHERE c_acctbal > avg_bal
            AND c_custkey NOT IN (SELECT o_custkey FROM urg)

@@ -1959,25 +1959,18 @@ object TextQueries {
     // doc, keep = sign. Weights are a deterministic hash-derived stand-
     // in (md5 8-hex prefix -> [-1000, 1000]) so the WHOLE inference is
     // oracle-checkable; swapping real trained weights in changes the
-    // literals, not the plan. Scale shape: entirely IN-ROW — split +
-    // transform/aggregate higher-order functions (native expressions,
-    // no UDF), zero shuffles, zero explode; the weight sum is an exact
-    // integer fold, one double division per doc at the end.
+    // literals, not the plan. Scale shape: entirely IN-ROW — zero
+    // shuffles, zero explode; the weight sum is an exact integer fold
+    // via the native codegen'd graft_weight_sum kernel (one md5 per
+    // token — the aggregate() HOF spelling was CodegenFallback and
+    // recomputed the md5 up to 8x per token; HashExpressionsSpec pins
+    // the two forms equal), one double division per doc at the end.
     "q_linear_quality" -> { (s, dir) =>
-      def weight(t: Column): Column = {
-        val h = md5(concat(lit("w:"), t))
-        val v = (1 to 8).map { i =>
-          val a = ascii(substring(h, i, 1))
-          (a - when(a >= 97, 87).otherwise(48)).cast(LongType) *
-            lit(1L << (4 * (8 - i)))
-        }.reduce(_ + _)
-        v % lit(2001L) - lit(1000L)
-      }
       val toks = split(col("text"), " ")
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           size(toks).cast(LongType).as("n_tok"),
-          aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("wsum"))
+          call_function("graft_weight_sum", toks).as("wsum"))
         // NOT rounded: the score is one IEEE division of two exact
         // integers — bit-identical cross-engine as is, while round(…, 6)
         // hits half-way ties (wsum/(1000·n) lands exactly on …5 when n
