@@ -256,4 +256,86 @@ object MultimodalOps {
       }
     })
   }
+
+  /** Decoded audio: container/stream facts plus the amplitude
+    * statistics an audio-quality filter gates on (all samples, all
+    * channels, normalized to [-1, 1]).
+    */
+  case class AudioFeatures(
+      media_id: Long, n_bytes: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, duration_ms: Double, rms: Double,
+      peak: Double)
+
+  /** REAL audio decoding through the JDK's `javax.sound.sampled` — the
+    * audio half of the codec seam with zero added dependencies: WAV
+    * (and AU/AIFF) containers carrying linear PCM decode to actual
+    * samples. Covers the PCM encodings the WAV core defines — 16-bit
+    * signed (either endianness) and 8-bit signed/unsigned — which is
+    * what a scraped-audio training corpus overwhelmingly contains
+    * after transcoding; compressed codecs (MP3/AAC/Opus) remain
+    * deployment-provided, same seam. rms and peak are over normalized
+    * samples across all channels; undecodable bytes throw with the
+    * media_id (wrap in the typed-error-row pattern in production).
+    */
+  object WavPcmCodec extends Serializable {
+    def decode(mediaId: Long, blob: Array[Byte]): AudioFeatures = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(blob))
+        catch { case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"undecodable audio bytes for media_id=$mediaId", e)
+        }
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        require((enc == AudioFormat.Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+          (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8),
+          s"media_id=$mediaId: unsupported encoding $enc/$bits-bit " +
+            "(linear 8/16-bit PCM only; transcode compressed audio upstream)")
+        val channels = fmt.getChannels
+        val bytes = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        val nSamples = bytes.length / bytesPerSample
+        var sumSq = 0.0
+        var peak = 0.0
+        var i = 0
+        while (i < nSamples) {
+          val off = i * bytesPerSample
+          val s =
+            if (bits == 16) {
+              val (lo, hi) =
+                if (fmt.isBigEndian) (bytes(off + 1), bytes(off))
+                else (bytes(off), bytes(off + 1))
+              ((hi << 8) | (lo & 0xff)).toDouble / 32768.0
+            } else if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
+              ((bytes(off) & 0xff) - 128).toDouble / 128.0
+            else bytes(off).toDouble / 128.0
+          sumSq += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        val frames = nSamples.toLong / channels
+        val rate = fmt.getSampleRate.toDouble
+        AudioFeatures(mediaId, blob.length.toLong,
+          sample_rate = math.round(rate).toInt, channels = channels,
+          bits = bits, n_frames = frames,
+          duration_ms = if (rate == 0) 0.0 else frames * 1000.0 / rate,
+          rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
+          peak = peak)
+      } finally ais.close()
+    }
+  }
+
+  /** Batched audio decode through the same mapPartitions plumbing as
+    * [[decodeFeatures]]: one linear pass per blob inside the task, no
+    * shuffle, no driver hop; partition count = decode parallelism.
+    */
+  def audioFeatures(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(r => WavPcmCodec.decode(r.media_id, r.blob)))
+  }
 }

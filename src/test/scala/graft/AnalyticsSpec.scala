@@ -174,4 +174,20 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_pairs") == slopes.length)
     }
   }
+
+  test("q_recursive_cal executes under the shipped JVM flags (add-opens guard)") {
+    // The recursive CTE's anchor materializes a DATE row on the DRIVER,
+    // which reaches sun.util.calendar — the only query in the catalog
+    // that does. Without build.sbt's `--add-opens java.base/
+    // sun.util.calendar=ALL-UNNAMED` it throws EXPRESSION_DECODING_
+    // FAILED while every other query works (observed in the r10 bare-
+    // java sweep). Executing it here makes removing that flag from
+    // build.sbt a test failure, not a one-query phantom regression in
+    // some future bench run.
+    val rows = run("q_recursive_cal").collect()
+    assert(rows.length > 12, s"expected a multi-month spine, got ${rows.length}")
+    // contiguous month spine: every consecutive pair is one month apart
+    val months = rows.map(_.getString(0)).toSeq
+    assert(months == months.sorted && months.distinct == months, months)
+  }
 }

@@ -175,4 +175,79 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(h => h.media_id -> h.phash).toMap
     assert(hashes == Map(1L -> ref(base), 2L -> ref(tiny)))
   }
+
+  /** JDK-encoded WAV bytes: a sine at `freq` Hz, `amp` amplitude,
+    * encoded through AudioSystem.write — so the decode test exercises a
+    * REAL container produced by an independent encoder, not our own
+    * byte layout.
+    */
+  private def sineWav(rate: Int, seconds: Double, freq: Double, amp: Double,
+      channels: Int, bits: Int, signed: Boolean): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val nFrames = (rate * seconds).toInt
+    val bytesPerSample = bits / 8
+    val data = new Array[Byte](nFrames * channels * bytesPerSample)
+    var f = 0
+    while (f < nFrames) {
+      val v = amp * math.sin(2 * math.Pi * freq * f / rate)
+      var c = 0
+      while (c < channels) {
+        val off = (f * channels + c) * bytesPerSample
+        if (bits == 16) {
+          val s = math.round(v * 32767).toInt
+          data(off) = (s & 0xff).toByte // little-endian
+          data(off + 1) = ((s >> 8) & 0xff).toByte
+        } else {
+          val s = math.round(v * 127).toInt
+          data(off) = (if (signed) s else s + 128).toByte
+        }
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, bits, channels, signed, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavPcmCodec decodes real WAV bytes: stream facts + amplitude stats") {
+    // mono 16-bit: a 0.5-amplitude sine has rms amp/sqrt(2), peak ~ amp
+    val mono = sineWav(8000, 1.0, 440.0, 0.5, channels = 1, bits = 16, signed = true)
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, "audio", mono),
+      MediaRow(2L, "audio",
+        sineWav(16000, 0.25, 440.0, 0.9, channels = 2, bits = 16, signed = true)),
+      MediaRow(3L, "audio",
+        sineWav(8000, 0.5, 200.0, 0.5, channels = 1, bits = 8, signed = false))))(
+      Encoders.product[MediaRow])
+    val got = MultimodalOps.audioFeatures(spark, ds)
+      .collect().map(a => a.media_id -> a).toMap
+    val m = got(1L)
+    assert(m.sample_rate == 8000 && m.channels == 1 && m.bits == 16)
+    assert(m.n_frames == 8000L && math.abs(m.duration_ms - 1000.0) < 1e-9)
+    assert(math.abs(m.rms - 0.5 / math.sqrt(2.0)) < 1e-3, m.rms)
+    assert(math.abs(m.peak - 0.5) < 0.01, m.peak)
+    val st = got(2L) // stereo/16k: frames = samples / channels
+    assert(st.sample_rate == 16000 && st.channels == 2 && st.n_frames == 4000L)
+    assert(math.abs(st.duration_ms - 250.0) < 1e-9)
+    assert(math.abs(st.rms - 0.9 / math.sqrt(2.0)) < 1e-3, st.rms)
+    val u8 = got(3L) // 8-bit unsigned path
+    assert(u8.bits == 8 && u8.n_frames == 4000L)
+    assert(math.abs(u8.rms - 0.5 / math.sqrt(2.0)) < 0.01, u8.rms)
+    // WAV written with headers by the JDK encoder: payload > raw PCM
+    assert(m.n_bytes > 16000L)
+  }
+
+  test("WavPcmCodec rejects non-audio bytes with the media_id in the error") {
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.audioFeatures(spark, spark.createDataset(Seq(
+        MediaRow(99L, "audio", Array[Byte](1, 2, 3, 4))))(
+        Encoders.product[MediaRow])).collect()
+    }
+    val msg = String.valueOf(e.getCause).concat(String.valueOf(e.getMessage))
+    assert(msg.contains("99") || e.toString.contains("99"), e.toString)
+  }
 }
