@@ -212,12 +212,21 @@ object TextOps {
 
   /** Character-n-gram language ID: score = number of the text's trigrams
     * found in each language's profile, argmax wins (first listed on
-    * ties), "und" when nothing matches. Same plan shape as [[langId]] —
-    * one pass, one codegen'd CountInSet per language — but keyed on
-    * char n-grams, the classifier family that generalizes past an exact
-    * marker-word list.
+    * ties), "und" when nothing matches — keyed on char n-grams, the
+    * classifier family that generalizes past an exact marker-word list.
+    * One codegen'd pass via the native [[LangIdNgram]] kernel (the HOF
+    * spelling below re-evaluated the interpreted `transform` once per
+    * language in both the argmax and the tie-pick — O(langs²) array
+    * materializations per row).
     */
-  def langIdNgram(c: Column): Column = {
+  def langIdNgram(c: Column): Column =
+    call_function("graft_lang_ngram", lower(c))
+
+  /** The column-tree spelling [[langIdNgram]] replaced — kept for parity
+    * testing (TextOpsSpec pins the two bit-equal), same role as
+    * VectorOps.dotHof.
+    */
+  def langIdNgramHof(c: Column): Column = {
     val grams = charNgrams(lower(c))
     val scores = langTrigramProfiles().map { case (lang, profile) =>
       lang -> countInSet(grams, profile)

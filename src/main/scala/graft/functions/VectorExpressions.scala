@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -561,6 +562,95 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** One-pass character-n-gram language ID (`graft_lang_ngram`): per
+  * text, slide an n-char window, look each gram up in a prebuilt
+  * gram → language-bitmask map, accumulate per-language counts, and
+  * return the argmax label (first-listed wins ties, "und" when nothing
+  * scores). Bit-equal to the column-tree spelling in
+  * TextOps.langIdNgramHof — `charNgrams` (an interpreted `transform`
+  * HOF) counted per language via CountInSet, where the HOF re-evaluates
+  * once per language in BOTH the `greatest` and the `when` chain, i.e.
+  * O(langs²) interpreted array materializations per row; this kernel is
+  * one codegen'd pass with zero array materialization. Tie-break and
+  * the count-every-occurrence semantics match exactly (TextOpsSpec pins
+  * parity). Null input yields "und", not null — the HOF form's
+  * `when(length >= n, …).otherwise(empty)` coerced null texts to the
+  * no-score path, and the DuckDB oracle reproduces that.
+  */
+case class LangIdNgram(child: Expression,
+    profiles: Seq[(String, Seq[String])], n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(profiles.nonEmpty && profiles.size <= 64,
+    s"graft_lang_ngram supports 1..64 languages, got ${profiles.size}")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_lang_ngram"
+
+  @transient private lazy val langStrs: Array[UTF8String] =
+    profiles.map(p => UTF8String.fromString(p._1)).toArray
+  private val und = UTF8String.fromString("und")
+  @transient private lazy val gramMask: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+    profiles.zipWithIndex.foreach { case ((_, grams), i) =>
+      grams.foreach { g =>
+        require(g.length == n, s"profile gram '$g' is not $n chars")
+        m.merge(UTF8String.fromString(g), java.lang.Long.valueOf(1L << i),
+          (a, b) => java.lang.Long.valueOf(a.longValue() | b.longValue()))
+      }
+    }
+    m
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(s: UTF8String): UTF8String = {
+    if (s == null) return und
+    val nc = s.numChars()
+    val counts = new Array[Long](langStrs.length)
+    var i = 0
+    while (i <= nc - n) {
+      val mask = gramMask.get(s.substring(i, i + n))
+      if (mask != null) {
+        var m = mask.longValue()
+        while (m != 0) {
+          counts(java.lang.Long.numberOfTrailingZeros(m)) += 1
+          m &= m - 1
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var bestScore = 0L
+    var j = 0
+    while (j < counts.length) {
+      // strictly greater: the FIRST language at the max keeps the win
+      if (counts(j) > bestScore) { bestScore = counts(j); best = j }
+      j += 1
+    }
+    if (best < 0) und else langStrs(best)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("langIdNgram", this, classOf[LangIdNgram].getName)
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        UTF8String ${ev.value} = $ref.compute(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleHashes {
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
@@ -784,6 +874,10 @@ object GraftFunctions {
     ("graft_md5_top32",
       new ExpressionInfo(classOf[Md5Top32].getName, "graft_md5_top32"),
       (es: Seq[Expression]) => Md5Top32(es(0))),
+    ("graft_lang_ngram",
+      new ExpressionInfo(classOf[LangIdNgram].getName, "graft_lang_ngram"),
+      (es: Seq[Expression]) =>
+        LangIdNgram(es(0), TextOps.langTrigramProfiles(), 3)),
     ("graft_weight_sum",
       new ExpressionInfo(classOf[HashWeightSum].getName, "graft_weight_sum"),
       (es: Seq[Expression]) => es match {

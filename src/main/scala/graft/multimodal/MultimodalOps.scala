@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * batch iteration via `mapPartitions` over a typed Dataset (the Scala
   * analog of `mapInPandas`: one iterator in, one iterator out, arbitrary
   * per-batch native work inside). IMAGE decode is real ([[ImageIoCodec]]
-  * over the in-JDK `javax.imageio`); audio/video decode stays STUBBED
-  * with a deterministic fake ([[FakeCodec]] — those codecs are not
-  * shipped in this container), and swapping it for a real JNI/javacv
+  * over the in-JDK `javax.imageio`); AUDIO decode is real for linear
+  * PCM ([[WavPcmCodec]] over the in-JDK `javax.sound.sampled`); VIDEO
+  * (and compressed-audio) decode stays STUBBED with a deterministic
+  * fake ([[FakeCodec]] — no in-JDK decoder exists and those codecs are
+  * not shipped in this container), and swapping in a real JNI/javacv
   * decoder changes no plan shape.
   */
 object MultimodalOps {

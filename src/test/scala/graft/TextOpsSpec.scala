@@ -89,6 +89,33 @@ class TextOpsSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "und"))
   }
 
+  test("native graft_lang_ngram is bit-equal to the HOF spelling it replaced") {
+    // real documents (every profile gram + none), mixed-language texts
+    // (tie-break order), upper case (the lower() wrap), multi-byte chars
+    // (char-indexed, not byte-indexed, n-gram windows), sub-trigram and
+    // empty strings
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text").as("t")).limit(300)
+      .unionAll(Seq(
+        "THE cat UND der hund", "le el le el", "schön größe straße",
+        "ñañañaña", "xq", "", "und der ist le est el es the and")
+        .toDF("t"))
+    val r = texts.select(
+      TextOps.langIdNgram(col("t")).as("nat"),
+      TextOps.langIdNgramHof(col("t")).as("hof")).collect()
+    r.foreach(row => assert(row.getString(0) == row.getString(1), row))
+    // null text: the HOF form coerces to the no-score path -> "und"
+    val nr = Seq(Option.empty[String]).toDF("t").select(
+      TextOps.langIdNgram(col("t")).as("nat"),
+      TextOps.langIdNgramHof(col("t")).as("hof")).head()
+    assert(nr.getString(0) == "und" && nr.getString(1) == "und")
+    // the kernel stays inside WholeStageCodegen (the point of the rewrite)
+    val plan = spark.range(10).select(col("id").cast("string").as("t"))
+      .select(TextOps.langIdNgram(col("t")).as("l"))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[graft_lang_ngram".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("quality score stays in [0,1] on real documents") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val mm = d.select(
