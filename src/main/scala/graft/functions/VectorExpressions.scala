@@ -898,8 +898,11 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.fns.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer tier: HOF-spelling -> native-kernel rewrites
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
+  }
 }

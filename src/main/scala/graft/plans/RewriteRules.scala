@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.DotProduct
+
+/** Catalyst optimizer rule (injected via GraftExtensions): rewrite the
+  * portable higher-order-function dot-product spelling
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)
+  *
+  * into the native codegen'd [[graft.functions.DotProduct]] kernel. The
+  * HOF form is what users write in engine-agnostic SQL (it is also this
+  * repo's own oracle spelling, `list_sum(list_transform(...))` on the
+  * DuckDB side) — and on Spark it is CodegenFallback: per row it
+  * materializes the zipped array and interprets two lambdas per element.
+  * The kernel is the identical sequential left fold (bit-identical
+  * doubles — VectorExpressionsSpec pins `dot == dotHof`) as one fused
+  * loop inside WholeStageCodegen.
+  *
+  * Soundness guards (the rewrite must be SEMANTICS-preserving for every
+  * query, not just the vector tier's):
+  *  - both inputs are `array<double>` with `containsNull = false` —
+  *    with a null element the HOF form returns null (null product
+  *    poisons the fold) while the kernel reads primitives; nullable
+  *    element types are left untouched;
+  *  - the zero literal is exactly 0.0d (a different seed changes the
+  *    fold);
+  *  - multiply/add operand order is checked by lambda-variable exprId —
+  *    either order matches, since IEEE multiply and two-operand add are
+  *    commutative (associativity is NOT assumed: the kernel folds left
+  *    to right exactly like ArrayAggregate);
+  *  - the finish lambda is the identity.
+  *
+  * A null ARRAY (vs element) stays null in both forms. ANSI eval modes
+  * on Multiply/Add don't change double arithmetic (no overflow error
+  * path for doubles), so the match ignores `evalMode`.
+  */
+object RewriteHofDot extends Rule[LogicalPlan] {
+
+  private def nonNullDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  private def sameVars(a: Expression, b: Expression,
+      va: NamedLambdaVariable, vb: NamedLambdaVariable): Boolean =
+    (a, b) match {
+      case (x: NamedLambdaVariable, y: NamedLambdaVariable) =>
+        (x.exprId == va.exprId && y.exprId == vb.exprId) ||
+          (x.exprId == vb.exprId && y.exprId == va.exprId)
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(l, r,
+              LambdaFunction(Multiply(mx, my, _),
+                Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(Add(ax, av, _),
+              Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable,
+              Seq(fv: NamedLambdaVariable), _))
+          if zero == 0.0 && nonNullDoubleArray(l) && nonNullDoubleArray(r) &&
+            sameVars(mx, my, zx, zy) && sameVars(ax, av, acc, v) &&
+            fin.exprId == fv.exprId =>
+        DotProduct(l, r)
+    }
+}

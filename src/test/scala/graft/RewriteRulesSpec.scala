@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** The injected optimizer tier (GraftExtensions.injectOptimizerRule):
+  * RewriteHofDot turns the portable HOF dot-product spelling into the
+  * codegen'd graft_dot kernel — and, just as important, REFUSES to when
+  * the rewrite wouldn't be semantics-preserving.
+  */
+class RewriteRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // spark.range doubles are non-nullable, so CreateArray infers
+  // array<double> with containsNull = false — the rewrite's green path
+  private def nonNullArrays = spark.range(50).select(
+    array(col("id").cast("double"), (col("id") * 2).cast("double")).as("a"),
+    array((col("id") + 1).cast("double"), (col("id") - 3).cast("double")).as("b"))
+
+  test("HOF dot over non-nullable arrays is rewritten to graft_dot") {
+    val df = nonNullArrays.select(VectorOps.dotHof(col("a"), col("b")).as("d"))
+    assert(planOf(df).contains("graft_dot"), planOf(df))
+    assert(!planOf(df).contains("aggregate("), planOf(df))
+    // and the values are the kernel's exactly
+    val both = nonNullArrays.select(
+      VectorOps.dotHof(col("a"), col("b")).as("h"),
+      VectorOps.dot(col("a"), col("b")).as("n")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("swapped multiply/add operand order still matches (IEEE-commutative)") {
+    val swapped = nonNullArrays.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => y * x),
+        lit(0.0), (acc, v) => v + acc).as("d"))
+    assert(planOf(swapped).contains("graft_dot"), planOf(swapped))
+  }
+
+  test("nullable element type is NOT rewritten and null poisoning is preserved") {
+    // when() makes the element nullable -> containsNull = true
+    val df = spark.range(4).select(
+      array(when(col("id") === 2, lit(null)).otherwise(col("id"))
+        .cast("double"), lit(1.0)).as("a"),
+      array(lit(2.0), lit(3.0)).as("b"))
+    val q = df.select(col("a"), VectorOps.dotHof(col("a"), col("b")).as("d"))
+    assert(!planOf(q).contains("graft_dot"), planOf(q))
+    val rows = q.collect()
+    // the row with the null element keeps the HOF's null-poisoned result
+    assert(rows.count(_.isNullAt(1)) == 1, rows.mkString(";"))
+  }
+
+  test("a non-zero fold seed is NOT rewritten") {
+    val df = nonNullArrays.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(1.5), (acc, v) => acc + v).as("d"))
+    assert(!planOf(df).contains("graft_dot"), planOf(df))
+  }
+
+  test("a non-product lambda is NOT rewritten") {
+    val df = nonNullArrays.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x + y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!planOf(df).contains("graft_dot"), planOf(df))
+  }
+
+  test("the rewrite also fires through the SQL surface") {
+    nonNullArrays.createOrReplaceTempView("graft_rrs_vecs")
+    val df = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * y),
+        |  cast(0.0 as double), (acc, v) -> acc + v) AS d
+        |FROM graft_rrs_vecs""".stripMargin)
+    assert(planOf(df).contains("graft_dot"), planOf(df))
+  }
+}

@@ -12,6 +12,14 @@ class VectorExpressionsSpec extends SparkSpec {
     (Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1))).toDF("a", "b")
 
   test("native graft_dot/graft_cosine are bit-identical to the HOF fold") {
+    // keep the HOF side a REAL higher-order fold: RewriteHofDot would
+    // otherwise rewrite it into the very kernel under test
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.RewriteHofDot")
+    try testParity()
+    finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  private def testParity(): Unit = {
     val r = vecs.select(
       VectorOps.dot(col("a"), col("b")).as("dn"),
       VectorOps.dotHof(col("a"), col("b")).as("dh"),
