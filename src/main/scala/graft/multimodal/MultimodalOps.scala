@@ -340,4 +340,22 @@ object MultimodalOps {
     import spark.implicits._
     media.mapPartitions(_.map(r => WavPcmCodec.decode(r.media_id, r.blob)))
   }
+
+  /** Encode raw 8-bit unsigned PCM samples into a WAV container through
+    * the JDK's own encoder (`AudioSystem.write`) — the counterpart of
+    * [[WavPcmCodec]], used where the pipeline needs real audio BYTES
+    * (the testdata ships none): q_audio_decode synthesizes one WAV per
+    * document from its text bytes and decodes it back, so the
+    * encode→container→decode roundtrip is exercised end to end and the
+    * amplitude stats stay closed-form oracle-checkable.
+    */
+  def pcmU8ToWav(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 8, 1, false, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 }

@@ -2110,6 +2110,41 @@ object TextQueries {
           col("n_frames").cast(LongType).as("n_frames"),
           col("mean_intensity"))
         .orderBy("media_id")
+    },
+
+    // Multimodal AUDIO, oracle-checked end to end THROUGH a real WAV
+    // container: each doc's utf-8 text bytes become 8-bit unsigned PCM
+    // samples, encoded into WAV by the JDK's own encoder
+    // (AudioSystem.write) and decoded back by WavPcmCodec
+    // (javax.sound.sampled) inside one mapPartitions pass — no shuffle,
+    // no driver hop, real container bytes in between. Because the
+    // samples ARE the text bytes, every decoded stat has a closed form
+    // the oracle re-derives per char (the generator text is ASCII, so
+    // chars == bytes — a non-ASCII regeneration would fail the gate
+    // loudly): n_frames = octet_length, rms/peak over (byte−128)/128
+    // with the identical IEEE op order, and n_bytes = samples + the
+    // 44-byte canonical RIFF header, which pins the container
+    // roundtrip itself.
+    "q_audio_decode" -> { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      val feats = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+        .mapPartitions(_.map { case (id, text) =>
+          MultimodalOps.WavPcmCodec.decode(id,
+            MultimodalOps.pcmU8ToWav(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8), 8000))
+        })(Encoders.product[MultimodalOps.AudioFeatures])
+      feats.toDF()
+        .select(col("media_id").as("doc_id"), col("n_bytes"),
+          col("sample_rate").cast(LongType).as("sample_rate"),
+          col("channels").cast(LongType).as("channels"),
+          col("bits").cast(LongType).as("bits"),
+          col("n_frames"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("rms"), 6).as("rms"),
+          round(col("peak"), 6).as("peak"))
+        .orderBy("doc_id")
     })
 
   /** DuckDB twin of [[TextOps.langIdNgram]], with the same deterministic
@@ -2904,6 +2939,31 @@ object TextQueries {
                 ELSE least(16, n - (idx % n)) END AS BIGINT) AS n_frame_bytes
          FROM vids, unnest(range(0, n_frames, 50)) AS u(idx)
          ORDER BY media_id, frame_idx""",
+    // closed-form twin of the WAV encode->decode roundtrip: samples are
+    // the (ASCII) text bytes as 8-bit unsigned PCM; the per-char fold
+    // mirrors WavPcmCodec's sequential sum-of-squares exactly (divide
+    // THEN square, left fold, one final division + sqrt)
+    "q_audio_decode" ->
+      """SELECT doc_id,
+           CAST(strlen(text) + 44 AS BIGINT) AS n_bytes,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(8 AS BIGINT) AS bits,
+           CAST(strlen(text) AS BIGINT) AS n_frames,
+           round(strlen(text) * 1000.0e0 / 8000.0e0, 6) AS duration_ms,
+           CASE WHEN strlen(text) = 0 THEN 0.0e0
+             ELSE round(sqrt(list_sum(list_transform(
+               range(1, strlen(text) + 1),
+               i -> ((ascii(substring(text, i, 1)) - 128) / 128.0e0)
+                  * ((ascii(substring(text, i, 1)) - 128) / 128.0e0)))
+               / strlen(text)), 6)
+           END AS rms,
+           CASE WHEN strlen(text) = 0 THEN 0.0e0
+             ELSE round(list_max(list_transform(
+               range(1, strlen(text) + 1),
+               i -> abs(ascii(substring(text, i, 1)) - 128) / 128.0e0)), 6)
+           END AS peak
+         FROM documents ORDER BY doc_id""",
     "q_dsir" ->
       s"""WITH toks AS (
            SELECT doc_id, source = 'src0' AS is_t,
