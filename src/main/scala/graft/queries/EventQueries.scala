@@ -1113,7 +1113,7 @@ object EventQueries {
     "q_tumbling_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q_sliding_window" ->
       """WITH shifted AS (
@@ -1139,7 +1139,7 @@ object EventQueries {
            FROM flagged)
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
          FROM sessions GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
@@ -1159,7 +1159,7 @@ object EventQueries {
          SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM sessions GROUP BY user_id, session_id
          ORDER BY user_id, session_start""",
     // ordering by epoch_us matches Spark's micros view of the nanos
@@ -1338,7 +1338,7 @@ object EventQueries {
     "q_gap_fill" ->
       """WITH h AS (
            SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v
            FROM events GROUP BY 1, 2),
          sp AS (
            SELECT user_id,

@@ -227,13 +227,13 @@ object ReferenceQueries {
          FROM events ORDER BY event_id""",
     "q_dim_join" ->
       """SELECT r_name, count(*) AS n_customers,
-         CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
     "q_status_filter" ->
       """SELECT user_id, count(*) AS n_errors,
-         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events WHERE event_type = 'error'
          GROUP BY user_id ORDER BY user_id""",
     "q_json_extract" ->
@@ -249,13 +249,13 @@ object ReferenceQueries {
            ('CLICK', 'engagement'), ('View', 'engagement'),
            ('Purchase', 'conversion'), ('ERROR', 'ops'), ('signup', 'growth'))
          SELECT category, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events e JOIN dim d ON lower(e.event_type) = lower(d.code)
          GROUP BY category ORDER BY category""",
     "q_variant_extract" ->
       """SELECT event_type AS t, count(*) AS n,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events
          WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
          GROUP BY event_type ORDER BY t""")

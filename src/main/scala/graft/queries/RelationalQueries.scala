@@ -2190,7 +2190,7 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders o
          WHERE o_totalprice > 1.5 * (
-           SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                   / count(*) FROM orders i
            WHERE i.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
@@ -2239,17 +2239,17 @@ object RelationalQueries {
          GROUP BY token HAVING count(DISTINCT doc_id) >= 100 ORDER BY token""",
     "q_skew_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
           ${decToDouble(s"sum($discountedDec)")} AS sum_disc_price,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
-          CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(l_quantity) AS avg_qty,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+          CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(l_discount) AS avg_disc,
           count(*) AS count_order
           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
           GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
@@ -2320,7 +2320,7 @@ object RelationalQueries {
          ORDER BY st.o_orderstatus, pr.o_orderpriority""",
     "q_range_join" ->
       """SELECT p_partkey, count(*) AS n_matches,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN part
            ON l_extendedprice >= p_retailprice - 10 AND l_extendedprice <= p_retailprice + 10
          GROUP BY p_partkey ORDER BY p_partkey""",
@@ -2336,7 +2336,7 @@ object RelationalQueries {
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
          count(*) AS n_customers,
-         CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""",
@@ -2344,20 +2344,20 @@ object RelationalQueries {
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                 coalesce(l_linestatus, 'ALL') AS linestatus,
          count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
                 coalesce(o_orderpriority, 'ALL') AS priority,
          count(*) AS n,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
          FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY status, priority""",
     "q_count_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
          count(*) AS n_orders,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_window_rank" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
@@ -2368,9 +2368,9 @@ object RelationalQueries {
          WHERE rk <= 3 ORDER BY o_custkey, rk""",
     "q_window_running" ->
       """SELECT user_id, event_id,
-         CAST(sum(CAST(value AS DECIMAL(18,4)))
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,4)))
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_value,
          count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
          FROM events ORDER BY user_id, event_id""",
