@@ -119,7 +119,16 @@ object ScaleSmoke {
     // inference tier: value-grid aggregates (KS/U on the shared grid
     // domain, CUPED's per-user frame, weekly LTV) — all partial-agg
     // bound, none holds per-key state that grows with the corpus
-    "q_ks_test", "q_mannwhitney", "q_cuped", "q_lag_corr", "q_cohort_ltv")
+    "q_ks_test", "q_mannwhitney", "q_cuped", "q_lag_corr", "q_cohort_ltv",
+    // r11 additions — the de-interpreted kernels and the WAV roundtrip,
+    // all pure per-row document passes that must track the scan:
+    // linear-quality's weight fold (one md5/token via graft_weight_sum),
+    // language ID (one n-char window pass via graft_lang_ngram), and
+    // audio encode->decode (two linear passes per doc through the JDK
+    // codec). q_bootstrap stays out: it runs on orders, which this
+    // smoke does not clone — it would time a 1x table and report a
+    // meaningless flat factor.
+    "q_linear_quality", "q_lang_ngram", "q_audio_decode")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated

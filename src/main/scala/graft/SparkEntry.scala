@@ -61,5 +61,7 @@ object SparkEntry {
     "q_tpch_q22", "q_linear_quality", "q_token_entropy",
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q9", "q_tpch_q11",
     "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q19",
-    "q_tpch_q20", "q_logreg_step", "q_dp_noise")
+    "q_tpch_q20", "q_logreg_step", "q_dp_noise",
+    // r11 additions: the de-interpreted kernels and the WAV roundtrip
+    "q_bootstrap", "q_lang_ngram", "q_audio_decode")
 }

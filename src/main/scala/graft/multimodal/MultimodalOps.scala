@@ -268,19 +268,90 @@ object MultimodalOps {
       bits: Int, n_frames: Long, duration_ms: Double, rms: Double,
       peak: Double)
 
-  /** REAL audio decoding through the JDK's `javax.sound.sampled` — the
-    * audio half of the codec seam with zero added dependencies: WAV
-    * (and AU/AIFF) containers carrying linear PCM decode to actual
-    * samples. Covers the PCM encodings the WAV core defines — 16-bit
-    * signed (either endianness) and 8-bit signed/unsigned — which is
-    * what a scraped-audio training corpus overwhelmingly contains
-    * after transcoding; compressed codecs (MP3/AAC/Opus) remain
-    * deployment-provided, same seam. rms and peak are over normalized
-    * samples across all channels; undecodable bytes throw with the
-    * media_id (wrap in the typed-error-row pattern in production).
+  /** REAL audio decoding — the audio half of the codec seam with zero
+    * added dependencies: WAV (and AU/AIFF) containers carrying linear
+    * PCM decode to actual samples. Covers the PCM encodings the WAV
+    * core defines — 16-bit signed (either endianness) and 8-bit
+    * signed/unsigned — which is what a scraped-audio training corpus
+    * overwhelmingly contains after transcoding; compressed codecs
+    * (MP3/AAC/Opus) remain deployment-provided, same seam. rms and
+    * peak are over normalized samples across all channels; undecodable
+    * bytes throw with the media_id (wrap in the typed-error-row
+    * pattern in production).
+    *
+    * SCALE-CRITICAL: canonical RIFF/WAVE bytes take a hand-rolled
+    * header parse, NOT `AudioSystem.getAudioInputStream` — the JDK's
+    * provider registry synchronizes every lookup, which serializes all
+    * task threads under `mapPartitions` (measured: the 100x corpus
+    * smoke ran at 134x wall — i.e. ZERO parallel speedup on 32 cores —
+    * before this fast path; ~13x after). The parse is proven
+    * result-identical to the AudioSystem route on JDK-encoded files in
+    * MultimodalSpec; non-WAV containers (AU/AIFF) still fall back to
+    * AudioSystem.
     */
   object WavPcmCodec extends Serializable {
-    def decode(mediaId: Long, blob: Array[Byte]): AudioFeatures = {
+
+    def decode(mediaId: Long, blob: Array[Byte]): AudioFeatures =
+      if (isRiffWave(blob)) decodeRiff(mediaId, blob)
+      else decodeViaAudioSystem(mediaId, blob)
+
+    private def isRiffWave(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    /** Canonical RIFF walk: fmt chunk for the stream facts, data chunk
+      * for the samples. WAV stores 8-bit PCM unsigned and 16-bit PCM
+      * signed little-endian (the container defines it, so no encoding
+      * flag exists to read).
+      */
+    private def decodeRiff(mediaId: Long, b: Array[Byte]): AudioFeatures = {
+      var off = 12
+      var haveFmt = false
+      var fmtCode = 0
+      var channels = 0
+      var rate = 0
+      var bits = 0
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= b.length && (dataOff < 0 || !haveFmt)) {
+        val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = u32(b, off + 4).toInt
+        val body = off + 8
+        id match {
+          case "fmt " =>
+            require(size >= 16, s"media_id=$mediaId: truncated fmt chunk")
+            fmtCode = u16(b, body)
+            channels = u16(b, body + 2)
+            rate = u32(b, body + 4).toInt
+            bits = u16(b, body + 14)
+            haveFmt = true
+          case "data" =>
+            dataOff = body
+            dataLen = math.min(size, b.length - body)
+          case _ => ()
+        }
+        off = body + size + (size & 1) // chunks pad to even
+      }
+      require(haveFmt && dataOff >= 0,
+        s"media_id=$mediaId: RIFF/WAVE without fmt+data chunks")
+      require(fmtCode == 1 && (bits == 8 || bits == 16) && channels > 0,
+        s"media_id=$mediaId: unsupported WAV format code=$fmtCode/$bits-bit " +
+          "(linear 8/16-bit PCM only; transcode compressed audio upstream)")
+      features(mediaId, b.length.toLong, b, dataOff, dataLen, bits,
+        bigEndian = false, unsigned8 = true, rate.toDouble, channels)
+    }
+
+    /** Non-WAV containers (AU/AIFF): the JDK provider route — correct,
+      * but its synchronized registry makes it the slow path.
+      */
+    private def decodeViaAudioSystem(mediaId: Long, blob: Array[Byte]): AudioFeatures = {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       val ais =
         try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(blob))
@@ -296,38 +367,47 @@ object MultimodalOps {
           (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8),
           s"media_id=$mediaId: unsupported encoding $enc/$bits-bit " +
             "(linear 8/16-bit PCM only; transcode compressed audio upstream)")
-        val channels = fmt.getChannels
         val bytes = ais.readAllBytes()
-        val bytesPerSample = bits / 8
-        val nSamples = bytes.length / bytesPerSample
-        var sumSq = 0.0
-        var peak = 0.0
-        var i = 0
-        while (i < nSamples) {
-          val off = i * bytesPerSample
-          val s =
-            if (bits == 16) {
-              val (lo, hi) =
-                if (fmt.isBigEndian) (bytes(off + 1), bytes(off))
-                else (bytes(off), bytes(off + 1))
-              ((hi << 8) | (lo & 0xff)).toDouble / 32768.0
-            } else if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
-              ((bytes(off) & 0xff) - 128).toDouble / 128.0
-            else bytes(off).toDouble / 128.0
-          sumSq += s * s
-          val a = math.abs(s)
-          if (a > peak) peak = a
-          i += 1
-        }
-        val frames = nSamples.toLong / channels
-        val rate = fmt.getSampleRate.toDouble
-        AudioFeatures(mediaId, blob.length.toLong,
-          sample_rate = math.round(rate).toInt, channels = channels,
-          bits = bits, n_frames = frames,
-          duration_ms = if (rate == 0) 0.0 else frames * 1000.0 / rate,
-          rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
-          peak = peak)
+        features(mediaId, blob.length.toLong, bytes, 0, bytes.length, bits,
+          fmt.isBigEndian, enc == AudioFormat.Encoding.PCM_UNSIGNED,
+          fmt.getSampleRate.toDouble, fmt.getChannels)
       } finally ais.close()
+    }
+
+    /** Shared amplitude kernel — one sequential pass, identical IEEE op
+      * order on both container routes (and in the DuckDB oracle).
+      */
+    private def features(mediaId: Long, nBytes: Long, bytes: Array[Byte],
+        from: Int, len: Int, bits: Int, bigEndian: Boolean,
+        unsigned8: Boolean, rate: Double, channels: Int): AudioFeatures = {
+      val bytesPerSample = bits / 8
+      val nSamples = len / bytesPerSample
+      var sumSq = 0.0
+      var peak = 0.0
+      var i = 0
+      while (i < nSamples) {
+        val off = from + i * bytesPerSample
+        val s =
+          if (bits == 16) {
+            val (lo, hi) =
+              if (bigEndian) (bytes(off + 1), bytes(off))
+              else (bytes(off), bytes(off + 1))
+            ((hi << 8) | (lo & 0xff)).toDouble / 32768.0
+          } else if (unsigned8)
+            ((bytes(off) & 0xff) - 128).toDouble / 128.0
+          else bytes(off).toDouble / 128.0
+        sumSq += s * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 1
+      }
+      val frames = nSamples.toLong / channels
+      AudioFeatures(mediaId, nBytes,
+        sample_rate = math.round(rate).toInt, channels = channels,
+        bits = bits, n_frames = frames,
+        duration_ms = if (rate == 0) 0.0 else frames * 1000.0 / rate,
+        rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
+        peak = peak)
     }
   }
 
@@ -350,6 +430,34 @@ object MultimodalOps {
     * amplitude stats stay closed-form oracle-checkable.
     */
   def pcmU8ToWav(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+    // canonical 44-byte RIFF header written directly — BYTE-IDENTICAL
+    // to AudioSystem.write's output (pinned in MultimodalSpec), but
+    // without the JDK provider registry, whose synchronized lookups
+    // serialize mapPartitions task threads (see WavPcmCodec scaladoc)
+    val n = samples.length
+    val out = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(36 + n)
+    out.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(16) // PCM fmt chunk size
+    out.putShort(1) // format code: linear PCM
+    out.putShort(1) // channels
+    out.putInt(sampleRate)
+    out.putInt(sampleRate) // byte rate = rate * channels * 1 byte/sample
+    out.putShort(1) // block align
+    out.putShort(8) // bits/sample (8-bit PCM is unsigned by the spec)
+    out.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(n)
+    out.put(samples)
+    out.array()
+  }
+
+  /** The JDK-encoder reference for [[pcmU8ToWav]] — kept so the spec can
+    * pin the hand-rolled header byte-identical to `AudioSystem.write`.
+    */
+  def pcmU8ToWavViaAudioSystem(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val fmt = new AudioFormat(sampleRate.toFloat, 8, 1, false, false)
     val ais = new AudioInputStream(

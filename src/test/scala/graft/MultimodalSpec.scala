@@ -241,6 +241,67 @@ class MultimodalSpec extends SparkSpec {
     assert(m.n_bytes > 16000L)
   }
 
+  test("pcmU8ToWav header is byte-identical to AudioSystem.write") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 7, 1000, 4097); rate <- Seq(8000, 44100)) {
+      val pcm = Array.fill(n)(rnd.nextInt(256).toByte)
+      val ours = MultimodalOps.pcmU8ToWav(pcm, rate)
+      val jdk = MultimodalOps.pcmU8ToWavViaAudioSystem(pcm, rate)
+      assert(java.util.Arrays.equals(ours, jdk), s"n=$n rate=$rate")
+    }
+  }
+
+  test("RIFF fast path agrees with the container facts AudioSystem reads") {
+    // The hand-rolled header parse (the scale fast path — AudioSystem's
+    // synchronized provider registry serialized mapPartitions threads,
+    // 134x wall at the 100x smoke) must report the same stream facts
+    // AudioSystem itself reads from identical bytes; the amplitude
+    // stats are covered by the closed-form sine checks above, which
+    // also travel the fast path now.
+    val wavs = Seq(
+      sineWav(8000, 0.3, 440.0, 0.5, channels = 1, bits = 8, signed = false),
+      sineWav(8000, 0.3, 440.0, 0.7, channels = 1, bits = 16, signed = true),
+      sineWav(16000, 0.2, 200.0, 0.4, channels = 2, bits = 16, signed = true),
+      MultimodalOps.pcmU8ToWav("hello wav".getBytes("UTF-8"), 8000),
+      MultimodalOps.pcmU8ToWav(Array.emptyByteArray, 8000))
+    wavs.zipWithIndex.foreach { case (w, i) =>
+      val fast = MultimodalOps.WavPcmCodec.decode(i.toLong, w)
+      import javax.sound.sampled.AudioSystem
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(w))
+      val fmt = ais.getFormat
+      val nPcm = ais.readAllBytes().length
+      ais.close()
+      assert(fast.sample_rate == math.round(fmt.getSampleRate), s"wav $i")
+      assert(fast.channels == fmt.getChannels, s"wav $i")
+      assert(fast.bits == fmt.getSampleSizeInBits, s"wav $i")
+      assert(fast.n_frames ==
+        nPcm.toLong / (fmt.getSampleSizeInBits / 8) / fmt.getChannels, s"wav $i")
+    }
+  }
+
+  test("non-WAV containers fall back to AudioSystem (AIFF, big-endian PCM)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit big-endian signed mono sine in an AIFF container
+    val rate = 8000
+    val n = 2400
+    val data = new Array[Byte](n * 2)
+    var f = 0
+    while (f < n) {
+      val s = math.round(0.5 * math.sin(2 * math.Pi * 440.0 * f / rate) * 32767).toInt
+      data(2 * f) = ((s >> 8) & 0xff).toByte // big-endian
+      data(2 * f + 1) = (s & 0xff).toByte
+      f += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, true)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+    val a = MultimodalOps.WavPcmCodec.decode(7L, bos.toByteArray)
+    assert(a.sample_rate == rate && a.channels == 1 && a.bits == 16)
+    assert(a.n_frames == n.toLong)
+    assert(math.abs(a.rms - 0.5 / math.sqrt(2.0)) < 1e-3, a.rms)
+  }
+
   test("WavPcmCodec rejects non-audio bytes with the media_id in the error") {
     val e = intercept[org.apache.spark.SparkException] {
       MultimodalOps.audioFeatures(spark, spark.createDataset(Seq(
