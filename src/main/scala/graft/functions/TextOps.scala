@@ -52,16 +52,23 @@ object TextOps {
     call_function("graft_winnow", normText(c), lit(k), lit(w))
 
   /** Word n-gram shingles: `["a","b","c","d"]`, n=3 ->
-    * `["a b c","b c d"]`; shorter docs yield an empty array.
-    *
-    * Built by zipping n parallel slices of the token array, so the
-    * `split` evaluates a CONSTANT number of times per row. The obvious
-    * `transform(sequence(...), i => element_at(tokens(c), i + k))` form
-    * re-evaluates the un-materialized split once per ELEMENT inside the
-    * interpreted lambda — O(doc_len^2) per row; the bigram twin of that
-    * shape measured 11x slower over a 100x corpus.
+    * `["a b c","b c d"]`; shorter docs (and null text) yield an empty
+    * array. One codegen'd pass via the native
+    * [[graft.functions.StringShingles]] kernel.
     */
-  def shingles(c: Column, n: Int = 3): Column = {
+  def shingles(c: Column, n: Int = 3): Column =
+    call_function("graft_shingles", tokens(c), lit(n))
+
+  /** The arrays_zip + transform spelling [[shingles]] replaced — kept
+    * for parity testing (TextOpsSpec pins the two byte-equal). Zipping
+    * n parallel slices makes the `split` evaluate a CONSTANT number of
+    * times per row; the even-more-obvious `transform(sequence(...),
+    * i => element_at(tokens(c), i + k))` form re-evaluates the
+    * un-materialized split once per ELEMENT inside the interpreted
+    * lambda — O(doc_len^2) per row; the bigram twin of that shape
+    * measured 11x slower over a 100x corpus.
+    */
+  def shinglesHof(c: Column, n: Int = 3): Column = {
     val t = tokens(c)
     val win = size(t) - n + 1
     val zipped = arrays_zip((0 until n).map(k => slice(t, lit(k + 1), win)): _*)

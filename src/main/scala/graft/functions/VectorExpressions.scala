@@ -562,6 +562,74 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Word n-gram STRING shingles (`graft_shingles`): `["a","b","c","d"]`,
+  * n=3 → `["a b c","b c d"]` in one codegen'd pass. Value-identical to
+  * the arrays_zip + `transform(concat_ws)` spelling
+  * (TextOps.shinglesHof — interpreted lambda, one struct row + one
+  * lambda eval per shingle), including concat_ws's null-skipping join
+  * and the wrapper's null/short-doc coercion to the EMPTY array (null
+  * in ⇒ empty out, so the output is never null). TextOpsSpec pins
+  * parity; the emitted strings feed oracle-matched queries, so they
+  * must stay byte-equal to what DuckDB string-builds.
+  */
+case class StringShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"graft_shingles: n must be >= 1, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_shingles"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    StringShingles.compute(child.eval(input).asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val helper = StringShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $gad ${ev.value} = $helper.compute(${c.isNull} ? null : ${c.value}, $n);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StringShingles {
+  private val SEP = UTF8String.fromString(" ")
+  private val EMPTY = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    Array.empty[Any])
+
+  /** Shared by interpreted eval and codegen; null/short arrays → empty. */
+  def compute(arr: ArrayData, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (arr == null) return EMPTY
+    val len = arr.numElements()
+    if (len < n) return EMPTY
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](len - n + 1)
+    i = 0
+    while (i <= len - n) {
+      // UTF8String.concatWs skips nulls — exactly concat_ws's join
+      out(i) = UTF8String.concatWs(SEP,
+        java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** One-pass character-n-gram language ID (`graft_lang_ngram`): per
   * text, slide an n-char window, look each gram up in a prebuilt
   * gram → language-bitmask map, accumulate per-language counts, and
@@ -878,6 +946,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[LangIdNgram].getName, "graft_lang_ngram"),
       (es: Seq[Expression]) =>
         LangIdNgram(es(0), TextOps.langTrigramProfiles(), 3)),
+    ("graft_shingles",
+      new ExpressionInfo(classOf[StringShingles].getName, "graft_shingles"),
+      (es: Seq[Expression]) => es match {
+        case Seq(arr) => StringShingles(arr, 3)
+        case Seq(arr, n) =>
+          StringShingles(arr, constInt("graft_shingles", "n", n))
+        case _ => throw new IllegalArgumentException("graft_shingles(tokens[, n])")
+      }),
     ("graft_weight_sum",
       new ExpressionInfo(classOf[HashWeightSum].getName, "graft_weight_sum"),
       (es: Seq[Expression]) => es match {

@@ -89,6 +89,31 @@ class TextOpsSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "und"))
   }
 
+  test("native graft_shingles is byte-equal to the arrays_zip+transform spelling") {
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text").as("t")).limit(300)
+      .unionAll(Seq(
+        "a b c d", "a b", "", "x  y  z", // double spaces -> empty tokens
+        "one", "a b c").toDF("t"))
+    for (n <- Seq(2, 3, 5)) {
+      val r = texts.select(
+        TextOps.shingles(col("t"), n).as("nat"),
+        TextOps.shinglesHof(col("t"), n).as("hof")).collect()
+      r.foreach(row => assert(row.getSeq[String](0) == row.getSeq[String](1),
+        s"n=$n: $row"))
+    }
+    // null text -> empty array in both spellings
+    val nr = Seq(Option.empty[String]).toDF("t").select(
+      TextOps.shingles(col("t")).as("nat"),
+      TextOps.shinglesHof(col("t")).as("hof")).head()
+    assert(nr.getSeq[String](0).isEmpty && nr.getSeq[String](1).isEmpty)
+    // codegen participation
+    val plan = spark.range(10).select(col("id").cast("string").as("t"))
+      .select(TextOps.shingles(col("t")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[graft_shingles".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("native graft_lang_ngram is bit-equal to the HOF spelling it replaced") {
     // real documents (every profile gram + none), mixed-language texts
     // (tie-break order), upper case (the lower() wrap), multi-byte chars
