@@ -92,17 +92,12 @@ object TextOps {
     // null input matches neither branch -> stays null
 
   /** Word bigram array: empty for docs with fewer than two tokens, null
-    * stays null. `zip_with` over two slices for the same constant-
-    * splits-per-row reason as [[shingles]].
+    * stays null. The n=2 case of the native [[graft.functions.StringShingles]]
+    * kernel (the kernel itself maps null→empty, so the null passthrough
+    * is re-imposed here — `when` leaves the unmatched null row null).
     */
-  def bigrams(c: Column): Column = {
-    val t = tokens(c)
-    when(size(t) >= 2,
-      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      .when(c.isNotNull, array().cast(ArrayType(StringType)))
-    // null input matches neither branch -> stays null
-  }
+  def bigrams(c: Column): Column =
+    when(c.isNotNull, call_function("graft_shingles", tokens(c), lit(2)))
 
   /** Duplicate fraction 1 - distinct/total of an array column; 0.0 for
     * the empty array, null stays null. The argument is referenced three
