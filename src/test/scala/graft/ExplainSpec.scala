@@ -129,6 +129,9 @@ class ExplainSpec extends SparkSpec {
     "q_tpch_q2" -> 3, "q_tpch_q13" -> 3, "q_tpch_q17" -> 2,
     "q_tpch_q18" -> 1, "q_tpch_q22" -> 3,
     "q_linear_quality" -> 1, "q_token_entropy" -> 3,
+    // r11: audio roundtrip and lang ID are in-row passes (sort exchange
+    // only — the mapPartitions codec never shuffles)
+    "q_audio_decode" -> 1, "q_lang_ngram" -> 1,
     // r10 snapshot, TPC-H completion batch: Q7's 6 are the three
     // keyed fact-join exchange pairs (li⋈orders, ⋈supplier-region,
     // ⋈customer-region — the canonical no-stats shape; AQE broadcasts
