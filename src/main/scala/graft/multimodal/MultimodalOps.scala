@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * analog of `mapInPandas`: one iterator in, one iterator out, arbitrary
   * per-batch native work inside). IMAGE decode is real ([[ImageIoCodec]]
   * over the in-JDK `javax.imageio`); AUDIO decode is real for linear
-  * PCM ([[WavPcmCodec]] over the in-JDK `javax.sound.sampled`); VIDEO
-  * (and compressed-audio) decode stays STUBBED with a deterministic
-  * fake ([[FakeCodec]] — no in-JDK decoder exists and those codecs are
-  * not shipped in this container), and swapping in a real JNI/javacv
-  * decoder changes no plan shape.
+  * PCM ([[WavPcmCodec]], canonical RIFF parse + `javax.sound.sampled`
+  * fallback); multi-frame decode is real for animated GIF
+  * ([[gifFrames]] — the one multi-frame container with an in-JDK
+  * codec). True VIDEO codecs (H.264/VP9) and compressed audio stay
+  * STUBBED with a deterministic fake ([[FakeCodec]] — not shipped in
+  * this container), and swapping in a real JNI/javacv decoder changes
+  * no plan shape.
   */
 object MultimodalOps {
 
@@ -256,6 +258,60 @@ object MultimodalOps {
           java.util.Arrays.copyOfRange(row.blob, start,
             math.min(row.blob.length, start + 16)))
       }
+    })
+  }
+
+  /** One REAL decoded frame from a multi-frame container. */
+  case class DecodedFrame(
+      media_id: Long, frame_idx: Int, n_frames: Int,
+      width: Int, height: Int, mean_luma: Double)
+
+  /** REAL multi-frame ("video") decode for the one multi-frame container
+    * the JDK ships a codec for: animated GIF. Each blob's frame count is
+    * read from the container, every `everyNth` frame is decoded to
+    * pixels, and the BT.601 integer luma is computed per sampled frame —
+    * the frame-sampling feature-extraction shape (decode cost paid only
+    * for sampled frames; `n_frames` comes from the index, not a full
+    * decode). Frames are the RAW per-frame rasters (GIF delta frames
+    * are not composited onto the canvas — document-level stats, not
+    * playback). True video codecs (H.264 etc.) remain deployment-
+    * provided behind [[FakeCodec]]'s seam; this makes the plumbing real
+    * for a container the sandbox can actually decode and re-encode.
+    */
+  def gifFrames(spark: SparkSession, media: Dataset[MediaRow],
+      everyNth: Int): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    require(everyNth >= 1, "everyNth must be >= 1")
+    media.mapPartitions(_.flatMap { row =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(row.blob))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no image reader for media_id=${row.media_id}")
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true) // forces an index scan, no pixel decode
+          (0 until n by everyNth).map { idx =>
+            val img = r.read(idx)
+            var lumaSum = 0L
+            val (w, h) = (img.getWidth, img.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                lumaSum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+                  29 * (rgb & 0xff)) >> 8
+                x += 1
+              }
+              y += 1
+            }
+            DecodedFrame(row.media_id, idx, n, w, h,
+              if (w * h == 0) 0.0 else lumaSum.toDouble / (w.toLong * h))
+          }
+        } finally r.dispose()
+      } finally iis.close()
     })
   }
 

@@ -302,6 +302,38 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(a.rms - 0.5 / math.sqrt(2.0)) < 1e-3, a.rms)
   }
 
+  test("gifFrames decodes REAL animated-GIF frames: count, stride, dims, luma") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    // JDK-encoded 10-frame animated GIF: frame k is a flat gray level
+    // g(k) = 20k (grayscale in an 8-bit palette survives GIF exactly),
+    // so each sampled frame's BT.601 luma has a closed form
+    def gray(k: Int): Int = 20 * k
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    (0 until 10).foreach { k =>
+      val img = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+      val g = gray(k)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val rows = spark.createDataset(Seq(MediaRow(5L, "video", bos.toByteArray)))(
+      Encoders.product[MultimodalOps.MediaRow])
+    val frames = MultimodalOps.gifFrames(spark, rows, everyNth = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
+    frames.foreach { f =>
+      assert(f.n_frames == 10 && f.width == 8 && f.height == 6)
+      // luma of flat gray g is (77g + 150g + 29g) >> 8 = g (256g >> 8)
+      assert(f.mean_luma == gray(f.frame_idx).toDouble, f)
+    }
+  }
+
   test("WavPcmCodec rejects non-audio bytes with the media_id in the error") {
     val e = intercept[org.apache.spark.SparkException] {
       MultimodalOps.audioFeatures(spark, spark.createDataset(Seq(
