@@ -124,4 +124,57 @@ class PropertySpec extends SparkSpec {
       assert(p1.nonEmpty && p1.size < 2000)
     }
   }
+
+  // r11 kernel parity as PROPERTIES: the sample-based spec files pin the
+  // known edge cases; these drive the native kernels against the column
+  // spellings they replaced over random unicode-bearing inputs.
+
+  private val tokenGen: Gen[String] = Gen.frequency(
+    8 -> Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar)).map(_.mkString),
+    1 -> Gen.const(""), // split on double spaces produces empty tokens
+    1 -> Gen.oneOf("ünïcode", "日本語", "emoji😀x", "a-b_c"))
+  private val textGen: Gen[String] =
+    Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, tokenGen)).map(_.mkString(" "))
+
+  test("graft_md5_top32 / graft_weight_sum match their column spellings for random text") {
+    import graft.functions.TextOps
+    forSamples(Gen.listOfN(40, textGen), 4) { texts =>
+      val df = texts.toDF("t")
+      def hexTop32(h: org.apache.spark.sql.Column) = (1 to 8).map { i =>
+        val a = ascii(substring(h, i, 1))
+        (a - when(a >= 97, 87).otherwise(48)).cast(LongType) * lit(1L << (4 * (8 - i)))
+      }.reduce(_ + _)
+      def weight(tk: org.apache.spark.sql.Column) =
+        hexTop32(md5(concat(lit("w:"), tk))) % lit(2001L) - lit(1000L)
+      val toks = split(col("t"), " ")
+      val r = df.select(
+        call_function("graft_md5_top32", col("t")).as("m"),
+        hexTop32(md5(col("t"))).as("mh"),
+        call_function("graft_weight_sum", toks).as("w"),
+        aggregate(toks, lit(0L), (acc, tk) => acc + weight(tk)).as("wh")).collect()
+      r.foreach { row =>
+        assert(row.getLong(0) == row.getLong(1), row)
+        assert(row.getLong(2) == row.getLong(3), row)
+      }
+    }
+  }
+
+  test("graft_shingles / graft_lang_ngram match their HOF spellings for random text") {
+    import graft.functions.TextOps
+    forSamples(Gen.listOfN(40, textGen), 4) { texts =>
+      val df = texts.toDF("t")
+      val r = df.select(
+        TextOps.shingles(col("t"), 3).as("s"),
+        TextOps.shinglesHof(col("t"), 3).as("sh"),
+        TextOps.shingles(col("t"), 2).as("b"),
+        TextOps.shinglesHof(col("t"), 2).as("bh"),
+        TextOps.langIdNgram(col("t")).as("l"),
+        TextOps.langIdNgramHof(col("t")).as("lh")).collect()
+      r.foreach { row =>
+        assert(row.getSeq[String](0) == row.getSeq[String](1), row)
+        assert(row.getSeq[String](2) == row.getSeq[String](3), row)
+        assert(row.getString(4) == row.getString(5), row)
+      }
+    }
+  }
 }
