@@ -44,8 +44,13 @@ def canon(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark writes directory-style parquet (part files inside);
+        # the generator writes single files — accept both layouts
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
     for name in sorted(oracle):
