@@ -80,10 +80,17 @@ object TextOps {
 
   /** Fixed-width character chunks of `c` (sequence-packing unit): one
     * array element per `w`-char window, last one possibly shorter; the
-    * empty string yields an empty array (sequence(0, -1) would otherwise
-    * infer a -1 step and emit two bogus chunks).
+    * empty string yields an empty array, null stays null. One codegen'd
+    * pass via the native [[graft.functions.StringChunks]] kernel.
     */
   def chunks(c: Column, w: Int): Column =
+    call_function("graft_chunks", c, lit(w))
+
+  /** The transform-over-sequence spelling [[chunks]] replaced — kept for
+    * parity testing (the empty-string `when` guards against
+    * sequence(0, -1) inferring a -1 step and emitting two bogus chunks).
+    */
+  def chunksHof(c: Column, w: Int): Column =
     when(length(c) > 0,
       transform(
         sequence(lit(0), floor((length(c) - 1) / lit(w)).cast(IntegerType)),

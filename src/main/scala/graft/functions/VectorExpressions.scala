@@ -630,6 +630,52 @@ object StringShingles {
   }
 }
 
+/** Fixed-width character chunks (`graft_chunks`): one array element per
+  * `w`-char window, last one possibly shorter — the sequence-packing
+  * unit, in one codegen'd pass. Byte-equal to the
+  * `transform(sequence(...), i -> substr(i*w+1, w))` spelling
+  * (TextOps.chunksHof — one interpreted lambda + one substr walk per
+  * chunk): windows are CHARACTER-indexed (UTF8String.substring walks
+  * code points, like substr), the empty string yields an empty array,
+  * null stays null (plain null propagation — nullSafeEval).
+  */
+case class StringChunks(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1, s"graft_chunks: width must be >= 1, got $w")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_chunks"
+
+  override def nullSafeEval(s: Any): Any =
+    StringChunks.compute(s.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = StringChunks.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $helper.compute($s, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StringChunks {
+  /** Shared by interpreted eval and codegen. */
+  def compute(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nc = s.numChars()
+    if (nc == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val n = (nc + w - 1) / w
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = s.substring(i * w, math.min((i + 1) * w, nc))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** One-pass character-n-gram language ID (`graft_lang_ngram`): per
   * text, slide an n-char window, look each gram up in a prebuilt
   * gram → language-bitmask map, accumulate per-language counts, and
@@ -953,6 +999,12 @@ object GraftFunctions {
         case Seq(arr, n) =>
           StringShingles(arr, constInt("graft_shingles", "n", n))
         case _ => throw new IllegalArgumentException("graft_shingles(tokens[, n])")
+      }),
+    ("graft_chunks",
+      new ExpressionInfo(classOf[StringChunks].getName, "graft_chunks"),
+      (es: Seq[Expression]) => es match {
+        case Seq(str, w) => StringChunks(str, constInt("graft_chunks", "w", w))
+        case _ => throw new IllegalArgumentException("graft_chunks(str, w)")
       }),
     ("graft_weight_sum",
       new ExpressionInfo(classOf[HashWeightSum].getName, "graft_weight_sum"),

@@ -114,6 +114,24 @@ class TextOpsSpec extends SparkSpec {
     assert("\\*\\(\\d+\\) Project \\[graft_shingles".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("native graft_chunks is byte-equal to the transform spelling") {
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text").as("t")).limit(200)
+      .unionAll(Seq("", "abc", "abcd", "日本語のテキスト", "exact16charsxxxx")
+        .toDF("t"))
+    for (w <- Seq(1, 4, 16, 512)) {
+      val r = texts.select(
+        TextOps.chunks(col("t"), w).as("nat"),
+        TextOps.chunksHof(col("t"), w).as("hof")).collect()
+      r.foreach(row => assert(row.getSeq[String](0) == row.getSeq[String](1),
+        s"w=$w: $row"))
+    }
+    val nr = Seq(Option.empty[String]).toDF("t")
+      .select(TextOps.chunks(col("t"), 8).as("nat"),
+        TextOps.chunksHof(col("t"), 8).as("hof")).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1), "null stays null in both")
+  }
+
   test("native graft_lang_ngram is bit-equal to the HOF spelling it replaced") {
     // real documents (every profile gram + none), mixed-language texts
     // (tie-break order), upper case (the lower() wrap), multi-byte chars
