@@ -398,6 +398,23 @@ object RelationalQueries {
         Map("min_price" -> 50000.0, "since" -> "1998-01-01"))
     },
 
+    // Spark 4 EXECUTE IMMEDIATE — the dynamic-SQL surface (a query text
+    // assembled at runtime, parameters bound via USING rather than
+    // spliced): the remaining piece of the parameterized-SQL family
+    // next to q_param_sql's sql(query, args) form. The inner statement
+    // resolves through the same parser/Catalyst path, so pushdown and
+    // plan shape match the literal form.
+    "q_exec_immediate" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_ei")
+      s.sql(
+        """EXECUTE IMMEDIATE
+             'SELECT o_orderstatus, count(*) AS n,
+                CAST(min(o_totalprice) AS DOUBLE) AS min_price
+              FROM orders_ei WHERE o_totalprice >= :floor
+              GROUP BY o_orderstatus ORDER BY o_orderstatus'
+           USING 100000.0 AS floor""")
+    },
+
     // ROLLUP over the region/nation hierarchy (null keys -> 'ALL').
     "q_rollup" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -2576,6 +2593,11 @@ object RelationalQueries {
            AND o_orderdate >= DATE '1995-01-01'
            AND o_orderdate < DATE '1996-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_exec_immediate" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(o_totalprice) AS DOUBLE) AS min_price
+         FROM orders WHERE o_totalprice >= 100000.0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_param_sql" ->
       """SELECT o_orderpriority, count(*) AS n,
          CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
