@@ -138,14 +138,18 @@ object ReferenceQueries {
     // table eventually does). UTF8_LCASE collation makes the EQUALITY
     // case-insensitive inside the join operator itself, where a
     // lower()-wrapped key would block any future dictionary/stats
-    // reuse on the column. Spark 4.1 plans collated-key joins as
-    // SortMergeJoin and IGNORES the broadcast hint (collation-aware
-    // hashing isn't wired into BHJ) — measured at 12.5 s for a 5-row
-    // dim at sf0.1 when the raw fact shuffles/sorts on the collated
-    // key. So the partial COUNT/SUM aggregate runs BELOW the join on
-    // the binary-collation event_type (sums distribute over the
-    // join), and the collated SMJ + regroup see |distinct types|
-    // rows, not the corpus — the shape that stays flat at 100 TB.
+    // reuse on the column. Spark 4.1 IGNORES the broadcast hint when
+    // the collation is applied as a collate() EXPRESSION inside the
+    // join condition (a schema-level collated column would broadcast
+    // via collationkey — CollationPlanSpec pins both spellings) —
+    // measured at 12.5 s for a 5-row dim at sf0.1 when the raw fact
+    // shuffled/sorted through the resulting SMJ. The keeper fix is
+    // better than either spelling: the partial COUNT/SUM aggregate
+    // runs BELOW the join on the binary-collation event_type (sums
+    // distribute over the join), and the collated SMJ + regroup see
+    // |distinct types| rows, not the corpus — flat at 100 TB, and
+    // collated grouping itself is sort-based (the other cliff), so
+    // grouping on the binary key is the right call twice over.
     "q_collated_join" -> { (s, dir) =>
       import s.implicits._
       val dim = Seq(

@@ -1055,6 +1055,53 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Mixture REWEIGHTING (DoReMi-style multiplicative-weights step) —
+    // the optimization counterpart to q_mix_sample's budget draw: domains
+    // whose mean loss exceeds the corpus mean get their mixture weight
+    // multiplied up by (1 + clipped excess), renormalized, then smoothed
+    // with a uniform floor (0.8·α + 0.2/k) so no domain starves. The
+    // per-doc loss is a deterministic md5 stand-in (graft_md5_top32 mod
+    // 5000 milli-units) so the WHOLE update is oracle-checkable; real
+    // per-doc losses swap in without touching the plan. Float hazards
+    // closed the q_logreg_step way: losses are exact integer milli-sums
+    // (one corpus aggregate keyed by source — the only corpus-sized
+    // shuffle), weights are floor-quantized to integer micro-units
+    // before the normalizing sum, and every double op after that runs
+    // on the k-row domain frame with an identical expression tree in
+    // both engines. At 100 TB: the corpus crosses once as (source,
+    // count, sum) partials; all mixture math touches |sources| rows.
+    "q_mix_reweight" -> { (s, dir) =>
+      val lMilli = pmod(call_function("graft_md5_top32",
+        concat(lit("loss:"), col("doc_id").cast(StringType))), lit(5000L))
+      val per = Tables(s, dir, "documents")
+        .select(col("source"), lMilli.as("l_milli"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("l_milli")).as("sum_milli"))
+        .localCheckpoint()
+      val tot = per.agg(sum(col("n_docs")).as("nn"),
+        sum(col("sum_milli")).as("ss"), count(lit(1)).as("k"))
+      val meanD = col("sum_milli").cast(DoubleType) /
+        (col("n_docs") * lit(1000L)).cast(DoubleType)
+      val meanAll = col("ss").cast(DoubleType) /
+        (col("nn") * lit(1000L)).cast(DoubleType)
+      val w = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("k"),
+          meanD.as("mean_loss"),
+          greatest(meanD - meanAll, lit(0.0)).as("excess"))
+        .withColumn("wq",
+          floor((lit(1.0) + col("excess")) * lit(1000000.0) + lit(0.5))
+            .cast(LongType))
+        .localCheckpoint()
+      val wt = w.agg(sum(col("wq")).as("wtot"))
+      val alpha = col("wq").cast(DoubleType) / col("wtot").cast(DoubleType)
+      w.crossJoin(broadcast(wt))
+        .select(col("source"), col("n_docs"), col("mean_loss"), col("excess"),
+          alpha.as("alpha"),
+          (lit(0.8) * alpha + lit(0.2) / col("k").cast(DoubleType))
+            .as("alpha_mix"))
+        .orderBy("source")
+    },
+
     // Deterministic weighted sampling without replacement (Efraimidis-
     // Spirakis): key = ln(u) / w with u a uniform derived EXACTLY from
     // 8 md5 hex digits (sum of hv_i * 16^-i is exact in binary floating
@@ -2791,6 +2838,51 @@ object TextQueries {
             & 2147483647) AS h
          FROM codec)"""
 
+  /** DuckDB twin of q_mix_reweight: the same md5 16-adic milli-losses
+    * (exact BIGINT per-source sums), the same floor-quantized
+    * micro-unit weights, and the same k-row double expression tree —
+    * every post-aggregate op is a scalar IEEE op on identical inputs,
+    * so no rounding is needed anywhere.
+    */
+  private def mixReweightOracle: String = {
+    val digits = (1 to 8).map { i =>
+      s"""(ascii(substring(h, $i, 1)) -
+          CASE WHEN ascii(substring(h, $i, 1)) >= 97 THEN 87 ELSE 48 END)
+          * CAST(${1L << (4 * (8 - i))} AS BIGINT)"""
+    }.mkString(" + ")
+    s"""WITH d AS (
+         SELECT source, ($digits) % 5000 AS l_milli
+         FROM (SELECT source, md5('loss:' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents)),
+       per AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(l_milli) AS BIGINT) AS sum_milli
+         FROM d GROUP BY 1),
+       tot AS (
+         SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+           CAST(sum(sum_milli) AS BIGINT) AS ss,
+           CAST(count(*) AS BIGINT) AS k
+         FROM per),
+       e AS (
+         SELECT source, n_docs, k,
+           CAST(sum_milli AS DOUBLE) / CAST(n_docs * 1000 AS DOUBLE)
+             AS mean_loss,
+           greatest(CAST(sum_milli AS DOUBLE) / CAST(n_docs * 1000 AS DOUBLE)
+             - CAST(ss AS DOUBLE) / CAST(nn * 1000 AS DOUBLE), 0.0e0)
+             AS excess
+         FROM per, tot),
+       w AS (
+         SELECT *, CAST(floor((1.0e0 + excess) * 1000000.0e0 + 0.5e0)
+           AS BIGINT) AS wq
+         FROM e),
+       wt AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM w)
+       SELECT source, n_docs, mean_loss, excess,
+         CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE) AS alpha,
+         0.8e0 * (CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE))
+           + 0.2e0 / CAST(k AS DOUBLE) AS alpha_mix
+       FROM w, wt ORDER BY source"""
+  }
+
   /** DuckDB twin of q_linear_quality: the same md5 8-hex-digit base-16
     * decode (generated positional multipliers — exact BIGINT), modulo
     * weight map, and exact integer fold; the score division is the only
@@ -3923,7 +4015,8 @@ object TextQueries {
            FROM t)
          SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
          FROM c WHERE cum_tok <= 600 ORDER BY doc_id""",
-    "q_weighted_sample" -> weightedSampleOracle)
+    "q_weighted_sample" -> weightedSampleOracle,
+    "q_mix_reweight" -> mixReweightOracle)
 
   /** DuckDB twin of q_lsh_curve: the same grid and the same
     * multiply-by-squaring power chains, so both engines evaluate the

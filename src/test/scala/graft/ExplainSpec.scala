@@ -106,8 +106,9 @@ class ExplainSpec extends SparkSpec {
     // but the corpus only crosses the FIRST (the binary-key partial
     // aggregate); the collated SMJ pair + regroup + sort all carry
     // |distinct event types| rows (Spark 4.1 ignores broadcast hints
-    // on collated keys, so keeping the raw fact out of that SMJ is
-    // the whole point — 12.5 s -> sub-second at sf0.1)
+    // when collate() sits INSIDE the join condition — see
+    // CollationPlanSpec for the full cliff map — so keeping the raw
+    // fact out of that SMJ is the whole point: 12.5 s -> sub-second)
     "q_collated_join" -> 5, "q_k_anonymity" -> 3, "q_knn_label_acc" -> 5,
     "q_lang_confusion" -> 3, "q_leakage_safe_split" -> 3, "q_oov_rate" -> 3,
     "q_spearman" -> 2, "q_tpch_q10" -> 1, "q_tpch_q8" -> 2,
