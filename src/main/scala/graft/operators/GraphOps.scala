@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -154,6 +155,50 @@ object GraphOps {
     e.union(e.select(col("v").as("u"), col("u").as("v")))
       .groupBy("u").agg(count(lit(1)).as("core_degree"))
       .select(col("u").as("id"), col("core_degree"))
+  }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own label; each round, a node adopts the most
+    * frequent label among its in-neighbors, ties broken by the SMALLEST
+    * label, isolated nodes (or nodes whose neighbors all lack labels
+    * this round) keep their current label. Fully deterministic — unlike
+    * the textbook randomized-order LPA — so the result is
+    * oracle-checkable and stable across reruns and cluster layouts.
+    *
+    * Scale design: each round is edge-keyed — one join of the edge list
+    * with the label frame (both shuffle on node ids), one
+    * (node, label) count aggregate, and a per-node arg-max window whose
+    * rank-1 filter plans as WindowGroupLimit (map-side top-1, so the
+    * exchange carries one row per (node, distinct neighbor label), not
+    * the neighbor multiset). Per-round localCheckpoint caps lineage
+    * exactly like [[pageRank]]; nothing corpus-sized ever reaches the
+    * driver.
+    *
+    * @param nodes single-column frame of ALL node ids (labels are kept
+    *              for isolated nodes too).
+    * @param edges first two columns = directed src,dst; pass both
+    *              directions for an undirected graph.
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
+    val idCol = nodes.columns(0)
+    val e = edges.select(col(edges.columns(0)).as("src"),
+      col(edges.columns(1)).as("dst"))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    for (_ <- 1 to iters) {
+      val counts = e.join(labels.select(col("id").as("src_id"), col("label")),
+          col("src") === col("src_id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("label"))
+      val best = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("id"), col("label").as("new_label"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
   }
 
   /** Duplicate-cluster assignment: near-dup pairs → (id, cluster_id)

@@ -1396,6 +1396,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Label-propagation communities over the same similarity graph
+    // PageRank ranks: the deterministic synchronous variant (argmax
+    // neighbor-label frequency, ties to the smallest label) — the
+    // community structure that tells a curation pipeline WHICH near-dup
+    // neighborhoods exist, where dupClusters only says THAT docs are
+    // connected. Entirely count-based integer arithmetic — no float
+    // hazard anywhere — so the 3-round unrolled oracle matches exactly.
+    // Shares q_pagerank's checkpointed edge subtree shape; each round
+    // is edge-keyed with a WindowGroupLimit-capped argmax (see
+    // GraphOps.labelPropagation for the 100 TB story).
+    "q_label_prop" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val p = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.05, n = 3)
+        .select("id_a", "id_b").localCheckpoint()
+      val edges = p.unionByName(
+        p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      GraphOps.labelPropagation(docs.select("doc_id"), edges, iters = 3)
+        .select(col("id").as("doc_id"), col("label").as("community"))
+        .orderBy("doc_id")
+    },
+
     // Incremental ingestion dedup: the production shape — an incoming
     // batch (doc_id % 10 == 0 stands in for "today's crawl") is deduped
     // against the already-indexed corpus AND within itself, without the
@@ -2838,6 +2860,41 @@ object TextQueries {
             & 2147483647) AS h
          FROM codec)"""
 
+  /** DuckDB twin of q_label_prop: the same similarity edges as the
+    * q_pagerank oracle, then the 3 synchronous rounds unrolled — each
+    * round the same (node, label) count + argmax (count DESC, label
+    * ASC) + left-join-coalesce the Spark loop performs. Pure integer
+    * counts throughout, so the compare is exact with no rounding.
+    */
+  private def labelPropOracle: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = s"l${r - 1}"
+      s"""c$r AS (
+           SELECT e.dst, p.label, count(*) AS c
+           FROM edges e JOIN $prev p ON p.id = e.src
+           GROUP BY e.dst, p.label),
+         b$r AS (
+           SELECT dst, label FROM (
+             SELECT dst, label,
+               row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+             FROM c$r) WHERE rn = 1),
+         l$r AS (
+           SELECT p.id, COALESCE(b.label, p.label) AS label
+           FROM $prev p LEFT JOIN b$r b ON b.dst = p.id)"""
+    }.mkString(",\n         ")
+    s"""WITH $ngramSharedCte,
+       jp AS (
+         SELECT id_a, id_b FROM shared
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+         WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                 UNION ALL SELECT id_b, id_a FROM jp),
+       l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+       $rounds
+       SELECT id AS doc_id, label AS community FROM l3 ORDER BY doc_id"""
+  }
+
   /** DuckDB twin of q_mix_reweight: the same md5 16-adic milli-losses
     * (exact BIGINT per-source sums), the same floor-quantized
     * micro-unit weights, and the same k-row double expression tree —
@@ -4016,7 +4073,8 @@ object TextQueries {
          SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
          FROM c WHERE cum_tok <= 600 ORDER BY doc_id""",
     "q_weighted_sample" -> weightedSampleOracle,
-    "q_mix_reweight" -> mixReweightOracle)
+    "q_mix_reweight" -> mixReweightOracle,
+    "q_label_prop" -> labelPropOracle)
 
   /** DuckDB twin of q_lsh_curve: the same grid and the same
     * multiply-by-squaring power chains, so both engines evaluate the

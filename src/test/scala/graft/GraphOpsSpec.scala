@@ -36,6 +36,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
 
+  test("labelPropagation: two bridged cliques resolve to their min labels; isolated keeps its own") {
+    // K4 on {1..4}, K4 on {11..14}, one bridge 4-11, isolated node 99.
+    // Hand-simulated: round 1 spreads mins locally, round 2 settles the
+    // cliques, round 3 is stable — bridge endpoints stay with their own
+    // clique (3 same-clique neighbors outvote the 1 bridge label).
+    val cliques = for {
+      base <- Seq(1L, 11L); a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (base + a, base + b)
+    val und = (cliques :+ (4L, 11L)).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nodes = ((1L to 4L) ++ (11L to 14L) :+ 99L).toDF("id")
+    val labels = GraphOps.labelPropagation(nodes, und.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L,
+      99L -> 99L))
+  }
+
   test("kCore: 2-core strips a pendant chain, keeps the cycle; deep peel cascades") {
     // triangle with a tail 3-4-5: peeling 5 (deg 1) exposes 4, then 3
     // stays (in the triangle) — the 2-core is exactly the triangle
