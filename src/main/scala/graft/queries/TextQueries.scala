@@ -393,6 +393,73 @@ object TextQueries {
         .orderBy("label", "pos")
     },
 
+    // Johnson-Lindenstrauss random projection (±1 signs) with a
+    // distortion AUDIT: every vector is projected 64 -> 16 dims through
+    // a hash-derived sign matrix (bit j of one md5 per input dim — 64
+    // hashes total, not per row), then each probe x corpus pair's dot
+    // product is computed in BOTH spaces. Two audit columns: `ratio`
+    // (dot_proj / (k·dot_orig) — ≈1 only when the pair is correlated;
+    // it legitimately explodes near orthogonality, so the id_a = id_b
+    // rows are its real content: norm preservation) and `err_jl`, the
+    // quantity the JL inner-product guarantee actually bounds —
+    // (dot_proj/k − dot_orig) / (‖a‖·‖b‖) ∈ ±ε with ε ~ 1/sqrt(k).
+    // Every sum is over floor(x·2^20) exact integers — the
+    // q_embed_centroid discipline — and the only non-integer ops are
+    // IEEE divisions and sqrt (correctly rounded by both engines), so
+    // the whole audit is bit-identical cross-engine, unrounded.
+    // Scale shape: the sign matrix is a 1024-row broadcast, probes
+    // broadcast against the corpus (the ANN-tier pattern), norms join
+    // keyed on vec id, and the corpus crosses exchanges only as
+    // (vec, dim) integer partials.
+    "q_embed_rp" -> { (s, dir) =>
+      val kOut = 16
+      val xq = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"),
+          floor(col("x").cast(DoubleType) * (1L << 20)).cast(LongType).as("xq"))
+        .localCheckpoint()
+      val signs = s.range(0, 64).select(col("id").cast(IntegerType).as("pos"),
+          call_function("graft_md5_top32",
+            concat(lit("rp:"), col("id").cast(StringType))).as("h"))
+        .crossJoin(s.range(0, kOut).select(col("id").cast(IntegerType).as("j")))
+        .select(col("pos"), col("j"),
+          (lit(1L) - lit(2L) *
+            call_function("shiftright", col("h"), col("j")).bitwiseAND(lit(1L)))
+            .as("sgn"))
+      val proj = xq.join(broadcast(signs), Seq("pos"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("sgn") * col("xq")).as("p"))
+        .localCheckpoint()
+      val dotOrig = xq
+        .select(col("vec_id").as("id_b"), col("pos"), col("xq").as("xb"))
+        .join(broadcast(xq.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("id_a"), col("pos"), col("xq").as("xa"))),
+          Seq("pos"))
+        .groupBy("id_a", "id_b").agg(sum(col("xa") * col("xb")).as("dot_orig"))
+      val dotProj = proj
+        .select(col("vec_id").as("id_b"), col("j"), col("p").as("pb"))
+        .join(broadcast(proj.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("id_a"), col("j"), col("p").as("pa"))),
+          Seq("j"))
+        .groupBy("id_a", "id_b").agg(sum(col("pa") * col("pb")).as("dot_proj"))
+      val norms = xq.groupBy(col("vec_id"))
+        .agg(sum(col("xq") * col("xq")).as("n2"))
+      val nprod = sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType))
+      dotOrig.join(dotProj, Seq("id_a", "id_b"))
+        .join(broadcast(norms.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("id_a"), col("n2").as("na2"))), Seq("id_a"))
+        .join(norms.select(col("vec_id").as("id_b"), col("n2").as("nb2")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("dot_orig"), col("dot_proj"),
+          when(col("dot_orig") =!= 0L,
+            col("dot_proj").cast(DoubleType) /
+              (lit(16.0) * col("dot_orig").cast(DoubleType))).as("ratio"),
+          when(col("na2") =!= 0L && col("nb2") =!= 0L,
+            (col("dot_proj").cast(DoubleType) / lit(16.0) -
+              col("dot_orig").cast(DoubleType)) / nprod).as("err_jl"))
+        .orderBy("id_a", "id_b")
+    },
+
     // One full Lloyd iteration (assign + update) over the embeddings:
     // centroids driver-folded as literals, corpus never shuffles for
     // assignment; see VectorOps.kMeansIteration. md5-ordered init +
@@ -2860,6 +2927,59 @@ object TextQueries {
             & 2147483647) AS h
          FROM codec)"""
 
+  /** DuckDB twin of q_embed_rp: the same md5-top32 sign matrix (bit j
+    * of the 16-adic decode, via `>> j & 1`), the same floor(x·2^20)
+    * integer quantization, and exact BIGINT dot products in both
+    * spaces; the JL ratio is the only double op — one division of two
+    * exact integers, identical expression order, so no rounding.
+    */
+  private def embedRpOracle: String = {
+    val top32 = (1 to 8).map { d =>
+      s"""(ascii(substring(h, $d, 1)) -
+          CASE WHEN ascii(substring(h, $d, 1)) >= 97 THEN 87 ELSE 48 END)
+          * CAST(${1L << (4 * (8 - d))} AS BIGINT)"""
+    }.mkString(" + ")
+    s"""WITH xq AS (
+         SELECT vec_id, i - 1 AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS xq
+         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       hs AS (
+         SELECT i.i AS pos, md5('rp:' || CAST(i.i AS VARCHAR)) AS h
+         FROM range(0, 64) i(i)),
+       sgn AS (
+         SELECT pos, j.j AS j,
+           1 - 2 * ((($top32) >> j.j) & 1) AS sgn
+         FROM hs, range(0, 16) j(j)),
+       proj AS (
+         SELECT vec_id, j, CAST(sum(sgn * xq) AS BIGINT) AS p
+         FROM xq JOIN sgn USING (pos) GROUP BY vec_id, j),
+       do_ AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(sum(a.xq * b.xq) AS BIGINT) AS dot_orig
+         FROM xq a JOIN xq b USING (pos)
+         WHERE a.vec_id < 3 GROUP BY 1, 2),
+       dp AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(sum(a.p * b.p) AS BIGINT) AS dot_proj
+         FROM proj a JOIN proj b USING (j)
+         WHERE a.vec_id < 3 GROUP BY 1, 2),
+       nrm AS (
+         SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2
+         FROM xq GROUP BY 1)
+       SELECT id_a, id_b, dot_orig, dot_proj,
+         CASE WHEN dot_orig <> 0
+           THEN CAST(dot_proj AS DOUBLE) / (16.0e0 * CAST(dot_orig AS DOUBLE))
+         END AS ratio,
+         CASE WHEN na.n2 <> 0 AND nb.n2 <> 0
+           THEN (CAST(dot_proj AS DOUBLE) / 16.0e0 - CAST(dot_orig AS DOUBLE))
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         END AS err_jl
+       FROM do_ JOIN dp USING (id_a, id_b)
+         JOIN nrm na ON na.vec_id = id_a
+         JOIN nrm nb ON nb.vec_id = id_b
+       ORDER BY id_a, id_b"""
+  }
+
   /** DuckDB twin of q_label_prop: the same similarity edges as the
     * q_pagerank oracle, then the 3 synchronous rounds unrolled — each
     * round the same (node, label) count + argmax (count DESC, label
@@ -4074,7 +4194,8 @@ object TextQueries {
          FROM c WHERE cum_tok <= 600 ORDER BY doc_id""",
     "q_weighted_sample" -> weightedSampleOracle,
     "q_mix_reweight" -> mixReweightOracle,
-    "q_label_prop" -> labelPropOracle)
+    "q_label_prop" -> labelPropOracle,
+    "q_embed_rp" -> embedRpOracle)
 
   /** DuckDB twin of q_lsh_curve: the same grid and the same
     * multiply-by-squaring power chains, so both engines evaluate the
