@@ -226,6 +226,58 @@ object StreamingOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** TTL-bounded streaming fingerprint dedup: admits the first document
+    * per fingerprint and suppresses repeats for `ttl` of PROCESSING
+    * time, after which the fingerprint may be admitted again — the
+    * "dedup within N days" retention policy of a continuously-running
+    * ingest, where [[admitDocuments]]'s dropDuplicatesWithinWatermark
+    * bounds state by EVENT time instead. The state-size story at
+    * 100 TB is the point: total state is arrival-rate x TTL (RocksDB
+    * evicts expired entries), not corpus-lifetime, so the query runs
+    * forever at constant state no matter how much history it has seen.
+    * One boolean of state per live fingerprint; within a micro-batch
+    * the smallest doc_id for a key wins, so admission is deterministic
+    * under replay regardless of row arrival order.
+    */
+  case class TtlAdmitted(fp: String, doc_id: Long)
+
+  class TtlDedupProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, org.apache.spark.sql.Row, TtlAdmitted] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig(ttl))
+    override def handleInputRows(fp: String,
+        rows: Iterator[org.apache.spark.sql.Row],
+        timerValues: TimerValues): Iterator[TtlAdmitted] = {
+      // an expired entry reads as absent — that IS the re-admission
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator.single(TtlAdmitted(fp,
+          rows.map(_.getAs[Long]("doc_id")).min))
+      }
+    }
+  }
+
+  /** `docs` needs `doc_id` and a `fp` fingerprint column (e.g. from
+    * [[graft.functions.TextOps.fingerprint]]). TTL requires
+    * processing-time mode and the RocksDB state store provider.
+    */
+  def ttlDedupStream(docs: DataFrame,
+      ttl: java.time.Duration): org.apache.spark.sql.Dataset[TtlAdmitted] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val outEnc = Encoders.product[TtlAdmitted]
+    implicit val strEnc = Encoders.STRING
+    docs
+      .groupByKey((r: Row) => r.getAs[String]("fp"))(strEnc)
+      .transformWithState(new TtlDedupProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Streaming LSH near-dup candidate generation — cross-batch fuzzy
     * dedup for a document INGEST stream: band hashes come from the SAME
     * native MinHash banding as the batch path

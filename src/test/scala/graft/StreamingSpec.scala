@@ -16,6 +16,8 @@ class StreamingSpec extends SparkSpec {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  case class FpDoc(fp: String, doc_id: Long)
+
   test("tumblingAgg aggregates per window and drops data later than watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -138,6 +140,76 @@ class StreamingSpec extends SparkSpec {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+    }
+  }
+
+  // TimeMode.ProcessingTime makes the no-trigger engine spin empty
+  // micro-batches continuously (TTL cleanup requests re-triggering),
+  // which starves processAllAvailable — so each step runs the query to
+  // completion with AvailableNow against a SHARED checkpoint; the
+  // RocksDB state (incl. TTL expiry timestamps) persists across the
+  // restarts, which doubles as a state-recovery assertion. The memory
+  // sink can't recover from a checkpoint, so output goes through
+  // foreachBatch into a driver-side buffer.
+  private def runTtlDedupOnce(mem: MemoryStream[FpDoc], ckpt: String,
+      ttl: java.time.Duration): Set[(String, Long)] = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q = StreamingOps.ttlDedupStream(mem.toDF(), ttl)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingOps.TtlAdmitted], _: Long) =>
+          b.collect().foreach(a => buf.add((a.fp, a.doc_id)))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    import scala.jdk.CollectionConverters._
+    buf.asScala.toSet
+  }
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("ttlDedupStream suppresses repeats across restarts while TTL holds") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[FpDoc]
+      val ckpt = java.nio.file.Files.createTempDirectory("ttl_hold").toString
+      // TTL far above any restart gap: state MUST still be live in run 2
+      val ttl = java.time.Duration.ofMinutes(10)
+      mem.addData(FpDoc("A", 10), FpDoc("A", 7), FpDoc("B", 20))
+      // min doc_id per key within a batch wins (7 over 10 for A)
+      assert(runTtlDedupOnce(mem, ckpt, ttl) == Set(("A", 7L), ("B", 20L)))
+      mem.addData(FpDoc("A", 30), FpDoc("C", 40))
+      assert(runTtlDedupOnce(mem, ckpt, ttl) == Set(("C", 40L)),
+        "repeat inside TTL must be suppressed by restored state")
+    }
+  }
+
+  test("ttlDedupStream re-admits a fingerprint after its TTL expires") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[FpDoc]
+      val ckpt = java.nio.file.Files.createTempDirectory("ttl_expire").toString
+      // TTL far below the AvailableNow stop/start gap (measured multiple
+      // seconds): the entry is guaranteed expired by run 2 — no sleeps
+      val ttl = java.time.Duration.ofMillis(500)
+      mem.addData(FpDoc("A", 10))
+      assert(runTtlDedupOnce(mem, ckpt, ttl) == Set(("A", 10L)))
+      mem.addData(FpDoc("A", 50))
+      assert(runTtlDedupOnce(mem, ckpt, ttl) == Set(("A", 50L)),
+        "expired fingerprint must be re-admitted")
     }
   }
 
