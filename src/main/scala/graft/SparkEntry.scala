@@ -62,7 +62,9 @@ object SparkEntry {
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q9", "q_tpch_q11",
     "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q19",
     "q_tpch_q20", "q_logreg_step", "q_dp_noise",
-    // r11 additions: the de-interpreted kernels, the WAV roundtrip, and
-    // the DoReMi-style mixture-reweight step
-    "q_bootstrap", "q_lang_ngram", "q_audio_decode", "q_mix_reweight")
+    // r11 additions: the de-interpreted kernels, the WAV roundtrip, the
+    // DoReMi-style mixture-reweight step, LPA communities, and the JL
+    // projection audit
+    "q_bootstrap", "q_lang_ngram", "q_audio_decode", "q_mix_reweight",
+    "q_label_prop", "q_embed_rp")
 }

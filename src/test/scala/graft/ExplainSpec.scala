@@ -148,6 +148,15 @@ class ExplainSpec extends SparkSpec {
     // q_logreg_step: margin aggregate + doc-keyed rejoin off the
     // checkpointed (doc, bucket) frame + the 32-row bucket aggregate
     "q_logreg_step" -> 3, "q_dp_noise" -> 2,
+    // r11 snapshot, new-query batch: q_mix_reweight audits
+    // post-checkpoint (the corpus aggregate and the k-row weight frame
+    // are eagerly materialized) — remaining are the wq total + output
+    // sort; q_label_prop likewise audits the final round's tail (per-
+    // round frames checkpointed), leaving the output sort; q_embed_rp's
+    // 5 are the two pair-dot aggregates, the corpus-side norm
+    // aggregate, its id_b rejoin, and the output sort — all carrying
+    // (pair) or (vec, dim) integer partials, never raw vectors
+    "q_mix_reweight" -> 2, "q_label_prop" -> 1, "q_embed_rp" -> 5,
     // q_js_divergence: token agg + per-source totals + the pair-grid
     // expansions and their full-outer token union + per-pair grid sums —
     // every exchange after the first carries (source, token) count rows
