@@ -128,7 +128,17 @@ object ScaleSmoke {
     // codec). q_bootstrap stays out: it runs on orders, which this
     // smoke does not clone — it would time a 1x table and report a
     // meaningless flat factor.
-    "q_linear_quality", "q_lang_ngram", "q_audio_decode")
+    "q_linear_quality", "q_lang_ngram", "q_audio_decode",
+    // r11 second wave: mixture reweighting is one md5/doc + a
+    // source-keyed integer aggregate (all weight math on the k-row
+    // frame — must track the scan); the JL projection's registered body
+    // is ALREADY fixed-probe at Nx (vec_id < 3 pins the probe to
+    // copy 0 while the projected corpus grows Nx), so it measures the
+    // production regime directly: linear projection + linear pair dots.
+    // q_label_prop stays out with the other pairwise-similarity ops —
+    // a 90%-clone corpus quadratically densifies its candidate graph;
+    // dedup-first is the documented pipeline order.
+    "q_mix_reweight", "q_embed_rp")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated
