@@ -1101,6 +1101,40 @@ object TextQueries {
         .orderBy("token")
     },
 
+    // Count-Min Sketch — the third approximate-counting tier next to
+    // HLL (distinct) and Misra-Gries (candidates): d=4 rows x w=256
+    // counters, all four bucket indices sliced from ONE md5-top32 per
+    // DISTINCT token (8 bits each — the r10 kernel lesson: never d
+    // digests where one slices), estimate = min over rows. Unlike the
+    // HLL/GK entries this sketch is fully oracle-checked: deterministic
+    // buckets make every counter and every estimate SQL-reproducible,
+    // and the CMS overestimate invariant (est >= true) is visible in
+    // the output rather than spec-asserted. Scale shape: the corpus
+    // crosses ONCE as (token, count) partials; the counter table is
+    // d x w = 1024 rows built from the vocab frame and broadcast back;
+    // top-20 leaves via TakeOrdered. At 100 TB the sketch side is
+    // constant-size — the mergeable-counter property production ships.
+    "q_cms_est" -> { (s, dir) =>
+      val counts = Tables(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_true"))
+        .withColumn("h", call_function("graft_md5_top32",
+          concat(lit("cms:"), col("token"))))
+        .localCheckpoint()
+      val rows = s.range(0, 4).select(col("id").cast(IntegerType).as("d"))
+      val buckets = counts.crossJoin(broadcast(rows))
+        .select(col("token"), col("n_true"), col("d"),
+          call_function("shiftright", col("h"), col("d") * lit(8))
+            .bitwiseAND(lit(255L)).as("bucket"))
+      val counters = buckets.groupBy(col("d"), col("bucket"))
+        .agg(sum(col("n_true")).as("c"))
+      buckets.join(broadcast(counters), Seq("d", "bucket"))
+        .groupBy(col("token"), col("n_true"))
+        .agg(min(col("c")).as("cms_est"))
+        .orderBy(col("n_true").desc, col("token"))
+        .limit(20)
+    },
+
     // Mixture sampling to a per-domain token budget — the "data mixing"
     // step of a training run: each source contributes documents in a
     // deterministic md5-priority order until its token budget fills
@@ -2927,6 +2961,35 @@ object TextQueries {
             & 2147483647) AS h
          FROM codec)"""
 
+  /** DuckDB twin of q_cms_est: the same one-md5-per-token top32 decode
+    * sliced into four 8-bit buckets, the same (d, bucket) counter sums,
+    * and min-over-rows estimates — all integers, compared exactly.
+    */
+  private def cmsEstOracle: String = {
+    val top32 = (1 to 8).map { d =>
+      s"""(ascii(substring(h, $d, 1)) -
+          CASE WHEN ascii(substring(h, $d, 1)) >= 97 THEN 87 ELSE 48 END)
+          * CAST(${1L << (4 * (8 - d))} AS BIGINT)"""
+    }.mkString(" + ")
+    s"""WITH tc AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS n_true
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token),
+       th AS (
+         SELECT token, n_true, ($top32) AS h32
+         FROM (SELECT token, n_true, md5('cms:' || token) AS h FROM tc)),
+       bk AS (
+         SELECT token, n_true, d.d AS d, (h32 >> (d.d * 8)) & 255 AS bucket
+         FROM th, range(0, 4) d(d)),
+       ct AS (
+         SELECT d, bucket, CAST(sum(n_true) AS BIGINT) AS c
+         FROM bk GROUP BY 1, 2)
+       SELECT token, n_true, CAST(min(c) AS BIGINT) AS cms_est
+       FROM bk JOIN ct USING (d, bucket)
+       GROUP BY token, n_true
+       ORDER BY n_true DESC, token LIMIT 20"""
+  }
+
   /** DuckDB twin of q_embed_rp: the same md5-top32 sign matrix (bit j
     * of the 16-adic decode, via `>> j & 1`), the same floor(x·2^20)
     * integer quantization, and exact BIGINT dot products in both
@@ -4195,7 +4258,8 @@ object TextQueries {
     "q_weighted_sample" -> weightedSampleOracle,
     "q_mix_reweight" -> mixReweightOracle,
     "q_label_prop" -> labelPropOracle,
-    "q_embed_rp" -> embedRpOracle)
+    "q_embed_rp" -> embedRpOracle,
+    "q_cms_est" -> cmsEstOracle)
 
   /** DuckDB twin of q_lsh_curve: the same grid and the same
     * multiply-by-squaring power chains, so both engines evaluate the
