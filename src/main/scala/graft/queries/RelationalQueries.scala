@@ -404,6 +404,29 @@ object RelationalQueries {
     // next to q_param_sql's sql(query, args) form. The inner statement
     // resolves through the same parser/Catalyst path, so pushdown and
     // plan shape match the literal form.
+    // Spark 4 SQL scalar UDF (CREATE FUNCTION ... RETURN expr): the
+    // catalog-function path for shared business logic — unlike a Scala
+    // UDF the body is pure SQL, so Catalyst INLINES it (the plan is
+    // identical to writing the expression in place: whole-stage
+    // codegen'd, no black-box eval, pushdown still works). The oracle
+    // simply inlines the same expression, which is exactly what the
+    // optimizer does.
+    "q_sql_udf" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("li_udf")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+             p DECIMAL(18,4), d DECIMAL(18,4))
+           RETURNS DECIMAL(38,8)
+           RETURN p * (CAST(1 AS DECIMAL(18,4)) - d)""")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n_lines,
+             CAST(sum(graft_disc_price(
+               CAST(l_extendedprice AS DECIMAL(18,4)),
+               CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+           FROM li_udf
+           GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
     "q_exec_immediate" -> { (s, dir) =>
       Tables(s, dir, "orders").createOrReplaceTempView("orders_ei")
       s.sql(
@@ -2593,6 +2616,12 @@ object RelationalQueries {
            AND o_orderdate >= DATE '1995-01-01'
            AND o_orderdate < DATE '1996-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    // the UDF body inlined — what Catalyst itself does with the SQL UDF
+    "q_sql_udf" ->
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+         ${decToDouble(s"sum($discountedDec)")} AS revenue
+         FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_exec_immediate" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
          CAST(min(o_totalprice) AS DOUBLE) AS min_price
