@@ -357,15 +357,23 @@ object StreamingOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
-  /** Watermarked stream-stream inner join: each purchase picks up the
-    * same user's clicks from the preceding `lookback` interval. Both
-    * sides carry watermarks and the join condition bounds the time gap,
-    * so Spark can expire buffered state on both sides — without the
-    * interval bound, stream-stream join state grows forever.
+  /** Watermarked stream-stream interval join: each purchase picks up
+    * the same user's clicks from the preceding `lookback` interval.
+    * Both sides carry watermarks and the join condition bounds the time
+    * gap, so Spark can expire buffered state on both sides — without
+    * the interval bound, stream-stream join state grows forever.
+    *
+    * `joinType = "leftOuter"` adds the attribution-miss rows: a
+    * purchase with NO click in its window emits once with null click
+    * columns — but only after the CLICK watermark passes the window's
+    * end, because until then the engine cannot prove the click won't
+    * still arrive. That deferred null emission (vs the inner join's
+    * prompt matches) is the semantic the spec pins.
     */
   def clickPurchaseJoin(
       purchases: DataFrame, clicks: DataFrame,
-      lookback: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+      lookback: String = "1 hour", watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val p = purchases
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .withWatermark("ts", watermark)
@@ -376,7 +384,8 @@ object StreamingOps {
     p.join(c,
       col("user_id") === col("click_user") &&
         col("click_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
-        col("click_ts") <= col("ts"))
+        col("click_ts") <= col("ts"),
+      joinType)
       .select(col("event_id"), col("user_id"), col("value"),
         col("click_id"), col("click_ts"))
   }

@@ -271,6 +271,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join defers the null row until the click watermark proves absence") {
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[Ev]
+    val cm = MemoryStream[Ev]
+    val q = StreamingOps.clickPurchaseJoin(pm.toDF(), cm.toDF(),
+        lookback = "30 minutes", watermark = "1 hour", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("ssjoin_outer").outputMode("append").start()
+    try {
+      cm.addData(Ev(10, ts(5), 1, "click", 0.0))
+      pm.addData(Ev(1, ts(20), 1, "purchase", 9.5), // matches click 10
+        Ev(2, ts(25), 2, "purchase", 3.0))          // user 2 has NO click
+      q.processAllAvailable()
+      val early = spark.table("ssjoin_outer")
+        .select("event_id").as[Long].collect().toSet
+      // the matched row may emit promptly; the null row for purchase 2
+      // MUST NOT — its click could still arrive within the watermark
+      assert(!early.contains(2L),
+        s"null row emitted before watermark proved absence: $early")
+      // advance BOTH watermarks far past purchase 2's click window
+      cm.addData(Ev(90, ts(300), 9, "click", 0.0))
+      pm.addData(Ev(91, ts(300), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_outer")
+        .select("event_id", "click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 10L)), s"matched row missing: $rows")
+      assert(rows.contains((2L, -1L)),
+        s"unmatched purchase never emitted its null row: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches each micro-batch against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
