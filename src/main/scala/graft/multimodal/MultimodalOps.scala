@@ -465,6 +465,64 @@ object MultimodalOps {
         rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
         peak = peak)
     }
+
+    /** Raw PCM-U8 payload of a canonical 8-bit RIFF/WAVE blob (the
+      * shape [[pcmU8ToWav]] writes); throws on anything else — the
+      * energy fingerprint below is defined on the u8 sample stream.
+      */
+    def pcmU8Data(b: Array[Byte]): Array[Byte] = {
+      require(isRiffWave(b), "pcmU8Data: not a RIFF/WAVE blob")
+      var off = 12
+      var bits = -1
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= b.length && (dataOff < 0 || bits < 0)) {
+        val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = u32(b, off + 4).toInt
+        val body = off + 8
+        id match {
+          case "fmt " => bits = u16(b, body + 14)
+          case "data" =>
+            dataOff = body
+            dataLen = math.min(size, b.length - body)
+          case _ => ()
+        }
+        off = body + size + (size & 1)
+      }
+      require(bits == 8 && dataOff >= 0,
+        s"pcmU8Data: expected 8-bit PCM WAV, got bits=$bits")
+      java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen)
+    }
+  }
+
+  /** Frame-energy delta fingerprint over u8 PCM samples — the
+    * Haitsma-Kalker sign-of-difference idea without the spectral
+    * transform: bit f is set when frame f's summed |amplitude| exceeds
+    * frame f+1's. Robust to uniform gain, one linear pass, and —
+    * unlike the pHash DCT — exactly SQL-reproducible, so the audio
+    * dedup path is oracle-checked end to end. Frames of `frame`
+    * samples; at most `maxBits` bits (sub-2-frame clips fingerprint
+    * to 0 bits / signature 0).
+    */
+  def audioFingerprint(samples: Array[Byte], frame: Int = 32,
+      maxBits: Int = 31): (Int, Long) = {
+    val nFrames = samples.length / frame
+    val nBits = math.min(maxBits, math.max(nFrames - 1, 0))
+    if (nBits == 0) return (0, 0L)
+    val energy = Array.tabulate(nBits + 1) { f =>
+      var s = 0L
+      var i = f * frame
+      val end = i + frame
+      while (i < end) { s += math.abs((samples(i) & 0xff) - 128); i += 1 }
+      s
+    }
+    var sig = 0L
+    var f = 0
+    while (f < nBits) {
+      if (energy(f) > energy(f + 1)) sig |= (1L << f)
+      f += 1
+    }
+    (nBits, sig)
   }
 
   /** Batched audio decode through the same mapPartitions plumbing as

@@ -2295,6 +2295,35 @@ object TextQueries {
     // with the identical IEEE op order, and n_bytes = samples + the
     // 44-byte canonical RIFF header, which pins the container
     // roundtrip itself.
+    // Audio FINGERPRINTING on top of the real WAV path — the retrieval/
+    // dedup tier for the audio modality (q_media_phash's counterpart):
+    // encode text bytes as 8-bit PCM WAV, decode the data chunk back
+    // through the RIFF fast path, then the frame-energy delta signature
+    // (MultimodalOps.audioFingerprint — Haitsma-Kalker sign bits
+    // without the FFT, so the WHOLE path is oracle-checkable). Docs
+    // sharing a signature are dup candidates; n_same_sig surfaces the
+    // group sizes. Scale shape: fingerprints compute in-task (no
+    // shuffle), then ONE exchange keyed on the 8-byte signature — the
+    // audio analog of q_dedup_exact's digest-only shuffle.
+    "q_audio_fingerprint" -> { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      val fps = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+        .mapPartitions(_.map { case (id, text) =>
+          val pcm = MultimodalOps.WavPcmCodec.pcmU8Data(
+            MultimodalOps.pcmU8ToWav(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8), 8000))
+          val (nBits, sig) = MultimodalOps.audioFingerprint(pcm)
+          (id, pcm.length.toLong, nBits.toLong, sig)
+        })(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("doc_id", "n_samples", "n_bits", "sig")
+      val w = Window.partitionBy(col("sig"))
+      fps.withColumn("n_same_sig", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    },
+
     "q_audio_decode" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
       val feats = Tables(s, dir, "documents")
@@ -2960,6 +2989,42 @@ object TextQueries {
               (r, x) -> ((((31*r + x) + 2147483648) % 4294967296 + 4294967296) % 4294967296) - 2147483648)
             & 2147483647) AS h
          FROM codec)"""
+
+  /** DuckDB twin of q_audio_fingerprint: the text bytes ARE the u8
+    * samples (ASCII fixtures — the q_audio_decode oracle leans on the
+    * same identity), so frame energies are exact integer |b-128| sums
+    * over 32-char windows and the signature is the same
+    * greater-than-next bit fold, `1 << f` summed as BIGINT.
+    */
+  private def audioFingerprintOracle: String =
+    """WITH n AS (
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_samples,
+           CAST(floor(length(text) / 32) AS BIGINT) AS nf
+         FROM documents),
+       e AS (
+         SELECT doc_id, CAST(floor((i - 1) / 32) AS BIGINT) AS f,
+           CAST(sum(abs(ascii(substring(text, CAST(i AS INT), 1)) - 128))
+             AS BIGINT) AS en
+         FROM documents,
+           unnest(range(1, CAST(floor(length(text) / 32) * 32 AS BIGINT) + 1))
+             AS u(i)
+         GROUP BY doc_id, f),
+       bits AS (
+         SELECT a.doc_id,
+           CAST(sum(CASE WHEN a.en > b.en
+             THEN CAST(1 AS BIGINT) << CAST(a.f AS INT)
+             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+         FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+         WHERE a.f < 31
+         GROUP BY a.doc_id),
+       sg AS (
+         SELECT n.doc_id, n.n_samples,
+           least(CAST(31 AS BIGINT), greatest(n.nf - 1, 0)) AS n_bits,
+           COALESCE(bits.sig, 0) AS sig
+         FROM n LEFT JOIN bits ON bits.doc_id = n.doc_id)
+       SELECT doc_id, n_samples, n_bits, sig,
+         count(*) OVER (PARTITION BY sig) AS n_same_sig
+       FROM sg ORDER BY doc_id"""
 
   /** DuckDB twin of q_cms_est: the same one-md5-per-token top32 decode
     * sliced into four 8-bit buckets, the same (d, bucket) counter sums,
@@ -4259,7 +4324,8 @@ object TextQueries {
     "q_mix_reweight" -> mixReweightOracle,
     "q_label_prop" -> labelPropOracle,
     "q_embed_rp" -> embedRpOracle,
-    "q_cms_est" -> cmsEstOracle)
+    "q_cms_est" -> cmsEstOracle,
+    "q_audio_fingerprint" -> audioFingerprintOracle)
 
   /** DuckDB twin of q_lsh_curve: the same grid and the same
     * multiply-by-squaring power chains, so both engines evaluate the
