@@ -334,6 +334,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFingerprint: known bits, uniform-gain invariance, short-clip zero") {
+    // 3 frames of 4 samples with energies 40 > 20 < 60: bits (e0>e1)=1,
+    // (e1>e2)=0 -> sig = 0b01 = 1 with 2 bits
+    def frame(dev: Int) = Array.fill(4)((128 + dev).toByte)
+    val samples = frame(10) ++ frame(5) ++ frame(15)
+    assert(MultimodalOps.audioFingerprint(samples, frame = 4) == (2, 1L))
+    // uniform gain (x2 around the 128 midpoint) scales every frame
+    // energy equally -> identical signature
+    val louder = samples.map(b => (128 + 2 * ((b & 0xff) - 128)).toByte)
+    assert(MultimodalOps.audioFingerprint(louder, frame = 4) == (2, 1L))
+    // fewer than two full frames -> no comparable pair -> (0, 0)
+    assert(MultimodalOps.audioFingerprint(frame(10), frame = 4) == (0, 0L))
+    assert(MultimodalOps.audioFingerprint(Array.emptyByteArray) == (0, 0L))
+    // roundtrip: the WAV-encoded form recovers the same samples, so the
+    // fingerprint survives the container
+    val viaWav = MultimodalOps.WavPcmCodec.pcmU8Data(
+      MultimodalOps.pcmU8ToWav(samples, 8000))
+    assert(viaWav.toSeq == samples.toSeq)
+  }
+
   test("WavPcmCodec rejects non-audio bytes with the media_id in the error") {
     val e = intercept[org.apache.spark.SparkException] {
       MultimodalOps.audioFeatures(spark, spark.createDataset(Seq(
