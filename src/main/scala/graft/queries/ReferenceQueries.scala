@@ -115,6 +115,29 @@ object ReferenceQueries {
     // typed. The oracle recomputes from the flat columns, so the check
     // proves the variant encode → path-extract round trip is lossless
     // (sums ride the DECIMAL(18,4) exact-grid like every value agg).
+    // Spark 4 NATIVE XML (moved into sql/core in 4.0): to_xml renders
+    // each order as an element, from_xml parses it back through a typed
+    // schema — the export-feed ingest shape without an external
+    // spark-xml package. The roundtrip is lossless for the typed
+    // fields (whatever rendering to_xml picks, from_xml inverts it),
+    // so the oracle aggregates the original columns directly; the sum
+    // goes through the exact-decimal route like q_variant_extract's.
+    "q_xml_extract" -> { (s, dir) =>
+      val sch = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, status STRING, total DOUBLE")
+      Tables(s, dir, "orders")
+        .withColumn("x", to_xml(struct(
+          col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(DoubleType).as("total"))))
+        .select(from_xml(col("x"), sch).as("r"))
+        .select(col("r.status").as("status"), col("r.total").as("total"))
+        .filter(col("total") > 100000.0)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          graft.ops.CoreOps.dsum(col("total")).as("sum_total"))
+        .orderBy("status")
+    },
+
     "q_variant_extract" -> { (s, dir) =>
       val doc = to_json(struct(
         col("event_type").as("t"), col("value").as("v"),
@@ -262,5 +285,12 @@ object ReferenceQueries {
          CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events
          WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-         GROUP BY event_type ORDER BY t""")
+         GROUP BY event_type ORDER BY t""",
+
+    "q_xml_extract" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           AS sum_total
+         FROM orders WHERE o_totalprice > 100000.0
+         GROUP BY o_orderstatus ORDER BY status""")
 }
