@@ -91,6 +91,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("mix_reweight: alphas normalize, the uniform floor holds, excess is monotone in alpha") {
+    val out = run("q_mix_reweight").collect()
+    val k = out.length
+    assert(k > 1)
+    // (source, n_docs, mean_loss, excess, alpha, alpha_mix)
+    val alphas = out.map(_.getDouble(4))
+    assert(math.abs(alphas.sum - 1.0) < 1e-9, s"alphas sum to ${alphas.sum}")
+    // the 0.2/k smoothing floor: no domain starves
+    out.map(_.getDouble(5)).foreach(am =>
+      assert(am >= 0.2 / k - 1e-12, s"alpha_mix $am under the floor"))
+    // multiplicative weights: more excess loss -> never less mixture
+    val byExcess = out.map(r => (r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    byExcess.zip(byExcess.tail).foreach { case ((e1, a1), (e2, a2)) =>
+      assert(a1 <= a2 + 1e-12, s"alpha not monotone: ($e1,$a1) vs ($e2,$a2)")
+    }
+    // only above-mean domains get upweighted past uniform
+    out.foreach { r =>
+      if (r.getDouble(3) == 0.0) assert(r.getDouble(4) <= 1.0 / k + 1e-9)
+    }
+  }
+
   test("weighted_sample picks exactly 5 per source, deterministically") {
     val a = run("q_weighted_sample").collect().map(_.getLong(0)).toSeq
     val b = run("q_weighted_sample").collect().map(_.getLong(0)).toSeq

@@ -159,6 +159,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("audioFingerprint: gain invariance and whole-frame-extension stability") {
+    import graft.multimodal.MultimodalOps
+    // deviations stay in [-31, 31] so a x4 gain never clips u8 range
+    val devGen = Gen.listOfN(200, Gen.choose(-31, 31))
+    forSamples(devGen, 30) { devs =>
+      val samples = devs.map(d => (128 + d).toByte).toArray
+      val (nBits, sig) = MultimodalOps.audioFingerprint(samples)
+      // frame count math
+      assert(nBits == math.min(31, math.max(samples.length / 32 - 1, 0)))
+      // uniform positive gain scales every frame energy equally ->
+      // every strict comparison (and so the signature) is preserved
+      for (g <- Seq(2, 4)) {
+        val scaled = samples.map(b => (128 + g * ((b & 0xff) - 128)).toByte)
+        assert(MultimodalOps.audioFingerprint(scaled) == ((nBits, sig)),
+          s"gain x$g changed the signature")
+      }
+      // appending WHOLE frames only appends bits: the existing prefix
+      // of the signature is untouched (earlier frame energies are
+      // position-local)
+      val extended = samples ++ Array.fill(64)(140.toByte)
+      val (nBits2, sig2) = MultimodalOps.audioFingerprint(extended)
+      assert(nBits2 >= nBits)
+      if (nBits > 0)
+        assert((sig2 & ((1L << nBits) - 1)) == sig,
+          s"extension rewrote existing bits: $sig -> $sig2")
+    }
+  }
+
+  test("labelPropagation: every label stays inside its connected component") {
+    import graft.operators.GraphOps
+    val edgeGen = for {
+      n <- Gen.choose(5, 14)
+      m <- Gen.choose(3, 20)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (a, b))
+    } yield (n, es)
+    forSamples(edgeGen, 6) { case (n, es) =>
+      val und = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val nodes = (0L until n.toLong).toDF("id")
+      val labels = GraphOps.labelPropagation(nodes, und.toDF("src", "dst"),
+        iters = 3).as[(Long, Long)].collect().toMap
+      assert(labels.keySet == (0L until n.toLong).toSet, "node set changed")
+      // component map from the independently-implemented CC operator;
+      // isolated nodes (absent from edges) are their own component
+      val comp = GraphOps.connectedComponents(und.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      labels.foreach { case (node, label) =>
+        val cn = comp.getOrElse(node, node)
+        val cl = comp.getOrElse(label, label)
+        assert(cl == cn,
+          s"node $node (component $cn) took label $label from component $cl")
+      }
+    }
+  }
+
   test("graft_shingles / graft_lang_ngram match their HOF spellings for random text") {
     import graft.functions.TextOps
     forSamples(Gen.listOfN(40, textGen), 4) { texts =>
