@@ -62,6 +62,47 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Plain array-of-double sum as one codegen'd loop — the target of the
+  * RewriteHofSum optimizer rule: the portable HOF spelling
+  * `aggregate(arr, 0.0d, (acc, x) -> acc + x)` is CodegenFallback and
+  * interprets a lambda per element; this is the identical sequential
+  * left fold (bit-identical doubles) fused into WholeStageCodegen.
+  */
+case class ArraySum(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_asum"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused cosine similarity: dot, |a| and |b| in ONE pass over the arrays
   * (vs three passes for dot/norm/norm composed), still codegen'd.
   */
@@ -907,6 +948,9 @@ object GraftFunctions {
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("graft_asum",
+      new ExpressionInfo(classOf[ArraySum].getName, "graft_asum"),
+      (es: Seq[Expression]) => ArraySum(es(0))),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0), 42L)),
@@ -1032,5 +1076,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // optimizer tier: HOF-spelling -> native-kernel rewrites
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofSum)
   }
 }

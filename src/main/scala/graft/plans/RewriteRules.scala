@@ -72,3 +72,49 @@ object RewriteHofDot extends Rule[LogicalPlan] {
         DotProduct(l, r)
     }
 }
+
+/** Sibling of [[RewriteHofDot]] for the plain-sum HOF spelling
+  *
+  *   aggregate(arr, 0.0d, (acc, x) -> acc + x)
+  *
+  * → the codegen'd [[graft.functions.ArraySum]] kernel. Same soundness
+  * guards: non-null `array<double>` elements (a null element nulls the
+  * HOF fold but reads as a primitive in the kernel), exact 0.0d seed,
+  * strict `acc + x` add in either operand order (IEEE two-operand add
+  * is commutative; the kernel keeps the left-to-right fold order so
+  * doubles stay bit-identical), identity finish lambda.
+  */
+object RewriteHofSum extends Rule[LogicalPlan] {
+
+  private def nonNullDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  private def sameVars(a: Expression, b: Expression,
+      va: NamedLambdaVariable, vb: NamedLambdaVariable): Boolean =
+    (a, b) match {
+      case (x: NamedLambdaVariable, y: NamedLambdaVariable) =>
+        (x.exprId == va.exprId && y.exprId == vb.exprId) ||
+          (x.exprId == vb.exprId && y.exprId == va.exprId)
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            arr,
+            Literal(zero, DoubleType),
+            LambdaFunction(Add(ax, av, _),
+              Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable,
+              Seq(fv: NamedLambdaVariable), _))
+          if zero == 0.0 && nonNullDoubleArray(arr) &&
+            // leave zip_with inputs to RewriteHofDot — the fused
+            // DotProduct beats sum-over-materialized-products
+            // regardless of which rule the optimizer tries first
+            !arr.isInstanceOf[ZipWith] &&
+            sameVars(ax, av, acc, v) && fin.exprId == fv.exprId =>
+        graft.functions.ArraySum(arr)
+    }
+}

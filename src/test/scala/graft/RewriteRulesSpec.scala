@@ -73,4 +73,39 @@ class RewriteRulesSpec extends SparkSpec {
         |FROM graft_rrs_vecs""".stripMargin)
     assert(planOf(df).contains("graft_dot"), planOf(df))
   }
+
+  test("HOF plain sum is rewritten to graft_asum with bit-identical values") {
+    val df = nonNullArrays.select(col("a"),
+      aggregate(col("a"), lit(0.0), (acc, v) => acc + v).as("s"))
+    assert(planOf(df).contains("graft_asum"), planOf(df))
+    assert(!planOf(df).contains("aggregate("), planOf(df))
+    df.collect().foreach { r =>
+      val expect = r.getSeq[Double](0).foldLeft(0.0)(_ + _)
+      assert(r.getDouble(1) == expect, r)
+    }
+  }
+
+  test("HOF sum over a zip_with input still becomes the fused graft_dot, not graft_asum") {
+    val df = nonNullArrays.select(VectorOps.dotHof(col("a"), col("b")).as("d"))
+    assert(planOf(df).contains("graft_dot") && !planOf(df).contains("graft_asum"),
+      planOf(df))
+  }
+
+  test("HOF sum over nullable elements is NOT rewritten; null poisoning preserved") {
+    val df = spark.range(4).select(
+      when(col("id") === 2, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("x"))
+      .select(array(col("x"), lit(1.0)).as("a"))
+    val q = df.select(aggregate(col("a"), lit(0.0), (acc, v) => acc + v).as("s"))
+    assert(!planOf(q).contains("graft_asum"), planOf(q))
+    assert(q.collect().count(_.isNullAt(0)) == 1)
+  }
+
+  test("the sum rewrite fires through the SQL surface too") {
+    nonNullArrays.createOrReplaceTempView("graft_rrs_vecs2")
+    val df = spark.sql(
+      """SELECT aggregate(a, cast(0.0 as double), (acc, v) -> acc + v) AS s
+        |FROM graft_rrs_vecs2""".stripMargin)
+    assert(planOf(df).contains("graft_asum"), planOf(df))
+  }
 }
