@@ -201,6 +201,42 @@ object GraphOps {
     labels
   }
 
+  /** Synchronous BFS from one source: returns (id, lvl) for every node
+    * reachable within `maxDepth` hops — the distance/reachability probe
+    * next to [[connectedComponents]]' membership and
+    * [[labelPropagation]]'s communities (e.g. "how many hops from a
+    * seed document does its near-dup neighborhood extend").
+    *
+    * Scale design: per round, ONE edge-keyed join of the edge list with
+    * the current frontier plus an anti join against the seen set (both
+    * id-keyed exchanges over (id, lvl) longs — never payloads), with
+    * the usual per-round localCheckpoint lineage cap. Frontier-bounded:
+    * a round's work is proportional to the frontier's out-edges, the
+    * textbook level-synchronous BFS the Pregel-likes run.
+    */
+  def bfsLevels(edges: DataFrame, source: Long, maxDepth: Int = 6): DataFrame = {
+    val e = edges.select(col(edges.columns(0)).as("src"),
+      col(edges.columns(1)).as("dst"))
+    val spark = edges.sparkSession
+    var levels = spark.range(1)
+      .select(lit(source).as("id"), lit(0L).as("lvl"))
+      .localCheckpoint()
+    var k = 1
+    var frontierEmpty = false
+    while (k <= maxDepth && !frontierEmpty) {
+      val frontier = levels.filter(col("lvl") === (k - 1).toLong)
+      val next = e.join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(levels.select("id"), Seq("id"), "left_anti")
+        .withColumn("lvl", lit(k.toLong))
+      levels = levels.unionByName(next).localCheckpoint()
+      // one scalar to the driver per round; stop when the wave dies out
+      frontierEmpty = levels.filter(col("lvl") === k.toLong).isEmpty
+      k += 1
+    }
+    levels
+  }
+
   /** Duplicate-cluster assignment: near-dup pairs → (id, cluster_id)
     * where cluster_id is the minimum doc id of the connected component.
     * Only documents that appear in at least one pair are returned —

@@ -1519,6 +1519,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BFS hop-distance from a seed document over the similarity graph —
+    // the reachability probe next to q_label_prop's communities: how far
+    // a seed's near-dup neighborhood extends, level by level. The seed
+    // is the max-degree node (ties to the smallest id) so the probe
+    // lands inside the densest neighborhood at every SF — one scalar
+    // crosses the driver, derived identically in the oracle. Pure
+    // integer levels; the oracle unrolls the same six synchronous
+    // waves. Each round is frontier-bounded edge-keyed work (see
+    // GraphOps.bfsLevels).
+    "q_bfs_levels" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val p = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.05, n = 3)
+        .select("id_a", "id_b").localCheckpoint()
+      val edges = p.unionByName(
+        p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .localCheckpoint()
+      val source = edges.groupBy(col("id_a")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("id_a")).limit(1)
+        .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      GraphOps.bfsLevels(edges, source, maxDepth = 6)
+        .select(col("id").as("doc_id"), col("lvl"))
+        .orderBy("lvl", "doc_id")
+    },
+
     // Incremental ingestion dedup: the production shape — an incoming
     // batch (doc_id % 10 == 0 stands in for "today's crawl") is deduped
     // against the already-indexed corpus AND within itself, without the
@@ -3143,6 +3168,40 @@ object TextQueries {
        SELECT id AS doc_id, label AS community FROM l3 ORDER BY doc_id"""
   }
 
+  /** DuckDB twin of q_bfs_levels: the q_pagerank oracle's edges, then
+    * six synchronous BFS waves unrolled — each adds the unseen
+    * neighbors of the previous level. Full unroll is safe past the
+    * Spark side's early stop: an empty frontier contributes nothing.
+    * Every round is MATERIALIZED (the kCore-oracle discipline): each
+    * level references its predecessor three times, so DuckDB's default
+    * CTE inlining would otherwise expand the chain 3^6-fold.
+    */
+  private def bfsLevelsOracle: String = {
+    val rounds = (1 to 6).map { k =>
+      s"""lv$k AS MATERIALIZED (
+           SELECT * FROM lv${k - 1}
+           UNION ALL
+           SELECT DISTINCT e.dst AS id, CAST($k AS BIGINT) AS lvl
+           FROM edges e JOIN lv${k - 1} p ON p.id = e.src AND p.lvl = ${k - 1}
+           WHERE e.dst NOT IN (SELECT id FROM lv${k - 1}))"""
+    }.mkString(",\n       ")
+    s"""WITH $ngramSharedCte,
+       jp AS (
+         SELECT id_a, id_b FROM shared
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+         WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+       edges AS MATERIALIZED (
+         SELECT id_a AS src, id_b AS dst FROM jp
+         UNION ALL SELECT id_b, id_a FROM jp),
+       lv0 AS (
+         SELECT src AS id, CAST(0 AS BIGINT) AS lvl
+         FROM edges GROUP BY src
+         ORDER BY count(*) DESC, src LIMIT 1),
+       $rounds
+       SELECT id AS doc_id, lvl FROM lv6 ORDER BY lvl, doc_id"""
+  }
+
   /** DuckDB twin of q_mix_reweight: the same md5 16-adic milli-losses
     * (exact BIGINT per-source sums), the same floor-quantized
     * micro-unit weights, and the same k-row double expression tree —
@@ -4325,7 +4384,8 @@ object TextQueries {
     "q_label_prop" -> labelPropOracle,
     "q_embed_rp" -> embedRpOracle,
     "q_cms_est" -> cmsEstOracle,
-    "q_audio_fingerprint" -> audioFingerprintOracle)
+    "q_audio_fingerprint" -> audioFingerprintOracle,
+    "q_bfs_levels" -> bfsLevelsOracle)
 
   /** DuckDB twin of q_lsh_curve: the same grid and the same
     * multiply-by-squaring power chains, so both engines evaluate the

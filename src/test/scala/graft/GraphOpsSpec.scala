@@ -54,6 +54,23 @@ class GraphOpsSpec extends SparkSpec {
       99L -> 99L))
   }
 
+  test("bfsLevels: path distances, depth cap, early stop, unreachable excluded") {
+    // path 0-1-2-3, a branch 1-5, isolated pair 8-9 (unreachable from 0)
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 5L), (8L, 9L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val full = GraphOps.bfsLevels(es.toDF("src", "dst"), source = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 5L -> 2L, 3L -> 3L))
+    // depth cap truncates the wave
+    val capped = GraphOps.bfsLevels(es.toDF("src", "dst"), 0L, maxDepth = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(0L -> 0L, 1L -> 1L))
+    // early stop: a dead wave well before maxDepth still terminates
+    val iso = GraphOps.bfsLevels(es.toDF("src", "dst"), 8L, maxDepth = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(iso == Map(8L -> 0L, 9L -> 1L))
+  }
+
   test("kCore: 2-core strips a pendant chain, keeps the cycle; deep peel cascades") {
     // triangle with a tail 3-4-5: peeling 5 (deg 1) exposes 4, then 3
     // stays (in the triangle) — the 2-core is exactly the triangle
