@@ -63,8 +63,9 @@ object SparkEntry {
     "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q19",
     "q_tpch_q20", "q_logreg_step", "q_dp_noise",
     // r11 additions: the de-interpreted kernels, the WAV roundtrip, the
-    // DoReMi-style mixture-reweight step, LPA communities, and the JL
-    // projection audit
+    // DoReMi-style mixture-reweight step, LPA communities, the JL
+    // projection audit, the oracle-checked CMS, and audio-fingerprint
+    // dedup
     "q_bootstrap", "q_lang_ngram", "q_audio_decode", "q_mix_reweight",
-    "q_label_prop", "q_embed_rp")
+    "q_label_prop", "q_embed_rp", "q_cms_est", "q_audio_fingerprint")
 }
