@@ -1519,6 +1519,29 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Dedup operating-point curve — the MEASURED counterpart to
+    // q_lsh_curve's theoretical S-curves: at each candidate Jaccard
+    // threshold, how many near-dup pairs fire and how many documents
+    // they touch. This is the table a curation team reads to pick the
+    // dedup threshold (pairs explode as t drops; docs-affected shows
+    // blast radius). One shared pair frame (checkpointed), a 9-row
+    // broadcast threshold grid, and two tiny aggregates — the corpus
+    // pays the pair build once, the curve is free.
+    "q_dedup_curve" -> { (s, dir) =>
+      val p = DedupOps.ngramJaccardPairs(Tables(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.05, n = 3)
+        .localCheckpoint()
+      val grid = s.range(1, 10)
+        .select((col("id").cast(DoubleType) / lit(10.0)).as("t"))
+      val hits = p.crossJoin(broadcast(grid))
+        .filter(col("jaccard") >= col("t"))
+      val pairs = hits.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+      val docsHit = hits
+        .select(col("t"), explode(array(col("id_a"), col("id_b"))).as("d"))
+        .groupBy("t").agg(countDistinct(col("d")).as("n_docs"))
+      pairs.join(docsHit, Seq("t")).orderBy("t")
+    },
+
     // BFS hop-distance from a seed document over the similarity graph —
     // the reachability probe next to q_label_prop's communities: how far
     // a seed's near-dup neighborhood extends, level by level. The seed
@@ -3168,6 +3191,33 @@ object TextQueries {
        SELECT id AS doc_id, label AS community FROM l3 ORDER BY doc_id"""
   }
 
+  /** DuckDB twin of q_dedup_curve: the shared-shingle pair CTE with
+    * the jaccard kept, the same i/10 threshold grid (identical double
+    * literals both engines), pair counts and UNION-ALL-then-distinct
+    * docs-affected per threshold. Thresholds with zero firing pairs
+    * drop from both sides alike (inner join semantics).
+    */
+  private def dedupCurveOracle: String =
+    s"""WITH $ngramSharedCte,
+       jp AS (
+         SELECT id_a, id_b,
+           CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS j
+         FROM shared
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+         WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+       grid AS (SELECT CAST(i AS DOUBLE) / 10.0e0 AS t FROM range(1, 10) g(i)),
+       hits AS (SELECT t, id_a, id_b FROM jp, grid WHERE j >= t),
+       pairs AS (
+         SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM hits GROUP BY t),
+       dh AS (
+         SELECT t, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         FROM (SELECT t, id_a AS d FROM hits
+               UNION ALL SELECT t, id_b FROM hits)
+         GROUP BY t)
+       SELECT t, n_pairs, n_docs
+       FROM pairs JOIN dh USING (t) ORDER BY t"""
+
   /** DuckDB twin of q_bfs_levels: the q_pagerank oracle's edges, then
     * six synchronous BFS waves unrolled — each adds the unseen
     * neighbors of the previous level. Full unroll is safe past the
@@ -4385,7 +4435,8 @@ object TextQueries {
     "q_embed_rp" -> embedRpOracle,
     "q_cms_est" -> cmsEstOracle,
     "q_audio_fingerprint" -> audioFingerprintOracle,
-    "q_bfs_levels" -> bfsLevelsOracle)
+    "q_bfs_levels" -> bfsLevelsOracle,
+    "q_dedup_curve" -> dedupCurveOracle)
 
   /** DuckDB twin of q_lsh_curve: the same grid and the same
     * multiply-by-squaring power chains, so both engines evaluate the

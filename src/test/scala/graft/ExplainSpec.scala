@@ -157,6 +157,11 @@ class ExplainSpec extends SparkSpec {
     // aggregate, its id_b rejoin, and the output sort — all carrying
     // (pair) or (vec, dim) integer partials, never raw vectors
     "q_mix_reweight" -> 2, "q_label_prop" -> 1, "q_embed_rp" -> 5,
+    // q_dedup_curve: audits post-checkpoint (the corpus-sized pair
+    // build is materialized away) — the 6 are the per-threshold pair
+    // count, the two-level countDistinct of docs-affected, their t-join
+    // pair, and the 9-row output sort; every one moves (t, id) rows
+    "q_dedup_curve" -> 6,
     // q_js_divergence: token agg + per-source totals + the pair-grid
     // expansions and their full-outer token union + per-pair grid sums —
     // every exchange after the first carries (source, token) count rows
