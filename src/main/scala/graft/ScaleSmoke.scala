@@ -138,7 +138,13 @@ object ScaleSmoke {
     // q_label_prop stays out with the other pairwise-similarity ops —
     // a 90%-clone corpus quadratically densifies its candidate graph;
     // dedup-first is the documented pipeline order.
-    "q_mix_reweight", "q_embed_rp")
+    "q_mix_reweight", "q_embed_rp",
+    // r11 third wave: the CMS counter build is one (token, count)
+    // aggregate over a clone-invariant vocab (the sketch side is
+    // constant-size by construction); the audio fingerprint is a pure
+    // per-row WAV encode->decode->signature pass plus one sig-keyed
+    // window — both must track the scan
+    "q_cms_est", "q_audio_fingerprint")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated
