@@ -379,6 +379,9 @@ object MultimodalOps {
       while (off + 8 <= b.length && (dataOff < 0 || !haveFmt)) {
         val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = u32(b, off + 4).toInt
+        // a chunk size past 2^31 wraps negative and would walk BACKWARD
+        // (infinite loop on crafted input); no real WAV is that large
+        require(size >= 0, s"media_id=$mediaId: malformed RIFF chunk size")
         val body = off + 8
         id match {
           case "fmt " =>
@@ -479,6 +482,7 @@ object MultimodalOps {
       while (off + 8 <= b.length && (dataOff < 0 || bits < 0)) {
         val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = u32(b, off + 4).toInt
+        require(size >= 0, "pcmU8Data: malformed RIFF chunk size")
         val body = off + 8
         id match {
           case "fmt " => bits = u16(b, body + 14)

@@ -354,6 +354,24 @@ class MultimodalSpec extends SparkSpec {
     assert(viaWav.toSeq == samples.toSeq)
   }
 
+  test("RIFF walk rejects a wrapped (negative) chunk size instead of walking backward") {
+    // valid RIFF/WAVE header, then a chunk whose size field is 0xFFFFFFFF
+    // (-1 as Int) — an unguarded walk would decrement its offset forever
+    val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes); b.putInt(16); b.put("WAVE".getBytes)
+    b.put("junk".getBytes); b.putInt(-1); b.putInt(0)
+    val blob = b.array()
+    val e1 = intercept[IllegalArgumentException] {
+      MultimodalOps.WavPcmCodec.pcmU8Data(blob)
+    }
+    assert(e1.getMessage.contains("malformed RIFF chunk size"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      MultimodalOps.WavPcmCodec.decode(7L, blob)
+    }
+    assert(e2.getMessage.contains("malformed RIFF chunk size") &&
+      e2.getMessage.contains("7"), e2.getMessage)
+  }
+
   test("WavPcmCodec rejects non-audio bytes with the media_id in the error") {
     val e = intercept[org.apache.spark.SparkException] {
       MultimodalOps.audioFeatures(spark, spark.createDataset(Seq(
