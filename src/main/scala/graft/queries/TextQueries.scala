@@ -1519,6 +1519,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // LSH quality evaluation — the recall/precision audit every banded
+    // dedup deployment owes its operators: the md5-keyed MinHash
+    // candidates (same pipeline q_minhash_est audits) scored against
+    // exact-Jaccard ground truth at three similarity levels. recall =
+    // share of true pairs at level t the bands surfaced (the S-curve's
+    // measured value, next to q_lsh_curve's theoretical one);
+    // precision_at_t = share of all candidates that are true at t.
+    // Everything is integer pair counts + one division — exact
+    // cross-engine. The truth build is the q_ngram_jaccard pair frame;
+    // candidates shuffle only band keys.
+    "q_lsh_eval" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val (_, _, cand) = md5MinhashPipeline(docs)
+      val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.3, n = 3)
+        .localCheckpoint()
+      val grid = s.range(1)
+        .select(explode(array(lit(0.3), lit(0.5), lit(0.7))).as("t"))
+      val tt = truth.crossJoin(broadcast(grid))
+        .filter(col("jaccard") >= col("t"))
+      val nTruth = tt.groupBy("t").agg(count(lit(1)).as("n_truth"))
+      val nHit = tt.join(cand, Seq("id_a", "id_b"))
+        .groupBy("t").agg(count(lit(1)).as("n_hit"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      nTruth.join(nHit, Seq("t"), "left")
+        .crossJoin(broadcast(nCand))
+        .select(col("t"), col("n_truth"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_cand"),
+          (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+            col("n_truth").cast(DoubleType)).as("recall"),
+          (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+            col("n_cand").cast(DoubleType)).as("precision_at_t"))
+        .orderBy("t")
+    },
+
     // Dedup operating-point curve — the MEASURED counterpart to
     // q_lsh_curve's theoretical S-curves: at each candidate Jaccard
     // threshold, how many near-dup pairs fire and how many documents
@@ -1930,33 +1965,7 @@ object TextQueries {
     // |docs|x16, bands are keyed joins — no all-pairs anything.
     "q_minhash_est" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val sh = docs.select(col("doc_id"),
-          explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
-        .localCheckpoint()
-      // 16 permutations from FOUR md5s per shingle, not sixteen: one
-      // digest is 32 hex chars = four independent 32-bit slices, so the
-      // two-level explode (group, then slot) pays a quarter of the hash
-      // cost for the same statistics (cut the md5-bound wall ~2x)
-      val sig = sh.withColumn("g", explode(sequence(lit(0), lit(3))))
-        .withColumn("m", md5(concat(col("g").cast(StringType),
-          lit(":"), col("sh"))))
-        .withColumn("slot", explode(sequence(lit(0), lit(3))))
-        .withColumn("p", col("g") * 4 + col("slot") + 1)
-        .withColumn("h",
-          conv(expr("substring(m, slot * 8 + 1, 8)"), 16, 10).cast(LongType))
-        .groupBy("doc_id", "p").agg(min(col("h")).as("h"))
-        .localCheckpoint()
-      val bands = sig.withColumn("b", floor((col("p") - 1) / 2))
-        .groupBy("doc_id", "b")
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("p"), col("h")))),
-          x => x.getField("h").cast(StringType)), ",").as("key"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
-        .localCheckpoint()
+      val (sh, sig, cand) = md5MinhashPipeline(docs)
       val est = cand
         .join(sig.select(col("doc_id").as("id_a"), col("p"), col("h").as("ha")),
           Seq("id_a"))
@@ -2523,6 +2532,44 @@ object TextQueries {
     * |queries| either way, and the map-side partial sum has already
     * shrunk rows to one per (q_id, doc, partition) before the exchange.
     */
+  /** Shared md5-keyed MinHash pipeline (16 permutations from FOUR md5s
+    * per shingle — one digest is 32 hex chars = four independent 32-bit
+    * slices, so the two-level explode pays a quarter of the hash cost
+    * for the same statistics — banded 8x2): distinct word-trigram
+    * shingles, per-(doc, perm) signature minima, and banded candidate
+    * pairs. The oracle-checkable twin of the XXH64 production path,
+    * used by q_minhash_est (estimator audit) and q_lsh_eval (measured
+    * precision/recall). Returns (shingles, signatures, candidates),
+    * each checkpointed.
+    */
+  private def md5MinhashPipeline(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+      .localCheckpoint()
+    val sig = sh.withColumn("g", explode(sequence(lit(0), lit(3))))
+      .withColumn("m", md5(concat(col("g").cast(StringType),
+        lit(":"), col("sh"))))
+      .withColumn("slot", explode(sequence(lit(0), lit(3))))
+      .withColumn("p", col("g") * 4 + col("slot") + 1)
+      .withColumn("h",
+        conv(expr("substring(m, slot * 8 + 1, 8)"), 16, 10).cast(LongType))
+      .groupBy("doc_id", "p").agg(min(col("h")).as("h"))
+      .localCheckpoint()
+    val bands = sig.withColumn("b", floor((col("p") - 1) / 2))
+      .groupBy("doc_id", "b")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("h")))),
+        x => x.getField("h").cast(StringType)), ",").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    (sh, sig, cand)
+  }
+
   private def bm25Ranked(s: SparkSession, dir: String, topN: Int): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val tf = docs
@@ -4436,7 +4483,8 @@ object TextQueries {
     "q_cms_est" -> cmsEstOracle,
     "q_audio_fingerprint" -> audioFingerprintOracle,
     "q_bfs_levels" -> bfsLevelsOracle,
-    "q_dedup_curve" -> dedupCurveOracle)
+    "q_dedup_curve" -> dedupCurveOracle,
+    "q_lsh_eval" -> lshEvalOracle)
 
   /** DuckDB twin of q_lsh_curve: the same grid and the same
     * multiply-by-squaring power chains, so both engines evaluate the
@@ -4566,12 +4614,17 @@ object TextQueries {
        ORDER BY d.doc_id"""
   }
 
-  private def minhashEstOracle: String = {
+  /** Shared oracle CTE prefix for the md5-keyed MinHash pipeline
+    * ([[md5MinhashPipeline]]'s twin): shingles → four-digest sliced
+    * signatures → 8x2 bands → distinct candidate pairs. Composed by
+    * the q_minhash_est and q_lsh_eval oracles.
+    */
+  private def md5MinhashCandCte: String = {
     val hexVal = (1 to 8).map { i =>
       val pow = 1L << (4 * (8 - i)) // 16^(8-i)
       s"(strpos('0123456789abcdef', substring(m, slot * 8 + $i, 1)) - 1) * ${pow}"
     }.mkString(" + ")
-    s"""WITH sh AS (
+    s"""sh AS (
          SELECT doc_id, unnest(list_distinct(
            list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
@@ -4593,7 +4646,11 @@ object TextQueries {
        cand AS (
          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          FROM bands x JOIN bands y
-           ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+           ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)"""
+  }
+
+  private def minhashEstOracle: String = {
+    s"""WITH $md5MinhashCandCte,
        est AS (
          SELECT c.id_a, c.id_b,
            CAST(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16.0e0
@@ -4622,6 +4679,43 @@ object TextQueries {
          JOIN sizes zb ON zb.doc_id = c.id_b
        ORDER BY c.id_a, c.id_b"""
   }
+
+  /** DuckDB twin of q_lsh_eval: the shared candidate CTE, exact-Jaccard
+    * truth over the same shingle stream, and integer hit/truth/candidate
+    * counts per similarity level — the only doubles are the final two
+    * divisions of exact integers.
+    */
+  private def lshEvalOracle: String =
+    s"""WITH $md5MinhashCandCte,
+       sizes AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+       tshared AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS ns
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       truth AS (
+         SELECT id_a, id_b,
+           CAST(ns AS DOUBLE) / (za.n_sh + zb.n_sh - ns) AS j
+         FROM tshared
+           JOIN sizes za ON za.doc_id = id_a
+           JOIN sizes zb ON zb.doc_id = id_b
+         WHERE CAST(ns AS DOUBLE) / (za.n_sh + zb.n_sh - ns) >= 0.3),
+       grid AS (SELECT unnest([0.3e0, 0.5e0, 0.7e0]) AS t),
+       tt AS (SELECT t, id_a, id_b FROM truth, grid WHERE j >= t),
+       nt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_truth FROM tt GROUP BY t),
+       nh AS (
+         SELECT t, CAST(count(*) AS BIGINT) AS n_hit
+         FROM tt JOIN cand USING (id_a, id_b) GROUP BY t),
+       nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+       SELECT nt.t, nt.n_truth,
+         CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit, nc.n_cand,
+         CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+           AS recall,
+         CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / CAST(nc.n_cand AS DOUBLE)
+           AS precision_at_t
+       FROM nt LEFT JOIN nh ON nh.t = nt.t CROSS JOIN nc
+       ORDER BY nt.t"""
 
   /** DuckDB twin of q_mutual_nn: the same md5-ordered coarse centroids
     * and nearest-cell assignment as the semdedup oracle, in-cell

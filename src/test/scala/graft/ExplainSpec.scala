@@ -162,6 +162,11 @@ class ExplainSpec extends SparkSpec {
     // count, the two-level countDistinct of docs-affected, their t-join
     // pair, and the 9-row output sort; every one moves (t, id) rows
     "q_dedup_curve" -> 6,
+    // q_lsh_eval: post-checkpoint tail — per-level truth count, hit
+    // count (truth⋈cand), their t-join, the scalar candidate count,
+    // and the 3-row sort; the shingle/signature/candidate builds are
+    // materialized away
+    "q_lsh_eval" -> 6,
     // q_js_divergence: token agg + per-source totals + the pair-grid
     // expansions and their full-outer token union + per-pair grid sums —
     // every exchange after the first carries (source, token) count rows
