@@ -1,0 +1,228 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 BATCH SINK with an explicit distributed commit protocol
+  * — the write-side twin of [[MatchIdsSource]]'s read path, built to
+  * demonstrate the part of a 1000-executor write that path-based sinks
+  * hide: task attempts stage independently, the DRIVER commits exactly
+  * the winning attempts, and readers see the table change atomically.
+  *
+  *  - Each task attempt writes `part-<partition>-<task>.tsv` under
+  *    `path/_staging/<writeId>/` and reports it in its
+  *    [[WriterCommitMessage]]. Failed/speculative attempts may leave
+  *    files behind — they are NEVER referenced by a commit message that
+  *    reaches [[StagedBatchWrite.commit]], so the losing attempt's data
+  *    cannot become visible (the exactly-once guarantee task retries
+  *    require).
+  *  - `commit` moves exactly the reported files into `path/` and then
+  *    swaps `_MANIFEST.json` (file list + row count + schema DDL) via an
+  *    atomic rename. Readers ([[StagedSink.readCommitted]]) resolve the
+  *    manifest first and read ONLY its files — an orphaned or
+  *    half-moved part file is invisible, so the whole write is atomic
+  *    at manifest granularity.
+  *  - `abort` deletes the staging directory; a failed job leaves the
+  *    previously committed table byte-identical.
+  *  - Overwrite (`SaveMode.Overwrite` → `SupportsTruncate`) writes the
+  *    new files FIRST and drops the old ones only after the manifest
+  *    swap — the reader never observes an empty table mid-overwrite.
+  *
+  * Row format: one line per row, `\\u0001`-separated fields (no escape
+  * pass — the separator is disallowed in string fields), UTF-8. The
+  * format is deliberately trivial: the machinery under test is the
+  * commit protocol, not the codec. `path` must be storage visible to
+  * driver and executors alike (local FS under local[n] here; a cluster
+  * port swaps `java.nio` for the Hadoop FileSystem API — the protocol
+  * itself is storage-agnostic).
+  *
+  * Test hook: `.option("failOn", v)` makes any writer that sees long
+  * value `v` in column 0 throw — the spec's deterministic task failure.
+  */
+class StagedSink extends TableProvider {
+  // write-only source: the schema always comes from the query
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new StagedTable(schema, properties.asScala.toMap)
+}
+
+private[sources] class StagedTable(schema: StructType, props: Map[String, String])
+    extends Table with SupportsWrite {
+  require(props.contains("path"), "StagedSink requires .option(\"path\", …)")
+  override def name(): String = s"staged(${props("path")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new StagedBatchWrite(
+          props("path"), info.queryId(), info.schema(), truncateFirst,
+          props.get("failOn").map(_.toLong))
+      }
+    }
+}
+
+private[sources] case class StagedCommit(file: String, rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class StagedBatchWrite(path: String, writeId: String,
+    schema: StructType, truncateFirst: Boolean, failOn: Option[Long])
+    extends BatchWrite {
+
+  private def staging = Paths.get(path, "_staging", writeId)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(staging)
+    new StagedWriterFactory(staging.toString, schema, failOn)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val manifest = dir.resolve("_MANIFEST.json")
+    val previous: Seq[String] =
+      if (!Files.exists(manifest)) Seq.empty
+      else StagedSink.manifestFiles(manifest)
+    // 1. move exactly the WINNING attempts' files into the table dir
+    val committed = messages.collect { case StagedCommit(f, n) => (f, n) }
+    committed.foreach { case (f, _) =>
+      Files.move(staging.resolve(f), dir.resolve(f),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // 2. atomically swap the manifest: readers flip from the old file
+    //    set to the new one in one rename
+    val keep = (if (truncateFirst) Seq.empty else previous) ++ committed.map(_._1)
+    val rows = committed.map(_._2).sum
+    val tmp = dir.resolve(s"._MANIFEST.$writeId.tmp")
+    val json = s"""{"files":[${keep.map("\"" + _ + "\"").mkString(",")}],
+      |"new_rows":$rows,"schema":${ujsonStr(schema.toDDL)}}""".stripMargin
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // 3. only AFTER the swap: drop truncated-away files and staging
+    //    leftovers (losing attempts) — crash before this point leaves
+    //    garbage files, never wrong visible data
+    if (truncateFirst)
+      previous.filterNot(keep.contains).foreach(f =>
+        Files.deleteIfExists(dir.resolve(f)))
+    StagedSink.deleteRecursively(staging)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    StagedSink.deleteRecursively(staging)
+
+  private def ujsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}
+
+private[sources] class StagedWriterFactory(stagingDir: String,
+    schema: StructType, failOn: Option[Long]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new StagedDataWriter(stagingDir, schema, partitionId, taskId, failOn)
+}
+
+private[sources] class StagedDataWriter(stagingDir: String, schema: StructType,
+    partitionId: Int, taskId: Long, failOn: Option[Long])
+    extends DataWriter[InternalRow] {
+
+  private val fileName = f"part-$partitionId%05d-$taskId.tsv"
+  private val out = Files.newBufferedWriter(
+    Paths.get(stagingDir, fileName), StandardCharsets.UTF_8)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    failOn.foreach { poison =>
+      if (!row.isNullAt(0) && schema.fields(0).dataType == LongType &&
+          row.getLong(0) == poison)
+        throw new RuntimeException(s"StagedSink: poisoned row $poison")
+    }
+    val line = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (row.isNullAt(i)) ""
+      else f.dataType match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case BooleanType => row.getBoolean(i).toString
+        case StringType =>
+          val s = row.getUTF8String(i).toString
+          require(!s.contains('\u0001'),
+            "StagedSink: \\u0001 separator not allowed in string fields")
+          s
+        case dt => throw new UnsupportedOperationException(
+          s"StagedSink: unsupported type $dt")
+      }
+    }.mkString("\u0001")
+    out.write(line)
+    out.write("\n")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    StagedCommit(fileName, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    // best effort: the attempt's staged file is garbage either way —
+    // commit() only moves files named in SURVIVING commit messages
+    Files.deleteIfExists(Paths.get(stagingDir, fileName))
+  }
+
+  override def close(): Unit = ()
+}
+
+object StagedSink {
+  /** Manifest-resolved read: only files the last committed manifest
+    * lists are visible — orphans from losing attempts or a mid-commit
+    * crash are ignored.
+    */
+  def readCommitted(spark: SparkSession, path: String): DataFrame = {
+    val manifest = Paths.get(path, "_MANIFEST.json")
+    require(Files.exists(manifest), s"no committed manifest under $path")
+    val files = manifestFiles(manifest)
+    val ddl = manifestSchema(manifest)
+    val schema = StructType.fromDDL(ddl)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .option("sep", "\u0001").option("header", "false")
+      .csv(files.map(f => Paths.get(path, f).toString): _*)
+  }
+
+  private[sources] def manifestFiles(manifest: Path): Seq[String] = {
+    val json = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+    val list = json.split("\"files\":\\[", 2)(1).split("]", 2)(0).trim
+    if (list.isEmpty) Seq.empty
+    else list.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+  }
+
+  private[sources] def manifestSchema(manifest: Path): String = {
+    val json = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+    json.split("\"schema\":\"", 2)(1).split("\"}", 2)(0)
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+  }
+
+  private[sources] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+}
