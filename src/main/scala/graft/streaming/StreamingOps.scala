@@ -423,6 +423,24 @@ object StreamingOps {
         if (!batch.isEmpty) graft.ops.CoreOps.upsert(batch, path, key, version)
     }
 
+  /** Streaming append through the DSv2 staging sink
+    * ([[graft.sources.StagedSink]]): each micro-batch lands via the
+    * full staging → winning-attempt commit → atomic manifest swap
+    * protocol, so a concurrent [[graft.sources.StagedSink.readCommitted]]
+    * reader sees every batch boundary atomically — never a partially
+    * visible batch. Append semantics: NOT idempotent under replay
+    * (a re-delivered batch re-appends); pair with [[upsertEachBatch]]
+    * when at-least-once delivery must dedup by key.
+    */
+  def stagedAppendEachBatch(df: DataFrame,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          batch.write.format("graft.sources.StagedSink")
+            .option("path", path).mode("append").save()
+    }
+
   /** Truncate-and-load sink semantics (reference db.py:23-38) for a
     * streaming query: each micro-batch overwrites the target path —
     * idempotent under replays because the write is a full snapshot.

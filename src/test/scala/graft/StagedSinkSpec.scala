@@ -79,6 +79,24 @@ class StagedSinkSpec extends SparkSpec {
     assert(dataFiles <= 3, s"old generation not cleaned: $dataFiles part files")
   }
 
+  test("streaming append lands each micro-batch through the atomic manifest swap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.StreamingOps
+      .stagedAppendEachBatch(mem.toDF().withColumnRenamed("value", "v"), path)
+      .start()
+    try {
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      assert(readVals(path) == Seq(1L, 2L, 3L))
+      mem.addData(4L, 5L)
+      q.processAllAvailable()
+      assert(readVals(path) == (1L to 5L))
+    } finally q.stop()
+  }
+
   test("schema round-trips through the manifest (long, double, string, null)") {
     val path = tmp()
     Seq((1L, 1.5, "alpha"), (2L, -0.25, "beta"), (3L, 2.0, null))
