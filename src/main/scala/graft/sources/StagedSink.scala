@@ -90,7 +90,7 @@ private[sources] class StagedBatchWrite(path: String, writeId: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(staging)
-    new StagedWriterFactory(staging.toString, schema, failOn)
+    new StagedWriterFactory(staging.toString, writeId, schema, failOn)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -108,7 +108,8 @@ private[sources] class StagedBatchWrite(path: String, writeId: String,
     }
     // 2. atomically swap the manifest: readers flip from the old file
     //    set to the new one in one rename
-    val keep = (if (truncateFirst) Seq.empty else previous) ++ committed.map(_._1)
+    val keep = ((if (truncateFirst) Seq.empty else previous) ++
+      committed.map(_._1)).distinct
     val rows = committed.map(_._2).sum
     val tmp = dir.resolve(s"._MANIFEST.$writeId.tmp")
     val json = s"""{"files":[${keep.map("\"" + _ + "\"").mkString(",")}],
@@ -132,17 +133,21 @@ private[sources] class StagedBatchWrite(path: String, writeId: String,
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }
 
-private[sources] class StagedWriterFactory(stagingDir: String,
+private[sources] class StagedWriterFactory(stagingDir: String, writeId: String,
     schema: StructType, failOn: Option[Long]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StagedDataWriter(stagingDir, schema, partitionId, taskId, failOn)
+    new StagedDataWriter(stagingDir, writeId, schema, partitionId, taskId, failOn)
 }
 
-private[sources] class StagedDataWriter(stagingDir: String, schema: StructType,
-    partitionId: Int, taskId: Long, failOn: Option[Long])
+private[sources] class StagedDataWriter(stagingDir: String, writeId: String,
+    schema: StructType, partitionId: Int, taskId: Long, failOn: Option[Long])
     extends DataWriter[InternalRow] {
 
-  private val fileName = f"part-$partitionId%05d-$taskId.tsv"
+  // the writeId makes names unique ACROSS writes: task ids reset when
+  // an application restarts, so `part-<partition>-<task>` alone could
+  // collide with (and silently replace) a file an earlier app run
+  // committed — the manifest would then list one physical file twice
+  private val fileName = f"part-$partitionId%05d-$taskId-$writeId.tsv"
   private val out = Files.newBufferedWriter(
     Paths.get(stagingDir, fileName), StandardCharsets.UTF_8)
   private var rows = 0L
