@@ -215,8 +215,11 @@ object GraphOps {
     * textbook level-synchronous BFS the Pregel-likes run.
     */
   def bfsLevels(edges: DataFrame, source: Long, maxDepth: Int = 6): DataFrame = {
+    // checkpoint at entry (the connectedComponents discipline): every
+    // round joins the edge list, so an expensive caller subtree would
+    // otherwise re-run maxDepth times
     val e = edges.select(col(edges.columns(0)).as("src"),
-      col(edges.columns(1)).as("dst"))
+      col(edges.columns(1)).as("dst")).localCheckpoint()
     val spark = edges.sparkSession
     var levels = spark.range(1)
       .select(lit(source).as("id"), lit(0L).as("lvl"))
