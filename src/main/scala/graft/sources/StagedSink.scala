@@ -49,9 +49,18 @@ import scala.jdk.CollectionConverters._
   * value `v` in column 0 throw — the spec's deterministic task failure.
   */
 class StagedSink extends TableProvider {
-  // write-only source: the schema always comes from the query
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new StructType()
+  // write path: the schema comes from the query; read path: from the
+  // committed manifest's DDL
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    if (path == null) new StructType()
+    else {
+      val manifest = Paths.get(path, "_MANIFEST.json")
+      if (Files.exists(manifest))
+        StructType.fromDDL(StagedSink.manifestSchema(manifest))
+      else new StructType()
+    }
+  }
   override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -60,12 +69,35 @@ class StagedSink extends TableProvider {
 }
 
 private[sources] class StagedTable(schema: StructType, props: Map[String, String])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   require(props.contains("path"), "StagedSink requires .option(\"path\", …)")
   override def name(): String = s"staged(${props("path")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_READ)
+
+  /** Manifest-resolved scan, one InputPartition per committed file —
+    * the DSv2 read twin of [[StagedSink.readCommitted]]: the file list
+    * is FROZEN at planning, so a scan observes exactly one committed
+    * generation. (No generation retention: an overwrite that lands
+    * mid-scan deletes the old generation's files and the in-flight
+    * read fails rather than returning a mixed view — fail-closed.)
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val path = props("path")
+    val manifest = Paths.get(path, "_MANIFEST.json")
+    require(Files.exists(manifest), s"no committed manifest under $path")
+    val readSchema = StructType.fromDDL(StagedSink.manifestSchema(manifest))
+    val files = StagedSink.manifestFiles(manifest)
+      .map(f => Paths.get(path, f).toString).toArray
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new StagedScan(files, readSchema)
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -77,6 +109,53 @@ private[sources] class StagedTable(schema: StructType, props: Map[String, String
           props.get("failOn").map(_.toLong))
       }
     }
+}
+
+private[sources] class StagedScan(files: Array[String], schema: StructType)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read._
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => StagedFilePartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StagedReaderFactory(schema)
+}
+
+private[sources] case class StagedFilePartition(file: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] class StagedReaderFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read._
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[StagedFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val lines = Files.newBufferedReader(
+        Paths.get(file), StandardCharsets.UTF_8)
+      private var current: String = _
+      override def next(): Boolean = { current = lines.readLine(); current != null }
+      override def get(): InternalRow = {
+        val parts = current.split('\u0001').padTo(schema.length, "")
+        InternalRow.fromSeq(schema.fields.zip(parts).map { case (f, v) =>
+          if (v.isEmpty && f.dataType != StringType) null
+          else f.dataType match {
+            case LongType => v.toLong
+            case IntegerType => v.toInt
+            case DoubleType => v.toDouble
+            case BooleanType => v.toBoolean
+            case StringType =>
+              if (v.isEmpty) null // matches the CSV reader's empty→null
+              else org.apache.spark.unsafe.types.UTF8String.fromString(v)
+            case dt => throw new UnsupportedOperationException(
+              s"StagedSink read: unsupported type $dt")
+          }
+        }.toSeq)
+      }
+      override def close(): Unit = lines.close()
+    }
+  }
 }
 
 private[sources] case class StagedCommit(file: String, rows: Long)

@@ -79,6 +79,17 @@ class StagedSinkSpec extends SparkSpec {
     assert(dataFiles <= 3, s"old generation not cleaned: $dataFiles part files")
   }
 
+  test("the DSv2 read side round-trips through spark.read.format") {
+    val path = tmp()
+    writeVals(path, 1L to 12L)
+    val back = spark.read.format("graft.sources.StagedSink")
+      .option("path", path).load()
+    assert(back.schema.fieldNames.toSeq == Seq("v"))
+    assert(back.as[Long].collect().sorted.toSeq == (1L to 12L))
+    // plan-time manifest freeze: the scan reads one committed generation
+    assert(back.filter(col("v") > 6).count() == 6)
+  }
+
   test("streaming append lands each micro-batch through the atomic manifest swap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
