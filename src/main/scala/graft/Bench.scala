@@ -9,22 +9,31 @@ import org.apache.spark.sql.SparkSession
   * would let Catalyst prune every projection and undercount the real
   * work; noop executes the complete physical plan and discards rows.
   *
-  * Trustworthiness of the artifact (round-7 additions): this machine's
-  * ambient load swings wall time 30-40%, which has twice produced
-  * phantom regressions in the committed JSON. Two defenses:
+  * Trustworthiness of the artifact (round-7 additions, tightened in
+  * round 12): this machine's ambient load swings wall time 30-40%,
+  * which has twice produced phantom regressions in the committed JSON.
+  * Three defenses:
   *   - each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
   *     reported per-query number (and the headline total) is the MIN —
   *     the best observed run is the closest observable to the machine's
   *     quiet-window cost; {min,max,runs} are all in the JSON so spread
-  *     is visible, and queries whose max/min exceeds 2x are listed in
-  *     "noisy" (unmeasurable this run, NOT regressed);
-  *   - /proc/loadavg is recorded before and after, so the artifact
-  *     self-describes the machine conditions it was captured under.
+  *     is visible;
+  *   - the min must be CORROBORATED: if the two fastest runs disagree
+  *     by more than 2x (one lucky run proves nothing), up to 2 extra
+  *     runs are added before recording; a query still uncorroborated
+  *     after that lands in "noisy" (min unmeasurable this run, NOT
+  *     regressed — bench_diff.py discounts those rows);
+  *   - /proc/loadavg is recorded before and after the sweep AND its
+  *     1-min figure per query ("load" in the detail line), so the diff
+  *     tool can see which entries ran under ambient pressure.
   */
 object Bench {
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
     catch { case _: Throwable => "unavailable" }
+
+  private def load1(): Double =
+    try loadavg().split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,27 +73,41 @@ object Bench {
         if (benchAll) SparkEntry.queries.keys.toSeq.sorted else SparkEntry.headline)
     val (known, unknown) = selected.partition(SparkEntry.queries.contains)
     unknown.foreach(n => System.err.println(s"[bench] unknown query '$n' skipped"))
+    // the min is "corroborated" when the two fastest runs agree within
+    // 2x — a single lucky fast run under ambient load proves nothing
+    def corroborated(rs: Seq[Double]): Boolean = {
+      val s = rs.sorted
+      s.length >= 2 && s(0) > 0 && s(1) / s(0) <= 2.0
+    }
     val results = known.map { name =>
       val fn = SparkEntry.queries(name)
-      val runs = (1 to runsPerQuery).map { _ =>
+      val qLoad = load1()
+      def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> runs
+      var runs = (1 to runsPerQuery).map(_ => once())
+      var extra = 0
+      while (runsPerQuery > 1 && extra < 2 && !corroborated(runs)) {
+        runs = runs :+ once()
+        extra += 1
+      }
+      (name, runs, qLoad)
     }
     val loadAfter = loadavg()
 
     // Locale.ROOT: a comma-decimal locale would print 1,2345 and corrupt
     // the JSON artifact.
     def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val detail = results.map { case (k, rs) =>
+    val detail = results.map { case (k, rs, qLoad) =>
       "\"" + k + "\":{\"min\":" + fmt(rs.min) + ",\"max\":" + fmt(rs.max) +
+        ",\"load\":" + "%.2f".formatLocal(java.util.Locale.ROOT, qLoad) +
         ",\"runs\":[" + rs.map(fmt).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val noisy = results.collect {
-      case (k, rs) if rs.min > 0 && rs.max / rs.min > 2.0 => "\"" + k + "\""
+      case (k, rs, _) if runsPerQuery > 1 && !corroborated(rs) => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = results.map(_._2.min).sum
 
@@ -100,7 +123,7 @@ object Bench {
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runsPerQuery,"noisy":$noisy,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir","queries":{"""
     val budget = 1800 - prefix.length - 40 // slack for the closing + omitted count
     val entries = results.sortBy(-_._2.min)
-      .map { case (k, rs) => "\"" + k + "\":" + fmt(rs.min) }
+      .map { case (k, rs, _) => "\"" + k + "\":" + fmt(rs.min) }
     // strict slowest-first prefix: stop at the FIRST entry that doesn't
     // fit — skipping it but keeping later (shorter) ones would silently
     // drop a slow query with a long name while keeping faster ones

@@ -67,6 +67,12 @@ case class DotProduct(left: Expression, right: Expression)
   * `aggregate(arr, 0.0d, (acc, x) -> acc + x)` is CodegenFallback and
   * interprets a lambda per element; this is the identical sequential
   * left fold (bit-identical doubles) fused into WholeStageCodegen.
+  *
+  * Null ELEMENTS null-poison the result exactly like the HOF fold
+  * (`acc + null` → null) — registered as a public SQL function, it must
+  * keep HOF parity on any input, not only the `containsNull = false`
+  * arrays the optimizer rule guards. When the element type is non-null
+  * by schema the check compiles away and the hot loop is unchanged.
   */
 case class ArraySum(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -75,12 +81,21 @@ case class ArraySum(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_asum"
 
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean = child.nullable || elemNullable
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      s += x.getDouble(i); i += 1
+    }
     s
   }
 
@@ -89,10 +104,16 @@ case class ArraySum(child: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // ev.isNull is a compile-time `false` when nullable is false, so
+      // the poison branch is only emitted when elements CAN be null
+      val nullCheck =
+        if (elemNullable) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $a.getDouble($i);
          |}
          |${ev.value} = $s;

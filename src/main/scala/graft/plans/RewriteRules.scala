@@ -41,19 +41,7 @@ import graft.functions.DotProduct
   */
 object RewriteHofDot extends Rule[LogicalPlan] {
 
-  private def nonNullDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, containsNull) => !containsNull
-    case _ => false
-  }
-
-  private def sameVars(a: Expression, b: Expression,
-      va: NamedLambdaVariable, vb: NamedLambdaVariable): Boolean =
-    (a, b) match {
-      case (x: NamedLambdaVariable, y: NamedLambdaVariable) =>
-        (x.exprId == va.exprId && y.exprId == vb.exprId) ||
-          (x.exprId == vb.exprId && y.exprId == va.exprId)
-      case _ => false
-    }
+  import RewriteRules.{nonNullDoubleArray, posZeroSeed, sameVars}
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
@@ -66,7 +54,7 @@ object RewriteHofDot extends Rule[LogicalPlan] {
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fin: NamedLambdaVariable,
               Seq(fv: NamedLambdaVariable), _))
-          if zero == 0.0 && nonNullDoubleArray(l) && nonNullDoubleArray(r) &&
+          if posZeroSeed(zero) && nonNullDoubleArray(l) && nonNullDoubleArray(r) &&
             sameVars(mx, my, zx, zy) && sameVars(ax, av, acc, v) &&
             fin.exprId == fv.exprId =>
         DotProduct(l, r)
@@ -86,19 +74,7 @@ object RewriteHofDot extends Rule[LogicalPlan] {
   */
 object RewriteHofSum extends Rule[LogicalPlan] {
 
-  private def nonNullDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, containsNull) => !containsNull
-    case _ => false
-  }
-
-  private def sameVars(a: Expression, b: Expression,
-      va: NamedLambdaVariable, vb: NamedLambdaVariable): Boolean =
-    (a, b) match {
-      case (x: NamedLambdaVariable, y: NamedLambdaVariable) =>
-        (x.exprId == va.exprId && y.exprId == vb.exprId) ||
-          (x.exprId == vb.exprId && y.exprId == va.exprId)
-      case _ => false
-    }
+  import RewriteRules.{nonNullDoubleArray, posZeroSeed, sameVars}
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
@@ -109,12 +85,40 @@ object RewriteHofSum extends Rule[LogicalPlan] {
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fin: NamedLambdaVariable,
               Seq(fv: NamedLambdaVariable), _))
-          if zero == 0.0 && nonNullDoubleArray(arr) &&
+          if posZeroSeed(zero) && nonNullDoubleArray(arr) &&
             // leave zip_with inputs to RewriteHofDot — the fused
             // DotProduct beats sum-over-materialized-products
             // regardless of which rule the optimizer tries first
             !arr.isInstanceOf[ZipWith] &&
             sameVars(ax, av, acc, v) && fin.exprId == fv.exprId =>
         graft.functions.ArraySum(arr)
+    }
+}
+
+/** Shared soundness guards for the HOF-rewrite rules. */
+private[plans] object RewriteRules {
+
+  def nonNullDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  /** Accepts ONLY a +0.0 seed, by raw bits: Scala numeric equality makes
+    * `-0.0 == 0.0` true, but `aggregate(arr, -0.0d, ...)` returns -0.0
+    * for an empty array while the kernels return +0.0 — a bit-identical
+    * violation the `==` guard would have let through.
+    */
+  def posZeroSeed(zero: Any): Boolean = zero match {
+    case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d) == 0L
+    case _ => false
+  }
+
+  def sameVars(a: Expression, b: Expression,
+      va: NamedLambdaVariable, vb: NamedLambdaVariable): Boolean =
+    (a, b) match {
+      case (x: NamedLambdaVariable, y: NamedLambdaVariable) =>
+        (x.exprId == va.exprId && y.exprId == vb.exprId) ||
+          (x.exprId == vb.exprId && y.exprId == va.exprId)
+      case _ => false
     }
 }

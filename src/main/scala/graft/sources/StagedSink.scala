@@ -36,14 +36,23 @@ import scala.jdk.CollectionConverters._
   *  - Overwrite (`SaveMode.Overwrite` → `SupportsTruncate`) writes the
   *    new files FIRST and drops the old ones only after the manifest
   *    swap — the reader never observes an empty table mid-overwrite.
+  *  - ONE-GENERATION RETENTION: the manifest also records the previous
+  *    generation's file list (`prev`), and those files survive the
+  *    commit that superseded them — an in-flight scan that froze
+  *    generation N's file list at planning still completes after an
+  *    overwrite lands generation N+1. N−1's files are deleted at the
+  *    commit of N+1 (bounded garbage: at most two generations on disk).
   *
-  * Row format: one line per row, `\\u0001`-separated fields (no escape
-  * pass — the separator is disallowed in string fields), UTF-8. The
-  * format is deliberately trivial: the machinery under test is the
-  * commit protocol, not the codec. `path` must be storage visible to
-  * driver and executors alike (local FS under local[n] here; a cluster
-  * port swaps `java.nio` for the Hadoop FileSystem API — the protocol
-  * itself is storage-agnostic).
+  * Row format: one line per row, `\\u0001`-separated fields, UTF-8.
+  * String fields are backslash-escaped (backslash, LF, CR) so a
+  * multi-line string can't split one row into two in the line-based
+  * format; NULL in any column is the one-char sentinel `\\u0002`, so an
+  * empty string and null stay distinct. The two control separators are
+  * disallowed in string data. The format is deliberately trivial: the
+  * machinery under test is the commit protocol, not the codec. `path`
+  * must be storage visible to driver and executors alike (local FS
+  * under local[n] here; a cluster port swaps `java.nio` for the Hadoop
+  * FileSystem API — the protocol itself is storage-agnostic).
   *
   * Test hook: `.option("failOn", v)` makes any writer that sees long
   * value `v` in column 0 throw — the spec's deterministic task failure.
@@ -79,11 +88,13 @@ private[sources] class StagedTable(schema: StructType, props: Map[String, String
       TableCapability.BATCH_READ)
 
   /** Manifest-resolved scan, one InputPartition per committed file —
-    * the DSv2 read twin of [[StagedSink.readCommitted]]: the file list
-    * is FROZEN at planning, so a scan observes exactly one committed
-    * generation. (No generation retention: an overwrite that lands
-    * mid-scan deletes the old generation's files and the in-flight
-    * read fails rather than returning a mixed view — fail-closed.)
+    * the file list is FROZEN at planning, so a scan observes exactly
+    * one committed generation. One-generation retention (the `prev`
+    * list in the manifest) keeps that generation's files on disk
+    * through the next commit, so a scan planned against generation N
+    * completes correctly even if an overwrite lands N+1 mid-read; only
+    * a scan outliving TWO further commits fails (fail-closed, never a
+    * mixed view).
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder = {
@@ -137,17 +148,19 @@ private[sources] class StagedReaderFactory(schema: StructType)
       private var current: String = _
       override def next(): Boolean = { current = lines.readLine(); current != null }
       override def get(): InternalRow = {
-        val parts = current.split('\u0001').padTo(schema.length, "")
+        // -1 keeps trailing empty fields (an empty string in the last
+        // column); a short row (legacy file) pads with the null sentinel
+        val parts = current.split(StagedSink.Sep, -1)
+          .padTo(schema.length, StagedSink.NullSentinel)
         InternalRow.fromSeq(schema.fields.zip(parts).map { case (f, v) =>
-          if (v.isEmpty && f.dataType != StringType) null
+          if (v == StagedSink.NullSentinel) null
           else f.dataType match {
             case LongType => v.toLong
             case IntegerType => v.toInt
             case DoubleType => v.toDouble
             case BooleanType => v.toBoolean
-            case StringType =>
-              if (v.isEmpty) null // matches the CSV reader's empty→null
-              else org.apache.spark.unsafe.types.UTF8String.fromString(v)
+            case StringType => org.apache.spark.unsafe.types.UTF8String
+              .fromString(StagedSink.unescape(v))
             case dt => throw new UnsupportedOperationException(
               s"StagedSink read: unsupported type $dt")
           }
@@ -176,9 +189,14 @@ private[sources] class StagedBatchWrite(path: String, writeId: String,
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val manifest = dir.resolve("_MANIFEST.json")
+    // generation N (currently visible) and N−1 (retained for in-flight
+    // scans planned before the last commit)
     val previous: Seq[String] =
       if (!Files.exists(manifest)) Seq.empty
       else StagedSink.manifestFiles(manifest)
+    val retiring: Seq[String] =
+      if (!Files.exists(manifest)) Seq.empty
+      else StagedSink.manifestPrev(manifest)
     // 1. move exactly the WINNING attempts' files into the table dir
     val committed = messages.collect { case StagedCommit(f, n) => (f, n) }
     committed.foreach { case (f, _) =>
@@ -186,22 +204,28 @@ private[sources] class StagedBatchWrite(path: String, writeId: String,
         StandardCopyOption.REPLACE_EXISTING)
     }
     // 2. atomically swap the manifest: readers flip from the old file
-    //    set to the new one in one rename
+    //    set to the new one in one rename. `files` is generation N+1;
+    //    `prev` retains ALL of generation N's files (even on truncate)
+    //    so a scan that froze N's list mid-flight still completes.
     val keep = ((if (truncateFirst) Seq.empty else previous) ++
       committed.map(_._1)).distinct
+    val retained = previous.distinct
     val rows = committed.map(_._2).sum
     val tmp = dir.resolve(s"._MANIFEST.$writeId.tmp")
     val json = s"""{"files":[${keep.map("\"" + _ + "\"").mkString(",")}],
+      |"prev":[${retained.map("\"" + _ + "\"").mkString(",")}],
       |"new_rows":$rows,"schema":${ujsonStr(schema.toDDL)}}""".stripMargin
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // 3. only AFTER the swap: drop truncated-away files and staging
-    //    leftovers (losing attempts) — crash before this point leaves
-    //    garbage files, never wrong visible data
-    if (truncateFirst)
-      previous.filterNot(keep.contains).foreach(f =>
-        Files.deleteIfExists(dir.resolve(f)))
+    // 3. only AFTER the swap: generation N−1's files are now two
+    //    commits old — no correct scan can still reference them — so
+    //    drop the ones nothing current lists, plus staging leftovers
+    //    (losing attempts). Crash before this point leaves garbage
+    //    files, never wrong visible data.
+    val live = (keep ++ retained).toSet
+    retiring.filterNot(live.contains).foreach(f =>
+      Files.deleteIfExists(dir.resolve(f)))
     StagedSink.deleteRecursively(staging)
   }
 
@@ -238,7 +262,7 @@ private[sources] class StagedDataWriter(stagingDir: String, writeId: String,
         throw new RuntimeException(s"StagedSink: poisoned row $poison")
     }
     val line = schema.fields.zipWithIndex.map { case (f, i) =>
-      if (row.isNullAt(i)) ""
+      if (row.isNullAt(i)) StagedSink.NullSentinel
       else f.dataType match {
         case LongType => row.getLong(i).toString
         case IntegerType => row.getInt(i).toString
@@ -246,13 +270,15 @@ private[sources] class StagedDataWriter(stagingDir: String, writeId: String,
         case BooleanType => row.getBoolean(i).toString
         case StringType =>
           val s = row.getUTF8String(i).toString
-          require(!s.contains('\u0001'),
-            "StagedSink: \\u0001 separator not allowed in string fields")
-          s
+          require(s.indexOf(StagedSink.SepChar) < 0 &&
+            s.indexOf(StagedSink.NullChar) < 0,
+            "StagedSink: control separators \\u0001/\\u0002 not allowed " +
+              "in string fields")
+          StagedSink.escape(s)
         case dt => throw new UnsupportedOperationException(
           s"StagedSink: unsupported type $dt")
       }
-    }.mkString("\u0001")
+    }.mkString(StagedSink.Sep)
     out.write(line)
     out.write("\n")
     rows += 1
@@ -274,28 +300,86 @@ private[sources] class StagedDataWriter(stagingDir: String, writeId: String,
 }
 
 object StagedSink {
-  /** Manifest-resolved read: only files the last committed manifest
-    * lists are visible — orphans from losing attempts or a mid-commit
-    * crash are ignored.
+  private[sources] final val SepChar = '\u0001'
+  private[sources] final val Sep = "\u0001"
+  private[sources] final val NullChar = '\u0002'
+  private[sources] final val NullSentinel = "\u0002"
+
+  /** Backslash-escape the three characters that would corrupt the
+    * line-based format: `\` (the escape itself), LF (row separator)
+    * and CR (would survive into the value on re-read).
+    */
+  private[sources] def escape(s: String): String =
+    if (s.indexOf('\\') < 0 && s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+    else {
+      val sb = new StringBuilder(s.length + 8)
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' => sb.append("\\\\")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+
+  /** Exact inverse of [[escape]] — single left-to-right pass, so an
+    * escaped backslash can't be re-read as the start of another escape
+    * (the classic replace-chain bug).
+    */
+  private[sources] def unescape(s: String): String =
+    if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case _ => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Manifest-resolved read, routed through the SAME DSv2 scan the
+    * `spark.read.format(...)` path uses — one reader implementation,
+    * so the escape/null-sentinel codec can't diverge between the two
+    * entry points (it previously re-parsed the files with Spark's CSV
+    * reader, whose default quote handling disagreed with the raw
+    * separator split on strings containing double-quotes).
     */
   def readCommitted(spark: SparkSession, path: String): DataFrame = {
     val manifest = Paths.get(path, "_MANIFEST.json")
     require(Files.exists(manifest), s"no committed manifest under $path")
-    val files = manifestFiles(manifest)
-    val ddl = manifestSchema(manifest)
-    val schema = StructType.fromDDL(ddl)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .option("sep", "\u0001").option("header", "false")
-      .csv(files.map(f => Paths.get(path, f).toString): _*)
+    spark.read.format(classOf[StagedSink].getName).option("path", path).load()
   }
 
-  private[sources] def manifestFiles(manifest: Path): Seq[String] = {
+  private[sources] def manifestFiles(manifest: Path): Seq[String] =
+    jsonList(manifest, "files")
+
+  /** The retained previous generation's file list (empty for manifests
+    * written before retention existed).
+    */
+  private[sources] def manifestPrev(manifest: Path): Seq[String] =
+    jsonList(manifest, "prev")
+
+  private def jsonList(manifest: Path, key: String): Seq[String] = {
     val json = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-    val list = json.split("\"files\":\\[", 2)(1).split("]", 2)(0).trim
-    if (list.isEmpty) Seq.empty
-    else list.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    val parts = json.split("\"" + key + "\":\\[", 2)
+    if (parts.length < 2) Seq.empty
+    else {
+      val list = parts(1).split("]", 2)(0).trim
+      if (list.isEmpty) Seq.empty
+      else list.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    }
   }
 
   private[sources] def manifestSchema(manifest: Path): String = {

@@ -101,6 +101,38 @@ class RewriteRulesSpec extends SparkSpec {
     assert(q.collect().count(_.isNullAt(0)) == 1)
   }
 
+  test("a -0.0 fold seed is NOT rewritten (empty array returns -0.0, kernel +0.0)") {
+    // Scala/Java numeric == can't tell -0.0 from 0.0; the guard matches
+    // raw bits, so the negative-zero seed keeps the interpreted HOF
+    val dot = nonNullArrays.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(-0.0), (acc, v) => acc + v).as("d"))
+    assert(!planOf(dot).contains("graft_dot"), planOf(dot))
+    val sum = nonNullArrays.select(
+      aggregate(col("a"), lit(-0.0), (acc, v) => acc + v).as("s"))
+    assert(!planOf(sum).contains("graft_asum"), planOf(sum))
+    // and the semantic difference the guard protects is real: on an
+    // empty array the HOF returns its seed bit-exactly
+    val empty = spark.sql(
+      "SELECT aggregate(cast(array() as array<double>), -0.0d, (acc, v) -> acc + v) AS s")
+    val bits = java.lang.Double.doubleToRawLongBits(empty.collect()(0).getDouble(0))
+    assert(bits == java.lang.Double.doubleToRawLongBits(-0.0))
+  }
+
+  test("graft_asum called directly null-poisons a null element like the HOF") {
+    val df = spark.range(4).select(
+      array(when(col("id") === 2, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")), lit(1.0)).as("a"))
+    df.createOrReplaceTempView("graft_rrs_nulls")
+    val direct = spark.sql("SELECT graft_asum(a) AS s FROM graft_rrs_nulls")
+    val hof = spark.sql(
+      "SELECT aggregate(a, 0.0d, (acc, v) -> acc + v) AS s FROM graft_rrs_nulls")
+    val d = direct.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val h = hof.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(d.toSeq == h.toSeq, s"direct=${d.toSeq} hof=${h.toSeq}")
+    assert(d.count(_.isEmpty) == 1)
+  }
+
   test("the sum rewrite fires through the SQL surface too") {
     nonNullArrays.createOrReplaceTempView("graft_rrs_vecs2")
     val df = spark.sql(

@@ -62,21 +62,69 @@ class StagedSinkSpec extends SparkSpec {
       "abort left staging behind")
   }
 
-  test("overwrite truncates via one manifest swap; old files dropped after") {
+  private def partFiles(path: String): Int = {
+    val it = Files.list(Paths.get(path)).iterator()
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getFileName.toString.startsWith("part-")) n += 1
+    }
+    n
+  }
+
+  test("overwrite truncates via one manifest swap; N-1 dropped at commit of N+1") {
+    val path = tmp()
+    writeVals(path, 1L to 10L) // gen 1: 3 part files
+    writeVals(path, 100L to 103L, mode = "overwrite") // gen 2
+    assert(readVals(path) == (100L to 103L))
+    // one-generation retention: gen 1's files SURVIVE the overwrite
+    // that superseded them (an in-flight gen-1 scan may still need
+    // them) — 3 + 3 part files on disk, only gen 2 visible
+    assert(partFiles(path) == 6, "previous generation not retained")
+    writeVals(path, 200L to 201L, mode = "overwrite") // gen 3
+    assert(readVals(path) == (200L to 201L))
+    // gen 1 is now two commits old: physically gone; gen 2 retained
+    assert(partFiles(path) == 6,
+      s"expected gen2+gen3 only (3+3 files), got ${partFiles(path)}")
+    assert(StagedSink.readCommitted(spark, path).count() == 2)
+  }
+
+  test("a scan planned before an overwrite completes against its own generation") {
     val path = tmp()
     writeVals(path, 1L to 10L)
+    val old = StagedSink.readCommitted(spark, path)
+    // force physical planning NOW: the DSv2 scan freezes gen 1's file
+    // list (newScanBuilder runs during planning, not execution)
+    old.queryExecution.executedPlan
     writeVals(path, 100L to 103L, mode = "overwrite")
+    // the overwrite already landed; the frozen scan must still read
+    // gen 1 in full because retention kept its files. Collect through
+    // the SAME DataFrame — a derived Dataset builds a fresh
+    // QueryExecution and would (correctly) re-plan against gen 2.
+    assert(old.collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L),
+      "in-flight scan lost its generation to the overwrite")
     assert(readVals(path) == (100L to 103L))
-    // the truncated-away data files are physically gone too
-    val leftovers = Files.list(Paths.get(path)).iterator()
-    var dataFiles = 0
-    while (leftovers.hasNext) {
-      val f = leftovers.next().getFileName.toString
-      if (f.startsWith("part-")) dataFiles += 1
+  }
+
+  test("strings with newlines, quotes, backslashes and empties round-trip") {
+    val path = tmp()
+    val tricky = Seq(
+      (1L, "line1\nline2"),     // LF would split the row unescaped
+      (2L, "cr\rhere"),         // CR
+      (3L, "back\\slash\\n"),   // literal backslash + fake escape
+      (4L, "say \"hi\", ok"),   // CSV-style quoting must NOT kick in
+      (5L, ""),                 // empty string is NOT null
+      (6L, null))               // null is NOT empty string
+    tricky.toDF("k", "s")
+      .write.format("graft.sources.StagedSink").option("path", path)
+      .mode("append").save()
+    val back = StagedSink.readCommitted(spark, path).orderBy("k").collect()
+    tricky.sortBy(_._1).zipWithIndex.foreach { case ((k, s), i) =>
+      assert(back(i).getLong(0) == k)
+      if (s == null) assert(back(i).isNullAt(1), s"row $k: null became non-null")
+      else assert(back(i).getString(1) == s, s"row $k: '$s' corrupted")
     }
-    val manifest = StagedSink.readCommitted(spark, path)
-    assert(manifest.count() == 4)
-    assert(dataFiles <= 3, s"old generation not cleaned: $dataFiles part files")
+    // row count is the sharpest splitting check: 6 in, 6 out
+    assert(StagedSink.readCommitted(spark, path).count() == 6)
   }
 
   test("the DSv2 read side round-trips through spark.read.format") {

@@ -15,7 +15,7 @@ import sys
 
 
 def load(path):
-    """Return {query: min_seconds} plus the headline total."""
+    """Return ({query: min_seconds}, total, noisy_set, {query: loadavg})."""
     text = open(path).read()
     # driver artifact wrapper: the captured stdout tail (with embedded
     # JSON lines) lives under "tail", the parsed final line under
@@ -27,7 +27,7 @@ def load(path):
                 wrapper.get("parsed") or {})
     except json.JSONDecodeError:
         pass
-    queries, total = {}, None
+    queries, total, noisy, loads = {}, None, set(), {}
     for line in text.splitlines():
         line = line.strip()
         i = line.find("{")
@@ -42,18 +42,21 @@ def load(path):
         if d.get("metric") == "detail":
             for q, v in d.get("detail", {}).items():
                 queries[q] = v["min"] if isinstance(v, dict) else v
+                if isinstance(v, dict) and "load" in v:
+                    loads[q] = v["load"]
         if d.get("metric") == "total" or "queries" in d:
             total = d.get("value", total)
+            noisy |= set(d.get("noisy", []))
             for q, v in d.get("queries", {}).items():
                 queries.setdefault(q, v)
-    return queries, total
+    return queries, total, noisy, loads
 
 
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    a, ta = load(sys.argv[1])
-    b, tb = load(sys.argv[2])
+    a, ta, na, la = load(sys.argv[1])
+    b, tb, nb, lb = load(sys.argv[2])
     shared = sorted(set(a) & set(b))
     print(f"total: {ta} -> {tb}  ({len(a)} -> {len(b)} queries, "
           f"{len(shared)} shared)")
@@ -68,9 +71,21 @@ def main():
     if not movers:
         print("no movers past the 1.3x/0.4s noise floor")
     for ratio, delta, q in movers:
-        tag = "REGRESSED" if delta > 0 else "improved"
-        print(f"{tag:9s} {q:28s} {a[q]:7.2f} -> {b[q]:7.2f}  "
-              f"({ratio:5.2f}x, {delta:+.2f}s)")
+        # a mover whose min was noise-flagged (uncorroborated) in EITHER
+        # artifact is auto-discounted: the bench itself says that number
+        # is unmeasurable, so the delta is not evidence of a regression
+        flagged = (q in na) or (q in nb)
+        tag = ("discounted" if flagged
+               else "REGRESSED" if delta > 0 else "improved")
+        extra = ""
+        if flagged:
+            sides = [s for s, n in (("old", na), ("new", nb)) if q in n]
+            extra = f"  [noisy in {'+'.join(sides)}]"
+        loadinfo = "".join(
+            f" {s}_load={l[q]:.1f}" for s, l in (("old", la), ("new", lb))
+            if q in l and l[q] >= 0)
+        print(f"{tag:10s} {q:28s} {a[q]:7.2f} -> {b[q]:7.2f}  "
+              f"({ratio:5.2f}x, {delta:+.2f}s){extra}{loadinfo}")
     only_new = sorted(set(b) - set(a))
     if only_new:
         slow = [q for q in only_new if b[q] > 2.0]
