@@ -144,7 +144,13 @@ object ScaleSmoke {
     // constant-size by construction); the audio fingerprint is a pure
     // per-row WAV encode->decode->signature pass plus one sig-keyed
     // window — both must track the scan
-    "q_cms_est", "q_audio_fingerprint")
+    "q_cms_est", "q_audio_fingerprint",
+    // r12: the rerank stage rides the RRF retrieval (which grows with
+    // the corpus, timed above as q_hybrid_rrf); everything it ADDS —
+    // the joint feature join — is candidate-proportional (|Q| x 10
+    // rows, corpus semi-filtered before tokenization), so its wall
+    // should track q_hybrid_rrf's with a constant on top
+    "q_rerank")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated

@@ -67,5 +67,7 @@ object SparkEntry {
     // projection audit, the oracle-checked CMS, and audio-fingerprint
     // dedup
     "q_bootstrap", "q_lang_ngram", "q_audio_decode", "q_mix_reweight",
-    "q_label_prop", "q_embed_rp", "q_cms_est", "q_audio_fingerprint")
+    "q_label_prop", "q_embed_rp", "q_cms_est", "q_audio_fingerprint",
+    // r12 addition: the retrieval cascade's rerank stage
+    "q_rerank")
 }

@@ -1258,25 +1258,63 @@ object TextQueries {
     // ranked rows per query, joined full-outer so a doc found by one
     // arm still scores.
     "q_hybrid_rrf" -> { (s, dir) =>
-      val bm = bm25Ranked(s, dir, topN = 20)
-        .select(col("q_id"), col("doc_id"), col("rk"))
+      hybridRrf(s, dir).orderBy("q_id", "rk")
+    },
+
+    // Cross-encoder-style reranker closing the retrieval cascade:
+    // retrieve (hybrid-RRF top-10 per query) → rerank → cut to a final
+    // top-5. The reranker is a deterministic cross-encoder stand-in: it
+    // scores each (query, candidate) pair JOINTLY — distinct-token
+    // Jaccard over both texts, exact embedding cosine, and the
+    // normalized retrieval prior, blended 0.5/0.3/0.2 — so the whole
+    // cascade stays oracle-checkable while exercising exactly the
+    // dataflow a learned reranker needs. Plan shape is the part that
+    // matters at 100 TB: the candidate id set broadcast-semi-filters
+    // the documents and embeddings scans BEFORE tokenization/cast, so
+    // per-pair feature cost is CANDIDATE-proportional (|Q| x 10 rows),
+    // never corpus-proportional — the corpus is touched by the
+    // retriever, never by the reranker. Features round to 6 decimals
+    // each before the fixed-order blend, so the combined score is
+    // bit-identical across engines.
+    "q_rerank" -> { (s, dir) =>
+      // localCheckpoint: the candidate frame feeds three consumers (two
+      // semi-filters + the feature join); without it the whole
+      // BM25+brute-force retrieval subtree would re-execute per branch
+      val cand = hybridRrf(s, dir).localCheckpoint()
+      val candIds = cand.select(col("doc_id")).distinct()
+      val docs = Tables(s, dir, "documents")
+      val dToks = docs
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val qToks = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"),
+          array_distinct(TextOps.tokens(col("text"))).as("q_toks"))
       val e = Tables(s, dir, "embeddings")
-      val vr = VectorOps.bruteForceTopK(e.filter(col("vec_id") < 3), e, k = 20)
-        .select(col("q_id"), col("n_id").as("doc_id"),
-          col("rk").cast(LongType).as("rk"))
-      // fusion as union + re-aggregate, NOT a full-outer join: each doc
-      // holds at most one rank row per arm, so summing 1/(60+rk) over
-      // the union is exactly the coalesce-sum of a full outer join —
-      // minus the join's two hash exchanges. The repartition(q_id)
-      // again serves both the fuse aggregate and the final top-k window.
-      val fused = bm.unionByName(vr)
-        .repartition(col("q_id"))
-        .groupBy("q_id", "doc_id")
-        .agg(round(sum(lit(1.0) / (lit(60) + col("rk"))), 6).as("rrf"))
-      val w = Window.partitionBy("q_id").orderBy(desc("rrf"), asc("doc_id"))
-      fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-        .select(col("q_id"), col("rk").cast(LongType).as("rk"),
-          col("doc_id"), col("rrf"))
+      val dVec = e
+        .join(broadcast(candIds), e("vec_id") === candIds("doc_id"), "left_semi")
+        .select(col("vec_id").as("doc_id"),
+          VectorOps.toDoubleVec(col("embedding")).as("vec"))
+      val qVec = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"),
+          VectorOps.toDoubleVec(col("embedding")).as("q_vec"))
+      val feat = cand
+        .join(dToks, Seq("doc_id"))
+        .join(dVec, Seq("doc_id"))
+        .join(broadcast(qToks), Seq("q_id"))
+        .join(broadcast(qVec), Seq("q_id"))
+        .withColumn("jacc", round(
+          size(array_intersect(col("toks"), col("q_toks"))).cast(DoubleType) /
+            size(array_union(col("toks"), col("q_toks"))), 6))
+        .withColumn("cosf", round(VectorOps.cosine(col("q_vec"), col("vec")), 6))
+        // rrf ∈ (0, 2/61]: x30.5 normalizes the prior to (0, 1]
+        .withColumn("ce_score", round(
+          lit(0.5) * col("jacc") + lit(0.3) * col("cosf") +
+            lit(0.2) * round(col("rrf") * lit(30.5), 6), 6))
+      val w = Window.partitionBy("q_id").orderBy(desc("ce_score"), asc("doc_id"))
+      feat.withColumn("rrk", row_number().over(w)).filter(col("rrk") <= 5)
+        .select(col("q_id"), col("rrk").cast(LongType).as("rk"), col("doc_id"),
+          col("ce_score"), col("jacc"), col("cosf"))
         .orderBy("q_id", "rk")
     },
 
@@ -2613,6 +2651,37 @@ object TextQueries {
         col("doc_id"), col("bm25"))
   }
 
+  /** Hybrid BM25+cosine retrieval fused by reciprocal-rank fusion — the
+    * shared candidate generator for q_hybrid_rrf (which emits it
+    * directly) and q_rerank (which re-scores it). BM25 top-20 and
+    * exact-cosine top-20 rank lists fuse as 1/(60+rank) sums, top-`k`
+    * per query (documents and their embeddings share ids in the
+    * fixtures, so docs 0..2 are the query set on both sides). The two
+    * retrieval arms run independently; fusion touches only the 2x20
+    * ranked rows per query. Fusion is union + re-aggregate, NOT a
+    * full-outer join: each doc holds at most one rank row per arm, so
+    * summing 1/(60+rk) over the union is exactly the coalesce-sum of a
+    * full outer join — minus the join's two hash exchanges. The
+    * repartition(q_id) serves both the fuse aggregate and the final
+    * top-k window.
+    */
+  private def hybridRrf(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val bm = bm25Ranked(s, dir, topN = 20)
+      .select(col("q_id"), col("doc_id"), col("rk"))
+    val e = Tables(s, dir, "embeddings")
+    val vr = VectorOps.bruteForceTopK(e.filter(col("vec_id") < 3), e, k = 20)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+        col("rk").cast(LongType).as("rk"))
+    val fused = bm.unionByName(vr)
+      .repartition(col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(lit(1.0) / (lit(60) + col("rk"))), 6).as("rrf"))
+    val w = Window.partitionBy("q_id").orderBy(desc("rrf"), asc("doc_id"))
+    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast(LongType).as("rk"),
+        col("doc_id"), col("rrf"))
+  }
+
   /** CTE body shared by the q_bm25 and q_hybrid_rrf oracles: BM25
     * scores for every (query, doc) pair, ranked per query — consumers
     * filter `ranked` to their own top-N.
@@ -2645,6 +2714,37 @@ object TextQueries {
          SELECT q_id, doc_id, bm25,
            row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rk
          FROM scored)"""
+
+  /** CTE chain shared by the q_hybrid_rrf and q_rerank oracles: the
+    * BM25 arm (via [[bm25RankedCte]]), the exact-cosine arm, and the
+    * reciprocal-rank fusion ranked per query (`rranked`).
+    */
+  private val rrfRankedCtes: String =
+    s"""$bm25RankedCte,
+       bmr AS (SELECT q_id, doc_id, rk FROM ranked WHERE rk <= 20),
+       v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       vscored AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * c.vec[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i])))
+              * sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) AS cos_sim
+         FROM v q JOIN v c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+       vranked AS (
+         SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
+         FROM vscored),
+       vr AS (SELECT q_id, n_id AS doc_id, rk FROM vranked WHERE rk <= 20),
+       fused AS (
+         SELECT COALESCE(b.q_id, x.q_id) AS q_id,
+           COALESCE(b.doc_id, x.doc_id) AS doc_id,
+           round(COALESCE(1.0e0 / (60 + b.rk), 0.0e0)
+               + COALESCE(1.0e0 / (60 + x.rk), 0.0e0), 6) AS rrf
+         FROM bmr b FULL OUTER JOIN vr x
+           ON b.q_id = x.q_id AND b.doc_id = x.doc_id),
+       rranked AS (
+         SELECT q_id, doc_id, rrf,
+           row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rk
+         FROM fused)"""
 
   // Exact order-free double accumulation — see the shared [[GridSum]]
   // object (promoted there so EventQueries' stats tier can use the same
@@ -3744,33 +3844,42 @@ object TextQueries {
          SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, bm25
          FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""",
     "q_hybrid_rrf" ->
-      s"""WITH $bm25RankedCte,
-         bmr AS (SELECT q_id, doc_id, rk FROM ranked WHERE rk <= 20),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         vscored AS (
-           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-             list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * c.vec[i]))
-               / (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i])))
-                * sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) AS cos_sim
-           FROM v q JOIN v c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
-         vranked AS (
-           SELECT q_id, n_id,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
-           FROM vscored),
-         vr AS (SELECT q_id, n_id AS doc_id, rk FROM vranked WHERE rk <= 20),
-         fused AS (
-           SELECT COALESCE(b.q_id, x.q_id) AS q_id,
-             COALESCE(b.doc_id, x.doc_id) AS doc_id,
-             round(COALESCE(1.0e0 / (60 + b.rk), 0.0e0)
-                 + COALESCE(1.0e0 / (60 + x.rk), 0.0e0), 6) AS rrf
-           FROM bmr b FULL OUTER JOIN vr x
-             ON b.q_id = x.q_id AND b.doc_id = x.doc_id),
-         rranked AS (
-           SELECT q_id, doc_id, rrf,
-             row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rk
-           FROM fused)
+      s"""WITH $rrfRankedCtes
          SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf
          FROM rranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    // cross-encoder stand-in: joint (query, candidate) features over
+    // the RRF top-10 only — distinct-token Jaccard, exact cosine (the
+    // q_embed_cosine_topk spelling, bit-identical to graft_cosine),
+    // and the x30.5-normalized RRF prior, each rounded to 6 before the
+    // fixed-order 0.5/0.3/0.2 blend
+    "q_rerank" ->
+      s"""WITH $rrfRankedCtes,
+         cand AS (SELECT q_id, doc_id, rrf FROM rranked WHERE rk <= 10),
+         dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                FROM documents),
+         feat AS (
+           SELECT c.q_id, c.doc_id, c.rrf,
+             round(CAST(len(list_intersect(d.toks, q.toks)) AS DOUBLE)
+               / len(list_distinct(list_concat(d.toks, q.toks))), 6) AS jacc,
+             round(list_sum(list_transform(range(1, len(qv.vec) + 1), i -> qv.vec[i] * dv.vec[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(qv.vec) + 1), i -> qv.vec[i] * qv.vec[i])))
+                * sqrt(list_sum(list_transform(range(1, len(dv.vec) + 1), i -> dv.vec[i] * dv.vec[i])))), 6) AS cosf
+           FROM cand c
+             JOIN dt d ON d.doc_id = c.doc_id
+             JOIN dt q ON q.doc_id = c.q_id
+             JOIN v dv ON dv.vec_id = c.doc_id
+             JOIN v qv ON qv.vec_id = c.q_id),
+         ce AS (
+           SELECT q_id, doc_id, jacc, cosf,
+             round(0.5e0 * jacc + 0.3e0 * cosf
+                 + 0.2e0 * round(rrf * 30.5e0, 6), 6) AS ce_score
+           FROM feat),
+         rr AS (
+           SELECT q_id, doc_id, ce_score, jacc, cosf,
+             row_number() OVER (PARTITION BY q_id ORDER BY ce_score DESC, doc_id) AS rk
+           FROM ce)
+         SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, ce_score, jacc, cosf
+         FROM rr WHERE rk <= 5 ORDER BY q_id, rk""",
     "q_ndcg" -> ndcgOracle,
     "q_bigram_lm" -> bigramLmSql,
     "q_ppl_strata" ->

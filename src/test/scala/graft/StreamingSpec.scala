@@ -452,4 +452,38 @@ class StreamingSpec extends SparkSpec {
       assert(out == Map("a" -> 2L, "b" -> 1L))
     } finally q.stop()
   }
+
+  test("incrementalCC merges components across micro-batches (star compression)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_icc").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.incrementalCC(
+        mem.toDF().toDF("u", "v"), s"$dir/state")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    def state(): Map[Long, Long] =
+      graft.sources.StagedSink.readCommitted(spark, s"$dir/state")
+        .as[(Long, Long)].collect().toMap
+    try {
+      // batch 1: three 2-vertex components + one self-loop registration
+      mem.addData((1L, 2L), (3L, 4L), (5L, 6L), (9L, 9L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+        5L -> 5L, 6L -> 5L, 9L -> 9L))
+      // batch 2: one edge BRIDGES {1,2} and {3,4} — the merge must
+      // relabel all four transitively even though vertices 1 and 4
+      // appear nowhere in the delta (star edges carry them); {5,6} and
+      // the singleton are untouched and must survive verbatim
+      mem.addData((2L, 3L), (7L, 8L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+      // batch 3: the singleton acquires an edge; a brand-new vertex
+      // joins an existing merged component through its NON-min member
+      mem.addData((9L, 10L), (4L, 0L))
+      q.processAllAvailable()
+      assert(state() == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+        4L -> 0L, 5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L,
+        9L -> 9L, 10L -> 9L))
+    } finally q.stop()
+  }
 }
