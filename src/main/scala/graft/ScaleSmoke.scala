@@ -150,7 +150,13 @@ object ScaleSmoke {
     // the joint feature join — is candidate-proportional (|Q| x 10
     // rows, corpus semi-filtered before tokenization), so its wall
     // should track q_hybrid_rrf's with a constant on top
-    "q_rerank")
+    "q_rerank",
+    // r12: the ANN recall audit runs BOTH arms — brute force (the
+    // linear baseline already timed as q_embed_cosine_topk) and IVF —
+    // on a fixed 50-query probe (vec_id < 50 pins to copy 0), so its
+    // wall is the sum of two already-smoked scans plus a <=500-row
+    // id-set intersection
+    "q_ann_eval")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated

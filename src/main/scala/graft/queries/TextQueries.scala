@@ -543,6 +543,32 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Measured ANN quality — the vector twin of q_lsh_eval: IVF top-5
+    // vs the exact brute-force top-5 as ground truth, per-query
+    // recall@5. An AUDIT query by construction (it runs BOTH the
+    // approximate and the exact pipeline on one corpus — its cost is
+    // q_embed_ann_ivf + q_embed_cosine_topk back to back), closing the
+    // same loop for the vector tier that q_lsh_eval closes for LSH
+    // dedup: the recall an operating point delivers is a measured,
+    // oracle-checked number, not a design claim. Both pipelines are
+    // individually oracle-matched (annIvfOracle / the brute CTE), so
+    // the eval just set-intersects their id lists — exact integer math.
+    "q_ann_eval" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      val truth = VectorOps.bruteForceTopK(q, e, k = 5)
+        .select(col("q_id"), col("n_id"))
+      val ivf = VectorOps.ivfTopK(q, e, k = 5)
+        .select(col("q_id").as("iq"), col("n_id").as("in"))
+      truth.join(ivf, col("q_id") === col("iq") && col("n_id") === col("in"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(col("in")).as("hits"), count(lit(1)).as("k"))
+        .select(col("q_id"), col("hits"),
+          round(col("hits").cast(DoubleType) / col("k"), 6).as("recall"))
+        .orderBy("q_id")
+    },
+
     // PQ-ADC ANN: the corpus is scanned as M=8 sub-codes per row (the
     // compressed domain — 8 ints instead of 64 floats meet the broadcast
     // query side), scored by table lookup. trainRounds=0 keeps the
@@ -2977,8 +3003,8 @@ object TextQueries {
     * lowest-cell tie-break as the native kernel, probe cells by (sim
     * desc, cell asc), and the exact top-k over candidates.
     */
-  private val annIvfOracle: String =
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+  private val ivfRankedCtes: String =
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
        nl AS (SELECT LEAST(4096, GREATEST(16, CAST(ceil(count(*) / 256.0) AS BIGINT))) AS nlist FROM v),
        cent AS (
          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, vec
@@ -3004,9 +3030,33 @@ object TextQueries {
        ranked AS (
          SELECT q_id, n_id, cos_sim,
            row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
-         FROM scored)
+         FROM scored)"""
+
+  private val annIvfOracle: String =
+    s"""WITH $ivfRankedCtes
        SELECT q_id, CAST(rk AS INT) AS rk, n_id, cos_sim FROM ranked WHERE rk <= 5
        ORDER BY q_id, rk"""
+
+  /** q_ann_eval oracle: the IVF chain ([[ivfRankedCtes]]) and the exact
+    * brute-force chain side by side, recall@5 as the per-query count of
+    * IVF ids present in the exact top-5 — pure integer set math over
+    * two already-oracle-matched rankings.
+    */
+  private val annEvalOracle: String =
+    s"""WITH $ivfRankedCtes,
+       tscored AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${cosSql("q", "c")} AS cos_sim
+         FROM v q JOIN v c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+       tranked AS (
+         SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
+         FROM tscored),
+       truth AS (SELECT q_id, n_id FROM tranked WHERE rk <= 5),
+       ivf AS (SELECT q_id, n_id FROM ranked WHERE rk <= 5)
+       SELECT t.q_id, CAST(count(i.n_id) AS BIGINT) AS hits,
+         round(CAST(count(i.n_id) AS DOUBLE) / count(*), 6) AS recall
+       FROM truth t LEFT JOIN ivf i ON i.q_id = t.q_id AND i.n_id = t.n_id
+       GROUP BY t.q_id ORDER BY t.q_id"""
 
   /** q_embed_pq oracle: the whole PQ pipeline re-derived in SQL — unit
     * normalization, the md5-ordered 16-vector codebook, per-subspace
@@ -3838,6 +3888,7 @@ object TextQueries {
     "q_winnow" -> winnowOracle,
     "q_embed_ann_lsh" -> annLshOracle,
     "q_embed_ann_ivf" -> annIvfOracle,
+    "q_ann_eval" -> annEvalOracle,
     "q_embed_bq" -> bqOracle,
     "q_bm25" ->
       s"""WITH $bm25RankedCte

@@ -176,6 +176,18 @@ class ExplainSpec extends SparkSpec {
     // q_pit_enrich: scd2 version build (one user_id exchange) + the
     // as-of tagged-union exchange + output sort
     "q_pit_enrich" -> 3,
+    // r12 snapshot: q_rerank audits post-checkpoint (the whole RRF
+    // retrieval subtree is materialized away) — the 4 are the two
+    // candidate-id distincts feeding the doc/embedding broadcast semi
+    // filters, the rerank window's q_id exchange, and the output sort;
+    // every one carries candidate-sized rows (|Q| x 10), never corpus
+    "q_rerank" -> 4,
+    // q_ann_eval: an audit query running BOTH pipelines un-checkpointed
+    // — the IVF subtree's 2 (same pair q_embed_ann_ivf snapshots), the
+    // brute-force truth window, the truth⋈ivf join's two sides, and
+    // the output sort; after the two rankings everything moves <=250
+    // (q_id, n_id) rows
+    "q_ann_eval" -> 6,
     "q_dup_rate" -> 3, "q_lsh_curve" -> 1,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
