@@ -1307,41 +1307,48 @@ object TextQueries {
       // semi-filters + the feature join); without it the whole
       // BM25+brute-force retrieval subtree would re-execute per branch
       val cand = hybridRrf(s, dir).localCheckpoint()
-      val candIds = cand.select(col("doc_id")).distinct()
-      val docs = Tables(s, dir, "documents")
-      val dToks = docs
-        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          array_distinct(TextOps.tokens(col("text"))).as("toks"))
-      val qToks = docs.filter(col("doc_id") < 3)
-        .select(col("doc_id").as("q_id"),
-          array_distinct(TextOps.tokens(col("text"))).as("q_toks"))
-      val e = Tables(s, dir, "embeddings")
-      val dVec = e
-        .join(broadcast(candIds), e("vec_id") === candIds("doc_id"), "left_semi")
-        .select(col("vec_id").as("doc_id"),
-          VectorOps.toDoubleVec(col("embedding")).as("vec"))
-      val qVec = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"),
-          VectorOps.toDoubleVec(col("embedding")).as("q_vec"))
-      val feat = cand
-        .join(dToks, Seq("doc_id"))
-        .join(dVec, Seq("doc_id"))
-        .join(broadcast(qToks), Seq("q_id"))
-        .join(broadcast(qVec), Seq("q_id"))
-        .withColumn("jacc", round(
-          size(array_intersect(col("toks"), col("q_toks"))).cast(DoubleType) /
-            size(array_union(col("toks"), col("q_toks"))), 6))
-        .withColumn("cosf", round(VectorOps.cosine(col("q_vec"), col("vec")), 6))
-        // rrf ∈ (0, 2/61]: x30.5 normalizes the prior to (0, 1]
-        .withColumn("ce_score", round(
-          lit(0.5) * col("jacc") + lit(0.3) * col("cosf") +
-            lit(0.2) * round(col("rrf") * lit(30.5), 6), 6))
-      val w = Window.partitionBy("q_id").orderBy(desc("ce_score"), asc("doc_id"))
-      feat.withColumn("rrk", row_number().over(w)).filter(col("rrk") <= 5)
-        .select(col("q_id"), col("rrk").cast(LongType).as("rk"), col("doc_id"),
-          col("ce_score"), col("jacc"), col("cosf"))
-        .orderBy("q_id", "rk")
+      rerankTop(s, dir, cand).orderBy("q_id", "rk")
+    },
+
+    // Did the reranker HELP? NDCG@5 of the reranked list vs NDCG@5 of
+    // the raw RRF list, per query, under the same deterministic md5
+    // relevance draw q_ndcg uses — the eval that closes the cascade
+    // (retrieve → rerank → judge) with a measured, oracle-checked
+    // quality delta instead of an assumption. Both lists come off ONE
+    // checkpointed candidate frame, so the retrieval subtree runs once;
+    // everything after it is 15-row arithmetic.
+    "q_rerank_ndcg" -> { (s, dir) =>
+      val cand = hybridRrf(s, dir).localCheckpoint()
+      val rrf5 = cand.filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("doc_id"))
+      val rr5 = rerankTop(s, dir, cand)
+        .select(col("q_id"), col("rk"), col("doc_id"))
+      def ndcgOf(list: DataFrame, out: String): DataFrame = {
+        val rel = (conv(substring(md5(concat(lit("rel:"),
+            col("q_id").cast(StringType), lit(":"),
+            col("doc_id").cast(StringType))), 1, 1), 16, 10)
+          .cast(LongType) % 4).as("rel")
+        val lab = list.withColumn("rel", rel)
+          .withColumn("gain",
+            when(col("rel") === 0, 0L).when(col("rel") === 1, 1L)
+              .when(col("rel") === 2, 3L).otherwise(7L))
+          .withColumn("irk", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("rel").desc, col("doc_id").asc)).cast(LongType))
+        def disc(rank: Column) =
+          log(rank.cast(DoubleType) + lit(1.0)) / log(lit(2.0))
+        lab.groupBy("q_id")
+          .agg(
+            exactGridSum(col("gain").cast(DoubleType) / disc(col("rk"))).as("gd"),
+            exactGridSum(col("gain").cast(DoubleType) / disc(col("irk"))).as("gi"))
+          .select(col("q_id"),
+            round(fromGrid(col("gd")) / fromGrid(col("gi")), 6).as(out))
+      }
+      ndcgOf(rrf5, "ndcg_rrf")
+        .join(ndcgOf(rr5, "ndcg_rerank"), Seq("q_id"))
+        .select(col("q_id"), col("ndcg_rrf"), col("ndcg_rerank"),
+          round(col("ndcg_rerank") - col("ndcg_rrf"), 6).as("delta"))
+        .orderBy("q_id")
     },
 
     // NDCG@10 of the BM25 ranking — the eval primitive that closes the
@@ -2708,6 +2715,50 @@ object TextQueries {
         col("doc_id"), col("rrf"))
   }
 
+  /** Cross-encoder-style rerank of an (already materialized) candidate
+    * frame (q_id, rk, doc_id, rrf) — joint features per pair, fixed
+    * 0.5/0.3/0.2 blend, top-`k` per query. Shared by q_rerank and
+    * q_rerank_ndcg; `cand` must be checkpointed by the caller (it feeds
+    * three consumers here).
+    */
+  private def rerankTop(s: SparkSession, dir: String, cand: DataFrame,
+      k: Int = 5): DataFrame = {
+    val candIds = cand.select(col("doc_id")).distinct()
+    val docs = Tables(s, dir, "documents")
+    val dToks = docs
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+    val qToks = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        array_distinct(TextOps.tokens(col("text"))).as("q_toks"))
+    val e = Tables(s, dir, "embeddings")
+    val dVec = e
+      .join(broadcast(candIds), e("vec_id") === candIds("doc_id"), "left_semi")
+      .select(col("vec_id").as("doc_id"),
+        VectorOps.toDoubleVec(col("embedding")).as("vec"))
+    val qVec = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"),
+        VectorOps.toDoubleVec(col("embedding")).as("q_vec"))
+    val feat = cand
+      .join(dToks, Seq("doc_id"))
+      .join(dVec, Seq("doc_id"))
+      .join(broadcast(qToks), Seq("q_id"))
+      .join(broadcast(qVec), Seq("q_id"))
+      .withColumn("jacc", round(
+        size(array_intersect(col("toks"), col("q_toks"))).cast(DoubleType) /
+          size(array_union(col("toks"), col("q_toks"))), 6))
+      .withColumn("cosf", round(VectorOps.cosine(col("q_vec"), col("vec")), 6))
+      // rrf ∈ (0, 2/61]: x30.5 normalizes the prior to (0, 1]
+      .withColumn("ce_score", round(
+        lit(0.5) * col("jacc") + lit(0.3) * col("cosf") +
+          lit(0.2) * round(col("rrf") * lit(30.5), 6), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("ce_score"), asc("doc_id"))
+    feat.withColumn("rrk", row_number().over(w)).filter(col("rrk") <= k)
+      .select(col("q_id"), col("rrk").cast(LongType).as("rk"), col("doc_id"),
+        col("ce_score"), col("jacc"), col("cosf"))
+  }
+
   /** CTE body shared by the q_bm25 and q_hybrid_rrf oracles: BM25
     * scores for every (query, doc) pair, ranked per query — consumers
     * filter `ranked` to their own top-N.
@@ -2771,6 +2822,72 @@ object TextQueries {
          SELECT q_id, doc_id, rrf,
            row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rk
          FROM fused)"""
+
+  /** CTE chain shared by the q_rerank and q_rerank_ndcg oracles: the
+    * RRF retrieval ([[rrfRankedCtes]]), the top-10 candidate cut, the
+    * joint feature build, and the reranked ordering (`rr`).
+    */
+  private val rerankCtes: String =
+    s"""$rrfRankedCtes,
+       cand AS (SELECT q_id, doc_id, rrf FROM rranked WHERE rk <= 10),
+       dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents),
+       feat AS (
+         SELECT c.q_id, c.doc_id, c.rrf,
+           round(CAST(len(list_intersect(d.toks, q.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(d.toks, q.toks))), 6) AS jacc,
+           round(list_sum(list_transform(range(1, len(qv.vec) + 1), i -> qv.vec[i] * dv.vec[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(qv.vec) + 1), i -> qv.vec[i] * qv.vec[i])))
+              * sqrt(list_sum(list_transform(range(1, len(dv.vec) + 1), i -> dv.vec[i] * dv.vec[i])))), 6) AS cosf
+         FROM cand c
+           JOIN dt d ON d.doc_id = c.doc_id
+           JOIN dt q ON q.doc_id = c.q_id
+           JOIN v dv ON dv.vec_id = c.doc_id
+           JOIN v qv ON qv.vec_id = c.q_id),
+       ce AS (
+         SELECT q_id, doc_id, jacc, cosf,
+           round(0.5e0 * jacc + 0.3e0 * cosf
+               + 0.2e0 * round(rrf * 30.5e0, 6), 6) AS ce_score
+         FROM feat),
+       rr AS (
+         SELECT q_id, doc_id, ce_score, jacc, cosf,
+           row_number() OVER (PARTITION BY q_id ORDER BY ce_score DESC, doc_id) AS rk
+         FROM ce)"""
+
+  /** DuckDB twin of q_rerank_ndcg: NDCG@5 of the raw RRF ordering and
+    * of the reranked ordering under q_ndcg's md5 relevance draw, both
+    * rounded to 6 BEFORE the delta (matching the Spark side exactly).
+    */
+  private def rerankNdcgOracle: String = {
+    val dcgTerm = "CAST(gain AS DOUBLE) / (ln(CAST(rk AS DOUBLE) + 1.0e0) / ln(2.0e0))"
+    val idcgTerm = "CAST(gain AS DOUBLE) / (ln(CAST(irk AS DOUBLE) + 1.0e0) / ln(2.0e0))"
+    def ndcgBlock(src: String, labName: String, gName: String,
+        nName: String, outCol: String): String =
+      s"""$labName AS (
+           SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id,
+             (strpos('0123456789abcdef',
+                substring(md5('rel:' || CAST(q_id AS VARCHAR) || ':'
+                  || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4 AS rel
+           FROM $src WHERE rk <= 5),
+         $gName AS (
+           SELECT q_id, rk, doc_id,
+             CASE WHEN rel = 0 THEN 0 WHEN rel = 1 THEN 1
+                  WHEN rel = 2 THEN 3 ELSE 7 END AS gain,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS irk
+           FROM $labName),
+         $nName AS (
+           SELECT q_id,
+             round((${GridSum.gridSumSql(dcgTerm)})
+                 / (${GridSum.gridSumSql(idcgTerm)}), 6) AS $outCol
+           FROM $gName GROUP BY q_id)"""
+    s"""WITH $rerankCtes,
+       ${ndcgBlock("rranked", "lab1", "g1", "n1", "ndcg_rrf")},
+       ${ndcgBlock("rr", "lab2", "g2", "n2", "ndcg_rerank")}
+       SELECT n1.q_id, ndcg_rrf, ndcg_rerank,
+         round(ndcg_rerank - ndcg_rrf, 6) AS delta
+       FROM n1 JOIN n2 ON n1.q_id = n2.q_id ORDER BY n1.q_id"""
+  }
 
   // Exact order-free double accumulation — see the shared [[GridSum]]
   // object (promoted there so EventQueries' stats tier can use the same
@@ -3904,33 +4021,10 @@ object TextQueries {
     // and the x30.5-normalized RRF prior, each rounded to 6 before the
     // fixed-order 0.5/0.3/0.2 blend
     "q_rerank" ->
-      s"""WITH $rrfRankedCtes,
-         cand AS (SELECT q_id, doc_id, rrf FROM rranked WHERE rk <= 10),
-         dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-                FROM documents),
-         feat AS (
-           SELECT c.q_id, c.doc_id, c.rrf,
-             round(CAST(len(list_intersect(d.toks, q.toks)) AS DOUBLE)
-               / len(list_distinct(list_concat(d.toks, q.toks))), 6) AS jacc,
-             round(list_sum(list_transform(range(1, len(qv.vec) + 1), i -> qv.vec[i] * dv.vec[i]))
-               / (sqrt(list_sum(list_transform(range(1, len(qv.vec) + 1), i -> qv.vec[i] * qv.vec[i])))
-                * sqrt(list_sum(list_transform(range(1, len(dv.vec) + 1), i -> dv.vec[i] * dv.vec[i])))), 6) AS cosf
-           FROM cand c
-             JOIN dt d ON d.doc_id = c.doc_id
-             JOIN dt q ON q.doc_id = c.q_id
-             JOIN v dv ON dv.vec_id = c.doc_id
-             JOIN v qv ON qv.vec_id = c.q_id),
-         ce AS (
-           SELECT q_id, doc_id, jacc, cosf,
-             round(0.5e0 * jacc + 0.3e0 * cosf
-                 + 0.2e0 * round(rrf * 30.5e0, 6), 6) AS ce_score
-           FROM feat),
-         rr AS (
-           SELECT q_id, doc_id, ce_score, jacc, cosf,
-             row_number() OVER (PARTITION BY q_id ORDER BY ce_score DESC, doc_id) AS rk
-           FROM ce)
+      s"""WITH $rerankCtes
          SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, ce_score, jacc, cosf
          FROM rr WHERE rk <= 5 ORDER BY q_id, rk""",
+    "q_rerank_ndcg" -> rerankNdcgOracle,
     "q_ndcg" -> ndcgOracle,
     "q_bigram_lm" -> bigramLmSql,
     "q_ppl_strata" ->

@@ -188,6 +188,10 @@ class ExplainSpec extends SparkSpec {
     // the output sort; after the two rankings everything moves <=250
     // (q_id, n_id) rows
     "q_ann_eval" -> 6,
+    // q_rerank_ndcg: post-checkpoint tail — the rerank branch's two
+    // candidate-id distincts + its window, the two per-list NDCG
+    // aggregates, and the output sort; all on <=30-row frames
+    "q_rerank_ndcg" -> 6,
     "q_dup_rate" -> 3, "q_lsh_curve" -> 1,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
