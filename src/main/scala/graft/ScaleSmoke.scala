@@ -156,7 +156,10 @@ object ScaleSmoke {
     // on a fixed 50-query probe (vec_id < 50 pins to copy 0), so its
     // wall is the sum of two already-smoked scans plus a <=500-row
     // id-set intersection
-    "q_ann_eval")
+    "q_ann_eval",
+    // r12: the NDCG close of the cascade — rerank (timed above) plus
+    // 15-row label/discount arithmetic; must track q_rerank's wall
+    "q_rerank_ndcg")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated

@@ -486,4 +486,38 @@ class StreamingSpec extends SparkSpec {
         9L -> 9L, 10L -> 9L))
     } finally q.stop()
   }
+
+  test("incrementalCC state survives a query restart; edge replays are idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_icc2").toString
+    def state(): Map[Long, Long] =
+      graft.sources.StagedSink.readCommitted(spark, s"$dir/state")
+        .as[(Long, Long)].collect().toMap
+    val mem1 = MemoryStream[(Long, Long)]
+    val q1 = StreamingOps.incrementalCC(
+        mem1.toDF().toDF("u", "v"), s"$dir/state")
+      .option("checkpointLocation", s"$dir/ckpt1").start()
+    try {
+      mem1.addData((1L, 2L), (3L, 4L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the assignment table IS the operator's durable state — a brand-new
+    // query (fresh stream, fresh checkpoint) must pick it up and extend
+    // it, because labels are component minima and merges are monotone
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = StreamingOps.incrementalCC(
+        mem2.toDF().toDF("u", "v"), s"$dir/state")
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try {
+      // an at-least-once REPLAY of an already-merged edge: no-op
+      mem2.addData((1L, 2L))
+      q2.processAllAvailable()
+      assert(state() == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L),
+        "replayed edge changed the assignment")
+      // and a genuinely new bridge still merges across the restart
+      mem2.addData((2L, 4L))
+      q2.processAllAvailable()
+      assert(state() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    } finally q2.stop()
+  }
 }
