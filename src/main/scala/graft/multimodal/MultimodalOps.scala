@@ -315,6 +315,148 @@ object MultimodalOps {
     })
   }
 
+  /** REAL video decode for the one container+codec pair the stock JDK
+    * can fully handle: Motion-JPEG in AVI. The AVI container is RIFF —
+    * the same chunk grammar [[WavPcmCodec]] already hand-parses — and
+    * each MJPEG frame chunk (`00dc`/`00db`) is a complete baseline JPEG
+    * that `javax.imageio` decodes. So the claim "no in-JDK video
+    * decoder exists" is false for exactly this format, and the seam's
+    * video half gets a real member: frame COUNT is an index scan over
+    * chunk headers (no pixel work), and pixel decode is paid only for
+    * SAMPLED frames — the cost shape [[gifFrames]] established.
+    * Inter-frame codecs (H.264/VP9/AV1) remain deployment-provided;
+    * MJPEG is what scraped surveillance/scientific/legacy corpora
+    * actually carry, and it exercises the full container→frame→pixel
+    * path for real.
+    */
+  object AviMjpegCodec extends Serializable {
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    /** (offset, length) of every video frame chunk in stream order — an
+      * index scan over chunk headers, no pixel decode. Frame chunks are
+      * `SSdc` (compressed) or `SSdb` (uncompressed) with SS the decimal
+      * stream number; LIST chunks (`hdrl`, `movi`, `rec `) are walked
+      * recursively, everything else skipped by its declared size.
+      */
+    def frameChunks(mediaId: Long, b: Array[Byte]): Vector[(Int, Int)] = {
+      require(b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ",
+        s"not a RIFF/AVI container for media_id=$mediaId")
+      val out = Vector.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = fourcc(b, p)
+          // same wrapped-size guard as WavPcmCodec's RIFF walk: a
+          // 0xFFFFFFFF size field would go negative through toInt and
+          // step the cursor BACKWARD forever
+          val szL = u32(b, p + 4)
+          require(szL <= (b.length - p - 8).toLong,
+            s"malformed RIFF chunk size $szL at offset $p for media_id=$mediaId")
+          val sz = szL.toInt
+          if (id == "LIST") walk(p + 12, math.min(end, p + 8 + sz))
+          else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                   (id.endsWith("dc") || id.endsWith("db")))
+            out += ((p + 8, sz))
+          p += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, math.min(b.length.toLong, u32(b, 4) + 8L).toInt)
+      out.result()
+    }
+  }
+
+  /** Frame-sampled REAL video decode over MJPEG/AVI blobs — the exact
+    * shape of [[gifFrames]] on the container [[AviMjpegCodec]] parses:
+    * n_frames from the chunk index (no pixel cost), every `everyNth`
+    * frame's JPEG decoded to pixels for the BT.601 luma. Batched
+    * `mapPartitions`, no shuffle, no provider-registry lookups in the
+    * hot path (the JPEG reader is resolved per image by content, which
+    * ImageIO caches; the container walk is pure byte math).
+    */
+  def aviFrames(spark: SparkSession, media: Dataset[MediaRow],
+      everyNth: Int): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    require(everyNth >= 1, "everyNth must be >= 1")
+    media.mapPartitions(_.flatMap { row =>
+      val chunks = AviMjpegCodec.frameChunks(row.media_id, row.blob)
+      val n = chunks.length
+      (0 until n by everyNth).iterator.map { idx =>
+        val (off, len) = chunks(idx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.blob, off, len))
+        require(img != null,
+          s"undecodable frame $idx for media_id=${row.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var lumaSum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lumaSum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+              29 * (rgb & 0xff)) >> 8
+            x += 1
+          }
+          y += 1
+        }
+        DecodedFrame(row.media_id, idx, n, w, h,
+          if (w * h == 0) 0.0 else lumaSum.toDouble / (w.toLong * h))
+      }
+    })
+  }
+
+  /** Minimal-but-valid MJPEG/AVI encoder (the video analog of
+    * [[pcmU8ToWav]]): wraps already-encoded JPEG frames in a RIFF/AVI
+    * container — `hdrl` (avih + one `vids`/`MJPG` stream) and `movi`
+    * with one `00dc` chunk per frame, word-aligned. Gives the specs a
+    * round-trip (encode → [[aviFrames]] decode) without shipping any
+    * binary fixture, and the pipeline a way to materialize sampled
+    * clips.
+    */
+  def jpegFramesToAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0, "need at least one frame and fps > 0")
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val out = new Array[Byte](8 + payload.length + pad)
+      System.arraycopy(cc(id), 0, out, 0, 4)
+      System.arraycopy(le32(payload.length.toLong), 0, out, 4, 4)
+      System.arraycopy(payload, 0, out, 8, payload.length)
+      out // trailing pad byte (if any) stays 0
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(kind) ++ children)
+    val n = frames.length
+    val maxFrame = frames.map(_.length).max
+    val avih = le32(1000000L / fps) ++ le32(maxFrame.toLong * fps) ++
+      le32(0) ++ le32(0) ++ le32(n.toLong) ++ le32(0) ++ le32(1) ++
+      le32(maxFrame.toLong) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(fps.toLong) ++ le32(0) ++ le32(n.toLong) ++
+      le32(maxFrame.toLong) ++ le32(0xffffffffL) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+    val strf = le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      le16(1) ++ le16(24) ++ cc("MJPG") ++ le32(width.toLong * height * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
   /** Decoded audio: container/stream facts plus the amplitude
     * statistics an audio-quality filter gates on (all samples, all
     * channels, normalized to [-1, 1]).

@@ -334,6 +334,70 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aviFrames decodes REAL MJPEG/AVI video: count, stride, dims, luma parity") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    // 7 JPEG frames, 32x24, frame k = a left-right gradient shifted by
+    // k (JPEG is lossy, so the parity check is against ImageIO's OWN
+    // decode of the identical bytes, not a closed form)
+    def jpegFrame(k: Int): Array[Byte] = {
+      val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val g = (8 * x + 10 * k) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val jpegs = (0 until 7).map(jpegFrame)
+    val avi = MultimodalOps.jpegFramesToAvi(jpegs, width = 32, height = 24)
+    // the container round-trips: the chunk index finds all 7 frames and
+    // each chunk's bytes are EXACTLY the encoded JPEG
+    val chunks = MultimodalOps.AviMjpegCodec.frameChunks(1L, avi)
+    assert(chunks.length == 7)
+    chunks.zip(jpegs).foreach { case ((off, len), j) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(avi, off, off + len), j))
+    }
+    val rows = spark.createDataset(Seq(MediaRow(11L, "video", avi)))(
+      Encoders.product[MediaRow])
+    val frames = MultimodalOps.aviFrames(spark, rows, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6))
+    def lumaOf(jpeg: Array[Byte]): Double = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      var s = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        s += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+          29 * (rgb & 0xff)) >> 8
+      }
+      s.toDouble / (img.getWidth.toLong * img.getHeight)
+    }
+    frames.foreach { f =>
+      assert(f.n_frames == 7 && f.width == 32 && f.height == 24)
+      assert(f.mean_luma == lumaOf(jpegs(f.frame_idx)),
+        s"frame ${f.frame_idx} luma diverged from a direct decode")
+    }
+  }
+
+  test("AVI walk rejects wrapped chunk sizes and non-AVI bytes") {
+    val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes); b.putInt(16); b.put("AVI ".getBytes)
+    b.put("00dc".getBytes); b.putInt(-1); b.putInt(0)
+    val e = intercept[IllegalArgumentException] {
+      MultimodalOps.AviMjpegCodec.frameChunks(3L, b.array())
+    }
+    assert(e.getMessage.contains("malformed RIFF chunk size") &&
+      e.getMessage.contains("3"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      MultimodalOps.AviMjpegCodec.frameChunks(4L, "RIFFxxxxWAVE".getBytes)
+    }
+    assert(e2.getMessage.contains("not a RIFF/AVI") &&
+      e2.getMessage.contains("4"), e2.getMessage)
+  }
+
   test("audioFingerprint: known bits, uniform-gain invariance, short-clip zero") {
     // 3 frames of 4 samples with energies 40 > 20 < 60: bits (e0>e1)=1,
     // (e1>e2)=0 -> sig = 0b01 = 1 with 2 bits
