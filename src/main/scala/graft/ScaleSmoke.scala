@@ -157,6 +157,10 @@ object ScaleSmoke {
     // wall is the sum of two already-smoked scans plus a <=500-row
     // id-set intersection
     "q_ann_eval",
+    // r12: video-fingerprint dedup is the audio fingerprint's shape on
+    // the AVI/DIB container — one per-row encode→walk→decode pass plus
+    // one 8-byte-signature-keyed window; must track the scan
+    "q_video_fingerprint",
     // r12: the NDCG close of the cascade — rerank (timed above) plus
     // 15-row label/discount arithmetic; must track q_rerank's wall
     "q_rerank_ndcg")

@@ -346,26 +346,100 @@ object MultimodalOps {
       require(b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ",
         s"not a RIFF/AVI container for media_id=$mediaId")
       val out = Vector.newBuilder[(Int, Int)]
+      walkChunks(mediaId, b) { (id, off, len) =>
+        if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            (id.endsWith("dc") || id.endsWith("db")))
+          out += ((off, len))
+      }
+      out.result()
+    }
+
+    /** The first video stream's format off its `strf` BITMAPINFOHEADER:
+      * (width, height, bitCount, compression) with compression "DIB"
+      * for 0 (uncompressed device-independent bitmap) and the fourcc
+      * string otherwise (e.g. "MJPG"). Header-only — no pixel work.
+      */
+    def streamFormat(mediaId: Long, b: Array[Byte]): (Int, Int, Int, String) = {
+      var found: Option[(Int, Int, Int, String)] = None
+      walkChunks(mediaId, b) { (id, off, len) =>
+        if (found.isEmpty && id == "strf" && len >= 40) {
+          val comp = u32(b, off + 16)
+          val bitCount = (b(off + 14) & 0xff) | ((b(off + 15) & 0xff) << 8)
+          found = Some((u32(b, off + 4).toInt, u32(b, off + 8).toInt,
+            bitCount, if (comp == 0L) "DIB" else fourcc(b, off + 16)))
+        }
+      }
+      found.getOrElse(throw new IllegalArgumentException(
+        s"no strf video format header for media_id=$mediaId"))
+    }
+
+    /** Recursive RIFF chunk walk shared by the index scan and the
+      * header reads, with the wrapped-size guard from WavPcmCodec's
+      * walk: a 0xFFFFFFFF size field would go negative through toInt
+      * and step the cursor BACKWARD forever.
+      */
+    private def walkChunks(mediaId: Long, b: Array[Byte])(
+        f: (String, Int, Int) => Unit): Unit = {
+      require(b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ",
+        s"not a RIFF/AVI container for media_id=$mediaId")
       def walk(start: Int, end: Int): Unit = {
         var p = start
         while (p + 8 <= end) {
           val id = fourcc(b, p)
-          // same wrapped-size guard as WavPcmCodec's RIFF walk: a
-          // 0xFFFFFFFF size field would go negative through toInt and
-          // step the cursor BACKWARD forever
           val szL = u32(b, p + 4)
           require(szL <= (b.length - p - 8).toLong,
             s"malformed RIFF chunk size $szL at offset $p for media_id=$mediaId")
           val sz = szL.toInt
           if (id == "LIST") walk(p + 12, math.min(end, p + 8 + sz))
-          else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
-                   (id.endsWith("dc") || id.endsWith("db")))
-            out += ((p + 8, sz))
+          else f(id, p + 8, sz)
           p += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
         }
       }
       walk(12, math.min(b.length.toLong, u32(b, 4) + 8L).toInt)
-      out.result()
+    }
+
+    /** One frame's (width, height, mean BT.601 luma). DIB frames are
+      * pure byte math (BGR rows, 4-byte-aligned stride — engine-exact,
+      * which is what lets a SQL oracle re-derive the whole video
+      * pipeline); anything else goes through `javax.imageio` (MJPEG).
+      */
+    def frameLuma(mediaId: Long, b: Array[Byte], off: Int, len: Int,
+        fmt: (Int, Int, Int, String)): (Int, Int, Double) = fmt match {
+      case (w, h, 24, "DIB") =>
+        val stride = ((w * 3 + 3) / 4) * 4
+        require(len >= stride * h,
+          s"short DIB frame for media_id=$mediaId ($len < ${stride * h})")
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = off + y * stride + x * 3 // row order irrelevant for a mean
+            s += (77 * (b(o + 2) & 0xff) + 150 * (b(o + 1) & 0xff) +
+              29 * (b(o) & 0xff)) >> 8
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, if (w * h == 0) 0.0 else s.toDouble / (w.toLong * h))
+      case _ =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b, off, len))
+        require(img != null, s"undecodable frame bytes for media_id=$mediaId")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            s += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+              29 * (rgb & 0xff)) >> 8
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, if (w * h == 0) 0.0 else s.toDouble / (w.toLong * h))
     }
   }
 
@@ -382,31 +456,39 @@ object MultimodalOps {
     import spark.implicits._
     require(everyNth >= 1, "everyNth must be >= 1")
     media.mapPartitions(_.flatMap { row =>
+      val fmt = AviMjpegCodec.streamFormat(row.media_id, row.blob)
       val chunks = AviMjpegCodec.frameChunks(row.media_id, row.blob)
       val n = chunks.length
       (0 until n by everyNth).iterator.map { idx =>
         val (off, len) = chunks(idx)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(row.blob, off, len))
-        require(img != null,
-          s"undecodable frame $idx for media_id=${row.media_id}")
-        val (w, h) = (img.getWidth, img.getHeight)
-        var lumaSum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            lumaSum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
-              29 * (rgb & 0xff)) >> 8
-            x += 1
-          }
-          y += 1
-        }
-        DecodedFrame(row.media_id, idx, n, w, h,
-          if (w * h == 0) 0.0 else lumaSum.toDouble / (w.toLong * h))
+        val (w, h, luma) = AviMjpegCodec.frameLuma(
+          row.media_id, row.blob, off, len, fmt)
+        DecodedFrame(row.media_id, idx, n, w, h, luma)
       }
     })
+  }
+
+  /** Frame-delta video fingerprint over a real AVI blob (the video
+    * analog of [[audioFingerprint]]'s frame-energy sign bits): bit f is
+    * set when frame f's mean luma EXCEEDS frame f+1's, over the first
+    * 32 frames — robust to uniform brightness scaling, exact integer
+    * comparisons for DIB frames, so identical content gives identical
+    * signatures across engines and runs.
+    */
+  def videoFingerprint(mediaId: Long, blob: Array[Byte]): (Int, Long) = {
+    val fmt = AviMjpegCodec.streamFormat(mediaId, blob)
+    val lumas = AviMjpegCodec.frameChunks(mediaId, blob).take(32)
+      .map { case (off, len) =>
+        AviMjpegCodec.frameLuma(mediaId, blob, off, len, fmt)._3
+      }
+    val nBits = math.max(lumas.length - 1, 0)
+    var sig = 0L
+    var f = 0
+    while (f < nBits) {
+      if (lumas(f) > lumas(f + 1)) sig |= 1L << f
+      f += 1
+    }
+    (nBits, sig)
   }
 
   /** Minimal-but-valid MJPEG/AVI encoder (the video analog of
@@ -418,7 +500,39 @@ object MultimodalOps {
     * clips.
     */
   def jpegFramesToAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 10): Array[Byte] =
+    buildAvi(frames, width, height, fps, handler = "MJPG",
+      compression = Some("MJPG"), chunkId = "00dc")
+
+  /** UNCOMPRESSED (BI_RGB 24-bit DIB) AVI encoder — each frame is raw
+    * bottom-up BGR rows with 4-byte-aligned stride. Pure byte math end
+    * to end (no lossy codec anywhere), which is what lets the
+    * q_video_fingerprint oracle re-derive the whole video pipeline in
+    * SQL the way the WAV oracle re-derives the audio one.
+    */
+  def dibFramesToAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
       fps: Int = 10): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    frames.foreach(f => require(f.length == stride * height,
+      s"DIB frame must be stride*height = ${stride * height} bytes, got ${f.length}"))
+    buildAvi(frames, width, height, fps, handler = "DIB ",
+      compression = None, chunkId = "00db")
+  }
+
+  /** Flat-gray convenience on top of [[dibFramesToAvi]]: frame k is
+    * every pixel at gray level `grays(k)` (B = G = R, so the BT.601
+    * integer luma is exactly the gray level — (77+150+29)g >> 8 = g).
+    */
+  def grayFramesToAviDib(grays: Seq[Int], width: Int, height: Int,
+      fps: Int = 10): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    dibFramesToAvi(grays.map(g => Array.fill[Byte](stride * height)((g & 0xff).toByte)),
+      width, height, fps)
+  }
+
+  private def buildAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int, handler: String, compression: Option[String],
+      chunkId: String): Array[Byte] = {
     require(frames.nonEmpty && fps > 0, "need at least one frame and fps > 0")
     def le32(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -439,20 +553,21 @@ object MultimodalOps {
       chunk("LIST", cc(kind) ++ children)
     val n = frames.length
     val maxFrame = frames.map(_.length).max
+    val compBytes = compression.map(cc).getOrElse(le32(0))
     val avih = le32(1000000L / fps) ++ le32(maxFrame.toLong * fps) ++
       le32(0) ++ le32(0) ++ le32(n.toLong) ++ le32(0) ++ le32(1) ++
       le32(maxFrame.toLong) ++ le32(width.toLong) ++ le32(height.toLong) ++
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+    val strh = cc("vids") ++ cc(handler) ++ le32(0) ++ le16(0) ++ le16(0) ++
       le32(0) ++ le32(1) ++ le32(fps.toLong) ++ le32(0) ++ le32(n.toLong) ++
       le32(maxFrame.toLong) ++ le32(0xffffffffL) ++ le32(0) ++
       le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
     val strf = le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
-      le16(1) ++ le16(24) ++ cc("MJPG") ++ le32(width.toLong * height * 3) ++
+      le16(1) ++ le16(24) ++ compBytes ++ le32(width.toLong * height * 3) ++
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
     val hdrl = list("hdrl", chunk("avih", avih) ++
       list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val movi = list("movi", frames.map(chunk(chunkId, _)).reduce(_ ++ _))
     val body = cc("AVI ") ++ hdrl ++ movi
     cc("RIFF") ++ le32(body.length.toLong) ++ body
   }

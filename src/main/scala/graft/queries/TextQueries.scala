@@ -2452,6 +2452,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Video-fingerprint dedup through a REAL container: each document
+    // deterministically becomes an uncompressed-DIB AVI (frame k = a
+    // flat gray at the ascii code of text char 16k, up to 32 frames),
+    // the blob is parsed back through AviMjpegCodec's RIFF walk + DIB
+    // pixel decode, and the signature is the frame-delta sign-bit fold
+    // (q_audio_fingerprint's shape on mean lumas instead of frame
+    // energies). Everything is exact integer math — flat-gray BT.601
+    // luma is the gray level itself — so the DuckDB oracle re-derives
+    // the ENTIRE pipeline from the text, the same closed-form identity
+    // the WAV roundtrip uses. Scale shape: one linear encode→decode
+    // pass per doc inside mapPartitions, then ONE shuffle keyed on the
+    // 8-byte signature — video bytes never cross an exchange.
+    "q_video_fingerprint" -> { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      val fps = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+        .mapPartitions(_.map { case (id, text) =>
+          val f = math.min(32, text.length / 16)
+          if (f == 0) (id, 0L, 0L, 0L)
+          else {
+            val grays = (0 until f).map(k => text.charAt(16 * k).toInt & 0xff)
+            val avi = MultimodalOps.grayFramesToAviDib(grays, 8, 6)
+            val (nBits, sig) = MultimodalOps.videoFingerprint(id, avi)
+            (id, f.toLong, nBits.toLong, sig)
+          }
+        })(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("doc_id", "n_frames", "n_bits", "sig")
+      val w = Window.partitionBy(col("sig"))
+      fps.withColumn("n_same_sig", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    },
+
     "q_audio_decode" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
       val feats = Tables(s, dir, "documents")
@@ -3385,6 +3419,38 @@ object TextQueries {
            COALESCE(bits.sig, 0) AS sig
          FROM n LEFT JOIN bits ON bits.doc_id = n.doc_id)
        SELECT doc_id, n_samples, n_bits, sig,
+         count(*) OVER (PARTITION BY sig) AS n_same_sig
+       FROM sg ORDER BY doc_id"""
+
+  /** DuckDB twin of q_video_fingerprint: the text chars ARE the flat
+    * frame grays (ascii of char 16k+1, 1-based), flat-gray BT.601 luma
+    * is the gray itself, so the signature is the same
+    * greater-than-next bit fold over up to 32 frames — all integers.
+    */
+  private val videoFingerprintOracle: String =
+    """WITH n AS (
+         SELECT doc_id,
+           least(CAST(32 AS BIGINT), CAST(floor(length(text) / 16) AS BIGINT)) AS nf
+         FROM documents),
+       g AS (
+         SELECT doc_id, CAST(k AS BIGINT) AS f,
+           CAST(ascii(substring(text, CAST(16 * k + 1 AS INT), 1)) AS BIGINT) AS gray
+         FROM documents,
+           unnest(range(0, least(CAST(32 AS BIGINT),
+             CAST(floor(length(text) / 16) AS BIGINT)))) AS u(k)),
+       bits AS (
+         SELECT a.doc_id,
+           CAST(sum(CASE WHEN a.gray > b.gray
+             THEN CAST(1 AS BIGINT) << CAST(a.f AS INT)
+             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+         FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+         GROUP BY a.doc_id),
+       sg AS (
+         SELECT n.doc_id, n.nf AS n_frames,
+           greatest(n.nf - 1, CAST(0 AS BIGINT)) AS n_bits,
+           COALESCE(bits.sig, 0) AS sig
+         FROM n LEFT JOIN bits ON bits.doc_id = n.doc_id)
+       SELECT doc_id, n_frames, n_bits, sig,
          count(*) OVER (PARTITION BY sig) AS n_same_sig
        FROM sg ORDER BY doc_id"""
 
@@ -4736,6 +4802,7 @@ object TextQueries {
     "q_embed_rp" -> embedRpOracle,
     "q_cms_est" -> cmsEstOracle,
     "q_audio_fingerprint" -> audioFingerprintOracle,
+    "q_video_fingerprint" -> videoFingerprintOracle,
     "q_bfs_levels" -> bfsLevelsOracle,
     "q_dedup_curve" -> dedupCurveOracle,
     "q_lsh_eval" -> lshEvalOracle)

@@ -192,6 +192,10 @@ class ExplainSpec extends SparkSpec {
     // candidate-id distincts + its window, the two per-list NDCG
     // aggregates, and the output sort; all on <=30-row frames
     "q_rerank_ndcg" -> 6,
+    // q_video_fingerprint: the AVI encode→walk→decode pass is in-row
+    // (mapPartitions); only the 8-byte-signature window and the output
+    // sort exchange — video bytes never cross
+    "q_video_fingerprint" -> 2,
     "q_dup_rate" -> 3, "q_lsh_curve" -> 1,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;

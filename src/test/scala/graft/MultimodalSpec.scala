@@ -382,6 +382,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aviFrames decodes uncompressed DIB frames by exact byte math") {
+    // 5x3 -> stride 16 (15 pixel bytes + 1 pad): a NON-flat pattern so
+    // a stride/channel-order mistake cannot cancel out in the mean.
+    // Frame bytes are bottom-up BGR; luma per pixel is the exact
+    // (77R + 150G + 29B) >> 8 integer
+    val (w, h) = (5, 3)
+    val stride = ((w * 3 + 3) / 4) * 4
+    def frame(seed: Int): Array[Byte] = {
+      val f = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        f(y * stride + x * 3 + c) = ((seed + 31 * y + 7 * x + 13 * c) % 256).toByte
+      f
+    }
+    val frames = Seq(frame(0), frame(100))
+    def expectedLuma(f: Array[Byte]): Double = {
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = y * stride + x * 3
+        s += (77 * (f(o + 2) & 0xff) + 150 * (f(o + 1) & 0xff) +
+          29 * (f(o) & 0xff)) >> 8
+      }
+      s.toDouble / (w * h)
+    }
+    val avi = MultimodalOps.dibFramesToAvi(frames, w, h)
+    val rows = spark.createDataset(Seq(MediaRow(21L, "video", avi)))(
+      Encoders.product[MediaRow])
+    val out = MultimodalOps.aviFrames(spark, rows, everyNth = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 1))
+    out.foreach { fr =>
+      assert(fr.n_frames == 2 && fr.width == w && fr.height == h)
+      assert(fr.mean_luma == expectedLuma(frames(fr.frame_idx)), fr)
+    }
+    // the fingerprint follows the frame-mean ordering exactly
+    val (nBits, sig) = MultimodalOps.videoFingerprint(21L, avi)
+    val expSig = if (expectedLuma(frames(0)) > expectedLuma(frames(1))) 1L else 0L
+    assert(nBits == 1 && sig == expSig)
+    // flat-gray convenience: luma == gray exactly, bits are the
+    // greater-than-next fold
+    val g = MultimodalOps.grayFramesToAviDib(Seq(200, 10, 10, 55), 8, 6)
+    val lum = MultimodalOps.aviFrames(spark, spark.createDataset(
+        Seq(MediaRow(22L, "video", g)))(Encoders.product[MediaRow]), 1)
+      .collect().sortBy(_.frame_idx).map(_.mean_luma).toSeq
+    assert(lum == Seq(200.0, 10.0, 10.0, 55.0))
+    assert(MultimodalOps.videoFingerprint(22L, g) == ((3, 1L)))
+  }
+
   test("AVI walk rejects wrapped chunk sizes and non-AVI bytes") {
     val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     b.put("RIFF".getBytes); b.putInt(16); b.put("AVI ".getBytes)
