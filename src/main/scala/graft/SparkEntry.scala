@@ -68,6 +68,7 @@ object SparkEntry {
     // dedup
     "q_bootstrap", "q_lang_ngram", "q_audio_decode", "q_mix_reweight",
     "q_label_prop", "q_embed_rp", "q_cms_est", "q_audio_fingerprint",
-    // r12 addition: the retrieval cascade's rerank stage
-    "q_rerank")
+    // r12 additions: the retrieval cascade's rerank stage and the
+    // through-the-container video-fingerprint dedup (audio's twin)
+    "q_rerank", "q_video_fingerprint")
 }
