@@ -491,44 +491,53 @@ object StreamingOps {
       statePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     edges.writeStream.outputMode("append").foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val sp = batch.sparkSession
-          val Seq(uc, vc) = batch.columns.take(2).toSeq
-          val delta = batch.select(col(uc).cast(LongType).as("u"),
-            col(vc).cast(LongType).as("v")).localCheckpoint()
-          val hasState = java.nio.file.Files.exists(
-            java.nio.file.Paths.get(statePath, "_MANIFEST.json"))
-          val state =
-            if (hasState) graft.sources.StagedSink.readCommitted(sp, statePath)
-              .select(col("id").cast(LongType), col("comp").cast(LongType))
-              .localCheckpoint()
-            else sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(StructField("id", LongType), StructField("comp", LongType))))
-          val deltaVerts = delta.select(col("u").as("id"))
-            .union(delta.select(col("v").as("id"))).distinct()
-          // touched comps = comps owning any delta endpoint; their FULL
-          // membership must participate (a merge relabels all of it)
-          val touched = state.join(deltaVerts, Seq("id"), "left_semi")
-            .select(col("comp")).distinct()
-          val active = state.join(broadcast(touched), Seq("comp"), "left_semi")
-          val stars = active.select(col("id").as("u"), col("comp").as("v"))
-          val cc = graft.operators.GraphOps.connectedComponents(
-            delta.unionByName(stars))
-          // vertices seen only as self-loops (or already-canonical
-          // singletons in the active set) have no non-self edge: CC
-          // never emits them — re-add as their own component
-          val singletons = deltaVerts
-            .union(active.select(col("id")))
-            .distinct()
-            .join(cc, Seq("id"), "left_anti")
-            .select(col("id"), col("id").as("comp"))
-          val untouchedRows = state.join(broadcast(touched), Seq("comp"), "left_anti")
-            .select(col("id"), col("comp"))
-          cc.select(col("id"), col("comp"))
-            .unionByName(singletons)
-            .unionByName(untouchedRows)
-            .write.format("graft.sources.StagedSink")
-            .option("path", statePath).mode("overwrite").save()
-        }
+        if (!batch.isEmpty) incrementalCCStep(batch.toDF(), statePath)
     }
+
+  /** One incremental-CC batch: fold `delta` (first two columns = edge
+    * endpoints) into the persisted assignment at `statePath`. Exposed
+    * separately from the streaming wrapper so the batch-equivalence
+    * property (N-step incremental == one-shot batch CC over all edges)
+    * is testable without streaming machinery — and so a backfill job
+    * can drive the same step directly.
+    */
+  def incrementalCCStep(batch: DataFrame, statePath: String): Unit = {
+    val sp = batch.sparkSession
+    val Seq(uc, vc) = batch.columns.take(2).toSeq
+    val delta = batch.select(col(uc).cast(LongType).as("u"),
+      col(vc).cast(LongType).as("v")).localCheckpoint()
+    val hasState = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(statePath, "_MANIFEST.json"))
+    val state =
+      if (hasState) graft.sources.StagedSink.readCommitted(sp, statePath)
+        .select(col("id").cast(LongType), col("comp").cast(LongType))
+        .localCheckpoint()
+      else sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType), StructField("comp", LongType))))
+    val deltaVerts = delta.select(col("u").as("id"))
+      .union(delta.select(col("v").as("id"))).distinct()
+    // touched comps = comps owning any delta endpoint; their FULL
+    // membership must participate (a merge relabels all of it)
+    val touched = state.join(deltaVerts, Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    val active = state.join(broadcast(touched), Seq("comp"), "left_semi")
+    val stars = active.select(col("id").as("u"), col("comp").as("v"))
+    val cc = graft.operators.GraphOps.connectedComponents(
+      delta.unionByName(stars))
+    // vertices seen only as self-loops (or already-canonical
+    // singletons in the active set) have no non-self edge: CC
+    // never emits them — re-add as their own component
+    val singletons = deltaVerts
+      .union(active.select(col("id")))
+      .distinct()
+      .join(cc, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    val untouchedRows = state.join(broadcast(touched), Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+    cc.select(col("id"), col("comp"))
+      .unionByName(singletons)
+      .unionByName(untouchedRows)
+      .write.format("graft.sources.StagedSink")
+      .option("path", statePath).mode("overwrite").save()
+  }
 }

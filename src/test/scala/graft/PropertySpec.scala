@@ -216,6 +216,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incrementalCCStep over any batch split equals one-shot batch CC") {
+    import graft.streaming.StreamingOps
+    // random multigraphs over a small vertex domain (forces merges,
+    // self-loops, replays and singleton registrations), split into 1-4
+    // batches: folding the batches through the incremental step must
+    // land on EXACTLY the assignment batch CC computes on all edges
+    val edgeGen = for {
+      n <- Gen.choose(1, 25)
+      edges <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 14L)
+        v <- Gen.choose(0L, 14L) // u == v allowed: vertex registration
+      } yield (u, v))
+      cuts <- Gen.choose(1, 4)
+    } yield (edges, cuts)
+    forSamples(edgeGen, 5) { case (edges, cuts) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_icc_prop").toString
+      val statePath = s"$dir/state"
+      val per = math.max(1, edges.length / cuts)
+      edges.grouped(per).foreach { batch =>
+        StreamingOps.incrementalCCStep(batch.toDF("u", "v"), statePath)
+      }
+      val incremental = graft.sources.StagedSink
+        .readCommitted(spark, statePath).as[(Long, Long)].collect().toMap
+      val nonSelf = edges.filter { case (u, v) => u != v }
+      val batchCC =
+        if (nonSelf.isEmpty) Map.empty[Long, Long]
+        else graft.operators.GraphOps
+          .connectedComponents(nonSelf.toDF("u", "v"))
+          .as[(Long, Long)].collect().toMap
+      // batch CC never emits self-loop-only vertices; the incremental
+      // step registers them as singletons — fold them into the expected
+      val selfOnly = edges.collect { case (u, v) if u == v => u }
+        .filterNot(batchCC.contains)
+      val expected = batchCC ++ selfOnly.map(v => v -> v).toMap
+      assert(incremental == expected,
+        s"edges=$edges cuts=$cuts\nincremental=$incremental\nexpected=$expected")
+    }
+  }
+
   test("graft_shingles / graft_lang_ngram match their HOF spellings for random text") {
     import graft.functions.TextOps
     forSamples(Gen.listOfN(40, textGen), 4) { texts =>
