@@ -1087,6 +1087,62 @@ object EventQueries {
           date_format(col("day"), "yyyy-MM-dd").as("day"), col("c"),
           size(col("win")).cast(LongType).as("n_win"), med.as("med7"))
         .orderBy("event_type", "day")
+    },
+
+    // Union-of-intervals coverage (sweep line as windows): each lineitem
+    // is a date interval [shipdate, shipdate + quantity days]; per
+    // supplier, merge overlapping intervals into "islands" (an interval
+    // opens a new island iff its start lies past the running max end of
+    // everything before it in start order) and report distinct covered
+    // days. Island membership is invariant to tie order within equal
+    // (st, en) keys — a tied predecessor's end >= this start — so both
+    // engines converge regardless of intra-tie row order. One
+    // l_suppkey exchange serves the two windows AND both aggregates
+    // (hash(k) satisfies the (k, island) clustering); the fact table
+    // shuffles exactly once.
+    "q_interval_coverage" -> { (s, dir) =>
+      val iv = Tables(s, dir, "lineitem").select(
+        col("l_suppkey"),
+        to_date(col("l_shipdate")).as("st"),
+        date_add(to_date(col("l_shipdate")),
+          col("l_quantity").cast(IntegerType)).as("en"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("st"), col("en"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevMax = max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      iv.withColumn("new_island",
+          when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(cum))
+        .groupBy(col("l_suppkey"), col("island"))
+        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(datediff(col("ien"), col("ist")) + 1).as("covered_days"))
+        .orderBy("l_suppkey")
+    },
+
+    // Max concurrent intervals (overlap depth): the +1/-1 boundary-event
+    // sweep over the same supplier intervals — open at st, close at
+    // en + 1 day (inclusive-date intervals), cumulative-sum in
+    // (date, delta) order so closes land before opens on the same day
+    // (touching intervals don't count as overlapping). The max over
+    // per-row running depth is tie-order invariant: equal (d, delta)
+    // rows permute a run of identical increments.
+    "q_interval_overlap" -> { (s, dir) =>
+      val iv = Tables(s, dir, "lineitem").select(
+        col("l_suppkey"),
+        to_date(col("l_shipdate")).as("st"),
+        date_add(to_date(col("l_shipdate")),
+          col("l_quantity").cast(IntegerType)).as("en"))
+      val pts = iv.select(col("l_suppkey"), col("st").as("d"), lit(1).as("delta"))
+        .unionAll(iv.select(col("l_suppkey"),
+          date_add(col("en"), 1).as("d"), lit(-1).as("delta")))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("d"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("depth", sum(col("delta")).over(w))
+        .groupBy(col("l_suppkey"))
+        .agg((count(lit(1)) / 2).cast(LongType).as("n_intervals"),
+          max(col("depth")).as("max_depth"))
+        .orderBy("l_suppkey")
     })
 
   /** Shared by q_scd2 (the BUILD side) and q_pit_enrich (the READ
@@ -1879,5 +1935,46 @@ object EventQueries {
          SELECT coalesce(last_touch, 'none') AS attributed_type,
            count(*) AS n_conversions
          FROM touched WHERE event_type = 'purchase'
-         GROUP BY 1 ORDER BY attributed_type""")
+         GROUP BY 1 ORDER BY attributed_type""",
+    "q_interval_coverage" ->
+      """WITH iv AS (
+           SELECT l_suppkey, CAST(l_shipdate AS DATE) AS st,
+             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS en
+           FROM lineitem),
+         flagged AS (
+           SELECT l_suppkey, st, en,
+             CASE WHEN max(en) OVER (PARTITION BY l_suppkey ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR st > max(en) OVER (PARTITION BY l_suppkey ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_island
+           FROM iv),
+         islands AS (
+           SELECT l_suppkey, st, en,
+             sum(new_island) OVER (PARTITION BY l_suppkey ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM flagged),
+         merged AS (
+           SELECT l_suppkey, island, min(st) AS ist, max(en) AS ien
+           FROM islands GROUP BY 1, 2)
+         SELECT l_suppkey, count(*) AS n_islands,
+           CAST(sum(date_diff('day', ist, ien) + 1) AS BIGINT) AS covered_days
+         FROM merged GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_interval_overlap" ->
+      """WITH iv AS (
+           SELECT l_suppkey, CAST(l_shipdate AS DATE) AS st,
+             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS en
+           FROM lineitem),
+         pts AS (
+           SELECT l_suppkey, st AS d, 1 AS delta FROM iv
+           UNION ALL
+           SELECT l_suppkey, en + 1 AS d, -1 AS delta FROM iv),
+         depth AS (
+           SELECT l_suppkey,
+             sum(delta) OVER (PARTITION BY l_suppkey ORDER BY d, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+           FROM pts)
+         SELECT l_suppkey, CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(max(depth) AS BIGINT) AS max_depth
+         FROM depth GROUP BY l_suppkey ORDER BY l_suppkey""")
 }

@@ -251,6 +251,10 @@ class ExplainSpec extends SparkSpec {
     // join's two
     "q_hybrid_rrf" -> 7,
     "q_histogram" -> 2, "q_integrity_check" -> 5, "q_intersect" -> 2,
+    // interval sweep pair: ONE l_suppkey fact exchange serves the
+    // sweep window(s) and both aggregates (hash(k) satisfies the
+    // (k, island) clustering) + the output sort
+    "q_interval_coverage" -> 2, "q_interval_overlap" -> 2,
     "q_interval_join" -> 2, "q_inverted_index" -> 3, "q_json_extract" -> 1,
     "q_kmeans_iter" -> 2, "q_lang_ngram" -> 1, "q_lang_quality" -> 1,
     "q_lateral_topk" -> 2,
