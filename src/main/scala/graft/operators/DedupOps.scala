@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -232,6 +233,64 @@ object DedupOps {
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n_sh" -> "n_b")), "id_b")
       .withColumn("jaccard",
         col("n_shared").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Prefix-filtered exact shingle-Jaccard pairs (the PPJoin family,
+    * Xiao et al. 2008 / Chaudhuri et al. 2006): shingle hashes get a
+    * GLOBAL rarity order (document frequency asc, hash asc); each set
+    * indexes only its first |X| - floor(t·|X|) + 1 shingles in that
+    * order, because any pair reaching Jaccard >= t must share a token
+    * inside both such prefixes (prefix-filter lemma with the pairwise
+    * overlap bound ceil(t·|X|) <= alpha; `floor` rather than the exact
+    * `ceil` keeps the prefix one longer so an ulp of float error in
+    * t·|X| can never shorten it below the sound length). Candidates
+    * then pass the length filter (t·max <= min) and an EXACT
+    * intersection count, so the output is identical to the full
+    * inverted-index join — the oracle recomputes it that way,
+    * independently checking the filter admits no false negatives.
+    *
+    * Scale shape vs [[ngramJaccardPairs]]: the self-join runs over the
+    * RAREST slice of each set instead of the full index, so candidate
+    * volume tracks near-duplicate density, not corpus-wide shingle
+    * frequency — a stopword-ish shingle shared by millions of docs
+    * lands in nobody's prefix (its df sorts it last) and never joins.
+    * The two checkpointed frames bound recomputation: `sh` feeds the
+    * rarity order and both verify joins; `cand` is candidate-pair
+    * sized. Verification shuffles the shingle index once per side,
+    * keyed on doc id — linear, never all-pairs.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      call_function("graft_shingle_hashes",
+        TextOps.tokens(col(textCol)), lit(n), lit(42L)).as("shs"))
+    val sh = hashed.select(col("id"), size(col("shs")).cast(LongType).as("n_sh"),
+        explode(col("shs")).as("sh"))
+      .localCheckpoint()
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))
+    val pref = sh.join(dfreq, Seq("sh"))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("n_sh") - floor(col("n_sh") * lit(threshold)) + 1)
+      .select(col("id"), col("sh"), col("n_sh"))
+    val cand = pref.select(col("id").as("id_a"), col("sh"), col("n_sh").as("n_a"))
+      .join(pref.select(col("id").as("id_b"), col("sh"), col("n_sh").as("n_b")), "sh")
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast(DoubleType) >=
+          greatest(col("n_a"), col("n_b")) * lit(threshold))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .distinct()
+      .localCheckpoint()
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("id_a", "id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

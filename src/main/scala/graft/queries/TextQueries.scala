@@ -185,6 +185,18 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // PPJoin-style prefix-filtered set-similarity join at Jaccard >=
+    // 0.5: only each set's RAREST |X| - floor(0.5|X|) + 1 shingles are
+    // indexed (prefix-filter lemma), candidates are length-filtered
+    // and exactly verified. The oracle recomputes the answer through
+    // the FULL inverted index, independently proving the prefix filter
+    // admits no false negatives on this corpus.
+    "q_setsim_prefix" -> { (s, dir) =>
+      DedupOps.prefixJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, n = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // Directed shingle-set containment |A∩B|/|A| >= 0.8 — catches a doc
     // embedded inside a longer one (boilerplate, quote-inclusion),
     // which symmetric Jaccard misses. Same inverted-index shape as
@@ -4171,6 +4183,18 @@ object TextQueries {
            JOIN sizes sa ON sa.id = id_a
            JOIN sizes sb ON sb.id = id_b
          WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05
+         ORDER BY id_a, id_b""",
+    // Independent check of the prefix filter: the oracle takes the FULL
+    // inverted-index route (no prefixes), so a false negative in the
+    // Spark side's prefix/length pruning would hash-mismatch here.
+    "q_setsim_prefix" ->
+      s"""WITH $ngramSharedCte
+         SELECT id_a, id_b,
+           CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+         FROM shared
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+         WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5e0
          ORDER BY id_a, id_b""",
     "q_heaps" ->
       s"""WITH $shingleCte,

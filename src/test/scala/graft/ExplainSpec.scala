@@ -269,6 +269,12 @@ class ExplainSpec extends SparkSpec {
     "q_range_join" -> 2, "q_regex_extract" -> 1, "q_repetition" -> 1,
     "q_rest_scan" -> 2, "q_rollup" -> 2, "q_sample_stratified" -> 1,
     "q_scd2" -> 2,
+    // q_setsim_prefix: post-checkpoint tail (shingle index + candidate
+    // pairs are materialized away) — the intersection-count join pair
+    // exchanges the id-keyed shingle index once per side + the pair
+    // aggregate reuses its key; output sort. Candidate-pair-sized or
+    // linear index rows only, never all-pairs.
+    "q_setsim_prefix" -> 3,
     "q_scalar_array" -> 1, "q_scalar_date" -> 1, "q_scalar_map" -> 1,
     "q_scalar_math" -> 1, "q_scalar_string" -> 1, "q_semdedup" -> 3,
     "q_semi_join" -> 1,
