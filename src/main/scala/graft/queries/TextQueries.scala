@@ -818,6 +818,63 @@ object TextQueries {
         .orderBy("lang", "pred_lang")
     },
 
+    // Multinomial Naive Bayes language classifier, trained on the
+    // doc_id % 5 != 0 split and scored on the held-out fifth: per-class
+    // Laplace-smoothed token log-likelihoods ln((cnt+1)/(N_c+V)) over
+    // the TRAIN vocabulary (held-out tokens outside it contribute
+    // nothing — the standard closed-vocabulary convention, mirrored in
+    // the oracle), plus the class log-prior. Every cross-row float sum
+    // rides the 1e9 grid (GridSum) so the per-doc class scores are
+    // exact BIGINTs in both engines and the argmax is tie-stable.
+    // Scale shape: the train token stream crosses once into the
+    // (lang, tok) count; the smoothing grid is vocab x |langs| built
+    // from broadcast class dimensions; scoring joins the held-out
+    // token frame to the grid token-keyed — never corpus x corpus.
+    "q_naive_bayes" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val trainToks = train.select(
+        col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      // The train corpus explodes exactly ONCE, into the vocab x
+      // |langs|-bounded count frame; class totals, the vocab list, and
+      // V all derive from this checkpoint, never from a re-scan.
+      val cnt = trainToks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val nc = cnt.groupBy(col("lang")).agg(sum(col("cnt")).as("n_c"))
+      val vocabToks = cnt.select(col("tok")).distinct()
+      val vocabN = vocabToks.agg(count(lit(1)).as("v"))
+      val logPrior = train.groupBy(col("lang")).agg(count(lit(1)).as("n_docs_c"))
+        .crossJoin(broadcast(train.agg(count(lit(1)).as("n_docs"))))
+        .select(col("lang"),
+          floor((log(col("n_docs_c")) - log(col("n_docs"))) * GridSum.Grid
+            + lit(0.5)).cast(LongType).as("prior_g"))
+      val grid = vocabToks
+        .crossJoin(broadcast(nc))
+        .join(cnt, Seq("tok", "lang"), "left")
+        .crossJoin(broadcast(vocabN))
+        .select(col("tok"), col("lang"),
+          (log(coalesce(col("cnt"), lit(0L)) + 1) -
+            log(col("n_c") + col("v"))).as("logp"))
+      val testToks = test.select(col("doc_id"), col("lang").as("actual_lang"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("actual_lang"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val scored = testToks.join(grid, Seq("tok"))
+        .groupBy(col("doc_id"), col("actual_lang"), col("lang"))
+        .agg(GridSum.exactGridSum(col("tf") * col("logp")).as("gsum"))
+        .join(broadcast(logPrior), Seq("lang"))
+        .withColumn("sg", col("gsum") + col("prior_g"))
+      val byScore = Window.partitionBy(col("doc_id"))
+        .orderBy(col("sg").desc, col("lang").asc)
+      scored.withColumn("rk", row_number().over(byScore))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("actual_lang"), col("lang").as("pred_lang"),
+          round(GridSum.fromGrid(col("sg")), 6).as("score"))
+        .orderBy("doc_id")
+    },
+
     // Winnowing fingerprint sets (rolling-hash; no DuckDB twin → rows
     // only; copy-detection property proven in TextOpsSpec).
     "q_winnow" -> { (s, dir) =>
@@ -4196,6 +4253,41 @@ object TextQueries {
            JOIN sizes sb ON sb.id = id_b
          WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5e0
          ORDER BY id_a, id_b""",
+    "q_naive_bayes" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         ttok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM train),
+         cnt AS (SELECT lang, tok, count(*) AS cnt FROM ttok GROUP BY 1, 2),
+         nc AS (SELECT lang, count(*) AS n_c FROM ttok GROUP BY 1),
+         voc AS (SELECT count(DISTINCT tok) AS v FROM ttok),
+         pri AS (SELECT lang, count(*) AS n_docs_c FROM train GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs FROM train),
+         lp AS (
+           SELECT t.tok, nc.lang,
+             ln(coalesce(c.cnt, 0) + 1) - ln(nc.n_c + voc.v) AS logp
+           FROM (SELECT DISTINCT tok FROM ttok) t
+           CROSS JOIN nc
+           LEFT JOIN cnt c ON c.tok = t.tok AND c.lang = nc.lang, voc),
+         qt AS (
+           SELECT doc_id, actual_lang, tok, count(*) AS tf
+           FROM (SELECT doc_id, lang AS actual_lang,
+                   unnest(string_split(text, ' ')) AS tok FROM test)
+           GROUP BY 1, 2, 3),
+         sc AS (
+           SELECT q.doc_id, q.actual_lang, l.lang,
+             sum(CAST(floor(q.tf * l.logp * 1.0e9 + 0.5e0) AS BIGINT)) AS gsum
+           FROM qt q JOIN lp l ON q.tok = l.tok GROUP BY 1, 2, 3),
+         scp AS (
+           SELECT sc.doc_id, sc.actual_lang, sc.lang,
+             sc.gsum + CAST(floor((ln(p.n_docs_c) - ln(t.n_docs)) * 1.0e9 + 0.5e0)
+               AS BIGINT) AS sg
+           FROM sc JOIN pri p ON p.lang = sc.lang, tot t),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY sg DESC, lang) AS r FROM scp)
+         SELECT doc_id, actual_lang, lang AS pred_lang,
+           round(CAST(sg AS DOUBLE) / 1.0e9, 6) AS score
+         FROM rk WHERE r = 1 ORDER BY doc_id""",
     "q_heaps" ->
       s"""WITH $shingleCte,
          firsts AS (SELECT sh, min(id) AS fd FROM sh GROUP BY 1),

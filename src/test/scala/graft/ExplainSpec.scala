@@ -269,6 +269,13 @@ class ExplainSpec extends SparkSpec {
     "q_range_join" -> 2, "q_regex_extract" -> 1, "q_repetition" -> 1,
     "q_rest_scan" -> 2, "q_rollup" -> 2, "q_sample_stratified" -> 1,
     "q_scd2" -> 2,
+    // q_naive_bayes: the train token stream crosses ONCE into the
+    // checkpointed (lang, tok) count; the 10 static exchanges are the
+    // class-total/vocab/prior aggregates, the vocab x |langs| smoothing
+    // grid build, the held-out tf aggregate + its token-keyed scoring
+    // join, the per-(doc, class) grid-sum, argmax window, and sort —
+    // every one vocab- or per-doc-class-sized, never the raw corpus
+    "q_naive_bayes" -> 10,
     // q_setsim_prefix: post-checkpoint tail (shingle index + candidate
     // pairs are materialized away) — the intersection-count join pair
     // exchanges the id-keyed shingle index once per side + the pair
