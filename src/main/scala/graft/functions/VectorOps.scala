@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.queries.GridSum
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -624,5 +625,70 @@ object VectorOps {
         cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
     exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Distributed covariance of an embedding column, upper triangle as
+    * (i, j, cov) rows with 1-based dims: each row explodes into its
+    * d(d+1)/2 grid-quantized products (the k-means posexplode pattern,
+    * widened to pairs), ONE (i, j)-keyed aggregate sums them exactly as
+    * BIGINTs — map-side partials absorb the d² inflation, so the
+    * shuffle carries |partitions| x d(d+1)/2 narrow rows and the corpus
+    * never crosses an exchange. cov = E[xy] - E[x]E[y] evaluated in the
+    * same expression order both engines. The d² work per row is
+    * covariance's intrinsic cost; at 100 TB it stays embarrassingly
+    * parallel (no driver state, no broadcast).
+    */
+  def covarianceUpper(df: DataFrame, vecCol: String): DataFrame = {
+    val v = df.select(toDoubleVec(col(vecCol)).as("vec"))
+    val pairs = flatten(transform(sequence(lit(1), size(col("vec"))),
+      i => transform(sequence(i, size(col("vec"))),
+        j => struct(i.as("i"), j.as("j")))))
+    def grid(c: Column): Column =
+      floor(c * lit(GridSum.Grid) + lit(0.5)).cast(LongType)
+    v.select(col("vec"), explode(pairs).as("p"))
+      .select(col("p.i").cast(LongType).as("i"), col("p.j").cast(LongType).as("j"),
+        grid(element_at(col("vec"), col("p.i")) *
+          element_at(col("vec"), col("p.j"))).as("gxy"),
+        grid(element_at(col("vec"), col("p.i"))).as("gxi"),
+        grid(element_at(col("vec"), col("p.j"))).as("gxj"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("gxy")).as("sxy"), sum(col("gxi")).as("sxi"),
+        sum(col("gxj")).as("sxj"), count(lit(1)).as("n"))
+      .select(col("i"), col("j"),
+        // + 0.0 normalizes IEEE negative zero (round(-1e-9, 6) -> -0.0
+        // in one engine, +0.0 in the other: -0.0 + 0.0 == +0.0)
+        (round(GridSum.fromGrid(col("sxy")) / col("n") -
+          (GridSum.fromGrid(col("sxi")) / col("n")) *
+          (GridSum.fromGrid(col("sxj")) / col("n")), 6) + lit(0.0)).as("cov"))
+  }
+
+  /** Driver-side power iteration over a COLLECTED symmetric matrix
+    * (the d x d covariance — d² scalars cross the driver once, never
+    * the corpus): deterministic all-ones init, `iters` multiply-and-
+    * normalize rounds, returns (top eigenvalue by Rayleigh quotient,
+    * unit eigenvector). O(d² · iters) driver math — the standard
+    * split for PCA-at-scale: moments distributed, eigen local.
+    */
+  def topEigenpair(m: Array[Array[Double]], iters: Int = 100): (Double, Array[Double]) = {
+    val d = m.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val mv = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * v(j); j += 1 }; s
+      })
+      val norm = math.sqrt(mv.map(x => x * x).sum)
+      if (norm > 0) v = mv.map(_ / norm)
+      lambda = norm
+      it += 1
+    }
+    // Rayleigh quotient for the eigenvalue sign (norm loses it)
+    val mv = Array.tabulate(d)(i => {
+      var s = 0.0; var j = 0
+      while (j < d) { s += m(i)(j) * v(j); j += 1 }; s
+    })
+    (v.zip(mv).map { case (a, b) => a * b }.sum, v)
   }
 }

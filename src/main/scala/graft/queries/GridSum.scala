@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * one, change both (a desynced pair breaks every oracle bit-match
   * that uses it).
   */
-private[queries] object GridSum {
+private[graft] object GridSum {
   val Grid = 1e9 // == the 1.0e9 literals in gridSumSql
 
   def exactGridSum(term: Column): Column =

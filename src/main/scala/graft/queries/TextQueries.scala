@@ -423,6 +423,16 @@ object TextQueries {
     // broadcast against the corpus (the ANN-tier pattern), norms join
     // keyed on vec id, and the corpus crosses exchanges only as
     // (vec, dim) integer partials.
+    // Embedding covariance, upper triangle — the distributed-moments
+    // half of PCA (power iteration on the collected d x d matrix is
+    // VectorOps.topEigenpair, spec'd in VectorSpec): one pair-keyed
+    // grid-exact aggregate, corpus never shuffles. See
+    // VectorOps.covarianceUpper for the scale analysis.
+    "q_embed_cov" -> { (s, dir) =>
+      VectorOps.covarianceUpper(Tables(s, dir, "embeddings"), "embedding")
+        .orderBy("i", "j")
+    },
+
     "q_embed_rp" -> { (s, dir) =>
       val kOut = 16
       val xq = Tables(s, dir, "embeddings")
@@ -4288,6 +4298,27 @@ object TextQueries {
          SELECT doc_id, actual_lang, lang AS pred_lang,
            round(CAST(sg AS DOUBLE) / 1.0e9, 6) AS score
          FROM rk WHERE r = 1 ORDER BY doc_id""",
+    "q_embed_cov" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         dims AS (
+           SELECT unnest(range(1, len(vec) + 1)) AS i
+           FROM (SELECT vec FROM v LIMIT 1) one),
+         ij AS (SELECT a.i AS i, b.i AS j FROM dims a, dims b WHERE b.i >= a.i),
+         t AS (
+           SELECT ij.i, ij.j,
+             CAST(floor(vec[ij.i] * vec[ij.j] * 1.0e9 + 0.5e0) AS BIGINT) AS gxy,
+             CAST(floor(vec[ij.i] * 1.0e9 + 0.5e0) AS BIGINT) AS gxi,
+             CAST(floor(vec[ij.j] * 1.0e9 + 0.5e0) AS BIGINT) AS gxj
+           FROM v, ij),
+         s AS (
+           SELECT i, j, sum(gxy) AS sxy, sum(gxi) AS sxi, sum(gxj) AS sxj,
+             count(*) AS n
+           FROM t GROUP BY 1, 2)
+         SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           round(CAST(sxy AS DOUBLE) / 1.0e9 / n
+               - (CAST(sxi AS DOUBLE) / 1.0e9 / n)
+               * (CAST(sxj AS DOUBLE) / 1.0e9 / n), 6) + 0.0e0 AS cov
+         FROM s ORDER BY i, j""",
     "q_heaps" ->
       s"""WITH $shingleCte,
          firsts AS (SELECT sh, min(id) AS fd FROM sh GROUP BY 1),

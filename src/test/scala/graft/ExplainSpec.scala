@@ -232,6 +232,9 @@ class ExplainSpec extends SparkSpec {
     "q_domain_cap" -> 2, "q_drift_psi" -> 5,
     "q_dup_clusters" -> 1, "q_embed_ann_ivf" -> 2,
     "q_embed_ann_lsh" -> 3, "q_embed_centroid" -> 2, "q_embed_cosine_topk" -> 2,
+    // q_embed_cov: the (i, j) pair aggregate (map-side partials absorb
+    // the d^2 explode) + output sort — corpus never crosses
+    "q_embed_cov" -> 2,
     "q_embed_neardup" -> 2, "q_embed_pq" -> 2, "q_embed_ivfpq" -> 2,
     // q_embed_bq: 3 exchanges but only the last two touch ≤rerank·|q|
     // rows — the TopKAggregator candidate cut pays one agg exchange of

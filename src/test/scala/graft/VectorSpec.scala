@@ -244,4 +244,44 @@ class VectorSpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("covarianceUpper + topEigenpair: distributed moments, local eigen (PCA split)") {
+    // Known 2-d covariance: points along y = 2x have cov = [[v, 2v], [2v, 4v]]
+    val pts = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+    val d = pts.map(x => Seq(x.toFloat, (2 * x).toFloat)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val cov = VectorOps.covarianceUpper(d, "embedding")
+      .orderBy("i", "j").as[(Long, Long, Double)].collect()
+    val v = pts.map(x => x * x).sum / pts.size // 2.0
+    assert(cov.toSeq == Seq((1L, 1L, v), (1L, 2L, 2 * v), (2L, 2L, 4 * v)))
+
+    // Top eigenpair of [[2, 4], [4, 8]]: lambda = 10, v ∝ (1, 2)
+    val m = Array(Array(v, 2 * v), Array(2 * v, 4 * v))
+    val (lambda, vec) = VectorOps.topEigenpair(m)
+    assert(math.abs(lambda - 5 * v) < 1e-9, s"lambda=$lambda")
+    assert(math.abs(math.abs(vec(1) / vec(0)) - 2.0) < 1e-9)
+
+    // Real embeddings: the collected covariance (d^2 scalars, the only
+    // driver traffic) must satisfy the eigen residual ||Cv - lv|| << l.
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val rows = VectorOps.covarianceUpper(e, "embedding")
+      .as[(Long, Long, Double)].collect()
+    val dim = rows.map(_._2).max.toInt
+    val c = Array.ofDim[Double](dim, dim)
+    rows.foreach { case (i, j, x) =>
+      c(i.toInt - 1)(j.toInt - 1) = x; c(j.toInt - 1)(i.toInt - 1) = x
+    }
+    val (l, ev) = VectorOps.topEigenpair(c)
+    val res = (0 until dim).map { i =>
+      val cv = (0 until dim).map(j => c(i)(j) * ev(j)).sum
+      val r = cv - l * ev(i); r * r
+    }.sum
+    assert(l > 0, s"top eigenvalue $l not positive")
+    // Residual floor is the query's own 1e-6 entry rounding: each C
+    // entry carries ±5e-7 quantization, so (Cv)_i picks up at most
+    // d·5e-7 (|v| = 1) and the l2 residual at most d^1.5·5e-7. Observed
+    // ~4e-6 — well under the bound, far over float-exactness.
+    assert(math.sqrt(res) <= dim * 1e-6,
+      s"residual ${math.sqrt(res)} vs rounding floor ${dim * 1e-6} (lambda $l)")
+  }
 }
