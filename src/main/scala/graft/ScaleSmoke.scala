@@ -163,7 +163,20 @@ object ScaleSmoke {
     "q_video_fingerprint",
     // r12: the NDCG close of the cascade — rerank (timed above) plus
     // 15-row label/discount arithmetic; must track q_rerank's wall
-    "q_rerank_ndcg")
+    "q_rerank_ndcg",
+    // r12 fourth wave: Naive Bayes trains on a clone-invariant vocab
+    // grid (the smoothing table doesn't grow with copies) while the
+    // two token streams and the scoring join grow Nx — must track the
+    // scan. Covariance is the pure per-row d² explode into a fixed
+    // 2080-key aggregate — the textbook partial-agg shape. The
+    // interval sweeps are lineitem windows whose keys (l_suppkey) are
+    // NOT shifted by the clone, so rows-per-key grows Nx — the honest
+    // per-key window-state stress, n log n per key. (q_setsim_prefix
+    // stays out with the other pairwise-similarity ops: a 90%-clone
+    // corpus quadratically densifies candidate pairs; dedup-first is
+    // the documented pipeline order.)
+    "q_naive_bayes", "q_embed_cov", "q_interval_coverage",
+    "q_interval_overlap")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated
