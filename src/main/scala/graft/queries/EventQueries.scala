@@ -1124,23 +1124,32 @@ object EventQueries {
     // sweep over the same supplier intervals — open at st, close at
     // en + 1 day (inclusive-date intervals), cumulative-sum in
     // (date, delta) order so closes land before opens on the same day
-    // (touching intervals don't count as overlapping). The max over
-    // per-row running depth is tie-order invariant: equal (d, delta)
-    // rows permute a run of identical increments.
+    // (touching intervals don't count as overlapping). Boundary events
+    // aggregate to (key, date, delta) BEFORE the window — map-side
+    // partials absorb the corpus, so the sweep's sort runs over the
+    // date-domain-bounded frame, not the fact table (and the window
+    // keys are unique, so the cumsum is trivially order-deterministic).
+    // Bulk same-sign deltas preserve the running max: opens peak at the
+    // bulk value, closes peak before it.
     "q_interval_overlap" -> { (s, dir) =>
       val iv = Tables(s, dir, "lineitem").select(
         col("l_suppkey"),
         to_date(col("l_shipdate")).as("st"),
         date_add(to_date(col("l_shipdate")),
           col("l_quantity").cast(IntegerType)).as("en"))
-      val pts = iv.select(col("l_suppkey"), col("st").as("d"), lit(1).as("delta"))
-        .unionAll(iv.select(col("l_suppkey"),
-          date_add(col("en"), 1).as("d"), lit(-1).as("delta")))
+      // one scan, not a unionAll of two: each interval explodes into its
+      // own (open, close) boundary pair
+      val pts = iv.select(col("l_suppkey"), explode(array(
+          struct(col("st").as("d"), lit(1).as("delta")),
+          struct(date_add(col("en"), 1).as("d"), lit(-1).as("delta")))).as("p"))
+        .select(col("l_suppkey"), col("p.d").as("d"), col("p.delta").as("delta"))
+        .groupBy(col("l_suppkey"), col("d"), col("delta"))
+        .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("d"), col("delta"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pts.withColumn("depth", sum(col("delta")).over(w))
+      pts.withColumn("depth", sum(col("delta") * col("c")).over(w))
         .groupBy(col("l_suppkey"))
-        .agg((count(lit(1)) / 2).cast(LongType).as("n_intervals"),
+        .agg(sum(when(col("delta") === 1, col("c")).otherwise(0L)).as("n_intervals"),
           max(col("depth")).as("max_depth"))
         .orderBy("l_suppkey")
     })
@@ -1966,15 +1975,18 @@ object EventQueries {
              CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS en
            FROM lineitem),
          pts AS (
-           SELECT l_suppkey, st AS d, 1 AS delta FROM iv
-           UNION ALL
-           SELECT l_suppkey, en + 1 AS d, -1 AS delta FROM iv),
+           SELECT l_suppkey, d, delta, count(*) AS c FROM (
+             SELECT l_suppkey, st AS d, 1 AS delta FROM iv
+             UNION ALL
+             SELECT l_suppkey, en + 1 AS d, -1 AS delta FROM iv)
+           GROUP BY 1, 2, 3),
          depth AS (
-           SELECT l_suppkey,
-             sum(delta) OVER (PARTITION BY l_suppkey ORDER BY d, delta
+           SELECT l_suppkey, delta, c,
+             sum(delta * c) OVER (PARTITION BY l_suppkey ORDER BY d, delta
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
            FROM pts)
-         SELECT l_suppkey, CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+         SELECT l_suppkey,
+           CAST(sum(CASE WHEN delta = 1 THEN c ELSE 0 END) AS BIGINT) AS n_intervals,
            CAST(max(depth) AS BIGINT) AS max_depth
          FROM depth GROUP BY l_suppkey ORDER BY l_suppkey""")
 }

@@ -254,10 +254,14 @@ class ExplainSpec extends SparkSpec {
     // join's two
     "q_hybrid_rrf" -> 7,
     "q_histogram" -> 2, "q_integrity_check" -> 5, "q_intersect" -> 2,
-    // interval sweep pair: ONE l_suppkey fact exchange serves the
-    // sweep window(s) and both aggregates (hash(k) satisfies the
-    // (k, island) clustering) + the output sort
-    "q_interval_coverage" -> 2, "q_interval_overlap" -> 2,
+    // interval sweep pair: coverage rides ONE l_suppkey fact exchange
+    // for the sweep windows and both aggregates (hash(k) satisfies the
+    // (k, island) clustering) + the output sort; overlap pays one MORE
+    // static exchange but the corpus crosses only the FIRST (the
+    // map-side-combined (k, date, delta) aggregate — measured 19.4 s
+    // -> 6.0 s at the 100x smoke); its window runs over the
+    // date-domain-bounded frame
+    "q_interval_coverage" -> 2, "q_interval_overlap" -> 3,
     "q_interval_join" -> 2, "q_inverted_index" -> 3, "q_json_extract" -> 1,
     "q_kmeans_iter" -> 2, "q_lang_ngram" -> 1, "q_lang_quality" -> 1,
     "q_lateral_topk" -> 2,
