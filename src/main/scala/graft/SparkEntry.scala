@@ -70,5 +70,10 @@ object SparkEntry {
     "q_label_prop", "q_embed_rp", "q_cms_est", "q_audio_fingerprint",
     // r12 additions: the retrieval cascade's rerank stage and the
     // through-the-container video-fingerprint dedup (audio's twin)
-    "q_rerank", "q_video_fingerprint")
+    "q_rerank", "q_video_fingerprint",
+    // r12 second wave: the interval sweeps, the prefix-filtered
+    // set-similarity join, grid-exact Naive Bayes, and the distributed
+    // covariance
+    "q_interval_coverage", "q_interval_overlap", "q_setsim_prefix",
+    "q_naive_bayes", "q_embed_cov")
 }

@@ -540,4 +540,76 @@ object StreamingOps {
       .write.format("graft.sources.StagedSink")
       .option("path", statePath).mode("overwrite").save()
   }
+
+  /** Streaming twin of q_interval_coverage: per-key union-of-intervals
+    * maintained incrementally. One ValueState per key holds the MERGED
+    * disjoint islands (flattened sorted [s1,e1,s2,e2,...] day numbers);
+    * each micro-batch folds its intervals in via [[mergeIntervals]] and
+    * emits the key's refreshed (n_islands, covered_days) summary
+    * (Update-mode semantics, like the batch query re-run per batch).
+    *
+    * Why this is exactly equivalent to the batch sweep for ANY split of
+    * the stream: islands are the overlap-connected components' hulls,
+    * and such hulls are GAPLESS (chain-overlapping intervals leave no
+    * hole), so a later interval overlaps a stored hull iff it overlaps
+    * some original member — folding against hulls merges exactly what
+    * one shot over all intervals would (PropertySpec pins this on
+    * random splits; the merge rule is overlap-or-same-day-touch,
+    * s <= prev end, identical to the batch query's st > prevMax island
+    * flag — day-ADJACENT intervals stay separate islands in both).
+    * State per key is O(disjoint islands) — overlapping arrivals
+    * compact away — bounded by the key's date-domain span, not its
+    * interval count.
+    */
+  case class IntervalIn(key: Long, st: Long, en: Long)
+  case class IslandState(spans: Array[Long])
+  case class CoverageOut(key: Long, n_islands: Long, covered_days: Long)
+
+  /** Pure merge step: existing flattened islands + a batch of intervals
+    * -> new flattened islands. Sort by start, sweep, merge on
+    * overlap-or-touch (s <= current end — the batch query's island
+    * rule). Exposed for the batch-equivalence property and backfills.
+    */
+  def mergeIntervals(spans: Array[Long], incoming: Seq[(Long, Long)]): Array[Long] = {
+    val all = (spans.grouped(2).map(a => (a(0), a(1))) ++ incoming.iterator)
+      .toArray
+    java.util.Arrays.sort(all, Ordering.Tuple2[Long, Long])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    all.foreach { case (s, e) =>
+      if (out.nonEmpty && s <= out(out.size - 1))
+        out(out.size - 1) = math.max(out(out.size - 1), e)
+      else { out += s; out += e }
+    }
+    out.toArray
+  }
+
+  class IntervalMergeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, IntervalIn, CoverageOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var islands: org.apache.spark.sql.streaming.ValueState[IslandState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      islands = getHandle.getValueState[IslandState]("islands",
+        org.apache.spark.sql.Encoders.product[IslandState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[IntervalIn],
+        timerValues: TimerValues): Iterator[CoverageOut] = {
+      val prev = if (islands.exists()) islands.get().spans else Array.empty[Long]
+      val merged = mergeIntervals(prev, rows.map(r => (r.st, r.en)).toSeq)
+      islands.update(IslandState(merged))
+      val covered = merged.grouped(2).map(a => a(1) - a(0) + 1).sum
+      Iterator.single(CoverageOut(key, merged.length / 2, covered))
+    }
+  }
+
+  def intervalCoverageStream(
+      intervals: org.apache.spark.sql.Dataset[IntervalIn]): org.apache.spark.sql.Dataset[CoverageOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc = Encoders.product[CoverageOut]
+    implicit val longEnc = Encoders.scalaLong
+    intervals
+      .groupByKey(_.key)(longEnc)
+      .transformWithState(new IntervalMergeProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

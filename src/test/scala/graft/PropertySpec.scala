@@ -113,6 +113,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeIntervals: any batch split equals one-shot; covered matches brute force") {
+    import graft.streaming.StreamingOps.mergeIntervals
+    val genIvs = Gen.listOf(for {
+      s <- Gen.choose(0L, 60L); len <- Gen.choose(0L, 12L)
+    } yield (s, s + len))
+    forSamples(Gen.zip(genIvs, Gen.choose(1, 5), Gen.choose(0L, 999L)), 15) {
+      case (ivs, nBatches, splitSeed) =>
+        val oneShot = mergeIntervals(Array.empty, ivs)
+        // deterministic pseudo-random batch assignment
+        val batches = ivs.zipWithIndex
+          .groupBy { case (_, i) => (i * 2654435761L + splitSeed) % nBatches }
+          .toSeq.sortBy(_._1).map(_._2.map(_._1))
+        val folded = batches.foldLeft(Array.empty[Long])(mergeIntervals(_, _))
+        assert(folded.toSeq == oneShot.toSeq,
+          s"split of $ivs into $batches diverged: ${folded.toSeq} vs ${oneShot.toSeq}")
+        // islands are gapless, strictly ordered/disjoint, and their
+        // sizes sum to the brute-force covered-day count. (Adjacent
+        // islands — [1,5],[6,9] — stay SEPARATE: the merge rule is
+        // overlap-or-same-day-touch, exactly the batch query's
+        // st > prevMax island flag, not day-adjacency.)
+        val days = ivs.flatMap { case (s, e) => s to e }.toSet
+        val covered = oneShot.grouped(2).map(a => a(1) - a(0) + 1).sum
+        assert(covered == days.size)
+        assert(oneShot.grouped(2).forall(a => (a(0) to a(1)).forall(days.contains)),
+          s"islands ${oneShot.toSeq} have uncovered gaps vs $days")
+        assert(oneShot.grouped(2).map(_(0)).toSeq.zip(
+          oneShot.grouped(2).map(_(1)).toSeq.dropRight(1).prepended(Long.MinValue))
+          .forall { case (s, prevE) => s > prevE },
+          s"islands ${oneShot.toSeq} overlap or are unsorted")
+    }
+  }
+
   test("hashSample selection is deterministic and partitioning-invariant") {
     forSamples(Gen.choose(1, 9999), 5) { salt =>
       val base = spark.range(2000).toDF("id")

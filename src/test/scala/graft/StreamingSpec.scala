@@ -113,6 +113,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalCoverageStream merges islands across micro-batches (RocksDB state)") {
+    import graft.streaming.StreamingOps.{CoverageOut, IntervalIn}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[IntervalIn]
+    val q = StreamingOps.intervalCoverageStream(mem.toDS())
+      .writeStream.format("memory").queryName("interval_cov")
+      .outputMode("update").start()
+    try {
+      mem.addData(IntervalIn(1, 1, 5), IntervalIn(1, 10, 12))
+      q.processAllAvailable()
+      // batch-1 summary: two islands, 5 + 3 covered days
+      val b1 = spark.table("interval_cov").as[CoverageOut].collect().toSet
+      assert(b1 == Set(CoverageOut(1, 2, 8)))
+      // [5,9] bridges INTO [1,5] (touch at 5) but NOT [10,12]
+      // (day-adjacency does not merge — the batch query's rule)
+      mem.addData(IntervalIn(1, 5, 9), IntervalIn(2, 3, 4))
+      q.processAllAvailable()
+      val all = spark.table("interval_cov").as[CoverageOut].collect().toSet
+      assert(all.contains(CoverageOut(1, 2, 12)), s"got $all") // [1,9]+[10,12]
+      assert(all.contains(CoverageOut(2, 1, 2)), s"got $all")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState (RocksDB) matches flatMapGroupsWithState running totals") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
