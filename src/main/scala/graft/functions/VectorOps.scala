@@ -662,6 +662,51 @@ object VectorOps {
           (GridSum.fromGrid(col("sxj")) / col("n")), 6) + lit(0.0)).as("cov"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick k items maximizing
+    * lambda·rel(c) − (1−lambda)·max_{s∈selected} sim(c, s) — the
+    * diverse-subset selector training-data curation uses to avoid
+    * sampling near-identical documents. Driver loop of k rounds; each
+    * round scans the checkpointed (id, vec, rel) frame ONCE with the
+    * selected vectors as broadcast literals (the k-means centroid
+    * pattern) and collects exactly one argmax row via
+    * TakeOrderedAndProject — k rows total cross the driver, the corpus
+    * never shuffles. All cosines are the sequential-fold graft_cosine,
+    * so the unrolled SQL oracle reproduces every score bit-for-bit and
+    * the argmax chain is engine-portable (ties to smallest id).
+    */
+  def mmrSelect(corpus: DataFrame, queryVec: Seq[Double], k: Int,
+      lambda: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sp = corpus.sparkSession
+    val base = corpus
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
+      .withColumn("rel", cosine(col("vec"), array(queryVec.map(lit): _*)))
+      .localCheckpoint()
+    var selected = Vector.empty[(Long, Seq[Double], Double)]
+    while (selected.size < k) {
+      val div =
+        if (selected.isEmpty) lit(0.0)
+        else if (selected.size == 1)
+          cosine(col("vec"), array(selected.head._2.map(lit): _*))
+        else greatest(selected.map(s =>
+          cosine(col("vec"), array(s._2.map(lit): _*))): _*)
+      val top = base
+        .filter(!col("id").isin(selected.map(_._1): _*))
+        .select(col("id"), col("vec"),
+          (lit(lambda) * col("rel") - lit(1 - lambda) * div).as("mmr"))
+        .orderBy(col("mmr").desc, col("id")).limit(1)
+        .head()
+      selected :+= ((top.getLong(0), top.getSeq[Double](1), top.getDouble(2)))
+    }
+    import sp.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, mmr), i) =>
+        (i + 1L, id, BigDecimal(mmr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("rank", "vec_id", "mmr")
+  }
+
   /** Driver-side power iteration over a COLLECTED symmetric matrix
     * (the d x d covariance — d² scalars cross the driver once, never
     * the corpus): deterministic all-ones init, `iters` multiply-and-

@@ -423,6 +423,18 @@ object TextQueries {
     // broadcast against the corpus (the ANN-tier pattern), norms join
     // keyed on vec id, and the corpus crosses exchanges only as
     // (vec, dim) integer partials.
+    // Maximal Marginal Relevance: greedy diverse top-5 against the
+    // vec-0 query, lambda = 0.5 (exactly representable, so 1 - lambda
+    // is bit-identical cross-engine). k argmax rows cross the driver;
+    // the corpus never shuffles. Oracle = the 5 rounds unrolled in SQL.
+    "q_mmr_select" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(VectorOps.toDoubleVec(col("embedding"))).head().getSeq[Double](0)
+      VectorOps.mmrSelect(e.filter(col("vec_id") =!= 0), q, k = 5, lambda = 0.5)
+        .orderBy("rank")
+    },
+
     // Embedding covariance, upper triangle — the distributed-moments
     // half of PCA (power iteration on the collected d x d matrix is
     // VectorOps.topEigenpair, spec'd in VectorSpec): one pair-keyed
@@ -2702,6 +2714,40 @@ object TextQueries {
      / (sqrt(list_sum(list_transform(range(1, len($a.vec) + 1), i -> $a.vec[i] * $a.vec[i])))
       * sqrt(list_sum(list_transform(range(1, len($c.vec) + 1), i -> $c.vec[i] * $c.vec[i]))))"""
 
+  /** q_mmr_select's oracle: the k greedy rounds UNROLLED — stage i
+    * rescoring the candidates against sel1..sel(i-1) with the same
+    * sequential-fold cosine ([[cosSql]]) and 0.5/0.5 blend the Spark
+    * driver loop evaluates, each argmax an ORDER BY mmr DESC, id
+    * LIMIT 1. Generated programmatically so k changes in one place.
+    */
+  private def mmrOracle(k: Int): String = {
+    val head =
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         q AS (SELECT vec FROM v WHERE id = 0),
+         cand AS (SELECT v.id, v.vec, ${cosSql("v", "q")} AS rel
+           FROM v, q WHERE v.id <> 0),
+         sel1 AS (SELECT id, vec, 0.5e0 * rel AS mmr FROM cand
+           ORDER BY mmr DESC, id LIMIT 1)"""
+    val stages = (2 to k).map { i =>
+      val prevSels = (1 until i).map(j => s"sel$j s$j").mkString(", ")
+      val notIn = (1 until i).map(j => s"c.id <> s$j.id").mkString(" AND ")
+      val sims = (1 until i).map(j => cosSql("c", s"s$j"))
+      val div = if (sims.size == 1) sims.head
+        else s"greatest(${sims.mkString(", ")})"
+      s""",
+         stage$i AS (SELECT c.id, c.vec,
+             0.5e0 * c.rel - 0.5e0 * ($div) AS mmr
+           FROM cand c, $prevSels WHERE $notIn),
+         sel$i AS (SELECT id, vec, mmr FROM stage$i
+           ORDER BY mmr DESC, id LIMIT 1)"""
+    }.mkString
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, id AS vec_id, round(mmr, 6) AS mmr FROM sel$i")
+      .mkString("\n         UNION ALL ")
+    s"$head$stages\n         $out\n         ORDER BY rank"
+  }
+
   /** Okapi BM25 (k1=1.2, b=0.75) top-`topN` per query, the first 3
     * documents acting as queries. Constants are written as the EXACT
     * literals the DuckDB oracle parses (2.2, 0.25) — not Scala
@@ -4298,6 +4344,7 @@ object TextQueries {
          SELECT doc_id, actual_lang, lang AS pred_lang,
            round(CAST(sg AS DOUBLE) / 1.0e9, 6) AS score
          FROM rk WHERE r = 1 ORDER BY doc_id""",
+    "q_mmr_select" -> mmrOracle(5),
     "q_embed_cov" ->
       """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          dims AS (

@@ -266,6 +266,10 @@ class ExplainSpec extends SparkSpec {
     "q_kmeans_iter" -> 2, "q_lang_ngram" -> 1, "q_lang_quality" -> 1,
     "q_lateral_topk" -> 2,
     "q_latest_per_key" -> 2, "q_media_decode" -> 1, "q_media_frames" -> 1,
+    // q_mmr_select: the registered frame is the driver-built 5-row
+    // result (each greedy round ran as its own TakeOrderedAndProject
+    // job at build time — no exchange); the 1 is its output sort
+    "q_mmr_select" -> 1,
     "q_minmax_by" -> 2, "q_mix_sample" -> 2, "q_ms_to_date" -> 1,
     "q_ngram_jaccard" -> 2, "q_novelty" -> 3,
     // q_pagerank: per-round localCheckpoints truncate the static plan to
