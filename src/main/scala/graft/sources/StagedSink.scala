@@ -104,9 +104,19 @@ private[sources] class StagedTable(schema: StructType, props: Map[String, String
     val readSchema = StructType.fromDDL(StagedSink.manifestSchema(manifest))
     val files = StagedSink.manifestFiles(manifest)
       .map(f => Paths.get(path, f).toString).toArray
-    new org.apache.spark.sql.connector.read.ScanBuilder {
+    // Column pruning (SupportsPushDownRequiredColumns): a narrow
+    // projection reaches the reader, which then CONVERTS only the
+    // requested fields — the line is still split (the format is
+    // positional), but long/double parsing, unescape, and UTF8String
+    // allocation are skipped for dropped columns, and the rows Spark
+    // materializes carry only the projected width.
+    new org.apache.spark.sql.connector.read.ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var pruned: StructType = readSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
       override def build(): org.apache.spark.sql.connector.read.Scan =
-        new StagedScan(files, readSchema)
+        new StagedScan(files, readSchema, pruned)
     }
   }
 
@@ -122,26 +132,30 @@ private[sources] class StagedTable(schema: StructType, props: Map[String, String
     }
 }
 
-private[sources] class StagedScan(files: Array[String], schema: StructType)
+private[sources] class StagedScan(files: Array[String], fullSchema: StructType,
+    prunedSchema: StructType)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read._
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => StagedFilePartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new StagedReaderFactory(schema)
+    new StagedReaderFactory(fullSchema, prunedSchema)
 }
 
 private[sources] case class StagedFilePartition(file: String)
     extends org.apache.spark.sql.connector.read.InputPartition
 
-private[sources] class StagedReaderFactory(schema: StructType)
+private[sources] class StagedReaderFactory(fullSchema: StructType,
+    prunedSchema: StructType)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.connector.read._
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[StagedFilePartition].file
+    // pruned field -> its position in the positional line format
+    val srcPos = prunedSchema.fields.map(f => fullSchema.fieldIndex(f.name))
     new PartitionReader[InternalRow] {
       private val lines = Files.newBufferedReader(
         Paths.get(file), StandardCharsets.UTF_8)
@@ -151,8 +165,9 @@ private[sources] class StagedReaderFactory(schema: StructType)
         // -1 keeps trailing empty fields (an empty string in the last
         // column); a short row (legacy file) pads with the null sentinel
         val parts = current.split(StagedSink.Sep, -1)
-          .padTo(schema.length, StagedSink.NullSentinel)
-        InternalRow.fromSeq(schema.fields.zip(parts).map { case (f, v) =>
+          .padTo(fullSchema.length, StagedSink.NullSentinel)
+        InternalRow.fromSeq(prunedSchema.fields.zip(srcPos).map { case (f, i) =>
+          val v = parts(i)
           if (v == StagedSink.NullSentinel) null
           else f.dataType match {
             case LongType => v.toLong

@@ -138,6 +138,34 @@ class StagedSinkSpec extends SparkSpec {
     assert(back.filter(col("v") > 6).count() == 6)
   }
 
+  test("column pruning reaches the DSv2 scan: projected width, reordered, correct") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val path = tmp()
+    Seq((1L, "a", 10.5), (2L, null: String, 20.25), (3L, "c", 30.125))
+      .toDF("id", "name", "score")
+      .write.format("graft.sources.StagedSink").option("path", path)
+      .mode("append").save()
+    val projected = spark.read.format("graft.sources.StagedSink")
+      .option("path", path).load().select("score", "id") // subset, reordered
+    val scans = projected.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    // Spark hands pruneColumns the required subset in TABLE order (the
+    // Project above the scan reorders): the gate is the WIDTH — "name"
+    // must not reach the scan
+    assert(scans.nonEmpty && scans.head.output.map(_.name) == Seq("id", "score"),
+      s"scan not pruned: ${scans.map(_.output.map(_.name))}")
+    assert(projected.as[(Double, Long)].collect().sortBy(_._2).toSeq ==
+      Seq((10.5, 1L), (20.25, 2L), (30.125, 3L)))
+    // null round-trips through a pruned single-column read too
+    val names = spark.read.format("graft.sources.StagedSink")
+      .option("path", path).load().select("name")
+      .as[String].collect().toSeq
+    assert(names.count(_ == null) == 1 && names.toSet == Set("a", null, "c"))
+    // zero-column prune (count(*)) still counts every line
+    assert(spark.read.format("graft.sources.StagedSink")
+      .option("path", path).load().count() == 3)
+  }
+
   test("streaming append lands each micro-batch through the atomic manifest swap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
