@@ -1873,6 +1873,108 @@ object RelationalQueries {
           round((col("g1").cast(DoubleType) / lit(1000.0) / col("n") -
             col("g0").cast(DoubleType) / lit(1000.0) / col("n")) / lit(100.0), 6)
             .as("ate_ipw"))
+    },
+
+    // Isotonic calibration via PAV (pool-adjacent-violators): orders
+    // binned into 20 fixed-width price buckets, the per-bin urgent-order
+    // rate fitted to the best monotone non-decreasing curve — the
+    // classifier-calibration step a production quality-filter stack runs
+    // before thresholding its scores. Computed through PAV's exact
+    // minimax characterization fitted_i = max_{j<=i} min_{k>=i}
+    // avg(y[j..k]) — O(B^3) but on the B=20-row BIN frame, never the
+    // corpus: the corpus crosses exactly ONE exchange (the bin
+    // aggregate); every join after is a broadcast of a 20-row frame.
+    // Every average is a single double division of exact BIGINT segment
+    // sums — correctly rounded, bit-identical cross-engine — and min/max
+    // over identical doubles is engine-free, so the whole fit is
+    // oracle-checked with no rounding shim.
+    "q_isotonic_cal" -> { (s, dir) =>
+      val bins = Tables(s, dir, "orders")
+        .select(
+          least(lit(19L), floor(col("o_totalprice") / lit(25000.0))).as("b"),
+          when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L).as("y"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+        // the 20-row bin frame is reused four times below — materialize
+        // once so the orders scan+aggregate runs once, not per branch
+        .localCheckpoint()
+      // segment sums over every bin range [j..k]: BNLJ of the tiny bin
+      // frame against its own (j, k) pair grid, then one 210-row agg
+      val ranges = bins.select(col("b").as("j"))
+        .join(broadcast(bins.select(col("b").as("k"))), col("j") <= col("k"))
+      val seg = bins
+        .join(broadcast(ranges), col("b") >= col("j") && col("b") <= col("k"))
+        .groupBy("j", "k")
+        .agg(sum(col("n")).as("sn"), sum(col("s")).as("ss"))
+        .select(col("j"), col("k"),
+          (col("ss").cast(DoubleType) / col("sn")).as("a"))
+      bins
+        .join(broadcast(seg),
+          col("j") <= col("b") && col("k") >= col("b"))
+        .groupBy(col("b"), col("n"), col("s"), col("j"))
+        .agg(min(col("a")).as("mn"))
+        .groupBy(col("b"), col("n"), col("s"))
+        .agg(max(col("mn")).as("fitted"))
+        .select(col("b"), col("n"), col("s").as("n_pos"),
+          (col("s").cast(DoubleType) / col("n")).as("rate"), col("fitted"))
+        .orderBy("b")
+    },
+
+    // Fellegi-Sunter record linkage: two customer rosters (even/odd
+    // custkey halves) blocked on nation, compared on three fields
+    // (market segment, account-balance bucket, name check digit).
+    // u-probabilities are estimated from the blocked comparison space
+    // itself (exact pair counts — one double division each);
+    // m-probabilities are the conventional reviewed-sample literals. The
+    // deliverable is the agreement-pattern table: pair count, summed
+    // log2 match weight, and the link / possible / nonlink decision.
+    // Scale shape: blocking bounds the pair space (the 100 TB knob —
+    // block key cardinality), the corpus crosses once into the block
+    // join, and every weight computation runs on the 8-row pattern
+    // frame. log2 is the one libm call — absorbed by round(.., 6), the
+    // repo's standing convention for ln-family oracles (q_entropy,
+    // q_pmi_top).
+    "q_record_linkage" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / lit(1000.0)).cast(LongType).as("balb"),
+        // tens digit, not the last: c_name embeds the custkey, whose
+        // final digit's parity is fixed per roster side (it would never
+        // agree across the even/odd split — a constant-false feature)
+        substring(col("c_name"), -2, 1).as("nd"))
+      def side(par: Int, sfx: String) =
+        c.filter(col("c_custkey") % 2 === par)
+          .select(col("c_nationkey"), col("seg").as(s"seg_$sfx"),
+            col("balb").as(s"balb_$sfx"), col("nd").as(s"nd_$sfx"))
+      val pat = side(0, "a").join(side(1, "b"), "c_nationkey")
+        .select(
+          (when(col("seg_a") === col("seg_b"), 4L).otherwise(0L) +
+           when(col("balb_a") === col("balb_b"), 2L).otherwise(0L) +
+           when(col("nd_a") === col("nd_b"), 1L).otherwise(0L)).as("pattern"))
+        .groupBy("pattern").agg(count(lit(1)).as("n_pairs"))
+        // 8 rows; checkpointed so the blocked pair join runs once, not
+        // once per branch (pattern table + u-probability totals)
+        .localCheckpoint()
+      val totals = pat.agg(
+        sum(col("n_pairs")).as("tot"),
+        sum(when(col("pattern").bitwiseAND(4) > 0, col("n_pairs"))
+          .otherwise(0L)).as("a4"),
+        sum(when(col("pattern").bitwiseAND(2) > 0, col("n_pairs"))
+          .otherwise(0L)).as("a2"),
+        sum(when(col("pattern").bitwiseAND(1) > 0, col("n_pairs"))
+          .otherwise(0L)).as("a1"))
+      val ms = Seq(4 -> 0.95, 2 -> 0.9, 1 -> 0.8)
+      val score = ms.map { case (bit, m) =>
+        val u = col(s"a$bit").cast(DoubleType) / col("tot").cast(DoubleType)
+        when(col("pattern").bitwiseAND(bit) > 0, log2(lit(m) / u))
+          .otherwise(log2((lit(1.0) - lit(m)) / (lit(1.0) - u)))
+      }.reduce(_ + _)
+      pat.join(broadcast(totals))
+        .select(col("pattern"), col("n_pairs"), round(score, 6).as("score"),
+          when(round(score, 6) > 3.0, "link")
+            .when(round(score, 6) > 0.0, "possible")
+            .otherwise("nonlink").as("decision"))
+        .orderBy("pattern")
     })
 
   private val discountedDec =
@@ -2956,5 +3058,73 @@ object RelationalQueries {
          SELECT prio AS o_orderpriority, n AS n_orders,
            CAST(CAST(sixi * 2 - (CAST(n AS HUGEINT) + 1) * sx AS VARCHAR) AS DOUBLE) /
            CAST(CAST(CAST(n AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS gini
-         FROM agg ORDER BY o_orderpriority""")
+         FROM agg ORDER BY o_orderpriority""",
+    // PAV minimax unrolled: fitted_i = max_{j<=i} min_{k>=i} of the
+    // exact-BIGINT segment average — same triangle-join shape as the
+    // Spark plan, every double a single correctly-rounded division
+    "q_isotonic_cal" ->
+      """WITH pts AS (
+           SELECT least(19, CAST(floor(o_totalprice / 25000.0e0) AS BIGINT)) AS b,
+             CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS y
+           FROM orders),
+         bins AS (
+           SELECT b, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+           FROM pts GROUP BY b),
+         seg AS (
+           SELECT j.b AS j, k.b AS k,
+             CAST(sum(m.n) AS BIGINT) AS sn, CAST(sum(m.s) AS BIGINT) AS ss
+           FROM bins j JOIN bins k ON j.b <= k.b
+             JOIN bins m ON m.b BETWEEN j.b AND k.b
+           GROUP BY 1, 2),
+         mn AS (
+           SELECT i.b AS i, seg.j, min(CAST(ss AS DOUBLE) / sn) AS mn
+           FROM bins i JOIN seg ON seg.j <= i.b AND seg.k >= i.b
+           GROUP BY 1, 2),
+         fit AS (SELECT i, max(mn) AS fitted FROM mn GROUP BY 1)
+         SELECT b, n, s AS n_pos, CAST(s AS DOUBLE) / n AS rate, fitted
+         FROM bins JOIN fit ON fit.i = bins.b ORDER BY b""",
+    // same blocked pair space, pattern counts, data-derived u's and
+    // literal m's; log2 differences absorbed by round(.., 6)
+    "q_record_linkage" ->
+      """WITH c AS (
+           SELECT c_custkey, c_nationkey, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000.0e0) AS BIGINT) AS balb,
+             substring(right(c_name, 2), 1, 1) AS nd
+           FROM customer),
+         pairs AS (
+           SELECT
+             CASE WHEN a.seg = b.seg THEN 4 ELSE 0 END +
+             CASE WHEN a.balb = b.balb THEN 2 ELSE 0 END +
+             CASE WHEN a.nd = b.nd THEN 1 ELSE 0 END AS pattern
+           FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+           WHERE a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1),
+         pat AS (
+           SELECT CAST(pattern AS BIGINT) AS pattern,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pairs GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_pairs) AS BIGINT) AS tot,
+             CAST(sum(CASE WHEN pattern & 4 > 0 THEN n_pairs ELSE 0 END) AS BIGINT) AS a4,
+             CAST(sum(CASE WHEN pattern & 2 > 0 THEN n_pairs ELSE 0 END) AS BIGINT) AS a2,
+             CAST(sum(CASE WHEN pattern & 1 > 0 THEN n_pairs ELSE 0 END) AS BIGINT) AS a1
+           FROM pat),
+         scored AS (
+           SELECT pattern, n_pairs,
+             round(
+               (CASE WHEN pattern & 4 > 0
+                  THEN log2(0.95e0 / (CAST(a4 AS DOUBLE) / tot))
+                  ELSE log2((1.0e0 - 0.95e0) / (1.0e0 - CAST(a4 AS DOUBLE) / tot)) END) +
+               (CASE WHEN pattern & 2 > 0
+                  THEN log2(0.9e0 / (CAST(a2 AS DOUBLE) / tot))
+                  ELSE log2((1.0e0 - 0.9e0) / (1.0e0 - CAST(a2 AS DOUBLE) / tot)) END) +
+               (CASE WHEN pattern & 1 > 0
+                  THEN log2(0.8e0 / (CAST(a1 AS DOUBLE) / tot))
+                  ELSE log2((1.0e0 - 0.8e0) / (1.0e0 - CAST(a1 AS DOUBLE) / tot)) END),
+               6) AS score
+           FROM pat CROSS JOIN tot)
+         SELECT pattern, n_pairs, score,
+           CASE WHEN score > 3.0e0 THEN 'link'
+                WHEN score > 0.0e0 THEN 'possible'
+                ELSE 'nonlink' END AS decision
+         FROM scored ORDER BY pattern""")
 }

@@ -2597,7 +2597,74 @@ object TextQueries {
           round(col("rms"), 6).as("rms"),
           round(col("peak"), 6).as("peak"))
         .orderBy("doc_id")
+    },
+
+    // Rendezvous (highest-random-weight) sharding with a resize audit:
+    // every document routes to argmax over shards of md5(shard:doc_id),
+    // computed entirely IN-ROW (an array fold over the shard list — no
+    // explode, no per-shard rows, nothing but the 72-key (old, new)
+    // transition matrix ever crosses an exchange). The audit compares
+    // the 8-shard and 9-shard assignments: HRW's guarantee is that
+    // resizing moves ONLY documents whose new argmax IS the added shard
+    // (expected 1/9 of the corpus) — every off-diagonal row with
+    // shard_new <> 8 would be a routing-stability bug. This is the 100
+    // TB ingest-routing primitive: stable writer assignment under
+    // elastic resize without a coordination service.
+    "q_shard_assign" -> { (s, dir) =>
+      def hrw(n: Int): Column =
+        array_max(transform(sequence(lit(0), lit(n - 1)),
+          sh => struct(
+            md5(concat(lit("shard"), sh.cast(StringType), lit(":"),
+              col("doc_id").cast(StringType))).as("h"),
+            sh.cast(LongType).as("s")))).getField("s")
+      Tables(s, dir, "documents")
+        .select(hrw(8).as("shard_old"), hrw(9).as("shard_new"))
+        .groupBy("shard_old", "shard_new")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("shard_old", "shard_new")
+    },
+
+    // Blocklist filtering (the C4-style bad-phrase gate): per-phrase
+    // document hits and total occurrences, plus the '__any__' roll-up
+    // row a filtering run actually gates on. Occurrence counting is the
+    // engine-portable replace-length identity (exact integers, no regex
+    // dialect coupling); the corpus is scanned with the tiny dictionary
+    // broadcast and only |dict|-keyed partials plus one global counter
+    // row cross exchanges. At 100 TB the scan dominates and is one
+    // pass; a trie/Aho-Corasick kernel would cut per-row constant
+    // factors but not the shuffle shape, which is already minimal.
+    "q_blocklist" -> { (s, dir) =>
+      val phrases = BlocklistPhrases
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      def occ(p: String): Column =
+        ((length(col("text")) -
+          length(replace(col("text"), lit(p), lit("")))) / lit(p.length))
+          .cast(LongType)
+      val perPhrase = d
+        .select(col("doc_id"),
+          explode(array(phrases.map(p =>
+            struct(lit(p).as("phrase"), occ(p).as("o"))): _*)).as("po"))
+        .select(col("po.phrase").as("phrase"), col("po.o").as("o"))
+        .groupBy("phrase")
+        .agg(sum(when(col("o") > 0, 1L).otherwise(0L)).as("n_docs"),
+          sum(col("o")).as("n_occurrences"))
+      val anyRow = d
+        .select(phrases.map(occ).reduce(_ + _).as("t"))
+        .agg(sum(when(col("t") > 0, 1L).otherwise(0L)).as("n_docs"),
+          sum(col("t")).as("n_occurrences"))
+        .select(lit("__any__").as("phrase"), col("n_docs"),
+          col("n_occurrences"))
+      perPhrase.unionByName(anyRow).orderBy("phrase")
     })
+
+  /** The q_blocklist dictionary: two-word phrases over the corpus
+    * vocabulary, none a substring of another and none self-overlapping
+    * (no phrase has a proper border), so non-overlapping replace counts
+    * equal all-occurrence counts and a future trie kernel would agree.
+    */
+  private[queries] val BlocklistPhrases = Seq(
+    "big table", "big vector", "fast merge", "hash join", "slow query",
+    "slow scan", "small batch", "sort merge", "stream filter", "window agg")
 
   /** DuckDB twin of [[TextOps.langIdNgram]], with the same deterministic
     * trigram profiles interpolated as literals so both engines score
@@ -3924,6 +3991,49 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // HRW re-derived per (doc, shard) row: same md5 keys, argmax via
+    // arg_max over the same lowercase-hex strings (bytewise comparison
+    // in both engines), then the identical transition-matrix rollup
+    "q_shard_assign" ->
+      """WITH a AS (
+           SELECT doc_id, arg_max(s, md5('shard' || CAST(s AS VARCHAR)
+             || ':' || CAST(doc_id AS VARCHAR))) AS shard_old
+           FROM documents, range(0, 8) t(s) GROUP BY doc_id),
+         b AS (
+           SELECT doc_id, arg_max(s, md5('shard' || CAST(s AS VARCHAR)
+             || ':' || CAST(doc_id AS VARCHAR))) AS shard_new
+           FROM documents, range(0, 9) t(s) GROUP BY doc_id)
+         SELECT CAST(shard_old AS BIGINT) AS shard_old,
+           CAST(shard_new AS BIGINT) AS shard_new,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM a JOIN b USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // same replace-length occurrence identity per phrase, same
+    // '__any__' roll-up; the dictionary is interpolated from the one
+    // shared Scala list so the two engines can never drift
+    "q_blocklist" -> {
+      val vals = BlocklistPhrases.map(p => s"('$p')").mkString(", ")
+      val occ = """CAST((length(text) - length(replace(text, phrase, '')))
+                   / length(phrase) AS BIGINT)"""
+      val anyOcc = BlocklistPhrases.map(p =>
+        s"""CAST((length(text) - length(replace(text, '$p', '')))
+             / ${p.length} AS BIGINT)""").mkString(" + ")
+      s"""WITH p(phrase) AS (SELECT * FROM (VALUES $vals)),
+         occ AS (
+           SELECT phrase, $occ AS o
+           FROM documents CROSS JOIN p),
+         per AS (
+           SELECT phrase,
+             CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+             CAST(sum(o) AS BIGINT) AS n_occurrences
+           FROM occ GROUP BY 1),
+         anyr AS (
+           SELECT '__any__' AS phrase,
+             CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS n_occurrences
+           FROM (SELECT $anyOcc AS t FROM documents))
+         SELECT * FROM per UNION ALL SELECT * FROM anyr ORDER BY phrase"""
+    },
     "q_linear_quality" -> linearQualityOracle,
     "q_token_entropy" -> tokenEntropyOracle,
     "q_logreg_step" -> logregStepOracle,
