@@ -176,7 +176,15 @@ object ScaleSmoke {
     // corpus quadratically densifies candidate pairs; dedup-first is
     // the documented pipeline order.)
     "q_naive_bayes", "q_embed_cov", "q_interval_coverage",
-    "q_interval_overlap")
+    "q_interval_overlap",
+    // r12 third wave: HRW shard routing is a pure in-row argmax fold
+    // (72-key aggregate crosses); the blocklist gate is a dictionary-
+    // broadcast scan (|dict|-keyed partials + one counter row) — both
+    // must track the scan. (q_isotonic_cal and q_record_linkage run on
+    // orders/customer, which this smoke does not clone — they would
+    // time 1x tables and report meaningless flat factors, the
+    // q_bootstrap exclusion.)
+    "q_shard_assign", "q_blocklist")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated

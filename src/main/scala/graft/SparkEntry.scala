@@ -75,5 +75,8 @@ object SparkEntry {
     // set-similarity join, grid-exact Naive Bayes, and the distributed
     // covariance
     "q_interval_coverage", "q_interval_overlap", "q_setsim_prefix",
-    "q_naive_bayes", "q_embed_cov")
+    "q_naive_bayes", "q_embed_cov",
+    // r12 third wave: PAV isotonic calibration, Fellegi-Sunter record
+    // linkage, rendezvous-hash shard routing, and the blocklist gate
+    "q_isotonic_cal", "q_record_linkage", "q_shard_assign", "q_blocklist")
 }

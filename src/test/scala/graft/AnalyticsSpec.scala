@@ -211,4 +211,78 @@ class AnalyticsSpec extends SparkSpec {
     val months = rows.map(_.getString(0)).toSeq
     assert(months == months.sorted && months.distinct == months, months)
   }
+
+  test("q_isotonic_cal: fitted curve is monotone, bounded, and mean-preserving") {
+    val rows = run("q_isotonic_cal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val fitted = rows.map(_._4)
+    // PAV's defining guarantee: the fit is non-decreasing in the bin
+    assert(fitted.zip(fitted.tail).forall { case (a, b) => a <= b + 1e-12 },
+      fitted.toSeq)
+    assert(fitted.forall(f => f >= 0.0 && f <= 1.0))
+    // PAV preserves the weighted mean: sum n_b * fitted_b == sum of
+    // positives (each pool's fit IS its pooled rate)
+    val fitMass = rows.map { case (_, n, _, f) => n * f }.sum
+    val posMass = rows.map(_._3).sum.toDouble
+    assert(math.abs(fitMass - posMass) < 1e-6, s"$fitMass vs $posMass")
+  }
+
+  test("q_record_linkage: score is monotone in the agreement-bit partial order") {
+    val rows = run("q_record_linkage").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every realized single-bit upgrade (pattern -> pattern | bit) must
+    // raise the score: each field's literal m exceeds its data-derived u
+    for {
+      (p, s0) <- rows; bit <- Seq(1L, 2L, 4L)
+      s1 <- rows.get(p | bit) if (p & bit) == 0
+    } assert(s1 > s0, s"pattern $p -> ${p | bit}: $s0 !< $s1")
+    // pair count conservation against a direct recount of the block join
+    val c = Tables(spark, sf, "customer")
+    val even = c.filter(col("c_custkey") % 2 === 0)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("ne"))
+    val odd = c.filter(col("c_custkey") % 2 === 1)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("no"))
+    val expected = even.join(odd, "c_nationkey")
+      .agg(sum(col("ne") * col("no"))).head().getLong(0)
+    val reported = run("q_record_linkage").agg(sum("n_pairs")).head().getLong(0)
+    assert(reported == expected, s"$reported != $expected")
+  }
+
+  test("q_shard_assign: HRW resize moves documents only INTO the added shard") {
+    val rows = run("q_shard_assign").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rendezvous hashing's minimal-disruption guarantee: a doc's argmax
+    // over 9 shards differs from its argmax over 8 only when shard 8 wins
+    rows.filter { case (o, n, _) => o != n }.foreach { case (o, n, c) =>
+      assert(n == 8L, s"moved $o -> $n ($c docs): HRW stability violated")
+    }
+    val total = rows.map(_._3).sum
+    val docs = Tables(spark, sf, "documents").count()
+    assert(total == docs, s"$total != $docs")
+    // expected movement ~ 1/9 of the corpus; generous envelope for sf0.001
+    val moved = rows.filter { case (o, n, _) => o != n }.map(_._3).sum
+    assert(moved > 0 && moved.toDouble / total < 0.3,
+      s"moved $moved of $total")
+  }
+
+  test("q_blocklist: roll-up row is consistent and one phrase recounts exactly") {
+    val rows = run("q_blocklist").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (any, per) = rows.partition(_._1 == "__any__")
+    assert(any.length == 1 && per.length == 10)
+    // total occurrences decompose exactly; the flagged-doc count is
+    // bounded by the per-phrase sum (inclusion) and by each max
+    assert(any.head._3 == per.map(_._3).sum)
+    // flagged-docs: bounded above by the per-phrase sum (union bound)
+    // and below by every single phrase's hit count (containment)
+    assert(any.head._2 <= per.map(_._2).sum)
+    assert(per.forall(_._2 <= any.head._2))
+    // independent recount of one phrase by a direct substring scan
+    val p = "slow scan"
+    val direct = Tables(spark, sf, "documents")
+      .filter(col("text").contains(p)).count()
+    val reported = per.find(_._1 == p).get._2
+    assert(reported == direct, s"$reported != $direct")
+  }
 }
