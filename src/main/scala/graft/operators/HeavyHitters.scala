@@ -55,6 +55,35 @@ object HeavyHitters {
     counters.toMap
   }
 
+  /** Merge two weighted summaries and compress back to at most k
+    * entries — the mergeable-summaries form of Misra-Gries (Agarwal et
+    * al., PODS 2012): add weights, then subtract the (k+1)-th largest
+    * combined weight from every entry and keep the strictly-positive
+    * survivors. Unlike the sequential decrement fold, this is a pure
+    * multiset operation: the result is independent of item order AND of
+    * how the input stream was split into batches' exact-count maps —
+    * which is what makes it the right kernel for a streaming twin
+    * (deterministic under micro-batch replay). Each merge discharges
+    * subtracted mass across >= k+1 distinct items, so the total
+    * undercount after any merge tree over summaries of total mass n is
+    * <= n / (k+1) — the same bound as one sequential MG pass.
+    */
+  private[graft] def mergeReduce(a: Map[String, Long], b: Map[String, Long],
+      k: Int): Map[String, Long] = {
+    val combined = mutable.HashMap.empty[String, Long]
+    a.foreach { case (item, w) => combined(item) = combined.getOrElse(item, 0L) + w }
+    b.foreach { case (item, w) => combined(item) = combined.getOrElse(item, 0L) + w }
+    if (combined.size <= k) combined.toMap
+    else {
+      // (k+1)-th largest weight; ties at the cut all zero out together,
+      // so no tie-break rule is needed for determinism
+      val cut = combined.values.toArray.sortBy(-_).apply(k)
+      combined.iterator.collect {
+        case (item, w) if w > cut => item -> (w - cut)
+      }.toMap
+    }
+  }
+
   /** All items (from `itemCol`, one item per row) whose exact global
     * count exceeds `n / k`, with their exact counts. Two scans, shuffle
     * domain bounded by the candidate set, never the item vocabulary.

@@ -278,6 +278,77 @@ object StreamingOps {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** Streaming heavy hitters — the cross-batch twin of
+    * [[graft.operators.HeavyHitters.frequentItems]]'s candidate pass.
+    * Items are keyed into a FIXED number of hash buckets (the bounded
+    * key domain — state is buckets x k counters no matter how the
+    * vocabulary grows, the same "shuffle domain never tracks the
+    * vocabulary" claim as the batch op); per bucket, a ValueState holds
+    * a <= k-entry Misra-Gries summary maintained with the MERGEABLE
+    * form ([[graft.operators.HeavyHitters.mergeReduce]]): each batch's
+    * rows are EXACT-counted first (a HashMap fold — order-free), then
+    * merged into the state summary. Both steps are pure multiset
+    * operations, so the state after any prefix of batches is uniquely
+    * determined by the multiset of items seen — deterministic under
+    * micro-batch replay and independent of row order within a batch,
+    * which a sequential decrement fold would NOT be. Undercount bound
+    * <= n_bucket / (k+1) (Agarwal et al., PODS 2012); any item with
+    * count > n_bucket / (k+1) is guaranteed present. Update-mode
+    * emission: the bucket's current candidates + total mass per batch;
+    * the exact-recount pass 2 composes downstream exactly as in batch.
+    */
+  case class MgSketch(items: Seq[String], weights: Seq[Long], n: Long)
+  case class MgCandidate(bucket: Int, item: String, weight: Long, n: Long)
+
+  class HeavyHittersProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, org.apache.spark.sql.Row, MgCandidate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues}
+    @transient private var sketch: org.apache.spark.sql.streaming.ValueState[MgSketch] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sketch = getHandle.getValueState[MgSketch]("sketch",
+        org.apache.spark.sql.Encoders.product[MgSketch],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(bucket: Int,
+        rows: Iterator[org.apache.spark.sql.Row],
+        timerValues: TimerValues): Iterator[MgCandidate] = {
+      // exact in-batch counts: order-free, unlike a decrement fold
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var batchN = 0L
+      rows.foreach { r =>
+        val item = r.getAs[String]("item")
+        counts(item) = counts.getOrElse(item, 0L) + 1L
+        batchN += 1L
+      }
+      val prev = if (sketch.exists()) sketch.get()
+                 else MgSketch(Seq.empty, Seq.empty, 0L)
+      val merged = graft.operators.HeavyHitters.mergeReduce(
+        prev.items.zip(prev.weights).toMap, counts.toMap, k)
+      val n = prev.n + batchN
+      // stable (sorted) layout so the persisted state is byte-stable
+      // across replays, not just set-equal
+      val items = merged.keys.toSeq.sorted
+      sketch.update(MgSketch(items, items.map(merged), n))
+      items.iterator.map(it => MgCandidate(bucket, it, merged(it), n))
+    }
+  }
+
+  /** `items` needs a string `item` column. State: `buckets` x (<= k)
+    * counters under RocksDB — constant in corpus lifetime.
+    */
+  def heavyHittersStream(items: DataFrame, k: Int,
+      buckets: Int = 64): org.apache.spark.sql.Dataset[MgCandidate] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val outEnc = Encoders.product[MgCandidate]
+    implicit val intEnc = Encoders.scalaInt
+    items
+      .groupByKey((r: Row) =>
+        math.floorMod(r.getAs[String]("item").hashCode, buckets))(intEnc)
+      .transformWithState(new HeavyHittersProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming LSH near-dup candidate generation — cross-batch fuzzy
     * dedup for a document INGEST stream: band hashes come from the SAME
     * native MinHash banding as the batch path

@@ -146,6 +146,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersStream: cross-batch MG state equals the direct merge fold (RocksDB)") {
+    import graft.streaming.StreamingOps.MgCandidate
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[String]
+    val k = 3
+    // ONE bucket so the expected sketch is a single deterministic fold
+    val q = StreamingOps.heavyHittersStream(mem.toDF().toDF("item"), k,
+        buckets = 1)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    def countMap(xs: Seq[String]) =
+      xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val batch1 = Seq.fill(6)("a") ++ Seq.fill(4)("b") ++
+      Seq("c", "d", "e", "f")
+    val batch2 = Seq.fill(5)("b") ++ Seq.fill(3)("g") ++ Seq("a", "c")
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      val s1 = spark.table("hh_stream").as[MgCandidate].collect()
+        .filter(_.n == batch1.size).map(c => c.item -> c.weight).toMap
+      val expect1 = graft.operators.HeavyHitters
+        .mergeReduce(Map.empty, countMap(batch1), k)
+      assert(s1 == expect1, s"$s1 != $expect1")
+      mem.addData(batch2: _*)
+      q.processAllAvailable() // sketch state must survive batch 1 -> 2
+      val n2 = batch1.size + batch2.size
+      val s2 = spark.table("hh_stream").as[MgCandidate].collect()
+        .filter(_.n == n2).map(c => c.item -> c.weight).toMap
+      val expect2 = graft.operators.HeavyHitters
+        .mergeReduce(expect1, countMap(batch2), k)
+      assert(s2 == expect2, s"$s2 != $expect2")
+      // the MG guarantee end-to-end: 'a' (7) and 'b' (9) exceed
+      // n/(k+1) = 6 and must be present
+      assert(s2.contains("a") && s2.contains("b"), s2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState (RocksDB) matches flatMapGroupsWithState running totals") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
