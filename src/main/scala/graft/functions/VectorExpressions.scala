@@ -1071,6 +1071,20 @@ object GraftFunctions {
         case Seq(str, w) => StringChunks(str, constInt("graft_chunks", "w", w))
         case _ => throw new IllegalArgumentException("graft_chunks(str, w)")
       }),
+    ("graft_multi_count",
+      new ExpressionInfo(classOf[MultiPhraseCount].getName, "graft_multi_count"),
+      (es: Seq[Expression]) => es match {
+        case Seq(str, ps) =>
+          val phrases = constArg("graft_multi_count", "phrase list", ps)
+            .toString.split(',').toSeq
+          if (phrases.isEmpty || phrases.exists(_.isEmpty))
+            throw new IllegalArgumentException(
+              "graft_multi_count: phrases must be non-empty and comma-free " +
+                "(commas are the separator)")
+          MultiPhraseCount(str, phrases)
+        case _ => throw new IllegalArgumentException(
+          "graft_multi_count(text, 'p1,p2,...')")
+      }),
     ("graft_weight_sum",
       new ExpressionInfo(classOf[HashWeightSum].getName, "graft_weight_sum"),
       (es: Seq[Expression]) => es match {
