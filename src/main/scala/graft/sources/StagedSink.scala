@@ -102,8 +102,25 @@ private[sources] class StagedTable(schema: StructType, props: Map[String, String
     val manifest = Paths.get(path, "_MANIFEST.json")
     require(Files.exists(manifest), s"no committed manifest under $path")
     val readSchema = StructType.fromDDL(StagedSink.manifestSchema(manifest))
-    val files = StagedSink.manifestFiles(manifest)
-      .map(f => Paths.get(path, f).toString).toArray
+    // bounded time travel, matching the one-generation retention:
+    // .option("generation", "previous") scans the RETAINED generation
+    // N−1 (the post-overwrite audit/diff read); anything deeper was
+    // deleted at commit time and fails loudly here. The current
+    // manifest's schema applies — the line format is positional and a
+    // same-schema overwrite is the retention contract.
+    val generation = props.getOrElse("generation", "current")
+    val names = generation match {
+      case "current" => StagedSink.manifestFiles(manifest)
+      case "previous" =>
+        val prev = StagedSink.manifestPrev(manifest)
+        require(prev.nonEmpty,
+          s"no retained previous generation under $path (first commit, " +
+            "or written before retention existed)")
+        prev
+      case g => throw new IllegalArgumentException(
+        s"StagedSink generation must be 'current' or 'previous', got '$g'")
+    }
+    val files = names.map(f => Paths.get(path, f).toString).toArray
     // Column pruning (SupportsPushDownRequiredColumns): a narrow
     // projection reaches the reader, which then CONVERTS only the
     // requested fields — the line is still split (the format is
@@ -376,6 +393,15 @@ object StagedSink {
     require(Files.exists(manifest), s"no committed manifest under $path")
     spark.read.format(classOf[StagedSink].getName).option("path", path).load()
   }
+
+  /** The retained generation N−1 — bounded time travel to exactly the
+    * depth the retention policy keeps on disk. The canonical use is the
+    * post-overwrite audit: diff `readCommitted` against this to see
+    * what an overwrite changed, while both generations are still live.
+    */
+  def readPreviousGeneration(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(classOf[StagedSink].getName).option("path", path)
+      .option("generation", "previous").load()
 
   private[sources] def manifestFiles(manifest: Path): Seq[String] =
     jsonList(manifest, "files")

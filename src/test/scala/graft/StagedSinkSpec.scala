@@ -105,6 +105,37 @@ class StagedSinkSpec extends SparkSpec {
     assert(readVals(path) == (100L to 103L))
   }
 
+  test("generation=previous reads the retained N-1; depth limits fail loudly") {
+    val path = tmp()
+    writeVals(path, 1L to 5L)
+    // first commit: nothing retained yet — previous must fail loudly
+    val e = intercept[Exception] {
+      StagedSink.readPreviousGeneration(spark, path).collect()
+    }
+    assert(e.getMessage.contains("no retained previous generation"),
+      e.getMessage)
+    // overwrite: current flips to the new rows, previous IS generation 1
+    writeVals(path, 10L to 12L, mode = "overwrite")
+    assert(readVals(path) == (10L to 12L))
+    assert(StagedSink.readPreviousGeneration(spark, path)
+      .as[Long].collect().sorted.toSeq == (1L to 5L))
+    // the post-overwrite audit: both generations diffable while live
+    val gained = StagedSink.readCommitted(spark, path)
+      .except(StagedSink.readPreviousGeneration(spark, path)).count()
+    assert(gained == 3L)
+    // one more overwrite: generation 1 is beyond retention — the
+    // previous read now returns generation 2, never a mixed view
+    writeVals(path, 100L to 101L, mode = "overwrite")
+    assert(StagedSink.readPreviousGeneration(spark, path)
+      .as[Long].collect().sorted.toSeq == (10L to 12L))
+    // and an unknown generation label is rejected at planning
+    val bad = intercept[Exception] {
+      spark.read.format("graft.sources.StagedSink").option("path", path)
+        .option("generation", "v0").load().collect()
+    }
+    assert(bad.getMessage.contains("generation must be"), bad.getMessage)
+  }
+
   test("strings with newlines, quotes, backslashes and empties round-trip") {
     val path = tmp()
     val tricky = Seq(
