@@ -78,5 +78,6 @@ object SparkEntry {
     "q_naive_bayes", "q_embed_cov",
     // r12 third wave: PAV isotonic calibration, Fellegi-Sunter record
     // linkage, rendezvous-hash shard routing, and the blocklist gate
-    "q_isotonic_cal", "q_record_linkage", "q_shard_assign", "q_blocklist")
+    "q_isotonic_cal", "q_record_linkage", "q_shard_assign", "q_blocklist",
+    "q_woe_iv")
 }

@@ -1920,6 +1920,40 @@ object RelationalQueries {
         .orderBy("b")
     },
 
+    // Weight-of-evidence / information-value feature screening (the
+    // credit-scoring-style feature audit a quality-classifier stack
+    // runs before training): per category of a candidate feature
+    // (order priority), the good/bad split against the binary target
+    // (order finalized), WoE = ln(dist_good / dist_bad) and the IV
+    // contribution (dist_good − dist_bad)·WoE, plus the '__total__' IV
+    // roll-up that ranks the feature. One corpus exchange (the
+    // category aggregate); all ratio/ln math on the 5-row category
+    // frame with totals broadcast. ln absorbed by round(.., 6), the
+    // q_entropy convention.
+    "q_woe_iv" -> { (s, dir) =>
+      val cat = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("category"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("bad"))
+        .groupBy("category")
+        .agg(sum(lit(1L) - col("bad")).as("n_good"), sum(col("bad")).as("n_bad"))
+        // 5 rows, reused by the totals and the per-category frame
+        .localCheckpoint()
+      val tot = cat.agg(sum(col("n_good")).as("tg"), sum(col("n_bad")).as("tb"))
+      val dg = col("n_good").cast(DoubleType) / col("tg").cast(DoubleType)
+      val db = col("n_bad").cast(DoubleType) / col("tb").cast(DoubleType)
+      val woe = round(log(dg / db), 6)
+      val perCat = cat.join(broadcast(tot))
+        .select(col("category"), col("n_good"), col("n_bad"), woe.as("woe"),
+          round((dg - db) * woe, 6).as("iv_term"))
+        .localCheckpoint()
+      val total = perCat
+        .agg(sum(col("n_good")).as("n_good"), sum(col("n_bad")).as("n_bad"),
+          round(sum(col("iv_term")), 6).as("iv"))
+        .select(lit("__total__").as("category"), col("n_good"), col("n_bad"),
+          lit(null).cast(DoubleType).as("woe"), col("iv").as("iv_term"))
+      perCat.unionByName(total).orderBy("category")
+    },
+
     // Fellegi-Sunter record linkage: two customer rosters (even/odd
     // custkey halves) blocked on nation, compared on three fields
     // (market segment, account-balance bucket, name check digit).
@@ -3083,6 +3117,33 @@ object RelationalQueries {
          fit AS (SELECT i, max(mn) AS fitted FROM mn GROUP BY 1)
          SELECT b, n, s AS n_pos, CAST(s AS DOUBLE) / n AS rate, fitted
          FROM bins JOIN fit ON fit.i = bins.b ORDER BY b""",
+    // same category aggregate, same exact-ratio doubles, ln via
+    // round(.., 6); iv_term multiplies the ALREADY-rounded WoE so both
+    // engines compound identically
+    "q_woe_iv" ->
+      """WITH cat AS (
+           SELECT o_orderpriority AS category,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+           FROM orders GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+             CAST(sum(n_bad) AS BIGINT) AS tb
+           FROM cat),
+         per AS (
+           SELECT category, n_good, n_bad,
+             round(ln((CAST(n_good AS DOUBLE) / tg)
+               / (CAST(n_bad AS DOUBLE) / tb)), 6) AS woe,
+             round((CAST(n_good AS DOUBLE) / tg - CAST(n_bad AS DOUBLE) / tb)
+               * round(ln((CAST(n_good AS DOUBLE) / tg)
+                   / (CAST(n_bad AS DOUBLE) / tb)), 6), 6) AS iv_term
+           FROM cat CROSS JOIN tot)
+         SELECT category, n_good, n_bad, woe, iv_term FROM per
+         UNION ALL
+         SELECT '__total__', CAST(sum(n_good) AS BIGINT),
+           CAST(sum(n_bad) AS BIGINT), NULL, round(sum(iv_term), 6)
+         FROM per
+         ORDER BY category""",
     // same blocked pair space, pattern counts, data-derived u's and
     // literal m's; log2 differences absorbed by round(.., 6)
     "q_record_linkage" ->
