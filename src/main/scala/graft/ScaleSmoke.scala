@@ -186,6 +186,21 @@ object ScaleSmoke {
     // q_bootstrap exclusion.)
     "q_shard_assign", "q_blocklist")
 
+  /** Relational tier at Nx orders/customers (opt-in via
+    * SPARK_GRAFT_ONLY, like the graph tier): orders clone by shifted
+    * o_orderkey (bins/categories are FIXED domains, so per-bin counts
+    * grow Nx and the aggregate partials must absorb them); customer
+    * clones shift BOTH c_custkey and c_nationkey, so the linkage
+    * blocking-key domain grows Nx with per-block density constant —
+    * the production regime (a fixed block domain under Nx data would
+    * quadratically blow up the pair space; blocking granularity is the
+    * documented scale knob, and the smoke measures the knob set
+    * correctly). q_bootstrap joins this tier: its exclusion from the
+    * default sweep was exactly that orders was not cloned.
+    */
+  private val relationalQueries = Seq(
+    "q_isotonic_cal", "q_record_linkage", "q_woe_iv", "q_bootstrap")
+
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated
     * component): wedge/triangle/peel work scales linearly by
@@ -223,16 +238,20 @@ object ScaleSmoke {
       .filter(_.nonEmpty) // blank-only value == unset, not "run nothing"
     only.foreach { names =>
       val unknown = names -- ScaleSmoke.queries -- ScaleSmoke.graphQueries --
-        ScaleSmoke.fixedProbeNames
+        ScaleSmoke.fixedProbeNames -- ScaleSmoke.relationalQueries
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in ScaleSmoke.queries: ${unknown.mkString(",")}")
     }
-    // graph entries are opt-in (see graphQueries doc): the default sweep
-    // excludes them, an explicit SPARK_GRAFT_ONLY includes them
-    val queries = (ScaleSmoke.queries ++ ScaleSmoke.graphQueries)
+    // graph + relational entries are opt-in (see their docs): the
+    // default sweep excludes them, an explicit SPARK_GRAFT_ONLY
+    // includes them
+    val optIn = ScaleSmoke.graphQueries ++ ScaleSmoke.relationalQueries
+    val queries =
+      (ScaleSmoke.queries ++ ScaleSmoke.graphQueries ++
+        ScaleSmoke.relationalQueries)
       .filter(q => only match {
         case Some(names) => names.contains(q)
-        case None => !ScaleSmoke.graphQueries.contains(q)
+        case None => !optIn.contains(q)
       })
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
@@ -244,7 +263,8 @@ object ScaleSmoke {
     // then overwrite documents with the shifted-id copies.
     val dst = java.nio.file.Paths.get(work)
     java.nio.file.Files.createDirectories(dst)
-    val scaled = Set("documents", "embeddings", "events", "lineitem")
+    val scaled = Set("documents", "embeddings", "events", "lineitem",
+      "orders", "customer")
     Tables.names.filterNot(scaled).foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"), dst.resolve(s"$t.parquet"),
@@ -275,6 +295,26 @@ object ScaleSmoke {
         .withColumn("user_id", col("user_id") + lit(k * uStep)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$work/events.parquet")
+    }
+
+    // orders: shifted order keys, fixed bin/category domains — per-bin
+    // counts grow Nx, the honest partial-aggregation stress
+    buildNx("orders", "o_orderkey")
+    // customer: shift BOTH custkey and nationkey — the linkage blocking
+    // domain grows Nx with per-block density constant (see
+    // relationalQueries doc: fixed blocks under Nx data would
+    // quadratically blow up the pair space by design, not by accident)
+    locally {
+      val df = Tables(spark, src, "customer")
+      val cStep = df.agg(max(col("c_custkey"))).head().getLong(0) + 1
+      val nStep = df.agg(max(col("c_nationkey").cast("long")))
+        .head().getLong(0) + 1
+      (0 until copies).map(k => df
+        .withColumn("c_custkey", col("c_custkey") + lit(k * cStep))
+        .withColumn("c_nationkey",
+          (col("c_nationkey") + lit(k * nStep)).cast("int")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$work/customer.parquet")
     }
 
     // lineitem: shift BOTH keys so every copy is a disjoint component of
