@@ -184,7 +184,10 @@ object ScaleSmoke {
     // orders/customer, which this smoke does not clone — they would
     // time 1x tables and report meaningless flat factors, the
     // q_bootstrap exclusion.)
-    "q_shard_assign", "q_blocklist")
+    "q_shard_assign", "q_blocklist",
+    // the production-dictionary variant: same one-AC-pass plan, 24x the
+    // dictionary — per-row cost must stay flat (the kernel claim)
+    "q_blocklist_240")
 
   /** Relational tier at Nx orders/customers (opt-in via
     * SPARK_GRAFT_ONLY, like the graph tier): orders clone by shifted

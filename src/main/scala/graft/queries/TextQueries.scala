@@ -2638,30 +2638,46 @@ object TextQueries {
     // cross-implementation proof. Only |dict|-keyed partials plus one
     // counter row cross exchanges.
     "q_blocklist" -> { (s, dir) =>
-      val phrases = BlocklistPhrases
-      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-      val counts = call_function("graft_multi_count", col("text"),
-        lit(phrases.mkString(",")))
-      val phraseArr = array(phrases.map(lit): _*)
-      val perPhrase = d
-        .select(posexplode(counts).as(Seq("pos", "o")))
-        .groupBy("pos")
-        .agg(sum(when(col("o") > 0, 1L).otherwise(0L)).as("n_docs"),
-          sum(col("o")).as("n_occurrences"))
-        .select(element_at(phraseArr, col("pos") + 1).as("phrase"),
-          col("n_docs"), col("n_occurrences"))
-        // 10 rows; reused by the union AND the '__any__' total below
-        .localCheckpoint()
-      val anyDocs = d
-        .select((array_max(counts) > 0).as("f"))
-        .agg(sum(when(col("f"), 1L).otherwise(0L)).as("n_docs"))
-      val anyRow = anyDocs
-        .join(broadcast(perPhrase.agg(sum(col("n_occurrences"))
-          .as("n_occurrences"))))
-        .select(lit("__any__").as("phrase"), col("n_docs"),
-          col("n_occurrences"))
-      perPhrase.unionByName(anyRow).orderBy("phrase")
+      blocklistGate(Tables(s, dir, "documents"), BlocklistPhrases)
+    },
+
+    // The same gate at a production-shaped dictionary (240 phrases —
+    // the C4-badwords order of magnitude): identical plan, identical
+    // oracle construction, so the driver's hash gate certifies the AC
+    // kernel at the dictionary size where the one-pass design is the
+    // difference between 0.2 s and 5 s per sweep (graft.AcBench).
+    "q_blocklist_240" -> { (s, dir) =>
+      blocklistGate(Tables(s, dir, "documents"), BlocklistPhrases240)
     })
+
+  /** Shared body of the blocklist queries: per-phrase rows + the
+    * '__any__' roll-up, counting through `graft_multi_count` (one AC
+    * pass per document for the whole dictionary).
+    */
+  private def blocklistGate(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val counts = call_function("graft_multi_count", col("text"),
+      lit(phrases.mkString(",")))
+    val phraseArr = array(phrases.map(lit): _*)
+    val perPhrase = d
+      .select(posexplode(counts).as(Seq("pos", "o")))
+      .groupBy("pos")
+      .agg(sum(when(col("o") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("o")).as("n_occurrences"))
+      .select(element_at(phraseArr, col("pos") + 1).as("phrase"),
+        col("n_docs"), col("n_occurrences"))
+      // |dict| rows; reused by the union AND the '__any__' total below
+      .localCheckpoint()
+    val anyDocs = d
+      .select((array_max(counts) > 0).as("f"))
+      .agg(sum(when(col("f"), 1L).otherwise(0L)).as("n_docs"))
+    val anyRow = anyDocs
+      .join(broadcast(perPhrase.agg(sum(col("n_occurrences"))
+        .as("n_occurrences"))))
+      .select(lit("__any__").as("phrase"), col("n_docs"),
+        col("n_occurrences"))
+    perPhrase.unionByName(anyRow).orderBy("phrase")
+  }
 
   /** The q_blocklist dictionary: two-word phrases over the corpus
     * vocabulary, none a substring of another and none self-overlapping
@@ -2671,6 +2687,19 @@ object TextQueries {
   private[graft] val BlocklistPhrases = Seq(
     "big table", "big vector", "fast merge", "hash join", "slow query",
     "slow scan", "small batch", "sort merge", "stream filter", "window agg")
+
+  /** The production-shaped dictionary for q_blocklist_240: 240 two-word
+    * phrases over the generator vocabulary (same construction as
+    * graft.AcBench's). Distinct-word pairs have no proper border, so
+    * the same AC ≡ replace-identity equivalence holds.
+    */
+  private[graft] val BlocklistPhrases240: Seq[String] = {
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "line", "sort", "window",
+      "spark", "order", "data", "column", "join", "small", "customer",
+      "query", "big", "stream", "group", "filter", "vector")
+    (for (a <- vocab; b <- vocab if a != b) yield s"$a $b").take(240)
+  }
 
   /** DuckDB twin of [[TextOps.langIdNgram]], with the same deterministic
     * trigram profiles interpolated as literals so both engines score
@@ -3996,6 +4025,33 @@ object TextQueries {
        FROM u ORDER BY source, lang"""
   }
 
+  /** DuckDB twin of [[blocklistGate]]: the replace-length occurrence
+    * identity per (doc, phrase) row — generic over the phrase column,
+    * so the SQL stays dictionary-size-independent; the '__any__' row's
+    * flagged-doc count is a distinct-doc filter over the same frame.
+    */
+  private def blocklistOracle(phrases: Seq[String]): String = {
+    val vals = phrases.map(p => s"('$p')").mkString(", ")
+    s"""WITH p(phrase) AS (SELECT * FROM (VALUES $vals)),
+       occ AS (
+         SELECT doc_id, phrase,
+           CAST((length(text) - length(replace(text, phrase, '')))
+             / length(phrase) AS BIGINT) AS o
+         FROM documents CROSS JOIN p),
+       per AS (
+         SELECT phrase,
+           CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(o) AS BIGINT) AS n_occurrences
+         FROM occ GROUP BY 1),
+       anyr AS (
+         SELECT '__any__' AS phrase,
+           CAST(count(DISTINCT CASE WHEN o > 0 THEN doc_id END) AS BIGINT)
+             AS n_docs,
+           CAST(sum(o) AS BIGINT) AS n_occurrences
+         FROM occ)
+       SELECT * FROM per UNION ALL SELECT * FROM anyr ORDER BY phrase"""
+  }
+
   val oracles: Map[String, String] = Map(
     // HRW re-derived per (doc, shard) row: same md5 keys, argmax via
     // arg_max over the same lowercase-hex strings (bytewise comparison
@@ -4017,29 +4073,8 @@ object TextQueries {
     // same replace-length occurrence identity per phrase, same
     // '__any__' roll-up; the dictionary is interpolated from the one
     // shared Scala list so the two engines can never drift
-    "q_blocklist" -> {
-      val vals = BlocklistPhrases.map(p => s"('$p')").mkString(", ")
-      val occ = """CAST((length(text) - length(replace(text, phrase, '')))
-                   / length(phrase) AS BIGINT)"""
-      val anyOcc = BlocklistPhrases.map(p =>
-        s"""CAST((length(text) - length(replace(text, '$p', '')))
-             / ${p.length} AS BIGINT)""").mkString(" + ")
-      s"""WITH p(phrase) AS (SELECT * FROM (VALUES $vals)),
-         occ AS (
-           SELECT phrase, $occ AS o
-           FROM documents CROSS JOIN p),
-         per AS (
-           SELECT phrase,
-             CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
-             CAST(sum(o) AS BIGINT) AS n_occurrences
-           FROM occ GROUP BY 1),
-         anyr AS (
-           SELECT '__any__' AS phrase,
-             CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
-             CAST(sum(t) AS BIGINT) AS n_occurrences
-           FROM (SELECT $anyOcc AS t FROM documents))
-         SELECT * FROM per UNION ALL SELECT * FROM anyr ORDER BY phrase"""
-    },
+    "q_blocklist" -> blocklistOracle(BlocklistPhrases),
+    "q_blocklist_240" -> blocklistOracle(BlocklistPhrases240),
     "q_linear_quality" -> linearQualityOracle,
     "q_token_entropy" -> tokenEntropyOracle,
     "q_logreg_step" -> logregStepOracle,
