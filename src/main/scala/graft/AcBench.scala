@@ -22,15 +22,10 @@ object AcBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // two-word phrases over the generator vocabulary (borderless by
-    // distinct words), big enough to cross the replace chain's pain
-    // threshold; some phrases occur, most don't — the production shape
-    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
-      "value", "part", "hash", "merge", "batch", "line", "sort", "window",
-      "spark", "order", "data", "column", "join", "small", "customer",
-      "query", "big", "stream", "group", "filter", "vector")
-    val dict = (for (a <- vocab; b <- vocab if a != b) yield s"$a $b")
-      .take(dictSize)
+    // THE dictionary the registered q_blocklist_240 gates (first 240 of
+    // the same generator) — shared source, so the bench can't silently
+    // drift from what the oracle certifies
+    val dict = graft.queries.TextQueries.blocklistDict(dictSize)
     val d = Tables(spark, sfDir, "documents").select(col("text"))
     d.write.format("noop").mode("overwrite").save() // warm the scan
 
@@ -59,6 +54,14 @@ object AcBench {
     val (tAc, vAc) = time3(() => ac.head().getLong(0))
     val (tRp, vRp) = time3(() => replaceChain.head().getLong(0))
     require(vAc == vRp, s"spellings disagree: $vAc vs $vRp")
+    // per-DOCUMENT agreement (the grand total above could hide an
+    // overcount on one doc cancelling an undercount on another)
+    val perDocDiff = d.select(
+      aggregate(array(dict.map(occ): _*), lit(0L), _ + _).as("rp"),
+      aggregate(call_function("graft_multi_count", col("text"),
+        lit(dict.mkString(","))), lit(0L), _ + _).as("ac"))
+      .filter(col("rp") =!= col("ac")).count()
+    require(perDocDiff == 0L, s"spellings disagree on $perDocDiff documents")
     println(f"""{"metric":"ac_bench","dict":$dictSize,"occurrences":$vAc,""" +
       f""""replace_chain_s":$tRp%.3f,"ac_kernel_s":$tAc%.3f,""" +
       f""""speedup":${tRp / tAc}%.2f}""")

@@ -300,14 +300,18 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$work/events.parquet")
     }
 
-    // orders: shifted order keys, fixed bin/category domains — per-bin
-    // counts grow Nx, the honest partial-aggregation stress
-    buildNx("orders", "o_orderkey")
-    // customer: shift BOTH custkey and nationkey — the linkage blocking
-    // domain grows Nx with per-block density constant (see
-    // relationalQueries doc: fixed blocks under Nx data would
-    // quadratically blow up the pair space by design, not by accident)
-    locally {
+    // orders/customer clones feed ONLY the opt-in relational tier —
+    // skip the two max-key jobs + two Nx parquet writes when no
+    // selected query reads them, raw-copying the 1x files instead so
+    // anything incidentally touching the tables still resolves.
+    if (queries.exists(ScaleSmoke.relationalQueries.contains)) {
+      // orders: shifted order keys, fixed bin/category domains — per-bin
+      // counts grow Nx, the honest partial-aggregation stress
+      buildNx("orders", "o_orderkey")
+      // customer: shift BOTH custkey and nationkey — the linkage blocking
+      // domain grows Nx with per-block density constant (see
+      // relationalQueries doc: fixed blocks under Nx data would
+      // quadratically blow up the pair space by design, not by accident)
       val df = Tables(spark, src, "customer")
       val cStep = df.agg(max(col("c_custkey"))).head().getLong(0) + 1
       val nStep = df.agg(max(col("c_nationkey").cast("long")))
@@ -318,6 +322,10 @@ object ScaleSmoke {
           (col("c_nationkey") + lit(k * nStep)).cast("int")))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$work/customer.parquet")
+    } else Seq("orders", "customer").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"), dst.resolve(s"$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
     // lineitem: shift BOTH keys so every copy is a disjoint component of

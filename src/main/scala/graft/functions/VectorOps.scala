@@ -684,7 +684,8 @@ object VectorOps {
       .withColumn("rel", cosine(col("vec"), array(queryVec.map(lit): _*)))
       .localCheckpoint()
     var selected = Vector.empty[(Long, Seq[Double], Double)]
-    while (selected.size < k) {
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
       val div =
         if (selected.isEmpty) lit(0.0)
         else if (selected.size == 1)
@@ -696,8 +697,12 @@ object VectorOps {
         .select(col("id"), col("vec"),
           (lit(lambda) * col("rel") - lit(1 - lambda) * div).as("mmr"))
         .orderBy(col("mmr").desc, col("id")).limit(1)
-        .head()
-      selected :+= ((top.getLong(0), top.getSeq[Double](1), top.getDouble(2)))
+        .collect()
+      // Fewer candidates than k: return what exists instead of
+      // throwing head-of-empty mid-loop.
+      if (top.isEmpty) exhausted = true
+      else selected :+= ((top(0).getLong(0), top(0).getSeq[Double](1),
+        top(0).getDouble(2)))
     }
     import sp.implicits._
     selected.zipWithIndex

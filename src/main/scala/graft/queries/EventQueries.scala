@@ -1105,7 +1105,7 @@ object EventQueries {
         col("l_suppkey"),
         to_date(col("l_shipdate")).as("st"),
         date_add(to_date(col("l_shipdate")),
-          col("l_quantity").cast(IntegerType)).as("en"))
+          floor(col("l_quantity")).cast(IntegerType)).as("en"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("st"), col("en"))
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val prevMax = max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -1136,7 +1136,7 @@ object EventQueries {
         col("l_suppkey"),
         to_date(col("l_shipdate")).as("st"),
         date_add(to_date(col("l_shipdate")),
-          col("l_quantity").cast(IntegerType)).as("en"))
+          floor(col("l_quantity")).cast(IntegerType)).as("en"))
       // one scan, not a unionAll of two: each interval explodes into its
       // own (open, close) boundary pair
       val pts = iv.select(col("l_suppkey"), explode(array(
@@ -1948,7 +1948,7 @@ object EventQueries {
     "q_interval_coverage" ->
       """WITH iv AS (
            SELECT l_suppkey, CAST(l_shipdate AS DATE) AS st,
-             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS en
+             CAST(l_shipdate AS DATE) + CAST(floor(l_quantity) AS INTEGER) AS en
            FROM lineitem),
          flagged AS (
            SELECT l_suppkey, st, en,
@@ -1972,7 +1972,7 @@ object EventQueries {
     "q_interval_overlap" ->
       """WITH iv AS (
            SELECT l_suppkey, CAST(l_shipdate AS DATE) AS st,
-             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS en
+             CAST(l_shipdate AS DATE) + CAST(floor(l_quantity) AS INTEGER) AS en
            FROM lineitem),
          pts AS (
            SELECT l_suppkey, d, delta, count(*) AS c FROM (

@@ -2561,10 +2561,17 @@ object TextQueries {
         .select(col("doc_id"), col("text"))
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
         .mapPartitions(_.map { case (id, text) =>
-          val f = math.min(32, text.length / 16)
+          // Code-POINT positions and values (mod 256 for the 8-bit DIB
+          // gray), matching the oracle's character-based substring/
+          // ascii exactly for non-ASCII and astral text alike — UTF-16
+          // code units would silently diverge from DuckDB there.
+          val cps = text.codePointCount(0, text.length)
+          val f = math.min(32, cps / 16)
           if (f == 0) (id, 0L, 0L, 0L)
           else {
-            val grays = (0 until f).map(k => text.charAt(16 * k).toInt & 0xff)
+            val grays = (0 until f).map { k =>
+              text.codePointAt(text.offsetByCodePoints(0, 16 * k)) & 0xff
+            }
             val avi = MultimodalOps.grayFramesToAviDib(grays, 8, 6)
             val (nBits, sig) = MultimodalOps.videoFingerprint(id, avi)
             (id, f.toLong, nBits.toLong, sig)
@@ -2688,18 +2695,25 @@ object TextQueries {
     "big table", "big vector", "fast merge", "hash join", "slow query",
     "slow scan", "small batch", "sort merge", "stream filter", "window agg")
 
-  /** The production-shaped dictionary for q_blocklist_240: 240 two-word
-    * phrases over the generator vocabulary (same construction as
-    * graft.AcBench's). Distinct-word pairs have no proper border, so
-    * the same AC ≡ replace-identity equivalence holds.
+  /** Production-shaped dictionary generator: n two-word phrases over
+    * the generator vocabulary. Distinct-word pairs have no proper
+    * border, so the AC ≡ replace-identity equivalence holds at every
+    * size. The SINGLE source for both q_blocklist_240's gated
+    * dictionary and graft.AcBench's curve — so the bench always
+    * measures exactly the dictionary the oracle certifies.
     */
-  private[graft] val BlocklistPhrases240: Seq[String] = {
+  private[graft] def blocklistDict(n: Int): Seq[String] = {
     val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
       "value", "part", "hash", "merge", "batch", "line", "sort", "window",
       "spark", "order", "data", "column", "join", "small", "customer",
       "query", "big", "stream", "group", "filter", "vector")
-    (for (a <- vocab; b <- vocab if a != b) yield s"$a $b").take(240)
+    val all = for (a <- vocab; b <- vocab if a != b) yield s"$a $b"
+    require(n <= all.size, s"blocklistDict: max ${all.size} phrases, asked $n")
+    all.take(n)
   }
+
+  /** The production-shaped dictionary for q_blocklist_240. */
+  private[graft] val BlocklistPhrases240: Seq[String] = blocklistDict(240)
 
   /** DuckDB twin of [[TextOps.langIdNgram]], with the same deterministic
     * trigram profiles interpolated as literals so both engines score
@@ -3650,9 +3664,11 @@ object TextQueries {
        FROM sg ORDER BY doc_id"""
 
   /** DuckDB twin of q_video_fingerprint: the text chars ARE the flat
-    * frame grays (ascii of char 16k+1, 1-based), flat-gray BT.601 luma
-    * is the gray itself, so the signature is the same
-    * greater-than-next bit fold over up to 32 frames — all integers.
+    * frame grays (ascii of char 16k+1, 1-based, mod 256 to match the
+    * 8-bit DIB gray), flat-gray BT.601 luma is the gray itself, so the
+    * signature is the same greater-than-next bit fold over up to 32
+    * frames — all integers. Positions/lengths are CHARACTERS (code
+    * points) on both engines: Spark samples with offsetByCodePoints.
     */
   private val videoFingerprintOracle: String =
     """WITH n AS (
@@ -3661,7 +3677,7 @@ object TextQueries {
          FROM documents),
        g AS (
          SELECT doc_id, CAST(k AS BIGINT) AS f,
-           CAST(ascii(substring(text, CAST(16 * k + 1 AS INT), 1)) AS BIGINT) AS gray
+           CAST(ascii(substring(text, CAST(16 * k + 1 AS INT), 1)) AS BIGINT) % 256 AS gray
          FROM documents,
            unnest(range(0, least(CAST(32 AS BIGINT),
              CAST(floor(length(text) / 16) AS BIGINT)))) AS u(k)),

@@ -185,7 +185,10 @@ private[sources] class StagedReaderFactory(fullSchema: StructType,
           .padTo(fullSchema.length, StagedSink.NullSentinel)
         InternalRow.fromSeq(prunedSchema.fields.zip(srcPos).map { case (f, i) =>
           val v = parts(i)
-          if (v == StagedSink.NullSentinel) null
+          // Legacy files (pre- sentinel) encoded null as the empty
+          // string for non-string columns; keep reading them.
+          if (v == StagedSink.NullSentinel ||
+              (v.isEmpty && f.dataType != StringType)) null
           else f.dataType match {
             case LongType => v.toLong
             case IntegerType => v.toInt

@@ -227,4 +227,27 @@ class StagedSinkSpec extends SparkSpec {
     assert(back.map(_.getDouble(1)).toSeq == Seq(1.5, -0.25, 2.0))
     assert(back(0).getString(2) == "alpha" && back(2).isNullAt(2))
   }
+
+  test("legacy files encoding null as empty string still read as null") {
+    val path = tmp()
+    // Option[Long] -> nullable column: a legacy '' null can only have
+    // been written where the schema admitted null in the first place
+    Seq((Option(1L), "a"), (Option(2L), "b")).toDF("v", "s").coalesce(1)
+      .write.format("graft.sources.StagedSink").option("path", path)
+      .mode("append").save()
+    // rewrite the single committed part file with pre-sentinel content:
+    // old writers encoded a null non-string column as the empty string
+    val part = Files.list(Paths.get(path)).toArray.map(_.toString)
+      .filter(p => Paths.get(p).getFileName.toString.startsWith("part-"))
+    assert(part.length == 1, s"expected one part file, got ${part.length}")
+    Files.write(Paths.get(part.head),
+      "\u0001x\n3\u0001\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val back = StagedSink.readCommitted(spark, path).orderBy(asc_nulls_first("v")).collect()
+    assert(back.length == 2)
+    assert(back(0).isNullAt(0) && back(0).getString(1) == "x",
+      s"legacy empty-string null not mapped: ${back(0)}")
+    // a legacy full-width row with an empty STRING keeps the empty
+    // string (the old format could not distinguish it from null)
+    assert(back(1).getLong(0) == 3L && back(1).getString(1) == "")
+  }
 }

@@ -284,4 +284,16 @@ class VectorSpec extends SparkSpec {
     assert(math.sqrt(res) <= dim * 1e-6,
       s"residual ${math.sqrt(res)} vs rounding floor ${dim * 1e-6} (lambda $l)")
   }
+
+  test("mmrSelect with k past the candidate count returns what exists") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.8, 0.2)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.mmrSelect(corpus, Seq(1.0, 0.0), k = 10, lambda = 0.7)
+      .collect()
+    assert(out.length == 3, s"expected 3 rows for a 3-doc corpus, got ${out.length}")
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+    // greedy order still holds: most query-similar first
+    assert(out.head.getLong(1) == 1L)
+  }
 }
