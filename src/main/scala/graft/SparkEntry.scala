@@ -79,5 +79,7 @@ object SparkEntry {
     // r12 third wave: PAV isotonic calibration, Fellegi-Sunter record
     // linkage, rendezvous-hash shard routing, and the blocklist gate
     "q_isotonic_cal", "q_record_linkage", "q_shard_assign", "q_blocklist",
-    "q_woe_iv", "q_blocklist_240")
+    "q_woe_iv", "q_blocklist_240",
+    // r12 fourth wave: position-level exact repeated-substring spans
+    "q_repeated_spans")
 }

@@ -141,6 +141,25 @@ object TextQueries {
         .orderBy("text_hash")
     },
 
+    // Exact repeated-SUBSTRING detection (the within/cross-document
+    // span-level dedup of Lee et al. 2022, token-n-gram form): a
+    // position p in a doc is duplicated iff its 8-token gram occurs
+    // more than once in the ENTIRE corpus; overlapping/adjacent
+    // duplicated windows merge into spans (the interval-island fold).
+    // This is span-level — q_dedup_exact's whole-doc twin can't see a
+    // copied paragraph inside an otherwise-unique doc; this does.
+    // Scale shape: the corpus crosses as (gram, doc_id, pos) —
+    // O(total tokens) rows, ONE exchange keyed on the gram (a window
+    // count, not a self-join; no pair frame ever materializes), then
+    // one doc-keyed exchange for the span merge. The registered query
+    // keys the exchange on the gram TEXT for oracle-exact substring
+    // equality; the production swap is an 8-byte digest key
+    // (graft_md5_top32-style) + winnowing (q_winnow) to thin the
+    // position stream ~2/(w+1), both one-line changes to this plan.
+    "q_repeated_spans" -> { (s, dir) =>
+      repeatedSpans(Tables(s, dir, "documents"), 8)
+    },
+
     // MinHash+LSH: per-doc signature + band hashes (the shuffle keys for
     // candidate generation) + LSH candidate count. Rows-only check here;
     // pair semantics proven in DedupSpec with planted near-dups.
@@ -2691,6 +2710,44 @@ object TextQueries {
     * (no phrase has a proper border), so non-overlapping replace counts
     * equal all-occurrence counts and a future trie kernel would agree.
     */
+  /** Body of q_repeated_spans (see the registered entry's scaladoc):
+    * positions whose L-token gram repeats corpus-wide, merged into
+    * per-doc spans. Exposed for spec-level planted-duplication tests.
+    */
+  private[graft] def repeatedSpans(docs: DataFrame, L: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val g = t.select(col("doc_id"),
+      posexplode(when(size(col("toks")) >= L,
+        transform(sequence(lit(0), size(col("toks")) - L),
+          k => concat_ws(" ", slice(col("toks"), k + 1, lit(L)))))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+    val dup = g
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), col("pos"), (col("pos") + L).as("en"))
+    val w = Window.partitionBy("doc_id").orderBy("pos", "en")
+    val prevMax = max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dup
+      .withColumn("ni",
+        when(prevMax.isNull || col("pos") > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("st"), max("en").as("en2"),
+        count(lit(1)).as("npos"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("npos").as("n_dup_pos"),
+        sum(col("en2") - col("st")).as("dup_tokens"))
+    t.select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+          col("n_tokens"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   private[graft] val BlocklistPhrases = Seq(
     "big table", "big vector", "fast merge", "hash join", "slow query",
     "slow scan", "small batch", "sort merge", "stream filter", "window agg")
@@ -4069,6 +4126,48 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Repeated-span twin: same 8-token grams (1-based inclusive list
+    // slice), same corpus-wide window count, same island merge — all
+    // integers except the final rounded fraction.
+    "q_repeated_spans" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, CAST(u.k AS BIGINT) AS pos,
+             array_to_string(toks[CAST(u.k + 1 AS INT):CAST(u.k + 8 AS INT)], ' ') AS gram
+           FROM t, unnest(range(0, greatest(CAST(len(toks) AS BIGINT) - 7, 0))) AS u(k)),
+         c AS (
+           SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g),
+         p AS (
+           SELECT doc_id, pos, pos + 8 AS en FROM c WHERE n > 1),
+         fl AS (
+           SELECT doc_id, pos, en,
+             CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY pos, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(en) OVER (PARTITION BY doc_id ORDER BY pos, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS ni
+           FROM p),
+         isl AS (
+           SELECT doc_id, pos, en,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM fl),
+         spans AS (
+           SELECT doc_id, island, min(pos) AS st, max(en) AS en2,
+             count(*) AS npos
+           FROM isl GROUP BY doc_id, island),
+         perdoc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(npos) AS BIGINT) AS n_dup_pos,
+             CAST(sum(en2 - st) AS BIGINT) AS dup_tokens
+           FROM spans GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         COALESCE(pd.n_dup_pos, 0) AS n_dup_pos,
+         COALESCE(pd.n_spans, 0) AS n_spans,
+         round(COALESCE(pd.dup_tokens, 0) * 1.0 / len(t.toks), 6) AS dup_frac
+       FROM t LEFT JOIN perdoc pd ON pd.doc_id = t.doc_id
+       ORDER BY t.doc_id""",
     // HRW re-derived per (doc, shard) row: same md5 keys, argmax via
     // arg_max over the same lowercase-hex strings (bytewise comparison
     // in both engines), then the identical transition-matrix rollup

@@ -198,4 +198,25 @@ class DedupSpec extends SparkSpec {
     for (cell <- cells; Array((ia, _), (ib, _)) <- cell.combinations(2))
       assert(cos(vecs(ia), vecs(ib)) < 0.99, s"surviving pair ($ia,$ib) above threshold")
   }
+
+  test("repeatedSpans merges planted cross-doc and within-doc duplicated grams") {
+    val docs = Seq(
+      // docs 1/2 share the 6-token run s1..s6: overlapping duplicated
+      // 4-grams must merge into ONE span of 6 tokens in each doc
+      (1L, "u1 u2 s1 s2 s3 s4 s5 s6 u3 u4"),
+      (2L, "v1 v2 v3 s1 s2 s3 s4 s5 s6 v4"),
+      (3L, "w1 w2 w3 w4 w5"), // unique -> zero everywhere
+      // doc 4 repeats its own 4-token phrase: two disjoint spans
+      (4L, "x1 r1 r2 r3 r4 x2 x3 x4 x5 r1 r2 r3 r4 x6"),
+      (5L, "y1 y2")) // shorter than L: no grams at all
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.repeatedSpans(docs, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((10L, 3L, 1L, 0.6)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((10L, 3L, 1L, 0.6)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((5L, 0L, 0L, 0.0)), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((14L, 2L, 2L, 0.571429)), s"doc4: ${out(4L)}")
+    assert(out(5L) == ((2L, 0L, 0L, 0.0)), s"doc5: ${out(5L)}")
+  }
 }

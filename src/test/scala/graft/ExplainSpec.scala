@@ -278,6 +278,9 @@ class ExplainSpec extends SparkSpec {
     "q_pack_chunks" -> 1, "q_percentile" -> 2, "q_pii_redact" -> 1,
     "q_pivot" -> 3, "q_profile" -> 2, "q_quality_filter" -> 2,
     "q_range_join" -> 2, "q_regex_extract" -> 1, "q_repetition" -> 1,
+    // gram-keyed window + doc-keyed span merge + the n_tokens join;
+    // the groupBys reuse the doc partitioning
+    "q_repeated_spans" -> 3,
     "q_rest_scan" -> 2, "q_rollup" -> 2, "q_sample_stratified" -> 1,
     "q_scd2" -> 2,
     // q_naive_bayes: the train token stream crosses ONCE into the
