@@ -24,10 +24,11 @@ object ScaleSmoke {
     // span-count + repetition: one corpus-wide shuffle keyed on span
     // hash / (doc, token) — the exact-substring-dedup signal at Nx
     "q_span_dedup", "q_repetition",
-    // position-level repeated-gram spans: the O(total tokens) gram
-    // exchange is the honest linear term; clones plant Nx more
-    // duplicated grams, so the dup frame grows Nx too
-    "q_repeated_spans",
+    // position-level repeated-gram spans + their excision transform:
+    // the O(total tokens) gram exchange is the honest linear term;
+    // clones plant Nx more duplicated grams, so the dup frame grows
+    // Nx too (the clone corpus is the WORST case — 100% duplicated)
+    "q_repeated_spans", "q_span_excise",
     // decontamination: corpus spans probe a broadcast of benchmark span
     // hashes map-side (in production the benchmark is FIXED size; in
     // this smoke the %50 benchmark grows with the corpus, stressing the

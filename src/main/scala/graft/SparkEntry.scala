@@ -81,5 +81,6 @@ object SparkEntry {
     "q_isotonic_cal", "q_record_linkage", "q_shard_assign", "q_blocklist",
     "q_woe_iv", "q_blocklist_240",
     // r12 fourth wave: position-level exact repeated-substring spans
-    "q_repeated_spans")
+    // and their excision transform
+    "q_repeated_spans", "q_span_excise")
 }

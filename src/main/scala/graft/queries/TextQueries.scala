@@ -160,6 +160,12 @@ object TextQueries {
       repeatedSpans(Tables(s, dir, "documents"), 8)
     },
 
+    // The remediation twin: excise every duplicated 8-gram span and
+    // hash the surviving text (see exciseRepeatedSpans).
+    "q_span_excise" -> { (s, dir) =>
+      exciseRepeatedSpans(Tables(s, dir, "documents"), 8)
+    },
+
     // MinHash+LSH: per-doc signature + band hashes (the shuffle keys for
     // candidate generation) + LSH candidate count. Rows-only check here;
     // pair semantics proven in DedupSpec with planted near-dups.
@@ -2714,8 +2720,16 @@ object TextQueries {
     * positions whose L-token gram repeats corpus-wide, merged into
     * per-doc spans. Exposed for spec-level planted-duplication tests.
     */
-  private[graft] def repeatedSpans(docs: DataFrame, L: Int): DataFrame = {
-    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+  /** (doc_id, toks) token frame shared by the repeated-span family. */
+  private def spanTokFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+
+  /** Merged duplicated-gram spans per doc: (doc_id, island, st, en2,
+    * npos) with [st, en2) half-open in token positions. The gram-keyed
+    * window count is the one corpus-wide exchange; the doc-keyed
+    * window merges islands.
+    */
+  private def dupSpanFrame(t: DataFrame, L: Int): DataFrame = {
     val g = t.select(col("doc_id"),
       posexplode(when(size(col("toks")) >= L,
         transform(sequence(lit(0), size(col("toks")) - L),
@@ -2727,7 +2741,7 @@ object TextQueries {
       .select(col("doc_id"), col("pos"), (col("pos") + L).as("en"))
     val w = Window.partitionBy("doc_id").orderBy("pos", "en")
     val prevMax = max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = dup
+    dup
       .withColumn("ni",
         when(prevMax.isNull || col("pos") > prevMax, 1L).otherwise(0L))
       .withColumn("island",
@@ -2735,7 +2749,11 @@ object TextQueries {
       .groupBy(col("doc_id"), col("island"))
       .agg(min("pos").as("st"), max("en").as("en2"),
         count(lit(1)).as("npos"))
-    val perDoc = spans.groupBy("doc_id")
+  }
+
+  private[graft] def repeatedSpans(docs: DataFrame, L: Int): DataFrame = {
+    val t = spanTokFrame(docs)
+    val perDoc = dupSpanFrame(t, L).groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum("npos").as("n_dup_pos"),
         sum(col("en2") - col("st")).as("dup_tokens"))
     t.select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"))
@@ -2745,6 +2763,35 @@ object TextQueries {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
           col("n_tokens"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** The remediation half of the repeated-span pair: EXCISE every
+    * duplicated span (the boilerplate-removal transform — dedup-first
+    * ordering has already collapsed whole-doc clones, so what repeats
+    * across the survivors is shared boilerplate, and removing every
+    * occurrence is the standard treatment). Output is per-doc attrition
+    * accounting plus the md5 of the excised text (both engines rebuild
+    * the text from the SAME token frame, so the hash pins the full
+    * transform, not just the counts). In-row work after the span
+    * frames: the token filter is one higher-order `filter` with the
+    * per-doc span list as its lambda environment — no extra exchange.
+    */
+  private[graft] def exciseRepeatedSpans(docs: DataFrame, L: Int): DataFrame = {
+    val t = spanTokFrame(docs)
+    val spans = dupSpanFrame(t, L).groupBy("doc_id")
+      .agg(collect_list(struct(col("st"), col("en2"))).as("spans"))
+    t.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("spans").isNull, col("toks"))
+        .otherwise(filter(col("toks"), (_, i) =>
+          !exists(col("spans"),
+            s => s.getField("st") <= i && i < s.getField("en2")))))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast(LongType).as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("excised_md5"),
+        round(size(col("kept")).cast(DoubleType) / size(col("toks")), 6)
+          .as("retained_frac"))
       .orderBy("doc_id")
   }
 
@@ -4167,6 +4214,55 @@ object TextQueries {
          COALESCE(pd.n_spans, 0) AS n_spans,
          round(COALESCE(pd.dup_tokens, 0) * 1.0 / len(t.toks), 6) AS dup_frac
        FROM t LEFT JOIN perdoc pd ON pd.doc_id = t.doc_id
+       ORDER BY t.doc_id""",
+    // Excision twin: same span CTE chain, then every covered token
+    // position is dropped and the survivor text re-agreed token-by-token
+    // (string_agg ORDER BY idx) so the md5 pins the transform exactly.
+    "q_span_excise" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, CAST(u.k AS BIGINT) AS pos,
+             array_to_string(toks[CAST(u.k + 1 AS INT):CAST(u.k + 8 AS INT)], ' ') AS gram
+           FROM t, unnest(range(0, greatest(CAST(len(toks) AS BIGINT) - 7, 0))) AS u(k)),
+         c AS (
+           SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g),
+         p AS (
+           SELECT doc_id, pos, pos + 8 AS en FROM c WHERE n > 1),
+         fl AS (
+           SELECT doc_id, pos, en,
+             CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY pos, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(en) OVER (PARTITION BY doc_id ORDER BY pos, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS ni
+           FROM p),
+         isl AS (
+           SELECT doc_id, pos, en,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM fl),
+         spans AS (
+           SELECT doc_id, island, min(pos) AS st, max(en) AS en2
+           FROM isl GROUP BY doc_id, island),
+         tok AS (
+           SELECT doc_id, CAST(u.k AS BIGINT) AS idx,
+             toks[CAST(u.k + 1 AS INT)] AS tok
+           FROM t, unnest(range(0, CAST(len(toks) AS BIGINT))) AS u(k)),
+         keep AS (
+           SELECT tk.doc_id, tk.idx, tk.tok
+           FROM tok tk
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+             WHERE s.doc_id = tk.doc_id AND s.st <= tk.idx AND tk.idx < s.en2)),
+         newt AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS txt,
+             CAST(count(*) AS BIGINT) AS nk
+           FROM keep GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(len(t.toks) - COALESCE(nt.nk, 0) AS BIGINT) AS n_removed,
+         md5(COALESCE(nt.txt, '')) AS excised_md5,
+         round(COALESCE(nt.nk, 0) * 1.0 / len(t.toks), 6) AS retained_frac
+       FROM t LEFT JOIN newt nt ON nt.doc_id = t.doc_id
        ORDER BY t.doc_id""",
     // HRW re-derived per (doc, shard) row: same md5 keys, argmax via
     // arg_max over the same lowercase-hex strings (bytewise comparison

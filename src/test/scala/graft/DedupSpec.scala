@@ -218,5 +218,18 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((5L, 0L, 0L, 0.0)), s"doc3: ${out(3L)}")
     assert(out(4L) == ((14L, 2L, 2L, 0.571429)), s"doc4: ${out(4L)}")
     assert(out(5L) == ((2L, 0L, 0L, 0.0)), s"doc5: ${out(5L)}")
+
+    // the excision twin on the same corpus: spans cut, survivors hashed
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ex = graft.queries.TextQueries.exciseRepeatedSpans(docs, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))).toMap
+    assert(ex(1L) == ((10L, 6L, h("u1 u2 u3 u4"), 0.4)), s"doc1: ${ex(1L)}")
+    assert(ex(2L) == ((10L, 6L, h("v1 v2 v3 v4"), 0.4)), s"doc2: ${ex(2L)}")
+    assert(ex(3L) == ((5L, 0L, h("w1 w2 w3 w4 w5"), 1.0)), s"doc3: ${ex(3L)}")
+    assert(ex(4L) == ((14L, 8L, h("x1 x2 x3 x4 x5 x6"), 0.428571)),
+      s"doc4: ${ex(4L)}")
+    assert(ex(5L) == ((2L, 0L, h("y1 y2"), 1.0)), s"doc5: ${ex(5L)}")
   }
 }

@@ -281,6 +281,9 @@ class ExplainSpec extends SparkSpec {
     // gram-keyed window + doc-keyed span merge + the n_tokens join;
     // the groupBys reuse the doc partitioning
     "q_repeated_spans" -> 3,
+    // same chain; at runtime AQE broadcasts the span side of the
+    // excision join (measured: shuffle bytes ≈ the gram stream alone)
+    "q_span_excise" -> 3,
     "q_rest_scan" -> 2, "q_rollup" -> 2, "q_sample_stratified" -> 1,
     "q_scd2" -> 2,
     // q_naive_bayes: the train token stream crosses ONCE into the
