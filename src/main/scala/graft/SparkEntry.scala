@@ -80,7 +80,7 @@ object SparkEntry {
     // linkage, rendezvous-hash shard routing, and the blocklist gate
     "q_isotonic_cal", "q_record_linkage", "q_shard_assign", "q_blocklist",
     "q_woe_iv", "q_blocklist_240",
-    // r12 fourth wave: position-level exact repeated-substring spans
-    // and their excision transform
-    "q_repeated_spans", "q_span_excise")
+    // r12 fourth wave: position-level exact repeated-substring spans,
+    // their excision transform, and the zero-shuffle bucketed join
+    "q_repeated_spans", "q_span_excise", "q_bucket_join")
 }

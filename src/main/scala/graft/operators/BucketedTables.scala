@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed co-located joins: pre-shuffle the fact tables ONCE at write
+  * time (`bucketBy` on the join key), then every subsequent join or
+  * aggregate keyed on that column runs with ZERO shuffle exchanges — the
+  * bucketed scan reports `HashPartitioning(key, n)` and EnsureRequirements
+  * finds both sides already co-partitioned.
+  *
+  * This is the 100 TB answer to the catalog's repeated lineitem⋈orders
+  * exchange: at scale the orderkey shuffle is the single largest data
+  * movement in the TPC-H-shaped tier, and it is IDENTICAL across every
+  * query that runs it. Bucketing amortizes it to one write. The demo
+  * query (`q_bucket_join`) joins the two bucketed tables and aggregates
+  * on the bucket key: the static plan holds no ShuffleExchange at all
+  * (pinned in ExplainSpec at budget 0) — the only remaining movement is
+  * the driver-side top-k merge (TakeOrderedAndProject).
+  *
+  * Mechanics worth stating for the plan audit:
+  *  - `.hint("merge")` pins sort-merge: without it the planner would
+  *    broadcast the sub-threshold orders side at small SFs and the plan
+  *    would stop demonstrating co-location (broadcast is also shuffle-free
+  *    but does not scale to two large facts — the case bucketing exists
+  *    for).
+  *  - `groupBy(o_orderkey, …)` is satisfied by the join's
+  *    `PartitioningCollection` (o_orderkey ∈ grouping keys), so the
+  *    aggregate needs no exchange either.
+  *  - Buckets are written once per (session, sf-dir) into the JVM temp
+  *    dir and registered in the session catalog; re-runs (Bench's
+  *    min-of-3) reuse them, which is exactly the production semantics —
+  *    the bucketed table IS the stored layout, not a per-query cost.
+  */
+object BucketedTables {
+
+  val NumBuckets = 8
+
+  /** Idempotently materialize lineitem + orders bucketed by orderkey for
+    * `dir`; returns the two catalog table names.
+    */
+  def ensure(s: SparkSession, dir: String): (String, String) = synchronized {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (lt, ot) = (s"graft_lineitem_bkt_$tag", s"graft_orders_bkt_$tag")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_buckets/$tag"
+    if (!s.catalog.tableExists(lt)) {
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_quantity")
+        .write.mode("overwrite").option("path", s"$root/lineitem")
+        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lt)
+    }
+    if (!s.catalog.tableExists(ot)) {
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+        .write.mode("overwrite").option("path", s"$root/orders")
+        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ot)
+    }
+    (lt, ot)
+  }
+
+  /** The co-located join + bucket-key aggregate over the two tables. */
+  def bucketJoin(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (lt, ot) = ensure(s, dir)
+    (s.table(lt), s.table(ot))
+  }
+}

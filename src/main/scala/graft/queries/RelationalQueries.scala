@@ -831,6 +831,27 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Bucketed co-located join: lineitem + orders pre-shuffled at WRITE
+    // time (`bucketBy(8, orderkey)` — see BucketedTables), then the
+    // join AND the bucket-key aggregate run with ZERO shuffle exchanges;
+    // the only cross-partition movement left is TakeOrderedAndProject's
+    // driver-side top-k merge. At 100 TB this amortizes the catalog's
+    // single largest repeated exchange (the orderkey shuffle) into one
+    // stored layout. `.hint("merge")` keeps the demo honest at small SF
+    // (otherwise the sub-threshold orders side would broadcast, which is
+    // also shuffle-free but does not scale to two large facts).
+    "q_bucket_join" -> { (s, dir) =>
+      val (li, o) = graft.operators.BucketedTables.bucketJoin(s, dir)
+      li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(graft.ops.CoreOps.dsumExact(
+            col("l_extendedprice").cast(DecimalType(18, 4)) *
+              (lit(1).cast(DecimalType(18, 4)) -
+                col("l_discount").cast(DecimalType(18, 4)))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(100)
+    },
+
     // RFM customer segmentation (recency / frequency / monetary
     // quartiles) — the classic behavioral-cohort labeling. Scale shape:
     // ONE shuffle builds the per-customer profile (map-side partial
@@ -2413,6 +2434,15 @@ object RelationalQueries {
          count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token HAVING count(DISTINCT doc_id) >= 100 ORDER BY token""",
+    // Same relational content as the bucketed Spark plan — DuckDB has no
+    // bucket layout to exploit, so the oracle is the plain join+agg.
+    "q_bucket_join" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+          ${decToDouble(s"sum($discountedDec)")} AS revenue,
+          count(*) AS n_items
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderkey, o_orderpriority
+          ORDER BY revenue DESC, o_orderkey LIMIT 100""",
     "q_skew_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty

@@ -284,6 +284,10 @@ class ExplainSpec extends SparkSpec {
     // same chain; at runtime AQE broadcasts the span side of the
     // excision join (measured: shuffle bytes ≈ the gram stream alone)
     "q_span_excise" -> 3,
+    // q_bucket_join: the POINT of the entry — bucketed scans co-locate
+    // the join AND the bucket-key aggregate, so the static plan holds
+    // zero shuffle exchanges end-to-end (top-k is TakeOrderedAndProject)
+    "q_bucket_join" -> 0,
     "q_rest_scan" -> 2, "q_rollup" -> 2, "q_sample_stratified" -> 1,
     "q_scd2" -> 2,
     // q_naive_bayes: the train token stream crosses ONCE into the
