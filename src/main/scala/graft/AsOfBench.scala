@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Micro-bench for the whole-operator as-of join (streaming merge,
+  * `plans/NativeAsOfJoin`) vs the composed union+window spelling
+  * (`operators/AsOfJoin`) on a SKEWED key distribution — the case the
+  * native exec exists for: `WindowExec` buffers each key group into an
+  * `ExternalAppendOnlyUnsafeRowArray` before evaluating the frame, so a
+  * hot key materializes (and past the threshold, SPILLS) its whole
+  * group, while the merge holds one right row + one best match whatever
+  * the skew.
+  *
+  * Synthetic workload: SPARK_GRAFT_ROWS right rows (default 4M) and
+  * rows/10 left rows over 1000 keys, with SPARK_GRAFT_HOT_PCT percent
+  * (default 80) of BOTH sides on a single hot key — the "one user is a
+  * bot" shape. Timestamps deterministic (xxhash64 of the row id), so
+  * both spellings join the same data. Prints one JSON line with min-of-3
+  * wall seconds per spelling and a matched-row cross-check.
+  *
+  * Usage: runMain graft.AsOfBench  (env: SPARK_GRAFT_ROWS,
+  * SPARK_GRAFT_HOT_PCT, SPARK_GRAFT_CPUS)
+  */
+object AsOfBench {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "4000000").toLong
+    val hotPct = sys.env.getOrElse("SPARK_GRAFT_HOT_PCT", "80").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def frame(n: Long, payloadName: String) = spark.range(n).select(
+      when(pmod(xxhash64(col("id"), lit(payloadName)), lit(100)) < hotPct, lit(0L))
+        .otherwise(pmod(xxhash64(col("id"), lit(payloadName), lit("k")), lit(1000L)))
+        .as("user_id"),
+      timestamp_micros(pmod(xxhash64(col("id"), lit(payloadName), lit("t")),
+        lit(1000000000L))).as("ts"),
+      col("id").as(payloadName))
+    val right = frame(rows, "p").localCheckpoint()
+    val left = frame(rows / 10, "v").localCheckpoint()
+
+    def native() = graft.plans.NativeAsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("p"), tieBreak = Some("p"))
+      .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
+        coalesce(sum(col("asof_p")), lit(0L)).as("s"))
+    def composed() = graft.operators.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("p"), tieBreak = Some("p"))
+      .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
+        coalesce(sum(col("asof_p")), lit(0L)).as("s"))
+
+    // a FRESH DataFrame per run: re-collecting one Dataset object reuses
+    // its AQE-materialized shuffle stages and times only the tail stage
+    def time3(mk: () => org.apache.spark.sql.DataFrame): (Double, Long, Long, Long) = {
+      var best = Double.MaxValue
+      var mm = 0L; var nn = 0L; var ss = 0L
+      (1 to 3).foreach { _ =>
+        val df = mk()
+        val t0 = System.nanoTime()
+        val r = df.collect()(0)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        mm = r.getLong(0); nn = r.getLong(1); ss = r.getLong(2)
+      }
+      (best, mm, nn, ss)
+    }
+    val (tn, mn, nn, sn) = time3(native)
+    val (tc, mc, nc, sc) = time3(composed)
+    require(mn == mc && nn == nc && sn == sc,
+      s"spellings disagree: native ($mn/$nn/$sn) vs composed ($mc/$nc/$sc)")
+    println(s"""{"bench":"asof_skew","rows":$rows,"hot_pct":$hotPct,""" +
+      s""""native_sec":${math.round(tn * 100) / 100.0},""" +
+      s""""composed_sec":${math.round(tc * 100) / 100.0},""" +
+      s""""matched":$mn,"left_rows":$nn,""" +
+      s""""speedup":${math.round(tc / tn * 100) / 100.0}}""")
+    spark.stop()
+  }
+}

@@ -81,6 +81,7 @@ object SparkEntry {
     "q_isotonic_cal", "q_record_linkage", "q_shard_assign", "q_blocklist",
     "q_woe_iv", "q_blocklist_240",
     // r12 fourth wave: position-level exact repeated-substring spans,
-    // their excision transform, and the zero-shuffle bucketed join
-    "q_repeated_spans", "q_span_excise", "q_bucket_join")
+    // their excision transform, the zero-shuffle bucketed join, and the
+    // whole-operator (LogicalPlan+Strategy+SparkPlan) as-of join
+    "q_repeated_spans", "q_span_excise", "q_bucket_join", "q_asof_native")
 }

@@ -1097,11 +1097,18 @@ object GraftFunctions {
       }))
 
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     fns.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
+    // planner tier for sessions built WITHOUT spark.sql.extensions (the
+    // imperative registration path): extraStrategies is the
+    // runtime-injectable twin of injectPlannerStrategy
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -1112,5 +1119,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer tier: HOF-spelling -> native-kernel rewrites
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofSum)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -99,7 +99,7 @@ object AsOfJoin {
     * user frames read from naive-timestamp parquet work without a
     * pre-cast; every downstream gap computation then sees one type.
     */
-  private def normTs(df: DataFrame, ts: String): DataFrame =
+  private[graft] def normTs(df: DataFrame, ts: String): DataFrame =
     df.schema(ts).dataType match {
       case TimestampNTZType => df.withColumn(ts, col(ts).cast(TimestampType))
       case _ => df

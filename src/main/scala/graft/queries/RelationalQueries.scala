@@ -132,6 +132,25 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // The same as-of join through the custom WHOLE-OPERATOR path: a
+    // graft LogicalPlan planned by an injected SparkStrategy onto a
+    // streaming-merge SparkPlan (plans/NativeAsOfJoin.scala). Same
+    // oracle as q_asof_join — the two implementations must agree
+    // bit-for-bit. The native exec holds O(1) state per key group where
+    // the window composition's WindowExec buffers the whole group (the
+    // skew-safety case; measured in AsOfBench).
+    "q_asof_native" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.plans.NativeAsOfJoin
+        .asOf(purchases, clicks, "user_id", "ts", Seq("click_id"))
+        .select(col("user_id"), col("event_id"), col("value"), col("asof_click_id"))
+        .orderBy("event_id")
+    },
+
     // Interval-overlap join: per-customer order pairs whose service
     // windows [orderdate, orderdate + orderkey%30 days] overlap. The
     // equi key (custkey) bounds the fan-out — the overlap predicate only
@@ -2531,6 +2550,17 @@ object RelationalQueries {
            ON l_extendedprice >= p_retailprice - 10 AND l_extendedprice <= p_retailprice + 10
          GROUP BY p_partkey ORDER BY p_partkey""",
     "q_asof_join" ->
+      """SELECT user_id, event_id, value, asof_click_id FROM (
+           SELECT user_id, event_id, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+           FROM events WHERE event_type IN ('click', 'purchase'))
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+    // identical SQL to q_asof_join by design: the native whole-operator
+    // path must agree with the window composition bit-for-bit
+    "q_asof_native" ->
       """SELECT user_id, event_id, value, asof_click_id FROM (
            SELECT user_id, event_id, event_type, value,
              last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)

@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators.AsOfJoin
+import graft.plans.NativeAsOfJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The native whole-operator as-of join (LogicalPlan + Strategy +
+  * streaming-merge SparkPlan) cross-checked against the composed
+  * union+window operator on randomized inputs across every option
+  * combination, plus planted edge cases the generator can't guarantee
+  * and the null-semantics contract where the native operator is
+  * deliberately stricter than the window composition.
+  */
+class NativeAsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tsDf(rows: Seq[(Long, Long, Long)], payloadName: String): DataFrame =
+    rows.toDF("user_id", "mus", payloadName)
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+
+  private def canon(df: DataFrame): Seq[(Long, Long, Any)] =
+    df.select(col("user_id"), col("v"), col("asof_p"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+
+  /** Random parity: 40 keys, 1500 rows a side, micro-second timestamps
+    * drawn from a small range so at-or-equal ties and empty groups both
+    * occur; right (key, ts) pairs deduped except in the tie-break runs
+    * (without a tie-break BOTH operators are partition-order-dependent
+    * on duplicate right timestamps, so equality is only defined with
+    * one).
+    */
+  test("randomized parity with the composed operator (all modes)") {
+    val rnd = new scala.util.Random(42)
+    def gen(n: Int): Seq[(Long, Long, Long)] =
+      (1 to n).map(i => (rnd.nextInt(40).toLong, rnd.nextInt(5000).toLong * 1000L, i.toLong))
+    val left = tsDf(gen(1500), "v")
+    val rightRaw = gen(1500)
+    val rightDedup = tsDf(
+      rightRaw.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq, "p")
+    val rightDup = tsDf(rightRaw, "p")
+
+    // composed backward tolerance is emulated by carrying the matched
+    // right ts (rightCols = ts :: p) and nulling past-tolerance payloads
+    def composed(right: DataFrame, forward: Boolean, tol: Option[Long],
+        tb: Option[String]): DataFrame =
+      if (forward) AsOfJoin.asOfForward(left, right, "user_id", "ts", Seq("p"), tol, tb)
+      else {
+        val base = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("ts", "p"), tb)
+        tol.fold(base) { t =>
+          base.withColumn("asof_p",
+            when(unix_micros(col("ts")) - unix_micros(col("asof_ts")) <= t * 1000L,
+              col("asof_p")))
+        }
+      }
+
+    for (forward <- Seq(false, true); tol <- Seq(None, Some(700L))) {
+      // no tie-break: deduped right side
+      val n = NativeAsOfJoin.asOf(left, rightDedup, "user_id", "ts", Seq("p"),
+        forward = forward, toleranceMs = tol)
+      assert(canon(n) == canon(composed(rightDedup, forward, tol, None)),
+        s"forward=$forward tol=$tol")
+
+      // tie-break: duplicated right timestamps allowed
+      val nt = NativeAsOfJoin.asOf(left, rightDup, "user_id", "ts", Seq("p"),
+        forward = forward, toleranceMs = tol, tieBreak = Some("p"))
+      assert(canon(nt) == canon(composed(rightDup, forward, tol, Some("p"))),
+        s"tieBreak forward=$forward tol=$tol")
+    }
+  }
+
+  test("planted semantics: ties, tolerance boundary, empty groups") {
+    val left = tsDf(Seq((1L, 1000L, 10L), (1L, 2000L, 11L), (2L, 500L, 20L),
+      (3L, 9000L, 30L)), "v")
+    // key 1: two right rows at ts=1000 (tie) + one later; key 2 has only
+    // a LATER right row; key 3 absent on the right
+    val right = tsDf(Seq((1L, 1000L, 7L), (1L, 1000L, 5L), (1L, 1500L, 9L),
+      (2L, 800L, 21L)), "p")
+
+    // backward, tie at 1000 -> min tie-break (5), at-or-before includes ties
+    val b = canon(NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+      tieBreak = Some("p")))
+    assert(b == Seq((1L, 10L, 5L), (1L, 11L, 9L), (2L, 20L, null), (3L, 30L, null)))
+
+    // forward from 2000: nothing at-or-after for key 1 after 1500 -> null;
+    // key 2 forward finds 800
+    val f = canon(NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+      forward = true, tieBreak = Some("p")))
+    assert(f == Seq((1L, 10L, 5L), (1L, 11L, null), (2L, 20L, 21L), (3L, 30L, null)))
+
+    // tolerance boundary is inclusive and micro-exact: gap 500us within
+    // 1ms? tolerance is in ms — gap from 2000us back to 1500us = 500us
+    // <= 1ms passes; 0ms tolerance keeps only exact-equal matches
+    val t1 = canon(NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+      toleranceMs = Some(1L), tieBreak = Some("p")))
+    assert(t1 == Seq((1L, 10L, 5L), (1L, 11L, 9L), (2L, 20L, null), (3L, 30L, null)))
+    val t0 = canon(NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+      toleranceMs = Some(0L), tieBreak = Some("p")))
+    assert(t0 == Seq((1L, 10L, 5L), (1L, 11L, null), (2L, 20L, null), (3L, 30L, null)))
+  }
+
+  test("null keys and null timestamps never match (strict SQL semantics)") {
+    val left = Seq((Some(1L), Some(1000L), 10L), (None, Some(1000L), 11L),
+      (Some(1L), None, 12L))
+      .toDF("user_id", "mus", "v")
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val right = Seq((Some(1L), Some(500L), 7L), (None, Some(400L), 8L),
+      (Some(1L), None, 9L))
+      .toDF("user_id", "mus", "p")
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val out = NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"))
+      .select(col("v"), col("asof_p")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    // row v=10 matches the one valid right row; null-key and null-ts
+    // left rows match nothing; the null-key / null-ts right rows are
+    // never candidates (they must not stall the merge either)
+    assert(out == Seq((10L, 7L), (11L, null), (12L, null)))
+  }
+
+  test("string keys and self-join exprId hygiene") {
+    // both sides derive from the SAME DataFrame -> shared exprIds; the
+    // operator must re-key the right side internally
+    val base = Seq(("a", 100L, 1L), ("a", 200L, 2L), ("b", 150L, 3L))
+      .toDF("user_id", "mus", "x")
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val left = base.select(col("user_id"), col("ts"), col("x").as("v"))
+    val right = base.select(col("user_id"), col("ts"), col("x").as("p"))
+    val out = NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+      tieBreak = Some("p"))
+      .select(col("v"), col("asof_p")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // each row at least matches itself at-or-before
+    assert(out == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("plan shape: AsOfJoinExec with one exchange+sort per side") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    val l = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val r = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val df = NativeAsOfJoin.asOf(l, r, "user_id", "ts", Seq("click_id"))
+    df.collect() // finalize the adaptive plan before inspecting it
+    // AQE hides stage plans from collect(): flatten through
+    // AdaptiveSparkPlanExec / QueryStageExec containers explicitly
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[graft.plans.AsOfJoinExec]) == 1,
+      df.queryExecution.executedPlan.toString)
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) == 2,
+      df.queryExecution.executedPlan.toString)
+    // and NO WindowExec: the buffering operator this exec exists to avoid
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExecBase]),
+      df.queryExecution.executedPlan.toString)
+  }
+}
