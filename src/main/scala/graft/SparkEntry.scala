@@ -83,5 +83,6 @@ object SparkEntry {
     // r12 fourth wave: position-level exact repeated-substring spans,
     // their excision transform, the zero-shuffle bucketed join, and the
     // whole-operator (LogicalPlan+Strategy+SparkPlan) as-of join
-    "q_repeated_spans", "q_span_excise", "q_bucket_join", "q_asof_native")
+    "q_repeated_spans", "q_span_excise", "q_bucket_join", "q_asof_native",
+    "q_bcubed")
 }

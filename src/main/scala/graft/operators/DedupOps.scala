@@ -408,4 +408,41 @@ object DedupOps {
       .select(col("id_b").as("id")).distinct()
     assigned.join(losers, Seq("id"), "left_anti").select(col("id"), col("cell"))
   }
+
+  /** B-cubed clustering evaluation (Bagga & Baldwin 1998): score a
+    * predicted clustering against a gold one, per-ELEMENT averaged —
+    * the standard dedup-quality metric (unlike pair-F1 it neither
+    * collapses under one giant cluster nor rewards shattering).
+    *
+    * Input: one row per element with its predicted cluster `c` and gold
+    * cluster `g`. Per element, P = |C∩G|/|C| and R = |C∩G|/|G| — both
+    * constant within a (c, g) contingency CELL, so the whole metric
+    * reduces to the cell frame: avgP = Σ n_cg²/n_c / N, avgR =
+    * Σ n_cg²/n_g / N, and the per-element F1 = 2PR/(P+R) simplifies to
+    * 2·n_cg/(n_c+n_g), keeping every numerator an exact integer.
+    *
+    * Scale shape: ONE exchange keyed (c, g) builds the contingency
+    * frame; everything after is |cells|-sized (bounded by the number of
+    * non-empty cluster intersections, not the corpus). The cell frame is
+    * checkpointed because three branches (cells, per-c, per-g) would
+    * otherwise re-run the upstream pair machinery.
+    */
+  def bcubed(assign: DataFrame): DataFrame = {
+    val cells = assign.groupBy(col("c"), col("g"))
+      .agg(count(lit(1)).as("n_cg")).localCheckpoint()
+    val nC = cells.groupBy("c").agg(sum("n_cg").as("n_c"))
+    val nG = cells.groupBy("g").agg(sum("n_cg").as("n_g"))
+    cells.join(nC, "c").join(nG, "g")
+      .agg(
+        sum(col("n_cg")).cast(LongType).as("n_docs"),
+        countDistinct(col("c")).as("n_pred"),
+        countDistinct(col("g")).as("n_gold"),
+        round(sum(col("n_cg") * col("n_cg") / col("n_c").cast(DoubleType)) /
+          sum(col("n_cg")), 6).as("bcubed_p"),
+        round(sum(col("n_cg") * col("n_cg") / col("n_g").cast(DoubleType)) /
+          sum(col("n_cg")), 6).as("bcubed_r"),
+        round(sum(lit(2.0) * col("n_cg") * col("n_cg") /
+            (col("n_c") + col("n_g")).cast(DoubleType)) /
+          sum(col("n_cg")), 6).as("bcubed_f1"))
+  }
 }

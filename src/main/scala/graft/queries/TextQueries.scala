@@ -1102,6 +1102,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // B-cubed evaluation of the near-dup clustering against exact-dup
+    // gold truth (md5 groups): per-document precision/recall/F1 averaged
+    // over the corpus — the dedup-quality metric that neither collapses
+    // under one giant cluster nor rewards shattering. Docs outside every
+    // predicted cluster are singletons (coalesce to self).
+    "q_bcubed" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.05, n = 3)
+      val pred = graft.operators.GraphOps.dupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val assign = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("g", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+        .join(pred, Seq("doc_id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("c"), col("g"))
+      DedupOps.bcubed(assign)
+    },
+
     // The complete near-dedup pass: pairs -> clusters -> corpus minus
     // every non-canonical cluster member (keep the min doc_id). The
     // loser set is tiny relative to the corpus, so the final step is a
@@ -5240,6 +5258,49 @@ object TextQueries {
            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
          SELECT id AS doc_id, min(r) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    // Same cluster CTE chain as q_dup_clusters, then the exact
+    // contingency-cell reduction: every numerator is an integer
+    // (per-cell F1 = 2·n_cg/(n_c+n_g)), so both engines divide the same
+    // exact counts.
+    "q_bcubed" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+           )) AS sh
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         shared AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+         prs AS (
+           SELECT id_a, id_b FROM shared
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM prs
+           UNION SELECT id_b, id_a FROM prs),
+         reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         assign AS (
+           SELECT COALESCE(c.cluster, d.doc_id) AS c,
+             min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS g
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         cells AS (SELECT c, g, count(*) AS n_cg FROM assign GROUP BY c, g),
+         nc AS (SELECT c, sum(n_cg) AS n_c FROM cells GROUP BY c),
+         ng AS (SELECT g, sum(n_cg) AS n_g FROM cells GROUP BY g)
+       SELECT CAST(sum(n_cg) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT cells.c) AS BIGINT) AS n_pred,
+         CAST(count(DISTINCT cells.g) AS BIGINT) AS n_gold,
+         round(sum(n_cg * n_cg * 1.0 / n_c) / sum(n_cg), 6) AS bcubed_p,
+         round(sum(n_cg * n_cg * 1.0 / n_g) / sum(n_cg), 6) AS bcubed_r,
+         round(sum(2.0 * n_cg * n_cg / (n_c + n_g)) / sum(n_cg), 6) AS bcubed_f1
+       FROM cells JOIN nc USING (c) JOIN ng USING (g)""",
     "q_dedup_full" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id AS id, unnest(list_distinct(

@@ -232,4 +232,21 @@ class DedupSpec extends SparkSpec {
       s"doc4: ${ex(4L)}")
     assert(ex(5L) == ((2L, 0L, h("y1 y2"), 1.0)), s"doc5: ${ex(5L)}")
   }
+
+  test("bcubed: hand-computed contingency on a planted clustering") {
+    // gold {1,2},{3},{4,5,6}; pred {1,2,3},{4},{5,6}
+    // per-doc P = (2/3,2/3,1/3,1,1,1) -> avg 7/9; R = (1,1,1,1/3,2/3,2/3)
+    // -> avg 7/9; F1 = (4/5,4/5,1/2,1/2,4/5,4/5) -> avg 0.7
+    val assign = Seq(
+      (1L, 10L, 100L), (2L, 10L, 100L), (3L, 10L, 200L),
+      (4L, 20L, 300L), (5L, 30L, 300L), (6L, 30L, 300L)
+    ).toDF("doc_id", "c", "g").select(col("c"), col("g"))
+    val r = DedupOps.bcubed(assign).collect()(0)
+    assert(r.getLong(0) == 6L)   // n_docs
+    assert(r.getLong(1) == 3L)   // n_pred
+    assert(r.getLong(2) == 3L)   // n_gold
+    assert(r.getDouble(3) == 0.777778)
+    assert(r.getDouble(4) == 0.777778)
+    assert(r.getDouble(5) == 0.7)
+  }
 }

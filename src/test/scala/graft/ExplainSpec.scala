@@ -284,6 +284,10 @@ class ExplainSpec extends SparkSpec {
     // same chain; at runtime AQE broadcasts the span side of the
     // excision join (measured: shuffle bytes ≈ the gram stream alone)
     "q_span_excise" -> 3,
+    // q_bcubed: md5-keyed gold window + the pred join off the
+    // checkpointed cluster frame, then the two-distinct final agg's
+    // exchanges — everything after the checkpoints is cell-sized
+    "q_bcubed" -> 6,
     // q_asof_native: one exchange per side into the streaming-merge
     // AsOfJoinExec (vs the composed q_asof_join's single union-side
     // exchange — same rows cross, no union null-padding), + output sort
@@ -358,7 +362,8 @@ class ExplainSpec extends SparkSpec {
     "q_unpivot" -> "unpivot replicates each row per measure column — the operator's definition",
     "q_sliding_window" -> "window(ts, 1h, 30m) replicates each event per overlapping window — window/slide = 2 copies, the operator's definition",
     "q_profile" -> "single-pass multi-column profile: one Expand over the 3-row summary domain",
-    "q_data_card" -> "one-row corpus summary: multi-distinct over per-doc stats")
+    "q_data_card" -> "one-row corpus summary: multi-distinct over per-doc stats",
+    "q_bcubed" -> "two-distinct count over the CHECKPOINTED (c,g) contingency frame — bounded by non-empty cluster intersections, never the corpus")
 
   /** A window frame is bounded-by-construction when a global limit sits
     * below it in the same subtree (TakeOrderedAndProject / GlobalLimit /
