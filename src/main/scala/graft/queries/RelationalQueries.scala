@@ -132,6 +132,23 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // Forward + tolerance through the native exec (q_asof_tolerance's
+    // exact oracle): with the backward twin below, the DuckDB gate
+    // covers every directional mode of the custom operator.
+    "q_asof_native_tol" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.plans.NativeAsOfJoin
+        .asOf(purchases, clicks, "user_id", "ts", Seq("click_id"),
+          forward = true, toleranceMs = Some(3600L * 1000),
+          tieBreak = Some("click_id"))
+        .select(col("user_id"), col("event_id"), col("asof_click_id"))
+        .orderBy("event_id")
+    },
+
     // The same as-of join through the custom WHOLE-OPERATOR path: a
     // graft LogicalPlan planned by an injected SparkStrategy onto a
     // streaming-merge SparkPlan (plans/NativeAsOfJoin.scala). Same
@@ -2558,6 +2575,17 @@ object RelationalQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
            FROM events WHERE event_type IN ('click', 'purchase'))
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    // identical SQL to q_asof_tolerance by design (native fwd+tol path)
+    "q_asof_native_tol" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id, p.user_id, c.click_id,
+             row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts, c.click_id) AS rk
+           FROM p LEFT JOIN c ON p.user_id = c.user_id
+             AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)
+         SELECT user_id, event_id, click_id AS asof_click_id
+         FROM j WHERE rk = 1 ORDER BY event_id""",
     // identical SQL to q_asof_join by design: the native whole-operator
     // path must agree with the window composition bit-for-bit
     "q_asof_native" ->

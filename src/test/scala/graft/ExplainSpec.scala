@@ -291,7 +291,7 @@ class ExplainSpec extends SparkSpec {
     // q_asof_native: one exchange per side into the streaming-merge
     // AsOfJoinExec (vs the composed q_asof_join's single union-side
     // exchange — same rows cross, no union null-padding), + output sort
-    "q_asof_native" -> 3,
+    "q_asof_native" -> 3, "q_asof_native_tol" -> 3,
     // q_bucket_join: the POINT of the entry — bucketed scans co-locate
     // the join AND the bucket-key aggregate, so the static plan holds
     // zero shuffle exchanges end-to-end (top-k is TakeOrderedAndProject)
