@@ -1303,6 +1303,38 @@ object TextQueries {
     // (source, pri) instead — the cumsum stays prefix-computable. The
     // priority hash makes the draw reproducible across engines, cluster
     // layouts, and reruns — auditable sampling, like hashSample.
+    // Mixture-preserving shard packing: every shard gets an EXACT ±1
+    // slice of each source (round-robin in deterministic md5 order), so
+    // each training shard is a miniature of the corpus mixture — the
+    // guarantee hash%K gives only statistically. The per-source global
+    // numbering is DISTRIBUTED: a 2-hex-prefix bucket count frame
+    // (|sources|x256, broadcast) provides offsets, then a window ranked
+    // within (source, bucket) — 256-way parallel per source, never one
+    // task per source. (bucket, rest-of-md5) order == md5 order, so the
+    // composition equals the global rank exactly.
+    "q_shard_stratified" -> { (s, dir) =>
+      val K = 8
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast(StringType)).as("pri"))
+        .withColumn("bkt", substring(col("pri"), 1, 2))
+      val offs = docs.groupBy("source", "bkt").agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(
+          sum(col("n")).over(Window.partitionBy("source").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "bkt", "off")
+      val w = Window.partitionBy("source", "bkt").orderBy("pri", "doc_id")
+      docs.join(broadcast(offs), Seq("source", "bkt"))
+        .withColumn("shard", pmod(col("off") + (row_number().over(w) - 1), lit(K)))
+        .groupBy("shard", "source").agg(count(lit(1)).as("n_cell"))
+        .groupBy("source").agg(
+          sum(col("n_cell")).cast(LongType).as("n_src"),
+          min(col("n_cell")).as("min_shard_docs"),
+          max(col("n_cell")).as("max_shard_docs"),
+          (max(col("n_cell")) - min(col("n_cell"))).as("spread"))
+        .orderBy("source")
+    },
+
     "q_mix_sample" -> { (s, dir) =>
       val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -5401,6 +5433,21 @@ object TextQueries {
          GROUP BY token, tot.total
          HAVING count(*) > tot.total / 200
          ORDER BY token""",
+    // Oracle numbers each source GLOBALLY (plain row_number over the md5
+    // order); the Spark side composes bucket offsets + within-bucket
+    // ranks — the equality of the two IS the distributed-ranking proof.
+    "q_shard_stratified" ->
+      """WITH a AS (
+           SELECT source,
+             (row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8 AS shard
+           FROM documents),
+         c AS (SELECT source, shard, count(*) AS n_cell FROM a GROUP BY source, shard)
+       SELECT source, CAST(sum(n_cell) AS BIGINT) AS n_src,
+         CAST(min(n_cell) AS BIGINT) AS min_shard_docs,
+         CAST(max(n_cell) AS BIGINT) AS max_shard_docs,
+         CAST(max(n_cell) - min(n_cell) AS BIGINT) AS spread
+       FROM c GROUP BY source ORDER BY source""",
     "q_mix_sample" ->
       """WITH t AS (
            SELECT doc_id, source,

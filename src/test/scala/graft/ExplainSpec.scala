@@ -284,6 +284,10 @@ class ExplainSpec extends SparkSpec {
     // same chain; at runtime AQE broadcasts the span side of the
     // excision join (measured: shuffle bytes ≈ the gram stream alone)
     "q_span_excise" -> 3,
+    // q_shard_stratified: the corpus crosses ONCE into the
+    // (source,bkt)-windowed rank; the other five exchanges carry the
+    // 256-bucket offset frame and the |sources|x|shards| cell frames
+    "q_shard_stratified" -> 6,
     // q_bcubed: md5-keyed gold window + the pred join off the
     // checkpointed cluster frame, then the two-distinct final agg's
     // exchanges — everything after the checkpoints is cell-sized
