@@ -1104,10 +1104,17 @@ object GraftFunctions {
     }
     // planner tier for sessions built WITHOUT spark.sql.extensions (the
     // imperative registration path): extraStrategies is the
-    // runtime-injectable twin of injectPlannerStrategy
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // runtime-injectable twin of injectPlannerStrategy. Skipped when the
+    // extensions path already injected the strategy (conf check — the
+    // injected planner list is not inspectable), and synchronized so
+    // concurrent DataFrame construction cannot double-append.
+    val viaExtensions = spark.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("GraftExtensions"))
+    if (!viaExtensions) synchronized {
+      if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
   }
 }
 

@@ -40,7 +40,11 @@ object BucketedTables {
     * `dir`; returns the two catalog table names.
     */
   def ensure(s: SparkSession, dir: String): (String, String) = synchronized {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // collision-free table identity: a 32-bit String.hashCode can
+    // collide across dataset dirs and would silently serve the FIRST
+    // dir's data to the second — md5 of the full path cannot
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val (lt, ot) = (s"graft_lineitem_bkt_$tag", s"graft_orders_bkt_$tag")
     val root = s"${sys.props("java.io.tmpdir")}/graft_buckets/$tag"
     if (!s.catalog.tableExists(lt)) {

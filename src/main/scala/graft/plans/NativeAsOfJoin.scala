@@ -178,6 +178,7 @@ case class AsOfJoinExec(
     val unmatchedExprs = lOut ++ payload.map(a =>
       org.apache.spark.sql.catalyst.expressions.Literal.create(null, a.dataType))
     val inSchema = lOut ++ rOut
+    val rOutSize = rOut.size
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joinMatched = UnsafeProjection.create(matchedExprs, inSchema)
@@ -186,11 +187,31 @@ case class AsOfJoinExec(
 
       new Iterator[InternalRow] {
         // rHead: the next unconsumed right row (valid until the next
-        // rIter.next()); best: the copied nearest-so-far right row for
-        // the backward scan, tagged with the key it belongs to.
+        // rIter.next()); best: the nearest-so-far right row for the
+        // backward scan, held in OUR OWN reused buffer (bestBuf) —
+        // sort/spill iterators reuse their row's backing bytes, so both
+        // the retained row AND any object key derived from it (e.g. a
+        // UTF8String pointing into the buffer) must be rooted in memory
+        // we control. copyFrom grows the buffer in place: zero per-row
+        // allocation on the hot consume loop.
         private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+        private val bestBuf = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rOutSize)
+        bestBuf.pointTo(new Array[Byte](64), 64)
         private var best: InternalRow = null
         private var bestKey: Any = null
+
+        // retain rHead as the new best: buffer-copy for UnsafeRow (the
+        // universal case under sort), allocate-copy otherwise; the key
+        // is re-evaluated AGAINST THE RETAINED COPY so it can never
+        // alias the iterator's reused bytes
+        private def retainBest(): Unit = {
+          rHead match {
+            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+              bestBuf.copyFrom(u); best = bestBuf
+            case o => best = o.copy()
+          }
+          bestKey = rKeyB.eval(best)
+        }
 
         private def advanceRight(): Unit =
           rHead = if (rIter.hasNext) rIter.next() else null
@@ -225,7 +246,7 @@ case class AsOfJoinExec(
               // consumed is the nearest (and min tie-break on ties)
               while (rHead != null && rk != null && keyOrd.equiv(rk, k) &&
                   rt != null && rt.asInstanceOf[Long] <= tv) {
-                best = rHead.copy(); bestKey = rk
+                retainBest()
                 advanceRight()
                 rk = if (rHead == null) null else rKeyB.eval(rHead)
                 rt = if (rHead == null) null else rTsB.eval(rHead)

@@ -121,26 +121,23 @@ object RelationalQueries {
 
     // As-of join: each purchase event picks up the user's most recent
     // click at-or-before it (union + ordered window — one shuffle).
+    // tie-broken on click_id (min wins) so equal-ts clicks stay
+    // deterministic whatever the fixture holds — the oracle's window
+    // adds event_id DESC for the identical tie semantics.
     "q_asof_join" -> { (s, dir) =>
-      val e = Tables(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "event_id", "value")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-      AsOfJoin.asOf(purchases, clicks, "user_id", "ts", Seq("click_id"))
+      val (purchases, clicks) = purchaseClickFrames(s, dir)
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts", Seq("click_id"),
+        tieBreak = Some("click_id"))
         .select(col("user_id"), col("event_id"), col("value"), col("asof_click_id"))
         .orderBy("event_id")
     },
 
     // Forward + tolerance through the native exec (q_asof_tolerance's
-    // exact oracle): with the backward twin below, the DuckDB gate
-    // covers every directional mode of the custom operator.
+    // SHARED oracle val — byte-identical by construction): with the
+    // backward twin below, the DuckDB gate covers every directional
+    // mode of the custom operator.
     "q_asof_native_tol" -> { (s, dir) =>
-      val e = Tables(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "event_id", "value")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val (purchases, clicks) = purchaseClickFrames(s, dir)
       graft.plans.NativeAsOfJoin
         .asOf(purchases, clicks, "user_id", "ts", Seq("click_id"),
           forward = true, toleranceMs = Some(3600L * 1000),
@@ -151,19 +148,17 @@ object RelationalQueries {
 
     // The same as-of join through the custom WHOLE-OPERATOR path: a
     // graft LogicalPlan planned by an injected SparkStrategy onto a
-    // streaming-merge SparkPlan (plans/NativeAsOfJoin.scala). Same
-    // oracle as q_asof_join — the two implementations must agree
-    // bit-for-bit. The native exec holds O(1) state per key group where
+    // streaming-merge SparkPlan (plans/NativeAsOfJoin.scala). SHARES
+    // q_asof_join's oracle val — the two implementations must agree
+    // bit-for-bit, and binding one string to both keys makes that
+    // structural. The native exec holds O(1) state per key group where
     // the window composition's WindowExec buffers the whole group (the
     // skew-safety case; measured in AsOfBench).
     "q_asof_native" -> { (s, dir) =>
-      val e = Tables(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "event_id", "value")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val (purchases, clicks) = purchaseClickFrames(s, dir)
       graft.plans.NativeAsOfJoin
-        .asOf(purchases, clicks, "user_id", "ts", Seq("click_id"))
+        .asOf(purchases, clicks, "user_id", "ts", Seq("click_id"),
+          tieBreak = Some("click_id"))
         .select(col("user_id"), col("event_id"), col("value"), col("asof_click_id"))
         .orderBy("event_id")
     },
@@ -230,11 +225,7 @@ object RelationalQueries {
     // NEXT click within one hour (same union+window shape as backward;
     // tie-broken on click_id so repeated timestamps stay deterministic).
     "q_asof_tolerance" -> { (s, dir) =>
-      val e = Tables(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "event_id", "value")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val (purchases, clicks) = purchaseClickFrames(s, dir)
       AsOfJoin.asOfForward(purchases, clicks, "user_id", "ts", Seq("click_id"),
         toleranceMs = Some(3600L * 1000), tieBreak = Some("click_id"))
         .select(col("user_id"), col("event_id"), col("asof_click_id"))
@@ -245,11 +236,7 @@ object RelationalQueries {
     // min |gap| per purchase, backward wins exact ties. One shuffle,
     // two ordered window scans over the same exchange.
     "q_asof_nearest" -> { (s, dir) =>
-      val e = Tables(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "event_id", "value")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val (purchases, clicks) = purchaseClickFrames(s, dir)
       AsOfJoin.asOfNearest(purchases, clicks, "user_id", "ts", Seq("click_id"),
         tieBreak = Some("click_id"))
         .select(col("user_id"), col("event_id"), col("asof_click_id"))
@@ -2080,6 +2067,51 @@ object RelationalQueries {
   private def decToDouble(sumExpr: String): String =
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
 
+  /** The purchases/clicks frame pair every as-of entry joins — one
+    * definition so the composed and native operators provably run the
+    * same inputs.
+    */
+  private def purchaseClickFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables(s, dir, "events")
+    (e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value"),
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id")))
+  }
+
+  /** Backward as-of oracle, SHARED by q_asof_join (composed) and
+    * q_asof_native (whole-operator) — one string bound to both keys
+    * makes the must-agree-bit-for-bit contract structural. Clicks sort
+    * before purchases at equal ts; event_id DESC makes the LAST click
+    * scanned at a tie the minimum id, matching both operators'
+    * min-tie-break.
+    */
+  private def asofBackwardOracle: String =
+    """SELECT user_id, event_id, value, asof_click_id FROM (
+         SELECT user_id, event_id, event_type, value,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                            event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+         FROM events WHERE event_type IN ('click', 'purchase'))
+       WHERE event_type = 'purchase' ORDER BY event_id"""
+
+  /** Forward+tolerance as-of oracle, SHARED by q_asof_tolerance and
+    * q_asof_native_tol (min click_id at ties via the row_number order).
+    */
+  private def asofToleranceOracle: String =
+    """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+       j AS (
+         SELECT p.event_id, p.user_id, c.click_id,
+           row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts, c.click_id) AS rk
+         FROM p LEFT JOIN c ON p.user_id = c.user_id
+           AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)
+       SELECT user_id, event_id, click_id AS asof_click_id
+       FROM j WHERE rk = 1 ORDER BY event_id"""
+
   /** DuckDB twin of q_bootstrap: the same md5 16-adic uniforms against
     * the same Poisson(1) CDF literals, exact BIGINT replicate sums, and
     * the [2nd, 39th] order statistics of the 40 replicate means.
@@ -2353,16 +2385,7 @@ object RelationalQueries {
            array_to_string(list_sort(list(o_orderkey)), ',') AS okeys,
            CAST(len(list_distinct(list(o_orderstatus))) AS BIGINT) AS n_statuses
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
-    "q_asof_tolerance" ->
-      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
-         j AS (
-           SELECT p.event_id, p.user_id, c.click_id,
-             row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts, c.click_id) AS rk
-           FROM p LEFT JOIN c ON p.user_id = c.user_id
-             AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)
-         SELECT user_id, event_id, click_id AS asof_click_id
-         FROM j WHERE rk = 1 ORDER BY event_id""",
+    "q_asof_tolerance" -> asofToleranceOracle,
     "q_asof_nearest" ->
       """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
          c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
@@ -2566,37 +2589,11 @@ object RelationalQueries {
          FROM lineitem JOIN part
            ON l_extendedprice >= p_retailprice - 10 AND l_extendedprice <= p_retailprice + 10
          GROUP BY p_partkey ORDER BY p_partkey""",
-    "q_asof_join" ->
-      """SELECT user_id, event_id, value, asof_click_id FROM (
-           SELECT user_id, event_id, event_type, value,
-             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-               OVER (PARTITION BY user_id
-                     ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
-           FROM events WHERE event_type IN ('click', 'purchase'))
-         WHERE event_type = 'purchase' ORDER BY event_id""",
-    // identical SQL to q_asof_tolerance by design (native fwd+tol path)
-    "q_asof_native_tol" ->
-      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
-         j AS (
-           SELECT p.event_id, p.user_id, c.click_id,
-             row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts, c.click_id) AS rk
-           FROM p LEFT JOIN c ON p.user_id = c.user_id
-             AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)
-         SELECT user_id, event_id, click_id AS asof_click_id
-         FROM j WHERE rk = 1 ORDER BY event_id""",
-    // identical SQL to q_asof_join by design: the native whole-operator
-    // path must agree with the window composition bit-for-bit
-    "q_asof_native" ->
-      """SELECT user_id, event_id, value, asof_click_id FROM (
-           SELECT user_id, event_id, event_type, value,
-             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-               OVER (PARTITION BY user_id
-                     ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
-           FROM events WHERE event_type IN ('click', 'purchase'))
-         WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q_asof_join" -> asofBackwardOracle,
+    // SHARED defs: the native twins are bound to the same oracle strings
+    // as their composed counterparts — agreement is structural
+    "q_asof_native_tol" -> asofToleranceOracle,
+    "q_asof_native" -> asofBackwardOracle,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
          count(*) AS n_customers,

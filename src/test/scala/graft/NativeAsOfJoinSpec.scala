@@ -136,6 +136,24 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(out == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("string keys: best carried within a key, invalidated across keys") {
+    // left rows interleave a keyless-match key ("b") between two key
+    // groups that DO match — the stale-best guard must neither leak
+    // key-"a"'s payload onto "b" nor lose it for "a"'s later row
+    val left = Seq(("a", 100L, 1L), ("a", 300L, 2L), ("b", 200L, 3L),
+      ("c", 250L, 4L))
+      .toDF("user_id", "mus", "v")
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val right = Seq(("a", 50L, 7L), ("c", 240L, 9L))
+      .toDF("user_id", "mus", "p")
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val out = NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"))
+      .select(col("v"), col("asof_p")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, 7L), (2L, 7L), (3L, null), (4L, 9L)))
+  }
+
   test("plan shape: AsOfJoinExec with one exchange+sort per side") {
     val e = Tables(spark, "/root/testdata/sf0.001", "events")
     val l = e.filter(col("event_type") === "purchase")
