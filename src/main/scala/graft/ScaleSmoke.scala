@@ -192,7 +192,19 @@ object ScaleSmoke {
     "q_shard_assign", "q_blocklist",
     // the production-dictionary variant: same one-AC-pass plan, 24x the
     // dictionary — per-row cost must stay flat (the kernel claim)
-    "q_blocklist_240")
+    "q_blocklist_240",
+    // r12 fifth wave: stratified sharding is one md5/doc + the
+    // (source, bucket)-windowed rank — sources stay fixed while every
+    // (source, bucket) group gets Nx fatter, the per-group n log n
+    // window stress at constant group COUNT. The as-of pair rides the
+    // events tier (Nx users, constant per-user history): composed =
+    // union + window, native = the streaming-merge exec — the factor
+    // pair measures the same join both ways at Nx keys. (q_bcubed
+    // stays out with the pairwise-similarity ops — it audits the
+    // cluster machinery a 90%-clone corpus quadratically densifies;
+    // q_bucket_join stays out because the clone shifts l_orderkey but
+    // not o_orderkey, so the Nx join degenerates to the 1x result.)
+    "q_shard_stratified", "q_asof_join", "q_asof_native")
 
   /** Relational tier at Nx orders/customers (opt-in via
     * SPARK_GRAFT_ONLY, like the graph tier): orders clone by shifted
