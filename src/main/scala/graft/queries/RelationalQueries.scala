@@ -875,6 +875,25 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(100)
     },
 
+    // Bucket PRUNING on the same stored layout: an equality filter on
+    // the bucket key scans exactly one of the 8 buckets
+    // (SelectedBucketsCount: 1 out of 8, asserted in BucketedSpec) — at
+    // 100 TB a point lookup touches 1/8 of the files before any row
+    // filtering, with zero index structures maintained. The probe keys
+    // are derived from the data (3 smallest orderkeys ending in 7) so
+    // the query works at any SF without a hardcoded id.
+    "q_bucket_prune" -> { (s, dir) =>
+      val (li, _) = graft.operators.BucketedTables.bucketJoin(s, dir)
+      val probes = li.filter(col("l_orderkey") % 10 === 7)
+        .agg(min(col("l_orderkey")).as("k")).collect()(0).getLong(0)
+      // no output sort: it's a single-group result and a global sort
+      // would add the plan's only exchange (driver compare sorts rows)
+      li.filter(col("l_orderkey") === probes)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"))
+    },
+
     // RFM customer segmentation (recency / frequency / monetary
     // quartiles) — the classic behavioral-cohort labeling. Scale shape:
     // ONE shuffle builds the per-customer profile (map-side partial
@@ -2493,6 +2512,13 @@ object RelationalQueries {
          count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token HAVING count(DISTINCT doc_id) >= 100 ORDER BY token""",
+    // same probe-key derivation (min orderkey ending in 7), plain scan
+    "q_bucket_prune" ->
+      """WITH k AS (SELECT min(l_orderkey) AS k FROM lineitem WHERE l_orderkey % 10 = 7)
+         SELECT l_orderkey, count(*) AS n_items,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+         FROM lineitem, k WHERE l_orderkey = k.k
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
     // Same relational content as the bucketed Spark plan — DuckDB has no
     // bucket layout to exploit, so the oracle is the plain join+agg.
     "q_bucket_join" ->

@@ -300,6 +300,9 @@ class ExplainSpec extends SparkSpec {
     // the join AND the bucket-key aggregate, so the static plan holds
     // zero shuffle exchanges end-to-end (top-k is TakeOrderedAndProject)
     "q_bucket_join" -> 0,
+    // q_bucket_prune: zero exchanges — one pruned bucket scan into a
+    // single-key aggregate satisfied by the bucket partitioning
+    "q_bucket_prune" -> 0,
     "q_rest_scan" -> 2, "q_rollup" -> 2, "q_sample_stratified" -> 1,
     "q_scd2" -> 2,
     // q_naive_bayes: the train token stream crosses ONCE into the
