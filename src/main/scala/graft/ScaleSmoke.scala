@@ -29,6 +29,11 @@ object ScaleSmoke {
     // clones plant Nx more duplicated grams, so the dup frame grows
     // Nx too (the clone corpus is the WORST case — 100% duplicated)
     "q_repeated_spans", "q_span_excise",
+    // surgical decontamination: the corpus gram stream probes the
+    // broadcast bench gram set map-side (the %50 bench grows with the
+    // smoke corpus like q_decontaminate's, stressing the broadcast
+    // beyond the fixed-benchmark reality), then doc-keyed island work
+    "q_decontam_excise",
     // decontamination: corpus spans probe a broadcast of benchmark span
     // hashes map-side (in production the benchmark is FIXED size; in
     // this smoke the %50 benchmark grows with the corpus, stressing the

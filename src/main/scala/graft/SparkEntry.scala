@@ -84,5 +84,5 @@ object SparkEntry {
     // their excision transform, the zero-shuffle bucketed join, and the
     // whole-operator (LogicalPlan+Strategy+SparkPlan) as-of join
     "q_repeated_spans", "q_span_excise", "q_bucket_join", "q_asof_native",
-    "q_bcubed", "q_shard_stratified", "q_bucket_prune")
+    "q_bcubed", "q_shard_stratified", "q_bucket_prune", "q_decontam_excise")
 }

@@ -166,6 +166,12 @@ object TextQueries {
       exciseRepeatedSpans(Tables(s, dir, "documents"), 8)
     },
 
+    // Surgical decontamination: excise the benchmark-overlapping spans
+    // instead of dropping whole documents (see exciseContaminatedSpans).
+    "q_decontam_excise" -> { (s, dir) =>
+      exciseContaminatedSpans(Tables(s, dir, "documents"), 8)
+    },
+
     // MinHash+LSH: per-doc signature + band hashes (the shuffle keys for
     // candidate generation) + LSH candidate count. Rows-only check here;
     // pair semantics proven in DedupSpec with planted near-dups.
@@ -2779,16 +2785,32 @@ object TextQueries {
     * window count is the one corpus-wide exchange; the doc-keyed
     * window merges islands.
     */
-  private def dupSpanFrame(t: DataFrame, L: Int): DataFrame = {
-    val g = t.select(col("doc_id"),
+  /** Position-aligned L-token grams: (doc_id, pos, gram) with pos the
+    * 0-based start token. (graft_shingle_hashes deliberately returns a
+    * SORTED-DEDUPED hash set — right for membership probes, useless for
+    * positions — so the span family materializes gram strings.)
+    */
+  private def gramFrame(t: DataFrame, L: Int): DataFrame =
+    t.select(col("doc_id"),
       posexplode(when(size(col("toks")) >= L,
         transform(sequence(lit(0), size(col("toks")) - L),
           k => concat_ws(" ", slice(col("toks"), k + 1, lit(L)))))
         .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
-    val dup = g
+
+  private def dupSpanFrame(t: DataFrame, L: Int): DataFrame = {
+    val dup = gramFrame(t, L)
       .withColumn("c", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("c") > 1)
       .select(col("doc_id"), col("pos"), (col("pos") + L).as("en"))
+    mergeIslands(dup)
+  }
+
+  /** Overlapping/adjacent flagged windows (doc_id, pos, en) → merged
+    * per-doc spans (doc_id, island, st, en2, npos) with [st, en2)
+    * half-open — the doc-keyed interval-island fold shared by the
+    * repeated-span and contamination-excision families.
+    */
+  private def mergeIslands(dup: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos", "en")
     val prevMax = max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     dup
@@ -2799,6 +2821,29 @@ object TextQueries {
       .groupBy(col("doc_id"), col("island"))
       .agg(min("pos").as("st"), max("en").as("en2"),
         count(lit(1)).as("npos"))
+  }
+
+  /** Cut every span from its doc's token array and account for the
+    * attrition: per-doc counts plus the md5 of the rebuilt text (pins
+    * the FULL transform in both engines, not just counts). The token
+    * filter is one higher-order `filter` with the per-doc span list as
+    * its lambda environment — in-row, no extra exchange.
+    */
+  private def exciseSpans(t: DataFrame, spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame.groupBy("doc_id")
+      .agg(collect_list(struct(col("st"), col("en2"))).as("spans"))
+    t.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("spans").isNull, col("toks"))
+        .otherwise(filter(col("toks"), (_, i) =>
+          !exists(col("spans"),
+            s => s.getField("st") <= i && i < s.getField("en2")))))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast(LongType).as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("excised_md5"),
+        round(size(col("kept")).cast(DoubleType) / size(col("toks")), 6)
+          .as("retained_frac"))
+      .orderBy("doc_id")
   }
 
   private[graft] def repeatedSpans(docs: DataFrame, L: Int): DataFrame = {
@@ -2829,20 +2874,28 @@ object TextQueries {
     */
   private[graft] def exciseRepeatedSpans(docs: DataFrame, L: Int): DataFrame = {
     val t = spanTokFrame(docs)
-    val spans = dupSpanFrame(t, L).groupBy("doc_id")
-      .agg(collect_list(struct(col("st"), col("en2"))).as("spans"))
-    t.join(spans, Seq("doc_id"), "left")
-      .withColumn("kept", when(col("spans").isNull, col("toks"))
-        .otherwise(filter(col("toks"), (_, i) =>
-          !exists(col("spans"),
-            s => s.getField("st") <= i && i < s.getField("en2")))))
-      .select(col("doc_id"),
-        size(col("toks")).cast(LongType).as("n_tokens"),
-        (size(col("toks")) - size(col("kept"))).cast(LongType).as("n_removed"),
-        md5(concat_ws(" ", col("kept"))).as("excised_md5"),
-        round(size(col("kept")).cast(DoubleType) / size(col("toks")), 6)
-          .as("retained_frac"))
-      .orderBy("doc_id")
+    exciseSpans(t, dupSpanFrame(t, L))
+  }
+
+  /** Surgical decontamination: EXCISE the benchmark-overlapping spans
+    * instead of dropping whole documents (q_decontaminate's detection
+    * turned into remediation — the standard treatment when a long
+    * document contains one quoted benchmark item). Corpus positions
+    * whose L-gram hits the broadcast benchmark gram set become covered
+    * windows, merged and cut by the shared island/excise machinery.
+    * Exact string grams on both sides: positions are required here, and
+    * graft_shingle_hashes returns a sorted-deduped SET (membership-only
+    * by design) — a position-aligned probe must carry the gram.
+    */
+  private[graft] def exciseContaminatedSpans(docs: DataFrame, L: Int): DataFrame = {
+    val bench = gramFrame(spanTokFrame(docs.filter(col("doc_id") % 50 === 0)), L)
+      .select("gram").distinct()
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val t = spanTokFrame(corpus)
+    val covered = gramFrame(t, L)
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + L).as("en"))
+    exciseSpans(t, mergeIslands(covered))
   }
 
   private[graft] val BlocklistPhrases = Seq(
@@ -4264,6 +4317,59 @@ object TextQueries {
          COALESCE(pd.n_spans, 0) AS n_spans,
          round(COALESCE(pd.dup_tokens, 0) * 1.0 / len(t.toks), 6) AS dup_frac
        FROM t LEFT JOIN perdoc pd ON pd.doc_id = t.doc_id
+       ORDER BY t.doc_id""",
+    // Contamination-excision: benchmark gram membership (span STRINGS —
+    // the Spark side probes the 64-bit chained hash, same-result-bar-
+    // collisions caveat as q_decontaminate) marks covered windows, then
+    // the identical island-merge + token-drop + re-hash chain as
+    // q_span_excise, restricted to the corpus half.
+    "q_decontam_excise" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, CAST(u.k AS BIGINT) AS pos,
+             array_to_string(toks[CAST(u.k + 1 AS INT):CAST(u.k + 8 AS INT)], ' ') AS gram
+           FROM t, unnest(range(0, greatest(CAST(len(toks) AS BIGINT) - 7, 0))) AS u(k)),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+         p AS (
+           SELECT doc_id, pos, pos + 8 AS en FROM g JOIN bench USING (gram)
+           WHERE doc_id % 50 != 0),
+         fl AS (
+           SELECT doc_id, pos, en,
+             CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY pos, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(en) OVER (PARTITION BY doc_id ORDER BY pos, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS ni
+           FROM p),
+         isl AS (
+           SELECT doc_id, pos, en,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM fl),
+         spans AS (
+           SELECT doc_id, island, min(pos) AS st, max(en) AS en2
+           FROM isl GROUP BY doc_id, island),
+         tok AS (
+           SELECT doc_id, CAST(u.k AS BIGINT) AS idx,
+             toks[CAST(u.k + 1 AS INT)] AS tok
+           FROM t, unnest(range(0, CAST(len(toks) AS BIGINT))) AS u(k)
+           WHERE doc_id % 50 != 0),
+         keep AS (
+           SELECT tk.doc_id, tk.idx, tk.tok
+           FROM tok tk
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+             WHERE s.doc_id = tk.doc_id AND s.st <= tk.idx AND tk.idx < s.en2)),
+         newt AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS txt,
+             CAST(count(*) AS BIGINT) AS nk
+           FROM keep GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(len(t.toks) - COALESCE(nt.nk, 0) AS BIGINT) AS n_removed,
+         md5(COALESCE(nt.txt, '')) AS excised_md5,
+         round(COALESCE(nt.nk, 0) * 1.0 / len(t.toks), 6) AS retained_frac
+       FROM t LEFT JOIN newt nt ON nt.doc_id = t.doc_id
+       WHERE t.doc_id % 50 != 0
        ORDER BY t.doc_id""",
     // Excision twin: same span CTE chain, then every covered token
     // position is dropped and the survivor text re-agreed token-by-token

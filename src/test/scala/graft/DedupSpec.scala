@@ -233,6 +233,25 @@ class DedupSpec extends SparkSpec {
     assert(ex(5L) == ((2L, 0L, h("y1 y2"), 1.0)), s"doc5: ${ex(5L)}")
   }
 
+  test("contamination excision: planted benchmark span cut from corpus") {
+    // doc 0 (id%50==0) is the benchmark; doc 1 quotes its 4-gram
+    // "b1 b2 b3 b4" mid-document; doc 2 is clean (and too short for
+    // grams — must pass through untouched, not vanish)
+    val docs = Seq(
+      (0L, "b1 b2 b3 b4 x9"),
+      (1L, "a1 b1 b2 b3 b4 a2 a3"),
+      (2L, "c1 c2 c3")
+    ).toDF("doc_id", "text")
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = graft.queries.TextQueries.exciseContaminatedSpans(docs, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(1L, 2L)) // bench doc excluded from output
+    assert(out(1L) == ((7L, 4L, h("a1 a2 a3"), 0.428571)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, h("c1 c2 c3"), 1.0)), s"doc2: ${out(2L)}")
+  }
+
   test("bcubed: hand-computed contingency on a planted clustering") {
     // gold {1,2},{3},{4,5,6}; pred {1,2,3},{4},{5,6}
     // per-doc P = (2/3,2/3,1/3,1,1,1) -> avg 7/9; R = (1,1,1,1/3,2/3,2/3)

@@ -284,6 +284,9 @@ class ExplainSpec extends SparkSpec {
     // same chain; at runtime AQE broadcasts the span side of the
     // excision join (measured: shuffle bytes ≈ the gram stream alone)
     "q_span_excise" -> 3,
+    // contamination excision: broadcast bench probe (no gram-keyed
+    // window), doc-keyed island window + span merge + the token join
+    "q_decontam_excise" -> 3,
     // q_shard_stratified: the corpus crosses ONCE into the
     // (source,bkt)-windowed rank; the other five exchanges carry the
     // 256-bucket offset frame and the |sources|x|shards| cell frames
