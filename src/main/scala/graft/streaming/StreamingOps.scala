@@ -428,6 +428,129 @@ object StreamingOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** STREAMING event-time as-of join (Flink's "temporal join", which
+    * Structured Streaming lacks natively): each left event is enriched
+    * with the same key's most recent right event at-or-before its
+    * timestamp — the streaming twin of the batch
+    * [[graft.operators.AsOfJoin]] / [[graft.plans.NativeAsOfJoin]] pair,
+    * with IDENTICAL semantics including min-id resolution of equal-ts
+    * right ties (the spec pins stream == native-batch on the same rows).
+    *
+    * Event-time correctness, not arrival-order: both sides buffer per
+    * key, a single per-key timer re-arms at the earliest pending left
+    * timestamp, and emission happens only when the WATERMARK passes a
+    * left row's time — by which point every right row at-or-before it
+    * is final (later-arriving rights would be late beyond watermark and
+    * dropped upstream). A left with no final right emits a null match.
+    *
+    * The 100 TB state story: after each firing the key retains only
+    * (a) lefts still inside the watermark delay, (b) rights inside the
+    * delay, and (c) ONE collapsed "latest final right" — every future
+    * left is strictly later than the watermark, so older finalized
+    * rights can never win again. State per key is arrival-rate x
+    * watermark-delay + 1 row, NOT history-lifetime (the unbounded-state
+    * failure a naive buffer-everything join has).
+    */
+  case class AsOfEvt(tsMs: Long, id: Long)
+  case class AsOfBuf(lefts: Seq[AsOfEvt], rights: Seq[AsOfEvt],
+      hasFinal: Boolean, finalTs: Long, finalId: Long)
+  case class AsOfEnriched(user_id: Long, event_id: Long,
+      asof_click_id: Option[Long])
+
+  class AsOfStreamProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, org.apache.spark.sql.Row, AsOfEnriched] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[AsOfBuf] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AsOfBuf]("asof_buf",
+        org.apache.spark.sql.Encoders.product[AsOfBuf], TTLConfig.NONE)
+
+    /** One armed timer per key: the earliest pending LEFT (emission), or
+      * — when no left is pending — the earliest pending RIGHT, so
+      * rights-only keys still compact to the single collapsed final
+      * row as the watermark passes (without this, a key that only ever
+      * receives right events would buffer rate x lifetime). Clamped
+      * above the current watermark: a row that arrives with event time
+      * at/behind the watermark must still get a FUTURE timer.
+      */
+    private def rearm(s: AsOfBuf, watermarkMs: Long): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      val cand =
+        if (s.lefts.nonEmpty) Some(s.lefts.map(_.tsMs).min)
+        else if (s.rights.nonEmpty) Some(s.rights.map(_.tsMs).min)
+        else None
+      cand.foreach(t => getHandle.registerTimer(math.max(t, watermarkMs + 1)))
+    }
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[org.apache.spark.sql.Row],
+        timerValues: TimerValues): Iterator[AsOfEnriched] = {
+      val s0 = if (st.exists()) st.get()
+        else AsOfBuf(Nil, Nil, hasFinal = false, 0L, 0L)
+      val (lb, rb) = (Seq.newBuilder[AsOfEvt], Seq.newBuilder[AsOfEvt])
+      rows.foreach { r =>
+        val e = AsOfEvt(r.getAs[java.sql.Timestamp]("ts").getTime,
+          r.getAs[Long]("id"))
+        if (r.getAs[Int]("side") == 1) lb += e else rb += e
+      }
+      val s = s0.copy(lefts = s0.lefts ++ lb.result(),
+        rights = s0.rights ++ rb.result())
+      st.update(s)
+      rearm(s, timerValues.getCurrentWatermarkInMs())
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AsOfEnriched] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      val w = timerValues.getCurrentWatermarkInMs()
+      // rights final at-or-before the watermark, in match-preference
+      // order: ascending ts, DESCENDING id — so "last qualifying" is the
+      // max-ts / min-id winner, the batch operators' exact tie rule
+      val finalized = (s.rights.filter(_.tsMs <= w) ++
+        (if (s.hasFinal) Seq(AsOfEvt(s.finalTs, s.finalId)) else Nil))
+        .sortBy(e => (e.tsMs, -e.id))
+      val (emit, still) = s.lefts.partition(_.tsMs <= w)
+      val out = emit.sortBy(e => (e.tsMs, e.id)).map { l =>
+        val m = finalized.takeWhile(_.tsMs <= l.tsMs).lastOption
+        AsOfEnriched(user, l.id, m.map(_.id))
+      }
+      // collapse finalized rights to the single latest (min id at ties —
+      // finalized order puts it last); keep only not-yet-final rights
+      val latest = finalized.lastOption
+      val ns = AsOfBuf(still, s.rights.filter(_.tsMs > w),
+        hasFinal = latest.isDefined,
+        latest.map(_.tsMs).getOrElse(0L), latest.map(_.id).getOrElse(0L))
+      if (ns.lefts.isEmpty && ns.rights.isEmpty && !ns.hasFinal) st.clear()
+      else st.update(ns)
+      rearm(ns, w)
+      out.iterator
+    }
+  }
+
+  /** [[AsOfStreamProcessor]] wired over tagged left/right streams: left
+    * rows enrich from rights of the same `user_id` (backward, min-id tie
+    * break), emitted once the watermark passes their event time.
+    */
+  def asOfEnrichStream(
+      lefts: DataFrame, rights: DataFrame,
+      watermark: String = "30 minutes"): org.apache.spark.sql.Dataset[AsOfEnriched] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val outEnc = Encoders.product[AsOfEnriched]
+    implicit val longEnc = Encoders.scalaLong
+    val l = lefts.select(col("user_id"), col("ts"),
+      col("event_id").as("id"), lit(1).as("side"))
+    val r = rights.select(col("user_id"), col("ts"),
+      col("event_id").as("id"), lit(0).as("side"))
+    l.unionByName(r).withWatermark("ts", watermark)
+      .groupByKey((row: Row) => row.getAs[Long]("user_id"))(longEnc)
+      .transformWithState(new AsOfStreamProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Watermarked stream-stream interval join: each purchase picks up
     * the same user's clicks from the preceding `lookback` interval.
     * Both sides carry watermarks and the join condition bounds the time

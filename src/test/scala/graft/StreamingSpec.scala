@@ -327,6 +327,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("asOfEnrichStream == native batch as-of on out-of-order arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val memL = MemoryStream[Ev]
+    val memR = MemoryStream[Ev]
+    val q = StreamingOps.asOfEnrichStream(memL.toDF(), memR.toDF(),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: right precedes left in event time
+      memR.addData(Ev(100, ts(10), 1, "click", 0.0))
+      memL.addData(Ev(1, ts(20), 1, "purchase", 0.0))
+      q.processAllAvailable()
+      // batch 2: equal-ts right TIE (ids 101/99 -> min 99 must win), an
+      // at-or-equal left, an OUT-OF-ORDER left (t15 < the already-seen
+      // t20, inside the watermark slack), and a left on a right-less key
+      memR.addData(Ev(101, ts(30), 1, "click", 0.0),
+        Ev(99, ts(30), 1, "click", 0.0))
+      memL.addData(Ev(2, ts(30), 1, "purchase", 0.0),
+        Ev(3, ts(15), 1, "purchase", 0.0),
+        Ev(4, ts(25), 2, "purchase", 0.0))
+      q.processAllAvailable()
+      // sentinels push the watermark past everything; one more batch so
+      // the armed event-time timers actually fire
+      memR.addData(Ev(900, ts(499), 9, "click", 0.0))
+      memL.addData(Ev(90, ts(500), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      memL.addData(Ev(91, ts(501), 9, "purchase", 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      // hand-computed: tie resolves to 99, out-of-order t15 gets the
+      // t10 click, right-less user 2 emits a null match
+      assert(got == Set((1L, 1L, 100L), (1L, 2L, 99L), (1L, 3L, 100L),
+        (2L, 4L, null)))
+
+      // and the NATIVE batch operator on the same fed rows agrees
+      // (restricted to the emitted ids — the sentinel lefts are still
+      // inside the watermark and legitimately unemitted)
+      val leftsB = Seq((1L, 20L, 1L), (1L, 30L, 2L), (1L, 15L, 3L),
+        (2L, 25L, 4L), (9L, 500L, 90L), (9L, 501L, 91L))
+        .toDF("user_id", "mins", "event_id")
+        .withColumn("ts", timestamp_millis(col("mins") * 60000L)).drop("mins")
+      val rightsB = Seq((1L, 10L, 100L), (1L, 30L, 101L), (1L, 30L, 99L),
+        (9L, 499L, 900L))
+        .toDF("user_id", "mins", "click_id")
+        .withColumn("ts", timestamp_millis(col("mins") * 60000L)).drop("mins")
+      val batch = graft.plans.NativeAsOfJoin
+        .asOf(leftsB, rightsB, "user_id", "ts", Seq("click_id"),
+          tieBreak = Some("click_id"))
+        .filter(col("event_id") < 90)
+        .select(col("user_id"), col("event_id"), col("asof_click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      assert(batch == got)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream join pairs purchases with in-window clicks across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val pm = MemoryStream[Ev]
