@@ -69,6 +69,28 @@ class NativeAsOfJoinSpec extends SparkSpec {
       assert(canon(nt) == canon(composed(rightDup, forward, tol, Some("p"))),
         s"tieBreak forward=$forward tol=$tol")
     }
+
+    // STRING keys through the same randomized grid: the merge's retained
+    // key is a UTF8String (object-typed, buffer-backed) — the exact path
+    // the owned-buffer copy protects
+    val leftS = left.withColumn("user_id", concat(lit("u"), col("user_id")))
+    val rightS = rightDup.withColumn("user_id", concat(lit("u"), col("user_id")))
+    for (forward <- Seq(false, true)) {
+      val n = NativeAsOfJoin.asOf(leftS, rightS, "user_id", "ts", Seq("p"),
+        forward = forward, tieBreak = Some("p"))
+        .select(col("user_id"), col("v"), col("asof_p")).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      val c = (if (forward)
+          AsOfJoin.asOfForward(leftS, rightS, "user_id", "ts", Seq("p"), None, Some("p"))
+        else AsOfJoin.asOf(leftS, rightS, "user_id", "ts", Seq("p"), Some("p")))
+        .select(col("user_id"), col("v"), col("asof_p")).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(n == c, s"string keys forward=$forward")
+    }
   }
 
   test("planted semantics: ties, tolerance boundary, empty groups") {
