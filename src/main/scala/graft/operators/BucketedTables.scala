@@ -69,4 +69,23 @@ object BucketedTables {
     val (lt, ot) = ensure(s, dir)
     (s.table(lt), s.table(ot))
   }
+
+  private val probeKeys = scala.collection.mutable.Map.empty[String, Option[Long]]
+
+  /** Data-derived point-lookup probe for `dir` (the smallest orderkey
+    * ending in 7), computed ONCE per (JVM, dir) and cached — the probe
+    * scan must not be re-paid on every construction of q_bucket_prune
+    * (it would dominate the timing of the pruning it demonstrates).
+    * None when no such key exists (the caller emits an empty result,
+    * matching the oracle's NULL-equality semantics).
+    */
+  def probeKey(s: SparkSession, dir: String): Option[Long] = synchronized {
+    probeKeys.getOrElseUpdate(dir, {
+      val (lt, _) = ensure(s, dir)
+      val r = s.table(lt).filter(org.apache.spark.sql.functions.col("l_orderkey") % 10 === 7)
+        .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col("l_orderkey"))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    })
+  }
 }

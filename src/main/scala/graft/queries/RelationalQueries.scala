@@ -879,16 +879,18 @@ object RelationalQueries {
     // the bucket key scans exactly one of the 8 buckets
     // (SelectedBucketsCount: 1 out of 8, asserted in BucketedSpec) — at
     // 100 TB a point lookup touches 1/8 of the files before any row
-    // filtering, with zero index structures maintained. The probe keys
-    // are derived from the data (3 smallest orderkeys ending in 7) so
-    // the query works at any SF without a hardcoded id.
+    // filtering, with zero index structures maintained. The single
+    // probe key derives from the data (the smallest orderkey ending in
+    // 7, cached per dir so repeated construction doesn't re-pay the
+    // derivation scan) and the query works at any SF without a
+    // hardcoded id; a dataset with NO such key yields an empty result,
+    // matching the oracle's NULL-equality semantics.
     "q_bucket_prune" -> { (s, dir) =>
       val (li, _) = graft.operators.BucketedTables.bucketJoin(s, dir)
-      val probes = li.filter(col("l_orderkey") % 10 === 7)
-        .agg(min(col("l_orderkey")).as("k")).collect()(0).getLong(0)
+      val probe = graft.operators.BucketedTables.probeKey(s, dir)
       // no output sort: it's a single-group result and a global sort
       // would add the plan's only exchange (driver compare sorts rows)
-      li.filter(col("l_orderkey") === probes)
+      li.filter(probe.map(k => col("l_orderkey") === k).getOrElse(lit(false)))
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_quantity")).as("sum_qty"))

@@ -2780,11 +2780,6 @@ object TextQueries {
   private def spanTokFrame(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
 
-  /** Merged duplicated-gram spans per doc: (doc_id, island, st, en2,
-    * npos) with [st, en2) half-open in token positions. The gram-keyed
-    * window count is the one corpus-wide exchange; the doc-keyed
-    * window merges islands.
-    */
   /** Position-aligned L-token grams: (doc_id, pos, gram) with pos the
     * 0-based start token. (graft_shingle_hashes deliberately returns a
     * SORTED-DEDUPED hash set — right for membership probes, useless for
@@ -2797,6 +2792,11 @@ object TextQueries {
           k => concat_ws(" ", slice(col("toks"), k + 1, lit(L)))))
         .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
 
+  /** Merged duplicated-gram spans per doc: (doc_id, island, st, en2,
+    * npos) with [st, en2) half-open in token positions. The gram-keyed
+    * window count is the one corpus-wide exchange; the doc-keyed
+    * window merges islands.
+    */
   private def dupSpanFrame(t: DataFrame, L: Int): DataFrame = {
     val dup = gramFrame(t, L)
       .withColumn("c", count(lit(1)).over(Window.partitionBy("gram")))
@@ -4318,11 +4318,12 @@ object TextQueries {
          round(COALESCE(pd.dup_tokens, 0) * 1.0 / len(t.toks), 6) AS dup_frac
        FROM t LEFT JOIN perdoc pd ON pd.doc_id = t.doc_id
        ORDER BY t.doc_id""",
-    // Contamination-excision: benchmark gram membership (span STRINGS —
-    // the Spark side probes the 64-bit chained hash, same-result-bar-
-    // collisions caveat as q_decontaminate) marks covered windows, then
-    // the identical island-merge + token-drop + re-hash chain as
-    // q_span_excise, restricted to the corpus half.
+    // Contamination-excision: benchmark gram membership marks covered
+    // windows, then the identical island-merge + token-drop + re-hash
+    // chain as q_span_excise, restricted to the corpus half. EXACT gram
+    // STRINGS on BOTH sides (positions require carrying the gram, and
+    // the hash kernel returns a sorted-deduped set) — no collision
+    // caveat, unlike q_decontaminate's hash probe.
     "q_decontam_excise" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -466,21 +466,20 @@ object StreamingOps {
       st = getHandle.getValueState[AsOfBuf]("asof_buf",
         org.apache.spark.sql.Encoders.product[AsOfBuf], TTLConfig.NONE)
 
-    /** One armed timer per key: the earliest pending LEFT (emission), or
-      * — when no left is pending — the earliest pending RIGHT, so
-      * rights-only keys still compact to the single collapsed final
-      * row as the watermark passes (without this, a key that only ever
-      * receives right events would buffer rate x lifetime). Clamped
-      * above the current watermark: a row that arrives with event time
-      * at/behind the watermark must still get a FUTURE timer.
+    /** One armed timer per key at the earliest pending event on EITHER
+      * side: lefts need a firing to emit, and rights need one to compact
+      * into the collapsed final row — arming at lefts-only would let a
+      * single far-future left (producer clock skew) suppress compaction
+      * while rights accumulate at rate x skew instead of the documented
+      * rate x watermark-delay bound. Clamped above the current
+      * watermark: a row that arrives with event time at/behind the
+      * watermark must still get a FUTURE timer.
       */
     private def rearm(s: AsOfBuf, watermarkMs: Long): Unit = {
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      val cand =
-        if (s.lefts.nonEmpty) Some(s.lefts.map(_.tsMs).min)
-        else if (s.rights.nonEmpty) Some(s.rights.map(_.tsMs).min)
-        else None
-      cand.foreach(t => getHandle.registerTimer(math.max(t, watermarkMs + 1)))
+      val cand = s.lefts.map(_.tsMs) ++ s.rights.map(_.tsMs)
+      if (cand.nonEmpty)
+        getHandle.registerTimer(math.max(cand.min, watermarkMs + 1))
     }
 
     override def handleInputRows(user: Long,
