@@ -224,7 +224,14 @@ object ScaleSmoke {
     * default sweep was exactly that orders was not cloned.
     */
   private val relationalQueries = Seq(
-    "q_isotonic_cal", "q_record_linkage", "q_woe_iv", "q_bootstrap")
+    "q_isotonic_cal", "q_record_linkage", "q_woe_iv", "q_bootstrap",
+    // bucketed co-located join at Nx BOTH facts: lineitem and orders
+    // clone with the SAME per-copy key shift (their orderkey maxima are
+    // equal at every SF), so referential integrity survives and the
+    // zero-shuffle join carries Nx real matches; the first Nx run pays
+    // the one-time bucketed write (the stored-layout amortization the
+    // operator exists for)
+    "q_bucket_join")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated
