@@ -50,7 +50,20 @@ object NativeAsOfJoin {
       key: String, ts: String, rightCols: Seq[String],
       forward: Boolean = false,
       toleranceMs: Option[Long] = None,
+      tieBreak: Option[String] = None): DataFrame =
+    asOfKeys(left, right, Seq(key), ts, rightCols, forward, toleranceMs, tieBreak)
+
+  /** Composite-key form (pandas merge_asof's multi-column `by`): the
+    * grouped as-of over e.g. (user, device). Same null semantics — a
+    * null in ANY key component never matches.
+    */
+  def asOfKeys(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], ts: String, rightCols: Seq[String],
+      forward: Boolean = false,
+      toleranceMs: Option[Long] = None,
       tieBreak: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
     val spark = left.sparkSession
     val lp = graft.operators.AsOfJoin.normTs(left, ts).queryExecution.analyzed
     val rp0 = graft.operators.AsOfJoin.normTs(right, ts).queryExecution.analyzed
@@ -69,9 +82,11 @@ object NativeAsOfJoin {
       p.output.find(a => a.name == n || a.name == n + "__r").getOrElse(
         throw new IllegalArgumentException(s"$side column '$n' not found"))
 
-    val (lKey, lTs) = (attr(lp, key, "left"), attr(lp, ts, "left"))
-    val (rKey, rTs) = (attr(rp, key, "right"), attr(rp, ts, "right"))
-    require(lKey.dataType == rKey.dataType, "key types must match")
+    val lKeys = keys.map(attr(lp, _, "left"))
+    val rKeys = keys.map(attr(rp, _, "right"))
+    val (lTs, rTs) = (attr(lp, ts, "left"), attr(rp, ts, "right"))
+    lKeys.zip(rKeys).foreach { case (a, b) =>
+      require(a.dataType == b.dataType, s"key types must match: ${a.name}") }
     require(lTs.dataType == rTs.dataType, "ts types must match")
     require(lTs.dataType == TimestampType || lTs.dataType == LongType,
       s"ts must be timestamp or long, got ${lTs.dataType}")
@@ -82,7 +97,7 @@ object NativeAsOfJoin {
       AttributeReference("asof_" + a.name.stripSuffix("__r"),
         a.dataType, nullable = true)()
     }
-    val node = AsOfJoinPlan(lp, rp, lKey, rKey, lTs, rTs, payload, outAttrs,
+    val node = AsOfJoinPlan(lp, rp, lKeys, rKeys, lTs, rTs, payload, outAttrs,
       forward, toleranceMs.map(_ * 1000L), tieBreak.map(attr(rp, _, "right")))
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
@@ -94,7 +109,7 @@ object NativeAsOfJoin {
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute], outAttrs: Seq[Attribute],
     forward: Boolean, toleranceUs: Option[Long], tieBreak: Option[Attribute])
@@ -111,7 +126,7 @@ case class AsOfJoinPlan(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
-      AsOfJoinExec(p.leftKey, p.rightKey, p.leftTs, p.rightTs, p.payload,
+      AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs, p.payload,
         p.outAttrs, p.forward, p.toleranceUs, p.tieBreak,
         planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
@@ -125,7 +140,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   * group, however skewed.
   */
 case class AsOfJoinExec(
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute], outAttrs: Seq[Attribute],
     forward: Boolean, toleranceUs: Option[Long], tieBreak: Option[Attribute],
@@ -139,16 +154,16 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   // Tie groups (equal right ts) are ordered so the LAST consumed row is
   // the minimum tie-break for backward scans and the FIRST reached row
   // is the minimum for forward scans — the merge then needs no
   // tie-group buffering at all.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
-      tieBreak.map(tb => SortOrder(tb, if (forward) Ascending else Descending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++ (SortOrder(rightTs, Ascending) +:
+      tieBreak.map(tb => SortOrder(tb, if (forward) Ascending else Descending)).toSeq))
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -163,10 +178,14 @@ case class AsOfJoinExec(
     val numMatched = longMetric("numMatched")
     val lOut = left.output
     val rOut = right.output
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val lKeyB = BindReferences.bindReference(leftKey.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], lOut)
+    val keyOrds: Array[Ordering[Any]] = leftKeys.map(a =>
+      TypeUtils.getInterpretedOrdering(a.dataType).asInstanceOf[Ordering[Any]]).toArray
+    val nKeys = leftKeys.size
+    val lKeyB = leftKeys.map(a => BindReferences.bindReference(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], lOut)).toArray
+    val rKeyB = rightKeys.map(a => BindReferences.bindReference(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], rOut)).toArray
     val lTsB = BindReferences.bindReference(leftTs.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], lOut)
-    val rKeyB = BindReferences.bindReference(rightKey.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], rOut)
     val rTsB = BindReferences.bindReference(rightTs.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], rOut)
     val fwd = forward
     val tolUs = toleranceUs
@@ -185,6 +204,40 @@ case class AsOfJoinExec(
       val joinNull = UnsafeProjection.create(unmatchedExprs, lOut)
       val joined = new JoinedRow
 
+      // composite-key helpers: lexicographic compare with null-first
+      // semantics (matching the required NULLS FIRST sort order), so the
+      // monotone advance stays correct when a right row carries a null
+      // key component; a MATCH additionally requires a fully non-null
+      // left vector (checked once per left row — right vectors with any
+      // null then compare strictly below it and are dropped by the
+      // advance loop before any equality test can see them)
+      def evalKeys(binds: Array[org.apache.spark.sql.catalyst.expressions.Expression],
+          row: InternalRow): Array[Any] = {
+        val out = new Array[Any](nKeys)
+        var i = 0
+        while (i < nKeys) { out(i) = binds(i).eval(row); i += 1 }
+        out
+      }
+      def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < nKeys) {
+          val x = a(i); val y = b(i)
+          val c =
+            if (x == null && y == null) 0
+            else if (x == null) -1
+            else if (y == null) 1
+            else keyOrds(i).compare(x, y)
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+      def anyNull(a: Array[Any]): Boolean = {
+        var i = 0
+        while (i < nKeys) { if (a(i) == null) return true; i += 1 }
+        false
+      }
+
       new Iterator[InternalRow] {
         // rHead: the next unconsumed right row (valid until the next
         // rIter.next()); best: the nearest-so-far right row for the
@@ -198,7 +251,7 @@ case class AsOfJoinExec(
         private val bestBuf = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rOutSize)
         bestBuf.pointTo(new Array[Byte](64), 64)
         private var best: InternalRow = null
-        private var bestKey: Any = null
+        private var bestKey: Array[Any] = null
 
         // retain rHead as the new best: buffer-copy for UnsafeRow (the
         // universal case under sort), allocate-copy otherwise; the key
@@ -210,7 +263,7 @@ case class AsOfJoinExec(
               bestBuf.copyFrom(u); best = bestBuf
             case o => best = o.copy()
           }
-          bestKey = rKeyB.eval(best)
+          bestKey = evalKeys(rKeyB, best)
         }
 
         private def advanceRight(): Unit =
@@ -220,54 +273,54 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val k = lKeyB.eval(l)
+          val k = evalKeys(lKeyB, l)
           val t = lTsB.eval(l)
           var m: InternalRow = null
-          if (k != null && t != null) {
+          if (!anyNull(k) && t != null) {
             val tv = t.asInstanceOf[Long]
             if (!fwd) {
-              // drop right rows whose key sorts before k (null keys
-              // sort first under Ascending and never match)
-              var rk = if (rHead == null) null else rKeyB.eval(rHead)
-              while (rHead != null && (rk == null || keyOrd.lt(rk, k))) {
+              // drop right rows whose key vector sorts before k (null
+              // components sort first and compare strictly below the
+              // non-null left vector, so they can never match)
+              var rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
+              while (rHead != null && cmpKeys(rk, k) < 0) {
                 advanceRight()
-                rk = if (rHead == null) null else rKeyB.eval(rHead)
+                rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
               }
               // null-ts rows sort first within the key group and never
               // match — skip them so they cannot stall the scan
               var rt = if (rHead == null) null else rTsB.eval(rHead)
-              while (rHead != null && rk != null && keyOrd.equiv(rk, k) &&
-                  rt == null) {
+              while (rHead != null && cmpKeys(rk, k) == 0 && rt == null) {
                 advanceRight()
-                rk = if (rHead == null) null else rKeyB.eval(rHead)
+                rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
                 rt = if (rHead == null) null else rTsB.eval(rHead)
               }
               // consume qualifying rows (key == k, ts <= t); the last
               // consumed is the nearest (and min tie-break on ties)
-              while (rHead != null && rk != null && keyOrd.equiv(rk, k) &&
+              while (rHead != null && cmpKeys(rk, k) == 0 &&
                   rt != null && rt.asInstanceOf[Long] <= tv) {
                 retainBest()
                 advanceRight()
-                rk = if (rHead == null) null else rKeyB.eval(rHead)
+                rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
                 rt = if (rHead == null) null else rTsB.eval(rHead)
               }
-              if (best != null && bestKey != null && keyOrd.equiv(bestKey, k)) {
+              if (best != null && bestKey != null && cmpKeys(bestKey, k) == 0) {
                 val gap = tv - rTsB.eval(best).asInstanceOf[Long]
                 if (tolUs.forall(gap <= _)) m = best
               }
             } else {
               // forward: skip right rows strictly before (k, t); the
               // head is then the earliest at-or-after candidate
-              var rk = if (rHead == null) null else rKeyB.eval(rHead)
+              var rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
               var rt = if (rHead == null) null else rTsB.eval(rHead)
-              while (rHead != null && (rk == null || keyOrd.lt(rk, k) ||
-                  (keyOrd.equiv(rk, k) &&
+              while (rHead != null && (cmpKeys(rk, k) < 0 ||
+                  (cmpKeys(rk, k) == 0 &&
                     (rt == null || rt.asInstanceOf[Long] < tv)))) {
                 advanceRight()
-                rk = if (rHead == null) null else rKeyB.eval(rHead)
+                rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
                 rt = if (rHead == null) null else rTsB.eval(rHead)
               }
-              if (rHead != null && rk != null && keyOrd.equiv(rk, k)) {
+              if (rHead != null && cmpKeys(rk, k) == 0) {
                 val gap = rt.asInstanceOf[Long] - tv
                 if (tolUs.forall(gap <= _)) m = rHead
               }

@@ -176,6 +176,52 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(out == Seq((1L, 7L), (2L, 7L), (3L, null), (4L, 9L)))
   }
 
+  test("composite keys: randomized 2-key parity vs composed on a surrogate") {
+    // native joins on (k1, k2); the composed reference runs on the
+    // concatenated surrogate key — equality proves the lexicographic
+    // composite merge equals true grouped semantics
+    val rnd = new scala.util.Random(7)
+    def gen(n: Int, payloadName: String): org.apache.spark.sql.DataFrame =
+      (1 to n).map(i => (rnd.nextInt(6).toLong, rnd.nextInt(5).toLong,
+        rnd.nextInt(3000).toLong * 1000L, i.toLong))
+        .toDF("k1", "k2", "mus", payloadName)
+        .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val left = gen(800, "v")
+    val right = gen(800, "p")
+    val sur = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("kk", concat_ws("|", col("k1"), col("k2")))
+    for (forward <- Seq(false, true)) {
+      val n = NativeAsOfJoin.asOfKeys(left, right, Seq("k1", "k2"), "ts",
+        Seq("p"), forward = forward, tieBreak = Some("p"))
+        .select(col("k1"), col("k2"), col("v"), col("asof_p")).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+      val c = (if (forward)
+          AsOfJoin.asOfForward(sur(left), sur(right), "kk", "ts", Seq("p"), None, Some("p"))
+        else AsOfJoin.asOf(sur(left), sur(right), "kk", "ts", Seq("p"), Some("p")))
+        .select(col("k1"), col("k2"), col("v"), col("asof_p")).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(n == c, s"composite forward=$forward")
+    }
+    // null in ANY component never matches
+    val ln = Seq((Some(1L), None: Option[Long], 100L, 1L),
+      (Some(1L), Some(2L), 100L, 2L))
+      .toDF("k1", "k2", "mus", "v")
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val rn = Seq((Some(1L), None: Option[Long], 50L, 7L),
+      (Some(1L), Some(2L), 50L, 8L))
+      .toDF("k1", "k2", "mus", "p")
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val out = NativeAsOfJoin.asOfKeys(ln, rn, Seq("k1", "k2"), "ts", Seq("p"))
+      .select(col("v"), col("asof_p")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, null), (2L, 8L)))
+  }
+
   test("plan shape: AsOfJoinExec with one exchange+sort per side") {
     val e = Tables(spark, "/root/testdata/sf0.001", "events")
     val l = e.filter(col("event_type") === "purchase")
