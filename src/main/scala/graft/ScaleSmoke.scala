@@ -223,6 +223,13 @@ object ScaleSmoke {
     * correctly). q_bootstrap joins this tier: its exclusion from the
     * default sweep was exactly that orders was not cloned.
     */
+  /** Which relational-tier table each opt-in query reads — the clone
+    * builder scales only what the selection consumes.
+    */
+  private val ordersConsumers =
+    Set("q_isotonic_cal", "q_woe_iv", "q_bootstrap", "q_bucket_join")
+  private val customerConsumers = Set("q_record_linkage")
+
   private val relationalQueries = Seq(
     "q_isotonic_cal", "q_record_linkage", "q_woe_iv", "q_bootstrap",
     // bucketed co-located join at Nx BOTH facts: lineitem and orders
@@ -330,13 +337,19 @@ object ScaleSmoke {
     }
 
     // orders/customer clones feed ONLY the opt-in relational tier —
-    // skip the two max-key jobs + two Nx parquet writes when no
-    // selected query reads them, raw-copying the 1x files instead so
-    // anything incidentally touching the tables still resolves.
-    if (queries.exists(ScaleSmoke.relationalQueries.contains)) {
+    // and PER TABLE: a selected query pays only the max-key jobs + Nx
+    // writes of the tables it actually reads (q_bucket_join never
+    // touches customer; q_record_linkage never touches orders);
+    // unselected tables raw-copy the 1x files so anything incidentally
+    // touching them still resolves.
+    val needsOrders = queries.exists(ScaleSmoke.ordersConsumers.contains)
+    val needsCustomer = queries.exists(ScaleSmoke.customerConsumers.contains)
+    if (needsOrders) {
       // orders: shifted order keys, fixed bin/category domains — per-bin
       // counts grow Nx, the honest partial-aggregation stress
       buildNx("orders", "o_orderkey")
+    }
+    if (needsCustomer) {
       // customer: shift BOTH custkey and nationkey — the linkage blocking
       // domain grows Nx with per-block density constant (see
       // relationalQueries doc: fixed blocks under Nx data would
@@ -351,8 +364,9 @@ object ScaleSmoke {
           (col("c_nationkey") + lit(k * nStep)).cast("int")))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$work/customer.parquet")
-    } else Seq("orders", "customer").foreach { t =>
-      java.nio.file.Files.copy(
+    }
+    Seq("orders" -> needsOrders, "customer" -> needsCustomer).foreach {
+      case (t, built) => if (!built) java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"), dst.resolve(s"$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -365,6 +379,17 @@ object ScaleSmoke {
       val df = Tables(spark, src, "lineitem")
       val okStep = df.agg(max(col("l_orderkey"))).head().getLong(0) + 1
       val pkStep = df.agg(max(col("l_partkey"))).head().getLong(0) + 1
+      // q_bucket_join's Nx referential integrity rests on lineitem and
+      // orders shifting by the SAME step — fail fast if a fixture ever
+      // has max(l_orderkey) != max(o_orderkey) (the smoke would
+      // otherwise silently time a degenerate zero-match join)
+      if (needsOrders) {
+        val oStep = Tables(spark, src, "orders")
+          .agg(max(col("o_orderkey"))).head().getLong(0) + 1
+        require(okStep == oStep,
+          s"lineitem/orders clone steps diverge ($okStep vs $oStep): " +
+            "the Nx bucket join would be degenerate")
+      }
       (0 until copies).map(k => df
         .withColumn("l_orderkey", col("l_orderkey") + lit(k * okStep))
         .withColumn("l_partkey", col("l_partkey") + lit(k * pkStep)))

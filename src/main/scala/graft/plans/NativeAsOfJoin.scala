@@ -211,9 +211,8 @@ case class AsOfJoinExec(
       // left vector (checked once per left row — right vectors with any
       // null then compare strictly below it and are dropped by the
       // advance loop before any equality test can see them)
-      def evalKeys(binds: Array[org.apache.spark.sql.catalyst.expressions.Expression],
-          row: InternalRow): Array[Any] = {
-        val out = new Array[Any](nKeys)
+      def evalKeysInto(binds: Array[org.apache.spark.sql.catalyst.expressions.Expression],
+          row: InternalRow, out: Array[Any]): Array[Any] = {
         var i = 0
         while (i < nKeys) { out(i) = binds(i).eval(row); i += 1 }
         out
@@ -251,6 +250,13 @@ case class AsOfJoinExec(
         private val bestBuf = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rOutSize)
         bestBuf.pointTo(new Array[Byte](64), 64)
         private var best: InternalRow = null
+        // three REUSED key-vector scratch arrays (left, right head,
+        // retained best) — refilled in place so the merge allocates
+        // nothing per row; eval's boxing of primitives is unavoidable
+        // (and predates the composite generalization)
+        private val kBuf = new Array[Any](nKeys)
+        private val rkBuf = new Array[Any](nKeys)
+        private val bestKeyBuf = new Array[Any](nKeys)
         private var bestKey: Array[Any] = null
 
         // retain rHead as the new best: buffer-copy for UnsafeRow (the
@@ -263,7 +269,7 @@ case class AsOfJoinExec(
               bestBuf.copyFrom(u); best = bestBuf
             case o => best = o.copy()
           }
-          bestKey = evalKeys(rKeyB, best)
+          bestKey = evalKeysInto(rKeyB, best, bestKeyBuf)
         }
 
         private def advanceRight(): Unit =
@@ -273,7 +279,7 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val k = evalKeys(lKeyB, l)
+          val k = evalKeysInto(lKeyB, l, kBuf)
           val t = lTsB.eval(l)
           var m: InternalRow = null
           if (!anyNull(k) && t != null) {
@@ -282,17 +288,17 @@ case class AsOfJoinExec(
               // drop right rows whose key vector sorts before k (null
               // components sort first and compare strictly below the
               // non-null left vector, so they can never match)
-              var rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
+              var rk = if (rHead == null) null else evalKeysInto(rKeyB, rHead, rkBuf)
               while (rHead != null && cmpKeys(rk, k) < 0) {
                 advanceRight()
-                rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
+                rk = if (rHead == null) null else evalKeysInto(rKeyB, rHead, rkBuf)
               }
               // null-ts rows sort first within the key group and never
               // match — skip them so they cannot stall the scan
               var rt = if (rHead == null) null else rTsB.eval(rHead)
               while (rHead != null && cmpKeys(rk, k) == 0 && rt == null) {
                 advanceRight()
-                rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
+                rk = if (rHead == null) null else evalKeysInto(rKeyB, rHead, rkBuf)
                 rt = if (rHead == null) null else rTsB.eval(rHead)
               }
               // consume qualifying rows (key == k, ts <= t); the last
@@ -301,7 +307,7 @@ case class AsOfJoinExec(
                   rt != null && rt.asInstanceOf[Long] <= tv) {
                 retainBest()
                 advanceRight()
-                rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
+                rk = if (rHead == null) null else evalKeysInto(rKeyB, rHead, rkBuf)
                 rt = if (rHead == null) null else rTsB.eval(rHead)
               }
               if (best != null && bestKey != null && cmpKeys(bestKey, k) == 0) {
@@ -310,17 +316,19 @@ case class AsOfJoinExec(
               }
             } else {
               // forward: skip right rows strictly before (k, t); the
-              // head is then the earliest at-or-after candidate
-              var rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
+              // head is then the earliest at-or-after candidate (one
+              // lexicographic compare per iteration, hoisted)
+              var rk = if (rHead == null) null else evalKeysInto(rKeyB, rHead, rkBuf)
               var rt = if (rHead == null) null else rTsB.eval(rHead)
-              while (rHead != null && (cmpKeys(rk, k) < 0 ||
-                  (cmpKeys(rk, k) == 0 &&
-                    (rt == null || rt.asInstanceOf[Long] < tv)))) {
+              var c = if (rHead == null) 1 else cmpKeys(rk, k)
+              while (rHead != null && (c < 0 ||
+                  (c == 0 && (rt == null || rt.asInstanceOf[Long] < tv)))) {
                 advanceRight()
-                rk = if (rHead == null) null else evalKeys(rKeyB, rHead)
+                rk = if (rHead == null) null else evalKeysInto(rKeyB, rHead, rkBuf)
                 rt = if (rHead == null) null else rTsB.eval(rHead)
+                c = if (rHead == null) 1 else cmpKeys(rk, k)
               }
-              if (rHead != null && cmpKeys(rk, k) == 0) {
+              if (rHead != null && c == 0) {
                 val gap = rt.asInstanceOf[Long] - tv
                 if (tolUs.forall(gap <= _)) m = rHead
               }
