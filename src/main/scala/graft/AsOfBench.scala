@@ -63,15 +63,34 @@ object AsOfBench {
       }
       (best, mm, nn, ss)
     }
+    def nativeNearest() = graft.plans.NativeAsOfJoin
+      .asOfNearest(left, right, "user_id", "ts", Seq("p"), tieBreak = Some("p"))
+      .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
+        coalesce(sum(col("asof_p")), lit(0L)).as("s"))
+    def composedNearest() = graft.operators.AsOfJoin
+      .asOfNearest(left, right, "user_id", "ts", Seq("p"), tieBreak = Some("p"))
+      .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
+        coalesce(sum(col("asof_p")), lit(0L)).as("s"))
+
     val (tn, mn, nn, sn) = time3(native)
     val (tc, mc, nc, sc) = time3(composed)
     require(mn == mc && nn == nc && sn == sc,
       s"spellings disagree: native ($mn/$nn/$sn) vs composed ($mc/$nc/$sc)")
+    // nearest arm: the composed spelling pays TWO window passes over
+    // the skewed key; the merge holds one extra candidate — same O(1)
+    val (tnn, mnn, nnn, snn) = time3(nativeNearest)
+    val (tcn, mcn, ncn, scn) = time3(composedNearest)
+    require(mnn == mcn && nnn == ncn && snn == scn,
+      s"nearest spellings disagree: native ($mnn/$nnn/$snn) vs composed ($mcn/$ncn/$scn)")
     println(s"""{"bench":"asof_skew","rows":$rows,"hot_pct":$hotPct,""" +
       s""""native_sec":${math.round(tn * 100) / 100.0},""" +
       s""""composed_sec":${math.round(tc * 100) / 100.0},""" +
       s""""matched":$mn,"left_rows":$nn,""" +
-      s""""speedup":${math.round(tc / tn * 100) / 100.0}}""")
+      s""""speedup":${math.round(tc / tn * 100) / 100.0},""" +
+      s""""nearest_native_sec":${math.round(tnn * 100) / 100.0},""" +
+      s""""nearest_composed_sec":${math.round(tcn * 100) / 100.0},""" +
+      s""""nearest_matched":$mnn,""" +
+      s""""nearest_speedup":${math.round(tcn / tnn * 100) / 100.0}}""")
     spark.stop()
   }
 }

@@ -209,7 +209,14 @@ object ScaleSmoke {
     // cluster machinery a 90%-clone corpus quadratically densifies;
     // q_bucket_join stays out because the clone shifts l_orderkey but
     // not o_orderkey, so the Nx join degenerates to the 1x result.)
-    "q_shard_stratified", "q_asof_join", "q_asof_native")
+    "q_shard_stratified", "q_asof_join", "q_asof_native",
+    // r14: the nearest-direction native merge (same events tier, same
+    // Nx-keys regime — one extra held candidate over the backward
+    // merge, so its factor should track q_asof_native's), and the PIT
+    // enrichment that now CONSUMES the native exec in production form
+    // (scd2 window build + the merge; per-user history constant under
+    // the clone, so both stages should track the scan)
+    "q_asof_native_nearest", "q_pit_enrich")
 
   /** Relational tier at Nx orders/customers (opt-in via
     * SPARK_GRAFT_ONLY, like the graph tier): orders clone by shifted

@@ -84,5 +84,9 @@ object SparkEntry {
     // their excision transform, the zero-shuffle bucketed join, and the
     // whole-operator (LogicalPlan+Strategy+SparkPlan) as-of join
     "q_repeated_spans", "q_span_excise", "q_bucket_join", "q_asof_native",
-    "q_bcubed", "q_shard_stratified", "q_bucket_prune", "q_decontam_excise")
+    "q_bcubed", "q_shard_stratified", "q_bucket_prune", "q_decontam_excise",
+    // r14: the nearest-direction native as-of (q_asof_nearest's oracle
+    // through the O(1)-state merge) and the PIT enrichment now routed
+    // through the native exec
+    "q_asof_native_nearest", "q_pit_enrich")
 }

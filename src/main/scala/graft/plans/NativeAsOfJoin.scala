@@ -31,14 +31,21 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * cross-checks against the composed operator and the DuckDB oracle
   * through q_asof_native).
   *
-  * Semantics (mirrors `AsOfJoin.asOf`/`asOfForward`): for each left row,
-  * attach the payload of the nearest right row with the same key at or
-  * before (backward) / at or after (forward) the left timestamp, null
-  * when none qualifies or the gap exceeds `toleranceUs`. Ties at equal
-  * right timestamps resolve to the MINIMUM tie-break value when
-  * `tieBreak` is set (otherwise partition-order-dependent, same caveat
-  * as the composed operator). Null keys and null timestamps never match
-  * (SQL equi-join semantics).
+  * Semantics (mirrors `AsOfJoin.asOf`/`asOfForward`/`asOfNearest`): for
+  * each left row, attach the payload of the nearest right row with the
+  * same key at or before (backward) / at or after (forward) / on either
+  * side minimizing the absolute gap with backward winning exact ties
+  * (nearest), null when none qualifies or the gap exceeds `toleranceUs`.
+  * Ties at equal right timestamps resolve to the MINIMUM tie-break value
+  * when `tieBreak` is set (otherwise partition-order-dependent, same
+  * caveat as the composed operator). Null keys and null timestamps never
+  * match (SQL equi-join semantics).
+  *
+  * The nearest merge stays O(1) state per key group: it holds the
+  * previous-qualifying right (the backward candidate) while the
+  * unconsumed head IS the forward candidate, then picks the smaller gap
+  * (backward on exact gap ties — the composed `asOfNearest` / pandas
+  * merge_asof rule).
   */
 object NativeAsOfJoin {
 
@@ -50,8 +57,21 @@ object NativeAsOfJoin {
       key: String, ts: String, rightCols: Seq[String],
       forward: Boolean = false,
       toleranceMs: Option[Long] = None,
+      tieBreak: Option[String] = None,
+      nearest: Boolean = false): DataFrame =
+    asOfKeys(left, right, Seq(key), ts, rightCols, forward, toleranceMs,
+      tieBreak, nearest)
+
+  /** Nearest-direction as-of through the native exec (pandas merge_asof
+    * direction='nearest'): min |gap|, backward winning exact ties.
+    */
+  def asOfNearest(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, rightCols: Seq[String],
+      toleranceMs: Option[Long] = None,
       tieBreak: Option[String] = None): DataFrame =
-    asOfKeys(left, right, Seq(key), ts, rightCols, forward, toleranceMs, tieBreak)
+    asOfKeys(left, right, Seq(key), ts, rightCols, forward = false,
+      toleranceMs, tieBreak, nearest = true)
 
   /** Composite-key form (pandas merge_asof's multi-column `by`): the
     * grouped as-of over e.g. (user, device). Same null semantics — a
@@ -62,8 +82,10 @@ object NativeAsOfJoin {
       keys: Seq[String], ts: String, rightCols: Seq[String],
       forward: Boolean = false,
       toleranceMs: Option[Long] = None,
-      tieBreak: Option[String] = None): DataFrame = {
+      tieBreak: Option[String] = None,
+      nearest: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
+    require(!(forward && nearest), "forward and nearest are exclusive")
     val spark = left.sparkSession
     val lp = graft.operators.AsOfJoin.normTs(left, ts).queryExecution.analyzed
     val rp0 = graft.operators.AsOfJoin.normTs(right, ts).queryExecution.analyzed
@@ -98,7 +120,8 @@ object NativeAsOfJoin {
         a.dataType, nullable = true)()
     }
     val node = AsOfJoinPlan(lp, rp, lKeys, rKeys, lTs, rTs, payload, outAttrs,
-      forward, toleranceMs.map(_ * 1000L), tieBreak.map(attr(rp, _, "right")))
+      forward, toleranceMs.map(_ * 1000L), tieBreak.map(attr(rp, _, "right")),
+      nearest)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }
@@ -112,7 +135,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute], outAttrs: Seq[Attribute],
-    forward: Boolean, toleranceUs: Option[Long], tieBreak: Option[Attribute])
+    forward: Boolean, toleranceUs: Option[Long], tieBreak: Option[Attribute],
+    nearest: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ outAttrs
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -127,7 +151,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs, p.payload,
-        p.outAttrs, p.forward, p.toleranceUs, p.tieBreak,
+        p.outAttrs, p.forward, p.toleranceUs, p.tieBreak, p.nearest,
         planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
@@ -144,6 +168,7 @@ case class AsOfJoinExec(
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute], outAttrs: Seq[Attribute],
     forward: Boolean, toleranceUs: Option[Long], tieBreak: Option[Attribute],
+    nearest: Boolean,
     left: SparkPlan, right: SparkPlan)
   extends SparkPlan with BinaryExecNode {
 
@@ -159,11 +184,15 @@ case class AsOfJoinExec(
   // Tie groups (equal right ts) are ordered so the LAST consumed row is
   // the minimum tie-break for backward scans and the FIRST reached row
   // is the minimum for forward scans — the merge then needs no
-  // tie-group buffering at all.
+  // tie-group buffering at all. Nearest uses the FORWARD (ascending)
+  // tie order for both of its candidates: the head-side candidate is
+  // first-reached as in forward, and the backward candidate keeps the
+  // FIRST row of each new-timestamp group instead of the last.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) ++ (SortOrder(rightTs, Ascending) +:
-      tieBreak.map(tb => SortOrder(tb, if (forward) Ascending else Descending)).toSeq))
+      tieBreak.map(tb => SortOrder(tb,
+        if (forward || nearest) Ascending else Descending)).toSeq))
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -188,6 +217,7 @@ case class AsOfJoinExec(
     val lTsB = BindReferences.bindReference(leftTs.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], lOut)
     val rTsB = BindReferences.bindReference(rightTs.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], rOut)
     val fwd = forward
+    val near = nearest
     val tolUs = toleranceUs
     // BindReferences takes nullability from the INPUT attribute, so a
     // null-padded right row cannot be projected through the matched-path
@@ -258,6 +288,10 @@ case class AsOfJoinExec(
         private val rkBuf = new Array[Any](nKeys)
         private val bestKeyBuf = new Array[Any](nKeys)
         private var bestKey: Array[Any] = null
+        // nearest mode tracks the retained best's timestamp so the
+        // first-of-new-ts-group retain test and the gap compare both
+        // run without re-evaluating rTsB against the buffer
+        private var bestTsV: Long = 0L
 
         // retain rHead as the new best: buffer-copy for UnsafeRow (the
         // universal case under sort), allocate-copy otherwise; the key
@@ -284,7 +318,50 @@ case class AsOfJoinExec(
           var m: InternalRow = null
           if (!anyNull(k) && t != null) {
             val tv = t.asInstanceOf[Long]
-            if (!fwd) {
+            if (near) {
+              // nearest: the merge keeps BOTH candidates at once — the
+              // retained best (highest qualifying at-or-before ts; the
+              // tie-break sorts ASCENDING here, so the FIRST row of each
+              // new-ts group is the group's minimum and later tie rows
+              // must NOT replace it) and the unconsumed head (the
+              // earliest strictly-after row, first-reached = min
+              // tie-break, exactly the forward rule). Same O(1) state.
+              var rk = if (rHead == null) null else evalKeysInto(rKeyB, rHead, rkBuf)
+              while (rHead != null && cmpKeys(rk, k) < 0) {
+                advanceRight()
+                rk = if (rHead == null) null else evalKeysInto(rKeyB, rHead, rkBuf)
+              }
+              var rt = if (rHead == null) null else rTsB.eval(rHead)
+              while (rHead != null && cmpKeys(rk, k) == 0 && rt == null) {
+                advanceRight()
+                rk = if (rHead == null) null else evalKeysInto(rKeyB, rHead, rkBuf)
+                rt = if (rHead == null) null else rTsB.eval(rHead)
+              }
+              while (rHead != null && cmpKeys(rk, k) == 0 &&
+                  rt != null && rt.asInstanceOf[Long] <= tv) {
+                val rtv = rt.asInstanceOf[Long]
+                if (best == null || bestKey == null ||
+                    cmpKeys(bestKey, rk) != 0 || rtv > bestTsV) {
+                  retainBest(); bestTsV = rtv
+                }
+                advanceRight()
+                rk = if (rHead == null) null else evalKeysInto(rKeyB, rHead, rkBuf)
+                rt = if (rHead == null) null else rTsB.eval(rHead)
+              }
+              val bCand = best != null && bestKey != null && cmpKeys(bestKey, k) == 0
+              val gapB = if (bCand) tv - bestTsV else 0L
+              val bOk = bCand && tolUs.forall(gapB <= _)
+              // after the consume loop the head (same key) is strictly
+              // after tv with a non-null ts (nulls sort first in the
+              // group and were skipped above)
+              val fCand = rHead != null && cmpKeys(rk, k) == 0
+              val gapF = if (fCand) rt.asInstanceOf[Long] - tv else 0L
+              val fOk = fCand && tolUs.forall(gapF <= _)
+              // exact |gap| tie -> backward (composed asOfNearest /
+              // pandas merge_asof rule)
+              if (bOk && (!fOk || gapB <= gapF)) m = best
+              else if (fOk) m = rHead
+            } else if (!fwd) {
               // drop right rows whose key vector sorts before k (null
               // components sort first and compare strictly below the
               // non-null left vector, so they can never match)

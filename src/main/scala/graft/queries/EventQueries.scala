@@ -229,12 +229,18 @@ object EventQueries {
     // version in force at its timestamp via the backward as-of
     // operator, never a future version (no leakage) and never a stale
     // re-read after compaction. Composes scd2Versions (one user_id
-    // exchange) with AsOfJoin.asOf (one more keyed exchange for the
-    // tagged union) — no interval blow-up, no per-row range scan.
+    // exchange) with the NATIVE as-of exec (plans/NativeAsOfJoin) —
+    // the production consumer of the streaming-merge operator: the
+    // version side arrives already clustered on user_id from the scd2
+    // window exchange, so the as-of adds only the purchase-side
+    // exchange, and a user hot enough to buffer in WindowExec costs
+    // the merge O(1) state instead. No interval blow-up, no per-row
+    // range scan, no WindowExec beyond the scd2 build's own two
+    // (pinned in ExplainSpec).
     "q_pit_enrich" -> { (s, dir) =>
       // negv: ties at equal vf (two state changes in the same
       // microsecond) must pick the LATEST version — the oracle's
-      // `ORDER BY vf DESC, version DESC` — and asOf's tie-break is
+      // `ORDER BY vf DESC, version DESC` — and the as-of tie-break is
       // min-wins, so negate; without it the pick at a tie is
       // partition-order-nondeterministic.
       val versions = scd2Versions(s, dir)
@@ -243,7 +249,7 @@ object EventQueries {
       val purchases = Tables(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .select("user_id", "ts", "event_id")
-      AsOfJoin.asOf(purchases, versions, "user_id", "ts",
+      graft.plans.NativeAsOfJoin.asOf(purchases, versions, "user_id", "ts",
           Seq("version", "state"), tieBreak = Some("negv"))
         .select(col("user_id"), col("event_id"),
           col("asof_version").as("version"), col("asof_state").as("state"))

@@ -243,6 +243,20 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // Nearest direction through the custom whole-operator path — SHARES
+    // q_asof_nearest's oracle val, so the streaming merge (one held
+    // backward candidate + the unconsumed head as the forward
+    // candidate, O(1) state per key group) must agree bit-for-bit with
+    // the composed two-window spelling AND the DuckDB row_number oracle.
+    "q_asof_native_nearest" -> { (s, dir) =>
+      val (purchases, clicks) = purchaseClickFrames(s, dir)
+      graft.plans.NativeAsOfJoin
+        .asOfNearest(purchases, clicks, "user_id", "ts", Seq("click_id"),
+          tieBreak = Some("click_id"))
+        .select(col("user_id"), col("event_id"), col("asof_click_id"))
+        .orderBy("event_id")
+    },
+
     // Full outer join: BUILDING-segment customers x per-customer order
     // rollup — unmatched rows survive on BOTH sides (customers with no
     // orders keep null counts; orders of other segments keep null names).
@@ -2133,6 +2147,24 @@ object RelationalQueries {
        SELECT user_id, event_id, click_id AS asof_click_id
        FROM j WHERE rk = 1 ORDER BY event_id"""
 
+  /** Nearest-direction as-of oracle, SHARED by q_asof_nearest
+    * (composed two-window spelling) and q_asof_native_nearest (the
+    * whole-operator merge) — min |gap| per purchase, backward winning
+    * exact |gap| ties, min click_id within a direction at equal gap.
+    */
+  private def asofNearestOracle: String =
+    """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+       j AS (
+         SELECT p.event_id, p.user_id, c.click_id,
+           row_number() OVER (PARTITION BY p.event_id
+             ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                      CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                      c.click_id) AS rk
+         FROM p LEFT JOIN c ON p.user_id = c.user_id)
+       SELECT user_id, event_id, click_id AS asof_click_id
+       FROM j WHERE rk = 1 ORDER BY event_id"""
+
   /** DuckDB twin of q_bootstrap: the same md5 16-adic uniforms against
     * the same Poisson(1) CDF literals, exact BIGINT replicate sums, and
     * the [2nd, 39th] order statistics of the 40 replicate means.
@@ -2407,18 +2439,8 @@ object RelationalQueries {
            CAST(len(list_distinct(list(o_orderstatus))) AS BIGINT) AS n_statuses
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q_asof_tolerance" -> asofToleranceOracle,
-    "q_asof_nearest" ->
-      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
-         j AS (
-           SELECT p.event_id, p.user_id, c.click_id,
-             row_number() OVER (PARTITION BY p.event_id
-               ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
-                        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
-                        c.click_id) AS rk
-           FROM p LEFT JOIN c ON p.user_id = c.user_id)
-         SELECT user_id, event_id, click_id AS asof_click_id
-         FROM j WHERE rk = 1 ORDER BY event_id""",
+    "q_asof_nearest" -> asofNearestOracle,
+    "q_asof_native_nearest" -> asofNearestOracle,
     "q_interval_join" ->
       """WITH i AS (
            SELECT o_custkey, o_orderkey,

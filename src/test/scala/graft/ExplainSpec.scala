@@ -173,8 +173,11 @@ class ExplainSpec extends SparkSpec {
     // (vocab-sized), never the raw corpus; the pair grid itself is
     // |sources|² and broadcast
     "q_js_divergence" -> 10,
-    // q_pit_enrich: scd2 version build (one user_id exchange) + the
-    // as-of tagged-union exchange + output sort
+    // q_pit_enrich: scd2 version build (one user_id exchange, reused by
+    // the native as-of's right-side clustering) + the purchase-side
+    // exchange into AsOfJoinExec + output sort — the as-of itself adds
+    // no WindowExec (pinned below in "q_pit_enrich consumes the native
+    // as-of exec")
     "q_pit_enrich" -> 3,
     // r12 snapshot: q_rerank audits post-checkpoint (the whole RRF
     // retrieval subtree is materialized away) — the 4 are the two
@@ -299,6 +302,7 @@ class ExplainSpec extends SparkSpec {
     // AsOfJoinExec (vs the composed q_asof_join's single union-side
     // exchange — same rows cross, no union null-padding), + output sort
     "q_asof_native" -> 3, "q_asof_native_tol" -> 3,
+    "q_asof_native_nearest" -> 3,
     // q_bucket_join: the POINT of the entry — bucketed scans co-locate
     // the join AND the bucket-key aggregate, so the static plan holds
     // zero shuffle exchanges end-to-end (top-k is TakeOrderedAndProject)
@@ -432,6 +436,26 @@ class ExplainSpec extends SparkSpec {
         ).flatten
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q_pit_enrich consumes the native as-of exec (no as-of WindowExec)") {
+    // the production consumer of plans/NativeAsOfJoin: the plan must
+    // hold the streaming-merge exec, and the ONLY WindowExec nodes left
+    // are the scd2 version build's own two (lag + cumulative sum) — the
+    // as-of stage, previously a third WindowExec buffering every user's
+    // full event group, is gone
+    // static plan, like audit(): AdaptiveSparkPlanExec hides its input
+    // plan from collect until execution
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries("q_pit_enrich")(spark, sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val nodes = plan.collectWithSubqueries { case n => n }
+    assert(nodes.count(_.isInstanceOf[graft.plans.AsOfJoinExec]) == 1,
+      plan.toString)
+    assert(nodes.count(_.isInstanceOf[WindowExecBase]) == 2, plan.toString)
   }
 
   test("no query plans a CartesianProduct, UDF, Python eval, or over-budget shuffles") {

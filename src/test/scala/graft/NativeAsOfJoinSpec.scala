@@ -91,6 +91,79 @@ class NativeAsOfJoinSpec extends SparkSpec {
         .sortBy(t => (t._1, t._2))
       assert(n == c, s"string keys forward=$forward")
     }
+
+    // NEAREST direction over the same randomized frames, with and
+    // without tolerance: the one-pass merge (held backward candidate +
+    // head-as-forward-candidate) vs the composed two-window spelling.
+    // Deduped right without a tie-break (no equal-ts ambiguity; the
+    // backward-wins-exact-|gap|-tie rule is still exercised whenever a
+    // left ts sits midway), duplicated right with one.
+    for (tol <- Seq(None, Some(700L))) {
+      val n = NativeAsOfJoin.asOfNearest(left, rightDedup, "user_id", "ts",
+        Seq("p"), toleranceMs = tol)
+      val c = AsOfJoin.asOfNearest(left, rightDedup, "user_id", "ts",
+        Seq("p"), toleranceMs = tol)
+      assert(canon(n) == canon(c), s"nearest tol=$tol")
+
+      val nt = NativeAsOfJoin.asOfNearest(left, rightDup, "user_id", "ts",
+        Seq("p"), toleranceMs = tol, tieBreak = Some("p"))
+      val ct = AsOfJoin.asOfNearest(left, rightDup, "user_id", "ts",
+        Seq("p"), toleranceMs = tol, tieBreak = Some("p"))
+      assert(canon(nt) == canon(ct), s"nearest tieBreak tol=$tol")
+    }
+  }
+
+  test("nearest planted semantics: direction pick, exact-gap tie, tolerance") {
+    // key 1: left at 1000 sits 300us after r(700)=7 and 200us before
+    // r(1200)=9 -> forward wins; left at 950 is 250us/250us equidistant
+    // -> BACKWARD wins the exact tie; key 2 has only a backward row;
+    // key 3 only a forward row; key 4 nothing
+    val left = tsDf(Seq((1L, 1000L, 10L), (1L, 950L, 11L), (2L, 500L, 20L),
+      (3L, 100L, 30L), (4L, 100L, 40L)), "v")
+    val right = tsDf(Seq((1L, 700L, 7L), (1L, 1200L, 9L), (2L, 400L, 21L),
+      (3L, 350L, 31L)), "p")
+    val out = canon(NativeAsOfJoin.asOfNearest(left, right, "user_id", "ts",
+      Seq("p"), tieBreak = Some("p")))
+    assert(out == Seq((1L, 10L, 9L), (1L, 11L, 7L), (2L, 20L, 21L),
+      (3L, 30L, 31L), (4L, 40L, null)))
+    // tolerance prunes each side independently: 0.2ms keeps only the
+    // 200us forward match for (1,1000); everything else nulls out
+    val tol = canon(NativeAsOfJoin.asOfNearest(left, right, "user_id", "ts",
+      Seq("p"), toleranceMs = Some(0L), tieBreak = Some("p")))
+    assert(tol == Seq((1L, 10L, null), (1L, 11L, null), (2L, 20L, null),
+      (3L, 30L, null), (4L, 40L, null)))
+    // equal-ts tie group at the left's own ts: min tie-break, via the
+    // FIRST-of-new-ts-group retain (ascending tie order in nearest mode)
+    val lt = tsDf(Seq((9L, 500L, 90L)), "v")
+    val rt = tsDf(Seq((9L, 500L, 6L), (9L, 500L, 3L), (9L, 450L, 8L)), "p")
+    assert(canon(NativeAsOfJoin.asOfNearest(lt, rt, "user_id", "ts", Seq("p"),
+      tieBreak = Some("p"))) == Seq((9L, 90L, 3L)))
+  }
+
+  test("nearest composite keys: randomized 2-key parity vs composed surrogate") {
+    val rnd = new scala.util.Random(11)
+    def gen(n: Int, payloadName: String): org.apache.spark.sql.DataFrame =
+      (1 to n).map(i => (rnd.nextInt(6).toLong, rnd.nextInt(5).toLong,
+        rnd.nextInt(3000).toLong * 1000L, i.toLong))
+        .toDF("k1", "k2", "mus", payloadName)
+        .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val left = gen(800, "v")
+    val right = gen(800, "p")
+    val sur = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("kk", concat_ws("|", col("k1"), col("k2")))
+    val n = NativeAsOfJoin.asOfKeys(left, right, Seq("k1", "k2"), "ts",
+      Seq("p"), tieBreak = Some("p"), nearest = true)
+      .select(col("k1"), col("k2"), col("v"), col("asof_p")).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val c = AsOfJoin.asOfNearest(sur(left), sur(right), "kk", "ts", Seq("p"),
+      tieBreak = Some("p"))
+      .select(col("k1"), col("k2"), col("v"), col("asof_p")).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(n == c)
   }
 
   test("planted semantics: ties, tolerance boundary, empty groups") {
