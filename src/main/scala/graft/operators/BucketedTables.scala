@@ -27,24 +27,66 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `groupBy(o_orderkey, …)` is satisfied by the join's
   *    `PartitioningCollection` (o_orderkey ∈ grouping keys), so the
   *    aggregate needs no exchange either.
-  *  - Buckets are written once per (session, sf-dir) into the JVM temp
-  *    dir and registered in the session catalog; re-runs (Bench's
-  *    min-of-3) reuse them, which is exactly the production semantics —
-  *    the bucketed table IS the stored layout, not a per-query cost.
+  *  - Buckets are written once per (session, sf-dir CONTENTS) into the
+  *    JVM temp dir and registered in the session catalog; re-runs
+  *    (Bench's min-of-3) reuse them, which is exactly the production
+  *    semantics — the bucketed table IS the stored layout, not a
+  *    per-query cost. The identity tag fingerprints the source files
+  *    (name, size, mtime), so an in-process rewrite of the dir rebuilds
+  *    instead of serving the stale copy.
   */
 object BucketedTables {
 
   val NumBuckets = 8
 
+  /** Content-sensitive table identity: md5 over the dataset dir PATH
+    * plus a (file name, size, mtime) fingerprint of the two source
+    * parquet trees. The path alone was a stale-data hazard: the caches
+    * key per (JVM, dir), so an in-process rewrite of the dir would keep
+    * serving the bucketed copy of the OLD bytes — silently wrong
+    * results. Folding the file metadata in makes a rewrite mint a new
+    * tag, which rebuilds the bucketed tables and recomputes the probe
+    * key; superseded tables linger in the catalog/tmpdir (bounded by
+    * the number of in-process rewrites — rare outside tests) rather
+    * than risking a wrong serve. Local-FS listing here matches the
+    * local[n] test rig; a cluster port swaps in the Hadoop FileSystem
+    * listing (same (path, size, mtime) triple), and an unlistable dir
+    * (e.g. a remote URI under the local rig) degrades to the path-only
+    * tag — the pre-fingerprint behavior, never an error.
+    */
+  private def tagFor(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes("UTF-8"))
+    Seq("lineitem", "orders").foreach { t =>
+      try {
+        val p = java.nio.file.Paths.get(s"$dir/$t.parquet")
+        val files: Seq[java.nio.file.Path] =
+          if (java.nio.file.Files.isDirectory(p)) {
+            val st = java.nio.file.Files.list(p)
+            try {
+              import scala.jdk.CollectionConverters._
+              st.iterator().asScala.toVector.sortBy(_.toString)
+            } finally st.close()
+          } else if (java.nio.file.Files.exists(p)) Seq(p)
+          else Seq.empty
+        files.foreach { f =>
+          md.update((f.toString + "|" + java.nio.file.Files.size(f) + "|" +
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+            .getBytes("UTF-8"))
+        }
+      } catch { case _: java.io.IOException => /* path-only tag */ }
+    }
+    md.digest.take(8).map("%02x".format(_)).mkString
+  }
+
   /** Idempotently materialize lineitem + orders bucketed by orderkey for
-    * `dir`; returns the two catalog table names.
+    * `dir`'s CURRENT contents; returns the two catalog table names.
     */
   def ensure(s: SparkSession, dir: String): (String, String) = synchronized {
-    // collision-free table identity: a 32-bit String.hashCode can
-    // collide across dataset dirs and would silently serve the FIRST
-    // dir's data to the second — md5 of the full path cannot
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    // collision-free: a 32-bit String.hashCode could collide across
+    // dataset dirs/contents and silently serve the wrong data — md5 of
+    // path + content fingerprint cannot
+    val tag = tagFor(dir)
     val (lt, ot) = (s"graft_lineitem_bkt_$tag", s"graft_orders_bkt_$tag")
     val root = s"${sys.props("java.io.tmpdir")}/graft_buckets/$tag"
     if (!s.catalog.tableExists(lt)) {
@@ -73,15 +115,18 @@ object BucketedTables {
   private val probeKeys = scala.collection.mutable.Map.empty[String, Option[Long]]
 
   /** Data-derived point-lookup probe for `dir` (the smallest orderkey
-    * ending in 7), computed ONCE per (JVM, dir) and cached — the probe
-    * scan must not be re-paid on every construction of q_bucket_prune
-    * (it would dominate the timing of the pruning it demonstrates).
+    * ending in 7), computed ONCE per (JVM, content tag) and cached —
+    * the probe scan must not be re-paid on every construction of
+    * q_bucket_prune (it would dominate the timing of the pruning it
+    * demonstrates). Keyed by the bucketed TABLE NAME (which embeds the
+    * content fingerprint), so an in-process rewrite of the dir
+    * invalidates the cached probe along with the bucketed copy.
     * None when no such key exists (the caller emits an empty result,
     * matching the oracle's NULL-equality semantics).
     */
   def probeKey(s: SparkSession, dir: String): Option[Long] = synchronized {
-    probeKeys.getOrElseUpdate(dir, {
-      val (lt, _) = ensure(s, dir)
+    val (lt, _) = ensure(s, dir)
+    probeKeys.getOrElseUpdate(lt, {
       val r = s.table(lt).filter(org.apache.spark.sql.functions.col("l_orderkey") % 10 === 7)
         .agg(org.apache.spark.sql.functions.min(
           org.apache.spark.sql.functions.col("l_orderkey"))).collect()(0)

@@ -2903,18 +2903,30 @@ object TextQueries {
     "slow scan", "small batch", "sort merge", "stream filter", "window agg")
 
   /** Production-shaped dictionary generator: n two-word phrases over
-    * the generator vocabulary. Distinct-word pairs have no proper
-    * border, so the AC ≡ replace-identity equivalence holds at every
-    * size. The SINGLE source for both q_blocklist_240's gated
-    * dictionary and graft.AcBench's curve — so the bench always
-    * measures exactly the dictionary the oracle certifies.
+    * the generator vocabulary, EXCLUDING the pairs that realize a
+    * proper border (a phrase whose prefix equals its suffix, e.g.
+    * "key spark" with border "k" — 21 of the raw 756). The oracle
+    * counts occurrences via DuckDB `replace` (leftmost
+    * non-overlapping), while the AC kernel counts ALL occurrences
+    * including self-overlapping ones — and only a phrase with a proper
+    * border can self-overlap, so the exclusion makes the AC ≡
+    * replace-identity equivalence hold BY CONSTRUCTION on any text,
+    * not merely on the word-boundary corpora the generator emits.
+    * (Distinct words alone do NOT rule a border out — the earlier
+    * docstring claimed they did.) The SINGLE source for both
+    * q_blocklist_240's gated dictionary and graft.AcBench's curve — so
+    * the bench always measures exactly the dictionary the oracle
+    * certifies.
     */
   private[graft] def blocklistDict(n: Int): Seq[String] = {
     val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
       "value", "part", "hash", "merge", "batch", "line", "sort", "window",
       "spark", "order", "data", "column", "join", "small", "customer",
       "query", "big", "stream", "group", "filter", "vector")
-    val all = for (a <- vocab; b <- vocab if a != b) yield s"$a $b"
+    def hasProperBorder(s: String): Boolean =
+      (1 until s.length).exists(k => s.substring(0, k) == s.substring(s.length - k))
+    val all = (for (a <- vocab; b <- vocab if a != b) yield s"$a $b")
+      .filterNot(hasProperBorder)
     require(n <= all.size, s"blocklistDict: max ${all.size} phrases, asked $n")
     all.take(n)
   }

@@ -65,9 +65,20 @@ class StagedSink extends TableProvider {
     if (path == null) new StructType()
     else {
       val manifest = Paths.get(path, "_MANIFEST.json")
-      if (Files.exists(manifest))
-        StructType.fromDDL(StagedSink.manifestSchema(manifest))
-      else new StructType()
+      if (!Files.exists(manifest)) new StructType()
+      // generation=previous reads resolve generation N−1's PERSISTED
+      // schema, never the current one: a schema-changing overwrite
+      // would otherwise silently misparse N−1's positional lines
+      // through N's column layout (wrong columns, wrong types, no
+      // error — the worst failure mode). Retention check first so a
+      // first-commit read reports "no retained previous generation",
+      // not a missing-field parse error.
+      else if (options.getOrDefault("generation", "current") == "previous") {
+        require(StagedSink.manifestPrev(manifest).nonEmpty,
+          s"no retained previous generation under $path (first commit, " +
+            "or written before retention existed)")
+        StructType.fromDDL(StagedSink.manifestPrevSchema(manifest))
+      } else StructType.fromDDL(StagedSink.manifestSchema(manifest))
     }
   }
   override def supportsExternalMetadata(): Boolean = true
@@ -101,22 +112,27 @@ private[sources] class StagedTable(schema: StructType, props: Map[String, String
     val path = props("path")
     val manifest = Paths.get(path, "_MANIFEST.json")
     require(Files.exists(manifest), s"no committed manifest under $path")
-    val readSchema = StructType.fromDDL(StagedSink.manifestSchema(manifest))
     // bounded time travel, matching the one-generation retention:
     // .option("generation", "previous") scans the RETAINED generation
     // N−1 (the post-overwrite audit/diff read); anything deeper was
-    // deleted at commit time and fails loudly here. The current
-    // manifest's schema applies — the line format is positional and a
-    // same-schema overwrite is the retention contract.
+    // deleted at commit time and fails loudly here. EACH generation is
+    // read with ITS OWN persisted schema (the manifest records N−1's
+    // DDL as `prev_schema` at the commit of N): the line format is
+    // positional, so decoding N−1's files through N's layout after a
+    // schema-changing overwrite would silently return garbage — a
+    // manifest without the recorded DDL therefore fails loudly instead
+    // of guessing.
     val generation = props.getOrElse("generation", "current")
-    val names = generation match {
-      case "current" => StagedSink.manifestFiles(manifest)
+    val (names, readSchema) = generation match {
+      case "current" =>
+        (StagedSink.manifestFiles(manifest),
+          StructType.fromDDL(StagedSink.manifestSchema(manifest)))
       case "previous" =>
         val prev = StagedSink.manifestPrev(manifest)
         require(prev.nonEmpty,
           s"no retained previous generation under $path (first commit, " +
             "or written before retention existed)")
-        prev
+        (prev, StructType.fromDDL(StagedSink.manifestPrevSchema(manifest)))
       case g => throw new IllegalArgumentException(
         s"StagedSink generation must be 'current' or 'previous', got '$g'")
     }
@@ -232,6 +248,13 @@ private[sources] class StagedBatchWrite(path: String, writeId: String,
     val retiring: Seq[String] =
       if (!Files.exists(manifest)) Seq.empty
       else StagedSink.manifestPrev(manifest)
+    // generation N's schema DDL, persisted alongside its retained file
+    // list: `generation=previous` readers decode N−1's positional lines
+    // with N−1's OWN layout, so a schema-changing overwrite can never
+    // silently misparse the retained generation
+    val previousSchema: Option[String] =
+      if (!Files.exists(manifest)) None
+      else Some(StagedSink.manifestSchema(manifest))
     // 1. move exactly the WINNING attempts' files into the table dir
     val committed = messages.collect { case StagedCommit(f, n) => (f, n) }
     committed.foreach { case (f, _) =>
@@ -247,9 +270,13 @@ private[sources] class StagedBatchWrite(path: String, writeId: String,
     val retained = previous.distinct
     val rows = committed.map(_._2).sum
     val tmp = dir.resolve(s"._MANIFEST.$writeId.tmp")
+    // `schema` stays the LAST key (manifestSchema's parser anchors on
+    // the closing `"}`); prev_schema precedes it
+    val prevSchemaField = previousSchema
+      .map(s => s""""prev_schema":${ujsonStr(s)},""").getOrElse("")
     val json = s"""{"files":[${keep.map("\"" + _ + "\"").mkString(",")}],
       |"prev":[${retained.map("\"" + _ + "\"").mkString(",")}],
-      |"new_rows":$rows,"schema":${ujsonStr(schema.toDDL)}}""".stripMargin
+      |"new_rows":$rows,$prevSchemaField"schema":${ujsonStr(schema.toDDL)}}""".stripMargin
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -429,6 +456,23 @@ object StagedSink {
   private[sources] def manifestSchema(manifest: Path): String = {
     val json = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
     json.split("\"schema\":\"", 2)(1).split("\"}", 2)(0)
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+  }
+
+  /** The retained generation N−1's OWN schema DDL, recorded at the
+    * commit that superseded it. Fails loudly for manifests written
+    * before the field existed: decoding the previous generation's
+    * positional lines with the current layout after a schema-changing
+    * overwrite would silently return garbage, so no fallback.
+    */
+  private[sources] def manifestPrevSchema(manifest: Path): String = {
+    val json = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+    val parts = json.split("\"prev_schema\":\"", 2)
+    require(parts.length == 2,
+      s"manifest $manifest records no previous-generation schema " +
+        "(written before prev_schema existed) — cannot safely decode " +
+        "generation=previous; re-commit once to refresh the manifest")
+    parts(1).split("\",\"schema\"", 2)(0)
       .replace("\\\"", "\"").replace("\\\\", "\\")
   }
 

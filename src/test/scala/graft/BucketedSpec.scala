@@ -34,4 +34,30 @@ class BucketedSpec extends SparkSpec {
     assert(spark.table(lt1).count() != spark.table(lt2).count())
     assert(ot1.contains("orders"))
   }
+
+  test("an in-process rewrite of the source dir invalidates the bucketed cache") {
+    // stage a mutable copy of the sf0.001 tables, ensure() against it,
+    // then REWRITE lineitem in place — the content fingerprint must
+    // mint a new table identity whose bucketed copy reflects the new
+    // bytes (the pre-fingerprint cache served the stale first build)
+    val work = java.nio.file.Files.createTempDirectory("bkt_invalidate").toString
+    Seq("lineitem", "orders").foreach(t =>
+      Tables(spark, dir, t).write.parquet(s"$work/$t.parquet"))
+    val (lt1, _) = graft.operators.BucketedTables.ensure(spark, work)
+    val n1 = spark.table(lt1).count()
+    val p1 = graft.operators.BucketedTables.probeKey(spark, work)
+
+    val half = Tables(spark, work, "lineitem")
+      .filter(col("l_orderkey") % 2 === 0).localCheckpoint()
+    half.write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    val (lt2, _) = graft.operators.BucketedTables.ensure(spark, work)
+    assert(lt2 != lt1, "rewrite did not change the table identity")
+    val n2 = spark.table(lt2).count()
+    assert(n2 == half.count() && n2 < n1,
+      s"bucketed copy stale after rewrite: $n2 vs $n1")
+    // the cached probe key is invalidated with it: only even orderkeys
+    // survive, so the smallest key ending in 7 must change or vanish
+    val p2 = graft.operators.BucketedTables.probeKey(spark, work)
+    assert(p2.forall(_ % 2 == 0), s"stale probe key $p2 (was $p1)")
+  }
 }

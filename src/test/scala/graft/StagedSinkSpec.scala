@@ -136,6 +136,42 @@ class StagedSinkSpec extends SparkSpec {
     assert(bad.getMessage.contains("generation must be"), bad.getMessage)
   }
 
+  test("generation=previous decodes with its OWN schema after a schema change") {
+    val path = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.format("graft.sources.StagedSink").option("path", path)
+      .mode("append").save()
+    // schema-CHANGING overwrite: a double column lands between id and
+    // name, so decoding gen-1 lines through the new layout would read
+    // "a"/"b" as doubles (or worse, silently null them) — the manifest
+    // must instead serve gen 1 with its recorded two-column DDL
+    Seq((10L, 0.5, "x"), (11L, 0.7, "y")).toDF("id", "score", "name")
+      .write.format("graft.sources.StagedSink").option("path", path)
+      .mode("overwrite").save()
+    assert(StagedSink.readCommitted(spark, path).schema.fieldNames.toSeq ==
+      Seq("id", "score", "name"))
+    val prev = StagedSink.readPreviousGeneration(spark, path)
+    assert(prev.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(prev.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // a legacy manifest (no prev_schema recorded) must FAIL LOUDLY on a
+    // previous-generation read — silently decoding through the current
+    // layout is exactly the hazard the field exists to close
+    val mPath = Paths.get(path, "_MANIFEST.json")
+    val json = new String(Files.readAllBytes(mPath), "UTF-8")
+    assert(json.contains("\"prev_schema\""), json)
+    val legacy = json.substring(0, json.indexOf("\"prev_schema\"")) +
+      json.substring(json.indexOf("\"schema\""))
+    Files.write(mPath, legacy.getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      StagedSink.readPreviousGeneration(spark, path).collect()
+    }
+    assert(e.getMessage.contains("prev_schema"), e.getMessage)
+    // the current generation stays readable through the same manifest
+    assert(StagedSink.readCommitted(spark, path).count() == 2L)
+  }
+
   test("strings with newlines, quotes, backslashes and empties round-trip") {
     val path = tmp()
     val tricky = Seq(
