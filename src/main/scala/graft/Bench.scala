@@ -120,6 +120,27 @@ object Bench {
     // budget (slowest first — the ones anyone compares across rounds),
     // with an explicit queries_omitted count when truncated.
     println(s"""{"metric":"detail","detail":$detail}""")
+    // The SAME two lines, untruncated, persisted to a file: the driver
+    // artifact tails stdout at ~2000 chars, which has repeatedly left a
+    // load-poisoned per-query number unadjudicatable from the committed
+    // JSON alone (r12 q_rfm, r13 q_gini each took a quiet re-run).
+    // bench_diff.py reads this file directly — same line format as the
+    // stdout capture, with the full queries map and per-query
+    // {min,max,load,runs}. Committed per round as BENCH_DETAIL_r{N}.json.
+    val fullTotalLine = s"""{"metric":"total","value":${fmt(total)},""" +
+      s""""unit":"sec","runs_per_query":$runsPerQuery,"noisy":$noisy,""" +
+      s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+      s""""sf":"$sfDir","queries":{""" +
+      results.sortBy(-_._2.min)
+        .map { case (k, rs, _) => "\"" + k + "\":" + fmt(rs.min) }
+        .mkString(",") + "}}"
+    val detailOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailOut),
+      (s"""{"metric":"detail","detail":$detail}""" + "\n" + fullTotalLine + "\n")
+        .getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] detail file $detailOut not written: $e") }
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runsPerQuery,"noisy":$noisy,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir","queries":{"""
     val budget = 1800 - prefix.length - 40 // slack for the closing + omitted count
     val entries = results.sortBy(-_._2.min)

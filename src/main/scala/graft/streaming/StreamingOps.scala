@@ -457,9 +457,16 @@ object StreamingOps {
   case class AsOfEnriched(user_id: Long, event_id: Long,
       asof_click_id: Option[Long])
 
+  /** Row-keyed so the SAME processor serves any key arity — the
+    * composite-key twin of `NativeAsOfJoin.asOfKeys` (the grouping key
+    * is the full key vector; output rows lead with its fields). The
+    * buffer logic never touches the key, so generalizing the key type
+    * changes nothing about the state bound.
+    */
   class AsOfStreamProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, org.apache.spark.sql.Row, AsOfEnriched] {
+        org.apache.spark.sql.Row, org.apache.spark.sql.Row,
+        org.apache.spark.sql.Row] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig}
     @transient private var st: org.apache.spark.sql.streaming.ValueState[AsOfBuf] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -482,9 +489,9 @@ object StreamingOps {
         getHandle.registerTimer(math.max(cand.min, watermarkMs + 1))
     }
 
-    override def handleInputRows(user: Long,
+    override def handleInputRows(key: org.apache.spark.sql.Row,
         rows: Iterator[org.apache.spark.sql.Row],
-        timerValues: TimerValues): Iterator[AsOfEnriched] = {
+        timerValues: TimerValues): Iterator[org.apache.spark.sql.Row] = {
       val s0 = if (st.exists()) st.get()
         else AsOfBuf(Nil, Nil, hasFinal = false, 0L, 0L)
       val (lb, rb) = (Seq.newBuilder[AsOfEvt], Seq.newBuilder[AsOfEvt])
@@ -500,8 +507,9 @@ object StreamingOps {
       Iterator.empty
     }
 
-    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[AsOfEnriched] = {
+    override def handleExpiredTimer(key: org.apache.spark.sql.Row,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[org.apache.spark.sql.Row] = {
       if (!st.exists()) return Iterator.empty
       val s = st.get()
       val w = timerValues.getCurrentWatermarkInMs()
@@ -512,9 +520,11 @@ object StreamingOps {
         (if (s.hasFinal) Seq(AsOfEvt(s.finalTs, s.finalId)) else Nil))
         .sortBy(e => (e.tsMs, -e.id))
       val (emit, still) = s.lefts.partition(_.tsMs <= w)
+      val keyVals = key.toSeq
       val out = emit.sortBy(e => (e.tsMs, e.id)).map { l =>
         val m = finalized.takeWhile(_.tsMs <= l.tsMs).lastOption
-        AsOfEnriched(user, l.id, m.map(_.id))
+        org.apache.spark.sql.Row.fromSeq(
+          keyVals ++ Seq(l.id, m.map(e => Long.box(e.id)).orNull))
       }
       // collapse finalized rights to the single latest (min id at ties —
       // finalized order puts it last); keep only not-yet-final rights
@@ -529,25 +539,50 @@ object StreamingOps {
     }
   }
 
-  /** [[AsOfStreamProcessor]] wired over tagged left/right streams: left
-    * rows enrich from rights of the same `user_id` (backward, min-id tie
-    * break), emitted once the watermark passes their event time.
+  /** [[AsOfStreamProcessor]] wired over tagged left/right streams with
+    * a COMPOSITE key (the streaming twin of `NativeAsOfJoin.asOfKeys`):
+    * left rows enrich from rights sharing the full key vector
+    * (backward, min-id tie break), emitted once the watermark passes
+    * their event time. Output columns: the key columns, then
+    * `event_id` and nullable `asof_event_id`. Key components are
+    * assumed non-null (as the single-key form always did) — group
+    * equality, not SQL null semantics, applies to the grouping key.
+    */
+  def asOfEnrichStreamKeys(
+      lefts: DataFrame, rights: DataFrame, keys: Seq[String],
+      watermark: String = "30 minutes"): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val l = lefts.select(keys.map(col) ++ Seq(col("ts"),
+      col("event_id").as("id"), lit(1).as("side")): _*)
+    val r = rights.select(keys.map(col) ++ Seq(col("ts"),
+      col("event_id").as("id"), lit(0).as("side")): _*)
+    val u = l.unionByName(r).withWatermark("ts", watermark)
+    val keySchema = StructType(keys.map(k => u.schema(k)).toArray)
+    val keyEnc = Encoders.row(keySchema)
+    val outEnc = Encoders.row(StructType(keySchema.fields ++ Array(
+      StructField("event_id", LongType, nullable = false),
+      StructField("asof_event_id", LongType, nullable = true))))
+    val keyNames = keys.toArray
+    u.groupByKey((row: Row) =>
+        Row.fromSeq(keyNames.toIndexedSeq.map(k => row.getAs[Any](k))))(keyEnc)
+      .transformWithState(new AsOfStreamProcessor,
+        TimeMode.EventTime(), OutputMode.Append())(outEnc)
+  }
+
+  /** Single-key form, kept as the keys=Seq("user_id") special case of
+    * [[asOfEnrichStreamKeys]] (one implementation, both arities) with
+    * the original typed output.
     */
   def asOfEnrichStream(
       lefts: DataFrame, rights: DataFrame,
       watermark: String = "30 minutes"): org.apache.spark.sql.Dataset[AsOfEnriched] = {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    import org.apache.spark.sql.{Encoders, Row}
-    implicit val outEnc = Encoders.product[AsOfEnriched]
-    implicit val longEnc = Encoders.scalaLong
-    val l = lefts.select(col("user_id"), col("ts"),
-      col("event_id").as("id"), lit(1).as("side"))
-    val r = rights.select(col("user_id"), col("ts"),
-      col("event_id").as("id"), lit(0).as("side"))
-    l.unionByName(r).withWatermark("ts", watermark)
-      .groupByKey((row: Row) => row.getAs[Long]("user_id"))(longEnc)
-      .transformWithState(new AsOfStreamProcessor,
-        TimeMode.EventTime(), OutputMode.Append())
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[AsOfEnriched]
+    asOfEnrichStreamKeys(lefts, rights, Seq("user_id"), watermark)
+      .withColumnRenamed("asof_event_id", "asof_click_id")
+      .as[AsOfEnriched]
   }
 
   /** Watermarked stream-stream interval join: each purchase picks up

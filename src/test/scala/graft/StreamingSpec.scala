@@ -18,6 +18,9 @@ class StreamingSpec extends SparkSpec {
 
   case class FpDoc(fp: String, doc_id: Long)
 
+  case class Ev2(event_id: Long, ts: Timestamp, user_id: Long,
+      device_id: Long)
+
   test("tumblingAgg aggregates per window and drops data later than watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -387,6 +390,68 @@ class StreamingSpec extends SparkSpec {
         .select(col("user_id"), col("event_id"), col("asof_click_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1),
           if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      assert(batch == got)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("asOfEnrichStreamKeys: 2-key stream == NativeAsOfJoin.asOfKeys on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val memL = MemoryStream[Ev2]
+    val memR = MemoryStream[Ev2]
+    val q = StreamingOps.asOfEnrichStreamKeys(memL.toDF(), memR.toDF(),
+        Seq("user_id", "device_id"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("asof_stream_2k")
+      .outputMode("append").start()
+    try {
+      // same user on TWO devices: the composite key must keep their
+      // timelines separate (a single-key join would cross-match), and
+      // (2,10) shares a device id with (1,10) but no user — null match
+      memR.addData(Ev2(100, ts(10), 1, 10), Ev2(200, ts(12), 1, 20))
+      memL.addData(Ev2(1, ts(20), 1, 10), Ev2(2, ts(20), 1, 20),
+        Ev2(3, ts(20), 2, 10))
+      q.processAllAvailable()
+      // sentinels push the watermark past everything; one more batch so
+      // the armed event-time timers actually fire
+      memR.addData(Ev2(900, ts(499), 9, 9))
+      memL.addData(Ev2(90, ts(500), 9, 9))
+      q.processAllAvailable()
+      memL.addData(Ev2(91, ts(501), 9, 9))
+      q.processAllAvailable()
+
+      val got = spark.table("asof_stream_2k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3))).toSet
+      assert(got == Set((1L, 10L, 1L, 100L), (1L, 20L, 2L, 200L),
+        (2L, 10L, 3L, null)))
+
+      // the native batch exec on the same fed rows, same composite key
+      val leftsB = Seq((1L, 10L, 20L, 1L), (1L, 20L, 20L, 2L),
+        (2L, 10L, 20L, 3L), (9L, 9L, 500L, 90L), (9L, 9L, 501L, 91L))
+        .toDF("user_id", "device_id", "mins", "event_id")
+        .withColumn("ts", timestamp_millis(col("mins") * 60000L)).drop("mins")
+      val rightsB = Seq((1L, 10L, 10L, 100L), (1L, 20L, 12L, 200L),
+        (9L, 9L, 499L, 900L))
+        .toDF("user_id", "device_id", "mins", "click_id")
+        .withColumn("ts", timestamp_millis(col("mins") * 60000L)).drop("mins")
+      val batch = graft.plans.NativeAsOfJoin
+        .asOfKeys(leftsB, rightsB, Seq("user_id", "device_id"), "ts",
+          Seq("click_id"), tieBreak = Some("click_id"))
+        .filter(col("event_id") < 90) // sentinels inside watermark, unemitted
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("device_id"), r.getAs[Long]("event_id"),
+          if (r.isNullAt(r.fieldIndex("asof_click_id"))) null
+          else r.getAs[Long]("asof_click_id")))
+        .toSet
       assert(batch == got)
     } finally {
       q.stop()

@@ -70,17 +70,26 @@ def main():
     movers.sort(reverse=True)
     if not movers:
         print("no movers past the 1.3x/0.4s noise floor")
+    # 1-min loadavg above this when a query started means its number was
+    # taken under ambient pressure (quiet sweeps run at ~0.3-2 on this
+    # box; the r13 q_gini phantom started under 4+) — a mover whose
+    # SLOWER side ran polluted is discounted, the delta is load, not code
+    LOAD_POLLUTED = 3.0
     for ratio, delta, q in movers:
         # a mover whose min was noise-flagged (uncorroborated) in EITHER
         # artifact is auto-discounted: the bench itself says that number
         # is unmeasurable, so the delta is not evidence of a regression
         flagged = (q in na) or (q in nb)
-        tag = ("discounted" if flagged
+        slow_load = (lb if delta > 0 else la).get(q, -1)
+        polluted = slow_load > LOAD_POLLUTED
+        tag = ("discounted" if flagged or polluted
                else "REGRESSED" if delta > 0 else "improved")
         extra = ""
         if flagged:
             sides = [s for s, n in (("old", na), ("new", nb)) if q in n]
             extra = f"  [noisy in {'+'.join(sides)}]"
+        elif polluted:
+            extra = f"  [load-polluted: slower side started at {slow_load:.1f}]"
         loadinfo = "".join(
             f" {s}_load={l[q]:.1f}" for s, l in (("old", la), ("new", lb))
             if q in l and l[q] >= 0)
