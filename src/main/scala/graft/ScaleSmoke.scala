@@ -216,7 +216,11 @@ object ScaleSmoke {
     // enrichment that now CONSUMES the native exec in production form
     // (scd2 window build + the merge; per-user history constant under
     // the clone, so both stages should track the scan)
-    "q_asof_native_nearest", "q_pit_enrich")
+    "q_asof_native_nearest", "q_pit_enrich",
+    // r14 oracle-gate companion: the tolerance-bounded native merge —
+    // same events tier, same held-candidate state, one extra bound
+    // check per row; its factor should sit on q_asof_native's
+    "q_asof_native_tol")
 
   /** Relational tier at Nx orders/customers (opt-in via
     * SPARK_GRAFT_ONLY, like the graph tier): orders clone by shifted
