@@ -40,6 +40,39 @@ object AsOfBench {
     val right = frame(rows, "p").localCheckpoint()
     val left = frame(rows / 10, "v").localCheckpoint()
 
+    // COMPOSITE-key arm (SPARK_GRAFT_COMPOSITE=1): the same skewed
+    // workload keyed on (user_id, device STRING) — the key-compare
+    // cost regime the merge's composite generalization pays per row
+    // (three key evaluations per advance instead of one). Prints its
+    // own JSON line and exits; the default single-key line stays
+    // byte-stable for PERF_NOTES comparisons.
+    if (sys.env.get("SPARK_GRAFT_COMPOSITE").contains("1")) {
+      def cframe(n: Long, payloadName: String) = frame(n, payloadName)
+        .withColumn("device", concat(lit("dev-"),
+          pmod(xxhash64(col(payloadName), lit("d")), lit(4L))))
+      val cr = cframe(rows, "p").localCheckpoint()
+      val cl = cframe(rows / 10, "v").localCheckpoint()
+      def cnative() = graft.plans.NativeAsOfJoin
+        .asOfKeys(cl, cr, Seq("user_id", "device"), "ts", Seq("p"),
+          tieBreak = Some("p"))
+        .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
+          coalesce(sum(col("asof_p")), lit(0L)).as("s"))
+      var best = Double.MaxValue
+      var mm = 0L; var nn = 0L; var ss = 0L
+      (1 to 3).foreach { _ =>
+        val df = cnative()
+        val t0 = System.nanoTime()
+        val r = df.collect()(0)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        mm = r.getLong(0); nn = r.getLong(1); ss = r.getLong(2)
+      }
+      println(s"""{"bench":"asof_skew_composite","rows":$rows,""" +
+        s""""hot_pct":$hotPct,"native_sec":${math.round(best * 100) / 100.0},""" +
+        s""""matched":$mm,"left_rows":$nn,"payload_sum":$ss}""")
+      spark.stop()
+      return
+    }
+
     def native() = graft.plans.NativeAsOfJoin
       .asOf(left, right, "user_id", "ts", Seq("p"), tieBreak = Some("p"))
       .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
