@@ -220,7 +220,10 @@ object ScaleSmoke {
     // r14 oracle-gate companion: the tolerance-bounded native merge —
     // same events tier, same held-candidate state, one extra bound
     // check per row; its factor should sit on q_asof_native's
-    "q_asof_native_tol")
+    "q_asof_native_tol",
+    // r14 second wave: the composite-key (user_id, day) native as-of —
+    // same Nx-keys regime, two key components per compare
+    "q_asof_native_keys")
 
   /** Relational tier at Nx orders/customers (opt-in via
     * SPARK_GRAFT_ONLY, like the graph tier): orders clone by shifted

@@ -88,5 +88,8 @@ object SparkEntry {
     // r14: the nearest-direction native as-of (q_asof_nearest's oracle
     // through the O(1)-state merge) and the PIT enrichment now routed
     // through the native exec
-    "q_asof_native_nearest", "q_pit_enrich")
+    "q_asof_native_nearest", "q_pit_enrich",
+    // r14 second wave: the composite-key native as-of under its own
+    // DuckDB oracle (user_id + calendar day)
+    "q_asof_native_keys")
 }

@@ -257,6 +257,26 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // COMPOSITE-key as-of through the native exec (pandas merge_asof's
+    // multi-column `by`): each purchase picks up the most recent click
+    // at-or-before it from the SAME (user, calendar day) — the grouped
+    // PIT lookup where the key is (id, derived bucket). This is the
+    // registered-oracle consumer of asOfKeys' multi-key path (the
+    // randomized spec parity and the 2-key streaming twin pin the same
+    // code; this entry puts it under the driver's DuckDB gate, and the
+    // second component being a DATE also gates a non-long key type
+    // end-to-end through the merge's lexicographic compare).
+    "q_asof_native_keys" -> { (s, dir) =>
+      val (purchases, clicks) = purchaseClickFrames(s, dir)
+      graft.plans.NativeAsOfJoin
+        .asOfKeys(purchases.withColumn("day", to_date(col("ts"))),
+          clicks.withColumn("day", to_date(col("ts"))),
+          Seq("user_id", "day"), "ts", Seq("click_id"),
+          tieBreak = Some("click_id"))
+        .select(col("user_id"), col("event_id"), col("asof_click_id"))
+        .orderBy("event_id")
+    },
+
     // Full outer join: BUILDING-segment customers x per-customer order
     // rollup — unmatched rows survive on BOTH sides (customers with no
     // orders keep null counts; orders of other segments keep null names).
@@ -2133,6 +2153,23 @@ object RelationalQueries {
          FROM events WHERE event_type IN ('click', 'purchase'))
        WHERE event_type = 'purchase' ORDER BY event_id"""
 
+  /** Composite-key backward as-of oracle (q_asof_native_keys): the
+    * backward oracle's union-window pattern with the calendar day
+    * joining user_id in the partition key — an independent spelling of
+    * the same (user, day)-grouped PIT lookup the native exec's
+    * asOfKeys merge computes.
+    */
+  private def asofCompositeOracle: String =
+    """SELECT user_id, event_id, asof_click_id FROM (
+         SELECT user_id, event_id, event_type,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                            event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+         FROM events WHERE event_type IN ('click', 'purchase'))
+       WHERE event_type = 'purchase' ORDER BY event_id"""
+
   /** Forward+tolerance as-of oracle, SHARED by q_asof_tolerance and
     * q_asof_native_tol (min click_id at ties via the row_number order).
     */
@@ -2644,6 +2681,7 @@ object RelationalQueries {
     // as their composed counterparts — agreement is structural
     "q_asof_native_tol" -> asofToleranceOracle,
     "q_asof_native" -> asofBackwardOracle,
+    "q_asof_native_keys" -> asofCompositeOracle,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
          count(*) AS n_customers,

@@ -295,6 +295,35 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(out == Seq((1L, null), (2L, 8L)))
   }
 
+  test("composite keys: DATE second component (q_asof_native_keys' shape)") {
+    // (long, date) key vector — gates a non-long key type through the
+    // merge's lexicographic compare; composed reference on the
+    // concatenated surrogate, same construction as the 2-long case
+    val rnd = new scala.util.Random(11)
+    def gen(n: Int, payloadName: String): org.apache.spark.sql.DataFrame =
+      (1 to n).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(4),
+        rnd.nextInt(3000).toLong * 1000L, i.toLong))
+        .toDF("k1", "doff", "mus", payloadName)
+        .withColumn("day", date_add(to_date(lit("2024-01-01")), col("doff")))
+        .withColumn("ts", timestamp_micros(col("mus"))).drop("mus", "doff")
+    val left = gen(600, "v")
+    val right = gen(600, "p")
+    val sur = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("kk", concat_ws("|", col("k1"), col("day")))
+    val n = NativeAsOfJoin.asOfKeys(left, right, Seq("k1", "day"), "ts",
+      Seq("p"), tieBreak = Some("p"))
+      .select(col("k1"), col("day"), col("v"), col("asof_p")).collect().toSeq
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val c = AsOfJoin.asOf(sur(left), sur(right), "kk", "ts", Seq("p"), Some("p"))
+      .select(col("k1"), col("day"), col("v"), col("asof_p")).collect().toSeq
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(n == c)
+  }
+
   test("plan shape: AsOfJoinExec with one exchange+sort per side") {
     val e = Tables(spark, "/root/testdata/sf0.001", "events")
     val l = e.filter(col("event_type") === "purchase")
