@@ -40,6 +40,50 @@ object AsOfBench {
     val right = frame(rows, "p").localCheckpoint()
     val left = frame(rows / 10, "v").localCheckpoint()
 
+    // BROADCAST arm (SPARK_GRAFT_BCAST=1): dimension-sized right
+    // (rows/80 ~ 50k at the default 4M) against the same skewed left —
+    // the regime BroadcastAsOfJoinExec exists for. Compares the
+    // broadcast index (fact side: no exchange, no sort) against the
+    // merge exec (fact side: one exchange + sort) on identical data;
+    // the matched/sum cross-check pins semantic agreement.
+    if (sys.env.get("SPARK_GRAFT_BCAST").contains("1")) {
+      val smallRight = frame(rows / 80, "p").localCheckpoint()
+      def viaBcast() = graft.plans.NativeAsOfJoin
+        .asOfBroadcast(left, smallRight, Seq("user_id"), "ts", Seq("p"),
+          tieBreak = Some("p"))
+        .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
+          coalesce(sum(col("asof_p")), lit(0L)).as("s"))
+      def viaMerge() = graft.plans.NativeAsOfJoin
+        .asOf(left, smallRight, "user_id", "ts", Seq("p"),
+          tieBreak = Some("p"))
+        .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
+          coalesce(sum(col("asof_p")), lit(0L)).as("s"))
+      def t3(mk: () => org.apache.spark.sql.DataFrame): (Double, Long, Long, Long) = {
+        var best = Double.MaxValue
+        var mm = 0L; var nn = 0L; var ss = 0L
+        (1 to 3).foreach { _ =>
+          val df = mk()
+          val t0 = System.nanoTime()
+          val r = df.collect()(0)
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          mm = r.getLong(0); nn = r.getLong(1); ss = r.getLong(2)
+        }
+        (best, mm, nn, ss)
+      }
+      val (tb, mb, nb, sb) = t3(viaBcast)
+      val (tm, mm2, nm, sm) = t3(viaMerge)
+      require(mb == mm2 && nb == nm && sb == sm,
+        s"bcast/merge disagree: ($mb/$nb/$sb) vs ($mm2/$nm/$sm)")
+      println(s"""{"bench":"asof_skew_bcast","rows":$rows,"hot_pct":$hotPct,""" +
+        s""""right_rows":${rows / 80},""" +
+        s""""bcast_sec":${math.round(tb * 100) / 100.0},""" +
+        s""""merge_sec":${math.round(tm * 100) / 100.0},""" +
+        s""""matched":$mb,"left_rows":$nb,""" +
+        s""""speedup":${math.round(tm / tb * 100) / 100.0}}""")
+      spark.stop()
+      return
+    }
+
     // COMPOSITE-key arm (SPARK_GRAFT_COMPOSITE=1): the same skewed
     // workload keyed on (user_id, device STRING) — the key-compare
     // cost regime the merge's composite generalization pays per row

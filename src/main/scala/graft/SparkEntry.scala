@@ -90,6 +90,7 @@ object SparkEntry {
     // through the native exec
     "q_asof_native_nearest", "q_pit_enrich",
     // r14 second wave: the composite-key native as-of under its own
-    // DuckDB oracle (user_id + calendar day)
-    "q_asof_native_keys")
+    // DuckDB oracle (user_id + calendar day), and the zero-fact-shuffle
+    // broadcast as-of on the shared backward oracle
+    "q_asof_native_keys", "q_asof_bcast")
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, BindReferences, BoundReference, Descending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
@@ -73,6 +73,28 @@ object NativeAsOfJoin {
     asOfKeys(left, right, Seq(key), ts, rightCols, forward = false,
       toleranceMs, tieBreak, nearest = true)
 
+  /** Broadcast form: the right timeline is DIMENSION-sized (a rates
+    * table, a slowly-changing config, a feature snapshot), so instead
+    * of shuffling + sorting the 100 TB fact side to meet a merge, the
+    * right is broadcast and indexed per key (sorted timestamp array),
+    * and every left partition binary-searches it MAP-SIDE: the fact
+    * side needs NO exchange and NO sort — the plan's only movement is
+    * one BroadcastExchange of the small side. Same semantics as the
+    * merge exec for every direction (equal-ts groups collapse to the
+    * min-tie-break row at index build, which is exactly the
+    * backward/forward/nearest tie rule). The caller asserts the size
+    * contract, as with `broadcast()` hash joins.
+    */
+  def asOfBroadcast(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], ts: String, rightCols: Seq[String],
+      forward: Boolean = false,
+      toleranceMs: Option[Long] = None,
+      tieBreak: Option[String] = None,
+      nearest: Boolean = false): DataFrame =
+    asOfKeys(left, right, keys, ts, rightCols, forward, toleranceMs,
+      tieBreak, nearest, broadcastRight = true)
+
   /** Composite-key form (pandas merge_asof's multi-column `by`): the
     * grouped as-of over e.g. (user, device). Same null semantics — a
     * null in ANY key component never matches.
@@ -83,7 +105,8 @@ object NativeAsOfJoin {
       forward: Boolean = false,
       toleranceMs: Option[Long] = None,
       tieBreak: Option[String] = None,
-      nearest: Boolean = false): DataFrame = {
+      nearest: Boolean = false,
+      broadcastRight: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
     require(!(forward && nearest), "forward and nearest are exclusive")
     val spark = left.sparkSession
@@ -121,7 +144,7 @@ object NativeAsOfJoin {
     }
     val node = AsOfJoinPlan(lp, rp, lKeys, rKeys, lTs, rTs, payload, outAttrs,
       forward, toleranceMs.map(_ * 1000L), tieBreak.map(attr(rp, _, "right")),
-      nearest)
+      nearest, broadcastRight)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }
@@ -136,7 +159,7 @@ case class AsOfJoinPlan(
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute], outAttrs: Seq[Attribute],
     forward: Boolean, toleranceUs: Option[Long], tieBreak: Option[Attribute],
-    nearest: Boolean = false)
+    nearest: Boolean = false, broadcastRight: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ outAttrs
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -149,6 +172,10 @@ case class AsOfJoinPlan(
 /** Plans the logical node 1:1 onto the streaming merge exec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan if p.broadcastRight =>
+      BroadcastAsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs,
+        p.payload, p.outAttrs, p.forward, p.toleranceUs, p.tieBreak,
+        p.nearest, planLater(p.left), planLater(p.right)) :: Nil
     case p: AsOfJoinPlan =>
       AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs, p.payload,
         p.outAttrs, p.forward, p.toleranceUs, p.tieBreak, p.nearest,
@@ -408,6 +435,209 @@ case class AsOfJoinExec(
               if (rHead != null && c == 0) {
                 val gap = rt.asInstanceOf[Long] - tv
                 if (tolUs.forall(gap <= _)) m = rHead
+              }
+            }
+          }
+          numOut += 1
+          if (m != null) { numMatched += 1; joinMatched(joined(l, m)) }
+          else joinNull(l)
+        }
+      }
+    }
+  }
+}
+
+/** Broadcast as-of join: the fact side pays NO exchange and NO sort.
+  *
+  * The right (dimension-sized) side arrives as a broadcast row array
+  * (`BroadcastDistribution(IdentityBroadcastMode)` — EnsureRequirements
+  * inserts the BroadcastExchange); each task indexes it once into
+  * key -> (sorted ts array, row array), collapsing equal-ts groups to
+  * the MIN-tie-break row (exactly the tie rule every direction of the
+  * merge exec implements), then streams its left partition with one
+  * hash lookup + binary search per row. At 100 TB this is the as-of
+  * analog of a broadcast hash join: the entire fact-side
+  * shuffle + sort that the merge exec (and any window composition)
+  * must pay disappears from the plan.
+  *
+  * Key equality across sides is UnsafeRow byte equality over the two
+  * key projections — the same mechanism Spark's own UnsafeHashedRelation
+  * relies on (equal values produce byte-identical projected rows).
+  * Null semantics match the merge exec: right rows with a null key
+  * component or null ts never enter the index; left rows with any null
+  * key component or null ts never match.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute], outAttrs: Seq[Attribute],
+    forward: Boolean, toleranceUs: Option[Long], tieBreak: Option[Attribute],
+    nearest: Boolean,
+    left: SparkPlan, right: SparkPlan)
+  extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttrs)
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyB = leftKeys.map(a => BindReferences.bindReference(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], lOut)).toArray
+    val rKeyB = rightKeys.map(a => BindReferences.bindReference(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], rOut)).toArray
+    val lTsB = BindReferences.bindReference(
+      leftTs.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], lOut)
+    val rTsB = BindReferences.bindReference(
+      rightTs.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], rOut)
+    val tbB = tieBreak.map(a => BindReferences.bindReference(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], rOut))
+    val tbOrd = tieBreak.map(a => org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(a.dataType).asInstanceOf[Ordering[Any]])
+    val fwd = forward
+    val near = nearest
+    val tolUs = toleranceUs
+    // same projection discipline as the merge exec: unmatched rows get
+    // their own null-literal projection (payload attrs may be declared
+    // non-nullable on the input side)
+    val matchedExprs = lOut ++ payload
+    val unmatchedExprs = lOut ++ payload.map(a =>
+      org.apache.spark.sql.catalyst.expressions.Literal.create(null, a.dataType))
+    val inSchema = lOut ++ rOut
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val joinMatched = UnsafeProjection.create(matchedExprs, inSchema)
+      val joinNull = UnsafeProjection.create(unmatchedExprs, lOut)
+      val joined = new JoinedRow
+      val lKeyProj = UnsafeProjection.create(lKeyB.toSeq)
+      val rKeyProj = UnsafeProjection.create(rKeyB.toSeq)
+
+      // ---- index build (once per task; the side is dim-sized by the
+      // operator's contract, so this is microseconds, amortized over
+      // the whole left partition) ----
+      val groups = new java.util.HashMap[
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+      val rows = bc.value
+      var i = 0
+      while (i < rows.length) {
+        val r = rows(i)
+        val k = rKeyProj(r)
+        if (!k.anyNull) {
+          val t = rTsB.eval(r)
+          if (t != null) {
+            var buf = groups.get(k)
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
+              groups.put(k.copy(), buf)
+            }
+            buf += ((t.asInstanceOf[Long], r))
+          }
+        }
+        i += 1
+      }
+      // per key: sort by ts, collapse equal-ts runs to the min-tie-break
+      // row (without a tie-break: first in broadcast order — the same
+      // partition-order caveat the merge exec documents)
+      val idx = new java.util.HashMap[
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+        (Array[Long], Array[InternalRow])]()
+      val it = groups.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val sorted = e.getValue.sortBy(_._1)
+        val ts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val rws = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        var j = 0
+        while (j < sorted.length) {
+          val (t0, r0) = sorted(j)
+          var bestR = r0
+          var bestTb = tbB.map(_.eval(r0)).orNull
+          j += 1
+          while (j < sorted.length && sorted(j)._1 == t0) {
+            val rj = sorted(j)._2
+            (tbB, tbOrd) match {
+              case (Some(tb), Some(ord)) =>
+                val v = tb.eval(rj)
+                // null tie-breaks sort last (both operators only promise
+                // determinism for non-null tie-break columns)
+                if (v != null && (bestTb == null || ord.compare(v, bestTb) < 0)) {
+                  bestR = rj; bestTb = v
+                }
+              case _ => // no tie-break: keep the first
+            }
+            j += 1
+          }
+          ts += t0
+          rws += bestR
+        }
+        idx.put(e.getKey, (ts.toArray, rws.toArray))
+      }
+
+      // rightmost index with ts <= t, or -1
+      def floorIdx(a: Array[Long], t: Long): Int = {
+        var lo = 0; var hi = a.length - 1; var res = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (a(mid) <= t) { res = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        res
+      }
+      // leftmost index with ts >= t, or length
+      def ceilIdx(a: Array[Long], t: Long): Int = {
+        var lo = 0; var hi = a.length - 1; var res = a.length
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (a(mid) >= t) { res = mid; hi = mid - 1 } else lo = mid + 1
+        }
+        res
+      }
+
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          var m: InternalRow = null
+          val k = lKeyProj(l)
+          val t = lTsB.eval(l)
+          if (!k.anyNull && t != null) {
+            val entry = idx.get(k)
+            if (entry != null) {
+              val (ta, ra) = entry
+              val tv = t.asInstanceOf[Long]
+              if (near) {
+                // backward candidate: ts <= tv; forward candidate:
+                // first ts STRICTLY after (equal ts belongs to backward,
+                // same split as the merge exec); backward wins gap ties
+                val b = floorIdx(ta, tv)
+                val f = ceilIdx(ta, tv + 1)
+                val bOk = b >= 0 && tolUs.forall(tv - ta(b) <= _)
+                val fOk = f < ta.length && tolUs.forall(ta(f) - tv <= _)
+                if (bOk && (!fOk || tv - ta(b) <= ta(f) - tv)) m = ra(b)
+                else if (fOk) m = ra(f)
+              } else if (!fwd) {
+                val b = floorIdx(ta, tv)
+                if (b >= 0 && tolUs.forall(tv - ta(b) <= _)) m = ra(b)
+              } else {
+                val f = ceilIdx(ta, tv)
+                if (f < ta.length && tolUs.forall(ta(f) - tv <= _)) m = ra(f)
               }
             }
           }

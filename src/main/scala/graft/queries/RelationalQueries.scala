@@ -257,6 +257,23 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // BROADCAST as-of: the same backward join through the broadcast
+    // timeline index (BroadcastAsOfJoinExec) — the fact side pays NO
+    // exchange and NO sort; the plan's only movement is one
+    // BroadcastExchange of the clicks side. SHARES q_asof_join's oracle
+    // val with the composed and merge spellings — three physical
+    // strategies, one truth. (At production scale the right side must
+    // be dimension-sized — the broadcast() hash-join contract; the
+    // plan-shape guarantee is gated in NativeAsOfJoinSpec.)
+    "q_asof_bcast" -> { (s, dir) =>
+      val (purchases, clicks) = purchaseClickFrames(s, dir)
+      graft.plans.NativeAsOfJoin
+        .asOfBroadcast(purchases, clicks, Seq("user_id"), "ts", Seq("click_id"),
+          tieBreak = Some("click_id"))
+        .select(col("user_id"), col("event_id"), col("value"), col("asof_click_id"))
+        .orderBy("event_id")
+    },
+
     // COMPOSITE-key as-of through the native exec (pandas merge_asof's
     // multi-column `by`): each purchase picks up the most recent click
     // at-or-before it from the SAME (user, calendar day) — the grouped
@@ -2681,6 +2698,7 @@ object RelationalQueries {
     // as their composed counterparts — agreement is structural
     "q_asof_native_tol" -> asofToleranceOracle,
     "q_asof_native" -> asofBackwardOracle,
+    "q_asof_bcast" -> asofBackwardOracle,
     "q_asof_native_keys" -> asofCompositeOracle,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,

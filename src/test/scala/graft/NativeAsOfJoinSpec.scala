@@ -324,6 +324,92 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(n == c)
   }
 
+  test("broadcast exec: randomized parity with the merge exec (all modes)") {
+    // same semantics, different physical strategy: the broadcast index
+    // (per-key sorted timeline + binary search) must agree with the
+    // streaming merge on every direction, with and without tolerance
+    // and tie-break, on the same randomized frames
+    val rnd = new scala.util.Random(99)
+    def gen(n: Int): Seq[(Long, Long, Long)] =
+      (1 to n).map(i => (rnd.nextInt(40).toLong, rnd.nextInt(5000).toLong * 1000L, i.toLong))
+    val left = tsDf(gen(1500), "v")
+    val right = tsDf(gen(1200), "p")
+    for (mode <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(700L))) {
+      val (fwd, near) = mode match {
+        case "backward" => (false, false)
+        case "forward" => (true, false)
+        case "nearest" => (false, true)
+      }
+      val b = NativeAsOfJoin.asOfBroadcast(left, right, Seq("user_id"), "ts",
+        Seq("p"), forward = fwd, toleranceMs = tol, tieBreak = Some("p"),
+        nearest = near)
+      val m = NativeAsOfJoin.asOfKeys(left, right, Seq("user_id"), "ts",
+        Seq("p"), forward = fwd, toleranceMs = tol, tieBreak = Some("p"),
+        nearest = near)
+      assert(canon(b) == canon(m), s"mode=$mode tol=$tol")
+    }
+    // composite STRING+long keys through the broadcast index: UnsafeRow
+    // byte-equality across the two key projections is the lookup
+    // mechanism — exercise it with a var-length component
+    val leftS = left.withColumn("k2", concat(lit("g"), col("user_id") % 3))
+    val rightS = right.withColumn("k2", concat(lit("g"), col("user_id") % 3))
+    val b2 = NativeAsOfJoin.asOfBroadcast(leftS, rightS, Seq("user_id", "k2"),
+      "ts", Seq("p"), tieBreak = Some("p"))
+    val m2 = NativeAsOfJoin.asOfKeys(leftS, rightS, Seq("user_id", "k2"),
+      "ts", Seq("p"), tieBreak = Some("p"))
+    assert(canon(b2) == canon(m2), "composite string keys")
+    // null semantics: null key / null ts rows never match or index
+    val ln = Seq((Some(1L), Some(100L), 1L), (None, Some(100L), 2L),
+      (Some(1L), None, 3L))
+      .toDF("user_id", "mus", "v")
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val rn = Seq((Some(1L), Some(50L), 7L), (Some(1L), None, 8L),
+      (None, Some(40L), 9L))
+      .toDF("user_id", "mus", "p")
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val out = NativeAsOfJoin.asOfBroadcast(ln, rn, Seq("user_id"), "ts", Seq("p"))
+      .select(col("v"), col("asof_p")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, 7L), (2L, null), (3L, null)))
+  }
+
+  test("broadcast exec plan shape: zero shuffle, zero sort, one broadcast") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    val l = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val r = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val df = NativeAsOfJoin.asOfBroadcast(l, r, Seq("user_id"), "ts",
+      Seq("click_id"), tieBreak = Some("click_id"))
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[graft.plans.BroadcastAsOfJoinExec]) == 1,
+      df.queryExecution.executedPlan.toString)
+    // THE claim: the fact side moves and sorts NOTHING
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      df.queryExecution.executedPlan.toString)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      df.queryExecution.executedPlan.toString)
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]) == 1,
+      df.queryExecution.executedPlan.toString)
+    // and the result equals the merge exec's on the same inputs
+    val viaMerge = NativeAsOfJoin.asOf(l, r, "user_id", "ts", Seq("click_id"),
+      tieBreak = Some("click_id"))
+    assert(df.collect().map(_.toString).sorted.toSeq ==
+      viaMerge.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("plan shape: AsOfJoinExec with one exchange+sort per side") {
     val e = Tables(spark, "/root/testdata/sf0.001", "events")
     val l = e.filter(col("event_type") === "purchase")
