@@ -330,6 +330,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static broadcast as-of: streaming facts against a static timeline") {
+    // the stateless broadcast index makes the as-of usable DIRECTLY as
+    // a stream-static transform (like a broadcast hash join): each
+    // micro-batch binary-searches the static dimension timeline with no
+    // state and no fact-side shuffle — the 100 TB streaming-ingest
+    // enrichment path
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Ev]
+    val dim = Seq((1L, ts(10), 900L), (1L, ts(30), 901L), (2L, ts(20), 902L))
+      .toDF("user_id", "ts", "rate_id")
+    val enriched = graft.plans.NativeAsOfJoin.asOfBroadcast(
+      memL.toDF().select("user_id", "ts", "event_id"), dim,
+      Seq("user_id"), "ts", Seq("rate_id"), tieBreak = Some("rate_id"))
+    val q = enriched.writeStream.format("memory").queryName("asof_ss")
+      .outputMode("append").start()
+    try {
+      memL.addData(Ev(1, ts(15), 1, "purchase", 0.0), // after 900, before 901
+        Ev(2, ts(30), 1, "purchase", 0.0),            // at-or-equal 901
+        Ev(3, ts(5), 2, "purchase", 0.0),             // before any rate
+        Ev(4, ts(25), 3, "purchase", 0.0))            // keyless
+      q.processAllAvailable()
+      memL.addData(Ev(5, ts(40), 2, "purchase", 0.0)) // second batch
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, asof_rate_id FROM asof_ss")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == Seq((1L, 900L), (2L, 901L), (3L, null), (4L, null),
+        (5L, 902L)))
+    } finally q.stop()
+  }
+
   test("asOfEnrichStream == native batch as-of on out-of-order arrivals") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
