@@ -60,12 +60,16 @@ object BucketedTables {
     Seq("lineitem", "orders").foreach { t =>
       try {
         val p = java.nio.file.Paths.get(s"$dir/$t.parquet")
+        // walk the FULL tree (not just the top level): a partitioned
+        // parquet layout rewritten in place below the first level must
+        // change the fingerprint too
         val files: Seq[java.nio.file.Path] =
           if (java.nio.file.Files.isDirectory(p)) {
-            val st = java.nio.file.Files.list(p)
+            val st = java.nio.file.Files.walk(p)
             try {
               import scala.jdk.CollectionConverters._
-              st.iterator().asScala.toVector.sortBy(_.toString)
+              st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+                .toVector.sortBy(_.toString)
             } finally st.close()
           } else if (java.nio.file.Files.exists(p)) Seq(p)
           else Seq.empty
@@ -74,7 +78,10 @@ object BucketedTables {
             java.nio.file.Files.getLastModifiedTime(f).toMillis)
             .getBytes("UTF-8"))
         }
-      } catch { case _: java.io.IOException => /* path-only tag */ }
+        // degrade to the path-only tag on ANY listing failure (remote
+        // URI, permission, concurrent delete) — never an error, exactly
+        // the behavior the docstring promises
+      } catch { case scala.util.control.NonFatal(_) => /* path-only tag */ }
     }
     md.digest.take(8).map("%02x".format(_)).mkString
   }

@@ -609,6 +609,19 @@ case class BroadcastAsOfJoinExec(
         }
         res
       }
+      // leftmost index with ts STRICTLY greater than t, or length —
+      // the nearest path's forward probe. A dedicated strict search
+      // (rather than ceilIdx(t + 1)) because t + 1 overflows for a
+      // LongType ts column holding Long.MaxValue, wrapping the probe
+      // to index 0 and minting a bogus negative-gap "forward" match.
+      def higherIdx(a: Array[Long], t: Long): Int = {
+        var lo = 0; var hi = a.length - 1; var res = a.length
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (a(mid) > t) { res = mid; hi = mid - 1 } else lo = mid + 1
+        }
+        res
+      }
 
       new Iterator[InternalRow] {
         override def hasNext: Boolean = lIter.hasNext
@@ -627,7 +640,7 @@ case class BroadcastAsOfJoinExec(
                 // first ts STRICTLY after (equal ts belongs to backward,
                 // same split as the merge exec); backward wins gap ties
                 val b = floorIdx(ta, tv)
-                val f = ceilIdx(ta, tv + 1)
+                val f = higherIdx(ta, tv)
                 val bOk = b >= 0 && tolUs.forall(tv - ta(b) <= _)
                 val fOk = f < ta.length && tolUs.forall(ta(f) - tv <= _)
                 if (bOk && (!fOk || tv - ta(b) <= ta(f) - tv)) m = ra(b)

@@ -114,20 +114,29 @@ class NativeAsOfJoinSpec extends SparkSpec {
   }
 
   test("nearest planted semantics: direction pick, exact-gap tie, tolerance") {
-    // key 1: left at 1000 sits 300us after r(700)=7 and 200us before
-    // r(1200)=9 -> forward wins; left at 950 is 250us/250us equidistant
-    // -> BACKWARD wins the exact tie; key 2 has only a backward row;
-    // key 3 only a forward row; key 4 nothing
-    val left = tsDf(Seq((1L, 1000L, 10L), (1L, 950L, 11L), (2L, 500L, 20L),
-      (3L, 100L, 30L), (4L, 100L, 40L)), "v")
-    val right = tsDf(Seq((1L, 700L, 7L), (1L, 1200L, 9L), (2L, 400L, 21L),
-      (3L, 350L, 31L)), "p")
+    // millisecond-scale gaps so a mid-value ms tolerance can genuinely
+    // SPLIT the two directions (the Long toleranceMs is ms-granular).
+    // key 1: left at 10ms sits 3ms after r(7ms)=7 and 2ms before
+    // r(12ms)=9 -> forward wins; left at 9.5ms is 2.5ms/2.5ms
+    // equidistant -> BACKWARD wins the exact tie; key 2 has only a
+    // backward row; key 3 only a forward row; key 4 nothing
+    val left = tsDf(Seq((1L, 10000L, 10L), (1L, 9500L, 11L), (2L, 5000L, 20L),
+      (3L, 1000L, 30L), (4L, 1000L, 40L)), "v")
+    val right = tsDf(Seq((1L, 7000L, 7L), (1L, 12000L, 9L), (2L, 4000L, 21L),
+      (3L, 3500L, 31L)), "p")
     val out = canon(NativeAsOfJoin.asOfNearest(left, right, "user_id", "ts",
       Seq("p"), tieBreak = Some("p")))
     assert(out == Seq((1L, 10L, 9L), (1L, 11L, 7L), (2L, 20L, 21L),
       (3L, 30L, 31L), (4L, 40L, null)))
-    // tolerance prunes each side independently: 0.2ms keeps only the
-    // 200us forward match for (1,1000); everything else nulls out
+    // DIRECTION-SPLITTING tolerance: 2ms keeps (1,10ms)'s 2ms forward
+    // match (inclusive boundary) while pruning its 3ms backward
+    // candidate, keeps (2,5ms)'s 1ms backward match, and prunes both
+    // 2.5ms gaps at (1,9.5ms) and key 3's 2.5ms forward gap
+    val tol2 = canon(NativeAsOfJoin.asOfNearest(left, right, "user_id", "ts",
+      Seq("p"), toleranceMs = Some(2L), tieBreak = Some("p")))
+    assert(tol2 == Seq((1L, 10L, 9L), (1L, 11L, null), (2L, 20L, 21L),
+      (3L, 30L, null), (4L, 40L, null)))
+    // 0ms tolerance keeps only exact-equal timestamps: none planted
     val tol = canon(NativeAsOfJoin.asOfNearest(left, right, "user_id", "ts",
       Seq("p"), toleranceMs = Some(0L), tieBreak = Some("p")))
     assert(tol == Seq((1L, 10L, null), (1L, 11L, null), (2L, 20L, null),
@@ -372,6 +381,25 @@ class NativeAsOfJoinSpec extends SparkSpec {
       .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
       .sortBy(_._1).toSeq
     assert(out == Seq((1L, 7L), (2L, null), (3L, null)))
+  }
+
+  test("broadcast nearest: LongType ts at Long.MaxValue (overflow guard)") {
+    // a LongType ts column may legitimately hold Long.MaxValue; the
+    // nearest path's forward probe must use a strictly-greater search —
+    // a ceil search at (ts + 1) wraps to Long.MinValue and returns
+    // index 0, minting a bogus negative-gap forward match that would
+    // beat the true backward candidate
+    val left = Seq((1L, Long.MaxValue, 10L), (1L, 150L, 11L))
+      .toDF("user_id", "ts", "v")
+    val right = Seq((1L, 100L, 7L), (1L, 200L, 9L))
+      .toDF("user_id", "ts", "p")
+    val out = NativeAsOfJoin.asOfBroadcast(left, right, Seq("user_id"), "ts",
+      Seq("p"), tieBreak = Some("p"), nearest = true)
+      .select(col("v"), col("asof_p")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // ts=MaxValue: nearest is the LAST right row (backward, gap huge but
+    // no tolerance); ts=150: equidistant 50/50 -> backward wins -> 7
+    assert(out == Seq((10L, 9L), (11L, 7L)))
   }
 
   test("broadcast exec plan shape: zero shuffle, zero sort, one broadcast") {
