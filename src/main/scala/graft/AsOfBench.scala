@@ -55,7 +55,8 @@ object AsOfBench {
           coalesce(sum(col("asof_p")), lit(0L)).as("s"))
       def viaMerge() = graft.plans.NativeAsOfJoin
         .asOf(left, smallRight, "user_id", "ts", Seq("p"),
-          tieBreak = Some("p"))
+          tieBreak = Some("p"),
+          strategy = graft.plans.AsOfPhysicalStrategy.Merge)
         .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
           coalesce(sum(col("asof_p")), lit(0L)).as("s"))
       def t3(mk: () => org.apache.spark.sql.DataFrame): (Double, Long, Long, Long) = {
@@ -98,7 +99,8 @@ object AsOfBench {
       val cl = cframe(rows / 10, "v").localCheckpoint()
       def cnative() = graft.plans.NativeAsOfJoin
         .asOfKeys(cl, cr, Seq("user_id", "device"), "ts", Seq("p"),
-          tieBreak = Some("p"))
+          tieBreak = Some("p"),
+          strategy = graft.plans.AsOfPhysicalStrategy.Merge)
         .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
           coalesce(sum(col("asof_p")), lit(0L)).as("s"))
       var best = Double.MaxValue
@@ -118,7 +120,8 @@ object AsOfBench {
     }
 
     def native() = graft.plans.NativeAsOfJoin
-      .asOf(left, right, "user_id", "ts", Seq("p"), tieBreak = Some("p"))
+      .asOf(left, right, "user_id", "ts", Seq("p"), tieBreak = Some("p"),
+        strategy = graft.plans.AsOfPhysicalStrategy.Merge)
       .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
         coalesce(sum(col("asof_p")), lit(0L)).as("s"))
     def composed() = graft.operators.AsOfJoin
@@ -141,7 +144,8 @@ object AsOfBench {
       (best, mm, nn, ss)
     }
     def nativeNearest() = graft.plans.NativeAsOfJoin
-      .asOfNearest(left, right, "user_id", "ts", Seq("p"), tieBreak = Some("p"))
+      .asOfNearest(left, right, "user_id", "ts", Seq("p"), tieBreak = Some("p"),
+        strategy = graft.plans.AsOfPhysicalStrategy.Merge)
       .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
         coalesce(sum(col("asof_p")), lit(0L)).as("s"))
     def composedNearest() = graft.operators.AsOfJoin

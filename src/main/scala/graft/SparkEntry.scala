@@ -92,5 +92,7 @@ object SparkEntry {
     // r14 second wave: the composite-key native as-of under its own
     // DuckDB oracle (user_id + calendar day), and the zero-fact-shuffle
     // broadcast as-of on the shared backward oracle
-    "q_asof_native_keys", "q_asof_bcast")
+    "q_asof_native_keys", "q_asof_bcast",
+    // r15: the stats-driven Auto strategy under the same shared oracle
+    "q_asof_auto")
 }

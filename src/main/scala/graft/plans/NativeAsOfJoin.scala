@@ -47,6 +47,25 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * (backward on exact gap ties — the composed `asOfNearest` / pandas
   * merge_asof rule).
   */
+/** Physical-strategy request for the native as-of tier. `Auto` (the
+  * default) picks broadcast-vs-merge from logical-plan statistics at
+  * PLANNING time — the same `sizeInBytes`-under-
+  * `spark.sql.autoBroadcastJoinThreshold` rule Spark's own
+  * `JoinSelection` applies to equi joins — so a dimension-sized
+  * timeline gets the zero-fact-shuffle broadcast exec and a fact-sized
+  * one gets the O(1)-state merge, without the caller having to assert
+  * the size (a wrong assertion at 100 TB is an executor OOM). `Merge`
+  * and `Broadcast` are caller overrides that pin the physical exec
+  * regardless of stats (Broadcast keeps the same contract as
+  * `broadcast()` hash joins: the caller asserts the side fits).
+  */
+sealed trait AsOfPhysicalStrategy
+object AsOfPhysicalStrategy {
+  case object Auto extends AsOfPhysicalStrategy
+  case object Merge extends AsOfPhysicalStrategy
+  case object Broadcast extends AsOfPhysicalStrategy
+}
+
 object NativeAsOfJoin {
 
   /** Build the as-of join DataFrame. `toleranceMs` requires a timestamp
@@ -58,9 +77,10 @@ object NativeAsOfJoin {
       forward: Boolean = false,
       toleranceMs: Option[Long] = None,
       tieBreak: Option[String] = None,
-      nearest: Boolean = false): DataFrame =
+      nearest: Boolean = false,
+      strategy: AsOfPhysicalStrategy = AsOfPhysicalStrategy.Auto): DataFrame =
     asOfKeys(left, right, Seq(key), ts, rightCols, forward, toleranceMs,
-      tieBreak, nearest)
+      tieBreak, nearest, strategy)
 
   /** Nearest-direction as-of through the native exec (pandas merge_asof
     * direction='nearest'): min |gap|, backward winning exact ties.
@@ -69,9 +89,10 @@ object NativeAsOfJoin {
       left: DataFrame, right: DataFrame,
       key: String, ts: String, rightCols: Seq[String],
       toleranceMs: Option[Long] = None,
-      tieBreak: Option[String] = None): DataFrame =
+      tieBreak: Option[String] = None,
+      strategy: AsOfPhysicalStrategy = AsOfPhysicalStrategy.Auto): DataFrame =
     asOfKeys(left, right, Seq(key), ts, rightCols, forward = false,
-      toleranceMs, tieBreak, nearest = true)
+      toleranceMs, tieBreak, nearest = true, strategy)
 
   /** Broadcast form: the right timeline is DIMENSION-sized (a rates
     * table, a slowly-changing config, a feature snapshot), so instead
@@ -93,7 +114,7 @@ object NativeAsOfJoin {
       tieBreak: Option[String] = None,
       nearest: Boolean = false): DataFrame =
     asOfKeys(left, right, keys, ts, rightCols, forward, toleranceMs,
-      tieBreak, nearest, broadcastRight = true)
+      tieBreak, nearest, AsOfPhysicalStrategy.Broadcast)
 
   /** Composite-key form (pandas merge_asof's multi-column `by`): the
     * grouped as-of over e.g. (user, device). Same null semantics — a
@@ -106,7 +127,7 @@ object NativeAsOfJoin {
       toleranceMs: Option[Long] = None,
       tieBreak: Option[String] = None,
       nearest: Boolean = false,
-      broadcastRight: Boolean = false): DataFrame = {
+      strategy: AsOfPhysicalStrategy = AsOfPhysicalStrategy.Auto): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
     require(!(forward && nearest), "forward and nearest are exclusive")
     val spark = left.sparkSession
@@ -144,7 +165,7 @@ object NativeAsOfJoin {
     }
     val node = AsOfJoinPlan(lp, rp, lKeys, rKeys, lTs, rTs, payload, outAttrs,
       forward, toleranceMs.map(_ * 1000L), tieBreak.map(attr(rp, _, "right")),
-      nearest, broadcastRight)
+      nearest, strategy)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }
@@ -159,7 +180,8 @@ case class AsOfJoinPlan(
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute], outAttrs: Seq[Attribute],
     forward: Boolean, toleranceUs: Option[Long], tieBreak: Option[Attribute],
-    nearest: Boolean = false, broadcastRight: Boolean = false)
+    nearest: Boolean = false,
+    strategy: AsOfPhysicalStrategy = AsOfPhysicalStrategy.Auto)
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ outAttrs
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -169,10 +191,30 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans the logical node 1:1 onto the streaming merge exec. */
+/** Plans the logical node onto one of the two physical execs.
+  *
+  * Strategy resolution: a caller override (`Merge` / `Broadcast`) is
+  * honored verbatim; `Auto` broadcasts when the RIGHT child's estimated
+  * `sizeInBytes` fits under `spark.sql.autoBroadcastJoinThreshold` —
+  * byte-for-byte the rule Spark's `JoinSelection.canBroadcastBySize`
+  * applies, consuming the same logical-plan statistics (file-index
+  * sizes for scans, ANALYZE/CBO stats where present). Threshold <= 0
+  * (the `-1` disable convention) always picks the merge, and unknown
+  * stats default to `defaultSizeInBytes` = Long.MaxValue, which also
+  * falls through to the merge — the safe side: the merge works at any
+  * right size; the broadcast OOMs past executor memory.
+  */
 object AsOfJoinStrategy extends SparkStrategy {
+  private def broadcastPick(p: AsOfJoinPlan): Boolean = p.strategy match {
+    case AsOfPhysicalStrategy.Broadcast => true
+    case AsOfPhysicalStrategy.Merge => false
+    case AsOfPhysicalStrategy.Auto =>
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      threshold > 0 && p.right.stats.sizeInBytes <= threshold
+  }
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case p: AsOfJoinPlan if p.broadcastRight =>
+    case p: AsOfJoinPlan if broadcastPick(p) =>
       BroadcastAsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs,
         p.payload, p.outAttrs, p.forward, p.toleranceUs, p.tieBreak,
         p.nearest, planLater(p.left), planLater(p.right)) :: Nil

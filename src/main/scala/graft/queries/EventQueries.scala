@@ -249,8 +249,13 @@ object EventQueries {
       val purchases = Tables(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .select("user_id", "ts", "event_id")
+      // strategy pinned to Merge: at production scale both sides are
+      // fact-sized (the scd2 timeline grows with the event log), so the
+      // Auto pick at tiny test SFs (broadcast) would pin the WRONG
+      // 100 TB plan shape in ExplainSpec
       graft.plans.NativeAsOfJoin.asOf(purchases, versions, "user_id", "ts",
-          Seq("version", "state"), tieBreak = Some("negv"))
+          Seq("version", "state"), tieBreak = Some("negv"),
+          strategy = graft.plans.AsOfPhysicalStrategy.Merge)
         .select(col("user_id"), col("event_id"),
           col("asof_version").as("version"), col("asof_state").as("state"))
         .orderBy("event_id")

@@ -141,7 +141,8 @@ object RelationalQueries {
       graft.plans.NativeAsOfJoin
         .asOf(purchases, clicks, "user_id", "ts", Seq("click_id"),
           forward = true, toleranceMs = Some(3600L * 1000),
-          tieBreak = Some("click_id"))
+          tieBreak = Some("click_id"),
+          strategy = graft.plans.AsOfPhysicalStrategy.Merge)
         .select(col("user_id"), col("event_id"), col("asof_click_id"))
         .orderBy("event_id")
     },
@@ -156,9 +157,14 @@ object RelationalQueries {
     // skew-safety case; measured in AsOfBench).
     "q_asof_native" -> { (s, dir) =>
       val (purchases, clicks) = purchaseClickFrames(s, dir)
+      // the q_asof_native* family pins strategy = Merge: these entries
+      // exist to keep the streaming-merge exec under the DuckDB oracle
+      // (Auto at test SFs would route them all to the broadcast exec,
+      // which q_asof_bcast already gates; q_asof_auto gates Auto)
       graft.plans.NativeAsOfJoin
         .asOf(purchases, clicks, "user_id", "ts", Seq("click_id"),
-          tieBreak = Some("click_id"))
+          tieBreak = Some("click_id"),
+          strategy = graft.plans.AsOfPhysicalStrategy.Merge)
         .select(col("user_id"), col("event_id"), col("value"), col("asof_click_id"))
         .orderBy("event_id")
     },
@@ -252,7 +258,8 @@ object RelationalQueries {
       val (purchases, clicks) = purchaseClickFrames(s, dir)
       graft.plans.NativeAsOfJoin
         .asOfNearest(purchases, clicks, "user_id", "ts", Seq("click_id"),
-          tieBreak = Some("click_id"))
+          tieBreak = Some("click_id"),
+          strategy = graft.plans.AsOfPhysicalStrategy.Merge)
         .select(col("user_id"), col("event_id"), col("asof_click_id"))
         .orderBy("event_id")
     },
@@ -274,6 +281,22 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // AUTO-strategy as-of: the DEFAULT spelling a production caller
+    // writes — AsOfJoinStrategy picks broadcast-vs-merge from the right
+    // child's planning-time sizeInBytes against autoBroadcastJoinThreshold
+    // (Spark's own JoinSelection rule; merge on unknown stats — the safe
+    // side). SHARES q_asof_join's oracle val: whatever exec the stats
+    // pick at the gate's SF, the values must stay bit-identical to the
+    // composed, merge, and broadcast spellings.
+    "q_asof_auto" -> { (s, dir) =>
+      val (purchases, clicks) = purchaseClickFrames(s, dir)
+      graft.plans.NativeAsOfJoin
+        .asOf(purchases, clicks, "user_id", "ts", Seq("click_id"),
+          tieBreak = Some("click_id"))
+        .select(col("user_id"), col("event_id"), col("value"), col("asof_click_id"))
+        .orderBy("event_id")
+    },
+
     // COMPOSITE-key as-of through the native exec (pandas merge_asof's
     // multi-column `by`): each purchase picks up the most recent click
     // at-or-before it from the SAME (user, calendar day) — the grouped
@@ -289,7 +312,8 @@ object RelationalQueries {
         .asOfKeys(purchases.withColumn("day", to_date(col("ts"))),
           clicks.withColumn("day", to_date(col("ts"))),
           Seq("user_id", "day"), "ts", Seq("click_id"),
-          tieBreak = Some("click_id"))
+          tieBreak = Some("click_id"),
+          strategy = graft.plans.AsOfPhysicalStrategy.Merge)
         .select(col("user_id"), col("event_id"), col("asof_click_id"))
         .orderBy("event_id")
     },
@@ -2699,6 +2723,7 @@ object RelationalQueries {
     "q_asof_native_tol" -> asofToleranceOracle,
     "q_asof_native" -> asofBackwardOracle,
     "q_asof_bcast" -> asofBackwardOracle,
+    "q_asof_auto" -> asofBackwardOracle,
     "q_asof_native_keys" -> asofCompositeOracle,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,

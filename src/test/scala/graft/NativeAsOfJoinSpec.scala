@@ -15,6 +15,34 @@ import org.apache.spark.sql.functions._
 class NativeAsOfJoinSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Merge-pinned facade: this spec's primary subject is the MERGE
+    * exec, and the default Auto strategy would route every tiny
+    * in-memory frame here to the broadcast exec — silently dropping
+    * the merge's test coverage. The broadcast and Auto strategies have
+    * their own tests below.
+    */
+  private object MergeAsOf {
+    import graft.plans.AsOfPhysicalStrategy.Merge
+    def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+        rightCols: Seq[String], forward: Boolean = false,
+        toleranceMs: Option[Long] = None,
+        tieBreak: Option[String] = None): DataFrame =
+      NativeAsOfJoin.asOf(left, right, key, ts, rightCols, forward,
+        toleranceMs, tieBreak, nearest = false, strategy = Merge)
+    def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+        ts: String, rightCols: Seq[String],
+        toleranceMs: Option[Long] = None,
+        tieBreak: Option[String] = None): DataFrame =
+      NativeAsOfJoin.asOfNearest(left, right, key, ts, rightCols,
+        toleranceMs, tieBreak, strategy = Merge)
+    def asOfKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+        ts: String, rightCols: Seq[String], forward: Boolean = false,
+        toleranceMs: Option[Long] = None, tieBreak: Option[String] = None,
+        nearest: Boolean = false): DataFrame =
+      NativeAsOfJoin.asOfKeys(left, right, keys, ts, rightCols, forward,
+        toleranceMs, tieBreak, nearest, strategy = Merge)
+  }
+
   private def tsDf(rows: Seq[(Long, Long, Long)], payloadName: String): DataFrame =
     rows.toDF("user_id", "mus", payloadName)
       .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
@@ -58,13 +86,13 @@ class NativeAsOfJoinSpec extends SparkSpec {
 
     for (forward <- Seq(false, true); tol <- Seq(None, Some(700L))) {
       // no tie-break: deduped right side
-      val n = NativeAsOfJoin.asOf(left, rightDedup, "user_id", "ts", Seq("p"),
+      val n = MergeAsOf.asOf(left, rightDedup, "user_id", "ts", Seq("p"),
         forward = forward, toleranceMs = tol)
       assert(canon(n) == canon(composed(rightDedup, forward, tol, None)),
         s"forward=$forward tol=$tol")
 
       // tie-break: duplicated right timestamps allowed
-      val nt = NativeAsOfJoin.asOf(left, rightDup, "user_id", "ts", Seq("p"),
+      val nt = MergeAsOf.asOf(left, rightDup, "user_id", "ts", Seq("p"),
         forward = forward, toleranceMs = tol, tieBreak = Some("p"))
       assert(canon(nt) == canon(composed(rightDup, forward, tol, Some("p"))),
         s"tieBreak forward=$forward tol=$tol")
@@ -76,7 +104,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
     val leftS = left.withColumn("user_id", concat(lit("u"), col("user_id")))
     val rightS = rightDup.withColumn("user_id", concat(lit("u"), col("user_id")))
     for (forward <- Seq(false, true)) {
-      val n = NativeAsOfJoin.asOf(leftS, rightS, "user_id", "ts", Seq("p"),
+      val n = MergeAsOf.asOf(leftS, rightS, "user_id", "ts", Seq("p"),
         forward = forward, tieBreak = Some("p"))
         .select(col("user_id"), col("v"), col("asof_p")).collect().toSeq
         .map(r => (r.getString(0), r.getLong(1),
@@ -99,13 +127,13 @@ class NativeAsOfJoinSpec extends SparkSpec {
     // backward-wins-exact-|gap|-tie rule is still exercised whenever a
     // left ts sits midway), duplicated right with one.
     for (tol <- Seq(None, Some(700L))) {
-      val n = NativeAsOfJoin.asOfNearest(left, rightDedup, "user_id", "ts",
+      val n = MergeAsOf.asOfNearest(left, rightDedup, "user_id", "ts",
         Seq("p"), toleranceMs = tol)
       val c = AsOfJoin.asOfNearest(left, rightDedup, "user_id", "ts",
         Seq("p"), toleranceMs = tol)
       assert(canon(n) == canon(c), s"nearest tol=$tol")
 
-      val nt = NativeAsOfJoin.asOfNearest(left, rightDup, "user_id", "ts",
+      val nt = MergeAsOf.asOfNearest(left, rightDup, "user_id", "ts",
         Seq("p"), toleranceMs = tol, tieBreak = Some("p"))
       val ct = AsOfJoin.asOfNearest(left, rightDup, "user_id", "ts",
         Seq("p"), toleranceMs = tol, tieBreak = Some("p"))
@@ -124,7 +152,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
       (3L, 1000L, 30L), (4L, 1000L, 40L)), "v")
     val right = tsDf(Seq((1L, 7000L, 7L), (1L, 12000L, 9L), (2L, 4000L, 21L),
       (3L, 3500L, 31L)), "p")
-    val out = canon(NativeAsOfJoin.asOfNearest(left, right, "user_id", "ts",
+    val out = canon(MergeAsOf.asOfNearest(left, right, "user_id", "ts",
       Seq("p"), tieBreak = Some("p")))
     assert(out == Seq((1L, 10L, 9L), (1L, 11L, 7L), (2L, 20L, 21L),
       (3L, 30L, 31L), (4L, 40L, null)))
@@ -132,12 +160,12 @@ class NativeAsOfJoinSpec extends SparkSpec {
     // match (inclusive boundary) while pruning its 3ms backward
     // candidate, keeps (2,5ms)'s 1ms backward match, and prunes both
     // 2.5ms gaps at (1,9.5ms) and key 3's 2.5ms forward gap
-    val tol2 = canon(NativeAsOfJoin.asOfNearest(left, right, "user_id", "ts",
+    val tol2 = canon(MergeAsOf.asOfNearest(left, right, "user_id", "ts",
       Seq("p"), toleranceMs = Some(2L), tieBreak = Some("p")))
     assert(tol2 == Seq((1L, 10L, 9L), (1L, 11L, null), (2L, 20L, 21L),
       (3L, 30L, null), (4L, 40L, null)))
     // 0ms tolerance keeps only exact-equal timestamps: none planted
-    val tol = canon(NativeAsOfJoin.asOfNearest(left, right, "user_id", "ts",
+    val tol = canon(MergeAsOf.asOfNearest(left, right, "user_id", "ts",
       Seq("p"), toleranceMs = Some(0L), tieBreak = Some("p")))
     assert(tol == Seq((1L, 10L, null), (1L, 11L, null), (2L, 20L, null),
       (3L, 30L, null), (4L, 40L, null)))
@@ -145,7 +173,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
     // FIRST-of-new-ts-group retain (ascending tie order in nearest mode)
     val lt = tsDf(Seq((9L, 500L, 90L)), "v")
     val rt = tsDf(Seq((9L, 500L, 6L), (9L, 500L, 3L), (9L, 450L, 8L)), "p")
-    assert(canon(NativeAsOfJoin.asOfNearest(lt, rt, "user_id", "ts", Seq("p"),
+    assert(canon(MergeAsOf.asOfNearest(lt, rt, "user_id", "ts", Seq("p"),
       tieBreak = Some("p"))) == Seq((9L, 90L, 3L)))
   }
 
@@ -160,7 +188,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
     val right = gen(800, "p")
     val sur = (df: org.apache.spark.sql.DataFrame) =>
       df.withColumn("kk", concat_ws("|", col("k1"), col("k2")))
-    val n = NativeAsOfJoin.asOfKeys(left, right, Seq("k1", "k2"), "ts",
+    val n = MergeAsOf.asOfKeys(left, right, Seq("k1", "k2"), "ts",
       Seq("p"), tieBreak = Some("p"), nearest = true)
       .select(col("k1"), col("k2"), col("v"), col("asof_p")).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -184,23 +212,23 @@ class NativeAsOfJoinSpec extends SparkSpec {
       (2L, 800L, 21L)), "p")
 
     // backward, tie at 1000 -> min tie-break (5), at-or-before includes ties
-    val b = canon(NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+    val b = canon(MergeAsOf.asOf(left, right, "user_id", "ts", Seq("p"),
       tieBreak = Some("p")))
     assert(b == Seq((1L, 10L, 5L), (1L, 11L, 9L), (2L, 20L, null), (3L, 30L, null)))
 
     // forward from 2000: nothing at-or-after for key 1 after 1500 -> null;
     // key 2 forward finds 800
-    val f = canon(NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+    val f = canon(MergeAsOf.asOf(left, right, "user_id", "ts", Seq("p"),
       forward = true, tieBreak = Some("p")))
     assert(f == Seq((1L, 10L, 5L), (1L, 11L, null), (2L, 20L, 21L), (3L, 30L, null)))
 
     // tolerance boundary is inclusive and micro-exact: gap 500us within
     // 1ms? tolerance is in ms — gap from 2000us back to 1500us = 500us
     // <= 1ms passes; 0ms tolerance keeps only exact-equal matches
-    val t1 = canon(NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+    val t1 = canon(MergeAsOf.asOf(left, right, "user_id", "ts", Seq("p"),
       toleranceMs = Some(1L), tieBreak = Some("p")))
     assert(t1 == Seq((1L, 10L, 5L), (1L, 11L, 9L), (2L, 20L, null), (3L, 30L, null)))
-    val t0 = canon(NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+    val t0 = canon(MergeAsOf.asOf(left, right, "user_id", "ts", Seq("p"),
       toleranceMs = Some(0L), tieBreak = Some("p")))
     assert(t0 == Seq((1L, 10L, 5L), (1L, 11L, null), (2L, 20L, null), (3L, 30L, null)))
   }
@@ -214,7 +242,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
       (Some(1L), None, 9L))
       .toDF("user_id", "mus", "p")
       .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
-    val out = NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"))
+    val out = MergeAsOf.asOf(left, right, "user_id", "ts", Seq("p"))
       .select(col("v"), col("asof_p")).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
       .sortBy(_._1).toSeq
@@ -232,7 +260,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
       .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
     val left = base.select(col("user_id"), col("ts"), col("x").as("v"))
     val right = base.select(col("user_id"), col("ts"), col("x").as("p"))
-    val out = NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+    val out = MergeAsOf.asOf(left, right, "user_id", "ts", Seq("p"),
       tieBreak = Some("p"))
       .select(col("v"), col("asof_p")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
@@ -251,7 +279,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
     val right = Seq(("a", 50L, 7L), ("c", 240L, 9L))
       .toDF("user_id", "mus", "p")
       .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
-    val out = NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"))
+    val out = MergeAsOf.asOf(left, right, "user_id", "ts", Seq("p"))
       .select(col("v"), col("asof_p")).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
       .sortBy(_._1).toSeq
@@ -273,7 +301,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
     val sur = (df: org.apache.spark.sql.DataFrame) =>
       df.withColumn("kk", concat_ws("|", col("k1"), col("k2")))
     for (forward <- Seq(false, true)) {
-      val n = NativeAsOfJoin.asOfKeys(left, right, Seq("k1", "k2"), "ts",
+      val n = MergeAsOf.asOfKeys(left, right, Seq("k1", "k2"), "ts",
         Seq("p"), forward = forward, tieBreak = Some("p"))
         .select(col("k1"), col("k2"), col("v"), col("asof_p")).collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -297,7 +325,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
       (Some(1L), Some(2L), 50L, 8L))
       .toDF("k1", "k2", "mus", "p")
       .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
-    val out = NativeAsOfJoin.asOfKeys(ln, rn, Seq("k1", "k2"), "ts", Seq("p"))
+    val out = MergeAsOf.asOfKeys(ln, rn, Seq("k1", "k2"), "ts", Seq("p"))
       .select(col("v"), col("asof_p")).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
       .sortBy(_._1).toSeq
@@ -319,7 +347,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
     val right = gen(600, "p")
     val sur = (df: org.apache.spark.sql.DataFrame) =>
       df.withColumn("kk", concat_ws("|", col("k1"), col("day")))
-    val n = NativeAsOfJoin.asOfKeys(left, right, Seq("k1", "day"), "ts",
+    val n = MergeAsOf.asOfKeys(left, right, Seq("k1", "day"), "ts",
       Seq("p"), tieBreak = Some("p"))
       .select(col("k1"), col("day"), col("v"), col("asof_p")).collect().toSeq
       .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
@@ -352,7 +380,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
       val b = NativeAsOfJoin.asOfBroadcast(left, right, Seq("user_id"), "ts",
         Seq("p"), forward = fwd, toleranceMs = tol, tieBreak = Some("p"),
         nearest = near)
-      val m = NativeAsOfJoin.asOfKeys(left, right, Seq("user_id"), "ts",
+      val m = MergeAsOf.asOfKeys(left, right, Seq("user_id"), "ts",
         Seq("p"), forward = fwd, toleranceMs = tol, tieBreak = Some("p"),
         nearest = near)
       assert(canon(b) == canon(m), s"mode=$mode tol=$tol")
@@ -364,7 +392,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
     val rightS = right.withColumn("k2", concat(lit("g"), col("user_id") % 3))
     val b2 = NativeAsOfJoin.asOfBroadcast(leftS, rightS, Seq("user_id", "k2"),
       "ts", Seq("p"), tieBreak = Some("p"))
-    val m2 = NativeAsOfJoin.asOfKeys(leftS, rightS, Seq("user_id", "k2"),
+    val m2 = MergeAsOf.asOfKeys(leftS, rightS, Seq("user_id", "k2"),
       "ts", Seq("p"), tieBreak = Some("p"))
     assert(canon(b2) == canon(m2), "composite string keys")
     // null semantics: null key / null ts rows never match or index
@@ -432,7 +460,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]) == 1,
       df.queryExecution.executedPlan.toString)
     // and the result equals the merge exec's on the same inputs
-    val viaMerge = NativeAsOfJoin.asOf(l, r, "user_id", "ts", Seq("click_id"),
+    val viaMerge = MergeAsOf.asOf(l, r, "user_id", "ts", Seq("click_id"),
       tieBreak = Some("click_id"))
     assert(df.collect().map(_.toString).sorted.toSeq ==
       viaMerge.collect().map(_.toString).sorted.toSeq)
@@ -444,7 +472,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
       .select("user_id", "ts", "event_id")
     val r = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-    val df = NativeAsOfJoin.asOf(l, r, "user_id", "ts", Seq("click_id"))
+    val df = MergeAsOf.asOf(l, r, "user_id", "ts", Seq("click_id"))
     df.collect() // finalize the adaptive plan before inspecting it
     // AQE hides stage plans from collect(): flatten through
     // AdaptiveSparkPlanExec / QueryStageExec containers explicitly
@@ -465,5 +493,58 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(!nodes.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExecBase]),
       df.queryExecution.executedPlan.toString)
+  }
+
+  test("Auto strategy: stats pick broadcast vs merge; overrides win") {
+    import graft.plans.AsOfPhysicalStrategy
+    // parquet-backed frames so sizeInBytes comes from the file index —
+    // the same statistic JoinSelection's canBroadcastBySize consumes
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    val l = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val r = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    def physicalOf(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+      df.queryExecution.executedPlan
+    def has[T](df: DataFrame)(implicit ct: scala.reflect.ClassTag[T]): Boolean = {
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          p +: flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: flatten(q.plan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      flatten(physicalOf(df)).exists(n => ct.runtimeClass.isInstance(n))
+    }
+    def auto() = NativeAsOfJoin.asOf(l, r, "user_id", "ts", Seq("click_id"),
+      tieBreak = Some("click_id"))
+    val mergeRef = MergeAsOf.asOf(l, r, "user_id", "ts", Seq("click_id"),
+      tieBreak = Some("click_id")).collect().map(_.toString).sorted.toSeq
+
+    // dim-sized right under the default 10MB threshold -> broadcast exec
+    val small = auto()
+    assert(has[graft.plans.BroadcastAsOfJoinExec](small), physicalOf(small).toString)
+    assert(small.collect().map(_.toString).sorted.toSeq == mergeRef)
+
+    // threshold disabled (-1, Spark's own convention) -> the same call
+    // plans the merge exec; values identical
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = auto()
+      assert(has[graft.plans.AsOfJoinExec](big), physicalOf(big).toString)
+      assert(big.collect().map(_.toString).sorted.toSeq == mergeRef)
+      // caller override beats stats in BOTH directions
+      val forced = NativeAsOfJoin.asOf(l, r, "user_id", "ts", Seq("click_id"),
+        tieBreak = Some("click_id"),
+        strategy = AsOfPhysicalStrategy.Broadcast)
+      assert(has[graft.plans.BroadcastAsOfJoinExec](forced),
+        physicalOf(forced).toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val forcedMerge = NativeAsOfJoin.asOf(l, r, "user_id", "ts",
+      Seq("click_id"), tieBreak = Some("click_id"),
+      strategy = AsOfPhysicalStrategy.Merge)
+    assert(has[graft.plans.AsOfJoinExec](forcedMerge),
+      physicalOf(forcedMerge).toString)
   }
 }
