@@ -509,6 +509,35 @@ case class AsOfJoinExec(
   * component or null ts never enter the index; left rows with any null
   * key component or null ts never match.
   */
+object BroadcastAsOfJoinExec {
+  /** Per-executor index cache: the broadcast row array is indexed ONCE
+    * per executor JVM instead of once per task — at local[32] the old
+    * per-task build held up to 32 copies of the dimension index (the
+    * r14 verdict's memory-efficiency flag). Keyed on (broadcast id,
+    * right key/ts/tie-break exprIds): the broadcast id is unique per
+    * materialized exchange, and the exprIds distinguish two as-of
+    * joins that REUSE one exchange (ReuseExchange) with different key
+    * columns. LRU-bounded at 8 entries; each holder builds lazily
+    * under its own lock so concurrent first-tasks of DIFFERENT joins
+    * never serialize on each other's build.
+    */
+  private final class LazyIndex(build: () => AnyRef) {
+    lazy val value: AnyRef = build()
+  }
+  private val cache = new java.util.LinkedHashMap[String, LazyIndex](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, LazyIndex]): Boolean = size() > 8
+  }
+  private[plans] def cachedIndex(key: String)(build: => AnyRef): AnyRef = {
+    val holder = cache.synchronized {
+      var h = cache.get(key)
+      if (h == null) { h = new LazyIndex(() => build); cache.put(key, h) }
+      h
+    }
+    holder.value
+  }
+}
+
 case class BroadcastAsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
@@ -563,75 +592,86 @@ case class BroadcastAsOfJoinExec(
       org.apache.spark.sql.catalyst.expressions.Literal.create(null, a.dataType))
     val inSchema = lOut ++ rOut
     val bc = right.executeBroadcast[Array[InternalRow]]()
+    // cache token: broadcast id (unique per materialized exchange) +
+    // the projection identity (two as-of joins can REUSE one exchange
+    // with different key/ts/tie-break columns — their indexes differ)
+    val idxToken = s"${bc.id}|${rightKeys.map(_.exprId.id).mkString(",")}|" +
+      s"${rightTs.exprId.id}|${tieBreak.map(_.exprId.id).getOrElse(-1L)}"
 
     left.execute().mapPartitions { lIter =>
       val joinMatched = UnsafeProjection.create(matchedExprs, inSchema)
       val joinNull = UnsafeProjection.create(unmatchedExprs, lOut)
       val joined = new JoinedRow
       val lKeyProj = UnsafeProjection.create(lKeyB.toSeq)
-      val rKeyProj = UnsafeProjection.create(rKeyB.toSeq)
 
-      // ---- index build (once per task; the side is dim-sized by the
-      // operator's contract, so this is microseconds, amortized over
-      // the whole left partition) ----
-      val groups = new java.util.HashMap[
-        org.apache.spark.sql.catalyst.expressions.UnsafeRow,
-        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
-      val rows = bc.value
-      var i = 0
-      while (i < rows.length) {
-        val r = rows(i)
-        val k = rKeyProj(r)
-        if (!k.anyNull) {
-          val t = rTsB.eval(r)
-          if (t != null) {
-            var buf = groups.get(k)
-            if (buf == null) {
-              buf = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
-              groups.put(k.copy(), buf)
+      // ---- index build (once per EXECUTOR, via the companion's
+      // LRU-bounded lazy cache; concurrent tasks of the same join block
+      // on one build instead of each paying — and holding — its own
+      // copy) ----
+      val idx = BroadcastAsOfJoinExec.cachedIndex(idxToken) {
+        val rKeyProj = UnsafeProjection.create(rKeyB.toSeq)
+        val groups = new java.util.HashMap[
+          org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+          scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+        val rows = bc.value
+        var i = 0
+        while (i < rows.length) {
+          val r = rows(i)
+          val k = rKeyProj(r)
+          if (!k.anyNull) {
+            val t = rTsB.eval(r)
+            if (t != null) {
+              var buf = groups.get(k)
+              if (buf == null) {
+                buf = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
+                groups.put(k.copy(), buf)
+              }
+              buf += ((t.asInstanceOf[Long], r))
             }
-            buf += ((t.asInstanceOf[Long], r))
           }
+          i += 1
         }
-        i += 1
-      }
-      // per key: sort by ts, collapse equal-ts runs to the min-tie-break
-      // row (without a tie-break: first in broadcast order — the same
-      // partition-order caveat the merge exec documents)
-      val idx = new java.util.HashMap[
-        org.apache.spark.sql.catalyst.expressions.UnsafeRow,
-        (Array[Long], Array[InternalRow])]()
-      val it = groups.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val sorted = e.getValue.sortBy(_._1)
-        val ts = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val rws = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-        var j = 0
-        while (j < sorted.length) {
-          val (t0, r0) = sorted(j)
-          var bestR = r0
-          var bestTb = tbB.map(_.eval(r0)).orNull
-          j += 1
-          while (j < sorted.length && sorted(j)._1 == t0) {
-            val rj = sorted(j)._2
-            (tbB, tbOrd) match {
-              case (Some(tb), Some(ord)) =>
-                val v = tb.eval(rj)
-                // null tie-breaks sort last (both operators only promise
-                // determinism for non-null tie-break columns)
-                if (v != null && (bestTb == null || ord.compare(v, bestTb) < 0)) {
-                  bestR = rj; bestTb = v
-                }
-              case _ => // no tie-break: keep the first
-            }
+        // per key: sort by ts, collapse equal-ts runs to the min-tie-break
+        // row (without a tie-break: first in broadcast order — the same
+        // partition-order caveat the merge exec documents)
+        val built = new java.util.HashMap[
+          org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+          (Array[Long], Array[InternalRow])]()
+        val it = groups.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val sorted = e.getValue.sortBy(_._1)
+          val ts = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val rws = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          var j = 0
+          while (j < sorted.length) {
+            val (t0, r0) = sorted(j)
+            var bestR = r0
+            var bestTb = tbB.map(_.eval(r0)).orNull
             j += 1
+            while (j < sorted.length && sorted(j)._1 == t0) {
+              val rj = sorted(j)._2
+              (tbB, tbOrd) match {
+                case (Some(tb), Some(ord)) =>
+                  val v = tb.eval(rj)
+                  // null tie-breaks sort last (both operators only promise
+                  // determinism for non-null tie-break columns)
+                  if (v != null && (bestTb == null || ord.compare(v, bestTb) < 0)) {
+                    bestR = rj; bestTb = v
+                  }
+                case _ => // no tie-break: keep the first
+              }
+              j += 1
+            }
+            ts += t0
+            rws += bestR
           }
-          ts += t0
-          rws += bestR
+          built.put(e.getKey, (ts.toArray, rws.toArray))
         }
-        idx.put(e.getKey, (ts.toArray, rws.toArray))
-      }
+        built
+      }.asInstanceOf[java.util.HashMap[
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+        (Array[Long], Array[InternalRow])]]
 
       // rightmost index with ts <= t, or -1
       def floorIdx(a: Array[Long], t: Long): Int = {
