@@ -61,17 +61,10 @@ def main():
     new_supp = np.ones(len(supp), dtype=bool)
     new_supp[1:] = supp[1:] != supp[:-1]
 
-    # per-supplier running max of en over PRECEDING rows: compute the
-    # inclusive cummax, then shift by one within each supplier segment
-    seg_start_val = np.where(new_supp, np.iinfo(np.int64).min, 0)
-    # segmented inclusive cummax via np.maximum.accumulate with resets:
-    # reset points get a sentinel so the accumulate restarts per segment
-    en_reset = en.copy()
-    # to restart the accumulate at segment starts, subtract a huge step:
-    # process per-boundary using np.maximum.accumulate on a transformed
-    # array is fiddly; fall back to a tight loop in numpy chunks only at
-    # boundaries — but a plain loop over 60M rows in Python is minutes.
-    # Use the standard trick: offset each segment into a disjoint range.
+    # per-supplier running max of en over PRECEDING rows: segmented
+    # inclusive cummax via the offset trick (shift each supplier segment
+    # into a disjoint value range so one global np.maximum.accumulate
+    # cannot leak across segments), then shift by one row per segment
     seg_id = np.cumsum(new_supp) - 1
     BIG = np.int64(1) << 40
     assert en.max() < BIG and en.min() > -BIG, "date range exceeds offset trick"
@@ -86,8 +79,6 @@ def main():
     island_id = np.cumsum(new_island) - 1
     # per-island aggregates: first st (sorted -> min), max en
     n_islands_total = island_id[-1] + 1 if len(island_id) else 0
-    ist = np.zeros(n_islands_total, dtype=np.int64)
-    np.minimum.at(ist, island_id, st) if False else None
     # first occurrence of each island is its min st (sorted by st)
     first_of_island = np.ones(len(island_id), dtype=bool)
     first_of_island[1:] = island_id[1:] != island_id[:-1]
