@@ -93,6 +93,7 @@ object SparkEntry {
     // DuckDB oracle (user_id + calendar day), and the zero-fact-shuffle
     // broadcast as-of on the shared backward oracle
     "q_asof_native_keys", "q_asof_bcast",
-    // r15: the stats-driven Auto strategy under the same shared oracle
-    "q_asof_auto")
+    // r15: the stats-driven Auto strategy and the graft_asof SQL
+    // table-valued spelling, both under the same shared oracle
+    "q_asof_auto", "q_asof_sql")
 }

@@ -1096,10 +1096,24 @@ object GraftFunctions {
           "graft_weight_sum(tokens[, prefix, mod])")
       }))
 
+  /** Table-valued functions: SQL entry points that resolve to whole
+    * custom operators (a `LogicalPlan`, not an `Expression`). One today:
+    * `graft_asof`, the SQL spelling of the native as-of join tier.
+    */
+  val tableFns: Seq[(String, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("graft_asof",
+      new ExpressionInfo("graft.plans.NativeAsOfJoin", "graft_asof"),
+      (es: Seq[Expression]) => graft.plans.NativeAsOfJoin.sqlBuilder(es)))
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     fns.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+    tableFns.foreach { case (name, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
     // planner tier for sessions built WITHOUT spark.sql.extensions (the
@@ -1122,6 +1136,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.fns.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+    GraftFunctions.tableFns.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
     }
     // optimizer tier: HOF-spelling -> native-kernel rewrites
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)

@@ -127,10 +127,22 @@ object NativeAsOfJoin {
       toleranceMs: Option[Long] = None,
       tieBreak: Option[String] = None,
       nearest: Boolean = false,
-      strategy: AsOfPhysicalStrategy = AsOfPhysicalStrategy.Auto): DataFrame = {
+      strategy: AsOfPhysicalStrategy = AsOfPhysicalStrategy.Auto): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.ofRows(left.sparkSession,
+      buildPlan(left, right, keys, ts, rightCols, forward, toleranceMs,
+        tieBreak, nearest, strategy))
+
+  /** Shared plan construction: the DataFrame entry points wrap this in
+    * `Dataset.ofRows`; the SQL table-valued function (`graft_asof`)
+    * returns the node directly into the analyzer.
+    */
+  private def buildPlan(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], ts: String, rightCols: Seq[String],
+      forward: Boolean, toleranceMs: Option[Long], tieBreak: Option[String],
+      nearest: Boolean, strategy: AsOfPhysicalStrategy): AsOfJoinPlan = {
     require(keys.nonEmpty, "at least one key column required")
     require(!(forward && nearest), "forward and nearest are exclusive")
-    val spark = left.sparkSession
     val lp = graft.operators.AsOfJoin.normTs(left, ts).queryExecution.analyzed
     val rp0 = graft.operators.AsOfJoin.normTs(right, ts).queryExecution.analyzed
 
@@ -163,10 +175,69 @@ object NativeAsOfJoin {
       AttributeReference("asof_" + a.name.stripSuffix("__r"),
         a.dataType, nullable = true)()
     }
-    val node = AsOfJoinPlan(lp, rp, lKeys, rKeys, lTs, rTs, payload, outAttrs,
+    AsOfJoinPlan(lp, rp, lKeys, rKeys, lTs, rTs, payload, outAttrs,
       forward, toleranceMs.map(_ * 1000L), tieBreak.map(attr(rp, _, "right")),
       nearest, strategy)
-    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
+  }
+
+  /** SQL table-valued surface, registered as `graft_asof` (via
+    * `SparkSessionExtensions.injectTableFunction` and the imperative
+    * `tableFunctionRegistry` twin):
+    *
+    * {{{
+    * SELECT * FROM graft_asof(
+    *   'left_table', 'right_table',   -- catalog/temp-view names
+    *   'k1,k2', 'ts', 'p1,p2',        -- keys, ts column, payload cols
+    *   'backward',                    -- or 'forward' | 'nearest'
+    *   '',                            -- tolerance ms ('' = none)
+    *   'tie_col',                     -- tie-break column ('' = none)
+    *   'auto')                        -- or 'merge' | 'broadcast'
+    * }}}
+    *
+    * Trailing arguments are optional. Table names resolve through the
+    * ACTIVE session's catalog at analysis time (temp views included),
+    * so `spark.sql` users reach all three physical strategies without
+    * touching the DataFrame API.
+    */
+  def sqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): LogicalPlan = {
+    def lit(i: Int, what: String): String = {
+      val e = es(i)
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"graft_asof: $what must be a literal")
+      Option(e.eval()).map(_.toString).getOrElse("")
+    }
+    if (es.size < 5 || es.size > 9)
+      throw new IllegalArgumentException(
+        "graft_asof(left, right, keys, ts, payload[, direction[, " +
+          "tolerance_ms[, tie_break[, strategy]]]])")
+    val spark = SparkSession.active
+    val left = spark.table(lit(0, "left table name"))
+    val right = spark.table(lit(1, "right table name"))
+    val keys = lit(2, "keys").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val ts = lit(3, "ts")
+    val payload = lit(4, "payload").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val (forward, nearest) =
+      (if (es.size > 5) lit(5, "direction") else "backward") match {
+        case "" | "backward" => (false, false)
+        case "forward" => (true, false)
+        case "nearest" => (false, true)
+        case d => throw new IllegalArgumentException(
+          s"graft_asof: direction must be backward|forward|nearest, got '$d'")
+      }
+    val tol = if (es.size > 6) Some(lit(6, "tolerance_ms")).filter(_.nonEmpty)
+      .map(_.toLong) else None
+    val tieBreak = if (es.size > 7) Some(lit(7, "tie_break")).filter(_.nonEmpty)
+      else None
+    val strategy = (if (es.size > 8) lit(8, "strategy") else "auto") match {
+      case "" | "auto" => AsOfPhysicalStrategy.Auto
+      case "merge" => AsOfPhysicalStrategy.Merge
+      case "broadcast" => AsOfPhysicalStrategy.Broadcast
+      case s => throw new IllegalArgumentException(
+        s"graft_asof: strategy must be auto|merge|broadcast, got '$s'")
+    }
+    buildPlan(left, right, keys, ts, payload, forward, tol, tieBreak,
+      nearest, strategy)
   }
 }
 

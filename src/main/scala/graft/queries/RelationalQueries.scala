@@ -297,6 +297,24 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // SQL-surface as-of: the SAME backward join spelled entirely in
+    // Spark SQL through the graft_asof table-valued function (injected
+    // via SparkSessionExtensions) — the analyzer resolves the TVF call
+    // straight to AsOfJoinPlan, so spark.sql users reach all three
+    // physical strategies. SHARES q_asof_join's oracle val: four
+    // spellings (composed / merge / broadcast / SQL), one truth.
+    "q_asof_sql" -> { (s, dir) =>
+      val (purchases, clicks) = purchaseClickFrames(s, dir)
+      purchases.createOrReplaceTempView("graft_asof_purchases")
+      clicks.createOrReplaceTempView("graft_asof_clicks")
+      s.sql("""
+        SELECT user_id, event_id, value, asof_click_id
+        FROM graft_asof('graft_asof_purchases', 'graft_asof_clicks',
+                        'user_id', 'ts', 'click_id',
+                        'backward', '', 'click_id', 'auto')
+        ORDER BY event_id""")
+    },
+
     // COMPOSITE-key as-of through the native exec (pandas merge_asof's
     // multi-column `by`): each purchase picks up the most recent click
     // at-or-before it from the SAME (user, calendar day) — the grouped
@@ -2724,6 +2742,7 @@ object RelationalQueries {
     "q_asof_native" -> asofBackwardOracle,
     "q_asof_bcast" -> asofBackwardOracle,
     "q_asof_auto" -> asofBackwardOracle,
+    "q_asof_sql" -> asofBackwardOracle,
     "q_asof_native_keys" -> asofCompositeOracle,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,

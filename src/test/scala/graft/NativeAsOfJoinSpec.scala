@@ -547,4 +547,42 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(has[graft.plans.AsOfJoinExec](forcedMerge),
       physicalOf(forcedMerge).toString)
   }
+
+  test("graft_asof SQL table function: every spelling matches the API") {
+    // the TVF resolves straight to AsOfJoinPlan at analysis time; every
+    // direction/tolerance/tie-break/strategy spelling must agree with
+    // the DataFrame API on the same views
+    val rnd = new scala.util.Random(5)
+    def gen(n: Int): Seq[(Long, Long, Long)] =
+      (1 to n).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(3000).toLong * 1000L, i.toLong))
+    val left = tsDf(gen(300), "v")
+    val right = tsDf(gen(300), "p")
+    left.createOrReplaceTempView("asof_sql_l")
+    right.createOrReplaceTempView("asof_sql_r")
+    def viaSql(extra: String): Seq[(Long, Long, Any)] =
+      spark.sql("SELECT user_id, v, asof_p FROM graft_asof(" +
+          s"'asof_sql_l', 'asof_sql_r', 'user_id', 'ts', 'p'$extra)")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+    // backward (defaults beyond the 5 required args)
+    assert(viaSql(", 'backward', '', 'p'") ==
+      canon(MergeAsOf.asOf(left, right, "user_id", "ts", Seq("p"),
+        tieBreak = Some("p"))))
+    // forward + tolerance + pinned merge strategy
+    assert(viaSql(", 'forward', '700', 'p', 'merge'") ==
+      canon(MergeAsOf.asOf(left, right, "user_id", "ts", Seq("p"),
+        forward = true, toleranceMs = Some(700L), tieBreak = Some("p"))))
+    // nearest through the pinned broadcast strategy
+    assert(viaSql(", 'nearest', '', 'p', 'broadcast'") ==
+      canon(NativeAsOfJoin.asOfBroadcast(left, right, Seq("user_id"), "ts",
+        Seq("p"), tieBreak = Some("p"), nearest = true)))
+    // malformed spellings fail analysis loudly
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof('asof_sql_l', 'asof_sql_r', 'user_id', 'ts')"))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof('asof_sql_l', 'asof_sql_r', 'user_id', " +
+        "'ts', 'p', 'sideways')"))
+  }
 }
