@@ -223,7 +223,17 @@ object ScaleSmoke {
     "q_asof_native_tol",
     // r14 second wave: the composite-key (user_id, day) native as-of —
     // same Nx-keys regime, two key components per compare
-    "q_asof_native_keys")
+    "q_asof_native_keys",
+    // r15: the remaining as-of spellings under the Nx gate. q_asof_bcast
+    // broadcasts the clicks side, which the clone corpus grows Nx —
+    // DELIBERATELY past the operator's dimension-size design regime
+    // (its production contract), so this measures the worst honest
+    // case: a ~2.5M-row broadcast + one shared per-executor index.
+    // q_asof_auto re-plans per scale: broadcast at 1x (clicks under the
+    // threshold), merge at Nx (stats exceed it) — the strategy rule
+    // exercised at both operating points. q_asof_sql is the TVF
+    // spelling of the same backward join (plans identically to auto).
+    "q_asof_bcast", "q_asof_auto", "q_asof_sql")
 
   /** Relational tier at Nx orders/customers (opt-in via
     * SPARK_GRAFT_ONLY, like the graph tier): orders clone by shifted

@@ -548,6 +548,50 @@ class NativeAsOfJoinSpec extends SparkSpec {
       physicalOf(forcedMerge).toString)
   }
 
+  test("AQE interaction: shuffles feeding AsOfJoinExec still coalesce") {
+    // SURVEY §4's caveat — bespoke physical nodes forfeit SOME adaptive
+    // re-planning — made precise for the as-of tier: AQE's
+    // CoalesceShufflePartitions DOES still apply to the two
+    // ENSURE_REQUIREMENTS exchanges feeding the merge exec (both sides
+    // coalesce together, preserving co-partitioning), while skew-split
+    // (OptimizeSkewedJoin) and runtime strategy flips
+    // (DynamicJoinSelection) do NOT — they pattern-match Spark's own
+    // join execs. Skew safety comes from the merge's O(1)-state design
+    // instead, and strategy choice is the static stats rule.
+    val rnd = new scala.util.Random(3)
+    def gen(n: Int, p: String): DataFrame =
+      (1 to n).map(i => (rnd.nextInt(50).toLong, rnd.nextInt(5000).toLong * 1000L, i.toLong))
+        .toDF("user_id", "mus", p)
+        .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val df = MergeAsOf.asOf(gen(2000, "v"), gen(2000, "p"), "user_id",
+        "ts", Seq("p"), tieBreak = Some("p"))
+      df.collect()
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          p +: flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: flatten(q.plan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      val nodes = flatten(df.queryExecution.executedPlan)
+      assert(nodes.count(_.isInstanceOf[graft.plans.AsOfJoinExec]) == 1)
+      // the adaptive reads prove AQE re-planned the exchanges feeding
+      // the custom exec — tiny partitions coalesce on BOTH sides
+      val reads = nodes.collect {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+      }
+      assert(reads.size == 2, df.queryExecution.executedPlan.toString)
+      // and the coalesced sides stay co-partitioned: equal partition
+      // counts, or the merge's zipPartitions would mispair key ranges
+      assert(reads.map(_.outputPartitioning.numPartitions).distinct.size == 1,
+        reads.map(_.outputPartitioning).mkString(", "))
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+  }
+
   test("graft_asof SQL table function: every spelling matches the API") {
     // the TVF resolves straight to AsOfJoinPlan at analysis time; every
     // direction/tolerance/tie-break/strategy spelling must agree with
