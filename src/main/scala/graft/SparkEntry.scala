@@ -93,7 +93,8 @@ object SparkEntry {
     // DuckDB oracle (user_id + calendar day), and the zero-fact-shuffle
     // broadcast as-of on the shared backward oracle
     "q_asof_native_keys", "q_asof_bcast",
-    // r15: the stats-driven Auto strategy and the graft_asof SQL
-    // table-valued spelling, both under the same shared oracle
-    "q_asof_auto", "q_asof_sql")
+    // r15: the stats-driven Auto strategy and the graft_asof /
+    // graft_dedup SQL table-valued spellings, each under its DataFrame
+    // twin's shared oracle
+    "q_asof_auto", "q_asof_sql", "q_dedup_sql")
 }

@@ -1104,7 +1104,10 @@ object GraftFunctions {
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     ("graft_asof",
       new ExpressionInfo("graft.plans.NativeAsOfJoin", "graft_asof"),
-      (es: Seq[Expression]) => graft.plans.NativeAsOfJoin.sqlBuilder(es)))
+      (es: Seq[Expression]) => graft.plans.NativeAsOfJoin.sqlBuilder(es)),
+    ("graft_dedup",
+      new ExpressionInfo("graft.operators.DedupOps", "graft_dedup"),
+      (es: Seq[Expression]) => graft.operators.DedupOps.sqlBuilder(es)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

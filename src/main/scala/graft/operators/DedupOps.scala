@@ -34,6 +34,43 @@ object DedupOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** SQL table-valued surface, registered as `graft_dedup` (same
+    * injection path as `graft_asof` — see
+    * [[graft.plans.NativeAsOfJoin.sqlBuilder]]):
+    *
+    * {{{
+    * SELECT * FROM graft_dedup('docs', 'doc_id', 'text')           -- groups
+    * SELECT * FROM graft_dedup('docs', 'doc_id', 'text', 'dedup')  -- survivors
+    * }}}
+    *
+    * Mode 'groups' (default) returns (text_hash, n_copies, keep_id) —
+    * the exact-dup audit frame; 'dedup' returns the input table minus
+    * all-but-first of each exact-duplicate group.
+    */
+  def sqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def lit(i: Int, what: String): String = {
+      val e = es(i)
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"graft_dedup: $what must be a literal")
+      Option(e.eval()).map(_.toString).getOrElse("")
+    }
+    if (es.size < 3 || es.size > 4)
+      throw new IllegalArgumentException(
+        "graft_dedup(table, id_col, text_col[, 'groups'|'dedup'])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(lit(0, "table name"))
+    val (idCol, textCol) = (lit(1, "id_col"), lit(2, "text_col"))
+    val out = (if (es.size > 3) lit(3, "mode") else "groups") match {
+      case "" | "groups" => exactDupGroups(df, idCol, textCol)
+      case "dedup" => exactDedup(df, idCol, textCol)
+      case m => throw new IllegalArgumentException(
+        s"graft_dedup: mode must be groups|dedup, got '$m'")
+    }
+    out.queryExecution.analyzed
+  }
+
   /** k-permutation MinHash signature over word n-gram shingles of
     * `textCol` — the native codegen'd [[graft.functions.MinHashSignature]]
     * expression: one pass, one hash per token, shingle hashes chained

@@ -141,6 +141,18 @@ object TextQueries {
         .orderBy("text_hash")
     },
 
+    // The same exact-dedup audit spelled in Spark SQL through the
+    // graft_dedup table-valued function — SHARES q_dedup_exact's oracle
+    // val, so the TVF path and the DataFrame path must agree
+    // bit-for-bit (the graft_asof pattern, second operator family).
+    "q_dedup_sql" -> { (s, dir) =>
+      Tables(s, dir, "documents").createOrReplaceTempView("graft_dedup_docs")
+      s.sql("""
+        SELECT text_hash, n_copies, keep_id
+        FROM graft_dedup('graft_dedup_docs', 'doc_id', 'text', 'groups')
+        ORDER BY text_hash""")
+    },
+
     // Exact repeated-SUBSTRING detection (the within/cross-document
     // span-level dedup of Lee et al. 2022, token-n-gram form): a
     // position p in a doc is duplicated iff its 8-token gram occurs
@@ -4287,6 +4299,14 @@ object TextQueries {
        SELECT * FROM per UNION ALL SELECT * FROM anyr ORDER BY phrase"""
   }
 
+  /** Backward exact-dedup oracle, SHARED by q_dedup_exact (DataFrame)
+    * and q_dedup_sql (the graft_dedup TVF spelling).
+    */
+  private val dedupExactOracle =
+    """SELECT md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))) AS text_hash,
+       count(*) AS n_copies, min(doc_id) AS keep_id
+       FROM documents GROUP BY 1 ORDER BY text_hash"""
+
   val oracles: Map[String, String] = Map(
     // Repeated-span twin: same 8-token grams (1-based inclusive list
     // slice), same corpus-wide window count, same island merge — all
@@ -4815,10 +4835,10 @@ object TextQueries {
     "q_embed_pq" -> pqOracle,
     "q_lang_ngram" -> langNgramOracle,
     "q_lang_confusion" -> langConfusionOracle,
-    "q_dedup_exact" ->
-      """SELECT md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))) AS text_hash,
-         count(*) AS n_copies, min(doc_id) AS keep_id
-         FROM documents GROUP BY 1 ORDER BY text_hash""",
+    "q_dedup_exact" -> dedupExactOracle,
+    // SHARED def: the TVF spelling binds to the same string — agreement
+    // between the SQL and DataFrame paths is structural
+    "q_dedup_sql" -> dedupExactOracle,
     "q_ngram_jaccard" ->
       s"""WITH $ngramSharedCte
          SELECT id_a, id_b,

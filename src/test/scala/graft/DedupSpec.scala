@@ -37,6 +37,24 @@ class DedupSpec extends SparkSpec {
     assert(d.select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 2L, 3L, 4L))
   }
 
+  test("graft_dedup SQL table function: both modes match the API") {
+    docs.createOrReplaceTempView("dedup_sql_docs")
+    val groups = spark.sql(
+      "SELECT * FROM graft_dedup('dedup_sql_docs', 'doc_id', 'text') " +
+        "ORDER BY text_hash").collect().map(_.toString).toSeq
+    val groupsApi = DedupOps.exactDupGroups(docs, "doc_id", "text")
+      .orderBy("text_hash").collect().map(_.toString).toSeq
+    assert(groups == groupsApi)
+    val survivors = spark.sql(
+      "SELECT doc_id FROM graft_dedup('dedup_sql_docs', 'doc_id', 'text', " +
+        "'dedup')").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(0L, 2L, 3L, 4L))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_dedup('dedup_sql_docs', 'doc_id')"))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_dedup('dedup_sql_docs', 'doc_id', 'text', 'fuzzy')"))
+  }
+
   test("identical docs get identical MinHash signatures and bands") {
     val banded = DedupOps.withMinHashBands(docs, "text")
     val rows = banded.filter(col("doc_id") <= 1)
