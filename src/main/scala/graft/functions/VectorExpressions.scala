@@ -722,16 +722,30 @@ case class StringChunks(child: Expression, w: Int)
 }
 
 object StringChunks {
-  /** Shared by interpreted eval and codegen. */
+  /** Shared by interpreted eval and codegen. One byte walk: substring's
+    * char indexing re-scans from byte 0 per chunk (O(len²/w) per doc);
+    * instead step w char boundaries at a time and copy each byte range
+    * directly (chunks must COPY — they outlive the input row buffer).
+    */
   def compute(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val nc = s.numChars()
     if (nc == 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val nb = s.numBytes()
     val n = (nc + w - 1) / w
     val out = new Array[Any](n)
-    var i = 0
+    var i = 0     // chunk index
+    var b = 0     // current byte offset (start of chunk i)
     while (i < n) {
-      out(i) = s.substring(i * w, math.min((i + 1) * w, nc))
+      var c = 0   // chars consumed within this chunk
+      val st = b
+      while (c < w && b < nb) {
+        b = math.min(b + UTF8String.numBytesForFirstByte(s.getByte(b)), nb)
+        c += 1
+      }
+      // zero-copy view of the byte range, then clone() to own the bytes
+      out(i) = UTF8String.fromAddress(s.getBaseObject, s.getBaseOffset + st,
+        b - st).clone()
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -779,22 +793,49 @@ case class LangIdNgram(child: Expression,
     m
   }
 
-  /** Called from both interpreted eval and generated code. */
+  /** Called from both interpreted eval and generated code.
+    *
+    * One BYTE walk, not a char-indexed substring loop:
+    * `UTF8String.substring(i, i + n)` re-scans from byte 0 to locate
+    * the i-th char on every call, making the pass O(len²) per document
+    * (measured 3.0s at sf0.1 — the kernel was the bench's one
+    * quadratic-in-doc-length hot spot). Instead walk the char
+    * boundaries once, keep the last n+1 byte offsets in a ring, and
+    * look each window up as a ZERO-COPY `fromAddress` view over the
+    * input's own bytes — hash/equals on UTF8String are
+    * content-defined, so the view probes the same map entries the
+    * copying substring did.
+    */
   def compute(s: UTF8String): UTF8String = {
     if (s == null) return und
-    val nc = s.numChars()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
     val counts = new Array[Long](langStrs.length)
-    var i = 0
-    while (i <= nc - n) {
-      val mask = gramMask.get(s.substring(i, i + n))
-      if (mask != null) {
-        var m = mask.longValue()
-        while (m != 0) {
-          counts(java.lang.Long.numberOfTrailingZeros(m)) += 1
-          m &= m - 1
+    val ring = new Array[Int](n + 1)
+    var bi = 0 // char-boundary index being recorded (0-based)
+    var b = 0  // its byte offset; the final boundary is b == nb
+    var done = false
+    while (!done) {
+      ring(bi % (n + 1)) = b
+      if (bi >= n) {
+        val st = ring((bi - n) % (n + 1))
+        val mask = gramMask.get(UTF8String.fromAddress(base, off + st, b - st))
+        if (mask != null) {
+          var m = mask.longValue()
+          while (m != 0) {
+            counts(java.lang.Long.numberOfTrailingZeros(m)) += 1
+            m &= m - 1
+          }
         }
       }
-      i += 1
+      if (b >= nb) done = true
+      else {
+        // clamp malformed trailing multi-byte chars to the buffer end —
+        // the same truncation substring() applied
+        b = math.min(b + UTF8String.numBytesForFirstByte(s.getByte(b)), nb)
+        bi += 1
+      }
     }
     var best = -1
     var bestScore = 0L
