@@ -94,7 +94,7 @@ object SparkEntry {
     // broadcast as-of on the shared backward oracle
     "q_asof_native_keys", "q_asof_bcast",
     // r15: the stats-driven Auto strategy and the graft_asof /
-    // graft_dedup SQL table-valued spellings, each under its DataFrame
-    // twin's shared oracle
-    "q_asof_auto", "q_asof_sql", "q_dedup_sql")
+    // graft_dedup / graft_ann SQL table-valued spellings, each under
+    // its DataFrame twin's shared oracle
+    "q_asof_auto", "q_asof_sql", "q_dedup_sql", "q_ann_sql")
 }

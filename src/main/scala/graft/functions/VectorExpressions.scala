@@ -1148,7 +1148,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.plans.NativeAsOfJoin.sqlBuilder(es)),
     ("graft_dedup",
       new ExpressionInfo("graft.operators.DedupOps", "graft_dedup"),
-      (es: Seq[Expression]) => graft.operators.DedupOps.sqlBuilder(es)))
+      (es: Seq[Expression]) => graft.operators.DedupOps.sqlBuilder(es)),
+    ("graft_ann",
+      new ExpressionInfo("graft.functions.VectorOps", "graft_ann"),
+      (es: Seq[Expression]) => graft.functions.VectorOps.sqlBuilder(es)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

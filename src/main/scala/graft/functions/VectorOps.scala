@@ -59,6 +59,47 @@ object VectorOps {
     * `row_number` over (score desc, id) — ties broken deterministically.
     * The corpus is scanned once with only (id, vec) columns read.
     */
+  /** SQL table-valued surface, registered as `graft_ann` (same
+    * injection path as `graft_asof` / `graft_dedup`):
+    *
+    * {{{
+    * SELECT q_id, rk, n_id, cos_sim
+    * FROM graft_ann('queries_view', 'corpus_view', '5'[, 'brute'|'ivf'
+    *                [, 'vec_id'[, 'embedding']]])
+    * }}}
+    *
+    * 'brute' (default) is the exact window-ranked scan; 'ivf' the
+    * cell-probed sublinear path (auto-sized nlist/nprobe). Trailing
+    * arguments optional; both modes emit (q_id, n_id, cos_sim/score,
+    * rk), so SQL users reach the ANN tier without the DataFrame API.
+    */
+  def sqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def strLit(i: Int, what: String): String = {
+      val e = es(i)
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"graft_ann: $what must be a literal")
+      Option(e.eval()).map(_.toString).getOrElse("")
+    }
+    if (es.size < 3 || es.size > 6)
+      throw new IllegalArgumentException(
+        "graft_ann(queries, corpus, k[, 'brute'|'ivf'[, id_col[, vec_col]]])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val queries = spark.table(strLit(0, "queries table name"))
+    val corpus = spark.table(strLit(1, "corpus table name"))
+    val k = strLit(2, "k").toInt
+    val idCol = if (es.size > 4) strLit(4, "id_col") else "vec_id"
+    val vecCol = if (es.size > 5) strLit(5, "vec_col") else "embedding"
+    val out = (if (es.size > 3) strLit(3, "mode") else "brute") match {
+      case "" | "brute" => bruteForceTopK(queries, corpus, k, idCol, vecCol)
+      case "ivf" => ivfTopK(queries, corpus, k, idCol = idCol, vecCol = vecCol)
+      case m => throw new IllegalArgumentException(
+        s"graft_ann: mode must be brute|ivf, got '$m'")
+    }
+    out.queryExecution.analyzed
+  }
+
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

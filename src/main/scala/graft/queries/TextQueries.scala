@@ -258,6 +258,20 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // The same exact top-k spelled in Spark SQL through the graft_ann
+    // table-valued function — SHARES q_embed_cosine_topk's oracle val
+    // (third TVF family after graft_asof / graft_dedup: the ANN tier
+    // reachable from spark.sql).
+    "q_ann_sql" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      e.filter(col("vec_id") < 5).createOrReplaceTempView("graft_ann_queries")
+      e.createOrReplaceTempView("graft_ann_corpus")
+      s.sql("""
+        SELECT q_id, rk, n_id, cos_sim
+        FROM graft_ann('graft_ann_queries', 'graft_ann_corpus', '5', 'brute')
+        ORDER BY q_id, rk""")
+    },
+
     // Hard-negative mining: per anchor, the 5 nearest corpus vectors
     // with a DIFFERENT label (contrastive-training negatives). Same
     // broadcast-anchor/no-corpus-shuffle plan as q_embed_cosine_topk.
@@ -4307,6 +4321,24 @@ object TextQueries {
        count(*) AS n_copies, min(doc_id) AS keep_id
        FROM documents GROUP BY 1 ORDER BY text_hash"""
 
+  /** Exact cosine top-k oracle, SHARED by q_embed_cosine_topk
+    * (DataFrame) and q_ann_sql (the graft_ann TVF spelling).
+    */
+  private val cosineTopkOracle =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * c.vec[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i])))
+              * sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) AS cos_sim
+         FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       ranked AS (
+         SELECT q_id, n_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
+         FROM scored)
+       SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos_sim FROM ranked
+       WHERE rk <= 5 ORDER BY q_id, rk"""
+
   val oracles: Map[String, String] = Map(
     // Repeated-span twin: same 8-token grams (1-based inclusive list
     // slice), same corpus-wide window count, same island merge — all
@@ -5191,20 +5223,9 @@ object TextQueries {
          $blocks
          SELECT * FROM ($rows) ORDER BY dim"""
     },
-    "q_embed_cosine_topk" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         scored AS (
-           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-             list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * c.vec[i]))
-               / (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i])))
-                * sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) AS cos_sim
-           FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
-         ranked AS (
-           SELECT q_id, n_id, cos_sim,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
-           FROM scored)
-         SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos_sim FROM ranked
-         WHERE rk <= 5 ORDER BY q_id, rk""",
+    "q_embed_cosine_topk" -> cosineTopkOracle,
+    // SHARED def: the graft_ann TVF spelling binds to the same string
+    "q_ann_sql" -> cosineTopkOracle,
     "q_hard_negatives" ->
       """WITH v AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings),

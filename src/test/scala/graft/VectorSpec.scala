@@ -30,6 +30,29 @@ class VectorSpec extends SparkSpec {
     assert(top == Seq(1L, 2L, 3L)) // by increasing angle distance
   }
 
+  test("graft_ann SQL table function: brute and ivf modes match the API") {
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val d = Seq((0L, vec(0)), (1L, vec(10)), (2L, vec(45)), (3L, vec(90)))
+      .toDF("vec_id", "embedding")
+    d.filter(col("vec_id") === 0).createOrReplaceTempView("ann_sql_q")
+    d.createOrReplaceTempView("ann_sql_c")
+    val sqlTop = spark.sql(
+      "SELECT n_id FROM graft_ann('ann_sql_q', 'ann_sql_c', '3') ORDER BY rk")
+      .as[Long].collect().toSeq
+    assert(sqlTop == Seq(1L, 2L, 3L))
+    // ivf mode on a corpus below the cell minimum falls back to the
+    // exact scan (the operator's own contract) — same rows either way
+    val ivfTop = spark.sql(
+      "SELECT n_id FROM graft_ann('ann_sql_q', 'ann_sql_c', '3', 'ivf') " +
+        "ORDER BY rk").as[Long].collect().toSeq
+    assert(ivfTop == Seq(1L, 2L, 3L))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_ann('ann_sql_q', 'ann_sql_c')"))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_ann('ann_sql_q', 'ann_sql_c', '3', 'hnsw')"))
+  }
+
   test("lshTopK achieves >=60% recall@5 vs brute force on real embeddings") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 20)
