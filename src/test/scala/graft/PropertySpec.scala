@@ -113,6 +113,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("LangIdNgram / StringChunks byte-walks match code-point references " +
+      "on multi-byte text") {
+    // the r15 O(len)-per-doc rewrites walk UTF-8 lead bytes directly —
+    // pin them against straightforward Java code-point windowing on
+    // strings mixing 1-, 2-, 3-, and 4-byte (astral) characters
+    import org.apache.spark.unsafe.types.UTF8String
+    val cps = Seq("a", "b", "é", "ß", "中", "文", "😀", "🚀")
+    val genS = Gen.choose(0, 40).flatMap(k => Gen.listOfN(k, Gen.oneOf(cps)))
+      .map(_.mkString)
+    val n = 3
+    // BMP-only grams (the profile require() validates UTF-16 length)
+    val profiles = Seq(
+      "l1" -> Seq("abé", "中文a", "aab"),
+      "l2" -> Seq("abé", "ßßß", "baa"))
+    val expr = graft.functions.LangIdNgram(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), profiles, n)
+    def refLang(s: String): String = {
+      val cp = s.codePoints().toArray
+      val sets = profiles.map(_._2.toSet)
+      val counts = Array.fill(profiles.size)(0L)
+      for (i <- 0 to cp.length - n; j <- sets.indices)
+        if (sets(j).contains(new String(cp, i, n))) counts(j) += 1
+      val best = counts.zipWithIndex.foldLeft((-1, 0L)) {
+        case ((bi, bs), (c, i)) => if (c > bs) (i, c) else (bi, bs)
+      }._1
+      if (best < 0) "und" else profiles(best)._1
+    }
+    def refChunks(s: String, w: Int): Seq[String] = {
+      val cp = s.codePoints().toArray
+      cp.grouped(w).map(g => new String(g, 0, g.length)).toSeq
+    }
+    forSamples(Gen.zip(genS, Gen.choose(1, 5)), 60) { case (s, w) =>
+      assert(expr.compute(UTF8String.fromString(s)).toString == refLang(s),
+        s"lang s='$s'")
+      val got = graft.functions.StringChunks
+        .compute(UTF8String.fromString(s), w)
+      val gotSeq = (0 until got.numElements())
+        .map(i => got.get(i, StringType).toString)
+      assert(gotSeq == refChunks(s, w), s"chunks s='$s' w=$w")
+    }
+  }
+
   test("mergeIntervals: any batch split equals one-shot; covered matches brute force") {
     import graft.streaming.StreamingOps.mergeIntervals
     val genIvs = Gen.listOf(for {
