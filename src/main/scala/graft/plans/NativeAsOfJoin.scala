@@ -277,6 +277,20 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   private def broadcastPick(p: AsOfJoinPlan): Boolean = p.strategy match {
+    case _ if p.left.isStreaming =>
+      // the merge exec is not streamable (it requires a clustered +
+      // sorted STREAMING child — a stateful sort Structured Streaming
+      // does not provide); the broadcast exec is stateless per
+      // micro-batch and is the as-of's stream-static form. Auto and
+      // Broadcast both resolve to it; an explicit Merge request fails
+      // HERE with the real reason instead of deep inside
+      // EnsureRequirements with a sort-on-stream error.
+      require(p.strategy != AsOfPhysicalStrategy.Merge,
+        "as-of strategy Merge is not streamable: a streaming left side " +
+          "plans the stream-static broadcast exec (the right side must " +
+          "be dimension-sized) — use Auto/Broadcast, or join two " +
+          "streams with StreamingOps.asOfEnrichStreamKeys")
+      true
     case AsOfPhysicalStrategy.Broadcast => true
     case AsOfPhysicalStrategy.Merge => false
     case AsOfPhysicalStrategy.Auto =>

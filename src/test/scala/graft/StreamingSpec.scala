@@ -361,6 +361,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming left: Auto resolves to the broadcast exec; Merge fails loudly") {
+    // the merge exec is not streamable (it would need a stateful sort
+    // on the stream) — the strategy must resolve Auto to the
+    // stream-static broadcast exec regardless of right-side stats, and
+    // reject an explicit Merge at PLANNING time with the real reason
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Ev]
+    val dim = Seq((1L, ts(10), 900L)).toDF("user_id", "ts", "rate_id")
+    // Auto on a streaming left, with the broadcast threshold DISABLED —
+    // batch Auto would pick merge here; streaming must still broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val auto = graft.plans.NativeAsOfJoin.asOfKeys(
+        memL.toDF().select("user_id", "ts", "event_id"), dim,
+        Seq("user_id"), "ts", Seq("rate_id"), tieBreak = Some("rate_id"))
+      val q = auto.writeStream.format("memory").queryName("asof_auto_ss")
+        .outputMode("append").start()
+      try {
+        memL.addData(Ev(1, ts(15), 1, "purchase", 0.0))
+        q.processAllAvailable()
+        val got = spark.sql(
+          "SELECT event_id, asof_rate_id FROM asof_auto_ss").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == Seq((1L, 900L)))
+      } finally q.stop()
+      val merge = graft.plans.NativeAsOfJoin.asOfKeys(
+        memL.toDF().select("user_id", "ts", "event_id"), dim,
+        Seq("user_id"), "ts", Seq("rate_id"), tieBreak = Some("rate_id"),
+        strategy = graft.plans.AsOfPhysicalStrategy.Merge)
+      val err = intercept[Exception] {
+        val q2 = merge.writeStream.format("memory").queryName("asof_merge_ss")
+          .outputMode("append").start()
+        try { memL.addData(Ev(2, ts(16), 1, "purchase", 0.0)); q2.processAllAvailable() }
+        finally q2.stop()
+      }
+      assert(err.getMessage != null)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("asOfEnrichStream == native batch as-of on out-of-order arrivals") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
