@@ -298,6 +298,12 @@ class ExplainSpec extends SparkSpec {
     // checkpointed cluster frame, then the two-distinct final agg's
     // exchanges — everything after the checkpoints is cell-sized
     "q_bcubed" -> 6,
+    // r15: the broadcast/auto/SQL as-of spellings hold exactly ONE
+    // exchange — the output orderBy; the join itself moves nothing on
+    // the fact side (the zero-fact-shuffle claim, pinned). The two
+    // non-as-of TVFs carry their DataFrame twins' counts.
+    "q_asof_bcast" -> 1, "q_asof_auto" -> 1, "q_asof_sql" -> 1,
+    "q_dedup_sql" -> 2, "q_ann_sql" -> 2,
     // q_asof_native: one exchange per side into the streaming-merge
     // AsOfJoinExec (vs the composed q_asof_join's single union-side
     // exchange — same rows cross, no union null-padding), + output sort
