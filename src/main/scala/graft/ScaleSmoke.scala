@@ -233,7 +233,12 @@ object ScaleSmoke {
     // threshold), merge at Nx (stats exceed it) — the strategy rule
     // exercised at both operating points. q_asof_sql is the TVF
     // spelling of the same backward join (plans identically to auto).
-    "q_asof_bcast", "q_asof_auto", "q_asof_sql")
+    "q_asof_bcast", "q_asof_auto", "q_asof_sql",
+    // r15: the other two TVF spellings — each plans its DataFrame
+    // twin's exact shape (q_dedup_exact / q_embed_cosine_topk, both
+    // long-standing smoke members), so the factors should sit on their
+    // twins'
+    "q_dedup_sql", "q_ann_sql")
 
   /** Relational tier at Nx orders/customers (opt-in via
     * SPARK_GRAFT_ONLY, like the graph tier): orders clone by shifted
