@@ -548,6 +548,79 @@ class NativeAsOfJoinSpec extends SparkSpec {
       physicalOf(forcedMerge).toString)
   }
 
+  test("bucketed+sorted layout: the merge as-of plans ZERO exchange, ZERO sort") {
+    // the stored-layout amortization applied to the as-of tier: both
+    // sides written bucketBy(user_id).sortBy(user_id, ts) with one file
+    // per bucket — the scan then reports HashPartitioning + the exact
+    // (key, ts) ordering the merge exec requires, so EnsureRequirements
+    // adds NOTHING: at 100 TB the PIT join pays zero runtime movement.
+    // (tieBreak unset: its right-side ordering ends DESC on the break
+    // column, which a sortBy layout can't provide — that variant keeps
+    // one sort.)
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    def writeBkt(name: String, typ: String, payloadAs: String): String = {
+      val t = s"asof_bkt_$name"
+      val root = s"${sys.props("java.io.tmpdir")}/graft_asof_bkt/$name"
+      e.filter(col("event_type") === typ)
+        .select(col("user_id"), col("ts"), col("event_id").as(payloadAs))
+        .repartition(4, col("user_id")) // one file per bucket
+        .write.mode("overwrite").option("path", root)
+        .bucketBy(4, "user_id").sortBy("user_id", "ts")
+        .saveAsTable(t)
+      t
+    }
+    val lt = writeBkt("purch", "purchase", "event_id")
+    val rt = writeBkt("click", "click", "click_id")
+    // Spark only propagates the bucket sortBy into the scan's
+    // outputOrdering behind this flag (it is unsound when a bucket
+    // spans MULTIPLE files, whose concatenation is not globally
+    // sorted); the writes above repartition on the bucket column first,
+    // so every bucket is exactly one file and the ordering is real —
+    // the standard compacted feature-store layout this demo models.
+    val prevOrd = spark.conf
+      .getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val df = MergeAsOf.asOf(spark.table(lt), spark.table(rt), "user_id",
+        "ts", Seq("click_id"))
+      df.collect()
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          p +: flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: flatten(q.plan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      val nodes = flatten(df.queryExecution.executedPlan)
+      assert(nodes.count(_.isInstanceOf[graft.plans.AsOfJoinExec]) == 1,
+        df.queryExecution.executedPlan.toString)
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        df.queryExecution.executedPlan.toString)
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+        df.queryExecution.executedPlan.toString)
+      // and the values equal the plain (shuffling) spelling
+      val plain = MergeAsOf.asOf(
+        e.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id"),
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+        "user_id", "ts", Seq("click_id"))
+      assert(df.collect().map(_.toString).sorted.toSeq ==
+        plain.collect().map(_.toString).sorted.toSeq)
+    } finally {
+      prevOrd match {
+        case Some(v) => spark.conf
+          .set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
+        case None => spark.conf
+          .unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $lt")
+      spark.sql(s"DROP TABLE IF EXISTS $rt")
+    }
+  }
+
   test("AQE interaction: shuffles feeding AsOfJoinExec still coalesce") {
     // SURVEY §4's caveat — bespoke physical nodes forfeit SOME adaptive
     // re-planning — made precise for the as-of tier: AQE's
