@@ -397,7 +397,12 @@ class StreamingSpec extends SparkSpec {
         try { memL.addData(Ev(2, ts(16), 1, "purchase", 0.0)); q2.processAllAvailable() }
         finally q2.stop()
       }
-      assert(err.getMessage != null)
+      // the STRATEGY's planning-time message, not an incidental failure
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("not streamable")),
+        messages(err).mkString(" | "))
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
