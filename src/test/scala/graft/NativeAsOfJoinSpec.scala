@@ -548,6 +548,38 @@ class NativeAsOfJoinSpec extends SparkSpec {
       physicalOf(forcedMerge).toString)
   }
 
+  test("pre-partitioned inputs: mixed partitioning schemes stay co-partitioned") {
+    // the zipPartitions hazard: RangePartitioning(user_id) SATISFIES
+    // ClusteredDistribution(user_id), so a range-partitioned left with
+    // a hash-exchanged right could pair partition i of one scheme with
+    // partition i of the other — same key, different partition index,
+    // silently wrong rows. EnsureRequirements' two-children
+    // compatibility check (ShuffleSpec) must re-shuffle one side; this
+    // pins that the VALUES survive every pre-partitioning mix.
+    val rnd = new scala.util.Random(17)
+    def gen(n: Int, p: String): DataFrame =
+      (1 to n).map(i => (rnd.nextInt(50).toLong, rnd.nextInt(5000).toLong * 1000L, i.toLong))
+        .toDF("user_id", "mus", p)
+        .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    val l0 = gen(2000, "v")
+    val r0 = gen(2000, "p")
+    val expected = canon(MergeAsOf.asOf(l0, r0, "user_id", "ts", Seq("p"),
+      tieBreak = Some("p")))
+    val variants = Seq(
+      "rangeL" -> ((l0.repartitionByRange(8, col("user_id")), r0)),
+      "rangeR" -> ((l0, r0.repartitionByRange(8, col("user_id")))),
+      "rangeL-hashR" -> ((l0.repartitionByRange(8, col("user_id")),
+        r0.repartition(4, col("user_id")))),
+      "hash3-hash7" -> ((l0.repartition(3, col("user_id")),
+        r0.repartition(7, col("user_id")))),
+      "sortedL" -> ((l0.orderBy("user_id", "ts"), r0)))
+    variants.foreach { case (name, (l, r)) =>
+      val got = canon(MergeAsOf.asOf(l, r, "user_id", "ts", Seq("p"),
+        tieBreak = Some("p")))
+      assert(got == expected, s"variant $name")
+    }
+  }
+
   test("bucketed+sorted layout: the merge as-of plans ZERO exchange, ZERO sort") {
     // the stored-layout amortization applied to the as-of tier: both
     // sides written bucketBy(user_id).sortBy(user_id, ts) with one file
