@@ -502,14 +502,24 @@ case class AsOfJoinExec(
                 rk = if (rHead == null) null else evalKeysInto(rKeyB, rHead, rkBuf)
                 rt = if (rHead == null) null else rTsB.eval(rHead)
               }
+              // gaps SATURATE on overflow: a LongType ts timeline can
+              // span more than half the Long range, where tv - candidate
+              // wraps negative and the FAR candidate would win the
+              // nearest compare; the true gap is >= 0 by construction
+              // (backward candidate <= tv <= forward candidate), so a
+              // negative difference can only mean overflow -> MaxValue
               val bCand = best != null && bestKey != null && cmpKeys(bestKey, k) == 0
-              val gapB = if (bCand) tv - bestTsV else 0L
+              val gapB = if (bCand) {
+                val g = tv - bestTsV; if (g < 0) Long.MaxValue else g
+              } else 0L
               val bOk = bCand && tolUs.forall(gapB <= _)
               // after the consume loop the head (same key) is strictly
               // after tv with a non-null ts (nulls sort first in the
               // group and were skipped above)
               val fCand = rHead != null && cmpKeys(rk, k) == 0
-              val gapF = if (fCand) rt.asInstanceOf[Long] - tv else 0L
+              val gapF = if (fCand) {
+                val g = rt.asInstanceOf[Long] - tv; if (g < 0) Long.MaxValue else g
+              } else 0L
               val fOk = fCand && tolUs.forall(gapF <= _)
               // exact |gap| tie -> backward (composed asOfNearest /
               // pandas merge_asof rule)
@@ -805,12 +815,21 @@ case class BroadcastAsOfJoinExec(
               if (near) {
                 // backward candidate: ts <= tv; forward candidate:
                 // first ts STRICTLY after (equal ts belongs to backward,
-                // same split as the merge exec); backward wins gap ties
+                // same split as the merge exec); backward wins gap ties.
+                // Gaps saturate on overflow (LongType timelines spanning
+                // more than half the Long range — same rule as the
+                // merge exec's nearest path).
                 val b = floorIdx(ta, tv)
                 val f = higherIdx(ta, tv)
-                val bOk = b >= 0 && tolUs.forall(tv - ta(b) <= _)
-                val fOk = f < ta.length && tolUs.forall(ta(f) - tv <= _)
-                if (bOk && (!fOk || tv - ta(b) <= ta(f) - tv)) m = ra(b)
+                val gapB = if (b >= 0) {
+                  val g = tv - ta(b); if (g < 0) Long.MaxValue else g
+                } else 0L
+                val gapF = if (f < ta.length) {
+                  val g = ta(f) - tv; if (g < 0) Long.MaxValue else g
+                } else 0L
+                val bOk = b >= 0 && tolUs.forall(gapB <= _)
+                val fOk = f < ta.length && tolUs.forall(gapF <= _)
+                if (bOk && (!fOk || gapB <= gapF)) m = ra(b)
                 else if (fOk) m = ra(f)
               } else if (!fwd) {
                 val b = floorIdx(ta, tv)

@@ -428,6 +428,21 @@ class NativeAsOfJoinSpec extends SparkSpec {
     // ts=MaxValue: nearest is the LAST right row (backward, gap huge but
     // no tolerance); ts=150: equidistant 50/50 -> backward wins -> 7
     assert(out == Seq((10L, 9L), (11L, 7L)))
+
+    // GAP-WRAP case: a timeline spanning more than half the Long range.
+    // left at MaxValue-10 has backward candidate MinValue (true gap
+    // ~2^64, wraps negative) and forward candidate MaxValue (gap 10) —
+    // an unsaturated compare would let the wrapped backward "win";
+    // the nearest pick must be the forward row, on BOTH execs
+    val lw = Seq((1L, Long.MaxValue - 10L, 10L)).toDF("user_id", "ts", "v")
+    val rw = Seq((1L, Long.MinValue, 7L), (1L, Long.MaxValue, 9L))
+      .toDF("user_id", "ts", "p")
+    def picked(df: DataFrame): Long =
+      df.select(col("asof_p")).collect().head.getLong(0)
+    assert(picked(NativeAsOfJoin.asOfBroadcast(lw, rw, Seq("user_id"), "ts",
+      Seq("p"), tieBreak = Some("p"), nearest = true)) == 9L)
+    assert(picked(MergeAsOf.asOfKeys(lw, rw, Seq("user_id"), "ts", Seq("p"),
+      tieBreak = Some("p"), nearest = true)) == 9L)
   }
 
   test("broadcast exec plan shape: zero shuffle, zero sort, one broadcast") {
