@@ -237,7 +237,8 @@ object ScaleSmoke {
     // r15: the other two TVF spellings — each plans its DataFrame
     // twin's exact shape (q_dedup_exact / q_embed_cosine_topk, both
     // long-standing smoke members), so the factors should sit on their
-    // twins'
+    // twins' readings — any divergence is TVF-resolution overhead, not
+    // operator cost.
     "q_dedup_sql", "q_ann_sql")
 
   /** Relational tier at Nx orders/customers (opt-in via

@@ -277,6 +277,18 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   private def broadcastPick(p: AsOfJoinPlan): Boolean = p.strategy match {
+    case _ if p.right.isStreaming =>
+      // symmetric planning-time check (checked FIRST so stream-stream
+      // also lands here): a streaming RIGHT side can serve NEITHER exec —
+      // the merge needs a sorted streaming child (a stateful sort
+      // Structured Streaming does not provide) and the broadcast would
+      // wrap a BroadcastExchange around an unbounded stream. Fail here
+      // with the real reason instead of deep inside EnsureRequirements.
+      throw new UnsupportedOperationException(
+        "as-of join: the right (timeline) side is a stream — no physical " +
+          "strategy supports it. Swap the sides (stream-static as-of " +
+          "broadcasts the STATIC right), or join two streams with " +
+          "StreamingOps.asOfEnrichStreamKeys")
     case _ if p.left.isStreaming =>
       // the merge exec is not streamable (it requires a clustered +
       // sorted STREAMING child — a stateful sort Structured Streaming
@@ -552,7 +564,13 @@ case class AsOfJoinExec(
                 rt = if (rHead == null) null else rTsB.eval(rHead)
               }
               if (best != null && bestKey != null && cmpKeys(bestKey, k) == 0) {
-                val gap = tv - rTsB.eval(best).asInstanceOf[Long]
+                // same saturate-on-overflow rule as the nearest path: the
+                // true gap is >= 0 by construction (best's ts <= tv), so a
+                // negative difference can only be Long wraparound on a
+                // LongType timeline spanning more than half the Long range
+                // -> treat as MaxValue so the tolerance check rejects it
+                val g = tv - rTsB.eval(best).asInstanceOf[Long]
+                val gap = if (g < 0) Long.MaxValue else g
                 if (tolUs.forall(gap <= _)) m = best
               }
             } else {
@@ -570,7 +588,10 @@ case class AsOfJoinExec(
                 c = if (rHead == null) 1 else cmpKeys(rk, k)
               }
               if (rHead != null && c == 0) {
-                val gap = rt.asInstanceOf[Long] - tv
+                // saturate on overflow (head's ts >= tv, so negative =>
+                // wraparound), mirroring the backward/nearest paths
+                val g = rt.asInstanceOf[Long] - tv
+                val gap = if (g < 0) Long.MaxValue else g
                 if (tolUs.forall(gap <= _)) m = rHead
               }
             }
@@ -612,12 +633,26 @@ object BroadcastAsOfJoinExec {
     * right key/ts/tie-break exprIds): the broadcast id is unique per
     * materialized exchange, and the exprIds distinguish two as-of
     * joins that REUSE one exchange (ReuseExchange) with different key
-    * columns. LRU-bounded at 8 entries; each holder builds lazily
-    * under its own lock so concurrent first-tasks of DIFFERENT joins
-    * never serialize on each other's build.
+    * columns. LRU-bounded at 8 entries, and each entry holds its built
+    * index through a SoftReference — an index whose queries have
+    * finished is reclaimable by GC under memory pressure instead of
+    * pinning up to 8 full dimension indexes for the executor JVM's
+    * lifetime (they rebuild lazily from the still-live broadcast if a
+    * later task of the same join returns after a collection). Each
+    * holder builds under its own lock so concurrent first-tasks of
+    * DIFFERENT joins never serialize on each other's build.
     */
   private final class LazyIndex(build: () => AnyRef) {
-    lazy val value: AnyRef = build()
+    private var ref: java.lang.ref.SoftReference[AnyRef] = null
+    def value: AnyRef = synchronized {
+      val cached = if (ref == null) null else ref.get()
+      if (cached != null) cached
+      else {
+        val built = build()
+        ref = new java.lang.ref.SoftReference[AnyRef](built)
+        built
+      }
+    }
   }
   private val cache = new java.util.LinkedHashMap[String, LazyIndex](16, 0.75f, true) {
     override def removeEldestEntry(
@@ -833,10 +868,17 @@ case class BroadcastAsOfJoinExec(
                 else if (fOk) m = ra(f)
               } else if (!fwd) {
                 val b = floorIdx(ta, tv)
-                if (b >= 0 && tolUs.forall(tv - ta(b) <= _)) m = ra(b)
+                if (b >= 0) {
+                  // saturate on overflow, same rule as the nearest path
+                  val g = tv - ta(b); val gap = if (g < 0) Long.MaxValue else g
+                  if (tolUs.forall(gap <= _)) m = ra(b)
+                }
               } else {
                 val f = ceilIdx(ta, tv)
-                if (f < ta.length && tolUs.forall(ta(f) - tv <= _)) m = ra(f)
+                if (f < ta.length) {
+                  val g = ta(f) - tv; val gap = if (g < 0) Long.MaxValue else g
+                  if (tolUs.forall(gap <= _)) m = ra(f)
+                }
               }
             }
           }

@@ -445,6 +445,78 @@ class NativeAsOfJoinSpec extends SparkSpec {
       tieBreak = Some("p"), nearest = true)) == 9L)
   }
 
+  test("backward/forward tolerance saturates on Long overflow (both execs)") {
+    // The public API only admits a tolerance with TimestampType ts
+    // (whose micros cannot span half the Long range), but the plan node
+    // carries a raw toleranceUs and the execs must still be safe on a
+    // LongType timeline: left at MaxValue-10 vs right at MinValue gives
+    // a true backward gap of ~2^64 that wraps NEGATIVE — an unsaturated
+    // `gap <= tol` check would emit a match enormously outside the
+    // stated tolerance. Construct the node directly with toleranceUs.
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    def rawPlan(left: DataFrame, right: DataFrame, forward: Boolean,
+        strategy: graft.plans.AsOfPhysicalStrategy): DataFrame = {
+      val lp = left.queryExecution.analyzed
+      val rp = right.queryExecution.analyzed
+      def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          n: String): Attribute = p.output.find(_.name == n).get
+      val payload = a(rp, "p")
+      val out = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "asof_p", payload.dataType, nullable = true)()
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        graft.plans.AsOfJoinPlan(lp, rp,
+          Seq(a(lp, "user_id")), Seq(a(rp, "user_id")),
+          a(lp, "ts"), a(rp, "ts"), Seq(payload), Seq(out),
+          forward, toleranceUs = Some(1000L), tieBreak = None,
+          nearest = false, strategy = strategy))
+    }
+    def matched(df: DataFrame): Option[Long] = {
+      val r = df.select(col("asof_p")).collect().head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    import graft.plans.AsOfPhysicalStrategy.{Broadcast, Merge}
+    // backward: only candidate is MinValue, wrapped gap would "pass"
+    val lb = Seq((1L, Long.MaxValue - 10L, 10L)).toDF("user_id", "ts", "v")
+    val rb = Seq((1L, Long.MinValue, 7L)).toDF("user_id", "ts", "p")
+    assert(matched(rawPlan(lb, rb, forward = false, Merge)).isEmpty)
+    assert(matched(rawPlan(lb, rb, forward = false, Broadcast)).isEmpty)
+    // forward: left at MinValue+10, only candidate at MaxValue
+    val lf = Seq((1L, Long.MinValue + 10L, 10L)).toDF("user_id", "ts", "v")
+    val rf = Seq((1L, Long.MaxValue, 7L)).toDF("user_id", "ts", "p")
+    assert(matched(rawPlan(lf, rf, forward = true, Merge)).isEmpty)
+    assert(matched(rawPlan(lf, rf, forward = true, Broadcast)).isEmpty)
+    // sanity: an in-tolerance candidate still matches on all four paths
+    val rn = Seq((1L, Long.MaxValue - 12L, 8L)).toDF("user_id", "ts", "p")
+    assert(matched(rawPlan(lb, rn, forward = false, Merge)).contains(8L))
+    assert(matched(rawPlan(lb, rn, forward = false, Broadcast)).contains(8L))
+  }
+
+  test("streaming RIGHT side is rejected at planning time (all strategies)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long)]
+    stream.addData((1L, 100L, 7L))
+    val right = stream.toDF().toDF("user_id", "ts", "p")
+    val left = Seq((1L, 150L, 10L)).toDF("user_id", "ts", "v")
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    for (s <- Seq(graft.plans.AsOfPhysicalStrategy.Auto,
+        graft.plans.AsOfPhysicalStrategy.Merge,
+        graft.plans.AsOfPhysicalStrategy.Broadcast)) {
+      val df = NativeAsOfJoin.asOfKeys(left, right, Seq("user_id"), "ts",
+        Seq("p"), strategy = s)
+      val q = df.writeStream.format("memory")
+        .queryName(s"asof_right_stream_$s").outputMode("append").start()
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      q.stop()
+      assert(messages(err).exists(_.contains("right (timeline) side is a stream")),
+        s"strategy $s: " + messages(err).mkString(" | "))
+    }
+  }
+
   test("broadcast exec plan shape: zero shuffle, zero sort, one broadcast") {
     val e = Tables(spark, "/root/testdata/sf0.001", "events")
     val l = e.filter(col("event_type") === "purchase")
