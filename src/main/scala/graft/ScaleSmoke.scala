@@ -44,6 +44,12 @@ object ScaleSmoke {
     // brute force is the linear baseline, LSH/IVF the sublinear paths
     "q_embed_cosine_topk", "q_embed_ann_lsh", "q_embed_ann_ivf", "q_embed_pq",
     "q_embed_ivfpq",
+    // persisted-index probes at Nx: the FIRST timed run pays the
+    // one-time index build (3 corpus scans — the amortized training
+    // cost the operator exists to hoist out of queries); the probe
+    // itself reads nprobe/nlist of the postings via partition pruning,
+    // so its factor should sit well under the brute-force baseline's
+    "q_ann_indexed", "q_ann_indexed_pq",
     // semantic dedup at Nx: clone groups all land in one cell and lose
     // to the min id — in-cell pair work is bounded by cell size (~n /
     // nlist), not corpus size; past MaxAutoNlist-cell corpora pass

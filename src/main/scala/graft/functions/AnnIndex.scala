@@ -1,0 +1,221 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index: IVF centroids, cell assignments, and the PQ
+  * codebook written ONCE as parquet tables, then probed by
+  * [[ivfTopK]] / [[pqTopK]] variants that read the stored index instead
+  * of retraining per query call.
+  *
+  * This applies the [[graft.operators.BucketedTables]] thesis (write-once
+  * layout + content-fingerprint identity) to the vector tier. The
+  * query-time methods in [[VectorOps]] ([[VectorOps.ivfTopK]],
+  * [[VectorOps.pqTopK]]) re-derive centroids and codebooks inside every
+  * invocation — the right shape for ad-hoc exploration, but at 100 TB
+  * the training sample scan and the Lloyd rounds are corpus scans paid
+  * per QUERY when they are a property of the DATA. An index is the
+  * standard answer (FAISS persists exactly this triple: coarse
+  * centroids, inverted lists, codebook); here each piece is a plain
+  * parquet table, so it shares the lake's storage, replication, and
+  * scan machinery:
+  *
+  *  - `centroids/`  (cell INT, centroid ARRAY<DOUBLE>) — nlist rows,
+  *    collected to the driver at probe time and folded into the
+  *    [[TopCentroids]] kernel as one flat literal (the ivfTopK pattern:
+  *    O(1) planning cost in nlist, no join for cell assignment).
+  *  - `meta/` one row — (dim, nlist, nprobe, dsub, ksub_eff, m,
+  *    flat ARRAY<DOUBLE>): the probe defaults plus the PQ codebook.
+  *  - `postings/` PARTITIONED BY cell — (n_id, n_vec, codes): the
+  *    corpus re-laid-out as inverted lists, vectors AND compressed
+  *    codes side by side. Partitioning by cell is the scale payoff:
+  *    a probe joins postings on `cell` against the broadcast query
+  *    side, so dynamic partition pruning skips every unprobed cell's
+  *    FILES — the probe reads nprobe/nlist of the corpus from disk,
+  *    not just post-scan.
+  *
+  * Build cost: three corpus scans (centroid sample, one optional Lloyd
+  * round each, postings write), once per corpus content. Probe cost:
+  * two tiny index reads (meta + centroids — NO corpus-scan training
+  * jobs, pinned in ExplainSpec) plus the pruned postings scan.
+  *
+  * Everything stays deterministic (md5-ordered sample, scaled-integer
+  * Lloyd sums), and the oracle for `q_ann_indexed` re-derives the whole
+  * probe — cells, candidates, exact cosines — in DuckDB FROM THE STORED
+  * INDEX TABLES themselves (`read_parquet` on centroids/meta/postings),
+  * so the persisted bytes, not just the algorithm, are what gets
+  * verified.
+  */
+object AnnIndex {
+
+  private def centroidsPath(dir: String) = s"$dir/centroids"
+  private def metaPath(dir: String) = s"$dir/meta"
+  private def postingsPath(dir: String) = s"$dir/postings"
+
+  /** Build the index at `dir` (overwrites). `nlist <= 0` auto-sizes to
+    * ~256-vector cells like [[VectorOps.ivfTopK]]; `trainRounds > 0`
+    * runs that many Lloyd rounds over the corpus for tighter cells (the
+    * production configuration — training cost now lives HERE, once,
+    * instead of inside every query). `dsub`/`ksub` shape the PQ
+    * codebook stored alongside for [[pqTopK]].
+    */
+  def build(
+      corpus: DataFrame, dir: String,
+      nlist: Int = 0, trainRounds: Int = 0,
+      dsub: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val c0 = corpus.select(col(idCol).as("n_id"),
+      VectorOps.toDoubleVec(col(vecCol)).as("n_vec"))
+    val (autoNlist, sample) = VectorOps.coarseSample(c0, nlist)
+    require(sample.nonEmpty, "AnnIndex.build: empty corpus")
+    val effNlist = math.min(autoNlist, sample.length)
+    val cents: Array[Seq[Double]] =
+      if (trainRounds > 0)
+        VectorOps.kMeansCentroids(corpus, effNlist, trainRounds, idCol, vecCol)
+      else sample.take(effNlist)
+    val dim = cents.head.size
+    require(dim % dsub == 0, s"dim $dim not divisible by dsub $dsub")
+    val codebook = VectorOps.pqCodebookFromRows(sample, dsub, ksub)
+    val m = dim / dsub
+    val kEff = codebook.length / (m * dsub)
+    val nprobe = math.max(4, effNlist / 8)
+
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(dir))
+    Seq((dim, effNlist, nprobe, dsub, kEff, m, codebook.toSeq))
+      .toDF("dim", "nlist", "nprobe", "dsub", "ksub_eff", "m", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
+    // postings LAST: its _SUCCESS marker is the whole index's
+    // completeness witness (ensure() keys reuse on it)
+    val flatC = lit(cents.flatten.toArray)
+    val pqFlat = lit(codebook)
+    c0.withColumn("cell",
+        call_function("graft_nearest_cell", col("n_vec"), flatC, lit(dim)))
+      .withColumn("codes",
+        call_function("graft_pq_encode", col("n_vec"), pqFlat, lit(dsub), lit(kEff)))
+      .write.mode("overwrite").partitionBy("cell").parquet(postingsPath(dir))
+  }
+
+  /** Content-fingerprint identity, same rule as
+    * [[graft.operators.BucketedTables]]: md5 over the dataset dir path
+    * plus (file, size, mtime) of the embeddings tree, so an in-process
+    * rewrite of the corpus mints a new tag and rebuilds instead of
+    * serving a stale index. Unlistable paths degrade to the path-only
+    * tag, never an error.
+    */
+  private def tagFor(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes("UTF-8"))
+    try {
+      val p = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+      val files: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+              .toVector.sortBy(_.toString)
+          } finally st.close()
+        } else if (java.nio.file.Files.exists(p)) Seq(p)
+        else Seq.empty
+      files.foreach { f =>
+        md.update((f.toString + "|" + java.nio.file.Files.size(f) + "|" +
+          java.nio.file.Files.getLastModifiedTime(f).toMillis).getBytes("UTF-8"))
+      }
+    } catch { case scala.util.control.NonFatal(_) => /* path-only tag */ }
+    md.digest.take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Most recent ensure()'d index root — the side channel the
+    * dynamically-built q_ann_indexed oracle reads (Verify dumps
+    * oracleSql AFTER running the queries, so the path is always
+    * recorded by then; a filtered run that skips q_ann_indexed also
+    * skips its compare, so the fallback SQL never executes).
+    */
+  @volatile private[graft] var lastEnsuredDir: Option[String] = None
+
+  private val ensured = scala.collection.mutable.Map.empty[String, String]
+
+  /** Idempotently build the index for `sfDir`'s embeddings table into
+    * the JVM temp dir, once per (JVM, corpus contents) — and across
+    * JVMs via the postings `_SUCCESS` marker, so Bench's min-of-3 and
+    * later rounds reuse the stored layout exactly like BucketedTables.
+    * Returns the index root.
+    */
+  def ensure(s: SparkSession, sfDir: String): String = synchronized {
+    val tag = tagFor(sfDir)
+    val root = ensured.getOrElseUpdate(tag, {
+      val r = s"${sys.props("java.io.tmpdir")}/graft_ann_index/$tag"
+      val done = java.nio.file.Paths.get(s"${postingsPath(r)}/_SUCCESS")
+      if (!java.nio.file.Files.exists(done))
+        build(graft.Tables(s, sfDir, "embeddings"), r, nlist = 0, trainRounds = 1)
+      r
+    })
+    lastEnsuredDir = Some(root)
+    root
+  }
+
+  /** IVF-flat probe of a STORED index: two tiny index reads (meta row +
+    * nlist centroids, folded into the [[TopCentroids]] literal kernel),
+    * then the postings join — the corpus itself is never scanned and no
+    * training job runs. With postings partitioned by cell, the join
+    * against the broadcast query side dynamically prunes unprobed
+    * cells' files, so disk reads scale with nprobe/nlist of the corpus.
+    */
+  def ivfTopK(
+      queries: DataFrame, indexDir: String, k: Int, nprobe: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.read.parquet(metaPath(indexDir)).head()
+    val dim = meta.getAs[Int]("dim")
+    val effNprobe = if (nprobe > 0) nprobe else meta.getAs[Int]("nprobe")
+    val cents = spark.read.parquet(centroidsPath(indexDir))
+      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val flat = lit(cents.flatten.toArray)
+    val postings = spark.read.parquet(postingsPath(indexDir))
+      .select(col("cell"), col("n_id"), col("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"),
+        VectorOps.toDoubleVec(col(vecCol)).as("q_vec"))
+      .withColumn("cell", explode(call_function("graft_top_cells",
+        col("q_vec"), flat, lit(dim), lit(effNprobe))))
+    val scored = postings.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        VectorOps.cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** PQ-ADC probe of a STORED index: the codebook comes off the meta
+    * row (no sample scan, no Lloyd), the compressed codes off postings
+    * — same scoring arithmetic as [[VectorOps.pqTopK]], with the
+    * training cost amortized into the one-time build. `rerank > 0`
+    * re-scores the top candidates with exact cosine against the
+    * postings' stored vectors (still no base-corpus scan).
+    */
+  def pqTopK(
+      queries: DataFrame, indexDir: String, k: Int, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.read.parquet(metaPath(indexDir)).head()
+    val dsub = meta.getAs[Int]("dsub")
+    val kEff = meta.getAs[Int]("ksub_eff")
+    val flat = lit(meta.getAs[Seq[Double]]("flat").toArray)
+    val postings = spark.read.parquet(postingsPath(indexDir))
+    val q = queries.select(col(idCol).as("q_id"),
+        VectorOps.toDoubleVec(col(vecCol)).as("q_vec"))
+      .withColumn("qtab", call_function("graft_pq_table",
+        col("q_vec"), flat, lit(dsub), lit(kEff)))
+    val scored = postings.select(col("n_id"), col("codes"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"),
+        call_function("graft_pq_score", col("codes"), col("qtab"), lit(kEff))
+          .as("score"))
+    VectorOps.topKOrRerank(scored,
+      postings.select(col("n_id"), col("n_vec")), k, rerank, "n_id", "n_vec")
+  }
+}

@@ -228,7 +228,7 @@ object VectorOps {
     * with EXACT cosine against the raw vectors first (only the candidate
     * sliver is ever decoded) — shared by [[pqTopK]] and [[ivfPqTopK]].
     */
-  private def topKOrRerank(
+  private[functions] def topKOrRerank(
       scored: DataFrame, corpus: DataFrame, k: Int, rerank: Int,
       idCol: String, vecCol: String): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
@@ -427,7 +427,7 @@ object VectorOps {
     * instead of two (the second sample job was half the fixed cost the
     * 100x ScaleSmoke measured on the IVF+PQ tier).
     */
-  private def pqCodebookFromRows(
+  private[functions] def pqCodebookFromRows(
       rows: Array[Seq[Double]], dsub: Int, ksub: Int,
       trainRounds: Int = 0): Array[Double] = {
     require(rows.nonEmpty, "pqCodebook: empty corpus")
@@ -667,6 +667,34 @@ object VectorOps {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
     exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Persist an IVF(+PQ) index for `corpus` at `dir` — see [[AnnIndex]]
+    * for the layout and the 100 TB rationale. The training scans
+    * (centroid sample, Lloyd rounds, codebook) run HERE, once, instead
+    * of inside every [[ivfTopK]]/[[pqTopK]] call.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, dir: String,
+      nlist: Int = 0, trainRounds: Int = 0,
+      dsub: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    AnnIndex.build(corpus, dir, nlist, trainRounds, dsub, ksub, idCol, vecCol)
+
+  /** [[ivfTopK]] against a STORED index (zero training jobs at query
+    * time; cell-partitioned postings prune unprobed files).
+    */
+  def ivfTopKIndexed(
+      queries: DataFrame, indexDir: String, k: Int, nprobe: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    AnnIndex.ivfTopK(queries, indexDir, k, nprobe, idCol, vecCol)
+
+  /** [[pqTopK]] against a STORED index (codebook + codes read, never
+    * retrained).
+    */
+  def pqTopKIndexed(
+      queries: DataFrame, indexDir: String, k: Int, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    AnnIndex.pqTopK(queries, indexDir, k, rerank, idCol, vecCol)
 
   /** Distributed covariance of an embedding column, upper triangle as
     * (i, j, cov) rows with 1-based dims: each row explodes into its

@@ -634,6 +634,34 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // IVF probe of the PERSISTED index (AnnIndex / BucketedTables
+    // thesis): centroids Lloyd-trained ONCE at build time and stored as
+    // parquet with cell-partitioned postings; the probe reads the stored
+    // tables — zero training jobs at query time (ExplainSpec-pinned).
+    // The oracle re-derives probe cells, candidates, and exact cosines
+    // in DuckDB FROM THE STORED INDEX FILES (read_parquet on
+    // centroids/meta/postings), so the persisted bytes are what's
+    // verified, not just the algorithm.
+    "q_ann_indexed" -> { (s, dir) =>
+      val idx = graft.functions.AnnIndex.ensure(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      graft.functions.AnnIndex.ivfTopK(e.filter(col("vec_id") < 50), idx, k = 5)
+        .select(col("q_id"), col("rk"), col("n_id"), col("cos_sim"))
+        .orderBy("q_id", "rk")
+    },
+
+    // PQ-ADC probe of the SAME persisted index: codebook off the stored
+    // meta row, compressed codes off postings — no sample scan, no
+    // Lloyd, no base-corpus read anywhere in the plan. Oracle re-scores
+    // the stored codes against the stored codebook in DuckDB.
+    "q_ann_indexed_pq" -> { (s, dir) =>
+      val idx = graft.functions.AnnIndex.ensure(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      graft.functions.AnnIndex.pqTopK(e.filter(col("vec_id") < 50), idx, k = 5)
+        .select(col("q_id"), col("rk"), col("n_id"), col("score"))
+        .orderBy("q_id", "rk")
+    },
+
     // Measured ANN quality — the vector twin of q_lsh_eval: IVF top-5
     // vs the exact brute-force top-5 as ground truth, per-query
     // recall@5. An AUDIT query by construction (it runs BOTH the
@@ -3674,6 +3702,95 @@ object TextQueries {
        SELECT q_id, CAST(rk AS INT) AS rk, n_id, cos_sim FROM ranked WHERE rk <= 5
        ORDER BY q_id, rk"""
 
+  /** q_ann_indexed oracle — built AGAINST THE STORED INDEX: DuckDB
+    * reads the persisted centroids/meta/postings parquet
+    * ([[graft.functions.AnnIndex]]) and re-derives the probe end to end
+    * from those bytes — probe cells from the stored centroids (same
+    * (sim DESC, cell) rule as the TopCentroids kernel, nprobe from the
+    * stored meta row), candidates from the stored cell-partitioned
+    * postings, exact cosines from the postings' stored vectors. A wrong
+    * stored assignment, centroid, or vector flips the hash. Fallback
+    * SQL (index never built this process) is a valid empty relation; it
+    * can only be reached on a filtered run that skipped the query, in
+    * which case check.py skips the compare too.
+    */
+  private def annIndexedOracle: String =
+    graft.functions.AnnIndex.lastEnsuredDir match {
+      case None =>
+        "SELECT 0 AS q_id, 0 AS rk, 0 AS n_id, 0.0 AS cos_sim WHERE 1=0"
+      case Some(root) =>
+        s"""WITH cent AS (SELECT cell, centroid AS vec
+             FROM read_parquet('$root/centroids/*.parquet')),
+           mt AS (SELECT nprobe FROM read_parquet('$root/meta/*.parquet')),
+           p AS (SELECT cell, n_id, n_vec AS vec
+             FROM read_parquet('$root/postings/*/*.parquet', hive_partitioning=1)),
+           q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS vec
+             FROM embeddings WHERE vec_id < 50),
+           probes AS (
+             SELECT q_id, cell FROM (
+               SELECT q.q_id, cent.cell,
+                 row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY ${cosSql("q", "cent")} DESC, cent.cell) AS prk
+               FROM q CROSS JOIN cent)
+             WHERE prk <= (SELECT nprobe FROM mt)),
+           scored AS (
+             SELECT pr.q_id, p.n_id, ${cosSql("qq", "p")} AS cos_sim
+             FROM probes pr JOIN p ON p.cell = pr.cell AND p.n_id <> pr.q_id
+             JOIN q qq ON qq.q_id = pr.q_id),
+           ranked AS (
+             SELECT q_id, n_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, n_id) AS rk
+             FROM scored)
+           SELECT q_id, CAST(rk AS INT) AS rk, n_id, cos_sim FROM ranked
+           WHERE rk <= 5 ORDER BY q_id, rk"""
+    }
+
+  /** q_ann_indexed_pq oracle — ADC scoring re-derived from the STORED
+    * codebook (meta row's flat array) and the STORED codes (postings):
+    * score = m-ascending sum of t-ascending subvector dots against the
+    * unit-normalized query, exactly [[graft.functions.PqKernel]]'s fold
+    * order ([[dotLitSql]]-style list_sum folds, the form proven
+    * bit-identical by the q_embed_pq oracle).
+    */
+  private def annIndexedPqOracle: String =
+    graft.functions.AnnIndex.lastEnsuredDir match {
+      case None =>
+        "SELECT 0 AS q_id, 0 AS rk, 0 AS n_id, 0.0 AS score WHERE 1=0"
+      case Some(root) =>
+        s"""WITH mt AS (SELECT dsub, ksub_eff, m, flat
+             FROM read_parquet('$root/meta/*.parquet')),
+           p AS (SELECT n_id, codes
+             FROM read_parquet('$root/postings/*/*.parquet', hive_partitioning=1)),
+           q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id < 50),
+           qn AS (SELECT q_id,
+             list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS vn
+             FROM q),
+           scored AS (
+             SELECT qn.q_id, p.n_id,
+               list_sum(list_transform(range(0, mt.m), mi ->
+                 list_sum(list_transform(range(1, mt.dsub + 1), t ->
+                   qn.vn[mi * mt.dsub + t] *
+                   mt.flat[(mi * mt.ksub_eff + p.codes[mi + 1]) * mt.dsub + t]))))
+                 AS score
+             FROM qn CROSS JOIN mt JOIN p ON p.n_id <> qn.q_id),
+           ranked AS (
+             SELECT q_id, n_id, score,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id) AS rk
+             FROM scored)
+           SELECT q_id, CAST(rk AS INT) AS rk, n_id, score FROM ranked
+           WHERE rk <= 5 ORDER BY q_id, rk"""
+    }
+
+  /** The full oracle map: the static entries plus the two whose SQL is
+    * built from the recorded persisted-index path.
+    */
+  def oracles: Map[String, String] = oraclesStatic +
+    ("q_ann_indexed" -> annIndexedOracle) +
+    ("q_ann_indexed_pq" -> annIndexedPqOracle)
+
   /** q_ann_eval oracle: the IVF chain ([[ivfRankedCtes]]) and the exact
     * brute-force chain side by side, recall@5 as the per-query count of
     * IVF ids present in the exact top-5 — pure integer set math over
@@ -4339,7 +4456,14 @@ object TextQueries {
        SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos_sim FROM ranked
        WHERE rk <= 5 ORDER BY q_id, rk"""
 
-  val oracles: Map[String, String] = Map(
+  /** Static oracle map; [[oracles]] adds the entries whose SQL embeds a
+    * runtime-recorded path (the persisted-ANN-index probes read the
+    * STORED index via read_parquet, and the index root is only known
+    * after [[graft.functions.AnnIndex.ensure]] ran — Verify dumps
+    * oracle_sql.json after the query loop, so the recorded path is
+    * always fresh there).
+    */
+  private val oraclesStatic: Map[String, String] = Map(
     // Repeated-span twin: same 8-token grams (1-based inclusive list
     // slice), same corpus-wide window count, same island merge — all
     // integers except the final rounded fraction.

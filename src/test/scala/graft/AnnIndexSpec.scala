@@ -1,0 +1,132 @@
+package graft
+
+import graft.functions.{AnnIndex, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index ([[graft.functions.AnnIndex]]): parity of the
+  * stored-index probes against the retrain-per-call operators, the
+  * zero-training-jobs probe claim, and the stored layout's plan shape
+  * (single postings scan, no corpus rescan).
+  */
+class AnnIndexSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val e = Tables(spark, sfDir, "embeddings")
+
+  // untrained build (trainRounds = 0): centroids and codebook are the
+  // SAME md5-ordered sample the per-call operators derive, so the
+  // stored-index probes must be row-identical to them
+  private lazy val rawIdx: String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec/raw"
+    AnnIndex.build(e, dir, nlist = 0, trainRounds = 0)
+    dir
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame, score: String) =
+    df.select(col("q_id"), col("rk"), col("n_id"), col(score))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("indexed IVF probe is row-identical to the per-call ivfTopK") {
+    val q = e.filter(col("vec_id") < 50)
+    val fresh = canon(VectorOps.ivfTopK(q, e, k = 5), "cos_sim")
+    val stored = canon(AnnIndex.ivfTopK(q, rawIdx, k = 5), "cos_sim")
+    assert(stored == fresh)
+    assert(stored.nonEmpty)
+  }
+
+  test("indexed PQ probe is row-identical to the per-call pqTopK") {
+    val q = e.filter(col("vec_id") < 50)
+    val fresh = canon(VectorOps.pqTopK(q, e, k = 5, dsub = 8, ksub = 16), "score")
+    val stored = canon(AnnIndex.pqTopK(q, rawIdx, k = 5), "score")
+    assert(stored == fresh)
+    assert(stored.nonEmpty)
+  }
+
+  test("indexed PQ rerank matches the per-call rerank path") {
+    val q = e.filter(col("vec_id") < 3)
+    val fresh = canon(
+      VectorOps.pqTopK(q, e, k = 5, dsub = 8, ksub = 16, rerank = 20), "score")
+    val stored = canon(AnnIndex.pqTopK(q, rawIdx, k = 5, rerank = 20), "score")
+    assert(stored == fresh)
+  }
+
+  test("probe construction runs zero training jobs (index reads only)") {
+    // the per-call ivfTopK fires a CORPUS-SCAN sample job (+ Lloyd
+    // rounds when trained) inside every invocation; the stored-index
+    // probe may only read the tiny meta row and the nlist centroids.
+    // Count jobs during DataFrame CONSTRUCTION (training happens at
+    // construction, not execution).
+    // Pin the claim in RECORDS READ, not job count (read.parquet fires
+    // tiny listing/footer jobs too): the per-call ivfTopK's sample job
+    // reads the WHOLE corpus (500 rows here, the corpus at scale) at
+    // construction; the stored-index probe may read only the one meta
+    // row and the nlist centroid rows.
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    rawIdx // force the one-time build OUTSIDE the counted window
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = AnnIndex.ivfTopK(e.filter(col("vec_id") < 50), rawIdx, k = 5)
+      df.queryExecution.executedPlan // plan fully, still no execution
+      // listener delivery is async; a short settle keeps the count honest
+      Thread.sleep(500)
+      val n = records.get()
+      // nlist (16) centroids + 1 meta row, with slack well below the
+      // 500-row corpus a hidden training scan would read
+      assert(n <= 64, s"probe construction read $n records — training scan?")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("probe plan scans the stored postings once and never rescans the corpus") {
+    // static plan, AQE off (AdaptiveSparkPlanExec hides its input plan
+    // from collect until execution — same discipline as ExplainSpec)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try AnnIndex.ivfTopK(e.filter(col("vec_id") < 50), rawIdx, k = 5)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }
+    val locs = scans(plan)
+    assert(locs.count(_.contains("graft_ann_index_spec/raw/postings")) == 1,
+      locs.mkString("\n"))
+    // the ONLY embeddings scan is the query side — the corpus data
+    // comes from the index's postings, so the raw table is not rescanned
+    assert(locs.count(_.contains("embeddings.parquet")) == 1,
+      locs.mkString("\n"))
+    // the 100 TB payoff of partitioning postings by cell: dynamic
+    // partition pruning fires on the probe join, so only the probed
+    // cells' FILES are read — nprobe/nlist of the corpus off disk
+    val postingsScan = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.mkString(",").contains("postings") => f
+    }.head
+    assert(postingsScan.partitionFilters.exists(
+        _.toString.contains("dynamicpruning")),
+      "postings scan lost dynamic partition pruning:\n" + postingsScan)
+  }
+
+  test("ensure() is content-keyed: corpus rewrite mints a new index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_ensure").toString
+    def write(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, Seq.fill(64)(i / 100.0 + 0.1)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(40)
+    val first = AnnIndex.ensure(spark, dir)
+    assert(AnnIndex.ensure(spark, dir) == first) // idempotent
+    write(60) // rewrite: new fingerprint
+    val second = AnnIndex.ensure(spark, dir)
+    assert(second != first, "rewritten corpus must not serve the stale index")
+  }
+}
