@@ -71,14 +71,37 @@ object AsOfBench {
         }
         (best, mm, nn, ss)
       }
+      // AQE-FLIP leg: strategy Auto on the SAME (stats-less —
+      // localCheckpoint reports defaultSizeInBytes) right side. The
+      // static pick is the safe merge; once the right exchange
+      // materializes under the broadcast threshold, AQE's re-plan
+      // re-runs AsOfJoinStrategy with real stage stats and lands the
+      // broadcast exec (spec-pinned in NativeAsOfJoinSpec). The leg's
+      // time sits between merge (it skips both sorts + the merge scan)
+      // and direct broadcast (it still pays the two already-submitted
+      // shuffles the static plan requested).
+      // rebuilt RDD-backed so the planner sees NO size information
+      // (localCheckpoint reports accurate stats, which would let Auto
+      // broadcast statically and measure nothing)
+      val statslessRight = spark.createDataFrame(smallRight.rdd, smallRight.schema)
+      def viaAutoFlip() = graft.plans.NativeAsOfJoin
+        .asOf(left, statslessRight, "user_id", "ts", Seq("p"),
+          tieBreak = Some("p"),
+          strategy = graft.plans.AsOfPhysicalStrategy.Auto)
+        .agg(count(col("asof_p")).as("m"), count(lit(1)).as("n"),
+          coalesce(sum(col("asof_p")), lit(0L)).as("s"))
       val (tb, mb, nb, sb) = t3(viaBcast)
       val (tm, mm2, nm, sm) = t3(viaMerge)
+      val (tf, mf, nf, sf) = t3(viaAutoFlip)
       require(mb == mm2 && nb == nm && sb == sm,
         s"bcast/merge disagree: ($mb/$nb/$sb) vs ($mm2/$nm/$sm)")
+      require(mb == mf && nb == nf && sb == sf,
+        s"bcast/autoflip disagree: ($mb/$nb/$sb) vs ($mf/$nf/$sf)")
       println(s"""{"bench":"asof_skew_bcast","rows":$rows,"hot_pct":$hotPct,""" +
         s""""right_rows":${rows / 80},""" +
         s""""bcast_sec":${math.round(tb * 100) / 100.0},""" +
         s""""merge_sec":${math.round(tm * 100) / 100.0},""" +
+        s""""autoflip_sec":${math.round(tf * 100) / 100.0},""" +
         s""""matched":$mb,"left_rows":$nb,""" +
         s""""speedup":${math.round(tm / tb * 100) / 100.0}}""")
       spark.stop()

@@ -784,6 +784,81 @@ class NativeAsOfJoinSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
   }
 
+  test("AQE flips a stale-stats Auto merge to the broadcast exec at runtime") {
+    // The DynamicJoinSelection analog, obtained by CONSTRUCTION rather
+    // than by a bespoke rule: AQE's re-optimization re-runs the session
+    // strategies — AsOfJoinStrategy included — against a logical plan
+    // whose materialized children are LogicalQueryStages with ACCURATE
+    // runtime stats. A right side that is stats-less at planning time
+    // (localCheckpoint -> LogicalRDD -> defaultSizeInBytes) makes Auto
+    // pick the safe merge statically; once the right exchange
+    // materializes and its true size fits the threshold, the re-plan
+    // picks the broadcast exec. Genuine unknowns still fall back to
+    // merge (the second half below).
+    val left = Seq.tabulate(64)(i => (i.toLong % 8, 1000L + i, i.toLong))
+      .toDF("user_id", "mus", "v")
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    // an RDD-backed frame is DELIBERATELY stats-less: LogicalRDD has no
+    // size information, so its stats are defaultSizeInBytes (Long.Max);
+    // the projection on top scales that, keeping it astronomically large
+    val rightRows = Seq.tabulate(16)(i =>
+      org.apache.spark.sql.Row(i.toLong % 8, 990L + i, 100L + i))
+    val rightSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mus",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.LongType)))
+    val right = spark.createDataFrame(
+        spark.sparkContext.parallelize(rightRows, 2), rightSchema)
+      .withColumn("ts", timestamp_micros(col("mus"))).drop("mus")
+    assert(right.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(1L << 40), "precondition: the right side must be stats-less")
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val df = NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+      tieBreak = Some("p"))
+    // static pick is the merge (the safe side for unknown stats)
+    val initial = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    assert(initial.collect { case m: graft.plans.AsOfJoinExec => m }.size == 1,
+      initial.toString)
+    val rows = df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[graft.plans.BroadcastAsOfJoinExec]) == 1,
+      df.queryExecution.executedPlan.toString)
+    assert(nodes.count(_.isInstanceOf[graft.plans.AsOfJoinExec]) == 0)
+    // and the flipped plan computes the same join as the pinned merge
+    val viaMerge = MergeAsOf.asOf(left, right, "user_id", "ts", Seq("p"),
+      tieBreak = Some("p")).collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getLong(r.fieldIndex("v")),
+        if (r.isNullAt(r.fieldIndex("asof_p"))) -1L
+        else r.getLong(r.fieldIndex("asof_p")))).sortBy(_._1).toSeq
+    assert(key(rows) == key(viaMerge))
+
+    // a right side whose RUNTIME size exceeds the threshold stays merge
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      val big = NativeAsOfJoin.asOf(left, right, "user_id", "ts", Seq("p"),
+        tieBreak = Some("p"))
+      big.collect()
+      val bigNodes = flatten(big.queryExecution.executedPlan)
+      assert(bigNodes.count(_.isInstanceOf[graft.plans.AsOfJoinExec]) == 1,
+        big.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("graft_asof SQL table function: every spelling matches the API") {
     // the TVF resolves straight to AsOfJoinPlan at analysis time; every
     // direction/tolerance/tie-break/strategy spelling must agree with
