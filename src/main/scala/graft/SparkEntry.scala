@@ -100,5 +100,8 @@ object SparkEntry {
     // r16: the persisted-ANN-index probes (first run pays the one-time
     // build, min-of-3 reuses the stored layout — the q_bucket_join
     // amortization pattern applied to the vector tier)
-    "q_ann_indexed", "q_ann_indexed_pq")
+    "q_ann_indexed", "q_ann_indexed_pq",
+    // r16: the last two TVF spellings — full SQL parity for every
+    // bespoke operator family, each under its DataFrame twin's oracle
+    "q_fuzzy_sql", "q_range_sql")
 }

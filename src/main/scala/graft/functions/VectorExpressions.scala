@@ -1138,8 +1138,10 @@ object GraftFunctions {
       }))
 
   /** Table-valued functions: SQL entry points that resolve to whole
-    * custom operators (a `LogicalPlan`, not an `Expression`). One today:
-    * `graft_asof`, the SQL spelling of the native as-of join tier.
+    * custom operators (a `LogicalPlan`, not an `Expression`) — one per
+    * bespoke operator family, so spark.sql users reach each without the
+    * DataFrame API: the as-of tier, exact dedup, ANN, the PassJoin
+    * edit-distance join, and the banded range join.
     */
   val tableFns: Seq[(String, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
@@ -1151,7 +1153,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.operators.DedupOps.sqlBuilder(es)),
     ("graft_ann",
       new ExpressionInfo("graft.functions.VectorOps", "graft_ann"),
-      (es: Seq[Expression]) => graft.functions.VectorOps.sqlBuilder(es)))
+      (es: Seq[Expression]) => graft.functions.VectorOps.sqlBuilder(es)),
+    ("graft_fuzzy",
+      new ExpressionInfo("graft.operators.FuzzyJoin", "graft_fuzzy"),
+      (es: Seq[Expression]) => graft.operators.FuzzyJoin.sqlBuilder(es)),
+    ("graft_range",
+      new ExpressionInfo("graft.operators.RangeJoin", "graft_range"),
+      (es: Seq[Expression]) => graft.operators.RangeJoin.sqlBuilder(es)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -88,6 +88,18 @@ object VectorOps {
     val spark = org.apache.spark.sql.SparkSession.active
     val queries = spark.table(strLit(0, "queries table name"))
     val corpus = spark.table(strLit(1, "corpus table name"))
+    // ANALYSIS-TIME rejection (the graft_asof Merge-rejection pattern):
+    // both modes end in a per-query rank window and broadcast one side —
+    // neither is streamable in either direction. Fail here with the
+    // streaming alternative instead of at stream start.
+    if (queries.isStreaming || corpus.isStreaming)
+      throw new UnsupportedOperationException(
+        "graft_ann: " +
+          (if (corpus.isStreaming) "the corpus table is a stream"
+           else "the queries table is a stream") +
+          " — top-k ranking over a stream is not incrementally " +
+          "evaluable. For streaming candidate generation use " +
+          "StreamingOps.lshCandidatesStream (stream-static LSH buckets)")
     val k = strLit(2, "k").toInt
     val idCol = if (es.size > 4) strLit(4, "id_col") else "vec_id"
     val vecCol = if (es.size > 5) strLit(5, "vec_col") else "embedding"

@@ -61,6 +61,17 @@ object DedupOps {
         "graft_dedup(table, id_col, text_col[, 'groups'|'dedup'])")
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(lit(0, "table name"))
+    // ANALYSIS-TIME rejection (the graft_asof Merge-rejection pattern):
+    // both modes rank inside an id-ordered window, which Structured
+    // Streaming cannot evaluate incrementally — fail here with the
+    // streaming alternative instead of deep in the unsupported-
+    // operation checker at stream start
+    if (df.isStreaming)
+      throw new UnsupportedOperationException(
+        "graft_dedup: the input table is a stream — exact-dup groups " +
+          "need an id-ordered window no stream can evaluate. Use " +
+          "StreamingOps.ttlDedupStream (watermark-TTL'd exact dedup) " +
+          "for streaming ingestion")
     val (idCol, textCol) = (lit(1, "id_col"), lit(2, "text_col"))
     val out = (if (es.size > 3) lit(3, "mode") else "groups") match {
       case "" | "groups" => exactDupGroups(df, idCol, textCol)

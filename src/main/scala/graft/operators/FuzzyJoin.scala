@@ -77,4 +77,43 @@ object FuzzyJoin {
       .filter(col("dist") <= d)
       .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))
   }
+
+  /** SQL table-valued surface, registered as `graft_fuzzy` (same
+    * injection path as `graft_asof` — see
+    * [[graft.plans.NativeAsOfJoin.sqlBuilder]]):
+    *
+    * {{{
+    * SELECT id_a, id_b, dist
+    * FROM graft_fuzzy('docs_v', 'doc_id', 'prefix', '2')
+    * }}}
+    *
+    * Unordered (id_a < id_b) within-table pairs at Levenshtein distance
+    * <= d, planned as the lossless pigeonhole blocking above — SQL
+    * users get the segment equi-join shape, never an all-pairs node.
+    */
+  def sqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def lit(i: Int, what: String): String = {
+      val e = es(i)
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"graft_fuzzy: $what must be a literal")
+      Option(e.eval()).map(_.toString).getOrElse("")
+    }
+    if (es.size != 4)
+      throw new IllegalArgumentException(
+        "graft_fuzzy(table, id_col, str_col, max_edit_distance)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(lit(0, "table name"))
+    // analysis-time rejection, same pattern as graft_dedup/graft_ann:
+    // the self-join + dedup shape is not incrementally evaluable
+    if (df.isStreaming)
+      throw new UnsupportedOperationException(
+        "graft_fuzzy: the input table is a stream — the pigeonhole " +
+          "self-join is not incrementally evaluable; dedup the stream " +
+          "first (StreamingOps.ttlDedupStream) and run graft_fuzzy on " +
+          "the stored batch output")
+    editDistancePairs(df, lit(1, "id_col"), lit(2, "str_col"),
+      lit(3, "max_edit_distance").toInt).queryExecution.analyzed
+  }
 }

@@ -119,6 +119,21 @@ object RelationalQueries {
         .orderBy("p_partkey")
     },
 
+    // The same banded range join spelled in Spark SQL through the
+    // graft_range table-valued function — SHARES q_range_join's oracle
+    // string, so the TVF path and the DataFrame path must agree
+    // bit-for-bit (the graft_asof pattern, fourth operator family).
+    "q_range_sql" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("graft_range_li")
+      Tables(s, dir, "part").createOrReplaceTempView("graft_range_part")
+      s.sql("""
+        SELECT p_partkey, count(*) AS n_matches,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM graft_range('graft_range_li', 'graft_range_part',
+                         'l_extendedprice', 'p_retailprice', '10.0')
+        GROUP BY p_partkey ORDER BY p_partkey""")
+    },
+
     // As-of join: each purchase event picks up the user's most recent
     // click at-or-before it (union + ordered window — one shuffle).
     // tie-broken on click_id (min wins) so equal-ts clicks stay
@@ -456,6 +471,19 @@ object RelationalQueries {
         .select(col("doc_id"), substring(col("text"), 1, 20).as("prefix"))
       graft.operators.FuzzyJoin.editDistancePairs(docs, "doc_id", "prefix", d = 12)
         .orderBy("id_a", "id_b")
+    },
+
+    // The same PassJoin edit-distance join spelled in Spark SQL through
+    // the graft_fuzzy table-valued function — SHARES q_fuzzy_match's
+    // oracle string (fifth TVF'd operator family).
+    "q_fuzzy_sql" -> { (s, dir) =>
+      Tables(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("prefix"))
+        .createOrReplaceTempView("graft_fuzzy_docs")
+      s.sql("""
+        SELECT id_a, id_b, dist
+        FROM graft_fuzzy('graft_fuzzy_docs', 'doc_id', 'prefix', '12')
+        ORDER BY id_a, id_b""")
     },
 
     // Bitwise aggregates (exact, order-free) + deterministic string
@@ -2201,6 +2229,28 @@ object RelationalQueries {
     * scanned at a tie the minimum id, matching both operators'
     * min-tie-break.
     */
+  /** Shared by the DataFrame and graft_range TVF spellings — the plain
+    * range-predicate join is the semantic truth both must equal.
+    */
+  private val rangeJoinOracle: String =
+    """SELECT p_partkey, count(*) AS n_matches,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+       FROM lineitem JOIN part
+         ON l_extendedprice >= p_retailprice - 10 AND l_extendedprice <= p_retailprice + 10
+       GROUP BY p_partkey ORDER BY p_partkey"""
+
+  /** Shared by the DataFrame and graft_fuzzy TVF spellings — the naive
+    * all-pairs Levenshtein join is the semantic truth both must equal.
+    */
+  private val fuzzyMatchOracle: String =
+    """WITH d AS (SELECT doc_id, substring(text, 1, 20) AS prefix
+                  FROM documents WHERE doc_id < 50)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+       FROM d a JOIN d b ON a.doc_id < b.doc_id
+       WHERE levenshtein(a.prefix, b.prefix) <= 12
+       ORDER BY id_a, id_b"""
+
   private def asofBackwardOracle: String =
     """SELECT user_id, event_id, value, asof_click_id FROM (
          SELECT user_id, event_id, event_type, value,
@@ -2479,14 +2529,9 @@ object RelationalQueries {
                FROM lineitem WHERE l_orderkey <= 100)
          UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
          ORDER BY l_orderkey, l_linenumber, metric, value""",
-    "q_fuzzy_match" ->
-      """WITH d AS (SELECT doc_id, substring(text, 1, 20) AS prefix
-                    FROM documents WHERE doc_id < 50)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
-         FROM d a JOIN d b ON a.doc_id < b.doc_id
-         WHERE levenshtein(a.prefix, b.prefix) <= 12
-         ORDER BY id_a, id_b""",
+    "q_fuzzy_match" -> fuzzyMatchOracle,
+    // TVF spelling, same truth
+    "q_fuzzy_sql" -> fuzzyMatchOracle,
     "q_histogram" ->
       s"""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
          count(*) AS n,
@@ -2729,12 +2774,9 @@ object RelationalQueries {
          LEFT JOIN a ON a.o_orderstatus = st.o_orderstatus
                     AND a.o_orderpriority = pr.o_orderpriority
          ORDER BY st.o_orderstatus, pr.o_orderpriority""",
-    "q_range_join" ->
-      """SELECT p_partkey, count(*) AS n_matches,
-         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
-         FROM lineitem JOIN part
-           ON l_extendedprice >= p_retailprice - 10 AND l_extendedprice <= p_retailprice + 10
-         GROUP BY p_partkey ORDER BY p_partkey""",
+    "q_range_join" -> rangeJoinOracle,
+    // TVF spelling, same truth
+    "q_range_sql" -> rangeJoinOracle,
     "q_asof_join" -> asofBackwardOracle,
     // SHARED defs: the native twins are bound to the same oracle strings
     // as their composed counterparts — agreement is structural
