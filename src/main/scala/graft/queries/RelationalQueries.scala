@@ -1160,26 +1160,43 @@ object RelationalQueries {
     // monthly revenue rollup, so a month with zero orders still
     // surfaces — the continuity property a GROUP BY alone can't give.
     "q_recursive_cal" -> { (s, dir) =>
-      Tables(s, dir, "orders")
+      // Bounds are collected ONCE (a one-row min/max aggregate) and
+      // recursed against as LITERALS. The previous form joined a bounds
+      // VIEW inside the recursive step, which re-ran the orders min/max
+      // aggregate on EVERY monthly round (~80 rounds at the fixture's
+      // date span — measured 13.1 s at sf0.1, the full-catalog sweep's
+      // #1 by 1.7x); with literal bounds each round is a LocalRelation
+      // step and the whole query scans orders exactly once (the monthly
+      // rollup — ExplainSpec pins the single-scan bound so a regression
+      // back into per-round corpus scans can't land silently). The
+      // recursion itself stays pure SQL: one row per round, linear in
+      // the month span, never corpus-sized.
+      val b = Tables(s, dir, "orders")
         .agg(trunc(min(col("o_orderdate")), "MM").as("start_month"),
-          trunc(max(col("o_orderdate")), "MM").as("end_month"))
-        .createOrReplaceTempView("graft_cal_bounds")
+          trunc(max(col("o_orderdate")), "MM").as("end_month")).head()
       Tables(s, dir, "orders")
         .groupBy(trunc(col("o_orderdate"), "MM").as("m"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev_d"))
         .createOrReplaceTempView("graft_cal_monthly")
-      s.sql("""
-        WITH RECURSIVE months(m) AS (
-          SELECT start_month FROM graft_cal_bounds
-          UNION ALL
-          SELECT add_months(months.m, 1)
-          FROM months JOIN graft_cal_bounds b ON months.m < b.end_month)
-        SELECT date_format(months.m, 'yyyy-MM') AS month,
-          coalesce(g.n_orders, 0L) AS n_orders,
-          round(coalesce(CAST(g.rev_d AS DOUBLE), 0.0D), 2) AS revenue
-        FROM months LEFT JOIN graft_cal_monthly g ON g.m = months.m
-        ORDER BY month""")
+      if (b.isNullAt(0))
+        // no orders at all: empty spine, same schema (oracle NULL-bound
+        // semantics — generate_series over NULL bounds is empty too)
+        s.sql("""SELECT date_format(m, 'yyyy-MM') AS month, 0L AS n_orders,
+          round(0.0D, 2) AS revenue
+          FROM (SELECT DATE '1970-01-01' AS m) WHERE 1 = 0""")
+      else
+        s.sql(s"""
+          WITH RECURSIVE months(m) AS (
+            SELECT DATE '${b.getDate(0)}'
+            UNION ALL
+            SELECT add_months(m, 1) FROM months
+            WHERE m < DATE '${b.getDate(1)}')
+          SELECT date_format(months.m, 'yyyy-MM') AS month,
+            coalesce(g.n_orders, 0L) AS n_orders,
+            round(coalesce(CAST(g.rev_d AS DOUBLE), 0.0D), 2) AS revenue
+          FROM months LEFT JOIN graft_cal_monthly g ON g.m = months.m
+          ORDER BY month""")
     },
 
     // TPC-H Q8 (national market share), adapted to the generator's

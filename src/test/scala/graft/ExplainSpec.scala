@@ -464,6 +464,27 @@ class ExplainSpec extends SparkSpec {
     assert(nodes.count(_.isInstanceOf[WindowExecBase]) == 2, plan.toString)
   }
 
+  test("q_recursive_cal recursion never rescans the corpus") {
+    // the r15-flagged 12 s cost was the bounds VIEW joined inside the
+    // recursive step — every monthly round re-ran the orders min/max
+    // aggregate. With literal bounds, the WHOLE plan scans orders
+    // exactly once (the monthly rollup); the ~80 recursion rounds are
+    // LocalRelation steps. This pins the single-scan bound so a
+    // regression back into per-round corpus scans cannot land silently.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries("q_recursive_cal")(spark, sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val scans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.count(_.contains("orders.parquet")) == 1, scans.mkString("\n"))
+    assert(scans.size == 1, scans.mkString("\n"))
+  }
+
   test("no query plans a CartesianProduct, UDF, Python eval, or over-budget shuffles") {
     val violations = audit()
     assert(violations.isEmpty, violations.mkString("\n  ", "\n  ", ""))
