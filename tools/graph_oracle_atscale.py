@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""At-scale DuckDB oracle for the iterative-graph queries on the Nx
+CLONE corpus (q_dup_clusters, q_label_prop).
+
+The registered oracles derive candidate pairs from a shingle SELF-JOIN,
+which is infeasible on a 100x clone corpus: every shingle's occurrence
+list grows Nx, so the join's intermediate blows up Nx^2 (the
+q_fuzzy_decontam >77 GB class, PERF_NOTES r14). This tool derives the
+SAME pair semantics through an exact clone-aware reformulation:
+
+  - identical texts have identical shingle sets, so the qualifying
+    doc-pair set is precisely the expansion of qualifying TEXT-GROUP
+    pairs (cross-group: jaccard >= t between distinct texts; within a
+    group of n >= 2 copies with >= 1 shingle: every pair, jaccard = 1);
+  - q_dup_clusters: connected components run on the 1x-sized GROUP
+    graph and expand at the end (component min doc_id = min gid, since
+    gid = min member);
+  - q_label_prop: label propagation is NOT group-reducible (labels are
+    per-doc), so the full doc-level edge set IS materialized (~60M
+    directed edges at 100x) and the registered oracle's 3 unrolled
+    rounds run verbatim on it, each round materialized (the kCore
+    oracle discipline).
+
+Both results are value- and driver-hash-compared against Verify's
+parquet dumps, exactly like tools/check.py.
+
+Usage: python3 tools/graph_oracle_atscale.py <cloneCorpusDir> <verifyOutDir>
+"""
+import hashlib
+import os
+import sys
+
+import duckdb
+
+
+def driver_hash(rel):
+    df = rel.df()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+
+def compare(con, name, expected_rel_name, out_dir):
+    got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+    exp = con.sql(f"SELECT * FROM {expected_rel_name}")
+    got_cols, exp_cols = sorted(got.columns), sorted(exp.columns)
+    if got_cols != exp_cols:
+        print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+        return False
+    ng = con.sql(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+    ne = con.sql(f"SELECT count(*) FROM {expected_rel_name}").fetchone()[0]
+    if ng != ne:
+        print(f"FAIL {name}: rows {ng} != {ne}")
+        return False
+    # exact anti-join both ways (cheaper than fetching 500k rows to python)
+    cols = ", ".join(got_cols)
+    diff = con.sql(
+        f"SELECT count(*) FROM ((SELECT {cols} FROM '{out_dir}/{name}/*.parquet' "
+        f"EXCEPT SELECT {cols} FROM {expected_rel_name}) UNION ALL "
+        f"(SELECT {cols} FROM {expected_rel_name} EXCEPT "
+        f"SELECT {cols} FROM '{out_dir}/{name}/*.parquet'))").fetchone()[0]
+    if diff:
+        print(f"FAIL {name}: {diff} rows differ")
+        return False
+    hg, he = driver_hash(got), driver_hash(exp)
+    if hg != he:
+        print(f"FAIL {name}: values equal but driver-style hash differs")
+        return False
+    print(f"PASS {name} ({ng} rows, value+hash)")
+    return True
+
+
+def main(corpus_dir, out_dir):
+    con = duckdb.connect()
+    path = f"{corpus_dir}/documents.parquet"
+    src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+    con.sql(f"CREATE VIEW docs AS SELECT doc_id, text FROM {src}")
+
+    # ---- shared clone-aware pair derivation (1x-sized) ----
+    con.sql("""CREATE TEMP TABLE g AS
+      SELECT text, min(doc_id) AS gid, count(*) AS n FROM docs GROUP BY text""")
+    con.sql("""CREATE TEMP TABLE sh AS
+      SELECT gid, unnest(list_distinct(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+               || ' ' || string_split(text,' ')[i+2]))) AS sh
+      FROM g WHERE len(string_split(text,' ')) >= 3""")
+    con.sql("CREATE TEMP TABLE sizes AS SELECT gid, count(*) AS n_sh FROM sh GROUP BY gid")
+    con.sql("""CREATE TEMP TABLE tpairs AS
+      SELECT ga, gb FROM (
+        SELECT a.gid AS ga, b.gid AS gb, count(*) AS ns
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.gid < b.gid GROUP BY 1, 2)
+      JOIN sizes sa ON sa.gid = ga JOIN sizes sb ON sb.gid = gb
+      WHERE CAST(ns AS DOUBLE) / (sa.n_sh + sb.n_sh - ns) >= 0.05""")
+    # groups whose >= 2 identical copies pair among themselves (jaccard 1)
+    con.sql("""CREATE TEMP TABLE selfg AS
+      SELECT g.gid FROM g JOIN sizes s ON s.gid = g.gid WHERE g.n >= 2""")
+    con.sql("""CREATE TEMP TABLE members AS
+      SELECT g.gid, d.doc_id FROM docs d JOIN g ON g.text = d.text""")
+
+    # ---- q_dup_clusters: components on the GROUP graph, expanded ----
+    con.sql("""CREATE TEMP TABLE comp AS
+      WITH RECURSIVE
+      nodes AS (SELECT ga AS gid FROM tpairs UNION SELECT gb FROM tpairs
+                UNION SELECT gid FROM selfg),
+      edges AS (SELECT ga AS u, gb AS v FROM tpairs
+                UNION SELECT gb, ga FROM tpairs),
+      reach(id, r) AS (
+        SELECT gid, gid FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+      SELECT id AS gid, min(r) AS cmin FROM reach GROUP BY id""")
+    con.sql("""CREATE TEMP VIEW dup_clusters_expected AS
+      SELECT m.doc_id, c.cmin AS cluster_id
+      FROM members m JOIN comp c ON c.gid = m.gid""")
+
+    # ---- q_label_prop: full doc-level edges, 3 unrolled rounds ----
+    con.sql("""CREATE TEMP TABLE edges AS
+      SELECT ma.doc_id AS src, mb.doc_id AS dst
+      FROM tpairs t JOIN members ma ON ma.gid = t.ga
+                    JOIN members mb ON mb.gid = t.gb
+      UNION ALL
+      SELECT mb.doc_id, ma.doc_id
+      FROM tpairs t JOIN members ma ON ma.gid = t.ga
+                    JOIN members mb ON mb.gid = t.gb
+      UNION ALL
+      SELECT a.doc_id, b.doc_id
+      FROM selfg s JOIN members a ON a.gid = s.gid
+                   JOIN members b ON b.gid = s.gid AND a.doc_id <> b.doc_id""")
+    n_edges = con.sql("SELECT count(*) FROM edges").fetchone()[0]
+    print(f"[atscale] doc-level directed edges: {n_edges}")
+    con.sql("CREATE TEMP TABLE l0 AS SELECT doc_id AS id, doc_id AS label FROM docs")
+    for r in range(1, 4):
+        p = f"l{r - 1}"
+        # each round MATERIALIZED (kCore-oracle discipline)
+        con.sql(f"""CREATE TEMP TABLE b{r} AS
+          SELECT dst, label FROM (
+            SELECT dst, label,
+              row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+            FROM (SELECT e.dst, p.label, count(*) AS c
+                  FROM edges e JOIN {p} p ON p.id = e.src
+                  GROUP BY e.dst, p.label))
+          WHERE rn = 1""")
+        con.sql(f"""CREATE TEMP TABLE l{r} AS
+          SELECT p.id, COALESCE(b.label, p.label) AS label
+          FROM {p} p LEFT JOIN b{r} b ON b.dst = p.id""")
+    con.sql("""CREATE TEMP VIEW label_prop_expected AS
+      SELECT id AS doc_id, label AS community FROM l3""")
+
+    ok = compare(con, "q_dup_clusters", "dup_clusters_expected", out_dir)
+    ok = compare(con, "q_label_prop", "label_prop_expected", out_dir) and ok
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
