@@ -11,7 +11,10 @@ pandas, vs Spark's int64 — "3.0" != "3" in the hash) and unsortable
 columns (list-typed values crash pandas sort_values, as the driver's
 r03 run showed for q_array_agg).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [onlyQuery1,onlyQuery2]
+The optional third argument restricts the compare to the named queries
+(at-scale gates run a handful of feasible oracles against a clone
+corpus; without the filter every dumped query's oracle would run).
 """
 import hashlib
 import json
@@ -42,7 +45,7 @@ def canon(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -52,6 +55,8 @@ def main(sf_dir, out_dir):
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = n_noracle = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -110,7 +115,7 @@ def main(sf_dir, out_dir):
     # queries without an oracle: report rows only
     import os
     for name in sorted(os.listdir(out_dir)):
-        if name.endswith(".json") or name in oracle:
+        if name.endswith(".json") or name in oracle or only:
             continue
         try:
             n = con.sql(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
@@ -123,4 +128,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
