@@ -129,6 +129,8 @@ object Bench {
     // {min,max,load,runs}. Committed per round as BENCH_DETAIL_r{N}.json.
     val fullTotalLine = s"""{"metric":"total","value":${fmt(total)},""" +
       s""""unit":"sec","runs_per_query":$runsPerQuery,"noisy":$noisy,""" +
+      s""""max_q_load":${"%.2f".formatLocal(java.util.Locale.ROOT,
+        results.map(_._3).foldLeft(-1.0)(math.max))},""" +
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
       s""""sf":"$sfDir","queries":{""" +
       results.sortBy(-_._2.min)
