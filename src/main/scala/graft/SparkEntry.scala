@@ -102,6 +102,7 @@ object SparkEntry {
     // amortization pattern applied to the vector tier)
     "q_ann_indexed", "q_ann_indexed_pq",
     // r16: the last two TVF spellings — full SQL parity for every
-    // bespoke operator family, each under its DataFrame twin's oracle
-    "q_fuzzy_sql", "q_range_sql")
+    // bespoke operator family, each under its DataFrame twin's oracle —
+    // plus the stored-index probe's SQL spelling
+    "q_fuzzy_sql", "q_range_sql", "q_ann_indexed_sql")
 }

@@ -64,40 +64,83 @@ object AnnIndex {
       corpus: DataFrame, dir: String,
       nlist: Int = 0, trainRounds: Int = 0,
       dsub: Int = 8, ksub: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Array[Seq[Double]] = null,
+      codebook: Array[Double] = null): Unit = {
     val spark = corpus.sparkSession
     val c0 = corpus.select(col(idCol).as("n_id"),
       VectorOps.toDoubleVec(col(vecCol)).as("n_vec"))
     val (autoNlist, sample) = VectorOps.coarseSample(c0, nlist)
     require(sample.nonEmpty, "AnnIndex.build: empty corpus")
     val effNlist = math.min(autoNlist, sample.length)
+    // `centroids` overrides derivation entirely — the offline-trained-
+    // quantizer path (and the parity anchor for append(): an index
+    // appended to must equal a fresh build over the union corpus with
+    // the SAME centroids)
     val cents: Array[Seq[Double]] =
-      if (trainRounds > 0)
+      if (centroids != null) centroids
+      else if (trainRounds > 0)
         VectorOps.kMeansCentroids(corpus, effNlist, trainRounds, idCol, vecCol)
       else sample.take(effNlist)
     val dim = cents.head.size
     require(dim % dsub == 0, s"dim $dim not divisible by dsub $dsub")
-    val codebook = VectorOps.pqCodebookFromRows(sample, dsub, ksub)
+    val cb =
+      if (codebook != null) codebook
+      else VectorOps.pqCodebookFromRows(sample, dsub, ksub)
     val m = dim / dsub
-    val kEff = codebook.length / (m * dsub)
+    val kEff = cb.length / (m * dsub)
     val nprobe = math.max(4, effNlist / 8)
 
     import spark.implicits._
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath(dir))
-    Seq((dim, effNlist, nprobe, dsub, kEff, m, codebook.toSeq))
+    Seq((dim, effNlist, nprobe, dsub, kEff, m, cb.toSeq))
       .toDF("dim", "nlist", "nprobe", "dsub", "ksub_eff", "m", "flat")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
     // postings LAST: its _SUCCESS marker is the whole index's
     // completeness witness (ensure() keys reuse on it)
     val flatC = lit(cents.flatten.toArray)
-    val pqFlat = lit(codebook)
+    val pqFlat = lit(cb)
     c0.withColumn("cell",
         call_function("graft_nearest_cell", col("n_vec"), flatC, lit(dim)))
       .withColumn("codes",
         call_function("graft_pq_encode", col("n_vec"), pqFlat, lit(dsub), lit(kEff)))
       .write.mode("overwrite").partitionBy("cell").parquet(postingsPath(dir))
+  }
+
+  /** Incrementally add vectors to an EXISTING index — the production
+    * ingestion path (the corpus grows continuously; the quantizers are
+    * retrained on a cadence, not per batch): new rows are assigned to
+    * the STORED centroids and encoded against the STORED codebook, then
+    * written as additional files into the cell-partitioned postings
+    * layout (parquet append — no existing file is rewritten, so a
+    * concurrent probe never sees a partial cell). Probing after append
+    * is bit-identical to probing a fresh build over the union corpus
+    * with the same centroids/codebook (spec-pinned in AnnIndexSpec).
+    * At 100 TB this is one scan of the NEW batch; the existing
+    * postings are untouched.
+    */
+  def append(
+      newVectors: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val meta = spark.read.parquet(metaPath(dir)).head()
+    val dim = meta.getAs[Int]("dim")
+    val dsub = meta.getAs[Int]("dsub")
+    val kEff = meta.getAs[Int]("ksub_eff")
+    val codebook = meta.getAs[Seq[Double]]("flat").toArray
+    val cents = spark.read.parquet(centroidsPath(dir))
+      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val flatC = lit(cents.flatten.toArray)
+    val pqFlat = lit(codebook)
+    newVectors.select(col(idCol).as("n_id"),
+        VectorOps.toDoubleVec(col(vecCol)).as("n_vec"))
+      .withColumn("cell",
+        call_function("graft_nearest_cell", col("n_vec"), flatC, lit(dim)))
+      .withColumn("codes",
+        call_function("graft_pq_encode", col("n_vec"), pqFlat, lit(dsub), lit(kEff)))
+      .write.mode("append").partitionBy("cell").parquet(postingsPath(dir))
   }
 
   /** Content-fingerprint identity, same rule as

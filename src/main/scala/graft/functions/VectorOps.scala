@@ -66,12 +66,19 @@ object VectorOps {
     * SELECT q_id, rk, n_id, cos_sim
     * FROM graft_ann('queries_view', 'corpus_view', '5'[, 'brute'|'ivf'
     *                [, 'vec_id'[, 'embedding']]])
+    * -- persisted-index probes: the second argument is the INDEX
+    * -- DIRECTORY written by AnnIndex.build / VectorOps.buildIvfIndex
+    * SELECT * FROM graft_ann('queries_view', '/path/to/index', '5', 'indexed')
+    * SELECT * FROM graft_ann('queries_view', '/path/to/index', '5', 'indexed_pq')
     * }}}
     *
     * 'brute' (default) is the exact window-ranked scan; 'ivf' the
-    * cell-probed sublinear path (auto-sized nlist/nprobe). Trailing
-    * arguments optional; both modes emit (q_id, n_id, cos_sim/score,
-    * rk), so SQL users reach the ANN tier without the DataFrame API.
+    * cell-probed sublinear path (auto-sized nlist/nprobe); 'indexed' /
+    * 'indexed_pq' probe a STORED [[AnnIndex]] (zero training jobs —
+    * the second argument names the index directory, not a table).
+    * Trailing arguments optional; every mode emits (q_id, n_id,
+    * cos_sim/score, rk), so SQL users reach the whole ANN tier —
+    * including the persisted index — without the DataFrame API.
     */
   def sqlBuilder(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -84,30 +91,43 @@ object VectorOps {
     }
     if (es.size < 3 || es.size > 6)
       throw new IllegalArgumentException(
-        "graft_ann(queries, corpus, k[, 'brute'|'ivf'[, id_col[, vec_col]]])")
+        "graft_ann(queries, corpus_or_index_dir, k[, " +
+          "'brute'|'ivf'|'indexed'|'indexed_pq'[, id_col[, vec_col]]])")
     val spark = org.apache.spark.sql.SparkSession.active
     val queries = spark.table(strLit(0, "queries table name"))
-    val corpus = spark.table(strLit(1, "corpus table name"))
     // ANALYSIS-TIME rejection (the graft_asof Merge-rejection pattern):
-    // both modes end in a per-query rank window and broadcast one side —
-    // neither is streamable in either direction. Fail here with the
-    // streaming alternative instead of at stream start.
-    if (queries.isStreaming || corpus.isStreaming)
+    // every mode ends in a per-query rank window and broadcasts one
+    // side — neither is streamable in either direction. Fail here with
+    // the streaming alternative instead of at stream start.
+    if (queries.isStreaming)
       throw new UnsupportedOperationException(
-        "graft_ann: " +
-          (if (corpus.isStreaming) "the corpus table is a stream"
-           else "the queries table is a stream") +
-          " — top-k ranking over a stream is not incrementally " +
-          "evaluable. For streaming candidate generation use " +
-          "StreamingOps.lshCandidatesStream (stream-static LSH buckets)")
+        "graft_ann: the queries table is a stream — top-k ranking over " +
+          "a stream is not incrementally evaluable. For streaming " +
+          "candidate generation use StreamingOps.lshCandidatesStream " +
+          "(stream-static LSH buckets)")
+    val second = strLit(1, "corpus table name / index dir")
     val k = strLit(2, "k").toInt
     val idCol = if (es.size > 4) strLit(4, "id_col") else "vec_id"
     val vecCol = if (es.size > 5) strLit(5, "vec_col") else "embedding"
+    def corpus = {
+      val c = spark.table(second)
+      if (c.isStreaming)
+        throw new UnsupportedOperationException(
+          "graft_ann: the corpus table is a stream — top-k ranking over " +
+            "a stream is not incrementally evaluable. For streaming " +
+            "candidate generation use StreamingOps.lshCandidatesStream " +
+            "(stream-static LSH buckets)")
+      c
+    }
     val out = (if (es.size > 3) strLit(3, "mode") else "brute") match {
       case "" | "brute" => bruteForceTopK(queries, corpus, k, idCol, vecCol)
       case "ivf" => ivfTopK(queries, corpus, k, idCol = idCol, vecCol = vecCol)
+      case "indexed" =>
+        AnnIndex.ivfTopK(queries, second, k, idCol = idCol, vecCol = vecCol)
+      case "indexed_pq" =>
+        AnnIndex.pqTopK(queries, second, k, idCol = idCol, vecCol = vecCol)
       case m => throw new IllegalArgumentException(
-        s"graft_ann: mode must be brute|ivf, got '$m'")
+        s"graft_ann: mode must be brute|ivf|indexed|indexed_pq, got '$m'")
     }
     out.queryExecution.analyzed
   }

@@ -650,6 +650,21 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // The SAME stored-index IVF probe spelled in Spark SQL through the
+    // graft_ann TVF's 'indexed' mode (second argument = the index
+    // DIRECTORY, not a table) — SHARES q_ann_indexed's stored-index
+    // oracle, so the SQL spelling and the DataFrame probe must agree
+    // bit-for-bit on the same persisted bytes.
+    "q_ann_indexed_sql" -> { (s, dir) =>
+      val idx = graft.functions.AnnIndex.ensure(s, dir)
+      Tables(s, dir, "embeddings").filter(col("vec_id") < 50)
+        .createOrReplaceTempView("graft_ann_idx_queries")
+      s.sql(s"""
+        SELECT q_id, rk, n_id, cos_sim
+        FROM graft_ann('graft_ann_idx_queries', '$idx', '5', 'indexed')
+        ORDER BY q_id, rk""")
+    },
+
     // PQ-ADC probe of the SAME persisted index: codebook off the stored
     // meta row, compressed codes off postings — no sample scan, no
     // Lloyd, no base-corpus read anywhere in the plan. Oracle re-scores
@@ -3789,6 +3804,7 @@ object TextQueries {
     */
   def oracles: Map[String, String] = oraclesStatic +
     ("q_ann_indexed" -> annIndexedOracle) +
+    ("q_ann_indexed_sql" -> annIndexedOracle) + // TVF spelling, same truth
     ("q_ann_indexed_pq" -> annIndexedPqOracle)
 
   /** q_ann_eval oracle: the IVF chain ([[ivfRankedCtes]]) and the exact

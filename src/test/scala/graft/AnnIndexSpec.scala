@@ -115,6 +115,34 @@ class AnnIndexSpec extends SparkSpec {
       "postings scan lost dynamic partition pruning:\n" + postingsScan)
   }
 
+  test("append() is probe-identical to a fresh build with the same quantizers") {
+    // the production ingestion path: quantizers trained once, batches
+    // appended. Build a union index (dirU), then rebuild from the first
+    // 400 vectors WITH dirU's stored centroids+codebook and append the
+    // remaining 100 — every probe over the appended index must be
+    // row-identical to the union build (IVF and PQ alike, since both
+    // share the injected quantizers).
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec"
+    val dirU = s"$base/union"
+    val dirA = s"$base/appended"
+    AnnIndex.build(e, dirU, nlist = 0, trainRounds = 1)
+    val cents = spark.read.parquet(s"$dirU/centroids")
+      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val cb = spark.read.parquet(s"$dirU/meta").head()
+      .getAs[Seq[Double]]("flat").toArray
+    AnnIndex.build(e.filter(col("vec_id") < 400), dirA,
+      centroids = cents, codebook = cb)
+    AnnIndex.append(e.filter(col("vec_id") >= 400), dirA)
+    // postings hold the full corpus
+    assert(spark.read.parquet(s"$dirA/postings").count() ==
+      spark.read.parquet(s"$dirU/postings").count())
+    val q = e.filter(col("vec_id") < 50)
+    assert(canon(AnnIndex.ivfTopK(q, dirA, k = 5), "cos_sim") ==
+      canon(AnnIndex.ivfTopK(q, dirU, k = 5), "cos_sim"))
+    assert(canon(AnnIndex.pqTopK(q, dirA, k = 5), "score") ==
+      canon(AnnIndex.pqTopK(q, dirU, k = 5), "score"))
+  }
+
   test("ensure() is content-keyed: corpus rewrite mints a new index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_ensure").toString
