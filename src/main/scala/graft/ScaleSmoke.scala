@@ -48,8 +48,9 @@ object ScaleSmoke {
     // one-time index build (3 corpus scans — the amortized training
     // cost the operator exists to hoist out of queries); the probe
     // itself reads nprobe/nlist of the postings via partition pruning,
-    // so its factor should sit well under the brute-force baseline's
-    "q_ann_indexed", "q_ann_indexed_pq",
+    // so its factor should sit well under the brute-force baseline's;
+    // the SQL spelling plans the identical probe (TVF twin convention)
+    "q_ann_indexed", "q_ann_indexed_pq", "q_ann_indexed_sql",
     // semantic dedup at Nx: clone groups all land in one cell and lose
     // to the min id — in-cell pair work is bounded by cell size (~n /
     // nlist), not corpus size; past MaxAutoNlist-cell corpora pass
