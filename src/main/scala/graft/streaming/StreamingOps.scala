@@ -428,6 +428,55 @@ object StreamingOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming ANN over a PERSISTED [[graft.functions.AnnIndex]]: a
+    * stream of query vectors probes the stored index per micro-batch —
+    * the retrieval-service shape (queries arrive continuously; the
+    * corpus and its quantizers are a stored layout, refreshed on a
+    * cadence).
+    *
+    * Every stage is incrementally evaluable, which is what the batch
+    * probe's rank window is NOT (and why graft_ann rejects streams):
+    *  - probe cells come from the STORED centroids folded into the
+    *    TopCentroids literal kernel — stateless per row;
+    *  - candidates are a stream-static INNER join against the
+    *    cell-partitioned postings — supported natively, no state;
+    *  - the per-query top-k is a STREAMING AGGREGATION over the typed
+    *    [[graft.functions.TopKAggregator]] (update/complete mode):
+    *    state per query is the k-capped buffer, so a query whose
+    *    vector re-arrives (or whose candidates split across batches)
+    *    REFINES its top-k instead of breaking a rank window.
+    *
+    * Emits (q_id, top array<struct<score, id>> best-first) — identical
+    * content to the batch [[graft.functions.AnnIndex.ivfTopK]] rows for
+    * the same queries (AnnIndexSpec pins the parity). Run with
+    * outputMode update (or complete).
+    */
+  def annTopKStream(
+      queries: DataFrame, indexDir: String, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val dim = meta.getAs[Int]("dim")
+    val nprobe = meta.getAs[Int]("nprobe")
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val flat = lit(cents.flatten.toArray)
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .select(col("cell"), col("n_id"), col("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"),
+        graft.functions.VectorOps.toDoubleVec(col(vecCol)).as("q_vec"))
+      .withColumn("cell", explode(call_function("graft_top_cells",
+        col("q_vec"), flat, lit(dim), lit(nprobe))))
+    q.join(postings, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"),
+        graft.functions.VectorOps.cosine(col("q_vec"), col("n_vec")).as("cos_sim"),
+        col("n_id"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAggregator.topK(k, col("cos_sim"), col("n_id"))
+        .as("top"))
+  }
+
   /** STREAMING event-time as-of join (Flink's "temporal join", which
     * Structured Streaming lacks natively): each left event is enriched
     * with the same key's most recent right event at-or-before its

@@ -143,6 +143,46 @@ class AnnIndexSpec extends SparkSpec {
       canon(AnnIndex.pqTopK(q, dirU, k = 5), "score"))
   }
 
+  test("streaming probe (annTopKStream) matches the batch probe per query") {
+    // the retrieval-service shape: query vectors arrive as a stream and
+    // probe the STORED index; the per-query top-k is a streaming
+    // aggregation over the k-capped typed aggregator (update mode), so
+    // it stays incrementally evaluable where the batch rank window is
+    // not. Content must equal the batch probe for the same queries —
+    // including across micro-batches (the second batch adds new
+    // queries; the first batch's rows just re-emit unchanged state).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val qRows = e.filter(col("vec_id") < 6)
+      .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val out = graft.streaming.StreamingOps.annTopKStream(stream, rawIdx, k = 5)
+    val q = out.writeStream.format("memory").queryName("ann_topk_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(qRows.take(3).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(qRows.drop(3).toSeq: _*)
+      q.processAllAvailable()
+      // update mode re-emits refreshed rows; keep the LAST row per q_id
+      val got = spark.table("ann_topk_stream").collect()
+        .map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getDouble(0), s.getLong(1)))))
+        .groupBy(_._1).map { case (k0, vs) => (k0, vs.last._2) }
+      val batch = canon(AnnIndex.ivfTopK(
+        e.filter(col("vec_id") < 6), rawIdx, k = 5), "cos_sim")
+        .groupBy(_._1).map { case (k0, vs) =>
+          (k0, vs.sortBy(_._2).map(v => (v._4, v._3)).toSeq) }
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (qid, top) =>
+        assert(top.toSeq == batch(qid).toSeq, s"q_id $qid")
+      }
+    } finally q.stop()
+  }
+
   test("ensure() is content-keyed: corpus rewrite mints a new index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_ensure").toString
