@@ -76,8 +76,8 @@ class AnnIndexSpec extends SparkSpec {
       // listener delivery is async; a short settle keeps the count honest
       Thread.sleep(500)
       val n = records.get()
-      // nlist (16) centroids + 1 meta row, with slack well below the
-      // 500-row corpus a hidden training scan would read
+      // nlist (16) centroids + 1 meta row, with headroom well below
+      // the 500-row corpus a hidden training scan would read
       assert(n <= 64, s"probe construction read $n records — training scan?")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
