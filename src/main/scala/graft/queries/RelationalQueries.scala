@@ -582,6 +582,28 @@ object RelationalQueries {
            USING 100000.0 AS floor""")
     },
 
+    // Spark 4 SQL pipe syntax (SPARK-49555): the linear dataflow spelling
+    // of the SQL surface — each |> stage is one logical operator in plan
+    // order, the same mental model as the DataFrame API. The parser lowers
+    // it to the identical Catalyst plan as the nested-SELECT form (verified:
+    // the date predicate reaches the parquet scan as a PushedFilter, the
+    // customer dim broadcasts, EXTEND's derived column is a plain Project),
+    // so the oracle is simply the standard-SQL equivalent.
+    "q_pipe_sql" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_pipe")
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_pipe")
+      s.sql(
+        """FROM orders_pipe
+           |> WHERE o_orderdate >= DATE '1997-01-01'
+           |> JOIN customer_pipe ON o_custkey = c_custkey
+           |> AGGREGATE count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+              GROUP BY c_mktsegment
+           |> EXTEND round(total / n_orders, 2) AS avg_price
+           |> WHERE n_orders > 0
+           |> ORDER BY c_mktsegment""")
+    },
+
     // ROLLUP over the region/nation hierarchy (null keys -> 'ALL').
     "q_rollup" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -3057,6 +3079,17 @@ object RelationalQueries {
          CAST(min(o_totalprice) AS DOUBLE) AS min_price
          FROM orders WHERE o_totalprice >= 100000.0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_pipe_sql" ->
+      """SELECT c_mktsegment, n_orders, total,
+           round(total / n_orders, 2) AS avg_price
+         FROM (
+           SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderdate >= DATE '1997-01-01'
+           GROUP BY c_mktsegment)
+         WHERE n_orders > 0
+         ORDER BY c_mktsegment""",
     "q_param_sql" ->
       """SELECT o_orderpriority, count(*) AS n,
          CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
