@@ -763,6 +763,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Robust JSONL ingestion (IngestOps): permissive parse with
+    // corrupt-record quarantine + schema-drift tolerance, the front door
+    // of every crawl-fed pipeline. The derived corpus deterministically
+    // truncates every doc_id % 37 line (quarantine population) and adds
+    // an unknown "_extra" field to surviving % 11 lines (must parse
+    // clean) — so the oracle re-derives the split and the clean rows'
+    // content from the original parquet. The parse is one codegen'd
+    // scan; the clean/quarantine split is a filter on _corrupt_record.
+    "q_jsonl_ingest" -> { (s, dir) =>
+      val parsed = graft.ops.IngestOps.readJsonlQuarantine(
+        s, graft.ops.IngestOps.ensureJsonl(s, dir))
+      parsed
+        .groupBy(when(col("_corrupt_record").isNotNull, "quarantined")
+          .otherwise("ok").as("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(length(col("text")).cast(LongType), lit(0L))).as("n_chars"),
+          count_distinct(col("lang")).as("n_langs"),
+          count_distinct(col("source")).as("n_sources"))
+        .orderBy("status")
+    },
+
     // Exact-substring dedup signal (RefinedWeb/MassiveText-style) at
     // token-window granularity: every 8-token span is counted corpus-wide
     // and each doc reports what fraction of its spans occur more than
@@ -5419,6 +5440,17 @@ object TextQueries {
          CAST(len(list_filter(string_split(text, ' '),
            t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT) AS n_stopwords
          FROM documents ORDER BY doc_id""",
+    // the ingest split re-derived from the corruption rule: % 37 lines
+    // are truncated (quarantined, all typed fields null), everything
+    // else parses clean with its original content
+    "q_jsonl_ingest" ->
+      """SELECT CASE WHEN doc_id % 37 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 0 ELSE length(text) END) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT CASE WHEN doc_id % 37 = 0 THEN NULL ELSE lang END) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT CASE WHEN doc_id % 37 = 0 THEN NULL ELSE source END) AS BIGINT) AS n_sources
+         FROM documents
+         GROUP BY 1 ORDER BY status""",
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          sp AS (SELECT doc_id, array_to_string(l[i:i+7], ' ') AS span
