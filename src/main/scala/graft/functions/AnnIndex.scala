@@ -143,35 +143,12 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell").parquet(postingsPath(dir))
   }
 
-  /** Content-fingerprint identity, same rule as
-    * [[graft.operators.BucketedTables]]: md5 over the dataset dir path
-    * plus (file, size, mtime) of the embeddings tree, so an in-process
-    * rewrite of the corpus mints a new tag and rebuilds instead of
-    * serving a stale index. Unlistable paths degrade to the path-only
-    * tag, never an error.
+  /** Content-fingerprint identity over the embeddings tree — see
+    * [[graft.ops.ContentTag]]: an in-process rewrite of the corpus mints
+    * a new tag and rebuilds instead of serving a stale index.
     */
-  private def tagFor(dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(dir.getBytes("UTF-8"))
-    try {
-      val p = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
-      val files: Seq[java.nio.file.Path] =
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.walk(p)
-          try {
-            import scala.jdk.CollectionConverters._
-            st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-              .toVector.sortBy(_.toString)
-          } finally st.close()
-        } else if (java.nio.file.Files.exists(p)) Seq(p)
-        else Seq.empty
-      files.foreach { f =>
-        md.update((f.toString + "|" + java.nio.file.Files.size(f) + "|" +
-          java.nio.file.Files.getLastModifiedTime(f).toMillis).getBytes("UTF-8"))
-      }
-    } catch { case scala.util.control.NonFatal(_) => /* path-only tag */ }
-    md.digest.take(8).map("%02x".format(_)).mkString
-  }
+  private def tagFor(dir: String): String =
+    graft.ops.ContentTag.of(dir, Seq("embeddings"))
 
   /** Most recent ensure()'d index root — the side channel the
     * dynamically-built q_ann_indexed oracle reads (Verify dumps

@@ -39,52 +39,12 @@ object BucketedTables {
 
   val NumBuckets = 8
 
-  /** Content-sensitive table identity: md5 over the dataset dir PATH
-    * plus a (file name, size, mtime) fingerprint of the two source
-    * parquet trees. The path alone was a stale-data hazard: the caches
-    * key per (JVM, dir), so an in-process rewrite of the dir would keep
-    * serving the bucketed copy of the OLD bytes — silently wrong
-    * results. Folding the file metadata in makes a rewrite mint a new
-    * tag, which rebuilds the bucketed tables and recomputes the probe
-    * key; superseded tables linger in the catalog/tmpdir (bounded by
-    * the number of in-process rewrites — rare outside tests) rather
-    * than risking a wrong serve. Local-FS listing here matches the
-    * local[n] test rig; a cluster port swaps in the Hadoop FileSystem
-    * listing (same (path, size, mtime) triple), and an unlistable dir
-    * (e.g. a remote URI under the local rig) degrades to the path-only
-    * tag — the pre-fingerprint behavior, never an error.
+  /** Content-sensitive table identity over the two source trees — see
+    * [[graft.ops.ContentTag]] for the stale-data rationale and the
+    * degradation contract.
     */
-  private def tagFor(dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(dir.getBytes("UTF-8"))
-    Seq("lineitem", "orders").foreach { t =>
-      try {
-        val p = java.nio.file.Paths.get(s"$dir/$t.parquet")
-        // walk the FULL tree (not just the top level): a partitioned
-        // parquet layout rewritten in place below the first level must
-        // change the fingerprint too
-        val files: Seq[java.nio.file.Path] =
-          if (java.nio.file.Files.isDirectory(p)) {
-            val st = java.nio.file.Files.walk(p)
-            try {
-              import scala.jdk.CollectionConverters._
-              st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-                .toVector.sortBy(_.toString)
-            } finally st.close()
-          } else if (java.nio.file.Files.exists(p)) Seq(p)
-          else Seq.empty
-        files.foreach { f =>
-          md.update((f.toString + "|" + java.nio.file.Files.size(f) + "|" +
-            java.nio.file.Files.getLastModifiedTime(f).toMillis)
-            .getBytes("UTF-8"))
-        }
-        // degrade to the path-only tag on ANY listing failure (remote
-        // URI, permission, concurrent delete) — never an error, exactly
-        // the behavior the docstring promises
-      } catch { case scala.util.control.NonFatal(_) => /* path-only tag */ }
-    }
-    md.digest.take(8).map("%02x".format(_)).mkString
-  }
+  private def tagFor(dir: String): String =
+    graft.ops.ContentTag.of(dir, Seq("lineitem", "orders"))
 
   /** Idempotently materialize lineitem + orders bucketed by orderkey for
     * `dir`'s CURRENT contents; returns the two catalog table names.

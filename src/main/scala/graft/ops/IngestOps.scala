@@ -52,35 +52,6 @@ object IngestOps {
     StructField("text", StringType),
     StructField("_corrupt_record", StringType)))
 
-  /** Content-sensitive corpus identity (md5 over the dir path + the
-    * (name, size, mtime) fingerprint of the documents tree) — an
-    * in-process rewrite of the source dir mints a new tag and
-    * regenerates the JSONL copy instead of serving stale bytes.
-    */
-  private def tagFor(dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(dir.getBytes("UTF-8"))
-    try {
-      val p = java.nio.file.Paths.get(s"$dir/documents.parquet")
-      val files: Seq[java.nio.file.Path] =
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.walk(p)
-          try {
-            import scala.jdk.CollectionConverters._
-            st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-              .toVector.sortBy(_.toString)
-          } finally st.close()
-        } else if (java.nio.file.Files.exists(p)) Seq(p)
-        else Seq.empty
-      files.foreach { f =>
-        md.update((f.toString + "|" + java.nio.file.Files.size(f) + "|" +
-          java.nio.file.Files.getLastModifiedTime(f).toMillis)
-          .getBytes("UTF-8"))
-      }
-    } catch { case scala.util.control.NonFatal(_) => /* path-only tag */ }
-    md.digest.take(8).map("%02x".format(_)).mkString
-  }
-
   /** Idempotently materialize the JSONL corpus for `dir`'s current
     * contents; returns its path. One text line per document: corrupt
     * rule first (trumps drift on the 407-multiples), then drift, then
@@ -88,7 +59,8 @@ object IngestOps {
     * newlines, so every document is exactly one line.
     */
   def ensureJsonl(s: SparkSession, dir: String): String = synchronized {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_jsonl/${tagFor(dir)}"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_jsonl/" +
+      ContentTag.of(dir, Seq("documents"))
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
       val j = to_json(struct(col("doc_id"), col("lang"), col("source"), col("text")))
       val line = when(col("doc_id") % CorruptEvery === 0, j.substr(lit(1), lit(10)))

@@ -63,6 +63,74 @@ object LayoutOps {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Outcome of a [[compactFiles]] run — the numbers a table-maintenance
+    * job reports and alerts on.
+    */
+  final case class CompactStats(
+      filesIn: Int, bytesIn: Long, filesOut: Int, bytesOut: Long)
+
+  /** Small-file compaction: rewrite a fragmented parquet directory into
+    * ~`targetFileBytes`-sized files. The small-files problem is the
+    * classic silent killer at 100 TB — a streaming sink or an
+    * over-parallel write leaves millions of KB-scale files, and every
+    * subsequent scan pays a task + footer read + open/close per file
+    * (plus a NameNode/object-store listing storm) for kilobytes of data.
+    * Compaction is pure layout maintenance: content identical, file
+    * count sized to bytes.
+    *
+    * Output file count = ceil(bytesIn / targetFileBytes) (compressed
+    * parquet in ≈ compressed parquet out).
+    *  - `sortCols` empty: `coalesce` — merges input splits with ZERO
+    *    shuffle (each output task just reads several input files); the
+    *    cheapest possible rewrite, preserves no ordering.
+    *  - `sortCols` given: range-cluster rewrite (the [[clusterWrite]]
+    *    path) — one shuffle, and the compacted files get tight,
+    *    disjoint min/max on the sort key, so the rewrite doubles as a
+    *    re-cluster. Use when the table has a dominant filter column.
+    *
+    * Atomicity is the caller's concern (write to a fresh dir and swap,
+    * or route through StagedSink) — compaction itself must not invent a
+    * second commit protocol.
+    */
+  def compactFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String,
+      targetFileBytes: Long,
+      sortCols: Seq[Column] = Nil): CompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val in = listParquet(inPath)
+    require(in.nonEmpty, s"no parquet files under $inPath")
+    val bytesIn = in.map(_._2).sum
+    val nOut = math.max(1L,
+      (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val laid =
+      if (sortCols.isEmpty) df.coalesce(nOut)
+      else df.repartitionByRange(nOut, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+    laid.write.mode("overwrite").parquet(outPath)
+    val out = listParquet(outPath)
+    CompactStats(in.length, bytesIn, out.length, out.map(_._2).sum)
+  }
+
+  /** (path, size) of every parquet data file under `path` (recursive —
+    * partitioned layouts included). Local-FS listing matches the
+    * local[n] rig; a cluster port swaps in the Hadoop FileSystem walk.
+    */
+  private def listParquet(path: String): Seq[(String, Long)] = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val st = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.size(p)))
+        .toVector.sortBy(_._1)
+    } finally st.close()
+  }
+
   /** Per-file [min, max] of a column — the reader's-eye view of what a
     * layout makes skippable. Used by specs and layout audits.
     */

@@ -1922,6 +1922,33 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Small-file compaction (LayoutOps.compactFiles) — table maintenance
+    // as a first-class op: a deliberately fragmented copy of orders (64
+    // KB-scale files, the streaming-sink failure mode) is compacted to
+    // ~128 MB-target files via the zero-shuffle coalesce path, write-once
+    // per (JVM, dir contents). The query then aggregates the COMPACTED
+    // copy; the oracle aggregates the original table — hash equality IS
+    // the compaction correctness claim (content identical, only layout
+    // changed). File-count/bytes mechanics are pinned in LayoutOpsSpec.
+    "q_compact_scan" -> { (s, dir) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_compact/" +
+        graft.ops.ContentTag.of(dir, Seq("orders"))
+      val out = s"$root/compacted"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/_SUCCESS"))) {
+        val frag = s"$root/frag"
+        Tables(s, dir, "orders").repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        graft.ops.LayoutOps.compactFiles(s, frag, out, 128L << 20)
+      }
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          sum((col("o_totalprice").cast(DecimalType(18, 4)) * lit(100))
+            .cast(LongType)).as("sum_cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // Degree assortativity (Newman 2002) over the part co-purchase
     // graph — does the graph wire hubs-to-hubs (r > 0, social shape) or
     // hubs-to-leaves (r < 0, web/dependency shape)? The one-number
@@ -2540,6 +2567,13 @@ object RelationalQueries {
            FROM orders)
          SELECT o_orderkey, xa, xb, ${zValueSql("xa", "xb")} AS z
          FROM base ORDER BY o_orderkey""",
+    // the original table, not the compacted copy: layout must not
+    // change content
+    "q_compact_scan" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_sql_shipping_priority" ->
       s"""SELECT l_orderkey,
          ${decToDouble("""sum(CAST(l_extendedprice AS DECIMAL(18,4))

@@ -90,4 +90,53 @@ class LayoutOpsSpec extends SparkSpec {
     val b = spark.read.parquet(zord).agg(sum("x"), sum("y")).head()
     assert(a == b)
   }
+
+  test("compactFiles merges a fragmented dir, content identical") {
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cpct").toString
+    val df = spark.range(10000L).select(col("id"),
+      (col("id") % 7).as("k"))
+    df.repartition(48).write.mode("overwrite").parquet(frag)
+    val stats = LayoutOps.compactFiles(spark, frag, out, targetFileBytes = 1L << 30)
+    assert(stats.filesIn == 48)
+    assert(stats.filesOut == 1, s"expected one ~GB-target file: $stats")
+    assert(stats.bytesIn > 0 && stats.bytesOut > 0)
+    // compaction is layout-only: same rows, same values
+    val before = df.agg(count(lit(1)), sum("id"), sum("k")).head()
+    val after = spark.read.parquet(out).agg(count(lit(1)), sum("id"), sum("k")).head()
+    assert(before == after)
+  }
+
+  test("compactFiles honors the byte target and the sorted variant clusters") {
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag2").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cpct2").toString
+    spark.range(200000L).select(col("id"), shiftleft(col("id"), 3).as("v"))
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    val bytesIn = new java.io.File(frag).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // pick a target that wants ~4 output files
+    val target = math.max(1L, bytesIn / 4)
+    val stats = LayoutOps.compactFiles(spark, frag, out, target, sortCols = Seq(col("id")))
+    val wanted = ((bytesIn + target - 1) / target).toInt
+    assert(stats.filesOut <= wanted && stats.filesOut >= 1,
+      s"files ${stats.filesOut} vs wanted <= $wanted")
+    // the sorted variant leaves disjoint per-file id ranges (footer
+    // stats prune like clusterWrite's)
+    val ranges = LayoutOps.fileRanges(spark, out, "id").map(r => (r._2, r._3))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $ranges")
+      case _ =>
+    }
+  }
+
+  test("compactFiles rejects an empty or missing input dir") {
+    val empty = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    intercept[IllegalArgumentException] {
+      LayoutOps.compactFiles(spark, empty, empty + "_out", 1L << 20)
+    }
+    intercept[IllegalArgumentException] {
+      LayoutOps.compactFiles(spark, "/nonexistent/graft", "/tmp/x", 1L << 20)
+    }
+  }
 }
