@@ -665,6 +665,20 @@ object TextQueries {
         ORDER BY q_id, rk""")
     },
 
+    // Index MAINTENANCE: the same IVF probe over an index copy with
+    // every vec_id % 41 tombstone-deleted (AnnIndex.delete — O(batch)
+    // append, no postings rewrite; vacuum reclaims on a cadence,
+    // spec-pinned identical). The oracle excludes the STORED tombstones
+    // table from the STORED postings, so the persisted deletion bytes
+    // are verified, and deleted ids must vanish from every top-k.
+    "q_ann_index_delete" -> { (s, dir) =>
+      val idx = graft.functions.AnnIndex.ensureDeleted(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      graft.functions.AnnIndex.ivfTopK(e.filter(col("vec_id") < 50), idx, k = 5)
+        .select(col("q_id"), col("rk"), col("n_id"), col("cos_sim"))
+        .orderBy("q_id", "rk")
+    },
+
     // PQ-ADC probe of the SAME persisted index: codebook off the stored
     // meta row, compressed codes off postings — no sample scan, no
     // Lloyd, no base-corpus read anywhere in the plan. Oracle re-scores
@@ -3751,15 +3765,30 @@ object TextQueries {
     * which case check.py skips the compare too.
     */
   private def annIndexedOracle: String =
-    graft.functions.AnnIndex.lastEnsuredDir match {
+    annIvfStoredOracle(graft.functions.AnnIndex.lastEnsuredDir, tombstoned = false)
+
+  /** q_ann_index_delete oracle — the stored-index probe with the STORED
+    * tombstones table excluded from postings, so the persisted deletion
+    * bytes (not just the rule) are what gets verified.
+    */
+  private def annIndexDeleteOracle: String =
+    annIvfStoredOracle(graft.functions.AnnIndex.lastDeletedDir, tombstoned = true)
+
+  private def annIvfStoredOracle(dir: Option[String], tombstoned: Boolean): String =
+    dir match {
       case None =>
         "SELECT 0 AS q_id, 0 AS rk, 0 AS n_id, 0.0 AS cos_sim WHERE 1=0"
       case Some(root) =>
+        val notDeleted =
+          if (tombstoned)
+            s"WHERE n_id NOT IN (SELECT n_id FROM read_parquet('$root/tombstones/*.parquet'))"
+          else ""
         s"""WITH cent AS (SELECT cell, centroid AS vec
              FROM read_parquet('$root/centroids/*.parquet')),
            mt AS (SELECT nprobe FROM read_parquet('$root/meta/*.parquet')),
            p AS (SELECT cell, n_id, n_vec AS vec
-             FROM read_parquet('$root/postings/*/*.parquet', hive_partitioning=1)),
+             FROM read_parquet('$root/postings/*/*.parquet', hive_partitioning=1)
+             $notDeleted),
            q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS vec
              FROM embeddings WHERE vec_id < 50),
            probes AS (
@@ -3826,7 +3855,8 @@ object TextQueries {
   def oracles: Map[String, String] = oraclesStatic +
     ("q_ann_indexed" -> annIndexedOracle) +
     ("q_ann_indexed_sql" -> annIndexedOracle) + // TVF spelling, same truth
-    ("q_ann_indexed_pq" -> annIndexedPqOracle)
+    ("q_ann_indexed_pq" -> annIndexedPqOracle) +
+    ("q_ann_index_delete" -> annIndexDeleteOracle)
 
   /** q_ann_eval oracle: the IVF chain ([[ivfRankedCtes]]) and the exact
     * brute-force chain side by side, recall@5 as the per-query count of

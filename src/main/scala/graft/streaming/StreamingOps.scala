@@ -461,7 +461,8 @@ object StreamingOps {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
     val flat = lit(cents.flatten.toArray)
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    // tombstone-aware like the batch probes (stream-static anti-join)
+    val postings = graft.functions.AnnIndex.livePostings(spark, indexDir)
       .select(col("cell"), col("n_id"), col("n_vec"))
     val q = queries.select(col(idCol).as("q_id"),
         graft.functions.VectorOps.toDoubleVec(col(vecCol)).as("q_vec"))

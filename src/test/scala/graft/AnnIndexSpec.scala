@@ -183,6 +183,41 @@ class AnnIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delete() hides tombstoned ids; vacuum() reclaims with identical probes") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec/del"
+    AnnIndex.build(e, dir, nlist = 0, trainRounds = 0)
+    val q = e.filter(col("vec_id") < 20)
+    // delete ids that provably appear in the pre-delete top-k, so the
+    // test can't pass vacuously
+    val preIvf = canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim")
+    val victims = preIvf.map(_._3).distinct.take(5)
+    assert(victims.nonEmpty)
+    AnnIndex.delete(victims.toDF("vec_id"), dir)
+    val postIvf = canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim")
+    val postPq = canon(AnnIndex.pqTopK(q, dir, k = 5), "score")
+    assert(postIvf.nonEmpty && postPq.nonEmpty)
+    assert(!postIvf.exists(r => victims.contains(r._3)))
+    assert(!postPq.exists(r => victims.contains(r._3)))
+    assert(postIvf != preIvf) // the victims' slots re-filled, not frozen
+    // vacuum physically removes exactly the tombstoned rows that exist
+    // in postings, clears the tombstones, and changes NO probe result
+    val before = spark.read.parquet(s"$dir/postings").count()
+    val removed = AnnIndex.vacuum(spark, dir)
+    assert(removed == victims.length)
+    assert(spark.read.parquet(s"$dir/postings").count() == before - removed)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/tombstones")))
+    assert(canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim") == postIvf)
+    assert(canon(AnnIndex.pqTopK(q, dir, k = 5), "score") == postPq)
+    // idempotent: nothing left to reclaim
+    assert(AnnIndex.vacuum(spark, dir) == 0L)
+    // deleting an id the index never held is harmless
+    AnnIndex.delete(Seq(Long.MaxValue).toDF("vec_id"), dir)
+    assert(canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim") == postIvf)
+    assert(AnnIndex.vacuum(spark, dir) == 0L)
+  }
+
   test("ensure() is content-keyed: corpus rewrite mints a new index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_ensure").toString
