@@ -104,5 +104,12 @@ object SparkEntry {
     // r16: the last two TVF spellings — full SQL parity for every
     // bespoke operator family, each under its DataFrame twin's oracle —
     // plus the stored-index probe's SQL spelling
-    "q_fuzzy_sql", "q_range_sql", "q_ann_indexed_sql")
+    "q_fuzzy_sql", "q_range_sql", "q_ann_indexed_sql",
+    // r16 second wave — the new tiers: robust JSONL ingestion
+    // (permissive parse + quarantine over the derived corpus), table
+    // maintenance (small-file compaction; scan of the compacted copy),
+    // index maintenance (tombstone-deleted stored-index probe), and the
+    // Spark 4 pipe-syntax SQL surface. The ensure()-style one-time
+    // derived writes amortize across min-of-3 like q_bucket_join.
+    "q_jsonl_ingest", "q_compact_scan", "q_ann_index_delete", "q_pipe_sql")
 }

@@ -92,4 +92,20 @@ object IngestOps {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
+
+  /** The streaming twin — the continuous-ingestion front door (a crawler
+    * keeps dropping JSONL files into a landing dir; the pipeline tails
+    * it): same schema, same permissive parse, same quarantine contract,
+    * as a file-source stream. `maxFilesPerTrigger` is the
+    * ingest-rate-limiting knob a landing-dir tail needs in production.
+    */
+  def readJsonlQuarantineStream(
+      s: SparkSession, path: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = s.readStream.schema(docSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    (if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    else r).json(path)
+  }
 }

@@ -788,11 +788,18 @@ object TextQueries {
     "q_jsonl_ingest" -> { (s, dir) =>
       val parsed = graft.ops.IngestOps.readJsonlQuarantine(
         s, graft.ops.IngestOps.ensureJsonl(s, dir))
+      // two-level aggregate: the corpus-sized line stream combines
+      // map-side into the per-(status, lang, source) frame; the
+      // multi-distinct Expand runs over THAT tag-domain-sized frame
+      // (expandAllow-justified), never the raw lines
       parsed
         .groupBy(when(col("_corrupt_record").isNotNull, "quarantined")
-          .otherwise("ok").as("status"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(coalesce(length(col("text")).cast(LongType), lit(0L))).as("n_chars"),
+          .otherwise("ok").as("status"), col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(length(col("text")).cast(LongType), lit(0L))).as("chars"))
+        .groupBy("status")
+        .agg(sum(col("n")).as("n_docs"),
+          sum(col("chars")).as("n_chars"),
           count_distinct(col("lang")).as("n_langs"),
           count_distinct(col("source")).as("n_sources"))
         .orderBy("status")

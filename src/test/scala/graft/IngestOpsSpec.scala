@@ -60,6 +60,26 @@ class IngestOpsSpec extends SparkSpec {
     assert(d22(0).getString(1) == "de")
   }
 
+  test("streaming ingest quarantines in-stream, content equal to the batch read") {
+    val dir = writeDocs(docs)
+    val path = IngestOps.ensureJsonl(spark, dir)
+    val stream = IngestOps.readJsonlQuarantineStream(spark, path, maxFilesPerTrigger = 1)
+      .groupBy(when(col("_corrupt_record").isNotNull, "quarantined")
+        .otherwise("ok").as("status"))
+      // count a typed column too — both to prove content parses and to
+      // keep the scan off the corrupt-column-only restriction (see
+      // readJsonlQuarantine scaladoc)
+      .agg(count(lit(1)).as("n"), count(col("doc_id")).as("n_parsed"))
+    val q = stream.writeStream.format("memory").queryName("ingest_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ingest_stream").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got == Map("ok" -> ((4L, 4L)), "quarantined" -> ((2L, 0L))))
+    } finally q.stop()
+  }
+
   test("a rewrite of the source dir regenerates the derived corpus") {
     val dir = writeDocs(docs)
     val first = IngestOps.ensureJsonl(spark, dir)
