@@ -51,6 +51,15 @@ object ScaleSmoke {
     // so its factor should sit well under the brute-force baseline's;
     // the SQL spelling plans the identical probe (TVF twin convention)
     "q_ann_indexed", "q_ann_indexed_pq", "q_ann_indexed_sql",
+    // index maintenance at Nx: its own index build (first run, one-time)
+    // plus the tombstone anti-join on the pruned postings read — the
+    // probe factor should sit on q_ann_indexed's with the small
+    // broadcast-anti-join constant on top
+    "q_ann_index_delete",
+    // robust ingest at Nx: the one-time JSONL derivation (two linear
+    // passes: to_json write + permissive parse) then the tag-domain
+    // aggregate — must track the scan
+    "q_jsonl_ingest",
     // semantic dedup at Nx: clone groups all land in one cell and lose
     // to the min id — in-cell pair work is bounded by cell size (~n /
     // nlist), not corpus size; past MaxAutoNlist-cell corpora pass
@@ -264,7 +273,8 @@ object ScaleSmoke {
     * builder scales only what the selection consumes.
     */
   private val ordersConsumers =
-    Set("q_isotonic_cal", "q_woe_iv", "q_bootstrap", "q_bucket_join")
+    Set("q_isotonic_cal", "q_woe_iv", "q_bootstrap", "q_bucket_join",
+      "q_compact_scan", "q_pipe_sql")
   private val customerConsumers = Set("q_record_linkage")
 
   private val relationalQueries = Seq(
@@ -275,7 +285,14 @@ object ScaleSmoke {
     // zero-shuffle join carries Nx real matches; the first Nx run pays
     // the one-time bucketed write (the stored-layout amortization the
     // operator exists for)
-    "q_bucket_join")
+    "q_bucket_join",
+    // r16: compaction at Nx orders — fragment + coalesce-rewrite, both
+    // linear write passes (the maintenance job's honest cost); pipe
+    // syntax at Nx orders — the parser-surface twin of the broadcast
+    // join + aggregate it lowers to (customer stays 1x: o_custkey is
+    // unshifted, so every order still matches and per-segment groups
+    // get Nx fatter)
+    "q_compact_scan", "q_pipe_sql")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated
