@@ -80,6 +80,38 @@ class IngestOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("JSONL round-trip is byte-exact under adversarial unicode") {
+    // the escaping surface a crawl corpus actually exercises: newlines
+    // and carriage returns (line-framing hazards), quotes/backslashes,
+    // U+2028/U+2029 (legal in JSON strings, line separators in JS),
+    // control chars, astral-plane emoji (surrogate pairs), NUL, and a
+    // BOM — every clean doc must come back identical
+    val texts = Seq(
+      "line\nbreak\r\nand\rlone CR",
+      """quotes " and \ backslash and /slash""",
+      "line sep \u2028 para sep \u2029 done",
+      "ctrl \u0000 \u0001 \u001f tab\t bell\u0007",
+      "emoji \ud83d\ude00\ud83e\udd16 and accented \u00e9\u00fc\u00f1",
+      "\ufeffBOM-prefixed doc",
+      "", // empty text
+      " \t \n ") // whitespace-only
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      // ids chosen clean of both rules (no %37, no %11 multiples)
+      ((i + 1).toLong, t, "xx", "prop")
+    }
+    val dir = writeDocs(rows)
+    val parsed = IngestOps.readJsonlQuarantine(spark, IngestOps.ensureJsonl(spark, dir))
+    // collect, not count(): count would prune doc_id away and trip the
+    // corrupt-column-only restriction
+    assert(parsed.filter(col("_corrupt_record").isNotNull)
+      .select("doc_id").collect().isEmpty)
+    val got = parsed.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.foreach { case (id, t, _, _) =>
+      assert(got(id) == t, s"doc $id mangled: ${got(id).getBytes("UTF-8").toSeq}")
+    }
+  }
+
   test("a rewrite of the source dir regenerates the derived corpus") {
     val dir = writeDocs(docs)
     val first = IngestOps.ensureJsonl(spark, dir)
