@@ -165,25 +165,61 @@ object AnnIndex {
     * Probe results are identical before and after (spec-pinned) — this
     * reclaims bytes and removes the per-probe anti-join, nothing else.
     * Single-writer maintenance operation (the standard compaction
-    * contract); the local-FS delete+move swap matches the local[n] rig —
-    * a cluster port swaps in FileSystem.rename or a StagedSink-style
-    * commit. Returns the number of rows removed.
+    * contract). The swap follows [[graft.ops.CoreOps.upsert]]'s crash
+    * discipline: the staged rewrite gets a `_GRAFT_COMMIT` marker
+    * strictly after its write returns, and every crash window is
+    * recovered (or surfaced loudly) by [[recoverVacuum]] on the next
+    * probe or vacuum — a crash between delete and move can never lose
+    * the postings. Returns the number of rows removed.
     */
   def vacuum(spark: SparkSession, dir: String): Long = {
+    recoverVacuum(dir)
     val tPath = java.nio.file.Paths.get(tombstonesPath(dir))
     if (!java.nio.file.Files.exists(tPath)) return 0L
     val tombs = spark.read.parquet(tombstonesPath(dir))
     val postings = spark.read.parquet(postingsPath(dir))
     val before = postings.count()
-    val staged = s"$dir/postings_staged"
+    val staged = stagedPath(dir)
     postings.join(tombs, Seq("n_id"), "left_anti")
       .write.mode("overwrite").partitionBy("cell").parquet(staged)
     val after = spark.read.parquet(staged).count()
+    // marker strictly after the staged write returns: a crash before it
+    // leaves staging unmarked (and postings intact) — the next vacuum
+    // just rebuilds staging
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(staged, graft.ops.CoreOps.CommitMarker))
     deleteTree(java.nio.file.Paths.get(postingsPath(dir)))
     java.nio.file.Files.move(java.nio.file.Paths.get(staged),
       java.nio.file.Paths.get(postingsPath(dir)))
     deleteTree(tPath)
     before - after
+  }
+
+  private def stagedPath(dir: String) = s"$dir/postings_staged"
+
+  /** Finish (or refuse) an interrupted [[vacuum]] swap: a missing
+    * postings dir next to a COMPLETE staged rewrite (marker present —
+    * Spark's `_SUCCESS` also accepted) is the delete-then-crash window;
+    * the rewritten postings are sitting in staging, so the move is
+    * finished here. Unmarked staging with missing postings is
+    * unrecoverable — fail loudly. Tombstones possibly left behind (a
+    * crash before the final clear) are harmless: the rewritten postings
+    * no longer hold those ids, so the anti-join is a no-op and the next
+    * vacuum clears them.
+    */
+  private def recoverVacuum(dir: String): Unit = {
+    val postings = java.nio.file.Paths.get(postingsPath(dir))
+    val staged = java.nio.file.Paths.get(stagedPath(dir))
+    if (!java.nio.file.Files.exists(postings) &&
+        java.nio.file.Files.exists(staged)) {
+      val complete =
+        java.nio.file.Files.exists(staged.resolve(graft.ops.CoreOps.CommitMarker)) ||
+          java.nio.file.Files.exists(staged.resolve("_SUCCESS"))
+      require(complete, s"AnnIndex.vacuum($dir): postings missing and " +
+        s"staging is incomplete (no ${graft.ops.CoreOps.CommitMarker}) — " +
+        "manual inspection required")
+      java.nio.file.Files.move(staged, postings)
+    }
   }
 
   private def deleteTree(root: java.nio.file.Path): Unit = {
@@ -200,6 +236,7 @@ object AnnIndex {
     * a [[delete]] and the next [[vacuum]]).
     */
   private[graft] def livePostings(spark: SparkSession, dir: String): DataFrame = {
+    recoverVacuum(dir)
     val postings = spark.read.parquet(postingsPath(dir))
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(tombstonesPath(dir))))
       // no broadcast hint: file-size stats pick broadcast for the

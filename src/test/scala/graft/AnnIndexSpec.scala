@@ -218,6 +218,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.vacuum(spark, dir) == 0L)
   }
 
+  test("vacuum's delete-then-crash window recovers; unmarked staging refuses") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec/crash"
+    AnnIndex.build(e, dir, nlist = 0, trainRounds = 0)
+    val q = e.filter(col("vec_id") < 10)
+    val want = canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim")
+    // simulate: staged rewrite complete (marker present), postings
+    // deleted, crash before the move — the exact delete-then-crash state
+    val postings = java.nio.file.Paths.get(s"$dir/postings")
+    val staged = java.nio.file.Paths.get(s"$dir/postings_staged")
+    java.nio.file.Files.move(postings, staged)
+    java.nio.file.Files.createFile(
+      staged.resolve(graft.ops.CoreOps.CommitMarker))
+    // the next probe finishes the swap and reads the recovered postings
+    assert(canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim") == want)
+    assert(java.nio.file.Files.exists(postings) &&
+      !java.nio.file.Files.exists(staged))
+    // unmarked staging + missing postings = unrecoverable: loud failure,
+    // nothing touched (the write's own _SUCCESS must go too — either
+    // marker is accepted as completeness evidence, like CoreOps.upsert)
+    java.nio.file.Files.move(postings, staged)
+    java.nio.file.Files.delete(
+      staged.resolve(graft.ops.CoreOps.CommitMarker))
+    java.nio.file.Files.deleteIfExists(staged.resolve("_SUCCESS"))
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.vacuum(spark, dir)
+    }
+    assert(ex.getMessage.contains("manual inspection"))
+    assert(java.nio.file.Files.exists(staged))
+  }
+
   test("ensure() is content-keyed: corpus rewrite mints a new index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_ensure").toString
