@@ -179,20 +179,61 @@ object AnnIndex {
     val tombs = spark.read.parquet(tombstonesPath(dir))
     val postings = spark.read.parquet(postingsPath(dir))
     val before = postings.count()
+    val after = stageAndSwapPostings(spark, dir,
+      postings.join(tombs, Seq("n_id"), "left_anti"))
+    deleteTree(tPath)
+    before - after
+  }
+
+  /** Partition-preserving compaction of the postings layout: every
+    * [[append]] batch adds at least one file per touched cell, so an
+    * append-heavy index accretes exactly the small-files problem
+    * [[graft.ops.LayoutOps.compactFiles]] exists for — but a flat
+    * compaction would fold the `cell` partitioning (and its probe-time
+    * pruning) away. This rewrite clusters one task per cell
+    * (`repartition(cell)`), so each cell comes back as a single file,
+    * through the same staged `_GRAFT_COMMIT` swap as [[vacuum]]. Probe
+    * results are identical before and after (spec-pinned). Returns the
+    * number of data files reclaimed.
+    */
+  def compactPostings(spark: SparkSession, dir: String): Long = {
+    recoverVacuum(dir)
+    def nFiles = {
+      val st = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(postingsPath(dir)))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+      } finally st.close()
+    }
+    val before = nFiles
+    stageAndSwapPostings(spark, dir,
+      spark.read.parquet(postingsPath(dir)).repartition(col("cell")))
+    before - nFiles
+  }
+
+  /** Shared staged rewrite + commit-marker swap for the maintenance
+    * operations ([[vacuum]], [[compactPostings]]): write the new
+    * postings to staging, mark complete strictly after the write
+    * returns, then swap — every crash window lands in
+    * [[recoverVacuum]]'s contract. Returns the staged row count.
+    */
+  private def stageAndSwapPostings(
+      spark: SparkSession, dir: String, rewritten: DataFrame): Long = {
     val staged = stagedPath(dir)
-    postings.join(tombs, Seq("n_id"), "left_anti")
-      .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    rewritten.write.mode("overwrite").partitionBy("cell").parquet(staged)
     val after = spark.read.parquet(staged).count()
     // marker strictly after the staged write returns: a crash before it
-    // leaves staging unmarked (and postings intact) — the next vacuum
-    // just rebuilds staging
+    // leaves staging unmarked (and postings intact) — the next
+    // maintenance call just rebuilds staging
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(staged, graft.ops.CoreOps.CommitMarker))
     deleteTree(java.nio.file.Paths.get(postingsPath(dir)))
     java.nio.file.Files.move(java.nio.file.Paths.get(staged),
       java.nio.file.Paths.get(postingsPath(dir)))
-    deleteTree(tPath)
-    before - after
+    after
   }
 
   private def stagedPath(dir: String) = s"$dir/postings_staged"
@@ -207,7 +248,7 @@ object AnnIndex {
     * no longer hold those ids, so the anti-join is a no-op and the next
     * vacuum clears them.
     */
-  private def recoverVacuum(dir: String): Unit = {
+  private def recoverVacuum(dir: String): Unit = synchronized {
     val postings = java.nio.file.Paths.get(postingsPath(dir))
     val staged = java.nio.file.Paths.get(stagedPath(dir))
     if (!java.nio.file.Files.exists(postings) &&

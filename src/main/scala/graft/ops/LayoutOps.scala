@@ -91,6 +91,13 @@ object LayoutOps {
     * Atomicity is the caller's concern (write to a fresh dir and swap,
     * or route through StagedSink) — compaction itself must not invent a
     * second commit protocol.
+    *
+    * Hive-partitioned tables: run this per leaf partition dir (the
+    * maintenance loop's natural unit of work). Compacting the ROOT of a
+    * partitioned layout folds the partition columns back into the data
+    * files — logically the same rows, but the partitioning (and its
+    * pruning) is gone. Partition-preserving compaction for the ANN
+    * postings layout is [[graft.functions.AnnIndex.compactPostings]].
     */
   def compactFiles(
       spark: org.apache.spark.sql.SparkSession,

@@ -218,9 +218,47 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.vacuum(spark, dir) == 0L)
   }
 
+  test("compactPostings merges append-fragmented cells, probes unchanged") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec/cpct"
+    // quantizers trained on the full corpus, postings built from a third
+    // of it, then two appends — every touched cell now holds >= 2 files
+    AnnIndex.build(e, dir, nlist = 0, trainRounds = 0)
+    AnnIndex.vacuum(spark, dir) // no-op, just proves composability
+    AnnIndex.append(e.filter(col("vec_id") >= 300 && col("vec_id") < 400), dir)
+    AnnIndex.append(e.filter(col("vec_id") >= 400), dir)
+    def files = {
+      val st = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/postings"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet")).toVector
+      } finally st.close()
+    }
+    val q = e.filter(col("vec_id") < 10)
+    val before = canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim")
+    val fragFiles = files
+    val cells = fragFiles.map(_.getParent).distinct.length
+    assert(fragFiles.length > cells, "appends should have fragmented cells")
+    val reclaimed = AnnIndex.compactPostings(spark, dir)
+    val compacted = files
+    assert(reclaimed == fragFiles.length - compacted.length && reclaimed > 0)
+    // one file per cell, same cells, identical probe
+    assert(compacted.length == cells)
+    assert(compacted.map(_.getParent).distinct.length == cells)
+    assert(canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim") == before)
+    // already compact: nothing further to reclaim
+    assert(AnnIndex.compactPostings(spark, dir) == 0L)
+  }
+
   test("vacuum's delete-then-crash window recovers; unmarked staging refuses") {
     import spark.implicits._
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec/crash"
+    // fresh dir per run: this test deliberately ENDS in the refuse state
+    // (unmarked staging), which a shared path would carry into the next
+    // suite run's build
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annidx_crash").toString
     AnnIndex.build(e, dir, nlist = 0, trainRounds = 0)
     val q = e.filter(col("vec_id") < 10)
     val want = canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim")
