@@ -1141,7 +1141,8 @@ object GraftFunctions {
     * custom operators (a `LogicalPlan`, not an `Expression`) — one per
     * bespoke operator family, so spark.sql users reach each without the
     * DataFrame API: the as-of tier, exact dedup, ANN, the PassJoin
-    * edit-distance join, and the banded range join.
+    * edit-distance join, the banded range join, and the quarantine
+    * ingest read.
     */
   val tableFns: Seq[(String, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
@@ -1159,7 +1160,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.operators.FuzzyJoin.sqlBuilder(es)),
     ("graft_range",
       new ExpressionInfo("graft.operators.RangeJoin", "graft_range"),
-      (es: Seq[Expression]) => graft.operators.RangeJoin.sqlBuilder(es)))
+      (es: Seq[Expression]) => graft.operators.RangeJoin.sqlBuilder(es)),
+    ("graft_ingest",
+      new ExpressionInfo("graft.ops.IngestOps", "graft_ingest"),
+      (es: Seq[Expression]) => graft.ops.IngestOps.sqlBuilder(es)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

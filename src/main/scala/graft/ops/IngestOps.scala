@@ -93,6 +93,48 @@ object IngestOps {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** SQL table-valued surface, registered as `graft_ingest` (same
+    * injection path as `graft_asof` — see
+    * [[graft.plans.NativeAsOfJoin.sqlBuilder]]):
+    *
+    * {{{
+    * SELECT * FROM graft_ingest('/landing/dir')                -- all rows
+    * SELECT * FROM graft_ingest('/landing/dir', 'clean')       -- parsed only
+    * SELECT * FROM graft_ingest('/landing/dir', 'quarantine')  -- corrupt only
+    * }}}
+    *
+    * 'clean' drops the corrupt column (the downstream-table shape);
+    * 'quarantine' keeps the FULL row — the typed columns are all null
+    * there, but dropping them would leave the scan referencing only the
+    * corrupt column, which the JSON reader rejects (see
+    * [[readJsonlQuarantine]]); callers project the raw line off the
+    * result instead.
+    */
+  def sqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def arg(i: Int, what: String): String = {
+      val e = es(i)
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"graft_ingest: $what must be a literal")
+      Option(e.eval()).map(_.toString).getOrElse("")
+    }
+    if (es.isEmpty || es.size > 2)
+      throw new IllegalArgumentException(
+        "graft_ingest(path[, 'all'|'clean'|'quarantine'])")
+    val df = readJsonlQuarantine(
+      org.apache.spark.sql.SparkSession.active, arg(0, "path"))
+    val out = (if (es.size > 1) arg(1, "mode") else "all") match {
+      case "" | "all" => df
+      case "clean" =>
+        df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+      case "quarantine" => df.filter(col("_corrupt_record").isNotNull)
+      case m => throw new IllegalArgumentException(
+        s"graft_ingest: mode must be all|clean|quarantine, got '$m'")
+    }
+    out.queryExecution.analyzed
+  }
+
   /** The streaming twin — the continuous-ingestion front door (a crawler
     * keeps dropping JSONL files into a landing dir; the pipeline tails
     * it): same schema, same permissive parse, same quarantine contract,

@@ -777,6 +777,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The ingest tier's SQL spelling: graft_ingest's 'clean' mode is the
+    // downstream-table shape (quarantine filtered, corrupt column
+    // dropped), so the per-language rollup re-derives from the original
+    // parquet with the corruption rule inverted.
+    "q_ingest_sql" -> { (s, dir) =>
+      // explicit (idempotent) registration: every other query reaches it
+      // through Tables(), but ensureJsonl only touches Tables on a cache
+      // MISS — a warm corpus would otherwise leave a plain session
+      // without the TVF registry
+      graft.functions.GraftFunctions.register(s)
+      val path = graft.ops.IngestOps.ensureJsonl(s, dir)
+      s.sql(s"""
+        SELECT lang, count(*) AS n_docs,
+          sum(length(text)) AS n_chars
+        FROM graft_ingest('$path', 'clean')
+        GROUP BY lang ORDER BY lang""")
+    },
+
     // Robust JSONL ingestion (IngestOps): permissive parse with
     // corrupt-record quarantine + schema-drift tolerance, the front door
     // of every crawl-fed pipeline. The derived corpus deterministically
@@ -5480,6 +5498,11 @@ object TextQueries {
     // the ingest split re-derived from the corruption rule: % 37 lines
     // are truncated (quarantined, all typed fields null), everything
     // else parses clean with its original content
+    "q_ingest_sql" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id % 37 <> 0
+         GROUP BY lang ORDER BY lang""",
     "q_jsonl_ingest" ->
       """SELECT CASE WHEN doc_id % 37 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
            CAST(count(*) AS BIGINT) AS n_docs,

@@ -112,6 +112,33 @@ class IngestOpsSpec extends SparkSpec {
     }
   }
 
+  test("graft_ingest TVF: all/clean/quarantine modes and argument validation") {
+    val dir = writeDocs(docs)
+    val path = IngestOps.ensureJsonl(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql(s"SELECT doc_id FROM graft_ingest('$path')")
+      .collect().length == 6)
+    val clean = spark.sql(s"SELECT * FROM graft_ingest('$path', 'clean')")
+    assert(!clean.columns.contains("_corrupt_record"))
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 11L, 22L))
+    // quarantine keeps the full row (typed nulls + raw line) — see the
+    // sqlBuilder doc for why the corrupt column can't stand alone
+    val quar = spark.sql(
+      s"SELECT doc_id, _corrupt_record FROM graft_ingest('$path', 'quarantine')")
+      .collect()
+    assert(quar.length == 2 && quar.forall(_.isNullAt(0)))
+    assert(quar.forall(_.getString(1) == """{"doc_id":"""))
+    val badMode = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ingest('$path', 'bogus')").collect()
+    }
+    assert(badMode.getMessage.contains("mode must be"))
+    val badArity = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ingest('$path', 'all', 'extra')").collect()
+    }
+    assert(badArity.getMessage.contains("graft_ingest(path"))
+  }
+
   test("a rewrite of the source dir regenerates the derived corpus") {
     val dir = writeDocs(docs)
     val first = IngestOps.ensureJsonl(spark, dir)
