@@ -44,6 +44,12 @@ class ExplainSpec extends SparkSpec {
     // remaining exchange is the final decile aggregate
     "q_heaps" -> 1,
     "q_drawdown" -> 2, "q_theil_sen" -> 3,
+    // r16 continuation tiers: ingest (level-1 agg, multi-distinct
+    // regroup over the tag domain, sort ×2 stages), its clean-mode TVF,
+    // compaction scan, deleted-index probe (anti-join rides the
+    // broadcast, probe top-k + sort), pipe-syntax SQL
+    "q_jsonl_ingest" -> 4, "q_ingest_sql" -> 2, "q_compact_scan" -> 2,
+    "q_ann_index_delete" -> 2, "q_pipe_sql" -> 2,
     // q_matryoshka: 4 independent brute-force top-k pipelines (full
     // truth + 3 truncated variants) at ~3 exchanges each — every frame
     // is (|queries| x k)-sized after the aggregator's map-side cap, so
