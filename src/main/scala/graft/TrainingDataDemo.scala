@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * `documents` table — the composition every individual operator in
   * `queries.TextQueries` exists to serve:
   *
-  *   scan → quality admission (lang-ID + quality score + length bounds)
+  *   robust JSONL ingestion (permissive parse, malformed lines
+  *     quarantined — IngestOps, the corpus's actual front door)
+  *     → quality admission (lang-ID + quality score + length bounds)
   *     → exact dedup (windowed keep-first on the content hash)
   *     → near-dedup (n-gram Jaccard pairs → connected-component clusters
   *       → drop non-canonical members)
@@ -18,7 +20,10 @@ import org.apache.spark.sql.functions._
   *     → deterministic train/heldout split (md5 hash sampling)
   *     → fixed-width chunk packing
   *     → partitioned parquet layout (split column = partition dir, so
-  *       training readers scan only their split).
+  *       training readers scan only their split)
+  *     → per-split small-file compaction (LayoutOps.compactFiles on
+  *       each leaf — the maintenance pass that keeps reader file counts
+  *       proportional to bytes, not to write parallelism).
   *
   * Stage attrition is measured with `Observation`s inside the jobs — no
   * extra counting passes. Pipeline order is the one ScaleSmoke measured:
@@ -43,7 +48,19 @@ object TrainingDataDemo {
 
   /** Runs the pipeline; returns stage-attrition counters. */
   def run(spark: SparkSession, sfDir: String, outDir: String): Seq[(String, Long)] = {
-    val docs = Tables(spark, sfDir, "documents")
+    // 0. robust ingestion — the actual front door: the corpus arrives
+    // as JSONL lines (derived from documents.parquet, with the %37
+    // corruption modeling transport damage), parses permissively, and
+    // QUARANTINES malformed lines instead of failing the job or
+    // silently dropping them (ops.IngestOps). localCheckpoint
+    // materializes the one-pass parse: the clean/quarantine split and
+    // every downstream counter read the parsed rows, not the raw files
+    // (which also keeps corrupt-column-only pruning off the scan).
+    val parsed = graft.ops.IngestOps.readJsonlQuarantine(
+      spark, graft.ops.IngestOps.ensureJsonl(spark, sfDir)).localCheckpoint()
+    val quarantined = parsed.filter(col("_corrupt_record").isNotNull)
+    val docs = parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
 
     // 1. quality admission — the shared stage-1 gates (one definition
     // for batch and streaming, TextOps.admissionGates): language,
@@ -100,8 +117,32 @@ object TrainingDataDemo {
         sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train_chunks"))
     chunks.write.mode("overwrite").partitionBy("split").parquet(outDir)
 
+    // 6. layout maintenance — compact each split's leaf dir (the
+    // per-partition unit LayoutOps.compactFiles documents) so training
+    // readers open ~targetFileBytes files, not one file per write task
+    val reclaimed = Seq("train", "heldout").map { s =>
+      val leaf = s"$outDir/split=$s"
+      if (new java.io.File(leaf).exists()) {
+        val st = graft.ops.LayoutOps.compactFiles(
+          spark, leaf, leaf + ".cpct", 128L << 20)
+        // swap the compacted leaf in (single-writer demo; the marker
+        // protocol lives in the sink/index tiers)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(leaf))
+        java.nio.file.Files.move(java.nio.file.Paths.get(leaf + ".cpct"),
+          java.nio.file.Paths.get(leaf))
+        st.filesIn - st.filesOut
+      } else 0
+    }.sum
+
     val m = obs.get
     Seq(
+      "lines_in" -> parsed.count(),
+      // plain count is fine here: parsed is checkpointed, so this reads
+      // materialized rows, not a corrupt-column-only file scan
+      "quarantined" -> quarantined.count(),
       "docs_in" -> docs.count(),
       "admitted" -> admitted.count(),
       "exact_deduped" -> exactDeduped.count(),
@@ -109,6 +150,7 @@ object TrainingDataDemo {
       "decontaminated" -> clean.count(),
       "docs_out" -> m("n_docs_out").asInstanceOf[Long],
       "chunks" -> m("n_chunks").asInstanceOf[Long],
-      "train_chunks" -> m("n_train_chunks").asInstanceOf[Long])
+      "train_chunks" -> m("n_train_chunks").asInstanceOf[Long],
+      "files_reclaimed" -> reclaimed.toLong)
   }
 }

@@ -8,7 +8,11 @@ class TrainingDataDemoSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_demo").toString
     val stats = TrainingDataDemo.run(spark, "/root/testdata/sf0.001", out).toMap
 
-    // attrition is monotone through the funnel
+    // attrition is monotone through the funnel, starting at the ingest
+    // front door: every line either parses or is quarantined, and the
+    // %37 corruption rule puts a known floor under the quarantine
+    assert(stats("lines_in") == stats("quarantined") + stats("docs_in"))
+    assert(stats("quarantined") > 0)
     assert(stats("docs_in") >= stats("admitted"))
     assert(stats("admitted") >= stats("exact_deduped"))
     assert(stats("exact_deduped") >= stats("near_deduped"))
