@@ -58,8 +58,9 @@ object ScaleSmoke {
     "q_ann_index_delete",
     // robust ingest at Nx: the one-time JSONL derivation (two linear
     // passes: to_json write + permissive parse) then the tag-domain
-    // aggregate — must track the scan
-    "q_jsonl_ingest",
+    // aggregate — must track the scan; the TVF spelling plans the
+    // identical clean-mode read (TVF twin convention)
+    "q_jsonl_ingest", "q_ingest_sql",
     // semantic dedup at Nx: clone groups all land in one cell and lose
     // to the min id — in-cell pair work is bounded by cell size (~n /
     // nlist), not corpus size; past MaxAutoNlist-cell corpora pass
