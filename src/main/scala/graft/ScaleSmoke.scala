@@ -56,6 +56,11 @@ object ScaleSmoke {
     // probe factor should sit on q_ann_indexed's with the small
     // broadcast-anti-join constant on top
     "q_ann_index_delete",
+    // staleness audit at Nx: one pruned postings scan + the flat-literal
+    // nearest-cell kernel — per-cell counts are all that shuffles, so
+    // the factor must track the scan (first run pays its own demo-index
+    // build + retrain, the amortization pattern again)
+    "q_ann_index_drift",
     // robust ingest at Nx: the one-time JSONL derivation (two linear
     // passes: to_json write + permissive parse) then the tag-domain
     // aggregate — must track the scan; the TVF spelling plans the

@@ -111,5 +111,8 @@ object SparkEntry {
     // index maintenance (tombstone-deleted stored-index probe), and the
     // Spark 4 pipe-syntax SQL surface. The ensure()-style one-time
     // derived writes amortize across min-of-3 like q_bucket_join.
-    "q_jsonl_ingest", "q_compact_scan", "q_ann_index_delete", "q_pipe_sql")
+    "q_jsonl_ingest", "q_compact_scan", "q_ann_index_delete", "q_pipe_sql",
+    // the ingest TVF spelling and the index-staleness audit (the
+    // quantizer-cadence cycle's scheduling signal)
+    "q_ingest_sql", "q_ann_index_drift")
 }

@@ -288,6 +288,101 @@ object AnnIndex {
     else postings
   }
 
+  /** Retrain the coarse quantizer IN PLACE from the index's own stored
+    * vectors (Lloyd rounds seeded by the same md5-ordered init as
+    * [[VectorOps.kMeansCentroids]]) — the cadence reality of a growing
+    * corpus: batches keep [[append]]-ing against the stored centroids,
+    * and the quantizer is re-fit periodically, NOT per batch. Postings
+    * keep their OLD assignments afterwards (only `centroids/` is
+    * overwritten): probes stay correct as approximations — they rank
+    * real vectors with exact cosines — but recall degrades as stored
+    * cells diverge from the new centroid field. [[driftStats]] measures
+    * exactly that divergence; [[reassignPostings]] repairs it.
+    */
+  def retrainCentroids(spark: SparkSession, dir: String, rounds: Int = 1): Unit = {
+    require(rounds > 0, "retrainCentroids: rounds must be positive")
+    val nlist = spark.read.parquet(metaPath(dir)).head().getAs[Int]("nlist")
+    val corpus = livePostings(spark, dir)
+      .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
+    val cents = VectorOps.kMeansCentroids(corpus, nlist, rounds)
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(dir))
+  }
+
+  /** Index-staleness audit: per stored cell, how many live postings rows
+    * would NO LONGER be assigned there under the CURRENT centroids —
+    * the number that decides when a [[reassignPostings]] (or full
+    * retrain cycle) is due. One pruned postings scan + the codegen'd
+    * nearest-cell kernel; the centroid table rides as a flat literal,
+    * so nothing shuffles but the per-cell counts.
+    */
+  def driftStats(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.parquet(metaPath(dir)).head().getAs[Int]("dim")
+    val cents = spark.read.parquet(centroidsPath(dir))
+      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val flat = lit(cents.flatten.toArray)
+    livePostings(spark, dir)
+      .withColumn("best",
+        call_function("graft_nearest_cell", col("n_vec"), flat, lit(dim)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("best") =!= col("cell"), 1L).otherwise(0L))
+          .as("n_misassigned"))
+      .orderBy("cell")
+  }
+
+  /** Re-cluster every live posting under the CURRENT centroids — the
+    * repair step after [[retrainCentroids]]: one postings scan, cell
+    * recomputed by the nearest-cell kernel, rewritten through the same
+    * `_GRAFT_COMMIT` staged swap as [[vacuum]]. Subsumes a vacuum
+    * (tombstoned rows are dropped by the live read and the tombstone
+    * table cleared). After this, [[driftStats]] reads all-zero and the
+    * index is probe-identical to a fresh build over the live corpus
+    * with the same quantizers (spec-pinned).
+    */
+  def reassignPostings(spark: SparkSession, dir: String): Unit = {
+    recoverVacuum(dir)
+    val dim = spark.read.parquet(metaPath(dir)).head().getAs[Int]("dim")
+    val cents = spark.read.parquet(centroidsPath(dir))
+      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val flat = lit(cents.flatten.toArray)
+    stageAndSwapPostings(spark, dir,
+      livePostings(spark, dir).withColumn("cell",
+        call_function("graft_nearest_cell", col("n_vec"), flat, lit(dim))))
+    val tPath = java.nio.file.Paths.get(tombstonesPath(dir))
+    if (java.nio.file.Files.exists(tPath)) deleteTree(tPath)
+  }
+
+  /** Most recent ensureDrifted()'d index root — q_ann_index_drift's
+    * oracle side channel, same contract as [[lastEnsuredDir]].
+    */
+  @volatile private[graft] var lastDriftDir: Option[String] = None
+
+  private val ensuredDrift = scala.collection.mutable.Map.empty[String, String]
+
+  /** The drift demo's index: built with SAMPLE centroids (trainRounds =
+    * 0), then the quantizer retrained in place for 2 Lloyd rounds —
+    * postings keep their stale assignments, so [[driftStats]] has real
+    * divergence to measure, and the oracle re-derives it entirely from
+    * the STORED centroids + postings. Once per (JVM, corpus contents).
+    */
+  def ensureDrifted(s: SparkSession, sfDir: String): String = synchronized {
+    val tag = tagFor(sfDir)
+    val root = ensuredDrift.getOrElseUpdate(tag, {
+      val r = s"${sys.props("java.io.tmpdir")}/graft_ann_index_drift/$tag"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"${postingsPath(r)}/_SUCCESS"))) {
+        build(graft.Tables(s, sfDir, "embeddings"), r, nlist = 0, trainRounds = 0)
+        retrainCentroids(s, r, rounds = 2)
+      }
+      r
+    })
+    lastDriftDir = Some(root)
+    root
+  }
+
   /** Content-fingerprint identity over the embeddings tree — see
     * [[graft.ops.ContentTag]]: an in-process rewrite of the corpus mints
     * a new tag and rebuilds instead of serving a stale index.

@@ -679,6 +679,18 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Index STALENESS audit (AnnIndex.driftStats): per stored cell, how
+    // many postings rows would no longer land there under the CURRENT
+    // centroids — the number that schedules reassignment/retraining.
+    // The demo index is built with sample centroids then Lloyd-retrained
+    // in place (postings keep stale assignments), so there is real
+    // divergence; the oracle recomputes every row's nearest centroid in
+    // DuckDB FROM THE STORED centroids + postings.
+    "q_ann_index_drift" -> { (s, dir) =>
+      graft.functions.AnnIndex.driftStats(
+        s, graft.functions.AnnIndex.ensureDrifted(s, dir))
+    },
+
     // PQ-ADC probe of the SAME persisted index: codebook off the stored
     // meta row, compressed codes off postings — no sample scan, no
     // Lloyd, no base-corpus read anywhere in the plan. Oracle re-scores
@@ -3789,6 +3801,32 @@ object TextQueries {
     * can only be reached on a filtered run that skipped the query, in
     * which case check.py skips the compare too.
     */
+  /** q_ann_index_drift oracle — every stored posting's nearest CURRENT
+    * centroid recomputed in DuckDB (same (cos DESC, cell) tie rule as
+    * the nearest-cell kernel), aggregated per stored cell. A wrong
+    * stored centroid, assignment, or vector flips the hash.
+    */
+  private def annIndexDriftOracle: String =
+    graft.functions.AnnIndex.lastDriftDir match {
+      case None =>
+        "SELECT 0 AS cell, 0 AS n_rows, 0 AS n_misassigned WHERE 1=0"
+      case Some(root) =>
+        s"""WITH cent AS (SELECT cell, centroid AS vec
+             FROM read_parquet('$root/centroids/*.parquet')),
+           p AS (SELECT cell, n_id, n_vec AS vec
+             FROM read_parquet('$root/postings/*/*.parquet', hive_partitioning=1)),
+           scored AS (
+             SELECT p.n_id, p.cell AS stored, cent.cell AS cand,
+               row_number() OVER (PARTITION BY p.n_id
+                 ORDER BY ${cosSql("p", "cent")} DESC, cent.cell) AS rk
+             FROM p CROSS JOIN cent)
+           SELECT stored AS cell, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN cand <> stored THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_misassigned
+           FROM scored WHERE rk = 1
+           GROUP BY 1 ORDER BY cell"""
+    }
+
   private def annIndexedOracle: String =
     annIvfStoredOracle(graft.functions.AnnIndex.lastEnsuredDir, tombstoned = false)
 
@@ -3881,7 +3919,8 @@ object TextQueries {
     ("q_ann_indexed" -> annIndexedOracle) +
     ("q_ann_indexed_sql" -> annIndexedOracle) + // TVF spelling, same truth
     ("q_ann_indexed_pq" -> annIndexedPqOracle) +
-    ("q_ann_index_delete" -> annIndexDeleteOracle)
+    ("q_ann_index_delete" -> annIndexDeleteOracle) +
+    ("q_ann_index_drift" -> annIndexDriftOracle)
 
   /** q_ann_eval oracle: the IVF chain ([[ivfRankedCtes]]) and the exact
     * brute-force chain side by side, recall@5 as the per-query count of

@@ -252,6 +252,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.compactPostings(spark, dir) == 0L)
   }
 
+  test("retrain -> drift -> reassign: the quantizer-cadence repair cycle") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec/drift"
+    AnnIndex.build(e, dir, nlist = 0, trainRounds = 0)
+    def drifted = AnnIndex.driftStats(spark, dir)
+      .agg(sum(col("n_rows")), sum(col("n_misassigned"))).head()
+    // fresh build: every row sits in its nearest cell by construction
+    assert(drifted.getLong(1) == 0L)
+    // retrain moves the centroid field; postings keep stale assignments
+    AnnIndex.retrainCentroids(spark, dir, rounds = 2)
+    val afterRetrain = drifted
+    assert(afterRetrain.getLong(1) > 0L,
+      "2 Lloyd rounds over sample-seeded cells should reassign something")
+    // reassignment repairs: zero drift, and the index is probe-identical
+    // to a fresh build over the same corpus with the SAME (retrained)
+    // quantizers
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val cb = spark.read.parquet(s"$dir/meta").head()
+      .getAs[Seq[Double]]("flat").toArray
+    AnnIndex.reassignPostings(spark, dir)
+    assert(drifted.getLong(1) == 0L)
+    assert(drifted.getLong(0) == afterRetrain.getLong(0), "no rows lost")
+    val fresh = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec/drift_fresh"
+    AnnIndex.build(e, fresh, centroids = cents, codebook = cb)
+    val q = e.filter(col("vec_id") < 10)
+    assert(canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim") ==
+      canon(AnnIndex.ivfTopK(q, fresh, k = 5), "cos_sim"))
+    assert(canon(AnnIndex.pqTopK(q, dir, k = 5), "score") ==
+      canon(AnnIndex.pqTopK(q, fresh, k = 5), "score"))
+  }
+
   test("vacuum's delete-then-crash window recovers; unmarked staging refuses") {
     import spark.implicits._
     // fresh dir per run: this test deliberately ENDS in the refuse state

@@ -49,7 +49,7 @@ class ExplainSpec extends SparkSpec {
     // compaction scan, deleted-index probe (anti-join rides the
     // broadcast, probe top-k + sort), pipe-syntax SQL
     "q_jsonl_ingest" -> 4, "q_ingest_sql" -> 2, "q_compact_scan" -> 2,
-    "q_ann_index_delete" -> 2, "q_pipe_sql" -> 2,
+    "q_ann_index_delete" -> 2, "q_pipe_sql" -> 2, "q_ann_index_drift" -> 2,
     // q_matryoshka: 4 independent brute-force top-k pipelines (full
     // truth + 3 truncated variants) at ~3 exchanges each — every frame
     // is (|queries| x k)-sized after the aggregator's map-side cap, so
