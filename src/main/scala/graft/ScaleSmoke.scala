@@ -364,11 +364,26 @@ object ScaleSmoke {
     java.nio.file.Files.createDirectories(dst)
     val scaled = Set("documents", "embeddings", "events", "lineitem",
       "orders", "customer")
-    Tables.names.filterNot(scaled).foreach { t =>
+    // raw-copy with a stale-target clear: REPLACE_EXISTING handles
+    // file-over-file, but a PREVIOUS run with a different selection may
+    // have left a cloned DIRECTORY at the target (e.g. a built 10x
+    // orders tree where this run wants the 1x file) — copy would throw
+    // DirectoryNotEmptyException
+    def rawCopy(t: String): Unit = {
+      val target = dst.resolve(s"$t.parquet")
+      if (java.nio.file.Files.isDirectory(target)) {
+        val st = java.nio.file.Files.walk(target)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.toVector.reverseIterator
+            .foreach(java.nio.file.Files.delete)
+        } finally st.close()
+      }
       java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$src/$t.parquet"), dst.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"$src/$t.parquet"), target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    Tables.names.filterNot(scaled).foreach(rawCopy)
     def buildNx(table: String, idCol: String): (Long, Long) = {
       val df = Tables(spark, src, table)
       val step = df.agg(max(col(idCol))).head().getLong(0) + 1
@@ -426,9 +441,7 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$work/customer.parquet")
     }
     Seq("orders" -> needsOrders, "customer" -> needsCustomer).foreach {
-      case (t, built) => if (!built) java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$src/$t.parquet"), dst.resolve(s"$t.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case (t, built) => if (!built) rawCopy(t)
     }
 
     // lineitem: shift BOTH keys so every copy is a disjoint component of

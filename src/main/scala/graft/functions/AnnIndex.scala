@@ -274,7 +274,13 @@ object AnnIndex {
 
   /** Postings minus the tombstone set — what every probe reads. The
     * anti-join only appears in the plan while tombstones exist (between
-    * a [[delete]] and the next [[vacuum]]).
+    * a [[delete]] and the next [[vacuum]]). The existence check runs at
+    * PLAN CONSTRUCTION: a batch query always sees the current set, but a
+    * STREAMING probe built over a tombstone-free index keeps its
+    * anti-join-free plan for the life of the query — deletes issued
+    * mid-stream become visible on restart (the standard stream-static
+    * staleness contract; tombstones present at start ARE re-read per
+    * micro-batch like any static side).
     */
   private[graft] def livePostings(spark: SparkSession, dir: String): DataFrame = {
     recoverVacuum(dir)
