@@ -371,14 +371,8 @@ object ScaleSmoke {
     // DirectoryNotEmptyException
     def rawCopy(t: String): Unit = {
       val target = dst.resolve(s"$t.parquet")
-      if (java.nio.file.Files.isDirectory(target)) {
-        val st = java.nio.file.Files.walk(target)
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.toVector.reverseIterator
-            .foreach(java.nio.file.Files.delete)
-        } finally st.close()
-      }
+      if (java.nio.file.Files.isDirectory(target))
+        graft.ops.LocalFs.deleteTree(target)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"), target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

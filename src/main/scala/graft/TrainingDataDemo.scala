@@ -127,10 +127,7 @@ object TrainingDataDemo {
           spark, leaf, leaf + ".cpct", 128L << 20)
         // swap the compacted leaf in (single-writer demo; the marker
         // protocol lives in the sink/index tiers)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(new java.io.File(leaf))
+        graft.ops.LocalFs.deleteTree(java.nio.file.Paths.get(leaf))
         java.nio.file.Files.move(java.nio.file.Paths.get(leaf + ".cpct"),
           java.nio.file.Paths.get(leaf))
         st.filesIn - st.filesOut

@@ -263,14 +263,8 @@ object AnnIndex {
     }
   }
 
-  private def deleteTree(root: java.nio.file.Path): Unit = {
-    val st = java.nio.file.Files.walk(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala.toVector.reverseIterator
-        .foreach(java.nio.file.Files.delete)
-    } finally st.close()
-  }
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    graft.ops.LocalFs.deleteTree(root)
 
   /** Postings minus the tombstone set — what every probe reads. The
     * anti-join only appears in the plan while tombstones exist (between
