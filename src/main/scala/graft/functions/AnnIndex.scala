@@ -131,8 +131,7 @@ object AnnIndex {
     val dsub = meta.getAs[Int]("dsub")
     val kEff = meta.getAs[Int]("ksub_eff")
     val codebook = meta.getAs[Seq[Double]]("flat").toArray
-    val cents = spark.read.parquet(centroidsPath(dir))
-      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val cents = storedCentroids(spark, dir)
     val flatC = lit(cents.flatten.toArray)
     val pqFlat = lit(codebook)
     newVectors.select(col(idCol).as("n_id"),
@@ -165,12 +164,13 @@ object AnnIndex {
     * Probe results are identical before and after (spec-pinned) — this
     * reclaims bytes and removes the per-probe anti-join, nothing else.
     * Single-writer maintenance operation (the standard compaction
-    * contract). The swap follows [[graft.ops.CoreOps.upsert]]'s crash
-    * discipline: the staged rewrite gets a `_GRAFT_COMMIT` marker
-    * strictly after its write returns, and every crash window is
+    * contract). The swap extends [[graft.ops.CoreOps.upsert]]'s crash
+    * discipline with a RENAME-ASIDE: the staged rewrite gets a
+    * `_GRAFT_COMMIT` marker strictly after its write returns, the live
+    * postings are atomically renamed aside (never tree-deleted while
+    * they are the only complete copy), and every crash window is
     * recovered (or surfaced loudly) by [[recoverVacuum]] on the next
-    * probe or vacuum — a crash between delete and move can never lose
-    * the postings. Returns the number of rows removed.
+    * probe or vacuum. Returns the number of rows removed.
     */
   def vacuum(spark: SparkSession, dir: String): Long = {
     recoverVacuum(dir)
@@ -198,16 +198,7 @@ object AnnIndex {
     */
   def compactPostings(spark: SparkSession, dir: String): Long = {
     recoverVacuum(dir)
-    def nFiles = {
-      val st = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(postingsPath(dir)))
-      try {
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.count(p =>
-          java.nio.file.Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
-      } finally st.close()
-    }
+    def nFiles = graft.ops.LayoutOps.listParquet(postingsPath(dir)).length
     val before = nFiles
     stageAndSwapPostings(spark, dir,
       spark.read.parquet(postingsPath(dir)).repartition(col("cell")))
@@ -215,52 +206,115 @@ object AnnIndex {
   }
 
   /** Shared staged rewrite + commit-marker swap for the maintenance
-    * operations ([[vacuum]], [[compactPostings]]): write the new
-    * postings to staging, mark complete strictly after the write
-    * returns, then swap — every crash window lands in
-    * [[recoverVacuum]]'s contract. Returns the staged row count.
+    * operations ([[vacuum]], [[compactPostings]], [[reassignPostings]]):
+    * write the new postings to staging, mark complete strictly after the
+    * write returns, then swap via RENAME-ASIDE — the live postings dir
+    * is atomically moved to `postings_old`, staging atomically moved in,
+    * then the old copy deleted. No step ever deletes the only complete
+    * copy: a crash at any point leaves either the old postings in place
+    * (staging rebuilt next call), or a finished/finishable swap that
+    * [[recoverVacuum]] completes (move staged in, drop the old copy).
+    * A rewrite that would leave the index EMPTY is refused — a fully
+    * purged index should be dropped, not served as an unreadable dir.
+    * The swap section shares [[recoverVacuum]]'s monitor so an in-JVM
+    * probe's recovery check cannot interleave with a half-done swap
+    * (cross-JVM, maintenance stays single-writer by contract).
+    * Returns the staged row count.
     */
   private def stageAndSwapPostings(
       spark: SparkSession, dir: String, rewritten: DataFrame): Long = {
     val staged = stagedPath(dir)
     rewritten.write.mode("overwrite").partitionBy("cell").parquet(staged)
-    val after = spark.read.parquet(staged).count()
+    // explicit schema: an all-rows-removed staged dir has no parquet
+    // files to infer from (the count must still work to refuse below)
+    val after = spark.read.schema(rewritten.schema).parquet(staged).count()
+    if (after == 0L) {
+      deleteTree(java.nio.file.Paths.get(staged))
+      throw new IllegalStateException(
+        s"AnnIndex($dir): rewrite would remove every posting — an empty " +
+          "index is unreadable; drop the index directory instead")
+    }
     // marker strictly after the staged write returns: a crash before it
     // leaves staging unmarked (and postings intact) — the next
     // maintenance call just rebuilds staging
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(staged, graft.ops.CoreOps.CommitMarker))
-    deleteTree(java.nio.file.Paths.get(postingsPath(dir)))
-    java.nio.file.Files.move(java.nio.file.Paths.get(staged),
-      java.nio.file.Paths.get(postingsPath(dir)))
+    synchronized {
+      val postings = java.nio.file.Paths.get(postingsPath(dir))
+      val old = java.nio.file.Paths.get(oldPath(dir))
+      deleteTree(old) // leftover from an interrupted prior swap
+      java.nio.file.Files.move(postings, old)
+      java.nio.file.Files.move(java.nio.file.Paths.get(staged), postings)
+      deleteTree(old)
+    }
     after
   }
 
   private def stagedPath(dir: String) = s"$dir/postings_staged"
+  private def oldPath(dir: String) = s"$dir/postings_old"
 
-  /** Finish (or refuse) an interrupted [[vacuum]] swap: a missing
-    * postings dir next to a COMPLETE staged rewrite (marker present —
-    * Spark's `_SUCCESS` also accepted) is the delete-then-crash window;
-    * the rewritten postings are sitting in staging, so the move is
-    * finished here. Unmarked staging with missing postings is
-    * unrecoverable — fail loudly. Tombstones possibly left behind (a
-    * crash before the final clear) are harmless: the rewritten postings
-    * no longer hold those ids, so the anti-join is a no-op and the next
-    * vacuum clears them.
+  /** Finish an interrupted maintenance swap. With the rename-aside
+    * discipline every crash state is recoverable:
+    *  - postings present: drop any leftover `postings_old` / unmarked
+    *    staging debris (a COMPLETE staged dir next to live postings just
+    *    waits for the next maintenance call to rebuild it — never swap
+    *    it in here, its tombstone set may be stale).
+    *  - postings missing + staged COMPLETE (marker or `_SUCCESS`):
+    *    the between-moves crash — finish the move, drop the old copy.
+    *  - postings missing + no complete staging + `postings_old` present:
+    *    crash after the rename-aside with staging somehow unusable —
+    *    restore the old copy verbatim.
+    *  - none of the above: genuinely unrecoverable, fail loudly.
+    * Tombstones possibly left behind by an interrupted [[vacuum]] are
+    * harmless: the rewritten postings no longer hold those ids, so the
+    * anti-join is a no-op and the next vacuum clears them.
     */
   private def recoverVacuum(dir: String): Unit = synchronized {
-    val postings = java.nio.file.Paths.get(postingsPath(dir))
-    val staged = java.nio.file.Paths.get(stagedPath(dir))
-    if (!java.nio.file.Files.exists(postings) &&
-        java.nio.file.Files.exists(staged)) {
-      val complete =
-        java.nio.file.Files.exists(staged.resolve(graft.ops.CoreOps.CommitMarker)) ||
-          java.nio.file.Files.exists(staged.resolve("_SUCCESS"))
-      require(complete, s"AnnIndex.vacuum($dir): postings missing and " +
-        s"staging is incomplete (no ${graft.ops.CoreOps.CommitMarker}) — " +
-        "manual inspection required")
-      java.nio.file.Files.move(staged, postings)
+    recoverSwap(dir, what = "postings",
+      live = postingsPath(dir), staged = stagedPath(dir), old = oldPath(dir))
+    recoverSwap(dir, what = "centroids",
+      live = centroidsPath(dir), staged = s"$dir/centroids_staged",
+      old = s"$dir/centroids_old")
+  }
+
+  /** One rename-aside recovery (see [[recoverVacuum]]'s case list). */
+  private def recoverSwap(
+      dir: String, what: String,
+      live: String, staged: String, old: String): Unit = {
+    val livePath = java.nio.file.Paths.get(live)
+    val stagedPath = java.nio.file.Paths.get(staged)
+    val oldPath = java.nio.file.Paths.get(old)
+    if (java.nio.file.Files.exists(livePath)) {
+      deleteTree(oldPath)
+      return
     }
+    if (!java.nio.file.Files.exists(stagedPath) &&
+        !java.nio.file.Files.exists(oldPath)) return // index never built
+    val stagedComplete = java.nio.file.Files.exists(stagedPath) &&
+      (java.nio.file.Files.exists(
+        stagedPath.resolve(graft.ops.CoreOps.CommitMarker)) ||
+        java.nio.file.Files.exists(stagedPath.resolve("_SUCCESS")))
+    if (stagedComplete) {
+      java.nio.file.Files.move(stagedPath, livePath)
+      deleteTree(oldPath)
+    } else if (java.nio.file.Files.exists(oldPath)) {
+      java.nio.file.Files.move(oldPath, livePath)
+    } else {
+      throw new IllegalArgumentException(
+        s"AnnIndex($dir): $what missing and staging is incomplete " +
+          s"(no ${graft.ops.CoreOps.CommitMarker}) — manual inspection required")
+    }
+  }
+
+  /** The stored centroid table ordered by cell — ONE definition of the
+    * load rule for every probe and maintenance op, with interrupted-swap
+    * recovery run first (a probe must never read a half-swapped table).
+    */
+  private[graft] def storedCentroids(
+      spark: SparkSession, dir: String): Array[Seq[Double]] = {
+    recoverVacuum(dir)
+    spark.read.parquet(centroidsPath(dir))
+      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
   }
 
   private def deleteTree(root: java.nio.file.Path): Unit =
@@ -306,9 +360,22 @@ object AnnIndex {
       .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
     val cents = VectorOps.kMeansCentroids(corpus, nlist, rounds)
     import spark.implicits._
+    // staged + rename-aside, like the postings swaps: an in-place
+    // overwrite of the LIVE centroid table would brick the index on a
+    // mid-write crash (Spark's overwrite deletes first). The tiny table
+    // makes the window small, not acceptable.
+    val staged = s"$dir/centroids_staged"
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(dir))
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    synchronized {
+      val live = java.nio.file.Paths.get(centroidsPath(dir))
+      val old = java.nio.file.Paths.get(s"$dir/centroids_old")
+      deleteTree(old)
+      java.nio.file.Files.move(live, old)
+      java.nio.file.Files.move(java.nio.file.Paths.get(staged), live)
+      deleteTree(old)
+    }
   }
 
   /** Index-staleness audit: per stored cell, how many live postings rows
@@ -320,8 +387,7 @@ object AnnIndex {
     */
   def driftStats(spark: SparkSession, dir: String): DataFrame = {
     val dim = spark.read.parquet(metaPath(dir)).head().getAs[Int]("dim")
-    val cents = spark.read.parquet(centroidsPath(dir))
-      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val cents = storedCentroids(spark, dir)
     val flat = lit(cents.flatten.toArray)
     livePostings(spark, dir)
       .withColumn("best",
@@ -345,8 +411,7 @@ object AnnIndex {
   def reassignPostings(spark: SparkSession, dir: String): Unit = {
     recoverVacuum(dir)
     val dim = spark.read.parquet(metaPath(dir)).head().getAs[Int]("dim")
-    val cents = spark.read.parquet(centroidsPath(dir))
-      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val cents = storedCentroids(spark, dir)
     val flat = lit(cents.flatten.toArray)
     stageAndSwapPostings(spark, dir,
       livePostings(spark, dir).withColumn("cell",
@@ -372,10 +437,17 @@ object AnnIndex {
     val tag = tagFor(sfDir)
     val root = ensuredDrift.getOrElseUpdate(tag, {
       val r = s"${sys.props("java.io.tmpdir")}/graft_ann_index_drift/$tag"
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"${postingsPath(r)}/_SUCCESS"))) {
+      // completeness witness = a marker written strictly AFTER the
+      // retrain: postings/_SUCCESS alone (build()'s witness) would let
+      // a crash between build and retrain persist a permanently
+      // UNDRIFTED demo index — hash-consistent with its oracle, but
+      // measuring nothing. A missing marker rebuilds from scratch.
+      val done = java.nio.file.Paths.get(s"$r/_GRAFT_RETRAINED")
+      if (!java.nio.file.Files.exists(done)) {
+        deleteTree(java.nio.file.Paths.get(r))
         build(graft.Tables(s, sfDir, "embeddings"), r, nlist = 0, trainRounds = 0)
         retrainCentroids(s, r, rounds = 2)
+        java.nio.file.Files.createFile(done)
       }
       r
     })
@@ -464,8 +536,7 @@ object AnnIndex {
     val meta = spark.read.parquet(metaPath(indexDir)).head()
     val dim = meta.getAs[Int]("dim")
     val effNprobe = if (nprobe > 0) nprobe else meta.getAs[Int]("nprobe")
-    val cents = spark.read.parquet(centroidsPath(indexDir))
-      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val cents = storedCentroids(spark, indexDir)
     val flat = lit(cents.flatten.toArray)
     val postings = livePostings(spark, indexDir)
       .select(col("cell"), col("n_id"), col("n_vec"))

@@ -123,8 +123,9 @@ object LayoutOps {
   /** (path, size) of every parquet data file under `path` (recursive —
     * partitioned layouts included). Local-FS listing matches the
     * local[n] rig; a cluster port swaps in the Hadoop FileSystem walk.
+    * Shared with the index-maintenance file accounting.
     */
-  private def listParquet(path: String): Seq[(String, Long)] = {
+  private[graft] def listParquet(path: String): Seq[(String, Long)] = {
     val root = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(root)) return Seq.empty
     val st = java.nio.file.Files.walk(root)

@@ -304,9 +304,18 @@ class AnnIndexSpec extends SparkSpec {
     assert(canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim") == want)
     assert(java.nio.file.Files.exists(postings) &&
       !java.nio.file.Files.exists(staged))
-    // unmarked staging + missing postings = unrecoverable: loud failure,
-    // nothing touched (the write's own _SUCCESS must go too — either
-    // marker is accepted as completeness evidence, like CoreOps.upsert)
+    // rename-aside mid-state: postings renamed to postings_old, staging
+    // incomplete (crash during the staged write of the NEXT maintenance
+    // run) — recovery restores the old copy verbatim
+    val old = java.nio.file.Paths.get(s"$dir/postings_old")
+    java.nio.file.Files.move(postings, old)
+    assert(canon(AnnIndex.ivfTopK(q, dir, k = 5), "cos_sim") == want)
+    assert(java.nio.file.Files.exists(postings) &&
+      !java.nio.file.Files.exists(old))
+    // unmarked staging + missing postings + no old copy = unrecoverable:
+    // loud failure, nothing touched (the write's own _SUCCESS must go
+    // too — either marker is accepted as completeness evidence, like
+    // CoreOps.upsert)
     java.nio.file.Files.move(postings, staged)
     java.nio.file.Files.delete(
       staged.resolve(graft.ops.CoreOps.CommitMarker))
@@ -316,6 +325,19 @@ class AnnIndexSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("manual inspection"))
     assert(java.nio.file.Files.exists(staged))
+  }
+
+  test("vacuum refuses to leave an empty (unreadable) index behind") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annidx_purge").toString
+    AnnIndex.build(e.filter(col("vec_id") < 40), dir, nlist = 0, trainRounds = 0)
+    AnnIndex.delete(e.filter(col("vec_id") < 40).select("vec_id"), dir)
+    val ex = intercept[IllegalStateException] { AnnIndex.vacuum(spark, dir) }
+    assert(ex.getMessage.contains("drop the index directory"))
+    // the live postings are untouched and still probe correctly (minus
+    // the tombstoned rows, i.e. empty results — but readable plans)
+    assert(spark.read.parquet(s"$dir/postings").count() == 40)
   }
 
   test("ensure() is content-keyed: corpus rewrite mints a new index") {
