@@ -123,13 +123,18 @@ object CoreOps {
     * Crash windows, all recovered or surfaced loudly on the NEXT call
     * (staging completeness = our `_GRAFT_COMMIT` marker, written after
     * the staging write returns; Spark's `_SUCCESS` is also accepted for
-    * staging dirs a pre-marker version left behind):
+    * staging dirs a pre-marker version left behind). The swap is
+    * RENAME-ASIDE (target → `.old`, staging → target, drop `.old`), so
+    * the live table is never deleted while it is the only complete copy:
     *  - during staging write → target intact, staging partial (no
     *    marker): stale staging is overwritten by the next merge.
-    *  - after staging write, before delete → both exist: same as above
-    *    (the next merge re-derives staging from the intact target).
-    *  - between delete and rename → target missing, staging complete
-    *    (marker present): recovered here by finishing the rename.
+    *  - after staging write, before the rename-aside → both exist: same
+    *    as above (the next merge re-derives staging from the target).
+    *  - between the two renames → target missing, staging complete
+    *    (marker present): recovered by finishing the rename (the `.old`
+    *    copy is dropped).
+    *  - after the second rename, before the `.old` delete → target
+    *    intact: `.old` debris dropped on the next call.
     */
   def upsert(updates: DataFrame, path: String,
       key: String, version: String): Unit = {
@@ -139,28 +144,41 @@ object CoreOps {
     val fs = target.getFileSystem(hconf)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
 
-    // Crash recovery: a missing target with a COMPLETE staging dir is the
-    // delete-then-crash window — the merged table is sitting in staging,
-    // so finish the interrupted swap instead of treating the table as
-    // fresh (which would drop all prior history). Completeness is keyed
-    // on our OWN commit marker, written after the staging write returns:
-    // Spark's _SUCCESS marker exists only when
+    // Crash recovery (rename-aside discipline, same as the AnnIndex
+    // maintenance swaps): the live table is never deleted while it is
+    // the only complete copy — the swap renames it to a `.old` sibling
+    // first, so every crash state is either recoverable here or
+    // loudly refused. Completeness of staging is keyed on our OWN
+    // commit marker, written after the staging write returns: Spark's
+    // _SUCCESS marker exists only when
     // mapreduce.fileoutputcommitter.marksuccessfuljobs is on (off is a
     // common object-store setting), so relying on it would turn this
     // self-healing path into a hard failure under that config. A
     // PRESENT _SUCCESS is still trustworthy evidence (the committer only
     // writes it on job completion), so it is accepted too — staging dirs
-    // left by a pre-marker version of this code stay recoverable. An
-    // unmarked staging alongside a missing target is unrecoverable
-    // state: fail loudly rather than silently overwrite.
-    if (!fs.exists(target) && fs.exists(staging)) {
-      val complete =
-        fs.exists(new org.apache.hadoop.fs.Path(staging, CommitMarker)) ||
-          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
-      require(complete, s"upsert($path): target missing and staging " +
-        s"$staging is incomplete (no $CommitMarker) — manual inspection required")
+    // left by a pre-marker version of this code stay recoverable.
+    //  - target present: drop `.old` debris from an interrupted swap.
+    //  - target missing + staging COMPLETE: finish the rename, drop old.
+    //  - target missing + `.old` present (staging incomplete/absent):
+    //    restore the old copy verbatim.
+    //  - target missing + unmarked staging only: unrecoverable — fail
+    //    loudly rather than silently overwrite.
+    val oldAside = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(target)) {
+      if (fs.exists(oldAside)) fs.delete(oldAside, true)
+    } else if (fs.exists(staging) &&
+        (fs.exists(new org.apache.hadoop.fs.Path(staging, CommitMarker)) ||
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))) {
       require(fs.rename(staging, target),
         s"upsert($path): recovery rename $staging -> $target failed")
+      if (fs.exists(oldAside)) fs.delete(oldAside, true)
+    } else if (fs.exists(oldAside)) {
+      require(fs.rename(oldAside, target),
+        s"upsert($path): recovery restore $oldAside -> $target failed")
+    } else if (fs.exists(staging)) {
+      require(requirement = false,
+        s"upsert($path): target missing and staging $staging is " +
+          s"incomplete (no $CommitMarker) — manual inspection required")
     }
 
     // Existence is checked via the filesystem, not by catching
@@ -186,12 +204,18 @@ object CoreOps {
       // commit marker lands strictly AFTER the write returns — a crash
       // before it leaves staging unmarked (and the target intact), so
       // the next call rebuilds staging instead of trusting partial data.
+      // The swap renames the live table ASIDE instead of deleting it: a
+      // recursive delete is not atomic, and a crash mid-delete would
+      // leave a PARTIAL target that the missing-target recovery check
+      // cannot see — rename-aside keeps a complete copy at every step.
       merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       fs.create(new org.apache.hadoop.fs.Path(staging, CommitMarker), true).close()
-      require(fs.delete(target, true),
-        s"upsert($path): delete of $target failed")
+      if (fs.exists(oldAside)) fs.delete(oldAside, true)
+      require(fs.rename(target, oldAside),
+        s"upsert($path): rename-aside $target -> $oldAside failed")
       require(fs.rename(staging, target),
         s"upsert($path): rename $staging -> $target failed")
+      fs.delete(oldAside, true)
     }
   }
 

@@ -238,6 +238,24 @@ class CoreOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, "merged"), (2L, 1L, "b"), (3L, 1L, "c")))
   }
 
+  test("upsert restores the renamed-aside table when staging is unusable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_up_old").toString + "/t"
+    CoreOps.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "v"),
+      dir, "k", "ver")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // Simulate a crash right after the rename-aside with staging gone
+    // bad (here: absent entirely): the only complete copy is `.old`,
+    // and the next call must restore it verbatim before merging.
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    CoreOps.upsert(Seq((3L, 1L, "c")).toDF("k", "ver", "v"), dir, "k", "ver")
+    val got = spark.read.parquet(dir).as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+  }
+
   test("upsert recovery also accepts a legacy _SUCCESS-only staging dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft_up_leg").toString + "/t"
     CoreOps.upsert(Seq((1L, 1L, "a")).toDF("k", "ver", "v"), dir, "k", "ver")
