@@ -270,8 +270,11 @@ object CoreOps {
     * bounded by the affected partitions, not the table.
     *
     * Unpartitioned path: full stage-then-swap rewrite with the same
-    * `_GRAFT_COMMIT` crash discipline as [[upsert]] (a crash between
-    * target delete and staging rename is recovered on the next call).
+    * `_GRAFT_COMMIT` + rename-aside crash discipline as [[upsert]]
+    * (every crash window recovered or loudly refused on the next call;
+    * the live table is never deleted while it is the only complete
+    * copy). A predicate matching EVERY row is refused — that is the
+    * truncate operation, and an all-deleted parquet dir is unreadable.
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
       partCols: Seq[String] = Nil): Long = {
@@ -280,15 +283,23 @@ object CoreOps {
     val fs = target.getFileSystem(hconf)
     if (partCols.isEmpty) {
       val staging = new org.apache.hadoop.fs.Path(path + ".staging")
-      // same delete-then-crash recovery window as upsert
-      if (!fs.exists(target) && fs.exists(staging)) {
-        val complete =
-          fs.exists(new org.apache.hadoop.fs.Path(staging, CommitMarker)) ||
-            fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
-        require(complete, s"deleteWhere($path): target missing and staging " +
-          s"$staging is incomplete (no $CommitMarker) — manual inspection required")
+      val oldAside = new org.apache.hadoop.fs.Path(path + ".old")
+      // same rename-aside recovery as upsert (see its case list)
+      if (fs.exists(target)) {
+        if (fs.exists(oldAside)) fs.delete(oldAside, true)
+      } else if (fs.exists(staging) &&
+          (fs.exists(new org.apache.hadoop.fs.Path(staging, CommitMarker)) ||
+            fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))) {
         require(fs.rename(staging, target),
           s"deleteWhere($path): recovery rename $staging -> $target failed")
+        if (fs.exists(oldAside)) fs.delete(oldAside, true)
+      } else if (fs.exists(oldAside)) {
+        require(fs.rename(oldAside, target),
+          s"deleteWhere($path): recovery restore $oldAside -> $target failed")
+      } else if (fs.exists(staging)) {
+        require(requirement = false,
+          s"deleteWhere($path): target missing and staging $staging is " +
+            s"incomplete (no $CommitMarker) — manual inspection required")
       }
       val current = spark.read.parquet(path)
       // standard DELETE semantics: rows where the predicate evaluates
@@ -297,13 +308,21 @@ object CoreOps {
       val matches = coalesce(predicate, lit(false))
       val deleted = current.filter(matches).count()
       if (deleted == 0L) return 0L
-      current.filter(!matches)
-        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val kept = current.filter(!matches)
+      // a predicate that deletes EVERY row would leave a parquet dir
+      // with no data files — unreadable (no schema to infer). That is
+      // the truncate operation, not a delete: refuse with the pointer.
+      require(kept.limit(1).count() > 0,
+        s"deleteWhere($path): predicate matches every row — an empty " +
+          "parquet dir is unreadable; use the truncate-and-load path instead")
+      kept.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       fs.create(new org.apache.hadoop.fs.Path(staging, CommitMarker), true).close()
-      require(fs.delete(target, true),
-        s"deleteWhere($path): delete of $target failed")
+      if (fs.exists(oldAside)) fs.delete(oldAside, true)
+      require(fs.rename(target, oldAside),
+        s"deleteWhere($path): rename-aside $target -> $oldAside failed")
       require(fs.rename(staging, target),
         s"deleteWhere($path): rename $staging -> $target failed")
+      fs.delete(oldAside, true)
       deleted
     } else {
       // replay an interrupted previous call first: the marker lists

@@ -238,6 +238,17 @@ class CoreOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, "merged"), (2L, 1L, "b"), (3L, 1L, "c")))
   }
 
+  test("deleteWhere refuses a predicate that would empty the table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dw_all").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      CoreOps.deleteWhere(spark, dir, lit(true))
+    }
+    assert(ex.getMessage.contains("truncate"))
+    // nothing was touched
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("upsert restores the renamed-aside table when staging is unusable") {
     val dir = java.nio.file.Files.createTempDirectory("graft_up_old").toString + "/t"
     CoreOps.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "v"),
