@@ -101,9 +101,9 @@ object CoreOps {
     * a staging directory, then swap. This is the logical plan every
     * lakehouse MERGE executes; a transactional table format
     * (Delta/Iceberg/Hudi) replaces the swap with an atomic metadata
-    * commit — the remaining non-atomic window here is the delete+rename
-    * pair (a crash before the delete leaves the old table intact plus a
-    * recoverable staging dir that the next call overwrites).
+    * commit — the remaining non-atomic window here is the rename-aside
+    * pair (two atomic directory renames; every crash state between them
+    * is recovered from the marker-complete staging or the `.old` copy).
     *
     * One shuffle on `key` (the window); at 100 TB the win over
     * truncate-reload-everything is that `updates` is the small side and
