@@ -111,7 +111,7 @@ object CoreOps {
     * this with partition pruning on the updates' partition values.
     *
     * SINGLE WRITER REQUIRED: the fixed `.staging` sibling and the
-    * delete+rename swap mean two concurrent upserts to the same path
+    * rename-aside swap mean two concurrent upserts to the same path
     * (e.g. a streaming `upsertEachBatch` query plus an ad-hoc backfill)
     * can interleave into a lost table. A fixed staging name is chosen
     * deliberately — it makes crash recovery deterministic (there is
