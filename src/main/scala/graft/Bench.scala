@@ -127,10 +127,15 @@ object Bench {
     // bench_diff.py reads this file directly — same line format as the
     // stdout capture, with the full queries map and per-query
     // {min,max,load,runs}. Committed per round as BENCH_DETAIL_r{N}.json.
+    // max per-query 1-min load: one compact field on BOTH total lines so
+    // a load-poisoned sweep is flaggable from the truncated artifact
+    // alone (the per-query "load" values live on the detail line — the
+    // adjudication convention in PERF_NOTES reads those, never the tail)
+    val maxQLoad = "%.2f".formatLocal(java.util.Locale.ROOT,
+      results.map(_._3).foldLeft(-1.0)(math.max))
     val fullTotalLine = s"""{"metric":"total","value":${fmt(total)},""" +
       s""""unit":"sec","runs_per_query":$runsPerQuery,"noisy":$noisy,""" +
-      s""""max_q_load":${"%.2f".formatLocal(java.util.Locale.ROOT,
-        results.map(_._3).foldLeft(-1.0)(math.max))},""" +
+      s""""max_q_load":$maxQLoad,""" +
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
       s""""sf":"$sfDir","queries":{""" +
       results.sortBy(-_._2.min)
@@ -143,13 +148,6 @@ object Bench {
         .getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] detail file $detailOut not written: $e") }
-    // max per-query 1-min load: one compact field on the driver-visible
-    // line so a load-poisoned sweep is flaggable from the truncated
-    // artifact alone (the per-query "load" values live on the detail
-    // line / BENCH_DETAIL file — the adjudication convention in
-    // PERF_NOTES reads those, never the tail)
-    val maxQLoad = "%.2f".formatLocal(java.util.Locale.ROOT,
-      results.map(_._3).foldLeft(-1.0)(math.max))
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runsPerQuery,"noisy":$noisy,"max_q_load":$maxQLoad,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir","queries":{"""
     val budget = 1800 - prefix.length - 40 // slack for the closing + omitted count
     val entries = results.sortBy(-_._2.min)

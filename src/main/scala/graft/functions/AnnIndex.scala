@@ -71,9 +71,16 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val c0 = corpus.select(col(idCol).as("n_id"),
       VectorOps.toDoubleVec(col(vecCol)).as("n_vec"))
-    val (autoNlist, sample) = VectorOps.coarseSample(c0, nlist)
-    require(sample.nonEmpty, "AnnIndex.build: empty corpus")
-    val effNlist = math.min(autoNlist, sample.length)
+    // with BOTH quantizers injected (the shard-rebuild path) the sample
+    // scan derives nothing — skip the corpus pass entirely; the
+    // emptiness check degrades to a limit-1 probe
+    val bothInjected = centroids != null && codebook != null
+    val (autoNlist, sample) =
+      if (bothInjected) (0, Array.empty[Seq[Double]])
+      else VectorOps.coarseSample(c0, nlist)
+    require(bothInjected || sample.nonEmpty, "AnnIndex.build: empty corpus")
+    if (bothInjected)
+      require(!c0.isEmpty, "AnnIndex.build: empty corpus")
     // `centroids` overrides derivation entirely — the offline-trained-
     // quantizer path (and the parity anchor for append(): an index
     // appended to must equal a fresh build over the union corpus with
@@ -81,8 +88,15 @@ object AnnIndex {
     val cents: Array[Seq[Double]] =
       if (centroids != null) centroids
       else if (trainRounds > 0)
-        VectorOps.kMeansCentroids(corpus, effNlist, trainRounds, idCol, vecCol)
-      else sample.take(effNlist)
+        VectorOps.kMeansCentroids(corpus, math.min(autoNlist, sample.length),
+          trainRounds, idCol, vecCol)
+      else sample.take(math.min(autoNlist, sample.length))
+    // the STORED nlist/nprobe must describe the cells actually assigned
+    // (cents.length) — deriving them from the auto-sizing when an
+    // explicit centroid array of a different length was supplied would
+    // persist metadata that disagrees with the postings (a default
+    // probe would then read nprobe-of-the-WRONG-nlist cells)
+    val effNlist = cents.length
     val dim = cents.head.size
     require(dim % dsub == 0, s"dim $dim not divisible by dsub $dsub")
     val cb =

@@ -83,12 +83,8 @@ object VectorOps {
   def sqlBuilder(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    def strLit(i: Int, what: String): String = {
-      val e = es(i)
-      if (!e.foldable)
-        throw new IllegalArgumentException(s"graft_ann: $what must be a literal")
-      Option(e.eval()).map(_.toString).getOrElse("")
-    }
+    def strLit(i: Int, what: String): String =
+      graft.plans.TvfArgs.strLit("graft_ann", es)(i, what)
     if (es.size < 3 || es.size > 6)
       throw new IllegalArgumentException(
         "graft_ann(queries, corpus_or_index_dir, k[, " +
@@ -101,10 +97,12 @@ object VectorOps {
     // the streaming alternative instead of at stream start.
     if (queries.isStreaming)
       throw new UnsupportedOperationException(
-        "graft_ann: the queries table is a stream — top-k ranking over " +
-          "a stream is not incrementally evaluable. For streaming " +
-          "candidate generation use StreamingOps.lshCandidatesStream " +
-          "(stream-static LSH buckets)")
+        "graft_ann: the queries table is a stream — the rank-window " +
+          "top-k is not incrementally evaluable. For streaming query " +
+          "vectors over a PERSISTED index use StreamingOps.annTopKStream " +
+          "(stream-static postings probe, aggregator-capped top-k); for " +
+          "streaming candidate generation without an index use " +
+          "StreamingOps.lshCandidatesStream (stream-static LSH buckets)")
     val second = strLit(1, "corpus table name / index dir")
     val k = strLit(2, "k").toInt
     val idCol = if (es.size > 4) strLit(4, "id_col") else "vec_id"

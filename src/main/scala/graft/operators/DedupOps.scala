@@ -50,12 +50,8 @@ object DedupOps {
   def sqlBuilder(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    def lit(i: Int, what: String): String = {
-      val e = es(i)
-      if (!e.foldable)
-        throw new IllegalArgumentException(s"graft_dedup: $what must be a literal")
-      Option(e.eval()).map(_.toString).getOrElse("")
-    }
+    def lit(i: Int, what: String): String =
+      graft.plans.TvfArgs.strLit("graft_dedup", es)(i, what)
     if (es.size < 3 || es.size > 4)
       throw new IllegalArgumentException(
         "graft_dedup(table, id_col, text_col[, 'groups'|'dedup'])")

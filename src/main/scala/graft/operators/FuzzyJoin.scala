@@ -94,12 +94,8 @@ object FuzzyJoin {
   def sqlBuilder(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    def lit(i: Int, what: String): String = {
-      val e = es(i)
-      if (!e.foldable)
-        throw new IllegalArgumentException(s"graft_fuzzy: $what must be a literal")
-      Option(e.eval()).map(_.toString).getOrElse("")
-    }
+    def lit(i: Int, what: String): String =
+      graft.plans.TvfArgs.strLit("graft_fuzzy", es)(i, what)
     if (es.size != 4)
       throw new IllegalArgumentException(
         "graft_fuzzy(table, id_col, str_col, max_edit_distance)")

@@ -48,12 +48,8 @@ object RangeJoin {
   def sqlBuilder(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    def lit(i: Int, what: String): String = {
-      val e = es(i)
-      if (!e.foldable)
-        throw new IllegalArgumentException(s"graft_range: $what must be a literal")
-      Option(e.eval()).map(_.toString).getOrElse("")
-    }
+    def lit(i: Int, what: String): String =
+      graft.plans.TvfArgs.strLit("graft_range", es)(i, what)
     if (es.size != 5)
       throw new IllegalArgumentException(
         "graft_range(left_table, right_table, left_col, right_col, width)")

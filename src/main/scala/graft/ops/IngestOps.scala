@@ -113,12 +113,8 @@ object IngestOps {
   def sqlBuilder(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    def arg(i: Int, what: String): String = {
-      val e = es(i)
-      if (!e.foldable)
-        throw new IllegalArgumentException(s"graft_ingest: $what must be a literal")
-      Option(e.eval()).map(_.toString).getOrElse("")
-    }
+    def arg(i: Int, what: String): String =
+      graft.plans.TvfArgs.strLit("graft_ingest", es)(i, what)
     if (es.isEmpty || es.size > 2)
       throw new IllegalArgumentException(
         "graft_ingest(path[, 'all'|'clean'|'quarantine'])")

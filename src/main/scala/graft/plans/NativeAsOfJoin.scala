@@ -201,12 +201,8 @@ object NativeAsOfJoin {
     */
   def sqlBuilder(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): LogicalPlan = {
-    def lit(i: Int, what: String): String = {
-      val e = es(i)
-      if (!e.foldable)
-        throw new IllegalArgumentException(s"graft_asof: $what must be a literal")
-      Option(e.eval()).map(_.toString).getOrElse("")
-    }
+    def lit(i: Int, what: String): String =
+      graft.plans.TvfArgs.strLit("graft_asof", es)(i, what)
     if (es.size < 5 || es.size > 9)
       throw new IllegalArgumentException(
         "graft_asof(left, right, keys, ts, payload[, direction[, " +

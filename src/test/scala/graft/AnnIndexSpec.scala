@@ -340,6 +340,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/postings").count() == 40)
   }
 
+  test("build() meta describes the INJECTED centroids, not the auto-sizing") {
+    // an explicit quantizer of a different cardinality than the
+    // auto-derived nlist: the stored nlist/nprobe must describe the
+    // cells actually assigned, or a default probe reads
+    // nprobe-of-the-wrong-nlist cells
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annidx_meta").toString
+    val cents64 = (0 until 64).map(i =>
+      Seq.tabulate(64)(d => (i * 64 + d) / 4096.0)).toArray
+    val cb = spark.read.parquet(s"$rawIdx/meta").head()
+      .getAs[Seq[Double]]("flat").toArray
+    AnnIndex.build(e, dir, centroids = cents64, codebook = cb)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    assert(meta.getAs[Int]("nlist") == 64)
+    assert(meta.getAs[Int]("nprobe") == 8) // max(4, 64/8)
+    // and the postings really span the injected cell domain
+    val cells = spark.read.parquet(s"$dir/postings")
+      .select("cell").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 64))
+  }
+
   test("ensure() is content-keyed: corpus rewrite mints a new index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_ensure").toString

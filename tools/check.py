@@ -55,9 +55,15 @@ def main(sf_dir, out_dir, only=None):
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    if only:
-        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = n_noracle = 0
+    if only:
+        # a requested name with no oracle entry must FAIL, not silently
+        # shrink the compare to nothing — a typo'd at-scale gate would
+        # otherwise record "0 pass, 0 fail" as success
+        for name in sorted(set(only) - set(oracle)):
+            print(f"FAIL {name}: requested but not in oracle_sql.json")
+            n_fail += 1
+        oracle = {k: v for k, v in oracle.items() if k in only}
     for name in sorted(oracle):
         sql = oracle[name]
         try:

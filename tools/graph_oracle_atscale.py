@@ -26,18 +26,15 @@ parquet dumps, exactly like tools/check.py.
 
 Usage: python3 tools/graph_oracle_atscale.py <cloneCorpusDir> <verifyOutDir>
 """
-import hashlib
 import os
 import sys
 
 import duckdb
 
-
-def driver_hash(rel):
-    df = rel.df()
-    df = df[sorted(df.columns)]
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+# one driver-mimic hash definition for both tools: a canonicalization
+# fix in check.py must not silently diverge this tool's verdicts
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import driver_hash  # noqa: E402
 
 
 def compare(con, name, expected_rel_name, out_dir):
@@ -52,7 +49,11 @@ def compare(con, name, expected_rel_name, out_dir):
     if ng != ne:
         print(f"FAIL {name}: rows {ng} != {ne}")
         return False
-    # exact anti-join both ways (cheaper than fetching 500k rows to python)
+    # exact anti-join both ways: the VALUE check runs in-engine so a
+    # mismatch is found and reported (with a count) without pandas; the
+    # driver-style hash below then still fetches both relations once —
+    # it exists to catch dtype/serialization divergence the value
+    # compare cannot see, not to re-check values
     cols = ", ".join(got_cols)
     diff = con.sql(
         f"SELECT count(*) FROM ((SELECT {cols} FROM '{out_dir}/{name}/*.parquet' "
