@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,14 @@ object AnnIndex {
     * production configuration — training cost now lives HERE, once,
     * instead of inside every query). `dsub`/`ksub` shape the PQ
     * codebook stored alongside for [[pqTopK]].
+    *
+    * `attrCols` copies the named corpus columns INTO the postings rows
+    * (the filtered-search layout every production vector store uses —
+    * FAISS-with-metadata / Milvus / pgvector): a probe's metadata
+    * predicate is then evaluated inside the pruned postings SCAN
+    * (parquet PushedFilters — row groups whose attr stats miss the
+    * predicate are skipped), costing zero extra joins at 100 TB instead
+    * of a corpus-sized id join back to the source table.
     */
   def build(
       corpus: DataFrame, dir: String,
@@ -67,10 +75,15 @@ object AnnIndex {
       dsub: Int = 8, ksub: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: Array[Seq[Double]] = null,
-      codebook: Array[Double] = null): Unit = {
+      codebook: Array[Double] = null,
+      attrCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
-    val c0 = corpus.select(col(idCol).as("n_id"),
-      VectorOps.toDoubleVec(col(vecCol)).as("n_vec"))
+    val reserved = Set("n_id", "n_vec", "cell", "codes")
+    require(attrCols.forall(a => !reserved(a)),
+      s"attrCols may not use the reserved posting names $reserved")
+    val c0 = corpus.select(col(idCol).as("n_id") +:
+      VectorOps.toDoubleVec(col(vecCol)).as("n_vec") +:
+      attrCols.map(col): _*)
     // with BOTH quantizers injected (the shard-rebuild path) the sample
     // scan derives nothing — skip the corpus pass entirely; the
     // emptiness check degrades to a limit-1 probe
@@ -138,7 +151,8 @@ object AnnIndex {
     */
   def append(
       newVectors: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      attrCols: Seq[String] = Nil): Unit = {
     val spark = newVectors.sparkSession
     val meta = spark.read.parquet(metaPath(dir)).head()
     val dim = meta.getAs[Int]("dim")
@@ -148,8 +162,9 @@ object AnnIndex {
     val cents = storedCentroids(spark, dir)
     val flatC = lit(cents.flatten.toArray)
     val pqFlat = lit(codebook)
-    newVectors.select(col(idCol).as("n_id"),
-        VectorOps.toDoubleVec(col(vecCol)).as("n_vec"))
+    newVectors.select(col(idCol).as("n_id") +:
+        VectorOps.toDoubleVec(col(vecCol)).as("n_vec") +:
+        attrCols.map(col): _*)
       .withColumn("cell",
         call_function("graft_nearest_cell", col("n_vec"), flatC, lit(dim)))
       .withColumn("codes",
@@ -536,6 +551,34 @@ object AnnIndex {
     root
   }
 
+  /** Most recent ensureAttrs()'d index root — the oracle side channel
+    * for q_ann_filtered, same contract as [[lastEnsuredDir]].
+    */
+  @volatile private[graft] var lastAttrDir: Option[String] = None
+
+  private val ensuredAttr = scala.collection.mutable.Map.empty[String, String]
+
+  /** [[ensure]]'s twin for the FILTERED-search demo: its own index copy
+    * built with `attrCols = Seq("label")` — the embeddings table's
+    * metadata column stored inline in the postings rows — once per
+    * (JVM, corpus contents). The shared ensure() index stays untouched
+    * (its postings schema is pinned by the other probes' stored-bytes
+    * oracles). Returns the index root.
+    */
+  def ensureAttrs(s: SparkSession, sfDir: String): String = synchronized {
+    val tag = tagFor(sfDir)
+    val root = ensuredAttr.getOrElseUpdate(tag, {
+      val r = s"${sys.props("java.io.tmpdir")}/graft_ann_index_attr/$tag"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"${postingsPath(r)}/_SUCCESS")))
+        build(graft.Tables(s, sfDir, "embeddings"), r, nlist = 0,
+          trainRounds = 1, attrCols = Seq("label"))
+      r
+    })
+    lastAttrDir = Some(root)
+    root
+  }
+
   /** IVF-flat probe of a STORED index: two tiny index reads (meta row +
     * nlist centroids, folded into the [[TopCentroids]] literal kernel),
     * then the postings join — the corpus itself is never scanned and no
@@ -545,14 +588,20 @@ object AnnIndex {
     */
   def ivfTopK(
       queries: DataFrame, indexDir: String, k: Int, nprobe: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      filter: Column = null): DataFrame = {
     val spark = queries.sparkSession
     val meta = spark.read.parquet(metaPath(indexDir)).head()
     val dim = meta.getAs[Int]("dim")
     val effNprobe = if (nprobe > 0) nprobe else meta.getAs[Int]("nprobe")
     val cents = storedCentroids(spark, indexDir)
     val flat = lit(cents.flatten.toArray)
-    val postings = livePostings(spark, indexDir)
+    val post0 = livePostings(spark, indexDir)
+    // metadata predicate over attrCols stored in the postings (see
+    // [[build]]): applied BEFORE the probe join so it lands in the
+    // pruned postings scan itself (parquet PushedFilters) — the
+    // filtered-ANN post-filter design, zero extra joins
+    val postings = (if (filter != null) post0.filter(filter) else post0)
       .select(col("cell"), col("n_id"), col("n_vec"))
     val q = queries.select(col(idCol).as("q_id"),
         VectorOps.toDoubleVec(col(vecCol)).as("q_vec"))
@@ -575,13 +624,15 @@ object AnnIndex {
     */
   def pqTopK(
       queries: DataFrame, indexDir: String, k: Int, rerank: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      filter: Column = null): DataFrame = {
     val spark = queries.sparkSession
     val meta = spark.read.parquet(metaPath(indexDir)).head()
     val dsub = meta.getAs[Int]("dsub")
     val kEff = meta.getAs[Int]("ksub_eff")
     val flat = lit(meta.getAs[Seq[Double]]("flat").toArray)
-    val postings = livePostings(spark, indexDir)
+    val post0 = livePostings(spark, indexDir)
+    val postings = if (filter != null) post0.filter(filter) else post0
     val q = queries.select(col(idCol).as("q_id"),
         VectorOps.toDoubleVec(col(vecCol)).as("q_vec"))
       .withColumn("qtab", call_function("graft_pq_table",

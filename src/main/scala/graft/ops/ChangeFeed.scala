@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed change-data-capture diff between two snapshots of a table —
+  * the change-feed read every incremental training-data pipeline needs
+  * ("which documents appeared / vanished / changed since the last
+  * snapshot?") without the upstream system having to EMIT a changelog.
+  *
+  * Semantics follow the de-facto CDC row model (Debezium / Delta CDF):
+  * each changed key yields
+  *   - `insert`            — key only in `cur` (row carries post values)
+  *   - `delete`            — key only in `prev` (row carries pre values)
+  *   - `update_preimage` + `update_postimage` — key in both with any
+  *     value column differing (two rows, pre and post)
+  * and unchanged keys yield nothing.
+  *
+  * Scale shape: ONE hash-partitioned full-outer join on the key columns
+  * — both snapshots shuffle once on the key (or zero times if they are
+  * bucketed/co-partitioned on it; the join inherits any existing
+  * layout), value comparison is a null-safe struct equality inside the
+  * join's project, and the update-row fan-out is a narrow explode. No
+  * window, no driver-side state, nothing proportional to the CHANGE
+  * count held in memory.
+  *
+  * Pairs with [[graft.sources.StagedSink]]'s one-generation retention:
+  * `diff(read generation=previous, read current, keys)` derives the
+  * change feed of the last truncate-load commit from bytes the sink
+  * already retains — CDC with zero extra write amplification (the
+  * Delta-CDF trade made the other way: they pay `_change_data` files at
+  * write time to avoid the diff join at read time; against a RETAINED
+  * generation the join is available for free). That composition is
+  * spec-pinned in ChangeFeedSpec.
+  */
+object ChangeFeed {
+
+  /** Diff `cur` against `prev` keyed by `keys`. Both frames must share
+    * one schema; every non-key column is a compared value column.
+    * Output: key columns, `change_type`, then the value columns (pre
+    * values on delete/update_preimage rows, post values otherwise).
+    */
+  def diff(prev: DataFrame, cur: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "ChangeFeed.diff: at least one key column")
+    require(prev.columns.sameElements(cur.columns),
+      s"ChangeFeed.diff: snapshot schemas differ " +
+        s"(${prev.columns.mkString(",")} vs ${cur.columns.mkString(",")})")
+    val valCols = prev.columns.filterNot(keys.contains).toSeq
+    require(valCols.nonEmpty, "ChangeFeed.diff: no value columns to compare")
+    def packed(df: DataFrame, as: String) =
+      df.select(keys.map(col) :+ struct(valCols.map(col): _*).as(as): _*)
+    val joined = packed(prev, "_pre").join(packed(cur, "_post"), keys, "full_outer")
+      // unchanged keys emit nothing; `<=>` is false when either side is
+      // null, so insert/delete rows survive this filter untouched
+      .filter(!(col("_pre") <=> col("_post")))
+    // one struct per emitted row; updates fan out to pre+post
+    val rows = joined.select(
+      keys.map(col) :+
+        explode(
+          when(col("_pre").isNull,
+            array(struct(lit("insert").as("change_type"), col("_post").as("v"))))
+          .when(col("_post").isNull,
+            array(struct(lit("delete").as("change_type"), col("_pre").as("v"))))
+          .otherwise(array(
+            struct(lit("update_preimage").as("change_type"), col("_pre").as("v")),
+            struct(lit("update_postimage").as("change_type"), col("_post").as("v"))))
+        ).as("chg"): _*)
+    rows.select(
+      keys.map(col) ++ Seq(col("chg.change_type").as("change_type")) ++
+        valCols.map(c => col(s"chg.v.$c").as(c)): _*)
+  }
+}

@@ -1259,6 +1259,58 @@ object RelationalQueries {
         .orderBy("o_year")
     },
 
+    // TPC-H Q3 (shipping priority), adapted to the generator's columns:
+    // o_orderpriority stands in for the missing o_shippriority, and the
+    // pivot date sits mid-range (1998-06-15) so both the not-yet-ordered
+    // and not-yet-shipped filters keep real selectivity. Completes the
+    // 22-query TPC-H suite (Q1 = q1_pricing_summary). Plan shape to
+    // want: BOTH date predicates pushed into their parquet scans before
+    // the joins, the filtered customer segment broadcast at this SF
+    // (Catalyst picks from stats, shuffle-joinable at fleet scale), and
+    // the top-10 as TakeOrderedAndProject — map-side partial top-k, no
+    // full sort of the per-order revenue frame.
+    "q_tpch_q3" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-15").cast(DateType))
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-15").cast(DateType))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_orderpriority"))
+        .agg(graft.ops.CoreOps.dsumExact(
+          col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) -
+              col("l_discount").cast(DecimalType(18, 4)))).as("revenue"))
+        .orderBy(col("revenue").desc, col("odate"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // CDC change feed (ChangeFeed.diff — the Delta-CDF / Debezium row
+    // model): per-customer order count + exact cent total in two
+    // adjacent half-year windows, diffed keyed on custkey — customers
+    // active only in H1 emit `delete`, only in H2 `insert`, in both
+    // with changed stats an `update_preimage`/`update_postimage` pair,
+    // unchanged keys nothing. ONE hash-partitioned full-outer join;
+    // the compared values are exact integers (decimal cents), so the
+    // changed/unchanged classification is bit-stable across engines.
+    "q_cdc_diff" -> { (s, dir) =>
+      def snap(lo: String, hi: String) = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo).cast(DateType) &&
+          col("o_orderdate") < lit(hi).cast(DateType))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("o_totalprice").cast(DecimalType(18, 4))) * 100)
+            .cast(LongType).as("total_cents"))
+      graft.ops.ChangeFeed.diff(
+          snap("1996-01-01", "1996-07-01"), snap("1996-07-01", "1997-01-01"),
+          Seq("custkey"))
+        .orderBy("custkey", "change_type")
+    },
+
     // Spearman rank correlation (price vs order recency per priority) —
     // the monotone-association check Pearson misses (and q_theil_sen's
     // slope doesn't quantify). Ranks are total-ordered (ties broken by
@@ -3164,6 +3216,52 @@ object RelationalQueries {
            JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation n2 ON s_nationkey = n2.n_nationkey
          GROUP BY 1 ORDER BY o_year""",
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           o_orderpriority, ${decToDouble(s"sum($discountedDec)")} AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < DATE '1998-06-15'
+           AND l_shipdate > DATE '1998-06-15'
+         GROUP BY l_orderkey, odate, o_orderpriority
+         ORDER BY revenue DESC, odate, l_orderkey
+         LIMIT 10""",
+    "q_cdc_diff" ->
+      """WITH p AS (
+           SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+               AS total_cents
+           FROM orders
+           WHERE o_orderdate >= DATE '1996-01-01'
+             AND o_orderdate < DATE '1996-07-01'
+           GROUP BY 1),
+         c AS (
+           SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+               AS total_cents
+           FROM orders
+           WHERE o_orderdate >= DATE '1996-07-01'
+             AND o_orderdate < DATE '1997-01-01'
+           GROUP BY 1),
+         j AS (
+           SELECT coalesce(p.custkey, c.custkey) AS custkey,
+             p.custkey IS NULL AS ins, c.custkey IS NULL AS del,
+             p.n_orders AS pn, p.total_cents AS pt,
+             c.n_orders AS cn, c.total_cents AS ct
+           FROM p FULL JOIN c ON p.custkey = c.custkey)
+         SELECT custkey, 'insert' AS change_type, cn AS n_orders,
+           ct AS total_cents FROM j WHERE ins
+         UNION ALL
+         SELECT custkey, 'delete', pn, pt FROM j WHERE del
+         UNION ALL
+         SELECT custkey, 'update_preimage', pn, pt FROM j
+         WHERE NOT ins AND NOT del AND (pn <> cn OR pt <> ct)
+         UNION ALL
+         SELECT custkey, 'update_postimage', cn, ct FROM j
+         WHERE NOT ins AND NOT del AND (pn <> cn OR pt <> ct)
+         ORDER BY custkey, change_type""",
     "q_spearman" ->
       s"""WITH o AS (
            SELECT o_orderpriority AS prio, o_orderkey AS k,

@@ -665,6 +665,25 @@ object TextQueries {
         ORDER BY q_id, rk""")
     },
 
+    // FILTERED vector search (the production-vector-store shape: "top-k
+    // neighbors among rows passing a metadata predicate"): the demo
+    // index stores the embeddings' `label` column INLINE in the
+    // postings rows (AnnIndex.build attrCols), and the probe's
+    // label = 1 predicate is evaluated in the pruned postings SCAN
+    // (parquet PushedFilters) before any join — post-filter IVF with
+    // zero extra joins, vs the naive plan that joins candidate ids back
+    // to the corpus table to re-fetch metadata. The oracle re-derives
+    // the filtered probe from the STORED index bytes, predicate
+    // included.
+    "q_ann_filtered" -> { (s, dir) =>
+      val idx = graft.functions.AnnIndex.ensureAttrs(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      graft.functions.AnnIndex.ivfTopK(e.filter(col("vec_id") < 50), idx,
+          k = 5, filter = col("label") === 1)
+        .select(col("q_id"), col("rk"), col("n_id"), col("cos_sim"))
+        .orderBy("q_id", "rk")
+    },
+
     // Index MAINTENANCE: the same IVF probe over an index copy with
     // every vec_id % 41 tombstone-deleted (AnnIndex.delete — O(batch)
     // append, no postings rewrite; vacuum reclaims on a cadence,
@@ -3837,15 +3856,28 @@ object TextQueries {
   private def annIndexDeleteOracle: String =
     annIvfStoredOracle(graft.functions.AnnIndex.lastDeletedDir, tombstoned = true)
 
-  private def annIvfStoredOracle(dir: Option[String], tombstoned: Boolean): String =
+  /** q_ann_filtered oracle — the stored-index probe with the metadata
+    * predicate applied to the STORED postings (the `label` attr column
+    * persisted by AnnIndex.build attrCols), so the filtered-search
+    * bytes — attrs included — are what gets verified.
+    */
+  private def annFilteredOracle: String =
+    annIvfStoredOracle(graft.functions.AnnIndex.lastAttrDir,
+      tombstoned = false, attrPred = "label = 1")
+
+  private def annIvfStoredOracle(
+      dir: Option[String], tombstoned: Boolean,
+      attrPred: String = ""): String =
     dir match {
       case None =>
         "SELECT 0 AS q_id, 0 AS rk, 0 AS n_id, 0.0 AS cos_sim WHERE 1=0"
       case Some(root) =>
+        val conds =
+          (if (tombstoned)
+            Seq(s"n_id NOT IN (SELECT n_id FROM read_parquet('$root/tombstones/*.parquet'))")
+          else Nil) ++ (if (attrPred.nonEmpty) Seq(attrPred) else Nil)
         val notDeleted =
-          if (tombstoned)
-            s"WHERE n_id NOT IN (SELECT n_id FROM read_parquet('$root/tombstones/*.parquet'))"
-          else ""
+          if (conds.nonEmpty) conds.mkString("WHERE ", " AND ", "") else ""
         s"""WITH cent AS (SELECT cell, centroid AS vec
              FROM read_parquet('$root/centroids/*.parquet')),
            mt AS (SELECT nprobe FROM read_parquet('$root/meta/*.parquet')),
@@ -3920,7 +3952,8 @@ object TextQueries {
     ("q_ann_indexed_sql" -> annIndexedOracle) + // TVF spelling, same truth
     ("q_ann_indexed_pq" -> annIndexedPqOracle) +
     ("q_ann_index_delete" -> annIndexDeleteOracle) +
-    ("q_ann_index_drift" -> annIndexDriftOracle)
+    ("q_ann_index_drift" -> annIndexDriftOracle) +
+    ("q_ann_filtered" -> annFilteredOracle)
 
   /** q_ann_eval oracle: the IVF chain ([[ivfRankedCtes]]) and the exact
     * brute-force chain side by side, recall@5 as the per-query count of

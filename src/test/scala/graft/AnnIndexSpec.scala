@@ -143,6 +143,55 @@ class AnnIndexSpec extends SparkSpec {
       canon(AnnIndex.pqTopK(q, dirU, k = 5), "score"))
   }
 
+  test("filtered probe == unfiltered probe of a subset index (same quantizers)") {
+    // filtered search semantics: probing with `label = 1` over an index
+    // whose postings carry the attr column must equal the UNFILTERED
+    // probe of an index built over only the label-1 subset with the
+    // SAME stored quantizers — the predicate restricts candidates, it
+    // must never change cells, scores, or ranking rules.
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec"
+    val dirF = s"$base/attrs"
+    val dirS = s"$base/attrs_subset"
+    AnnIndex.build(e, dirF, nlist = 0, trainRounds = 1, attrCols = Seq("label"))
+    val cents = spark.read.parquet(s"$dirF/centroids")
+      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val cb = spark.read.parquet(s"$dirF/meta").head()
+      .getAs[Seq[Double]]("flat").toArray
+    AnnIndex.build(e.filter(col("label") === 1), dirS,
+      centroids = cents, codebook = cb)
+    val q = e.filter(col("vec_id") < 50)
+    val filtered = canon(
+      AnnIndex.ivfTopK(q, dirF, k = 5, filter = col("label") === 1), "cos_sim")
+    assert(filtered == canon(AnnIndex.ivfTopK(q, dirS, k = 5), "cos_sim"))
+    assert(filtered.nonEmpty)
+    // PQ path honors the same predicate
+    val filteredPq = canon(
+      AnnIndex.pqTopK(q, dirF, k = 5, filter = col("label") === 1), "score")
+    assert(filteredPq == canon(AnnIndex.pqTopK(q, dirS, k = 5), "score"))
+  }
+
+  test("filtered probe pushes the attr predicate into the postings scan") {
+    // the 100 TB point of storing attrs inline: the metadata predicate
+    // reaches the pruned postings scan as a parquet pushed filter (row
+    // groups whose label stats miss are skipped) — not a post-join
+    // Filter over re-fetched corpus metadata.
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec"
+    val dirF = s"$base/attrs"
+    AnnIndex.build(e, dirF, nlist = 0, trainRounds = 1, attrCols = Seq("label"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try AnnIndex.ivfTopK(e.filter(col("vec_id") < 50), dirF, k = 5,
+          filter = col("label") === 1).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val postingsScan = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.mkString(",").contains("/attrs/postings") => f
+    }.head
+    assert(postingsScan.metadata("PushedFilters").contains("EqualTo(label,1)"),
+      "label predicate missing from PushedFilters:\n" + postingsScan.metadata("PushedFilters"))
+  }
+
   test("streaming probe (annTopKStream) matches the batch probe per query") {
     // the retrieval-service shape: query vectors arrive as a stream and
     // probe the STORED index; the per-query top-k is a streaming

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.ChangeFeed
+import graft.sources.StagedSink
+import org.apache.spark.sql.functions._
+
+/** CDC diff semantics (ops.ChangeFeed): the Debezium/Delta-CDF row
+  * model over two snapshots, null-safe value comparison, the plan's
+  * one-join shape, and the composition with StagedSink's retained
+  * generation (a change feed with zero extra write amplification).
+  */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "change_type", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("insert/delete/update rows; unchanged keys emit nothing") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val cur = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
+    val out = rows(ChangeFeed.diff(prev, cur, Seq("k")))
+    assert(out == Seq(
+      (1L, "delete", "a"),
+      (3L, "update_postimage", "C"),
+      (3L, "update_preimage", "c"),
+      (4L, "insert", "d")))
+  }
+
+  test("null values compare null-safely: null==null unchanged, null->x update") {
+    val prev = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("k", "v")
+    val cur = Seq((1L, null: String), (2L, "y"), (3L, null: String))
+      .toDF("k", "v")
+    val out = rows(ChangeFeed.diff(prev, cur, Seq("k")))
+    assert(out == Seq(
+      (2L, "update_postimage", "y"),
+      (2L, "update_preimage", null),
+      (3L, "update_postimage", null),
+      (3L, "update_preimage", "x")))
+  }
+
+  test("schema mismatch and key-only schemas are rejected loudly") {
+    val a = Seq((1L, "a")).toDF("k", "v")
+    val b = Seq((1L, "a")).toDF("k", "w")
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.diff(a, b, Seq("k"))
+    }.getMessage.contains("schemas differ"))
+    val keysOnly = Seq(Tuple1(1L)).toDF("k")
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.diff(keysOnly, keysOnly, Seq("k"))
+    }.getMessage.contains("no value columns"))
+  }
+
+  test("plan shape: one full-outer join, no window, no cartesian") {
+    val prev = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v")
+    val cur = (500L to 1500L).map(i => (i, i * 3)).toDF("k", "v")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try ChangeFeed.diff(prev, cur, Seq("k")).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"))
+    assert(!s.contains("Window"))
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.size == 1, s"expected exactly one keyed join:\n$s")
+  }
+
+  test("StagedSink composition: diff(generation=previous, current) is the commit's change feed") {
+    val path = java.nio.file.Files.createTempDirectory("cdc_staged").toString
+    def write(vals: Seq[(Long, String)], mode: String): Unit =
+      vals.toDF("k", "v").write.format("graft.sources.StagedSink")
+        .option("path", path).mode(mode).save()
+    write(Seq((1L, "a"), (2L, "b"), (3L, "c")), "append")
+    write(Seq((2L, "b"), (3L, "C"), (4L, "d")), "overwrite")
+    val feed = ChangeFeed.diff(
+      StagedSink.readPreviousGeneration(spark, path),
+      StagedSink.readCommitted(spark, path), Seq("k"))
+    assert(rows(feed) == Seq(
+      (1L, "delete", "a"),
+      (3L, "update_postimage", "C"),
+      (3L, "update_preimage", "c"),
+      (4L, "insert", "d")))
+  }
+}
