@@ -61,7 +61,7 @@ object SparkEntry {
     "q_tpch_q22", "q_linear_quality", "q_token_entropy",
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q9", "q_tpch_q11",
     "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q19",
-    "q_tpch_q20", "q_tpch_q3", "q_tpch_q8", "q_cdc_diff",
+    "q_tpch_q20", "q_tpch_q3", "q_tpch_q8", "q_cdc_diff", "q_cdc_sql",
     "q_logreg_step", "q_dp_noise",
     // r11 additions: the de-interpreted kernels, the WAV roundtrip, the
     // DoReMi-style mixture-reweight step, LPA communities, the JL
@@ -102,6 +102,7 @@ object SparkEntry {
     // build, min-of-3 reuses the stored layout — the q_bucket_join
     // amortization pattern applied to the vector tier)
     "q_ann_indexed", "q_ann_indexed_pq", "q_ann_filtered",
+    "q_ann_filtered_sql",
     // r16: the last two TVF spellings — full SQL parity for every
     // bespoke operator family, each under its DataFrame twin's oracle —
     // plus the stored-index probe's SQL spelling

@@ -1163,7 +1163,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.operators.RangeJoin.sqlBuilder(es)),
     ("graft_ingest",
       new ExpressionInfo("graft.ops.IngestOps", "graft_ingest"),
-      (es: Seq[Expression]) => graft.ops.IngestOps.sqlBuilder(es)))
+      (es: Seq[Expression]) => graft.ops.IngestOps.sqlBuilder(es)),
+    ("graft_cdc",
+      new ExpressionInfo("graft.ops.ChangeFeed", "graft_cdc"),
+      (es: Seq[Expression]) => graft.ops.ChangeFeed.sqlBuilder(es)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -85,10 +85,11 @@ object VectorOps {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     def strLit(i: Int, what: String): String =
       graft.plans.TvfArgs.strLit("graft_ann", es)(i, what)
-    if (es.size < 3 || es.size > 6)
+    if (es.size < 3 || es.size > 7)
       throw new IllegalArgumentException(
         "graft_ann(queries, corpus_or_index_dir, k[, " +
-          "'brute'|'ivf'|'indexed'|'indexed_pq'[, id_col[, vec_col]]])")
+          "'brute'|'ivf'|'indexed'|'indexed_pq'[, id_col[, vec_col[, " +
+          "filter_sql]]]])")
     val spark = org.apache.spark.sql.SparkSession.active
     val queries = spark.table(strLit(0, "queries table name"))
     // ANALYSIS-TIME rejection (the graft_asof Merge-rejection pattern):
@@ -117,13 +118,28 @@ object VectorOps {
             "(stream-static LSH buckets)")
       c
     }
-    val out = (if (es.size > 3) strLit(3, "mode") else "brute") match {
+    // metadata predicate over the index's stored attr columns (see
+    // AnnIndex.build attrCols) — parsed from SQL text, evaluated inside
+    // the pruned postings scan. Only the stored-index modes carry attrs.
+    val filterSql = if (es.size > 6) strLit(6, "filter_sql") else ""
+    val filt: org.apache.spark.sql.Column =
+      if (filterSql.nonEmpty) expr(filterSql) else null
+    val mode = if (es.size > 3) strLit(3, "mode") else "brute"
+    if (filt != null && mode != "indexed" && mode != "indexed_pq")
+      throw new IllegalArgumentException(
+        "graft_ann: filter_sql applies to the stored-index modes " +
+          "('indexed'|'indexed_pq') whose postings carry attr columns; " +
+          s"mode '$mode' has no stored attrs — filter the corpus table " +
+          "in SQL instead")
+    val out = mode match {
       case "" | "brute" => bruteForceTopK(queries, corpus, k, idCol, vecCol)
       case "ivf" => ivfTopK(queries, corpus, k, idCol = idCol, vecCol = vecCol)
       case "indexed" =>
-        AnnIndex.ivfTopK(queries, second, k, idCol = idCol, vecCol = vecCol)
+        AnnIndex.ivfTopK(queries, second, k, idCol = idCol, vecCol = vecCol,
+          filter = filt)
       case "indexed_pq" =>
-        AnnIndex.pqTopK(queries, second, k, idCol = idCol, vecCol = vecCol)
+        AnnIndex.pqTopK(queries, second, k, idCol = idCol, vecCol = vecCol,
+          filter = filt)
       case m => throw new IllegalArgumentException(
         s"graft_ann: mode must be brute|ivf|indexed|indexed_pq, got '$m'")
     }

@@ -69,4 +69,37 @@ object ChangeFeed {
       keys.map(col) ++ Seq(col("chg.change_type").as("change_type")) ++
         valCols.map(c => col(s"chg.v.$c").as(c)): _*)
   }
+
+  /** `graft_cdc('prev_table', 'cur_table', 'key1,key2,...')` — the SQL
+    * spelling of [[diff]], registered as a table-valued function so
+    * spark.sql users reach the change feed without the DataFrame API
+    * (same TVF-parity contract as graft_asof / graft_dedup / graft_ann).
+    * Both snapshots must be batch relations: a diff needs each side
+    * COMPLETE (a key absent from a still-growing stream is not yet a
+    * delete) — the incremental analog is a changelog the stream itself
+    * emits, not a snapshot diff.
+    */
+  def sqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def arg(i: Int, what: String): String =
+      graft.plans.TvfArgs.strLit("graft_cdc", es)(i, what)
+    if (es.size != 3)
+      throw new IllegalArgumentException(
+        "graft_cdc(prev_table, cur_table, 'key1,key2,...')")
+    val spark = org.apache.spark.sql.SparkSession.active
+    def side(i: Int, what: String) = {
+      val t = spark.table(arg(i, what))
+      if (t.isStreaming)
+        throw new UnsupportedOperationException(
+          s"graft_cdc: the $what is a stream — a snapshot diff needs " +
+            "both sides complete (an absent key on a growing stream is " +
+            "not yet a delete). Diff materialized snapshots, or have " +
+            "the stream emit its own changelog")
+      t
+    }
+    val keys = arg(2, "key list").split(',').map(_.trim).filter(_.nonEmpty)
+    diff(side(0, "prev table"), side(1, "cur table"), keys.toSeq)
+      .queryExecution.analyzed
+  }
 }

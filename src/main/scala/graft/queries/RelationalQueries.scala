@@ -1311,6 +1311,25 @@ object RelationalQueries {
         .orderBy("custkey", "change_type")
     },
 
+    // The SAME change feed spelled in Spark SQL through the graft_cdc
+    // TVF (snapshots as temp views) — SHARES q_cdc_diff's oracle, so
+    // the SQL spelling and the DataFrame diff must agree bit-for-bit.
+    "q_cdc_sql" -> { (s, dir) =>
+      def snap(lo: String, hi: String) = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo).cast(DateType) &&
+          col("o_orderdate") < lit(hi).cast(DateType))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("o_totalprice").cast(DecimalType(18, 4))) * 100)
+            .cast(LongType).as("total_cents"))
+      snap("1996-01-01", "1996-07-01").createOrReplaceTempView("graft_cdc_prev")
+      snap("1996-07-01", "1997-01-01").createOrReplaceTempView("graft_cdc_cur")
+      s.sql("""
+        SELECT custkey, change_type, n_orders, total_cents
+        FROM graft_cdc('graft_cdc_prev', 'graft_cdc_cur', 'custkey')
+        ORDER BY custkey, change_type""")
+    },
+
     // Spearman rank correlation (price vs order recency per priority) —
     // the monotone-association check Pearson misses (and q_theil_sen's
     // slope doesn't quantify). Ranks are total-ordered (ties broken by
@@ -2315,6 +2334,47 @@ object RelationalQueries {
         .orderBy("pattern")
     })
 
+  /** Shared by q_cdc_diff and its graft_cdc TVF spelling q_cdc_sql:
+    * the two half-year per-customer snapshots full-outer-joined into
+    * Debezium/Delta-CDF change rows. All compared values are exact
+    * integers (decimal cents), so the changed/unchanged classification
+    * is bit-stable across engines.
+    */
+  private val cdcDiffOracle =
+    """WITH p AS (
+         SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+             AS total_cents
+         FROM orders
+         WHERE o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1996-07-01'
+         GROUP BY 1),
+       c AS (
+         SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+             AS total_cents
+         FROM orders
+         WHERE o_orderdate >= DATE '1996-07-01'
+           AND o_orderdate < DATE '1997-01-01'
+         GROUP BY 1),
+       j AS (
+         SELECT coalesce(p.custkey, c.custkey) AS custkey,
+           p.custkey IS NULL AS ins, c.custkey IS NULL AS del,
+           p.n_orders AS pn, p.total_cents AS pt,
+           c.n_orders AS cn, c.total_cents AS ct
+         FROM p FULL JOIN c ON p.custkey = c.custkey)
+       SELECT custkey, 'insert' AS change_type, cn AS n_orders,
+         ct AS total_cents FROM j WHERE ins
+       UNION ALL
+       SELECT custkey, 'delete', pn, pt FROM j WHERE del
+       UNION ALL
+       SELECT custkey, 'update_preimage', pn, pt FROM j
+       WHERE NOT ins AND NOT del AND (pn <> cn OR pt <> ct)
+       UNION ALL
+       SELECT custkey, 'update_postimage', cn, ct FROM j
+       WHERE NOT ins AND NOT del AND (pn <> cn OR pt <> ct)
+       ORDER BY custkey, change_type"""
+
   private val discountedDec =
     """CAST(l_extendedprice AS DECIMAL(18,4)) *
        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"""
@@ -3228,40 +3288,8 @@ object RelationalQueries {
          GROUP BY l_orderkey, odate, o_orderpriority
          ORDER BY revenue DESC, odate, l_orderkey
          LIMIT 10""",
-    "q_cdc_diff" ->
-      """WITH p AS (
-           SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
-               AS total_cents
-           FROM orders
-           WHERE o_orderdate >= DATE '1996-01-01'
-             AND o_orderdate < DATE '1996-07-01'
-           GROUP BY 1),
-         c AS (
-           SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
-               AS total_cents
-           FROM orders
-           WHERE o_orderdate >= DATE '1996-07-01'
-             AND o_orderdate < DATE '1997-01-01'
-           GROUP BY 1),
-         j AS (
-           SELECT coalesce(p.custkey, c.custkey) AS custkey,
-             p.custkey IS NULL AS ins, c.custkey IS NULL AS del,
-             p.n_orders AS pn, p.total_cents AS pt,
-             c.n_orders AS cn, c.total_cents AS ct
-           FROM p FULL JOIN c ON p.custkey = c.custkey)
-         SELECT custkey, 'insert' AS change_type, cn AS n_orders,
-           ct AS total_cents FROM j WHERE ins
-         UNION ALL
-         SELECT custkey, 'delete', pn, pt FROM j WHERE del
-         UNION ALL
-         SELECT custkey, 'update_preimage', pn, pt FROM j
-         WHERE NOT ins AND NOT del AND (pn <> cn OR pt <> ct)
-         UNION ALL
-         SELECT custkey, 'update_postimage', cn, ct FROM j
-         WHERE NOT ins AND NOT del AND (pn <> cn OR pt <> ct)
-         ORDER BY custkey, change_type""",
+    "q_cdc_diff" -> cdcDiffOracle,
+    "q_cdc_sql" -> cdcDiffOracle, // TVF spelling, same truth
     "q_spearman" ->
       s"""WITH o AS (
            SELECT o_orderpriority AS prio, o_orderkey AS k,

@@ -684,6 +684,21 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // The SAME filtered stored-index probe spelled in Spark SQL — the
+    // graft_ann TVF's filter_sql argument parsed into the postings-scan
+    // predicate. SHARES q_ann_filtered's stored-index oracle, so the
+    // SQL spelling and the DataFrame probe must agree bit-for-bit.
+    "q_ann_filtered_sql" -> { (s, dir) =>
+      val idx = graft.functions.AnnIndex.ensureAttrs(s, dir)
+      Tables(s, dir, "embeddings").filter(col("vec_id") < 50)
+        .createOrReplaceTempView("graft_ann_filt_queries")
+      s.sql(s"""
+        SELECT q_id, rk, n_id, cos_sim
+        FROM graft_ann('graft_ann_filt_queries', '$idx', '5', 'indexed',
+                       'vec_id', 'embedding', 'label = 1')
+        ORDER BY q_id, rk""")
+    },
+
     // Index MAINTENANCE: the same IVF probe over an index copy with
     // every vec_id % 41 tombstone-deleted (AnnIndex.delete — O(batch)
     // append, no postings rewrite; vacuum reclaims on a cadence,
@@ -3953,7 +3968,8 @@ object TextQueries {
     ("q_ann_indexed_pq" -> annIndexedPqOracle) +
     ("q_ann_index_delete" -> annIndexDeleteOracle) +
     ("q_ann_index_drift" -> annIndexDriftOracle) +
-    ("q_ann_filtered" -> annFilteredOracle)
+    ("q_ann_filtered" -> annFilteredOracle) +
+    ("q_ann_filtered_sql" -> annFilteredOracle) // TVF spelling, same truth
 
   /** q_ann_eval oracle: the IVF chain ([[ivfRankedCtes]]) and the exact
     * brute-force chain side by side, recall@5 as the per-query count of

@@ -92,4 +92,30 @@ class TvfStreamingSpec extends SparkSpec {
       assert(rows == Seq((1L, 7L), (3L, 8L)))
     } finally q.stop()
   }
+
+  test("graft_cdc rejects a streaming snapshot at analysis time") {
+    streamingDocs().createOrReplaceTempView("tvf_cdc_stream")
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .createOrReplaceTempView("tvf_cdc_static")
+    for ((p, c) <- Seq(("tvf_cdc_stream", "tvf_cdc_static"),
+        ("tvf_cdc_static", "tvf_cdc_stream"))) {
+      val err = intercept[Throwable] {
+        spark.sql(s"SELECT * FROM graft_cdc('$p', '$c', 'doc_id')")
+      }
+      assert(messages(err).exists(_.contains("snapshot diff needs")),
+        messages(err).mkString(" | "))
+    }
+  }
+
+  test("graft_ann filter_sql is rejected for modes without stored attrs") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    e.filter(col("vec_id") < 3).createOrReplaceTempView("tvf_ann_fq")
+    e.createOrReplaceTempView("tvf_ann_fc")
+    val err = intercept[Throwable] {
+      spark.sql("""SELECT * FROM graft_ann('tvf_ann_fq', 'tvf_ann_fc', '5',
+        'brute', 'vec_id', 'embedding', 'label = 1')""")
+    }
+    assert(messages(err).exists(_.contains("no stored attrs")),
+      messages(err).mkString(" | "))
+  }
 }
