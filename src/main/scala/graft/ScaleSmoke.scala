@@ -51,6 +51,11 @@ object ScaleSmoke {
     // so its factor should sit well under the brute-force baseline's;
     // the SQL spelling plans the identical probe (TVF twin convention)
     "q_ann_indexed", "q_ann_indexed_pq", "q_ann_indexed_sql",
+    // filtered search at Nx: the same pruned-postings probe with the
+    // label predicate evaluated in the scan (PushedFilters) — selectivity
+    // is clone-invariant (labels replicate with the rows), so the factor
+    // should sit on q_ann_indexed's; first run pays the attr-index build
+    "q_ann_filtered", "q_ann_filtered_sql",
     // index maintenance at Nx: its own index build (first run, one-time)
     // plus the tombstone anti-join on the pruned postings read — the
     // probe factor should sit on q_ann_indexed's with the small
@@ -280,7 +285,7 @@ object ScaleSmoke {
     */
   private val ordersConsumers =
     Set("q_isotonic_cal", "q_woe_iv", "q_bootstrap", "q_bucket_join",
-      "q_compact_scan", "q_pipe_sql")
+      "q_compact_scan", "q_pipe_sql", "q_cdc_diff", "q_cdc_sql")
   private val customerConsumers = Set("q_record_linkage")
 
   private val relationalQueries = Seq(
@@ -298,7 +303,16 @@ object ScaleSmoke {
     // join + aggregate it lowers to (customer stays 1x: o_custkey is
     // unshifted, so every order still matches and per-segment groups
     // get Nx fatter)
-    "q_compact_scan", "q_pipe_sql")
+    "q_compact_scan", "q_pipe_sql",
+    // r16 continuation: the CDC snapshot diff at Nx orders — both
+    // half-year snapshots grow Nx (shifted o_orderkey, o_custkey fixed:
+    // per-customer groups get Nx fatter, the honest partial-agg
+    // stress), then ONE full-outer join on the Nx customer domain...
+    // except custkey is NOT shifted, so the join key domain stays 1x
+    // with Nx-heavier aggregates feeding it — the diff itself is
+    // key-domain-sized, the production shape (changes ≪ corpus); the
+    // TVF spelling plans the identical diff
+    "q_cdc_diff", "q_cdc_sql")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated
