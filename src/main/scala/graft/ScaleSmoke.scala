@@ -285,7 +285,7 @@ object ScaleSmoke {
     */
   private val ordersConsumers =
     Set("q_isotonic_cal", "q_woe_iv", "q_bootstrap", "q_bucket_join",
-      "q_compact_scan", "q_pipe_sql", "q_cdc_diff", "q_cdc_sql")
+      "q_compact_scan", "q_pipe_sql", "q_cdc_diff", "q_cdc_sql", "q_cdc_apply")
   private val customerConsumers = Set("q_record_linkage")
 
   private val relationalQueries = Seq(
@@ -312,7 +312,11 @@ object ScaleSmoke {
     // with Nx-heavier aggregates feeding it — the diff itself is
     // key-domain-sized, the production shape (changes ≪ corpus); the
     // TVF spelling plans the identical diff
-    "q_cdc_diff", "q_cdc_sql")
+    "q_cdc_diff", "q_cdc_sql",
+    // ...and the feed APPLIED back: state moves through one anti-join
+    // against the touched keys + a union of incoming rows — must track
+    // the 1x key domain like the diff itself
+    "q_cdc_apply")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated

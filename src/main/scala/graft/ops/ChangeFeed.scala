@@ -70,6 +70,31 @@ object ChangeFeed {
         valCols.map(c => col(s"chg.v.$c").as(c)): _*)
   }
 
+  /** Apply a change feed to the snapshot it was derived FROM,
+    * reconstructing the next snapshot — incremental view maintenance:
+    * a downstream consumer holding snapshot N applies the (usually
+    * tiny) feed instead of re-reading snapshot N+1 wholesale. At 100 TB
+    * this is the difference between moving the corpus and moving the
+    * changes: one anti-join of the state against the feed's touched
+    * keys (broadcast when the feed is small, which is the point) plus a
+    * union of the insert/post rows. Exactness is spec-pinned:
+    * `applyFeed(prev, diff(prev, cur, k), k)` row-equals `cur`.
+    */
+  def applyFeed(prev: DataFrame, feed: DataFrame, keys: Seq[String]): DataFrame = {
+    val valCols = prev.columns.filterNot(keys.contains).toSeq
+    // rows that replace or remove state: delete + update (either image
+    // marks the key as touched); rows that (re)enter: insert + post
+    val touched = feed.filter(
+      col("change_type").isin("delete", "update_preimage"))
+      .select(keys.map(col): _*).distinct()
+    val incoming = feed.filter(
+      col("change_type").isin("insert", "update_postimage"))
+      .select((keys ++ valCols).map(col): _*)
+    prev.join(touched, keys, "left_anti")
+      .select((keys ++ valCols).map(col): _*)
+      .unionByName(incoming)
+  }
+
   /** `graft_cdc('prev_table', 'cur_table', 'key1,key2,...')` — the SQL
     * spelling of [[diff]], registered as a table-valued function so
     * spark.sql users reach the change feed without the DataFrame API

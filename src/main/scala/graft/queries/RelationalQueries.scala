@@ -1330,6 +1330,28 @@ object RelationalQueries {
         ORDER BY custkey, change_type""")
     },
 
+    // Incremental view maintenance (ChangeFeed.applyFeed): snapshot N
+    // plus its change feed reconstructs snapshot N+1 WITHOUT re-reading
+    // it — the oracle recomputes snapshot N+1 directly from orders, so
+    // a single wrong/missing/duplicated feed application flips the
+    // hash. At 100 TB the state moves through one anti-join against the
+    // feed's touched keys (broadcast-sized when changes ≪ corpus) plus
+    // a union of the incoming rows.
+    "q_cdc_apply" -> { (s, dir) =>
+      def snap(lo: String, hi: String) = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo).cast(DateType) &&
+          col("o_orderdate") < lit(hi).cast(DateType))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("o_totalprice").cast(DecimalType(18, 4))) * 100)
+            .cast(LongType).as("total_cents"))
+      val prev = snap("1996-01-01", "1996-07-01")
+      val cur = snap("1996-07-01", "1997-01-01")
+      val feed = graft.ops.ChangeFeed.diff(prev, cur, Seq("custkey"))
+      graft.ops.ChangeFeed.applyFeed(prev, feed, Seq("custkey"))
+        .orderBy("custkey")
+    },
+
     // Spearman rank correlation (price vs order recency per priority) —
     // the monotone-association check Pearson misses (and q_theil_sen's
     // slope doesn't quantify). Ranks are total-ordered (ties broken by
@@ -3290,6 +3312,15 @@ object RelationalQueries {
          LIMIT 10""",
     "q_cdc_diff" -> cdcDiffOracle,
     "q_cdc_sql" -> cdcDiffOracle, // TVF spelling, same truth
+    // applyFeed(prev, feed) must equal snapshot N+1 recomputed directly
+    "q_cdc_apply" ->
+      """SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+             AS total_cents
+         FROM orders
+         WHERE o_orderdate >= DATE '1996-07-01'
+           AND o_orderdate < DATE '1997-01-01'
+         GROUP BY 1 ORDER BY custkey""",
     "q_spearman" ->
       s"""WITH o AS (
            SELECT o_orderpriority AS prio, o_orderkey AS k,

@@ -72,6 +72,28 @@ class ChangeFeedSpec extends SparkSpec {
     assert(joins.size == 1, s"expected exactly one keyed join:\n$s")
   }
 
+  test("applyFeed(prev, diff(prev, cur)) reconstructs cur exactly") {
+    // incremental view maintenance round-trip, including every change
+    // class at once (insert, delete, update) plus untouched keys and
+    // null values on both sides
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, null: String))
+      .toDF("k", "v")
+    val cur = Seq((2L, "b"), (3L, "C"), (4L, "d"), (5L, "e"))
+      .toDF("k", "v")
+    val feed = ChangeFeed.diff(prev, cur, Seq("k"))
+    val rebuilt = ChangeFeed.applyFeed(prev, feed, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val want = cur.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(rebuilt == want)
+    // and an EMPTY feed is the identity
+    val idFeed = ChangeFeed.diff(cur, cur, Seq("k"))
+    assert(idFeed.isEmpty)
+    val same = ChangeFeed.applyFeed(cur, idFeed, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(same == want)
+  }
+
   test("StagedSink composition: diff(generation=previous, current) is the commit's change feed") {
     val path = java.nio.file.Files.createTempDirectory("cdc_staged").toString
     def write(vals: Seq[(Long, String)], mode: String): Unit =
