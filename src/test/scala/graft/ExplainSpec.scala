@@ -50,6 +50,16 @@ class ExplainSpec extends SparkSpec {
     // broadcast, probe top-k + sort), pipe-syntax SQL
     "q_jsonl_ingest" -> 4, "q_ingest_sql" -> 2, "q_compact_scan" -> 2,
     "q_ann_index_delete" -> 2, "q_pipe_sql" -> 2, "q_ann_index_drift" -> 2,
+    // r16 continuation 2: filtered stored-index probe (query-cell
+    // regroup + top-k window exchange — the label predicate rides the
+    // postings SCAN, adding zero exchanges vs q_ann_indexed); the CDC
+    // diff (2 snapshot aggs + output sort; the full-outer join REUSES
+    // the aggs' custkey partitioning), its TVF twin, and applyFeed
+    // (diff's 3 + the anti-join's regroup + union sort); Q3 at sf0.001
+    // stats broadcasts orders+customer, leaving the one agg regroup
+    "q_ann_filtered" -> 2, "q_ann_filtered_sql" -> 2,
+    "q_cdc_diff" -> 3, "q_cdc_sql" -> 3, "q_cdc_apply" -> 5,
+    "q_tpch_q3" -> 1,
     // q_matryoshka: 4 independent brute-force top-k pipelines (full
     // truth + 3 truncated variants) at ~3 exchanges each — every frame
     // is (|queries| x k)-sized after the aggregator's map-side cap, so
