@@ -154,6 +154,22 @@ object AnnIndex {
       idCol: String = "vec_id", vecCol: String = "embedding",
       attrCols: Seq[String] = Nil): Unit = {
     val spark = newVectors.sparkSession
+    // the batch MUST carry exactly the attr columns the stored postings
+    // already have: appending without them would write files missing
+    // the attr column, which a later filtered probe reads as NULL —
+    // silently excluding every appended vector from filtered top-k
+    // results (no error, wrong answer). Derive the contract from the
+    // stored layout itself, not trust the caller.
+    val reserved = Set("n_id", "n_vec", "cell", "codes")
+    require(attrCols.forall(a => !reserved(a)),
+      s"attrCols may not use the reserved posting names $reserved")
+    val storedAttrs = spark.read.parquet(postingsPath(dir))
+      .schema.fieldNames.filterNot(reserved).toSet
+    require(attrCols.toSet == storedAttrs,
+      s"AnnIndex.append($dir): the stored postings carry attr columns " +
+        s"[${storedAttrs.toSeq.sorted.mkString(",")}] but the batch " +
+        s"supplies [${attrCols.sorted.mkString(",")}] — pass the same " +
+        "attrCols the index was built with")
     val meta = spark.read.parquet(metaPath(dir)).head()
     val dim = meta.getAs[Int]("dim")
     val dsub = meta.getAs[Int]("dsub")
@@ -462,24 +478,19 @@ object AnnIndex {
     * divergence to measure, and the oracle re-derives it entirely from
     * the STORED centroids + postings. Once per (JVM, corpus contents).
     */
-  def ensureDrifted(s: SparkSession, sfDir: String): String = synchronized {
-    val tag = tagFor(sfDir)
-    val root = ensuredDrift.getOrElseUpdate(tag, {
-      val r = s"${sys.props("java.io.tmpdir")}/graft_ann_index_drift/$tag"
-      // completeness witness = a marker written strictly AFTER the
-      // retrain: postings/_SUCCESS alone (build()'s witness) would let
-      // a crash between build and retrain persist a permanently
-      // UNDRIFTED demo index — hash-consistent with its oracle, but
-      // measuring nothing. A missing marker rebuilds from scratch.
-      val done = java.nio.file.Paths.get(s"$r/_GRAFT_RETRAINED")
-      if (!java.nio.file.Files.exists(done)) {
-        deleteTree(java.nio.file.Paths.get(r))
-        build(graft.Tables(s, sfDir, "embeddings"), r, nlist = 0, trainRounds = 0)
-        retrainCentroids(s, r, rounds = 2)
-        java.nio.file.Files.createFile(done)
-      }
-      r
-    })
+  def ensureDrifted(s: SparkSession, sfDir: String): String = {
+    // completeness witness = a marker written strictly AFTER the
+    // retrain: postings/_SUCCESS alone (build()'s witness) would let
+    // a crash between build and retrain persist a permanently
+    // UNDRIFTED demo index — hash-consistent with its oracle, but
+    // measuring nothing. A missing marker rebuilds from scratch.
+    val root = ensureCopy(sfDir, "graft_ann_index_drift", ensuredDrift)(
+      r => marker(s"$r/_GRAFT_RETRAINED")) { r =>
+      deleteTree(java.nio.file.Paths.get(r))
+      build(graft.Tables(s, sfDir, "embeddings"), r, nlist = 0, trainRounds = 0)
+      retrainCentroids(s, r, rounds = 2)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$r/_GRAFT_RETRAINED"))
+    }
     lastDriftDir = Some(root)
     root
   }
@@ -490,6 +501,32 @@ object AnnIndex {
     */
   private def tagFor(dir: String): String =
     graft.ops.ContentTag.of(dir, Seq("embeddings"))
+
+  /** Shared scaffolding for the ensure* demo-index family ([[ensure]],
+    * [[ensureDeleted]], [[ensureDrifted]], [[ensureAttrs]]): one
+    * content-tagged root per (JVM, corpus contents) under the JVM temp
+    * dir, reused across JVMs when `isComplete` sees the copy's own
+    * completeness witness on disk. Each variant supplies ONLY its
+    * subdir, witness rule, and build steps — the reuse/crash-window
+    * logic lives here once (the ensureDrifted marker lesson: a witness
+    * must be written strictly after the LAST build step, so isComplete
+    * and buildSteps are the variant's whole contract).
+    */
+  private def ensureCopy(
+      sfDir: String, subdir: String,
+      cache: scala.collection.mutable.Map[String, String])(
+      isComplete: String => Boolean)(buildSteps: String => Unit): String =
+    synchronized {
+      val tag = tagFor(sfDir)
+      cache.getOrElseUpdate(tag, {
+        val r = s"${sys.props("java.io.tmpdir")}/$subdir/$tag"
+        if (!isComplete(r)) buildSteps(r)
+        r
+      })
+    }
+
+  private def marker(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path))
 
   /** Most recent ensure()'d index root — the side channel the
     * dynamically-built q_ann_indexed oracle reads (Verify dumps
@@ -507,15 +544,11 @@ object AnnIndex {
     * later rounds reuse the stored layout exactly like BucketedTables.
     * Returns the index root.
     */
-  def ensure(s: SparkSession, sfDir: String): String = synchronized {
-    val tag = tagFor(sfDir)
-    val root = ensured.getOrElseUpdate(tag, {
-      val r = s"${sys.props("java.io.tmpdir")}/graft_ann_index/$tag"
-      val done = java.nio.file.Paths.get(s"${postingsPath(r)}/_SUCCESS")
-      if (!java.nio.file.Files.exists(done))
-        build(graft.Tables(s, sfDir, "embeddings"), r, nlist = 0, trainRounds = 1)
-      r
-    })
+  def ensure(s: SparkSession, sfDir: String): String = {
+    val root = ensureCopy(sfDir, "graft_ann_index", ensured)(
+      r => marker(s"${postingsPath(r)}/_SUCCESS")) { r =>
+      build(graft.Tables(s, sfDir, "embeddings"), r, nlist = 0, trainRounds = 1)
+    }
     lastEnsuredDir = Some(root)
     root
   }
@@ -534,19 +567,18 @@ object AnnIndex {
     * function of the data, so the oracle re-derives the deleted set
     * from the STORED tombstones table. Returns the index root.
     */
-  def ensureDeleted(s: SparkSession, sfDir: String): String = synchronized {
-    val tag = tagFor(sfDir)
-    val root = ensuredDel.getOrElseUpdate(tag, {
-      val r = s"${sys.props("java.io.tmpdir")}/graft_ann_index_del/$tag"
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"${postingsPath(r)}/_SUCCESS")))
+  def ensureDeleted(s: SparkSession, sfDir: String): String = {
+    // two stepwise witnesses: a crash between build and delete re-runs
+    // only the missing step on the next call
+    val root = ensureCopy(sfDir, "graft_ann_index_del", ensuredDel)(
+      r => marker(s"${postingsPath(r)}/_SUCCESS") &&
+        marker(s"${tombstonesPath(r)}/_SUCCESS")) { r =>
+      if (!marker(s"${postingsPath(r)}/_SUCCESS"))
         build(graft.Tables(s, sfDir, "embeddings"), r, nlist = 0, trainRounds = 1)
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"${tombstonesPath(r)}/_SUCCESS")))
+      if (!marker(s"${tombstonesPath(r)}/_SUCCESS"))
         delete(graft.Tables(s, sfDir, "embeddings")
           .filter(col("vec_id") % 41 === 0), r)
-      r
-    })
+    }
     lastDeletedDir = Some(root)
     root
   }
@@ -565,16 +597,12 @@ object AnnIndex {
     * (its postings schema is pinned by the other probes' stored-bytes
     * oracles). Returns the index root.
     */
-  def ensureAttrs(s: SparkSession, sfDir: String): String = synchronized {
-    val tag = tagFor(sfDir)
-    val root = ensuredAttr.getOrElseUpdate(tag, {
-      val r = s"${sys.props("java.io.tmpdir")}/graft_ann_index_attr/$tag"
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"${postingsPath(r)}/_SUCCESS")))
-        build(graft.Tables(s, sfDir, "embeddings"), r, nlist = 0,
-          trainRounds = 1, attrCols = Seq("label"))
-      r
-    })
+  def ensureAttrs(s: SparkSession, sfDir: String): String = {
+    val root = ensureCopy(sfDir, "graft_ann_index_attr", ensuredAttr)(
+      r => marker(s"${postingsPath(r)}/_SUCCESS")) { r =>
+      build(graft.Tables(s, sfDir, "embeddings"), r, nlist = 0,
+        trainRounds = 1, attrCols = Seq("label"))
+    }
     lastAttrDir = Some(root)
     root
   }

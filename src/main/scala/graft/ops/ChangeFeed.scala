@@ -47,6 +47,12 @@ object ChangeFeed {
         s"(${prev.columns.mkString(",")} vs ${cur.columns.mkString(",")})")
     val valCols = prev.columns.filterNot(keys.contains).toSeq
     require(valCols.nonEmpty, "ChangeFeed.diff: no value columns to compare")
+    // change_type is the output discriminator and _pre/_post the join
+    // intermediates — a snapshot column with one of those names would
+    // silently produce a duplicate/ambiguous column, not an error here
+    val reserved = Set("change_type", "_pre", "_post")
+    require(prev.columns.forall(c => !reserved(c)),
+      s"ChangeFeed.diff: snapshot columns may not use the reserved names $reserved")
     def packed(df: DataFrame, as: String) =
       df.select(keys.map(col) :+ struct(valCols.map(col): _*).as(as): _*)
     val joined = packed(prev, "_pre").join(packed(cur, "_post"), keys, "full_outer")
@@ -90,7 +96,15 @@ object ChangeFeed {
     val incoming = feed.filter(
       col("change_type").isin("insert", "update_postimage"))
       .select((keys ++ valCols).map(col): _*)
-    prev.join(touched, keys, "left_anti")
+    // NULL-SAFE anti-join: diff classifies a null-keyed change as
+    // delete + insert (full-outer equality never matches null keys), so
+    // the apply side must actually REMOVE the stale null-keyed row — a
+    // plain equality anti-join would keep it and duplicate the incoming
+    // one, breaking the spec-pinned round trip
+    val p = prev.alias("p")
+    val t = touched.alias("t")
+    val cond = keys.map(k => col(s"p.$k") <=> col(s"t.$k")).reduce(_ && _)
+    p.join(t, cond, "left_anti")
       .select((keys ++ valCols).map(col): _*)
       .unionByName(incoming)
   }

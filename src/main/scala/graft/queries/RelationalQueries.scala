@@ -16,6 +16,21 @@ import org.apache.spark.sql.types._
   */
 object RelationalQueries {
 
+  /** The per-customer order snapshot the CDC trio (q_cdc_diff /
+    * q_cdc_sql / q_cdc_apply) diffs: one half-year date window,
+    * count + exact decimal-cent total per customer. ONE definition so
+    * the three queries and their shared oracle can never desynchronize.
+    */
+  private def cdcSnapshot(
+      s: SparkSession, dir: String, lo: String, hi: String): DataFrame =
+    Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(lo).cast(DateType) &&
+        col("o_orderdate") < lit(hi).cast(DateType))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 4))) * 100)
+          .cast(LongType).as("total_cents"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 shape: the canonical partial+final hash aggregate. Sums
@@ -1298,13 +1313,7 @@ object RelationalQueries {
     // the compared values are exact integers (decimal cents), so the
     // changed/unchanged classification is bit-stable across engines.
     "q_cdc_diff" -> { (s, dir) =>
-      def snap(lo: String, hi: String) = Tables(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit(lo).cast(DateType) &&
-          col("o_orderdate") < lit(hi).cast(DateType))
-        .groupBy(col("o_custkey").as("custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          (sum(col("o_totalprice").cast(DecimalType(18, 4))) * 100)
-            .cast(LongType).as("total_cents"))
+      def snap(lo: String, hi: String) = cdcSnapshot(s, dir, lo, hi)
       graft.ops.ChangeFeed.diff(
           snap("1996-01-01", "1996-07-01"), snap("1996-07-01", "1997-01-01"),
           Seq("custkey"))
@@ -1315,13 +1324,7 @@ object RelationalQueries {
     // TVF (snapshots as temp views) — SHARES q_cdc_diff's oracle, so
     // the SQL spelling and the DataFrame diff must agree bit-for-bit.
     "q_cdc_sql" -> { (s, dir) =>
-      def snap(lo: String, hi: String) = Tables(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit(lo).cast(DateType) &&
-          col("o_orderdate") < lit(hi).cast(DateType))
-        .groupBy(col("o_custkey").as("custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          (sum(col("o_totalprice").cast(DecimalType(18, 4))) * 100)
-            .cast(LongType).as("total_cents"))
+      def snap(lo: String, hi: String) = cdcSnapshot(s, dir, lo, hi)
       snap("1996-01-01", "1996-07-01").createOrReplaceTempView("graft_cdc_prev")
       snap("1996-07-01", "1997-01-01").createOrReplaceTempView("graft_cdc_cur")
       s.sql("""
@@ -1338,13 +1341,7 @@ object RelationalQueries {
     // feed's touched keys (broadcast-sized when changes ≪ corpus) plus
     // a union of the incoming rows.
     "q_cdc_apply" -> { (s, dir) =>
-      def snap(lo: String, hi: String) = Tables(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit(lo).cast(DateType) &&
-          col("o_orderdate") < lit(hi).cast(DateType))
-        .groupBy(col("o_custkey").as("custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          (sum(col("o_totalprice").cast(DecimalType(18, 4))) * 100)
-            .cast(LongType).as("total_cents"))
+      def snap(lo: String, hi: String) = cdcSnapshot(s, dir, lo, hi)
       val prev = snap("1996-01-01", "1996-07-01")
       val cur = snap("1996-07-01", "1997-01-01")
       val feed = graft.ops.ChangeFeed.diff(prev, cur, Seq("custkey"))

@@ -170,6 +170,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(filteredPq == canon(AnnIndex.pqTopK(q, dirS, k = 5), "score"))
   }
 
+  test("append to an attr index requires matching attrCols; with them, filtered probes stay exact") {
+    // an append WITHOUT the index's attr columns would write posting
+    // files whose label reads as NULL — silently excluding every
+    // appended vector from filtered top-k results. The mismatch must
+    // fail loudly, and the matched append must be probe-identical to a
+    // fresh attr build over the union corpus with the same quantizers.
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec"
+    val dirF = s"$base/attrs"
+    val dirA = s"$base/attrs_appended"
+    AnnIndex.build(e, dirF, nlist = 0, trainRounds = 1, attrCols = Seq("label"))
+    val cents = spark.read.parquet(s"$dirF/centroids")
+      .orderBy("cell").select("centroid").collect().map(_.getSeq[Double](0))
+    val cb = spark.read.parquet(s"$dirF/meta").head()
+      .getAs[Seq[Double]]("flat").toArray
+    AnnIndex.build(e.filter(col("vec_id") < 400), dirA,
+      centroids = cents, codebook = cb, attrCols = Seq("label"))
+    val batch = e.filter(col("vec_id") >= 400)
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.append(batch, dirA) // default attrCols = Nil: mismatch
+    }.getMessage.contains("attr columns"))
+    AnnIndex.append(batch, dirA, attrCols = Seq("label"))
+    val q = e.filter(col("vec_id") < 50)
+    assert(
+      canon(AnnIndex.ivfTopK(q, dirA, k = 5, filter = col("label") === 1), "cos_sim") ==
+      canon(AnnIndex.ivfTopK(q, dirF, k = 5, filter = col("label") === 1), "cos_sim"))
+  }
+
   test("filtered probe pushes the attr predicate into the postings scan") {
     // the 100 TB point of storing attrs inline: the metadata predicate
     // reaches the pruned postings scan as a parquet pushed filter (row

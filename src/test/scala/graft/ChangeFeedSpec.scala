@@ -94,6 +94,31 @@ class ChangeFeedSpec extends SparkSpec {
     assert(same == want)
   }
 
+  test("null KEY values round-trip: diff emits delete+insert, applyFeed removes the stale row") {
+    // equality joins never match null keys, so diff classifies a
+    // null-keyed change as delete + insert; applyFeed's anti-join must
+    // be null-SAFE or the stale null-keyed row would survive and
+    // duplicate the incoming one
+    val prev = Seq((Option(1L), "a"), (Option.empty[Long], "x"))
+      .toDF("k", "v")
+    val cur = Seq((Option(1L), "a"), (Option.empty[Long], "y"))
+      .toDF("k", "v")
+    val feed = ChangeFeed.diff(prev, cur, Seq("k"))
+    val classes = feed.select("change_type").collect().map(_.getString(0)).sorted
+    assert(classes.toSeq == Seq("delete", "insert"))
+    val rebuilt = ChangeFeed.applyFeed(prev, feed, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rebuilt == Seq((-1L, "y"), (1L, "a")))
+  }
+
+  test("reserved column names are rejected loudly") {
+    val bad = Seq((1L, "a")).toDF("k", "change_type")
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.diff(bad, bad, Seq("k"))
+    }.getMessage.contains("reserved names"))
+  }
+
   test("StagedSink composition: diff(generation=previous, current) is the commit's change feed") {
     val path = java.nio.file.Files.createTempDirectory("cdc_staged").toString
     def write(vals: Seq[(Long, String)], mode: String): Unit =
