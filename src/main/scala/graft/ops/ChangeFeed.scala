@@ -88,11 +88,12 @@ object ChangeFeed {
     */
   def applyFeed(prev: DataFrame, feed: DataFrame, keys: Seq[String]): DataFrame = {
     val valCols = prev.columns.filterNot(keys.contains).toSeq
-    // rows that replace or remove state: delete + update (either image
-    // marks the key as touched); rows that (re)enter: insert + post
-    val touched = feed.filter(
-      col("change_type").isin("delete", "update_preimage"))
-      .select(keys.map(col): _*).distinct()
+    // EVERY feed key is removed from the state before the incoming rows
+    // re-enter — not just delete/update keys: clearing insert keys too
+    // is what makes a replayed feed converge instead of duplicating the
+    // already-applied insert (at-least-once delivery), and it is a
+    // no-op on first application (the key is absent)
+    val touched = feed.select(keys.map(col): _*).distinct()
     val incoming = feed.filter(
       col("change_type").isin("insert", "update_postimage"))
       .select((keys ++ valCols).map(col): _*)
@@ -108,6 +109,22 @@ object ChangeFeed {
       .select((keys ++ valCols).map(col): _*)
       .unionByName(incoming)
   }
+
+  /** [[applyFeed]] against a PERSISTED keyed table: the state at `path`
+    * is rewritten to `applyFeed(state, feed, keys)` through
+    * [[CoreOps.stagedSwapRewrite]]'s stage-then-swap (commit marker,
+    * rename-aside, crash recovery on the next call) — the downstream
+    * materialization a CDC consumer maintains. Applying one
+    * self-consistent feed is IDEMPOTENT (the anti-join removes a key
+    * before its incoming row re-enters, so a replay converges to the
+    * same state), which is what makes the streaming spelling
+    * ([[graft.streaming.StreamingOps.applyFeedEachBatch]]) safe under
+    * at-least-once delivery. Single writer required, like upsert.
+    */
+  def applyFeedToTable(feed: DataFrame, path: String, keys: Seq[String]): Unit =
+    CoreOps.stagedSwapRewrite(feed.sparkSession, path, "applyFeedToTable") {
+      state => applyFeed(state, feed, keys)
+    }
 
   /** `graft_cdc('prev_table', 'cur_table', 'key1,key2,...')` — the SQL
     * spelling of [[diff]], registered as a table-valued function so

@@ -139,30 +139,55 @@ object CoreOps {
   def upsert(updates: DataFrame, path: String,
       key: String, version: String): Unit = {
     val spark = updates.sparkSession
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(hconf)
-    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    recoverSwap(spark, path, "upsert")
+    // Existence is checked via the filesystem, not by catching
+    // AnalysisException from the read: a blanket catch would also swallow
+    // unrelated failures (empty or corrupt dir, permission errors) and
+    // silently take the fresh-table branch, overwriting history.
+    if (!fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(path))) {
+      updates.write.mode(SaveMode.Overwrite).parquet(path)
+    } else stagedSwapRewrite(spark, path, "upsert") { current =>
+      val up = updates.withColumn("__src", lit(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(key))
+        .orderBy(col(version).desc, col("__src").desc,
+          xxhash64(struct(updates.columns.toIndexedSeq.map(col): _*)))
+      current.withColumn("__src", lit(0))
+        .unionByName(up)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .drop("__rk", "__src")
+    }
+  }
 
-    // Crash recovery (rename-aside discipline, same as the AnnIndex
-    // maintenance swaps): the live table is never deleted while it is
-    // the only complete copy — the swap renames it to a `.old` sibling
-    // first, so every crash state is either recoverable here or
-    // loudly refused. Completeness of staging is keyed on our OWN
-    // commit marker, written after the staging write returns: Spark's
-    // _SUCCESS marker exists only when
-    // mapreduce.fileoutputcommitter.marksuccessfuljobs is on (off is a
-    // common object-store setting), so relying on it would turn this
-    // self-healing path into a hard failure under that config. A
-    // PRESENT _SUCCESS is still trustworthy evidence (the committer only
-    // writes it on job completion), so it is accepted too — staging dirs
-    // left by a pre-marker version of this code stay recoverable.
-    //  - target present: drop `.old` debris from an interrupted swap.
-    //  - target missing + staging COMPLETE: finish the rename, drop old.
-    //  - target missing + `.old` present (staging incomplete/absent):
-    //    restore the old copy verbatim.
-    //  - target missing + unmarked staging only: unrecoverable — fail
-    //    loudly rather than silently overwrite.
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Crash recovery for the keyed-table swaps (rename-aside discipline,
+    * same as the AnnIndex maintenance swaps): the live table is never
+    * deleted while it is the only complete copy — the swap renames it
+    * to a `.old` sibling first, so every crash state is either
+    * recoverable here or loudly refused. Completeness of staging is
+    * keyed on our OWN commit marker, written after the staging write
+    * returns: Spark's _SUCCESS marker exists only when
+    * mapreduce.fileoutputcommitter.marksuccessfuljobs is on (off is a
+    * common object-store setting), so relying on it would turn this
+    * self-healing path into a hard failure under that config. A
+    * PRESENT _SUCCESS is still trustworthy evidence (the committer only
+    * writes it on job completion), so it is accepted too — staging dirs
+    * left by a pre-marker version of this code stay recoverable.
+    *  - target present: drop `.old` debris from an interrupted swap.
+    *  - target missing + staging COMPLETE: finish the rename, drop old.
+    *  - target missing + `.old` present (staging incomplete/absent):
+    *    restore the old copy verbatim.
+    *  - target missing + unmarked staging only: unrecoverable — fail
+    *    loudly rather than silently overwrite.
+    */
+  private def recoverSwap(spark: SparkSession, path: String, op: String): Unit = {
+    val fs = fsOf(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     val oldAside = new org.apache.hadoop.fs.Path(path + ".old")
     if (fs.exists(target)) {
       if (fs.exists(oldAside)) fs.delete(oldAside, true)
@@ -170,53 +195,49 @@ object CoreOps {
         (fs.exists(new org.apache.hadoop.fs.Path(staging, CommitMarker)) ||
           fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))) {
       require(fs.rename(staging, target),
-        s"upsert($path): recovery rename $staging -> $target failed")
+        s"$op($path): recovery rename $staging -> $target failed")
       if (fs.exists(oldAside)) fs.delete(oldAside, true)
     } else if (fs.exists(oldAside)) {
       require(fs.rename(oldAside, target),
-        s"upsert($path): recovery restore $oldAside -> $target failed")
+        s"$op($path): recovery restore $oldAside -> $target failed")
     } else if (fs.exists(staging)) {
       require(requirement = false,
-        s"upsert($path): target missing and staging $staging is " +
+        s"$op($path): target missing and staging $staging is " +
           s"incomplete (no $CommitMarker) — manual inspection required")
     }
+  }
 
-    // Existence is checked via the filesystem, not by catching
-    // AnalysisException from the read: a blanket catch would also swallow
-    // unrelated failures (empty or corrupt dir, permission errors) and
-    // silently take the fresh-table branch, overwriting history.
-    if (!fs.exists(target)) {
-      updates.write.mode(SaveMode.Overwrite).parquet(path)
-    } else {
-      val current = spark.read.parquet(path)
-      val up = updates.withColumn("__src", lit(1))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(key))
-        .orderBy(col(version).desc, col("__src").desc,
-          xxhash64(struct(updates.columns.toIndexedSeq.map(col): _*)))
-      val merged = current.withColumn("__src", lit(0))
-        .unionByName(up)
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
-        .drop("__rk", "__src")
-      // stage-then-swap: the merged plan still READS `path`, so it must
-      // be fully written elsewhere before the target is touched. The
-      // commit marker lands strictly AFTER the write returns — a crash
-      // before it leaves staging unmarked (and the target intact), so
-      // the next call rebuilds staging instead of trusting partial data.
-      // The swap renames the live table ASIDE instead of deleting it: a
-      // recursive delete is not atomic, and a crash mid-delete would
-      // leave a PARTIAL target that the missing-target recovery check
-      // cannot see — rename-aside keeps a complete copy at every step.
-      merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      fs.create(new org.apache.hadoop.fs.Path(staging, CommitMarker), true).close()
-      if (fs.exists(oldAside)) fs.delete(oldAside, true)
-      require(fs.rename(target, oldAside),
-        s"upsert($path): rename-aside $target -> $oldAside failed")
-      require(fs.rename(staging, target),
-        s"upsert($path): rename $staging -> $target failed")
-      fs.delete(oldAside, true)
-    }
+  /** Rewrite the keyed table at `path` as `f(current)` through the
+    * stage-then-swap protocol shared by [[upsert]] and
+    * [[graft.ops.ChangeFeed.applyFeedToTable]]: the rewritten plan
+    * still READS `path`, so it is fully written to a staging sibling
+    * first. The commit marker lands strictly AFTER the write returns —
+    * a crash before it leaves staging unmarked (and the target intact),
+    * so the next call rebuilds staging instead of trusting partial
+    * data. The swap renames the live table ASIDE instead of deleting
+    * it: a recursive delete is not atomic, and a crash mid-delete would
+    * leave a PARTIAL target that the missing-target recovery check
+    * cannot see — rename-aside keeps a complete copy at every step.
+    * Runs [[recoverSwap]] first, so standalone callers self-heal.
+    * SINGLE WRITER REQUIRED, like [[upsert]].
+    */
+  private[graft] def stagedSwapRewrite(spark: SparkSession, path: String,
+      op: String)(f: DataFrame => DataFrame): Unit = {
+    recoverSwap(spark, path, op)
+    val fs = fsOf(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val oldAside = new org.apache.hadoop.fs.Path(path + ".old")
+    require(fs.exists(target), s"$op($path): no table at $path")
+    val rewritten = f(spark.read.parquet(path))
+    rewritten.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging, CommitMarker), true).close()
+    if (fs.exists(oldAside)) fs.delete(oldAside, true)
+    require(fs.rename(target, oldAside),
+      s"$op($path): rename-aside $target -> $oldAside failed")
+    require(fs.rename(staging, target),
+      s"$op($path): rename $staging -> $target failed")
+    fs.delete(oldAside, true)
   }
 
   /** Marker proving a staging write ran to completion (see [[upsert]]). */

@@ -701,6 +701,26 @@ object StreamingOps {
         if (!batch.isEmpty) graft.ops.CoreOps.upsert(batch, path, key, version)
     }
 
+  /** CDC-apply sink: each micro-batch of change-feed rows
+    * ([[graft.ops.ChangeFeed.diff]]'s row model — insert / delete /
+    * update_preimage / update_postimage) is applied to the keyed
+    * parquet table at `path` via
+    * [[graft.ops.ChangeFeed.applyFeedToTable]] — the consumer side of a
+    * replicated table: upstream emits feeds, this sink maintains the
+    * materialization, deletes included (the case [[upsertEachBatch]]
+    * cannot express). Idempotent under at-least-once delivery because
+    * applying one self-consistent feed twice converges (the anti-join
+    * removes a key before its incoming row re-enters). SINGLE WRITER
+    * REQUIRED, inherited from the stage-then-swap.
+    */
+  def applyFeedEachBatch(feed: DataFrame, path: String, keys: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    feed.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.ChangeFeed.applyFeedToTable(batch, path, keys)
+    }
+
   /** Streaming append through the DSv2 staging sink
     * ([[graft.sources.StagedSink]]): each micro-batch lands via the
     * full staging → winning-attempt commit → atomic manifest swap
