@@ -1166,7 +1166,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.ops.IngestOps.sqlBuilder(es)),
     ("graft_cdc",
       new ExpressionInfo("graft.ops.ChangeFeed", "graft_cdc"),
-      (es: Seq[Expression]) => graft.ops.ChangeFeed.sqlBuilder(es)))
+      (es: Seq[Expression]) => graft.ops.ChangeFeed.sqlBuilder(es)),
+    ("graft_cdc_apply",
+      new ExpressionInfo("graft.ops.ChangeFeed", "graft_cdc_apply"),
+      (es: Seq[Expression]) => graft.ops.ChangeFeed.applySqlBuilder(es)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -138,24 +138,44 @@ object ChangeFeed {
   def sqlBuilder(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val (prev, cur, keys) = decodeArgs("graft_cdc",
+      "graft_cdc(prev_table, cur_table, 'key1,key2,...')",
+      "cur table", es)
+    diff(prev, cur, keys).queryExecution.analyzed
+  }
+
+  /** `graft_cdc_apply('state_table', 'feed_table', 'key1,key2,...')` —
+    * the SQL spelling of the pure [[applyFeed]] (the persisted-table
+    * form stays [[applyFeedToTable]]: a TVF is a read, not a write).
+    */
+  def applySqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val (state, feed, keys) = decodeArgs("graft_cdc_apply",
+      "graft_cdc_apply(state_table, feed_table, 'key1,key2,...')",
+      "feed table", es)
+    applyFeed(state, feed, keys).queryExecution.analyzed
+  }
+
+  private def decodeArgs(fn: String, usage: String, secondWhat: String,
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : (DataFrame, DataFrame, Seq[String]) = {
     def arg(i: Int, what: String): String =
-      graft.plans.TvfArgs.strLit("graft_cdc", es)(i, what)
-    if (es.size != 3)
-      throw new IllegalArgumentException(
-        "graft_cdc(prev_table, cur_table, 'key1,key2,...')")
+      graft.plans.TvfArgs.strLit(fn, es)(i, what)
+    if (es.size != 3) throw new IllegalArgumentException(usage)
     val spark = org.apache.spark.sql.SparkSession.active
     def side(i: Int, what: String) = {
       val t = spark.table(arg(i, what))
       if (t.isStreaming)
         throw new UnsupportedOperationException(
-          s"graft_cdc: the $what is a stream — a snapshot diff needs " +
+          s"$fn: the $what is a stream — a snapshot diff needs " +
             "both sides complete (an absent key on a growing stream is " +
             "not yet a delete). Diff materialized snapshots, or have " +
-            "the stream emit its own changelog")
+            "the stream emit its own changelog; for continuously " +
+            "APPLYING a feed stream use StreamingOps.applyFeedEachBatch")
       t
     }
     val keys = arg(2, "key list").split(',').map(_.trim).filter(_.nonEmpty)
-    diff(side(0, "prev table"), side(1, "cur table"), keys.toSeq)
-      .queryExecution.analyzed
+    (side(0, "first table"), side(1, secondWhat), keys.toSeq)
   }
 }

@@ -1349,6 +1349,22 @@ object RelationalQueries {
         .orderBy("custkey")
     },
 
+    // The SAME apply spelled in Spark SQL through the graft_cdc_apply
+    // TVF, itself fed by graft_cdc — the whole CDC round trip in pure
+    // SQL. SHARES q_cdc_apply's direct-recompute oracle.
+    "q_cdc_apply_sql" -> { (s, dir) =>
+      def snap(lo: String, hi: String) = cdcSnapshot(s, dir, lo, hi)
+      snap("1996-01-01", "1996-07-01").createOrReplaceTempView("graft_cdca_prev")
+      snap("1996-07-01", "1997-01-01").createOrReplaceTempView("graft_cdca_cur")
+      s.sql("""
+        SELECT * FROM graft_cdc('graft_cdca_prev', 'graft_cdca_cur', 'custkey')
+      """).createOrReplaceTempView("graft_cdca_feed")
+      s.sql("""
+        SELECT custkey, n_orders, total_cents
+        FROM graft_cdc_apply('graft_cdca_prev', 'graft_cdca_feed', 'custkey')
+        ORDER BY custkey""")
+    },
+
     // Spearman rank correlation (price vs order recency per priority) —
     // the monotone-association check Pearson misses (and q_theil_sen's
     // slope doesn't quantify). Ranks are total-ordered (ties broken by
@@ -2394,6 +2410,18 @@ object RelationalQueries {
        WHERE NOT ins AND NOT del AND (pn <> cn OR pt <> ct)
        ORDER BY custkey, change_type"""
 
+  /** q_cdc_apply / q_cdc_apply_sql oracle: applying the feed must equal
+    * snapshot N+1 recomputed directly from orders.
+    */
+  private val cdcApplyOracle =
+    """SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+           AS total_cents
+       FROM orders
+       WHERE o_orderdate >= DATE '1996-07-01'
+         AND o_orderdate < DATE '1997-01-01'
+       GROUP BY 1 ORDER BY custkey"""
+
   private val discountedDec =
     """CAST(l_extendedprice AS DECIMAL(18,4)) *
        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"""
@@ -3310,14 +3338,8 @@ object RelationalQueries {
     "q_cdc_diff" -> cdcDiffOracle,
     "q_cdc_sql" -> cdcDiffOracle, // TVF spelling, same truth
     // applyFeed(prev, feed) must equal snapshot N+1 recomputed directly
-    "q_cdc_apply" ->
-      """SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
-             AS total_cents
-         FROM orders
-         WHERE o_orderdate >= DATE '1996-07-01'
-           AND o_orderdate < DATE '1997-01-01'
-         GROUP BY 1 ORDER BY custkey""",
+    "q_cdc_apply_sql" -> cdcApplyOracle, // TVF round trip, same truth
+    "q_cdc_apply" -> cdcApplyOracle,
     "q_spearman" ->
       s"""WITH o AS (
            SELECT o_orderpriority AS prio, o_orderkey AS k,

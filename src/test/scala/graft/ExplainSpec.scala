@@ -59,6 +59,7 @@ class ExplainSpec extends SparkSpec {
     // stats broadcasts orders+customer, leaving the one agg regroup
     "q_ann_filtered" -> 2, "q_ann_filtered_sql" -> 2,
     "q_cdc_diff" -> 3, "q_cdc_sql" -> 3, "q_cdc_apply" -> 5,
+    "q_cdc_apply_sql" -> 5,
     "q_tpch_q3" -> 1,
     // q_matryoshka: 4 independent brute-force top-k pipelines (full
     // truth + 3 truncated variants) at ~3 exchanges each — every frame
