@@ -1278,7 +1278,10 @@ object RelationalQueries {
     // o_orderpriority stands in for the missing o_shippriority, and the
     // pivot date sits mid-range (1998-06-15) so both the not-yet-ordered
     // and not-yet-shipped filters keep real selectivity. Completes the
-    // 22-query TPC-H suite (Q1 = q1_pricing_summary). Plan shape to
+    // 22-query TPC-H suite under the q_tpch_* naming (Q1 =
+    // q1_pricing_summary; q_sql_shipping_priority exercises this same
+    // Q3 shape through the spark.sql entry path — different pivot date,
+    // both oracle-gated). Plan shape to
     // want: BOTH date predicates pushed into their parquet scans before
     // the joins, the filtered customer segment broadcast at this SF
     // (Catalyst picks from stats, shuffle-joinable at fleet scale), and
