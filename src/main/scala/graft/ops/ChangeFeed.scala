@@ -87,6 +87,13 @@ object ChangeFeed {
     * `applyFeed(prev, diff(prev, cur, k), k)` row-equals `cur`.
     */
   def applyFeed(prev: DataFrame, feed: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "ChangeFeed.applyFeed: at least one key column")
+    // same reserved-name contract as diff: a state column literally
+    // named change_type would resolve the incoming select to the FEED's
+    // discriminator and write 'insert'/'update_postimage' as data
+    val reserved = Set("change_type", "_pre", "_post")
+    require(prev.columns.forall(c => !reserved(c)),
+      s"ChangeFeed.applyFeed: state columns may not use the reserved names $reserved")
     val valCols = prev.columns.filterNot(keys.contains).toSeq
     // EVERY feed key is removed from the state before the incoming rows
     // re-enter — not just delete/update keys: clearing insert keys too
@@ -120,11 +127,41 @@ object ChangeFeed {
     * same state), which is what makes the streaming spelling
     * ([[graft.streaming.StreamingOps.applyFeedEachBatch]]) safe under
     * at-least-once delivery. Single writer required, like upsert.
+    *
+    * Two executing-seam guards the pure [[applyFeed]] transform cannot
+    * enforce without triggering a job:
+    *  - a feed carrying MORE than one incoming row for a key (a
+    *    Debezium-style batch spanning two upstream commits) is REFUSED —
+    *    applying it would leave both rows, one stale, in the table;
+    *    compact the feed to one change per key (latest-wins by the
+    *    source's own ordering) before applying.
+    *  - a missing table BOOTSTRAPS from the feed's incoming rows (the
+    *    standard initial-snapshot feed of pure inserts), mirroring
+    *    upsert's fresh-table branch.
     */
-  def applyFeedToTable(feed: DataFrame, path: String, keys: Seq[String]): Unit =
-    CoreOps.stagedSwapRewrite(feed.sparkSession, path, "applyFeedToTable") {
+  def applyFeedToTable(feed: DataFrame, path: String, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "applyFeedToTable: at least one key column")
+    val spark = feed.sparkSession
+    val incoming = feed.filter(
+      col("change_type").isin("insert", "update_postimage"))
+    val multi = incoming.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
+    require(multi.isEmpty,
+      s"applyFeedToTable($path): the feed carries more than one incoming " +
+        "row for the same key (a multi-commit batch) — compact it to one " +
+        "change per key (latest-wins by your source's ordering) first")
+    // recovery BEFORE the bootstrap decision: a crash mid-swap leaves
+    // the target missing but restorable — bootstrapping over it would
+    // clobber the recoverable state
+    CoreOps.recoverSwap(spark, path, "applyFeedToTable")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      incoming.drop("change_type").write.mode("overwrite").parquet(path)
+    else CoreOps.swapCore(spark, path, "applyFeedToTable") {
       state => applyFeed(state, feed, keys)
     }
+  }
 
   /** `graft_cdc('prev_table', 'cur_table', 'key1,key2,...')` — the SQL
     * spelling of [[diff]], registered as a table-valued function so
@@ -164,15 +201,23 @@ object ChangeFeed {
       graft.plans.TvfArgs.strLit(fn, es)(i, what)
     if (es.size != 3) throw new IllegalArgumentException(usage)
     val spark = org.apache.spark.sql.SparkSession.active
+    // each function's own rationale — a wrong explanation sends users
+    // down the wrong mental model (the diff needs complete sides; the
+    // apply TVF is a one-shot read of a finished feed)
+    val why =
+      if (fn == "graft_cdc")
+        "a snapshot diff needs both sides complete (an absent key on a " +
+          "growing stream is not yet a delete). Diff materialized " +
+          "snapshots, or have the stream emit its own changelog"
+      else
+        "the apply TVF is a one-shot read of a FINISHED feed against a " +
+          "complete state snapshot. For continuously applying a feed " +
+          "stream use StreamingOps.applyFeedEachBatch"
     def side(i: Int, what: String) = {
       val t = spark.table(arg(i, what))
       if (t.isStreaming)
         throw new UnsupportedOperationException(
-          s"$fn: the $what is a stream — a snapshot diff needs " +
-            "both sides complete (an absent key on a growing stream is " +
-            "not yet a delete). Diff materialized snapshots, or have " +
-            "the stream emit its own changelog; for continuously " +
-            "APPLYING a feed stream use StreamingOps.applyFeedEachBatch")
+          s"$fn: the $what is a stream — $why")
       t
     }
     val keys = arg(2, "key list").split(',').map(_.trim).filter(_.nonEmpty)

@@ -146,7 +146,7 @@ object CoreOps {
     // silently take the fresh-table branch, overwriting history.
     if (!fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(path))) {
       updates.write.mode(SaveMode.Overwrite).parquet(path)
-    } else stagedSwapRewrite(spark, path, "upsert") { current =>
+    } else swapCore(spark, path, "upsert") { current =>
       val up = updates.withColumn("__src", lit(1))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(key))
@@ -184,7 +184,7 @@ object CoreOps {
     *  - target missing + unmarked staging only: unrecoverable — fail
     *    loudly rather than silently overwrite.
     */
-  private def recoverSwap(spark: SparkSession, path: String, op: String): Unit = {
+  private[ops] def recoverSwap(spark: SparkSession, path: String, op: String): Unit = {
     val fs = fsOf(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
@@ -224,6 +224,17 @@ object CoreOps {
   private[graft] def stagedSwapRewrite(spark: SparkSession, path: String,
       op: String)(f: DataFrame => DataFrame): Unit = {
     recoverSwap(spark, path, op)
+    swapCore(spark, path, op)(f)
+  }
+
+  /** [[stagedSwapRewrite]] minus the recovery pass — for callers that
+    * already ran [[recoverSwap]] this call (upsert's fresh-table branch
+    * decision, deleteWhere's match counting): recovery probes the
+    * filesystem up to 4 times, and on an object store each exists() is
+    * a billable round trip on the hot path.
+    */
+  private[ops] def swapCore(spark: SparkSession, path: String,
+      op: String)(f: DataFrame => DataFrame): Unit = {
     val fs = fsOf(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
@@ -303,25 +314,8 @@ object CoreOps {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
     if (partCols.isEmpty) {
-      val staging = new org.apache.hadoop.fs.Path(path + ".staging")
-      val oldAside = new org.apache.hadoop.fs.Path(path + ".old")
-      // same rename-aside recovery as upsert (see its case list)
-      if (fs.exists(target)) {
-        if (fs.exists(oldAside)) fs.delete(oldAside, true)
-      } else if (fs.exists(staging) &&
-          (fs.exists(new org.apache.hadoop.fs.Path(staging, CommitMarker)) ||
-            fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))) {
-        require(fs.rename(staging, target),
-          s"deleteWhere($path): recovery rename $staging -> $target failed")
-        if (fs.exists(oldAside)) fs.delete(oldAside, true)
-      } else if (fs.exists(oldAside)) {
-        require(fs.rename(oldAside, target),
-          s"deleteWhere($path): recovery restore $oldAside -> $target failed")
-      } else if (fs.exists(staging)) {
-        require(requirement = false,
-          s"deleteWhere($path): target missing and staging $staging is " +
-            s"incomplete (no $CommitMarker) — manual inspection required")
-      }
+      // same rename-aside recovery + swap as upsert (shared helpers)
+      recoverSwap(spark, path, "deleteWhere")
       val current = spark.read.parquet(path)
       // standard DELETE semantics: rows where the predicate evaluates
       // to NULL are RETAINED (only TRUE rows are deleted) — `!predicate`
@@ -329,21 +323,14 @@ object CoreOps {
       val matches = coalesce(predicate, lit(false))
       val deleted = current.filter(matches).count()
       if (deleted == 0L) return 0L
-      val kept = current.filter(!matches)
       // a predicate that deletes EVERY row would leave a parquet dir
       // with no data files — unreadable (no schema to infer). That is
       // the truncate operation, not a delete: refuse with the pointer.
-      require(kept.limit(1).count() > 0,
+      require(current.filter(!matches).limit(1).count() > 0,
         s"deleteWhere($path): predicate matches every row — an empty " +
           "parquet dir is unreadable; use the truncate-and-load path instead")
-      kept.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      fs.create(new org.apache.hadoop.fs.Path(staging, CommitMarker), true).close()
-      if (fs.exists(oldAside)) fs.delete(oldAside, true)
-      require(fs.rename(target, oldAside),
-        s"deleteWhere($path): rename-aside $target -> $oldAside failed")
-      require(fs.rename(staging, target),
-        s"deleteWhere($path): rename $staging -> $target failed")
-      fs.delete(oldAside, true)
+      swapCore(spark, path, "deleteWhere")(cur =>
+        cur.filter(!coalesce(predicate, lit(false))))
       deleted
     } else {
       // replay an interrupted previous call first: the marker lists

@@ -135,6 +135,31 @@ class ChangeFeedSpec extends SparkSpec {
     assert(state() == want)
   }
 
+  test("applyFeedToTable bootstraps a missing table from a pure-insert feed") {
+    // the standard CDC initial-snapshot bootstrap: the consumer starts
+    // from nothing, the first feed is all inserts
+    val path = java.nio.file.Files.createTempDirectory("cdc_boot").toString + "/state"
+    val cur = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val feed = ChangeFeed.diff(cur.limit(0), cur, Seq("k"))
+    ChangeFeed.applyFeedToTable(feed, path, Seq("k"))
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("applyFeedToTable refuses a feed with two incoming rows for one key") {
+    // a multi-commit batch (insert then update for the same key) would
+    // leave both rows — one stale — in the materialization
+    val path = java.nio.file.Files.createTempDirectory("cdc_multi").toString + "/state"
+    Seq((9L, "z")).toDF("k", "v").write.parquet(path)
+    val badFeed = Seq(
+      (1L, "insert", "a"), (1L, "update_postimage", "b"))
+      .toDF("k", "change_type", "v")
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.applyFeedToTable(badFeed, path, Seq("k"))
+    }.getMessage.contains("compact it to one change per key"))
+  }
+
   test("streaming applyFeedEachBatch: feed micro-batches maintain the materialization") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
