@@ -699,6 +699,35 @@ object TextQueries {
         ORDER BY q_id, rk""")
     },
 
+    // Measured FILTERED-search quality — q_ann_eval's twin for the new
+    // tier: the filtered stored-index probe's top-5 vs the exact
+    // filtered brute-force top-5 (label-1 corpus scored directly), per
+    // query recall@5. Post-filter IVF loses recall when probed cells
+    // hold few predicate survivors — this is the measured number that
+    // says whether the operating point (nprobe, selectivity) is usable,
+    // not a design claim. Both chains are individually oracle-matched;
+    // the eval is exact integer set math. At sf0.01 (500 random vectors,
+    // default nprobe) it reads avg 0.448 — right under q_ann_eval's
+    // unfiltered 0.528 on the same index family, the expected thinning
+    // from ~10% predicate selectivity; nprobe is the recovery knob.
+    "q_ann_filtered_eval" -> { (s, dir) =>
+      val idx = graft.functions.AnnIndex.ensureAttrs(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      val truth = VectorOps.bruteForceTopK(q, e.filter(col("label") === 1), k = 5)
+        .select(col("q_id"), col("n_id"))
+      val ivf = graft.functions.AnnIndex
+        .ivfTopK(q, idx, k = 5, filter = col("label") === 1)
+        .select(col("q_id").as("iq"), col("n_id").as("in"))
+      truth.join(ivf, col("q_id") === col("iq") && col("n_id") === col("in"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(col("in")).as("hits"), count(lit(1)).as("k"))
+        .select(col("q_id"), col("hits"),
+          round(col("hits").cast(DoubleType) / col("k"), 6).as("recall"))
+        .orderBy("q_id")
+    },
+
     // Index MAINTENANCE: the same IVF probe over an index copy with
     // every vec_id % 41 tombstone-deleted (AnnIndex.delete — O(batch)
     // append, no postings rewrite; vacuum reclaims on a cadence,
@@ -3880,6 +3909,46 @@ object TextQueries {
     annIvfStoredOracle(graft.functions.AnnIndex.lastAttrDir,
       tombstoned = false, attrPred = "label = 1")
 
+  /** The shared stored-index probe CTE chain (cent → mt → p → q →
+    * probes → scored → ranked), parameterized on the postings-side
+    * predicate — the single source the plain, tombstoned, filtered, and
+    * eval oracles all build from.
+    */
+  private def annIvfStoredCtes(root: String, postingsWhere: String): String =
+    s"""cent AS (SELECT cell, centroid AS vec
+         FROM read_parquet('$root/centroids/*.parquet')),
+       mt AS (SELECT nprobe FROM read_parquet('$root/meta/*.parquet')),
+       p AS (SELECT cell, n_id, n_vec AS vec
+         FROM read_parquet('$root/postings/*/*.parquet', hive_partitioning=1)
+         $postingsWhere),
+       q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS vec
+         FROM embeddings WHERE vec_id < 50),
+       probes AS (
+         SELECT q_id, cell FROM (
+           SELECT q.q_id, cent.cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY ${cosSql("q", "cent")} DESC, cent.cell) AS prk
+           FROM q CROSS JOIN cent)
+         WHERE prk <= (SELECT nprobe FROM mt)),
+       scored AS (
+         SELECT pr.q_id, p.n_id, ${cosSql("qq", "p")} AS cos_sim
+         FROM probes pr JOIN p ON p.cell = pr.cell AND p.n_id <> pr.q_id
+         JOIN q qq ON qq.q_id = pr.q_id),
+       ranked AS (
+         SELECT q_id, n_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_sim DESC, n_id) AS rk
+         FROM scored)"""
+
+  private def annStoredWhere(root: String, tombstoned: Boolean,
+      attrPred: String): String = {
+    val conds =
+      (if (tombstoned)
+        Seq(s"n_id NOT IN (SELECT n_id FROM read_parquet('$root/tombstones/*.parquet'))")
+      else Nil) ++ (if (attrPred.nonEmpty) Seq(attrPred) else Nil)
+    if (conds.nonEmpty) conds.mkString("WHERE ", " AND ", "") else ""
+  }
+
   private def annIvfStoredOracle(
       dir: Option[String], tombstoned: Boolean,
       attrPred: String = ""): String =
@@ -3887,38 +3956,39 @@ object TextQueries {
       case None =>
         "SELECT 0 AS q_id, 0 AS rk, 0 AS n_id, 0.0 AS cos_sim WHERE 1=0"
       case Some(root) =>
-        val conds =
-          (if (tombstoned)
-            Seq(s"n_id NOT IN (SELECT n_id FROM read_parquet('$root/tombstones/*.parquet'))")
-          else Nil) ++ (if (attrPred.nonEmpty) Seq(attrPred) else Nil)
-        val notDeleted =
-          if (conds.nonEmpty) conds.mkString("WHERE ", " AND ", "") else ""
-        s"""WITH cent AS (SELECT cell, centroid AS vec
-             FROM read_parquet('$root/centroids/*.parquet')),
-           mt AS (SELECT nprobe FROM read_parquet('$root/meta/*.parquet')),
-           p AS (SELECT cell, n_id, n_vec AS vec
-             FROM read_parquet('$root/postings/*/*.parquet', hive_partitioning=1)
-             $notDeleted),
-           q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS vec
-             FROM embeddings WHERE vec_id < 50),
-           probes AS (
-             SELECT q_id, cell FROM (
-               SELECT q.q_id, cent.cell,
-                 row_number() OVER (PARTITION BY q.q_id
-                   ORDER BY ${cosSql("q", "cent")} DESC, cent.cell) AS prk
-               FROM q CROSS JOIN cent)
-             WHERE prk <= (SELECT nprobe FROM mt)),
-           scored AS (
-             SELECT pr.q_id, p.n_id, ${cosSql("qq", "p")} AS cos_sim
-             FROM probes pr JOIN p ON p.cell = pr.cell AND p.n_id <> pr.q_id
-             JOIN q qq ON qq.q_id = pr.q_id),
-           ranked AS (
-             SELECT q_id, n_id, cos_sim,
-               row_number() OVER (PARTITION BY q_id
-                 ORDER BY cos_sim DESC, n_id) AS rk
-             FROM scored)
+        s"""WITH ${annIvfStoredCtes(root, annStoredWhere(root, tombstoned, attrPred))}
            SELECT q_id, CAST(rk AS INT) AS rk, n_id, cos_sim FROM ranked
            WHERE rk <= 5 ORDER BY q_id, rk"""
+    }
+
+  /** q_ann_filtered_eval oracle: the filtered stored-index probe's top-5
+    * set-intersected with the exact filtered brute-force top-5 (the
+    * label-1 corpus scored directly from the embeddings table) — the
+    * measured recall the filtered operating point delivers, as exact
+    * integer set math over two independently-derived rankings.
+    */
+  private def annFilteredEvalOracle: String =
+    graft.functions.AnnIndex.lastAttrDir match {
+      case None =>
+        "SELECT 0 AS q_id, 0 AS hits, 0.0 AS recall WHERE 1=0"
+      case Some(root) =>
+        s"""WITH ${annIvfStoredCtes(root, annStoredWhere(root, tombstoned = false, "label = 1"))},
+           c1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+             FROM embeddings WHERE label = 1),
+           tscored AS (
+             SELECT q.q_id, c1.vec_id AS n_id, ${cosSql("q", "c1")} AS cos_sim
+             FROM q JOIN c1 ON c1.vec_id <> q.q_id),
+           tranked AS (
+             SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, n_id) AS rk
+             FROM tscored),
+           truth AS (SELECT q_id, n_id FROM tranked WHERE rk <= 5),
+           approx AS (SELECT q_id, n_id FROM ranked WHERE rk <= 5)
+           SELECT t.q_id, CAST(count(i.n_id) AS BIGINT) AS hits,
+             round(CAST(count(i.n_id) AS DOUBLE) / count(*), 6) AS recall
+           FROM truth t LEFT JOIN approx i ON i.q_id = t.q_id AND i.n_id = t.n_id
+           GROUP BY t.q_id ORDER BY t.q_id"""
     }
 
   /** q_ann_indexed_pq oracle — ADC scoring re-derived from the STORED
@@ -3969,7 +4039,8 @@ object TextQueries {
     ("q_ann_index_delete" -> annIndexDeleteOracle) +
     ("q_ann_index_drift" -> annIndexDriftOracle) +
     ("q_ann_filtered" -> annFilteredOracle) +
-    ("q_ann_filtered_sql" -> annFilteredOracle) // TVF spelling, same truth
+    ("q_ann_filtered_sql" -> annFilteredOracle) + // TVF spelling, same truth
+    ("q_ann_filtered_eval" -> annFilteredEvalOracle)
 
   /** q_ann_eval oracle: the IVF chain ([[ivfRankedCtes]]) and the exact
     * brute-force chain side by side, recall@5 as the per-query count of

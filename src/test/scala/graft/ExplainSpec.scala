@@ -58,6 +58,9 @@ class ExplainSpec extends SparkSpec {
     // (diff's 3 + the anti-join's regroup + union sort); Q3 at sf0.001
     // stats broadcasts orders+customer, leaving the one agg regroup
     "q_ann_filtered" -> 2, "q_ann_filtered_sql" -> 2,
+    // two-arm audit by construction (exact filtered brute truth + the
+    // filtered probe + the recall join/agg) — every frame (|queries|×k)
+    "q_ann_filtered_eval" -> 6,
     "q_cdc_diff" -> 3, "q_cdc_sql" -> 3, "q_cdc_apply" -> 5,
     "q_cdc_apply_sql" -> 5,
     "q_tpch_q3" -> 1,
