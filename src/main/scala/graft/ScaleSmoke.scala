@@ -286,7 +286,7 @@ object ScaleSmoke {
   private val ordersConsumers =
     Set("q_isotonic_cal", "q_woe_iv", "q_bootstrap", "q_bucket_join",
       "q_compact_scan", "q_pipe_sql", "q_cdc_diff", "q_cdc_sql", "q_cdc_apply",
-      "q_cdc_apply_sql")
+      "q_cdc_apply_sql", "q_mv_rewrite")
   private val customerConsumers = Set("q_record_linkage")
 
   private val relationalQueries = Seq(
@@ -317,7 +317,11 @@ object ScaleSmoke {
     // ...and the feed APPLIED back: state moves through one anti-join
     // against the touched keys + a union of incoming rows — must track
     // the 1x key domain like the diff itself
-    "q_cdc_apply", "q_cdc_apply_sql")
+    "q_cdc_apply", "q_cdc_apply_sql",
+    // MV rewrite at Nx orders: the first run pays the one-time summary
+    // build (one corpus aggregate); the rewritten query then scans the
+    // |priority x status|-sized summary — Nx-invariant by construction
+    "q_mv_rewrite")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated

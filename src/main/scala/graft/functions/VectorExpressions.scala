@@ -1205,9 +1205,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.tableFns.foreach { case (name, info, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name), info, builder))
     }
-    // optimizer tier: HOF-spelling -> native-kernel rewrites
+    // optimizer tier: HOF-spelling -> native-kernel rewrites, plus the
+    // materialized-view aggregate rewrite (no-op until a summary is
+    // registered via SummaryRewrite.register)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofSum)
+    ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1368,6 +1368,28 @@ object RelationalQueries {
         ORDER BY custkey""")
     },
 
+    // Materialized-view rewrite (SummaryRewrite — injected Catalyst
+    // optimizer rule): this aggregate is WRITTEN against the raw orders
+    // table, but the optimizer re-plans it onto the stored
+    // (priority, status)-keyed summary — a COARSER rollup re-aggregated
+    // from exact partials (count from summed counts, min/max from
+    // per-key min/max, a LongType sum from summed partials). The oracle
+    // computes from the BASE table in DuckDB, so a wrong or stale
+    // rewrite flips the hash; SummaryRewriteSpec pins that the plan
+    // scans the summary files and never the base. At 100 TB the
+    // rewritten scan is |priority x status|-sized instead of the fact
+    // corpus.
+    "q_mv_rewrite" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensure(s, dir)
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderpriority")
+    },
+
     // Spearman rank correlation (price vs order recency per priority) —
     // the monotone-association check Pearson misses (and q_theil_sen's
     // slope doesn't quantify). Ranks are total-ordered (ties broken by
@@ -3343,6 +3365,11 @@ object RelationalQueries {
     // applyFeed(prev, feed) must equal snapshot N+1 recomputed directly
     "q_cdc_apply_sql" -> cdcApplyOracle, // TVF round trip, same truth
     "q_cdc_apply" -> cdcApplyOracle,
+    "q_mv_rewrite" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
     "q_spearman" ->
       s"""WITH o AS (
            SELECT o_orderpriority AS prio, o_orderkey AS k,

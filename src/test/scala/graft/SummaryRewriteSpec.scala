@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.SummaryTables
+import graft.plans.SummaryRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Materialized-view rewrite (plans.SummaryRewrite): the aggregate is
+  * WRITTEN against the base orders table; these tests pin that the
+  * optimizer re-plans it onto the stored summary (scan-level proof),
+  * that results equal the unrewritten computation bit-for-bit, and
+  * that every non-derivable shape aborts to the base table instead of
+  * rewriting wrongly.
+  */
+class SummaryRewriteSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def scans(df: DataFrame): Seq[String] = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  private def baseAgg() = Tables(spark, sfDir, "orders")
+    .groupBy(col("o_orderpriority"))
+    .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("mn"),
+      max(col("o_totalprice")).as("mx"), sum(col("o_orderkey")).as("ks"))
+
+  private def rows(df: DataFrame) =
+    df.orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+
+  test("registered aggregate re-plans onto the summary scan; results identical") {
+    SummaryRewrite.clear()
+    val unrewritten = rows(baseAgg()) // no spec registered: base plan
+    val root = SummaryTables.ensure(spark, sfDir)
+    try {
+      val df = baseAgg()
+      val locs = scans(df)
+      assert(locs.exists(_.contains("graft_summary")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+      assert(rows(df) == unrewritten)
+      // full-key grouping (no rollup) also rewrites
+      val full = Tables(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      assert(scans(full).exists(_.contains("graft_summary")))
+      assert(root.nonEmpty)
+    } finally SummaryRewrite.clear()
+  }
+
+  test("non-derivable shapes abort to the base scan, never rewrite wrongly") {
+    SummaryTables.ensure(spark, sfDir)
+    try {
+      def baseScan(df: DataFrame, base: String = "orders.parquet"): Unit = {
+        val locs = scans(df)
+        assert(locs.exists(_.contains(base)), locs.mkString("\n"))
+        assert(!locs.exists(_.contains("graft_summary")), locs.mkString("\n"))
+      }
+      val o = Tables(spark, sfDir, "orders")
+      // a filter the summary cannot answer
+      baseScan(o.filter(col("o_totalprice") > 1000)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+      // avg is not derivable from the stored partials
+      baseScan(o.groupBy(col("o_orderpriority"))
+        .agg(avg(col("o_totalprice")).as("a")))
+      // double sum: re-summing partials changes fp addition order
+      baseScan(o.groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice")).as("s")))
+      // grouping by a non-key column
+      baseScan(o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n")))
+      // an unregistered table is never touched
+      baseScan(Tables(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")),
+        base = "lineitem.parquet")
+    } finally SummaryRewrite.clear()
+  }
+
+  test("rewritten LongType sum and count equal the base computation exactly") {
+    SummaryRewrite.clear()
+    val base = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_orderkey")).as("ks"), count(lit(1)).as("n"))
+      .orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    SummaryTables.ensure(spark, sfDir)
+    try {
+      val df = Tables(spark, sfDir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("o_orderkey")).as("ks"), count(lit(1)).as("n"))
+      assert(scans(df).exists(_.contains("graft_summary")))
+      val got = df.orderBy("o_orderstatus").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == base)
+    } finally SummaryRewrite.clear()
+  }
+}
