@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -50,5 +50,73 @@ object SummaryTables {
       maxCols = Map("o_totalprice" -> "max_price"),
       sumCols = Map("o_orderkey" -> "sum_okey")))
     root
+  }
+
+  /** Incrementally maintain a stored summary from a CDC feed of BASE
+    * TABLE rows ([[graft.ops.ChangeFeed.diff]]'s row model over the base
+    * table, keyed by ITS primary key) — the IVM closing of the MV loop:
+    * base changes flow as a feed, the summary absorbs them as per-group
+    * deltas, and rewritten queries keep answering exactly, all without
+    * re-scanning the 100 TB base.
+    *
+    * Self-maintainability is taken seriously (the textbook split):
+    * count and sum partials absorb ANY feed (inserts count +1 / sums
+    * +v, deletes −1 / −v, updates both); min/max partials are NOT
+    * self-maintainable under retractions (a deleted minimum needs a
+    * group re-scan), so a feed carrying delete/update rows is REFUSED
+    * when min/max partials exist — rebuild instead, or maintain a
+    * count/sum-only summary. Groups whose maintained count reaches 0
+    * are dropped, matching a rebuild exactly (spec-pinned bit-equal).
+    * The rewrite goes through [[graft.ops.CoreOps]]'s stage-then-swap,
+    * single writer required.
+    *
+    * @param groupKeys the SUMMARY's grouping columns (as stored)
+    * @param sumColsBase base column name → stored sum-partial column
+    */
+  def maintain(
+      summaryPath: String, feed: DataFrame, groupKeys: Seq[String],
+      countCol: String, sumColsBase: Map[String, String],
+      minColsBase: Map[String, String] = Map.empty,
+      maxColsBase: Map[String, String] = Map.empty): Unit = {
+    val spark = feed.sparkSession
+    val retracting = !feed.filter(
+      col("change_type").isin("delete", "update_preimage")).isEmpty
+    require(!retracting || (minColsBase.isEmpty && maxColsBase.isEmpty),
+      s"SummaryTables.maintain($summaryPath): the feed carries deletes/" +
+        "updates but the summary stores min/max partials, which are not " +
+        "self-maintainable under retractions (a deleted minimum needs a " +
+        "group re-scan) — rebuild the summary, or maintain one with " +
+        "count/sum partials only")
+    val sign = when(
+      col("change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val deltaAggs =
+      Seq(sum(sign).as(s"__d_$countCol")) ++
+        sumColsBase.map { case (b, p) =>
+          sum(sign * col(b)).as(s"__d_$p") } ++
+        minColsBase.map { case (b, p) => min(col(b)).as(s"__d_$p") } ++
+        maxColsBase.map { case (b, p) => max(col(b)).as(s"__d_$p") }
+    val deltas = feed.groupBy(groupKeys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    graft.ops.CoreOps.stagedSwapRewrite(spark, summaryPath,
+        "SummaryTables.maintain") { old =>
+      val joined = old.join(deltas, groupKeys, "full_outer")
+      def upd(partial: String) =
+        (coalesce(col(partial), lit(0L)) +
+          coalesce(col(s"__d_$partial"), lit(0L))).as(partial)
+      val cols =
+        groupKeys.map(col) ++
+          Seq(upd(countCol)) ++
+          sumColsBase.values.map(upd) ++
+          // least/greatest skip nulls: a group new to the feed keeps its
+          // stored extreme, a brand-new group takes the feed's
+          minColsBase.values.map(p =>
+            least(col(p), col(s"__d_$p")).as(p)) ++
+          maxColsBase.values.map(p =>
+            greatest(col(p), col(s"__d_$p")).as(p))
+      // a group maintained down to zero rows vanishes, like a rebuild
+      joined.select(cols: _*)
+        .filter(col(countCol) > 0)
+    }
   }
 }

@@ -80,6 +80,46 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally SummaryRewrite.clear()
   }
 
+  test("maintain(): a base-table CDC feed updates the summary bit-equal to a rebuild") {
+    import spark.implicits._
+    val base0 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (5L, "d", 1L))
+      .toDF("id", "g", "v")
+    // delete 2, update 3, insert 4, delete d's ONLY row (group vanishes)
+    val base1 = Seq((1L, "a", 10L), (3L, "b", 7L), (4L, "c", 9L))
+      .toDF("id", "g", "v")
+    def rollup(b: org.apache.spark.sql.DataFrame) = b.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val path = java.nio.file.Files.createTempDirectory("mv_maint").toString + "/summary"
+    rollup(base0).write.parquet(path)
+    val feed = graft.ops.ChangeFeed.diff(base0, base1, Seq("id")).localCheckpoint()
+    SummaryTables.maintain(path, feed, Seq("g"), "cnt", Map("v" -> "sum_v"))
+    assert(rows(spark.read.parquet(path)) == rows(rollup(base1)))
+
+    // insert-only feeds also maintain min/max partials exactly
+    val base2 = base1.unionByName(Seq((6L, "a", 3L), (7L, "e", 8L)).toDF("id", "g", "v"))
+    def rollupMm(b: org.apache.spark.sql.DataFrame) = b.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val path2 = java.nio.file.Files.createTempDirectory("mv_maint2").toString + "/summary"
+    rollupMm(base1).write.parquet(path2)
+    val insFeed = graft.ops.ChangeFeed.diff(base1, base2, Seq("id")).localCheckpoint()
+    SummaryTables.maintain(path2, insFeed, Seq("g"), "cnt",
+      Map("v" -> "sum_v"), Map("v" -> "min_v"), Map("v" -> "max_v"))
+    def rowsMm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(rowsMm(spark.read.parquet(path2)) == rowsMm(rollupMm(base2)))
+
+    // retractions + min/max partials: refused (not self-maintainable)
+    assert(intercept[IllegalArgumentException] {
+      SummaryTables.maintain(path2, feed, Seq("g"), "cnt",
+        Map("v" -> "sum_v"), Map("v" -> "min_v"), Map("v" -> "max_v"))
+    }.getMessage.contains("not self-maintainable"))
+  }
+
   test("rewritten LongType sum and count equal the base computation exactly") {
     SummaryRewrite.clear()
     val base = Tables(spark, sfDir, "orders")
