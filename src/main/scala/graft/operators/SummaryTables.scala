@@ -73,12 +73,46 @@ object SummaryTables {
     * @param groupKeys the SUMMARY's grouping columns (as stored)
     * @param sumColsBase base column name → stored sum-partial column
     */
+  /** Name of the applied-batch ledger sidecar (see `batchId` below). */
+  private[graft] val BatchLedger = "_GRAFT_LAST_BATCH"
+
+  /** Last batch id applied to the summary at `path`, or -1 (fresh
+    * summaries, incl. plain-rollup bootstraps, have no ledger).
+    */
+  private def lastAppliedBatch(spark: SparkSession, path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(path, BatchLedger)
+    if (!fs.exists(f)) -1L
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
   def maintain(
       summaryPath: String, feed: DataFrame, groupKeys: Seq[String],
       countCol: String, sumColsBase: Map[String, String],
       minColsBase: Map[String, String] = Map.empty,
-      maxColsBase: Map[String, String] = Map.empty): Unit = {
+      maxColsBase: Map[String, String] = Map.empty,
+      batchId: Option[Long] = None): Unit = {
     val spark = feed.sparkSession
+    // exactly-once under replayed feeds (the streaming sink's contract):
+    // deltas are NOT idempotent, so a caller supplying a monotonically
+    // increasing batchId gets dedup — an already-applied id is a no-op,
+    // and the new id is written as a sidecar INSIDE the staged swap, so
+    // ledger and data become visible atomically together (a crash
+    // between "applied" and "recorded" cannot exist)
+    val lastApplied = lastAppliedBatch(spark, summaryPath)
+    if (batchId.exists(_ <= lastApplied)) return
+    // a ledgerless maintain on a ledgered summary must CARRY the ledger
+    // forward (losing it would re-admit an already-applied batch id)
+    val ledgerEntry: Map[String, String] = batchId match {
+      case Some(id) => Map(BatchLedger -> id.toString)
+      case None if lastApplied >= 0 => Map(BatchLedger -> lastApplied.toString)
+      case None => Map.empty
+    }
     val retracting = !feed.filter(
       col("change_type").isin("delete", "update_preimage")).isEmpty
     require(!retracting || (minColsBase.isEmpty && maxColsBase.isEmpty),
@@ -99,7 +133,8 @@ object SummaryTables {
     val deltas = feed.groupBy(groupKeys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     graft.ops.CoreOps.stagedSwapRewrite(spark, summaryPath,
-        "SummaryTables.maintain") { old =>
+        "SummaryTables.maintain",
+        extraStagedFiles = ledgerEntry) { old =>
       val joined = old.join(deltas, groupKeys, "full_outer")
       def upd(partial: String) =
         (coalesce(col(partial), lit(0L)) +

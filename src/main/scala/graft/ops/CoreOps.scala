@@ -222,9 +222,10 @@ object CoreOps {
     * SINGLE WRITER REQUIRED, like [[upsert]].
     */
   private[graft] def stagedSwapRewrite(spark: SparkSession, path: String,
-      op: String)(f: DataFrame => DataFrame): Unit = {
+      op: String, extraStagedFiles: Map[String, String] = Map.empty)(
+      f: DataFrame => DataFrame): Unit = {
     recoverSwap(spark, path, op)
-    swapCore(spark, path, op)(f)
+    swapCore(spark, path, op, extraStagedFiles)(f)
   }
 
   /** [[stagedSwapRewrite]] minus the recovery pass — for callers that
@@ -234,7 +235,8 @@ object CoreOps {
     * a billable round trip on the hot path.
     */
   private[ops] def swapCore(spark: SparkSession, path: String,
-      op: String)(f: DataFrame => DataFrame): Unit = {
+      op: String, extraStagedFiles: Map[String, String] = Map.empty)(
+      f: DataFrame => DataFrame): Unit = {
     val fs = fsOf(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
@@ -242,6 +244,15 @@ object CoreOps {
     require(fs.exists(target), s"$op($path): no table at $path")
     val rewritten = f(spark.read.parquet(path))
     rewritten.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // sidecar files (e.g. a stream's applied-batch ledger) ride the SAME
+    // atomic swap as the data — written after the table, BEFORE the
+    // marker, so they are either visible together with the rewrite or
+    // not at all (the exactly-once anchor for replayed feeds)
+    extraStagedFiles.foreach { case (name, content) =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, name), true)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+    }
     fs.create(new org.apache.hadoop.fs.Path(staging, CommitMarker), true).close()
     if (fs.exists(oldAside)) fs.delete(oldAside, true)
     require(fs.rename(target, oldAside),

@@ -721,6 +721,32 @@ object StreamingOps {
           graft.ops.ChangeFeed.applyFeedToTable(batch, path, keys)
     }
 
+  /** Exactly-once incremental-view-maintenance sink: each micro-batch
+    * of BASE-TABLE change-feed rows is absorbed into the stored summary
+    * as per-group deltas ([[graft.operators.SummaryTables.maintain]]) —
+    * the streaming closing of the MV loop. Deltas are NOT idempotent,
+    * so unlike the other foreachBatch sinks at-least-once is not enough:
+    * the micro-batch id is passed as `batchId` and recorded in a ledger
+    * sidecar that rides THE SAME atomic staged swap as the data, so a
+    * replayed batch is skipped — applied-and-recorded is one visibility
+    * event, and the crash window between them does not exist. min/max
+    * partials inherit maintain()'s insert-only restriction. SINGLE
+    * WRITER REQUIRED.
+    */
+  def maintainSummaryEachBatch(
+      feed: DataFrame, summaryPath: String, groupKeys: Seq[String],
+      countCol: String, sumColsBase: Map[String, String],
+      minColsBase: Map[String, String] = Map.empty,
+      maxColsBase: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    feed.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.SummaryTables.maintain(summaryPath, batch,
+            groupKeys, countCol, sumColsBase, minColsBase, maxColsBase,
+            batchId = Some(id))
+    }
+
   /** Streaming append through the DSv2 staging sink
     * ([[graft.sources.StagedSink]]): each micro-batch lands via the
     * full staging → winning-attempt commit → atomic manifest swap

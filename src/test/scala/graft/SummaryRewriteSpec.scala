@@ -120,6 +120,65 @@ class SummaryRewriteSpec extends SparkSpec {
     }.getMessage.contains("not self-maintainable"))
   }
 
+  test("batchId ledger: a replayed feed is a no-op; the ledger survives the swap") {
+    import spark.implicits._
+    val base0 = Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("id", "g", "v")
+    val base1 = Seq((1L, "a", 10L), (2L, "b", 6L), (3L, "a", 2L)).toDF("id", "g", "v")
+    def rollup(b: org.apache.spark.sql.DataFrame) = b.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val path = java.nio.file.Files.createTempDirectory("mv_ledger").toString + "/summary"
+    rollup(base0).write.parquet(path)
+    val feed = graft.ops.ChangeFeed.diff(base0, base1, Seq("id")).localCheckpoint()
+    SummaryTables.maintain(path, feed, Seq("g"), "cnt", Map("v" -> "sum_v"),
+      batchId = Some(7L))
+    val want = rows(path)
+    // replay of the SAME batch id: deltas are NOT re-applied
+    SummaryTables.maintain(path, feed, Seq("g"), "cnt", Map("v" -> "sum_v"),
+      batchId = Some(7L))
+    assert(rows(path) == want)
+    // a later ledgerless maintain carries the ledger forward, so the
+    // old id stays rejected afterwards too
+    val feed2 = graft.ops.ChangeFeed.diff(base1, base0, Seq("id")).localCheckpoint()
+    SummaryTables.maintain(path, feed2, Seq("g"), "cnt", Map("v" -> "sum_v"))
+    val back = rows(path)
+    assert(back == rows(path)) // self-check read stability
+    SummaryTables.maintain(path, feed, Seq("g"), "cnt", Map("v" -> "sum_v"),
+      batchId = Some(7L)) // still a no-op
+    assert(rows(path) == back)
+  }
+
+  test("streaming maintainSummaryEachBatch: exactly-once IVM across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base0 = Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("id", "g", "v")
+    val base1 = Seq((1L, "a", 10L), (2L, "b", 6L), (3L, "a", 2L)).toDF("id", "g", "v")
+    val base2 = Seq((2L, "b", 6L), (3L, "a", 2L), (4L, "c", 4L)).toDF("id", "g", "v")
+    def rollup(b: org.apache.spark.sql.DataFrame) = b.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val path = java.nio.file.Files.createTempDirectory("mv_stream").toString + "/summary"
+    rollup(base0).write.parquet(path)
+    def feedRows(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      graft.ops.ChangeFeed.diff(a, b, Seq("id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = graft.streaming.StreamingOps.maintainSummaryEachBatch(
+      mem.toDF().toDF("id", "change_type", "g", "v"),
+      path, Seq("g"), "cnt", Map("v" -> "sum_v")).start()
+    try {
+      mem.addData(feedRows(base0, base1): _*)
+      q.processAllAvailable()
+      mem.addData(feedRows(base1, base2): _*)
+      q.processAllAvailable()
+      assert(rows(spark.read.parquet(path)) == rows(rollup(base2)))
+    } finally q.stop()
+  }
+
   test("rewritten LongType sum and count equal the base computation exactly") {
     SummaryRewrite.clear()
     val base = Tables(spark, sfDir, "orders")
