@@ -52,27 +52,6 @@ object SummaryTables {
     root
   }
 
-  /** Incrementally maintain a stored summary from a CDC feed of BASE
-    * TABLE rows ([[graft.ops.ChangeFeed.diff]]'s row model over the base
-    * table, keyed by ITS primary key) — the IVM closing of the MV loop:
-    * base changes flow as a feed, the summary absorbs them as per-group
-    * deltas, and rewritten queries keep answering exactly, all without
-    * re-scanning the 100 TB base.
-    *
-    * Self-maintainability is taken seriously (the textbook split):
-    * count and sum partials absorb ANY feed (inserts count +1 / sums
-    * +v, deletes −1 / −v, updates both); min/max partials are NOT
-    * self-maintainable under retractions (a deleted minimum needs a
-    * group re-scan), so a feed carrying delete/update rows is REFUSED
-    * when min/max partials exist — rebuild instead, or maintain a
-    * count/sum-only summary. Groups whose maintained count reaches 0
-    * are dropped, matching a rebuild exactly (spec-pinned bit-equal).
-    * The rewrite goes through [[graft.ops.CoreOps]]'s stage-then-swap,
-    * single writer required.
-    *
-    * @param groupKeys the SUMMARY's grouping columns (as stored)
-    * @param sumColsBase base column name → stored sum-partial column
-    */
   /** Name of the applied-batch ledger sidecar (see `batchId` below). */
   private[graft] val BatchLedger = "_GRAFT_LAST_BATCH"
 
@@ -91,6 +70,35 @@ object SummaryTables {
     }
   }
 
+  /** Incrementally maintain a stored summary from a CDC feed of BASE
+    * TABLE rows ([[graft.ops.ChangeFeed.diff]]'s row model over the base
+    * table, keyed by ITS primary key) — the IVM closing of the MV loop:
+    * base changes flow as a feed, the summary absorbs them as per-group
+    * deltas, and rewritten queries keep answering exactly, all without
+    * re-scanning the 100 TB base.
+    *
+    * Self-maintainability is taken seriously (the textbook split):
+    * count and sum partials absorb ANY feed (inserts count +1 / sums
+    * +v, deletes −1 / −v, updates both); min/max partials are NOT
+    * self-maintainable under retractions (a deleted minimum needs a
+    * group re-scan), so a feed carrying delete/update rows is REFUSED
+    * when min/max partials exist — rebuild instead, or maintain a
+    * count/sum-only summary. Groups whose maintained count reaches 0
+    * are dropped, matching a rebuild exactly (spec-pinned bit-equal).
+    * NULL handling: group keys merge null-safely (all-NULL keys are one
+    * group, like groupBy), and a sum partial stays NULL until a non-null
+    * value arrives (null-iff-both-null merge, matching SQL SUM). One
+    * documented residue: with a NULLABLE sum column, a retraction that
+    * removes a group's LAST non-null value yields 0 where a rebuild
+    * yields NULL — sum's nullness is not self-maintainable from (count,
+    * sum) alone; track a per-column non-null count if that case matters
+    * (the fixture's sum column is non-nullable).
+    * The rewrite goes through [[graft.ops.CoreOps]]'s stage-then-swap,
+    * single writer required.
+    *
+    * @param groupKeys the SUMMARY's grouping columns (as stored)
+    * @param sumColsBase base column name → stored sum-partial column
+    */
   def maintain(
       summaryPath: String, feed: DataFrame, groupKeys: Seq[String],
       countCol: String, sumColsBase: Map[String, String],
@@ -98,6 +106,11 @@ object SummaryTables {
       maxColsBase: Map[String, String] = Map.empty,
       batchId: Option[Long] = None): Unit = {
     val spark = feed.sparkSession
+    // recovery FIRST: a crash between the swap's two renames leaves the
+    // target (and its ledger) missing with a complete staging — reading
+    // the ledger before recovering would see -1 and re-apply the very
+    // batch the staged table already contains
+    graft.ops.CoreOps.recoverSwap(spark, summaryPath, "SummaryTables.maintain")
     // exactly-once under replayed feeds (the streaming sink's contract):
     // deltas are NOT idempotent, so a caller supplying a monotonically
     // increasing batchId gets dedup — an already-applied id is a no-op,
@@ -113,14 +126,19 @@ object SummaryTables {
       case None if lastApplied >= 0 => Map(BatchLedger -> lastApplied.toString)
       case None => Map.empty
     }
-    val retracting = !feed.filter(
-      col("change_type").isin("delete", "update_preimage")).isEmpty
-    require(!retracting || (minColsBase.isEmpty && maxColsBase.isEmpty),
-      s"SummaryTables.maintain($summaryPath): the feed carries deletes/" +
-        "updates but the summary stores min/max partials, which are not " +
-        "self-maintainable under retractions (a deleted minimum needs a " +
-        "group re-scan) — rebuild the summary, or maintain one with " +
-        "count/sum partials only")
+    // the retraction probe is a feed scan — only pay it when min/max
+    // partials make the answer matter (the count/sum-only streaming hot
+    // path skips one Spark job per micro-batch)
+    if (minColsBase.nonEmpty || maxColsBase.nonEmpty) {
+      val retracting = !feed.filter(
+        col("change_type").isin("delete", "update_preimage")).isEmpty
+      require(!retracting,
+        s"SummaryTables.maintain($summaryPath): the feed carries deletes/" +
+          "updates but the summary stores min/max partials, which are not " +
+          "self-maintainable under retractions (a deleted minimum needs a " +
+          "group re-scan) — rebuild the summary, or maintain one with " +
+          "count/sum partials only")
+    }
     val sign = when(
       col("change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
@@ -132,23 +150,41 @@ object SummaryTables {
         maxColsBase.map { case (b, p) => max(col(b)).as(s"__d_$p") }
     val deltas = feed.groupBy(groupKeys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
-    graft.ops.CoreOps.stagedSwapRewrite(spark, summaryPath,
+    // swapCore, not stagedSwapRewrite: recovery already ran above
+    graft.ops.CoreOps.swapCore(spark, summaryPath,
         "SummaryTables.maintain",
         extraStagedFiles = ledgerEntry) { old =>
-      val joined = old.join(deltas, groupKeys, "full_outer")
-      def upd(partial: String) =
-        (coalesce(col(partial), lit(0L)) +
-          coalesce(col(s"__d_$partial"), lit(0L))).as(partial)
+      // NULL-SAFE key join: groupBy puts all NULL keys in ONE group, so
+      // the merge must too — a using-columns join would leave the stored
+      // NULL-group row unmatched (stale) next to a delta-only row
+      val o = old.alias("o")
+      val d = deltas.alias("d")
+      val cond = groupKeys.map(k => col(s"o.$k") <=> col(s"d.$k"))
+        .reduce(_ && _)
+      val joined = o.join(d, cond, "full_outer")
+      def keyOut(k: String) =
+        coalesce(col(s"o.$k"), col(s"d.$k")).as(k)
+      // count is never null on either present side; sums merge
+      // null-iff-both-null (SQL SUM semantics — see the scaladoc residue
+      // note for nullable sum columns under retraction)
+      def updCount(partial: String) =
+        (coalesce(col(s"o.$partial"), lit(0L)) +
+          coalesce(col(s"d.__d_$partial"), lit(0L))).as(partial)
+      def updSum(partial: String) =
+        when(col(s"o.$partial").isNull && col(s"d.__d_$partial").isNull,
+          lit(null))
+          .otherwise(coalesce(col(s"o.$partial"), lit(0L)) +
+            coalesce(col(s"d.__d_$partial"), lit(0L))).as(partial)
       val cols =
-        groupKeys.map(col) ++
-          Seq(upd(countCol)) ++
-          sumColsBase.values.map(upd) ++
+        groupKeys.map(keyOut) ++
+          Seq(updCount(countCol)) ++
+          sumColsBase.values.map(updSum) ++
           // least/greatest skip nulls: a group new to the feed keeps its
           // stored extreme, a brand-new group takes the feed's
           minColsBase.values.map(p =>
-            least(col(p), col(s"__d_$p")).as(p)) ++
+            least(col(s"o.$p"), col(s"d.__d_$p")).as(p)) ++
           maxColsBase.values.map(p =>
-            greatest(col(p), col(s"__d_$p")).as(p))
+            greatest(col(s"o.$p"), col(s"d.__d_$p")).as(p))
       // a group maintained down to zero rows vanishes, like a rebuild
       joined.select(cols: _*)
         .filter(col(countCol) > 0)

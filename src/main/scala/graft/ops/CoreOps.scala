@@ -184,7 +184,7 @@ object CoreOps {
     *  - target missing + unmarked staging only: unrecoverable — fail
     *    loudly rather than silently overwrite.
     */
-  private[ops] def recoverSwap(spark: SparkSession, path: String, op: String): Unit = {
+  private[graft] def recoverSwap(spark: SparkSession, path: String, op: String): Unit = {
     val fs = fsOf(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
@@ -234,7 +234,7 @@ object CoreOps {
     * filesystem up to 4 times, and on an object store each exists() is
     * a billable round trip on the hot path.
     */
-  private[ops] def swapCore(spark: SparkSession, path: String,
+  private[graft] def swapCore(spark: SparkSession, path: String,
       op: String, extraStagedFiles: Map[String, String] = Map.empty)(
       f: DataFrame => DataFrame): Unit = {
     val fs = fsOf(spark, path)

@@ -138,15 +138,73 @@ class SummaryRewriteSpec extends SparkSpec {
     SummaryTables.maintain(path, feed, Seq("g"), "cnt", Map("v" -> "sum_v"),
       batchId = Some(7L))
     assert(rows(path) == want)
-    // a later ledgerless maintain carries the ledger forward, so the
-    // old id stays rejected afterwards too
+    // a later ledgerless maintain still APPLIES (and must be correct)
+    // while carrying the ledger forward, so the old id stays rejected
     val feed2 = graft.ops.ChangeFeed.diff(base1, base0, Seq("id")).localCheckpoint()
     SummaryTables.maintain(path, feed2, Seq("g"), "cnt", Map("v" -> "sum_v"))
     val back = rows(path)
-    assert(back == rows(path)) // self-check read stability
+    val want0 = rollup(base0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(back == want0) // undone to base0's rollup
     SummaryTables.maintain(path, feed, Seq("g"), "cnt", Map("v" -> "sum_v"),
       batchId = Some(7L)) // still a no-op
     assert(rows(path) == back)
+  }
+
+  test("replay after a mid-swap crash does not double-apply (ledger read AFTER recovery)") {
+    import spark.implicits._
+    val base0 = Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("id", "g", "v")
+    val base1 = Seq((1L, "a", 10L), (2L, "b", 6L), (3L, "a", 2L)).toDF("id", "g", "v")
+    def rollup(b: org.apache.spark.sql.DataFrame) = b.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("mv_crash").toString
+    val path = s"$dir/summary"
+    rollup(base0).write.parquet(path)
+    val feed = graft.ops.ChangeFeed.diff(base0, base1, Seq("id")).localCheckpoint()
+    SummaryTables.maintain(path, feed, Seq("g"), "cnt", Map("v" -> "sum_v"),
+      batchId = Some(5L))
+    val want = rows(path)
+    // simulate the crash BETWEEN the swap's two renames: the applied
+    // table (ledger included) sits as marked staging, the target is gone
+    java.nio.file.Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(s"$path.staging"))
+    // the streaming replay of batch 5 arrives: recovery must run before
+    // the ledger read, or the already-applied deltas go on twice
+    SummaryTables.maintain(path, feed, Seq("g"), "cnt", Map("v" -> "sum_v"),
+      batchId = Some(5L))
+    assert(rows(path) == want)
+  }
+
+  test("maintain(): NULL group keys merge as one group; NULL sums stay NULL") {
+    import spark.implicits._
+    // base0 has a NULL-keyed group (2 rows) and a group whose only value
+    // is NULL (sum must be NULL, not 0)
+    val base0 = Seq(
+      (1L, Option("a"), Option(10L)), (2L, Option.empty[String], Option(5L)),
+      (3L, Option.empty[String], Option(7L)), (4L, Option("n"), Option.empty[Long]))
+      .toDF("id", "g", "v")
+    // insert another NULL-keyed row, delete one, and give the null-sum
+    // group a real value
+    val base1 = Seq(
+      (1L, Option("a"), Option(10L)), (3L, Option.empty[String], Option(7L)),
+      (5L, Option.empty[String], Option(2L)), (4L, Option("n"), Option.empty[Long]),
+      (6L, Option("n"), Option(9L)))
+      .toDF("id", "g", "v")
+    def rollup(b: org.apache.spark.sql.DataFrame) = b.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val path = java.nio.file.Files.createTempDirectory("mv_null").toString + "/summary"
+    rollup(base0).write.parquet(path)
+    // sanity: the stored null-sum group really is NULL before the feed
+    assert(rows(spark.read.parquet(path)).exists(r => r._1 == "n" && r._3 == Long.MinValue))
+    val feed = graft.ops.ChangeFeed.diff(base0, base1, Seq("id")).localCheckpoint()
+    SummaryTables.maintain(path, feed, Seq("g"), "cnt", Map("v" -> "sum_v"))
+    assert(rows(spark.read.parquet(path)) == rows(rollup(base1)))
   }
 
   test("streaming maintainSummaryEachBatch: exactly-once IVM across micro-batches") {
