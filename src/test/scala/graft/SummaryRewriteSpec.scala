@@ -80,6 +80,22 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally SummaryRewrite.clear()
   }
 
+  test("spark.sql aggregates over a view of the base table rewrite too") {
+    // the rule lives in the optimizer, so the SQL entry path gets the
+    // same transparent rewrite as the DataFrame API — including through
+    // a temp view (EliminateSubqueryAliases runs before the rule)
+    SummaryTables.ensure(spark, sfDir)
+    try {
+      Tables(spark, sfDir, "orders").createOrReplaceTempView("mv_orders")
+      val df = spark.sql("""
+        SELECT o_orderstatus, count(*) AS n, max(o_totalprice) AS mx
+        FROM mv_orders GROUP BY 1""")
+      val locs = scans(df)
+      assert(locs.exists(_.contains("graft_summary")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+    } finally SummaryRewrite.clear()
+  }
+
   test("maintain(): a base-table CDC feed updates the summary bit-equal to a rebuild") {
     import spark.implicits._
     val base0 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (5L, "d", 1L))
