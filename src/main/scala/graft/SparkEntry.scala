@@ -103,7 +103,7 @@ object SparkEntry {
     // build, min-of-3 reuses the stored layout — the q_bucket_join
     // amortization pattern applied to the vector tier)
     "q_ann_indexed", "q_ann_indexed_pq", "q_ann_filtered",
-    "q_ann_filtered_sql", "q_ann_filtered_eval",
+    "q_ann_filtered_sql", "q_ann_filtered_eval", "q_ann_filtered_k",
     // r16: the last two TVF spellings — full SQL parity for every
     // bespoke operator family, each under its DataFrame twin's oracle —
     // plus the stored-index probe's SQL spelling

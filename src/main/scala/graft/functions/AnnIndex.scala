@@ -643,6 +643,52 @@ object AnnIndex {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Guaranteed-k stored-index probe — the production answer to
+    * post-filter recall collapse: a selective metadata predicate can
+    * leave FEWER than k survivors in the probed cells (q_ann_filtered's
+    * measured thinning), and a retrieval contract usually demands k
+    * results whenever the filtered corpus has them. Two phases, both
+    * lazy plan branches (no driver-side query loop):
+    *   1. the normal pruned probe ([[ivfTopK]]);
+    *   2. queries with fewer than k phase-1 candidates (including ZERO
+    *      — absent from phase 1 entirely) re-score against the FULL
+    *      filtered postings, i.e. exact search for exactly the queries
+    *      that need it.
+    * Deficiency is decided per query by an anti-join on the phase-1
+    * counts (broadcast-sized: ≤ |queries| rows), so at 100 TB the full
+    * scan is paid only for the deficient slice — at healthy
+    * selectivities that is none of them, and the plan degenerates to
+    * the pruned probe. Results: top-k per query with phase-1 ranking
+    * kept for sufficient queries and exact ranking for deficient ones
+    * (the DuckDB oracle re-derives the same two-phase rule from the
+    * stored bytes).
+    */
+  def ivfTopKExactK(
+      queries: DataFrame, indexDir: String, k: Int, nprobe: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      filter: Column = null): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.select(col(idCol).as("q_id"),
+      VectorOps.toDoubleVec(col(vecCol)).as("q_vec"))
+    val phase1 = ivfTopK(queries, indexDir, k, nprobe, idCol, vecCol, filter)
+    // sufficient ⇔ the k-cap was reached (candidates ≥ k)
+    val sufficient = phase1.groupBy("q_id")
+      .agg(count(lit(1)).as("__nc")).filter(col("__nc") >= k)
+      .select("q_id")
+    val deficient = q.join(sufficient, Seq("q_id"), "left_anti")
+    val post0 = livePostings(spark, indexDir)
+    val postings = (if (filter != null) post0.filter(filter) else post0)
+      .select(col("n_id"), col("n_vec"))
+    val exact = postings.join(broadcast(deficient), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        VectorOps.cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    val phase2 = exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    phase1.join(sufficient, Seq("q_id"), "left_semi").unionByName(phase2)
+  }
+
   /** PQ-ADC probe of a STORED index: the codebook comes off the meta
     * row (no sample scan, no Lloyd), the compressed codes off postings
     * — same scoring arithmetic as [[VectorOps.pqTopK]], with the

@@ -699,6 +699,25 @@ object TextQueries {
         ORDER BY q_id, rk""")
     },
 
+    // GUARANTEED-K filtered search (AnnIndex.ivfTopKExactK): the
+    // two-phase escalation — normal pruned probe, then the queries left
+    // with fewer than k filtered candidates re-score against the full
+    // filtered postings (exact search for exactly the queries that need
+    // it, as lazy plan branches — no driver loop). The oracle
+    // re-derives the same two-phase rule from the stored index bytes,
+    // so both the sufficiency split and both rankings are verified.
+    "q_ann_filtered_k" -> { (s, dir) =>
+      val idx = graft.functions.AnnIndex.ensureAttrs(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      // nprobe = 1 (single probed cell) makes deficiency REAL at this
+      // corpus size, so the escalation branch demonstrably executes and
+      // the oracle checks both phases
+      graft.functions.AnnIndex.ivfTopKExactK(e.filter(col("vec_id") < 50), idx,
+          k = 5, nprobe = 1, filter = col("label") === 1)
+        .select(col("q_id"), col("rk"), col("n_id"), col("cos_sim"))
+        .orderBy("q_id", "rk")
+    },
+
     // Measured FILTERED-search quality — q_ann_eval's twin for the new
     // tier: the filtered stored-index probe's top-5 vs the exact
     // filtered brute-force top-5 (label-1 corpus scored directly), per
@@ -3914,7 +3933,8 @@ object TextQueries {
     * predicate — the single source the plain, tombstoned, filtered, and
     * eval oracles all build from.
     */
-  private def annIvfStoredCtes(root: String, postingsWhere: String): String =
+  private def annIvfStoredCtes(root: String, postingsWhere: String,
+      nprobeSql: String = "(SELECT nprobe FROM mt)"): String =
     s"""cent AS (SELECT cell, centroid AS vec
          FROM read_parquet('$root/centroids/*.parquet')),
        mt AS (SELECT nprobe FROM read_parquet('$root/meta/*.parquet')),
@@ -3929,7 +3949,7 @@ object TextQueries {
              row_number() OVER (PARTITION BY q.q_id
                ORDER BY ${cosSql("q", "cent")} DESC, cent.cell) AS prk
            FROM q CROSS JOIN cent)
-         WHERE prk <= (SELECT nprobe FROM mt)),
+         WHERE prk <= $nprobeSql),
        scored AS (
          SELECT pr.q_id, p.n_id, ${cosSql("qq", "p")} AS cos_sim
          FROM probes pr JOIN p ON p.cell = pr.cell AND p.n_id <> pr.q_id
@@ -3948,6 +3968,41 @@ object TextQueries {
       else Nil) ++ (if (attrPred.nonEmpty) Seq(attrPred) else Nil)
     if (conds.nonEmpty) conds.mkString("WHERE ", " AND ", "") else ""
   }
+
+  /** q_ann_filtered_k oracle — the two-phase guaranteed-k rule
+    * re-derived from the stored bytes: sufficiency = at least k
+    * candidates in the probed cells (the `scored` CTE), sufficient
+    * queries keep the phase-1 ranking, deficient ones take the exact
+    * ranking over the FULL filtered postings.
+    */
+  private def annFilteredKOracle: String =
+    graft.functions.AnnIndex.lastAttrDir match {
+      case None =>
+        "SELECT 0 AS q_id, 0 AS rk, 0 AS n_id, 0.0 AS cos_sim WHERE 1=0"
+      case Some(root) =>
+        s"""WITH ${annIvfStoredCtes(root,
+            annStoredWhere(root, tombstoned = false, "label = 1"),
+            nprobeSql = "1")},
+           suff AS (
+             SELECT q_id FROM scored GROUP BY q_id HAVING count(*) >= 5),
+           phase1 AS (
+             SELECT q_id, rk, n_id, cos_sim FROM ranked
+             WHERE rk <= 5 AND q_id IN (SELECT q_id FROM suff)),
+           exacts AS (
+             SELECT q.q_id, p.n_id, ${cosSql("q", "p")} AS cos_sim
+             FROM q JOIN p ON p.n_id <> q.q_id
+             WHERE q.q_id NOT IN (SELECT q_id FROM suff)),
+           exactr AS (
+             SELECT q_id, n_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, n_id) AS rk
+             FROM exacts),
+           phase2 AS (
+             SELECT q_id, rk, n_id, cos_sim FROM exactr WHERE rk <= 5)
+           SELECT q_id, CAST(rk AS INT) AS rk, n_id, cos_sim
+           FROM (SELECT * FROM phase1 UNION ALL SELECT * FROM phase2)
+           ORDER BY q_id, rk"""
+    }
 
   private def annIvfStoredOracle(
       dir: Option[String], tombstoned: Boolean,
@@ -4040,7 +4095,8 @@ object TextQueries {
     ("q_ann_index_drift" -> annIndexDriftOracle) +
     ("q_ann_filtered" -> annFilteredOracle) +
     ("q_ann_filtered_sql" -> annFilteredOracle) + // TVF spelling, same truth
-    ("q_ann_filtered_eval" -> annFilteredEvalOracle)
+    ("q_ann_filtered_eval" -> annFilteredEvalOracle) +
+    ("q_ann_filtered_k" -> annFilteredKOracle)
 
   /** q_ann_eval oracle: the IVF chain ([[ivfRankedCtes]]) and the exact
     * brute-force chain side by side, recall@5 as the per-query count of

@@ -197,6 +197,47 @@ class AnnIndexSpec extends SparkSpec {
       canon(AnnIndex.ivfTopK(q, dirF, k = 5, filter = col("label") === 1), "cos_sim"))
   }
 
+  test("ivfTopKExactK escalates deficient queries to exact filtered search") {
+    import spark.implicits._
+    // two constructed cells: cluster A (around +x) holds only 3 label-1
+    // rows, cluster B (around -x) holds 10 — a +x query probing one cell
+    // is DEFICIENT for k=5 and must escalate to the exact filtered
+    // ranking over both cells; a -x query is sufficient and must keep
+    // the plain phase-1 ranking
+    val dim = 8
+    def vec(x: Double, jitter: Double, i: Int): Seq[Double] =
+      Seq.tabulate(dim)(d => if (d == 0) x else jitter * ((i + d) % 5 - 2) / 10.0)
+    val aLab = (0 until 3).map(i => (100L + i, vec(1.0, 0.3, i), 1))
+    val aBg = (0 until 20).map(i => (200L + i, vec(1.0, 0.4, i + 7), 0))
+    val bLab = (0 until 10).map(i => (300L + i, vec(-1.0, 0.3, i), 1))
+    val bBg = (0 until 20).map(i => (400L + i, vec(-1.0, 0.4, i + 3), 0))
+    val corpus = (aLab ++ aBg ++ bLab ++ bBg).toDF("vec_id", "embedding", "label")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec/exactk"
+    val cents: Array[Seq[Double]] = Array(
+      Seq.tabulate(dim)(d => if (d == 0) 1.0 else 0.0),
+      Seq.tabulate(dim)(d => if (d == 0) -1.0 else 0.0))
+    AnnIndex.build(corpus, dir, centroids = cents, attrCols = Seq("label"))
+    val qDef = Seq((1L, vec(1.0, 0.2, 11))).toDF("vec_id", "embedding")
+    val qSuf = Seq((2L, vec(-1.0, 0.2, 13))).toDF("vec_id", "embedding")
+    val got = canon(AnnIndex.ivfTopKExactK(qDef.unionByName(qSuf), dir,
+      k = 5, nprobe = 1, filter = col("label") === 1), "cos_sim")
+    // every query gets exactly k results even though the deficient one's
+    // probed cell holds only 3 filtered candidates
+    assert(got.count(_._1 == 1L) == 5)
+    assert(got.count(_._1 == 2L) == 5)
+    // deficient query == exact filtered brute force
+    val brute = canon(VectorOps.bruteForceTopK(
+      qDef, corpus.filter(col("label") === 1), k = 5), "cos_sim")
+    assert(got.filter(_._1 == 1L) == brute)
+    // sufficient query == the plain phase-1 filtered probe
+    val p1 = canon(AnnIndex.ivfTopK(qSuf, dir, k = 5, nprobe = 1,
+      filter = col("label") === 1), "cos_sim")
+    assert(got.filter(_._1 == 2L) == p1)
+    // and the deficient one REALLY was deficient in phase 1
+    assert(canon(AnnIndex.ivfTopK(qDef, dir, k = 5, nprobe = 1,
+      filter = col("label") === 1), "cos_sim").size < 5)
+  }
+
   test("filtered probe pushes the attr predicate into the postings scan") {
     // the 100 TB point of storing attrs inline: the metadata predicate
     // reaches the pruned postings scan as a parquet pushed filter (row

@@ -61,6 +61,10 @@ class ExplainSpec extends SparkSpec {
     // two-arm audit by construction (exact filtered brute truth + the
     // filtered probe + the recall join/agg) — every frame (|queries|×k)
     "q_ann_filtered_eval" -> 6,
+    // two lazy phases: the pruned probe (+ top-k window exchange), the
+    // sufficiency counts, and the deficient-slice exact rescore — every
+    // exchange (|queries| x k)-sized
+    "q_ann_filtered_k" -> 4,
     "q_cdc_diff" -> 3, "q_cdc_sql" -> 3, "q_cdc_apply" -> 5,
     "q_cdc_apply_sql" -> 5,
     "q_tpch_q3" -> 1,
