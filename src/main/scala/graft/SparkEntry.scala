@@ -62,7 +62,7 @@ object SparkEntry {
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q9", "q_tpch_q11",
     "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q19",
     "q_tpch_q20", "q_tpch_q3", "q_tpch_q8", "q_cdc_diff", "q_cdc_sql",
-    "q_cdc_apply", "q_cdc_apply_sql", "q_mv_rewrite",
+    "q_cdc_apply", "q_cdc_apply_sql", "q_mv_rewrite", "q_mv_rewrite_sql",
     "q_logreg_step", "q_dp_noise",
     // r11 additions: the de-interpreted kernels, the WAV roundtrip, the
     // DoReMi-style mixture-reweight step, LPA communities, the JL

@@ -1390,6 +1390,21 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // The SAME rewritten aggregate through the spark.sql entry path (the
+    // rule lives in the optimizer, so SQL text over a temp view of the
+    // base table re-plans onto the summary identically) — SHARES
+    // q_mv_rewrite's base-table oracle.
+    "q_mv_rewrite_sql" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensure(s, dir)
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_mv_orders")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders,
+          min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+          sum(o_orderkey) AS key_sum
+        FROM graft_mv_orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
     // Spearman rank correlation (price vs order recency per priority) —
     // the monotone-association check Pearson misses (and q_theil_sen's
     // slope doesn't quantify). Ranks are total-ordered (ties broken by
@@ -2435,6 +2450,15 @@ object RelationalQueries {
        WHERE NOT ins AND NOT del AND (pn <> cn OR pt <> ct)
        ORDER BY custkey, change_type"""
 
+  /** q_mv_rewrite / q_mv_rewrite_sql oracle — computed from the BASE
+    * orders table, so a wrong or stale summary rewrite flips the hash.
+    */
+  private val mvRewriteOracle =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+       FROM orders GROUP BY 1 ORDER BY o_orderpriority"""
+
   /** q_cdc_apply / q_cdc_apply_sql oracle: applying the feed must equal
     * snapshot N+1 recomputed directly from orders.
     */
@@ -3365,11 +3389,8 @@ object RelationalQueries {
     // applyFeed(prev, feed) must equal snapshot N+1 recomputed directly
     "q_cdc_apply_sql" -> cdcApplyOracle, // TVF round trip, same truth
     "q_cdc_apply" -> cdcApplyOracle,
-    "q_mv_rewrite" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_mv_rewrite" -> mvRewriteOracle,
+    "q_mv_rewrite_sql" -> mvRewriteOracle, // SQL entry path, same truth
     "q_spearman" ->
       s"""WITH o AS (
            SELECT o_orderpriority AS prio, o_orderkey AS k,

@@ -70,7 +70,7 @@ class ExplainSpec extends SparkSpec {
     "q_tpch_q3" -> 1,
     // MV-rewritten: the re-aggregate over the summary + output sort —
     // the base-corpus scan is GONE from this plan by construction
-    "q_mv_rewrite" -> 2,
+    "q_mv_rewrite" -> 2, "q_mv_rewrite_sql" -> 2,
     // q_matryoshka: 4 independent brute-force top-k pipelines (full
     // truth + 3 truncated variants) at ~3 exchanges each — every frame
     // is (|queries| x k)-sized after the aggregator's map-side cap, so
