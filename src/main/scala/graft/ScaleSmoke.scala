@@ -56,6 +56,10 @@ object ScaleSmoke {
     // is clone-invariant (labels replicate with the rows), so the factor
     // should sit on q_ann_indexed's; first run pays the attr-index build
     "q_ann_filtered", "q_ann_filtered_sql",
+    // guaranteed-k escalation at Nx: same pruned probe + the deficient
+    // slice's aggregator-capped exact rescore — at healthy Nx corpora
+    // the deficient slice is empty and the factor tracks q_ann_filtered
+    "q_ann_filtered_k",
     // index maintenance at Nx: its own index build (first run, one-time)
     // plus the tombstone anti-join on the pruned postings read — the
     // probe factor should sit on q_ann_indexed's with the small
@@ -286,7 +290,7 @@ object ScaleSmoke {
   private val ordersConsumers =
     Set("q_isotonic_cal", "q_woe_iv", "q_bootstrap", "q_bucket_join",
       "q_compact_scan", "q_pipe_sql", "q_cdc_diff", "q_cdc_sql", "q_cdc_apply",
-      "q_cdc_apply_sql", "q_mv_rewrite")
+      "q_cdc_apply_sql", "q_mv_rewrite", "q_mv_rewrite_sql")
   private val customerConsumers = Set("q_record_linkage")
 
   private val relationalQueries = Seq(
@@ -318,10 +322,11 @@ object ScaleSmoke {
     // against the touched keys + a union of incoming rows — must track
     // the 1x key domain like the diff itself
     "q_cdc_apply", "q_cdc_apply_sql",
-    // MV rewrite at Nx orders: the first run pays the one-time summary
+    // MV rewrite at Nx orders (both spellings — the SQL twin plans the
+    // identical rewritten aggregate): the first run pays the one-time summary
     // build (one corpus aggregate); the rewritten query then scans the
     // |priority x status|-sized summary — Nx-invariant by construction
-    "q_mv_rewrite")
+    "q_mv_rewrite", "q_mv_rewrite_sql")
 
   /** Graph tier at Nx DISJOINT copies (lineitem cloned with both
     * l_orderkey and l_partkey shifted, so each copy is an isolated

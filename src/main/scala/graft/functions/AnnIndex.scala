@@ -679,13 +679,15 @@ object AnnIndex {
     val post0 = livePostings(spark, indexDir)
     val postings = (if (filter != null) post0.filter(filter) else post0)
       .select(col("n_id"), col("n_vec"))
-    val exact = postings.join(broadcast(deficient), col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        VectorOps.cosine(col("q_vec"), col("n_vec")).as("cos_sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("n_id"))
-    val phase2 = exact.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // aggregator top-k, not a rank window: the exact rescore is the one
+    // place a corpus-sized scored frame could reach an exchange, and the
+    // map-capped TopKAggregator keeps the q_id shuffle at
+    // O(k x partitions x |deficient|) rows (identical results and
+    // tie-break — the bruteForceTopKAgg contract)
+    val phase2 = VectorOps.bruteForceTopKAgg(
+      deficient.select(col("q_id").as("vec_id"), col("q_vec").as("embedding")),
+      postings.select(col("n_id").as("vec_id"), col("n_vec").as("embedding")),
+      k)
     phase1.join(sufficient, Seq("q_id"), "left_semi").unionByName(phase2)
   }
 
