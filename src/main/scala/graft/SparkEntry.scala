@@ -117,5 +117,10 @@ object SparkEntry {
     "q_jsonl_ingest", "q_compact_scan", "q_ann_index_delete", "q_pipe_sql",
     // the ingest TVF spelling and the index-staleness audit (the
     // quantizer-cadence cycle's scheduling signal)
-    "q_ingest_sql", "q_ann_index_drift")
+    "q_ingest_sql", "q_ann_index_drift",
+    // r17: the widened MV rewrite — avg-from-partials, key-column
+    // filters applied to the summary, and the star-schema join rewrite
+    // (summary ⋈ dim instead of fact ⋈ dim) with its SQL twin
+    "q_mv_rewrite_avg", "q_mv_rewrite_filter", "q_mv_rewrite_join",
+    "q_mv_rewrite_join_sql")
 }

@@ -26,11 +26,14 @@ object SummaryTables {
     graft.ops.ContentTag.of(dir, Seq("orders"))
 
   /** Idempotently build + register the orders summary for `dir`'s
-    * current contents; returns the summary path.
+    * current contents; returns the summary path. The path carries a
+    * schema version ("v2": + cnt_okey, the avg/count(x) denominator)
+    * so a process inheriting an older on-disk summary rebuilds instead
+    * of failing register()'s schema validation.
     */
   def ensure(s: SparkSession, dir: String): String = synchronized {
     val tag = tagFor(dir)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_summary/$tag"
+    val root = s"${sys.props("java.io.tmpdir")}/graft_summary/v2_$tag"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$root/_SUCCESS")))
       Tables(s, dir, "orders")
@@ -38,7 +41,8 @@ object SummaryTables {
         .agg(count(lit(1)).as("cnt"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"),
-          sum(col("o_orderkey")).as("sum_okey"))
+          sum(col("o_orderkey")).as("sum_okey"),
+          count(col("o_orderkey")).as("cnt_okey"))
         .coalesce(1).write.mode("overwrite").parquet(root)
     // registration is idempotent (replace) and tag-keyed with the
     // summary itself: same call both builds and (re)binds
@@ -48,7 +52,40 @@ object SummaryTables {
       countCol = "cnt",
       minCols = Map("o_totalprice" -> "min_price"),
       maxCols = Map("o_totalprice" -> "max_price"),
-      sumCols = Map("o_orderkey" -> "sum_okey")))
+      sumCols = Map("o_orderkey" -> "sum_okey"),
+      cntCols = Map("o_orderkey" -> "cnt_okey")))
+    root
+  }
+
+  /** The star-schema companion: an orders summary keyed on the customer
+    * FOREIGN KEY, so `Aggregate(orders ⋈ customer)` queries rewrite to
+    * `Aggregate(summary ⋈ customer)` (see SummaryRewrite's join shape).
+    * At 100 TB the rewritten join is |custkeys| × dim instead of the
+    * fact corpus × dim, and the summary side broadcasts. Registered
+    * ALONGSIDE [[ensure]]'s (priority, status) summary — the rewrite
+    * tries candidates per base table in registration order.
+    */
+  def ensureCust(s: SparkSession, dir: String): String = synchronized {
+    val tag = tagFor(dir)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_summary_cust/v1_$tag"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/_SUCCESS")))
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_orderkey")).as("sum_okey"),
+          count(col("o_orderkey")).as("cnt_okey"))
+        .coalesce(1).write.mode("overwrite").parquet(root)
+    SummaryRewrite.register(s"$dir/orders.parquet", SummarySpec(
+      summaryPath = root,
+      keys = Seq("o_custkey"),
+      countCol = "cnt",
+      minCols = Map("o_totalprice" -> "min_price"),
+      maxCols = Map("o_totalprice" -> "max_price"),
+      sumCols = Map("o_orderkey" -> "sum_okey"),
+      cntCols = Map("o_orderkey" -> "cnt_okey")))
     root
   }
 
@@ -130,8 +167,15 @@ object SummaryTables {
     // partials make the answer matter (the count/sum-only streaming hot
     // path skips one Spark job per micro-batch)
     if (minColsBase.nonEmpty || maxColsBase.nonEmpty) {
-      val retracting = !feed.filter(
-        col("change_type").isin("delete", "update_preimage")).isEmpty
+      // update_postimage is probed too: a well-formed update carries the
+      // preimage twin anyway, so including it costs nothing — and a
+      // MALFORMED feed of unpaired postimages now fails loudly here
+      // instead of silently double-counting into the partials. (For
+      // count/sum-only summaries, pre/postimage pairing is the caller's
+      // feed contract, like applyFeedToTable's compaction requirement —
+      // an unpaired postimage is indistinguishable from an insert.)
+      val retracting = !feed.filter(col("change_type").isin(
+        "delete", "update_preimage", "update_postimage")).isEmpty
       require(!retracting,
         s"SummaryTables.maintain($summaryPath): the feed carries deletes/" +
           "updates but the summary stores min/max partials, which are not " +

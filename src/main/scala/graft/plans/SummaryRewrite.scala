@@ -4,11 +4,13 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, PlanExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Materialized-view rewrite (injected Catalyst optimizer rule): an
   * aggregate over a REGISTERED base table is transparently re-planned
@@ -16,23 +18,48 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * lakehouse pattern where a 100 TB fact table's daily rollups are
   * answered from a keys-sized summary instead of a corpus scan.
   *
-  * Scope (deliberately narrow, every guard sound-by-construction):
-  *  - the aggregate's child must be the registered base relation itself
-  *    (optionally under a pure-attribute Project — column pruning);
-  *    ANY other intervening operator (Filter, Join, ...) aborts the
-  *    rewrite, because the summary cannot answer it.
-  *  - grouping columns must be a subset of the summary's keys (equal or
-  *    COARSER — re-aggregation over the stored partials handles rollup).
-  *  - aggregates must be derivable from stored partials with EXACT
-  *    semantics: count(*)/count(1) from summing the stored count;
-  *    min/max from re-min/max of the stored per-key min/max; sum only
-  *    when re-summing the stored partial yields the SAME data type as
-  *    the original (LongType/integral sums — double re-sums change
-  *    float addition order and decimal re-sums widen precision, both
-  *    abort).
-  *  - anything else (avg, distinct aggs, expressions over aggregates
-  *    the matcher doesn't recognize) aborts — the query silently runs
-  *    against the base table, never wrong, just unrewritten.
+  * Matched shapes (every guard sound-by-construction; anything else
+  * silently runs against the base table — never wrong, just
+  * unrewritten):
+  *
+  *  - `Aggregate([Project|Filter]* base)` — column pruning is free;
+  *    Filters are admitted iff every conjunct is deterministic,
+  *    subquery-free, and references the base ONLY through summary KEY
+  *    columns. A key-only predicate is constant per group, so filtering
+  *    summary rows ≡ filtering base rows then grouping (`WHERE
+  *    o_orderstatus = 'F' GROUP BY o_orderstatus` answers from the
+  *    summary instead of the fact scan).
+  *  - `Aggregate([Project]* (fact ⋈,,inner,, dim))` — the star-schema
+  *    MV. Sound whenever the join condition (and any below-join fact
+  *    filter) references the fact side only through summary keys: all
+  *    rows of a fact group g then share one join outcome, so the join
+  *    result is ⋃,,g,, rows(g) × D(g), and re-aggregating the summary
+  *    joined to the dim on the SAME condition reproduces every derivable
+  *    aggregate exactly — count(*) and sums pick up the |D(g)| join
+  *    multiplicity through per-pair partials, min/max are
+  *    duplication-blind, avg weights itself through sum/count partials.
+  *    This subsumes (and is pinned wider than) the broadcast FK
+  *    equi-join: ANY deterministic fact-key-only predicate qualifies.
+  *    The dim side is an opaque subtree reused as-is (exprIds intact).
+  *    Aggregates over DIM columns abort: dim rows are duplicated
+  *    per-fact-row in the base plan but per-group in the rewrite.
+  *    Outer joins abort (null-extended rows have no group).
+  *
+  * Grouping columns must be a mix of summary KEYs (equal or COARSER —
+  * re-aggregation over the stored partials handles rollup) and, under a
+  * join, dim attributes. Aggregates must be derivable from stored
+  * partials with EXACT semantics:
+  *  - count(*)/count(1) from summing the stored count partial;
+  *  - count(x) from summing a stored non-null-count partial;
+  *  - min/max from re-min/max of the stored per-key min/max;
+  *  - sum only when re-summing the stored partial yields the SAME data
+  *    type as the original (LongType/integral sums — double re-sums
+  *    change float addition order and decimal re-sums widen precision,
+  *    both abort);
+  *  - avg(x) as sum-partial / non-null-count-partial, only when the
+  *    stored sum is integral (LongType): the division is then ONE
+  *    correctly-rounded double op over exact integers, bit-equal to
+  *    `CAST(exact_sum AS DOUBLE) / n`. Float/decimal partials abort.
   *
   * Freshness is the REGISTRAR's contract, as in every MV system: specs
   * are registered against a content-addressed summary (the fixture
@@ -41,27 +68,33 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * preserved via aliases, so parent plans are untouched; the summary
   * relation is `newInstance()`d per rewrite so two rewrites in one
   * query cannot collide on exprIds. The rule is idempotent (the
-  * rewritten aggregate's child is the summary relation, which is never
-  * registered as a base).
+  * rewritten aggregate's child scans the summary relation, which is
+  * never registered as a base). A base table may carry SEVERAL summaries
+  * (e.g. one per key set); candidates are tried in registration order
+  * and the first derivable one wins.
   */
-object SummaryRewrite extends Rule[LogicalPlan] {
+object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** keys: summary grouping columns; countCol: stored count(*) partial;
-    * minCols/maxCols/sumCols: base column name → stored partial column.
+    * minCols/maxCols/sumCols/cntCols: base column name → stored partial
+    * column (cntCols are per-column NON-NULL counts, the count(x) and
+    * avg denominators).
     */
   case class SummarySpec(
       summaryPath: String, keys: Seq[String], countCol: String,
       minCols: Map[String, String] = Map.empty,
       maxCols: Map[String, String] = Map.empty,
-      sumCols: Map[String, String] = Map.empty) {
+      sumCols: Map[String, String] = Map.empty,
+      cntCols: Map[String, String] = Map.empty) {
     // resolved once at registration: the summary's analyzed relation
     // (file listing paid once, not per optimizer pass)
     private[SummaryRewrite] lazy val relation: LogicalPlan =
       SparkSession.active.read.parquet(summaryPath).queryExecution.analyzed
   }
 
-  // base-relation identity = the relation's qualified root paths
-  private val specs = new ConcurrentHashMap[String, SummarySpec]()
+  // base-relation identity = the relation's qualified root paths; a base
+  // table may carry several summaries (tried in registration order)
+  private val specs = new ConcurrentHashMap[String, List[SummarySpec]]()
 
   private def rootKey(rel: LogicalRelation): Option[String] =
     rel.relation match {
@@ -70,18 +103,51 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Register `summary` as the stored rollup of the base table at
+  /** Register `summary` as a stored rollup of the base table at
     * `srcPath`. Reads the base relation once to pin its qualified
-    * identity. Re-registration replaces (the content-tagged fixture
-    * pattern: a new corpus tag re-registers its new summary).
+    * identity, and FAILS FAST on a mis-registered spec (a bad column
+    * name must surface here with a clear message, not as an optimizer
+    * crash on some later query). Re-registration of the same
+    * summaryPath replaces (the content-tagged fixture pattern: a new
+    * corpus tag re-registers its new summary); distinct summaryPaths
+    * accumulate as alternative candidates.
     */
   def register(srcPath: String, spec: SummarySpec): Unit = {
     val rel = SparkSession.active.read.parquet(srcPath)
       .queryExecution.analyzed.collectFirst { case r: LogicalRelation => r }
       .getOrElse(throw new IllegalArgumentException(
         s"SummaryRewrite.register: $srcPath is not a file relation"))
-    specs.put(rootKey(rel).get, spec)
-    spec.relation // force resolution now, not inside an optimizer pass
+    val key = rootKey(rel).getOrElse(throw new IllegalArgumentException(
+      s"SummaryRewrite.register: $srcPath: unsupported relation type " +
+        "for summary registration (expected a HadoopFsRelation)"))
+    val baseCols = rel.output.map(_.name.toLowerCase).toSet
+    val missingBase =
+      (spec.keys ++ spec.minCols.keys ++ spec.maxCols.keys ++
+        spec.sumCols.keys ++ spec.cntCols.keys)
+        .filterNot(n => baseCols(n.toLowerCase))
+    require(missingBase.isEmpty,
+      s"SummaryRewrite.register($srcPath): column(s) " +
+        s"${missingBase.mkString(", ")} not in the base schema " +
+        s"[${rel.output.map(_.name).mkString(", ")}]")
+    val summaryCols = spec.relation.output.map(_.name.toLowerCase).toSet
+    val missingSummary =
+      (spec.keys ++ Seq(spec.countCol) ++ spec.minCols.values ++
+        spec.maxCols.values ++ spec.sumCols.values ++ spec.cntCols.values)
+        .filterNot(n => summaryCols(n.toLowerCase))
+    require(missingSummary.isEmpty,
+      s"SummaryRewrite.register(${spec.summaryPath}): column(s) " +
+        s"${missingSummary.mkString(", ")} not in the summary schema " +
+        s"[${spec.relation.output.map(_.name).mkString(", ")}]")
+    spec.keys.foreach { k =>
+      val b = rel.output.find(_.name.equalsIgnoreCase(k)).get
+      val s = spec.relation.output.find(_.name.equalsIgnoreCase(k)).get
+      require(b.dataType == s.dataType,
+        s"SummaryRewrite.register(${spec.summaryPath}): key '$k' is " +
+          s"${s.dataType} in the summary but ${b.dataType} in the base")
+    }
+    specs.compute(key, (_, old) =>
+      Option(old).getOrElse(Nil)
+        .filterNot(_.summaryPath == spec.summaryPath) :+ spec)
   }
 
   /** Drop every registration (test isolation). */
@@ -90,33 +156,71 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (specs.isEmpty) return plan
     plan.transform {
-      case agg @ Aggregate(_, _, child, _) =>
-        baseOf(child).flatMap { rel =>
-          Option(specs.get(rootKey(rel).orNull))
-            .flatMap(spec => rewrite(agg, spec))
-        }.getOrElse(agg)
+      case agg: Aggregate =>
+        candidates(agg.child).view.flatMap { case (rel, filters, dim) =>
+          Option(specs.get(rootKey(rel).orNull)).getOrElse(Nil).view
+            .flatMap(spec => rewrite(agg, spec, rel, filters, dim))
+        }.headOption.getOrElse(agg)
     }
   }
 
-  /** The registered base relation, seen through at most a pure-attribute
-    * Project (column pruning); anything else means the summary cannot
-    * serve the query.
+  /** A matched fact-join's dim side with its (possibly absent) join
+    * condition; soundness of the condition is judged in [[rewrite]]
+    * against the candidate spec's keys.
     */
-  private def baseOf(child: LogicalPlan): Option[LogicalRelation] =
-    child match {
-      case r: LogicalRelation => Some(r)
-      case Project(projList, r: LogicalRelation)
-          if projList.forall(_.isInstanceOf[AttributeReference]) => Some(r)
+  private case class DimJoin(dim: LogicalPlan, cond: Option[Expression])
+
+  /** The relation under any interleaving of pure-attribute Projects
+    * (column pruning) and Filters, the latter collected as conjuncts —
+    * whether each conjunct is key-only is judged per candidate spec.
+    */
+  private def stripToRel(p: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    p match {
+      case r: LogicalRelation => Some((r, Nil))
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripToRel(c)
+      case Filter(cond, c) =>
+        stripToRel(c).map { case (r, fs) =>
+          (r, splitConjunctivePredicates(cond) ++ fs)
+        }
       case _ => None
     }
 
-  private def rewrite(agg: Aggregate, spec: SummarySpec): Option[Aggregate] = {
-    val keySet = spec.keys.map(_.toLowerCase).toSet
-    // grouping must be plain base columns, a subset of the summary keys
-    val groupNames = agg.groupingExpressions.map {
-      case a: AttributeReference if keySet(a.name.toLowerCase) => a.name
-      case _ => return None
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(c)
+    case other => other
+  }
+
+  /** Candidate (base relation, below-relation filters, join) matches for
+    * an aggregate child. For a join BOTH sides are offered as the fact
+    * candidate — registration decides which (if either) rewrites.
+    * Filters above an inner join need no case of their own: this rule
+    * runs in the operator-optimization fixed point, where
+    * PushDownPredicates has already pushed them below the join.
+    */
+  private def candidates(child: LogicalPlan)
+      : Seq[(LogicalRelation, Seq[Expression], Option[DimJoin])] =
+    stripToRel(child) match {
+      case Some((rel, fs)) => Seq((rel, fs, None))
+      case None =>
+        stripProjects(child) match {
+          case Join(l, r, Inner, cond, _) =>
+            stripToRel(l).map { case (rel, fs) =>
+              (rel, fs, Some(DimJoin(r, cond))) }.toSeq ++
+              stripToRel(r).map { case (rel, fs) =>
+                (rel, fs, Some(DimJoin(l, cond))) }.toSeq
+          case _ => Nil
+        }
     }
+
+  private def rewrite(
+      agg: Aggregate, spec: SummarySpec, rel: LogicalRelation,
+      baseFilters: Seq[Expression], dimJoin: Option[DimJoin]): Option[Aggregate] = {
+    val keySet = spec.keys.map(_.toLowerCase).toSet
+    val baseOut = rel.outputSet
+    val dimOut = dimJoin.map(d => d.dim.outputSet).getOrElse(AttributeSet.empty)
+
     val fresh = spec.relation match {
       case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
       case p => p
@@ -126,39 +230,100 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     def summaryAttr(name: String): Option[Attribute] =
       byName.get(name.toLowerCase)
 
-    def agged(fn: Expression): Expression =
-      AggregateExpression(
-        fn.asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction],
-        Complete, isDistinct = false)
+    /** Remap a predicate that may touch the base: every base reference
+      * must be a summary KEY (whose per-group value the summary stores
+      * verbatim); dim references pass through unchanged. Nondeterminism
+      * and subqueries abort — they are not once-per-group constants.
+      */
+    def remap(e: Expression): Option[Expression] = {
+      if (!e.deterministic) return None
+      if (e.exists(_.isInstanceOf[PlanExpression[_]])) return None
+      if (!e.references.subsetOf(baseOut ++ dimOut)) return None
+      var ok = true
+      val out = e.transform {
+        case a: AttributeReference if baseOut.contains(a) =>
+          if (keySet(a.name.toLowerCase)) summaryAttr(a.name).getOrElse { ok = false; a }
+          else { ok = false; a }
+      }
+      if (ok) Some(out) else None
+    }
+
+    val newFilters: Seq[Expression] = baseFilters.map { f =>
+      if (!f.references.subsetOf(baseOut)) return None
+      remap(f).getOrElse(return None)
+    }
+    val newJoinCond: Option[Expression] = dimJoin.flatMap(_.cond) match {
+      case Some(c) => Some(remap(c).getOrElse(return None))
+      case None => None
+    }
+
+    val newGrouping: Seq[Expression] = agg.groupingExpressions.map {
+      case a: AttributeReference if baseOut.contains(a) =>
+        if (keySet(a.name.toLowerCase)) summaryAttr(a.name).getOrElse(return None)
+        else return None
+      case a: Attribute if dimOut.contains(a) => a
+      case _ => return None
+    }
+    val groupBaseNames = agg.groupingExpressions.collect {
+      case a: AttributeReference if baseOut.contains(a) => a.name.toLowerCase
+    }.toSet
+    val groupDimAttrs = AttributeSet(agg.groupingExpressions.collect {
+      case a: Attribute if dimOut.contains(a) => a
+    })
+
+    def agged(fn: AggregateFunction): Expression =
+      AggregateExpression(fn, Complete, isDistinct = false)
 
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       // grouping key passthrough: keep the ORIGINAL exprId so parent
-      // plans' references stay valid
-      case a: AttributeReference if groupNames.contains(a.name) =>
+      // plans' references stay valid (dim attrs already keep theirs)
+      case a: AttributeReference
+          if baseOut.contains(a) && groupBaseNames(a.name.toLowerCase) =>
         summaryAttr(a.name) match {
           case Some(sa) => Alias(sa, a.name)(exprId = a.exprId)
           case None => return None
         }
+      case a: Attribute if groupDimAttrs.contains(a) => a
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
         val derived: Option[Expression] = fn match {
-          case Count(Seq(Literal(_, _))) =>
+          case Count(Seq(Literal(v, _))) if v != null =>
             // count(*) == sum of stored counts; coalesce keeps count's
-            // never-null contract (sum is nullable by type)
+            // never-null contract (sum is nullable by type). The
+            // v != null guard keeps count(NULL) ≡ 0 sound BY ITSELF,
+            // not by NullPropagation's batch position.
             summaryAttr(spec.countCol).map(c =>
               Coalesce(Seq(agged(Sum(c)), Literal(0L))))
-          case Min(a: AttributeReference) =>
+          case Count(Seq(a: AttributeReference)) if baseOut.contains(a) =>
+            // count(x) == sum of stored per-column non-null counts
+            spec.cntCols.get(a.name).flatMap(summaryAttr).map(c =>
+              Coalesce(Seq(agged(Sum(c)), Literal(0L))))
+          case Min(a: AttributeReference) if baseOut.contains(a) =>
             spec.minCols.get(a.name).flatMap(summaryAttr)
               .map(c => agged(Min(c)))
-          case Max(a: AttributeReference) =>
+          case Max(a: AttributeReference) if baseOut.contains(a) =>
             spec.maxCols.get(a.name).flatMap(summaryAttr)
               .map(c => agged(Max(c)))
-          case s @ Sum(a: AttributeReference, _) =>
+          case s @ Sum(a: AttributeReference, _) if baseOut.contains(a) =>
             // exact only when re-summing the partial keeps the type
             // (integral sums); double re-sums change fp addition order,
             // decimal re-sums widen precision — both abort
             spec.sumCols.get(a.name).flatMap(summaryAttr)
               .map(c => agged(Sum(c)))
               .filter(_.dataType == s.dataType)
+          case Average(a: AttributeReference, _) if baseOut.contains(a) =>
+            // avg(x) = integral-sum partial / non-null-count partial:
+            // both sums re-aggregate exactly over longs, then ONE
+            // correctly-rounded double division — bit-equal to
+            // CAST(exact_sum AS DOUBLE)/n. All-null groups stay NULL
+            // (the sum partial is NULL, and NULL/x is NULL); Divide's
+            // non-ANSI zero guard can never fire with a non-null
+            // numerator. Non-integral partials abort.
+            for {
+              sp <- spec.sumCols.get(a.name).flatMap(summaryAttr)
+                if sp.dataType == LongType
+              cp <- spec.cntCols.get(a.name).flatMap(summaryAttr)
+            } yield Divide(Cast(agged(Sum(sp)), DoubleType),
+              Cast(agged(Sum(cp)), DoubleType))
           case _ => None
         }
         derived match {
@@ -168,7 +333,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         }
       case _ => return None
     }
-    val newGrouping = groupNames.map(n => summaryAttr(n).get)
-    Some(Aggregate(newGrouping, newAggExprs, fresh))
+
+    val filtered: LogicalPlan =
+      if (newFilters.isEmpty) fresh
+      else Filter(newFilters.reduce(And), fresh)
+    val newChild: LogicalPlan = dimJoin match {
+      case None => filtered
+      case Some(DimJoin(dim, _)) =>
+        // the summary side is tiny by construction; AQE/stats broadcast
+        // it without a hint
+        Join(filtered, dim, Inner, newJoinCond, JoinHint.NONE)
+    }
+    Some(Aggregate(newGrouping, newAggExprs, newChild))
   }
 }

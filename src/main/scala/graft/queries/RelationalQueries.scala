@@ -1405,6 +1405,76 @@ object RelationalQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     },
 
+    // avg through the MV: SummaryRewrite derives avg(x) as
+    // sum-partial / non-null-count-partial — EXACT because the stored
+    // sum is integral, so both re-sums are exact longs and the single
+    // double division is correctly rounded (the oracle computes the
+    // same CAST(sum AS DOUBLE)/count from the BASE table). A float avg
+    // (avg(o_totalprice)) has no integral partial and aborts to the
+    // base scan — pinned in SummaryRewriteSpec.
+    "q_mv_rewrite_avg" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensure(s, dir)
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(avg(col("o_orderkey")).as("avg_okey"),
+          count(col("o_orderkey")).as("n_keys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    },
+
+    // key-column WHERE through the MV: a predicate that references the
+    // base only through summary KEY columns is constant per group, so
+    // it applies verbatim to the summary relation — the commonest
+    // dashboard shape (filter + rollup) answers from the keys-sized
+    // summary instead of the fact scan. Non-key filters abort (pinned).
+    "q_mv_rewrite_filter" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensure(s, dir)
+      Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderpriority") =!= "3-MEDIUM")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderpriority")
+    },
+
+    // star-schema MV: the aggregate is WRITTEN as fact ⋈ dim, and the
+    // optimizer re-plans it onto summary ⋈ dim — sound because the join
+    // touches the fact side only through the summary key (o_custkey),
+    // so each fact group shares one join outcome and per-pair partials
+    // absorb the join multiplicity exactly. At 100 TB the join input
+    // shrinks from the fact corpus to |custkeys| rows (broadcastable).
+    // The oracle computes the base join in DuckDB.
+    "q_mv_rewrite_join" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensureCust(s, dir)
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("o_totalprice")).as("min_price"),
+          avg(col("o_orderkey")).as("avg_okey"))
+        .orderBy("c_mktsegment")
+    },
+
+    // The SAME star rewrite through the spark.sql entry path — SHARES
+    // q_mv_rewrite_join's base-tables oracle.
+    "q_mv_rewrite_join_sql" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensureCust(s, dir)
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_mvj_orders")
+      Tables(s, dir, "customer").createOrReplaceTempView("graft_mvj_customer")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+          sum(o_orderkey) AS key_sum, min(o_totalprice) AS min_price,
+          avg(o_orderkey) AS avg_okey
+        FROM graft_mvj_orders JOIN graft_mvj_customer
+          ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+
     // Spearman rank correlation (price vs order recency per priority) —
     // the monotone-association check Pearson misses (and q_theil_sen's
     // slope doesn't quantify). Ranks are total-ordered (ties broken by
@@ -2459,6 +2529,19 @@ object RelationalQueries {
          CAST(sum(o_orderkey) AS BIGINT) AS key_sum
        FROM orders GROUP BY 1 ORDER BY o_orderpriority"""
 
+  /** q_mv_rewrite_join / _join_sql oracle — the star join computed from
+    * the BASE tables, so a wrong join rewrite (multiplicity, dim
+    * duplication, avg weighting) flips the hash. avg is spelled as the
+    * derivation's exact arithmetic (see q_mv_rewrite_avg).
+    */
+  private val mvRewriteJoinOracle =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         min(o_totalprice) AS min_price,
+         CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_okey
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY 1 ORDER BY c_mktsegment"""
+
   /** q_cdc_apply / q_cdc_apply_sql oracle: applying the feed must equal
     * snapshot N+1 recomputed directly from orders.
     */
@@ -3391,6 +3474,24 @@ object RelationalQueries {
     "q_cdc_apply" -> cdcApplyOracle,
     "q_mv_rewrite" -> mvRewriteOracle,
     "q_mv_rewrite_sql" -> mvRewriteOracle, // SQL entry path, same truth
+    // avg-from-partials: the oracle spells the derivation's exact
+    // arithmetic (one correctly-rounded division over exact integer
+    // sums) so both sides compute the identical double
+    "q_mv_rewrite_avg" ->
+      """SELECT o_orderstatus,
+           CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_okey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_keys,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    "q_mv_rewrite_filter" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders
+         WHERE o_orderstatus = 'F' AND o_orderpriority <> '3-MEDIUM'
+         GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_mv_rewrite_join" -> mvRewriteJoinOracle,
+    "q_mv_rewrite_join_sql" -> mvRewriteJoinOracle, // SQL path, same truth
     "q_spearman" ->
       s"""WITH o AS (
            SELECT o_orderpriority AS prio, o_orderkey AS k,

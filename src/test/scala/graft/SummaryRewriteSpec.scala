@@ -253,6 +253,159 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("avg rewrites to sum-partial/count-partial, bit-equal to the base plan") {
+    SummaryRewrite.clear()
+    def q() = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(avg(col("o_orderkey")).as("a"), count(col("o_orderkey")).as("nk"))
+      .orderBy("o_orderstatus")
+    // integer inputs whose running sums stay below 2^53: the base
+    // plan's double accumulation is exact too, so bit-equality is a
+    // real check of the derivation, not luck
+    val base = q().collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    SummaryTables.ensure(spark, sfDir)
+    try {
+      val df = q()
+      assert(scans(df).exists(_.contains("graft_summary")))
+      assert(!scans(df).exists(_.contains("orders.parquet")))
+      val got = df.collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(got == base)
+    } finally SummaryRewrite.clear()
+  }
+
+  test("key-column filters apply to the summary; non-key filters still abort") {
+    SummaryRewrite.clear()
+    def q() = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_orderpriority") =!= "3-MEDIUM")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("mn"))
+      .orderBy("o_orderpriority")
+    val base = q().collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    SummaryTables.ensure(spark, sfDir)
+    try {
+      val df = q()
+      val locs = scans(df)
+      assert(locs.exists(_.contains("graft_summary")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+      assert(q().collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq == base)
+      // a filter mixing a key with a NON-key column aborts whole
+      val mixed = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 1000)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(scans(mixed).exists(_.contains("orders.parquet")))
+      assert(!scans(mixed).exists(_.contains("graft_summary")))
+    } finally SummaryRewrite.clear()
+  }
+
+  test("star join rewrites onto summary ⋈ dim; unsound join shapes abort") {
+    SummaryRewrite.clear()
+    def q() = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("ks"),
+        min(col("o_totalprice")).as("mn"), avg(col("o_orderkey")).as("a"))
+      .orderBy("c_mktsegment")
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    val base = rows(q())
+    SummaryTables.ensureCust(spark, sfDir)
+    try {
+      val df = q()
+      val locs = scans(df)
+      assert(locs.exists(_.contains("graft_summary_cust")), locs.mkString("\n"))
+      assert(locs.exists(_.contains("customer.parquet")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+      assert(rows(df) == base)
+
+      val o = Tables(spark, sfDir, "orders")
+      val c = Tables(spark, sfDir, "customer")
+      def baseScan(df: DataFrame): Unit = {
+        val l = scans(df)
+        assert(l.exists(_.contains("orders.parquet")), l.mkString("\n"))
+        assert(!l.exists(_.contains("graft_summary")), l.mkString("\n"))
+      }
+      // join touching the fact through a NON-key column aborts
+      baseScan(o.join(c, col("o_orderkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n")))
+      // dim-side aggregates abort: dim rows duplicate per-fact-row in
+      // the base plan but per-group in the rewrite
+      baseScan(o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(sum(col("c_acctbal")).as("s")))
+      // outer joins abort: null-extended rows have no fact group
+      baseScan(o.join(c, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n")))
+    } finally SummaryRewrite.clear()
+  }
+
+  test("non-equi join ON the key also rewrites (fact-key-only predicate is the sound guard)") {
+    SummaryRewrite.clear()
+    // every fact row of a custkey group shares the <' outcome, so the
+    // pushdown identity holds for ANY deterministic fact-key-only
+    // predicate — wider than the equi-FK shape, pinned here
+    def q() = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"),
+        col("o_custkey") < col("c_custkey") && col("c_custkey") <= 10L)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("ks"))
+      .orderBy("c_mktsegment")
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = rows(q())
+    SummaryTables.ensureCust(spark, sfDir)
+    try {
+      val df = q()
+      val locs = scans(df)
+      assert(locs.exists(_.contains("graft_summary_cust")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+      assert(rows(df) == base)
+    } finally SummaryRewrite.clear()
+  }
+
+  test("register() fails fast on a mis-registered spec (no optimizer-time crash)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mv_reg").toString
+    Seq((1L, "a", 2L)).toDF("k", "g", "v").write.parquet(s"$dir/base")
+    Seq(("a", 1L, 2L)).toDF("g", "cnt", "sum_v").write.parquet(s"$dir/sum")
+    // a partial column that does not exist in the summary schema
+    val e1 = intercept[IllegalArgumentException] {
+      SummaryRewrite.register(s"$dir/base", SummaryRewrite.SummarySpec(
+        s"$dir/sum", Seq("g"), "cnt", sumCols = Map("v" -> "nope")))
+    }
+    assert(e1.getMessage.contains("nope") &&
+      e1.getMessage.contains("summary schema"), e1.getMessage)
+    // a key that does not exist in the base schema
+    val e2 = intercept[IllegalArgumentException] {
+      SummaryRewrite.register(s"$dir/base", SummaryRewrite.SummarySpec(
+        s"$dir/sum", Seq("missing"), "cnt"))
+    }
+    assert(e2.getMessage.contains("missing"), e2.getMessage)
+    SummaryRewrite.clear()
+  }
+
+  test("maintain(): unpaired update_postimage rows are refused with min/max partials") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10L)).toDF("id", "g", "v")
+    def rollupMm(b: DataFrame) = b.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val path = java.nio.file.Files.createTempDirectory("mv_post").toString + "/summary"
+    rollupMm(base).write.parquet(path)
+    // a malformed feed: postimage with no preimage twin — must fail
+    // loudly, not silently double-count into the partials
+    val feed = Seq((1L, "update_postimage", "a", 99L))
+      .toDF("id", "change_type", "g", "v")
+    assert(intercept[IllegalArgumentException] {
+      SummaryTables.maintain(path, feed, Seq("g"), "cnt",
+        Map("v" -> "sum_v"), Map("v" -> "min_v"), Map("v" -> "max_v"))
+    }.getMessage.contains("not self-maintainable"))
+  }
+
   test("rewritten LongType sum and count equal the base computation exactly") {
     SummaryRewrite.clear()
     val base = Tables(spark, sfDir, "orders")
