@@ -122,5 +122,8 @@ object SparkEntry {
     // filters applied to the summary, and the star-schema join rewrite
     // (summary ⋈ dim instead of fact ⋈ dim) with its SQL twin
     "q_mv_rewrite_avg", "q_mv_rewrite_filter", "q_mv_rewrite_join",
-    "q_mv_rewrite_join_sql")
+    "q_mv_rewrite_join_sql",
+    // r17: the guaranteed-k filtered probe's SQL spelling (graft_ann
+    // 'guaranteed_k' mode with filter_sql + nprobe)
+    "q_ann_filtered_k_sql")
 }

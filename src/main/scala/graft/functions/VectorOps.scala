@@ -70,26 +70,34 @@ object VectorOps {
     * -- DIRECTORY written by AnnIndex.build / VectorOps.buildIvfIndex
     * SELECT * FROM graft_ann('queries_view', '/path/to/index', '5', 'indexed')
     * SELECT * FROM graft_ann('queries_view', '/path/to/index', '5', 'indexed_pq')
+    * -- guaranteed-k filtered probe (ivfTopKExactK): deficient queries
+    * -- escalate to an exact rescore of the filtered postings
+    * SELECT * FROM graft_ann('queries_view', '/path/to/index', '5',
+    *                         'guaranteed_k', 'vec_id', 'embedding',
+    *                         'label = 1', '1')
     * }}}
     *
     * 'brute' (default) is the exact window-ranked scan; 'ivf' the
     * cell-probed sublinear path (auto-sized nlist/nprobe); 'indexed' /
     * 'indexed_pq' probe a STORED [[AnnIndex]] (zero training jobs —
-    * the second argument names the index directory, not a table).
-    * Trailing arguments optional; every mode emits (q_id, n_id,
-    * cos_sim/score, rk), so SQL users reach the whole ANN tier —
-    * including the persisted index — without the DataFrame API.
+    * the second argument names the index directory, not a table);
+    * 'guaranteed_k' (alias 'exact_k') is the stored-index probe under
+    * the k-whenever-the-filtered-corpus-has-them retrieval contract.
+    * Trailing arguments optional ('nprobe' overrides the stored probe
+    * width for the cell-probing stored-index modes); every mode emits
+    * (q_id, n_id, cos_sim/score, rk), so SQL users reach the whole ANN
+    * tier — including the persisted index — without the DataFrame API.
     */
   def sqlBuilder(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     def strLit(i: Int, what: String): String =
       graft.plans.TvfArgs.strLit("graft_ann", es)(i, what)
-    if (es.size < 3 || es.size > 7)
+    if (es.size < 3 || es.size > 8)
       throw new IllegalArgumentException(
         "graft_ann(queries, corpus_or_index_dir, k[, " +
-          "'brute'|'ivf'|'indexed'|'indexed_pq'[, id_col[, vec_col[, " +
-          "filter_sql]]]])")
+          "'brute'|'ivf'|'indexed'|'indexed_pq'|'guaranteed_k'[, " +
+          "id_col[, vec_col[, filter_sql[, nprobe]]]]])")
     val spark = org.apache.spark.sql.SparkSession.active
     val queries = spark.table(strLit(0, "queries table name"))
     // ANALYSIS-TIME rejection (the graft_asof Merge-rejection pattern):
@@ -125,23 +133,41 @@ object VectorOps {
     val filt: org.apache.spark.sql.Column =
       if (filterSql.nonEmpty) expr(filterSql) else null
     val mode = if (es.size > 3) strLit(3, "mode") else "brute"
-    if (filt != null && mode != "indexed" && mode != "indexed_pq")
+    val storedIndexModes = Set("indexed", "indexed_pq", "guaranteed_k", "exact_k")
+    if (filt != null && !storedIndexModes(mode))
       throw new IllegalArgumentException(
         "graft_ann: filter_sql applies to the stored-index modes " +
-          "('indexed'|'indexed_pq') whose postings carry attr columns; " +
-          s"mode '$mode' has no stored attrs — filter the corpus table " +
-          "in SQL instead")
+          "('indexed'|'indexed_pq'|'guaranteed_k') whose postings carry " +
+          s"attr columns; mode '$mode' has no stored attrs — filter the " +
+          "corpus table in SQL instead")
+    // probe width override (0 = the index meta's stored default); only
+    // the cell-probing stored-index modes have a probe width to set
+    val nprobe = if (es.size > 7) strLit(7, "nprobe").toInt else 0
+    if (nprobe != 0 && mode != "indexed" && mode != "guaranteed_k" &&
+        mode != "exact_k")
+      throw new IllegalArgumentException(
+        s"graft_ann: nprobe applies to the cell-probing stored-index " +
+          s"modes ('indexed'|'guaranteed_k'); mode '$mode' has no probe " +
+          "width")
     val out = mode match {
       case "" | "brute" => bruteForceTopK(queries, corpus, k, idCol, vecCol)
       case "ivf" => ivfTopK(queries, corpus, k, idCol = idCol, vecCol = vecCol)
       case "indexed" =>
-        AnnIndex.ivfTopK(queries, second, k, idCol = idCol, vecCol = vecCol,
-          filter = filt)
+        AnnIndex.ivfTopK(queries, second, k, nprobe = nprobe, idCol = idCol,
+          vecCol = vecCol, filter = filt)
       case "indexed_pq" =>
         AnnIndex.pqTopK(queries, second, k, idCol = idCol, vecCol = vecCol,
           filter = filt)
+      // the guaranteed-k filtered probe (AnnIndex.ivfTopKExactK): the
+      // SQL spelling of the retrieval contract "k results whenever the
+      // filtered corpus has them" — selective predicates no longer
+      // silently return < k ('exact_k' accepted as an alias)
+      case "guaranteed_k" | "exact_k" =>
+        AnnIndex.ivfTopKExactK(queries, second, k, nprobe = nprobe,
+          idCol = idCol, vecCol = vecCol, filter = filt)
       case m => throw new IllegalArgumentException(
-        s"graft_ann: mode must be brute|ivf|indexed|indexed_pq, got '$m'")
+        s"graft_ann: mode must be brute|ivf|indexed|indexed_pq|" +
+          s"guaranteed_k, got '$m'")
     }
     out.queryExecution.analyzed
   }

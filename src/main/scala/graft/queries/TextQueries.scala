@@ -718,6 +718,22 @@ object TextQueries {
         .orderBy("q_id", "rk")
     },
 
+    // The SAME guaranteed-k filtered probe spelled in Spark SQL — the
+    // graft_ann TVF's 'guaranteed_k' mode with filter_sql + nprobe
+    // arguments. SHARES q_ann_filtered_k's stored-index oracle, so the
+    // SQL spelling reproduces both phases (pruned probe + exact rescore
+    // of deficient queries) bit-for-bit.
+    "q_ann_filtered_k_sql" -> { (s, dir) =>
+      val idx = graft.functions.AnnIndex.ensureAttrs(s, dir)
+      Tables(s, dir, "embeddings").filter(col("vec_id") < 50)
+        .createOrReplaceTempView("graft_ann_gk_queries")
+      s.sql(s"""
+        SELECT q_id, rk, n_id, cos_sim
+        FROM graft_ann('graft_ann_gk_queries', '$idx', '5', 'guaranteed_k',
+                       'vec_id', 'embedding', 'label = 1', '1')
+        ORDER BY q_id, rk""")
+    },
+
     // Measured FILTERED-search quality — q_ann_eval's twin for the new
     // tier: the filtered stored-index probe's top-5 vs the exact
     // filtered brute-force top-5 (label-1 corpus scored directly), per
@@ -4096,7 +4112,8 @@ object TextQueries {
     ("q_ann_filtered" -> annFilteredOracle) +
     ("q_ann_filtered_sql" -> annFilteredOracle) + // TVF spelling, same truth
     ("q_ann_filtered_eval" -> annFilteredEvalOracle) +
-    ("q_ann_filtered_k" -> annFilteredKOracle)
+    ("q_ann_filtered_k" -> annFilteredKOracle) +
+    ("q_ann_filtered_k_sql" -> annFilteredKOracle) // TVF spelling, same truth
 
   /** q_ann_eval oracle: the IVF chain ([[ivfRankedCtes]]) and the exact
     * brute-force chain side by side, recall@5 as the per-query count of

@@ -118,4 +118,30 @@ class TvfStreamingSpec extends SparkSpec {
     assert(messages(err).exists(_.contains("no stored attrs")),
       messages(err).mkString(" | "))
   }
+
+  test("graft_ann guaranteed_k: streaming queries rejected; nprobe gated to probing modes") {
+    // the guaranteed-k mode ends in the same rank window + broadcast as
+    // the rest of the tier — a streaming queries table must fail at
+    // analysis time with the streaming alternative named
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData((1L, Seq.fill(4)(0.5)))
+    mem.toDF().toDF("vec_id", "embedding")
+      .createOrReplaceTempView("tvf_stream_gk")
+    val err = intercept[Throwable] {
+      spark.sql("""SELECT * FROM graft_ann('tvf_stream_gk', '/nonexistent',
+        '5', 'guaranteed_k')""")
+    }
+    assert(messages(err).exists(m =>
+      m.contains("annTopKStream") && m.contains("queries table")),
+      messages(err).mkString(" | "))
+    // nprobe has no meaning without cells to probe
+    Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 3).createOrReplaceTempView("tvf_ann_npq")
+    val errN = intercept[Throwable] {
+      spark.sql("""SELECT * FROM graft_ann('tvf_ann_npq', 'tvf_ann_npq',
+        '5', 'brute', 'vec_id', 'embedding', '', '2')""")
+    }
+    assert(messages(errN).exists(_.contains("no probe width")),
+      messages(errN).mkString(" | "))
+  }
 }
