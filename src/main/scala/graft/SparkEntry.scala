@@ -124,6 +124,7 @@ object SparkEntry {
     "q_mv_rewrite_avg", "q_mv_rewrite_filter", "q_mv_rewrite_join",
     "q_mv_rewrite_join_sql",
     // r17: the guaranteed-k filtered probe's SQL spelling (graft_ann
-    // 'guaranteed_k' mode with filter_sql + nprobe)
-    "q_ann_filtered_k_sql")
+    // 'guaranteed_k' mode with filter_sql + nprobe), and the
+    // schema-drift change feed (align-by-name diff with null-fill)
+    "q_ann_filtered_k_sql", "q_cdc_drift")
 }

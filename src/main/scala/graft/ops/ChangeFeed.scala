@@ -35,27 +35,76 @@ import org.apache.spark.sql.functions._
   */
 object ChangeFeed {
 
-  /** Diff `cur` against `prev` keyed by `keys`. Both frames must share
-    * one schema; every non-key column is a compared value column.
-    * Output: key columns, `change_type`, then the value columns (pre
-    * values on delete/update_preimage rows, post values otherwise).
+  /** Validate that two drifted schemas can align by name, returning
+    * (name → type) maps for both sides: keys must exist on both (a key
+    * cannot be null-filled), and a column shared by both sides must
+    * keep one data type (silently comparing across a type change would
+    * mis-classify rows — re-cast upstream instead).
     */
-  def diff(prev: DataFrame, cur: DataFrame, keys: Seq[String]): DataFrame = {
+  private def driftTypes(
+      fn: String, a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType, keys: Seq[String])
+      : (Map[String, org.apache.spark.sql.types.DataType],
+         Map[String, org.apache.spark.sql.types.DataType]) = {
+    val aT = a.map(f => f.name -> f.dataType).toMap
+    val bT = b.map(f => f.name -> f.dataType).toMap
+    val lostKeys = keys.filterNot(k => aT.contains(k) && bT.contains(k))
+    require(lostKeys.isEmpty,
+      s"$fn: key column(s) ${lostKeys.mkString(", ")} must exist on both " +
+        "sides — a key cannot be null-filled across schema drift")
+    val retyped = aT.keySet.intersect(bT.keySet).filter(n => aT(n) != bT(n))
+    require(retyped.isEmpty,
+      s"$fn: column(s) ${retyped.mkString(", ")} changed data type across " +
+        "the drift — re-cast one side explicitly; null-filling covers " +
+        "added/removed columns, not type changes")
+    (aT, bT)
+  }
+
+  /** Diff `cur` against `prev` keyed by `keys`. By default both frames
+    * must share one schema; every non-key column is a compared value
+    * column. Output: key columns, `change_type`, then the value columns
+    * (pre values on delete/update_preimage rows, post values otherwise).
+    *
+    * `allowSchemaDrift = true` applies the engine's drift stance
+    * (`unionByName(allowMissingColumns)` everywhere else): snapshots
+    * align by column NAME, a column present on one side only is
+    * null-filled on the other, and the null-filled value PARTICIPATES
+    * in change detection — a key whose added column is populated in
+    * `cur` (or whose removed column was populated in `prev`) classifies
+    * as an update, because the row a consumer would materialize really
+    * did change. Output column order: prev's columns, then cur's
+    * additions. Keys must exist on both sides and shared columns must
+    * keep their type ([[driftTypes]]).
+    */
+  def diff(prev: DataFrame, cur: DataFrame, keys: Seq[String],
+      allowSchemaDrift: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "ChangeFeed.diff: at least one key column")
-    require(prev.columns.sameElements(cur.columns),
-      s"ChangeFeed.diff: snapshot schemas differ " +
-        s"(${prev.columns.mkString(",")} vs ${cur.columns.mkString(",")})")
-    val valCols = prev.columns.filterNot(keys.contains).toSeq
+    val (p0, c0) =
+      if (!allowSchemaDrift) {
+        require(prev.columns.sameElements(cur.columns),
+          s"ChangeFeed.diff: snapshot schemas differ " +
+            s"(${prev.columns.mkString(",")} vs ${cur.columns.mkString(",")})" +
+            " — pass allowSchemaDrift = true to align by name with null-fill")
+        (prev, cur)
+      } else {
+        val (pT, cT) = driftTypes("ChangeFeed.diff", prev.schema, cur.schema, keys)
+        val all = prev.columns.toSeq ++ cur.columns.filterNot(pT.contains)
+        (prev.select(all.map(n => pT.get(n).map(_ => col(n))
+            .getOrElse(lit(null).cast(cT(n)).as(n))): _*),
+          cur.select(all.map(n => cT.get(n).map(_ => col(n))
+            .getOrElse(lit(null).cast(pT(n)).as(n))): _*))
+      }
+    val valCols = p0.columns.filterNot(keys.contains).toSeq
     require(valCols.nonEmpty, "ChangeFeed.diff: no value columns to compare")
     // change_type is the output discriminator and _pre/_post the join
     // intermediates — a snapshot column with one of those names would
     // silently produce a duplicate/ambiguous column, not an error here
     val reserved = Set("change_type", "_pre", "_post")
-    require(prev.columns.forall(c => !reserved(c)),
+    require(p0.columns.forall(c => !reserved(c)),
       s"ChangeFeed.diff: snapshot columns may not use the reserved names $reserved")
     def packed(df: DataFrame, as: String) =
       df.select(keys.map(col) :+ struct(valCols.map(col): _*).as(as): _*)
-    val joined = packed(prev, "_pre").join(packed(cur, "_post"), keys, "full_outer")
+    val joined = packed(p0, "_pre").join(packed(c0, "_post"), keys, "full_outer")
       // unchanged keys emit nothing; `<=>` is false when either side is
       // null, so insert/delete rows survive this filter untouched
       .filter(!(col("_pre") <=> col("_post")))
@@ -85,8 +134,17 @@ object ChangeFeed {
     * keys (broadcast when the feed is small, which is the point) plus a
     * union of the insert/post rows. Exactness is spec-pinned:
     * `applyFeed(prev, diff(prev, cur, k), k)` row-equals `cur`.
+    *
+    * `allowSchemaDrift = true` closes the loop for a DRIFTED feed
+    * ([[diff]]'s drift mode): the state null-fills feed-only value
+    * columns before applying, so `applyFeed(prev, diff(prev, cur, k,
+    * drift), k, drift)` row-equals `cur` aligned to the union schema —
+    * exactly what `prev.unionByName(allowMissingColumns)` semantics
+    * promise. State columns absent from the feed abort (a feed cannot
+    * say what happened to a column it never saw).
     */
-  def applyFeed(prev: DataFrame, feed: DataFrame, keys: Seq[String]): DataFrame = {
+  def applyFeed(prev: DataFrame, feed: DataFrame, keys: Seq[String],
+      allowSchemaDrift: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "ChangeFeed.applyFeed: at least one key column")
     // same reserved-name contract as diff: a state column literally
     // named change_type would resolve the incoming select to the FEED's
@@ -94,7 +152,23 @@ object ChangeFeed {
     val reserved = Set("change_type", "_pre", "_post")
     require(prev.columns.forall(c => !reserved(c)),
       s"ChangeFeed.applyFeed: state columns may not use the reserved names $reserved")
-    val valCols = prev.columns.filterNot(keys.contains).toSeq
+    val prevAligned =
+      if (!allowSchemaDrift) prev
+      else {
+        val feedVals = org.apache.spark.sql.types.StructType(
+          feed.schema.filterNot(_.name == "change_type"))
+        val (pT, fT) = driftTypes("ChangeFeed.applyFeed", prev.schema, feedVals, keys)
+        val dropped = prev.columns.filterNot(c => fT.contains(c))
+        require(dropped.isEmpty,
+          s"ChangeFeed.applyFeed: state column(s) ${dropped.mkString(", ")} " +
+            "are absent from the feed — a feed cannot say what happened to " +
+            "a column it never saw; project them away first")
+        val all = prev.columns.toSeq ++
+          feedVals.fieldNames.filterNot(pT.contains)
+        prev.select(all.map(n => pT.get(n).map(_ => col(n))
+          .getOrElse(lit(null).cast(fT(n)).as(n))): _*)
+      }
+    val valCols = prevAligned.columns.filterNot(keys.contains).toSeq
     // EVERY feed key is removed from the state before the incoming rows
     // re-enter — not just delete/update keys: clearing insert keys too
     // is what makes a replayed feed converge instead of duplicating the
@@ -109,7 +183,7 @@ object ChangeFeed {
     // the apply side must actually REMOVE the stale null-keyed row — a
     // plain equality anti-join would keep it and duplicate the incoming
     // one, breaking the spec-pinned round trip
-    val p = prev.alias("p")
+    val p = prevAligned.alias("p")
     val t = touched.alias("t")
     val cond = keys.map(k => col(s"p.$k") <=> col(s"t.$k")).reduce(_ && _)
     p.join(t, cond, "left_anti")
@@ -176,9 +250,10 @@ object ChangeFeed {
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     val (prev, cur, keys) = decodeArgs("graft_cdc",
-      "graft_cdc(prev_table, cur_table, 'key1,key2,...')",
+      "graft_cdc(prev_table, cur_table, 'key1,key2,...'[, 'drift'])",
       "cur table", es)
-    diff(prev, cur, keys).queryExecution.analyzed
+    diff(prev, cur, keys,
+      allowSchemaDrift = driftFlag("graft_cdc", es)).queryExecution.analyzed
   }
 
   /** `graft_cdc_apply('state_table', 'feed_table', 'key1,key2,...')` —
@@ -189,17 +264,31 @@ object ChangeFeed {
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     val (state, feed, keys) = decodeArgs("graft_cdc_apply",
-      "graft_cdc_apply(state_table, feed_table, 'key1,key2,...')",
+      "graft_cdc_apply(state_table, feed_table, 'key1,key2,...'[, 'drift'])",
       "feed table", es)
-    applyFeed(state, feed, keys).queryExecution.analyzed
+    applyFeed(state, feed, keys,
+      allowSchemaDrift = driftFlag("graft_cdc_apply", es)).queryExecution.analyzed
   }
+
+  /** The optional 4th TVF argument: 'drift' enables the schema-drift
+    * alignment, 'strict' (or absence) keeps the same-schema contract.
+    */
+  private def driftFlag(fn: String,
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+    if (es.size < 4) false
+    else graft.plans.TvfArgs.strLit(fn, es)(3, "mode") match {
+      case "drift" => true
+      case "strict" | "" => false
+      case m => throw new IllegalArgumentException(
+        s"$fn: mode must be 'strict' or 'drift', got '$m'")
+    }
 
   private def decodeArgs(fn: String, usage: String, secondWhat: String,
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : (DataFrame, DataFrame, Seq[String]) = {
     def arg(i: Int, what: String): String =
       graft.plans.TvfArgs.strLit(fn, es)(i, what)
-    if (es.size != 3) throw new IllegalArgumentException(usage)
+    if (es.size < 3 || es.size > 4) throw new IllegalArgumentException(usage)
     val spark = org.apache.spark.sql.SparkSession.active
     // each function's own rationale — a wrong explanation sends users
     // down the wrong mental model (the diff needs complete sides; the

@@ -1352,6 +1352,28 @@ object RelationalQueries {
         .orderBy("custkey")
     },
 
+    // CDC across SCHEMA DRIFT (diff's allowSchemaDrift mode): the H2
+    // snapshot DROPPED total_cents and ADDED max_cents — the upstream
+    // schema change every long-lived pipeline eventually meets. The
+    // snapshots align by name (unionByName-with-null-fill stance), the
+    // null-filled columns participate in change detection (a populated
+    // added/removed column makes the row an update, because the
+    // materialized row really changed), and the output carries the
+    // union schema. The oracle re-derives the same alignment in DuckDB.
+    "q_cdc_drift" -> { (s, dir) =>
+      val prev = cdcSnapshot(s, dir, "1996-01-01", "1996-07-01")
+      val cur = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast(DateType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(DateType))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (max(col("o_totalprice").cast(DecimalType(18, 4))) * 100)
+            .cast(LongType).as("max_cents"))
+      graft.ops.ChangeFeed.diff(prev, cur, Seq("custkey"),
+          allowSchemaDrift = true)
+        .orderBy("custkey", "change_type")
+    },
+
     // The SAME apply spelled in Spark SQL through the graft_cdc_apply
     // TVF, itself fed by graft_cdc — the whole CDC round trip in pure
     // SQL. SHARES q_cdc_apply's direct-recompute oracle.
@@ -3469,6 +3491,46 @@ object RelationalQueries {
          LIMIT 10""",
     "q_cdc_diff" -> cdcDiffOracle,
     "q_cdc_sql" -> cdcDiffOracle, // TVF spelling, same truth
+    // schema-drift diff: H2 dropped total_cents and added max_cents;
+    // the oracle aligns by name with null-fill and lets the null-filled
+    // values participate in change detection, exactly like the engine
+    "q_cdc_drift" ->
+      """WITH p AS (
+           SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+               AS total_cents
+           FROM orders
+           WHERE o_orderdate >= DATE '1996-01-01'
+             AND o_orderdate < DATE '1996-07-01'
+           GROUP BY 1),
+         c AS (
+           SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+               AS max_cents
+           FROM orders
+           WHERE o_orderdate >= DATE '1996-07-01'
+             AND o_orderdate < DATE '1997-01-01'
+           GROUP BY 1),
+         j AS (
+           SELECT coalesce(p.custkey, c.custkey) AS custkey,
+             p.custkey IS NULL AS ins, c.custkey IS NULL AS del,
+             p.n_orders AS pn, p.total_cents AS pt,
+             c.n_orders AS cn, c.max_cents AS cm
+           FROM p FULL JOIN c ON p.custkey = c.custkey)
+         SELECT custkey, 'insert' AS change_type, cn AS n_orders,
+           CAST(NULL AS BIGINT) AS total_cents, cm AS max_cents
+         FROM j WHERE ins
+         UNION ALL
+         SELECT custkey, 'delete', pn, pt, CAST(NULL AS BIGINT) FROM j WHERE del
+         UNION ALL
+         SELECT custkey, 'update_preimage', pn, pt, CAST(NULL AS BIGINT)
+         FROM j WHERE NOT ins AND NOT del
+           AND (pn IS DISTINCT FROM cn OR pt IS NOT NULL OR cm IS NOT NULL)
+         UNION ALL
+         SELECT custkey, 'update_postimage', cn, CAST(NULL AS BIGINT), cm
+         FROM j WHERE NOT ins AND NOT del
+           AND (pn IS DISTINCT FROM cn OR pt IS NOT NULL OR cm IS NOT NULL)
+         ORDER BY custkey, change_type""",
     // applyFeed(prev, feed) must equal snapshot N+1 recomputed directly
     "q_cdc_apply_sql" -> cdcApplyOracle, // TVF round trip, same truth
     "q_cdc_apply" -> cdcApplyOracle,

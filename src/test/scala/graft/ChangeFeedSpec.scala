@@ -54,6 +54,66 @@ class ChangeFeedSpec extends SparkSpec {
     }.getMessage.contains("no value columns"))
   }
 
+  test("schema drift: added/removed columns null-fill and count as value changes") {
+    // prev has (k, v, old); cur DROPPED old and ADDED nu
+    val prev = Seq((1L, "a", "x"), (2L, "b", null: String), (3L, "c", "z"))
+      .toDF("k", "v", "old")
+    val cur = Seq((2L, "b", null: String), (3L, "c", "N"), (4L, "d", "M"))
+      .toDF("k", "v", "nu")
+    val out = ChangeFeed.diff(prev, cur, Seq("k"), allowSchemaDrift = true)
+    // union schema, prev's columns first then cur's additions
+    assert(out.columns.toSeq == Seq("k", "change_type", "v", "old", "nu"))
+    def g(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) null else r.getString(i)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), g(r, 2), g(r, 3), g(r, 4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, "delete", "a", "x", null),
+      // key 2: old was null in prev AND nu is null in cur — after
+      // null-fill the rows are identical, so NOTHING is emitted
+      // key 3: old was populated in prev (a real materialized change)
+      (3L, "update_postimage", "c", null, "N"),
+      (3L, "update_preimage", "c", "z", null),
+      (4L, "insert", "d", null, "M")), got.mkString(" | "))
+
+    // drifted apply closes the round trip on the union schema
+    val applied = ChangeFeed.applyFeed(prev,
+        ChangeFeed.diff(prev, cur, Seq("k"), allowSchemaDrift = true),
+        Seq("k"), allowSchemaDrift = true)
+      .collect()
+      .map(r => (r.getLong(0), g(r, 1), g(r, 2), g(r, 3)))
+      .sortBy(_._1).toSeq
+    // = cur aligned to the union schema (old null-filled)... EXCEPT
+    // key 2, untouched by the feed, which keeps its stored old=null —
+    // here equal to the null-fill, so the equality is exact
+    assert(applied == Seq(
+      (2L, "b", null, null), (3L, "c", null, "N"), (4L, "d", null, "M")),
+      applied.mkString(" | "))
+
+    // a key column missing on one side cannot be null-filled
+    val noKey = Seq(("a", "x")).toDF("v", "old")
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.diff(prev, noKey, Seq("k"), allowSchemaDrift = true)
+    }.getMessage.contains("cannot be null-filled"))
+    // a shared column changing TYPE is drift the null-fill cannot cover
+    val retyped = Seq((1L, 7L, "x")).toDF("k", "v", "old")
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.diff(prev, retyped, Seq("k"), allowSchemaDrift = true)
+    }.getMessage.contains("changed data type"))
+    // strict mode still refuses drifted schemas (opt-in only)
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.diff(prev, cur, Seq("k"))
+    }.getMessage.contains("schemas differ"))
+    // apply aborts when the state has a column the feed never saw
+    val wide = Seq((1L, "a", "x", 1L)).toDF("k", "v", "old", "extra")
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.applyFeed(wide,
+        ChangeFeed.diff(prev, cur, Seq("k"), allowSchemaDrift = true),
+        Seq("k"), allowSchemaDrift = true)
+    }.getMessage.contains("never saw"))
+  }
+
   test("plan shape: one full-outer join, no window, no cartesian") {
     val prev = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v")
     val cur = (500L to 1500L).map(i => (i, i * 3)).toDF("k", "v")
