@@ -126,5 +126,8 @@ object SparkEntry {
     // r17: the guaranteed-k filtered probe's SQL spelling (graft_ann
     // 'guaranteed_k' mode with filter_sql + nprobe), and the
     // schema-drift change feed (align-by-name diff with null-fill)
-    "q_ann_filtered_k_sql", "q_cdc_drift")
+    "q_ann_filtered_k_sql", "q_cdc_drift",
+    // r17: the TVF parity tail — heavy hitters and the bloom semi-join
+    // reach SQL, closing full TVF coverage of the bespoke operators
+    "q_heavy_hitters_sql", "q_bloom_sql")
 }

@@ -1169,7 +1169,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.ops.ChangeFeed.sqlBuilder(es)),
     ("graft_cdc_apply",
       new ExpressionInfo("graft.ops.ChangeFeed", "graft_cdc_apply"),
-      (es: Seq[Expression]) => graft.ops.ChangeFeed.applySqlBuilder(es)))
+      (es: Seq[Expression]) => graft.ops.ChangeFeed.applySqlBuilder(es)),
+    ("graft_hh",
+      new ExpressionInfo("graft.operators.HeavyHitters", "graft_hh"),
+      (es: Seq[Expression]) => graft.operators.HeavyHitters.sqlBuilder(es)),
+    ("graft_bloom",
+      new ExpressionInfo("graft.operators.BloomJoin", "graft_bloom"),
+      (es: Seq[Expression]) => graft.operators.BloomJoin.sqlBuilder(es)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

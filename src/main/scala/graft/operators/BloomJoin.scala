@@ -90,4 +90,43 @@ object BloomJoin {
     big.filter(call_function("graft_might_contain",
       col(bigKey).cast(LongType), lit(bos.toByteArray)))
   }
+
+  /** `graft_bloom('big_table', 'small_table', 'big_key', 'small_key'
+    * [, 'expected_items'[, 'fpp']])` — the SQL spelling of
+    * [[bloomSemiJoin]] (TVF-parity contract: every bespoke operator
+    * family reachable from spark.sql). Exact semi-join semantics,
+    * Bloom-pruned before the shuffle. Both sides must be batch
+    * relations: building the sketch is an eager action over the
+    * COMPLETE small side — for a streaming probe side, build the
+    * filter once from the batch dimension and apply the
+    * `graft_might_contain` expression to the stream directly.
+    */
+  def sqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def arg(i: Int, what: String): String =
+      graft.plans.TvfArgs.strLit("graft_bloom", es)(i, what)
+    if (es.size < 4 || es.size > 6)
+      throw new IllegalArgumentException(
+        "graft_bloom(big_table, small_table, big_key, small_key" +
+          "[, expected_items[, fpp]])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    def side(i: Int, what: String): DataFrame = {
+      val t = spark.table(arg(i, s"$what table name"))
+      if (t.isStreaming)
+        throw new UnsupportedOperationException(
+          s"graft_bloom: the $what table is a stream — the sketch build " +
+            "is an eager action over the complete small side. Build the " +
+            "filter from the batch dimension once and apply the " +
+            "graft_might_contain expression to the stream directly")
+      t
+    }
+    val big = side(0, "big")
+    val small = side(1, "small")
+    val expected =
+      if (es.size > 4) arg(4, "expected_items").toLong else 1000000L
+    val fpp = if (es.size > 5) arg(5, "fpp").toDouble else 0.01
+    bloomSemiJoin(big, small, arg(2, "big_key"), arg(3, "small_key"),
+      expected, fpp).queryExecution.analyzed
+  }
 }

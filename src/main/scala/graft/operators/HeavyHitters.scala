@@ -125,4 +125,33 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(n) / lit(k))
   }
+
+  /** `graft_hh('items_table', 'item_col', 'k')` — the SQL spelling of
+    * [[frequentItems]] (TVF-parity contract: every bespoke operator
+    * family reachable from spark.sql). Emits (item, cnt). The input
+    * must be a batch relation: pass 1 is an eager localCheckpoint and
+    * the n/k threshold needs the COMPLETE count — the incremental
+    * analog is [[graft.streaming.StreamingOps.heavyHittersStream]]
+    * (mergeable MG summaries in keyed state), rejected here at
+    * analysis time like the other TVFs.
+    */
+  def sqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def arg(i: Int, what: String): String =
+      graft.plans.TvfArgs.strLit("graft_hh", es)(i, what)
+    if (es.size != 3)
+      throw new IllegalArgumentException(
+        "graft_hh(items_table, item_col, k)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val items = spark.table(arg(0, "items table name"))
+    if (items.isStreaming)
+      throw new UnsupportedOperationException(
+        "graft_hh: the items table is a stream — the exact n/k " +
+          "threshold needs the complete count. For streaming heavy " +
+          "hitters use StreamingOps.heavyHittersStream (mergeable " +
+          "Misra-Gries summaries in keyed state)")
+    frequentItems(items, arg(1, "item_col"), arg(2, "k").toInt)
+      .queryExecution.analyzed
+  }
 }

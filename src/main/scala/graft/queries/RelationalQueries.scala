@@ -94,6 +94,20 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // The SAME Bloom-pruned semi join spelled in Spark SQL through the
+    // graft_bloom TVF — SHARES q_bloom_semi_join's plain-semi-join
+    // oracle, so the SQL spelling must prune without losing a match.
+    "q_bloom_sql" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_bloom_big")
+      Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .createOrReplaceTempView("graft_bloom_small")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM graft_bloom('graft_bloom_big', 'graft_bloom_small',
+                         'o_custkey', 'c_custkey', '100000')
+        ORDER BY o_orderkey""")
+    },
+
     // Dimension-coverage matrix: cross join of the two small distinct
     // dimension domains (BroadcastNestedLoopJoin — tiny x tiny, the one
     // legitimate cross-join shape) left-joined to actual counts;
@@ -2551,6 +2565,15 @@ object RelationalQueries {
          CAST(sum(o_orderkey) AS BIGINT) AS key_sum
        FROM orders GROUP BY 1 ORDER BY o_orderpriority"""
 
+  /** q_bloom_semi_join / q_bloom_sql (TVF) oracle: the Bloom pre-filter
+    * only prunes — the result must equal a plain semi join.
+    */
+  private def bloomSemiOracle =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer
+                           WHERE c_mktsegment = 'BUILDING')
+       ORDER BY o_orderkey"""
+
   /** q_mv_rewrite_join / _join_sql oracle — the star join computed from
     * the BASE tables, so a wrong join rewrite (multiplicity, dim
     * duplication, avg weighting) flips the hash. avg is spelled as the
@@ -3144,11 +3167,8 @@ object RelationalQueries {
          SELECT 'orders_duplicate_pk' AS chk, count(*) AS n FROM (
            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
          ORDER BY chk""",
-    "q_bloom_semi_join" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
-         WHERE o_custkey IN (SELECT c_custkey FROM customer
-                             WHERE c_mktsegment = 'BUILDING')
-         ORDER BY o_orderkey""",
+    "q_bloom_semi_join" -> bloomSemiOracle,
+    "q_bloom_sql" -> bloomSemiOracle, // TVF spelling, same truth
     "q_dim_coverage" ->
       """WITH st AS (SELECT DISTINCT o_orderstatus FROM orders),
          pr AS (SELECT DISTINCT o_orderpriority FROM orders),

@@ -1506,6 +1506,20 @@ object TextQueries {
         .orderBy("token")
     },
 
+    // The SAME exact heavy hitters spelled in Spark SQL through the
+    // graft_hh TVF — SHARES q_heavy_hitters' naive group-count-filter
+    // oracle, so the pruned two-pass plan and the SQL spelling must
+    // agree exactly.
+    "q_heavy_hitters_sql" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .createOrReplaceTempView("graft_hh_toks")
+      s.sql("""
+        SELECT item AS token, cnt AS n
+        FROM graft_hh('graft_hh_toks', 'token', '200')
+        ORDER BY token""")
+    },
+
     // Count-Min Sketch — the third approximate-counting tier next to
     // HLL (distinct) and Misra-Gries (candidates): d=4 rows x w=256
     // counters, all four bucket indices sliced from ONE md5-top32 per
@@ -4100,6 +4114,18 @@ object TextQueries {
            WHERE rk <= 5 ORDER BY q_id, rk"""
     }
 
+  /** q_heavy_hitters / q_hh TVF oracle: the naive group-count-filter —
+    * the MG sketch only prunes the shuffle domain, never the answer.
+    */
+  private def heavyHittersOracle =
+    """WITH toks AS (
+         SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       tot AS (SELECT count(*) AS total FROM toks)
+       SELECT token, count(*) AS n FROM toks, tot
+       GROUP BY token, tot.total
+       HAVING count(*) > tot.total / 200
+       ORDER BY token"""
+
   /** The full oracle map: the static entries plus the two whose SQL is
     * built from the recorded persisted-index path.
     */
@@ -6049,14 +6075,8 @@ object TextQueries {
            round(CAST(sum(l.tok_n) AS DOUBLE) / count(*), 6) AS score
          FROM toks t JOIN lm l USING (token)
          GROUP BY t.doc_id ORDER BY t.doc_id""",
-    "q_heavy_hitters" ->
-      """WITH toks AS (
-           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-         tot AS (SELECT count(*) AS total FROM toks)
-         SELECT token, count(*) AS n FROM toks, tot
-         GROUP BY token, tot.total
-         HAVING count(*) > tot.total / 200
-         ORDER BY token""",
+    "q_heavy_hitters" -> heavyHittersOracle,
+    "q_heavy_hitters_sql" -> heavyHittersOracle, // TVF spelling, same truth
     // Oracle numbers each source GLOBALLY (plain row_number over the md5
     // order); the Spark side composes bucket offsets + within-bucket
     // ranks — the equality of the two IS the distributed-ranking proof.

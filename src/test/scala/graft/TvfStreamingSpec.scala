@@ -119,6 +119,27 @@ class TvfStreamingSpec extends SparkSpec {
       messages(err).mkString(" | "))
   }
 
+  test("graft_hh and graft_bloom reject streaming tables at analysis time") {
+    streamingDocs().createOrReplaceTempView("tvf_stream_hh")
+    val errH = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft_hh('tvf_stream_hh', 'text', '10')")
+    }
+    assert(messages(errH).exists(_.contains("heavyHittersStream")),
+      messages(errH).mkString(" | "))
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((1L, 2L))
+    mem.toDF().toDF("k", "v").createOrReplaceTempView("tvf_stream_bloom")
+    Seq((1L, 2L)).toDF("k", "v").createOrReplaceTempView("tvf_static_bloom")
+    Seq("('tvf_stream_bloom', 'tvf_static_bloom'",
+        "('tvf_static_bloom', 'tvf_stream_bloom'").foreach { sides =>
+      val err = intercept[Throwable] {
+        spark.sql(s"SELECT * FROM graft_bloom$sides, 'k', 'k')")
+      }
+      assert(messages(err).exists(_.contains("graft_might_contain")),
+        messages(err).mkString(" | "))
+    }
+  }
+
   test("graft_ann guaranteed_k: streaming queries rejected; nprobe gated to probing modes") {
     // the guaranteed-k mode ends in the same rank window + broadcast as
     // the rest of the tier — a streaming queries table must fail at
