@@ -281,6 +281,68 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[ngramJaccardPairs]] with exact-duplicate collapse — the SAME
+    * pair set (bit-equal jaccards), derived clone-aware: identical
+    * texts have identical shingle sets, so every qualifying doc pair is
+    * the expansion of a qualifying TEXT-GROUP pair — cross-group pairs
+    * inherit the representatives' jaccard (computed by the plain
+    * operator over ONE row per distinct text), within-group pairs are
+    * every member pair at jaccard exactly 1 (the plain operator's
+    * n/(n+n−n); groups whose text has fewer than n tokens have no
+    * shingles and never pair, there as here).
+    *
+    * This is the 100 TB shape for duplicate-heavy corpora: the
+    * quadratic shingle self-join runs over |distinct texts| occurrence
+    * lists instead of |docs| — the difference between the candidate
+    * stage that exhausted this box's disk at the 100x clone corpus
+    * (1.24G intermediate rows, PERF_NOTES r16) and one that finishes
+    * (PERF_NOTES r17). On a duplicate-free corpus it degenerates to
+    * the plain operator plus one 16-byte-key groupBy. NOT offered with
+    * maxDocFreq: shingle document frequency counts clones in the plain
+    * operator but groups here, so the pruned variants would disagree.
+    * Group identity is md5(text) — the engine's exact-dup standard
+    * ([[exactDupGroups]], q_bcubed's gold truth).
+    */
+  def ngramJaccardPairsCloneCollapsed(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val groups = df
+      .select(col(idCol).as("id"), col(textCol).as("__t"),
+        md5(col(textCol)).as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col("id")).as("gid"), count(lit(1)).as("__n"),
+        // members are md5-identical, so min() is a deterministic pick
+        min(col("__t")).as("__text"))
+      .localCheckpoint()
+    val members = df.select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
+      .join(groups.select(col("__h"), col("gid")), Seq("__h"))
+      .select(col("gid"), col("id"))
+    // the plain operator over one representative row per distinct text:
+    // same shingles, same counts, same double arithmetic
+    val gp = ngramJaccardPairs(
+      groups.select(col("gid").as("id"), col("__text")),
+      "id", "__text", threshold, n)
+    val cross = gp
+      .join(members.select(col("gid").as("id_a"), col("id").as("__da")), "id_a")
+      .join(members.select(col("gid").as("id_b"), col("id").as("__db")), "id_b")
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"), col("jaccard"))
+    // within-group expansion: only groups with >= 2 copies AND a
+    // non-empty shingle set (>= n tokens) — zero-shingle docs never
+    // pair in the plain operator either
+    val withinGroups = groups
+      .filter(col("__n") >= 2 &&
+        size(TextOps.tokens(col("__text"))) >= n)
+      .select(col("gid"))
+    val wm = members.join(withinGroups, Seq("gid"), "left_semi")
+    val within = wm.select(col("gid"), col("id").as("id_a"))
+      .join(wm.select(col("gid"), col("id").as("id_b")), "gid")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= lit(threshold))
+    cross.unionByName(within)
+  }
+
   /** Prefix-filtered exact shingle-Jaccard pairs (the PPJoin family,
     * Xiao et al. 2008 / Chaudhuri et al. 2006): shingle hashes get a
     * GLOBAL rarity order (document frequency asc, hash asc); each set

@@ -1338,10 +1338,15 @@ object TextQueries {
     // Near-dup PAIRS -> duplicate CLUSTERS: connected components over the
     // exact n-gram Jaccard edge list (distributed min-label propagation
     // with pointer jumping, GraphOps). cluster_id = min doc_id of the
-    // component — the canonical "keep one per cluster" key.
+    // component — the canonical "keep one per cluster" key. The pair
+    // stage is the CLONE-COLLAPSED derivation (bit-equal to the plain
+    // operator, DedupSpec-pinned): on duplicate-heavy corpora the
+    // shingle self-join runs over distinct texts, which is what lets
+    // this query finish at the 100x clone corpus where the plain
+    // candidate stage exhausted the disk (PERF_NOTES r16 -> r17).
     "q_dup_clusters" -> { (s, dir) =>
-      val pairs = DedupOps.ngramJaccardPairs(Tables(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.05, n = 3)
+      val pairs = DedupOps.ngramJaccardPairsCloneCollapsed(
+        Tables(s, dir, "documents"), "doc_id", "text", threshold = 0.05, n = 3)
       graft.operators.GraphOps.dupClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
@@ -2005,8 +2010,10 @@ object TextQueries {
     // GraphOps.labelPropagation for the 100 TB story).
     "q_label_prop" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val p = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
-          threshold = 0.05, n = 3)
+      // clone-collapsed pair stage (bit-equal, see q_dup_clusters): the
+      // propagation itself stays doc-level — labels are per-doc
+      val p = DedupOps.ngramJaccardPairsCloneCollapsed(docs, "doc_id",
+          "text", threshold = 0.05, n = 3)
         .select("id_a", "id_b").localCheckpoint()
       val edges = p.unionByName(
         p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

@@ -110,6 +110,34 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("ngramJaccardPairsCloneCollapsed equals the plain operator bit-for-bit") {
+    // the 100x-campaign reformulation (PERF_NOTES r17): clone groups
+    // (3 copies + 2 copies), a cross-group near-dup pair, zero-shingle
+    // duplicated docs (< 3 tokens — must NOT pair), an unrelated
+    // singleton, and clone ids interleaved so least/greatest ordering
+    // in the expansion is actually exercised
+    val d = Seq(
+      (1L, "a b c d e"), (7L, "a b c d e"), (4L, "a b c d e"),
+      (2L, "a b c e f"), (9L, "a b c e f"),
+      (3L, "x y"), (8L, "x y"),
+      (5L, "q r s t u v w")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (t <- Seq(0.0, 0.05, 0.5, 1.0)) {
+      val plain = norm(DedupOps.ngramJaccardPairs(d, "doc_id", "text", t))
+      val fast = norm(DedupOps.ngramJaccardPairsCloneCollapsed(
+        d, "doc_id", "text", t))
+      assert(fast == plain, s"threshold $t: $fast != $plain")
+    }
+    // sanity on the shape itself: within-group pairs present at 1.0,
+    // zero-shingle dups absent
+    val rows = norm(DedupOps.ngramJaccardPairsCloneCollapsed(
+      d, "doc_id", "text", 0.05))
+    assert(rows.contains((1L, 4L, 1.0)) && rows.contains((4L, 7L, 1.0)))
+    assert(!rows.exists(r => r._1 == 3L || r._2 == 8L))
+  }
+
   test("containmentPairs: embedded doc scores 1.0 toward its container, not vice versa") {
     // A's shingle set is a strict subset of B's (B = A + suffix):
     // containment(A in B) = 1.0; containment(B in A) = |A∩B|/|B| < 1.
