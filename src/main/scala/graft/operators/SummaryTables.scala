@@ -89,6 +89,48 @@ object SummaryTables {
     root
   }
 
+  /** The IVM-freshness fixture: a (priority, status) orders summary
+    * built from the PRE-1996 half of the table, then brought up to date
+    * by [[maintain]] absorbing the post-cut rows as an insert feed —
+    * every partial in the returned table (count, non-null count,
+    * integral sum, min, max) flowed through the incremental merge, not
+    * a rebuild. q_mv_ivm re-aggregates it under the BASE-table DuckDB
+    * oracle, so a wrong delta in any partial flips the hash. This is
+    * the 100 TB freshness loop: the corpus is scanned once at bootstrap
+    * and once for the feed window; queries afterwards touch only the
+    * keys-sized summary.
+    */
+  def ensureIvm(s: SparkSession, dir: String): String = synchronized {
+    val tag = tagFor(dir)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_summary_ivm/v1_$tag"
+    val done = java.nio.file.Paths.get(s"$root.ivm_done")
+    if (!java.nio.file.Files.exists(done)) {
+      val cut = "1996-01-01"
+      val orders = Tables(s, dir, "orders")
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_orderkey")).as("sum_okey"),
+          count(col("o_orderkey")).as("cnt_okey"))
+      rollup(orders.filter(col("o_orderdate") < lit(cut)))
+        .coalesce(1).write.mode("overwrite").parquet(root)
+      val feed = orders.filter(col("o_orderdate") >= lit(cut))
+        .select(lit("insert").as("change_type"),
+          col("o_orderpriority"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderkey"))
+      maintain(root, feed, Seq("o_orderpriority", "o_orderstatus"),
+        countCol = "cnt",
+        sumColsBase = Map("o_orderkey" -> "sum_okey"),
+        minColsBase = Map("o_totalprice" -> "min_price"),
+        maxColsBase = Map("o_totalprice" -> "max_price"),
+        cntColsBase = Map("o_orderkey" -> "cnt_okey"))
+      java.nio.file.Files.createFile(done)
+    }
+    root
+  }
+
   /** Name of the applied-batch ledger sidecar (see `batchId` below). */
   private[graft] val BatchLedger = "_GRAFT_LAST_BATCH"
 
@@ -125,23 +167,29 @@ object SummaryTables {
     * NULL handling: group keys merge null-safely (all-NULL keys are one
     * group, like groupBy), and a sum partial stays NULL until a non-null
     * value arrives (null-iff-both-null merge, matching SQL SUM). One
-    * documented residue: with a NULLABLE sum column, a retraction that
-    * removes a group's LAST non-null value yields 0 where a rebuild
-    * yields NULL — sum's nullness is not self-maintainable from (count,
-    * sum) alone; track a per-column non-null count if that case matters
-    * (the fixture's sum column is non-nullable).
+    * documented residue: with a NULLABLE sum column and NO paired
+    * cntColsBase entry, a retraction that removes a group's LAST
+    * non-null value yields 0 where a rebuild yields NULL — sum's
+    * nullness is not self-maintainable from (count, sum) alone. Pairing
+    * the column in cntColsBase CLOSES the residue: the maintained
+    * count(x) reaching 0 restores NULL (spec-pinned).
     * The rewrite goes through [[graft.ops.CoreOps]]'s stage-then-swap,
     * single writer required.
     *
     * @param groupKeys the SUMMARY's grouping columns (as stored)
     * @param sumColsBase base column name → stored sum-partial column
+    * @param cntColsBase base column name → stored NON-NULL-count partial
+    *                    (count(x) / avg denominators) — maintained like
+    *                    the count partial but signed only when the base
+    *                    value is non-null
     */
   def maintain(
       summaryPath: String, feed: DataFrame, groupKeys: Seq[String],
       countCol: String, sumColsBase: Map[String, String],
       minColsBase: Map[String, String] = Map.empty,
       maxColsBase: Map[String, String] = Map.empty,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None,
+      cntColsBase: Map[String, String] = Map.empty): Unit = {
     val spark = feed.sparkSession
     // recovery FIRST: a crash between the swap's two renames leaves the
     // target (and its ledger) missing with a complete staging — reading
@@ -190,6 +238,11 @@ object SummaryTables {
       Seq(sum(sign).as(s"__d_$countCol")) ++
         sumColsBase.map { case (b, p) =>
           sum(sign * col(b)).as(s"__d_$p") } ++
+        // non-null-count partials: signed like the count, but only when
+        // the base value is present (count(x) semantics)
+        cntColsBase.map { case (b, p) =>
+          sum(when(col(b).isNotNull, sign).otherwise(lit(0L)))
+            .as(s"__d_$p") } ++
         minColsBase.map { case (b, p) => min(col(b)).as(s"__d_$p") } ++
         maxColsBase.map { case (b, p) => max(col(b)).as(s"__d_$p") }
     val deltas = feed.groupBy(groupKeys.map(col): _*)
@@ -209,20 +262,33 @@ object SummaryTables {
       def keyOut(k: String) =
         coalesce(col(s"o.$k"), col(s"d.$k")).as(k)
       // count is never null on either present side; sums merge
-      // null-iff-both-null (SQL SUM semantics — see the scaladoc residue
-      // note for nullable sum columns under retraction)
-      def updCount(partial: String) =
-        (coalesce(col(s"o.$partial"), lit(0L)) +
-          coalesce(col(s"d.__d_$partial"), lit(0L))).as(partial)
-      def updSum(partial: String) =
-        when(col(s"o.$partial").isNull && col(s"d.__d_$partial").isNull,
-          lit(null))
-          .otherwise(coalesce(col(s"o.$partial"), lit(0L)) +
-            coalesce(col(s"d.__d_$partial"), lit(0L))).as(partial)
+      // null-iff-both-null (SQL SUM semantics). A sum column PAIRED
+      // with a non-null-count partial (cntColsBase) also restores NULL
+      // when the maintained count(x) reaches 0 — closing the documented
+      // residue where retracting a group's last non-null value left 0
+      // instead of a rebuild's NULL; unpaired nullable sums keep the
+      // residue (see the scaladoc note).
+      def mergedCount(partial: String) =
+        coalesce(col(s"o.$partial"), lit(0L)) +
+          coalesce(col(s"d.__d_$partial"), lit(0L))
+      def updCount(partial: String) = mergedCount(partial).as(partial)
+      def updSum(b: String, partial: String) = {
+        val merged =
+          when(col(s"o.$partial").isNull && col(s"d.__d_$partial").isNull,
+            lit(null))
+            .otherwise(coalesce(col(s"o.$partial"), lit(0L)) +
+              coalesce(col(s"d.__d_$partial"), lit(0L)))
+        (cntColsBase.get(b) match {
+          case Some(cp) => when(mergedCount(cp) === 0L, lit(null))
+            .otherwise(merged)
+          case None => merged
+        }).as(partial)
+      }
       val cols =
         groupKeys.map(keyOut) ++
           Seq(updCount(countCol)) ++
-          sumColsBase.values.map(updSum) ++
+          cntColsBase.values.map(updCount) ++
+          sumColsBase.map { case (b, p) => updSum(b, p) } ++
           // least/greatest skip nulls: a group new to the feed keeps its
           // stored extreme, a brand-new group takes the feed's
           minColsBase.values.map(p =>

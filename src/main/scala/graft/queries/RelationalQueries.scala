@@ -1511,6 +1511,43 @@ object RelationalQueries {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     },
 
+    // HAVING through the MV: Catalyst plans HAVING as a Filter ABOVE
+    // the aggregate, so the rewrite composes with it untouched (output
+    // exprIds are preserved) — the aggregate still answers from the
+    // summary and the post-aggregation filter runs on keys-sized rows.
+    "q_mv_rewrite_having" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensure(s, dir)
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_mvh_orders")
+      s.sql("""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+          min(o_totalprice) AS min_price
+        FROM graft_mvh_orders
+        GROUP BY o_orderpriority, o_orderstatus
+        HAVING min(o_totalprice) < 5000
+        ORDER BY o_orderpriority, o_orderstatus""")
+    },
+
+    // IVM freshness end-to-end (SummaryTables.maintain): the summary is
+    // BUILT from the pre-1996 half of orders and brought current by the
+    // incremental merge absorbing the post-cut rows as an insert feed —
+    // count, non-null count, integral sum, min and max partials all flow
+    // through maintain(), never a rebuild. This query re-aggregates the
+    // maintained bytes (avg derived exactly as sum-partial / cnt-partial,
+    // the SummaryRewrite arithmetic); the oracle recomputes from the BASE
+    // table in DuckDB, so one wrong delta in any partial flips the hash.
+    "q_mv_ivm" -> { (s, dir) =>
+      val root = graft.operators.SummaryTables.ensureIvm(s, dir)
+      s.read.parquet(root)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("cnt")).as("n_orders"),
+          min(col("min_price")).as("min_price"),
+          max(col("max_price")).as("max_price"),
+          sum(col("sum_okey")).as("key_sum"),
+          (sum(col("sum_okey")).cast(DoubleType) /
+            sum(col("cnt_okey")).cast(DoubleType)).as("avg_okey"))
+        .orderBy("o_orderpriority")
+    },
+
     // Spearman rank correlation (price vs order recency per priority) —
     // the monotone-association check Pearson misses (and q_theil_sen's
     // slope doesn't quantify). Ranks are total-ordered (ties broken by
@@ -3574,6 +3611,23 @@ object RelationalQueries {
          GROUP BY 1 ORDER BY o_orderpriority""",
     "q_mv_rewrite_join" -> mvRewriteJoinOracle,
     "q_mv_rewrite_join_sql" -> mvRewriteJoinOracle, // SQL path, same truth
+    "q_mv_rewrite_having" ->
+      """SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price
+         FROM orders
+         GROUP BY 1, 2
+         HAVING min(o_totalprice) < 5000
+         ORDER BY o_orderpriority, o_orderstatus""",
+    // every value flows through maintain()'s incremental merge; the
+    // oracle is the direct base recompute, avg spelled as the exact
+    // sum/count derivation (see q_mv_rewrite_avg)
+    "q_mv_ivm" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_okey
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
     "q_spearman" ->
       s"""WITH o AS (
            SELECT o_orderpriority AS prio, o_orderkey AS k,

@@ -136,6 +136,37 @@ class SummaryRewriteSpec extends SparkSpec {
     }.getMessage.contains("not self-maintainable"))
   }
 
+  test("maintain(): non-null-count partials track count(x) exactly through deletes and null transitions") {
+    import spark.implicits._
+    // v nullable: group a has a null (cnt_v < cnt), group n all-null
+    val base0 = Seq(
+      (1L, "a", Option(10L)), (2L, "a", Option.empty[Long]),
+      (3L, "b", Option(5L)), (4L, "n", Option.empty[Long]))
+      .toDF("id", "g", "v")
+    // delete the null row of a (cnt_v unchanged, cnt -1), update b's
+    // value null -> wait: update 3 to null (cnt_v -1), insert a real
+    // value into n (cnt_v 0 -> 1), insert a new group c
+    val base1 = Seq(
+      (1L, "a", Option(10L)), (3L, "b", Option.empty[Long]),
+      (4L, "n", Option.empty[Long]), (5L, "n", Option(7L)),
+      (6L, "c", Option(2L)))
+      .toDF("id", "g", "v")
+    def rollup(b: org.apache.spark.sql.DataFrame) = b.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"),
+        count(col("v")).as("cnt_v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val path = java.nio.file.Files.createTempDirectory("mv_cntv").toString + "/summary"
+    rollup(base0).write.parquet(path)
+    val feed = graft.ops.ChangeFeed.diff(base0, base1, Seq("id")).localCheckpoint()
+    SummaryTables.maintain(path, feed, Seq("g"), "cnt",
+      Map("v" -> "sum_v"), cntColsBase = Map("v" -> "cnt_v"))
+    assert(rows(spark.read.parquet(path).select("g", "cnt", "sum_v", "cnt_v"))
+      == rows(rollup(base1)))
+  }
+
   test("batchId ledger: a replayed feed is a no-op; the ledger survives the swap") {
     import spark.implicits._
     val base0 = Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("id", "g", "v")
