@@ -296,8 +296,11 @@ object DedupOps {
     * lists instead of |docs| — the difference between the candidate
     * stage that exhausted this box's disk at the 100x clone corpus
     * (1.24G intermediate rows, PERF_NOTES r16) and one that finishes
-    * (PERF_NOTES r17). On a duplicate-free corpus it degenerates to
-    * the plain operator plus one 16-byte-key groupBy. NOT offered with
+    * (PERF_NOTES r17). On a mostly-unique corpus (distinct-text ratio
+    * >= `collapseBelow`) it ADAPTIVELY falls back to the plain
+    * operator, paying only the 16-byte-key groupBy that measured the
+    * ratio — the expansion machinery is insurance, priced only when
+    * duplication makes it pay. NOT offered with
     * maxDocFreq: shingle document frequency counts clones in the plain
     * operator but groups here, so the pruned variants would disagree.
     * Group identity is md5(text) — the engine's exact-dup standard
@@ -305,7 +308,8 @@ object DedupOps {
     */
   def ngramJaccardPairsCloneCollapsed(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
+      threshold: Double, n: Int = 3,
+      collapseBelow: Double = 0.9): DataFrame = {
     val groups = df
       .select(col(idCol).as("id"), col(textCol).as("__t"),
         md5(col(textCol)).as("__h"))
@@ -314,6 +318,19 @@ object DedupOps {
         // members are md5-identical, so min() is a deterministic pick
         min(col("__t")).as("__text"))
       .localCheckpoint()
+    // ADAPTIVE: the collapse machinery (members join + expansion) is
+    // insurance against clone-group quadratics — on a mostly-unique
+    // corpus it is pure overhead (measured +1.2 s on q_label_prop at
+    // sf0.1, 4992/5000 distinct). Decide from the already-materialized
+    // group frame (two longs off a |texts|-row checkpoint, no extra
+    // corpus scan): below `collapseBelow` distinct-text ratio, collapse;
+    // at or above it, run the plain operator. Both branches produce the
+    // SAME rows (DedupSpec pins bit-equality of the collapsed branch).
+    val stats = groups.agg(count(lit(1)), sum(col("__n"))).head()
+    val nTexts = stats.getLong(0)
+    val nDocs = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (nDocs == 0L || nTexts >= collapseBelow * nDocs)
+      return ngramJaccardPairs(df, idCol, textCol, threshold, n)
     val members = df.select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
       .join(groups.select(col("__h"), col("gid")), Seq("__h"))
       .select(col("gid"), col("id"))

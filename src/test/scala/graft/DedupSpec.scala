@@ -136,6 +136,12 @@ class DedupSpec extends SparkSpec {
       d, "doc_id", "text", 0.05))
     assert(rows.contains((1L, 4L, 1.0)) && rows.contains((4L, 7L, 1.0)))
     assert(!rows.exists(r => r._1 == 3L || r._2 == 8L))
+    // adaptive fallback: a mostly-unique corpus (ratio >= collapseBelow)
+    // routes to the plain operator — same rows by construction; pin it
+    // by forcing the threshold both ways on the same input
+    val forcedPlain = norm(DedupOps.ngramJaccardPairsCloneCollapsed(
+      d, "doc_id", "text", 0.05, collapseBelow = 0.0))
+    assert(forcedPlain == rows)
   }
 
   test("containmentPairs: embedded doc scores 1.0 toward its container, not vice versa") {
