@@ -310,22 +310,20 @@ object DedupOps {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
       collapseBelow: Double = 0.9): DataFrame = {
-    val groups = df
-      .select(col(idCol).as("id"), col(textCol).as("__t"),
-        md5(col(textCol)).as("__h"))
-      .groupBy(col("__h"))
-      .agg(min(col("id")).as("gid"), count(lit(1)).as("__n"),
-        // members are md5-identical, so min() is a deterministic pick
-        min(col("__t")).as("__text"))
-      .localCheckpoint()
     // ADAPTIVE: the collapse machinery (members join + expansion) is
     // insurance against clone-group quadratics — on a mostly-unique
-    // corpus it is pure overhead (measured +1.2 s on q_label_prop at
-    // sf0.1, 4992/5000 distinct). Decide from the already-materialized
-    // group frame (two longs off a |texts|-row checkpoint, no extra
-    // corpus scan): below `collapseBelow` distinct-text ratio, collapse;
-    // at or above it, run the plain operator. Both branches produce the
-    // SAME rows (DedupSpec pins bit-equality of the collapsed branch).
+    // corpus it is pure overhead. The probe shuffles ONLY (md5, id)
+    // rows (16-byte keys + a long — texts never enter an exchange or a
+    // checkpoint here); the decision reads two longs off the
+    // |texts|-row checkpoint. Below `collapseBelow` distinct-text
+    // ratio, collapse; at or above it, run the plain operator. Both
+    // branches produce the SAME rows (DedupSpec pins bit-equality of
+    // the collapsed branch and the fallback on the same input).
+    val groups = df
+      .select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col("id")).as("gid"), count(lit(1)).as("__n"))
+      .localCheckpoint()
     val stats = groups.agg(count(lit(1)), sum(col("__n"))).head()
     val nTexts = stats.getLong(0)
     val nDocs = if (stats.isNullAt(1)) 0L else stats.getLong(1)
@@ -334,11 +332,17 @@ object DedupOps {
     val members = df.select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
       .join(groups.select(col("__h"), col("gid")), Seq("__h"))
       .select(col("gid"), col("id"))
+    // representative texts, fetched only on the collapse branch: a semi
+    // join of the corpus against the |texts|-sized gid list (broadcast
+    // when small), checkpointed once because both the pair build and
+    // the within-group gate read it — by the branch condition this
+    // frame is at most collapseBelow x |docs| rows
+    val reps = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(groups.select(col("gid").as("id")), Seq("id"), "left_semi")
+      .localCheckpoint()
     // the plain operator over one representative row per distinct text:
     // same shingles, same counts, same double arithmetic
-    val gp = ngramJaccardPairs(
-      groups.select(col("gid").as("id"), col("__text")),
-      "id", "__text", threshold, n)
+    val gp = ngramJaccardPairs(reps, "id", "__text", threshold, n)
     val cross = gp
       .join(members.select(col("gid").as("id_a"), col("id").as("__da")), "id_a")
       .join(members.select(col("gid").as("id_b"), col("id").as("__db")), "id_b")
@@ -347,10 +351,11 @@ object DedupOps {
     // within-group expansion: only groups with >= 2 copies AND a
     // non-empty shingle set (>= n tokens) — zero-shingle docs never
     // pair in the plain operator either
-    val withinGroups = groups
-      .filter(col("__n") >= 2 &&
-        size(TextOps.tokens(col("__text"))) >= n)
-      .select(col("gid"))
+    val withinGroups = groups.filter(col("__n") >= 2)
+      .select(col("gid").as("id"))
+      .join(reps.filter(size(TextOps.tokens(col("__text"))) >= n)
+        .select(col("id")), Seq("id"), "left_semi")
+      .select(col("id").as("gid"))
     val wm = members.join(withinGroups, Seq("gid"), "left_semi")
     val within = wm.select(col("gid"), col("id").as("id_a"))
       .join(wm.select(col("gid"), col("id").as("id_b")), "gid")

@@ -90,6 +90,21 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // (file listing paid once, not per optimizer pass)
     private[SummaryRewrite] lazy val relation: LogicalPlan =
       SparkSession.active.read.parquet(summaryPath).queryExecution.analyzed
+    // lowercase views of every name-keyed map: attribute names come off
+    // the resolved plan with the parquet schema's casing, so the lookup
+    // must be as case-insensitive as register()'s validation — a
+    // case-mismatched spec must not pass validation yet silently never
+    // rewrite
+    private[SummaryRewrite] lazy val keySetLc: Set[String] =
+      keys.map(_.toLowerCase).toSet
+    private[SummaryRewrite] lazy val minLc: Map[String, String] =
+      minCols.map { case (k, v) => k.toLowerCase -> v }
+    private[SummaryRewrite] lazy val maxLc: Map[String, String] =
+      maxCols.map { case (k, v) => k.toLowerCase -> v }
+    private[SummaryRewrite] lazy val sumLc: Map[String, String] =
+      sumCols.map { case (k, v) => k.toLowerCase -> v }
+    private[SummaryRewrite] lazy val cntLc: Map[String, String] =
+      cntCols.map { case (k, v) => k.toLowerCase -> v }
   }
 
   // base-relation identity = the relation's qualified root paths; a base
@@ -107,10 +122,12 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * `srcPath`. Reads the base relation once to pin its qualified
     * identity, and FAILS FAST on a mis-registered spec (a bad column
     * name must surface here with a clear message, not as an optimizer
-    * crash on some later query). Re-registration of the same
-    * summaryPath replaces (the content-tagged fixture pattern: a new
-    * corpus tag re-registers its new summary); distinct summaryPaths
-    * accumulate as alternative candidates.
+    * crash on some later query). Re-registration replaces any prior
+    * spec with the same summaryPath OR the same key set — the
+    * content-tagged fixtures mint a NEW path per corpus tag, and the
+    * stale same-keys spec must not keep serving outdated bytes from
+    * candidate position 0. Summaries with distinct key sets accumulate
+    * as alternative candidates.
     */
   def register(srcPath: String, spec: SummarySpec): Unit = {
     val rel = SparkSession.active.read.parquet(srcPath)
@@ -145,9 +162,16 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
         s"SummaryRewrite.register(${spec.summaryPath}): key '$k' is " +
           s"${s.dataType} in the summary but ${b.dataType} in the base")
     }
+    // replacement policy: a new spec evicts prior specs with the SAME
+    // key set (case-insensitive) as well as the same summaryPath — the
+    // content-tag fixtures mint a NEW summaryPath per corpus tag, and
+    // keeping the stale same-keys spec first in candidate order would
+    // keep serving outdated bytes. Different key sets (e.g. the
+    // (priority, status) and custkey summaries) accumulate.
     specs.compute(key, (_, old) =>
       Option(old).getOrElse(Nil)
-        .filterNot(_.summaryPath == spec.summaryPath) :+ spec)
+        .filterNot(s => s.summaryPath == spec.summaryPath ||
+          s.keySetLc == spec.keySetLc) :+ spec)
   }
 
   /** Drop every registration (test isolation). */
@@ -158,7 +182,10 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     plan.transform {
       case agg: Aggregate =>
         candidates(agg.child).view.flatMap { case (rel, filters, dim) =>
-          Option(specs.get(rootKey(rel).orNull)).getOrElse(Nil).view
+          // rootKey is None for non-file V1 relations (JDBC etc.) —
+          // they can never be registered, so they never match (and must
+          // not NPE the optimizer via a null map key)
+          rootKey(rel).flatMap(k => Option(specs.get(k))).getOrElse(Nil).view
             .flatMap(spec => rewrite(agg, spec, rel, filters, dim))
         }.headOption.getOrElse(agg)
     }
@@ -217,7 +244,7 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(
       agg: Aggregate, spec: SummarySpec, rel: LogicalRelation,
       baseFilters: Seq[Expression], dimJoin: Option[DimJoin]): Option[Aggregate] = {
-    val keySet = spec.keys.map(_.toLowerCase).toSet
+    val keySet = spec.keySetLc
     val baseOut = rel.outputSet
     val dimOut = dimJoin.map(d => d.dim.outputSet).getOrElse(AttributeSet.empty)
 
@@ -295,19 +322,19 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
               Coalesce(Seq(agged(Sum(c)), Literal(0L))))
           case Count(Seq(a: AttributeReference)) if baseOut.contains(a) =>
             // count(x) == sum of stored per-column non-null counts
-            spec.cntCols.get(a.name).flatMap(summaryAttr).map(c =>
+            spec.cntLc.get(a.name.toLowerCase).flatMap(summaryAttr).map(c =>
               Coalesce(Seq(agged(Sum(c)), Literal(0L))))
           case Min(a: AttributeReference) if baseOut.contains(a) =>
-            spec.minCols.get(a.name).flatMap(summaryAttr)
+            spec.minLc.get(a.name.toLowerCase).flatMap(summaryAttr)
               .map(c => agged(Min(c)))
           case Max(a: AttributeReference) if baseOut.contains(a) =>
-            spec.maxCols.get(a.name).flatMap(summaryAttr)
+            spec.maxLc.get(a.name.toLowerCase).flatMap(summaryAttr)
               .map(c => agged(Max(c)))
           case s @ Sum(a: AttributeReference, _) if baseOut.contains(a) =>
             // exact only when re-summing the partial keeps the type
             // (integral sums); double re-sums change fp addition order,
             // decimal re-sums widen precision — both abort
-            spec.sumCols.get(a.name).flatMap(summaryAttr)
+            spec.sumLc.get(a.name.toLowerCase).flatMap(summaryAttr)
               .map(c => agged(Sum(c)))
               .filter(_.dataType == s.dataType)
           case Average(a: AttributeReference, _) if baseOut.contains(a) =>
@@ -319,9 +346,9 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // non-ANSI zero guard can never fire with a non-null
             // numerator. Non-integral partials abort.
             for {
-              sp <- spec.sumCols.get(a.name).flatMap(summaryAttr)
+              sp <- spec.sumLc.get(a.name.toLowerCase).flatMap(summaryAttr)
                 if sp.dataType == LongType
-              cp <- spec.cntCols.get(a.name).flatMap(summaryAttr)
+              cp <- spec.cntLc.get(a.name.toLowerCase).flatMap(summaryAttr)
             } yield Divide(Cast(agged(Sum(sp)), DoubleType),
               Cast(agged(Sum(cp)), DoubleType))
           case _ => None

@@ -398,6 +398,58 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally SummaryRewrite.clear()
   }
 
+  test("re-registration with the same keys evicts the stale summary (freshness)") {
+    import spark.implicits._
+    SummaryRewrite.clear()
+    val dir = java.nio.file.Files.createTempDirectory("mv_fresh").toString
+    Seq((1L, "a", 2L), (2L, "a", 3L), (3L, "b", 5L)).toDF("k", "g", "v")
+      .write.parquet(s"$dir/base")
+    def rollupTo(path: String): Unit =
+      spark.read.parquet(s"$dir/base").groupBy("g")
+        .agg(count(lit(1)).as("cnt")).write.parquet(path)
+    rollupTo(s"$dir/sum_tag1")
+    try {
+      def spec(p: String) =
+        SummaryRewrite.SummarySpec(p, Seq("g"), "cnt")
+      SummaryRewrite.register(s"$dir/base", spec(s"$dir/sum_tag1"))
+      // the corpus "changes" (same bytes here — the point is the spec
+      // eviction): a NEW content tag registers a NEW summary path with
+      // the SAME key set — the stale spec must not stay first in
+      // candidate order and keep serving old bytes
+      rollupTo(s"$dir/sum_tag2")
+      SummaryRewrite.register(s"$dir/base", spec(s"$dir/sum_tag2"))
+      val df = spark.read.parquet(s"$dir/base")
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val locs = scans(df)
+      assert(locs.exists(_.contains("sum_tag2")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("sum_tag1")), locs.mkString("\n"))
+    } finally SummaryRewrite.clear()
+  }
+
+  test("a non-file V1 relation never matches nor crashes the rule") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    SummaryTables.ensure(spark, sfDir) // at least one spec registered
+    try {
+      // a V1 BaseRelation that is NOT a HadoopFsRelation (the JDBC
+      // shape) — rootKey is None; the rule must skip it, not NPE the
+      // optimizer through a null map key
+      val rel = new org.apache.spark.sql.sources.BaseRelation {
+        override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+        override def schema: org.apache.spark.sql.types.StructType =
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("x",
+              org.apache.spark.sql.types.LongType)))
+      }
+      val lr = LogicalRelation(rel, isStreaming = false)
+      val agg = Aggregate(Nil, Seq(Alias(AggregateExpression(
+        Count(Seq(Literal(1))), Complete, isDistinct = false), "n")()), lr)
+      assert(SummaryRewrite.apply(agg) eq agg)
+    } finally SummaryRewrite.clear()
+  }
+
   test("register() fails fast on a mis-registered spec (no optimizer-time crash)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mv_reg").toString
