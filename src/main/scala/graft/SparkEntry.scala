@@ -130,7 +130,8 @@ object SparkEntry {
     // r17: the TVF parity tail — heavy hitters and the bloom semi-join
     // reach SQL, closing full TVF coverage of the bespoke operators
     "q_heavy_hitters_sql", "q_bloom_sql",
-    // r17: HAVING composed over the MV rewrite, and the end-to-end IVM
-    // freshness gate (all partials through maintain(), base oracle)
-    "q_mv_rewrite_having", "q_mv_ivm")
+    // r17: HAVING composed over the MV rewrite, the end-to-end IVM
+    // freshness gate (all partials through maintain(), base oracle),
+    // and the multi-hop star rewrite (fact deep in a left-deep chain)
+    "q_mv_rewrite_having", "q_mv_ivm", "q_mv_rewrite_star2")
 }

@@ -197,6 +197,12 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     */
   private case class DimJoin(dim: LogicalPlan, cond: Option[Expression])
 
+  /** Join-tree recursion bound: star schemas rarely exceed a handful of
+    * dims, and each level doubles the candidate count in the worst
+    * (both-sides-strippable) case.
+    */
+  private val MaxJoinDepth = 8
+
   /** The relation under any interleaving of pure-attribute Projects
     * (column pruning) and Filters, the latter collected as conjuncts —
     * whether each conjunct is key-only is judged per candidate spec.
@@ -219,34 +225,43 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case other => other
   }
 
-  /** Candidate (base relation, below-relation filters, join) matches for
-    * an aggregate child. For a join BOTH sides are offered as the fact
-    * candidate — registration decides which (if either) rewrites.
-    * Filters above an inner join need no case of their own: this rule
-    * runs in the operator-optimization fixed point, where
-    * PushDownPredicates has already pushed them below the join.
+  /** Candidate (base relation, below-relation filters, join chain)
+    * matches for an aggregate child. The fact may sit ARBITRARILY DEEP
+    * in a left-deep (or right-deep) tree of inner joins — the TPC-H
+    * Q5 family's fact ⋈ dim ⋈ dim ⋈ ... shape — because the pushdown
+    * identity composes per join: as long as every condition touches the
+    * fact only through summary keys (judged per candidate in
+    * [[rewrite]]), grouped fact rows share one outcome through the
+    * WHOLE chain. Each level offers both sides as the fact candidate —
+    * registration decides which (if either) rewrites; the recursion is
+    * depth-bounded. The dim chain is replayed innermost-first around
+    * the summary at rebuild. Filters above an inner join need no case
+    * of their own: this rule runs in the operator-optimization fixed
+    * point, where PushDownPredicates has already pushed them below.
     */
-  private def candidates(child: LogicalPlan)
-      : Seq[(LogicalRelation, Seq[Expression], Option[DimJoin])] =
+  private def candidates(child: LogicalPlan, depth: Int = 0)
+      : Seq[(LogicalRelation, Seq[Expression], List[DimJoin])] =
     stripToRel(child) match {
-      case Some((rel, fs)) => Seq((rel, fs, None))
-      case None =>
+      case Some((rel, fs)) => Seq((rel, fs, Nil))
+      case None if depth < MaxJoinDepth =>
         stripProjects(child) match {
           case Join(l, r, Inner, cond, _) =>
-            stripToRel(l).map { case (rel, fs) =>
-              (rel, fs, Some(DimJoin(r, cond))) }.toSeq ++
-              stripToRel(r).map { case (rel, fs) =>
-                (rel, fs, Some(DimJoin(l, cond))) }.toSeq
+            candidates(l, depth + 1).map { case (rel, fs, joins) =>
+              (rel, fs, joins :+ DimJoin(r, cond)) } ++
+              candidates(r, depth + 1).map { case (rel, fs, joins) =>
+                (rel, fs, joins :+ DimJoin(l, cond)) }
           case _ => Nil
         }
+      case None => Nil
     }
 
   private def rewrite(
       agg: Aggregate, spec: SummarySpec, rel: LogicalRelation,
-      baseFilters: Seq[Expression], dimJoin: Option[DimJoin]): Option[Aggregate] = {
+      baseFilters: Seq[Expression], dimJoins: List[DimJoin]): Option[Aggregate] = {
     val keySet = spec.keySetLc
     val baseOut = rel.outputSet
-    val dimOut = dimJoin.map(d => d.dim.outputSet).getOrElse(AttributeSet.empty)
+    val dimOut = dimJoins.map(_.dim.outputSet)
+      .foldLeft(AttributeSet.empty)(_ ++ _)
 
     val fresh = spec.relation match {
       case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
@@ -279,10 +294,13 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if (!f.references.subsetOf(baseOut)) return None
       remap(f).getOrElse(return None)
     }
-    val newJoinCond: Option[Expression] = dimJoin.flatMap(_.cond) match {
+    // every condition along the chain must pass the fact-key-only remap
+    // (dim-dim conjuncts like c_nationkey = n_nationkey remap to
+    // themselves — no fact refs)
+    val newJoinConds: List[Option[Expression]] = dimJoins.map(_.cond match {
       case Some(c) => Some(remap(c).getOrElse(return None))
       case None => None
-    }
+    })
 
     val newGrouping: Seq[Expression] = agg.groupingExpressions.map {
       case a: AttributeReference if baseOut.contains(a) =>
@@ -364,13 +382,14 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val filtered: LogicalPlan =
       if (newFilters.isEmpty) fresh
       else Filter(newFilters.reduce(And), fresh)
-    val newChild: LogicalPlan = dimJoin match {
-      case None => filtered
-      case Some(DimJoin(dim, _)) =>
-        // the summary side is tiny by construction; AQE/stats broadcast
-        // it without a hint
-        Join(filtered, dim, Inner, newJoinCond, JoinHint.NONE)
-    }
+    // replay the dim chain innermost-first around the summary — the
+    // summary side is tiny by construction; AQE/stats broadcast it
+    // without a hint
+    val newChild: LogicalPlan =
+      dimJoins.zip(newJoinConds).foldLeft(filtered) {
+        case (acc, (DimJoin(dim, _), cond)) =>
+          Join(acc, dim, Inner, cond, JoinHint.NONE)
+      }
     Some(Aggregate(newGrouping, newAggExprs, newChild))
   }
 }

@@ -1496,6 +1496,28 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // MULTI-HOP star MV (the TPC-H Q5 family shape): the fact sits at
+    // the bottom of a LEFT-DEEP join chain — orders ⋈ customer ⋈
+    // nation — and the whole chain re-plans around the custkey summary,
+    // because every join condition touches the fact only through the
+    // summary key and the customer-nation conjunct is dim-dim (remaps
+    // to itself). Grouping by a SECOND-hop dim column proves the chain
+    // composes. At 100 TB the fact never enters either join.
+    "q_mv_rewrite_star2" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensureCust(s, dir)
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("o_totalprice")).as("min_price"),
+          avg(col("o_orderkey")).as("avg_okey"))
+        .orderBy("n_name")
+    },
+
     // The SAME star rewrite through the spark.sql entry path — SHARES
     // q_mv_rewrite_join's base-tables oracle.
     "q_mv_rewrite_join_sql" -> { (s, dir) =>
@@ -3611,6 +3633,15 @@ object RelationalQueries {
          GROUP BY 1 ORDER BY o_orderpriority""",
     "q_mv_rewrite_join" -> mvRewriteJoinOracle,
     "q_mv_rewrite_join_sql" -> mvRewriteJoinOracle, // SQL path, same truth
+    "q_mv_rewrite_star2" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           min(o_totalprice) AS min_price,
+           CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_okey
+         FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY n_name""",
     "q_mv_rewrite_having" ->
       """SELECT o_orderpriority, o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,

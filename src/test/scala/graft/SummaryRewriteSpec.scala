@@ -374,6 +374,43 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally SummaryRewrite.clear()
   }
 
+  test("multi-hop star: the fact deep in a left-deep chain rewrites through both joins") {
+    SummaryRewrite.clear()
+    def q() = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("ks"),
+        avg(col("o_orderkey")).as("a"))
+      .orderBy("n_name")
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val base = rows(q())
+    SummaryTables.ensureCust(spark, sfDir)
+    try {
+      val df = q()
+      val locs = scans(df)
+      assert(locs.exists(_.contains("graft_summary_cust")), locs.mkString("\n"))
+      assert(locs.exists(_.contains("customer.parquet")), locs.mkString("\n"))
+      assert(locs.exists(_.contains("nation.parquet")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+      assert(rows(df) == base)
+      // a second-hop condition touching the FACT through a non-key
+      // aborts the whole chain
+      val bad = Tables(spark, sfDir, "orders")
+        .join(Tables(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables(spark, sfDir, "nation"),
+          col("n_nationkey") === col("o_orderkey") % 25)
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      val badLocs = scans(bad)
+      assert(badLocs.exists(_.contains("orders.parquet")), badLocs.mkString("\n"))
+      assert(!badLocs.exists(_.contains("graft_summary")), badLocs.mkString("\n"))
+    } finally SummaryRewrite.clear()
+  }
+
   test("non-equi join ON the key also rewrites (fact-key-only predicate is the sound guard)") {
     SummaryRewrite.clear()
     // every fact row of a custkey group shares the <' outcome, so the
