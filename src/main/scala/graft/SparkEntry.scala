@@ -133,5 +133,8 @@ object SparkEntry {
     // r17: HAVING composed over the MV rewrite, the end-to-end IVM
     // freshness gate (all partials through maintain(), base oracle),
     // and the multi-hop star rewrite (fact deep in a left-deep chain)
-    "q_mv_rewrite_having", "q_mv_ivm", "q_mv_rewrite_star2")
+    "q_mv_rewrite_having", "q_mv_ivm", "q_mv_rewrite_star2",
+    // r17: sum-of-expression partials (the exact-cents revenue idiom
+    // answered from the summary)
+    "q_mv_rewrite_expr")
 }

@@ -31,9 +31,16 @@ object SummaryTables {
     * so a process inheriting an older on-disk summary rebuilds instead
     * of failing register()'s schema validation.
     */
+  /** The exact-cents expression (this engine's decimal-exact idiom) —
+    * ONE definition shared by the summary build, the registration text,
+    * and the consuming queries, so the name-canonical expression match
+    * can never drift from the stored partial.
+    */
+  val CentsExprSql = "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)"
+
   def ensure(s: SparkSession, dir: String): String = synchronized {
     val tag = tagFor(dir)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_summary/v2_$tag"
+    val root = s"${sys.props("java.io.tmpdir")}/graft_summary/v3_$tag"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$root/_SUCCESS")))
       Tables(s, dir, "orders")
@@ -42,7 +49,8 @@ object SummaryTables {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"),
           sum(col("o_orderkey")).as("sum_okey"),
-          count(col("o_orderkey")).as("cnt_okey"))
+          count(col("o_orderkey")).as("cnt_okey"),
+          sum(expr(CentsExprSql)).as("sum_cents"))
         .coalesce(1).write.mode("overwrite").parquet(root)
     // registration is idempotent (replace) and tag-keyed with the
     // summary itself: same call both builds and (re)binds
@@ -53,7 +61,8 @@ object SummaryTables {
       minCols = Map("o_totalprice" -> "min_price"),
       maxCols = Map("o_totalprice" -> "max_price"),
       sumCols = Map("o_orderkey" -> "sum_okey"),
-      cntCols = Map("o_orderkey" -> "cnt_okey")))
+      cntCols = Map("o_orderkey" -> "cnt_okey"),
+      sumExprs = Map(CentsExprSql -> "sum_cents")))
     root
   }
 

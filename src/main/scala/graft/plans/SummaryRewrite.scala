@@ -78,14 +78,22 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** keys: summary grouping columns; countCol: stored count(*) partial;
     * minCols/maxCols/sumCols/cntCols: base column name → stored partial
     * column (cntCols are per-column NON-NULL counts, the count(x) and
-    * avg denominators).
+    * avg denominators). sumExprs: SQL expression TEXT over base columns
+    * → stored sum-of-expression partial (e.g. the exact-cents idiom
+    * `CAST(CAST(p AS DECIMAL(18,4)) * 100 AS BIGINT)`): the expression
+    * is resolved and optimizer-normalized against the base at
+    * registration, then matched against query-side sum children by a
+    * name-canonical tree compare — sound for ANY deterministic
+    * expression (it aggregates per row, so non-key references are
+    * fine), with the same integral exactness gate as plain sums.
     */
   case class SummarySpec(
       summaryPath: String, keys: Seq[String], countCol: String,
       minCols: Map[String, String] = Map.empty,
       maxCols: Map[String, String] = Map.empty,
       sumCols: Map[String, String] = Map.empty,
-      cntCols: Map[String, String] = Map.empty) {
+      cntCols: Map[String, String] = Map.empty,
+      sumExprs: Map[String, String] = Map.empty) {
     // resolved once at registration: the summary's analyzed relation
     // (file listing paid once, not per optimizer pass)
     private[SummaryRewrite] lazy val relation: LogicalPlan =
@@ -107,9 +115,33 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
       cntCols.map { case (k, v) => k.toLowerCase -> v }
   }
 
+  /** A registered spec plus its resolution-time artifacts: sumExprs
+    * resolved and optimizer-normalized against the BASE relation, in
+    * name-canonical form ([[nameCanon]]) ready for tree compare.
+    */
+  private case class Registered(
+      spec: SummarySpec, exprCanon: Seq[(Expression, String)])
+
   // base-relation identity = the relation's qualified root paths; a base
   // table may carry several summaries (tried in registration order)
-  private val specs = new ConcurrentHashMap[String, List[SummarySpec]]()
+  private val specs = new ConcurrentHashMap[String, List[Registered]]()
+
+  /** Name-canonical form for cross-plan expression compare: attribute
+    * references collapse to their lowercase NAME (exprIds differ
+    * between the registration-time resolution and any later query) and
+    * casts drop the session-zone id the analyzer stamps on them. Both
+    * sides being analyzer-resolved and optimizer-folded makes the
+    * remaining tree a faithful identity.
+    */
+  private def nameCanon(e: Expression): Expression =
+    e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(a.name.toLowerCase))
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.timeZoneId.isDefined =>
+        c.copy(timeZoneId = None)
+    }
 
   private def rootKey(rel: LogicalRelation): Option[String] =
     rel.relation match {
@@ -149,7 +181,8 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val summaryCols = spec.relation.output.map(_.name.toLowerCase).toSet
     val missingSummary =
       (spec.keys ++ Seq(spec.countCol) ++ spec.minCols.values ++
-        spec.maxCols.values ++ spec.sumCols.values ++ spec.cntCols.values)
+        spec.maxCols.values ++ spec.sumCols.values ++
+        spec.cntCols.values ++ spec.sumExprs.values)
         .filterNot(n => summaryCols(n.toLowerCase))
     require(missingSummary.isEmpty,
       s"SummaryRewrite.register(${spec.summaryPath}): column(s) " +
@@ -162,6 +195,28 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
         s"SummaryRewrite.register(${spec.summaryPath}): key '$k' is " +
           s"${s.dataType} in the summary but ${b.dataType} in the base")
     }
+    // sum-expression partials: resolve + optimizer-normalize each SQL
+    // text against the base NOW (fail fast on typos), store the
+    // name-canonical tree for query-side compare
+    val exprCanon: Seq[(Expression, String)] =
+      spec.sumExprs.toSeq.map { case (sql, partial) =>
+        val resolved = try {
+          SparkSession.active.read.parquet(srcPath)
+            .selectExpr(s"($sql) AS __graft_mv_e")
+            .queryExecution.optimizedPlan
+            .collectFirst { case p: Project => p.projectList.head }
+            .map { case a: Alias => a.child; case e => e }
+            .getOrElse(throw new IllegalStateException("no Project"))
+        } catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"SummaryRewrite.register($srcPath): sum expression '$sql' " +
+              s"does not resolve against the base schema: ${e.getMessage}")
+        }
+        require(resolved.deterministic,
+          s"SummaryRewrite.register($srcPath): sum expression '$sql' is " +
+            "non-deterministic — its per-group partial is not a constant")
+        (nameCanon(resolved), partial)
+      }
     // replacement policy: a new spec evicts prior specs with the SAME
     // key set (case-insensitive) as well as the same summaryPath — the
     // content-tag fixtures mint a NEW summaryPath per corpus tag, and
@@ -170,8 +225,8 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // (priority, status) and custkey summaries) accumulate.
     specs.compute(key, (_, old) =>
       Option(old).getOrElse(Nil)
-        .filterNot(s => s.summaryPath == spec.summaryPath ||
-          s.keySetLc == spec.keySetLc) :+ spec)
+        .filterNot(r => r.spec.summaryPath == spec.summaryPath ||
+          r.spec.keySetLc == spec.keySetLc) :+ Registered(spec, exprCanon))
   }
 
   /** Drop every registration (test isolation). */
@@ -186,7 +241,7 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // they can never be registered, so they never match (and must
           // not NPE the optimizer via a null map key)
           rootKey(rel).flatMap(k => Option(specs.get(k))).getOrElse(Nil).view
-            .flatMap(spec => rewrite(agg, spec, rel, filters, dim))
+            .flatMap(reg => rewrite(agg, reg, rel, filters, dim))
         }.headOption.getOrElse(agg)
     }
   }
@@ -256,8 +311,9 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   private def rewrite(
-      agg: Aggregate, spec: SummarySpec, rel: LogicalRelation,
+      agg: Aggregate, reg: Registered, rel: LogicalRelation,
       baseFilters: Seq[Expression], dimJoins: List[DimJoin]): Option[Aggregate] = {
+    val spec = reg.spec
     val keySet = spec.keySetLc
     val baseOut = rel.outputSet
     val dimOut = dimJoins.map(_.dim.outputSet)
@@ -353,6 +409,20 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // (integral sums); double re-sums change fp addition order,
             // decimal re-sums widen precision — both abort
             spec.sumLc.get(a.name.toLowerCase).flatMap(summaryAttr)
+              .map(c => agged(Sum(c)))
+              .filter(_.dataType == s.dataType)
+          case s @ Sum(e, _)
+              if reg.exprCanon.nonEmpty && e.deterministic &&
+                e.references.nonEmpty && e.references.subsetOf(baseOut) =>
+            // sum of a registered EXPRESSION partial (the exact-cents
+            // idiom): match by name-canonical tree compare — both sides
+            // are analyzer-resolved and optimizer-folded, so the trees
+            // are directly comparable. Non-key references are fine (the
+            // expression aggregates per row, it is never grouped on).
+            // Same integral exactness gate as plain sums.
+            val canon = nameCanon(e)
+            reg.exprCanon.collectFirst { case (ce, p) if ce == canon => p }
+              .flatMap(summaryAttr)
               .map(c => agged(Sum(c)))
               .filter(_.dataType == s.dataType)
           case Average(a: AttributeReference, _) if baseOut.contains(a) =>

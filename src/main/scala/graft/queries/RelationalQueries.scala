@@ -1496,6 +1496,23 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // Sum-of-EXPRESSION through the MV (SummarySpec.sumExprs): the
+    // exact-cents revenue idiom — sum(CAST(CAST(price AS DEC)*100 AS
+    // BIGINT)) — matches the registered expression by name-canonical
+    // tree compare and answers from the stored per-group cents partial.
+    // The dashboard money-rollup no longer pays the fact scan, and the
+    // integral partial keeps it EXACT (the oracle recomputes the same
+    // integer arithmetic from the base).
+    "q_mv_rewrite_expr" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensure(s, dir)
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr(graft.operators.SummaryTables.CentsExprSql))
+            .as("total_cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // MULTI-HOP star MV (the TPC-H Q5 family shape): the fact sits at
     // the bottom of a LEFT-DEEP join chain — orders ⋈ customer ⋈
     // nation — and the whole chain re-plans around the custkey summary,
@@ -3633,6 +3650,11 @@ object RelationalQueries {
          GROUP BY 1 ORDER BY o_orderpriority""",
     "q_mv_rewrite_join" -> mvRewriteJoinOracle,
     "q_mv_rewrite_join_sql" -> mvRewriteJoinOracle, // SQL path, same truth
+    "q_mv_rewrite_expr" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+             AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
     "q_mv_rewrite_star2" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,

@@ -374,6 +374,32 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally SummaryRewrite.clear()
   }
 
+  test("sum-of-expression partials: the cents idiom rewrites; unregistered expressions abort") {
+    SummaryRewrite.clear()
+    val cents = expr(SummaryTables.CentsExprSql)
+    def q() = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(cents).as("tc"), count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = rows(q())
+    SummaryTables.ensure(spark, sfDir)
+    try {
+      val df = q()
+      val locs = scans(df)
+      assert(locs.exists(_.contains("graft_summary")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+      assert(rows(df) == base)
+      // an expression NOT registered as a partial aborts to the base
+      val other = Tables(spark, sfDir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("o_orderkey") * 2).as("x"))
+      assert(scans(other).exists(_.contains("orders.parquet")))
+      assert(!scans(other).exists(_.contains("graft_summary")))
+    } finally SummaryRewrite.clear()
+  }
+
   test("multi-hop star: the fact deep in a left-deep chain rewrites through both joins") {
     SummaryRewrite.clear()
     def q() = Tables(spark, sfDir, "orders")
