@@ -135,6 +135,6 @@ object SparkEntry {
     // and the multi-hop star rewrite (fact deep in a left-deep chain)
     "q_mv_rewrite_having", "q_mv_ivm", "q_mv_rewrite_star2",
     // r17: sum-of-expression partials (the exact-cents revenue idiom
-    // answered from the summary)
-    "q_mv_rewrite_expr")
+    // answered from the summary) and ROLLUP re-expanded over the summary
+    "q_mv_rewrite_expr", "q_mv_rewrite_rollup")
 }

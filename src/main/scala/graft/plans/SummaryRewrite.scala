@@ -236,13 +236,14 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (specs.isEmpty) return plan
     plan.transform {
       case agg: Aggregate =>
-        candidates(agg.child).view.flatMap { case (rel, filters, dim) =>
-          // rootKey is None for non-file V1 relations (JDBC etc.) —
-          // they can never be registered, so they never match (and must
-          // not NPE the optimizer via a null map key)
-          rootKey(rel).flatMap(k => Option(specs.get(k))).getOrElse(Nil).view
-            .flatMap(reg => rewrite(agg, reg, rel, filters, dim))
-        }.headOption.getOrElse(agg)
+        rewriteExpand(agg).orElse(
+          candidates(agg.child).view.flatMap { case (rel, filters, dim) =>
+            // rootKey is None for non-file V1 relations (JDBC etc.) —
+            // they can never be registered, so they never match (and must
+            // not NPE the optimizer via a null map key)
+            rootKey(rel).flatMap(k => Option(specs.get(k))).getOrElse(Nil).view
+              .flatMap(reg => rewrite(agg, reg, rel, filters, dim))
+          }.headOption).getOrElse(agg)
     }
   }
 
@@ -310,6 +311,197 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case None => Nil
     }
 
+  /** Derive one aggregate function from the stored partials — shared by
+    * the flat/filter/join rewrite and the grouping-sets (Expand)
+    * rewrite. None = not derivable (the caller aborts to the base).
+    */
+  private def deriveAgg(
+      fn: AggregateFunction, reg: Registered, baseOut: AttributeSet,
+      summaryAttr: String => Option[Attribute]): Option[Expression] = {
+    val spec = reg.spec
+    def agged(f: AggregateFunction): Expression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    fn match {
+          case Count(Seq(Literal(v, _))) if v != null =>
+            // count(*) == sum of stored counts; coalesce keeps count's
+            // never-null contract (sum is nullable by type). The
+            // v != null guard keeps count(NULL) ≡ 0 sound BY ITSELF,
+            // not by NullPropagation's batch position.
+            summaryAttr(spec.countCol).map(c =>
+              Coalesce(Seq(agged(Sum(c)), Literal(0L))))
+          case Count(Seq(a: AttributeReference)) if baseOut.contains(a) =>
+            // count(x) == sum of stored per-column non-null counts
+            spec.cntLc.get(a.name.toLowerCase).flatMap(summaryAttr).map(c =>
+              Coalesce(Seq(agged(Sum(c)), Literal(0L))))
+          case Min(a: AttributeReference) if baseOut.contains(a) =>
+            spec.minLc.get(a.name.toLowerCase).flatMap(summaryAttr)
+              .map(c => agged(Min(c)))
+          case Max(a: AttributeReference) if baseOut.contains(a) =>
+            spec.maxLc.get(a.name.toLowerCase).flatMap(summaryAttr)
+              .map(c => agged(Max(c)))
+          case s @ Sum(a: AttributeReference, _) if baseOut.contains(a) =>
+            // exact only when re-summing the partial keeps the type
+            // (integral sums); double re-sums change fp addition order,
+            // decimal re-sums widen precision — both abort
+            spec.sumLc.get(a.name.toLowerCase).flatMap(summaryAttr)
+              .map(c => agged(Sum(c)))
+              .filter(_.dataType == s.dataType)
+          case s @ Sum(e, _)
+              if reg.exprCanon.nonEmpty && e.deterministic &&
+                e.references.nonEmpty && e.references.subsetOf(baseOut) =>
+            // sum of a registered EXPRESSION partial (the exact-cents
+            // idiom): match by name-canonical tree compare — both sides
+            // are analyzer-resolved and optimizer-folded, so the trees
+            // are directly comparable. Non-key references are fine (the
+            // expression aggregates per row, it is never grouped on).
+            // Same integral exactness gate as plain sums.
+            val canon = nameCanon(e)
+            reg.exprCanon.collectFirst { case (ce, p) if ce == canon => p }
+              .flatMap(summaryAttr)
+              .map(c => agged(Sum(c)))
+              .filter(_.dataType == s.dataType)
+          case Average(a: AttributeReference, _) if baseOut.contains(a) =>
+            // avg(x) = integral-sum partial / non-null-count partial:
+            // both sums re-aggregate exactly over longs, then ONE
+            // correctly-rounded double division — bit-equal to
+            // CAST(exact_sum AS DOUBLE)/n. All-null groups stay NULL
+            // (the sum partial is NULL, and NULL/x is NULL); Divide's
+            // non-ANSI zero guard can never fire with a non-null
+            // numerator. Non-integral partials abort.
+            for {
+              sp <- spec.sumLc.get(a.name.toLowerCase).flatMap(summaryAttr)
+                if sp.dataType == LongType
+              cp <- spec.cntLc.get(a.name.toLowerCase).flatMap(summaryAttr)
+            } yield Divide(Cast(agged(Sum(sp)), DoubleType),
+              Cast(agged(Sum(cp)), DoubleType))
+          case _ => None
+    }
+  }
+
+  /** The grouping-sets shape: `Aggregate(Expand([Project|Filter]* base))`
+    * — ROLLUP / CUBE / GROUPING SETS. Expand's output positions classify
+    * as STATIC (all-literal: spark_grouping_id), GROUPING (one base
+    * attribute null-substituted per set — must be a summary KEY), or
+    * PASSTHROUGH (the same base attribute in every set: the aggregate
+    * inputs). The rewrite replays the IDENTICAL null/gid pattern over
+    * the summary relation with passthrough positions replaced by the
+    * summary's partial columns: the expansion then duplicates summary
+    * groups exactly as it duplicated base rows (one copy per grouping
+    * set, same null-keys and gid), so per-set re-aggregation of the
+    * partials reproduces every derivable aggregate — the flat-shape
+    * argument applied per set. Grouping/static output attributes keep
+    * their exprIds, so the Aggregate above is reused untouched. At
+    * 100 TB a ROLLUP dashboard re-expands |keys| summary rows instead
+    * of the corpus, once per grouping set.
+    */
+  private def rewriteExpand(agg: Aggregate): Option[Aggregate] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    val (ex, rel, baseFilters) = agg.child match {
+      case e: Expand => stripToRel(e.child) match {
+        case Some((r, fs)) => (e, r, fs)
+        case None => return None
+      }
+      case _ => return None
+    }
+    val regs = rootKey(rel).flatMap(k => Option(specs.get(k))).getOrElse(Nil)
+    if (regs.isEmpty) return None
+    val baseOut = rel.outputSet
+    val nPos = ex.output.size
+    if (ex.projections.isEmpty || ex.projections.exists(_.size != nPos))
+      return None
+
+    // classify every expand-output position from its per-set entries
+    sealed trait Pos
+    case object Static extends Pos
+    case class GroupingPos(a: AttributeReference) extends Pos
+    case class PassPos(a: AttributeReference) extends Pos
+    val classified: Seq[Pos] = (0 until nPos).map { p =>
+      val entries = ex.projections.map(_(p))
+      val attrs = entries.collect { case a: AttributeReference => a }.distinct
+      if (attrs.isEmpty && entries.forall(_.isInstanceOf[Literal])) Static
+      else if (attrs.size == 1 && baseOut.contains(attrs.head) &&
+          entries.forall {
+            case a: AttributeReference => a == attrs.head
+            case l: Literal => l.value == null // the null-substitution
+            case _ => false
+          }) {
+        if (entries.forall(_ == attrs.head)) PassPos(attrs.head)
+        else GroupingPos(attrs.head)
+      } else return None // an expression entry — not the grouping-sets pattern
+    }
+    val keptIdx = classified.zipWithIndex.collect {
+      case (Static, i) => i
+      case (_: GroupingPos, i) => i
+    }
+    val preserved = AttributeSet(keptIdx.map(ex.output))
+    // the Aggregate must consume ONLY preserved attrs outside its
+    // aggregate functions (a grouping-sets query never groups on an
+    // un-null-substituted passthrough — if it does, abort)
+    if (!agg.groupingExpressions.forall(_.references.subsetOf(preserved)))
+      return None
+
+    def tryOne(reg: Registered): Option[Aggregate] = {
+      val spec = reg.spec
+      val groupingAttrs = classified.collect { case GroupingPos(a) => a }
+      if (groupingAttrs.exists(a => !spec.keySetLc(a.name.toLowerCase)))
+        return None
+      val fresh = spec.relation match {
+        case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+        case p => p
+      }
+      val byName: Map[String, Attribute] =
+        fresh.output.map(a => a.name.toLowerCase -> a).toMap
+      def summaryAttr(name: String): Option[Attribute] =
+        byName.get(name.toLowerCase)
+      // below-Expand filters: key-only, deterministic, subquery-free
+      val newFilters: Seq[Expression] = baseFilters.map { f =>
+        if (!f.deterministic) return None
+        if (f.exists(_.isInstanceOf[PlanExpression[_]])) return None
+        if (!f.references.subsetOf(baseOut)) return None
+        var ok = true
+        val out = f.transform {
+          case a: AttributeReference if baseOut.contains(a) =>
+            if (spec.keySetLc(a.name.toLowerCase))
+              summaryAttr(a.name).getOrElse { ok = false; a }
+            else { ok = false; a }
+        }
+        if (!ok) return None
+        out
+      }
+      val partials = fresh.output.filterNot(a => spec.keySetLc(a.name.toLowerCase))
+      val newOutput: Seq[Attribute] = keptIdx.map(ex.output) ++ partials
+      val newProjections: Seq[Seq[Expression]] = ex.projections.map { proj =>
+        keptIdx.map { i =>
+          classified(i) match {
+            case GroupingPos(a) => proj(i) match {
+              case l: Literal => l
+              case _ => summaryAttr(a.name).getOrElse(return None)
+            }
+            case _ => proj(i) // Static: the gid literal for this set
+          }
+        } ++ partials
+      }
+      val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case a: Attribute if preserved.contains(a) => a
+        // grouping_id() resolves to an alias of the preserved gid attr
+        case al @ Alias(a: Attribute, _) if preserved.contains(a) => al
+        case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+          deriveAgg(fn, reg, baseOut, summaryAttr) match {
+            case Some(e) if e.dataType == al.child.dataType =>
+              Alias(e, name)(exprId = al.exprId)
+            case _ => return None
+          }
+        case _ => return None
+      }
+      val filtered: LogicalPlan =
+        if (newFilters.isEmpty) fresh
+        else Filter(newFilters.reduce(And), fresh)
+      Some(Aggregate(agg.groupingExpressions, newAggExprs,
+        Expand(newProjections, newOutput, filtered)))
+    }
+    regs.view.flatMap(tryOne).headOption
+  }
+
   private def rewrite(
       agg: Aggregate, reg: Registered, rel: LogicalRelation,
       baseFilters: Seq[Expression], dimJoins: List[DimJoin]): Option[Aggregate] = {
@@ -372,9 +564,6 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case a: Attribute if dimOut.contains(a) => a
     })
 
-    def agged(fn: AggregateFunction): Expression =
-      AggregateExpression(fn, Complete, isDistinct = false)
-
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       // grouping key passthrough: keep the ORIGINAL exprId so parent
       // plans' references stay valid (dim attrs already keep theirs)
@@ -386,69 +575,13 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
         }
       case a: Attribute if groupDimAttrs.contains(a) => a
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
-        val derived: Option[Expression] = fn match {
-          case Count(Seq(Literal(v, _))) if v != null =>
-            // count(*) == sum of stored counts; coalesce keeps count's
-            // never-null contract (sum is nullable by type). The
-            // v != null guard keeps count(NULL) ≡ 0 sound BY ITSELF,
-            // not by NullPropagation's batch position.
-            summaryAttr(spec.countCol).map(c =>
-              Coalesce(Seq(agged(Sum(c)), Literal(0L))))
-          case Count(Seq(a: AttributeReference)) if baseOut.contains(a) =>
-            // count(x) == sum of stored per-column non-null counts
-            spec.cntLc.get(a.name.toLowerCase).flatMap(summaryAttr).map(c =>
-              Coalesce(Seq(agged(Sum(c)), Literal(0L))))
-          case Min(a: AttributeReference) if baseOut.contains(a) =>
-            spec.minLc.get(a.name.toLowerCase).flatMap(summaryAttr)
-              .map(c => agged(Min(c)))
-          case Max(a: AttributeReference) if baseOut.contains(a) =>
-            spec.maxLc.get(a.name.toLowerCase).flatMap(summaryAttr)
-              .map(c => agged(Max(c)))
-          case s @ Sum(a: AttributeReference, _) if baseOut.contains(a) =>
-            // exact only when re-summing the partial keeps the type
-            // (integral sums); double re-sums change fp addition order,
-            // decimal re-sums widen precision — both abort
-            spec.sumLc.get(a.name.toLowerCase).flatMap(summaryAttr)
-              .map(c => agged(Sum(c)))
-              .filter(_.dataType == s.dataType)
-          case s @ Sum(e, _)
-              if reg.exprCanon.nonEmpty && e.deterministic &&
-                e.references.nonEmpty && e.references.subsetOf(baseOut) =>
-            // sum of a registered EXPRESSION partial (the exact-cents
-            // idiom): match by name-canonical tree compare — both sides
-            // are analyzer-resolved and optimizer-folded, so the trees
-            // are directly comparable. Non-key references are fine (the
-            // expression aggregates per row, it is never grouped on).
-            // Same integral exactness gate as plain sums.
-            val canon = nameCanon(e)
-            reg.exprCanon.collectFirst { case (ce, p) if ce == canon => p }
-              .flatMap(summaryAttr)
-              .map(c => agged(Sum(c)))
-              .filter(_.dataType == s.dataType)
-          case Average(a: AttributeReference, _) if baseOut.contains(a) =>
-            // avg(x) = integral-sum partial / non-null-count partial:
-            // both sums re-aggregate exactly over longs, then ONE
-            // correctly-rounded double division — bit-equal to
-            // CAST(exact_sum AS DOUBLE)/n. All-null groups stay NULL
-            // (the sum partial is NULL, and NULL/x is NULL); Divide's
-            // non-ANSI zero guard can never fire with a non-null
-            // numerator. Non-integral partials abort.
-            for {
-              sp <- spec.sumLc.get(a.name.toLowerCase).flatMap(summaryAttr)
-                if sp.dataType == LongType
-              cp <- spec.cntLc.get(a.name.toLowerCase).flatMap(summaryAttr)
-            } yield Divide(Cast(agged(Sum(sp)), DoubleType),
-              Cast(agged(Sum(cp)), DoubleType))
-          case _ => None
-        }
-        derived match {
+        deriveAgg(fn, reg, baseOut, summaryAttr) match {
           case Some(e) if e.dataType == al.child.dataType =>
             Alias(e, name)(exprId = al.exprId)
           case _ => return None
         }
       case _ => return None
     }
-
     val filtered: LogicalPlan =
       if (newFilters.isEmpty) fresh
       else Filter(newFilters.reduce(And), fresh)

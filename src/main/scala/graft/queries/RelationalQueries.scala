@@ -1496,6 +1496,25 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // ROLLUP through the MV (the Expand shape): the grouping-sets
+    // machinery — per-set null-substitution and spark_grouping_id —
+    // replays over the summary relation, so the three-level dashboard
+    // rollup (priority x status, priority, grand total) re-expands
+    // |keys| summary rows instead of the fact corpus, once per set.
+    // avg rides the sum/count partials per set. Oracle: DuckDB ROLLUP
+    // over the base table.
+    "q_mv_rewrite_rollup" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensure(s, dir)
+      Tables(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("o_totalprice")).as("min_price"),
+          avg(col("o_orderkey")).as("avg_okey"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+    },
+
     // Sum-of-EXPRESSION through the MV (SummarySpec.sumExprs): the
     // exact-cents revenue idiom — sum(CAST(CAST(price AS DEC)*100 AS
     // BIGINT)) — matches the registered expression by name-canonical
@@ -3650,6 +3669,15 @@ object RelationalQueries {
          GROUP BY 1 ORDER BY o_orderpriority""",
     "q_mv_rewrite_join" -> mvRewriteJoinOracle,
     "q_mv_rewrite_join_sql" -> mvRewriteJoinOracle, // SQL path, same truth
+    "q_mv_rewrite_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           min(o_totalprice) AS min_price,
+           CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_okey,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+         FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+         ORDER BY gid, o_orderpriority, o_orderstatus""",
     "q_mv_rewrite_expr" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100

@@ -374,6 +374,39 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally SummaryRewrite.clear()
   }
 
+  test("ROLLUP/CUBE re-expand the summary; non-key grouping-sets abort") {
+    SummaryRewrite.clear()
+    def q() = Tables(spark, sfDir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("ks"),
+        min(col("o_totalprice")).as("mn"), avg(col("o_orderkey")).as("a"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+    val base = rows(q())
+    SummaryTables.ensure(spark, sfDir)
+    try {
+      val df = q()
+      val locs = scans(df)
+      assert(locs.exists(_.contains("graft_summary")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+      assert(rows(df) == base)
+      // CUBE goes through the same Expand machinery
+      val cube = Tables(spark, sfDir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      assert(scans(cube).exists(_.contains("graft_summary")))
+      // rolling up a NON-key column aborts to the base scan
+      val bad = Tables(spark, sfDir, "orders")
+        .rollup(col("o_orderpriority"), col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(scans(bad).exists(_.contains("orders.parquet")))
+      assert(!scans(bad).exists(_.contains("graft_summary")))
+    } finally SummaryRewrite.clear()
+  }
+
   test("sum-of-expression partials: the cents idiom rewrites; unregistered expressions abort") {
     SummaryRewrite.clear()
     val cents = expr(SummaryTables.CentsExprSql)
