@@ -25,12 +25,6 @@ object SummaryTables {
   private def tagFor(dir: String): String =
     graft.ops.ContentTag.of(dir, Seq("orders"))
 
-  /** Idempotently build + register the orders summary for `dir`'s
-    * current contents; returns the summary path. The path carries a
-    * schema version ("v2": + cnt_okey, the avg/count(x) denominator)
-    * so a process inheriting an older on-disk summary rebuilds instead
-    * of failing register()'s schema validation.
-    */
   /** The exact-cents expression (this engine's decimal-exact idiom) —
     * ONE definition shared by the summary build, the registration text,
     * and the consuming queries, so the name-canonical expression match
@@ -38,6 +32,13 @@ object SummaryTables {
     */
   val CentsExprSql = "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)"
 
+  /** Idempotently build + register the orders summary for `dir`'s
+    * current contents; returns the summary path. The path carries a
+    * schema version ("v3": + cnt_okey, the avg/count(x) denominator,
+    * + sum_cents, the expression partial) so a process inheriting an
+    * older on-disk summary rebuilds instead of failing register()'s
+    * schema validation.
+    */
   def ensure(s: SparkSession, dir: String): String = synchronized {
     val tag = tagFor(dir)
     val root = s"${sys.props("java.io.tmpdir")}/graft_summary/v3_$tag"
@@ -62,7 +63,8 @@ object SummaryTables {
       maxCols = Map("o_totalprice" -> "max_price"),
       sumCols = Map("o_orderkey" -> "sum_okey"),
       cntCols = Map("o_orderkey" -> "cnt_okey"),
-      sumExprs = Map(CentsExprSql -> "sum_cents")))
+      sumExprs = Map(CentsExprSql -> "sum_cents"),
+      baseTag = tag))
     root
   }
 
@@ -94,7 +96,8 @@ object SummaryTables {
       minCols = Map("o_totalprice" -> "min_price"),
       maxCols = Map("o_totalprice" -> "max_price"),
       sumCols = Map("o_orderkey" -> "sum_okey"),
-      cntCols = Map("o_orderkey" -> "cnt_okey")))
+      cntCols = Map("o_orderkey" -> "cnt_okey"),
+      baseTag = tag))
     root
   }
 

@@ -93,7 +93,8 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
       maxCols: Map[String, String] = Map.empty,
       sumCols: Map[String, String] = Map.empty,
       cntCols: Map[String, String] = Map.empty,
-      sumExprs: Map[String, String] = Map.empty) {
+      sumExprs: Map[String, String] = Map.empty,
+      baseTag: String = "") {
     // resolved once at registration: the summary's analyzed relation
     // (file listing paid once, not per optimizer pass)
     private[SummaryRewrite] lazy val relation: LogicalPlan =
@@ -162,7 +163,11 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * as alternative candidates.
     */
   def register(srcPath: String, spec: SummarySpec): Unit = {
-    val rel = SparkSession.active.read.parquet(srcPath)
+    // ONE base read shared by identity pinning, column validation, and
+    // sumExprs resolution — register() runs on every ensure() call, so
+    // per-entry re-reads would be repeated driver latency
+    val baseDf = SparkSession.active.read.parquet(srcPath)
+    val rel = baseDf
       .queryExecution.analyzed.collectFirst { case r: LogicalRelation => r }
       .getOrElse(throw new IllegalArgumentException(
         s"SummaryRewrite.register: $srcPath is not a file relation"))
@@ -188,6 +193,21 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
       s"SummaryRewrite.register(${spec.summaryPath}): column(s) " +
         s"${missingSummary.mkString(", ")} not in the summary schema " +
         s"[${spec.relation.output.map(_.name).mkString(", ")}]")
+    // the "double re-sums abort" contract is ENFORCED here, not just at
+    // rewrite time: a double partial would pass the rewrite's
+    // dataType-equality gate (Sum(double) == double) yet change fp
+    // addition order; decimal re-sums widen precision and could never
+    // rewrite anyway — both refused with the reason
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, LongType)
+    spec.sumCols.keys.foreach { c =>
+      val dt = rel.output.find(_.name.equalsIgnoreCase(c)).get.dataType
+      require(integral(dt),
+        s"SummaryRewrite.register($srcPath): sum partial for '$c' ($dt) — " +
+          "only INTEGRAL sums re-aggregate exactly (double re-sums change " +
+          "fp addition order, decimal re-sums widen precision)")
+    }
     spec.keys.foreach { k =>
       val b = rel.output.find(_.name.equalsIgnoreCase(k)).get
       val s = spec.relation.output.find(_.name.equalsIgnoreCase(k)).get
@@ -201,8 +221,7 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val exprCanon: Seq[(Expression, String)] =
       spec.sumExprs.toSeq.map { case (sql, partial) =>
         val resolved = try {
-          SparkSession.active.read.parquet(srcPath)
-            .selectExpr(s"($sql) AS __graft_mv_e")
+          baseDf.selectExpr(s"($sql) AS __graft_mv_e")
             .queryExecution.optimizedPlan
             .collectFirst { case p: Project => p.projectList.head }
             .map { case a: Alias => a.child; case e => e }
@@ -215,6 +234,11 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
         require(resolved.deterministic,
           s"SummaryRewrite.register($srcPath): sum expression '$sql' is " +
             "non-deterministic — its per-group partial is not a constant")
+        require(integral(resolved.dataType),
+          s"SummaryRewrite.register($srcPath): sum expression '$sql' is " +
+            s"${resolved.dataType} — only INTEGRAL sums re-aggregate " +
+            "exactly (double re-sums change fp addition order, decimal " +
+            "re-sums widen precision)")
         (nameCanon(resolved), partial)
       }
     // replacement policy: a new spec evicts prior specs with the SAME
@@ -226,7 +250,13 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     specs.compute(key, (_, old) =>
       Option(old).getOrElse(Nil)
         .filterNot(r => r.spec.summaryPath == spec.summaryPath ||
-          r.spec.keySetLc == spec.keySetLc) :+ Registered(spec, exprCanon))
+          r.spec.keySetLc == spec.keySetLc ||
+          // a changed base CONTENT TAG invalidates every summary of the
+          // base, whatever its key set — otherwise a corpus rewrite
+          // followed by re-registering only ONE fixture would leave the
+          // other key sets' stale summaries serving old bytes
+          (spec.baseTag.nonEmpty && r.spec.baseTag.nonEmpty &&
+            r.spec.baseTag != spec.baseTag)) :+ Registered(spec, exprCanon))
   }
 
   /** Drop every registration (test isolation). */
@@ -311,6 +341,30 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case None => Nil
     }
 
+  /** Remap a predicate that may touch the base: every base reference
+    * must be a summary KEY (whose per-group value the summary stores
+    * verbatim); dim references pass through unchanged. Nondeterminism
+    * and subqueries abort — they are not once-per-group constants. ONE
+    * definition shared by the flat/filter/join rewrite and the
+    * grouping-sets rewrite, so the soundness guards cannot diverge.
+    */
+  private def remapKeyOnly(
+      e: Expression, baseOut: AttributeSet, dimOut: AttributeSet,
+      keySetLc: Set[String],
+      summaryAttr: String => Option[Attribute]): Option[Expression] = {
+    if (!e.deterministic) return None
+    if (e.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    if (!e.references.subsetOf(baseOut ++ dimOut)) return None
+    var ok = true
+    val out = e.transform {
+      case a: AttributeReference if baseOut.contains(a) =>
+        if (keySetLc(a.name.toLowerCase))
+          summaryAttr(a.name).getOrElse { ok = false; a }
+        else { ok = false; a }
+    }
+    if (ok) Some(out) else None
+  }
+
   /** Derive one aggregate function from the stored partials — shared by
     * the flat/filter/join rewrite and the grouping-sets (Expand)
     * rewrite. None = not derivable (the caller aborts to the base).
@@ -339,27 +393,32 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
           case Max(a: AttributeReference) if baseOut.contains(a) =>
             spec.maxLc.get(a.name.toLowerCase).flatMap(summaryAttr)
               .map(c => agged(Max(c)))
-          case s @ Sum(a: AttributeReference, _) if baseOut.contains(a) =>
-            // exact only when re-summing the partial keeps the type
-            // (integral sums); double re-sums change fp addition order,
-            // decimal re-sums widen precision — both abort
-            spec.sumLc.get(a.name.toLowerCase).flatMap(summaryAttr)
-              .map(c => agged(Sum(c)))
-              .filter(_.dataType == s.dataType)
           case s @ Sum(e, _)
-              if reg.exprCanon.nonEmpty && e.deterministic &&
-                e.references.nonEmpty && e.references.subsetOf(baseOut) =>
-            // sum of a registered EXPRESSION partial (the exact-cents
-            // idiom): match by name-canonical tree compare — both sides
-            // are analyzer-resolved and optimizer-folded, so the trees
-            // are directly comparable. Non-key references are fine (the
-            // expression aggregates per row, it is never grouped on).
-            // Same integral exactness gate as plain sums.
-            val canon = nameCanon(e)
-            reg.exprCanon.collectFirst { case (ce, p) if ce == canon => p }
-              .flatMap(summaryAttr)
-              .map(c => agged(Sum(c)))
-              .filter(_.dataType == s.dataType)
+              if e.deterministic && e.references.nonEmpty &&
+                e.references.subsetOf(baseOut) =>
+            // sum of a plain base column (sumCols) or of a registered
+            // EXPRESSION partial (sumExprs — the exact-cents idiom,
+            // matched by name-canonical tree compare: both sides are
+            // analyzer-resolved and optimizer-folded, so the trees are
+            // directly comparable; non-key references are fine because
+            // the expression aggregates per row). A bare column falls
+            // THROUGH to the expression match when sumCols has no
+            // entry. register() enforces integral partials; the
+            // dataType gate here is defense in depth (exact only when
+            // re-summing keeps the type).
+            val byColumn = e match {
+              case a: AttributeReference =>
+                spec.sumLc.get(a.name.toLowerCase).flatMap(summaryAttr)
+                  .map(c => agged(Sum(c)))
+              case _ => None
+            }
+            def byExpr = {
+              val canon = nameCanon(e)
+              reg.exprCanon.collectFirst { case (ce, p) if ce == canon => p }
+                .flatMap(summaryAttr)
+                .map(c => agged(Sum(c)))
+            }
+            byColumn.orElse(byExpr).filter(_.dataType == s.dataType)
           case Average(a: AttributeReference, _) if baseOut.contains(a) =>
             // avg(x) = integral-sum partial / non-null-count partial:
             // both sums re-aggregate exactly over longs, then ONE
@@ -455,18 +514,8 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
         byName.get(name.toLowerCase)
       // below-Expand filters: key-only, deterministic, subquery-free
       val newFilters: Seq[Expression] = baseFilters.map { f =>
-        if (!f.deterministic) return None
-        if (f.exists(_.isInstanceOf[PlanExpression[_]])) return None
-        if (!f.references.subsetOf(baseOut)) return None
-        var ok = true
-        val out = f.transform {
-          case a: AttributeReference if baseOut.contains(a) =>
-            if (spec.keySetLc(a.name.toLowerCase))
-              summaryAttr(a.name).getOrElse { ok = false; a }
-            else { ok = false; a }
-        }
-        if (!ok) return None
-        out
+        remapKeyOnly(f, baseOut, AttributeSet.empty, spec.keySetLc,
+          summaryAttr).getOrElse(return None)
       }
       val partials = fresh.output.filterNot(a => spec.keySetLc(a.name.toLowerCase))
       val newOutput: Seq[Attribute] = keptIdx.map(ex.output) ++ partials
@@ -520,23 +569,8 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     def summaryAttr(name: String): Option[Attribute] =
       byName.get(name.toLowerCase)
 
-    /** Remap a predicate that may touch the base: every base reference
-      * must be a summary KEY (whose per-group value the summary stores
-      * verbatim); dim references pass through unchanged. Nondeterminism
-      * and subqueries abort — they are not once-per-group constants.
-      */
-    def remap(e: Expression): Option[Expression] = {
-      if (!e.deterministic) return None
-      if (e.exists(_.isInstanceOf[PlanExpression[_]])) return None
-      if (!e.references.subsetOf(baseOut ++ dimOut)) return None
-      var ok = true
-      val out = e.transform {
-        case a: AttributeReference if baseOut.contains(a) =>
-          if (keySet(a.name.toLowerCase)) summaryAttr(a.name).getOrElse { ok = false; a }
-          else { ok = false; a }
-      }
-      if (ok) Some(out) else None
-    }
+    def remap(e: Expression): Option[Expression] =
+      remapKeyOnly(e, baseOut, dimOut, keySet, summaryAttr)
 
     val newFilters: Seq[Expression] = baseFilters.map { f =>
       if (!f.references.subsetOf(baseOut)) return None

@@ -546,6 +546,84 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally SummaryRewrite.clear()
   }
 
+  test("a bare column registered only as a sum EXPRESSION still rewrites (fallthrough)") {
+    import spark.implicits._
+    SummaryRewrite.clear()
+    val dir = java.nio.file.Files.createTempDirectory("mv_bare").toString
+    Seq((1L, "a", 2L), (2L, "a", 3L), (3L, "b", 5L)).toDF("k", "g", "v")
+      .write.parquet(s"$dir/base")
+    spark.read.parquet(s"$dir/base").groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .write.parquet(s"$dir/sum")
+    try {
+      // sumExprs only — no sumCols entry: sum(v) must fall through the
+      // bare-column case to the expression match, not silently abort
+      SummaryRewrite.register(s"$dir/base", SummaryRewrite.SummarySpec(
+        s"$dir/sum", Seq("g"), "cnt", sumExprs = Map("v" -> "sum_v")))
+      val df = spark.read.parquet(s"$dir/base")
+        .groupBy(col("g")).agg(sum(col("v")).as("s"))
+      val locs = scans(df)
+      assert(locs.exists(_.contains("sum")), locs.mkString("\n"))
+      assert(!locs.exists(_.endsWith("base")), locs.mkString("\n"))
+      assert(df.orderBy("g").collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("a", 5L), ("b", 5L)))
+    } finally SummaryRewrite.clear()
+  }
+
+  test("non-integral sum partials are refused at register (the abort contract, enforced)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mv_int").toString
+    Seq((1L, "a", 2.5)).toDF("k", "g", "d").write.parquet(s"$dir/base")
+    Seq(("a", 1L, 2.5)).toDF("g", "cnt", "sum_d").write.parquet(s"$dir/sum")
+    // a double sum partial would PASS the rewrite's dataType gate
+    // (Sum(double) == double) yet change fp addition order — refused
+    // at registration with the reason
+    val e1 = intercept[IllegalArgumentException] {
+      SummaryRewrite.register(s"$dir/base", SummaryRewrite.SummarySpec(
+        s"$dir/sum", Seq("g"), "cnt", sumCols = Map("d" -> "sum_d")))
+    }
+    assert(e1.getMessage.contains("INTEGRAL"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SummaryRewrite.register(s"$dir/base", SummaryRewrite.SummarySpec(
+        s"$dir/sum", Seq("g"), "cnt",
+        sumExprs = Map("d * 2.0" -> "sum_d")))
+    }
+    assert(e2.getMessage.contains("INTEGRAL"), e2.getMessage)
+    SummaryRewrite.clear()
+  }
+
+  test("a new base content tag evicts EVERY key set's summary (cross-fixture freshness)") {
+    import spark.implicits._
+    SummaryRewrite.clear()
+    val dir = java.nio.file.Files.createTempDirectory("mv_tag").toString
+    Seq((1L, "a", 2L), (2L, "b", 3L)).toDF("k", "g", "v")
+      .write.parquet(s"$dir/base")
+    def rollupTo(cols: String, path: String): Unit =
+      spark.read.parquet(s"$dir/base").groupBy(cols)
+        .agg(count(lit(1)).as("cnt")).write.parquet(path)
+    rollupTo("g", s"$dir/sum_g_t1")
+    rollupTo("k", s"$dir/sum_k_t1")
+    try {
+      def spec(p: String, key: String, tag: String) =
+        SummaryRewrite.SummarySpec(p, Seq(key), "cnt", baseTag = tag)
+      SummaryRewrite.register(s"$dir/base", spec(s"$dir/sum_g_t1", "g", "t1"))
+      SummaryRewrite.register(s"$dir/base", spec(s"$dir/sum_k_t1", "k", "t1"))
+      // the corpus "changes": tag t2 re-registers only the g-keyed
+      // fixture — the k-keyed t1 spec must NOT survive to serve stale
+      // bytes from candidate position 0
+      rollupTo("g", s"$dir/sum_g_t2")
+      SummaryRewrite.register(s"$dir/base", spec(s"$dir/sum_g_t2", "g", "t2"))
+      val gq = spark.read.parquet(s"$dir/base")
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      assert(scans(gq).exists(_.contains("sum_g_t2")))
+      val kq = spark.read.parquet(s"$dir/base")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      val kLocs = scans(kq)
+      assert(!kLocs.exists(_.contains("sum_k_t1")), kLocs.mkString("\n"))
+      assert(kLocs.exists(_.contains("base")), kLocs.mkString("\n"))
+    } finally SummaryRewrite.clear()
+  }
+
   test("register() fails fast on a mis-registered spec (no optimizer-time crash)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mv_reg").toString
