@@ -1515,6 +1515,24 @@ object RelationalQueries {
         .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
     },
 
+    // Explicit GROUPING SETS through the MV — the third grouping-sets
+    // spelling (rollup and cube are oracle-gated/spec-pinned already),
+    // with an ASYMMETRIC set pattern: status appears without priority
+    // in one set, so the Expand's null-substitution is exercised in
+    // both directions. Same machinery: the set pattern replays over
+    // the keys-sized summary.
+    "q_mv_rewrite_gsets" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensure(s, dir)
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_mvg_orders")
+      s.sql("""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+          max(o_totalprice) AS max_price, grouping_id() AS gid
+        FROM graft_mvg_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())
+        ORDER BY gid, o_orderpriority, o_orderstatus""")
+    },
+
     // Sum-of-EXPRESSION through the MV (SummarySpec.sumExprs): the
     // exact-cents revenue idiom — sum(CAST(CAST(price AS DEC)*100 AS
     // BIGINT)) — matches the registered expression by name-canonical
@@ -3669,6 +3687,15 @@ object RelationalQueries {
          GROUP BY 1 ORDER BY o_orderpriority""",
     "q_mv_rewrite_join" -> mvRewriteJoinOracle,
     "q_mv_rewrite_join_sql" -> mvRewriteJoinOracle, // SQL path, same truth
+    "q_mv_rewrite_gsets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(o_totalprice) AS max_price,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                 (o_orderstatus), ())
+         ORDER BY gid, o_orderpriority, o_orderstatus""",
     "q_mv_rewrite_rollup" ->
       """SELECT o_orderpriority, o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,

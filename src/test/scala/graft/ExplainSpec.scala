@@ -412,7 +412,8 @@ class ExplainSpec extends SparkSpec {
     "q_data_card" -> "one-row corpus summary: multi-distinct over per-doc stats",
     "q_bcubed" -> "two-distinct count over the CHECKPOINTED (c,g) contingency frame — bounded by non-empty cluster intersections, never the corpus",
     "q_jsonl_ingest" -> "two-distinct count over the per-(status, lang, source) pre-aggregate — bounded by the tag domain (the raw line stream combines map-side below it), never the corpus",
-    "q_mv_rewrite_rollup" -> "rollup() REWRITTEN onto the summary: the Expand multiplies the |priority x status|-sized summary scan (the MV rewrite's whole point), never the fact corpus")
+    "q_mv_rewrite_rollup" -> "rollup() REWRITTEN onto the summary: the Expand multiplies the |priority x status|-sized summary scan (the MV rewrite's whole point), never the fact corpus",
+    "q_mv_rewrite_gsets" -> "explicit GROUPING SETS rewritten onto the summary — same keys-sized Expand as q_mv_rewrite_rollup")
 
   /** A window frame is bounded-by-construction when a global limit sits
     * below it in the same subtree (TakeOrderedAndProject / GlobalLimit /

@@ -398,6 +398,14 @@ class SummaryRewriteSpec extends SparkSpec {
         .cube(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"))
       assert(scans(cube).exists(_.contains("graft_summary")))
+      // explicit GROUPING SETS with an asymmetric pattern too
+      Tables(spark, sfDir, "orders").createOrReplaceTempView("mv_gsets_orders")
+      val gs = spark.sql("""
+        SELECT o_orderstatus, count(*) AS n FROM mv_gsets_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())""")
+      assert(scans(gs).exists(_.contains("graft_summary")))
+      assert(!scans(gs).exists(_.contains("orders.parquet")))
       // rolling up a NON-key column aborts to the base scan
       val bad = Tables(spark, sfDir, "orders")
         .rollup(col("o_orderpriority"), col("o_custkey"))
