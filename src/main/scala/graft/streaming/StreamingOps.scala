@@ -737,14 +737,15 @@ object StreamingOps {
       feed: DataFrame, summaryPath: String, groupKeys: Seq[String],
       countCol: String, sumColsBase: Map[String, String],
       minColsBase: Map[String, String] = Map.empty,
-      maxColsBase: Map[String, String] = Map.empty)
+      maxColsBase: Map[String, String] = Map.empty,
+      cntColsBase: Map[String, String] = Map.empty)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     feed.writeStream.outputMode("append").foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty)
           graft.operators.SummaryTables.maintain(summaryPath, batch,
             groupKeys, countCol, sumColsBase, minColsBase, maxColsBase,
-            batchId = Some(id))
+            batchId = Some(id), cntColsBase = cntColsBase)
     }
 
   /** Streaming append through the DSv2 staging sink

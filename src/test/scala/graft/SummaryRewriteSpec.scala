@@ -143,9 +143,10 @@ class SummaryRewriteSpec extends SparkSpec {
       (1L, "a", Option(10L)), (2L, "a", Option.empty[Long]),
       (3L, "b", Option(5L)), (4L, "n", Option.empty[Long]))
       .toDF("id", "g", "v")
-    // delete the null row of a (cnt_v unchanged, cnt -1), update b's
-    // value null -> wait: update 3 to null (cnt_v -1), insert a real
-    // value into n (cnt_v 0 -> 1), insert a new group c
+    // delete a's null row (cnt_v unchanged, cnt -1), update b's only
+    // value to null (cnt_v -1 — and the paired-count rule restores the
+    // rebuild's NULL sum), insert a real value into n (cnt_v 0 -> 1),
+    // insert a new group c
     val base1 = Seq(
       (1L, "a", Option(10L)), (3L, "b", Option.empty[Long]),
       (4L, "n", Option.empty[Long]), (5L, "n", Option(7L)),
@@ -262,9 +263,12 @@ class SummaryRewriteSpec extends SparkSpec {
     val base1 = Seq((1L, "a", 10L), (2L, "b", 6L), (3L, "a", 2L)).toDF("id", "g", "v")
     val base2 = Seq((2L, "b", 6L), (3L, "a", 2L), (4L, "c", 4L)).toDF("id", "g", "v")
     def rollup(b: org.apache.spark.sql.DataFrame) = b.groupBy("g")
-      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
-    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"),
+        count(col("v")).as("cnt_v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("g", "cnt", "sum_v", "cnt_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
     val path = java.nio.file.Files.createTempDirectory("mv_stream").toString + "/summary"
     rollup(base0).write.parquet(path)
     def feedRows(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
@@ -274,7 +278,8 @@ class SummaryRewriteSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String, String, Long)]
     val q = graft.streaming.StreamingOps.maintainSummaryEachBatch(
       mem.toDF().toDF("id", "change_type", "g", "v"),
-      path, Seq("g"), "cnt", Map("v" -> "sum_v")).start()
+      path, Seq("g"), "cnt", Map("v" -> "sum_v"),
+      cntColsBase = Map("v" -> "cnt_v")).start()
     try {
       mem.addData(feedRows(base0, base1): _*)
       q.processAllAvailable()
