@@ -309,7 +309,50 @@ object DedupOps {
   def ngramJaccardPairsCloneCollapsed(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
-      collapseBelow: Double = 0.9): DataFrame = {
+      collapseBelow: Double = 0.9): DataFrame =
+    cloneCollapsedImpl(df, idCol, textCol, threshold, n, collapseBelow,
+      connectivity = false)
+
+  /** Connectivity-mode near-dup EDGES: a subset of
+    * [[ngramJaccardPairsCloneCollapsed]]'s pair set with exactly the
+    * same CONNECTED COMPONENTS, linear in clone-group size. Within each
+    * clone group the g·(g−1)/2 all-pairs clique is replaced by a
+    * gid→member STAR (g−1 edges, jaccard exactly 1 — members are
+    * byte-identical, so each star edge IS a genuine qualifying pair);
+    * each qualifying cross-group pair is emitted ONCE at representative
+    * level (gid_a, gid_b) instead of being expanded g_a·g_b ways — the
+    * reps are connected to every member through the stars, so component
+    * membership (and the component min, [[GraphOps.dupClusters]]'s
+    * cluster_id, since gid = min member) is unchanged.
+    *
+    * This is the 100 TB shape for CONNECTIVITY consumers (connected
+    * components, dedup-survivor selection, cluster-keyed splits): a
+    * 10⁶-member boilerplate clone group emits 10⁶−1 edges here versus
+    * ~5·10¹¹ from the all-pairs contract — the difference between a
+    * group-linear edge build and one that cannot finish (the r17
+    * verdict's last named scale-killer; DedupSpec's planted 10⁴-copy
+    * mega-group pins the gap). NOT a drop-in for pair-LIST consumers
+    * (q_dedup_curve's operating points, per-pair audits) or for
+    * edge-multiset algorithms (label propagation counts neighbor-label
+    * frequencies and is NOT clique/star invariant — see q_label_prop's
+    * collapsed-graph formulation) — those keep
+    * [[ngramJaccardPairsCloneCollapsed]] / [[ngramJaccardPairs]].
+    *
+    * Same adaptive fallback: on a mostly-unique corpus the plain pair
+    * set is returned unchanged (it is itself a valid connectivity edge
+    * set, and the clique machinery would be pure overhead).
+    */
+  def ngramJaccardConnectivityEdges(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3,
+      collapseBelow: Double = 0.9): DataFrame =
+    cloneCollapsedImpl(df, idCol, textCol, threshold, n, collapseBelow,
+      connectivity = true)
+
+  private def cloneCollapsedImpl(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int,
+      collapseBelow: Double, connectivity: Boolean): DataFrame = {
     // ADAPTIVE: the collapse machinery (members join + expansion) is
     // insurance against clone-group quadratics — on a mostly-unique
     // corpus it is pure overhead. The probe shuffles ONLY (md5, id)
@@ -343,26 +386,39 @@ object DedupOps {
     // the plain operator over one representative row per distinct text:
     // same shingles, same counts, same double arithmetic
     val gp = ngramJaccardPairs(reps, "id", "__text", threshold, n)
-    val cross = gp
-      .join(members.select(col("gid").as("id_a"), col("id").as("__da")), "id_a")
-      .join(members.select(col("gid").as("id_b"), col("id").as("__db")), "id_b")
-      .select(least(col("__da"), col("__db")).as("id_a"),
-        greatest(col("__da"), col("__db")).as("id_b"), col("jaccard"))
-    // within-group expansion: only groups with >= 2 copies AND a
-    // non-empty shingle set (>= n tokens) — zero-shingle docs never
-    // pair in the plain operator either
+    // within-group gate: only groups with >= 2 copies AND a non-empty
+    // shingle set (>= n tokens) — zero-shingle docs never pair in the
+    // plain operator either
     val withinGroups = groups.filter(col("__n") >= 2)
       .select(col("gid").as("id"))
       .join(reps.filter(size(TextOps.tokens(col("__text"))) >= n)
         .select(col("id")), Seq("id"), "left_semi")
       .select(col("id").as("gid"))
     val wm = members.join(withinGroups, Seq("gid"), "left_semi")
-    val within = wm.select(col("gid"), col("id").as("id_a"))
-      .join(wm.select(col("gid"), col("id").as("id_b")), "gid")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-      .filter(lit(1.0) >= lit(threshold))
-    cross.unionByName(within)
+    if (connectivity) {
+      // star expansion: gid -> member, g−1 edges per group — each a
+      // genuine jaccard-1 pair (gid = min member, so id_a < id_b holds)
+      val star = wm.filter(col("id") =!= col("gid"))
+        .select(col("gid").as("id_a"), col("id").as("id_b"),
+          lit(1.0).as("jaccard"))
+        .filter(lit(1.0) >= lit(threshold))
+      // cross-group pairs stay at representative level: one edge per
+      // qualifying TEXT-GROUP pair — members reach their rep via stars
+      gp.select(col("id_a"), col("id_b"), col("jaccard"))
+        .unionByName(star)
+    } else {
+      val cross = gp
+        .join(members.select(col("gid").as("id_a"), col("id").as("__da")), "id_a")
+        .join(members.select(col("gid").as("id_b"), col("id").as("__db")), "id_b")
+        .select(least(col("__da"), col("__db")).as("id_a"),
+          greatest(col("__da"), col("__db")).as("id_b"), col("jaccard"))
+      val within = wm.select(col("gid"), col("id").as("id_a"))
+        .join(wm.select(col("gid"), col("id").as("id_b")), "gid")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+        .filter(lit(1.0) >= lit(threshold))
+      cross.unionByName(within)
+    }
   }
 
   /** Prefix-filtered exact shingle-Jaccard pairs (the PPJoin family,

@@ -1338,14 +1338,17 @@ object TextQueries {
     // Near-dup PAIRS -> duplicate CLUSTERS: connected components over the
     // exact n-gram Jaccard edge list (distributed min-label propagation
     // with pointer jumping, GraphOps). cluster_id = min doc_id of the
-    // component — the canonical "keep one per cluster" key. The pair
-    // stage is the CLONE-COLLAPSED derivation (bit-equal to the plain
-    // operator, DedupSpec-pinned): on duplicate-heavy corpora the
-    // shingle self-join runs over distinct texts, which is what lets
-    // this query finish at the 100x clone corpus where the plain
-    // candidate stage exhausted the disk (PERF_NOTES r16 -> r17).
+    // component — the canonical "keep one per cluster" key. The edge
+    // stage is CONNECTIVITY MODE (DedupSpec pins cluster equality with
+    // the all-pairs contract): clone groups contribute a gid→member
+    // star (g−1 edges) instead of a g²/2 clique and cross-group pairs
+    // stay at representative level, so the edge build is LINEAR in
+    // clone-group size — a 10⁶-member boilerplate group emits 10⁶
+    // edges, not 5·10¹¹ (r17 verdict's last named 100 TB killer). The
+    // oracle recomputes components from the full clique, which CC is
+    // invariant to — a wrong star would flip the hash.
     "q_dup_clusters" -> { (s, dir) =>
-      val pairs = DedupOps.ngramJaccardPairsCloneCollapsed(
+      val pairs = DedupOps.ngramJaccardConnectivityEdges(
         Tables(s, dir, "documents"), "doc_id", "text", threshold = 0.05, n = 3)
       graft.operators.GraphOps.dupClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
@@ -1359,8 +1362,10 @@ object TextQueries {
     // predicted cluster are singletons (coalesce to self).
     "q_bcubed" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
-        threshold = 0.05, n = 3)
+      // connectivity edges: CC-equal to the all-pairs contract (see
+      // q_dup_clusters) — bcubed only consumes the cluster assignment
+      val pairs = DedupOps.ngramJaccardConnectivityEdges(docs, "doc_id",
+        "text", threshold = 0.05, n = 3)
       val pred = graft.operators.GraphOps.dupClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
       val assign = docs.select(col("doc_id"), md5(col("text")).as("h"))
@@ -1376,8 +1381,10 @@ object TextQueries {
     // cheap left-anti join against a narrow id list.
     "q_dedup_full" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
-        threshold = 0.05, n = 3)
+      // connectivity edges: loser selection reads only cluster
+      // membership (CC-invariant to the star rewrite, q_dup_clusters)
+      val pairs = DedupOps.ngramJaccardConnectivityEdges(docs, "doc_id",
+        "text", threshold = 0.05, n = 3)
       val losers = graft.operators.GraphOps.dupClusters(pairs)
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
@@ -1395,8 +1402,10 @@ object TextQueries {
     // same one-shuffle shape whatever the quality key becomes.
     "q_cluster_canonical" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
-        threshold = 0.05, n = 3)
+      // connectivity edges: canonical selection is per-cluster
+      // (CC-invariant to the star rewrite, q_dup_clusters)
+      val pairs = DedupOps.ngramJaccardConnectivityEdges(docs, "doc_id",
+        "text", threshold = 0.05, n = 3)
       val clusters = graft.operators.GraphOps.dupClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
       clusters.join(docs.select(col("doc_id"),
@@ -1421,8 +1430,10 @@ object TextQueries {
     // SAME side by construction.
     "q_leakage_safe_split" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
-        threshold = 0.05, n = 3)
+      // connectivity edges: the split key is the cluster id
+      // (CC-invariant to the star rewrite, q_dup_clusters)
+      val pairs = DedupOps.ngramJaccardConnectivityEdges(docs, "doc_id",
+        "text", threshold = 0.05, n = 3)
       val clusters = GraphOps.dupClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
       docs.select("doc_id").join(clusters, Seq("doc_id"), "left")
@@ -1998,27 +2009,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // Label-propagation communities over the same similarity graph
-    // PageRank ranks: the deterministic synchronous variant (argmax
-    // neighbor-label frequency, ties to the smallest label) — the
-    // community structure that tells a curation pipeline WHICH near-dup
-    // neighborhoods exist, where dupClusters only says THAT docs are
-    // connected. Entirely count-based integer arithmetic — no float
-    // hazard anywhere — so the 3-round unrolled oracle matches exactly.
-    // Shares q_pagerank's checkpointed edge subtree shape; each round
-    // is edge-keyed with a WindowGroupLimit-capped argmax (see
-    // GraphOps.labelPropagation for the 100 TB story).
+    // Label-propagation communities over the COLLAPSED similarity
+    // graph: one node per distinct text (gid = min doc_id of its
+    // exact-dup group, the engine's md5 standard), edges = qualifying
+    // Jaccard pairs between representatives, then every clone inherits
+    // its representative's community. The deterministic synchronous
+    // variant (argmax neighbor-label frequency, ties to the smallest
+    // label) — entirely count-based integer arithmetic, so the 3-round
+    // unrolled oracle matches exactly.
+    //
+    // Why collapsed rather than star edges (q_dup_clusters's rewrite):
+    // LPA counts neighbor-label FREQUENCIES, so it is NOT clique/star
+    // invariant — in a 3-clique {1,2,3} with an external neighbor, node
+    // 2 sees labels {1,3,ext} under the clique but {1,ext} under the
+    // star, and the argmax can differ (PERF_NOTES r18 has the worked
+    // counterexample). Communities of CONTENT are the well-defined
+    // scalable object: byte-identical clones belong to one community by
+    // construction, the propagation runs on the |distinct texts|-sized
+    // graph (no clone-group quadratic anywhere — the r17 at-scale
+    // oracle had to materialize 61M doc-level edges for the old
+    // doc-level semantics; this one propagates over the 1x group
+    // graph), and membership is one hash-keyed inheritance join.
     "q_label_prop" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      // clone-collapsed pair stage (bit-equal, see q_dup_clusters): the
-      // propagation itself stays doc-level — labels are per-doc
-      val p = DedupOps.ngramJaccardPairsCloneCollapsed(docs, "doc_id",
-          "text", threshold = 0.05, n = 3)
+      val groups = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+        .groupBy("__h").agg(min("doc_id").as("gid"))
+      val membership = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+        .join(groups, Seq("__h")).select("doc_id", "gid")
+      val reps = docs.select("doc_id", "text")
+        .join(groups.select(col("gid").as("doc_id")), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val p = DedupOps.ngramJaccardPairs(reps, "doc_id", "text",
+          threshold = 0.05, n = 3)
         .select("id_a", "id_b").localCheckpoint()
       val edges = p.unionByName(
         p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      GraphOps.labelPropagation(docs.select("doc_id"), edges, iters = 3)
-        .select(col("id").as("doc_id"), col("label").as("community"))
+      val repLabels = GraphOps.labelPropagation(
+          reps.select("doc_id"), edges, iters = 3)
+        .select(col("id").as("gid"), col("label"))
+      membership.join(repLabels, Seq("gid"))
+        .select(col("doc_id"), col("label").as("community"))
         .orderBy("doc_id")
     },
 
@@ -4498,11 +4528,15 @@ object TextQueries {
        ORDER BY id_a, id_b"""
   }
 
-  /** DuckDB twin of q_label_prop: the same similarity edges as the
-    * q_pagerank oracle, then the 3 synchronous rounds unrolled — each
-    * round the same (node, label) count + argmax (count DESC, label
-    * ASC) + left-join-coalesce the Spark loop performs. Pure integer
-    * counts throughout, so the compare is exact with no rounding.
+  /** DuckDB twin of q_label_prop: the COLLAPSED-graph formulation —
+    * one node per distinct text (gid = min doc_id, grouped by the text
+    * itself where Spark groups by md5(text): the same partition), the
+    * similarity edges computed over representative texts only, the 3
+    * synchronous rounds unrolled — each round the same (node, label)
+    * count + argmax (count DESC, label ASC) + left-join-coalesce the
+    * Spark loop performs — then every clone inherits its
+    * representative's community. Pure integer counts throughout, so the
+    * compare is exact with no rounding.
     */
   private def labelPropOracle: String = {
     val rounds = (1 to 3).map { r =>
@@ -4520,7 +4554,19 @@ object TextQueries {
            SELECT p.id, COALESCE(b.label, p.label) AS label
            FROM $prev p LEFT JOIN b$r b ON b.dst = p.id)"""
     }.mkString(",\n         ")
-    s"""WITH $ngramSharedCte,
+    s"""WITH grp AS (SELECT text, min(doc_id) AS gid FROM documents GROUP BY text),
+       reps AS (SELECT gid AS doc_id, text FROM grp),
+       sh AS (
+         SELECT doc_id AS id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+         )) AS sh
+         FROM reps WHERE len(string_split(text,' ')) >= 3),
+       sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+       shared AS (
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         GROUP BY a.id, b.id),
        jp AS (
          SELECT id_a, id_b FROM shared
            JOIN sizes sa ON sa.id = id_a
@@ -4528,9 +4574,13 @@ object TextQueries {
          WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
        edges AS (SELECT id_a AS src, id_b AS dst FROM jp
                  UNION ALL SELECT id_b, id_a FROM jp),
-       l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+       l0 AS (SELECT gid AS id, gid AS label FROM grp),
        $rounds
-       SELECT id AS doc_id, label AS community FROM l3 ORDER BY doc_id"""
+       SELECT d.doc_id, l3.label AS community
+       FROM documents d
+         JOIN grp g ON g.text = d.text
+         JOIN l3 ON l3.id = g.gid
+       ORDER BY d.doc_id"""
   }
 
   /** DuckDB twin of q_dedup_curve: the shared-shingle pair CTE with

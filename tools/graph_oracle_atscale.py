@@ -15,11 +15,13 @@ SAME pair semantics through an exact clone-aware reformulation:
   - q_dup_clusters: connected components run on the 1x-sized GROUP
     graph and expand at the end (component min doc_id = min gid, since
     gid = min member);
-  - q_label_prop: label propagation is NOT group-reducible (labels are
-    per-doc), so the full doc-level edge set IS materialized (~60M
-    directed edges at 100x) and the registered oracle's 3 unrolled
-    rounds run verbatim on it, each round materialized (the kCore
-    oracle discipline).
+  - q_label_prop (r18 semantics): label propagation runs on the
+    COLLAPSED graph — one node per distinct text, edges between
+    representatives only — and every clone inherits its
+    representative's community. The 3 unrolled rounds therefore run on
+    the 1x-sized group graph (the r17 version materialized ~61M
+    doc-level directed edges here; the collapsed semantics need none),
+    each round materialized (the kCore oracle discipline).
 
 Both results are value- and driver-hash-compared against Verify's
 parquet dumps, exactly like tools/check.py.
@@ -115,22 +117,14 @@ def main(corpus_dir, out_dir):
       SELECT m.doc_id, c.cmin AS cluster_id
       FROM members m JOIN comp c ON c.gid = m.gid""")
 
-    # ---- q_label_prop: full doc-level edges, 3 unrolled rounds ----
+    # ---- q_label_prop: LPA on the GROUP graph, clones inherit ----
     con.sql("""CREATE TEMP TABLE edges AS
-      SELECT ma.doc_id AS src, mb.doc_id AS dst
-      FROM tpairs t JOIN members ma ON ma.gid = t.ga
-                    JOIN members mb ON mb.gid = t.gb
+      SELECT ga AS src, gb AS dst FROM tpairs
       UNION ALL
-      SELECT mb.doc_id, ma.doc_id
-      FROM tpairs t JOIN members ma ON ma.gid = t.ga
-                    JOIN members mb ON mb.gid = t.gb
-      UNION ALL
-      SELECT a.doc_id, b.doc_id
-      FROM selfg s JOIN members a ON a.gid = s.gid
-                   JOIN members b ON b.gid = s.gid AND a.doc_id <> b.doc_id""")
+      SELECT gb, ga FROM tpairs""")
     n_edges = con.sql("SELECT count(*) FROM edges").fetchone()[0]
-    print(f"[atscale] doc-level directed edges: {n_edges}")
-    con.sql("CREATE TEMP TABLE l0 AS SELECT doc_id AS id, doc_id AS label FROM docs")
+    print(f"[atscale] group-level directed edges: {n_edges}")
+    con.sql("CREATE TEMP TABLE l0 AS SELECT gid AS id, gid AS label FROM g")
     for r in range(1, 4):
         p = f"l{r - 1}"
         # each round MATERIALIZED (kCore-oracle discipline)
@@ -146,7 +140,8 @@ def main(corpus_dir, out_dir):
           SELECT p.id, COALESCE(b.label, p.label) AS label
           FROM {p} p LEFT JOIN b{r} b ON b.dst = p.id""")
     con.sql("""CREATE TEMP VIEW label_prop_expected AS
-      SELECT id AS doc_id, label AS community FROM l3""")
+      SELECT m.doc_id, l3.label AS community
+      FROM members m JOIN l3 ON l3.id = m.gid""")
 
     ok = compare(con, "q_dup_clusters", "dup_clusters_expected", out_dir)
     ok = compare(con, "q_label_prop", "label_prop_expected", out_dir) and ok
