@@ -184,39 +184,67 @@ object TextQueries {
       exciseContaminatedSpans(Tables(s, dir, "documents"), 8)
     },
 
-    // MinHash+LSH: per-doc signature + band hashes (the shuffle keys for
-    // candidate generation) + LSH candidate count. Rows-only check here;
-    // pair semantics proven in DedupSpec with planted near-dups.
+    // MinHash+LSH: per-doc band keys (the shuffle keys for candidate
+    // generation) + LSH candidate count, on the md5-keyed kernel
+    // (16 permutations sliced from 4 digests, 8x2 bands — the
+    // q_minhash_est pipeline) so DuckDB recomputes the WHOLE frame
+    // bit-for-bit: full hash-match, not rows-only (r17 verdict item 2).
+    // The XXH64 production kernel (withMinHashBands /
+    // minHashCandidatePairsFromBanded — same statistics, native-hash
+    // band keys, no md5 cost) stays spec-pinned in DedupSpec with
+    // planted near-dups. Docs with fewer than 3 tokens have no shingles
+    // and no signature — absent here as in every shingle consumer.
     "q_dedup_minhash" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-      // Narrow (5 longs + 16-long sig per doc) and consumed by two plan
-      // branches — cache so signatures are computed exactly once.
-      val bandedFull = DedupOps.withMinHashBands(d, "text", k = 16, bands = 4)
-        .select(col("doc_id"), col("minhash_sig"),
-          col("band_0"), col("band_1"), col("band_2"), col("band_3"))
-        .cache()
-      val banded = bandedFull.drop("minhash_sig")
-      val cands = DedupOps.minHashCandidatePairsFromBanded(bandedFull, "doc_id", bands = 4)
+      val docs = Tables(s, dir, "documents")
+      val (_, _, bands, cand) = md5MinhashPipeline(docs)
+      val bandCols = (0 until 8).map(b =>
+        max(when(col("b") === b, col("key"))).as(s"band_$b"))
+      val wide = bands.groupBy("doc_id")
+        .agg(bandCols.head, bandCols.tail: _*)
       // one explode, not unionAll of two projections — a Union would plan
       // the candidate join subtree twice
-      val candCounts = cands
+      val candCounts = cand
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-      banded.join(candCounts, Seq("doc_id"), "left")
+      wide.join(candCounts, Seq("doc_id"), "left")
         .na.fill(0, Seq("n_candidates"))
         .orderBy("doc_id")
     },
 
-    // SimHash: 64-bit signature as 4 Hamming-LSH bands per doc.
+    // SimHash: 64-bit near-dup signature as 4 Hamming-LSH bands
+    // (16-bit chunks, MSB-first) per doc, on md5 token hashes so the
+    // oracle recomputes every band bit-for-bit (r17 verdict item 2):
+    // per token the first 16 md5 hex digits give a 64-bit hash (two
+    // exact 32-bit halves), each hash bit votes ±1, a positive vote sum
+    // sets the signature bit. Duplicate tokens vote once per
+    // occurrence, matching the production kernel's semantics
+    // (graft_simhash64, the codegen'd XXH64 single-pass expression —
+    // spec-pinned in DedupSpec/VectorExpressionsSpec, and what a 100 TB
+    // run uses: ~2 machine ops per (token, bit), no 64-row explode).
     "q_dedup_simhash" -> { (s, dir) =>
-      DedupOps.withSimHashBands(Tables(s, dir, "documents"), "text")
-        .select(col("doc_id"), col("simhash_bands").as("bands"))
-        .select(
-          col("doc_id"),
-          element_at(col("bands"), 1).as("band_0"),
-          element_at(col("bands"), 2).as("band_1"),
-          element_at(col("bands"), 3).as("band_2"),
-          element_at(col("bands"), 4).as("band_3"))
+      val docs = Tables(s, dir, "documents")
+      val hv = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("t")), 1, 8), 16, 10).cast(LongType).as("hi"),
+          conv(substring(md5(col("t")), 9, 8), 16, 10).cast(LongType).as("lo"))
+      val bits = hv
+        .select(col("doc_id"), col("hi"), col("lo"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("bit",
+          when(col("b") < 32, expr("shiftright(lo, cast(b as int))"))
+            .otherwise(expr("shiftright(hi, cast(b as int) - 32)"))
+            .bitwiseAND(lit(1L)))
+      val simbits = bits.groupBy("doc_id", "b")
+        .agg(sum(col("bit") * 2 - 1).as("v"))
+        .withColumn("sb", when(col("v") > 0, 1L).otherwise(0L))
+      val bandCols = (0 until 4).map { i =>
+        val lo = 48 - 16 * i // band_0 = hash bits 48..63 (MSB chunk)
+        sum(when(col("b").between(lo, lo + 15),
+          col("sb") * expr("shiftleft(1L, cast(b % 16 as int))")))
+          .as(s"band_$i")
+      }
+      simbits.groupBy("doc_id").agg(bandCols.head, bandCols.tail: _*)
         .orderBy("doc_id")
     },
 
@@ -2064,7 +2092,7 @@ object TextQueries {
     // candidates shuffle only band keys.
     "q_lsh_eval" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val (_, _, cand) = md5MinhashPipeline(docs)
+      val (_, _, _, cand) = md5MinhashPipeline(docs)
       val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
           threshold = 0.3, n = 3)
         .localCheckpoint()
@@ -2498,7 +2526,7 @@ object TextQueries {
     // |docs|x16, bands are keyed joins — no all-pairs anything.
     "q_minhash_est" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val (sh, sig, cand) = md5MinhashPipeline(docs)
+      val (sh, sig, _, cand) = md5MinhashPipeline(docs)
       val est = cand
         .join(sig.select(col("doc_id").as("id_a"), col("p"), col("h").as("ha")),
           Seq("id_a"))
@@ -3393,12 +3421,12 @@ object TextQueries {
     * for the same statistics — banded 8x2): distinct word-trigram
     * shingles, per-(doc, perm) signature minima, and banded candidate
     * pairs. The oracle-checkable twin of the XXH64 production path,
-    * used by q_minhash_est (estimator audit) and q_lsh_eval (measured
-    * precision/recall). Returns (shingles, signatures, candidates),
-    * each checkpointed.
+    * used by q_dedup_minhash (the registered LSH frame), q_minhash_est
+    * (estimator audit) and q_lsh_eval (measured precision/recall).
+    * Returns (shingles, signatures, bands, candidates).
     */
   private def md5MinhashPipeline(docs: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val sh = docs.select(col("doc_id"),
         explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
       .localCheckpoint()
@@ -3422,7 +3450,7 @@ object TextQueries {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
       .localCheckpoint()
-    (sh, sig, cand)
+    (sh, sig, bands, cand)
   }
 
   private def bm25Ranked(s: SparkSession, dir: String, topN: Int): DataFrame = {
@@ -5190,6 +5218,8 @@ object TextQueries {
     "q_kappa" -> kappaOracle,
     "q_mutual_nn" -> mutualNnOracle,
     "q_minhash_est" -> minhashEstOracle,
+    "q_dedup_minhash" -> dedupMinhashOracle,
+    "q_dedup_simhash" -> dedupSimhashOracle,
     "q_fuzzy_decontam" -> fuzzyDecontamOracle,
     "q_leakage_safe_split" ->
       """WITH RECURSIVE sh AS (
@@ -6333,6 +6363,70 @@ object TextQueries {
          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          FROM bands x JOIN bands y
            ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)"""
+  }
+
+  /** DuckDB twin of q_dedup_minhash: the shared md5-MinHash CTE's band
+    * keys pivoted wide (8 bands per doc) plus each doc's LSH candidate
+    * count from the distinct band-collision pair set.
+    */
+  private def dedupMinhashOracle: String = {
+    val bandCols = (0 until 8).map(b =>
+      s"max(CASE WHEN b = $b THEN key END) AS band_$b").mkString(",\n           ")
+    s"""WITH $md5MinhashCandCte,
+       wide AS (
+         SELECT doc_id,
+           $bandCols
+         FROM bands GROUP BY doc_id),
+       nc AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates
+         FROM (SELECT id_a AS doc_id FROM cand
+               UNION ALL SELECT id_b FROM cand)
+         GROUP BY doc_id)
+       SELECT w.doc_id, band_0, band_1, band_2, band_3,
+         band_4, band_5, band_6, band_7,
+         coalesce(nc.n_candidates, 0) AS n_candidates
+       FROM wide w LEFT JOIN nc ON nc.doc_id = w.doc_id
+       ORDER BY w.doc_id"""
+  }
+
+  /** DuckDB twin of q_dedup_simhash: per token the first 16 md5 hex
+    * digits parsed as two exact 32-bit halves, per-bit ±1 votes summed
+    * over every token occurrence, positive sum sets the bit, bits
+    * packed into four 16-bit bands MSB-first — the identical integer
+    * arithmetic on both engines.
+    */
+  private def dedupSimhashOracle: String = {
+    def hexVal(off: Int): String = (1 to 8).map { i =>
+      val pow = 1L << (4 * (8 - i)) // 16^(8-i)
+      s"(strpos('0123456789abcdef', substring(m, ${off + i}, 1)) - 1) * ${pow}"
+    }.mkString(" + ")
+    val bandCols = (0 until 4).map { i =>
+      val lo = 48 - 16 * i
+      s"""CAST(sum(CASE WHEN b >= $lo AND b <= ${lo + 15}
+             THEN sb * (CAST(1 AS BIGINT) << CAST(b % 16 AS INT)) END) AS BIGINT)
+             AS band_$i"""
+    }.mkString(",\n         ")
+    s"""WITH tok AS (
+         SELECT doc_id, md5(t) AS m
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents)),
+       hv AS (
+         SELECT doc_id,
+           CAST(${hexVal(0)} AS BIGINT) AS hi,
+           CAST(${hexVal(8)} AS BIGINT) AS lo
+         FROM tok),
+       bits AS (
+         SELECT doc_id, b,
+           (CASE WHEN b < 32 THEN lo >> CAST(b AS INT)
+                 ELSE hi >> CAST(b - 32 AS INT) END) & 1 AS bit
+         FROM hv, unnest(range(0, 64)) AS r(b)),
+       sbv AS (
+         SELECT doc_id, b,
+           CASE WHEN sum(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sb
+         FROM bits GROUP BY doc_id, b)
+       SELECT doc_id,
+         $bandCols
+       FROM sbv GROUP BY doc_id ORDER BY doc_id"""
   }
 
   private def minhashEstOracle: String = {
