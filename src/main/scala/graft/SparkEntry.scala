@@ -136,5 +136,6 @@ object SparkEntry {
     "q_mv_rewrite_having", "q_mv_ivm", "q_mv_rewrite_star2",
     // r17: sum-of-expression partials (the exact-cents revenue idiom
     // answered from the summary) and ROLLUP re-expanded over the summary
-    "q_mv_rewrite_expr", "q_mv_rewrite_rollup", "q_mv_rewrite_gsets")
+    "q_mv_rewrite_expr", "q_mv_rewrite_rollup", "q_mv_rewrite_gsets",
+    "q_mv_rewrite_distinct")
 }

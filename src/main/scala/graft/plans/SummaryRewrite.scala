@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, PlanExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EvalMode, Expression, Literal, NamedExpression, NumericEvalContext, PlanExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
@@ -51,15 +51,27 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * partials with EXACT semantics:
   *  - count(*)/count(1) from summing the stored count partial;
   *  - count(x) from summing a stored non-null-count partial;
+  *  - count(DISTINCT k...) when every argument is a summary KEY, by
+  *    re-counting DISTINCT over the summary's key columns (one summary
+  *    row per distinct full-key tuple makes the re-count exact; non-key
+  *    arguments abort);
   *  - min/max from re-min/max of the stored per-key min/max;
   *  - sum only when re-summing the stored partial yields the SAME data
   *    type as the original (LongType/integral sums — double re-sums
   *    change float addition order and decimal re-sums widen precision,
-  *    both abort);
+  *    both abort); TRY-mode aggregates (try_sum/try_avg) abort — their
+  *    overflow-to-NULL semantics cannot be reproduced from partials —
+  *    while LEGACY/ANSI derive with the query's own eval mode
+  *    propagated into the reconstructed re-sums;
   *  - avg(x) as sum-partial / non-null-count-partial, only when the
-  *    stored sum is integral (LongType): the division is then ONE
-  *    correctly-rounded double op over exact integers, bit-equal to
-  *    `CAST(exact_sum AS DOUBLE) / n`. Float/decimal partials abort.
+  *    stored sum is integral (LongType): both partial re-sums are exact
+  *    over longs, then ONE correctly-rounded double division. NOTE the
+  *    deliberate exactness divergence: Spark's native Average
+  *    accumulates its sum in DoubleType, so for groups whose |sum|
+  *    exceeds 2^53 the UNREWRITTEN plan carries fp-order error in the
+  *    last ulp while this derivation stays exact — below 2^53 (where
+  *    doubles are exact) the two are bit-equal, above it the rewrite is
+  *    the more correct side. Float/decimal partials abort.
   *
   * Freshness is the REGISTRAR's contract, as in every MV system: specs
   * are registered against a content-addressed summary (the fixture
@@ -70,8 +82,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * query cannot collide on exprIds. The rule is idempotent (the
   * rewritten aggregate's child scans the summary relation, which is
   * never registered as a base). A base table may carry SEVERAL summaries
-  * (e.g. one per key set); candidates are tried in registration order
-  * and the first derivable one wins.
+  * (e.g. one per key set); candidates are tried CHEAPEST FIRST (stored
+  * summary bytes, [[regsFor]]) and the first derivable one wins — the
+  * smallest summary that can answer the query.
   */
 object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -121,11 +134,34 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * name-canonical form ([[nameCanon]]) ready for tree compare.
     */
   private case class Registered(
-      spec: SummarySpec, exprCanon: Seq[(Expression, String)])
+      spec: SummarySpec, exprCanon: Seq[(Expression, String)]) {
+    // cost for candidate ordering: the summary relation's stats size
+    // (file bytes for a parquet summary — exactly what the rewritten
+    // plan will scan). Resolved once; a BigInt compare per candidate
+    // sort, not a file listing.
+    private[SummaryRewrite] lazy val costBytes: BigInt =
+      spec.relation.stats.sizeInBytes
+  }
 
   // base-relation identity = the relation's qualified root paths; a base
-  // table may carry several summaries (tried in registration order)
+  // table may carry several summaries (tried cheapest-first, see
+  // regsFor)
   private val specs = new ConcurrentHashMap[String, List[Registered]]()
+
+  /** Candidate summaries for a base relation, CHEAPEST FIRST: with
+    * several registered summaries the first DERIVABLE one wins, so
+    * ordering by stored size makes the winner the smallest derivable
+    * summary — e.g. a (returnflag) rollup beats the
+    * (returnflag, linestatus) one for a GROUP BY returnflag, whatever
+    * the registration order. Size is the right cost here because every
+    * candidate answers the query exactly; they differ only in how many
+    * summary bytes the rewritten plan scans and re-aggregates.
+    * Registration order breaks ties (stable sort), keeping the historic
+    * behavior for equal-size candidates.
+    */
+  private def regsFor(rel: LogicalRelation): Seq[Registered] =
+    rootKey(rel).flatMap(k => Option(specs.get(k))).getOrElse(Nil)
+      .sortBy(_.costBytes)
 
   /** Name-canonical form for cross-plan expression compare: attribute
     * references collapse to their lowercase NAME (exprIds differ
@@ -271,7 +307,7 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // rootKey is None for non-file V1 relations (JDBC etc.) —
             // they can never be registered, so they never match (and must
             // not NPE the optimizer via a null map key)
-            rootKey(rel).flatMap(k => Option(specs.get(k))).getOrElse(Nil).view
+            regsFor(rel).view
               .flatMap(reg => rewrite(agg, reg, rel, filters, dim))
           }.headOption).getOrElse(agg)
     }
@@ -380,21 +416,37 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // count(*) == sum of stored counts; coalesce keeps count's
             // never-null contract (sum is nullable by type). The
             // v != null guard keeps count(NULL) ≡ 0 sound BY ITSELF,
-            // not by NullPropagation's batch position.
+            // not by NullPropagation's batch position. Count re-sums
+            // pin LEGACY: Count itself never throws, and a count
+            // overflow needs 2^63 rows — the re-sum must not inherit a
+            // throwing mode Count never had.
             summaryAttr(spec.countCol).map(c =>
-              Coalesce(Seq(agged(Sum(c)), Literal(0L))))
+              Coalesce(Seq(agged(Sum(c, NumericEvalContext(EvalMode.LEGACY))), Literal(0L))))
           case Count(Seq(a: AttributeReference)) if baseOut.contains(a) =>
             // count(x) == sum of stored per-column non-null counts
             spec.cntLc.get(a.name.toLowerCase).flatMap(summaryAttr).map(c =>
-              Coalesce(Seq(agged(Sum(c)), Literal(0L))))
+              Coalesce(Seq(agged(Sum(c, NumericEvalContext(EvalMode.LEGACY))), Literal(0L))))
           case Min(a: AttributeReference) if baseOut.contains(a) =>
             spec.minLc.get(a.name.toLowerCase).flatMap(summaryAttr)
               .map(c => agged(Min(c)))
           case Max(a: AttributeReference) if baseOut.contains(a) =>
             spec.maxLc.get(a.name.toLowerCase).flatMap(summaryAttr)
               .map(c => agged(Max(c)))
-          case s @ Sum(e, _)
-              if e.deterministic && e.references.nonEmpty &&
+          // eval mode BOUND, not wildcarded: a TRY-mode sum (try_sum)
+          // yields NULL on overflow where LEGACY wraps and ANSI throws —
+          // rewriting it to a non-TRY Sum over partials would silently
+          // change overflow semantics (a value or an error where the
+          // base yields NULL), breaking the never-wrong contract, so
+          // TRY aborts to the base plan. LEGACY and ANSI derive, and
+          // the query's OWN eval context is PROPAGATED into the
+          // reconstructed partial re-sum: the re-sum is just a coarser
+          // aggregation order of the same exact-long multiset (the same
+          // latitude partial aggregation already has), and on overflow
+          // it fails or wraps under the query's own mode rather than a
+          // construction-time default.
+          case s @ Sum(e, ctx @ NumericEvalContext(m, _))
+              if m != EvalMode.TRY &&
+                e.deterministic && e.references.nonEmpty &&
                 e.references.subsetOf(baseOut) =>
             // sum of a plain base column (sumCols) or of a registered
             // EXPRESSION partial (sumExprs — the exact-cents idiom,
@@ -409,30 +461,43 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
             val byColumn = e match {
               case a: AttributeReference =>
                 spec.sumLc.get(a.name.toLowerCase).flatMap(summaryAttr)
-                  .map(c => agged(Sum(c)))
+                  .map(c => agged(Sum(c, ctx)))
               case _ => None
             }
             def byExpr = {
               val canon = nameCanon(e)
               reg.exprCanon.collectFirst { case (ce, p) if ce == canon => p }
                 .flatMap(summaryAttr)
-                .map(c => agged(Sum(c)))
+                .map(c => agged(Sum(c, ctx)))
             }
             byColumn.orElse(byExpr).filter(_.dataType == s.dataType)
-          case Average(a: AttributeReference, _) if baseOut.contains(a) =>
+          case Average(a: AttributeReference, m) if m != EvalMode.TRY &&
+              baseOut.contains(a) =>
             // avg(x) = integral-sum partial / non-null-count partial:
             // both sums re-aggregate exactly over longs, then ONE
-            // correctly-rounded double division — bit-equal to
-            // CAST(exact_sum AS DOUBLE)/n. All-null groups stay NULL
-            // (the sum partial is NULL, and NULL/x is NULL); Divide's
-            // non-ANSI zero guard can never fire with a non-null
-            // numerator. Non-integral partials abort.
+            // correctly-rounded double division. All-null groups stay
+            // NULL (the sum partial is NULL, and NULL/x is NULL);
+            // Divide's non-ANSI zero guard can never fire with a
+            // non-null numerator. Non-integral partials abort, and the
+            // eval mode is bound (try_avg's overflow-to-NULL must not
+            // become exact arithmetic — TRY aborts; LEGACY/ANSI derive
+            // with the query's mode propagated into the partial
+            // re-sums, so a beyond-2^63 re-sum fails loud under ANSI
+            // instead of wrapping under a construction default).
+            // DELIBERATE exactness divergence
+            // from the unrewritten plan: Spark's native Average
+            // accumulates the sum in DoubleType, so once a group's
+            // running |sum| exceeds 2^53 the base plan's result carries
+            // fp-order error while this derivation stays exact — the
+            // rewrite is the MORE correct side of that ulp (see the
+            // rule scaladoc; SummaryRewriteSpec pins equality below
+            // 2^53, where both are exact).
             for {
               sp <- spec.sumLc.get(a.name.toLowerCase).flatMap(summaryAttr)
                 if sp.dataType == LongType
               cp <- spec.cntLc.get(a.name.toLowerCase).flatMap(summaryAttr)
-            } yield Divide(Cast(agged(Sum(sp)), DoubleType),
-              Cast(agged(Sum(cp)), DoubleType))
+            } yield Divide(Cast(agged(Sum(sp, NumericEvalContext(m))), DoubleType),
+              Cast(agged(Sum(cp, NumericEvalContext(m))), DoubleType))
           case _ => None
     }
   }
@@ -462,7 +527,7 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
       case _ => return None
     }
-    val regs = rootKey(rel).flatMap(k => Option(specs.get(k))).getOrElse(Nil)
+    val regs = regsFor(rel)
     if (regs.isEmpty) return None
     val baseOut = rel.outputSet
     val nPos = ex.output.size
@@ -608,6 +673,27 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
           case None => return None
         }
       case a: Attribute if groupDimAttrs.contains(a) => a
+      // count(DISTINCT k1..kn) where every ki is a summary KEY: the
+      // summary stores one row per distinct full-key tuple, so the
+      // distinct ki-tuples per (coarser) group are exactly the distinct
+      // ki-tuples among summary rows — re-counting DISTINCT over the
+      // summary's key columns is exact. NULL semantics carry over
+      // verbatim (count(DISTINCT) skips null tuples on both sides;
+      // groupBy keeps a null-key summary row, which the re-count skips
+      // just as the base count skipped null base rows). A non-key
+      // argument aborts: the summary collapsed its distinct values.
+      case al @ Alias(AggregateExpression(Count(children), Complete, true,
+          None, _), name)
+          if children.nonEmpty && children.forall {
+            case a: AttributeReference =>
+              baseOut.contains(a) && keySet(a.name.toLowerCase)
+            case _ => false
+          } =>
+        val mapped = children.map { case a: AttributeReference =>
+          summaryAttr(a.name).getOrElse(return None)
+        }
+        Alias(AggregateExpression(Count(mapped), Complete,
+          isDistinct = true), name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
         deriveAgg(fn, reg, baseOut, summaryAttr) match {
           case Some(e) if e.dataType == al.child.dataType =>

@@ -1476,6 +1476,25 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // count(DISTINCT key) through the MV: the summary stores one row
+    // per distinct (priority, status) tuple, so distinct statuses per
+    // priority re-count EXACTLY from summary rows — no fact scan, no
+    // sketch. count(DISTINCT non-key) aborts (the summary collapsed
+    // those values — pinned in SummaryRewriteSpec), and with BOTH
+    // fixtures registered the rule picks this (priority, status)
+    // summary by cost, the custkey one being underivable here. Oracle:
+    // DuckDB count(DISTINCT) from the base table.
+    "q_mv_rewrite_distinct" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensure(s, dir)
+      graft.operators.SummaryTables.ensureCust(s, dir)
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderstatus")).as("n_status"),
+          count(lit(1)).as("n_orders"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderpriority")
+    },
+
     // star-schema MV: the aggregate is WRITTEN as fact ⋈ dim, and the
     // optimizer re-plans it onto summary ⋈ dim — sound because the join
     // touches the fact side only through the summary key (o_custkey),
@@ -3685,6 +3704,12 @@ object RelationalQueries {
          FROM orders
          WHERE o_orderstatus = 'F' AND o_orderpriority <> '3-MEDIUM'
          GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_mv_rewrite_distinct" ->
+      """SELECT o_orderpriority,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(o_totalprice) AS max_price
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
     "q_mv_rewrite_join" -> mvRewriteJoinOracle,
     "q_mv_rewrite_join_sql" -> mvRewriteJoinOracle, // SQL path, same truth
     "q_mv_rewrite_gsets" ->

@@ -535,6 +535,96 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally SummaryRewrite.clear()
   }
 
+  test("TRY-mode aggregates abort to the base scan (overflow-to-NULL is not derivable)") {
+    SummaryRewrite.clear()
+    SummaryTables.ensure(spark, sfDir)
+    try {
+      // try_sum yields NULL where a partial re-sum would yield a value
+      // (or an ANSI error) — the rewrite must leave it on the base
+      val trySum = Tables(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("try_sum(o_orderkey)").as("ks"))
+      val locs = scans(trySum)
+      assert(locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("graft_summary")), locs.mkString("\n"))
+      val tryAvg = Tables(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("try_avg(o_orderkey)").as("ak"))
+      val locs2 = scans(tryAvg)
+      assert(locs2.exists(_.contains("orders.parquet")), locs2.mkString("\n"))
+      // the SAME aggregates in default mode still rewrite (the abort is
+      // the TRY mode, not a regression of sum/avg derivation)
+      val plain = Tables(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_orderkey")).as("ks"), avg(col("o_orderkey")).as("ak"))
+      assert(scans(plain).exists(_.contains("graft_summary")))
+    } finally SummaryRewrite.clear()
+  }
+
+  test("cost-based selection: the cheapest derivable summary wins regardless of registration order") {
+    import spark.implicits._
+    SummaryRewrite.clear()
+    val dir = java.nio.file.Files.createTempDirectory("mv_cost").toString
+    // base with 2 g-values x 100 h-values: the (g) rollup is 2 rows,
+    // the (g, h) rollup 200 — both can answer GROUP BY g, and the
+    // smaller must win whatever order they registered in
+    (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+        (i % 100).toLong))
+      .toDF("k", "g", "h").write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    base.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .write.parquet(s"$dir/sum_coarse")
+    base.groupBy("g", "h").agg(count(lit(1)).as("cnt"))
+      .write.parquet(s"$dir/sum_fine")
+    val coarse = SummaryRewrite.SummarySpec(s"$dir/sum_coarse", Seq("g"), "cnt")
+    val fine = SummaryRewrite.SummarySpec(s"$dir/sum_fine", Seq("g", "h"), "cnt")
+    def q() = spark.read.parquet(s"$dir/base")
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val expected = q().collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    for (order <- Seq(Seq(coarse, fine), Seq(fine, coarse))) {
+      SummaryRewrite.clear()
+      order.foreach(s => SummaryRewrite.register(s"$dir/base", s))
+      val locs = scans(q())
+      assert(locs.exists(_.contains("sum_coarse")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("sum_fine")), locs.mkString("\n"))
+      assert(q().collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+        == expected)
+      // a query only the FINE summary can answer still rewrites (cost
+      // order must not hide the derivable candidate behind an abort)
+      val fineOnly = spark.read.parquet(s"$dir/base")
+        .groupBy(col("g"), col("h")).agg(count(lit(1)).as("n"))
+      assert(scans(fineOnly).exists(_.contains("sum_fine")))
+    }
+    SummaryRewrite.clear()
+  }
+
+  test("count(DISTINCT key) derives from the summary; count(DISTINCT non-key) aborts") {
+    SummaryRewrite.clear()
+    def q() = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val unrewritten = rows(q())
+    SummaryTables.ensure(spark, sfDir)
+    try {
+      val df = q()
+      val locs = scans(df)
+      assert(locs.exists(_.contains("graft_summary")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+      assert(rows(df) == unrewritten)
+      // count(DISTINCT non-key) collapsed inside the summary groups —
+      // must abort to the base scan, never estimate from partials
+      val nonKey = Tables(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      val locsNk = scans(nonKey)
+      assert(locsNk.exists(_.contains("orders.parquet")), locsNk.mkString("\n"))
+    } finally SummaryRewrite.clear()
+  }
+
   test("a non-file V1 relation never matches nor crashes the rule") {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
