@@ -114,7 +114,14 @@ object SummaryTables {
     */
   def ensureIvm(s: SparkSession, dir: String): String = synchronized {
     val tag = tagFor(dir)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_summary_ivm/v1_$tag"
+    // v2: + a RETRACTION batch — batch 1 inserts the post-cut rows plus
+    // synthetic below-market rows that become every touched group's
+    // MINIMUM; batch 2 deletes them, exercising maintain()'s targeted
+    // min/max repair (the non-self-maintainable case: without the
+    // repair the old minimum would stick at the synthetic price and the
+    // base-table oracle would flip the hash). The final state equals
+    // the full orders rollup, so q_mv_ivm's oracle is untouched.
+    val root = s"${sys.props("java.io.tmpdir")}/graft_summary_ivm/v2_$tag"
     val done = java.nio.file.Paths.get(s"$root.ivm_done")
     if (!java.nio.file.Files.exists(done)) {
       val cut = "1996-01-01"
@@ -128,16 +135,39 @@ object SummaryTables {
           count(col("o_orderkey")).as("cnt_okey"))
       rollup(orders.filter(col("o_orderdate") < lit(cut)))
         .coalesce(1).write.mode("overwrite").parquet(root)
-      val feed = orders.filter(col("o_orderdate") >= lit(cut))
-        .select(lit("insert").as("change_type"),
-          col("o_orderpriority"), col("o_orderstatus"),
-          col("o_totalprice"), col("o_orderkey"))
-      maintain(root, feed, Seq("o_orderpriority", "o_orderstatus"),
+      val feedCols = Seq(col("o_orderpriority"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderkey"))
+      // deterministic synthetic rows: one per (priority, status) seen
+      // after the cut, priced below every real order
+      val synth = orders.filter(col("o_orderdate") >= lit(cut))
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(min(col("o_orderkey")).as("o_orderkey"))
+        .withColumn("o_totalprice", lit(-1.0))
+        .select(feedCols: _*)
+        .localCheckpoint()
+      val insertFeed = orders.filter(col("o_orderdate") >= lit(cut))
+        .select(feedCols: _*)
+        .unionByName(synth)
+        .select(lit("insert").as("change_type") +: feedCols: _*)
+      maintain(root, insertFeed, Seq("o_orderpriority", "o_orderstatus"),
         countCol = "cnt",
         sumColsBase = Map("o_orderkey" -> "sum_okey"),
         minColsBase = Map("o_totalprice" -> "min_price"),
         maxColsBase = Map("o_totalprice" -> "max_price"),
-        cntColsBase = Map("o_orderkey" -> "cnt_okey"))
+        cntColsBase = Map("o_orderkey" -> "cnt_okey"),
+        batchId = Some(1L))
+      val deleteFeed = synth
+        .select(lit("delete").as("change_type") +: feedCols: _*)
+      maintain(root, deleteFeed, Seq("o_orderpriority", "o_orderstatus"),
+        countCol = "cnt",
+        sumColsBase = Map("o_orderkey" -> "sum_okey"),
+        minColsBase = Map("o_totalprice" -> "min_price"),
+        maxColsBase = Map("o_totalprice" -> "max_price"),
+        cntColsBase = Map("o_orderkey" -> "cnt_okey"),
+        batchId = Some(2L),
+        // post-batch-2 base = the full orders table (the synthetics are
+        // gone): the repair recomputes the deleted minima from it
+        baseAfter = Some(orders))
       java.nio.file.Files.createFile(done)
     }
     root
@@ -172,9 +202,16 @@ object SummaryTables {
     * count and sum partials absorb ANY feed (inserts count +1 / sums
     * +v, deletes −1 / −v, updates both); min/max partials are NOT
     * self-maintainable under retractions (a deleted minimum needs a
-    * group re-scan), so a feed carrying delete/update rows is REFUSED
-    * when min/max partials exist — rebuild instead, or maintain a
-    * count/sum-only summary. Groups whose maintained count reaches 0
+    * group re-scan). A feed carrying delete/update rows is therefore
+    * REFUSED when min/max partials exist — UNLESS the caller supplies
+    * `baseAfter` (the base table's state AFTER this batch), in which
+    * case the retraction is absorbed by a TARGETED REPAIR: only the
+    * groups the feed retracted from are re-scanned (a null-safe
+    * semi-join of the base against the retracted key set — at 100 TB a
+    * partition-prunable keyed probe, not a corpus scan), their min/max
+    * recomputed exactly while every other group (and every count/sum
+    * partial everywhere) flows through the incremental delta path.
+    * Groups whose maintained count reaches 0
     * are dropped, matching a rebuild exactly (spec-pinned bit-equal).
     * NULL handling: group keys merge null-safely (all-NULL keys are one
     * group, like groupBy), and a sum partial stays NULL until a non-null
@@ -194,6 +231,11 @@ object SummaryTables {
     *                    (count(x) / avg denominators) — maintained like
     *                    the count partial but signed only when the base
     *                    value is non-null
+    * @param baseAfter  the base table AFTER this batch applied — enables
+    *                   min/max maintenance under retractions via the
+    *                   targeted group repair described above. The caller
+    *                   owns the "after" contract (hand the same frame
+    *                   that the feed was diffed INTO).
     */
   def maintain(
       summaryPath: String, feed: DataFrame, groupKeys: Seq[String],
@@ -201,13 +243,42 @@ object SummaryTables {
       minColsBase: Map[String, String] = Map.empty,
       maxColsBase: Map[String, String] = Map.empty,
       batchId: Option[Long] = None,
-      cntColsBase: Map[String, String] = Map.empty): Unit = {
+      cntColsBase: Map[String, String] = Map.empty,
+      baseAfter: Option[DataFrame] = None): Unit = {
     val spark = feed.sparkSession
     // recovery FIRST: a crash between the swap's two renames leaves the
     // target (and its ledger) missing with a complete staging — reading
     // the ledger before recovering would see -1 and re-apply the very
     // batch the staged table already contains
     graft.ops.CoreOps.recoverSwap(spark, summaryPath, "SummaryTables.maintain")
+    // the stored summary must carry EXACTLY the columns this call can
+    // maintain (keys + count + the given partials): a summary with an
+    // extra partial (e.g. a sum-of-expression column no feed row can
+    // update) would otherwise be silently REWRITTEN WITHOUT it — the
+    // loss surfacing only later as a register() schema failure on a
+    // path that skips rebuild because _SUCCESS still exists. Fail fast
+    // here instead, naming the drift. (Schema-only read — no data
+    // pages; runs after recovery so the footer it reads is the
+    // recovered table's.)
+    val storedCols = spark.read.parquet(summaryPath)
+      .schema.fieldNames.map(_.toLowerCase).toSet
+    val maintainable =
+      (groupKeys ++ Seq(countCol) ++ sumColsBase.values ++
+        cntColsBase.values ++ minColsBase.values ++ maxColsBase.values)
+        .map(_.toLowerCase).toSet
+    val extraStored = storedCols -- maintainable
+    val missingStored = maintainable -- storedCols
+    require(extraStored.isEmpty && missingStored.isEmpty,
+      s"SummaryTables.maintain($summaryPath): stored summary columns " +
+        s"do not match the maintainable set — " +
+        (if (extraStored.nonEmpty)
+          s"stored column(s) ${extraStored.mkString(", ")} have no " +
+            "partial spec in this call (maintaining would silently drop " +
+            "them); " else "") +
+        (if (missingStored.nonEmpty)
+          s"spec column(s) ${missingStored.mkString(", ")} are not in " +
+            "the stored summary; " else "") +
+        "rebuild the summary or pass the full partial maps")
     // exactly-once under replayed feeds (the streaming sink's contract):
     // deltas are NOT idempotent, so a caller supplying a monotonically
     // increasing batchId gets dedup — an already-applied id is a no-op,
@@ -225,23 +296,53 @@ object SummaryTables {
     }
     // the retraction probe is a feed scan — only pay it when min/max
     // partials make the answer matter (the count/sum-only streaming hot
-    // path skips one Spark job per micro-batch)
-    if (minColsBase.nonEmpty || maxColsBase.nonEmpty) {
-      // update_postimage is probed too: a well-formed update carries the
-      // preimage twin anyway, so including it costs nothing — and a
-      // MALFORMED feed of unpaired postimages now fails loudly here
-      // instead of silently double-counting into the partials. (For
-      // count/sum-only summaries, pre/postimage pairing is the caller's
-      // feed contract, like applyFeedToTable's compaction requirement —
-      // an unpaired postimage is indistinguishable from an insert.)
-      val retracting = !feed.filter(col("change_type").isin(
-        "delete", "update_preimage", "update_postimage")).isEmpty
-      require(!retracting,
-        s"SummaryTables.maintain($summaryPath): the feed carries deletes/" +
-          "updates but the summary stores min/max partials, which are not " +
-          "self-maintainable under retractions (a deleted minimum needs a " +
-          "group re-scan) — rebuild the summary, or maintain one with " +
-          "count/sum partials only")
+    // path skips one Spark job per micro-batch). With `baseAfter`
+    // supplied the probe instead DRIVES the targeted repair: the
+    // retracted groups' min/max are recomputed from the post-batch
+    // base, everything else stays incremental.
+    val retractionKinds = Seq("delete", "update_preimage", "update_postimage")
+    val repairKeys: Option[DataFrame] =
+      if (minColsBase.isEmpty && maxColsBase.isEmpty) None
+      else {
+        // update_postimage is probed too: a well-formed update carries
+        // the preimage twin anyway, so including it costs nothing — and
+        // a MALFORMED feed of unpaired postimages fails loudly (no
+        // baseAfter) or is repaired from the base itself (baseAfter).
+        // (For count/sum-only summaries, pre/postimage pairing is the
+        // caller's feed contract, like applyFeedToTable's compaction
+        // requirement — an unpaired postimage is indistinguishable from
+        // an insert.)
+        val retracted = feed
+          .filter(col("change_type").isin(retractionKinds: _*))
+          .select(groupKeys.map(col): _*).distinct()
+        if (retracted.isEmpty) None
+        else baseAfter match {
+          case None =>
+            throw new IllegalArgumentException(
+              s"SummaryTables.maintain($summaryPath): the feed carries " +
+                "deletes/updates but the summary stores min/max partials, " +
+                "which are not self-maintainable under retractions (a " +
+                "deleted minimum needs a group re-scan) — pass baseAfter " +
+                "for a targeted repair of the retracted groups, rebuild " +
+                "the summary, or maintain one with count/sum partials only")
+          case Some(_) => Some(retracted.localCheckpoint())
+        }
+      }
+    // targeted repair frame: exact min/max per RETRACTED group from the
+    // post-batch base — a keyed semi-join (null-safe, matching groupBy's
+    // null handling), not a corpus scan; groups retracted to emptiness
+    // simply produce no row (their maintained count reaches 0 and the
+    // group is dropped below, like a rebuild)
+    val repairs: Option[DataFrame] = repairKeys.map { rk =>
+      val base = baseAfter.get
+      val cond = groupKeys.map(k => base(k) <=> rk(k)).reduce(_ && _)
+      val repairAggs =
+        (minColsBase.map { case (b, p) => min(col(b)).as(s"__r_$p") } ++
+          maxColsBase.map { case (b, p) => max(col(b)).as(s"__r_$p") }).toSeq
+      base.join(rk, cond, "left_semi")
+        .groupBy(groupKeys.map(col): _*)
+        .agg(repairAggs.head, repairAggs.tail: _*)
+        .withColumn("__r_hit", lit(true))
     }
     val sign = when(
       col("change_type").isin("insert", "update_postimage"), lit(1L))
@@ -270,7 +371,18 @@ object SummaryTables {
       val d = deltas.alias("d")
       val cond = groupKeys.map(k => col(s"o.$k") <=> col(s"d.$k"))
         .reduce(_ && _)
-      val joined = o.join(d, cond, "full_outer")
+      val merged = o.join(d, cond, "full_outer")
+      // repaired groups override their min/max below; the LEFT join
+      // leaves every non-retracted group on the incremental path
+      val joined = repairs match {
+        case None => merged
+        case Some(r) =>
+          val rr = r.alias("r")
+          val rCond = groupKeys.map(k =>
+            coalesce(col(s"o.$k"), col(s"d.$k")) <=> col(s"r.$k"))
+            .reduce(_ && _)
+          merged.join(rr, rCond, "left")
+      }
       def keyOut(k: String) =
         coalesce(col(s"o.$k"), col(s"d.$k")).as(k)
       // count is never null on either present side; sums merge
@@ -302,11 +414,21 @@ object SummaryTables {
           cntColsBase.values.map(updCount) ++
           sumColsBase.map { case (b, p) => updSum(b, p) } ++
           // least/greatest skip nulls: a group new to the feed keeps its
-          // stored extreme, a brand-new group takes the feed's
-          minColsBase.values.map(p =>
-            least(col(s"o.$p"), col(s"d.__d_$p")).as(p)) ++
-          maxColsBase.values.map(p =>
-            greatest(col(s"o.$p"), col(s"d.__d_$p")).as(p))
+          // stored extreme, a brand-new group takes the feed's. A
+          // RETRACTED group instead takes its repaired exact extreme
+          // (the feed's delta min/max would mix deleted values in) —
+          // __r_hit is null for every non-retracted group, so the
+          // incremental branch stays theirs.
+          minColsBase.values.map(p => (repairs match {
+            case None => least(col(s"o.$p"), col(s"d.__d_$p"))
+            case Some(_) => when(col("r.__r_hit"), col(s"r.__r_$p"))
+              .otherwise(least(col(s"o.$p"), col(s"d.__d_$p")))
+          }).as(p)) ++
+          maxColsBase.values.map(p => (repairs match {
+            case None => greatest(col(s"o.$p"), col(s"d.__d_$p"))
+            case Some(_) => when(col("r.__r_hit"), col(s"r.__r_$p"))
+              .otherwise(greatest(col(s"o.$p"), col(s"d.__d_$p")))
+          }).as(p))
       // a group maintained down to zero rows vanishes, like a rebuild
       joined.select(cols: _*)
         .filter(col(countCol) > 0)

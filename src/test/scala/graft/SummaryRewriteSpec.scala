@@ -535,6 +535,69 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally SummaryRewrite.clear()
   }
 
+  test("maintain(): a delete feed repairs min/max from baseAfter, bit-equal to a rebuild") {
+    import graft.operators.SummaryTables
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mv_retract").toString
+    val rows0 = Seq((1L, "a", 5.0), (2L, "a", 1.0), (3L, "a", 9.0),
+      (4L, "b", 2.0), (5L, "b", 7.0), (7L, "d", 3.0))
+    def rollup(b: org.apache.spark.sql.DataFrame) = b.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    rollup(rows0.toDF("k", "g", "v")).write.parquet(s"$dir/sum")
+    // delete group a's MINIMUM and group b's MAXIMUM (the two
+    // non-self-maintainable directions), delete group d entirely, and
+    // insert a brand-new group c in the same batch
+    val feed = Seq(
+      ("delete", 2L, "a", 1.0), ("delete", 5L, "b", 7.0),
+      ("delete", 7L, "d", 3.0), ("insert", 6L, "c", 4.0))
+      .toDF("change_type", "k", "g", "v")
+    val after = Seq((1L, "a", 5.0), (3L, "a", 9.0), (4L, "b", 2.0),
+      (6L, "c", 4.0)).toDF("k", "g", "v")
+    // without baseAfter the old refusal still stands
+    val e = intercept[IllegalArgumentException] {
+      SummaryTables.maintain(s"$dir/sum", feed, Seq("g"), "cnt",
+        Map("k" -> "sum_k"), Map("v" -> "min_v"), Map("v" -> "max_v"))
+    }
+    assert(e.getMessage.contains("baseAfter"))
+    SummaryTables.maintain(s"$dir/sum", feed, Seq("g"), "cnt",
+      Map("k" -> "sum_k"), Map("v" -> "min_v"), Map("v" -> "max_v"),
+      baseAfter = Some(after))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val maintained = rows(spark.read.parquet(s"$dir/sum")
+      .select("g", "cnt", "sum_k", "min_v", "max_v"))
+    val rebuilt = rows(rollup(after).select("g", "cnt", "sum_k", "min_v", "max_v"))
+    assert(maintained == rebuilt,
+      s"maintained $maintained != rebuilt $rebuilt")
+    // group a min repaired to 5.0 (not stuck at the deleted 1.0), b max
+    // to 2.0, d gone, c born
+    assert(maintained.map(_._1) == Seq("a", "b", "c"))
+    assert(maintained.find(_._1 == "a").get._4 == 5.0)
+    assert(maintained.find(_._1 == "b").get._5 == 2.0)
+  }
+
+  test("maintain(): a summary with partials this call cannot maintain is refused, fast") {
+    import graft.operators.SummaryTables
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mv_drift").toString
+    Seq((1L, "a", 2.0)).toDF("k", "g", "v").groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        sum(expr("CAST(v * 100 AS BIGINT)")).as("sum_cents"))
+      .write.parquet(s"$dir/sum")
+    val feed = Seq(("insert", 2L, "a", 3.0))
+      .toDF("change_type", "k", "g", "v")
+    // sum_cents is an expression partial no feed column maintains:
+    // silently rewriting the summary WITHOUT it would only surface
+    // later as a register() schema failure — fail here, naming it
+    val e = intercept[IllegalArgumentException] {
+      SummaryTables.maintain(s"$dir/sum", feed, Seq("g"), "cnt",
+        Map("k" -> "sum_k"))
+    }
+    assert(e.getMessage.contains("sum_cents"), e.getMessage)
+  }
+
   test("TRY-mode aggregates abort to the base scan (overflow-to-NULL is not derivable)") {
     SummaryRewrite.clear()
     SummaryTables.ensure(spark, sfDir)
