@@ -361,6 +361,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join against a registered summary rewrites the static side per micro-batch") {
+    // the dashboard-over-stream shape: each micro-batch of events is
+    // enriched from an aggregate WRITTEN against the base orders table;
+    // SummaryRewrite (a session optimizer rule) re-plans the STATIC
+    // side of the stream-static join onto the keys-sized summary INSIDE
+    // IncrementalExecution, so at 100 TB every micro-batch probes
+    // |keys| summary rows instead of re-scanning the fact corpus.
+    val sfDir = "/root/testdata/sf0.001"
+    graft.plans.SummaryRewrite.clear()
+    def statAgg() = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("key_sum"))
+    // truth captured UNREWRITTEN (no spec registered yet)
+    val truth = statAgg().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.operators.SummaryTables.ensure(spark, sfDir)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val enriched = mem.toDF().withColumnRenamed("value", "prio")
+      .join(statAgg(), col("prio") === col("o_orderpriority"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("n_orders")).as("n_orders"), max(col("key_sum")).as("key_sum"))
+    val q = enriched.writeStream.format("memory").queryName("mv_ss")
+      .outputMode("complete").start()
+    try {
+      def batchState(): Map[String, (Long, Long, Long)] =
+        spark.sql("SELECT prio, n_events, n_orders, key_sum FROM mv_ss")
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+      mem.addData("1-URGENT", "3-MEDIUM", "1-URGENT")
+      q.processAllAvailable()
+      assert(batchState() == Map(
+        "1-URGENT" -> (2L, truth("1-URGENT")._1, truth("1-URGENT")._2),
+        "3-MEDIUM" -> (1L, truth("3-MEDIUM")._1, truth("3-MEDIUM")._2)))
+      mem.addData("5-LOW")
+      q.processAllAvailable()
+      assert(batchState() == Map(
+        "1-URGENT" -> (2L, truth("1-URGENT")._1, truth("1-URGENT")._2),
+        "3-MEDIUM" -> (1L, truth("3-MEDIUM")._1, truth("3-MEDIUM")._2),
+        "5-LOW" -> (1L, truth("5-LOW")._1, truth("5-LOW")._2)))
+      // scan-level proof from the LAST micro-batch's executed plan: the
+      // static side read the summary files, never the base table
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val locs = exec.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }
+      assert(locs.exists(_.contains("graft_summary")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+    } finally {
+      q.stop()
+      graft.plans.SummaryRewrite.clear()
+    }
+  }
+
   test("streaming left: Auto resolves to the broadcast exec; Merge fails loudly") {
     // the merge exec is not streamable (it would need a stateful sort
     // on the stream) — the strategy must resolve Auto to the
