@@ -183,7 +183,12 @@ class ExplainSpec extends SparkSpec {
     // 5 are the two pair-dot aggregates, the corpus-side norm
     // aggregate, its id_b rejoin, and the output sort — all carrying
     // (pair) or (vec, dim) integer partials, never raw vectors
-    "q_mix_reweight" -> 2, "q_label_prop" -> 1, "q_embed_rp" -> 5,
+    // q_label_prop (r18, collapsed-graph semantics): post-checkpoint
+    // tail = the clone-membership inheritance join + the output sort —
+    // the propagation rounds and the rep-pair build are checkpointed
+    // away; both remaining exchanges carry (gid, doc_id)/(doc_id,
+    // label) longs, never texts
+    "q_mix_reweight" -> 2, "q_label_prop" -> 2, "q_embed_rp" -> 5,
     // q_dedup_curve: audits post-checkpoint (the corpus-sized pair
     // build is materialized away) — the 6 are the per-threshold pair
     // count, the two-level countDistinct of docs-affected, their t-join
@@ -258,7 +263,11 @@ class ExplainSpec extends SparkSpec {
     "q_cond_project" -> 1, "q_corr_subquery" -> 2,
     "q_count_distinct" -> 3, "q_cube" -> 2, "q_decontaminate" -> 3,
     "q_dedup_exact" -> 2, "q_dedup_full" -> 3, "q_dedup_minhash" -> 4,
-    "q_dedup_simhash" -> 1, "q_dim_coverage" -> 4, "q_dim_join" -> 2,
+    // q_dedup_simhash (r18, md5 audit formulation — the oracle-checked
+    // twin; the production path is the 1-shuffle graft_simhash64
+    // kernel, spec-pinned): per-(doc, bit) vote aggregate, per-doc band
+    // packing, output sort — all carrying (doc_id, b, small ints)
+    "q_dedup_simhash" -> 3, "q_dim_coverage" -> 4, "q_dim_join" -> 2,
     "q_domain_cap" -> 2, "q_drift_psi" -> 5,
     "q_dup_clusters" -> 1, "q_embed_ann_ivf" -> 2,
     "q_embed_ann_lsh" -> 3, "q_embed_centroid" -> 2, "q_embed_cosine_topk" -> 2,
