@@ -77,7 +77,7 @@ def main(corpus_dir, out_dir):
     con = duckdb.connect()
     path = f"{corpus_dir}/documents.parquet"
     src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
-    con.sql(f"CREATE VIEW docs AS SELECT doc_id, text FROM {src}")
+    con.sql(f"CREATE VIEW docs AS SELECT doc_id, text, lang FROM {src}")
 
     # ---- shared clone-aware pair derivation (1x-sized) ----
     con.sql("""CREATE TEMP TABLE g AS
@@ -117,6 +117,43 @@ def main(corpus_dir, out_dir):
       SELECT m.doc_id, c.cmin AS cluster_id
       FROM members m JOIN comp c ON c.gid = m.gid""")
 
+    # ---- the other CC consumers, same group-level derivation (r18) ----
+    # q_dedup_full: corpus minus every non-canonical cluster member
+    con.sql("""CREATE TEMP VIEW dedup_full_expected AS
+      SELECT d.doc_id, d.lang FROM docs d
+      LEFT JOIN (SELECT m.doc_id, c.cmin FROM members m
+                 JOIN comp c ON c.gid = m.gid) x ON x.doc_id = d.doc_id
+      WHERE x.doc_id IS NULL OR x.cmin = d.doc_id""")
+    # q_cluster_canonical: longest member per cluster (ties: min doc_id).
+    # Group-level is exact: members of a group share text (same token
+    # count), and the min doc_id among the longest groups' members IS
+    # the min gid among those groups (gid = min member).
+    con.sql("""CREATE TEMP TABLE cc_stats AS
+      SELECT c.cmin AS cluster_id, g.gid, g.n AS g_n,
+        len(string_split(g.text, ' ')) AS n_tokens
+      FROM comp c JOIN g ON g.gid = c.gid""")
+    con.sql("""CREATE TEMP VIEW cluster_canonical_expected AS
+      WITH ranked AS (
+        SELECT cluster_id, gid, n_tokens,
+          row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY n_tokens DESC, gid) AS rk
+        FROM cc_stats),
+      sz AS (SELECT cluster_id, CAST(sum(g_n) AS BIGINT) AS n_members
+             FROM cc_stats GROUP BY cluster_id)
+      SELECT r.cluster_id, r.gid AS canonical_doc_id,
+        CAST(r.n_tokens AS BIGINT) AS canonical_tokens, s.n_members
+      FROM ranked r JOIN sz s ON s.cluster_id = r.cluster_id
+      WHERE r.rk = 1""")
+    # q_leakage_safe_split: split key = cluster id (doc_id for
+    # singletons), split = the engine's md5 hash-sample rule
+    con.sql("""CREATE TEMP VIEW leakage_split_expected AS
+      SELECT d.doc_id, coalesce(x.cmin, d.doc_id) AS split_key,
+        CASE WHEN substring(md5(CAST(coalesce(x.cmin, d.doc_id) AS VARCHAR)), 1, 1) <= '1'
+             THEN 'valid' ELSE 'train' END AS split
+      FROM docs d
+      LEFT JOIN (SELECT m.doc_id, c.cmin FROM members m
+                 JOIN comp c ON c.gid = m.gid) x ON x.doc_id = d.doc_id""")
+
     # ---- q_label_prop: LPA on the GROUP graph, clones inherit ----
     con.sql("""CREATE TEMP TABLE edges AS
       SELECT ga AS src, gb AS dst FROM tpairs
@@ -145,6 +182,15 @@ def main(corpus_dir, out_dir):
 
     ok = compare(con, "q_dup_clusters", "dup_clusters_expected", out_dir)
     ok = compare(con, "q_label_prop", "label_prop_expected", out_dir) and ok
+    # the remaining CC consumers are optional (older Verify dumps lack
+    # them) — checked whenever their parquet is present
+    for name, rel in [("q_dedup_full", "dedup_full_expected"),
+                      ("q_cluster_canonical", "cluster_canonical_expected"),
+                      ("q_leakage_safe_split", "leakage_split_expected")]:
+        if os.path.isdir(f"{out_dir}/{name}"):
+            ok = compare(con, name, rel, out_dir) and ok
+        else:
+            print(f"SKIP {name} (not in {out_dir})")
     return 0 if ok else 1
 
 
