@@ -1152,6 +1152,9 @@ object GraftFunctions {
     ("graft_dedup",
       new ExpressionInfo("graft.operators.DedupOps", "graft_dedup"),
       (es: Seq[Expression]) => graft.operators.DedupOps.sqlBuilder(es)),
+    ("graft_dup_clusters",
+      new ExpressionInfo("graft.operators.DedupOps", "graft_dup_clusters"),
+      (es: Seq[Expression]) => graft.operators.DedupOps.clustersSqlBuilder(es)),
     ("graft_ann",
       new ExpressionInfo("graft.functions.VectorOps", "graft_ann"),
       (es: Seq[Expression]) => graft.functions.VectorOps.sqlBuilder(es)),

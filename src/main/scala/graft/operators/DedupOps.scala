@@ -78,6 +78,69 @@ object DedupOps {
     out.queryExecution.analyzed
   }
 
+  /** SQL table-valued surface for the NEAR-dup clustering tier,
+    * registered as `graft_dup_clusters` (same injection path as
+    * `graft_dedup`):
+    *
+    * {{{
+    * SELECT * FROM graft_dup_clusters('docs', 'doc_id', 'text', 0.05)
+    *   -- (doc_id, cluster_id) per clustered doc
+    * SELECT * FROM graft_dup_clusters('docs', 'doc_id', 'text', 0.05, 'dedup')
+    *   -- the input table minus all-but-canonical of each cluster
+    * }}}
+    *
+    * Mode 'clusters' (default) returns the connected components of the
+    * exact n-gram Jaccard graph at `threshold` (cluster_id = min member
+    * id — the q_dup_clusters semantics); 'dedup' returns the full
+    * near-dedup pass (q_dedup_full's shape: every non-canonical cluster
+    * member anti-joined away). The edge stage is
+    * [[ngramJaccardConnectivityEdges]] — clone-group linear, the
+    * 100 TB path.
+    */
+  def clustersSqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def lit(i: Int, what: String): String =
+      graft.plans.TvfArgs.strLit("graft_dup_clusters", es)(i, what)
+    if (es.size < 4 || es.size > 5)
+      throw new IllegalArgumentException(
+        "graft_dup_clusters(table, id_col, text_col, threshold" +
+          "[, 'clusters'|'dedup'])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(lit(0, "table name"))
+    // ANALYSIS-TIME rejection (the graft_dedup pattern): connected
+    // components are a multi-pass fixed point no stream evaluates
+    if (df.isStreaming)
+      throw new UnsupportedOperationException(
+        "graft_dup_clusters: the input table is a stream — connected " +
+          "components need a multi-pass fixed point. Use " +
+          "StreamingOps.incrementalCC for streaming clustering or " +
+          "ttlDedupStream for streaming dedup")
+    val (idCol, textCol) = (lit(1, "id_col"), lit(2, "text_col"))
+    val threshold = {
+      val raw = lit(3, "threshold")
+      val t = try raw.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft_dup_clusters: threshold must be numeric, got '$raw'")
+      }
+      require(t > 0.0 && t <= 1.0,
+        s"graft_dup_clusters: threshold must be in (0, 1], got $t")
+      t
+    }
+    val edges = ngramJaccardConnectivityEdges(df, idCol, textCol, threshold)
+    val clusters = GraphOps.dupClusters(edges)
+    val out = (if (es.size > 4) lit(4, "mode") else "clusters") match {
+      case "" | "clusters" =>
+        clusters.select(col("id").as(idCol), col("cluster_id"))
+      case "dedup" =>
+        df.join(clusters.filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      case m => throw new IllegalArgumentException(
+        s"graft_dup_clusters: mode must be clusters|dedup, got '$m'")
+    }
+    out.queryExecution.analyzed
+  }
+
   /** k-permutation MinHash signature over word n-gram shingles of
     * `textCol` — the native codegen'd [[graft.functions.MinHashSignature]]
     * expression: one pass, one hash per token, shingle hashes chained

@@ -1383,6 +1383,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The SAME clustering spelled in Spark SQL through the
+    // graft_dup_clusters TVF (r18) — the SQL parity surface for the
+    // near-dup tier, riding the identical connectivity-mode edge build.
+    // SHARES q_dup_clusters' full-clique CC oracle.
+    "q_dup_clusters_sql" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .createOrReplaceTempView("graft_dupc_docs")
+      s.sql("""
+        SELECT doc_id, cluster_id
+        FROM graft_dup_clusters('graft_dupc_docs', 'doc_id', 'text', 0.05)
+        ORDER BY doc_id""")
+    },
+
     // B-cubed evaluation of the near-dup clustering against exact-dup
     // gold truth (md5 groups): per-document precision/recall/F1 averaged
     // over the corpus — the dedup-quality metric that neither collapses
@@ -4556,6 +4569,39 @@ object TextQueries {
        ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB twin of q_dup_clusters AND its graft_dup_clusters TVF
+    * spelling: full-clique candidate pairs, recursive-CTE connected
+    * components, cluster_id = component min — CC is invariant to the
+    * Spark side's connectivity-mode star rewrite, so a wrong star
+    * flips this hash.
+    */
+  private def dupClustersOracle: String =
+    """WITH RECURSIVE sh AS (
+         SELECT doc_id AS id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+         )) AS sh
+         FROM documents WHERE len(string_split(text,' ')) >= 3),
+       sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+       shared AS (
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         GROUP BY a.id, b.id),
+       pairs AS (
+         SELECT id_a, id_b FROM shared
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+         WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+       edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+       SELECT id AS doc_id, min(r) AS cluster_id
+       FROM reach GROUP BY id ORDER BY doc_id"""
+
   /** DuckDB twin of q_label_prop: the COLLAPSED-graph formulation —
     * one node per distinct text (gid = min doc_id, grouped by the text
     * itself where Spark groups by md5(text): the same partition), the
@@ -6001,32 +6047,8 @@ object TextQueries {
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redacted,
            md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5
          FROM documents ORDER BY doc_id""",
-    "q_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-           SELECT doc_id AS id, unnest(list_distinct(
-             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
-               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-           )) AS sh
-           FROM documents WHERE len(string_split(text,' ')) >= 3),
-         sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-         shared AS (
-           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-           GROUP BY a.id, b.id),
-         pairs AS (
-           SELECT id_a, id_b FROM shared
-             JOIN sizes sa ON sa.id = id_a
-             JOIN sizes sb ON sb.id = id_b
-           WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
-         edges AS (
-           SELECT id_a AS u, id_b AS v FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         reach(id, r) AS (
-           SELECT u, u FROM edges
-           UNION
-           SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
-         SELECT id AS doc_id, min(r) AS cluster_id
-         FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_dup_clusters" -> dupClustersOracle,
+    "q_dup_clusters_sql" -> dupClustersOracle, // TVF spelling, same truth
     // Same cluster CTE chain as q_dup_clusters, then the exact
     // contingency-cell reduction: every numerator is an integer
     // (per-cell F1 = 2·n_cg/(n_c+n_g)), so both engines divide the same
