@@ -329,6 +329,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectivity-mode dedup edges give the same clusters as all-pairs on random clone corpora") {
+    import graft.operators.{DedupOps, GraphOps}
+    // random corpora with planted duplication: a pool of random texts,
+    // each doc drawing one (so clone groups of arbitrary size arise),
+    // at a random threshold — CC over connectivity edges must equal CC
+    // over the full pair set on every draw (the r18 star-rewrite
+    // contract, beyond DedupSpec's hand-built fixture)
+    val word = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val text = Gen.choose(0, 7).flatMap(n =>
+      Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = for {
+      nTexts <- Gen.choose(1, 6)
+      pool <- Gen.listOfN(nTexts, text)
+      nDocs <- Gen.choose(1, 25)
+      picks <- Gen.listOfN(nDocs, Gen.choose(0, nTexts - 1))
+      t <- Gen.oneOf(0.05, 0.3, 0.7, 1.0)
+    } yield (picks.zipWithIndex.map { case (p, i) => (i.toLong, pool(p)) }, t)
+    forSamples(corpus, 8) { case (docs, t) =>
+      val d = docs.toDF("doc_id", "text")
+      def clusters(pairs: org.apache.spark.sql.DataFrame) =
+        GraphOps.dupClusters(pairs).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val conn = clusters(DedupOps.ngramJaccardConnectivityEdges(
+        d, "doc_id", "text", t, collapseBelow = 1.1)) // force collapse
+      val plain = clusters(DedupOps.ngramJaccardPairs(d, "doc_id", "text", t))
+      assert(conn == plain, s"t=$t docs=$docs\nconn=$conn\nplain=$plain")
+    }
+  }
+
   test("graft_shingles / graft_lang_ngram match their HOF spellings for random text") {
     import graft.functions.TextOps
     forSamples(Gen.listOfN(40, textGen), 4) { texts =>
