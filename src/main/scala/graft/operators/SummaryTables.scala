@@ -176,6 +176,14 @@ object SummaryTables {
   /** Name of the applied-batch ledger sidecar (see `batchId` below). */
   private[graft] val BatchLedger = "_GRAFT_LAST_BATCH"
 
+  /** (summaryPath, maintainable column set) pairs whose stored schema
+    * already validated — maintain()'s fail-fast footer read runs once
+    * per pair, not per micro-batch (single-writer staged-swap contract:
+    * only maintain itself rewrites the path, preserving columns).
+    */
+  private val validatedSchemas =
+    new java.util.concurrent.ConcurrentHashMap[(String, Set[String]), java.lang.Boolean]()
+
   /** Last batch id applied to the summary at `path`, or -1 (fresh
     * summaries, incl. plain-rollup bootstraps, have no ledger).
     */
@@ -259,26 +267,32 @@ object SummaryTables {
     // path that skips rebuild because _SUCCESS still exists. Fail fast
     // here instead, naming the drift. (Schema-only read — no data
     // pages; runs after recovery so the footer it reads is the
-    // recovered table's.)
-    val storedCols = spark.read.parquet(summaryPath)
-      .schema.fieldNames.map(_.toLowerCase).toSet
+    // recovered table's. Cached per (path, maintainable set): our own
+    // swaps preserve the column set, and the staged-swap protocol is
+    // single-writer, so one footer read validates every later batch —
+    // the streaming sink stays one Spark job per micro-batch.)
     val maintainable =
       (groupKeys ++ Seq(countCol) ++ sumColsBase.values ++
         cntColsBase.values ++ minColsBase.values ++ maxColsBase.values)
         .map(_.toLowerCase).toSet
-    val extraStored = storedCols -- maintainable
-    val missingStored = maintainable -- storedCols
-    require(extraStored.isEmpty && missingStored.isEmpty,
-      s"SummaryTables.maintain($summaryPath): stored summary columns " +
-        s"do not match the maintainable set — " +
-        (if (extraStored.nonEmpty)
-          s"stored column(s) ${extraStored.mkString(", ")} have no " +
-            "partial spec in this call (maintaining would silently drop " +
-            "them); " else "") +
-        (if (missingStored.nonEmpty)
-          s"spec column(s) ${missingStored.mkString(", ")} are not in " +
-            "the stored summary; " else "") +
-        "rebuild the summary or pass the full partial maps")
+    if (!validatedSchemas.contains((summaryPath, maintainable))) {
+      val storedCols = spark.read.parquet(summaryPath)
+        .schema.fieldNames.map(_.toLowerCase).toSet
+      val extraStored = storedCols -- maintainable
+      val missingStored = maintainable -- storedCols
+      require(extraStored.isEmpty && missingStored.isEmpty,
+        s"SummaryTables.maintain($summaryPath): stored summary columns " +
+          s"do not match the maintainable set — " +
+          (if (extraStored.nonEmpty)
+            s"stored column(s) ${extraStored.mkString(", ")} have no " +
+              "partial spec in this call (maintaining would silently drop " +
+              "them); " else "") +
+          (if (missingStored.nonEmpty)
+            s"spec column(s) ${missingStored.mkString(", ")} are not in " +
+              "the stored summary; " else "") +
+          "rebuild the summary or pass the full partial maps")
+      validatedSchemas.put((summaryPath, maintainable), java.lang.Boolean.TRUE)
+    }
     // exactly-once under replayed feeds (the streaming sink's contract):
     // deltas are NOT idempotent, so a caller supplying a monotonically
     // increasing batchId gets dedup — an already-applied id is a no-op,

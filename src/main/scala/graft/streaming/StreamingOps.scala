@@ -738,14 +738,22 @@ object StreamingOps {
       countCol: String, sumColsBase: Map[String, String],
       minColsBase: Map[String, String] = Map.empty,
       maxColsBase: Map[String, String] = Map.empty,
-      cntColsBase: Map[String, String] = Map.empty)
+      cntColsBase: Map[String, String] = Map.empty,
+      baseAfter: Option[() => DataFrame] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    // baseAfter: a THUNK re-evaluated per micro-batch (the base table's
+    // current post-batch state — e.g. a fresh read of the path the CDC
+    // pipeline applies the same feed to) so min/max partials survive
+    // RETRACTION batches via SummaryTables.maintain's targeted group
+    // repair; without it a delete/update batch against a min/max
+    // summary fails loudly, exactly as in the batch API
     feed.writeStream.outputMode("append").foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty)
           graft.operators.SummaryTables.maintain(summaryPath, batch,
             groupKeys, countCol, sumColsBase, minColsBase, maxColsBase,
-            batchId = Some(id), cntColsBase = cntColsBase)
+            batchId = Some(id), cntColsBase = cntColsBase,
+            baseAfter = baseAfter.map(_()))
     }
 
   /** Streaming append through the DSv2 staging sink

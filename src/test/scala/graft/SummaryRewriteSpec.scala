@@ -289,6 +289,55 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming maintainSummaryEachBatch: a retraction batch repairs min/max from baseAfter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the CDC pipeline shape: the feed is applied to the BASE table and
+    // (via the same stream) to its min/max summary — the baseAfter
+    // thunk re-reads the base path each micro-batch, so batch 2's
+    // deletion of group a's minimum repairs min_v exactly
+    val dir = java.nio.file.Files.createTempDirectory("mv_stream_retract").toString
+    val base0 = Seq((1L, "a", 10L), (2L, "a", 3L), (3L, "b", 5L)).toDF("id", "g", "v")
+    val base1 = Seq((1L, "a", 10L), (2L, "a", 3L), (3L, "b", 5L),
+      (4L, "b", 1L)).toDF("id", "g", "v")
+    val base2 = Seq((1L, "a", 10L), (3L, "b", 5L), (4L, "b", 1L))
+      .toDF("id", "g", "v") // batch 2 DELETES (2, a, 3) — group a's min
+    def rollup(b: org.apache.spark.sql.DataFrame) = b.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("g", "cnt", "sum_v", "min_v", "max_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    val path = s"$dir/summary"
+    rollup(base0).write.parquet(path)
+    base0.write.mode("overwrite").parquet(s"$dir/base")
+    def feedRows(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      graft.ops.ChangeFeed.diff(a, b, Seq("id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = graft.streaming.StreamingOps.maintainSummaryEachBatch(
+      mem.toDF().toDF("id", "change_type", "g", "v"),
+      path, Seq("g"), "cnt", Map("v" -> "sum_v"),
+      minColsBase = Map("v" -> "min_v"), maxColsBase = Map("v" -> "max_v"),
+      baseAfter = Some(() => spark.read.parquet(s"$dir/base"))).start()
+    try {
+      // batch 1: insert-only (no repair needed)
+      base1.write.mode("overwrite").parquet(s"$dir/base")
+      mem.addData(feedRows(base0, base1): _*)
+      q.processAllAvailable()
+      assert(rows(spark.read.parquet(path)) == rows(rollup(base1)))
+      // batch 2: the retraction — min_v of group a must repair 3 → 10
+      base2.write.mode("overwrite").parquet(s"$dir/base")
+      mem.addData(feedRows(base1, base2): _*)
+      q.processAllAvailable()
+      assert(rows(spark.read.parquet(path)) == rows(rollup(base2)))
+      assert(rows(spark.read.parquet(path)).find(_._1 == "a").get._4 == 10L)
+    } finally q.stop()
+  }
+
   test("avg rewrites to sum-partial/count-partial, bit-equal to the base plan") {
     SummaryRewrite.clear()
     def q() = Tables(spark, sfDir, "orders")
