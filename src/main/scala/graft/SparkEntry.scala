@@ -40,7 +40,7 @@ object SparkEntry {
     "q_union_distinct_limit", "q_range_join", "q_asof_join",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_ngram_jaccard", "q_dup_clusters", "q_dup_clusters_sql",
-    "q_quality_filter",
+    "q_dedup_full_sql", "q_quality_filter",
     "q_embed_cosine_topk", "q_embed_ann_lsh",
     "q_embed_ann_ivf", "q_winnow", "q_text_stats", "q_vocab_topk",
     "q_tfidf_top", "q_sessionize", "q_tumbling_window",

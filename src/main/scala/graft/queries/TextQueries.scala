@@ -1396,6 +1396,17 @@ object TextQueries {
         ORDER BY doc_id""")
     },
 
+    // The TVF's 'dedup' mode: the complete near-dedup pass in one SQL
+    // call — SHARES q_dedup_full's base-table oracle.
+    "q_dedup_full_sql" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .createOrReplaceTempView("graft_dupf_docs")
+      s.sql("""
+        SELECT doc_id, lang
+        FROM graft_dup_clusters('graft_dupf_docs', 'doc_id', 'text', 0.05, 'dedup')
+        ORDER BY doc_id""")
+    },
+
     // B-cubed evaluation of the near-dup clustering against exact-dup
     // gold truth (md5 groups): per-document precision/recall/F1 averaged
     // over the corpus — the dedup-quality metric that neither collapses
@@ -4602,6 +4613,39 @@ object TextQueries {
        SELECT id AS doc_id, min(r) AS cluster_id
        FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** DuckDB twin of q_dedup_full AND its graft_dup_clusters TVF
+    * 'dedup' spelling: full-clique CC, then the corpus minus every
+    * non-canonical cluster member.
+    */
+  private def dedupFullOracle: String =
+    """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+           )) AS sh
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         shared AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+         pairs AS (
+           SELECT id_a, id_b FROM shared
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
+         ORDER BY doc_id"""
+
   /** DuckDB twin of q_label_prop: the COLLAPSED-graph formulation —
     * one node per distinct text (gid = min doc_id, grouped by the text
     * itself where Spark groups by md5(text): the same partition), the
@@ -6092,34 +6136,8 @@ object TextQueries {
          round(sum(n_cg * n_cg * 1.0 / n_g) / sum(n_cg), 6) AS bcubed_r,
          round(sum(2.0 * n_cg * n_cg / (n_c + n_g)) / sum(n_cg), 6) AS bcubed_f1
        FROM cells JOIN nc USING (c) JOIN ng USING (g)""",
-    "q_dedup_full" ->
-      """WITH RECURSIVE sh AS (
-           SELECT doc_id AS id, unnest(list_distinct(
-             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
-               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-           )) AS sh
-           FROM documents WHERE len(string_split(text,' ')) >= 3),
-         sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-         shared AS (
-           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-           GROUP BY a.id, b.id),
-         pairs AS (
-           SELECT id_a, id_b FROM shared
-             JOIN sizes sa ON sa.id = id_a
-             JOIN sizes sb ON sb.id = id_b
-           WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
-         edges AS (
-           SELECT id_a AS u, id_b AS v FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         reach(id, r) AS (
-           SELECT u, u FROM edges
-           UNION
-           SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
-         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
-         SELECT doc_id, lang FROM documents
-         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
-         ORDER BY doc_id""",
+    "q_dedup_full" -> dedupFullOracle,
+    "q_dedup_full_sql" -> dedupFullOracle, // TVF dedup mode, same truth
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
