@@ -144,6 +144,10 @@ def main(corpus_dir, out_dir):
         CAST(r.n_tokens AS BIGINT) AS canonical_tokens, s.n_members
       FROM ranked r JOIN sz s ON s.cluster_id = r.cluster_id
       WHERE r.rk = 1""")
+    # the TVF dedup-mode spelling returns (doc_id, lang) like
+    # q_dedup_full — same expected relation, distinct name for clarity
+    con.sql("""CREATE TEMP VIEW dedup_full_sql_expected AS
+      SELECT * FROM dedup_full_expected""")
     # q_bcubed: per-doc B-cubed vs exact-dup gold, reduced group-level —
     # a clustered GROUP contributes one (cluster, group, g_n) cell
     # (every clone shares its rep's component), an unclustered group
@@ -208,8 +212,10 @@ def main(corpus_dir, out_dir):
     # gate should show zero SKIP lines
     ok = True
     for name, rel in [("q_dup_clusters", "dup_clusters_expected"),
+                      ("q_dup_clusters_sql", "dup_clusters_expected"),
                       ("q_label_prop", "label_prop_expected"),
                       ("q_dedup_full", "dedup_full_expected"),
+                      ("q_dedup_full_sql", "dedup_full_sql_expected"),
                       ("q_cluster_canonical", "cluster_canonical_expected"),
                       ("q_leakage_safe_split", "leakage_split_expected"),
                       ("q_bcubed", "bcubed_expected")]:
