@@ -412,10 +412,31 @@ object DedupOps {
     cloneCollapsedImpl(df, idCol, textCol, threshold, n, collapseBelow,
       connectivity = true)
 
+  /** [[prefixJaccardPairs]] with the SAME exact-duplicate collapse as
+    * [[ngramJaccardPairsCloneCollapsed]] — identical texts share
+    * identical prefix tokens, so on a clone-heavy corpus the PPJoin
+    * candidate self-join blows up exactly like the plain inverted
+    * index (every clone pair collides on every prefix token); running
+    * the prefix/positional machinery over ONE representative per
+    * distinct text and expanding (cross pairs inherit the reps'
+    * jaccard, within-group pairs are jaccard exactly 1) produces the
+    * IDENTICAL pair set. The OUTPUT is still quadratic in clone-group
+    * size — that is the pair-list contract — but the candidate stage,
+    * the verify joins, and the shingle index are all 1x-sized.
+    */
+  def prefixJaccardPairsCloneCollapsed(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3,
+      collapseBelow: Double = 0.9): DataFrame =
+    cloneCollapsedImpl(df, idCol, textCol, threshold, n, collapseBelow,
+      connectivity = false, pairFn = prefixJaccardPairs)
+
   private def cloneCollapsedImpl(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int,
-      collapseBelow: Double, connectivity: Boolean): DataFrame = {
+      collapseBelow: Double, connectivity: Boolean,
+      pairFn: (DataFrame, String, String, Double, Int) => DataFrame =
+        ngramJaccardPairs(_, _, _, _, _, None)): DataFrame = {
     // ADAPTIVE: the collapse machinery (members join + expansion) is
     // insurance against clone-group quadratics — on a mostly-unique
     // corpus it is pure overhead. The probe shuffles ONLY (md5, id)
@@ -434,7 +455,7 @@ object DedupOps {
     val nTexts = stats.getLong(0)
     val nDocs = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     if (nDocs == 0L || nTexts >= collapseBelow * nDocs)
-      return ngramJaccardPairs(df, idCol, textCol, threshold, n)
+      return pairFn(df, idCol, textCol, threshold, n)
     val members = df.select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
       .join(groups.select(col("__h"), col("gid")), Seq("__h"))
       .select(col("gid"), col("id"))
@@ -448,7 +469,7 @@ object DedupOps {
       .localCheckpoint()
     // the plain operator over one representative row per distinct text:
     // same shingles, same counts, same double arithmetic
-    val gp = ngramJaccardPairs(reps, "id", "__text", threshold, n)
+    val gp = pairFn(reps, "id", "__text", threshold, n)
     // within-group gate: only groups with >= 2 copies AND a non-empty
     // shingle set (>= n tokens) — zero-shingle docs never pair in the
     // plain operator either

@@ -258,13 +258,20 @@ object TextQueries {
 
     // PPJoin-style prefix-filtered set-similarity join at Jaccard >=
     // 0.5: only each set's RAREST |X| - floor(0.5|X|) + 1 shingles are
-    // indexed (prefix-filter lemma), candidates are length-filtered
-    // and exactly verified. The oracle recomputes the answer through
-    // the FULL inverted index, independently proving the prefix filter
-    // admits no false negatives on this corpus.
+    // indexed (prefix-filter lemma), candidates are length- and
+    // POSITION-filtered and exactly verified. The oracle recomputes the
+    // answer through the FULL inverted index, independently proving the
+    // filters admit no false negatives on this corpus. The registered
+    // spelling is the CLONE-COLLAPSED derivation (bit-equal,
+    // DedupSpec-pinned; adaptive — this corpus is mostly unique, so it
+    // routes to the plain operator after one 16-byte-key probe): on a
+    // duplicate-heavy corpus the prefix self-join runs over distinct
+    // texts — identical texts share identical prefixes, so the
+    // candidate stage would otherwise quadratic-blow exactly like the
+    // plain inverted index did at the 100x corpus (PERF_NOTES r16).
     "q_setsim_prefix" -> { (s, dir) =>
-      DedupOps.prefixJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, n = 3)
+      DedupOps.prefixJaccardPairsCloneCollapsed(
+        Tables(s, dir, "documents"), "doc_id", "text", threshold = 0.5, n = 3)
         .orderBy("id_a", "id_b")
     },
 

@@ -180,6 +180,31 @@ class DedupSpec extends SparkSpec {
       clusters(DedupOps.ngramJaccardPairs(uniq, "doc_id", "text", 0.05)))
   }
 
+  test("prefixJaccardPairsCloneCollapsed equals the plain PPJoin bit-for-bit") {
+    // identical texts share identical prefix tokens, so the collapse
+    // derivation (rep-level PPJoin + expansion) must reproduce the
+    // plain operator's pair set exactly — same fixture as the plain
+    // clone-collapse test, PPJoin-ish thresholds
+    val d = Seq(
+      (1L, "a b c d e"), (7L, "a b c d e"), (4L, "a b c d e"),
+      (2L, "a b c e f"), (9L, "a b c e f"),
+      (3L, "x y"), (8L, "x y"),
+      (5L, "q r s t u v w")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (t <- Seq(0.3, 0.5, 1.0)) {
+      val plain = norm(DedupOps.prefixJaccardPairs(d, "doc_id", "text", t))
+      val fast = norm(DedupOps.prefixJaccardPairsCloneCollapsed(
+        d, "doc_id", "text", t, collapseBelow = 1.1)) // force collapse
+      assert(fast == plain, s"threshold $t: $fast != $plain")
+      // and the adaptive fallback path routes to the plain operator
+      val fb = norm(DedupOps.prefixJaccardPairsCloneCollapsed(
+        d, "doc_id", "text", t, collapseBelow = 0.0))
+      assert(fb == plain, s"threshold $t fallback")
+    }
+  }
+
   test("graft_dup_clusters TVF: clusters and dedup modes match the operator path") {
     val d = Seq(
       (1L, "a b c d e"), (7L, "a b c d e"), (4L, "a b c d e"),

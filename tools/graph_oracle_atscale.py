@@ -148,6 +148,29 @@ def main(corpus_dir, out_dir):
     # q_dedup_full — same expected relation, distinct name for clarity
     con.sql("""CREATE TEMP VIEW dedup_full_sql_expected AS
       SELECT * FROM dedup_full_expected""")
+    # q_setsim_prefix (threshold 0.5): the full PPJoin PAIR LIST through
+    # the clone-aware derivation — rep-level qualifying pairs expanded
+    # to every member pair (inheriting the reps' exact jaccard), plus
+    # every within-group member pair at jaccard exactly 1. The output
+    # IS quadratic in clone-group size (the pair-list contract); the
+    # derivation is 1x-sized. MATERIALIZED: ~27M rows at 100x.
+    con.sql("""CREATE TEMP TABLE tp05 AS
+      SELECT ga, gb,
+        CAST(ns AS DOUBLE) / (sa.n_sh + sb.n_sh - ns) AS j
+      FROM (
+        SELECT a.gid AS ga, b.gid AS gb, count(*) AS ns
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.gid < b.gid GROUP BY 1, 2)
+      JOIN sizes sa ON sa.gid = ga JOIN sizes sb ON sb.gid = gb
+      WHERE CAST(ns AS DOUBLE) / (sa.n_sh + sb.n_sh - ns) >= 0.5""")
+    con.sql("""CREATE TEMP VIEW setsim_prefix_expected AS
+      SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+        greatest(ma.doc_id, mb.doc_id) AS id_b, t.j AS jaccard
+      FROM tp05 t JOIN members ma ON ma.gid = t.ga
+                  JOIN members mb ON mb.gid = t.gb
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, 1.0e0
+      FROM selfg s JOIN members a ON a.gid = s.gid
+                   JOIN members b ON b.gid = s.gid AND a.doc_id < b.doc_id""")
     # q_bcubed: per-doc B-cubed vs exact-dup gold, reduced group-level —
     # a clustered GROUP contributes one (cluster, group, g_n) cell
     # (every clone shares its rep's component), an unclustered group
@@ -218,7 +241,8 @@ def main(corpus_dir, out_dir):
                       ("q_dedup_full_sql", "dedup_full_sql_expected"),
                       ("q_cluster_canonical", "cluster_canonical_expected"),
                       ("q_leakage_safe_split", "leakage_split_expected"),
-                      ("q_bcubed", "bcubed_expected")]:
+                      ("q_bcubed", "bcubed_expected"),
+                      ("q_setsim_prefix", "setsim_prefix_expected")]:
         if os.path.isdir(f"{out_dir}/{name}"):
             ok = compare(con, name, rel, out_dir) and ok
         else:
