@@ -141,6 +141,61 @@ object DedupOps {
     out.queryExecution.analyzed
   }
 
+  /** [[containmentPairs]] with the exact-duplicate collapse — the
+    * directed sibling of [[prefixJaccardPairsCloneCollapsed]]: identical
+    * texts have identical shingle sets, so every qualifying ORDERED doc
+    * pair is the expansion of a qualifying ordered TEXT-GROUP pair
+    * (cross pairs inherit the reps' n_shared/n_a/containment verbatim;
+    * within a group of n >= 2 copies with >= minShingles shingles,
+    * every ordered pair at containment exactly 1 — n_shared = n_a =
+    * the group's shingle count, matching the plain operator's
+    * arithmetic bit for bit). Same adaptive fallback and the same
+    * no-maxDocFreq rule as the Jaccard collapse (document frequency
+    * counts clones there but groups here).
+    */
+  def containmentPairsCloneCollapsed(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, minShingles: Int = 5,
+      collapseBelow: Double = 0.9): DataFrame = {
+    val groups = df.select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col("id")).as("gid"), count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val stats = groups.agg(count(lit(1)), sum(col("__n"))).head()
+    val nTexts = stats.getLong(0)
+    val nDocs = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (nDocs == 0L || nTexts >= collapseBelow * nDocs)
+      return containmentPairs(df, idCol, textCol, threshold, n, minShingles)
+    val members = df.select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
+      .join(groups.select(col("__h"), col("gid")), Seq("__h"))
+      .select(col("gid"), col("id"))
+    val reps = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(groups.select(col("gid").as("id")), Seq("id"), "left_semi")
+      .localCheckpoint()
+    val gp = containmentPairs(reps, "id", "__text", threshold, n, minShingles)
+    // DIRECTED expansion: id_a stays the contained side
+    val cross = gp
+      .join(members.select(col("gid").as("id_a"), col("id").as("__da")), "id_a")
+      .join(members.select(col("gid").as("id_b"), col("id").as("__db")), "id_b")
+      .select(col("__da").as("id_a"), col("__db").as("id_b"),
+        col("n_shared"), col("n_a"), col("containment"))
+    val repSizes = reps.select(col("id").as("gid"),
+      size(call_function("graft_shingle_hashes",
+        TextOps.tokens(col("__text")), lit(n), lit(42L)))
+        .cast(LongType).as("__nsh"))
+    val withinGroups = groups.filter(col("__n") >= 2)
+      .join(repSizes.filter(col("__nsh") >= minShingles), Seq("gid"))
+      .select(col("gid"), col("__nsh"))
+    val wm = members.join(withinGroups, Seq("gid"))
+    val within = wm.select(col("gid"), col("id").as("id_a"), col("__nsh"))
+      .join(wm.select(col("gid"), col("id").as("id_b")), Seq("gid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__nsh").as("n_shared"),
+        col("__nsh").as("n_a"), lit(1.0).as("containment"))
+      .filter(lit(1.0) >= lit(threshold))
+    cross.unionByName(within)
+  }
+
   /** k-permutation MinHash signature over word n-gram shingles of
     * `textCol` — the native codegen'd [[graft.functions.MinHashSignature]]
     * expression: one pass, one hash per token, shingle hashes chained

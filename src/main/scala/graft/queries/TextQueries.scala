@@ -278,9 +278,14 @@ object TextQueries {
     // Directed shingle-set containment |A∩B|/|A| >= 0.8 — catches a doc
     // embedded inside a longer one (boilerplate, quote-inclusion),
     // which symmetric Jaccard misses. Same inverted-index shape as
-    // q_ngram_jaccard; see DedupOps.containmentPairs.
+    // q_ngram_jaccard; the registered spelling is the CLONE-COLLAPSED
+    // derivation (bit-equal, DedupSpec-pinned; adaptive — mostly-unique
+    // corpora route to the plain operator after one 16-byte-key probe),
+    // so the directed candidate stage runs over distinct texts on
+    // duplicate-heavy corpora. See DedupOps.containmentPairsCloneCollapsed.
     "q_containment" -> { (s, dir) =>
-      DedupOps.containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+      DedupOps.containmentPairsCloneCollapsed(
+        Tables(s, dir, "documents"), "doc_id", "text",
         threshold = 0.8, n = 3, minShingles = 5)
         .orderBy("id_a", "id_b")
     },

@@ -205,6 +205,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairsCloneCollapsed equals the plain operator bit-for-bit (directed)") {
+    // clone groups over texts long enough to clear minShingles, a
+    // strict-subset pair (directed asymmetry exercised), zero-shingle
+    // dups, a singleton
+    val d = Seq(
+      (1L, "a b c d e f g"), (7L, "a b c d e f g"), (4L, "a b c d e f g"),
+      (2L, "a b c d e f g h i j"), (9L, "a b c d e f g h i j"),
+      (3L, "x y"), (8L, "x y"),
+      (5L, "q r s t u v w z k l")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val plain = norm(DedupOps.containmentPairs(
+        d, "doc_id", "text", t, n = 3, minShingles = 4))
+      val fast = norm(DedupOps.containmentPairsCloneCollapsed(
+        d, "doc_id", "text", t, n = 3, minShingles = 4,
+        collapseBelow = 1.1)) // force collapse
+      assert(fast == plain, s"threshold $t: $fast != $plain")
+      val fb = norm(DedupOps.containmentPairsCloneCollapsed(
+        d, "doc_id", "text", t, n = 3, minShingles = 4,
+        collapseBelow = 0.0)) // force fallback
+      assert(fb == plain, s"threshold $t fallback")
+    }
+    // directed sanity: the short group IS contained in the long group
+    // (containment 1.0 each way a→b only)
+    val rows = norm(DedupOps.containmentPairsCloneCollapsed(
+      d, "doc_id", "text", 0.9, n = 3, minShingles = 4, collapseBelow = 1.1))
+    assert(rows.exists(r => r._1 == 1L && r._2 == 2L && r._5 == 1.0))
+    assert(!rows.exists(r => r._1 == 2L && r._2 == 1L))
+  }
+
   test("graft_dup_clusters TVF: clusters and dedup modes match the operator path") {
     val d = Seq(
       (1L, "a b c d e"), (7L, "a b c d e"), (4L, "a b c d e"),

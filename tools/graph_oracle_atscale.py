@@ -171,6 +171,32 @@ def main(corpus_dir, out_dir):
       SELECT a.doc_id, b.doc_id, 1.0e0
       FROM selfg s JOIN members a ON a.gid = s.gid
                    JOIN members b ON b.gid = s.gid AND a.doc_id < b.doc_id""")
+    # q_containment (threshold 0.8, minShingles 5): the DIRECTED
+    # containment pair list clone-aware — ordered rep-level pairs
+    # (|A∩B|/|A| over group shingle sets, contained side's size gate)
+    # expanded to every ordered member pair; within-group ordered pairs
+    # at containment exactly 1 with n_shared = n_a = the group's
+    # shingle count. MATERIALIZED: ~55M rows at 100x.
+    con.sql("""CREATE TEMP TABLE ctp AS
+      SELECT ga, gb, ns, sa.n_sh AS n_a,
+        CAST(ns AS DOUBLE) / sa.n_sh AS c
+      FROM (
+        SELECT a.gid AS ga, b.gid AS gb, count(*) AS ns
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.gid <> b.gid
+        GROUP BY 1, 2) x
+      JOIN sizes sa ON sa.gid = ga
+      WHERE sa.n_sh >= 5 AND CAST(ns AS DOUBLE) / sa.n_sh >= 0.8""")
+    con.sql("""CREATE TEMP VIEW containment_expected AS
+      SELECT ma.doc_id AS id_a, mb.doc_id AS id_b,
+        t.ns AS n_shared, t.n_a, t.c AS containment
+      FROM ctp t JOIN members ma ON ma.gid = t.ga
+                 JOIN members mb ON mb.gid = t.gb
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, s2.n_sh, s2.n_sh, 1.0e0
+      FROM g gg JOIN sizes s2 ON s2.gid = gg.gid
+        JOIN members a ON a.gid = gg.gid
+        JOIN members b ON b.gid = gg.gid AND a.doc_id <> b.doc_id
+      WHERE gg.n >= 2 AND s2.n_sh >= 5""")
     # q_bcubed: per-doc B-cubed vs exact-dup gold, reduced group-level —
     # a clustered GROUP contributes one (cluster, group, g_n) cell
     # (every clone shares its rep's component), an unclustered group
@@ -242,7 +268,8 @@ def main(corpus_dir, out_dir):
                       ("q_cluster_canonical", "cluster_canonical_expected"),
                       ("q_leakage_safe_split", "leakage_split_expected"),
                       ("q_bcubed", "bcubed_expected"),
-                      ("q_setsim_prefix", "setsim_prefix_expected")]:
+                      ("q_setsim_prefix", "setsim_prefix_expected"),
+                      ("q_containment", "containment_expected")]:
         if os.path.isdir(f"{out_dir}/{name}"):
             ok = compare(con, name, rel, out_dir) and ok
         else:
