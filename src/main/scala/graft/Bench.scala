@@ -58,10 +58,14 @@ object Bench {
 
   /** Rolling (wallSec, selfCpuSec) samples for the trailing-minute own-
     * CPU rate — the subtrahend that turns raw loadavg into an ambient
-    * estimate. Appended before every timed run; reads interpolate from
-    * the oldest sample within the last 60 s (or the oldest overall
-    * while the sweep is younger than a minute — the untimed warmup
-    * seeds the history).
+    * estimate. The reference sample is chosen from the PRIOR history
+    * (oldest within the last 60 s, else the oldest overall) BEFORE the
+    * current sample is appended: appending first made a >60 s-stale
+    * history match the just-appended sample itself (dt = 0 → estimate
+    * unavailable → run classified quiet), silently disabling the gate
+    * for exactly the long queries most exposed to ambient pressure.
+    * The oldest-overall fallback keeps a (longer-window, hence
+    * smoothed) own-rate estimate in play rather than none.
     */
   private val cpuSamples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
   private def nowSec(): Double = System.nanoTime() / 1e9
@@ -69,9 +73,10 @@ object Bench {
     val cpu = selfCpuSec()
     if (cpu < 0) return -1.0 // bean unavailable: gate disabled downstream
     val t = nowSec()
-    cpuSamples += ((t, cpu))
     val cutoff = t - 60.0
-    val base = cpuSamples.find(_._1 >= cutoff).getOrElse(cpuSamples.head)
+    val base = cpuSamples.find(_._1 >= cutoff)
+      .orElse(cpuSamples.headOption).getOrElse((t, cpu))
+    cpuSamples += ((t, cpu))
     val dt = t - base._1
     val ownRate = if (dt >= 5.0) (cpu - base._2) / dt else -1.0
     if (ownRate < 0) -1.0 else math.max(0.0, load1() - ownRate)
@@ -110,11 +115,15 @@ object Bench {
       Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save())
 
     // Optional subset for focused local iteration (driver leaves it unset).
+    // Bench resolves from queries ++ benchOnly: the bench-only spellings
+    // (XXH64 production kernels, spec-pinned) are timed but never enter
+    // the Verify/oracle catalog.
+    val catalog = SparkEntry.queries ++ SparkEntry.benchOnly
     val selected = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(
-        if (benchAll) SparkEntry.queries.keys.toSeq.sorted else SparkEntry.headline)
-    val (known, unknown) = selected.partition(SparkEntry.queries.contains)
+        if (benchAll) catalog.keys.toSeq.sorted else SparkEntry.benchHeadline)
+    val (known, unknown) = selected.partition(catalog.contains)
     unknown.foreach(n => System.err.println(s"[bench] unknown query '$n' skipped"))
     // the min is "corroborated" when the two fastest runs agree within
     // 2x — a single lucky fast run under ambient load proves nothing
@@ -129,7 +138,7 @@ object Bench {
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0").toDouble
     def quietRun(amb: Double): Boolean = amb < 0 || amb <= loadGate
     val results = known.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = catalog(name)
       val qLoad = load1()
       def once(): (Double, Double) = {
         val amb = ambientLoad()

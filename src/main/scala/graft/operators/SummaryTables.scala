@@ -53,6 +53,7 @@ object SummaryTables {
           count(col("o_orderkey")).as("cnt_okey"),
           sum(expr(CentsExprSql)).as("sum_cents"))
         .coalesce(1).write.mode("overwrite").parquet(root)
+    invalidateValidated(root)
     // registration is idempotent (replace) and tag-keyed with the
     // summary itself: same call both builds and (re)binds
     SummaryRewrite.register(s"$dir/orders.parquet", SummarySpec(
@@ -89,6 +90,7 @@ object SummaryTables {
           sum(col("o_orderkey")).as("sum_okey"),
           count(col("o_orderkey")).as("cnt_okey"))
         .coalesce(1).write.mode("overwrite").parquet(root)
+    invalidateValidated(root)
     SummaryRewrite.register(s"$dir/orders.parquet", SummarySpec(
       summaryPath = root,
       keys = Seq("o_custkey"),
@@ -135,6 +137,7 @@ object SummaryTables {
           count(col("o_orderkey")).as("cnt_okey"))
       rollup(orders.filter(col("o_orderdate") < lit(cut)))
         .coalesce(1).write.mode("overwrite").parquet(root)
+      invalidateValidated(root)
       val feedCols = Seq(col("o_orderpriority"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderkey"))
       // deterministic synthetic rows: one per (priority, status) seen
@@ -178,11 +181,23 @@ object SummaryTables {
 
   /** (summaryPath, maintainable column set) pairs whose stored schema
     * already validated — maintain()'s fail-fast footer read runs once
-    * per pair, not per micro-batch (single-writer staged-swap contract:
-    * only maintain itself rewrites the path, preserving columns).
+    * per pair, not per micro-batch. maintain()'s own staged swaps
+    * preserve the column set, so its commits don't invalidate; any
+    * REBUILD of the path (a new schema version, a new expression
+    * partial) must call [[invalidateValidated]] or the stale entry
+    * would bypass the fail-fast and let the next maintain() silently
+    * rewrite the summary without the new column — every in-process
+    * rebuild site in this object does.
     */
   private val validatedSchemas =
     new java.util.concurrent.ConcurrentHashMap[(String, Set[String]), java.lang.Boolean]()
+
+  /** Drop every cached schema validation for `path` — REQUIRED after
+    * any write to the path that is not maintain()'s own column-
+    * preserving swap (i.e. any rebuild).
+    */
+  private[graft] def invalidateValidated(path: String): Unit =
+    validatedSchemas.keySet.removeIf(_._1 == path)
 
   /** Last batch id applied to the summary at `path`, or -1 (fresh
     * summaries, incl. plain-rollup bootstraps, have no ledger).
