@@ -139,4 +139,17 @@ object SparkEntry {
     // answered from the summary) and ROLLUP re-expanded over the summary
     "q_mv_rewrite_expr", "q_mv_rewrite_rollup", "q_mv_rewrite_gsets",
     "q_mv_rewrite_distinct")
+
+  /** Bench-only queries: timed alongside `headline` but NOT part of the
+    * Verify/oracle catalog (their correctness is spec-pinned, not
+    * DuckDB-replayable). Currently the XXH64 production dedup-signature
+    * spellings whose registered twins are md5 audit formulations —
+    * keeping the production kernels performance-tracked (ADVICE r18)
+    * without growing the no-oracle class.
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    TextQueries.benchOnly
+
+  /** What Bench times: the headline set plus the bench-only spellings. */
+  def benchHeadline: Seq[String] = headline ++ benchOnly.keys.toSeq.sorted
 }

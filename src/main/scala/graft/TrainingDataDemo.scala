@@ -72,7 +72,11 @@ object TrainingDataDemo {
     // attrition count) would otherwise each re-run the scan+window.
     val exactDeduped = DedupOps.exactDedup(admitted, "doc_id", "text").localCheckpoint()
 
-    // 3. near-dedup — pairs on survivors only, clusters, drop losers
+    // 3. near-dedup — pairs on survivors only, clusters, drop losers.
+    // Plain builder is the right call HERE: the input is already
+    // exact-deduped (every text distinct), so the clone collapse would
+    // be a guaranteed no-op probe, and maxDocFreq (not offered with
+    // collapse) prunes stop-shingles instead.
     val pairs = DedupOps.ngramJaccardPairs(
       exactDeduped, "doc_id", "text", threshold = 0.6, n = 3,
       maxDocFreq = Some(1000))

@@ -249,9 +249,17 @@ object TextQueries {
     },
 
     // Exact n-gram Jaccard near-dup pairs via inverted shingle index —
-    // deterministic (no hashing), so fully oracle-checked.
+    // deterministic (no hashing), so fully oracle-checked. Registered on
+    // the CLONE-COLLAPSED derivation (bit-equal, DedupSpec-pinned;
+    // adaptive — this corpus is mostly unique, so one 16-byte-key probe
+    // routes to the plain operator): on a duplicate-heavy corpus the
+    // shingle self-join runs over distinct texts, not docs — the
+    // candidate stage that exhausted this box's disk at the 100x clone
+    // corpus under the plain builder (PERF_NOTES r16) finishes collapsed
+    // (r19 at-scale gate: the pair LIST value+hash at 10x/100x).
     "q_ngram_jaccard" -> { (s, dir) =>
-      DedupOps.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+      DedupOps.ngramJaccardPairsCloneCollapsed(
+        Tables(s, dir, "documents"), "doc_id", "text",
         threshold = 0.05, n = 3)
         .orderBy("id_a", "id_b")
     },
@@ -2063,7 +2071,11 @@ object TextQueries {
     // teleport rank; output rounded for cross-engine double compare.
     "q_pagerank" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val p = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+      // clone-collapsed edge build (bit-equal to the plain builder,
+      // DedupSpec-pinned): PageRank is degree-sensitive, so it needs the
+      // FULL pair multiset — the collapse keeps the candidate stage
+      // 1x-sized on clone-heavy corpora while emitting identical pairs
+      val p = DedupOps.ngramJaccardPairsCloneCollapsed(docs, "doc_id", "text",
           threshold = 0.05, n = 3)
         .select("id_a", "id_b").localCheckpoint()
       val edges = p.unionByName(
@@ -2129,7 +2141,10 @@ object TextQueries {
     "q_lsh_eval" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val (_, _, _, cand) = md5MinhashPipeline(docs)
-      val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+      // truth build clone-collapsed (bit-equal): recall/precision need
+      // the exact pair LIST, and on a clone-heavy corpus the plain
+      // builder's candidate stage is the quadratic — not the LSH side
+      val truth = DedupOps.ngramJaccardPairsCloneCollapsed(docs, "doc_id", "text",
           threshold = 0.3, n = 3)
         .localCheckpoint()
       val grid = s.range(1)
@@ -2160,7 +2175,11 @@ object TextQueries {
     // broadcast threshold grid, and two tiny aggregates — the corpus
     // pays the pair build once, the curve is free.
     "q_dedup_curve" -> { (s, dir) =>
-      val p = DedupOps.ngramJaccardPairs(Tables(s, dir, "documents"),
+      // clone-collapsed pair frame (bit-equal): the operating points are
+      // per-PAIR counts, so the full list is the contract — the collapse
+      // keeps the build linear-in-clones while the output stays identical
+      val p = DedupOps.ngramJaccardPairsCloneCollapsed(
+          Tables(s, dir, "documents"),
           "doc_id", "text", threshold = 0.05, n = 3)
         .localCheckpoint()
       val grid = s.range(1, 10)
@@ -2185,7 +2204,16 @@ object TextQueries {
     // GraphOps.bfsLevels).
     "q_bfs_levels" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val p = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+      // clone-collapsed edge build (bit-equal, DedupSpec pins THIS edge
+      // frame against the plain builder's). NOT connectivity-mode star
+      // edges: BFS levels are a path METRIC, not reachability — in a
+      // clone clique {a,b,c} with gid=a, dist(b,c) is 1 under the full
+      // pair set but 2 via the star (b→a→c), and the max-degree seed
+      // selection is degree-sensitive too — so the star rewrite would
+      // change the registered output. The collapse alone already makes
+      // the candidate stage clone-group linear; only the OUTPUT keeps
+      // the (inherent, pair-list-contract) clique quadratic.
+      val p = DedupOps.ngramJaccardPairsCloneCollapsed(docs, "doc_id", "text",
           threshold = 0.05, n = 3)
         .select("id_a", "id_b").localCheckpoint()
       val edges = p.unionByName(
@@ -3451,6 +3479,42 @@ object TextQueries {
     * |queries| either way, and the map-side partial sum has already
     * shrunk rows to one per (q_id, doc, partition) before the exchange.
     */
+  /** Bench-only spellings — timed by Bench (SparkEntry.benchHeadline)
+    * but NOT in the Verify/oracle catalog: the XXH64 production
+    * dedup-signature kernels whose REGISTERED twins became md5 audit
+    * formulations in r18 (deliberately ~5x slower so DuckDB can replay
+    * every band bit-for-bit). Registering these under the oracle
+    * contract would grow the no-oracle class (XXH64 is not
+    * reproducible in DuckDB); leaving them untimed let the production
+    * path drift out of the bench entirely (ADVICE r18). So: timed
+    * here, correctness spec-pinned (DedupSpec planted near-dups,
+    * VectorExpressionsSpec bit-level kernels). Output shapes mirror
+    * the registered md5 twins so the timed work is comparable.
+    */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash_x64" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val banded = DedupOps.withMinHashBands(docs, "text")
+      val cand = DedupOps.minHashCandidatePairsFromBanded(banded, "doc_id")
+      val candCounts = cand
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      banded
+        .select(col("doc_id") +: (0 until 4).map(i => col(s"band_$i")): _*)
+        .join(candCounts, Seq("doc_id"), "left")
+        .na.fill(0, Seq("n_candidates"))
+        .orderBy("doc_id")
+    },
+    "q_dedup_simhash_x64" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          DedupOps.simHashBandsFromHash(
+            DedupOps.simHash64(col("text"))).as("__bs"))
+        .select(col("doc_id") +:
+          (0 until 4).map(i => element_at(col("__bs"), i + 1).as(s"band_$i")): _*)
+        .orderBy("doc_id")
+    })
+
   /** Shared md5-keyed MinHash pipeline (16 permutations from FOUR md5s
     * per shingle — one digest is 32 hex chars = four independent 32-bit
     * slices, so the two-level explode pays a quarter of the hash cost

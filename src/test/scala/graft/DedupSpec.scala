@@ -144,6 +144,39 @@ class DedupSpec extends SparkSpec {
     assert(forcedPlain == rows)
   }
 
+  test("bfs edge build: clone-collapsed pairs give identical BFS levels (and star edges would not)") {
+    // q_bfs_levels' edge stage (r19): the SYMMETRIZED clone-collapsed
+    // pair frame must equal the plain builder's — BFS levels are a path
+    // METRIC, so unlike the CC consumers the query cannot ride
+    // connectivity-mode star edges (dist(b,c) inside a clone clique is
+    // 1 all-pairs but 2 via the star). Pin both facts: collapsed ≡
+    // plain end-to-end through bfsLevels, and the star edge set is NOT
+    // a valid substitute on this fixture.
+    val d = Seq(
+      (1L, "a b c d e"), (7L, "a b c d e"), (4L, "a b c d e"),
+      (2L, "a b c e f"), (9L, "a b c e f"),
+      (5L, "q r s t u v w")).toDF("doc_id", "text")
+    def sym(p: org.apache.spark.sql.DataFrame) =
+      p.select(col("id_a"), col("id_b")).unionByName(
+        p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    def edgeSet(p: org.apache.spark.sql.DataFrame) = sym(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plainPairs = DedupOps.ngramJaccardPairs(d, "doc_id", "text", 0.05)
+    val collPairs = DedupOps.ngramJaccardPairsCloneCollapsed(
+      d, "doc_id", "text", 0.05, collapseBelow = 1.1) // force collapse
+    assert(edgeSet(collPairs) == edgeSet(plainPairs))
+    def levels(p: org.apache.spark.sql.DataFrame) =
+      graft.operators.GraphOps.bfsLevels(sym(p), source = 4L, maxDepth = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(levels(collPairs) == levels(plainPairs))
+    // the star substitute changes the metric: 4→7 is 1 hop all-pairs
+    // (both clones of gid 1) but 2 hops through the gid=1 star
+    val starLevels = levels(DedupOps.ngramJaccardConnectivityEdges(
+      d, "doc_id", "text", 0.05, collapseBelow = 1.1))
+    assert(starLevels != levels(plainPairs),
+      "star edges preserved BFS levels on a fixture built to break them — fixture no longer pins the metric difference")
+  }
+
   test("ngramJaccardConnectivityEdges: same connected components as all-pairs, every edge genuine") {
     // same fixture as the clone-collapse test: clone groups (3 + 2
     // copies), a cross-group near-dup pair, zero-shingle dups, a

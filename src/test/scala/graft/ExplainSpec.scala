@@ -445,7 +445,10 @@ class ExplainSpec extends SparkSpec {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // benchOnly spellings run in Bench, so their plans are held to the
+      // same hygiene bars as the registered catalog
+      (SparkEntry.queries ++ SparkEntry.benchOnly)
+        .toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan
         val nodes = plan.collectWithSubqueries { case n => n }
         val cartesian = nodes.collect { case c: CartesianProductExec => c }
