@@ -138,7 +138,12 @@ object SparkEntry {
     // r17: sum-of-expression partials (the exact-cents revenue idiom
     // answered from the summary) and ROLLUP re-expanded over the summary
     "q_mv_rewrite_expr", "q_mv_rewrite_rollup", "q_mv_rewrite_gsets",
-    "q_mv_rewrite_distinct")
+    "q_mv_rewrite_distinct",
+    // r19: cluster-once-read-many — the stored-assignment consumers
+    // (bench lines show the marginal consumer cost once the clustering
+    // is persisted) and the semantic-dedup TVF spelling
+    "q_dedup_full_stored", "q_cluster_canonical_stored",
+    "q_leakage_safe_split_stored", "q_bcubed_stored", "q_semdedup_sql")
 
   /** Bench-only queries: timed alongside `headline` but NOT part of the
     * Verify/oracle catalog (their correctness is spec-pinned, not

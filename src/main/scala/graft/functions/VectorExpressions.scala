@@ -1155,6 +1155,9 @@ object GraftFunctions {
     ("graft_dup_clusters",
       new ExpressionInfo("graft.operators.DedupOps", "graft_dup_clusters"),
       (es: Seq[Expression]) => graft.operators.DedupOps.clustersSqlBuilder(es)),
+    ("graft_semdedup",
+      new ExpressionInfo("graft.operators.DedupOps", "graft_semdedup"),
+      (es: Seq[Expression]) => graft.operators.DedupOps.semDedupSqlBuilder(es)),
     ("graft_ann",
       new ExpressionInfo("graft.functions.VectorOps", "graft_ann"),
       (es: Seq[Expression]) => graft.functions.VectorOps.sqlBuilder(es)),

@@ -141,6 +141,61 @@ object DedupOps {
     out.queryExecution.analyzed
   }
 
+  /** SQL table-valued surface for the SemDeDup tier, registered as
+    * `graft_semdedup` (same injection path as `graft_dedup`):
+    *
+    * {{{
+    * SELECT * FROM graft_semdedup('vecs', 'vec_id', 'embedding', 0.3)
+    *   -- survivors (vec_id, cell)
+    * SELECT * FROM graft_semdedup('vecs', 'vec_id', 'embedding', 0.3, 128)
+    *   -- explicit nlist (0/omitted = auto ~256-vector cells)
+    * }}}
+    *
+    * Returns [[semDedup]]'s survivors: (id column under its own name,
+    * cell). Streaming inputs are rejected at ANALYSIS time (the
+    * graft_dedup pattern) — the in-cell pair join and the distinct are
+    * multi-pass; streaming semantic dedup is StreamingOps territory.
+    */
+  def semDedupSqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def lit(i: Int, what: String): String =
+      graft.plans.TvfArgs.strLit("graft_semdedup", es)(i, what)
+    if (es.size < 4 || es.size > 5)
+      throw new IllegalArgumentException(
+        "graft_semdedup(table, id_col, vec_col, threshold[, nlist])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(lit(0, "table name"))
+    if (df.isStreaming)
+      throw new UnsupportedOperationException(
+        "graft_semdedup: the input table is a stream — in-cell pair " +
+          "comparison is a multi-pass join no stream can evaluate. Use " +
+          "StreamingOps.annProbeStream-style micro-batch probes for " +
+          "streaming semantic admission")
+    val (idCol, vecCol) = (lit(1, "id_col"), lit(2, "vec_col"))
+    val threshold = {
+      val raw = lit(3, "threshold")
+      val t = try raw.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft_semdedup: threshold must be numeric, got '$raw'")
+      }
+      require(t >= -1.0 && t <= 1.0,
+        s"graft_semdedup: threshold must be a cosine in [-1, 1], got $t")
+      t
+    }
+    val nlist =
+      if (es.size > 4) {
+        val raw = lit(4, "nlist")
+        try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft_semdedup: nlist must be an integer, got '$raw'")
+        }
+      } else 0
+    val out = semDedup(df, idCol, vecCol, threshold, nlist)
+      .withColumnRenamed("id", idCol)
+    out.queryExecution.analyzed
+  }
+
   /** [[containmentPairs]] with the exact-duplicate collapse — the
     * directed sibling of [[prefixJaccardPairsCloneCollapsed]]: identical
     * texts have identical shingle sets, so every qualifying ORDERED doc

@@ -922,6 +922,19 @@ object TextQueries {
         .orderBy("vec_id")
     },
 
+    // The SAME semantic dedup spelled in Spark SQL through the
+    // graft_semdedup TVF (r19 — SQL parity for the vector dedup tier,
+    // closing the last bespoke operator without a SQL surface) — SHARES
+    // q_semdedup's end-to-end pipeline oracle.
+    "q_semdedup_sql" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .createOrReplaceTempView("graft_semdedup_vecs")
+      s.sql("""
+        SELECT vec_id, cell
+        FROM graft_semdedup('graft_semdedup_vecs', 'vec_id', 'embedding', 0.3)
+        ORDER BY vec_id""")
+    },
+
     // Text statistics: token counts, length, diversity, punct/stopword
     // ratios — one codegen'd pass, no shuffle.
     "q_text_stats" -> { (s, dir) =>
@@ -1515,6 +1528,63 @@ object TextQueries {
             "valid").otherwise("train"))
         .select(col("doc_id"), col("split_key"), col("split"))
         .orderBy("doc_id")
+    },
+
+    // Cluster-once, read-many (r19): the CC consumers re-expressed
+    // against the PERSISTED assignment table (DupClusterStore — the
+    // AnnIndex/BucketedTables fixture discipline, content-tagged per
+    // (corpus, threshold)). At 100 TB the marginal consumer is a keyed
+    // probe of a |clustered docs|-sized table instead of its own edge
+    // build + connected components — five redundant corpus passes
+    // collapse to one. The self-contained registrations above keep the
+    // full pipeline-under-oracle contract; these verify the STORED
+    // bytes: their oracles read the assignment parquet directly and
+    // DupClusterStoreSpec pins stored ≡ recomputed bit-for-bit.
+    "q_dedup_full_stored" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val losers = graft.operators.DupClusterStore.assignments(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    "q_cluster_canonical_stored" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      graft.operators.DupClusterStore.assignments(s, dir)
+        .join(docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens")),
+          Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(min(struct((-col("n_tokens")).as("neg"), col("doc_id").as("id"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), col("m.id").as("canonical_doc_id"),
+          (-col("m.neg")).as("canonical_tokens"), col("n_members"))
+        .orderBy("cluster_id")
+    },
+
+    "q_leakage_safe_split_stored" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      docs.select("doc_id")
+        .join(graft.operators.DupClusterStore.assignments(s, dir),
+          Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split",
+          when(graft.ops.CoreOps.hashSample(col("split_key"), lit("1")),
+            "valid").otherwise("train"))
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    "q_bcubed_stored" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val assign = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("g", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+        .join(graft.operators.DupClusterStore.assignments(s, dir),
+          Seq("doc_id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("c"), col("g"))
+      DedupOps.bcubed(assign)
     },
 
     // Deterministic stratified hash sampling: ~50% of English docs, ~25%
@@ -4294,7 +4364,77 @@ object TextQueries {
   /** The full oracle map: the static entries plus the two whose SQL is
     * built from the recorded persisted-index path.
     */
+  /** The STORED dup-cluster assignment table as a DuckDB relation — the
+    * side channel the `_stored` consumer oracles read (the AnnIndex
+    * stored-bytes discipline: the persisted parquet, not a rebuild, is
+    * what DuckDB consumes, so a wrong stored assignment flips every
+    * consumer's hash). Fallback (store never built this process) is a
+    * valid empty relation, reachable only on filtered runs that also
+    * skipped the stored queries.
+    */
+  private def storedClustersRel: String =
+    graft.operators.DupClusterStore.lastEnsuredDir match {
+      case None =>
+        "(SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS cluster_id WHERE 1=0)"
+      case Some(r) =>
+        s"(SELECT doc_id, cluster_id FROM read_parquet('$r/*.parquet'))"
+    }
+
+  private def dedupFullStoredOracle: String =
+    s"""SELECT d.doc_id, d.lang FROM documents d
+       LEFT JOIN $storedClustersRel x ON x.doc_id = d.doc_id
+       WHERE x.doc_id IS NULL OR x.cluster_id = d.doc_id
+       ORDER BY d.doc_id"""
+
+  private def clusterCanonicalStoredOracle: String =
+    s"""WITH sized AS (
+         SELECT c.cluster_id, c.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         FROM $storedClustersRel c JOIN documents d ON d.doc_id = c.doc_id),
+       rk AS (
+         SELECT *, row_number() OVER (PARTITION BY cluster_id
+           ORDER BY n_tokens DESC, doc_id ASC) AS rn
+         FROM sized),
+       agg AS (
+         SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         FROM sized GROUP BY cluster_id)
+       SELECT r.cluster_id, r.doc_id AS canonical_doc_id,
+         r.n_tokens AS canonical_tokens, a.n_members
+       FROM rk r JOIN agg a USING (cluster_id)
+       WHERE r.rn = 1 ORDER BY r.cluster_id"""
+
+  private def leakageSplitStoredOracle: String =
+    s"""SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS split_key,
+         CASE WHEN substring(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 1) <= '1'
+              THEN 'valid' ELSE 'train' END AS split
+       FROM documents d LEFT JOIN $storedClustersRel c ON c.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+
+  private def bcubedStoredOracle: String =
+    s"""WITH gold AS (
+         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS g
+         FROM documents),
+       assign AS (
+         SELECT coalesce(c.cluster_id, gold.doc_id) AS c, gold.g
+         FROM gold LEFT JOIN $storedClustersRel c ON c.doc_id = gold.doc_id),
+       cells AS (SELECT c, g, count(*) AS n_cg FROM assign GROUP BY c, g),
+       nc AS (SELECT c, sum(n_cg) AS n_c FROM cells GROUP BY c),
+       ng AS (SELECT g, sum(n_cg) AS n_g FROM cells GROUP BY g)
+       SELECT CAST(sum(n_cg) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT cells.c) AS BIGINT) AS n_pred,
+         CAST(count(DISTINCT cells.g) AS BIGINT) AS n_gold,
+         round(sum(CAST(n_cg * n_cg AS DOUBLE) / n_c) / sum(n_cg), 6) AS bcubed_p,
+         round(sum(CAST(n_cg * n_cg AS DOUBLE) / n_g) / sum(n_cg), 6) AS bcubed_r,
+         round(sum(2.0 * n_cg * n_cg / CAST(n_c + n_g AS DOUBLE)) / sum(n_cg), 6)
+           AS bcubed_f1
+       FROM cells JOIN nc ON nc.c = cells.c JOIN ng ON ng.g = cells.g"""
+
   def oracles: Map[String, String] = oraclesStatic +
+    ("q_dedup_full_stored" -> dedupFullStoredOracle) +
+    ("q_cluster_canonical_stored" -> clusterCanonicalStoredOracle) +
+    ("q_leakage_safe_split_stored" -> leakageSplitStoredOracle) +
+    ("q_bcubed_stored" -> bcubedStoredOracle) +
     ("q_ann_indexed" -> annIndexedOracle) +
     ("q_ann_indexed_sql" -> annIndexedOracle) + // TVF spelling, same truth
     ("q_ann_indexed_pq" -> annIndexedPqOracle) +
@@ -5501,6 +5641,7 @@ object TextQueries {
            token, df, tf, burstiness
          FROM top ORDER BY rk""",
     "q_semdedup" -> semdedupOracle,
+    "q_semdedup_sql" -> semdedupOracle, // TVF spelling, same truth
     "q_embed_ivfpq" -> ivfPqOracle,
     "q_embed_neardup" -> neardupOracle,
     "q_winnow" -> winnowOracle,

@@ -90,7 +90,8 @@ def main(corpus_dir, out_dir):
       FROM g WHERE len(string_split(text,' ')) >= 3""")
     con.sql("CREATE TEMP TABLE sizes AS SELECT gid, count(*) AS n_sh FROM sh GROUP BY gid")
     con.sql("""CREATE TEMP TABLE tpairs AS
-      SELECT ga, gb FROM (
+      SELECT ga, gb, CAST(ns AS DOUBLE) / (sa.n_sh + sb.n_sh - ns) AS j
+      FROM (
         SELECT a.gid AS ga, b.gid AS gb, count(*) AS ns
         FROM sh a JOIN sh b ON a.sh = b.sh AND a.gid < b.gid GROUP BY 1, 2)
       JOIN sizes sa ON sa.gid = ga JOIN sizes sb ON sb.gid = gb
@@ -197,6 +198,22 @@ def main(corpus_dir, out_dir):
         JOIN members a ON a.gid = gg.gid
         JOIN members b ON b.gid = gg.gid AND a.doc_id <> b.doc_id
       WHERE gg.n >= 2 AND s2.n_sh >= 5""")
+    # q_ngram_jaccard (threshold 0.05): the registered query's FULL pair
+    # LIST through the clone-aware derivation (r19 — the registration
+    # moved onto ngramJaccardPairsCloneCollapsed): rep-level qualifying
+    # pairs (tpairs, with exact jaccard) expanded to every member pair,
+    # plus every within-group member pair at jaccard exactly 1. Output
+    # quadratic in clone-group size (pair-list contract); derivation
+    # 1x-sized. ~27M rows at 100x.
+    con.sql("""CREATE TEMP VIEW ngram_jaccard_expected AS
+      SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+        greatest(ma.doc_id, mb.doc_id) AS id_b, t.j AS jaccard
+      FROM tpairs t JOIN members ma ON ma.gid = t.ga
+                    JOIN members mb ON mb.gid = t.gb
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, 1.0e0
+      FROM selfg s JOIN members a ON a.gid = s.gid
+                   JOIN members b ON b.gid = s.gid AND a.doc_id < b.doc_id""")
     # q_bcubed: per-doc B-cubed vs exact-dup gold, reduced group-level —
     # a clustered GROUP contributes one (cluster, group, g_n) cell
     # (every clone shares its rep's component), an unclustered group
@@ -269,6 +286,7 @@ def main(corpus_dir, out_dir):
                       ("q_leakage_safe_split", "leakage_split_expected"),
                       ("q_bcubed", "bcubed_expected"),
                       ("q_setsim_prefix", "setsim_prefix_expected"),
+                      ("q_ngram_jaccard", "ngram_jaccard_expected"),
                       ("q_containment", "containment_expected")]:
         if os.path.isdir(f"{out_dir}/{name}"):
             ok = compare(con, name, rel, out_dir) and ok
