@@ -1,21 +1,36 @@
 #!/usr/bin/env python3
-"""Cross-round bench comparison: per-query min deltas between two
-BENCH_r*.json artifacts (or any Bench stdout capture), with the
-PERF_NOTES noise convention applied — a mover must be BOTH >1.3x and
->0.4 s absolute before it is worth a quiet-window re-measurement.
+"""Cross-round bench comparison over QUIET MINIMA.
 
-Usage: python3 tools/bench_diff.py BENCH_r10.json BENCH_r11.json
-Accepts either the driver artifact ({"parsed": {...}} wrapper or the
-raw final line) or a log file whose last {"metric":"total"...} line is
-the bench result; per-query numbers come from "queries" (final line)
-merged over "detail" (earlier line) when present.
+Same-code sweeps on this box drift 15-20% with ambient load (PERF_NOTES
+r18 measured 128.7 -> 150.6 s across three same-day sweeps of identical
+code), so a single old-vs-new file diff routinely manufactures phantom
+movers. The convention that survives the noise — "per-query quiet
+minima across sweeps" — is encoded here instead of being re-applied by
+hand each round:
+
+  python3 tools/bench_diff.py OLD.json [OLD2.json ...] --vs NEW.json [NEW2.json ...]
+  python3 tools/bench_diff.py OLD.json NEW.json            # legacy 2-arg form
+
+Each side may be any mix of BENCH_DETAIL_r*.json files, driver
+BENCH_r*.json artifacts ({"tail": ..., "parsed": ...} wrappers), or raw
+Bench stdout captures. Per query, ALL runs from a side's files are
+pooled; the side's number is the minimum over QUIET runs (per-run
+ambient <= the file's load_gate; amb < 0 = estimate unavailable =
+treated quiet, matching Bench itself). A query with no quiet run on a
+side is reported but auto-discounted. The mover table attaches the
+ambient of the run that BACKED each side's min, so "is this number
+trustworthy" is answerable from the table alone.
+
+A mover must be BOTH >1.3x and >0.2 s absolute (under quiet minima the
+old 0.4 s floor hid real sub-second regressions; loads are already
+gated, so the tighter floor is safe).
 """
 import json
 import sys
 
 
 def load(path):
-    """Return ({query: min_seconds}, total, noisy_set, {query: loadavg})."""
+    """Return ({query: [(sec, amb), ...]}, total, noisy_set, load_gate)."""
     text = open(path).read()
     # driver artifact wrapper: the captured stdout tail (with embedded
     # JSON lines) lives under "tail", the parsed final line under
@@ -27,7 +42,7 @@ def load(path):
                 wrapper.get("parsed") or {})
     except json.JSONDecodeError:
         pass
-    queries, total, noisy, loads = {}, None, set(), {}
+    runs, total, noisy, gate = {}, None, set(), 2.0
     for line in text.splitlines():
         line = line.strip()
         i = line.find("{")
@@ -41,67 +56,92 @@ def load(path):
             d = d["parsed"]
         if d.get("metric") == "detail":
             for q, v in d.get("detail", {}).items():
-                queries[q] = v["min"] if isinstance(v, dict) else v
-                if isinstance(v, dict) and "load" in v:
-                    loads[q] = v["load"]
+                if isinstance(v, dict):
+                    rs = v.get("runs", [v.get("min")])
+                    ambs = v.get("amb", [-1.0] * len(rs))
+                    runs.setdefault(q, []).extend(zip(rs, ambs))
+                else:
+                    runs.setdefault(q, []).append((v, -1.0))
         if d.get("metric") == "total" or "queries" in d:
             total = d.get("value", total)
+            gate = d.get("load_gate", gate)
             noisy |= set(d.get("noisy", []))
             for q, v in d.get("queries", {}).items():
-                queries.setdefault(q, v)
-    return queries, total, noisy, loads
+                # final-line numbers only when no detail line supplied runs
+                runs.setdefault(q, []).append((v, -1.0))
+    return runs, total, noisy, gate
 
 
-def main():
-    if len(sys.argv) != 3:
+def merge(paths):
+    """Pool runs from several files; per query return (quiet_min, amb_of_min,
+    had_quiet). noisy propagates only if NO file measured the query quietly."""
+    pooled, noisy_votes, measured, gate = {}, {}, set(), 2.0
+    total = None
+    for p in paths:
+        runs, t, noisy, g = load(p)
+        gate = g
+        total = t if total is None else min(total, t)
+        for q, rs in runs.items():
+            pooled.setdefault(q, []).extend(rs)
+            measured.add(q)
+            if q in noisy:
+                noisy_votes[q] = noisy_votes.get(q, 0) + 1
+    out = {}
+    for q, rs in pooled.items():
+        quiet = [r for r in rs if r[1] < 0 or r[1] <= gate]
+        src = quiet if quiet else rs
+        sec, amb = min(src, key=lambda r: r[0])
+        out[q] = (sec, amb, bool(quiet))
+    return out, total
+
+
+def main(argv):
+    if "--vs" in argv:
+        k = argv.index("--vs")
+        old_paths, new_paths = argv[:k], argv[k + 1:]
+    elif len(argv) == 2:
+        old_paths, new_paths = [argv[0]], [argv[1]]
+    else:
         sys.exit(__doc__)
-    a, ta, na, la = load(sys.argv[1])
-    b, tb, nb, lb = load(sys.argv[2])
+    if not old_paths or not new_paths:
+        sys.exit(__doc__)
+    a, ta = merge(old_paths)
+    b, tb = merge(new_paths)
     shared = sorted(set(a) & set(b))
-    print(f"total: {ta} -> {tb}  ({len(a)} -> {len(b)} queries, "
-          f"{len(shared)} shared)")
+    print(f"quiet-min totals: {ta} -> {tb}  ({len(a)} -> {len(b)} queries, "
+          f"{len(shared)} shared; old={len(old_paths)} new={len(new_paths)} sweeps)")
+    print(f"shared-query quiet-min sums: "
+          f"{sum(a[q][0] for q in shared):.1f} -> {sum(b[q][0] for q in shared):.1f} s")
     movers = []
     for q in shared:
-        if a[q] <= 0:
+        if a[q][0] <= 0:
             continue
-        ratio, delta = b[q] / a[q], b[q] - a[q]
-        if (ratio > 1.3 or ratio < 1 / 1.3) and abs(delta) > 0.4:
+        ratio, delta = b[q][0] / a[q][0], b[q][0] - a[q][0]
+        if (ratio > 1.3 or ratio < 1 / 1.3) and abs(delta) > 0.2:
             movers.append((ratio, delta, q))
     movers.sort(reverse=True)
     if not movers:
-        print("no movers past the 1.3x/0.4s noise floor")
-    # 1-min loadavg above this when a query started means its number was
-    # taken under ambient pressure (quiet sweeps run at ~0.3-2 on this
-    # box; the r13 q_gini phantom started under 4+) — a mover whose
-    # SLOWER side ran polluted is discounted, the delta is load, not code
-    LOAD_POLLUTED = 3.0
+        print("no movers past the 1.3x/0.2s noise floor (quiet minima)")
     for ratio, delta, q in movers:
-        # a mover whose min was noise-flagged (uncorroborated) in EITHER
-        # artifact is auto-discounted: the bench itself says that number
-        # is unmeasurable, so the delta is not evidence of a regression
-        flagged = (q in na) or (q in nb)
-        slow_load = (lb if delta > 0 else la).get(q, -1)
-        polluted = slow_load > LOAD_POLLUTED
-        tag = ("discounted" if flagged or polluted
+        # a side whose min had NO quiet backing anywhere is unmeasurable —
+        # the delta is load, not code
+        unq = [s for s, m in (("old", a), ("new", b)) if not m[q][2]]
+        tag = ("discounted" if unq
                else "REGRESSED" if delta > 0 else "improved")
-        extra = ""
-        if flagged:
-            sides = [s for s, n in (("old", na), ("new", nb)) if q in n]
-            extra = f"  [noisy in {'+'.join(sides)}]"
-        elif polluted:
-            extra = f"  [load-polluted: slower side started at {slow_load:.1f}]"
-        loadinfo = "".join(
-            f" {s}_load={l[q]:.1f}" for s, l in (("old", la), ("new", lb))
-            if q in l and l[q] >= 0)
-        print(f"{tag:10s} {q:28s} {a[q]:7.2f} -> {b[q]:7.2f}  "
-              f"({ratio:5.2f}x, {delta:+.2f}s){extra}{loadinfo}")
+        extra = f"  [no quiet run in {'+'.join(unq)}]" if unq else ""
+        print(f"{tag:10s} {q:30s} {a[q][0]:7.2f} -> {b[q][0]:7.2f}  "
+              f"({ratio:5.2f}x, {delta:+.2f}s)  "
+              f"amb {a[q][1]:.2f} -> {b[q][1]:.2f}{extra}")
     only_new = sorted(set(b) - set(a))
     if only_new:
-        slow = [q for q in only_new if b[q] > 2.0]
+        slow = [q for q in only_new if b[q][0] > 2.0]
         print(f"new queries: {len(only_new)}"
-              + (f"; >2s: {', '.join(f'{q}={b[q]:.2f}' for q in slow)}"
+              + (f"; >2s: {', '.join(f'{q}={b[q][0]:.2f}' for q in slow)}"
                  if slow else ""))
+    gone = sorted(set(a) - set(b))
+    if gone:
+        print(f"removed queries: {len(gone)}: {', '.join(gone)}")
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:])
