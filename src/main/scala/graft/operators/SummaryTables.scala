@@ -103,6 +103,99 @@ object SummaryTables {
     root
   }
 
+  /** Summary-over-summary (r19): the COARSE (priority)-keyed summary is
+    * DERIVED FROM the registered finer (priority, status) summary's
+    * partials — count from summed counts, min/max from per-key min/max,
+    * integral sums (incl. the cents expression partial) from summed
+    * partials — never from the base. This is the derivation edge the
+    * warehouse ladder needs at 100 TB: building the coarser rollup reads
+    * |finer keys| rows, not the fact corpus. Registered alongside the
+    * finer summary; the rewrite's cost ordering (stored bytes) then
+    * picks THIS one for GROUP BY o_orderpriority queries — the smallest
+    * derivable candidate — while (priority, status) queries keep the
+    * finer one. Exactness is inherited: every coarse partial is an
+    * exact re-aggregation of exact partials (the same argument the
+    * query-time rollup rewrite already relies on, here applied at
+    * BUILD time and persisted).
+    */
+  def ensureCoarse(s: SparkSession, dir: String): String = synchronized {
+    val fine = ensure(s, dir) // builds + registers the finer summary
+    val tag = tagFor(dir)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_summary_coarse/v1_$tag"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/_SUCCESS"))) {
+      s.read.parquet(fine)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("cnt")).as("cnt"),
+          min(col("min_price")).as("min_price"),
+          max(col("max_price")).as("max_price"),
+          sum(col("sum_okey")).as("sum_okey"),
+          sum(col("cnt_okey")).as("cnt_okey"),
+          sum(col("sum_cents")).as("sum_cents"))
+        .coalesce(1).write.mode("overwrite").parquet(root)
+      invalidateValidated(root)
+    }
+    SummaryRewrite.register(s"$dir/orders.parquet", SummarySpec(
+      summaryPath = root,
+      keys = Seq("o_orderpriority"),
+      countCol = "cnt",
+      minCols = Map("o_totalprice" -> "min_price"),
+      maxCols = Map("o_totalprice" -> "max_price"),
+      sumCols = Map("o_orderkey" -> "sum_okey"),
+      cntCols = Map("o_orderkey" -> "cnt_okey"),
+      sumExprs = Map(CentsExprSql -> "sum_cents"),
+      baseTag = tag))
+    root
+  }
+
+  /** The UNION ALL fact shape's fixture (r19): orders split hot/cold on
+    * o_orderdate (the warehouse's recent/archive partition), each half
+    * persisted as its OWN base table with its OWN (priority, status)
+    * summary registered against it. A query reading the fact as
+    * `cold UNION ALL hot` then rewrites branch-per-branch
+    * (SummaryRewrite.rewriteUnion) onto two keys-sized summary scans.
+    * Returns (coldPath, hotPath).
+    */
+  def ensureSplit(s: SparkSession, dir: String): (String, String) = synchronized {
+    val tag = tagFor(dir)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_orders_split/v1_$tag"
+    val (coldP, hotP) = (s"$base/cold.parquet", s"$base/hot.parquet")
+    val (coldS, hotS) = (s"$base/summary_cold", s"$base/summary_hot")
+    val done = java.nio.file.Paths.get(s"$base/.split_done")
+    if (!java.nio.file.Files.exists(done)) {
+      val cut = "1996-01-01"
+      val orders = Tables(s, dir, "orders")
+      orders.filter(col("o_orderdate") < lit(cut))
+        .write.mode("overwrite").parquet(coldP)
+      orders.filter(col("o_orderdate") >= lit(cut))
+        .write.mode("overwrite").parquet(hotP)
+      def rollup(p: String) = s.read.parquet(p)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_orderkey")).as("sum_okey"),
+          count(col("o_orderkey")).as("cnt_okey"))
+      rollup(coldP).coalesce(1).write.mode("overwrite").parquet(coldS)
+      rollup(hotP).coalesce(1).write.mode("overwrite").parquet(hotS)
+      invalidateValidated(coldS)
+      invalidateValidated(hotS)
+      java.nio.file.Files.createFile(done)
+    }
+    def spec(sp: String) = SummarySpec(
+      summaryPath = sp,
+      keys = Seq("o_orderpriority", "o_orderstatus"),
+      countCol = "cnt",
+      minCols = Map("o_totalprice" -> "min_price"),
+      maxCols = Map("o_totalprice" -> "max_price"),
+      sumCols = Map("o_orderkey" -> "sum_okey"),
+      cntCols = Map("o_orderkey" -> "cnt_okey"),
+      baseTag = tag)
+    SummaryRewrite.register(coldP, spec(coldS))
+    SummaryRewrite.register(hotP, spec(hotS))
+    (coldP, hotP)
+  }
+
   /** The IVM-freshness fixture: a (priority, status) orders summary
     * built from the PRE-1996 half of the table, then brought up to date
     * by [[maintain]] absorbing the post-cut rows as an insert feed —

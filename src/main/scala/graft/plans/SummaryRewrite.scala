@@ -302,7 +302,7 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (specs.isEmpty) return plan
     plan.transform {
       case agg: Aggregate =>
-        rewriteExpand(agg).orElse(
+        rewriteExpand(agg).orElse(rewriteUnion(agg)).orElse(
           candidates(agg.child).view.flatMap { case (rel, filters, dim) =>
             // rootKey is None for non-file V1 relations (JDBC etc.) —
             // they can never be registered, so they never match (and must
@@ -616,6 +616,155 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     regs.view.flatMap(tryOne).headOption
   }
 
+  /** Map the aggregate-expression list onto summary partials — ONE
+    * definition shared by the flat/filter/join rewrite and the UNION ALL
+    * rewrite, so the derivability guards cannot diverge. None = some
+    * expression is not derivable (the caller aborts to the base plan).
+    */
+  private def mapAggList(
+      agg: Aggregate, reg: Registered, baseOut: AttributeSet,
+      groupBaseNames: Set[String], groupDimAttrs: AttributeSet,
+      summaryAttr: String => Option[Attribute]): Option[Seq[NamedExpression]] = {
+    val keySet = reg.spec.keySetLc
+    Some(agg.aggregateExpressions.map {
+      // grouping key passthrough: keep the ORIGINAL exprId so parent
+      // plans' references stay valid (dim attrs already keep theirs)
+      case a: AttributeReference
+          if baseOut.contains(a) && groupBaseNames(a.name.toLowerCase) =>
+        summaryAttr(a.name) match {
+          case Some(sa) => Alias(sa, a.name)(exprId = a.exprId)
+          case None => return None
+        }
+      case a: Attribute if groupDimAttrs.contains(a) => a
+      // count(DISTINCT k1..kn) where every ki is a summary KEY: the
+      // summary stores one row per distinct full-key tuple, so the
+      // distinct ki-tuples per (coarser) group are exactly the distinct
+      // ki-tuples among summary rows — re-counting DISTINCT over the
+      // summary's key columns is exact. NULL semantics carry over
+      // verbatim (count(DISTINCT) skips null tuples on both sides;
+      // groupBy keeps a null-key summary row, which the re-count skips
+      // just as the base count skipped null base rows). A non-key
+      // argument aborts: the summary collapsed its distinct values.
+      // (Under the UNION rewrite this case still holds: each branch's
+      // summary stores one row per distinct key tuple IN THAT BRANCH,
+      // and DISTINCT over the union collapses cross-branch repeats
+      // exactly as it collapses them over the unioned base rows.)
+      case al @ Alias(AggregateExpression(Count(children), Complete, true,
+          None, _), name)
+          if children.nonEmpty && children.forall {
+            case a: AttributeReference =>
+              baseOut.contains(a) && keySet(a.name.toLowerCase)
+            case _ => false
+          } =>
+        val mapped = children.map { case a: AttributeReference =>
+          summaryAttr(a.name).getOrElse(return None)
+        }
+        Alias(AggregateExpression(Count(mapped), Complete,
+          isDistinct = true), name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+        deriveAgg(fn, reg, baseOut, summaryAttr) match {
+          case Some(e) if e.dataType == al.child.dataType =>
+            Alias(e, name)(exprId = al.exprId)
+          case _ => return None
+        }
+      case _ => return None
+    })
+  }
+
+  /** The UNION ALL fact shape: `Aggregate([Project]* Union(b1, b2, ...))`
+    * where EVERY branch strips to a registered base (hot/cold splits,
+    * month-partitioned fact families read as one logical table). Sound
+    * by branch-local application of the flat-shape argument: the union's
+    * rows are the disjoint concatenation of branch rows, every stored
+    * partial is a per-(branch, group) exact partial of exactly those
+    * rows, and re-aggregating the CONCATENATED summary rows merges the
+    * per-branch partials the same way partial aggregation merges
+    * per-partition partials — count(*) sums branch counts, sums sum,
+    * min/max re-min/max, avg rides sum/count, count(DISTINCT keys)
+    * collapses cross-branch repeats exactly as over the base rows.
+    * PARTIAL coverage aborts (one unregistered branch = that branch's
+    * rows have no partials to answer from — the whole aggregate runs
+    * against the base union, never a half-rewrite). Branch specs must be
+    * COMPATIBLE (same keys + same partial-column names): one derivation
+    * then serves every branch, and the rewritten plan is
+    * Aggregate(Union(σ(summary_1), ..., σ(summary_n))) — at 100 TB,
+    * n keys-sized scans instead of n fact scans. Per-branch key-only
+    * filters remap branch-locally (each branch keeps its own pushed
+    * predicate).
+    */
+  private def rewriteUnion(agg: Aggregate): Option[Aggregate] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    val un = stripProjects(agg.child) match {
+      case u: Union if u.children.size >= 2 && !u.byName => u
+      case _ => return None
+    }
+    val branches: Seq[(LogicalRelation, Seq[Expression])] =
+      un.children.map(c => stripToRel(c).getOrElse(return None))
+    // Union.output keeps the FIRST child's exprIds (nullability merged),
+    // so the aggregate's references resolve against branch 0's relation
+    val baseOut0 = branches.head._1.outputSet
+    def compat(a: SummarySpec, b: SummarySpec): Boolean =
+      a.keySetLc == b.keySetLc &&
+        a.countCol.toLowerCase == b.countCol.toLowerCase &&
+        a.minLc == b.minLc && a.maxLc == b.maxLc &&
+        a.sumLc == b.sumLc && a.cntLc == b.cntLc
+    def tryOne(reg0: Registered): Option[Aggregate] = {
+      val spec0 = reg0.spec
+      val regs: Seq[Registered] = branches.zipWithIndex.map {
+        case ((rel, _), i) =>
+          if (i == 0) reg0
+          else regsFor(rel).find(r => compat(r.spec, spec0))
+            .getOrElse(return None)
+      }
+      // one canonical column order for every branch projection, so the
+      // union lines up positionally whatever each summary's physical
+      // column order is
+      val colNames: Seq[String] = spec0.relation.output.map(_.name)
+      val branchPlans: Seq[Project] = branches.zip(regs).map {
+        case ((rel, filters), reg) =>
+          val fresh = reg.spec.relation match {
+            case m: MultiInstanceRelation =>
+              m.newInstance().asInstanceOf[LogicalPlan]
+            case p => p
+          }
+          val byName: Map[String, Attribute] =
+            fresh.output.map(a => a.name.toLowerCase -> a).toMap
+          def sAttr(n: String): Option[Attribute] = byName.get(n.toLowerCase)
+          val newFilters: Seq[Expression] = filters.map { f =>
+            if (!f.references.subsetOf(rel.outputSet)) return None
+            remapKeyOnly(f, rel.outputSet, AttributeSet.empty,
+              reg.spec.keySetLc, sAttr).getOrElse(return None)
+          }
+          val filtered: LogicalPlan =
+            if (newFilters.isEmpty) fresh
+            else Filter(newFilters.reduce(And), fresh)
+          Project(colNames.map(n => sAttr(n).getOrElse(return None)), filtered)
+      }
+      // positional type agreement keeps the constructed Union resolved
+      val headTypes = branchPlans.head.projectList.map(_.dataType)
+      if (branchPlans.exists(_.projectList.map(_.dataType) != headTypes))
+        return None
+      val newUnion = Union(branchPlans)
+      val unionOut = newUnion.output
+      def summaryAttrU(n: String): Option[Attribute] =
+        unionOut.find(_.name.equalsIgnoreCase(n))
+      val newGrouping: Seq[Expression] = agg.groupingExpressions.map {
+        case a: AttributeReference
+            if baseOut0.contains(a) && spec0.keySetLc(a.name.toLowerCase) =>
+          summaryAttrU(a.name).getOrElse(return None)
+        case _ => return None
+      }
+      val groupBaseNames = agg.groupingExpressions.collect {
+        case a: AttributeReference if baseOut0.contains(a) =>
+          a.name.toLowerCase
+      }.toSet
+      val newAggExprs = mapAggList(agg, reg0, baseOut0, groupBaseNames,
+        AttributeSet.empty, summaryAttrU).getOrElse(return None)
+      Some(Aggregate(newGrouping, newAggExprs, newUnion))
+    }
+    regsFor(branches.head._1).view.flatMap(tryOne).headOption
+  }
+
   private def rewrite(
       agg: Aggregate, reg: Registered, rel: LogicalRelation,
       baseFilters: Seq[Expression], dimJoins: List[DimJoin]): Option[Aggregate] = {
@@ -663,45 +812,9 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case a: Attribute if dimOut.contains(a) => a
     })
 
-    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      // grouping key passthrough: keep the ORIGINAL exprId so parent
-      // plans' references stay valid (dim attrs already keep theirs)
-      case a: AttributeReference
-          if baseOut.contains(a) && groupBaseNames(a.name.toLowerCase) =>
-        summaryAttr(a.name) match {
-          case Some(sa) => Alias(sa, a.name)(exprId = a.exprId)
-          case None => return None
-        }
-      case a: Attribute if groupDimAttrs.contains(a) => a
-      // count(DISTINCT k1..kn) where every ki is a summary KEY: the
-      // summary stores one row per distinct full-key tuple, so the
-      // distinct ki-tuples per (coarser) group are exactly the distinct
-      // ki-tuples among summary rows — re-counting DISTINCT over the
-      // summary's key columns is exact. NULL semantics carry over
-      // verbatim (count(DISTINCT) skips null tuples on both sides;
-      // groupBy keeps a null-key summary row, which the re-count skips
-      // just as the base count skipped null base rows). A non-key
-      // argument aborts: the summary collapsed its distinct values.
-      case al @ Alias(AggregateExpression(Count(children), Complete, true,
-          None, _), name)
-          if children.nonEmpty && children.forall {
-            case a: AttributeReference =>
-              baseOut.contains(a) && keySet(a.name.toLowerCase)
-            case _ => false
-          } =>
-        val mapped = children.map { case a: AttributeReference =>
-          summaryAttr(a.name).getOrElse(return None)
-        }
-        Alias(AggregateExpression(Count(mapped), Complete,
-          isDistinct = true), name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
-        deriveAgg(fn, reg, baseOut, summaryAttr) match {
-          case Some(e) if e.dataType == al.child.dataType =>
-            Alias(e, name)(exprId = al.exprId)
-          case _ => return None
-        }
-      case _ => return None
-    }
+    val newAggExprs: Seq[NamedExpression] =
+      mapAggList(agg, reg, baseOut, groupBaseNames, groupDimAttrs,
+        summaryAttr).getOrElse(return None)
     val filtered: LogicalPlan =
       if (newFilters.isEmpty) fresh
       else Filter(newFilters.reduce(And), fresh)

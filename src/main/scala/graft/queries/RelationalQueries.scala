@@ -1569,6 +1569,52 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Summary-over-summary (r19): the (priority)-keyed COARSE summary is
+    // built by rolling up the registered FINER (priority, status)
+    // summary's partials — the build reads |finer keys| rows, never the
+    // corpus — and the cost model (stored bytes, cheapest first) picks
+    // it over the finer one for this GROUP BY o_orderpriority: the
+    // derivation ladder a 100 TB warehouse climbs without re-scanning
+    // the fact table. Every aggregate family rides it: count, min/max,
+    // integral sum, avg-from-partials, and the cents EXPRESSION partial.
+    // Oracle: the BASE table in DuckDB; SummaryRewriteSpec pins that the
+    // plan scans the coarse summary, not the finer one or the base.
+    "q_mv_rewrite_rollup2" -> { (s, dir) =>
+      graft.operators.SummaryTables.ensureCoarse(s, dir)
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_orderkey")).as("key_sum"),
+          avg(col("o_orderkey")).as("avg_okey"),
+          sum(expr(graft.operators.SummaryTables.CentsExprSql))
+            .as("total_cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    // UNION ALL fact shape (r19): the fact is read as cold UNION ALL hot
+    // (the warehouse's archive/recent split), each half a registered
+    // base with its own summary — SummaryRewrite.rewriteUnion re-plans
+    // the aggregate onto Union(summary_cold, summary_hot), two
+    // keys-sized scans instead of two fact scans; per-branch partials
+    // merge exactly like partial aggregation merges per-partition
+    // partials. Partial coverage (one branch unregistered) aborts to
+    // the base union — pinned in SummaryRewriteSpec. Oracle: the split
+    // is a partition of orders, so the base table answers in DuckDB.
+    "q_mv_rewrite_union" -> { (s, dir) =>
+      val (coldP, hotP) =
+        graft.operators.SummaryTables.ensureSplit(s, dir)
+      s.read.parquet(coldP).union(s.read.parquet(hotP))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_orderkey")).as("key_sum"),
+          avg(col("o_orderkey")).as("avg_okey"))
+        .orderBy("o_orderpriority")
+    },
+
     // MULTI-HOP star MV (the TPC-H Q5 family shape): the fact sits at
     // the bottom of a LEFT-DEEP join chain — orders ⋈ customer ⋈
     // nation — and the whole chain re-plans around the custkey summary,
@@ -3735,6 +3781,21 @@ object RelationalQueries {
            CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
              AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    "q_mv_rewrite_rollup2" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_okey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+             AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    // the split is a partition of orders, so the base table is the truth
+    "q_mv_rewrite_union" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_okey
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
     "q_mv_rewrite_star2" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,

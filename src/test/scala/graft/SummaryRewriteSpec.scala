@@ -896,4 +896,93 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(got == base)
     } finally SummaryRewrite.clear()
   }
+
+  test("summary-over-summary: the coarse rollup wins by cost and equals the base") {
+    SummaryRewrite.clear()
+    def q() = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("mn"),
+        sum(col("o_orderkey")).as("ks"), avg(col("o_orderkey")).as("av"),
+        sum(expr(SummaryTables.CentsExprSql)).as("cents"))
+    def rows(df: DataFrame) = df.orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+    val unrewritten = rows(q())
+    SummaryTables.ensureCoarse(spark, sfDir) // registers fine + coarse
+    try {
+      val df = q()
+      val locs = scans(df)
+      // the COARSE summary (smaller stored bytes) wins candidate order;
+      // neither the finer summary nor the base is scanned
+      assert(locs.exists(_.contains("graft_summary_coarse")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("graft_summary/")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+      assert(rows(df) == unrewritten)
+      // a (priority, status) grouping is NOT derivable from the coarse
+      // summary — the finer one still serves it
+      val fine = Tables(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      assert(scans(fine).exists(_.contains("graft_summary/")),
+        scans(fine).mkString("\n"))
+    } finally SummaryRewrite.clear()
+  }
+
+  test("UNION ALL fact shape: branch-per-branch rewrite, partial coverage aborts") {
+    SummaryRewrite.clear()
+    val (coldP, hotP) = SummaryTables.ensureSplit(spark, sfDir)
+    def q() = spark.read.parquet(coldP).union(spark.read.parquet(hotP))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"), sum(col("o_orderkey")).as("ks"),
+        avg(col("o_orderkey")).as("av"))
+    def rows(df: DataFrame) = df.orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSeq
+    try {
+      val df = q()
+      val locs = scans(df)
+      assert(locs.exists(_.contains("summary_cold")), locs.mkString("\n"))
+      assert(locs.exists(_.contains("summary_hot")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("cold.parquet")), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("hot.parquet")), locs.mkString("\n"))
+      // the union of the split IS orders: the rewrite must equal the
+      // base-table aggregate computed with no registrations at all
+      SummaryRewrite.clear()
+      val unrewritten = rows(Tables(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"), sum(col("o_orderkey")).as("ks"),
+          avg(col("o_orderkey")).as("av")))
+      SummaryTables.ensureSplit(spark, sfDir)
+      assert(rows(df) == unrewritten)
+      // per-branch KEY filter remaps branch-locally and still rewrites
+      val filtered = spark.read.parquet(coldP)
+        .filter(col("o_orderstatus") === "F")
+        .union(spark.read.parquet(hotP)
+          .filter(col("o_orderstatus") === "F"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(scans(filtered).exists(_.contains("summary_cold")),
+        scans(filtered).mkString("\n"))
+      assert(!scans(filtered).exists(_.contains("cold.parquet")),
+        scans(filtered).mkString("\n"))
+      // PARTIAL coverage aborts: with only the cold branch registered,
+      // the whole aggregate runs against the base union (no
+      // half-rewrite mixing summary rows with fact rows)
+      SummaryRewrite.clear()
+      SummaryRewrite.register(coldP, SummaryRewrite.SummarySpec(
+        summaryPath = s"${new java.io.File(coldP).getParent}/summary_cold",
+        keys = Seq("o_orderpriority", "o_orderstatus"), countCol = "cnt",
+        minCols = Map("o_totalprice" -> "min_price"),
+        maxCols = Map("o_totalprice" -> "max_price"),
+        sumCols = Map("o_orderkey" -> "sum_okey"),
+        cntCols = Map("o_orderkey" -> "cnt_okey")))
+      val partial = q()
+      val plocs = scans(partial)
+      assert(plocs.exists(_.contains("hot.parquet")), plocs.mkString("\n"))
+      assert(plocs.exists(_.contains("cold.parquet")), plocs.mkString("\n"))
+      assert(!plocs.exists(_.contains("summary_")), plocs.mkString("\n"))
+      assert(rows(partial) == unrewritten)
+    } finally SummaryRewrite.clear()
+  }
 }
