@@ -152,7 +152,18 @@ object AnnIndex {
   def append(
       newVectors: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      attrCols: Seq[String] = Nil): Unit = {
+      attrCols: Seq[String] = Nil): Unit =
+    assignForAppend(newVectors, dir, idCol, vecCol, attrCols)
+      .write.mode("append").partitionBy("cell").parquet(postingsPath(dir))
+
+  /** The shared append pipeline: validate the attr contract against the
+    * STORED layout, then assign each new vector to its stored-quantizer
+    * cell and PQ-encode it with the stored codebook — the posting-row
+    * shape [[append]] writes and [[appendBatch]] stages.
+    */
+  private def assignForAppend(
+      newVectors: DataFrame, dir: String,
+      idCol: String, vecCol: String, attrCols: Seq[String]): DataFrame = {
     val spark = newVectors.sparkSession
     // the batch MUST carry exactly the attr columns the stored postings
     // already have: appending without them would write files missing
@@ -185,7 +196,55 @@ object AnnIndex {
         call_function("graft_nearest_cell", col("n_vec"), flatC, lit(dim)))
       .withColumn("codes",
         call_function("graft_pq_encode", col("n_vec"), pqFlat, lit(dsub), lit(kEff)))
-      .write.mode("append").partitionBy("cell").parquet(postingsPath(dir))
+  }
+
+  /** Ledger sidecar inside the postings dir recording the last streaming
+    * batch id applied (underscore-prefixed: parquet readers skip it).
+    * The summary tier's [[graft.operators.SummaryTables.BatchLedger]]
+    * discipline applied to the index.
+    */
+  private[graft] val AppendLedger = "_GRAFT_LAST_BATCH"
+
+  private[graft] def lastAppendedBatch(dir: String): Long = {
+    val f = java.nio.file.Paths.get(postingsPath(dir), AppendLedger)
+    if (!java.nio.file.Files.exists(f)) -1L
+    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+  }
+
+  /** EXACTLY-ONCE streaming append ([[graft.streaming.StreamingOps
+    * .annIndexAppendEachBatch]]'s per-batch body): appends are not
+    * idempotent, so unlike [[append]] a replayed micro-batch must be a
+    * no-op. The batch is assigned through the stored quantizer
+    * ([[assignForAppend]]) and committed via the maintenance tier's
+    * staged swap with the batch-id LEDGER riding INSIDE the staged dir —
+    * data and ledger become visible in one atomic rename, so the crash
+    * window between "applied" and "recorded" does not exist: a crash
+    * before the swap leaves the old postings + ledger intact (the
+    * replayed batch re-stages), a crash inside the swap is finished by
+    * [[recoverVacuum]] on the next call WITH the new ledger already in
+    * the staged bytes. Returns false when the ledger shows `batchId`
+    * already applied (the replay skip).
+    *
+    * Scale note, stated honestly: the swap REWRITES the live postings
+    * (O(index) per batch, like every maintenance op here), which is the
+    * exactness-first shape for a demo-scale index. At 100 TB the same
+    * ledger protocol applies per CELL PARTITION (stage + swap only the
+    * cell dirs the batch touches, ledger in each) — the layout already
+    * partitions by cell, so that refinement changes the commit unit,
+    * not the discipline. Single writer required, as for all maintenance.
+    */
+  def appendBatch(
+      newVectors: DataFrame, dir: String, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      attrCols: Seq[String] = Nil): Boolean = {
+    val spark = newVectors.sparkSession
+    recoverVacuum(dir) // ledger read AFTER recovery (the maintain lesson)
+    if (batchId <= lastAppendedBatch(dir)) return false
+    val assigned = assignForAppend(newVectors, dir, idCol, vecCol, attrCols)
+    val all = spark.read.parquet(postingsPath(dir)).unionByName(assigned)
+    stageAndSwapPostings(spark, dir, all,
+      extraStagedFiles = Map(AppendLedger -> batchId.toString))
+    true
   }
 
   /** Tombstone deletion — the O(batch) maintenance path (GDPR removal,
@@ -267,7 +326,8 @@ object AnnIndex {
     * Returns the staged row count.
     */
   private def stageAndSwapPostings(
-      spark: SparkSession, dir: String, rewritten: DataFrame): Long = {
+      spark: SparkSession, dir: String, rewritten: DataFrame,
+      extraStagedFiles: Map[String, String] = Map.empty): Long = {
     val staged = stagedPath(dir)
     rewritten.write.mode("overwrite").partitionBy("cell").parquet(staged)
     // explicit schema: an all-rows-removed staged dir has no parquet
@@ -278,6 +338,21 @@ object AnnIndex {
       throw new IllegalStateException(
         s"AnnIndex($dir): rewrite would remove every posting — an empty " +
           "index is unreadable; drop the index directory instead")
+    }
+    // sidecars ride the swap: [[appendBatch]]'s batch ledger lands here
+    // so data and ledger become visible in one rename. A maintenance
+    // rewrite that supplies no ledger CARRIES the existing one forward —
+    // a vacuum/compact must not lose it, or a replayed streaming batch
+    // would be re-admitted (the SummaryTables ledgerless-maintain rule).
+    val carried: Map[String, String] =
+      if (extraStagedFiles.contains(AppendLedger)) extraStagedFiles
+      else lastAppendedBatch(dir) match {
+        case -1L => extraStagedFiles
+        case id => extraStagedFiles + (AppendLedger -> id.toString)
+      }
+    carried.foreach { case (name, contents) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(staged, name), contents.getBytes("UTF-8"))
     }
     // marker strictly after the staged write returns: a crash before it
     // leaves staging unmarked (and postings intact) — the next

@@ -756,6 +756,34 @@ object StreamingOps {
             baseAfter = baseAfter.map(_()))
     }
 
+  /** Exactly-once streaming ANN-index append: each micro-batch of new
+    * vectors is assigned through the STORED quantizer (cell from the
+    * stored centroids, codes from the stored codebook — never a
+    * retrain) and committed by [[graft.functions.AnnIndex.appendBatch]]
+    * via the maintenance tier's staged swap with the micro-batch id
+    * ledger riding inside the staged bytes — the
+    * [[maintainSummaryEachBatch]] discipline applied to the index:
+    * appends are not idempotent, so at-least-once replay is absorbed by
+    * the ledger (a replayed id is a no-op), and applied-and-recorded is
+    * one atomic visibility event. This closes the ingest story: build
+    * once, stream appends forever, retrain/reassign/vacuum on a cadence
+    * (the quantizer-drift loop q_ann_index_drift schedules). SINGLE
+    * WRITER REQUIRED, as for all index maintenance.
+    */
+  def annIndexAppendEachBatch(
+      vectors: DataFrame, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      attrCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.AnnIndex.appendBatch(
+            batch, indexDir, id, idCol, vecCol, attrCols)
+          ()
+        }
+    }
+
   /** Streaming append through the DSv2 staging sink
     * ([[graft.sources.StagedSink]]): each micro-batch lands via the
     * full staging → winning-attempt commit → atomic manifest swap

@@ -871,4 +871,80 @@ class StreamingSpec extends SparkSpec {
       assert(state() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
     } finally q2.stop()
   }
+
+  case class Vec(vec_id: Long, embedding: Array[Float])
+
+  test("annIndexAppendEachBatch: exactly-once streaming index append equals the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.AnnIndex
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") % 4 < 2)
+    val d1 = e.filter(col("vec_id") % 4 === 2)
+    val d2 = e.filter(col("vec_id") % 4 === 3)
+    val work = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+    val (dirA, dirB) = (s"$work/streamed", s"$work/batched")
+    // both indexes share the SAME stored quantizer: built from the base
+    // half, appends assign against it (never retrain)
+    AnnIndex.build(base, dirA, nlist = 0, trainRounds = 0)
+    AnnIndex.build(base, dirB, nlist = 0, trainRounds = 0)
+    AnnIndex.append(d1.unionByName(d2), dirB)
+    def vecs(df: org.apache.spark.sql.DataFrame): Seq[Vec] =
+      df.select("vec_id", "embedding").collect()
+        .map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val mem = MemoryStream[Vec]
+    val q = StreamingOps.annIndexAppendEachBatch(mem.toDF(), dirA)
+      .option("checkpointLocation", s"$work/ckpt").start()
+    def probe(dir: String) = {
+      val qs = e.filter(col("vec_id") < 20)
+      AnnIndex.ivfTopK(qs, dir, k = 5).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
+          r.getAs[Long]("n_id"), r.getAs[Double]("cos_sim")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    try {
+      mem.addData(vecs(d1): _*)
+      q.processAllAvailable()
+      mem.addData(vecs(d2): _*)
+      q.processAllAvailable()
+      // two micro-batches == one batch append of the union, probe-equal
+      assert(probe(dirA) == probe(dirB))
+      assert(AnnIndex.lastAppendedBatch(dirA) >= 1L)
+    } finally q.stop()
+    val nRows = spark.read.parquet(s"$dirA/postings").count()
+    // REPLAY: re-delivering an already-applied micro-batch id is a
+    // no-op — the ledger (inside the postings bytes) absorbs it
+    assert(!AnnIndex.appendBatch(d1, dirA, batchId = 0L))
+    assert(spark.read.parquet(s"$dirA/postings").count() == nRows)
+    assert(probe(dirA) == probe(dirB))
+    // CRASH WINDOW: simulate dying between the swap's two renames — a
+    // COMPLETE staged rewrite (ledger 99 inside, commit-marked) with the
+    // live postings already renamed aside. The next probe must finish
+    // the swap: data and the NEW ledger become visible together.
+    val postings = java.nio.file.Paths.get(s"$dirA/postings")
+    val staged = java.nio.file.Paths.get(s"$dirA/postings_staged")
+    val old = java.nio.file.Paths.get(s"$dirA/postings_old")
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      val st = java.nio.file.Files.walk(src)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p).toString)
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t)
+        }
+      } finally st.close()
+    }
+    copyTree(postings, staged)
+    java.nio.file.Files.write(staged.resolve(AnnIndex.AppendLedger),
+      "99".getBytes("UTF-8"))
+    val marker = staged.resolve(graft.ops.CoreOps.CommitMarker)
+    if (!java.nio.file.Files.exists(marker))
+      java.nio.file.Files.createFile(marker)
+    java.nio.file.Files.move(postings, old)
+    assert(probe(dirA) == probe(dirB)) // recovery finished the swap
+    assert(AnnIndex.lastAppendedBatch(dirA) == 99L,
+      "the recovered swap must surface the staged ledger with the data")
+    assert(!AnnIndex.appendBatch(d1, dirA, batchId = 99L)) // still deduped
+  }
 }
