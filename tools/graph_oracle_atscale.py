@@ -287,7 +287,18 @@ def main(corpus_dir, out_dir):
                       ("q_bcubed", "bcubed_expected"),
                       ("q_setsim_prefix", "setsim_prefix_expected"),
                       ("q_ngram_jaccard", "ngram_jaccard_expected"),
-                      ("q_containment", "containment_expected")]:
+                      ("q_containment", "containment_expected"),
+                      # the persisted-assignment consumers (r19): stored
+                      # == recomputed is spec-pinned, so each _stored twin
+                      # shares its self-contained sibling's expected
+                      # relation — a stale or wrong stored table fails
+                      # here at scale
+                      ("q_dedup_full_stored", "dedup_full_expected"),
+                      ("q_cluster_canonical_stored",
+                       "cluster_canonical_expected"),
+                      ("q_leakage_safe_split_stored",
+                       "leakage_split_expected"),
+                      ("q_bcubed_stored", "bcubed_expected")]:
         if os.path.isdir(f"{out_dir}/{name}"):
             ok = compare(con, name, rel, out_dir) and ok
         else:
