@@ -334,6 +334,11 @@ class ExplainSpec extends SparkSpec {
     // checkpointed cluster frame, then the two-distinct final agg's
     // exchanges — everything after the checkpoints is cell-sized
     "q_bcubed" -> 6,
+    // the stored twin (r19): the edge build + CC are GONE (read from the
+    // persisted assignment table), but the gold window, the stored-table
+    // probe join, and the same two-distinct final agg remain — six
+    // exchanges, all keyed 16-byte hashes or cell-sized frames
+    "q_bcubed_stored" -> 6,
     // r15: the broadcast/auto/SQL as-of spellings hold exactly ONE
     // exchange — the output orderBy; the join itself moves nothing on
     // the fact side (the zero-fact-shuffle claim, pinned). The two
@@ -420,6 +425,7 @@ class ExplainSpec extends SparkSpec {
     "q_profile" -> "single-pass multi-column profile: one Expand over the 3-row summary domain",
     "q_data_card" -> "one-row corpus summary: multi-distinct over per-doc stats",
     "q_bcubed" -> "two-distinct count over the CHECKPOINTED (c,g) contingency frame — bounded by non-empty cluster intersections, never the corpus",
+    "q_bcubed_stored" -> "same two-distinct final agg as q_bcubed over the same cell-sized contingency frame; the stored assignment table replaces the edge build upstream",
     "q_jsonl_ingest" -> "two-distinct count over the per-(status, lang, source) pre-aggregate — bounded by the tag domain (the raw line stream combines map-side below it), never the corpus",
     "q_mv_rewrite_rollup" -> "rollup() REWRITTEN onto the summary: the Expand multiplies the |priority x status|-sized summary scan (the MV rewrite's whole point), never the fact corpus",
     "q_mv_rewrite_gsets" -> "explicit GROUPING SETS rewritten onto the summary — same keys-sized Expand as q_mv_rewrite_rollup")
