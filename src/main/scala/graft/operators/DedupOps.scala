@@ -170,8 +170,8 @@ object DedupOps {
       throw new UnsupportedOperationException(
         "graft_semdedup: the input table is a stream — in-cell pair " +
           "comparison is a multi-pass join no stream can evaluate. Use " +
-          "StreamingOps.annProbeStream-style micro-batch probes for " +
-          "streaming semantic admission")
+          "StreamingOps.annTopKStream (stream-static probe of a " +
+          "persisted index) for streaming semantic admission")
     val (idCol, vecCol) = (lit(1, "id_col"), lit(2, "vec_col"))
     val threshold = {
       val raw = lit(3, "threshold")

@@ -119,33 +119,70 @@ object SummaryTables {
     * BUILD time and persisted).
     */
   def ensureCoarse(s: SparkSession, dir: String): String = synchronized {
-    val fine = ensure(s, dir) // builds + registers the finer summary
+    ensure(s, dir) // builds + registers the finer summary
     val tag = tagFor(dir)
     val root = s"${sys.props("java.io.tmpdir")}/graft_summary_coarse/v1_$tag"
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$root/_SUCCESS"))) {
-      s.read.parquet(fine)
-        .groupBy(col("o_orderpriority"))
-        .agg(sum(col("cnt")).as("cnt"),
-          min(col("min_price")).as("min_price"),
-          max(col("max_price")).as("max_price"),
-          sum(col("sum_okey")).as("sum_okey"),
-          sum(col("cnt_okey")).as("cnt_okey"),
-          sum(col("sum_cents")).as("sum_cents"))
-        .coalesce(1).write.mode("overwrite").parquet(root)
-      invalidateValidated(root)
-    }
-    SummaryRewrite.register(s"$dir/orders.parquet", SummarySpec(
-      summaryPath = root,
-      keys = Seq("o_orderpriority"),
-      countCol = "cnt",
-      minCols = Map("o_totalprice" -> "min_price"),
-      maxCols = Map("o_totalprice" -> "max_price"),
-      sumCols = Map("o_orderkey" -> "sum_okey"),
-      cntCols = Map("o_orderkey" -> "cnt_okey"),
-      sumExprs = Map(CentsExprSql -> "sum_cents"),
-      baseTag = tag))
+    val spec = deriveCoarse(s, fineSpec(tag),
+      coarseKeys = Seq("o_orderpriority"), outPath = root)
+    SummaryRewrite.register(s"$dir/orders.parquet", spec)
     root
+  }
+
+  /** The v3 fixture's spec — the derivation input for [[ensureCoarse]]
+    * and [[deriveCoarse]] callers (matches [[ensure]]'s registration
+    * literal; a drift between the two fails register()'s validation).
+    */
+  private def fineSpec(tag: String): SummarySpec = SummarySpec(
+    summaryPath = s"${sys.props("java.io.tmpdir")}/graft_summary/v3_$tag",
+    keys = Seq("o_orderpriority", "o_orderstatus"),
+    countCol = "cnt",
+    minCols = Map("o_totalprice" -> "min_price"),
+    maxCols = Map("o_totalprice" -> "max_price"),
+    sumCols = Map("o_orderkey" -> "sum_okey"),
+    cntCols = Map("o_orderkey" -> "cnt_okey"),
+    sumExprs = Map(CentsExprSql -> "sum_cents"),
+    baseTag = tag)
+
+  /** GENERIC summary-over-summary derivation — the library API behind
+    * [[ensureCoarse]]: roll a finer summary's stored partials up to
+    * `coarseKeys` and return the coarse spec (same base columns, same
+    * partial names, coarser keys), ready to register against the SAME
+    * base table. Exact by the partial-aggregation argument: count and
+    * (integral) sum partials re-sum, non-null-count partials re-sum,
+    * min/max partials re-min/max, expression partials re-sum — every
+    * coarse partial is an exact re-aggregation of exact partials, the
+    * identical latitude the query-time rollup rewrite already exercises,
+    * applied once at BUILD time and persisted. At 100 TB the whole
+    * derivation ladder above the first summary reads |finer keys| rows
+    * per rung; the fact corpus is scanned exactly once, at the bottom.
+    * Build is skipped when `outPath/_SUCCESS` already exists (the
+    * standard fixture reuse); the schema-validation cache for the path
+    * is invalidated on build.
+    */
+  def deriveCoarse(
+      s: SparkSession, fine: SummarySpec, coarseKeys: Seq[String],
+      outPath: String): SummarySpec = {
+    val fineKeysLc = fine.keys.map(_.toLowerCase).toSet
+    require(coarseKeys.nonEmpty &&
+      coarseKeys.forall(k => fineKeysLc(k.toLowerCase)),
+      s"SummaryTables.deriveCoarse($outPath): coarse keys " +
+        s"${coarseKeys.mkString(", ")} must be a non-empty subset of the " +
+        s"finer summary's keys ${fine.keys.mkString(", ")}")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outPath/_SUCCESS"))) {
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        Seq(sum(col(fine.countCol)).as(fine.countCol)) ++
+          fine.minCols.values.map(p => min(col(p)).as(p)) ++
+          fine.maxCols.values.map(p => max(col(p)).as(p)) ++
+          (fine.sumCols.values ++ fine.cntCols.values ++
+            fine.sumExprs.values).map(p => sum(col(p)).as(p))
+      s.read.parquet(fine.summaryPath)
+        .groupBy(coarseKeys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1).write.mode("overwrite").parquet(outPath)
+      invalidateValidated(outPath)
+    }
+    fine.copy(summaryPath = outPath, keys = coarseKeys)
   }
 
   /** The UNION ALL fact shape's fixture (r19): orders split hot/cold on

@@ -928,6 +928,48 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally SummaryRewrite.clear()
   }
 
+  test("deriveCoarse: generic partial rollup serves a different coarse axis exactly") {
+    SummaryRewrite.clear()
+    def q() = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("mx"),
+        sum(col("o_orderkey")).as("ks"), avg(col("o_orderkey")).as("av"),
+        sum(expr(SummaryTables.CentsExprSql)).as("cents"))
+    def rows(df: DataFrame) = df.orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+    val unrewritten = rows(q())
+    // the fixture derives (priority); here the GENERIC API rolls the
+    // same finer summary up the OTHER axis, (status)
+    val fineRoot = SummaryTables.ensure(spark, sfDir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_coarse_status").toString + "/s"
+    try {
+      val fine = SummaryRewrite.SummarySpec(
+        summaryPath = fineRoot,
+        keys = Seq("o_orderpriority", "o_orderstatus"), countCol = "cnt",
+        minCols = Map("o_totalprice" -> "min_price"),
+        maxCols = Map("o_totalprice" -> "max_price"),
+        sumCols = Map("o_orderkey" -> "sum_okey"),
+        cntCols = Map("o_orderkey" -> "cnt_okey"),
+        sumExprs = Map(SummaryTables.CentsExprSql -> "sum_cents"))
+      val coarse = SummaryTables.deriveCoarse(
+        spark, fine, Seq("o_orderstatus"), out)
+      assert(coarse.keys == Seq("o_orderstatus") &&
+        coarse.summaryPath == out)
+      SummaryRewrite.register(s"$sfDir/orders.parquet", coarse)
+      val df = q()
+      val locs = scans(df)
+      assert(locs.exists(_.contains(out)), locs.mkString("\n"))
+      assert(!locs.exists(_.contains("orders.parquet")), locs.mkString("\n"))
+      assert(rows(df) == unrewritten)
+      // a non-subset coarse key fails fast
+      intercept[IllegalArgumentException] {
+        SummaryTables.deriveCoarse(spark, fine, Seq("o_custkey"), out + "2")
+      }
+    } finally SummaryRewrite.clear()
+  }
+
   test("UNION ALL fact shape: branch-per-branch rewrite, partial coverage aborts") {
     SummaryRewrite.clear()
     val (coldP, hotP) = SummaryTables.ensureSplit(spark, sfDir)
