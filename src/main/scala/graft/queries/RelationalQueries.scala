@@ -1615,6 +1615,25 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // The SAME union rewrite through the spark.sql entry path (the rule
+    // lives in the optimizer; temp views of the split paths are
+    // alias-eliminated before it runs) — SHARES q_mv_rewrite_union's
+    // base-table oracle.
+    "q_mv_rewrite_union_sql" -> { (s, dir) =>
+      val (coldP, hotP) =
+        graft.operators.SummaryTables.ensureSplit(s, dir)
+      s.read.parquet(coldP).createOrReplaceTempView("graft_mvu_cold")
+      s.read.parquet(hotP).createOrReplaceTempView("graft_mvu_hot")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders,
+          min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+          sum(o_orderkey) AS key_sum, avg(o_orderkey) AS avg_okey
+        FROM (SELECT * FROM graft_mvu_cold
+              UNION ALL
+              SELECT * FROM graft_mvu_hot)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
     // MULTI-HOP star MV (the TPC-H Q5 family shape): the fact sits at
     // the bottom of a LEFT-DEEP join chain — orders ⋈ customer ⋈
     // nation — and the whole chain re-plans around the custkey summary,
@@ -3791,6 +3810,12 @@ object RelationalQueries {
          FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
     // the split is a partition of orders, so the base table is the truth
     "q_mv_rewrite_union" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_okey
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_mv_rewrite_union_sql" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
            min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,

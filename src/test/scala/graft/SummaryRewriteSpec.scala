@@ -998,6 +998,17 @@ class SummaryRewriteSpec extends SparkSpec {
           avg(col("o_orderkey")).as("av")))
       SummaryTables.ensureSplit(spark, sfDir)
       assert(rows(df) == unrewritten)
+      // the spark.sql spelling over temp views of the split paths
+      // rewrites identically (alias elimination runs before the rule)
+      spark.read.parquet(coldP).createOrReplaceTempView("mvu_cold")
+      spark.read.parquet(hotP).createOrReplaceTempView("mvu_hot")
+      val sqlDf = spark.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM (SELECT * FROM mvu_cold UNION ALL SELECT * FROM mvu_hot)
+        GROUP BY o_orderpriority""")
+      assert(scans(sqlDf).exists(_.contains("summary_cold")) &&
+        !scans(sqlDf).exists(_.contains("cold.parquet")),
+        scans(sqlDf).mkString("\n"))
       // per-branch KEY filter remaps branch-locally and still rewrites
       val filtered = spark.read.parquet(coldP)
         .filter(col("o_orderstatus") === "F")
