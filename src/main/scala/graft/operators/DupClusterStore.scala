@@ -79,4 +79,248 @@ object DupClusterStore {
   /** The stored assignments as a DataFrame — the consumers' read path. */
   def assignments(s: SparkSession, sfDir: String, threshold: Double = 0.05): DataFrame =
     s.read.parquet(ensure(s, sfDir, threshold))
+
+  // ------------------------------------------------------------------
+  // Incremental store (r19): cluster upkeep WITHOUT re-scanning the old
+  // corpus. The content-tagged [[ensure]] table answers "cluster this
+  // corpus once"; this second surface answers the ingest reality — a
+  // live pipeline appends document batches forever, and re-clustering
+  // 100 TB per batch is not a plan. The store persists, besides the
+  // gid-level assignment, exactly the state the marginal batch needs:
+  //
+  //   membership  (doc_id, h, gid)   every doc -> its exact-dup group
+  //   sizes       (gid, n_sh, n_members)  per distinct text
+  //   postings    (sh, gid)          the distinct-text shingle index
+  //   assign      (gid, cid)         gid-level clusters (clustered only)
+  //   meta        (threshold, n)     build-time operating point
+  //
+  // [[maintainIncremental]] then touches work proportional to the BATCH:
+  // exact-copy joiners resolve by one hash join against (h -> gid);
+  // genuinely new texts shingle-join the stored postings (the inverted
+  // index keyed on 8-byte shingle hashes — the same one-exchange shape
+  // as the batch operator, with the corpus side pre-built); connectivity
+  // re-closes over the stored assignment's STAR edges (|assign|-sized,
+  // star compression makes old components depth 1) plus the batch's new
+  // edges. The result is spec-pinned BIT-EQUAL to a full rebuild on the
+  // unioned corpus.
+  //
+  // Exactly-once: the whole root commits through one staged swap
+  // (rename-aside, `_GRAFT_COMMIT`-gated, [[graft.ops.CoreOps]]'s crash
+  // cases) with the batch-id ledger inside the staged bytes — the
+  // AnnIndex.appendBatch discipline at store granularity. Scale note,
+  // stated honestly: the swap rewrites membership/postings (O(store));
+  // at 100 TB the commit unit becomes per-table appends with the small
+  // assign table's swap carrying the ledger last — same discipline,
+  // different unit. SINGLE WRITER REQUIRED.
+  //
+  // Contract: batch doc_ids must EXCEED every stored doc_id (the
+  // ingest-append reality). gid and cluster ids are minima over
+  // members, so an out-of-order smaller id would retroactively rename
+  // groups and clusters store-wide — refused loudly instead.
+  // ------------------------------------------------------------------
+
+  private val Ledger = "_GRAFT_LAST_BATCH"
+
+  /** Last batch id applied to the incremental store, or -1. */
+  def lastBatch(root: String): Long = {
+    val f = java.nio.file.Paths.get(root, Ledger)
+    if (!java.nio.file.Files.exists(f)) -1L
+    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+  }
+
+  /** (doc_id, cluster_id) for clustered docs — the [[ensure]] table's
+    * schema, read from the incremental store.
+    */
+  def assignmentsIncremental(s: SparkSession, root: String): DataFrame = {
+    // reads self-heal an interrupted swap, like every store here
+    graft.ops.CoreOps.recoverSwap(s, root, "DupClusterStore.assignmentsIncremental")
+    s.read.parquet(s"$root/membership")
+      .join(s.read.parquet(s"$root/assign"), Seq("gid"))
+      .select(col("doc_id"), col("cid").as("cluster_id"))
+  }
+
+  /** Build the incremental store from scratch at `root`. */
+  def buildIncremental(
+      s: SparkSession, docs: DataFrame, root: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.05, n: Int = 3): Unit = {
+    graft.ops.CoreOps.recoverSwap(s, root, "DupClusterStore.buildIncremental")
+    val d = docs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("h"), col(textCol).as("__text"))
+    val g = d.groupBy("h")
+      .agg(min("doc_id").as("gid"), count(lit(1)).as("n_members"))
+    val membership = d.join(g.select("h", "gid"), Seq("h"))
+      .select("doc_id", "h", "gid")
+    val hashed = d.join(g.select(col("gid").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("gid"),
+        call_function("graft_shingle_hashes",
+          graft.functions.TextOps.tokens(col("__text")), lit(n), lit(42L)).as("shs"))
+    val sizes = hashed
+      .select(col("gid"), size(col("shs")).cast("long").as("n_sh"))
+      .join(g.select("gid", "n_members"), Seq("gid"))
+    val postings = hashed.select(col("gid"), explode(col("shs")).as("sh"))
+    val assign = gidAssign(crossEdges(postings, postings, sizes, sizes, threshold),
+      sizes.filter(col("n_members") >= 2 && col("n_sh") > 0).select("gid"))
+    swapRoot(s, root, batchId = None) { staging =>
+      membership.write.parquet(s"$staging/membership")
+      sizes.write.parquet(s"$staging/sizes")
+      postings.write.parquet(s"$staging/postings")
+      assign.coalesce(1).write.parquet(s"$staging/assign")
+      s.createDataFrame(Seq((threshold, n))).toDF("threshold", "n")
+        .coalesce(1).write.parquet(s"$staging/meta")
+    }
+  }
+
+  /** Absorb a batch of NEW documents into the store at `root`,
+    * exactly-once under `batchId` replay. Returns false when the ledger
+    * shows the batch already applied.
+    */
+  def maintainIncremental(
+      s: SparkSession, newDocs: DataFrame, root: String, batchId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+    graft.ops.CoreOps.recoverSwap(s, root, "DupClusterStore.maintainIncremental")
+    if (batchId <= lastBatch(root)) return false
+    val meta = s.read.parquet(s"$root/meta").head()
+    val (threshold, n) = (meta.getAs[Double]("threshold"), meta.getAs[Int]("n"))
+    val membership = s.read.parquet(s"$root/membership")
+    val sizes = s.read.parquet(s"$root/sizes")
+    val postings = s.read.parquet(s"$root/postings")
+    val assign = s.read.parquet(s"$root/assign")
+
+    val d = newDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("h"), col(textCol).as("__text")).localCheckpoint()
+    // ingest-append contract (see the section comment)
+    val maxStored = membership.agg(max("doc_id")).head().getLong(0)
+    val minNew = d.agg(min("doc_id")).head()
+    require(!minNew.isNullAt(0) && minNew.getLong(0) > maxStored,
+      s"DupClusterStore.maintainIncremental($root): batch doc_ids must " +
+        s"exceed every stored doc_id (stored max $maxStored) — gid and " +
+        "cluster ids are member minima, so an out-of-order smaller id " +
+        "would rename groups store-wide; rebuild instead")
+
+    // exact-copy joiners inherit their group's gid by ONE hash join
+    val oldG = membership.select("h", "gid").distinct()
+    val tagged = d.join(oldG, Seq("h"), "left").localCheckpoint()
+    val joiners = tagged.filter(col("gid").isNotNull)
+    val fresh = tagged.filter(col("gid").isNull).drop("gid")
+    val freshG = fresh.groupBy("h")
+      .agg(min("doc_id").as("gid"), count(lit(1)).as("n_new"))
+    val freshMembership = fresh.join(freshG.select("h", "gid"), Seq("h"))
+      .select("doc_id", "h", "gid")
+    val freshHashed = fresh.join(freshG.select(col("gid").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("gid"),
+        call_function("graft_shingle_hashes",
+          graft.functions.TextOps.tokens(col("__text")), lit(n), lit(42L)).as("shs"))
+    val freshSizes = freshHashed
+      .select(col("gid"), size(col("shs")).cast("long").as("n_sh"))
+      .join(freshG.select(col("gid"), col("n_new").as("n_members")), Seq("gid"))
+      .localCheckpoint()
+    val freshPost = freshHashed.select(col("gid"), explode(col("shs")).as("sh"))
+      .localCheckpoint()
+
+    // batch-proportional edge work: fresh-vs-stored rides the stored
+    // inverted index; fresh-vs-fresh is a batch-local self-join
+    val oldNew = crossEdges(postings, freshPost, sizes, freshSizes, threshold)
+    val newNew = crossEdges(freshPost, freshPost, freshSizes, freshSizes, threshold)
+    val edgesNew = oldNew.unionByName(newNew)
+
+    // groups newly reaching the within-group clustering gate
+    val joinCounts = joiners.groupBy("gid").agg(count(lit(1)).as("n_add"))
+    val sizesUpd = sizes.join(joinCounts, Seq("gid"), "left")
+      .withColumn("n_members",
+        col("n_members") + coalesce(col("n_add"), lit(0L)))
+      .drop("n_add")
+    val selfNew = sizesUpd.filter(col("n_members") >= 2 && col("n_sh") > 0)
+      .select("gid")
+      .unionByName(
+        freshSizes.filter(col("n_members") >= 2 && col("n_sh") > 0).select("gid"))
+
+    // connectivity re-closure: stored components enter as STAR edges
+    // (depth-1 history), plus the batch's new edges
+    val stars = assign.filter(col("gid") =!= col("cid"))
+      .select(col("cid").as("id_a"), col("gid").as("id_b"))
+    val selfOld = assign.select("gid") // keeps edge-less self-clusters
+    val assignNew = gidAssign(stars.unionByName(edgesNew),
+      selfNew.unionByName(selfOld).distinct())
+
+    swapRoot(s, root, batchId = Some(batchId)) { staging =>
+      membership.unionByName(joiners.select("doc_id", "h", "gid"))
+        .unionByName(freshMembership)
+        .write.parquet(s"$staging/membership")
+      sizesUpd.unionByName(freshSizes).write.parquet(s"$staging/sizes")
+      postings.unionByName(freshPost).write.parquet(s"$staging/postings")
+      assignNew.coalesce(1).write.parquet(s"$staging/assign")
+      s.read.parquet(s"$root/meta").write.parquet(s"$staging/meta")
+    }
+    true
+  }
+
+  /** Qualifying gid-level cross edges between two (postings, sizes)
+    * pairs — exact Jaccard over the distinct-text shingle sets, the
+    * identical arithmetic as the batch operator (bit-equal doubles).
+    * Pairs are emitted once with id_a < id_b.
+    */
+  private def crossEdges(
+      postA: DataFrame, postB: DataFrame,
+      sizesA: DataFrame, sizesB: DataFrame, threshold: Double): DataFrame = {
+    val shared = postA.select(col("gid").as("id_a"), col("sh"))
+      .join(postB.select(col("gid").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ns"))
+    shared
+      .join(sizesA.select(col("gid").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizesB.select(col("gid").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .filter(col("ns").cast("double") /
+        (col("n_a") + col("n_b") - col("ns")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** gid-level assignment from cross edges + self-clustered gids:
+    * components (min-gid labels) for every edge endpoint, identity for
+    * self-clustered gids outside every component.
+    */
+  private def gidAssign(edges: DataFrame, selfGids: DataFrame): DataFrame = {
+    val comp = GraphOps.dupClusters(edges)
+      .select(col("id").as("gid"), col("cluster_id").as("cid"))
+      .localCheckpoint()
+    comp.unionByName(
+      selfGids.join(comp.select("gid"), Seq("gid"), "left_anti")
+        .select(col("gid"), col("gid").as("cid")))
+  }
+
+  /** Whole-root staged swap: `build` writes every table into
+    * `root.staging`, the ledger (when given) and the commit marker land
+    * strictly after, then rename-aside commits — one atomic visibility
+    * event for the whole store, recovered by
+    * [[graft.ops.CoreOps.recoverSwap]]'s case list.
+    */
+  private def swapRoot(
+      s: SparkSession, root: String, batchId: Option[Long])(
+      build: String => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(root)
+    val staging = new org.apache.hadoop.fs.Path(root + ".staging")
+    val oldAside = new org.apache.hadoop.fs.Path(root + ".old")
+    fs.delete(staging, true)
+    build(staging.toString)
+    // carry the ledger forward on ledgerless rewrites (the AnnIndex /
+    // SummaryTables rule: losing it would re-admit replayed ids)
+    val ledger = batchId.orElse(Some(lastBatch(root)).filter(_ >= 0))
+    ledger.foreach { id =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, Ledger), true)
+      out.write(id.toString.getBytes("UTF-8"))
+      out.close()
+    }
+    fs.create(new org.apache.hadoop.fs.Path(
+      staging, graft.ops.CoreOps.CommitMarker), true).close()
+    if (fs.exists(oldAside)) fs.delete(oldAside, true)
+    if (fs.exists(target))
+      require(fs.rename(target, oldAside),
+        s"DupClusterStore($root): rename-aside failed")
+    require(fs.rename(staging, target),
+      s"DupClusterStore($root): staging rename failed")
+    fs.delete(oldAside, true)
+  }
 }

@@ -784,6 +784,33 @@ object StreamingOps {
         }
     }
 
+  /** Exactly-once streaming dup-cluster upkeep: each micro-batch of NEW
+    * documents is absorbed into the persisted incremental cluster store
+    * ([[graft.operators.DupClusterStore.maintainIncremental]] — exact
+    * n-gram Jaccard against the STORED distinct-text shingle index,
+    * connectivity re-closure over star-compressed stored components,
+    * spec-pinned bit-equal to a full rebuild), committed through the
+    * whole-root staged swap with the micro-batch-id ledger inside the
+    * staged bytes. The dedup-at-ingest closing of the cluster-once
+    * story: the corpus is never re-scanned, per-batch work is
+    * batch-proportional, and at-least-once replay is absorbed by the
+    * ledger. Batch doc_ids must exceed every stored id (the
+    * ingest-append contract — violated batches fail the query loudly
+    * rather than renaming clusters store-wide). SINGLE WRITER REQUIRED.
+    */
+  def dupClustersMaintainEachBatch(
+      docs: DataFrame, storeRoot: String,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.DupClusterStore.maintainIncremental(
+            batch.sparkSession, batch.toDF(), storeRoot, id, idCol, textCol)
+          ()
+        }
+    }
+
   /** Streaming append through the DSv2 staging sink
     * ([[graft.sources.StagedSink]]): each micro-batch lands via the
     * full staging → winning-attempt commit → atomic manifest swap

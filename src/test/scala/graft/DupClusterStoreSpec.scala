@@ -44,6 +44,94 @@ class DupClusterStoreSpec extends SparkSpec {
     assert(rows(spark.read.parquet(c)) == rows(freshT))
   }
 
+  test("incremental store: build == batch clustering; maintain == full rebuild; ledger; id contract") {
+    val docs = Tables(spark, sfDir, "documents")
+    val work = java.nio.file.Files.createTempDirectory("graft_dcs_inc").toString
+    // full incremental build reproduces the batch operator exactly
+    DupClusterStore.buildIncremental(spark, docs, s"$work/all")
+    assert(rows(DupClusterStore.assignmentsIncremental(spark, s"$work/all"))
+      == rows(fresh))
+    // split at the id median: build on the old half, maintain the new
+    val a = docs.filter(col("doc_id") < 250)
+    val b = docs.filter(col("doc_id") >= 250)
+    val root = s"$work/split"
+    DupClusterStore.buildIncremental(spark, a, root)
+    assert(DupClusterStore.maintainIncremental(spark, b, root, batchId = 0L))
+    assert(rows(DupClusterStore.assignmentsIncremental(spark, root))
+      == rows(fresh),
+      "incremental maintain must equal the full rebuild bit-for-bit")
+    // replayed batch id is a no-op (ledger inside the swapped bytes)
+    assert(!DupClusterStore.maintainIncremental(spark, b, root, batchId = 0L))
+    assert(DupClusterStore.lastBatch(root) == 0L)
+    // ingest-append contract: ids at or below the stored max are refused
+    intercept[IllegalArgumentException] {
+      DupClusterStore.maintainIncremental(spark, a, root, batchId = 1L)
+    }
+  }
+
+  test("incremental store: joiners, cluster merges, and zero-shingle copies across batches") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the mat"
+    val d1 = "completely different content about spark catalyst optimizer rules and tungsten codegen stages"
+    val d2 = "yet another unrelated document mentioning minhash lsh banding and jaccard similarity estimation"
+    // bridge shares a 4-word run with EACH of d1/d2: 2 shingles shared
+    // per side over a ~20-shingle union — well above threshold 0.05
+    val bridge = "spark catalyst optimizer rules meanwhile minhash lsh banding and something else entirely here"
+    val batch0 = Seq((1L, base), (2L, d1), (3L, d2), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((10L, base), (11L, bridge), (12L, "x y"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_dcs_syn")
+      .toString + "/s"
+    DupClusterStore.buildIncremental(spark, batch0, root)
+    // before the batch: nothing clusters (all texts distinct, no near-dups)
+    assert(rows(DupClusterStore.assignmentsIncremental(spark, root)).isEmpty)
+    assert(DupClusterStore.maintainIncremental(spark, batch1, root, 0L))
+    val got = rows(DupClusterStore.assignmentsIncremental(spark, root)).toSet
+    // the full-rebuild truth on the union
+    val union = batch0.unionByName(batch1)
+    val expect = rows(graft.operators.GraphOps.dupClusters(
+      DedupOps.ngramJaccardConnectivityEdges(union, "doc_id", "text", 0.05))
+      .select(col("id").as("doc_id"), col("cluster_id"))).toSet
+    assert(got == expect)
+    // the planted shapes, by name: the exact copy clusters the old
+    // singleton {1, 10}; the bridge merges d1+d2 into one cluster keyed
+    // by the global min (2); the zero-shingle copies (4, 12) NEVER
+    // cluster (no shingles -> no pairs, as in the batch operator)
+    assert(got.contains((1L, 1L)) && got.contains((10L, 1L)))
+    assert(got.contains((2L, 2L)) && got.contains((3L, 2L)) &&
+      got.contains((11L, 2L)))
+    assert(!got.exists(r => r._1 == 4L || r._1 == 12L))
+  }
+
+  test("incremental store: an interrupted swap is recovered on read, ledger intact") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_dcs_crash")
+      .toString + "/s"
+    DupClusterStore.buildIncremental(spark, docs, root)
+    DupClusterStore.maintainIncremental(spark,
+      Seq((9L, "a b c d e f g")).toDF("doc_id", "text"), root, 7L)
+    val before = rows(DupClusterStore.assignmentsIncremental(spark, root))
+    // simulate the between-renames crash: complete staging copy, live
+    // root renamed aside
+    val rootP = java.nio.file.Paths.get(root)
+    val staging = java.nio.file.Paths.get(root + ".staging")
+    val st = java.nio.file.Files.walk(rootP)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.foreach { p =>
+        val t = staging.resolve(rootP.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    } finally st.close()
+    java.nio.file.Files.move(rootP, java.nio.file.Paths.get(root + ".old"))
+    assert(rows(DupClusterStore.assignmentsIncremental(spark, root)) == before)
+    assert(DupClusterStore.lastBatch(root) == 7L)
+  }
+
   test("stored consumers match the self-contained registered queries") {
     // the production claim in one assertion per consumer: reading the
     // persisted table gives the SAME answer as rebuilding the

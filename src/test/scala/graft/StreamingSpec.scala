@@ -872,6 +872,39 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  case class NewDoc(doc_id: Long, text: String)
+
+  test("dupClustersMaintainEachBatch: streamed batches equal the full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{DedupOps, DupClusterStore, GraphOps}
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the mat"
+    val d1 = "completely different content about spark catalyst optimizer rules and tungsten codegen stages"
+    val bridge = "spark catalyst optimizer rules meanwhile something else entirely unrelated goes right here"
+    val work = java.nio.file.Files.createTempDirectory("graft_dcs_stream").toString
+    val root = s"$work/store"
+    DupClusterStore.buildIncremental(spark,
+      Seq((1L, base), (2L, d1)).toDF("doc_id", "text"), root)
+    val mem = MemoryStream[NewDoc]
+    val q = StreamingOps.dupClustersMaintainEachBatch(mem.toDF(), root)
+      .option("checkpointLocation", s"$work/ckpt").start()
+    try {
+      mem.addData(NewDoc(10L, base)) // exact copy clusters the singleton
+      q.processAllAvailable()
+      mem.addData(NewDoc(20L, bridge)) // near-dup joins d1's cluster
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val union = Seq((1L, base), (2L, d1), (10L, base), (20L, bridge))
+      .toDF("doc_id", "text")
+    val expect = rows(GraphOps.dupClusters(
+      DedupOps.ngramJaccardConnectivityEdges(union, "doc_id", "text", 0.05))
+      .select(col("id").as("doc_id"), col("cluster_id")))
+    assert(rows(DupClusterStore.assignmentsIncremental(spark, root)) == expect)
+    assert(expect.contains((10L, 1L)) && expect.contains((20L, 2L)))
+    assert(DupClusterStore.lastBatch(root) >= 1L)
+  }
+
   case class Vec(vec_id: Long, embedding: Array[Float])
 
   test("annIndexAppendEachBatch: exactly-once streaming index append equals the batch path") {
