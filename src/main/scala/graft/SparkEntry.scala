@@ -145,7 +145,9 @@ object SparkEntry {
     "q_dedup_full_stored", "q_cluster_canonical_stored",
     "q_leakage_safe_split_stored", "q_bcubed_stored", "q_semdedup_sql",
     // r19: summary-over-summary and the UNION ALL fact shape
-    "q_mv_rewrite_rollup2", "q_mv_rewrite_union", "q_mv_rewrite_union_sql")
+    "q_mv_rewrite_rollup2", "q_mv_rewrite_union", "q_mv_rewrite_union_sql",
+    // r19 second wave: the incremental store under the oracle gate
+    "q_dup_clusters_inc")
 
   /** Bench-only queries: timed alongside `headline` but NOT part of the
     * Verify/oracle catalog (their correctness is spec-pinned, not

@@ -1540,6 +1540,20 @@ object TextQueries {
     // full pipeline-under-oracle contract; these verify the STORED
     // bytes: their oracles read the assignment parquet directly and
     // DupClusterStoreSpec pins stored ≡ recomputed bit-for-bit.
+    // The INCREMENTAL path under the oracle gate (r19): the store is
+    // built on the lower half of the id range and the upper half is
+    // absorbed through maintainIncremental — every assignment row
+    // flowed through the incremental machinery (joiner hash-resolution,
+    // stored-index edges, star-compressed re-closure, ledgered swap) —
+    // while the oracle recomputes the FULL clustering from the raw
+    // corpus in DuckDB. Incremental == rebuild is thus driver-gated,
+    // not just spec-pinned.
+    "q_dup_clusters_inc" -> { (s, dir) =>
+      val root = graft.operators.DupClusterStore.ensureIncrementalDemo(s, dir)
+      graft.operators.DupClusterStore.assignmentsIncremental(s, root)
+        .orderBy("doc_id")
+    },
+
     "q_dedup_full_stored" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val losers = graft.operators.DupClusterStore.assignments(s, dir)
@@ -6309,6 +6323,9 @@ object TextQueries {
            md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5
          FROM documents ORDER BY doc_id""",
     "q_dup_clusters" -> dupClustersOracle,
+    // the incremental store must equal the full clustering (see the
+    // q_dup_clusters_inc registration comment)
+    "q_dup_clusters_inc" -> dupClustersOracle,
     "q_dup_clusters_sql" -> dupClustersOracle, // TVF spelling, same truth
     // Same cluster CTE chain as q_dup_clusters, then the exact
     // contingency-cell reduction: every numerator is an integer
