@@ -288,6 +288,92 @@ object DupClusterStore {
     true
   }
 
+  /** Remove documents from the store, exactly-once under `batchId` —
+    * the retraction direction ([[graft.functions.AnnIndex.delete]]'s
+    * GDPR/dedup-retraction counterpart), and the genuinely hard one:
+    * removing a BRIDGE document can SPLIT a cluster, which no
+    * star-compressed state can answer — stars only remember that
+    * members were connected, not through whom. The store can: it keeps
+    * the full distinct-text shingle index, so the affected components
+    * re-close from REAL edges.
+    *
+    * Work is touched-component-proportional, never corpus-
+    * proportional:
+    *  - groups losing members re-derive their min id (gid is a member
+    *    minimum, so losing the minimum RENAMES the group — membership,
+    *    sizes, postings, assignment rows rename consistently); groups
+    *    losing every member drop entirely;
+    *  - only components CONTAINING a touched group re-close: their
+    *    remaining gids' postings self-join (edges between different
+    *    old components cannot exist, so the restricted join is exact),
+    *    min-label CC, and the within-group gate re-evaluated against
+    *    the new member counts. Every other component's assignment rows
+    *    pass through untouched.
+    *
+    * Spec-pinned bit-equal to a full rebuild on the surviving corpus,
+    * including the split case. Unknown ids are harmless no-ops. Same
+    * whole-root ledgered swap as [[maintainIncremental]] (one batch-id
+    * sequence across appends and retractions).
+    */
+  def retractIncremental(
+      s: SparkSession, ids: DataFrame, root: String, batchId: Long,
+      idCol: String = "doc_id"): Boolean = {
+    graft.ops.CoreOps.recoverSwap(s, root, "DupClusterStore.retractIncremental")
+    if (batchId <= lastBatch(root)) return false
+    val threshold = s.read.parquet(s"$root/meta").head().getAs[Double]("threshold")
+    val membership = s.read.parquet(s"$root/membership")
+    val sizes = s.read.parquet(s"$root/sizes")
+    val postings = s.read.parquet(s"$root/postings")
+    val assign = s.read.parquet(s"$root/assign")
+    val rm = ids.select(col(idCol).as("doc_id")).distinct().localCheckpoint()
+
+    val memAfter = membership.join(rm, Seq("doc_id"), "left_anti")
+    // groups that lost at least one member
+    val touched = membership.join(rm, Seq("doc_id"), "left_semi")
+      .select("gid").distinct().localCheckpoint()
+    // surviving touched groups: new min id (the rename) + new count
+    val regroup = memAfter.join(touched, Seq("gid"), "left_semi")
+      .groupBy("gid")
+      .agg(min("doc_id").as("gid2"), count(lit(1)).as("n2"))
+      .localCheckpoint()
+    val dropped = touched.join(regroup.select("gid"), Seq("gid"), "left_anti")
+      .localCheckpoint()
+    def rename(df: DataFrame): DataFrame = df
+      .join(dropped, Seq("gid"), "left_anti")
+      .join(regroup.select("gid", "gid2"), Seq("gid"), "left")
+      .withColumn("gid", coalesce(col("gid2"), col("gid"))).drop("gid2")
+    val mem2 = rename(memAfter)
+    val sizes2 = rename(sizes
+      .join(regroup.select(col("gid"), col("n2")), Seq("gid"), "left")
+      .withColumn("n_members", coalesce(col("n2"), col("n_members")))
+      .drop("n2")).localCheckpoint()
+    val post2 = rename(postings).localCheckpoint()
+
+    // touched components re-close from real edges among their REMAINING
+    // (renamed) gids; everything else passes through
+    val touchedComps = assign.join(touched, Seq("gid"), "left_semi")
+      .select("cid").distinct()
+    val compGids = assign.join(touchedComps, Seq("cid"), "left_semi")
+      .select("gid")
+    val remain = rename(compGids).localCheckpoint()
+    val rp = post2.join(remain, Seq("gid"), "left_semi")
+    val rs = sizes2.join(remain, Seq("gid"), "left_semi")
+    val selfRemain = rs.filter(col("n_members") >= 2 && col("n_sh") > 0)
+      .select("gid")
+    val reAssign = gidAssign(crossEdges(rp, rp, rs, rs, threshold), selfRemain)
+    val assign2 = assign.join(touchedComps, Seq("cid"), "left_anti")
+      .unionByName(reAssign)
+
+    swapRoot(s, root, batchId = Some(batchId)) { staging =>
+      mem2.write.parquet(s"$staging/membership")
+      sizes2.write.parquet(s"$staging/sizes")
+      post2.write.parquet(s"$staging/postings")
+      assign2.coalesce(1).write.parquet(s"$staging/assign")
+      s.read.parquet(s"$root/meta").write.parquet(s"$staging/meta")
+    }
+    true
+  }
+
   /** Qualifying gid-level cross edges between two (postings, sizes)
     * pairs — exact Jaccard over the distinct-text shingle sets, the
     * identical arithmetic as the batch operator (bit-equal doubles).

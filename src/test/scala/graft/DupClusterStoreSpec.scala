@@ -104,6 +104,64 @@ class DupClusterStoreSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 4L || r._1 == 12L))
   }
 
+  test("incremental store: retraction splits bridged clusters and renames groups, equal to a rebuild") {
+    import spark.implicits._
+    val d1 = "completely different content about spark catalyst optimizer rules and tungsten codegen stages"
+    val d2 = "yet another unrelated document mentioning minhash lsh banding and jaccard similarity estimation"
+    val bridge = "spark catalyst optimizer rules meanwhile minhash lsh banding and something else entirely here"
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the mat"
+    val nearBase = base.replace("on the mat", "near the door")
+    // chain d1 - bridge - d2 (one cluster keyed 1); copies {4,5} of base
+    // plus a near-dup 6 (one cluster keyed 4)
+    val docs = Seq((1L, d1), (2L, d2), (3L, bridge),
+      (4L, base), (5L, base), (6L, nearBase)).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_dcs_retract")
+      .toString + "/s"
+    DupClusterStore.buildIncremental(spark, docs, root)
+    val before = rows(DupClusterStore.assignmentsIncremental(spark, root)).toSet
+    assert(before == Set((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)))
+    // retract the bridge (3) and the min member of the copy group (4):
+    // the chain SPLITS into unclustered singletons; the copy group
+    // renames gid 4 -> 5 and keeps clustering with the near-dup
+    assert(DupClusterStore.retractIncremental(spark,
+      Seq(3L, 4L).toDF("doc_id"), root, batchId = 0L))
+    val got = rows(DupClusterStore.assignmentsIncremental(spark, root)).toSet
+    val rebuilt = {
+      val r2 = java.nio.file.Files.createTempDirectory("graft_dcs_retr2")
+        .toString + "/s"
+      DupClusterStore.buildIncremental(spark,
+        docs.filter(!col("doc_id").isin(3L, 4L)), r2)
+      rows(DupClusterStore.assignmentsIncremental(spark, r2)).toSet
+    }
+    assert(got == rebuilt)
+    assert(got == Set((5L, 5L), (6L, 5L)),
+      "bridge removal must split; min-member removal must rename the group")
+    // replayed retraction id is a no-op; a later append still works
+    assert(!DupClusterStore.retractIncremental(spark,
+      Seq(3L, 4L).toDF("doc_id"), root, batchId = 0L))
+    assert(DupClusterStore.maintainIncremental(spark,
+      Seq((9L, d1 + " tail")).toDF("doc_id", "text"), root, batchId = 1L))
+    assert(DupClusterStore.lastBatch(root) == 1L)
+  }
+
+  test("incremental store: bulk retraction equals a rebuild on the survivors (sf0.001)") {
+    val docs = Tables(spark, sfDir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_dcs_bulk")
+      .toString + "/s"
+    DupClusterStore.buildIncremental(spark, docs, root)
+    val rm = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    assert(DupClusterStore.retractIncremental(spark, rm, root, 0L))
+    val survivors = docs.filter(col("doc_id") % 10 =!= 3)
+    val expect = {
+      val r2 = java.nio.file.Files.createTempDirectory("graft_dcs_bulk2")
+        .toString + "/s"
+      DupClusterStore.buildIncremental(spark, survivors, r2)
+      rows(DupClusterStore.assignmentsIncremental(spark, r2))
+    }
+    assert(rows(DupClusterStore.assignmentsIncremental(spark, root)) == expect)
+  }
+
   test("incremental store: an interrupted swap is recovered on read, ledger intact") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g")).toDF("doc_id", "text")
