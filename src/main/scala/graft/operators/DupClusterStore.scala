@@ -113,10 +113,12 @@ object DupClusterStore {
   // assign table's swap carrying the ledger last — same discipline,
   // different unit. SINGLE WRITER REQUIRED.
   //
-  // Contract: batch doc_ids must EXCEED every stored doc_id (the
-  // ingest-append reality). gid and cluster ids are minima over
-  // members, so an out-of-order smaller id would retroactively rename
-  // groups and clusters store-wide — refused loudly instead.
+  // Contract (precise form, r19): a batch may not re-insert ids the
+  // store already holds (updates retract first —
+  // [[applyFeedIncremental]]), and a joiner may not arrive BELOW its
+  // exact-dup group's stored minimum id (gid is a member minimum; that
+  // one case would rename the group store-wide). Fresh texts at any id
+  // are fine — group and cluster minima re-close correctly.
   // ------------------------------------------------------------------
 
   private val Ledger = "_GRAFT_LAST_BATCH"
@@ -221,19 +223,37 @@ object DupClusterStore {
 
     val d = newDocs.select(col(idCol).as("doc_id"),
       md5(col(textCol)).as("h"), col(textCol).as("__text")).localCheckpoint()
-    // ingest-append contract (see the section comment)
-    val maxStored = membership.agg(max("doc_id")).head().getLong(0)
-    val minNew = d.agg(min("doc_id")).head()
-    require(!minNew.isNullAt(0) && minNew.getLong(0) > maxStored,
-      s"DupClusterStore.maintainIncremental($root): batch doc_ids must " +
-        s"exceed every stored doc_id (stored max $maxStored) — gid and " +
-        "cluster ids are member minima, so an out-of-order smaller id " +
-        "would rename groups store-wide; rebuild instead")
+
+    // a batch may not re-insert ids the store already holds — that is
+    // an UPDATE, which must retract first ([[applyFeedIncremental]]
+    // orders the phases); admitting it here would duplicate membership
+    // rows and silently diverge from a rebuild
+    val dup = d.join(membership.select("doc_id"), Seq("doc_id"), "left_semi")
+    require(dup.isEmpty,
+      s"DupClusterStore.maintainIncremental($root): batch doc " +
+        s"${dup.select("doc_id").head().getLong(0)} is already in the " +
+        "store — updates must retract the old row first " +
+        "(applyFeedIncremental orders the phases)")
 
     // exact-copy joiners inherit their group's gid by ONE hash join
     val oldG = membership.select("h", "gid").distinct()
     val tagged = d.join(oldG, Seq("h"), "left").localCheckpoint()
     val joiners = tagged.filter(col("gid").isNotNull)
+    // the PRECISE ingest-order contract (r19, relaxed from a global
+    // max-id check so CDC updates can re-insert ids): gid and cluster
+    // ids are member minima, which stay stable for fresh texts at ANY
+    // id (a new group's gid is its own minimum, and connectivity minima
+    // re-close correctly through the star edges) — the ONLY unstable
+    // case is a JOINER arriving below its group's stored minimum, which
+    // would retroactively rename the group store-wide. Refuse exactly
+    // that, loudly.
+    val badJoin = joiners.filter(col("doc_id") < col("gid"))
+    require(badJoin.isEmpty,
+      s"DupClusterStore.maintainIncremental($root): batch doc " +
+        s"${badJoin.select("doc_id").head().getLong(0)} joins an " +
+        "existing exact-dup group below its stored minimum id — gid is " +
+        "a member minimum, so this would rename the group store-wide; " +
+        "rebuild instead")
     val fresh = tagged.filter(col("gid").isNull).drop("gid")
     val freshG = fresh.groupBy("h")
       .agg(min("doc_id").as("gid"), count(lit(1)).as("n_new"))
@@ -252,8 +272,12 @@ object DupClusterStore {
       .localCheckpoint()
 
     // batch-proportional edge work: fresh-vs-stored rides the stored
-    // inverted index; fresh-vs-fresh is a batch-local self-join
-    val oldNew = crossEdges(postings, freshPost, sizes, freshSizes, threshold)
+    // inverted index; fresh-vs-fresh is a batch-local self-join. The
+    // mixed builder normalizes pair orientation (a fresh gid may be
+    // SMALLER than an old one under the relaxed contract).
+    val oldNew = crossEdgesMixed(postings, freshPost,
+      sizes.select("gid", "n_sh").unionByName(freshSizes.select("gid", "n_sh")),
+      threshold)
     val newNew = crossEdges(freshPost, freshPost, freshSizes, freshSizes, threshold)
     val edgesNew = oldNew.unionByName(newNew)
 
@@ -374,10 +398,64 @@ object DupClusterStore {
     true
   }
 
+  /** Apply a CDC feed ([[graft.ops.ChangeFeed.diff]]'s row model —
+    * insert / delete / update_preimage / update_postimage over the
+    * document table) to the store: retractions first (deletes +
+    * preimages), then insertions (inserts + postimages) — so an UPDATE
+    * moves its document between clusters exactly as delete-then-insert
+    * of the new text, bit-equal to a rebuild on the post-feed corpus
+    * (spec-pinned). Exactly-once via the shared ledger on a DOUBLED
+    * sub-sequence (retract at 2·batchId, insert at 2·batchId+1): a
+    * crash between the two phases replays into "retract skipped, insert
+    * runs" — each phase is one atomic ledgered swap. A store driven
+    * through this API must use it exclusively (direct maintain/retract
+    * calls would collide with the doubled sequence). The feed must be
+    * self-consistent (an update carries its preimage), as for
+    * [[graft.ops.ChangeFeed.applyFeedToTable]].
+    */
+  def applyFeedIncremental(
+      s: SparkSession, feed: DataFrame, root: String, batchId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val retractions = feed
+      .filter(col("change_type").isin("delete", "update_preimage"))
+      .select(col(idCol))
+    val inserts = feed
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .select(col(idCol), col(textCol))
+    if (!retractions.isEmpty)
+      retractIncremental(s, retractions, root, 2 * batchId, idCol)
+    if (!inserts.isEmpty)
+      maintainIncremental(s, inserts, root, 2 * batchId + 1, idCol, textCol)
+  }
+
+  /** [[crossEdges]] for two DISJOINT gid sets (old store vs fresh
+    * batch): every cross pair appears in exactly one orientation of the
+    * join, so the pair normalizes via least/greatest instead of an
+    * ordering filter — required since the relaxed ingest contract
+    * allows fresh gids below stored ones. `sizesAll` must cover both
+    * sides' gids.
+    */
+  private def crossEdgesMixed(
+      postA: DataFrame, postB: DataFrame,
+      sizesAll: DataFrame, threshold: Double): DataFrame = {
+    val shared = postA.select(col("gid").as("ga"), col("sh"))
+      .join(postB.select(col("gid").as("gb"), col("sh")), Seq("sh"))
+      .select(least(col("ga"), col("gb")).as("id_a"),
+        greatest(col("ga"), col("gb")).as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ns"))
+    shared
+      .join(sizesAll.select(col("gid").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizesAll.select(col("gid").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .filter(col("ns").cast("double") /
+        (col("n_a") + col("n_b") - col("ns")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Qualifying gid-level cross edges between two (postings, sizes)
     * pairs — exact Jaccard over the distinct-text shingle sets, the
     * identical arithmetic as the batch operator (bit-equal doubles).
-    * Pairs are emitted once with id_a < id_b.
+    * Pairs are emitted once with id_a < id_b; both inputs must share
+    * one gid space (the self-join case).
     */
   private def crossEdges(
       postA: DataFrame, postB: DataFrame,

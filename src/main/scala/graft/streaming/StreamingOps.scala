@@ -811,6 +811,27 @@ object StreamingOps {
         }
     }
 
+  /** The CDC twin of [[dupClustersMaintainEachBatch]]: each micro-batch
+    * is a CHANGE FEED over the document table (insert / delete /
+    * update_preimage / update_postimage), applied to the incremental
+    * cluster store retractions-first so updates move documents between
+    * clusters exactly as a rebuild would
+    * ([[graft.operators.DupClusterStore.applyFeedIncremental]] — each
+    * phase one atomic ledgered swap on the doubled sub-sequence).
+    * SINGLE WRITER REQUIRED; a store driven through this sink must not
+    * also receive direct maintain/retract calls.
+    */
+  def dupClustersApplyFeedEachBatch(
+      feed: DataFrame, storeRoot: String,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    feed.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DupClusterStore.applyFeedIncremental(
+            batch.sparkSession, batch.toDF(), storeRoot, id, idCol, textCol)
+    }
+
   /** Streaming append through the DSv2 staging sink
     * ([[graft.sources.StagedSink]]): each micro-batch lands via the
     * full staging → winning-attempt commit → atomic manifest swap

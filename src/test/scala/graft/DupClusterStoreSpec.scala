@@ -162,6 +162,50 @@ class DupClusterStoreSpec extends SparkSpec {
     assert(rows(DupClusterStore.assignmentsIncremental(spark, root)) == expect)
   }
 
+  test("incremental store: CDC feed — updates move docs between clusters, equal to a rebuild") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the mat"
+    val nearBase = base.replace("on the mat", "near the door")
+    val d1 = "completely different content about spark catalyst optimizer rules and tungsten codegen stages"
+    val nearD1 = d1.replace("codegen stages", "execution phases")
+    val docs = Seq((1L, base), (2L, nearBase), (5L, d1)).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_dcs_cdc")
+      .toString + "/s"
+    DupClusterStore.buildIncremental(spark, docs, root)
+    assert(rows(DupClusterStore.assignmentsIncremental(spark, root)).toSet
+      == Set((1L, 1L), (2L, 1L)))
+    // the feed: doc 2 UPDATES from near-base to near-d1 (moves
+    // clusters), doc 7 inserts a base copy, doc 1... stays
+    val feed = Seq(
+      ("update_preimage", 2L, nearBase),
+      ("update_postimage", 2L, nearD1),
+      ("insert", 7L, base)).toDF("change_type", "doc_id", "text")
+    DupClusterStore.applyFeedIncremental(spark, feed, root, batchId = 3L)
+    val got = rows(DupClusterStore.assignmentsIncremental(spark, root)).toSet
+    val after = Seq((1L, base), (2L, nearD1), (5L, d1), (7L, base))
+      .toDF("doc_id", "text")
+    val expect = {
+      val r2 = java.nio.file.Files.createTempDirectory("graft_dcs_cdc2")
+        .toString + "/s"
+      DupClusterStore.buildIncremental(spark, after, r2)
+      rows(DupClusterStore.assignmentsIncremental(spark, r2)).toSet
+    }
+    assert(got == expect)
+    // doc 2 left base's cluster and now anchors d1's — and 2 < 5, so
+    // the RELAXED contract (fresh texts at any id) is what made this
+    // legal; the rebuilt cluster key is the new minimum 2
+    assert(got == Set((1L, 1L), (7L, 1L), (2L, 2L), (5L, 2L)))
+    // replayed feed batch: both sub-phases no-op
+    DupClusterStore.applyFeedIncremental(spark, feed, root, batchId = 3L)
+    assert(rows(DupClusterStore.assignmentsIncremental(spark, root)).toSet == got)
+    // the one genuinely unstable case still fails fast: a JOINER below
+    // its group's stored minimum (doc 0 with base's text, gid 1)
+    intercept[IllegalArgumentException] {
+      DupClusterStore.maintainIncremental(spark,
+        Seq((0L, base)).toDF("doc_id", "text"), root, batchId = 99L)
+    }
+  }
+
   test("incremental store: an interrupted swap is recovered on read, ledger intact") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g")).toDF("doc_id", "text")
