@@ -47,10 +47,22 @@ object IncStoreSmoke {
       .write.mode("overwrite").parquet(s"$out/q_dup_clusters")
     val (_, tFull) = timed(
       DupClusterStore.buildIncremental(spark, docs, s"$out/full"))
+    // retraction phase: remove the batch just absorbed — the store must
+    // return to exactly the old-corpus clustering, gated by running the
+    // at-scale oracle against a SURVIVOR corpus dir written here
+    val (_, tRetract) = timed(
+      DupClusterStore.retractIncremental(spark,
+        batch.select("doc_id"), store, batchId = 1L))
+    older.write.mode("overwrite").parquet(s"$out/retract/documents.parquet")
+    DupClusterStore.assignmentsIncremental(spark, store)
+      .orderBy("doc_id")
+      .write.mode("overwrite").parquet(s"$out/retract/q_dup_clusters")
     def fmt(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     println(s"""{"metric":"inc_store","src":"$src","n_old":$nOld,""" +
       s""""n_batch":$nBatch,"build_sec":${fmt(tBuild)},""" +
-      s""""maintain_sec":${fmt(tMaintain)},"full_rebuild_sec":${fmt(tFull)}}""")
+      s""""maintain_sec":${fmt(tMaintain)},""" +
+      s""""retract_sec":${fmt(tRetract)},""" +
+      s""""full_rebuild_sec":${fmt(tFull)}}""")
     spark.stop()
   }
 }
