@@ -147,7 +147,7 @@ object SparkEntry {
     // r19: summary-over-summary and the UNION ALL fact shape
     "q_mv_rewrite_rollup2", "q_mv_rewrite_union", "q_mv_rewrite_union_sql",
     // r19 second wave: the incremental store under the oracle gate
-    "q_dup_clusters_inc")
+    "q_dup_clusters_inc", "q_dup_clusters_inc_sql")
 
   /** Bench-only queries: timed alongside `headline` but NOT part of the
     * Verify/oracle catalog (their correctness is spec-pinned, not

@@ -1158,6 +1158,11 @@ object GraftFunctions {
     ("graft_semdedup",
       new ExpressionInfo("graft.operators.DedupOps", "graft_semdedup"),
       (es: Seq[Expression]) => graft.operators.DedupOps.semDedupSqlBuilder(es)),
+    ("graft_dup_clusters_store",
+      new ExpressionInfo("graft.operators.DupClusterStore",
+        "graft_dup_clusters_store"),
+      (es: Seq[Expression]) =>
+        graft.operators.DupClusterStore.storeSqlBuilder(es)),
     ("graft_ann",
       new ExpressionInfo("graft.functions.VectorOps", "graft_ann"),
       (es: Seq[Expression]) => graft.functions.VectorOps.sqlBuilder(es)),

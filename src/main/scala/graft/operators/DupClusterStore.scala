@@ -398,6 +398,35 @@ object DupClusterStore {
     true
   }
 
+  /** SQL table-valued surface over a PERSISTED incremental store,
+    * registered as `graft_dup_clusters_store` (the graft_ann indexed
+    * pattern — the argument is a store DIRECTORY, not a table):
+    *
+    * {{{
+    * SELECT * FROM graft_dup_clusters_store('/path/to/store')
+    *   -- (doc_id, cluster_id) from the stored assignment
+    * }}}
+    *
+    * The read self-heals interrupted swaps like every consumer.
+    */
+  def storeSqlBuilder(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    if (es.size != 1)
+      throw new IllegalArgumentException(
+        "graft_dup_clusters_store(store_dir)")
+    val root = graft.plans.TvfArgs.strLit(
+      "graft_dup_clusters_store", es)(0, "store_dir")
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (lastBatch(root) < 0L &&
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/assign")))
+      throw new IllegalArgumentException(
+        s"graft_dup_clusters_store: no incremental dup-cluster store at " +
+          s"'$root' (build one with DupClusterStore.buildIncremental)")
+    assignmentsIncremental(spark, root).queryExecution.analyzed
+  }
+
   /** Apply a CDC feed ([[graft.ops.ChangeFeed.diff]]'s row model —
     * insert / delete / update_preimage / update_postimage over the
     * document table) to the store: retractions first (deletes +

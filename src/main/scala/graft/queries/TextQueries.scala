@@ -1554,6 +1554,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The SAME stored assignment through the graft_dup_clusters_store
+    // TVF (SQL parity for the incremental store — the graft_ann
+    // directory-argument pattern); SHARES q_dup_clusters_inc's
+    // full-clustering oracle.
+    "q_dup_clusters_inc_sql" -> { (s, dir) =>
+      val root = graft.operators.DupClusterStore.ensureIncrementalDemo(s, dir)
+      // explicit registration: unlike the other TVF queries this one
+      // reads no table first (a WARM fixture skips its build entirely),
+      // so Tables()'s idempotent register may not have run yet
+      graft.functions.GraftFunctions.register(s)
+      s.sql(s"""
+        SELECT doc_id, cluster_id
+        FROM graft_dup_clusters_store('$root')
+        ORDER BY doc_id""")
+    },
+
     "q_dedup_full_stored" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val losers = graft.operators.DupClusterStore.assignments(s, dir)
@@ -6326,6 +6342,7 @@ object TextQueries {
     // the incremental store must equal the full clustering (see the
     // q_dup_clusters_inc registration comment)
     "q_dup_clusters_inc" -> dupClustersOracle,
+    "q_dup_clusters_inc_sql" -> dupClustersOracle, // TVF spelling, same truth
     "q_dup_clusters_sql" -> dupClustersOracle, // TVF spelling, same truth
     // Same cluster CTE chain as q_dup_clusters, then the exact
     // contingency-cell reduction: every numerator is an integer
