@@ -41,9 +41,10 @@ object SummaryTables {
     */
   def ensure(s: SparkSession, dir: String): String = synchronized {
     val tag = tagFor(dir)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_summary/v3_$tag"
+    val spec = fineSpec(tag) // ONE spec literal shared with deriveCoarse
+    val root = spec.summaryPath
     if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$root/_SUCCESS")))
+        java.nio.file.Paths.get(s"$root/_SUCCESS"))) {
       Tables(s, dir, "orders")
         .groupBy(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"),
@@ -53,19 +54,11 @@ object SummaryTables {
           count(col("o_orderkey")).as("cnt_okey"),
           sum(expr(CentsExprSql)).as("sum_cents"))
         .coalesce(1).write.mode("overwrite").parquet(root)
-    invalidateValidated(root)
+      invalidateValidated(root)
+    }
     // registration is idempotent (replace) and tag-keyed with the
     // summary itself: same call both builds and (re)binds
-    SummaryRewrite.register(s"$dir/orders.parquet", SummarySpec(
-      summaryPath = root,
-      keys = Seq("o_orderpriority", "o_orderstatus"),
-      countCol = "cnt",
-      minCols = Map("o_totalprice" -> "min_price"),
-      maxCols = Map("o_totalprice" -> "max_price"),
-      sumCols = Map("o_orderkey" -> "sum_okey"),
-      cntCols = Map("o_orderkey" -> "cnt_okey"),
-      sumExprs = Map(CentsExprSql -> "sum_cents"),
-      baseTag = tag))
+    SummaryRewrite.register(s"$dir/orders.parquet", spec)
     root
   }
 
@@ -128,9 +121,9 @@ object SummaryTables {
     root
   }
 
-  /** The v3 fixture's spec — the derivation input for [[ensureCoarse]]
-    * and [[deriveCoarse]] callers (matches [[ensure]]'s registration
-    * literal; a drift between the two fails register()'s validation).
+  /** The v3 fixture's spec — THE registration literal for [[ensure]]
+    * and the derivation input for [[ensureCoarse]]/[[deriveCoarse]]
+    * callers: one definition, so build and derivation cannot drift.
     */
   private def fineSpec(tag: String): SummarySpec = SummarySpec(
     summaryPath = s"${sys.props("java.io.tmpdir")}/graft_summary/v3_$tag",
