@@ -26,6 +26,14 @@ import org.apache.spark.sql.SparkSession
   *   - /proc/loadavg is recorded before and after the sweep AND its
   *     1-min figure per query ("load" in the detail line), so the diff
   *     tool can see which entries ran under ambient pressure;
+  *   - (round 20) the sweep DEFENDS its start: a bounded pre-sweep
+  *     quiet-wait (up to SPARK_GRAFT_BENCH_QUIET_WAIT_SEC, default 300,
+  *     for the raw 1-min loadavg to reach the gate — raw is correct
+  *     there, this JVM is idle until the warmup) plus a bounded
+  *     sleep-before-requeue inside the per-query gate
+  *     (SPARK_GRAFT_BENCH_GATE_SLEEP_SEC total, default 180), so an
+  *     ambient burst decays instead of poisoning every retry in the
+  *     same 1-min window; "quiet_wait_sec" lands in the artifact;
   *   - (round 18) the artifact is LOAD-GATED: three rounds running, the
   *     committed number needed after-the-fact ambient adjudication, so
   *     the gate now happens inside the sweep. Raw loadavg can't be the
@@ -102,6 +110,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // r20 (verdict item 2): a sweep that STARTS under ambient pressure
+    // stays poisoned — the per-query gate can only re-queue a few times,
+    // so a loaded box at t=0 used to produce a flagged-but-committed
+    // artifact (BENCH_r19: loadavg_before 3.66, total 186.6 s vs the
+    // same code's 130.9 s quiet). Bounded pre-sweep quiet-wait: poll the
+    // 1-min loadavg (raw — our own JVM is idle before the warmup) until
+    // it is at or under the gate or the wait budget runs out; the waited
+    // seconds are recorded in the artifact either way.
+    val quietWaitBudget = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "300").toInt
+    val preGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0").toDouble
+    var quietWaited = 0
+    while (quietWaited < quietWaitBudget && load1() > preGate) {
+      Thread.sleep(10000)
+      quietWaited += 10
+    }
+
     val loadBefore = loadavg()
     ambientLoad() // seed the own-CPU sample history before the warmup
 
@@ -137,6 +162,9 @@ object Bench {
     // is treated as quiet rather than poisoning the sweep
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0").toDouble
     def quietRun(amb: Double): Boolean = amb < 0 || amb <= loadGate
+    // per-sweep budget for the r20 sleep-before-requeue (seconds)
+    var gateSleepBudget = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_GATE_SLEEP_SEC", "180").toInt
     val results = known.map { name =>
       val fn = catalog(name)
       val qLoad = load1()
@@ -155,9 +183,15 @@ object Bench {
       }
       // load gate (r18): if every run so far executed above the ambient
       // gate, give the query up to 2 fresh chances to land on a quiet
-      // window before declaring its min unmeasurable this sweep
+      // window before declaring its min unmeasurable this sweep.
+      // r20: each re-queue may first SLEEP a little (ambient pressure
+      // decays on the 1-min horizon, so an immediate re-run usually
+      // lands in the same noise window) — bounded by a per-SWEEP budget
+      // so a box that stays loaded cannot stall the artifact.
       var gateExtra = 0
       while (runsPerQuery > 1 && gateExtra < 2 && !runs.exists(r => quietRun(r._2))) {
+        val nap = math.min(20, gateSleepBudget)
+        if (nap > 0) { Thread.sleep(nap * 1000L); gateSleepBudget -= nap }
         runs = runs :+ once()
         gateExtra += 1
       }
@@ -223,7 +257,7 @@ object Bench {
     val fullTotalLine = s"""{"metric":"total","value":${fmt(total)},""" +
       s""""unit":"sec","runs_per_query":$runsPerQuery,"noisy":$noisy,""" +
       s""""max_q_load":$maxQLoad,"max_q_ambient":$maxQAmbient,""" +
-      s""""load_gate":${fmt2(loadGate)},""" +
+      s""""load_gate":${fmt2(loadGate)},"quiet_wait_sec":$quietWaited,""" +
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
       s""""sf":"$sfDir","queries":{""" +
       results.sortBy(r => -reportedMin(r._2))
@@ -236,7 +270,7 @@ object Bench {
         .getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] detail file $detailOut not written: $e") }
-    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runsPerQuery,"noisy":$noisy,"max_q_load":$maxQLoad,"max_q_ambient":$maxQAmbient,"load_gate":${fmt2(loadGate)},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir","queries":{"""
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runsPerQuery,"noisy":$noisy,"max_q_load":$maxQLoad,"max_q_ambient":$maxQAmbient,"load_gate":${fmt2(loadGate)},"quiet_wait_sec":$quietWaited,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir","queries":{"""
     val budget = 1800 - prefix.length - 40 // slack for the closing + omitted count
     val entries = results.sortBy(r => -reportedMin(r._2))
       .map { case (k, rs, _) => "\"" + k + "\":" + fmt(reportedMin(rs)) }

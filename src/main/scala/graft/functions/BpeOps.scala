@@ -130,8 +130,13 @@ object BpeOps {
     val (_, pairs) = trainLoop(docs, textCol, merges)
     val wordsArr = TextOps.tokens(col(textCol))
     val charSeq = transform(wordsArr, w => trim(regexp_replace(w, "(.)", "$1 ")))
-    var enc = docs.select(col(idCol), size(wordsArr).as("n_words"),
-      array_join(charSeq, " <w> ").as("seq"))
+    // fanOut (r20): the char-split + per-merge regexp passes are the
+    // corpus-scale cost and otherwise run on the scan's single task;
+    // identity at scale — CoreOps.fanOut
+    var enc = graft.ops.CoreOps
+      .fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), size(wordsArr).as("n_words"),
+        array_join(charSeq, " <w> ").as("seq"))
     for (p <- pairs) enc = applyMerge(enc, p)
     enc.select(col(idCol), col("n_words").cast("long").as("n_words"),
       (size(split(col("seq"), " ")) - (col("n_words") - 1))

@@ -780,7 +780,11 @@ object VectorOps {
     * parallel (no driver state, no broadcast).
     */
   def covarianceUpper(df: DataFrame, vecCol: String): DataFrame = {
-    val v = df.select(toDoubleVec(col(vecCol)).as("vec"))
+    // fanOut (r20): the d(d+1)/2-pair explode below otherwise runs on
+    // the scan's single task (one parquet row group); keyless round-
+    // robin is fine — the grid sums are exact integers, order-free.
+    // Identity at scale — CoreOps.fanOut.
+    val v = graft.ops.CoreOps.fanOut(df.select(toDoubleVec(col(vecCol)).as("vec")))
     val pairs = flatten(transform(sequence(lit(1), size(col("vec"))),
       i => transform(sequence(i, size(col("vec"))),
         j => struct(i.as("i"), j.as("j")))))

@@ -400,6 +400,20 @@ object DedupOps {
     *                    sets, so this trades exactness for scale;
     *                    None = exact (the oracle-checked configuration).
     */
+  /** (id, shs) with the native 64-bit shingle-hash kernel, fanned out to
+    * core parallelism first (CoreOps.fanOut — identity at scale): the
+    * kernel is the map-side cost of every similarity operator here, and
+    * a byte-light single-row-group corpus scan would otherwise run it
+    * on ONE task whatever the session's core count.
+    */
+  private def shingleHashed(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    graft.ops.CoreOps.fanOut(
+        df.select(col(idCol).as("id"), col(textCol).as("__fo_text")), col("id"))
+      .select(col("id"),
+        call_function("graft_shingle_hashes",
+          TextOps.tokens(col("__fo_text")), lit(n), lit(42L)).as("shs"))
+
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, maxDocFreq: Option[Int] = None): DataFrame = {
@@ -410,9 +424,7 @@ object DedupOps {
     // formulation cost ~6 s of the sf0.1 bench on its own). A 64-bit
     // collision would merge two shingles — odds ~ |shingles|^2 / 2^64,
     // immaterial even at 100 TB corpus scale.
-    val hashed = df.select(col(idCol).as("id"),
-      call_function("graft_shingle_hashes",
-        TextOps.tokens(col(textCol)), lit(n), lit(42L)).as("shs"))
+    val hashed = shingleHashed(df, idCol, textCol, n)
     val shAll = hashed.select(col("id"), explode(col("shs")).as("sh"))
     val sh = maxDocFreq match {
       case None => shAll
@@ -646,9 +658,7 @@ object DedupOps {
   def prefixJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
-      call_function("graft_shingle_hashes",
-        TextOps.tokens(col(textCol)), lit(n), lit(42L)).as("shs"))
+    val hashed = shingleHashed(df, idCol, textCol, n)
     val sh = hashed.select(col("id"), size(col("shs")).cast(LongType).as("n_sh"),
         explode(col("shs")).as("sh"))
       .localCheckpoint()
@@ -717,9 +727,7 @@ object DedupOps {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, minShingles: Int = 5,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
-      call_function("graft_shingle_hashes",
-        TextOps.tokens(col(textCol)), lit(n), lit(42L)).as("shs"))
+    val hashed = shingleHashed(df, idCol, textCol, n)
     val shAll = hashed.select(col("id"), explode(col("shs")).as("sh"))
     val sh = maxDocFreq match {
       case None => shAll

@@ -142,6 +142,16 @@ object DupClusterStore {
       ensuredInc.getOrElseUpdate(tag, {
         val root =
           s"${sys.props("java.io.tmpdir")}/graft_dup_clusters_inc/v1_$tag"
+        // Recover an interrupted swap BEFORE reading the ledger (ADVICE
+        // r19, medium): a crash in maintainIncremental's rename window
+        // leaves root renamed aside with a completed staging — reading
+        // lastBatch first would see -1, rebuild the lower half, and the
+        // inner recoverSwap would then restore the COMPLETED store's
+        // ledger, making the follow-up maintain(batchId=0) a no-op: the
+        // store would permanently hold only the lower half while its
+        // ledger reads complete.
+        graft.ops.CoreOps.recoverSwap(s, root,
+          "DupClusterStore.ensureIncrementalDemo")
         if (lastBatch(root) < 0L) {
           graft.ops.LocalFs.deleteTree(java.nio.file.Paths.get(root))
           val docs = Tables(s, sfDir, "documents")
@@ -418,6 +428,11 @@ object DupClusterStore {
     val root = graft.plans.TvfArgs.strLit(
       "graft_dup_clusters_store", es)(0, "store_dir")
     val spark = org.apache.spark.sql.SparkSession.active
+    // self-heal an interrupted swap BEFORE the existence guard (ADVICE
+    // r19): a store whose last commit crashed mid-rename (target
+    // missing, staging complete) must be recovered, not rejected at
+    // analysis time
+    graft.ops.CoreOps.recoverSwap(spark, root, "graft_dup_clusters_store")
     if (lastBatch(root) < 0L &&
         !java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$root/assign")))

@@ -40,8 +40,25 @@ object GraphOps {
     // typically an expensive subtree (an LSH/Jaccard pair pipeline), and
     // union(e, e.swap) would otherwise embed that subtree twice in the
     // plan. After the checkpoint, the union reads materialized rows.
-    val e = edges.select(col(u).as("u"), col(v).as("v"))
+    val eRaw = edges.select(col(u).as("u"), col(v).as("v"))
       .filter(col("u") =!= col("v")).localCheckpoint()
+    // Size-adaptive layout (r20): the iteration frames are (id, label)
+    // pairs — for near-dup graphs a few thousand rows — but they inherit
+    // the edge BUILD's fan-out (its checkpoint keeps the producing
+    // stage's partition count), and per-task fixed costs (shuffle-writer
+    // setup, codec buffers — measured ~100 ms/task on this box) then
+    // dominate every round's map stages. One scalar count on the
+    // materialized checkpoint picks a partition count proportional to
+    // the data (~128k edge rows per task, capped at the session's
+    // cores); the coalesce is NARROW (no shuffle — it only concatenates
+    // already-materialized local blocks). At scale the count lands at
+    // the core cap and the layout is unchanged.
+    val m = eRaw.count()
+    val targetParts = math.min(
+      edges.sparkSession.sparkContext.defaultParallelism.toLong,
+      1L + m / 131072L).toInt
+    val e = if (eRaw.rdd.getNumPartitions > targetParts)
+      eRaw.coalesce(targetParts) else eRaw
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
     // Initialization IS the first propagation round: min over self and
@@ -130,6 +147,13 @@ object GraphOps {
     var e = edges.select(col(cu).as("u"), col(cv).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var m = e.count()
+    // size-adaptive narrow coalesce (the connectedComponents r20 layout
+    // fix): peel rounds run on (u, v) longs whose map stages otherwise
+    // inherit the edge build's fan-out and pay per-task fixed costs
+    val kcParts = math.min(
+      edges.sparkSession.sparkContext.defaultParallelism.toLong,
+      1L + m / 131072L).toInt
+    if (e.rdd.getNumPartitions > kcParts) e = e.coalesce(kcParts)
     var done = m == 0L
     var iter = 0
     while (!done && iter < maxIter) {
@@ -301,8 +325,24 @@ object GraphOps {
     // wedges, closing probe) — without truncation each branch re-runs it.
     val und = edges.select(least(u, v).as("a"), greatest(u, v).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    val nEdgesCnt = und.count() // cheap: und is checkpointed
+    // r20: below this MEASURED edge count the |V|-bounded degree table
+    // (|V| <= 2|E|) fits the broadcast budget — broadcasting it turns
+    // the two orientation joins into map-side hash joins, so the edge
+    // list crosses NO exchange to orient (a checkpointed frame carries
+    // no size statistics, so Catalyst would otherwise plan both as
+    // shuffle joins). Past the gate — the 100 TB co-occurrence graph —
+    // the original shuffle-join orientation runs unchanged. GraphOpsSpec
+    // pins count parity of the two paths.
+    val broadcastEdges = nEdgesCnt <= 8L * 1000 * 1000
+    // checkpointed once on the broadcast path: the degree frame feeds
+    // both orientation joins here plus the callers' per-node outputs
+    val deg0 = {
+      val d = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      if (broadcastEdges) d.localCheckpoint() else d
+    }
+    val deg = if (broadcastEdges) broadcast(deg0) else deg0
     // Orient each edge low -> high in the strict total order (degree, id).
     val withDeg = und
       .join(deg.withColumnsRenamed(Map("n" -> "a", "d" -> "da")), "a")
@@ -325,8 +365,11 @@ object GraphOps {
     // Bloom-prune non-closing wedges map-side (see triangleCount doc),
     // unless the filter itself would outgrow the broadcast budget — the
     // exact join below is correct either way, the bloom only cuts the
-    // wedge shuffle.
-    val nEdgesCnt = und.count() // cheap: und is checkpointed
+    // wedge shuffle. (r20 measured note: an exact broadcast-hash closing
+    // probe was tried under the same gate and REVERTED — building and
+    // shipping the |E|-row hash relation cost more per run than the
+    // 1.2 B/edge bloom it replaced; the bloom stays the closing-side
+    // shape at every scale.)
     val closing = oriented.select(
       xxhash64(col("src"), col("dst")).as("ek"), col("src").as("x"), col("dst").as("y"))
     val expected = math.max(nEdgesCnt, 1000L)
@@ -339,7 +382,7 @@ object GraphOps {
       else wedges
     val tri = prunedWedges.join(closing.drop("ek"), Seq("x", "y"))
       .select(col("src"), col("x"), col("y"))
-    (und, deg, tri)
+    (und, deg0, tri)
   }
 
   def triangleCount(edges: DataFrame,

@@ -71,6 +71,38 @@ object CoreOps {
   def statusFilter(df: DataFrame, statusCol: String = "status", ok: Int = 200): DataFrame =
     df.filter(col(statusCol) === ok)
 
+  /** Fan a scan-stage-heavy frame out to full core parallelism — the
+    * r20 fix for compute-starved map stages. Spark's split planning is
+    * BYTE-proportional (maxPartitionBytes / openCostInBytes), and a
+    * parquet file is splittable only at row-group boundaries, so a
+    * byte-light input (one small file = one row group = ONE task) runs
+    * its entire map side — shingle hashing, per-row digests, explode
+    * fan-outs — on a single core no matter how many the session has;
+    * AQE cannot help (it only re-sizes post-shuffle stages, also by
+    * BYTES, which under-provisions kernels whose cost is per-row, not
+    * per-byte). The explicit-count hash repartition pins the kernel's
+    * parallelism where byte-based planning starves it: measured at
+    * sf0.1, the 16-permutation MinHash kernel fell 2.8 s -> 0.68 s and
+    * the 40-replicate bootstrap kernel 2.75 s -> 0.43 s (OPTIMIZATION_r20).
+    *
+    * Scale-adaptive by construction, not a local[32] tune: when the
+    * source already has at least one split per core (any real at-scale
+    * table), this is an IDENTITY — no repartition node enters the plan,
+    * so the at-scale plan is byte-for-byte what it was before r20. The
+    * explicit numPartitions (= defaultParallelism, i.e. the session's
+    * core count here and the cluster's slot count on a real deployment)
+    * keeps AQE from byte-coalescing the fanned stage back to one task;
+    * `key` should be a high-cardinality deterministic column (the row
+    * id) so the hash spreads evenly and retries are deterministic
+    * (guide §2.5 — never rand()).
+    */
+  def fanOut(df: DataFrame, key: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (key.isEmpty) df.repartition(target)
+    else df.repartition(target, key: _*)
+  }
+
   /** Dedup with the reference's *intended* semantics (`matches.py:46-53`
     * computes a set but returns the pre-dedup list — we apply it).
     * Spark plans this as a hash aggregate on the key columns: map-side

@@ -127,6 +127,8 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
       sumCols.map { case (k, v) => k.toLowerCase -> v }
     private[SummaryRewrite] lazy val cntLc: Map[String, String] =
       cntCols.map { case (k, v) => k.toLowerCase -> v }
+    private[SummaryRewrite] lazy val exprsLc: Map[String, String] =
+      sumExprs.map { case (k, v) => k.toLowerCase -> v }
   }
 
   /** A registered spec plus its resolution-time artifacts: sumExprs
@@ -703,11 +705,15 @@ object SummaryRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // Union.output keeps the FIRST child's exprIds (nullability merged),
     // so the aggregate's references resolve against branch 0's relation
     val baseOut0 = branches.head._1.outputSet
+    // exprsLc included (ADVICE r19): two branch specs mapping the same
+    // partial column NAME to different expressions would otherwise pass
+    // the positional projection and rewrite to silently wrong results
     def compat(a: SummarySpec, b: SummarySpec): Boolean =
       a.keySetLc == b.keySetLc &&
         a.countCol.toLowerCase == b.countCol.toLowerCase &&
         a.minLc == b.minLc && a.maxLc == b.maxLc &&
-        a.sumLc == b.sumLc && a.cntLc == b.cntLc
+        a.sumLc == b.sumLc && a.cntLc == b.cntLc &&
+        a.exprsLc == b.exprsLc
     def tryOne(reg0: Registered): Option[Aggregate] = {
       val spec0 = reg0.spec
       val regs: Seq[Registered] = branches.zipWithIndex.map {

@@ -1143,11 +1143,15 @@ object EventQueries {
     // Bulk same-sign deltas preserve the running max: opens peak at the
     // bulk value, closes peak before it.
     "q_interval_overlap" -> { (s, dir) =>
-      val iv = Tables(s, dir, "lineitem").select(
-        col("l_suppkey"),
-        to_date(col("l_shipdate")).as("st"),
-        date_add(to_date(col("l_shipdate")),
-          floor(col("l_quantity")).cast(IntegerType)).as("en"))
+      // fanOut (r20): the boundary explode + date arithmetic otherwise
+      // run on the scan's 3 byte-sized splits; identity at scale
+      val iv = graft.ops.CoreOps.fanOut(
+        Tables(s, dir, "lineitem").select(
+          col("l_suppkey"),
+          to_date(col("l_shipdate")).as("st"),
+          date_add(to_date(col("l_shipdate")),
+            floor(col("l_quantity")).cast(IntegerType)).as("en")),
+        col("l_suppkey"), col("st"))
       // one scan, not a unionAll of two: each interval explodes into its
       // own (open, close) boundary pair
       val pts = iv.select(col("l_suppkey"), explode(array(

@@ -2476,10 +2476,13 @@ object RelationalQueries {
     // the B-row-per-group frame.
     "q_bootstrap" -> { (s, dir) =>
       val nB = 40
-      val base = Tables(s, dir, "orders").select(
-        col("o_orderpriority").as("stratum"), col("o_orderkey"),
-        (col("o_totalprice").cast(DecimalType(18, 4)) * 100)
-          .cast(LongType).as("cents"))
+      // fanOut (r20): 40 md5 draws per order otherwise run on the scan's
+      // single task; identity at scale — CoreOps.fanOut
+      val base = graft.ops.CoreOps.fanOut(
+        Tables(s, dir, "orders").select(
+          col("o_orderpriority").as("stratum"), col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(18, 4)) * 100)
+            .cast(LongType).as("cents")), col("o_orderkey"))
       val point = base.groupBy("stratum")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
       // u via the native graft_md5_top32 kernel: cast(V)/2^32 is the

@@ -61,8 +61,12 @@ object TextQueries {
     * are identical to the registered query.
     */
   def fuzzyDecontam(train: DataFrame, bench: DataFrame): DataFrame = {
-    def shingles(df: DataFrame) = df.select(col("doc_id"),
-      explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+    // fanOut (r20): the shingle explode + 4-digest md5 signature kernel
+    // otherwise runs on the corpus scan's single task; identity at scale
+    def shingles(df: DataFrame) = graft.ops.CoreOps
+      .fanOut(df.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
     def sig(shf: DataFrame) = shf
       .withColumn("g", explode(sequence(lit(0), lit(3))))
       .withColumn("m", md5(concat(col("g").cast(StringType), lit(":"), col("sh"))))
@@ -222,7 +226,10 @@ object TextQueries {
     // spec-pinned in DedupSpec/VectorExpressionsSpec, and what a 100 TB
     // run uses: ~2 machine ops per (token, bit), no 64-row explode).
     "q_dedup_simhash" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      // fanOut (r20): two md5 digests per (doc, token) otherwise run on
+      // the scan's single task; identity at scale — CoreOps.fanOut
+      val docs = graft.ops.CoreOps.fanOut(
+        Tables(s, dir, "documents").select("doc_id", "text"), col("doc_id"))
       val hv = docs.select(col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("t"))
         .select(col("doc_id"),
@@ -1363,7 +1370,12 @@ object TextQueries {
     // (object-op subtrees re-execute per branch).
     "q_media_phash" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
-      val d = MultimodalOps.withBlob(Tables(s, dir, "documents"), "text")
+      // fanOut (r20): the batched pHash codec pass otherwise runs on the
+      // scan's single task; identity at scale — CoreOps.fanOut
+      val d = MultimodalOps.withBlob(
+          graft.ops.CoreOps.fanOut(
+            Tables(s, dir, "documents").select("doc_id", "text"),
+            col("doc_id")), "text")
         .select(col("doc_id").as("media_id"),
           lit("image").as("kind"), col("blob"))
         .as(Encoders.product[MultimodalOps.MediaRow])
@@ -3089,8 +3101,11 @@ object TextQueries {
     // audio analog of q_dedup_exact's digest-only shuffle.
     "q_audio_fingerprint" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
-      val fps = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
+      // fanOut (r20): the per-doc encode/decode kernel otherwise runs on
+      // the scan's single task; identity at scale — CoreOps.fanOut
+      val fps = graft.ops.CoreOps.fanOut(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"))
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
         .mapPartitions(_.map { case (id, text) =>
           val pcm = MultimodalOps.WavPcmCodec.pcmU8Data(
@@ -3120,8 +3135,11 @@ object TextQueries {
     // 8-byte signature — video bytes never cross an exchange.
     "q_video_fingerprint" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
-      val fps = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
+      // fanOut (r20): per-doc AVI encode + RIFF decode otherwise run on
+      // the scan's single task; identity at scale — CoreOps.fanOut
+      val fps = graft.ops.CoreOps.fanOut(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"))
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
         .mapPartitions(_.map { case (id, text) =>
           // Code-POINT positions and values (mod 256 for the 8-bit DIB
@@ -3149,8 +3167,11 @@ object TextQueries {
 
     "q_audio_decode" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
-      val feats = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
+      // fanOut (r20): the WAV roundtrip otherwise runs on the scan's
+      // single task; identity at scale — CoreOps.fanOut
+      val feats = graft.ops.CoreOps.fanOut(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"))
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
         .mapPartitions(_.map { case (id, text) =>
           MultimodalOps.WavPcmCodec.decode(id,
@@ -3187,7 +3208,9 @@ object TextQueries {
             md5(concat(lit("shard"), sh.cast(StringType), lit(":"),
               col("doc_id").cast(StringType))).as("h"),
             sh.cast(LongType).as("s")))).getField("s")
-      Tables(s, dir, "documents")
+      // fanOut (r20): 17 md5 digests per doc in-row; identity at scale
+      graft.ops.CoreOps.fanOut(
+          Tables(s, dir, "documents").select("doc_id"), col("doc_id"))
         .select(hrw(8).as("shard_old"), hrw(9).as("shard_new"))
         .groupBy("shard_old", "shard_new")
         .agg(count(lit(1)).as("n_docs"))
@@ -3627,7 +3650,12 @@ object TextQueries {
     */
   private def md5MinhashPipeline(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val sh = docs.select(col("doc_id"),
+    // fanOut (r20): the shingle explode AND the 4-digest md5 kernel
+    // downstream otherwise run on the corpus scan's single task (one
+    // parquet row group = one split); identity at scale — CoreOps.fanOut
+    val sh = graft.ops.CoreOps
+      .fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
         explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
       .localCheckpoint()
     val sig = sh.withColumn("g", explode(sequence(lit(0), lit(3))))
@@ -3655,7 +3683,10 @@ object TextQueries {
 
   private def bm25Ranked(s: SparkSession, dir: String, topN: Int): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val tf = docs
+    // fanOut (r20): the tokenize+explode term build otherwise runs on the
+    // scan's single task; identity at scale — CoreOps.fanOut
+    val tf = graft.ops.CoreOps
+      .fanOut(docs.select("doc_id", "text"), col("doc_id"))
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
         explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")

@@ -794,9 +794,12 @@ object StreamingOps {
     * staged bytes. The dedup-at-ingest closing of the cluster-once
     * story: the corpus is never re-scanned, per-batch work is
     * batch-proportional, and at-least-once replay is absorbed by the
-    * ledger. Batch doc_ids must exceed every stored id (the
-    * ingest-append contract — violated batches fail the query loudly
-    * rather than renaming clusters store-wide). SINGLE WRITER REQUIRED.
+    * ledger. Ingest contract (the relaxed r19 form maintainIncremental
+    * enforces): fresh texts may arrive at ANY id and re-inserted ids
+    * are refused (updates retract first); the one unstable case — a
+    * JOINER of an existing exact-dup group arriving below that group's
+    * stored minimum id, which would rename the group store-wide — fails
+    * the query loudly rather than renaming. SINGLE WRITER REQUIRED.
     */
   def dupClustersMaintainEachBatch(
       docs: DataFrame, storeRoot: String,

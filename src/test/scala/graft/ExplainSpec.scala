@@ -30,9 +30,15 @@ class ExplainSpec extends SparkSpec {
     * the tight default.
     */
   private val defaultMaxShuffles = 5
+  // r20 refresh: CoreOps.fanOut adds ONE explicit-count repartition
+  // exchange ahead of scan-stage-heavy kernels (byte-light single-row-
+  // group scans starve them to one task); the affected budgets below
+  // were regenerated with ShuffleCounts and carry that +1. The exchange
+  // is an identity at scale (fanOut no-ops when the source already has
+  // a split per core).
   private val shuffleBudget: Map[String, Int] = Map(
     "q1_pricing_summary" -> 2, "q_anti_join" -> 1, "q_approx_distinct" -> 2,
-    "q_autocorr" -> 3, "q_containment" -> 2, "q_rfm" -> 4,
+    "q_autocorr" -> 3, "q_containment" -> 3, "q_rfm" -> 4,
     "q_skyline" -> 3, "q_streak" -> 3,
     "q_ab_test" -> 2, "q_cusum" -> 3, "q_gini" -> 2, "q_interarrival" -> 2,
     "q_seasonality" -> 3, "q_entropy" -> 3, "q_forecast_backtest" -> 3,
@@ -103,10 +109,10 @@ class ExplainSpec extends SparkSpec {
     // the checkpointed frame, and the per-source rank-limit window
     // (WindowGroupLimit: map-side partial top-20, verified in-plan)
     "q_keyness" -> 5,
-    "q_kappa" -> 2, "q_fertility" -> 2, "q_ipw" -> 2,
+    "q_kappa" -> 2, "q_fertility" -> 3, "q_ipw" -> 2,
     // q_kcore: the static plan holds the pair build + first peel; later
     // rounds run off checkpoints (runtime jobs, not static exchanges)
-    "q_kcore" -> 2, "q_bootstrap" -> 4,
+    "q_kcore" -> 2, "q_bootstrap" -> 5,
     // q_mutual_nn: in-cell score join off the checkpointed assignment,
     // two per-side argmax aggregates, reciprocity joins — all on the
     // checkpointed scored frame
@@ -116,7 +122,7 @@ class ExplainSpec extends SparkSpec {
     "q_burstiness" -> 3,
     // q_minhash_est: static plan holds only the post-checkpoint band
     // agg + reporting joins; shingle/signature stages are checkpointed
-    "q_minhash_est" -> 2,
+    "q_minhash_est" -> 4,
     // q_fuzzy_decontam: shingle/candidate stages are checkpointed; the
     // 6 static exchanges are the exact-verify agg, the two size aggs,
     // the two bench-side signature aggs (inside broadcast subtrees —
@@ -159,7 +165,7 @@ class ExplainSpec extends SparkSpec {
     "q_linear_quality" -> 1, "q_token_entropy" -> 3,
     // r11: audio roundtrip and lang ID are in-row passes (sort exchange
     // only — the mapPartitions codec never shuffles)
-    "q_audio_decode" -> 1, "q_lang_ngram" -> 1,
+    "q_audio_decode" -> 2, "q_lang_ngram" -> 1,
     // r10 snapshot, TPC-H completion batch: Q7's 6 are the three
     // keyed fact-join exchange pairs (li⋈orders, ⋈supplier-region,
     // ⋈customer-region — the canonical no-stats shape; AQE broadcasts
@@ -198,7 +204,7 @@ class ExplainSpec extends SparkSpec {
     // count (truth⋈cand), their t-join, the scalar candidate count,
     // and the 3-row sort; the shingle/signature/candidate builds are
     // materialized away
-    "q_lsh_eval" -> 6,
+    "q_lsh_eval" -> 8,
     // q_js_divergence: token agg + per-source totals + the pair-grid
     // expansions and their full-outer token union + per-pair grid sums —
     // every exchange after the first carries (source, token) count rows
@@ -230,7 +236,7 @@ class ExplainSpec extends SparkSpec {
     // q_video_fingerprint: the AVI encode→walk→decode pass is in-row
     // (mapPartitions); only the 8-byte-signature window and the output
     // sort exchange — video bytes never cross
-    "q_video_fingerprint" -> 2,
+    "q_video_fingerprint" -> 3,
     "q_dup_rate" -> 3, "q_lsh_curve" -> 1,
     // q_cohort_ltv: 6 exchanges, but only the first (user groupBy for
     // first-seen) and the weekly value aggregate touch the raw stream;
@@ -259,7 +265,7 @@ class ExplainSpec extends SparkSpec {
     // exchange than a repartition(q_id)-shared plan, but that plan
     // ships the full term-level frame unreduced; 6 is the cheap shape
     "q_bigram_lm" -> 5, "q_bloom_semi_join" -> 1, "q_bm25" -> 6,
-    "q_bpe_merges" -> 2, "q_bpe_encode" -> 1,
+    "q_bpe_merges" -> 2, "q_bpe_encode" -> 2,
     "q_cond_project" -> 1, "q_corr_subquery" -> 2,
     "q_count_distinct" -> 3, "q_cube" -> 2, "q_decontaminate" -> 3,
     "q_dedup_exact" -> 2, "q_dedup_full" -> 3, "q_dedup_minhash" -> 4,
@@ -273,7 +279,7 @@ class ExplainSpec extends SparkSpec {
     "q_embed_ann_lsh" -> 3, "q_embed_centroid" -> 2, "q_embed_cosine_topk" -> 2,
     // q_embed_cov: the (i, j) pair aggregate (map-side partials absorb
     // the d^2 explode) + output sort — corpus never crosses
-    "q_embed_cov" -> 2,
+    "q_embed_cov" -> 3,
     "q_embed_neardup" -> 2, "q_embed_pq" -> 2, "q_embed_ivfpq" -> 2,
     // q_embed_bq: 3 exchanges but only the last two touch ≤rerank·|q|
     // rows — the TopKAggregator candidate cut pays one agg exchange of
@@ -300,7 +306,7 @@ class ExplainSpec extends SparkSpec {
     // map-side-combined (k, date, delta) aggregate — measured 19.4 s
     // -> 6.0 s at the 100x smoke); its window runs over the
     // date-domain-bounded frame
-    "q_interval_coverage" -> 2, "q_interval_overlap" -> 3,
+    "q_interval_coverage" -> 2, "q_interval_overlap" -> 4,
     "q_interval_join" -> 2, "q_inverted_index" -> 3, "q_json_extract" -> 1,
     "q_kmeans_iter" -> 2, "q_lang_ngram" -> 1, "q_lang_quality" -> 1,
     "q_lateral_topk" -> 2,
@@ -310,7 +316,7 @@ class ExplainSpec extends SparkSpec {
     // job at build time — no exchange); the 1 is its output sort
     "q_mmr_select" -> 1,
     "q_minmax_by" -> 2, "q_mix_sample" -> 2, "q_ms_to_date" -> 1,
-    "q_ngram_jaccard" -> 2, "q_novelty" -> 3,
+    "q_ngram_jaccard" -> 3, "q_novelty" -> 3,
     // q_pagerank: per-round localCheckpoints truncate the static plan to
     // the final round's narrow shuffle — iteration cost is per-JOB
     "q_pagerank" -> 1,

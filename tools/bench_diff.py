@@ -74,23 +74,27 @@ def load(path):
 
 def merge(paths):
     """Pool runs from several files; per query return (quiet_min, amb_of_min,
-    had_quiet). noisy propagates only if NO file measured the query quietly."""
-    pooled, noisy_votes, measured, gate = {}, {}, set(), 2.0
+    had_quiet). noisy propagates only if NO file measured the query quietly.
+    Quiet-classification happens against EACH FILE'S OWN load gate (ADVICE
+    r19: pooling files produced under different SPARK_GRAFT_BENCH_LOAD_GATE
+    values must not admit a load-poisoned min against the wrong gate)."""
+    pooled, noisy_votes, measured = {}, {}, set()
     total = None
     for p in paths:
         runs, t, noisy, g = load(p)
-        gate = g
         total = t if total is None else min(total, t)
         for q, rs in runs.items():
-            pooled.setdefault(q, []).extend(rs)
+            # tag each run quiet/not against THIS file's gate
+            pooled.setdefault(q, []).extend(
+                (sec, amb, amb < 0 or amb <= g) for sec, amb in rs)
             measured.add(q)
             if q in noisy:
                 noisy_votes[q] = noisy_votes.get(q, 0) + 1
     out = {}
     for q, rs in pooled.items():
-        quiet = [r for r in rs if r[1] < 0 or r[1] <= gate]
+        quiet = [r for r in rs if r[2]]
         src = quiet if quiet else rs
-        sec, amb = min(src, key=lambda r: r[0])
+        sec, amb, _ = min(src, key=lambda r: r[0])
         out[q] = (sec, amb, bool(quiet))
     return out, total
 
