@@ -35,11 +35,33 @@ object IncStoreSmoke {
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
+    // bytes under a path — the r20 commit-unit evidence: maintain must
+    // WRITE O(batch), not O(store) (the r19 whole-root swap re-wrote
+    // membership/postings per batch)
+    def du(p: String): Long = {
+      val f = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(f)) 0L
+      else {
+        val st = java.nio.file.Files.walk(f)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } finally st.close()
+      }
+    }
     val store = s"$out/store"
     val (_, tBuild) = timed(
       DupClusterStore.buildIncremental(spark, older, store))
+    val storeBytes = du(store)
     val (_, tMaintain) = timed(
       DupClusterStore.maintainIncremental(spark, batch, store, batchId = 0L))
+    // bytes the maintain COMMITTED: the three batch=0 appends + the
+    // swapped assign table (the visibility event)
+    val maintainBytes = du(s"$store/membership/batch=0") +
+      du(s"$store/postings/batch=0") + du(s"$store/sizes/batch=0") +
+      du(s"$store/assign")
     // the dump the at-scale oracle reads (same name + schema as the
     // registered query's Verify output)
     DupClusterStore.assignmentsIncremental(spark, store)
@@ -62,7 +84,8 @@ object IncStoreSmoke {
       s""""n_batch":$nBatch,"build_sec":${fmt(tBuild)},""" +
       s""""maintain_sec":${fmt(tMaintain)},""" +
       s""""retract_sec":${fmt(tRetract)},""" +
-      s""""full_rebuild_sec":${fmt(tFull)}}""")
+      s""""full_rebuild_sec":${fmt(tFull)},""" +
+      s""""store_bytes":$storeBytes,"maintain_bytes_written":$maintainBytes}""")
     spark.stop()
   }
 }

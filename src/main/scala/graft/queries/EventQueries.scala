@@ -406,7 +406,12 @@ object EventQueries {
         .agg(dsum(col("value")).as("v"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
       val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hourly
+      // pinKeyed (r20): the window stage also runs the hour-spine
+      // explode + date_format — AQE byte-coalesced it to one task on
+      // this byte-light frame; the explicit user_id repartition IS the
+      // window's required distribution (no extra exchange), just
+      // non-coalescible
+      graft.ops.CoreOps.pinKeyed(hourly, col("user_id"))
         .withColumn("prev_hr", lag(col("hr"), 1).over(w))
         // running fill INCLUDING the current row (for the observed hour
         // itself), lagged once for the gap hours before it — null-sum

@@ -1662,7 +1662,12 @@ object TextQueries {
     // hash) rather than dup-groups + semi-join (two shuffles); language
     // and quality predicates run on survivors only.
     "q_quality_filter" -> { (s, dir) =>
-      DedupOps.exactDedup(Tables(s, dir, "documents"), "doc_id", "text")
+      // pinKeyed (r20): langId + qualityScore are regex-heavy per-doc
+      // kernels; the dedup aggregate's output stage is byte-coalesced
+      // to one task on this corpus — pin the kernel's parallelism
+      graft.ops.CoreOps.pinKeyed(
+        DedupOps.exactDedup(Tables(s, dir, "documents"), "doc_id", "text"),
+        col("doc_id"))
         .filter(TextOps.langId(col("text")) === "en")
         .withColumn("quality", round(TextOps.qualityScore(col("text")), 6))
         .filter(col("quality") >= 0.5 &&
@@ -2458,7 +2463,11 @@ object TextQueries {
     "q_distinct_n" -> { (s, dir) =>
       def tag(n: Int, c: Column) =
         transform(c, g => struct(lit(n).as("n"), g.as("g")))
-      val agg = Tables(s, dir, "documents")
+      // fanOut (r20): the triple gram explode otherwise runs on the
+      // scan's single task; identity at scale — CoreOps.fanOut
+      val agg = graft.ops.CoreOps.fanOut(
+          Tables(s, dir, "documents").select("source", "text", "doc_id"),
+          col("doc_id"))
         .select(col("source"), explode(concat(
           tag(1, TextOps.tokens(col("text"))),
           tag(2, TextOps.shingles(col("text"), 2)),
@@ -3283,7 +3292,12 @@ object TextQueries {
     */
   /** (doc_id, toks) token frame shared by the repeated-span family. */
   private def spanTokFrame(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // fanOut (r20): the span family's gram materialization and island
+    // merges run straight off this frame — a single-row-group corpus
+    // scan would hand all of it to one task; identity at scale
+    graft.ops.CoreOps.fanOut(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
 
   /** Position-aligned L-token grams: (doc_id, pos, gram) with pos the
     * 0-based start token. (graft_shingle_hashes deliberately returns a

@@ -206,6 +206,74 @@ class DupClusterStoreSpec extends SparkSpec {
     }
   }
 
+  test("incremental store: maintain commits per-table APPENDS — base files untouched, O(batch) write unit") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val a = docs.filter(col("doc_id") < 250)
+    val b = docs.filter(col("doc_id") >= 250)
+    val root = java.nio.file.Files.createTempDirectory("graft_dcs_app")
+      .toString + "/s"
+    DupClusterStore.buildIncremental(spark, a, root)
+    def baseFiles(t: String): Seq[(String, Long)] = {
+      val d = java.nio.file.Paths.get(root, t, "base")
+      val st = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .map(p => (p.getFileName.toString, java.nio.file.Files.size(p)))
+          .toSeq.sorted
+      } finally st.close()
+    }
+    val before = Seq("membership", "sizes", "postings").map(baseFiles)
+    assert(DupClusterStore.maintainIncremental(spark, b, root, batchId = 0L))
+    // append-commit == rewrite-commit: result still bit-equal to a full
+    // rebuild (the headline invariant) ...
+    assert(rows(DupClusterStore.assignmentsIncremental(spark, root))
+      == rows(fresh))
+    // ... while the base tables' files are BYTE-IDENTICAL (nothing was
+    // rewritten) and the batch landed as batch=0 append dirs
+    assert(Seq("membership", "sizes", "postings").map(baseFiles) == before,
+      "maintain must not rewrite base files — the O(store) commit unit is back")
+    for (t <- Seq("membership", "sizes", "postings"))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, t, "batch=0")), s"$t/batch=0 missing")
+    // the ledger rides the assign swap
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "assign", "_GRAFT_LAST_BATCH")))
+  }
+
+  test("incremental store: orphan appends above the ledger are invisible and replay-safe") {
+    val docs = Tables(spark, sfDir, "documents")
+    val a = docs.filter(col("doc_id") < 250)
+    val b = docs.filter(col("doc_id") >= 250)
+    val root = java.nio.file.Files.createTempDirectory("graft_dcs_orph")
+      .toString + "/s"
+    DupClusterStore.buildIncremental(spark, a, root)
+    val before = rows(DupClusterStore.assignmentsIncremental(spark, root))
+    // simulate a maintain(batchId=0) that crashed AFTER its appends but
+    // BEFORE the assign swap: orphan batch=0 dirs holding garbage rows
+    // (copies of base — wrong content on purpose: if a reader ever
+    // admits them, the assertions below flip)
+    for (t <- Seq("membership", "sizes", "postings")) {
+      val base = java.nio.file.Paths.get(root, t, "base")
+      val orph = java.nio.file.Paths.get(root, t, "batch=0")
+      java.nio.file.Files.createDirectories(orph)
+      val st = java.nio.file.Files.list(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.foreach(p => java.nio.file.Files.copy(
+          p, orph.resolve(p.getFileName.toString)))
+      } finally st.close()
+    }
+    // readers ignore dirs above the committed ledger
+    assert(rows(DupClusterStore.assignmentsIncremental(spark, root)) == before)
+    // the replayed maintain deletes the orphans and lands cleanly
+    assert(DupClusterStore.maintainIncremental(spark, b, root, batchId = 0L))
+    assert(rows(DupClusterStore.assignmentsIncremental(spark, root))
+      == rows(fresh),
+      "replay after an append-window crash must equal the rebuild")
+  }
+
   test("incremental store: an interrupted swap is recovered on read, ledger intact") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g")).toDF("doc_id", "text")
