@@ -120,6 +120,14 @@ object OptProbe {
           SparkEntry.queries("q_minhash_est")(spark, sfDir)
         }
       },
+      "ccpath" -> { () =>
+        // iteration count on a 256-node path graph (worst-case chain)
+        val chain = spark.range(255)
+          .select(col("id").as("u"), (col("id") + 1).as("v"))
+        time("cc-on-256-chain") {
+          graft.operators.GraphOps.connectedComponents(chain)
+        }
+      },
       "fanout" -> { () =>
         import org.apache.spark.sql.types.{LongType, StringType}
         println(s"[probe] docs scan partitions = ${docs.rdd.getNumPartitions}")

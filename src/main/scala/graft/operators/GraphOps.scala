@@ -101,7 +101,11 @@ object GraphOps {
       val minned = labels.union(viaNbr)
         .groupBy("id").agg(min("comp").as("comp"))
       // pointer jumping: comp := comp(comp) — labels propagate through
-      // labels, halving remaining path length every round
+      // labels, halving remaining path length every round. (r20 measured
+      // note: a 3-fold jump composition per round was tried and REVERTED
+      // — it does cut rounds on a synthetic 256-chain (5 vs ~9) but the
+      // real near-dup graph converged in 6 rounds either way, so the two
+      // extra joins per round bought nothing here.)
       val jumped = minned
         .join(minned.select(col("id").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
@@ -123,6 +127,8 @@ object GraphOps {
       labels = next
       iter += 1
     }
+    if (sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("1"))
+      System.err.println(s"[cc] converged after $iter iterations, m=$m")
     labels
   }
 
@@ -147,13 +153,12 @@ object GraphOps {
     var e = edges.select(col(cu).as("u"), col(cv).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var m = e.count()
-    // size-adaptive narrow coalesce (the connectedComponents r20 layout
-    // fix): peel rounds run on (u, v) longs whose map stages otherwise
-    // inherit the edge build's fan-out and pay per-task fixed costs
-    val kcParts = math.min(
-      edges.sparkSession.sparkContext.defaultParallelism.toLong,
-      1L + m / 131072L).toInt
-    if (e.rdd.getNumPartitions > kcParts) e = e.coalesce(kcParts)
+    // Size-adaptive coalesce tried and REVERTED (r20): unlike the CC
+    // loop (whose per-round frames are per-NODE labels, tiny next to
+    // the edges), every kCore peel round re-joins the FULL edge set —
+    // the 128k-rows/task layout gave the 600k-edge co-purchase graph 5
+    // partitions and serialized the peel joins (quiet 1.95 s -> 2.34 s
+    // measured). The edge build's fan-out is the right layout here.
     var done = m == 0L
     var iter = 0
     while (!done && iter < maxIter) {

@@ -1370,12 +1370,11 @@ object TextQueries {
     // (object-op subtrees re-execute per branch).
     "q_media_phash" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
-      // fanOut (r20): the batched pHash codec pass otherwise runs on the
-      // scan's single task; identity at scale — CoreOps.fanOut
+      // fanOut tried and REVERTED (r20): the pHash codec pass is cheap
+      // at this corpus size — the repartition's exchange cost more than
+      // the serialization it removed (quiet 0.39 s -> 0.83 s measured).
       val d = MultimodalOps.withBlob(
-          graft.ops.CoreOps.fanOut(
-            Tables(s, dir, "documents").select("doc_id", "text"),
-            col("doc_id")), "text")
+          Tables(s, dir, "documents").select("doc_id", "text"), "text")
         .select(col("doc_id").as("media_id"),
           lit("image").as("kind"), col("blob"))
         .as(Encoders.product[MultimodalOps.MediaRow])
@@ -3110,11 +3109,11 @@ object TextQueries {
     // audio analog of q_dedup_exact's digest-only shuffle.
     "q_audio_fingerprint" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
-      // fanOut (r20): the per-doc encode/decode kernel otherwise runs on
-      // the scan's single task; identity at scale — CoreOps.fanOut
-      val fps = graft.ops.CoreOps.fanOut(
-          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
-          col("doc_id"))
+      // fanOut tried and REVERTED (r20): the WAV kernel is cheap at this
+      // corpus size — the exchange cost more than the serialization it
+      // removed (quiet 0.15 s -> 0.60 s measured).
+      val fps = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
         .mapPartitions(_.map { case (id, text) =>
           val pcm = MultimodalOps.WavPcmCodec.pcmU8Data(
@@ -3144,11 +3143,11 @@ object TextQueries {
     // 8-byte signature — video bytes never cross an exchange.
     "q_video_fingerprint" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
-      // fanOut (r20): per-doc AVI encode + RIFF decode otherwise run on
-      // the scan's single task; identity at scale — CoreOps.fanOut
-      val fps = graft.ops.CoreOps.fanOut(
-          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
-          col("doc_id"))
+      // fanOut tried and REVERTED (r20): the AVI kernel is cheap at this
+      // corpus size — the exchange cost more than the serialization it
+      // removed (quiet 0.28 s -> 0.70 s measured).
+      val fps = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
         .mapPartitions(_.map { case (id, text) =>
           // Code-POINT positions and values (mod 256 for the 8-bit DIB
@@ -3176,11 +3175,11 @@ object TextQueries {
 
     "q_audio_decode" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
-      // fanOut (r20): the WAV roundtrip otherwise runs on the scan's
-      // single task; identity at scale — CoreOps.fanOut
-      val feats = graft.ops.CoreOps.fanOut(
-          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
-          col("doc_id"))
+      // fanOut tried and REVERTED (r20): the WAV roundtrip is cheap at
+      // this corpus size — the exchange cost more than the
+      // serialization it removed (quiet 0.15 s -> 0.46 s measured).
+      val feats = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
         .mapPartitions(_.map { case (id, text) =>
           MultimodalOps.WavPcmCodec.decode(id,
@@ -3217,9 +3216,10 @@ object TextQueries {
             md5(concat(lit("shard"), sh.cast(StringType), lit(":"),
               col("doc_id").cast(StringType))).as("h"),
             sh.cast(LongType).as("s")))).getField("s")
-      // fanOut (r20): 17 md5 digests per doc in-row; identity at scale
-      graft.ops.CoreOps.fanOut(
-          Tables(s, dir, "documents").select("doc_id"), col("doc_id"))
+      // fanOut tried and REVERTED (r20): 17 md5 digests per doc is
+      // still cheap at this corpus size — the exchange cost more than
+      // it saved (quiet 0.20 s -> 0.30 s measured).
+      Tables(s, dir, "documents").select("doc_id")
         .select(hrw(8).as("shard_old"), hrw(9).as("shard_new"))
         .groupBy("shard_old", "shard_new")
         .agg(count(lit(1)).as("n_docs"))
@@ -3292,12 +3292,10 @@ object TextQueries {
     */
   /** (doc_id, toks) token frame shared by the repeated-span family. */
   private def spanTokFrame(docs: DataFrame): DataFrame =
-    // fanOut (r20): the span family's gram materialization and island
-    // merges run straight off this frame — a single-row-group corpus
-    // scan would hand all of it to one task; identity at scale
-    graft.ops.CoreOps.fanOut(
-        docs.select(col("doc_id"), col("text")), col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // fanOut tried and REVERTED (r20): the span family was already fast
+    // at quiet minima (0.35-1.19 s each) — the added exchange was a
+    // small net loss across the five consumers (sum +0.4 s measured).
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
 
   /** Position-aligned L-token grams: (doc_id, pos, gram) with pos the
     * 0-based start token. (graft_shingle_hashes deliberately returns a
